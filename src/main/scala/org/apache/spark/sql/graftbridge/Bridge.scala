@@ -1,0 +1,21 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between the public `Column` API and catalyst `Expression`s.
+  *
+  * Spark 4 made `Column` representation-agnostic (Spark Connect refactor);
+  * the classic-backend converters live in `org.apache.spark.sql.classic`
+  * and are `private[sql]`. This shim sits inside the `org.apache.spark.sql`
+  * package tree purely to re-export the two converters our custom
+  * expressions (graft.functions) need. No Spark internals are modified.
+  */
+object Bridge {
+  /** Wrap a catalyst Expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Extract the catalyst Expression backing a (classic) Column. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
