@@ -1,0 +1,126 @@
+package graft
+
+import graft.QueryDsl._
+import graft.core.Tables
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** Deduplication-operator coverage (north-star surface): exact,
+  * all-pairs n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine. */
+object DedupQueries {
+  /** DuckDB token-3-gram distinct shingles CTE over `documents`. */
+  private val duckShingles = """
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks)-1),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS s
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3)"""
+
+  /** Exact dedup via content-hash groupBy (map-side combine at scale). */
+  private val dedupExact = Q(
+    "dedup_exact",
+    (s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("keep_id").asc),
+    Some("""
+      SELECT md5(text) AS content_hash,
+             CAST(min(doc_id) AS BIGINT) AS keep_id,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM documents GROUP BY md5(text)
+      ORDER BY keep_id ASC
+    """))
+
+  /** All-pairs 3-gram Jaccard: top-20 most similar document pairs. */
+  private val dedupJaccardPairs = Q(
+    "dedup_jaccard_pairs",
+    (s, dir) =>
+      Dedup.jaccardTopPairs(Tables.documents(s, dir), "doc_id", "text", k = 20),
+    Some(s"""
+      WITH $duckShingles
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+               AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20
+    """))
+
+  /** MinHash (8 md5 min-hashes) + LSH banding (8 bands of 1): candidate
+    * pairs sharing any band, with estimated Jaccard. Sub-quadratic at
+    * scale: equi-join on band keys instead of all-pairs. */
+  private val dedupMinhashLsh = Q(
+    "dedup_minhash_lsh",
+    (s, dir) =>
+      Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text",
+          numHashes = 8, bandSize = 1)
+        .orderBy(col("id_a").asc, col("id_b").asc),
+    Some(s"""
+      WITH $duckShingles,
+      sig AS (SELECT doc_id,
+                list_transform(range(0, 8), h -> list_min(list_transform(s,
+                  x -> md5(CAST(h AS VARCHAR) || ':' || x)))) AS sig
+              FROM sh),
+      bands AS (SELECT doc_id, sig,
+                       unnest(range(0, 8)) AS band,
+                       unnest(sig) AS band_key
+                FROM sig)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(list_sum(list_transform(range(1, 9),
+               i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1.0 ELSE 0.0 END)) / 8, 4)
+               AS est_jaccard
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      ORDER BY id_a ASC, id_b ASC
+    """))
+
+  /** SimHash (16-bit md5-nibble signature): close pairs by hamming. */
+  private val dedupSimhash = Q(
+    "dedup_simhash",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      val a = d.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("hamming",
+          Dedup.hamming(col("sig_a"), col("sig_b")).cast("long"))
+        .where(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        list_distinct(string_split_regex(text, '\s+')) AS toks
+                 FROM documents),
+      e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      n AS (SELECT doc_id, md5(tok) AS h FROM e),
+      s AS (SELECT doc_id, %BITS% AS sig FROM n GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(list_sum(list_transform(range(1, 17),
+                     i -> CASE WHEN a.sig[i] != b.sig[i] THEN 1 ELSE 0 END))
+                     AS BIGINT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+      ORDER BY id_a ASC, id_b ASC
+    """.replace("%BITS%",
+      "[" + (1 to 16).map(p =>
+        s"CASE WHEN sum(CAST(strpos('0123456789abcdef', substr(h, $p, 1)) - 1 " +
+          s"AS DOUBLE) - 7.5) > 0 THEN 1 ELSE 0 END").mkString(", ") + "]")))
+
+  /** Embedding-cosine near-dup: top-20 most similar vector pairs. */
+  private val dedupCosinePairs = Q(
+    "dedup_cosine_pairs",
+    (s, dir) =>
+      Dedup.cosineTopPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 20),
+    Some("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, %COS% AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20
+    """.replace("%COS%", duckCosine("a.embedding", "b.embedding"))))
+
+  val all: Seq[Q] = Seq(dedupExact, dedupJaccardPairs, dedupMinhashLsh,
+    dedupSimhash, dedupCosinePairs)
+}

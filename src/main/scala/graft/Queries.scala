@@ -1,133 +1,27 @@
 package graft
 
-import graft.core.Tables
-import graft.search.Knn
-import org.apache.spark.sql.functions._
+import graft.QueryDsl.Q
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The operator-coverage query registry backing [[SparkEntry]].
   *
-  * Every implemented operator from SURVEY §2 gets one entry here; where the
+  * Every implemented operator from SURVEY §2 gets one entry; where the
   * semantics are SQL-expressible the entry also carries a DuckDB oracle
   * string over the same parquet fixtures (driver hash-compares — see
   * BASELINE.json). Conventions for oracle parity:
   *  - every query output is deterministically ordered with full tie-breaks;
-  *  - computed doubles are `round`ed (4 decimals for distances, 2-3 for
-  *    money sums) in BOTH engines so FP summation order can't flip a hash;
+  *  - computed doubles are `round`ed (4 decimals for distances/ratios, 2
+  *    for money sums) in BOTH engines so FP summation order can't flip a
+  *    hash;
   *  - column names are aliased identically on both sides;
-  *  - DuckDB integer `sum()` is cast to BIGINT to match Spark's LongType.
+  *  - DuckDB integer `sum()`/`count()` are cast to BIGINT to match Spark.
   */
 object Queries {
-  final case class Q(name: String,
-                     fn: (SparkSession, String) => DataFrame,
-                     oracle: Option[String])
-
-  /** DuckDB squared-L2 over list<float> columns, double accumulation,
-    * rounded — textual mirror of graft.functions.L2SquaredDistance. */
-  private def duckL2(a: String, b: String): String =
-    s"round(list_sum(list_transform(range(1, len($a)+1), " +
-      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))^2)), 4)"
-
-  // ---------------------------------------------------------------- vector
-
-  /** V2: exact kNN top-k for one query vector (SURVEY §2.3). */
-  private val knnExactTopK = Q(
-    "knn_exact_topk",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
-      Knn.topK(e, "embedding", "vec_id", q, "qe", k = 5)
-        .select("vec_id", "distance")
-    },
-    Some("""
-      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-      SELECT e.vec_id, %L2% AS distance
-      FROM embeddings e, q
-      ORDER BY distance ASC, e.vec_id ASC LIMIT 5
-    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
-
-  /** V2→V6: full reference search pipeline — over-fetch 3k, score=1-d,
-    * threshold on score, re-rank desc, truncate (src/app.py:240-274). */
-  private val knnScoreThreshold = Q(
-    "knn_score_threshold",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
-      Knn.searchPipeline(e, "embedding", "vec_id", q, "qe",
-          k = 5, scoreThreshold = -0.5)
-        .select("vec_id", "distance", "score")
-    },
-    Some("""
-      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-      d AS (SELECT e.vec_id, %L2% AS distance FROM embeddings e, q),
-      ofetch AS (SELECT vec_id, distance FROM d
-                 ORDER BY distance ASC, vec_id ASC LIMIT 15),
-      scored AS (SELECT vec_id, distance, 1.0 - distance AS score FROM ofetch)
-      SELECT vec_id, distance, score FROM scored
-      WHERE score >= -0.5
-      ORDER BY score DESC, vec_id ASC LIMIT 5
-    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
-
-  /** kNN join: per-query top-3 over a 10-vector query set (broadcast). */
-  private val knnMultiQuery = Q(
-    "knn_multi_query",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val q = e.where(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      Knn.knnJoin(e, "embedding", "vec_id", q, "qid", "qe", k = 3)
-        .select("qid", "vec_id", "distance")
-        .orderBy(col("qid").asc, col("distance").asc, col("vec_id").asc)
-    },
-    Some("""
-      WITH q AS (SELECT vec_id AS qid, embedding AS qe
-                 FROM embeddings WHERE vec_id < 10),
-      d AS (SELECT q.qid, e.vec_id, %L2% AS distance FROM embeddings e, q),
-      r AS (SELECT qid, vec_id, distance,
-                   row_number() OVER (PARTITION BY qid
-                                      ORDER BY distance, vec_id) AS rn
-            FROM d)
-      SELECT qid, vec_id, distance FROM r WHERE rn <= 3
-      ORDER BY qid ASC, distance ASC, vec_id ASC
-    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
-
-  /** Cosine-similarity top-k (similarity-search surface; north-star op). */
-  private val nnCosineTopK = Q(
-    "nn_cosine_topk",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
-      e.crossJoin(broadcast(q))
-        .withColumn("cosine",
-          round(graft.functions.VectorFunctions.cosineSim(
-            col("embedding"), col("qe")), 4))
-        .select("vec_id", "cosine")
-        .orderBy(col("cosine").desc, col("vec_id").asc)
-        .limit(10)
-    },
-    Some("""
-      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-      d AS (SELECT e.vec_id,
-              list_sum(list_transform(range(1, len(e.embedding)+1),
-                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS dot,
-              sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
-                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS na,
-              sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
-                i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) AS nb
-            FROM embeddings e, q)
-      SELECT vec_id,
-             round(CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(na*nb) END, 4) AS cosine
-      FROM d
-      ORDER BY cosine DESC, vec_id ASC LIMIT 10
-    """))
-
-  // ------------------------------------------------------------- registry
-
-  val registry: Seq[Q] = Seq(
-    knnExactTopK,
-    knnScoreThreshold,
-    knnMultiQuery,
-    nnCosineTopK)
+  val registry: Seq[Q] =
+    VectorQueries.all ++
+      TextQueries.all ++
+      DedupQueries.all ++
+      RelationalQueries.all
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,312 @@
+package graft
+
+import graft.QueryDsl._
+import graft.core.Tables
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational-surface coverage (SURVEY §2.7): joins (broadcast equi,
+  * semi/anti, as-of), hash aggregation, rollup, window functions, time
+  * windows, JSON extraction, stats. All built-in Catalyst operators —
+  * the queries pin plan shape (broadcasts for dims, partial aggregation)
+  * and cross-engine-deterministic output (rounding + full tie-breaks). */
+object RelationalQueries {
+  /** TPC-H-Q1-style pricing summary: hash agg with map-side combine. */
+  private val q1Pricing = Q(
+    "q1_pricing_summary",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= lit("2001-06-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag").asc, col("l_linestatus").asc),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(avg(l_discount), 4) AS avg_disc,
+             CAST(count(*) AS BIGINT) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag ASC, l_linestatus ASC
+    """))
+
+  /** TPC-H-Q3-style: broadcast dim join + agg + top-k revenue. */
+  private val q3TopRevenue = Q(
+    "q3_top_revenue",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(broadcast(o.join(broadcast(c),
+          o("o_custkey") === c("c_custkey"))),
+          l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """))
+
+  /** TPC-H-Q5-style multi-way broadcast join: revenue per nation in ASIA. */
+  private val q5NationRevenue = Q(
+    "q5_nation_revenue",
+    (s, dir) => {
+      val r = Tables.region(s, dir).where(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(broadcast(o.select("o_orderkey", "o_custkey")),
+          l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c.select("c_custkey", "c_nationkey")),
+          o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name").asc)
+    },
+    Some("""
+      SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM region
+      JOIN nation ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name ORDER BY n_name ASC
+    """))
+
+  /** Window: top-3 orders per customer by totalprice. */
+  private val windowTopOrders = Q(
+    "window_top_orders",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rank_in_cust", row_number().over(w).cast("long"))
+        .where(col("rank_in_cust") <= 3)
+        .select("o_custkey", "rank_in_cust", "o_orderkey", "o_totalprice")
+        .orderBy(col("o_custkey").asc, col("rank_in_cust").asc)
+    },
+    Some("""
+      WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT)
+                     AS rank_in_cust
+                 FROM orders)
+      SELECT o_custkey, rank_in_cust, o_orderkey, o_totalprice FROM r
+      WHERE rank_in_cust <= 3
+      ORDER BY o_custkey ASC, rank_in_cust ASC
+    """))
+
+  /** Window: running revenue per supplier (ordered frame accumulation). */
+  private val windowRunningRevenue = Q(
+    "window_running_revenue",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // DECIMAL accumulation: engines disagree on FP summation order for
+      // window frames (DuckDB uses segment trees), so exact decimal math
+      // is the only cross-engine-stable formulation for running sums.
+      Tables.lineitem(s, dir)
+        .withColumn("running_revenue",
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).over(w), 2).cast("double"))
+        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+          "running_revenue")
+        .orderBy(col("l_suppkey").asc, col("l_shipdate").asc,
+          col("l_orderkey").asc, col("l_linenumber").asc)
+    },
+    Some("""
+      SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(18,4))) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+               ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_revenue
+      FROM lineitem
+      ORDER BY l_suppkey ASC, l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+    """))
+
+  /** Rollup over region/nation: multi-level aggregation. */
+  private val rollupCustomers = Q(
+    "rollup_customers",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("acctbal"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region_name"),
+          coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+          col("n_cust"), col("acctbal"))
+        .orderBy(col("region_name").asc, col("nation_name").asc)
+    },
+    Some("""
+      SELECT coalesce(r_name, 'ALL') AS region_name,
+             coalesce(n_name, 'ALL') AS nation_name,
+             CAST(count(*) AS BIGINT) AS n_cust,
+             round(sum(c_acctbal), 2) AS acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY region_name ASC, nation_name ASC
+    """))
+
+  /** Semi + anti join: customers with a 'P' order but none over 400k. */
+  private val semiAntiCustomers = Q(
+    "semi_anti_customers",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o.where(col("o_orderstatus") === "P"),
+          c("c_custkey") === col("o_custkey"), "left_semi")
+        .join(o.where(col("o_totalprice") > 400000),
+          c("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy(col("c_custkey").asc)
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      ORDER BY c_custkey ASC
+    """))
+
+  /** Tumbling 1-hour event-time window aggregation. */
+  private val eventsHourly = Q(
+    "events_hourly",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("hour").asc, col("event_type").asc),
+    Some("""
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY date_trunc('hour', ts), event_type
+      ORDER BY hour ASC, event_type ASC
+    """))
+
+  /** JSON property extraction + aggregation over the events props. */
+  private val eventsJson = Q(
+    "events_json_stats",
+    (s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Tables.events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type").asc)
+    },
+    Some("""
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+               AS avg_k,
+             CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS min_k,
+             CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type ASC
+    """))
+
+  /** As-of join: for each purchase, the user's most recent prior click.
+    * Spark side: union + running last(ignoreNulls) (one shuffle);
+    * oracle: DuckDB's native ASOF JOIN — an independent formulation. */
+  private val asofClickBeforePurchase = Q(
+    "asof_click_before_purchase",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOfJoin.lastBefore(purchases, clicks, "user_id", "ts", "ts",
+          Seq("event_id" -> "last_click_id", "ts" -> "last_click_ts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("last_click_id").cast("long").as("last_click_id"),
+          col("last_click_ts").cast("timestamp").as("last_click_ts"))
+        .orderBy(col("event_id").asc)
+    },
+    Some("""
+      SELECT p.event_id, p.user_id, p.ts,
+             c.event_id AS last_click_id, c.ts AS last_click_ts
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                      WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id ASC
+    """))
+
+  /** A1/A3: collection stats (true count — the reference's len() bug at
+    * src/app.py:485 is intentionally NOT replicated; SURVEY §2.5 A2). */
+  private val collectionStats = Q(
+    "collection_stats",
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .agg(count(lit(1)).as("row_count"),
+          max(size(col("embedding"))).cast("long").as("dimension"))
+        .withColumn("collection_name", lit("embeddings")),
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS row_count,
+             CAST(max(len(embedding)) AS BIGINT) AS dimension,
+             'embeddings' AS collection_name
+      FROM embeddings
+    """))
+
+  val all: Seq[Q] = Seq(q1Pricing, q3TopRevenue, q5NationRevenue,
+    windowTopOrders, windowRunningRevenue, rollupCustomers,
+    semiAntiCustomers, eventsHourly, eventsJson, asofClickBeforePurchase,
+    collectionStats)
+}

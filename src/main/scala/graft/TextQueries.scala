@@ -1,0 +1,200 @@
+package graft
+
+import graft.QueryDsl._
+import graft.core.Tables
+import graft.ingest.Preprocess
+import graft.text.{Keywords, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Text-operator coverage: ingest preprocess (SURVEY §2.2), keyword/chunk
+  * ops (§2.4), and the training-data text-analysis suite (north star). */
+object TextQueries {
+  private val stopWordsSqlList =
+    Keywords.StopWords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** I1+I2: regex cleanup, whitespace collapse, min-length filter. */
+  private val preprocessClean = Q(
+    "preprocess_clean",
+    (s, dir) => {
+      Preprocess(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("text_clean"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(text,
+                 '[^\w一-鿿\s.,!?;:，。！？；：]', '', 'g'), '\s+', ' ', 'g'))
+                 AS text_clean
+        FROM documents)
+      SELECT doc_id, text_clean FROM c
+      WHERE length(text_clean) >= 10
+      ORDER BY doc_id ASC
+    """))
+
+  /** M6: keyword extraction — regex tokens, stopword removal, stable
+    * length-desc ranking, top 3. */
+  private val keywordExtract = Q(
+    "keyword_extract",
+    (s, dir) => {
+      Keywords.extract(Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .withColumn("kw_rank", col("kw_rank").cast("long"))
+        .orderBy(col("doc_id").asc, col("kw_rank").asc)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(range(1, len(t)+1)) AS tok_idx,
+               unnest(t) AS keyword
+        FROM (SELECT doc_id,
+                regexp_extract_all(text, '[一-龥]{2,}|[a-zA-Z]{3,}') AS t
+              FROM documents)),
+      f AS (SELECT * FROM toks WHERE keyword NOT IN $stopWordsSqlList),
+      r AS (SELECT doc_id, keyword,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY length(keyword) DESC, tok_idx ASC) AS BIGINT)
+                     AS kw_rank
+            FROM f)
+      SELECT doc_id, kw_rank, keyword FROM r WHERE kw_rank <= 3
+      ORDER BY doc_id ASC, kw_rank ASC
+    """))
+
+  /** M5: chunk split on punctuation, trim, strictly-greater-5 filter,
+    * first 2. Fixture text has no punctuation, so it is injected
+    * deterministically (every 5th space becomes '. ') in both engines. */
+  private val chunkSplit = Q(
+    "chunk_split",
+    (s, dir) => {
+      val punctuated = Tables.documents(s, dir)
+        .withColumn("ptext",
+          regexp_replace(col("text"), "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. "))
+      Keywords.chunks(punctuated, "doc_id", "ptext", maxChunks = 2, minLen = 5)
+        .withColumn("chunk_rank", col("chunk_rank").cast("long"))
+        .orderBy(col("doc_id").asc, col("chunk_rank").asc)
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+          regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g') AS ptext
+        FROM documents),
+      cs AS (
+        SELECT doc_id,
+               unnest(range(1, len(c)+1)) AS chunk_idx,
+               trim(unnest(c)) AS chunk
+        FROM (SELECT doc_id,
+                string_split_regex(ptext, '[，。！？；:,\.!?;]') AS c
+              FROM p)),
+      f AS (SELECT doc_id, chunk_idx, chunk FROM cs WHERE length(chunk) > 5),
+      r AS (SELECT doc_id, chunk,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY chunk_idx ASC) AS BIGINT) AS chunk_rank
+            FROM f)
+      SELECT doc_id, chunk_rank, chunk FROM r WHERE chunk_rank <= 2
+      ORDER BY doc_id ASC, chunk_rank ASC
+    """))
+
+  /** Token statistics per document. */
+  private val tokenStats = Q(
+    "token_stats",
+    (s, dir) =>
+      TextAnalysis.tokenStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id").asc),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                 FROM documents)
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             round(list_sum(list_transform(toks,
+               tk -> CAST(length(tk) AS DOUBLE))) / len(toks), 4)
+               AS avg_token_len,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+               AS distinct_ratio
+      FROM t ORDER BY doc_id ASC
+    """))
+
+  /** Token counting: whitespace, BPE-ish regex, chars/4 estimate. */
+  private val tokenCounts = Q(
+    "token_counts",
+    (s, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id").asc),
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+               AS BIGINT) AS bpe_tokens,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+      FROM documents ORDER BY doc_id ASC
+    """))
+
+  /** Composite quality score. */
+  private val qualityScore = Q(
+    "quality_score",
+    (s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id").asc),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                 FROM documents)
+      SELECT doc_id,
+             round(0.3 * least(len(toks) / 100.0, 1.0)
+                 + 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                 + 0.3 * least((list_sum(list_transform(toks,
+                     tk -> CAST(length(tk) AS DOUBLE))) / len(toks)) / 8.0, 1.0),
+               4) AS quality
+      FROM t ORDER BY doc_id ASC
+    """))
+
+  /** n-gram-heuristic language ID with pinned argmax priority. */
+  private val langId = Q(
+    "lang_id",
+    (s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id").asc),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                 FROM documents),
+      c AS (SELECT doc_id,
+        CAST(len(list_filter(toks, tk -> list_contains(
+          ['the','and','of','to','a','is','in','it'], tk))) AS BIGINT) AS en_hits,
+        CAST(len(list_filter(toks, tk -> list_contains(
+          ['le','la','et','les','des','un','une','est'], tk))) AS BIGINT) AS fr_hits,
+        CAST(len(list_filter(toks, tk -> list_contains(
+          ['el','los','las','una','es','y'], tk))) AS BIGINT) AS es_hits,
+        CAST(len(list_filter(toks, tk -> list_contains(
+          ['der','die','und','das','ist','ein'], tk))) AS BIGINT) AS de_hits,
+        CAST(len(list_filter(toks, tk -> regexp_full_match(tk, '[一-龥]+')))
+          AS BIGINT) AS zh_hits
+        FROM t)
+      SELECT doc_id, en_hits, fr_hits, es_hits, de_hits, zh_hits,
+             CASE
+               WHEN en_hits >= fr_hits AND en_hits >= es_hits
+                AND en_hits >= de_hits AND en_hits >= zh_hits THEN 'en'
+               WHEN fr_hits >= es_hits AND fr_hits >= de_hits
+                AND fr_hits >= zh_hits THEN 'fr'
+               WHEN es_hits >= de_hits AND es_hits >= zh_hits THEN 'es'
+               WHEN de_hits >= zh_hits THEN 'de'
+               ELSE 'zh'
+             END AS predicted_lang
+      FROM c ORDER BY doc_id ASC
+    """))
+
+  /** Document fingerprint (md5 of normalized text). */
+  private val docFingerprint = Q(
+    "doc_fingerprint",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id").asc),
+    Some("""
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+               AS fingerprint
+      FROM documents ORDER BY doc_id ASC
+    """))
+
+  val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
+    tokenStats, tokenCounts, qualityScore, langId, docFingerprint)
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.QueryDsl._
+import graft.core.Tables
+import graft.functions.VectorFunctions
+import graft.search.Knn
+import org.apache.spark.sql.functions._
+
+/** Vector-search operator coverage (SURVEY §2.3). */
+object VectorQueries {
+  /** V2: exact kNN top-k for one query vector. */
+  private val knnExactTopK = Q(
+    "knn_exact_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      Knn.topK(e, "embedding", "vec_id", q, "qe", k = 5)
+        .select("vec_id", "distance")
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id, %L2% AS distance
+      FROM embeddings e, q
+      ORDER BY distance ASC, e.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
+  /** V2→V6: full reference search pipeline — over-fetch 3k, score=1-d,
+    * threshold on score, re-rank desc, truncate (src/app.py:240-274). */
+  private val knnScoreThreshold = Q(
+    "knn_score_threshold",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      Knn.searchPipeline(e, "embedding", "vec_id", q, "qe",
+          k = 5, scoreThreshold = -0.5)
+        .select("vec_id", "distance", "score")
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      d AS (SELECT e.vec_id, %L2% AS distance FROM embeddings e, q),
+      ofetch AS (SELECT vec_id, distance FROM d
+                 ORDER BY distance ASC, vec_id ASC LIMIT 15),
+      scored AS (SELECT vec_id, distance, 1.0 - distance AS score FROM ofetch)
+      SELECT vec_id, distance, score FROM scored
+      WHERE score >= -0.5
+      ORDER BY score DESC, vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
+  /** kNN join: per-query top-3 over a 10-vector query set (broadcast). */
+  private val knnMultiQuery = Q(
+    "knn_multi_query",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Knn.knnJoin(e, "embedding", "vec_id", q, "qid", "qe", k = 3)
+        .select("qid", "vec_id", "distance")
+        .orderBy(col("qid").asc, col("distance").asc, col("vec_id").asc)
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                 FROM embeddings WHERE vec_id < 10),
+      d AS (SELECT q.qid, e.vec_id, %L2% AS distance FROM embeddings e, q),
+      r AS (SELECT qid, vec_id, distance,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY distance, vec_id) AS rn
+            FROM d)
+      SELECT qid, vec_id, distance FROM r WHERE rn <= 3
+      ORDER BY qid ASC, distance ASC, vec_id ASC
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
+  /** Cosine-similarity top-k (similarity-search surface; north-star op). */
+  private val nnCosineTopK = Q(
+    "nn_cosine_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.crossJoin(broadcast(q))
+        .withColumn("cosine",
+          round(VectorFunctions.cosineSim(col("embedding"), col("qe")), 4))
+        .select("vec_id", "cosine")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id, %COS% AS cosine
+      FROM embeddings e, q
+      ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+    """.replace("%COS%", duckCosine("e.embedding", "q.qe"))))
+
+  val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery, nnCosineTopK)
+}

@@ -1,0 +1,141 @@
+package graft.dedup
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for LLM training-data pipelines (north-star
+  * surface, BASELINE.json): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine near-dup.
+  *
+  * Scale design notes (100 TB):
+  *  - exact dedup is a single hash-aggregate on the fingerprint — the
+  *    canonical map-side-combine shuffle; no row texts move, only digests;
+  *  - MinHash+LSH is the sub-quadratic path: signatures are per-row map
+  *    work, banding turns near-dup detection into an equi-JOIN on band
+  *    keys (shuffle by band hash), never an all-pairs comparison;
+  *  - the all-pairs Jaccard/cosine forms below are for small corpora /
+  *    verification of the LSH candidates (the classic verify step);
+  *  - hashes are md5-based so the DuckDB oracle reproduces them exactly
+  *    (Spark's murmur3 `hash()` is not portable across engines).
+  */
+object Dedup {
+  /** Distinct token 3-gram shingles (rows with <n tokens yield none). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, "\\s+")
+    // sequence() counts DOWN when start > stop, so short rows must be
+    // short-circuited to an empty array rather than fed to sequence.
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Exact dedup: group rows by content fingerprint; keep lowest id.
+    * (hash-groupBy — SURVEY north star "exact (hash-groupBy)"). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Jaccard similarity of two (already-distinct) shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    val union = size(a) + size(b) - size(array_intersect(a, b))
+    round(inter / union, 4)
+  }
+
+  /** All-pairs n-gram Jaccard over a (small) corpus: top-k most similar
+    * pairs. Quadratic by construction — the scale path is
+    * [[minhashCandidates]]; this is the verification tier. */
+  def jaccardTopPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
+      .limit(k)
+  }
+
+  /** MinHash signature as `numHashes` lexicographic-min md5 digests of
+    * salted shingles. Min-over-md5-strings is a valid min-hash family and
+    * is reproducible in any engine with md5. */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { h =>
+      array_min(transform(sh, s => md5(concat(lit(s"$h:"), s))))
+    }: _*)
+
+  /** MinHash estimate of Jaccard = fraction of matching components. */
+  def minhashSimilarity(sigA: Column, sigB: Column, numHashes: Int): Column =
+    round((0 until numHashes)
+      .map(i => when(sigA.getItem(i) === sigB.getItem(i), 1.0).otherwise(0.0))
+      .reduce(_ + _) / numHashes, 4)
+
+  /** MinHash + LSH banding: candidate pairs sharing at least one band key,
+    * with their estimated Jaccard. `bandSize` hashes per band;
+    * `numHashes` must be divisible by `bandSize`.
+    *
+    * Plan shape: signature map → explode bands → shuffle by (band, key)
+    * equi-join → distinct pairs. Cost is O(rows × bands) + join on
+    * colliding keys only — the sub-quadratic LSH contract. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 8, bandSize: Int = 1,
+                        shingleN: Int = 3): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    val nBands = numHashes / bandSize
+    val sig = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    val bands = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until nBands).map { b =>
+        concat_ws("|", (0 until bandSize).map(j =>
+          col("sig").getItem(b * bandSize + j)): _*)
+      }: _*)).as(Seq("band", "band_key")))
+    val l = bands.select(col("band"), col("band_key"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = bands.select(col("band"), col("band_key"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        minhashSimilarity(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** SimHash over md5 nibbles: 16-dimensional sign-of-sum signature.
+    * Portable across engines (md5-only); hamming distance via array ops. */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(split(text, "\\s+"))
+    array((1 to 16).map { p =>
+      val nibbleSum = aggregate(
+        transform(toks, t =>
+          // nibble value 0..15 at hex position p, centered at 7.5
+          conv(substring(md5(t), p, 1), 16, 10).cast(DoubleType) - lit(7.5)),
+        lit(0.0), (acc, v) => acc + v)
+      when(nibbleSum > 0, 1).otherwise(0)
+    }: _*)
+  }
+
+  /** Hamming distance between two equal-length int-array signatures. */
+  def hamming(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map(i =>
+      when(a.getItem(i) =!= b.getItem(i), 1).otherwise(0)).reduce(_ + _)
+
+  /** Embedding-cosine near-dup: top-k most similar vector pairs. */
+  def cosineTopPairs(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.cosineSim(col("v_a"), col("v_b")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
+      .limit(k)
+  }
+}

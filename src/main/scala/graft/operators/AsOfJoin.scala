@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** As-of join: for each left row, attach the most recent right row with
+  * `rightTs <= leftTs` within the same key (SURVEY §2.7 — absent in the
+  * reference; standard time-series operator the checklist names).
+  *
+  * Implementation is the union + running-`last(ignoreNulls)` window trick
+  * rather than a per-row range subquery: both sides are unioned with a
+  * side tag, sorted once per key, and the right-side payload is carried
+  * forward. Cost at scale: ONE shuffle on the key (the window exchange),
+  * no nested-loop, no per-row probe — this is the shape that survives a
+  * 1000-executor 100 TB run. Right rows at exactly leftTs win (<=), and
+  * the side tag orders right before left on timestamp ties.
+  */
+object AsOfJoin {
+  /** @param left      left (probe) side
+    * @param right     right (reference) side
+    * @param keyCol    equi-key present on both sides
+    * @param leftTs    event-time column on `left`
+    * @param rightTs   event-time column on `right`
+    * @param payload   (rightColumn -> outputName) values to carry forward
+    */
+  def lastBefore(left: DataFrame, right: DataFrame, keyCol: String,
+                 leftTs: String, rightTs: String,
+                 payload: Seq[(String, String)]): DataFrame = {
+    val leftCols = left.columns
+    val l = payload.foldLeft(
+      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))) {
+      case (df, (_, out)) => df.withColumn(out, lit(null))
+    }
+    val rBase = right.select(
+      (Seq(col(keyCol), col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        payload.map { case (in, out) => col(in).as(out) }): _*)
+    // null-pad the left-only columns on the right side for unionByName
+    val r = leftCols.filterNot(c => c == keyCol)
+      .foldLeft(rBase)((df, c) => df.withColumn(c, lit(null)))
+      .withColumn(leftTs, col("__ts"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    payload.foldLeft(l.unionByName(r.select(l.columns.map(col): _*))) {
+      case (df, (_, out)) => df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
+    }
+      .where(col("__side") === 1)
+      .drop("__ts", "__side")
+  }
+}
