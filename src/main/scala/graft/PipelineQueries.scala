@@ -1,0 +1,222 @@
+package graft
+
+import graft.QueryDsl._
+import graft.core.{Collection, Tables}
+import graft.functions.VectorFunctions
+import graft.ingest.{Embed, HashingEmbedder, Loaders, Preprocess}
+import graft.rag.Compose
+import graft.search.{IvfIndex, Knn, MultiStrategy}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline operators: IVF index search, multi-strategy
+  * retrieval, chapter-block parsing, collection lifecycle, embedding
+  * ingest, RAG context assembly. */
+object PipelineQueries {
+  /** Exact-kNN DuckDB oracle (shared by ivf_search at nprobe=nlist). */
+  private val exactTop5Oracle = """
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id, %L2% AS distance
+      FROM embeddings e, q
+      ORDER BY distance ASC, e.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))
+
+  /** IVF index probe with nprobe=nlist — must equal exact search (the
+    * oracle pins this); partial-probe recall is covered by ScalaTest. */
+  private val ivfSearch = Q(
+    "ivf_search",
+    (s, dir) => {
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      IvfIndex.search(s, model, "embedding", "vec_id", query, k = 5,
+          nprobe = model.nlist)
+        .select("vec_id", "distance")
+    },
+    Some(exactTop5Oracle))
+
+  /** M1-M3: strategy fan-out + first-wins dedup + final re-rank. */
+  private val multiStrategySearch = Q(
+    "multi_strategy_search",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 50).as("dkey"))
+      val corpus = e.join(broadcast(d), e("vec_id") === d("doc_id")).drop("doc_id")
+      // direct (rank 1, k=6=topK*2), two keyword sub-queries (rank 2, k=2),
+      // one chunk sub-query (rank 3, k=1) — reference fan-out shape
+      // (src/app.py:276-289) over literal query vectors.
+      val strategies = e.where(col("vec_id").isin(0, 1, 2, 3))
+        .select(
+          when(col("vec_id") === 0, 1).when(col("vec_id") === 3, 3)
+            .otherwise(2).as("strategy_rank"),
+          col("vec_id").cast("int").as("sub_idx"),
+          when(col("vec_id") === 0, 6).when(col("vec_id") === 3, 1)
+            .otherwise(2).as("k"),
+          col("embedding").as("qe"))
+      MultiStrategy.search(corpus, "embedding", "vec_id", "dkey",
+          strategies, topK = 3, scoreThreshold = -1.0)
+        .select(col("vec_id"), col("strategy_rank").cast("long").as("strategy_rank"),
+          col("distance"), col("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+    },
+    Some("""
+      WITH docs AS (SELECT doc_id, substr(text, 1, 50) AS dkey FROM documents),
+      corpus AS (SELECT e.vec_id, e.embedding, dkey
+                 FROM embeddings e JOIN docs ON doc_id = vec_id),
+      qs(strategy_rank, sub_idx, k, qid) AS (
+        VALUES (1, 0, 6, 0), (2, 1, 2, 1), (2, 2, 2, 2), (3, 3, 1, 3)),
+      qv AS (SELECT strategy_rank, sub_idx, k, embedding AS qe
+             FROM qs JOIN embeddings ON vec_id = qid),
+      d AS (SELECT strategy_rank, sub_idx, k, c.vec_id, dkey, %L2% AS distance
+            FROM corpus c, qv),
+      ofetch AS (SELECT *, row_number() OVER (PARTITION BY strategy_rank, sub_idx
+                   ORDER BY distance, vec_id) AS fetch_rn FROM d),
+      th AS (SELECT *, 1.0 - distance AS score FROM ofetch
+             WHERE fetch_rn <= k * 3 AND 1.0 - distance >= -1.0),
+      pq AS (SELECT *, row_number() OVER (PARTITION BY strategy_rank, sub_idx
+               ORDER BY score DESC, vec_id) AS q_rn FROM th),
+      kept AS (SELECT * FROM pq WHERE q_rn <= k),
+      intra AS (SELECT *, row_number() OVER (PARTITION BY strategy_rank
+                  ORDER BY sub_idx, distance, vec_id) AS intra_rank FROM kept),
+      dd AS (SELECT *, row_number() OVER (PARTITION BY dkey
+               ORDER BY strategy_rank, intra_rank) AS dup_rn FROM intra)
+      SELECT vec_id, CAST(strategy_rank AS BIGINT) AS strategy_rank,
+             distance, score
+      FROM dd WHERE dup_rn = 1
+      ORDER BY score DESC, vec_id ASC LIMIT 3
+    """.replace("%L2%", duckL2("c.embedding", "qv.qe"))))
+
+  /** I7: chapter-block parser over a deterministic synthetic paste. */
+  private val chapterParse = Q(
+    "chapter_parse",
+    (s, dir) => {
+      val numerals = Seq("一", "二", "三")
+      val lines = Tables.documents(s, dir).where(col("doc_id") < 30)
+        .select(col("doc_id").as("line_no"),
+          when(col("doc_id") % 10 === 0,
+            concat(lit("第"),
+              element_at(typedlit(numerals), (col("doc_id") / 10).cast("int") + 1),
+              lit("章")))
+            .otherwise(substring(col("text"), 1, 40)).as("line"))
+      Loaders.parseChapterBlocks(lines)
+        .orderBy(col("block_id").asc)
+    },
+    Some("""
+      WITH lines AS (
+        SELECT doc_id AS line_no,
+               CASE WHEN doc_id % 10 = 0
+                 THEN '第' || (['一','二','三'])[CAST(doc_id/10 AS INTEGER)+1] || '章'
+                 ELSE substr(text, 1, 40) END AS line
+        FROM documents WHERE doc_id < 30),
+      t AS (SELECT line_no, trim(line) AS line FROM lines
+            WHERE trim(line) != ''),
+      m AS (SELECT line_no, line,
+              CASE WHEN regexp_matches(line, '^第[零一二三四五六七八九十百千]+章')
+                     OR contains(line, '章节') THEN 1 ELSE 0 END AS is_marker
+            FROM t),
+      b AS (SELECT *,
+              CAST(sum(is_marker) OVER (ORDER BY line_no
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS block_id,
+              last_value(CASE WHEN is_marker = 1 THEN line END IGNORE NULLS)
+                OVER (ORDER BY line_no ROWS UNBOUNDED PRECEDING) AS chapter
+            FROM m)
+      SELECT block_id, chapter,
+             trim(string_agg(line, ' ' ORDER BY line_no)) AS content
+      FROM b WHERE is_marker = 0 AND chapter IS NOT NULL
+      GROUP BY block_id, chapter
+      ORDER BY block_id ASC
+    """))
+
+  /** S5/S6/I1/I2/I4 round-trip: create collection, ingest preprocessed
+    * docs with dense ids, read back, aggregate. */
+  private val collectionRoundtrip = Q(
+    "collection_roundtrip",
+    (s, dir) => {
+      val out = s"/tmp/graft_coll_${math.abs(dir.hashCode)}/knowledge"
+      val coll = Collection(s, out)
+      val cleaned = Preprocess(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source").as("chapter"), col("text")),
+        "text")
+        .select(col("doc_id"), col("chapter"), col("text_clean").as("content"))
+      val rows = Collection.withDenseIds(cleaned, "doc_id")
+        .select("id", "chapter", "content")
+      coll.create(rows.schema, force = true)
+      coll.append(rows)
+      coll.read.agg(count(lit(1)).as("n_rows"), max(col("id")).as("max_id"),
+        countDistinct(col("chapter")).as("n_chapters"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id, source AS chapter,
+               trim(regexp_replace(regexp_replace(text,
+                 '[^\w一-鿿\s.,!?;:，。！？；：]', '', 'g'), '\s+', ' ', 'g'))
+                 AS content
+        FROM documents),
+      f AS (SELECT * FROM c WHERE length(content) >= 10),
+      ids AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id, chapter
+              FROM f)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(max(id) AS BIGINT) AS max_id,
+             CAST(count(DISTINCT chapter) AS BIGINT) AS n_chapters
+      FROM ids
+    """))
+
+  /** R1: top-3 hits joined to documents, numbered markdown context. */
+  private val ragContextLines = Q(
+    "rag_context_lines",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val hits = Knn.topK(e, "embedding", "vec_id", q, "qe", k = 3)
+        .withColumn("ctx_rank", row_number().over(
+          Window.orderBy(col("distance").asc, col("vec_id").asc)).cast("long"))
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), substring(col("text"), 1, 40).as("content"))
+      Compose.contextLines(
+          hits.join(broadcast(d), hits("vec_id") === d("doc_id")),
+          "ctx_rank", "source", "content")
+        .orderBy(col("ctx_rank").asc)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      d AS (SELECT e.vec_id, %L2% AS distance FROM embeddings e, q),
+      top AS (SELECT vec_id, distance FROM d
+              ORDER BY distance ASC, vec_id ASC LIMIT 3),
+      r AS (SELECT vec_id,
+              CAST(row_number() OVER (ORDER BY distance, vec_id) AS BIGINT)
+                AS ctx_rank
+            FROM top)
+      SELECT ctx_rank,
+             printf('%d. **%s**: %s', ctx_rank, source, substr(text, 1, 40))
+               AS line
+      FROM r JOIN documents ON doc_id = vec_id
+      ORDER BY ctx_rank ASC
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
+  /** I3: batched deterministic embedding ingest (no SQL oracle — model
+    * call seam; driver records rows-only, ScalaTest pins determinism). */
+  private val embedIngest = Q(
+    "embed_ingest",
+    (s, dir) => {
+      val docs = Preprocess(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
+      Embed.withEmbeddings(docs, "text_clean", "embedding",
+          new HashingEmbedder(64), batchSize = 100)
+        .select(col("doc_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(VectorFunctions.dot(col("embedding"), col("embedding")), 4)
+            .as("sq_norm"))
+        .orderBy(col("doc_id").asc)
+    },
+    None)
+
+  val all: Seq[Q] = Seq(ivfSearch, multiStrategySearch, chapterParse,
+    collectionRoundtrip, ragContextLines, embedIngest)
+}

@@ -21,7 +21,8 @@ object Queries {
     VectorQueries.all ++
       TextQueries.all ++
       DedupQueries.all ++
-      RelationalQueries.all
+      RelationalQueries.all ++
+      PipelineQueries.all
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

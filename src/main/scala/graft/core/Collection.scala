@@ -1,0 +1,61 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Parquet-directory-backed collection (SURVEY §2.1 S5-S8) — the engine's
+  * equivalent of the reference's Milvus collection DDL surface
+  * (src/app.py:81-118 create, :87 drop, :476 describe, :230 insert).
+  *
+  * A collection is a directory of parquet files; "create" registers the
+  * schema by writing an empty dataset, "insert" appends, "describe" reads
+  * the footer schema, "drop" deletes the directory. At cluster scale the
+  * same layout is a table location with many files; the vector index over
+  * it is a sibling [[graft.search.IvfIndex]] directory.
+  */
+final class Collection(spark: SparkSession, val dir: String) {
+  private def fs = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists: Boolean = fs.exists(new Path(dir))
+
+  /** S5: idempotent create; `force` drops first (src/app.py:85-91). */
+  def create(schema: StructType, force: Boolean = false): Unit = {
+    if (force && exists) drop()
+    if (!exists)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
+  /** S6: batch insert (append). */
+  def append(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).parquet(dir)
+
+  /** Full scan of the collection. */
+  def read: DataFrame = spark.read.parquet(dir)
+
+  /** S7: describe — schema of the stored data. */
+  def describe: StructType = read.schema
+
+  /** A1: true row count (reference's len() bug NOT replicated; §2.5 A2). */
+  def count(): Long = read.count()
+
+  /** S8: drop collection. */
+  def drop(): Unit = fs.delete(new Path(dir), true)
+}
+
+object Collection {
+  def apply(spark: SparkSession, dir: String): Collection =
+    new Collection(spark, dir)
+
+  /** Dense deterministic ids 0..n-1 ordered by `orderCol` — the oracle-able
+    * analog of Milvus auto_id (src/app.py:100). Global window: fine for
+    * collection-build sizes; use `monotonically_increasing_id` when ids
+    * only need uniqueness, not density, at 100 TB. */
+  def withDenseIds(df: DataFrame, orderCol: String, idCol: String = "id"): DataFrame =
+    df.withColumn(idCol,
+      (row_number().over(Window.orderBy(col(orderCol).asc)) - 1).cast("long"))
+}

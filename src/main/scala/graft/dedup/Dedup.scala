@@ -88,10 +88,14 @@ object Dedup {
                         shingleN: Int = 3): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
     val nBands = numHashes / bandSize
+    // cache: the band self-join would otherwise recompute every md5
+    // signature on both sides (at warehouse scale signatures are written
+    // to a table once; caching is the in-session equivalent)
     val sig = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .cache()
     val bands = sig.select(col("id"), col("sig"),
       posexplode(array((0 until nBands).map { b =>
         concat_ws("|", (0 until bandSize).map(j =>

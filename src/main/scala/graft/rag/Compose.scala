@@ -1,0 +1,44 @@
+package graft.rag
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** RAG composition (SURVEY §2.6 R1/R2) — hits → markdown context blocks
+  * (reference src/agent.py:125-134, src/app.py:342-359). The LLM call
+  * itself (R5) is an external effect behind [[AnswerGenerator]]; the
+  * engine only formats retrieval output.
+  */
+object Compose {
+  /** R1: numbered context lines `"{i}. **{chapter}**: {content}"`. */
+  def contextLines(hits: DataFrame, rankCol: String, chapterCol: String,
+                   contentCol: String): DataFrame =
+    hits.select(col(rankCol),
+      format_string("%d. **%s**: %s",
+        col(rankCol), col(chapterCol), col(contentCol)).as("line"))
+
+  /** R1 block form: the joined context string (driver-side collect of an
+    * already-truncated top-k — bounded by construction). */
+  def contextBlock(hits: DataFrame, rankCol: String, chapterCol: String,
+                   contentCol: String): String =
+    contextLines(hits, rankCol, chapterCol, contentCol)
+      .orderBy(col(rankCol).asc)
+      .collect().map(_.getString(1)).mkString("\n")
+
+  /** R2: knowledge-base-only answer block (src/app.py:342-359 shape). */
+  def kbAnswerBlock(hits: DataFrame, rankCol: String, chapterCol: String,
+                    contentCol: String): String = {
+    val body = contextBlock(hits, rankCol, chapterCol, contentCol)
+    if (body.isEmpty) "## 🔍 **知识库答案**\n\n未在知识库中找到相关信息。"
+    else s"## 🔍 **知识库答案**\n\n$body"
+  }
+}
+
+/** R3-R5 seam: answer generation is out of engine scope (network effect);
+  * tests inject a deterministic fake. */
+trait AnswerGenerator extends Serializable {
+  def generate(prompt: String): String
+}
+
+final class EchoAnswerGenerator extends AnswerGenerator {
+  override def generate(prompt: String): String = s"[echo] $prompt"
+}

@@ -1,0 +1,87 @@
+package graft.search
+
+import graft.functions.VectorFunctions
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** IVF (inverted-file) vector index — the Spark-native replacement for the
+  * reference's Milvus IVF_FLAT index (src/app.py:105-111: nlist=128, L2;
+  * probe nprobe=20 at src/app.py:253).
+  *
+  * Design (SURVEY §4.2): the coarse quantizer is MLlib KMeans; every vector
+  * is assigned its nearest centroid's `cluster_id`; the corpus is written
+  * `partitionBy("cluster_id")`. A search ranks the (tiny, driver-side)
+  * centroid table against the query and reads ONLY the nprobe nearest
+  * partitions — Parquet partition pruning IS the index probe. Within the
+  * probed partitions the scan is exact squared-L2 + TakeOrderedAndProject.
+  *
+  * Scale: at 100 TB with nlist=1024 and nprobe=32, a query touches ~3% of
+  * the data, embarrassingly parallel across the probed partitions' files;
+  * the centroid ranking is O(nlist·dim) on the driver. Recall is tunable
+  * via nprobe, and nprobe=nlist degrades gracefully to exact search (how
+  * the oracle pins correctness; partial-probe recall is spec'd in tests).
+  */
+object IvfIndex {
+  final case class Model(indexDir: String, nlist: Int,
+                         centroids: Array[(Int, Array[Float])])
+
+  def dataDir(indexDir: String): String = s"$indexDir/data"
+  def centroidsDir(indexDir: String): String = s"$indexDir/centroids"
+
+  /** Fit KMeans(nlist) on `vecCol`, assign cluster ids, write the corpus
+    * partitioned by cluster_id plus a centroids table. Deterministic under
+    * a fixed seed. */
+  def build(df: DataFrame, vecCol: String, indexDir: String, nlist: Int,
+            seed: Long = 42L, maxIter: Int = 20): Model = {
+    val spark = df.sparkSession
+    val withVec = df.withColumn("__mlvec", array_to_vector(col(vecCol)))
+    val km = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__mlvec").setPredictionCol("cluster_id")
+    val model = km.fit(withVec)
+    model.transform(withVec).drop("__mlvec")
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(dataDir(indexDir))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+    import spark.implicits._
+    centroids.toSeq.toDF("cluster_id", "centroid")
+      .write.mode("overwrite").parquet(centroidsDir(indexDir))
+    Model(indexDir, nlist, centroids)
+  }
+
+  /** Load a previously built index's centroid table. */
+  def load(spark: SparkSession, indexDir: String): Model = {
+    val centroids = spark.read.parquet(centroidsDir(indexDir))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    Model(indexDir, centroids.length, centroids)
+  }
+
+  /** Rank centroids against the query (driver-side, O(nlist·dim)). */
+  def probeClusters(model: Model, query: Array[Float], nprobe: Int): Seq[Int] = {
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    model.centroids.sortBy { case (id, c) => (l2(c, query), id) }
+      .take(nprobe).map(_._1).toSeq
+  }
+
+  /** IVF search: partition-pruned scan over the nprobe nearest clusters,
+    * exact distance within, global top-k via TakeOrderedAndProject. */
+  def search(spark: SparkSession, model: Model, vecCol: String, idCol: String,
+             query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val clusters = probeClusters(model, query, nprobe)
+    spark.read.parquet(dataDir(model.indexDir))
+      .where(col("cluster_id").isin(clusters: _*))
+      .withColumn("distance",
+        round(VectorFunctions.l2Sq(col(vecCol), typedlit(query)), 4))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+}

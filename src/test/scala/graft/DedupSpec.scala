@@ -1,0 +1,65 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: short rows yield empty array, not garbage") {
+    val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("id", "text")
+    val r = df.select(col("id"), Dedup.shingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(r(1L).isEmpty)
+    assert(r(2L) == Seq("a b c", "b c d"))
+  }
+
+  test("exact dedup groups identical content, keeps lowest id") {
+    val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
+      .toDF("id", "text")
+    val r = Dedup.exact(df, "id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(r == Set((2L, 2L), (9L, 1L)))
+  }
+
+  test("minhash similarity tracks exact jaccard ordering") {
+    val base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15"
+    val near = base.replace("w15", "x15")   // high overlap
+    val far = "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14 z15"
+    val df = Seq((0L, base), (1L, near), (2L, far)).toDF("id", "text")
+    val sig = df.select(col("id"),
+      Dedup.minhashSignature(Dedup.shingles(col("text")), 16).as("sig"))
+    val a = sig.select(col("id").as("ia"), col("sig").as("sa"))
+    val b = sig.select(col("id").as("ib"), col("sig").as("sb"))
+    val sims = a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        Dedup.minhashSimilarity(col("sa"), col("sb"), 16).as("sim"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (x, y, s) => (x, y) -> s }.toMap
+    assert(sims((0L, 1L)) > sims((0L, 2L)))
+    assert(sims((0L, 2L)) == 0.0)
+  }
+
+  test("simhash: identical text → identical signature; hamming 0") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("id", "text")
+    val s = df.select(col("id"), Dedup.simhash(col("text")).as("sig"))
+    val a = s.where(col("id") === 1).select("sig").as[Seq[Int]].head()
+    val b = s.where(col("id") === 2).select("sig").as[Seq[Int]].head()
+    assert(a == b)
+    assert(a.length == 16 && a.forall(x => x == 0 || x == 1))
+  }
+
+  test("LSH candidates are a superset of truly-identical pairs") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "completely different words with no overlap at all whatsoever"))
+      .toDF("id", "text")
+    val cands = Dedup.minhashCandidates(df, "id", "text", 8, 1)
+      .select("id_a", "id_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(cands.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+    assert(!cands.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.search.{Distance, Knn}
+import org.apache.spark.sql.functions._
+
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, Array(0f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 2f)),
+    (3L, Array(3f, 0f)), (4L, Array(0f, 4f))
+  ).toDF("id", "vec")
+
+  private def query = Seq(Tuple1(Array(0f, 0f))).toDF("qe")
+
+  test("codegen l2_sq equals HOF formulation and brute force") {
+    val df = corpus.crossJoin(query)
+      .select(
+        VectorFunctions.l2Sq($"vec", $"qe").as("fast"),
+        Distance.l2SqHof($"vec", $"qe").as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1))
+    }
+    val d = corpus.crossJoin(query)
+      .select($"id", VectorFunctions.l2Sq($"vec", $"qe").as("d"))
+      .as[(Long, Double)].collect().toMap
+    assert(d(0L) === 0.0 && d(1L) === 1.0 && d(2L) === 4.0 &&
+      d(3L) === 9.0 && d(4L) === 16.0)
+  }
+
+  test("cosine: zero-norm vectors yield 0.0, not NaN") {
+    val r = corpus.crossJoin(query)
+      .select(VectorFunctions.cosineSim($"vec", $"qe").as("c"))
+      .as[Double].collect()
+    assert(r.forall(c => !c.isNaN))
+    assert(r.contains(0.0))
+  }
+
+  test("searchPipeline: threshold applies to score (1-d), not distance") {
+    // reference src/app.py:258-260 — score = 1 - d, keep score >= thr.
+    // with thr=0.3 only d <= 0.7 survives: ids 0 (d=0) only here.
+    val hits = Knn.searchPipeline(corpus, "vec", "id", query, "qe",
+      k = 5, scoreThreshold = 0.3)
+    assert(hits.select("id").as[Long].collect().toSeq == Seq(0L))
+  }
+
+  test("searchPipeline: over-fetch caps candidates at 3k before threshold") {
+    // k=1, overFetch=3 → only 3 nearest considered; with threshold -100
+    // everything passes the score filter but result is still top-1.
+    val hits = Knn.searchPipeline(corpus, "vec", "id", query, "qe",
+      k = 1, scoreThreshold = -100)
+    assert(hits.count() == 1)
+    assert(hits.select("id").as[Long].head() == 0L)
+  }
+
+  test("knnJoin returns exactly k per query with deterministic ties") {
+    val qs = Seq((10L, Array(0f, 0f)), (20L, Array(3f, 0f)))
+      .toDF("qid", "qe")
+    val r = Knn.knnJoin(corpus, "vec", "id", qs, "qid", "qe", k = 2)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(r == Set((10L, 0L), (10L, 1L), (20L, 3L), (20L, 1L)))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.core.Collection
+import graft.ingest.{Embed, HashingEmbedder}
+import graft.operators.AsOfJoin
+import graft.search.{IvfIndex, Knn}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("asOfJoin: latest right row at-or-before left ts, per key") {
+    val trades = Seq((1L, ts(10), "t1"), (1L, ts(20), "t2"), (2L, ts(15), "t3"))
+      .toDF("k", "ts", "trade")
+    val quotes = Seq((1L, ts(9), 1.0), (1L, ts(10), 2.0), (1L, ts(19), 3.0),
+      (2L, ts(16), 9.0))
+      .toDF("k", "qts", "px")
+    val r = AsOfJoin.lastBefore(trades, quotes, "k", "ts", "qts",
+        Seq("px" -> "last_px"))
+      .select(col("trade"), col("last_px").cast("double"))
+      .as[(String, Option[Double])].collect().toMap
+    assert(r("t1").contains(2.0))   // tie at ts=10: right-at-same-ts wins
+    assert(r("t2").contains(3.0))
+    assert(r("t3").isEmpty)         // quote is after the trade
+  }
+
+  test("hashing embedder: deterministic, unit-norm, batch-size independent") {
+    val e = new HashingEmbedder(16)
+    val v1 = e.embed(Seq("hello world hello"))(0)
+    val v2 = e.embed(Seq("hello world hello"))(0)
+    assert(v1.toSeq == v2.toSeq)
+    val norm = math.sqrt(v1.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6)
+
+    val df = (0 until 7).map(i => (i.toLong, s"token$i repeated token$i"))
+      .toDF("id", "text")
+    val big = Embed.withEmbeddings(df, "text", "v", e, batchSize = 100)
+      .select("id", "v").as[(Long, Seq[Float])].collect().toMap
+    val small = Embed.withEmbeddings(df, "text", "v", e, batchSize = 2)
+      .select("id", "v").as[(Long, Seq[Float])].collect().toMap
+    assert(big == small)
+  }
+
+  test("IVF: nprobe=nlist equals exact search; partial probe recalls most") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = "/tmp/graft_ivf_test"
+    val model = IvfIndex.build(e, "embedding", dir, nlist = 8)
+    val query = e.where(col("vec_id") === 7).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+
+    val exact = Knn.topK(e, "embedding", "vec_id",
+        e.where(col("vec_id") === 7).select(col("embedding").as("qe")), "qe", 10)
+      .select("vec_id").as[Long].collect().toSet
+
+    val full = IvfIndex.search(spark, model, "embedding", "vec_id", query,
+      k = 10, nprobe = 8).select("vec_id").as[Long].collect().toSet
+    assert(full == exact)
+
+    val partial = IvfIndex.search(spark, model, "embedding", "vec_id", query,
+      k = 10, nprobe = 2).select("vec_id").as[Long].collect().toSet
+    assert(partial.intersect(exact).size >= 5,
+      s"recall too low: ${partial.intersect(exact).size}/10")
+  }
+
+  test("collection lifecycle: create/append/describe/count/drop") {
+    val dir = "/tmp/graft_coll_test/k"
+    val coll = Collection(spark, dir)
+    val rows = Seq((0L, "c1", "content one"), (1L, "c2", "content two"))
+      .toDF("id", "chapter", "content")
+    coll.create(rows.schema, force = true)
+    assert(coll.count() == 0)
+    coll.append(rows)
+    assert(coll.count() == 2)
+    coll.append(rows.where(col("id") === 0))
+    assert(coll.count() == 3)
+    assert(coll.describe.fieldNames.toSeq == Seq("id", "chapter", "content"))
+    coll.drop()
+    assert(!coll.exists)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.ingest.{Loaders, Preprocess}
+import graft.text.Keywords
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("preprocess: strips disallowed chars, keeps CJK + listed punct") {
+    // reference src/app.py:196-197
+    val df = Seq((1L, "数据库@#$系统  概论! <b>ok</b>")).toDF("id", "text")
+    val got = Preprocess(df, "text").select("text_clean").as[String].head()
+    assert(got == "数据库系统 概论! bokb")
+  }
+
+  test("preprocess: min-length 10 boundary (src/app.py:199-201)") {
+    val df = Seq((1L, "123456789"), (2L, "1234567890")).toDF("id", "text")
+    val ids = Preprocess(df, "text").select("id").as[Long].collect().toSeq
+    assert(ids == Seq(2L))
+  }
+
+  test("preprocess is idempotent") {
+    val df = Seq((1L, "  a   b@@@c  数据 ,. xyz  ")).toDF("id", "text")
+    val once = Preprocess.clean(col("text"))
+    val r = df.select(once.as("c1"))
+      .select(Preprocess.clean(col("c1")).as("c2"), col("c1")).head()
+    assert(r.getString(0) == r.getString(1))
+  }
+
+  test("keywords: stopwords removed, duplicates kept, stable length-desc") {
+    // reference src/app.py:332-340: findall order, stable sort by len desc
+    val df = Seq((1L, "abc 的 xy abcdef abc 数据库系统 wxyz")).toDF("id", "text")
+    val kws = Keywords.extract(df, "id", "text", k = 10)
+      .orderBy(col("kw_rank")).select("keyword").as[String].collect().toSeq
+    // tokens: abc, abcdef, abc, 数据库系统, wxyz ("的" stopped, "xy" too
+    // short for [a-zA-Z]{3,}); sorted: 数据库系统(5 CJK? len 5)... lengths:
+    // abc=3, abcdef=6, abc=3, 数据库系统=5, wxyz=4 → 6,5,4,3,3 stable
+    assert(kws == Seq("abcdef", "数据库系统", "wxyz", "abc", "abc"))
+  }
+
+  test("chunks: strictly-greater-5 filter and first-2 cap (src/app.py:322-326)") {
+    val df = Seq((1L, "short, exactly, longer chunk one. second long chunk; third long chunk"))
+      .toDF("id", "text")
+    val cs = Keywords.chunks(df, "id", "text")
+      .orderBy(col("chunk_rank")).select("chunk").as[String].collect().toSeq
+    // "short"(5) dropped (strictly > 5), "exactly"(7) kept,
+    // "longer chunk one" kept, cap 2
+    assert(cs == Seq("exactly", "longer chunk one"))
+  }
+
+  test("detectColumns: name heuristic then first-two fallback (src/app.py:163-175)") {
+    assert(Loaders.detectColumns(Seq("my_chapter", "the_content")) ==
+      ("my_chapter", "the_content"))
+    assert(Loaders.detectColumns(Seq("章节名", "内容列")) == ("章节名", "内容列"))
+    assert(Loaders.detectColumns(Seq("a", "b", "c")) == ("a", "b"))
+    assert(Loaders.detectColumns(Seq("x", "knowledge_text")) ==
+      ("x", "knowledge_text"))
+  }
+
+  test("parseChapterBlocks: markers open blocks, content joined by space") {
+    val lines = Seq(
+      (0L, "preamble dropped"),
+      (1L, "第一章 概论"),
+      (2L, "first line"),
+      (3L, "  "),
+      (4L, "second line"),
+      (5L, "第二章 关系"),
+      (6L, "third"),
+      (7L, "包含章节的行"),   // contains 章节 → marker too
+      (8L, "tail")
+    ).toDF("line_no", "line")
+    val blocks = Loaders.parseChapterBlocks(lines)
+      .orderBy("block_id")
+      .select("chapter", "content").as[(String, String)].collect().toSeq
+    assert(blocks == Seq(
+      ("第一章 概论", "first line second line"),
+      ("第二章 关系", "third"),
+      ("包含章节的行", "tail")))
+  }
+
+  test("loadKnowledgeCsv falls back to example rows on missing path") {
+    val df = Loaders.loadKnowledgeCsv(spark, "/tmp/definitely_missing_xyz.csv")
+    assert(df.count() == Loaders.ExampleRows.size)
+    assert(df.columns.toSeq == Seq("chapter", "content"))
+  }
+}
