@@ -22,7 +22,8 @@ object Queries {
       TextQueries.all ++
       DedupQueries.all ++
       RelationalQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++
+      StreamingQueries.all
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

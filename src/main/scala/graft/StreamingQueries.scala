@@ -1,0 +1,130 @@
+package graft
+
+import graft.QueryDsl._
+import graft.core.Tables
+import graft.multimodal.Multimodal
+import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming + multimodal surface. The streaming entry actually runs a
+  * Structured Streaming query (file source → memory sink, drained with
+  * processAllAvailable) whose final table must equal the batch oracle —
+  * the batch/stream duality contract. */
+object StreamingQueries {
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Structured Streaming tumbling-hour aggregation over the events file
+    * source; complete-mode memory sink, drained synchronously. */
+  private val streamingHourly = Q(
+    "streaming_hourly",
+    (s, dir) => {
+      val src = s.readStream.schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val qname = "graft_streaming_hourly_" + math.abs(dir.hashCode)
+      val q = EventsStream.hourlyCounts(ev)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(qname).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(qname).orderBy(col("hour").asc, col("event_type").asc)
+    },
+    Some("""
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY date_trunc('hour', ts), event_type
+      ORDER BY hour ASC, event_type ASC
+    """))
+
+  /** Gap-based sessionization, batch window-function formulation (the
+    * streaming stateful twin is EventsStream.Sessionize, spec'd in
+    * tests). Gap = 30 min, millisecond event-time arithmetic. */
+  private val sessionizeEvents = Q(
+    "sessionize_events",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("ms", unix_millis(col("ts")))
+        .withColumn("new_sess",
+          when(lag(col("ms"), 1).over(byUser).isNull ||
+            col("ms") - lag(col("ms"), 1).over(byUser) > 1800000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(cum).cast("long"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("user_id").asc, col("session_id").asc)
+    },
+    Some("""
+      WITH m AS (SELECT user_id, event_id, ts, value, epoch_ms(ts) AS ms
+                 FROM events),
+      b AS (SELECT *,
+              CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+                   THEN 1 ELSE 0 END AS new_sess
+            FROM m
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (SELECT *,
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+               FROM b)
+      SELECT user_id, session_id,
+             min(ts) AS session_start, max(ts) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 2) AS total_value
+      FROM sess
+      GROUP BY user_id, session_id
+      ORDER BY user_id ASC, session_id ASC
+    """))
+
+  /** Multimodal plumbing, oracle-able part: binary payload size + frame
+    * sampling arithmetic (every frame is a fixed-stride binary slice). */
+  private val multimodalMeta = Q(
+    "multimodal_meta",
+    (s, dir) => {
+      val bin = col("text").cast("binary")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(bin).cast("long").as("n_bytes"),
+        size(Multimodal.frameSample(bin, n = 4, frameSize = 100))
+          .cast("long").as("n_frames"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(least(4, ceil(octet_length(encode(text)) / 100.0)) AS BIGINT)
+               AS n_frames
+      FROM documents ORDER BY doc_id ASC
+    """))
+
+  /** Multimodal decode seam (stub decoder — rows-only; determinism and
+    * batch shape are pinned in ScalaTest). */
+  private val multimodalFeatures = Q(
+    "multimodal_features",
+    (s, dir) => {
+      val df = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      Multimodal.withMediaFeatures(df, "media", "features",
+          new Multimodal.ByteHistogramDecoder(16))
+        .select(col("doc_id"),
+          size(col("features")).cast("long").as("dim"),
+          round(aggregate(col("features"),
+            lit(0.0), (acc, v) => acc + v.cast("double")), 4).as("sum_f"))
+        .orderBy(col("doc_id").asc)
+    },
+    None)
+
+  val all: Seq[Q] = Seq(streamingHourly, sessionizeEvents, multimodalMeta,
+    multimodalFeatures)
+}

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{classic, Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -18,4 +18,12 @@ object Bridge {
 
   /** Extract the catalyst Expression backing a (classic) Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function on a live session (the FunctionRegistry
+    * is `private[sql]`; for registration at session build time prefer
+    * `graft.GraftExtensions` via `spark.sql.extensions`). */
+  def registerTempFunction(spark: SparkSession, name: String,
+                           builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -1,0 +1,89 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // offset from epoch zero: the initial watermark is 0, and an event AT
+  // the watermark is treated as late and dropped by stateful operators
+  private def ts(min: Long) = new Timestamp((min + 60) * 60000L)
+
+  test("streaming hourlyCounts equals the batch formulation") {
+    val rows = Seq(
+      (ts(5), "click", 1.0), (ts(20), "click", 2.0), (ts(70), "click", 4.0),
+      (ts(30), "view", 8.0))
+    val batch = rows.toDF("ts", "event_type", "value")
+    val expected = EventsStream.hourlyCounts(batch)
+      .orderBy("hour", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+
+    val mem = MemoryStream[(Timestamp, String, Double)](spark)
+    mem.addData(rows.map(r => (r._1, r._2, r._3)))
+    val q = EventsStream.hourlyCounts(
+        mem.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("t_hourly").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_hourly").orderBy("hour", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum == 4L)
+  }
+
+  test("streaming sessionize closes sessions on gap; matches batch logic") {
+    val gapMs = 10 * 60000L
+    val events = Seq(
+      Event(1L, ts(0), 1.0), Event(1L, ts(5), 2.0),   // session A (0-5)
+      Event(1L, ts(30), 4.0),                         // session B (30)
+      Event(2L, ts(1), 8.0))                          // session C (1)
+    val mem = MemoryStream[Event](spark)
+    mem.addData(events)
+    val withWm = mem.toDS().withWatermark("ts", "0 seconds").as[Event]
+    val q = EventsStream.Sessionize.streaming(withWm, gapMs)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("t_sess").start()
+    q.processAllAvailable()
+    // advance watermark far past every session's gap to flush state
+    mem.addData(Seq(Event(99L, ts(1000), 0.0)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_sess").as[Session].collect()
+      .filter(_.user_id != 99L)
+      .map(s => (s.user_id, s.session_start.getTime / 60000 - 60,
+        s.session_end.getTime / 60000 - 60, s.n_events, s.total_value)).toSet
+    assert(got == Set((1L, 0L, 5L, 2L, 3.0), (1L, 30L, 30L, 1L, 4.0),
+      (2L, 1L, 1L, 1L, 8.0)))
+  }
+
+  test("graft SQL functions registered via extensions surface") {
+    GraftExtensions.register(spark)
+    Seq((Array(0f, 3f), Array(4f, 0f))).toDF("a", "b")
+      .createOrReplaceTempView("t_vec")
+    val r = spark.sql(
+      "SELECT graft_l2_sq(a, b) AS d, graft_dot(a, b) AS p, " +
+        "graft_cosine_sim(a, a) AS c FROM t_vec").head()
+    assert(r.getDouble(0) == 25.0)
+    assert(r.getDouble(1) == 0.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("multimodal: histogram decoder deterministic, frames sliced correctly") {
+    val dec = new Multimodal.ByteHistogramDecoder(4)
+    val f1 = dec.features("abcd".getBytes("UTF-8"))
+    val f2 = dec.features("abcd".getBytes("UTF-8"))
+    assert(f1.toSeq == f2.toSeq)
+    assert(math.abs(f1.sum - 1.0f) < 1e-6)
+
+    val df = Seq((1L, "0123456789".getBytes("UTF-8"))).toDF("id", "media")
+    val frames = df.select(
+      Multimodal.frameSample(col("media"), n = 4, frameSize = 4).as("f"))
+      .as[Seq[Array[Byte]]].head()
+    assert(frames.map(new String(_)) == Seq("0123", "4567", "89"))
+  }
+}
