@@ -86,7 +86,7 @@ object DedupQueries {
       a.join(broadcast(b), col("id_a") < col("id_b"))
         .withColumn("hamming",
           Dedup.hamming(col("sig_a"), col("sig_b")).cast("long"))
-        .where(col("hamming") <= 3)
+        .where(col("hamming") <= 1)
         .select("id_a", "id_b", "hamming")
         .orderBy(col("id_a").asc, col("id_b").asc)
     },
@@ -102,7 +102,7 @@ object DedupQueries {
                      i -> CASE WHEN a.sig[i] != b.sig[i] THEN 1 ELSE 0 END))
                      AS BIGINT) AS hamming
             FROM s a JOIN s b ON a.doc_id < b.doc_id)
-      SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+      SELECT id_a, id_b, hamming FROM p WHERE hamming <= 1
       ORDER BY id_a ASC, id_b ASC
     """.replace("%BITS%",
       "[" + (1 to 16).map(p =>

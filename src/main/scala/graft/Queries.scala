@@ -23,7 +23,8 @@ object Queries {
       DedupQueries.all ++
       RelationalQueries.all ++
       PipelineQueries.all ++
-      StreamingQueries.all
+      StreamingQueries.all ++
+      ExtraQueries.all
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

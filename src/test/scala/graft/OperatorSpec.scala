@@ -65,6 +65,21 @@ class OperatorSpec extends SparkSpec {
       s"recall too low: ${partial.intersect(exact).size}/10")
   }
 
+  test("LSH ANN recalls most of the exact top-k") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (model, indexed) = graft.search.AnnLsh.fit(e, "embedding")
+    val query = e.where(col("vec_id") === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val approx = graft.search.AnnLsh
+      .neighbors(model, indexed, query, k = 10, idCol = "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    val exact = Knn.topK(e, "embedding", "vec_id",
+        e.where(col("vec_id") === 3).select(col("embedding").as("qe")), "qe", 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(approx.intersect(exact).size >= 5,
+      s"LSH recall too low: ${approx.intersect(exact).size}/10")
+  }
+
   test("collection lifecycle: create/append/describe/count/drop") {
     val dir = "/tmp/graft_coll_test/k"
     val coll = Collection(spark, dir)
