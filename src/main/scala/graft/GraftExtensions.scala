@@ -12,13 +12,17 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * (`--conf spark.sql.extensions=graft.GraftExtensions`) or on a live
   * session via [[GraftExtensions.register]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
+    // joins the operator-optimization fixpoint, so the injected probe
+    // predicate still gets pushed down to the scan afterwards
+    ext.injectOptimizerRule(_ => graft.plans.IvfProbeRewrite)
+  }
 }
 
 object GraftExtensions {

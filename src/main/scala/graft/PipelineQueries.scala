@@ -40,6 +40,32 @@ object PipelineQueries {
     },
     Some(exactTop5Oracle))
 
+  /** The §4.3 stretch rule end-to-end: a NAIVE orderBy(l2)+limit over the
+    * IVF data dir, with the index registered at nprobe=nlist — the
+    * optimizer injects the probe filter, and the result must still equal
+    * the exact-kNN oracle. (Requires the graft.GraftExtensions session
+    * config, which Verify/Bench set.) */
+  private val ivfAutoRewrite = Q(
+    "ivf_auto_rewrite",
+    (s, dir) => {
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      graft.plans.IvfProbeRewrite.register(model, nprobe = model.nlist)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      s.read.parquet(IvfIndex.dataDir(indexDir))
+        .select(col("vec_id"),
+          round(VectorFunctions.l2Sq(col("embedding"), typedlit(query)), 4)
+            .as("distance"))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+        .limit(5)
+    },
+    Some(exactTop5Oracle))
+
   /** M1-M3: strategy fan-out + first-wins dedup + final re-rank. */
   private val multiStrategySearch = Q(
     "multi_strategy_search",
@@ -217,6 +243,6 @@ object PipelineQueries {
     },
     None)
 
-  val all: Seq[Q] = Seq(ivfSearch, multiStrategySearch, chapterParse,
-    collectionRoundtrip, ragContextLines, embedIngest)
+  val all: Seq[Q] = Seq(ivfSearch, ivfAutoRewrite, multiStrategySearch,
+    chapterParse, collectionRoundtrip, ragContextLines, embedIngest)
 }
