@@ -24,7 +24,8 @@ object Queries {
       RelationalQueries.all ++
       PipelineQueries.all ++
       StreamingQueries.all ++
-      ExtraQueries.all
+      ExtraQueries.all ++
+      ScaleQueries.all
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,108 @@
+package graft
+
+import graft.QueryDsl._
+import graft.core.Tables
+import graft.operators.SaltedJoin
+import org.apache.spark.sql.functions._
+
+/** Shuffle-strategy surface: salting for skew, bucketing for co-located
+  * joins, set operations. */
+object ScaleQueries {
+  /** Salted join must produce exactly the plain join's aggregate. */
+  private val saltedJoinAgg = Q(
+    "salted_join_agg",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_linenumber")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+      SaltedJoin.inner(l, o, "l_orderkey", "o_orderkey",
+          saltBy = "l_linenumber", nSalts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("o_orderpriority").asc)
+    },
+    Some("""
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority ASC
+    """))
+
+  /** Bucketed co-located join: both sides written bucketBy(8, key) via
+    * saveAsTable, joined without a shuffle exchange (bucket pruning of the
+    * join exchange is the point; the aggregate result is the oracle). */
+  private val bucketedJoinAgg = Q(
+    "bucketed_join_agg",
+    (s, dir) => {
+      // the in-memory catalog forgets tables across sessions while the
+      // warehouse dir persists on disk, so a fresh JVM would hit
+      // LOCATION_ALREADY_EXISTS without clearing both
+      def reset(name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      reset("graft_orders_bucketed")
+      reset("graft_lineitem_bucketed")
+      Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_orders_bucketed")
+      Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_lineitem_bucketed")
+      val o = s.table("graft_orders_bucketed")
+      val l = s.table("graft_lineitem_bucketed")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("o_orderpriority").asc)
+    },
+    Some("""
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(l_quantity), 2) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority ASC
+    """))
+
+  /** INTERSECT / EXCEPT set operations. */
+  private val setOpsCustomers = Q(
+    "set_ops_customers",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val building = c.where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val withP = c.join(o.where(col("o_orderstatus") === "P"),
+          c("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey")
+      building.intersect(withP).withColumn("tag", lit("both"))
+        .unionByName(building.except(withP).withColumn("tag", lit("only_building")))
+        .select("tag", "c_custkey")
+        .orderBy(col("tag").asc, col("c_custkey").asc)
+    },
+    Some("""
+      WITH building AS (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING'),
+      withp AS (SELECT c_custkey FROM customer
+                WHERE EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderstatus = 'P'))
+      SELECT 'both' AS tag, c_custkey
+      FROM (SELECT c_custkey FROM building INTERSECT
+            SELECT c_custkey FROM withp)
+      UNION ALL
+      SELECT 'only_building' AS tag, c_custkey
+      FROM (SELECT c_custkey FROM building EXCEPT
+            SELECT c_custkey FROM withp)
+      ORDER BY tag ASC, c_custkey ASC
+    """))
+
+  val all: Seq[Q] = Seq(saltedJoinAgg, bucketedJoinAgg, setOpsCustomers)
+}
