@@ -53,7 +53,7 @@ object VectorQueries {
       val e = Tables.embeddings(s, dir)
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      Knn.knnJoin(e, "embedding", "vec_id", q, "qid", "qe", k = 3)
+      Knn.knnJoinLarge(e, "embedding", "vec_id", q, "qid", "qe", k = 3)
         .select("qid", "vec_id", "distance")
         .orderBy(col("qid").asc, col("distance").asc, col("vec_id").asc)
     },

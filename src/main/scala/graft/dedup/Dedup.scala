@@ -112,20 +112,26 @@ object Dedup {
       .where(size(col("sh")) > 0)
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
       .cache()
-    val bands = sig.select(col("id"), col("sig"),
+    // band join + distinct carry only (id_a, id_b); the signatures are
+    // re-attached afterwards via broadcast joins — hauling two
+    // numHashes-string arrays through the shuffle+distinct costs more
+    // than two broadcast lookups
+    val bands = sig.select(col("id"),
       posexplode(array((0 until nBands).map { b =>
         concat_ws("|", (0 until bandSize).map(j =>
           col("sig").getItem(b * bandSize + j)): _*)
       }: _*)).as(Seq("band", "band_key")))
-    val l = bands.select(col("band"), col("band_key"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = bands.select(col("band"), col("band_key"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "band_key"))
+    val l = bands.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val r = bands.select(col("band"), col("band_key"), col("id").as("id_b"))
+    val pairs = l.join(r, Seq("band", "band_key"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(broadcast(sig.select(col("id").as("id_a"), col("sig").as("sig_a"))), "id_a")
+      .join(broadcast(sig.select(col("id").as("id_b"), col("sig").as("sig_b"))), "id_b")
       .select(col("id_a"), col("id_b"),
         minhashSimilarity(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
-      .distinct()
   }
 
   /** SimHash over md5 nibbles: 16-dimensional sign-of-sum signature.

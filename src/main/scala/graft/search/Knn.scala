@@ -58,7 +58,9 @@ object Knn {
   /** Multi-query kNN join: per query row, the k nearest corpus rows.
     * The query side is broadcast (small by construction); per-query top-k
     * via `row_number` window. Output keeps all corpus columns plus the
-    * query id and `distance`. */
+    * query id and `distance`. NOTE: the window shuffles every
+    * corpus×queries candidate — fine at moderate scale; the 100 TB form
+    * is [[knnJoinLarge]]. */
   def knnJoin(corpus: DataFrame, corpusVec: String, corpusId: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int): DataFrame = {
@@ -70,5 +72,43 @@ object Knn {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .drop("rn", queryVec)
+  }
+
+  /** Scale form of [[knnJoin]] (long ids): bounded per-partition top-k
+    * heaps BEFORE the global per-query selection, so only
+    * partitions × queries × k candidate rows ever shuffle — the
+    * corpus×queries cross product stays inside the scan stage. Memory per
+    * task is O(queries × k). Output `(queryId, corpusId, distance)` is
+    * row-identical to knnJoin's projection of the same columns. */
+  def knnJoinLarge(corpus: DataFrame, corpusVec: String, corpusId: String,
+                   queries: DataFrame, queryId: String, queryVec: String,
+                   k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val joined = corpus.crossJoin(broadcast(queries))
+      .select(col(queryId).cast("long"), col(corpusId).cast("long"),
+        distCol(col(corpusVec), col(queryVec)))
+      .as[(Long, Long, Double)]
+    val candidates = joined.mapPartitions { it =>
+      // max-heap per query on (distance, id): root = current worst kept
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      val ord = Ordering.Tuple2[Double, Long]
+      it.foreach { case (q, id, d) =>
+        val h = heaps.getOrElseUpdate(q,
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        if (h.size < k) h.enqueue((d, id))
+        else if (ord.lt((d, id), h.head)) { h.dequeue(); h.enqueue((d, id)) }
+      }
+      heaps.iterator.flatMap { case (q, h) =>
+        h.iterator.map { case (d, id) => (q, id, d) }
+      }
+    }.toDF(queryId, corpusId, "distance")
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("distance").asc, col(corpusId).asc)
+    candidates
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
   }
 }

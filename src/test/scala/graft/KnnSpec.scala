@@ -61,4 +61,36 @@ class KnnSpec extends SparkSpec {
       .select("qid", "id").as[(Long, Long)].collect().toSet
     assert(r == Set((10L, 0L), (10L, 1L), (20L, 3L), (20L, 1L)))
   }
+
+  test("multi-strategy dedup: FIRST occurrence wins even against a better score") {
+    // reference src/app.py:291-299 — dedup key content[:50], first wins.
+    // C is an exact match for strategy 2's query (score 1.0) but shares
+    // B's dedup key; B arrived first (strategy 1) so C must be dropped.
+    val corpus = Seq(
+      (0L, Array(0f, 0f), "x"), (1L, Array(1f, 0f), "dup"),
+      (2L, Array(5f, 5f), "dup")
+    ).toDF("id", "vec", "dkey")
+    val strategies = Seq(
+      (1, 0, 2, Array(0f, 0f)),     // direct: finds 0 then 1
+      (2, 1, 1, Array(5f, 5f))      // keyword: exact hit on 2 (dup key of 1)
+    ).toDF("strategy_rank", "sub_idx", "k", "qe")
+    val r = graft.search.MultiStrategy.search(corpus, "vec", "id", "dkey",
+        strategies, topK = 3, scoreThreshold = -10)
+      .select("id").as[Long].collect().toSet
+    assert(r == Set(0L, 1L))
+  }
+
+  test("knnJoinLarge (heap path) is row-identical to knnJoin on the fixture") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qs = e.where($"vec_id" < 7)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "vec_id", "distance")
+      .orderBy("qid", "distance", "vec_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    val small = norm(Knn.knnJoin(e, "embedding", "vec_id", qs, "qid", "qe", 4))
+    val large = norm(Knn.knnJoinLarge(e, "embedding", "vec_id", qs, "qid", "qe", 4))
+    assert(small == large)
+    assert(large.size == 7 * 4)
+  }
 }
