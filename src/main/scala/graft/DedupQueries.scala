@@ -58,10 +58,14 @@ object DedupQueries {
         .orderBy(col("id_a").asc, col("id_b").asc),
     Some(s"""
       WITH $duckShingles,
+      e AS (SELECT doc_id, unnest(s) AS s FROM sh),
+      dg AS (SELECT doc_id, md5(s) || md5('1:' || s) AS d FROM e),
       sig AS (SELECT doc_id,
-                list_transform(range(0, 8), h -> list_min(list_transform(s,
-                  x -> md5(CAST(h AS VARCHAR) || ':' || x)))) AS sig
-              FROM sh),
+                [min(substr(d, 1, 8)), min(substr(d, 9, 8)),
+                 min(substr(d, 17, 8)), min(substr(d, 25, 8)),
+                 min(substr(d, 33, 8)), min(substr(d, 41, 8)),
+                 min(substr(d, 49, 8)), min(substr(d, 57, 8))] AS sig
+              FROM dg GROUP BY doc_id),
       bands AS (SELECT doc_id, sig,
                        unnest(range(0, 8)) AS band,
                        unnest(sig) AS band_key
@@ -79,10 +83,10 @@ object DedupQueries {
   private val dedupSimhash = Q(
     "dedup_simhash",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
-      val a = d.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
-      val b = d.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      val d = Dedup.simhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+        .cache()
+      val a = d.select(col("id").as("id_a"), col("sig").as("sig_a"))
+      val b = d.select(col("id").as("id_b"), col("sig").as("sig_b"))
       a.join(broadcast(b), col("id_a") < col("id_b"))
         .withColumn("hamming",
           Dedup.hamming(col("sig_a"), col("sig_b")).cast("long"))

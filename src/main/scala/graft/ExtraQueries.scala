@@ -127,6 +127,29 @@ object ExtraQueries {
       FROM events GROUP BY user_id ORDER BY user_id ASC
     """))
 
+  /** The SQL surface end-to-end: temp views + the registered graft_l2_sq
+    * function + a scalar subquery, pure spark.sql text. */
+  private val sqlKnn = Q(
+    "sql_knn",
+    (s, dir) => {
+      GraftExtensions.register(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+      s.sql("""
+        SELECT vec_id,
+               round(graft_l2_sq(embedding,
+                 (SELECT embedding FROM graft_embeddings WHERE vec_id = 0)), 4)
+                 AS distance
+        FROM graft_embeddings
+        ORDER BY distance ASC, vec_id ASC LIMIT 5
+      """)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id, %L2% AS distance
+      FROM embeddings e, q
+      ORDER BY distance ASC, e.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   val all: Seq[Q] = Seq(csvKnowledgeLoad, annLsh, labelCentroids,
-    rangeJoinBuckets, pivotUserEvents)
+    rangeJoinBuckets, pivotUserEvents, sqlKnn)
 }

@@ -80,11 +80,36 @@ object Dedup {
 
   /** MinHash signature as `numHashes` lexicographic-min md5 digests of
     * salted shingles. Min-over-md5-strings is a valid min-hash family and
-    * is reproducible in any engine with md5. */
+    * is reproducible in any engine with md5. (Column-expression form; the
+    * batch path in [[minhashSignatures]] computes a cheaper sliced-digest
+    * family with one materialized digest per shingle.) */
   def minhashSignature(sh: Column, numHashes: Int): Column =
     array((0 until numHashes).map { h =>
       array_min(transform(sh, s => md5(concat(lit(s"$h:"), s))))
     }: _*)
+
+  /** Batch MinHash signatures via explode + groupBy: each shingle's salted
+    * digests are materialized ONCE per row (md5 evaluated ceil(n/4) times
+    * per shingle, not n times), then `numHashes` min-aggregates each take
+    * an 8-hex slice — min-of-slices of independent digests is a valid
+    * min-hash family with 32-bit slice resolution. Partial aggregation
+    * applies to the mins, so at scale each executor ships one signature
+    * per group. Returns (idCol, sig ARRAY<STRING>[numHashes]). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, shingleN: Int = 3): DataFrame = {
+    val nDigests = (numHashes + 3) / 4
+    val digestConcat = concat((0 until nDigests).map { i =>
+      if (i == 0) md5(col("s")) else md5(concat(lit(s"$i:"), col("s")))
+    }: _*)
+    df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("id"), explode(col("sh")).as("s"))
+      .withColumn("d", digestConcat)
+      .groupBy(col("id"))
+      .agg(array((0 until numHashes).map { h =>
+        min(substring(col("d"), h * 8 + 1, 8))
+      }: _*).as("sig"))
+  }
 
   /** MinHash estimate of Jaccard = fraction of matching components. */
   def minhashSimilarity(sigA: Column, sigB: Column, numHashes: Int): Column =
@@ -104,13 +129,10 @@ object Dedup {
                         shingleN: Int = 3): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
     val nBands = numHashes / bandSize
-    // cache: the band self-join would otherwise recompute every md5
-    // signature on both sides (at warehouse scale signatures are written
-    // to a table once; caching is the in-session equivalent)
-    val sig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .where(size(col("sh")) > 0)
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    // cache: the band self-join would otherwise recompute every signature
+    // on both sides (at warehouse scale signatures are written to a table
+    // once; caching is the in-session equivalent)
+    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
       .cache()
     // band join + distinct carry only (id_a, id_b); the signatures are
     // re-attached afterwards via broadcast joins — hauling two
@@ -133,6 +155,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         minhashSimilarity(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
   }
+
+  /** Batch SimHash via explode + groupBy: md5 evaluated ONCE per distinct
+    * token, 16 nibble-sum aggregates over the materialized digest (the
+    * Column form below recomputes md5 16× per token). Partial aggregation
+    * applies to the sums. Returns (idCol, sig ARRAY<INT>[16]). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(split(col(textCol), "\\s+"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .groupBy(col("id"))
+      .agg(array((1 to 16).map { p =>
+        when(sum(conv(substring(col("h"), p, 1), 16, 10).cast(DoubleType)
+          - lit(7.5)) > 0, 1).otherwise(0)
+      }: _*).as("sig"))
 
   /** SimHash over md5 nibbles: 16-dimensional sign-of-sum signature.
     * Portable across engines (md5-only); hamming distance via array ops. */

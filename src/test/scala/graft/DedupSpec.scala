@@ -40,6 +40,16 @@ class DedupSpec extends SparkSpec {
     assert(sims((0L, 2L)) == 0.0)
   }
 
+  test("simhashSignatures (batch) equals the column-expression simhash") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta eta"))
+      .toDF("id", "text")
+    val colForm = df.select(col("id"), Dedup.simhash(col("text")).as("sig"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val batchForm = Dedup.simhashSignatures(df, "id", "text")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(colForm == batchForm)
+  }
+
   test("simhash: identical text → identical signature; hamming 0") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
       .toDF("id", "text")
