@@ -305,7 +305,24 @@ object RelationalQueries {
       FROM embeddings
     """))
 
+  /** Sketch aggregation (HLL++): approximate distinct users per event
+    * type. No cross-engine oracle (DuckDB's approx_distinct is a
+    * different sketch); exact bounds are pinned in ScalaTest and the
+    * driver records a rows-only check. At 100 TB this is THE
+    * cardinality-estimation primitive: fixed-size sketch per group,
+    * map-side mergeable, no distinct shuffle. */
+  private val sketchDistinctUsers = Q(
+    "sketch_distinct_users",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type").asc),
+    None)
+
   val all: Seq[Q] = Seq(q1Pricing, q3TopRevenue, q5NationRevenue,
+    sketchDistinctUsers,
     windowTopOrders, windowRunningRevenue, rollupCustomers,
     semiAntiCustomers, eventsHourly, eventsJson, asofClickBeforePurchase,
     collectionStats)
