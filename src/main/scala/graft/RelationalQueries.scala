@@ -197,6 +197,28 @@ object RelationalQueries {
       ORDER BY region_name ASC, nation_name ASC
     """))
 
+  /** Cube over status × priority: full grouping-sets lattice. */
+  private val cubeOrders = Q(
+    "cube_orders",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status").asc, col("priority").asc),
+    Some("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status ASC, priority ASC
+    """))
+
   /** Semi + anti join: customers with a 'P' order but none over 400k. */
   private val semiAntiCustomers = Q(
     "semi_anti_customers",
@@ -322,7 +344,7 @@ object RelationalQueries {
     None)
 
   val all: Seq[Q] = Seq(q1Pricing, q3TopRevenue, q5NationRevenue,
-    sketchDistinctUsers,
+    sketchDistinctUsers, cubeOrders,
     windowTopOrders, windowRunningRevenue, rollupCustomers,
     semiAntiCustomers, eventsHourly, eventsJson, asofClickBeforePurchase,
     collectionStats)

@@ -1,0 +1,74 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.ingest.Preprocess
+import graft.search.Knn
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScalaCheckTest}
+
+/** Property-based specs (SURVEY §5 item 3): engine results vs plain-Scala
+  * oracles over generated inputs. ScalaCheck is driven programmatically
+  * (no scalatestplus bridge in the dependency set). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, tests: Int = 20): Unit = {
+    val res = ScalaCheckTest.check(
+      ScalaCheckTest.Parameters.default
+        .withMinSuccessfulTests(tests).withInitialSeed(42L), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def roundLikeSpark(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("property: engine kNN equals brute-force oracle on random corpora") {
+    val vecGen = Gen.listOfN(3, Gen.chooseNum(-10.0f, 10.0f))
+    val corpusGen = Gen.chooseNum(3, 12).flatMap(n =>
+      Gen.listOfN(n, vecGen)).map(_.zipWithIndex.map {
+      case (v, i) => (i.toLong, v.toArray)
+    })
+    val prop = Prop.forAll(corpusGen, vecGen) { (corpus, qv) =>
+      val k = 3
+      val q = Seq(Tuple1(qv.toArray)).toDF("qe")
+      val engine = Knn.topK(corpus.toDF("id", "vec"), "vec", "id", q, "qe", k)
+        .select("id").as[Long].collect().toSeq
+      val oracle = corpus.map { case (id, v) =>
+        val d = v.zip(qv).map { case (a, b) =>
+          val x = a.toDouble - b.toDouble; x * x
+        }.foldLeft(0.0)(_ + _)
+        (roundLikeSpark(d), id)
+      }.sorted.take(k).map(_._2)
+      engine == oracle
+    }
+    check(prop, tests = 15)
+  }
+
+  test("property: preprocess is idempotent on arbitrary unicode-ish text") {
+    val charGen = Gen.frequency(
+      5 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 1 -> Gen.oneOf('，', '。', '数', '据'),
+      1 -> Gen.oneOf('@', '#', '<', '>', '\t', '\n'))
+    val textGen = Gen.listOf(charGen).map(_.mkString)
+    val prop = Prop.forAll(Gen.listOfN(8, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val once = df.select(Preprocess.clean(col("text")).as("c")).as[String].collect()
+      val twice = df.select(
+        Preprocess.clean(Preprocess.clean(col("text"))).as("c")).as[String].collect()
+      once.toSeq == twice.toSeq
+    }
+    check(prop, tests = 10)
+  }
+
+  test("property: minhash similarity of identical inputs is 1.0") {
+    val textGen = Gen.listOfN(10,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")).map(_.mkString(" "))
+    val prop = Prop.forAll(textGen) { t =>
+      val df = Seq((1L, t), (2L, t)).toDF("id", "text")
+      val c = Dedup.minhashCandidates(df, "id", "text", 8, 1)
+        .select("est_jaccard").as[Double].collect()
+      c.length == 1 && c(0) == 1.0
+    }
+    check(prop, tests = 8)
+  }
+}
