@@ -226,6 +226,32 @@ object PipelineQueries {
       ORDER BY ctx_rank ASC
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** M4 end-to-end from query TEXT (reference keyword_enhanced_search,
+    * src/app.py:305-317): extract keywords (cap 3), embed each with the
+    * same featurizer as the corpus, per-keyword kNN (k=2), concatenate.
+    * Rows-only: the embedder seam is not SQL-expressible. */
+  private val keywordTextSearch = Q(
+    "keyword_text_search",
+    (s, dir) => {
+      import s.implicits._
+      val queryText = "scan filter aggregate join spark 数据库系统 window shuffle"
+      val kws = graft.text.Keywords.extract(
+          Seq((0L, queryText)).toDF("qid", "text"), "qid", "text", k = 3)
+        .orderBy(col("kw_rank")).select("keyword").as[String].collect().toSeq
+      val embedder = new HashingEmbedder(64)
+      val strategies = kws.zip(embedder.embed(kws)).zipWithIndex.map {
+        case ((kw, v), i) => (i.toLong, kw, v)
+      }.toDF("sub_idx", "keyword", "qe")
+      val corpus = Embed.withEmbeddings(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "text", "embedding", embedder)
+      Knn.knnJoin(corpus, "embedding", "doc_id", strategies,
+          "sub_idx", "qe", k = 2)
+        .select(col("sub_idx"), col("keyword"), col("doc_id"), col("distance"))
+        .orderBy(col("sub_idx").asc, col("distance").asc, col("doc_id").asc)
+    },
+    None)
+
   /** I3: batched deterministic embedding ingest (no SQL oracle — model
     * call seam; driver records rows-only, ScalaTest pins determinism). */
   private val embedIngest = Q(
@@ -244,5 +270,6 @@ object PipelineQueries {
     None)
 
   val all: Seq[Q] = Seq(ivfSearch, ivfAutoRewrite, multiStrategySearch,
-    chapterParse, collectionRoundtrip, ragContextLines, embedIngest)
+    chapterParse, collectionRoundtrip, ragContextLines, embedIngest,
+    keywordTextSearch)
 }

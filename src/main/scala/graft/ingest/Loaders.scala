@@ -69,8 +69,19 @@ object Loaders {
     * carry-forward) — correct for the pasted-text sizes this models; for
     * huge documents the same plan works per-document by adding the doc id
     * to the partition keys. */
-  def parseChapterBlocks(lines: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("line_no").asc)
+  def parseChapterBlocks(lines: DataFrame): DataFrame =
+    parseChapterBlocks(lines, docCol = None)
+
+  /** Per-document form: when `docCol` is set, the running windows
+    * partition by it — the same plan sharded across documents, which is
+    * the shape that scales (one global ordering only exists for a single
+    * pasted text). */
+  def parseChapterBlocks(lines: DataFrame, docCol: Option[String]): DataFrame = {
+    val base = docCol match {
+      case Some(d) => Window.partitionBy(col(d))
+      case None    => Window.partitionBy()
+    }
+    val w = base.orderBy(col("line_no").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val isMarker = col("line").rlike(ChapterLinePattern) ||
       col("line").contains("章节")
@@ -82,7 +93,7 @@ object Loaders {
       .withColumn("chapter",
         last(when(col("is_marker") === 1, col("line")), ignoreNulls = true).over(w))
       .where(col("is_marker") === 0 && col("chapter").isNotNull)
-      .groupBy(col("block_id"), col("chapter"))
+      .groupBy((docCol.map(col).toSeq :+ col("block_id")) :+ col("chapter"): _*)
       .agg(trim(array_join(
         transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
           x => x.getField("line")),

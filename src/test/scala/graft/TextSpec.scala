@@ -79,6 +79,18 @@ class TextSpec extends SparkSpec {
       ("包含章节的行", "tail")))
   }
 
+  test("parseChapterBlocks per-doc partitioning matches the global form per doc") {
+    val lines = Seq(
+      (7L, 0L, "第一章 甲"), (7L, 1L, "a1"), (7L, 2L, "a2"),
+      (9L, 0L, "第一章 乙"), (9L, 1L, "b1")
+    ).toDF("doc", "line_no", "line")
+    val blocks = Loaders.parseChapterBlocks(lines, Some("doc"))
+      .orderBy("doc", "block_id")
+      .select("doc", "chapter", "content")
+      .as[(Long, String, String)].collect().toSeq
+    assert(blocks == Seq((7L, "第一章 甲", "a1 a2"), (9L, "第一章 乙", "b1")))
+  }
+
   test("loadKnowledgeCsv falls back to example rows on missing path") {
     val df = Loaders.loadKnowledgeCsv(spark, "/tmp/definitely_missing_xyz.csv")
     assert(df.count() == Loaders.ExampleRows.size)
