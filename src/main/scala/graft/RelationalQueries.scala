@@ -197,6 +197,52 @@ object RelationalQueries {
       ORDER BY region_name ASC, nation_name ASC
     """))
 
+  /** lag(): per-customer day gaps between consecutive orders. */
+  private val windowOrderGaps = Q(
+    "window_order_gaps",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .where(col("prev_date").isNotNull)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), col("prev_date")).cast("long")
+            .as("gap_days"))
+        .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+    },
+    Some("""
+      WITH g AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_date
+                 FROM orders)
+      SELECT o_custkey, o_orderkey,
+             CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS gap_days
+      FROM g WHERE prev_date IS NOT NULL
+      ORDER BY o_custkey ASC, o_orderkey ASC
+    """))
+
+  /** Exact interpolated percentiles (percentile_cont semantics). */
+  private val quantilePrices = Q(
+    "quantile_prices",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          round(min(col("o_totalprice")), 2).as("p_min"),
+          round(max(col("o_totalprice")), 2).as("p_max"))
+        .orderBy(col("o_orderstatus").asc),
+    Some("""
+      SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+             round(min(o_totalprice), 2) AS p_min,
+             round(max(o_totalprice), 2) AS p_max
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus ASC
+    """))
+
   /** Cube over status × priority: full grouping-sets lattice. */
   private val cubeOrders = Q(
     "cube_orders",
@@ -344,7 +390,7 @@ object RelationalQueries {
     None)
 
   val all: Seq[Q] = Seq(q1Pricing, q3TopRevenue, q5NationRevenue,
-    sketchDistinctUsers, cubeOrders,
+    sketchDistinctUsers, cubeOrders, windowOrderGaps, quantilePrices,
     windowTopOrders, windowRunningRevenue, rollupCustomers,
     semiAntiCustomers, eventsHourly, eventsJson, asofClickBeforePurchase,
     collectionStats)
