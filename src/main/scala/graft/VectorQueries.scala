@@ -89,5 +89,38 @@ object VectorQueries {
       ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
     """.replace("%COS%", duckCosine("e.embedding", "q.qe"))))
 
-  val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery, nnCosineTopK)
+  /** The typed Dataset[Knowledge] → Dataset[SearchHit] API edge, through
+    * the same reference pipeline and oracle discipline. */
+  private val typedSimilaritySearch = Q(
+    "typed_similarity_search",
+    (s, dir) => {
+      import s.implicits._
+      import graft.core.{Knowledge, TypedSearch}
+      val e = Tables.embeddings(s, dir)
+      val d = Tables.documents(s, dir)
+      val coll = e.join(broadcast(d), e("vec_id") === d("doc_id"))
+        .select(col("vec_id").as("id"), col("source").as("chapter"),
+          substring(col("text"), 1, 30).as("content"),
+          col("embedding").as("vector"))
+        .as[Knowledge]
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0)
+      TypedSearch.similaritySearch(coll, query, k = 5, scoreThreshold = -0.5)
+        .toDF()
+        .orderBy(col("score").desc, col("id").asc)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      dd AS (SELECT e.vec_id AS id, source AS chapter,
+                    substr(text, 1, 30) AS content, %L2% AS distance
+             FROM embeddings e JOIN documents ON doc_id = e.vec_id, q),
+      ofetch AS (SELECT * FROM dd ORDER BY distance ASC, id ASC LIMIT 15),
+      sc AS (SELECT *, 1.0 - distance AS score FROM ofetch)
+      SELECT id, chapter, content, distance, score FROM sc
+      WHERE score >= -0.5
+      ORDER BY score DESC, id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
+  val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery,
+    nnCosineTopK, typedSimilaritySearch)
 }

@@ -65,6 +65,19 @@ class OperatorSpec extends SparkSpec {
       s"recall too low: ${partial.intersect(exact).size}/10")
   }
 
+  test("typed similaritySearch returns SearchHit rows with reference semantics") {
+    import graft.core.{Knowledge, TypedSearch}
+    val coll = Seq(
+      Knowledge(0L, "c0", "exact match", Seq(0f, 0f)),
+      Knowledge(1L, "c1", "near", Seq(0.5f, 0f)),
+      Knowledge(2L, "c2", "far", Seq(3f, 4f))).toDS()
+    val hits = TypedSearch.similaritySearch(coll, Seq(0f, 0f), k = 3,
+      scoreThreshold = 0.3).collect()
+    // threshold 0.3 → distance <= 0.7: ids 0 (d=0, score 1) and 1 (d=0.25)
+    assert(hits.map(_.id).toSeq == Seq(0L, 1L))
+    assert(hits.head.score == 1.0 && hits.head.chapter == "c0")
+  }
+
   test("LSH ANN recalls most of the exact top-k") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val (model, indexed) = graft.search.AnnLsh.fit(e, "embedding")
