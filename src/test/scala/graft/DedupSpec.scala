@@ -72,4 +72,46 @@ class DedupSpec extends SparkSpec {
     assert(cands.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
     assert(!cands.exists { case (a, b, _) => b == 3L || a == 3L })
   }
+
+  test("simhashNearPairs (pigeonhole band join) equals the all-pairs form") {
+    // corpus with exact dups, near-dups (1-token edit), and unrelated rows
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta theta",   // exact dup of 0
+      "alpha beta gamma delta epsilon zeta eta iota",    // near-dup of 0
+      "one two three four five six seven eight nine",
+      "totally different content here about other things",
+      "one two three four five six seven eight ten")     // near-dup of 3
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val banded = Dedup.simhashNearPairs(df, "id", "text", maxHamming = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // quadratic oracle: all pairs, hamming on full signatures
+    val sig = Dedup.simhashSignatures(df, "id", "text")
+    val a = sig.select(col("id").as("id_a"), col("sig").as("sa"))
+    val b = sig.select(col("id").as("id_b"), col("sig").as("sb"))
+    val allPairs = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.hamming(col("sa"), col("sb")).cast("long").as("h"))
+      .where(col("h") <= 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == allPairs)
+    assert(banded.contains((0L, 1L, 0L)))  // exact dup found with hamming 0
+  }
+
+  test("cosineCandidatePairs finds planted near-duplicate vectors") {
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(8)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    val near = base.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 0.01f else x }               // cosine ≈ 1 with base
+    val rows = Seq((0L, base), (1L, near)) ++
+      (2L to 9L).map(i => (i, vec()))
+    val df = rows.toDF("id", "v")
+    val top = Dedup.cosineCandidatePairs(df, "id", "v", k = 3, dim = 8)
+      .as[(Long, Long, Double)].collect()
+    // the planted pair collides in SRP-LSH (signs nearly identical) and
+    // ranks first by cosine
+    assert(top.head._1 == 0L && top.head._2 == 1L && top.head._3 > 0.99)
+  }
 }
