@@ -48,7 +48,12 @@ object RelationalQueries {
       ORDER BY l_returnflag ASC, l_linestatus ASC
     """))
 
-  /** TPC-H-Q3-style: broadcast dim join + agg + top-k revenue. */
+  /** TPC-H-Q3-style: filtered customer (a true dim after the segment
+    * filter) broadcasts into orders; orders⋈lineitem — fact⋈fact — is
+    * pinned to a sort-merge join (`hint("merge")`): at fixture scale
+    * Spark's size estimate would auto-broadcast the orders side, but a
+    * fact table is never broadcast-safe at 100×, so the plan declares the
+    * shuffle explicitly. */
   private val q3TopRevenue = Q(
     "q3_top_revenue",
     (s, dir) => {
@@ -59,9 +64,8 @@ object RelationalQueries {
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
       val l = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_extendedprice", "l_discount")
-      l.join(broadcast(o.join(broadcast(c),
-          o("o_custkey") === c("c_custkey"))),
-          l("l_orderkey") === o("o_orderkey"))
+      val oc = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      l.join(oc.hint("merge"), l("l_orderkey") === o("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
@@ -79,7 +83,12 @@ object RelationalQueries {
       ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
     """))
 
-  /** TPC-H-Q5-style multi-way broadcast join: revenue per nation in ASIA. */
+  /** TPC-H-Q5-style: only the true dims (region-filtered nation) are
+    * broadcast; customer is enriched with its nation via that broadcast,
+    * then the two fact-side joins — lineitem⋈orders on orderkey and
+    * orders⋈customer on custkey — are pinned to sort-merge shuffles,
+    * the only shape that survives 100× (customer and orders both grow
+    * with scale; broadcasting either builds an O(fact) hash map). */
   private val q5NationRevenue = Q(
     "q5_nation_revenue",
     (s, dir) => {
@@ -88,12 +97,16 @@ object RelationalQueries {
       val c = Tables.customer(s, dir)
       val o = Tables.orders(s, dir)
       val l = Tables.lineitem(s, dir)
-      l.join(broadcast(o.select("o_orderkey", "o_custkey")),
+      // nation ⨝ region(ASIA): ≤25 rows — the genuine broadcast dim
+      val asiaNations = n.join(broadcast(r),
+        n("n_regionkey") === r("r_regionkey")).select("n_nationkey", "n_name")
+      val cn = c.select("c_custkey", "c_nationkey")
+        .join(broadcast(asiaNations), c("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "n_name")
+      l.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(o.select("o_orderkey", "o_custkey").hint("merge"),
           l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c.select("c_custkey", "c_nationkey")),
-          o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .join(cn.hint("merge"), o("o_custkey") === cn("c_custkey"))
         .groupBy(col("n_name"))
         .agg(
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
