@@ -5,7 +5,7 @@ import graft.core.{Collection, Tables}
 import graft.functions.VectorFunctions
 import graft.ingest.{Embed, HashingEmbedder, Loaders, Preprocess}
 import graft.rag.Compose
-import graft.search.{IvfIndex, Knn, MultiStrategy}
+import graft.search.{IvfIndex, Knn, MultiStrategy, TextSearch}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -252,6 +252,46 @@ object PipelineQueries {
     },
     None)
 
+  /** M5 end-to-end from query TEXT (reference chunk_search,
+    * src/app.py:319-330): punctuation split → trim → len>5 → first 2 →
+    * embed each chunk → per-chunk kNN (k=1). Rows-only: the embedder
+    * seam is not SQL-expressible; guard/caps/order pinned in ScalaTest. */
+  private val chunkTextSearch = Q(
+    "chunk_text_search",
+    (s, dir) => {
+      val queryText = "spark shuffle partitions and joins, tiny, " +
+        "数据库系统的核心组件, window aggregation plans"
+      TextSearch.chunkSearch(s,
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", queryText, new HashingEmbedder(64))
+        .orderBy(col("chunk_rank").asc, col("distance").asc,
+          col("doc_id").asc)
+    },
+    None)
+
+  /** The flagship reference path end-to-end from raw text
+    * (answer_question → multi_strategy_search, src/app.py:370-384 →
+    * 276-303): direct + keyword + chunk strategies assembled from ONE
+    * question string, embedded, and run as a single MultiStrategy pass
+    * (corpus scanned once). Threshold -1.0 instead of the reference's
+    * 0.3 because HashingEmbedder distances are not on the
+    * sentence-transformer scale; the threshold semantics themselves are
+    * pinned in KnnSpec. */
+  private val questionAnswerPipeline = Q(
+    "question_answer_pipeline",
+    (s, dir) => {
+      val question = "how does spark execute joins, 数据库系统的查询优化, " +
+        "shuffle partitions and aggregation?"
+      TextSearch.questionSearch(s,
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", question, new HashingEmbedder(64),
+          topK = 3, scoreThreshold = -1.0)
+        .select(col("doc_id"), col("strategy_rank").cast("long").as("strategy_rank"),
+          round(col("distance"), 4).as("distance"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    },
+    None)
+
   /** I3: batched deterministic embedding ingest (no SQL oracle — model
     * call seam; driver records rows-only, ScalaTest pins determinism). */
   private val embedIngest = Q(
@@ -271,5 +311,5 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(ivfSearch, ivfAutoRewrite, multiStrategySearch,
     chapterParse, collectionRoundtrip, ragContextLines, embedIngest,
-    keywordTextSearch)
+    keywordTextSearch, chunkTextSearch, questionAnswerPipeline)
 }

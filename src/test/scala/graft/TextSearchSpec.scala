@@ -1,0 +1,65 @@
+package graft
+
+import graft.ingest.HashingEmbedder
+import graft.search.TextSearch
+import org.apache.spark.sql.functions._
+
+/** Pins the reference text-in fan-out semantics (src/app.py:276-330):
+  * the 20-char chunk guard, the per-strategy k caps, and ordering. */
+class TextSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark shuffle partitions and joins explained here"),
+    (2L, "数据库系统的核心组件 storage and memory"),
+    (3L, "window aggregation plans with watermarks"),
+    (4L, "unrelated cooking recipes and garden tips"))
+    .toDF("doc_id", "text")
+  private val embedder = new HashingEmbedder(16)
+
+  test("subQueries: short question (<=20 chars) gets NO chunk strategy") {
+    // 20 chars exactly — reference guard is strictly greater-than
+    val q20 = "abcd efgh ijkl, mnop"
+    assert(q20.length == 20)
+    val subs = TextSearch.subQueries(spark, q20, topK = 3)
+    assert(!subs.exists(_._1 == 3), "rank-3 chunk strategy must not fire")
+    assert(subs.head == ((1, 6, q20)), "direct strategy is rank 1 with k=topK*2")
+  }
+
+  test("subQueries: long question fans out direct + <=3 keywords + <=2 chunks") {
+    val q = "spark shuffle partitions and joins, tiny, " +
+      "数据库系统的核心组件, window aggregation plans"
+    val subs = TextSearch.subQueries(spark, q, topK = 3)
+    val byRank = subs.groupBy(_._1)
+    assert(byRank(1).map(_._3) == Seq(q))
+    assert(byRank(2).size <= 3 && byRank(2).forall(_._2 == 2))
+    // chunk caps: first 2 chunks in original order, strict len > 5,
+    // so ", tiny," is dropped and the first two survivors are kept
+    assert(byRank(3).map(_._3) ==
+      Seq("spark shuffle partitions and joins", "数据库系统的核心组件"))
+    assert(byRank(3).forall(_._2 == 1), "chunk sub-queries use k=1")
+  }
+
+  test("chunkSearch: k=1 per chunk, ordered by chunk then distance") {
+    val q = "spark shuffle partitions and joins, tiny, " +
+      "数据库系统的核心组件 storage, window aggregation plans"
+    val r = TextSearch.chunkSearch(spark, docs, "doc_id", "text", q, embedder)
+      .orderBy(col("chunk_rank"), col("distance"), col("doc_id"))
+      .select("chunk_rank", "doc_id").as[(Long, Long)].collect()
+    assert(r.length == 2, "first-2 chunk cap → exactly one hit per chunk")
+    assert(r.map(_._1).toSeq == Seq(1L, 2L))
+    // each chunk's nearest doc is the one sharing its tokens
+    assert(r(0)._2 == 1L && r(1)._2 == 2L)
+  }
+
+  test("questionSearch: topK rows, rank-1 strategy present, scores sorted") {
+    val q = "spark shuffle partitions and joins, 数据库系统的核心组件 storage"
+    val r = TextSearch.questionSearch(spark, docs, "doc_id", "text", q,
+        embedder, topK = 3, scoreThreshold = -1.0)
+      .select(col("doc_id"), col("strategy_rank"), col("score"))
+      .as[(Long, Int, Double)].collect()
+    assert(r.length == 3)
+    assert(r.map(_._3).toSeq == r.map(_._3).sortBy(-_).toSeq, "score-desc order")
+    assert(r.map(_._1).distinct.length == 3, "content dedup keeps distinct docs")
+  }
+}
