@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   * retrieval, chapter-block parsing, collection lifecycle, embedding
   * ingest, RAG context assembly. */
 object PipelineQueries {
+  /** Fixed query texts shared between the Spark queries and their DuckDB
+    * oracles (must stay literal-identical on both sides). */
+  private val KeywordQueryText =
+    "scan filter aggregate join spark 数据库系统 window shuffle"
+  private val ChunkQueryText = "spark shuffle partitions and joins, tiny, " +
+    "数据库系统的核心组件, window aggregation plans"
+  private val QuestionText = "how does spark execute joins, " +
+    "数据库系统的查询优化, shuffle partitions and aggregation?"
+
   /** Exact-kNN DuckDB oracle (shared by ivf_search at nprobe=nlist). */
   private val exactTop5Oracle = """
       WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
@@ -229,12 +238,14 @@ object PipelineQueries {
   /** M4 end-to-end from query TEXT (reference keyword_enhanced_search,
     * src/app.py:305-317): extract keywords (cap 3), embed each with the
     * same featurizer as the corpus, per-keyword kNN (k=2), concatenate.
-    * Rows-only: the embedder seam is not SQL-expressible. */
+    * Fully oracle-backed: the HashingEmbedder and keyword extraction are
+    * both reproduced in DuckDB (see [[DuckOracle]]); ranking happens on
+    * the unrounded distance in both engines, output is rounded to 4dp. */
   private val keywordTextSearch = Q(
     "keyword_text_search",
     (s, dir) => {
       import s.implicits._
-      val queryText = "scan filter aggregate join spark 数据库系统 window shuffle"
+      val queryText = KeywordQueryText
       val kws = graft.text.Keywords.extract(
           Seq((0L, queryText)).toDF("qid", "text"), "qid", "text", k = 3)
         .orderBy(col("kw_rank")).select("keyword").as[String].collect().toSeq
@@ -246,28 +257,55 @@ object PipelineQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         "text", "embedding", embedder)
       Knn.knnJoin(corpus, "embedding", "doc_id", strategies,
-          "sub_idx", "qe", k = 2)
+          "sub_idx", "qe", k = 2, roundTo = 4)
         .select(col("sub_idx"), col("keyword"), col("doc_id"), col("distance"))
         .orderBy(col("sub_idx").asc, col("distance").asc, col("doc_id").asc)
     },
-    None)
+    Some(s"""
+      WITH
+      ${DuckOracle.keywordsCte(KeywordQueryText)},
+      ${DuckOracle.hashEmbedCtes("c_", "SELECT doc_id AS id, text FROM documents")},
+      ${DuckOracle.hashEmbedCtes("q_", "SELECT id, text FROM kws")},
+      ${DuckOracle.l2DistCte("dist", "c_", "q_")},
+      r AS (SELECT qid, id, round(distance, 4) AS distance,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY round(distance, 4), id) AS rn
+            FROM dist)
+      SELECT r.qid AS sub_idx, k.text AS keyword, r.id AS doc_id, r.distance
+      FROM r JOIN kws k ON k.id = r.qid
+      WHERE rn <= 2
+      ORDER BY sub_idx ASC, r.distance ASC, doc_id ASC
+    """))
 
   /** M5 end-to-end from query TEXT (reference chunk_search,
     * src/app.py:319-330): punctuation split → trim → len>5 → first 2 →
-    * embed each chunk → per-chunk kNN (k=1). Rows-only: the embedder
-    * seam is not SQL-expressible; guard/caps/order pinned in ScalaTest. */
+    * embed each chunk → per-chunk kNN (k=1). Oracle-backed via the
+    * DuckDB hashing-embedder mirror; guard/caps/order also pinned in
+    * TextSearchSpec. */
   private val chunkTextSearch = Q(
     "chunk_text_search",
-    (s, dir) => {
-      val queryText = "spark shuffle partitions and joins, tiny, " +
-        "数据库系统的核心组件, window aggregation plans"
+    (s, dir) =>
       TextSearch.chunkSearch(s,
           Tables.documents(s, dir).select(col("doc_id"), col("text")),
-          "doc_id", "text", queryText, new HashingEmbedder(64))
+          "doc_id", "text", ChunkQueryText, new HashingEmbedder(64),
+          roundTo = 4)
         .orderBy(col("chunk_rank").asc, col("distance").asc,
-          col("doc_id").asc)
-    },
-    None)
+          col("doc_id").asc),
+    Some(s"""
+      WITH
+      ${DuckOracle.chunksCte(ChunkQueryText)},
+      ${DuckOracle.hashEmbedCtes("c_", "SELECT doc_id AS id, text FROM documents")},
+      ${DuckOracle.hashEmbedCtes("q_", "SELECT id, text FROM chq")},
+      ${DuckOracle.l2DistCte("dist", "c_", "q_")},
+      r AS (SELECT qid, id, round(distance, 4) AS distance,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY round(distance, 4), id) AS rn
+            FROM dist)
+      SELECT r.qid AS chunk_rank, k.text AS chunk, r.id AS doc_id, r.distance
+      FROM r JOIN chq k ON k.id = r.qid
+      WHERE rn <= 1
+      ORDER BY chunk_rank ASC, r.distance ASC, doc_id ASC
+    """))
 
   /** The flagship reference path end-to-end from raw text
     * (answer_question → multi_strategy_search, src/app.py:370-384 →
@@ -279,21 +317,57 @@ object PipelineQueries {
     * pinned in KnnSpec. */
   private val questionAnswerPipeline = Q(
     "question_answer_pipeline",
-    (s, dir) => {
-      val question = "how does spark execute joins, 数据库系统的查询优化, " +
-        "shuffle partitions and aggregation?"
+    (s, dir) =>
       TextSearch.questionSearch(s,
           Tables.documents(s, dir).select(col("doc_id"), col("text")),
-          "doc_id", "text", question, new HashingEmbedder(64),
-          topK = 3, scoreThreshold = -1.0)
+          "doc_id", "text", QuestionText, new HashingEmbedder(64),
+          topK = 3, scoreThreshold = -1.0, roundTo = 4)
         .select(col("doc_id"), col("strategy_rank").cast("long").as("strategy_rank"),
-          round(col("distance"), 4).as("distance"), round(col("score"), 4).as("score"))
-        .orderBy(col("score").desc, col("doc_id").asc)
-    },
-    None)
+          col("distance"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc),
+    Some(s"""
+      WITH
+      ${DuckOracle.keywordsCte(QuestionText)},
+      ${DuckOracle.chunksCte(QuestionText)},
+      qs AS (
+        SELECT 1 AS strategy_rank, 0 AS sub_idx, 6 AS k,
+               '$QuestionText' AS text
+        UNION ALL
+        SELECT 2, CAST(id + 1 AS INTEGER), 2, text FROM kws
+        UNION ALL
+        SELECT 3, CAST((SELECT count(*) FROM kws) + id AS INTEGER), 1, text
+        FROM chq),
+      ${DuckOracle.hashEmbedCtes("c_", "SELECT doc_id AS id, text FROM documents")},
+      ${DuckOracle.hashEmbedCtes("q_", "SELECT sub_idx AS id, text FROM qs")},
+      ${DuckOracle.l2DistCte("dist", "c_", "q_")},
+      d2 AS (SELECT q.strategy_rank, q.sub_idx, q.k, dist.id AS doc_id,
+                    round(dist.distance, 4) AS distance
+             FROM dist JOIN qs q ON q.sub_idx = dist.qid),
+      j AS (SELECT d2.*, substr(doc.text, 1, 50) AS dkey
+            FROM d2 JOIN documents doc USING (doc_id)),
+      ofetch AS (SELECT *, row_number() OVER (PARTITION BY strategy_rank,
+                   sub_idx ORDER BY distance, doc_id) AS fetch_rn FROM j),
+      th AS (SELECT *, 1.0 - distance AS score FROM ofetch
+             WHERE fetch_rn <= k * 3 AND 1.0 - distance >= -1.0),
+      pq AS (SELECT *, row_number() OVER (PARTITION BY strategy_rank,
+               sub_idx ORDER BY score DESC, doc_id) AS q_rn FROM th),
+      kept AS (SELECT * FROM pq WHERE q_rn <= k),
+      intra AS (SELECT *, row_number() OVER (PARTITION BY strategy_rank
+                  ORDER BY sub_idx, distance, doc_id) AS intra_rank FROM kept),
+      dd AS (SELECT *, row_number() OVER (PARTITION BY dkey
+               ORDER BY strategy_rank, intra_rank) AS dup_rn FROM intra)
+      SELECT doc_id, CAST(strategy_rank AS BIGINT) AS strategy_rank,
+             distance, round(1.0 - distance, 4) AS score
+      FROM dd WHERE dup_rn = 1
+      ORDER BY score DESC, doc_id ASC LIMIT 3
+    """))
 
-  /** I3: batched deterministic embedding ingest (no SQL oracle — model
-    * call seam; driver records rows-only, ScalaTest pins determinism). */
+  /** I3: batched deterministic embedding ingest. The HashingEmbedder is
+    * md5-bucketed term counts (bucket = first 4 md5 bytes mod dim), so a
+    * DuckDB oracle reproduces it exactly: the projection exposes
+    * integer-exact features of the vector (non-zero count, first argmax
+    * bucket) plus the rounded squared norm — full cross-engine
+    * verification of the embedding pipeline, not just a row count. */
   private val embedIngest = Q(
     "embed_ingest",
     (s, dir) => {
@@ -303,11 +377,45 @@ object PipelineQueries {
           new HashingEmbedder(64), batchSize = 100)
         .select(col("doc_id"),
           size(col("embedding")).cast("long").as("dim"),
+          size(filter(col("embedding"), x => x =!= lit(0.0f))).cast("long")
+            .as("nnz"),
+          (array_position(col("embedding"), array_max(col("embedding"))) - 1)
+            .cast("long").as("top_bucket"),
           round(VectorFunctions.dot(col("embedding"), col("embedding")), 4)
             .as("sq_norm"))
         .orderBy(col("doc_id").asc)
     },
-    None)
+    Some("""
+      WITH c AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(text,
+                 '[^\w一-鿿\s.,!?;:，。！？；：]', '', 'g'), '\s+', ' ', 'g'))
+                 AS content
+        FROM documents),
+      f AS (SELECT doc_id, content FROM c WHERE length(content) >= 10),
+      tok AS (SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(content),
+                       '\s+'), t -> t != '')) AS t
+              FROM f),
+      b AS (SELECT doc_id, CAST(%BUCKET% % 64 AS BIGINT) AS bucket
+            FROM (SELECT doc_id, md5(t) AS m FROM tok)),
+      cnt AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+      mx AS (SELECT *, max(c) OVER (PARTITION BY doc_id) AS max_c FROM cnt),
+      agg AS (SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS nnz,
+                     CAST(min(bucket) FILTER (WHERE c = max_c) AS BIGINT)
+                       AS top_bucket
+              FROM mx GROUP BY doc_id)
+      SELECT f.doc_id, CAST(64 AS BIGINT) AS dim,
+             coalesce(a.nnz, 0) AS nnz,
+             coalesce(a.top_bucket, 0) AS top_bucket,
+             CASE WHEN coalesce(a.nnz, 0) > 0 THEN 1.0 ELSE 0.0 END AS sq_norm
+      FROM f LEFT JOIN agg a USING (doc_id)
+      ORDER BY f.doc_id ASC
+    """.replace("%BUCKET%",
+      // first 4 md5 bytes big-endian = Horner over the first 8 hex nibbles
+      (1 to 8).map(i => s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)")
+        .mkString("((((((((", ") * 16 + ", ")"))))
 
   val all: Seq[Q] = Seq(ivfSearch, ivfAutoRewrite, multiStrategySearch,
     chapterParse, collectionRoundtrip, ragContextLines, embedIngest,

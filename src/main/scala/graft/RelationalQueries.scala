@@ -397,14 +397,30 @@ object RelationalQueries {
     (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
         .orderBy(col("event_type").asc),
     None)
 
+  /** The exact verification twin of sketch_distinct_users: a true
+    * countDistinct per group, oracle-backed (so only the sketch half —
+    * whose value is engine-specific by nature — stays rows-only).
+    * ScalaTest pins that the sketch lands within rsd bounds of this. */
+  private val exactDistinctUsers = Q(
+    "exact_distinct_users",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type").asc),
+    Some("""
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY event_type ORDER BY event_type ASC
+    """))
+
   val all: Seq[Q] = Seq(q1Pricing, q3TopRevenue, q5NationRevenue,
-    sketchDistinctUsers, cubeOrders, windowOrderGaps, quantilePrices,
-    windowTopOrders, windowRunningRevenue, rollupCustomers,
+    sketchDistinctUsers, exactDistinctUsers, cubeOrders, windowOrderGaps,
+    quantilePrices, windowTopOrders, windowRunningRevenue, rollupCustomers,
     semiAntiCustomers, eventsHourly, eventsJson, asofClickBeforePurchase,
     collectionStats)
 }

@@ -63,9 +63,14 @@ object Knn {
     * is [[knnJoinLarge]]. */
   def knnJoin(corpus: DataFrame, corpusVec: String, corpusId: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int): DataFrame = {
+              k: Int, roundTo: Int = -1): DataFrame = {
+    // roundTo >= 0 rounds the distance BEFORE ranking: with many
+    // effectively-tied candidates, ranking on raw doubles is sensitive to
+    // FP accumulation order (not reproducible across engines); ranking on
+    // the rounded value with the id tie-break is deterministic everywhere.
+    val dist = distCol(col(corpusVec), col(queryVec))
     val joined = corpus.crossJoin(broadcast(queries))
-      .withColumn("distance", distCol(col(corpusVec), col(queryVec)))
+      .withColumn("distance", if (roundTo >= 0) round(dist, roundTo) else dist)
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("distance").asc, col(corpusId).asc)
     joined

@@ -31,7 +31,8 @@ object MultiStrategy {
     */
   def search(corpus: DataFrame, corpusVec: String, corpusId: String,
              dedupKey: String, strategies: DataFrame, topK: Int,
-             scoreThreshold: Double, overFetch: Int = 3): DataFrame = {
+             scoreThreshold: Double, overFetch: Int = 3,
+             roundTo: Int = -1): DataFrame = {
     val subQ = Seq(col("strategy_rank"), col("sub_idx"))
     val byDistance = Window.partitionBy(subQ: _*)
       .orderBy(col("distance").asc, col(corpusId).asc)
@@ -42,8 +43,14 @@ object MultiStrategy {
     val dedupW = Window.partitionBy(col(dedupKey))
       .orderBy(col("strategy_rank").asc, col("intra_rank").asc)
 
+    // roundTo >= 0 rounds distances BEFORE every window: with many
+    // effectively-tied candidates, ranking raw doubles depends on FP
+    // accumulation order; rounded-value + id ordering is reproducible in
+    // any engine (same rationale as Knn.knnJoin roundTo).
+    val rawDist = Knn.distCol(col(corpusVec), col("qe"))
     corpus.crossJoin(broadcast(strategies))
-      .withColumn("distance", Knn.distCol(col(corpusVec), col("qe")))
+      .withColumn("distance",
+        if (roundTo >= 0) round(rawDist, roundTo) else rawDist)
       // V2 over-fetch: k*3 candidates per sub-query by distance
       .withColumn("fetch_rn", row_number().over(byDistance))
       .where(col("fetch_rn") <= col("k") * overFetch)

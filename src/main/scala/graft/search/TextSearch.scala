@@ -45,7 +45,7 @@ object TextSearch {
     * (chunk_rank, chunk, id, distance). */
   def chunkSearch(spark: SparkSession, docs: DataFrame, idCol: String,
                   textCol: String, queryText: String, embedder: Embedder,
-                  k: Int = 1): DataFrame = {
+                  k: Int = 1, roundTo: Int = -1): DataFrame = {
     import spark.implicits._
     val chunkRows = Keywords.chunks(
         Seq((0L, queryText)).toDF("qid", "text"), "qid", "text")
@@ -57,7 +57,8 @@ object TextSearch {
       .toDF("chunk_rank", "chunk", "qe")
     val corpus = Embed.withEmbeddings(
       docs.select(col(idCol), col(textCol)), textCol, "embedding", embedder)
-    Knn.knnJoin(corpus, "embedding", idCol, strategies, "chunk_rank", "qe", k)
+    Knn.knnJoin(corpus, "embedding", idCol, strategies, "chunk_rank", "qe",
+        k, roundTo)
       .select(col("chunk_rank"), col("chunk"), col(idCol), col("distance"))
   }
 
@@ -65,7 +66,8 @@ object TextSearch {
     * as one MultiStrategy pass over an `(id, text)` corpus. */
   def questionSearch(spark: SparkSession, docs: DataFrame, idCol: String,
                      textCol: String, question: String, embedder: Embedder,
-                     topK: Int, scoreThreshold: Double): DataFrame = {
+                     topK: Int, scoreThreshold: Double,
+                     roundTo: Int = -1): DataFrame = {
     import spark.implicits._
     val subs = subQueries(spark, question, topK)
     val strategies = subs.zip(embedder.embed(subs.map(_._3))).zipWithIndex
@@ -77,6 +79,6 @@ object TextSearch {
       .withColumn("dkey", substring(col(textCol), 1, 50))
       .select(col(idCol), col("embedding"), col("dkey"))
     MultiStrategy.search(corpus, "embedding", idCol, "dkey",
-      strategies, topK, scoreThreshold)
+      strategies, topK, scoreThreshold, roundTo = roundTo)
   }
 }

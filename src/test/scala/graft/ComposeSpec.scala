@@ -29,12 +29,15 @@ class ComposeSpec extends SparkSpec {
   }
 
   test("HLL sketch distinct counts are within rsd bounds of exact") {
-    val r = SparkEntry.queries("sketch_distinct_users")(spark, sf0001)
-      .as[(String, Long, Long)].collect()
-    assert(r.nonEmpty)
-    r.foreach { case (t, approx, exact) =>
-      assert(math.abs(approx - exact) <= math.max(2L, (exact * 0.1).toLong),
-        s"$t: approx $approx vs exact $exact")
+    val approx = SparkEntry.queries("sketch_distinct_users")(spark, sf0001)
+      .as[(String, Long)].collect().toMap
+    val exact = SparkEntry.queries("exact_distinct_users")(spark, sf0001)
+      .as[(String, Long)].collect().toMap
+    assert(approx.nonEmpty && approx.keySet == exact.keySet)
+    approx.foreach { case (t, a) =>
+      val e = exact(t)
+      assert(math.abs(a - e) <= math.max(2L, (e * 0.1).toLong),
+        s"$t: approx $a vs exact $e")
     }
   }
 }
