@@ -31,6 +31,35 @@ object Compose {
     if (body.isEmpty) "## 🔍 **知识库答案**\n\n未在知识库中找到相关信息。"
     else s"## 🔍 **知识库答案**\n\n$body"
   }
+
+  /** R4: the full answer dispatch (reference `generate_ans_with_rag`,
+    * src/agent.py:104-111, and `generate_combined_response`,
+    * src/agent.py:181-205):
+    *  - no hits → plain generator answer (LLM-only path);
+    *  - hits + non-empty supplement → KB block, divider, supplement
+    *    section;
+    *  - hits + empty supplement → KB block + "supplement unavailable"
+    *    note (src/agent.py:195-198);
+    *  - generator THROWS → fall back to the KB block alone
+    *    (src/agent.py:202-205).
+    * The generator is the injectable [[AnswerGenerator]] seam; the
+    * engine's job is retrieval + deterministic composition. */
+  def dispatch(hits: DataFrame, rankCol: String, chapterCol: String,
+               contentCol: String, question: String,
+               gen: AnswerGenerator): String =
+    if (hits.isEmpty) gen.generate(question)
+    else {
+      val kb = kbAnswerBlock(hits, rankCol, chapterCol, contentCol)
+      try {
+        val supplement = gen.generate(
+          s"问题：$question\n\n参考资料：\n$kb")
+        if (supplement != null && supplement.nonEmpty)
+          s"$kb\n\n---\n\n## 🤖 **大模型补充说明**\n\n$supplement"
+        else s"$kb\n\n---\n\n*注：大模型补充暂时不可用，以上为知识库中找到的相关内容。*"
+      } catch {
+        case scala.util.control.NonFatal(_) => kb
+      }
+    }
 }
 
 /** R3-R5 seam: answer generation is out of engine scope (network effect);

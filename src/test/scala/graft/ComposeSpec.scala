@@ -28,6 +28,38 @@ class ComposeSpec extends SparkSpec {
     assert(gen.generate("p") == "[echo] p")
   }
 
+  test("dispatch: empty hits → plain generator answer (src/agent.py:104-107)") {
+    val r = Compose.dispatch(hits.where(lit(false)), "rank", "chapter",
+      "content", "什么是数据库", new EchoAnswerGenerator)
+    assert(r == "[echo] 什么是数据库")
+  }
+
+  test("dispatch: hits + supplement → KB block, divider, supplement section") {
+    val r = Compose.dispatch(hits, "rank", "chapter", "content",
+      "什么是数据库", new EchoAnswerGenerator)
+    assert(r.startsWith("## 🔍 **知识库答案**\n\n1. **第一章**: 内容一"))
+    assert(r.contains("\n\n---\n\n## 🤖 **大模型补充说明**\n\n[echo] "))
+  }
+
+  test("dispatch: empty supplement → unavailable note (src/agent.py:195-198)") {
+    val blank = new graft.rag.AnswerGenerator {
+      override def generate(prompt: String): String = ""
+    }
+    val r = Compose.dispatch(hits, "rank", "chapter", "content", "q", blank)
+    assert(r.startsWith("## 🔍 **知识库答案**"))
+    assert(r.endsWith("*注：大模型补充暂时不可用，以上为知识库中找到的相关内容。*"))
+  }
+
+  test("dispatch: generator failure → KB-only fallback (src/agent.py:202-205)") {
+    val failing = new graft.rag.AnswerGenerator {
+      override def generate(prompt: String): String =
+        throw new RuntimeException("api down")
+    }
+    val r = Compose.dispatch(hits, "rank", "chapter", "content", "q", failing)
+    assert(r == Compose.kbAnswerBlock(hits, "rank", "chapter", "content"))
+    assert(!r.contains("大模型补充"))
+  }
+
   test("HLL sketch distinct counts are within rsd bounds of exact") {
     val approx = SparkEntry.queries("sketch_distinct_users")(spark, sf0001)
       .as[(String, Long)].collect().toMap
