@@ -127,6 +127,51 @@ object RelationalQueries {
       GROUP BY n_name ORDER BY n_name ASC
     """))
 
+  /** TPC-H-Q9-style product profit per supplier nation and order year,
+    * adapted to the fixture schema (no partsupp table: supply cost is
+    * proxied as 10% of p_retailprice per unit). Reads every remaining
+    * fixture table (part, supplier). Plan shape for 100×: part and
+    * supplier grow with scale, so all three fact-side joins onto
+    * lineitem (part, supplier, orders) are pinned sort-merge shuffles;
+    * only nation (25 rows) is broadcast. */
+  private val q9ProfitByNation = Q(
+    "q9_profit_by_nation",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey",
+        "l_suppkey", "l_extendedprice", "l_discount", "l_quantity")
+      val p = Tables.part(s, dir).where(col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      l.join(p.hint("merge"), l("l_partkey") === p("p_partkey"))
+        .join(sup.hint("merge"), l("l_suppkey") === sup("s_suppkey"))
+        .join(o.hint("merge"), l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            - col("p_retailprice") * col("l_quantity") * lit(0.1)), 2)
+            .as("profit"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name").asc, col("o_year").asc)
+    },
+    Some("""
+      SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             round(sum(l_extendedprice * (1 - l_discount)
+               - p_retailprice * l_quantity * 0.1), 2) AS profit,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE p_name LIKE '%red%'
+      GROUP BY n_name, year(o_orderdate)
+      ORDER BY n_name ASC, o_year ASC
+    """))
+
   /** Window: top-3 orders per customer by totalprice. */
   private val windowTopOrders = Q(
     "window_top_orders",
@@ -419,6 +464,7 @@ object RelationalQueries {
     """))
 
   val all: Seq[Q] = Seq(q1Pricing, q3TopRevenue, q5NationRevenue,
+    q9ProfitByNation,
     sketchDistinctUsers, exactDistinctUsers, cubeOrders, windowOrderGaps,
     quantilePrices, windowTopOrders, windowRunningRevenue, rollupCustomers,
     semiAntiCustomers, eventsHourly, eventsJson, asofClickBeforePurchase,
