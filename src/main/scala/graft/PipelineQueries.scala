@@ -75,6 +75,36 @@ object PipelineQueries {
     },
     Some(exactTop5Oracle))
 
+  /** The rule's scalar-subquery path end-to-end: the NAIVE `sql_knn` SQL
+    * text (graft_l2_sq + a scalar subquery for the query vector) run
+    * against the registered IVF data dir — the optimizer pre-executes the
+    * subquery, ranks centroids, and injects the probe filter; at
+    * nprobe=nlist the result must equal the exact-kNN oracle. */
+  private val ivfAutoRewriteSql = Q(
+    "ivf_auto_rewrite_sql",
+    (s, dir) => {
+      GraftExtensions.register(s)
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      graft.plans.IvfProbeRewrite.register(model, nprobe = model.nlist)
+      s.read.parquet(IvfIndex.dataDir(indexDir))
+        .createOrReplaceTempView("graft_ivf_data")
+      e.createOrReplaceTempView("graft_embeddings")
+      s.sql("""
+        SELECT vec_id,
+               round(graft_l2_sq(embedding,
+                 (SELECT embedding FROM graft_embeddings WHERE vec_id = 0)), 4)
+                 AS distance
+        FROM graft_ivf_data
+        ORDER BY distance ASC, vec_id ASC LIMIT 5
+      """)
+    },
+    Some(exactTop5Oracle))
+
   /** M1-M3: strategy fan-out + first-wins dedup + final re-rank. */
   private val multiStrategySearch = Q(
     "multi_strategy_search",
@@ -417,7 +447,8 @@ object PipelineQueries {
       (1 to 8).map(i => s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)")
         .mkString("((((((((", ") * 16 + ", ")"))))
 
-  val all: Seq[Q] = Seq(ivfSearch, ivfAutoRewrite, multiStrategySearch,
+  val all: Seq[Q] = Seq(ivfSearch, ivfAutoRewrite, ivfAutoRewriteSql,
+    multiStrategySearch,
     chapterParse, collectionRoundtrip, ragContextLines, embedIngest,
     keywordTextSearch, chunkTextSearch, questionAnswerPipeline)
 }

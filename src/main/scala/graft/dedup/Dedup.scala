@@ -46,34 +46,55 @@ object Dedup {
     round(inter / union, 4)
   }
 
-  /** Exact n-gram Jaccard top-k pairs via an INVERTED INDEX, not a cross
-    * join: explode shingles, self-equi-join on the shingle (shuffle by
-    * shingle hash), count co-occurrences per pair = |intersection|, then
-    * derive Jaccard from the per-doc shingle counts. Pairs sharing no
-    * shingle have Jaccard 0 and can never reach a top-k, so skipping them
-    * preserves exactness. Cost is Σ_shingle (docs-per-shingle)² instead of
-    * |docs|² — the formulation that survives a 100× corpus scale-up (the
-    * 5000-doc fixture already made the cross join 100× slower than this). */
+  /** n-gram Jaccard top-k pairs via an INVERTED INDEX, not a cross join:
+    * explode shingles, self-equi-join on the shingle (shuffle by shingle
+    * hash), count co-occurrences per pair = |intersection|, then derive
+    * Jaccard from the per-doc shingle counts. Pairs sharing no shingle
+    * have Jaccard 0 and can never reach a top-k, so skipping them is
+    * lossless. Cost is Σ_shingle (docs-per-shingle)² instead of |docs|².
+    *
+    * Document-frequency cap (the 100 TB guard): join cost is quadratic in
+    * the hottest posting list, and stopword-ish shingles ("of the same")
+    * appear in a constant fraction of any natural corpus, so the uncapped
+    * join degrades toward all-pairs as the corpus grows. Shingles whose
+    * document frequency exceeds ceil(maxDfFrac × corpus) are dropped from
+    * EVERY shingle set before Jaccard — i.e. the operator's defined
+    * semantics are capped-df Jaccard (the standard near-dup practice:
+    * corpus-frequent shingles carry no dedup signal), and the DuckDB
+    * oracle computes the identical definition, so the comparison stays
+    * exact. `maxDfFrac = 1.0` restores uncapped Jaccard.
+    *
+    * No O(corpus) broadcast anywhere: per-doc sizes ride through the
+    * self-join as one extra long per posting instead of a broadcast
+    * side-table re-attach. */
   def jaccardTopPairs(df: DataFrame, idCol: String, textCol: String,
-                      k: Int, n: Int = 3): DataFrame = {
-    // cache: sizes + both sides of the self-join would otherwise
-    // recompute the shingle arrays four times
+                      k: Int, n: Int = 3, maxDfFrac: Double = 0.05): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .cache()
-    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
     val postings = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    val inter = postings.as("a")
-      .join(postings.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.id"))
-      .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.id"))
+    val nDocs = sh.agg(count(lit(1)).as("n_docs"))           // 1 row
+    val dfCounts = postings.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df_"))
+    // cache: kept feeds sizes + both sides of the self-join
+    val kept = postings.join(dfCounts, "shingle")
+      .crossJoin(broadcast(nDocs))
+      .where(col("df_") <= ceil(col("n_docs") * lit(maxDfFrac)))
+      .select(col("id"), col("shingle"))
+      .cache()
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val withSz = kept.join(sizes, "id")   // shuffle join on id, not broadcast
+    val a = withSz.select(col("id").as("id_a"), col("shingle"),
+      col("sz").as("sz_a"))
+    val b = withSz.select(col("id").as("id_b"), col("shingle"),
+      col("sz").as("sz_b"))
+    a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast(DoubleType) /
-          (col("sa.sz") + col("sb.sz") - col("inter")), 4).as("jaccard"))
+          (col("sz_a") + col("sz_b") - col("inter")), 4).as("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
       .limit(k)
   }

@@ -86,8 +86,17 @@ object IvfProbeRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** Extract the literal query vector when the leading sort key is an
-    * ascending l2_sq, resolving through projected aliases and round(). */
+  /** Extract the query vector when the leading sort key is an ascending
+    * l2_sq, resolving through projected aliases and round(). Handles a
+    * LITERAL vector and a SCALAR SUBQUERY (the `sql_knn` pattern
+    * `graft_l2_sq(embedding, (SELECT embedding ... WHERE id = ...))`) —
+    * the subquery is pre-executed at optimize time, which is sound
+    * because a scalar subquery is required to produce exactly one row and
+    * this rule only fires for tables explicitly registered for probe
+    * rewriting. Execution happens at most once per rewrite: the
+    * for-comprehension in [[rewrite]] resolves the registered relation
+    * BEFORE calling this, and the injected cluster_id Filter makes the
+    * rule a no-op on subsequent fixpoint passes. */
   private def literalQueryVector(orders: Seq[SortOrder],
                                  child: LogicalPlan): Option[Array[Float]] = {
     val aliases = child.collect { case p: Project => p.projectList }
@@ -97,12 +106,25 @@ object IvfProbeRewrite extends Rule[LogicalPlan] {
       case r: Round => unwrap(r.child)
       case other => other
     }
+    def vectorOf(e: Expression): Option[Array[Float]] = e match {
+      case Literal(v, ArrayType(FloatType, _)) =>
+        Some(v.asInstanceOf[ArrayData].toFloatArray())
+      case ss: ScalarSubquery
+          if ss.plan.output.size == 1 &&
+            ss.plan.output.head.dataType.isInstanceOf[ArrayType] &&
+            ss.plan.output.head.dataType.asInstanceOf[ArrayType]
+              .elementType == FloatType =>
+        scala.util.Try {
+          val rows = org.apache.spark.sql.graftbridge.Bridge.runPlan(
+            org.apache.spark.sql.SparkSession.active, ss.plan)
+          require(rows.length == 1, "scalar subquery must yield one row")
+          rows(0).getSeq[Float](0).toArray
+        }.toOption
+      case _ => None
+    }
     orders.headOption.filter(_.direction == Ascending)
       .map(o => unwrap(o.child)).flatMap {
-        case L2SquaredDistance(_, Literal(v, ArrayType(FloatType, _))) =>
-          Some(v.asInstanceOf[ArrayData].toFloatArray())
-        case L2SquaredDistance(Literal(v, ArrayType(FloatType, _)), _) =>
-          Some(v.asInstanceOf[ArrayData].toFloatArray())
+        case L2SquaredDistance(a, b) => vectorOf(b).orElse(vectorOf(a))
         case _ => None
       }
   }

@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.{classic, Column, SparkSession}
+import org.apache.spark.sql.{classic, Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Bridge between the public `Column` API and catalyst `Expression`s.
@@ -18,6 +19,13 @@ object Bridge {
 
   /** Extract the catalyst Expression backing a (classic) Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Execute a logical plan and collect its rows (`Dataset.ofRows` is
+    * `private[sql]` on the classic backend). Used by IvfProbeRewrite to
+    * pre-execute a scalar subquery at optimize time. */
+  def runPlan(spark: SparkSession, plan: LogicalPlan): Array[Row] =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+      .collect()
 
   /** Register a temp SQL function on a live session (the FunctionRegistry
     * is `private[sql]`; for registration at session build time prefer

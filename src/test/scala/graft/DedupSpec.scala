@@ -73,6 +73,31 @@ class DedupSpec extends SparkSpec {
     assert(!cands.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("jaccardTopPairs: df-cap drops corpus-hot shingles from the metric") {
+    // "c1 c2 c3" appears in every doc (df = 4 > ceil(4*0.5) = 2); with
+    // the cap it contributes to neither intersections nor sizes, so the
+    // pairs that share ONLY the hot shingle ((0,2), (2,3), ...) vanish.
+    val df = Seq(
+      (0L, "a1 a2 a3 a4 c1 c2 c3"),
+      (1L, "a1 a2 a3 a4 c1 c2 c3"),  // dup of 0 (its shingles have df 2)
+      (2L, "b1 b2 b3 b4 c1 c2 c3"),
+      (3L, "d1 d2 d3 d4 c1 c2 c3")).toDF("id", "text")
+    val capped = Dedup.jaccardTopPairs(df, "id", "text", k = 10,
+        maxDfFrac = 0.5)
+      .as[(Long, Long, Double)].collect()
+    // only (0,1) share any sub-cap shingle; their capped Jaccard is 1.0
+    // because the shared hot shingle is excluded from both sets
+    assert(capped.toSeq == Seq((0L, 1L, 1.0)))
+    // uncapped (maxDfFrac = 1.0) the hot shingles count: (0,1) still top
+    // but < 1.0 is impossible (identical text) — use (0,2) to check the
+    // hot shingle now creates a nonzero pair
+    val uncapped = Dedup.jaccardTopPairs(df, "id", "text", k = 10,
+        maxDfFrac = 1.0)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(uncapped((0L, 2L)) > 0.0)
+  }
+
   test("simhashNearPairs (pigeonhole band join) equals the all-pairs form") {
     // corpus with exact dups, near-dups (1-token edit), and unrelated rows
     val texts = Seq(
