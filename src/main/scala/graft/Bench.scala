@@ -27,7 +27,12 @@ object Bench {
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop caches OUTSIDE the timed window: several operators cache()
+      // intermediates, and 57 queries × 3 passes of retained caches
+      // otherwise build GC pressure that inflates later queries' numbers
+      spark.catalog.clearCache()
+      dt
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

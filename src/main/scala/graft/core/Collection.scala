@@ -1,7 +1,6 @@
 package graft.core
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -51,11 +50,27 @@ object Collection {
   def apply(spark: SparkSession, dir: String): Collection =
     new Collection(spark, dir)
 
-  /** Dense deterministic ids 0..n-1 ordered by `orderCol` — the oracle-able
-    * analog of Milvus auto_id (src/app.py:100). Global window: fine for
-    * collection-build sizes; use `monotonically_increasing_id` when ids
-    * only need uniqueness, not density, at 100 TB. */
-  def withDenseIds(df: DataFrame, orderCol: String, idCol: String = "id"): DataFrame =
-    df.withColumn(idCol,
-      (row_number().over(Window.orderBy(col(orderCol).asc)) - 1).cast("long"))
+  /** Dense deterministic ids 0..n-1 ordered by `orderCol` (which must be
+    * unique) — the oracle-able analog of Milvus auto_id (src/app.py:100).
+    *
+    * Scale shape: range-partition + sort-within-partitions, then
+    * `zipWithIndex` (a light per-partition count job + offset map — the
+    * canonical distributed dense numbering). NOT a global
+    * `row_number()` window, which funnels the entire dataset through one
+    * partition; the range boundaries are sampled once inside a single
+    * lineage, so the numbering is consistent and equals the global
+    * orderCol order. Use `monotonically_increasing_id` instead when ids
+    * only need uniqueness, not density. */
+  def withDenseIds(df: DataFrame, orderCol: String, idCol: String = "id"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(col(orderCol).asc)
+      .sortWithinPartitions(col(orderCol).asc)
+    val schema = StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }

@@ -22,16 +22,14 @@ import org.apache.spark.sql.{Column, DataFrame}
   *    (Spark's murmur3 `hash()` is not portable across engines).
   */
 object Dedup {
-  /** Distinct token 3-gram shingles (rows with <n tokens yield none). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(text, "\\s+")
-    // sequence() counts DOWN when start > stop, so short rows must be
-    // short-circuited to an empty array rather than fed to sequence.
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), size(toks) - lit(n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
-  }
+  /** Distinct token 3-gram shingles (rows with <n tokens yield none).
+    * Backed by the codegen'd [[graft.functions.TokenShingles]] kernel —
+    * the equivalent higher-order-function formulation
+    * (`array_distinct(transform(sequence(...), i -> concat_ws(' ',
+    * slice(toks, i, n))))`) is interpreted per element and profiled
+    * ~1 ms/document, dominating every shingle-based dedup operator. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.TextFunctions.tokenShingles(text, n)
 
   /** Exact dedup: group rows by content fingerprint; keep lowest id.
     * (hash-groupBy — SURVEY north star "exact (hash-groupBy)"). */
@@ -69,8 +67,19 @@ object Dedup {
     * side-table re-attach. */
   def jaccardTopPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int, n: Int = 3, maxDfFrac: Double = 0.05): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // Shuffle the RAW (id, text) rows before shingling: text is smaller
+    // than its exploded shingle set, and the higher-order shingle
+    // expressions are interpreted (no whole-stage codegen), so compute
+    // must be spread across the cluster, not run on the scan's file
+    // partitioning (a single small file = a single busy core).
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
+    // cache the shingle arrays: the higher-order shingle expression is
+    // the interpreted hot spot and would otherwise be recomputed by every
+    // consumer below (counts, df filter, join sides)
+    val sh = base.select(col("id"), shingles(col("text"), n).as("sh"))
       .where(size(col("sh")) > 0)
+      .cache()
     val postings = sh.select(col("id"), explode(col("sh")).as("shingle"))
     val nDocs = sh.agg(count(lit(1)).as("n_docs"))           // 1 row
     val dfCounts = postings.groupBy(col("shingle"))
@@ -122,7 +131,13 @@ object Dedup {
     val digestConcat = concat((0 until nDigests).map { i =>
       if (i == 0) md5(col("s")) else md5(concat(lit(s"$i:"), col("s")))
     }: _*)
-    df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    // repartition raw text by id FIRST: parallelizes the interpreted
+    // shingle + md5 work, and the groupBy(id) below then needs no second
+    // exchange (already hash(id)-partitioned) — so the digest rows, which
+    // are larger than the source text, never shuffle at all
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
+      .select(col("id"), shingles(col("text"), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("id"), explode(col("sh")).as("s"))
       .withColumn("d", digestConcat)
@@ -159,8 +174,6 @@ object Dedup {
     // per row, duplicated nBands times in the band shuffle) so the
     // similarity is computed in-line and no O(corpus) side table is ever
     // broadcast or re-joined — the shape that survives a 100× corpus.
-    // est_jaccard is deterministic per pair, so distinct() on the full
-    // projection equals distinct-on-pairs.
     val bands = sig.select(col("id"), col("sig"),
       posexplode(array((0 until nBands).map { b =>
         concat_ws("|", (0 until bandSize).map(j =>
@@ -170,6 +183,10 @@ object Dedup {
       col("id").as("id_a"), col("sig").as("sig_a"))
     val r = bands.select(col("band"), col("band_key"),
       col("id").as("id_b"), col("sig").as("sig_b"))
+    // est_jaccard is deterministic per pair, so distinct() on the full
+    // projection equals distinct-on-pairs; the distinct rows are two
+    // longs and a double — cheaper than evaluating a first-matching-band
+    // predicate on every join row.
     l.join(r, Seq("band", "band_key"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -182,8 +199,12 @@ object Dedup {
     * Column form below recomputes md5 16× per token). Partial aggregation
     * applies to the sums. Returns (idCol, sig ARRAY<INT>[16]). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(array_distinct(split(col(textCol), "\\s+"))).as("tok"))
+    // raw-text repartition by id: parallel md5/nibble work + the
+    // groupBy(id) reuses the partitioning (no digest-row shuffle)
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
+      .select(col("id"),
+        explode(array_distinct(split(col("text"), "\\s+"))).as("tok"))
       .withColumn("h", md5(col("tok")))
       .groupBy(col("id"))
       .agg(array((1 to 16).map { p =>
@@ -235,6 +256,9 @@ object Dedup {
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = blocks.select(col("block"), col("block_key"),
       col("id").as("id_b"), col("sig").as("sig_b"))
+    // multi-block duplicates removed by distinct() AFTER the hamming
+    // filter: the distinct rows are three longs, far cheaper to shuffle
+    // than evaluating a first-matching-block predicate on every join row
     a.join(b, Seq("block", "block_key"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -282,22 +306,30 @@ object Dedup {
     require(bits % nBands == 0)
     val bandSize = bits / nBands
     val w = srpWeights(bits, dim)
+    def bandKey(sigCol: Column, b: Int): Column =
+      concat_ws("", (0 until bandSize).map(j =>
+        sigCol.getItem(b * bandSize + j)): _*)
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       srpSignature(col(vecCol), w).as("sig"))
-    val bands = sig.select(col("id"), col("v"),
-      posexplode(array((0 until nBands).map { b =>
-        concat_ws("", (0 until bandSize).map(j =>
-          col("sig").getItem(b * bandSize + j)): _*)
-      }: _*)).as(Seq("band", "band_key")))
+    val bands = sig.select(col("id"), col("v"), col("sig"),
+      posexplode(array((0 until nBands).map(b => bandKey(col("sig"), b)): _*))
+        .as(Seq("band", "band_key")))
     val a = bands.select(col("band"), col("band_key"),
-      col("id").as("id_a"), col("v").as("v_a"))
+      col("id").as("id_a"), col("v").as("v_a"), col("sig").as("sig_a"))
     val b = bands.select(col("band"), col("band_key"),
-      col("id").as("id_b"), col("v").as("v_b"))
+      col("id").as("id_b"), col("v").as("v_b"), col("sig").as("sig_b"))
+    // first-matching-band predicate replaces distinct(): no re-shuffle of
+    // candidate pairs, and the cosine is computed once per pair instead
+    // of once per colliding band
+    val firstMatch = (0 until nBands).map { bd =>
+      (col("band") === bd) && (0 until bd)
+        .map(pb => bandKey(col("sig_a"), pb) =!= bandKey(col("sig_b"), pb))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
     a.join(b, Seq("band", "band_key"))
-      .where(col("id_a") < col("id_b"))
+      .where(col("id_a") < col("id_b") && firstMatch)
       .select(col("id_a"), col("id_b"),
         round(VectorFunctions.cosineSim(col("v_a"), col("v_b")), 4).as("cosine"))
-      .distinct()
       .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
       .limit(k)
   }
