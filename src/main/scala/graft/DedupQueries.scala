@@ -122,6 +122,52 @@ object DedupQueries {
         s"CASE WHEN sum(CAST(strpos('0123456789abcdef', substr(h, $p, 1)) - 1 " +
           s"AS DOUBLE) - 7.5) > 0 THEN 1 ELSE 0 END").mkString(", ") + "]")))
 
+  /** Dedup clustering end-to-end: MinHash-LSH candidates (est Jaccard ≥
+    * 0.5) → connected components → every doc labeled with the min id of
+    * its duplicate cluster. Spark side is iterative min-label
+    * propagation (one join + one agg per round, lineage checkpointed);
+    * the oracle computes the same fixpoint as a recursive CTE. */
+  private val dedupClusters = Q(
+    "dedup_clusters",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+          numHashes = 8, bandSize = 1)
+        .where(col("est_jaccard") >= 0.5)
+      Dedup.clusters(docs.select(col("doc_id")), "doc_id", pairs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id").asc)
+    },
+    Some(s"""
+      WITH RECURSIVE $duckShingles,
+      e AS (SELECT doc_id, unnest(s) AS s FROM sh),
+      dg AS (SELECT doc_id, md5(s) || md5('1:' || s) AS d FROM e),
+      sig AS (SELECT doc_id,
+                [min(substr(d, 1, 8)), min(substr(d, 9, 8)),
+                 min(substr(d, 17, 8)), min(substr(d, 25, 8)),
+                 min(substr(d, 33, 8)), min(substr(d, 41, 8)),
+                 min(substr(d, 49, 8)), min(substr(d, 57, 8))] AS sig
+              FROM dg GROUP BY doc_id),
+      bands AS (SELECT doc_id, sig,
+                       unnest(range(0, 8)) AS band,
+                       unnest(sig) AS band_key
+                FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+               WHERE round(list_sum(list_transform(range(1, 9),
+                 i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1.0 ELSE 0.0 END)) / 8,
+                 4) >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                UNION ALL SELECT id_b, id_a FROM cand),
+      r AS (SELECT doc_id AS id, doc_id AS lbl FROM documents
+            UNION
+            SELECT g.dst, r.lbl FROM r JOIN edges g ON g.src = r.id)
+      SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+      FROM r GROUP BY id ORDER BY doc_id ASC
+    """))
+
   /** Embedding-cosine near-dup: top-20 pairs among SRP-LSH candidates
     * (16 md5-derived hyperplanes, 4 bands of 4 sign bits; pairs sharing a
     * band are cosine-verified). The planes are md5-deterministic, so the
@@ -161,5 +207,5 @@ object DedupQueries {
       .replace("%COS%", duckCosine("ea.embedding", "eb.embedding"))))
 
   val all: Seq[Q] = Seq(dedupExact, dedupJaccardPairs, dedupMinhashLsh,
-    dedupSimhash, dedupCosinePairs)
+    dedupSimhash, dedupCosinePairs, dedupClusters)
 }

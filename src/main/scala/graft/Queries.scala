@@ -25,7 +25,8 @@ object Queries {
       PipelineQueries.all ++
       StreamingQueries.all ++
       ExtraQueries.all ++
-      ScaleQueries.all
+      ScaleQueries.all ++
+      CurateQueries.all
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -195,6 +195,50 @@ object TextQueries {
       FROM documents ORDER BY doc_id ASC
     """))
 
+  /** Corpus vocabulary: top-50 tokens by total occurrences (doc freq
+    * alongside) — the classic explode + hash-aggregate map-reduce. */
+  private val vocabTopK = Q(
+    "vocab_topk",
+    (s, dir) =>
+      TextAnalysis.vocabulary(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("n_occurrences").desc, col("token").asc)
+        .limit(50),
+    Some("""
+      SELECT token,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+            FROM documents)
+      WHERE token != ''
+      GROUP BY token
+      ORDER BY n_occurrences DESC, token ASC LIMIT 50
+    """))
+
+  /** Per-document top TF-IDF term (tf × ln(N/df); ranked on the rounded
+    * score so cross-engine libm differences can't flip the winner). */
+  private val tfidfTopTerms = Q(
+    "tfidf_top_terms",
+    (s, dir) =>
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id").asc),
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+                   FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM tok WHERE term != '' GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df_ FROM tf GROUP BY term),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      scored AS (SELECT doc_id, term,
+                        round(tf * ln(CAST(n_docs AS DOUBLE) / df_), 4) AS tfidf
+                 FROM tf JOIN dfq USING (term) CROSS JOIN n),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, term ASC) AS r
+             FROM scored)
+      SELECT doc_id, term, tfidf FROM rk WHERE r = 1 ORDER BY doc_id ASC
+    """))
+
   val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
-    tokenStats, tokenCounts, qualityScore, langId, docFingerprint)
+    tokenStats, tokenCounts, qualityScore, langId, docFingerprint,
+    vocabTopK, tfidfTopTerms)
 }

@@ -1,0 +1,40 @@
+package graft.curate
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic sampling / dataset-split operators for training-data
+  * curation (north-star surface, BASELINE.json).
+  *
+  * All assignment is a pure function of the row id via md5 — NOT
+  * `rand()`/`sample()` — because a 100 TB curation pipeline needs splits
+  * that are (a) reproducible across reruns and engines, (b) stable under
+  * repartitioning, and (c) consistent when the corpus grows (a document's
+  * split never changes as other documents are added). Per-row map work,
+  * no shuffle, and exactly mirrorable in the DuckDB oracle.
+  */
+object Sampling {
+  /** Hash bucket 0..99 from the id's decimal string: first 16 bits of
+    * md5, mod 100. */
+  def hashBucket(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100).as("bucket")
+
+  /** Train/val/test assignment by hash bucket: [0, trainPct) → train,
+    * [trainPct, trainPct+valPct) → val, rest → test. */
+  def withSplit(df: DataFrame, idCol: String, trainPct: Int = 80,
+                valPct: Int = 10, splitCol: String = "split"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100)
+    val b = hashBucket(col(idCol))
+    df.withColumn(splitCol,
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic pct% subsample: keep rows whose hash bucket < pct. */
+  def sampleByHash(df: DataFrame, idCol: String, pct: Int): DataFrame = {
+    require(pct > 0 && pct <= 100)
+    df.where(hashBucket(col(idCol)) < pct)
+  }
+}

@@ -334,6 +334,56 @@ object Dedup {
       .limit(k)
   }
 
+  /** Connected components over near-dup candidate pairs: every document
+    * gets the MINIMUM id reachable through the pair graph as its
+    * `cluster_id` — the step a dedup pipeline runs after candidate
+    * generation ("keep one representative per duplicate cluster").
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbours' labels; fixpoint
+    * when the label sum stops decreasing (labels are monotone
+    * non-increasing, so an unchanged sum ⇔ unchanged labels). Rounds
+    * needed = graph diameter; near-dup graphs are dense small clusters,
+    * so 2-3 rounds in practice. Each round is one shuffle join + one
+    * aggregate; `localCheckpoint` cuts the growing lineage so round N
+    * doesn't replay rounds 1..N-1. For adversarially long path graphs
+    * at corpus scale, swap the propagation step for the large-star/
+    * small-star contraction (same DataFrame skeleton, O(log n) rounds).
+    */
+  def clusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
+               aCol: String = "id_a", bCol: String = "id_b",
+               maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .localCheckpoint()
+    var labels = nodes
+      .select(col(idCol).cast("long").as("id"),
+        col(idCol).cast("long").as("cluster_id"))
+      .localCheckpoint()
+    var checksum = labels.agg(sum(col("cluster_id"))).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.as("l")
+        .join(nbrMin.as("p"), col("l.id") === col("p.dst"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.cluster_id"),
+            coalesce(col("p.nbr_min"), col("l.cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("cluster_id"))).head.getLong(0)
+      converged = s == checksum
+      checksum = s
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact all-pairs top-k cosine (verification tier / small inputs only —
     * O(n²); the corpus-scale entry point is [[cosineCandidatePairs]]). */
   def cosineTopPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -94,4 +94,42 @@ object TextAnalysis {
     * Stable across engines (md5 is identical in Spark and DuckDB). */
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Corpus vocabulary: per-token total occurrences and document
+    * frequency. The classic map-reduce: explode + one hash aggregate
+    * (map-side partials), shuffled by token — no corpus-size state
+    * anywhere. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(wsTokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("id")).as("doc_freq"))
+
+  /** Per-document top TF-IDF term: tf × ln(N / df), ranked per doc with
+    * the ROUNDED score (4 decimals) so cross-engine libm ulp differences
+    * cannot flip the ranking, ties broken by term. Two hash aggregates
+    * (doc-term, then term) + a per-doc window — each shuffled by a
+    * bounded key, nothing collected to the driver. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+        explode(wsTokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+    val tf = tok.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs")) // 1 row
+    val scored = tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("id"), col("term"),
+        round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df_")), 4)
+          .as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("id"), col("term"), col("tfidf"))
+  }
 }

@@ -124,6 +124,26 @@ class DedupSpec extends SparkSpec {
     assert(banded.contains((0L, 1L, 0L)))  // exact dup found with hamming 0
   }
 
+  test("clusters: min-label propagation finds connected components") {
+    // components: {1,2,3} via chain 1-2, 2-3; {5,9} ; {7} isolated
+    val nodes = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 9L)).toDF("id_a", "id_b")
+    val r = Dedup.clusters(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 9L -> 5L,
+      7L -> 7L))
+  }
+
+  test("clusters: long path converges (diameter > 1 round)") {
+    val n = 12
+    val nodes = (0L until n.toLong).toDF("id")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("id_a", "id_b")
+    val r = Dedup.clusters(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(r.values.toSet == Set(0L) && r.size == n)
+  }
+
   test("cosineCandidatePairs finds planted near-duplicate vectors") {
     val rnd = new scala.util.Random(7)
     def vec(): Seq[Float] = Seq.fill(8)(rnd.nextGaussian().toFloat)

@@ -96,4 +96,42 @@ class TextSpec extends SparkSpec {
     assert(df.count() == Loaders.ExampleRows.size)
     assert(df.columns.toSeq == Seq("chapter", "content"))
   }
+
+  test("vocabulary: occurrences vs doc frequency; empty tokens dropped") {
+    import graft.text.TextAnalysis
+    val df = Seq((1L, "a b a"), (2L, "a c")).toDF("id", "text")
+    val v = TextAnalysis.vocabulary(df, "id", "text")
+      .as[(String, Long, Long)].collect()
+      .map { case (t, occ, docf) => t -> ((occ, docf)) }.toMap
+    assert(v == Map("a" -> ((3L, 2L)), "b" -> ((1L, 1L)), "c" -> ((1L, 1L))))
+  }
+
+  test("tfIdfTopTerms: corpus-wide terms score 0; rarest term wins") {
+    import graft.text.TextAnalysis
+    // "x" in every doc -> idf = ln(1) = 0; "q" only in doc 1 wins there
+    val df = Seq((1L, "x x q"), (2L, "x y"), (3L, "x z")).toDF("id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(df, "id", "text")
+      .as[(Long, String, Double)].collect()
+      .map { case (id, t, s) => id -> ((t, s)) }.toMap
+    assert(top(1L)._1 == "q" && top(1L)._2 > 0)
+    assert(top(2L)._1 == "y" && top(3L)._1 == "z")
+  }
+
+  test("hash split: deterministic, partitions the corpus, roughly 80/10/10") {
+    import graft.curate.Sampling
+    val df = (0L until 1000L).toDF("id")
+    val counts = Sampling.withSplit(df, "id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 1000L)
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 40 && counts("val") < 180)
+    assert(counts("test") > 40 && counts("test") < 180)
+    // deterministic: same assignment on recompute
+    val a = Sampling.withSplit(df, "id").as[(Long, String)].collect().toMap
+    val b = Sampling.withSplit(df, "id").as[(Long, String)].collect().toMap
+    assert(a == b)
+    // subsample is a subset of the full corpus with the same hash
+    val s = Sampling.sampleByHash(df, "id", 10).as[Long].collect().toSet
+    assert(s.forall(a.contains) && s.size > 30 && s.size < 200)
+  }
 }
