@@ -44,5 +44,75 @@ object CurateQueries {
       ORDER BY doc_id ASC
     """))
 
-  val all: Seq[Q] = Seq(trainValTestSplit, sampleHash)
+  /** Token-budget batch packing per (split, shard) lane — budget 2000
+    * estimated tokens, 8 shards. */
+  private val packTokenBatches = Q(
+    "pack_token_batches",
+    (s, dir) =>
+      Sampling.packByTokenBudget(Tables.documents(s, dir), "doc_id", "text",
+          budgetTokens = 2000L, nShards = 8)
+        .select(col("doc_id"), col("split"), col("shard").cast("long").as("shard"),
+          col("est_tokens"), col("batch_id"))
+        .orderBy(col("doc_id").asc),
+    Some(s"""
+      WITH b AS (SELECT doc_id, text,
+                        CASE WHEN $duckBucket < 80 THEN 'train'
+                             WHEN $duckBucket < 90 THEN 'val'
+                             ELSE 'test' END AS split,
+                        CAST($duckBucket % 8 AS BIGINT) AS shard,
+                        CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+                 FROM documents)
+      SELECT doc_id, split, shard, est_tokens,
+             CAST(floor((sum(est_tokens) OVER (PARTITION BY split, shard
+                    ORDER BY doc_id ASC) - est_tokens) / 2000.0) AS BIGINT)
+               AS batch_id
+      FROM b ORDER BY doc_id ASC
+    """))
+
+  /** End-to-end curation pipeline: English docs, quality >= 0.5, exact
+    * dedup survivors only (left-semi against the keep set), then the
+    * deterministic split — the canonical pretraining-corpus curation
+    * flow as ONE declarative plan (filters push to the scan; dedup is a
+    * map-side-combine aggregate + semi join; no driver loops). */
+  private val curatePipeline = Q(
+    "curate_pipeline",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val quality = graft.text.TextAnalysis
+        .qualityScore(docs, "doc_id", "text")
+      val keep = graft.dedup.Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id"))
+      val filtered = docs.where(col("lang") === "en")
+        .join(quality, "doc_id")
+        .where(col("quality") >= 0.5)
+        .join(keep, col("doc_id") === col("keep_id"), "left_semi")
+      Sampling.withSplit(filtered, "doc_id")
+        .select(col("doc_id"), col("quality"), col("split"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                 FROM documents),
+      q AS (SELECT doc_id,
+                   round(0.3 * least(len(toks) / 100.0, 1.0)
+                       + 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                       + 0.3 * least((list_sum(list_transform(toks,
+                           tk -> CAST(length(tk) AS DOUBLE))) / len(toks)) / 8.0, 1.0),
+                     4) AS quality
+            FROM t),
+      keep AS (SELECT CAST(min(doc_id) AS BIGINT) AS keep_id
+               FROM documents GROUP BY md5(text))
+      SELECT d.doc_id, q.quality,
+             CASE WHEN $duckBucket < 80 THEN 'train'
+                  WHEN $duckBucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d
+      JOIN q USING (doc_id)
+      WHERE d.lang = 'en' AND q.quality >= 0.5
+        AND d.doc_id IN (SELECT keep_id FROM keep)
+      ORDER BY d.doc_id ASC
+    """))
+
+  val all: Seq[Q] = Seq(trainValTestSplit, sampleHash, packTokenBatches,
+    curatePipeline)
 }

@@ -37,4 +37,27 @@ object Sampling {
     require(pct > 0 && pct <= 100)
     df.where(hashBucket(col(idCol)) < pct)
   }
+
+  /** Greedy token-budget packing for training batches: documents are
+    * assigned to (split, shard) lanes deterministically, then packed in
+    * id order — a document opens a new batch when the tokens accumulated
+    * BEFORE it cross the budget. Windows are partitioned by
+    * (split, shard), never global, so each lane packs independently and
+    * in parallel — the shard count is the parallelism knob at 100 TB
+    * (one lane never exceeds corpus/nShards). Estimated tokens = the
+    * chars/4 proxy from TextAnalysis.tokenCounts. */
+  def packByTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                        budgetTokens: Long, nShards: Int = 8): DataFrame = {
+    require(budgetTokens > 0 && nShards > 0)
+    val est = ceil(length(col(textCol)) / 4.0).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split"), col("shard"))
+      .orderBy(col(idCol).asc)
+    withSplit(df, idCol)
+      .withColumn("shard", hashBucket(col(idCol)) % nShards)
+      .withColumn("est_tokens", est)
+      .withColumn("batch_id",
+        floor((sum(col("est_tokens")).over(w) - col("est_tokens"))
+          / lit(budgetTokens)).cast("long"))
+  }
 }

@@ -134,4 +134,23 @@ class TextSpec extends SparkSpec {
     val s = Sampling.sampleByHash(df, "id", 10).as[Long].collect().toSet
     assert(s.forall(a.contains) && s.size > 30 && s.size < 200)
   }
+
+  test("packByTokenBudget: batches respect the budget per lane, in id order") {
+    import graft.curate.Sampling
+    // 40-char docs -> 10 est tokens each; budget 25 -> 3 docs per batch
+    // (batch opens when the PRECEDING cumulative crosses the budget)
+    val df = (0L until 60L).map(i => (i, "x" * 40)).toDF("id", "text")
+    val packed = Sampling.packByTokenBudget(df, "id", "text",
+        budgetTokens = 25L, nShards = 2)
+      .select("id", "split", "shard", "batch_id")
+      .as[(Long, String, Long, Long)].collect()
+    // within every (split, shard) lane, batch ids start at 0, never skip,
+    // and hold at most 3 docs (ceil over: first doc at cum_before 0, 10, 20)
+    packed.groupBy(p => (p._2, p._3)).foreach { case (_, lane) =>
+      val batches = lane.sortBy(_._1).map(_._4)
+      assert(batches.head == 0L)
+      assert(batches.toSet == (0L to batches.max).toSet)
+      batches.groupBy(identity).values.foreach(g => assert(g.length <= 3))
+    }
+  }
 }
