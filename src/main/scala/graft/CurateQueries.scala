@@ -113,6 +113,52 @@ object CurateQueries {
       ORDER BY d.doc_id ASC
     """))
 
+  /** Train/eval contamination report: per non-train doc, the train doc
+    * sharing the most 3-gram shingles (train-side df-capped at 5%) and
+    * the shared-shingle ratio — bipartite inverted-index join, never
+    * |train|×|eval|. */
+  private val contaminationReport = Q(
+    "contamination_report",
+    (s, dir) =>
+      graft.curate.Contamination.report(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy(col("doc_id").asc),
+    Some(s"""
+      WITH sp AS (SELECT doc_id, text,
+                         CASE WHEN $duckBucket < 80 THEN 'train'
+                              WHEN $duckBucket < 90 THEN 'val'
+                              ELSE 'test' END AS split
+                  FROM documents),
+      sh AS (SELECT doc_id, split,
+                    list_distinct(list_transform(range(1, len(toks)-1),
+                      i -> array_to_string(toks[i:i+2], ' '))) AS s
+             FROM (SELECT doc_id, split,
+                          string_split_regex(text, '\\s+') AS toks
+                   FROM sp)
+             WHERE len(toks) >= 3),
+      e AS (SELECT doc_id, split, unnest(s) AS s FROM sh),
+      tr AS (SELECT s, doc_id AS train_id FROM e WHERE split = 'train'),
+      ntr AS (SELECT count(*) AS n_train FROM sh WHERE split = 'train'),
+      tdf AS (SELECT s, count(*) AS df FROM tr GROUP BY s),
+      trk AS (SELECT tr.s, tr.train_id
+              FROM tr JOIN tdf USING (s) CROSS JOIN ntr
+              WHERE tdf.df <= ceil(ntr.n_train * 0.05)),
+      ev AS (SELECT s, doc_id AS eval_id, split FROM e WHERE split != 'train'),
+      shared AS (SELECT eval_id, split, train_id, count(*) AS n_shared
+                 FROM ev JOIN trk USING (s)
+                 GROUP BY eval_id, split, train_id),
+      esz AS (SELECT doc_id AS eval_id, len(s) AS eval_sz FROM sh
+              WHERE split != 'train'),
+      rk AS (SELECT shared.*, eval_sz,
+                    row_number() OVER (PARTITION BY eval_id
+                      ORDER BY n_shared DESC, train_id ASC) AS r
+             FROM shared JOIN esz USING (eval_id))
+      SELECT eval_id AS doc_id, split, train_id AS best_train_id,
+             CAST(n_shared AS BIGINT) AS n_shared,
+             round(CAST(n_shared AS DOUBLE) / eval_sz, 4) AS overlap
+      FROM rk WHERE r = 1 ORDER BY doc_id ASC
+    """))
+
   val all: Seq[Q] = Seq(trainValTestSplit, sampleHash, packTokenBatches,
-    curatePipeline)
+    curatePipeline, contaminationReport)
 }

@@ -121,6 +121,46 @@ object VectorQueries {
       ORDER BY score DESC, id ASC LIMIT 5
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** Int8 scalar quantization (SQ8) of the embeddings table: per-vector
+    * scale, quantized checksum/nnz, and RMS reconstruction error — the
+    * 4× storage cut a 100 TB vector corpus takes first. */
+  private val embedQuantizeInt8 = Q(
+    "embed_quantize_int8",
+    (s, dir) => {
+      import graft.search.Quantize
+      val e = Tables.embeddings(s, dir)
+      val sc = Quantize.scaleCol(col("embedding"))
+      val q = Quantize.quantized(col("embedding"), sc)
+      e.select(col("vec_id"),
+        round(sc, 6).as("scale"),
+        aggregate(q, lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
+        size(filter(q, x => x =!= 0)).cast("long").as("nnz"),
+        round(sqrt(Quantize.reconSqError(col("embedding"), q, sc)), 4)
+          .as("recon_err"))
+        .orderBy(col("vec_id").asc)
+    },
+    Some("""
+      WITH s AS (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) AS mx
+                 FROM embeddings),
+      sc AS (SELECT vec_id, embedding,
+               CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale
+             FROM s),
+      q AS (SELECT vec_id, embedding, scale,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * scale, 0) AS INT)) AS qv
+            FROM sc)
+      SELECT vec_id, round(scale, 6) AS scale,
+             CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             CAST(len(list_filter(qv, x -> x != 0)) AS BIGINT) AS nnz,
+             round(sqrt(list_sum(list_transform(range(1, len(qv)+1),
+               i -> (CAST(embedding[i] AS DOUBLE)
+                      - CASE WHEN scale = 0 THEN 0.0
+                             ELSE qv[i] / scale END) ^ 2))), 4) AS recon_err
+      FROM q ORDER BY vec_id ASC
+    """))
+
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery,
-    nnCosineTopK, typedSimilaritySearch)
+    nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8)
 }

@@ -1,0 +1,65 @@
+package graft.curate
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/test contamination detection: for every test/val document, find
+  * the training document sharing the most token n-gram shingles and the
+  * shared-shingle ratio — the decontamination gate a pretraining corpus
+  * runs before evaluation sets are trusted.
+  *
+  * Shape: the same inverted-index join as Dedup.jaccardTopPairs, but
+  * BIPARTITE (train postings × eval postings), so cost is
+  * Σ_shingle train-df × eval-df — never |train|×|eval| — and the
+  * df-cap guard applies to the train side, where corpus-frequent
+  * shingles would otherwise create quadratic posting lists. Per-doc
+  * winners come from a window over the per-pair counts, partitioned by
+  * the eval doc — bounded by candidates per doc, no global state.
+  */
+object Contamination {
+  /** Overlap report: (doc_id, split, best_train_id, n_shared, overlap)
+    * for each non-train doc sharing >= 1 (sub-cap) shingle with any
+    * train doc; overlap = shared / eval-doc shingle count, ties on
+    * n_shared broken by lowest train id. */
+  def report(df: DataFrame, idCol: String, textCol: String,
+             shingleN: Int = 3, maxDfFrac: Double = 0.05): DataFrame = {
+    val base = Sampling.withSplit(
+      df.select(col(idCol).as("id"), col(textCol).as("text")), "id")
+      .repartition(col("id"))
+    val sh = base.select(col("id"), col("split"),
+        Dedup.shingles(col("text"), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+      .cache()
+    val postings = sh.select(col("id"), col("split"),
+      explode(col("sh")).as("shingle"))
+    val train = postings.where(col("split") === "train")
+      .select(col("shingle"), col("id").as("train_id"))
+    // df-cap on the train side (the big side at scale)
+    val nTrain = sh.where(col("split") === "train")
+      .agg(count(lit(1)).as("n_train"))
+    val trainDf = train.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df_"))
+    val trainKept = train.join(trainDf, "shingle")
+      .crossJoin(broadcast(nTrain))
+      .where(col("df_") <= ceil(col("n_train") * lit(maxDfFrac)))
+      .select(col("shingle"), col("train_id"))
+    val eval_ = postings.where(col("split") =!= "train")
+      .select(col("shingle"), col("id").as("eval_id"), col("split"))
+    val shared = eval_.join(trainKept, "shingle")
+      .groupBy(col("eval_id"), col("split"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val evalSizes = sh.where(col("split") =!= "train")
+      .select(col("id").as("eval_id"), size(col("sh")).as("eval_sz"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("eval_id"))
+      .orderBy(col("n_shared").desc, col("train_id").asc)
+    shared.join(evalSizes, "eval_id")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("eval_id").as("doc_id"), col("split"),
+        col("train_id").as("best_train_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("eval_sz"), 4)
+          .as("overlap"))
+  }
+}

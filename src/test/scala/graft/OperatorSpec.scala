@@ -108,4 +108,44 @@ class OperatorSpec extends SparkSpec {
     coll.drop()
     assert(!coll.exists)
   }
+
+  test("int8 quantization: scale, rounding away from zero, zero vector") {
+    import graft.search.Quantize
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val sc = Quantize.scaleCol(col("v"))
+    val q = Quantize.quantized(col("v"), sc)
+    val r = df.select(col("id"), sc.as("scale"), q.as("q"),
+        round(Quantize.reconSqError(col("v"), q, sc), 6).as("err"))
+      .as[(Long, Double, Seq[Int], Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L)._2 == 127.0)
+    assert(r(1L)._3 == Seq(127, -64, 0)) // -0.5*127 = -63.5 rounds to -64
+    assert(r(1L)._4 < 1e-4)
+    assert(r(2L)._2 == 0.0 && r(2L)._3 == Seq(0, 0, 0) && r(2L)._4 == 0.0)
+  }
+
+  test("contamination: identical eval doc points at its train twin") {
+    import graft.curate.{Contamination, Sampling}
+    // pick ids per split from the deterministic hash (not assumed)
+    val buckets = (0L until 60L).toDF("id")
+      .select(col("id"), Sampling.hashBucket(col("id")).as("b"))
+      .as[(Long, Long)].collect()
+    val trainId = buckets.collectFirst { case (i, b) if b < 80 => i }.get
+    val evalId = buckets.collectFirst { case (i, b) if b >= 90 => i }.get
+    val train2 = buckets.collect { case (i, b) if b < 80 => i }.apply(1)
+    val text = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val df = Seq(
+      (trainId, text),                       // train twin
+      (evalId, text),                        // leaked eval doc
+      (train2, "z1 z2 z3 z4 z5 z6 z7 z8"))  // unrelated train doc
+      .toDF("doc_id", "text")
+    val rep = Contamination.report(df, "doc_id", "text", maxDfFrac = 1.0)
+      .as[(Long, String, Long, Long, Double)].collect()
+    assert(rep.length == 1)
+    val (docId, split, best, _, overlap) = rep.head
+    assert(docId == evalId && split == "test" && best == trainId)
+    assert(overlap == 1.0)
+  }
 }
