@@ -125,6 +125,37 @@ object StreamingQueries {
     },
     None)
 
-  val all: Seq[Q] = Seq(streamingHourly, sessionizeEvents, multimodalMeta,
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming ingest dedup: documents stream through
+    * StreamDedup.firstPerKey keyed on the md5 content fingerprint; the
+    * emitted KEY SET is deterministic (which arrival is kept is not, so
+    * the query projects only the fingerprint) and must equal the batch
+    * DISTINCT — the batch/stream duality contract again. */
+  private val streamingDedup = Q(
+    "streaming_dedup",
+    (s, dir) => {
+      val src = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val qname = "graft_streaming_dedup_" + math.abs(dir.hashCode)
+      val q = graft.streaming.StreamDedup.firstPerKey(
+          src.select(md5(col("text")).as("content_hash")),
+          Seq("content_hash"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(qname).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(qname).orderBy(col("content_hash").asc)
+    },
+    Some("""
+      SELECT DISTINCT md5(text) AS content_hash
+      FROM documents ORDER BY content_hash ASC
+    """))
+
+  val all: Seq[Q] = Seq(streamingHourly, sessionizeEvents, streamingDedup,
+    multimodalMeta,
     multimodalFeatures)
 }

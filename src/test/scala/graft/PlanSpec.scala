@@ -1,0 +1,44 @@
+package graft
+
+/** Physical-plan shape assertions — locks in the scale decisions the
+  * queries were tuned for (fact joins stay sort-merge, dims broadcast,
+  * filters reach the scan, top-k never becomes a global sort), so a
+  * refactor that silently regresses a plan fails CI, not the benchmark.
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    Queries.all(name)(spark, dir).queryExecution.executedPlan.toString()
+
+  test("q5: fact join sort-merge, dims broadcast, region filter pushed") {
+    val p = plan("q5_nation_revenue")
+    assert(p.contains("SortMergeJoin"), "orders⋈lineitem must be sort-merge")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(p.contains("EqualTo(r_name,ASIA)"), "region filter must reach the scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q9: all three lineitem joins stay sort-merge (no fact broadcast)") {
+    val p = plan("q9_profit_by_nation")
+    assert("SortMergeJoin".r.findAllIn(p).size >= 3,
+      "part/supplier/orders joins against lineitem must be sort-merge")
+  }
+
+  test("exact kNN is TakeOrderedAndProject, not a global sort") {
+    assert(plan("knn_exact_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("IVF probe reaches the scan as a partition filter") {
+    val p = plan("ivf_search")
+    assert(p.contains("PartitionFilters") && p.contains("cluster_id"),
+      s"probe did not prune partitions:\n$p")
+  }
+
+  test("no dedup plan degenerates to a cartesian product") {
+    Seq("dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_lsh",
+      "dedup_simhash", "dedup_cosine_pairs", "contamination_report")
+      .foreach { q =>
+        assert(!plan(q).contains("CartesianProduct"), q)
+      }
+  }
+}

@@ -37,6 +37,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._3).sum == 4L)
   }
 
+  test("streaming dedup: first arrival per key only, watermarked state") {
+    import graft.streaming.StreamDedup
+    val mem = MemoryStream[(Timestamp, String)](spark)
+    mem.addData(Seq(
+      (ts(1), "doc-a"), (ts(2), "doc-b"), (ts(3), "doc-a"),  // dup of a
+      (ts(4), "doc-c"), (ts(5), "doc-b")))                    // dup of b
+    val q = StreamDedup.firstPerKey(
+        mem.toDF.toDF("ts", "content_hash"), Seq("content_hash"),
+        eventTimeCol = Some("ts"), watermark = "1 hour")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("t_dedup").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_dedup").select("content_hash")
+      .as[String].collect().sorted.toSeq
+    assert(got == Seq("doc-a", "doc-b", "doc-c"))
+  }
+
   test("streaming sessionize closes sessions on gap; matches batch logic") {
     val gapMs = 10 * 60000L
     val events = Seq(
