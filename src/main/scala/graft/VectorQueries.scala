@@ -161,6 +161,68 @@ object VectorQueries {
       FROM q ORDER BY vec_id ASC
     """))
 
+  /** Hybrid search: BM25 keyword top-20 + exact-kNN top-20, fused by
+    * reciprocal rank (k=60), final top-10. Lexical and dense retrieval
+    * are combined by RANK, never by raw incomparable scores. */
+  private val hybridSearchRrf = Q(
+    "hybrid_search_rrf",
+    (s, dir) => {
+      import graft.search.Bm25
+      val docs = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val bm = Bm25.score(docs, "doc_id", "text",
+        terms = Seq("scan", "filter", "merge"))
+      val bmRanks = Bm25.topRanks(bm, "bm25", n = 20,
+        ascending = false, rankCol = "bm25_rank")
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val kd = e.crossJoin(broadcast(q))
+        .select(col("vec_id").as("id"),
+          round(VectorFunctions.l2Sq(col("embedding"), col("qe")), 4).as("d"))
+      val knnRanks = Bm25.topRanks(kd, "d", n = 20,
+        ascending = true, rankCol = "knn_rank")
+      Bm25.rrfFuse(bmRanks, "bm25_rank", knnRanks, "knn_rank")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                           unnest(string_split_regex(text, '\s+')) AS term
+                    FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST((SELECT sum(len(string_split_regex(text, '\s+')))
+                             FROM documents) AS DOUBLE) / count(*) AS avgdl
+                FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ('scan', 'filter', 'merge') GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dl AS (SELECT doc_id,
+                    CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS dl
+             FROM documents),
+      bm AS (SELECT tf.doc_id,
+                    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2)
+                      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))), 4) AS bm25
+             FROM tf JOIN dfq USING (term)
+                     JOIN dl ON dl.doc_id = tf.doc_id
+                     CROSS JOIN stats
+             GROUP BY tf.doc_id),
+      bmr AS (SELECT doc_id, CAST(row_number() OVER
+                       (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS bm25_rank
+              FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 20)),
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      kd AS (SELECT e.vec_id AS doc_id, %L2% AS d FROM embeddings e, q),
+      knr AS (SELECT doc_id, CAST(row_number() OVER
+                       (ORDER BY d ASC, doc_id ASC) AS BIGINT) AS knn_rank
+              FROM (SELECT * FROM kd ORDER BY d ASC, doc_id ASC LIMIT 20))
+      SELECT coalesce(bmr.doc_id, knr.doc_id) AS doc_id,
+             round(coalesce(1.0 / (60 + bm25_rank), 0)
+                 + coalesce(1.0 / (60 + knn_rank), 0), 6) AS rrf,
+             bm25_rank, knn_rank
+      FROM bmr FULL OUTER JOIN knr ON bmr.doc_id = knr.doc_id
+      ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery,
-    nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8)
+    nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf)
 }

@@ -1,0 +1,71 @@
+package graft.search
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Okapi BM25 keyword scoring + reciprocal-rank fusion — the "hybrid
+  * search" surface modern vector stores pair with ANN retrieval (dense
+  * scores and lexical scores fused by rank, not by incomparable raw
+  * values).
+  *
+  * Scale shape: tokens are filtered to the QUERY terms before any
+  * aggregate, so tf/df state is O(query terms × matching docs), never
+  * corpus-wide; corpus stats (N, avg doc length) are one aggregate row
+  * broadcast into the score join. avgdl is computed as exact-long token
+  * sum ÷ count — not a floating avg(), whose summation order would
+  * differ between engines/runs and flip rounded scores. Scores are
+  * rounded to 4 decimals BEFORE ranking so cross-engine libm (ln) ulp
+  * differences cannot reorder ranks (ties break by id).
+  */
+object Bm25 {
+  /** Per-doc BM25 over whitespace tokens: (id, bm25), docs with no query
+    * term absent. IDF is the standard smoothed ln((N-df+0.5)/(df+0.5)+1). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = split(col(textCol), "\\s+")
+    val tf = docs.select(col(idCol).as("id"), explode(toks).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_"))
+    val dlen = docs.select(col(idCol).as("id"),
+      size(toks).cast("double").as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(toks).cast("long")).cast("double")
+        / count(lit(1)).cast("double")).as("avgdl"))
+    val idf = log((col("n_docs") - col("df_") + 0.5) / (col("df_") + 0.5) + 1.0)
+    tf.join(dfreq, "term")
+      .join(dlen, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        idf * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(round(sum(col("contrib")), 4).as("bm25"))
+  }
+
+  /** Rank the top `n` rows of `scored` by (scoreCol dir, id asc); the
+    * window runs AFTER the limit, over n rows — never corpus-wide. */
+  def topRanks(scored: DataFrame, scoreCol: String, n: Int,
+               ascending: Boolean, rankCol: String): DataFrame = {
+    val key = if (ascending) col(scoreCol).asc else col(scoreCol).desc
+    scored.orderBy(key, col("id").asc).limit(n)
+      .withColumn(rankCol,
+        row_number().over(Window.orderBy(key, col("id").asc)).cast("long"))
+      .select(col("id"), col(rankCol))
+  }
+
+  /** Reciprocal-rank fusion of two rank lists: Σ 1/(k + rank) over the
+    * lists containing the doc. */
+  def rrfFuse(a: DataFrame, rankA: String, b: DataFrame, rankB: String,
+              k: Int = 60): DataFrame =
+    a.join(b, Seq("id"), "full_outer")
+      .select(col("id"),
+        round(
+          coalesce(lit(1.0) / (lit(k.toDouble) + col(rankA)), lit(0.0))
+            + coalesce(lit(1.0) / (lit(k.toDouble) + col(rankB)), lit(0.0)),
+          6).as("rrf"),
+        col(rankA), col(rankB))
+}

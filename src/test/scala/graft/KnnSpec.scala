@@ -93,4 +93,27 @@ class KnnSpec extends SparkSpec {
     assert(small == large)
     assert(large.size == 7 * 4)
   }
+
+  test("bm25: tf monotone, rare terms outweigh common, absent docs dropped") {
+    import graft.search.Bm25
+    val docs = Seq(
+      (1L, "rare common filler filler"),
+      (2L, "rare rare common filler"),    // higher tf("rare") than doc 1
+      (3L, "common filler filler filler"),
+      (4L, "filler filler filler filler") // no query term -> absent
+    ).toDF("id", "text")
+    val s = Bm25.score(docs, "id", "text", Seq("rare", "common"))
+      .as[(Long, Double)].collect().toMap
+    assert(!s.contains(4L))
+    assert(s(2L) > s(1L))      // more "rare" occurrences
+    assert(s(1L) > s(3L))      // rare term beats common-only doc
+    // fused ranks: doc present in both lists beats single-list docs
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "r_a")
+    val b = Seq((1L, 2L), (9L, 1L)).toDF("id", "r_b")
+    val fused = Bm25.rrfFuse(a, "r_a", b, "r_b")
+      .as[(Long, Double, Option[Long], Option[Long])].collect()
+      .map(t => t._1 -> t._2).toMap
+    assert(fused(1L) > fused(2L) && fused(1L) > fused(9L))
+    assert(math.abs(fused(1L) - (1.0 / 61 + 1.0 / 62)) < 1e-6)
+  }
 }
