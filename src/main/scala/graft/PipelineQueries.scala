@@ -75,6 +75,27 @@ object PipelineQueries {
     },
     Some(exactTop5Oracle))
 
+  /** Incremental index maintenance end-to-end: build the IVF index on
+    * half the corpus, APPEND the other half against the frozen centroids
+    * (no re-fit, no rewrite), search at nprobe=nlist — must equal exact
+    * kNN over the full corpus, proving the appended rows landed in the
+    * right partitions. Rebuilt every run (build overwrites). */
+  private val ivfIncrementalSearch = Q(
+    "ivf_incremental_search",
+    (s, dir) => {
+      val indexDir = s"/tmp/graft_ivf_incr_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model = IvfIndex.build(e.where(col("vec_id") % 2 === 0),
+        "embedding", indexDir, nlist = 16)
+      IvfIndex.append(e.where(col("vec_id") % 2 === 1), "embedding", model)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      IvfIndex.search(s, model, "embedding", "vec_id", query, k = 5,
+          nprobe = model.nlist)
+        .select("vec_id", "distance")
+    },
+    Some(exactTop5Oracle))
+
   /** The rule's scalar-subquery path end-to-end: the NAIVE `sql_knn` SQL
     * text (graft_l2_sq + a scalar subquery for the query vector) run
     * against the registered IVF data dir — the optimizer pre-executes the
@@ -448,7 +469,7 @@ object PipelineQueries {
         .mkString("((((((((", ") * 16 + ", ")"))))
 
   val all: Seq[Q] = Seq(ivfSearch, ivfAutoRewrite, ivfAutoRewriteSql,
-    multiStrategySearch,
+    ivfIncrementalSearch, multiStrategySearch,
     chapterParse, collectionRoundtrip, ragContextLines, embedIngest,
     keywordTextSearch, chunkTextSearch, questionAnswerPipeline)
 }

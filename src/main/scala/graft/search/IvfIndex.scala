@@ -51,6 +51,34 @@ object IvfIndex {
     Model(indexDir, nlist, centroids)
   }
 
+  /** Incremental index maintenance: assign NEW vectors to their nearest
+    * EXISTING centroid and append them to the partitioned layout — no
+    * re-fit, no rewrite of existing data (standard IVF ingest; Milvus
+    * does the same between rebuilds). The assignment is a broadcast of
+    * the tiny centroid table against the new batch (codegen'd l2_sq,
+    * argmin via a lexicographic struct-min with cluster-id tie-break),
+    * so appending N rows costs O(N·nlist·dim) map work plus a
+    * partitioned write. Quantization drift from frozen centroids only
+    * affects recall at partial nprobe, never correctness of what is
+    * stored; rebuild when drift matters. */
+  def append(newDf: DataFrame, vecCol: String, model: Model): Unit = {
+    val spark = newDf.sparkSession
+    import spark.implicits._
+    val cent = model.centroids.toSeq
+      .map { case (i, c) => (i, c.toSeq) }
+      .toDF("cluster_id", "centroid")
+    val withId = newDf.withColumn("__rid", monotonically_increasing_id())
+    val best = withId.crossJoin(broadcast(cent))
+      .withColumn("__d",
+        VectorFunctions.l2Sq(col(vecCol), col("centroid")))
+      .groupBy(col("__rid"))
+      .agg(min(struct(col("__d"), col("cluster_id"))).as("m"))
+      .select(col("__rid"), col("m.cluster_id").as("cluster_id"))
+    withId.join(best, "__rid").drop("__rid")
+      .write.mode("append").partitionBy("cluster_id")
+      .parquet(dataDir(model.indexDir))
+  }
+
   /** Load a previously built index's centroid table. */
   def load(spark: SparkSession, indexDir: String): Model = {
     val centroids = spark.read.parquet(centroidsDir(indexDir))

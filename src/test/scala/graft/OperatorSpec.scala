@@ -109,6 +109,32 @@ class OperatorSpec extends SparkSpec {
     assert(!coll.exists)
   }
 
+  test("IVF append: incremental ingest matches a search over all data") {
+    import graft.search.IvfIndex
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = "/tmp/graft_ivf_append_test"
+    val first = e.where(col("vec_id") % 2 === 0)
+    val rest = e.where(col("vec_id") % 2 === 1)
+    val model = IvfIndex.build(first, "embedding", dir, nlist = 4)
+    IvfIndex.append(rest, "embedding", model)
+    val query = e.where(col("vec_id") === 7).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    // nprobe = nlist scans every partition -> must equal exact kNN over
+    // the UNION of built + appended data
+    val got = IvfIndex.search(spark, model, "embedding", "vec_id",
+        query, k = 10, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = e.withColumn("d",
+        graft.functions.VectorFunctions.l2Sq(col("embedding"),
+          typedlit(query)))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(10).select("vec_id").as[Long].collect().toSeq
+    // same multiset ordered by (rounded distance, id): search rounds to
+    // 4 decimals, so compare by membership + first element
+    assert(got.toSet == exact.toSet)
+    assert(got.head == 7L)
+  }
+
   test("int8 quantization: scale, rounding away from zero, zero vector") {
     import graft.search.Quantize
     val df = Seq(
