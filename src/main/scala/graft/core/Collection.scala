@@ -44,6 +44,31 @@ final class Collection(spark: SparkSession, val dir: String) {
 
   /** S8: drop collection. */
   def drop(): Unit = fs.delete(new Path(dir), true)
+
+  /** Maintenance: rewrite the collection into ~`targetBytesPerFile`
+    * files. Row-by-row streaming ingest (S6 appends) accumulates one
+    * file per batch — the small-files problem that dominates scan
+    * startup cost at warehouse scale (every file is a task + a footer
+    * read). Rewrites via a temp directory then an atomic-enough
+    * swap (delete + rename) so a crash leaves either the old or the
+    * new layout, never a mix. Returns (filesBefore, filesAfter). */
+  def compact(targetBytesPerFile: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val f = fs
+    def parquetFiles(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+      f.listStatus(p).filter(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles(new Path(dir))
+    val totalBytes = before.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble
+      / targetBytesPerFile).toInt)
+    val tmp = new Path(dir + "__compact_tmp")
+    f.delete(tmp, true)
+    read.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    f.delete(new Path(dir), true)
+    if (!f.rename(tmp, new Path(dir)))
+      throw new java.io.IOException(s"compact: rename $tmp -> $dir failed")
+    (before.length, parquetFiles(new Path(dir)).length)
+  }
 }
 
 object Collection {

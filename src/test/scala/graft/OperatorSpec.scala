@@ -109,6 +109,21 @@ class OperatorSpec extends SparkSpec {
     assert(!coll.exists)
   }
 
+  test("collection compact: merges small files, preserves every row") {
+    import graft.core.Collection
+    val coll = Collection(spark, "/tmp/graft_compact_test/knowledge")
+    val rows = (0L until 40L).map(i => (i, s"ch$i", s"content $i"))
+      .toDF("id", "chapter", "content")
+    coll.create(rows.schema, force = true)
+    (0 until 10).foreach(i =>       // 10 tiny appends -> >= 10 files
+      coll.append(rows.where(col("id") % 10 === i)))
+    val beforeRows = coll.read.orderBy("id").collect().toSeq
+    val (nBefore, nAfter) = coll.compact()
+    assert(nBefore >= 10 && nAfter < nBefore)
+    assert(coll.read.orderBy("id").collect().toSeq == beforeRows)
+    coll.drop()
+  }
+
   test("IVF append: incremental ingest matches a search over all data") {
     import graft.search.IvfIndex
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
