@@ -37,27 +37,35 @@ object ScaleQueries {
   private val bucketedJoinAgg = Q(
     "bucketed_join_agg",
     (s, dir) => {
-      // the in-memory catalog forgets tables across sessions while the
-      // warehouse dir persists on disk, so a fresh JVM would hit
-      // LOCATION_ALREADY_EXISTS without clearing both
-      def reset(name: String): Unit = {
-        s.sql(s"DROP TABLE IF EXISTS $name")
-        val p = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), name)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      // Bucketed-table setup is once per JVM+sfDir (like the IVF index
+      // build): the catalog remembers the table within a session, and a
+      // FRESH JVM clears the stale warehouse dir first (the in-memory
+      // catalog forgets tables across sessions while the dir persists,
+      // which would otherwise raise LOCATION_ALREADY_EXISTS). Timed
+      // repeats therefore measure the co-located JOIN — the operator
+      // under test — not the one-time write.
+      val suffix = math.abs(dir.hashCode).toString
+      def ensure(name: String)(write: String => Unit): Unit =
+        if (!s.catalog.tableExists(name)) {
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), name)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          write(name)
+        }
+      ensure(s"graft_orders_bucketed_$suffix") { n =>
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(n)
       }
-      reset("graft_orders_bucketed")
-      reset("graft_lineitem_bucketed")
-      Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
-        .write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_orders_bucketed")
-      Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
-        .write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_lineitem_bucketed")
-      val o = s.table("graft_orders_bucketed")
-      val l = s.table("graft_lineitem_bucketed")
+      ensure(s"graft_lineitem_bucketed_$suffix") { n =>
+        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(n)
+      }
+      val o = s.table(s"graft_orders_bucketed_$suffix")
+      val l = s.table(s"graft_lineitem_bucketed_$suffix")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
