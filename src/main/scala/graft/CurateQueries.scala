@@ -159,6 +159,24 @@ object CurateQueries {
       FROM rk WHERE r = 1 ORDER BY doc_id ASC
     """))
 
+  /** Source mixture weighting: at most 10 docs per source, md5-of-id
+    * draw (deterministic, unbiased by insertion order). */
+  private val quotaPerSource = Q(
+    "quota_per_source",
+    (s, dir) =>
+      Sampling.quotaPerSource(Tables.documents(s, dir), "doc_id", "source",
+          n = 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id").asc),
+    Some("""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS r
+        FROM documents)
+      WHERE r <= 10 ORDER BY doc_id ASC
+    """))
+
   val all: Seq[Q] = Seq(trainValTestSplit, sampleHash, packTokenBatches,
-    curatePipeline, contaminationReport)
+    curatePipeline, contaminationReport, quotaPerSource)
 }

@@ -38,6 +38,24 @@ object Sampling {
     df.where(hashBucket(col(idCol)) < pct)
   }
 
+  /** Per-source quota: keep at most `n` documents per source, chosen in
+    * md5-of-id order — a deterministic unbiased draw, unlike "first n by
+    * id" (which prefers old documents) or `rand()` (which differs every
+    * run). This is the mixture-weighting primitive: cap over-represented
+    * sources before training. Window partitioned by source — parallel
+    * across sources; a single giant source bounds one partition, which
+    * is exactly the quota being enforced. */
+  def quotaPerSource(df: DataFrame, idCol: String, sourceCol: String,
+                     n: Int): DataFrame = {
+    require(n > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= n)
+      .drop("__r")
+  }
+
   /** Greedy token-budget packing for training batches: documents are
     * assigned to (split, shard) lanes deterministically, then packed in
     * id order — a document opens a new batch when the tokens accumulated

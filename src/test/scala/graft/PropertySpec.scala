@@ -60,6 +60,35 @@ class PropertySpec extends SparkSpec {
     check(prop, tests = 10)
   }
 
+  test("property: TokenShingles kernel equals the HOF formulation") {
+    // random whitespace-messy strings (runs of spaces, leading/trailing,
+    // unicode-ish tokens) — the kernel must match the interpreted
+    // transform/slice/concat_ws/array_distinct form element for element
+    val tokGen = Gen.oneOf(Gen.alphaNumStr.map(_.take(4)),
+      Gen.oneOf("一二", "da-ta", "", "x"))
+    val textGen = for {
+      n <- Gen.chooseNum(0, 10)
+      toks <- Gen.listOfN(n, tokGen)
+      sep <- Gen.oneOf(" ", "  ", " \t ")
+      lead <- Gen.oneOf("", " ")
+    } yield lead + toks.mkString(sep)
+    val prop = Prop.forAll(textGen) { t =>
+      val df = Seq(Tuple1(t)).toDF("text")
+      val hof = {
+        val toks = split(col("text"), "\\s+")
+        when(size(toks) < 3, array().cast("array<string>"))
+          .otherwise(array_distinct(
+            transform(sequence(lit(1), size(toks) - lit(2)),
+              i => concat_ws(" ", slice(toks, i, lit(3))))))
+      }
+      val both = df.select(
+        Dedup.shingles(col("text")).as("kernel"), hof.as("hof"))
+        .as[(Seq[String], Seq[String])].head()
+      both._1 == both._2
+    }
+    check(prop, tests = 30)
+  }
+
   test("property: minhash similarity of identical inputs is 1.0") {
     val textGen = Gen.listOfN(10,
       Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")).map(_.mkString(" "))
