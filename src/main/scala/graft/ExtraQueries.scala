@@ -150,6 +150,56 @@ object ExtraQueries {
       ORDER BY distance ASC, e.vec_id ASC LIMIT 5
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
-  val all: Seq[Q] = Seq(csvKnowledgeLoad, annLsh, labelCentroids,
+  /** Event-sequence funnel: of the users who signed up, how many later
+    * purchased, and how long conversion took. Two filtered aggregates +
+    * one equi-join shuffled by user — no window over the full event log,
+    * no per-user collect; seconds-to-convert averaged as exact long sum
+    * ÷ count so both engines compute the identical double. */
+  private val funnelConversion = Q(
+    "funnel_conversion",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val signup = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_signup"))
+      val converted = ev.where(col("event_type") === "purchase")
+        .join(signup, "user_id")
+        .where(col("ts") >= col("first_signup"))
+        .groupBy(col("user_id"), col("first_signup"))
+        .agg(min(col("ts")).as("first_purchase"))
+      // exact-microsecond arithmetic on BOTH sides: unix_seconds would
+      // truncate while DuckDB's epoch() keeps fractions, and the ts
+      // fixture is µs-precision — the long sum is engine-exact
+      val conv = converted.agg(
+        count(lit(1)).as("users_converted"),
+        round(sum(unix_micros(col("first_purchase"))
+            - unix_micros(col("first_signup"))).cast("double")
+          / count(lit(1)).cast("double") / 3600000000.0, 2)
+          .as("avg_hours_to_convert"))
+      signup.agg(count(lit(1)).as("users_signed_up"))
+        .crossJoin(conv)
+        .select(col("users_signed_up"), col("users_converted"),
+          round(col("users_converted").cast("double")
+            / col("users_signed_up"), 4).as("conversion_rate"),
+          col("avg_hours_to_convert"))
+    },
+    Some("""
+      WITH signup AS (SELECT user_id, min(ts) AS first_signup
+                      FROM events WHERE event_type = 'signup'
+                      GROUP BY user_id),
+      conv AS (SELECT e.user_id, s.first_signup, min(e.ts) AS first_purchase
+               FROM events e JOIN signup s USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts >= s.first_signup
+               GROUP BY e.user_id, s.first_signup)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM signup) AS users_signed_up,
+             CAST(count(*) AS BIGINT) AS users_converted,
+             round(CAST(count(*) AS DOUBLE)
+               / (SELECT count(*) FROM signup), 4) AS conversion_rate,
+             round(CAST(sum(epoch_us(first_purchase) - epoch_us(first_signup))
+               AS DOUBLE) / count(*) / 3600000000.0, 2) AS avg_hours_to_convert
+      FROM conv
+    """))
+
+  val all: Seq[Q] = Seq(funnelConversion, csvKnowledgeLoad, annLsh, labelCentroids,
     rangeJoinBuckets, pivotUserEvents, sqlKnn)
 }

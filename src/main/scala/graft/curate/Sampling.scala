@@ -43,8 +43,11 @@ object Sampling {
     * id" (which prefers old documents) or `rand()` (which differs every
     * run). This is the mixture-weighting primitive: cap over-represented
     * sources before training. Window partitioned by source — parallel
-    * across sources; a single giant source bounds one partition, which
-    * is exactly the quota being enforced. */
+    * across sources. An extremely skewed source still rank-sorts its
+    * whole partition (with spilling); at that extreme, pre-prune to the
+    * lexicographically-smallest md5 slice expected to hold ≥ n ids
+    * (verified against per-source counts) before ranking — md5 order is
+    * uniform, so the slice is a prefix of the same draw. */
   def quotaPerSource(df: DataFrame, idCol: String, sourceCol: String,
                      n: Int): DataFrame = {
     require(n > 0)
