@@ -463,10 +463,65 @@ object RelationalQueries {
       FROM events GROUP BY event_type ORDER BY event_type ASC
     """))
 
+  /** RANGE-frame window: 7-day rolling spend per customer — the frame is
+    * a TIME interval (6 preceding days + today over epoch-day numbers),
+    * not a row count, so same-day peer rows always aggregate together.
+    * DECIMAL accumulation: the frame's FP summation order differs across
+    * engines (DuckDB segment trees vs Spark running frames). */
+  private val windowRolling7d = Q(
+    "window_rolling_7d_spend",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_date(col("o_orderdate").cast("date")))
+        .rangeBetween(-6, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("rolling_7d",
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).over(w), 2)
+            .cast("double"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "rolling_7d")
+        .orderBy(col("o_orderkey").asc)
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+               AS rolling_7d
+      FROM orders ORDER BY o_orderkey ASC
+    """))
+
+  /** The shuffled-hash-join strategy pinned explicitly (completes the
+    * join-strategy matrix: broadcast / sort-merge / shuffled-hash /
+    * bucketed / salted / range / as-of / semi / anti). Right choice when
+    * one side is too big to broadcast but small enough per partition to
+    * hash — skips both sort phases. */
+  private val shuffleHashJoinAgg = Q(
+    "shuffle_hash_join_agg",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+      l.join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("total"))
+        .orderBy(col("o_orderstatus").asc)
+    },
+    Some("""
+      SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+               AS DOUBLE) AS total
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus ASC
+    """))
+
   val all: Seq[Q] = Seq(q1Pricing, q3TopRevenue, q5NationRevenue,
     q9ProfitByNation,
     sketchDistinctUsers, exactDistinctUsers, cubeOrders, windowOrderGaps,
-    quantilePrices, windowTopOrders, windowRunningRevenue, rollupCustomers,
+    quantilePrices, windowTopOrders, windowRunningRevenue, windowRolling7d,
+    rollupCustomers, shuffleHashJoinAgg,
     semiAntiCustomers, eventsHourly, eventsJson, asofClickBeforePurchase,
     collectionStats)
 }

@@ -34,6 +34,10 @@ class PlanSpec extends SparkSpec {
       s"probe did not prune partitions:\n$p")
   }
 
+  test("shuffle_hash hint produces a ShuffledHashJoin") {
+    assert(plan("shuffle_hash_join_agg").contains("ShuffledHashJoin"))
+  }
+
   test("no dedup plan degenerates to a cartesian product") {
     Seq("dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_cosine_pairs", "contamination_report")
