@@ -6,10 +6,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * exposes the driver-facing surface. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The minimum end-to-end slice (SURVEY §7.2 step 1): exact kNN top-5
-    * over the embeddings fixture. */
+    * The reference's flagship path end-to-end (src/app.py:361-407): one
+    * question text → strategy fan-out → embed → multi-strategy search →
+    * first-wins dedup → re-rank. */
   def entry(spark: SparkSession): DataFrame =
-    Queries.all("knn_exact_topk")(spark, "/root/testdata/sf0.001")
+    Queries.all("question_answer_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
