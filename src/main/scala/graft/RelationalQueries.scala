@@ -491,6 +491,32 @@ object RelationalQueries {
       FROM orders ORDER BY o_orderkey ASC
     """))
 
+  /** Distribution-rank window functions (ntile / percent_rank /
+    * cume_dist) per market segment — the remaining window family the
+    * suite didn't cover. Partitioned by segment, fully parallel. */
+  private val windowRankFunctions = Q(
+    "window_rank_functions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).cast("long").as("balance_quartile"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cume"))
+        .orderBy(col("c_custkey").asc)
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment,
+             CAST(ntile(4) OVER w AS BIGINT) AS balance_quartile,
+             round(percent_rank() OVER w, 4) AS pct_rank,
+             round(cume_dist() OVER w, 4) AS cume
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey ASC)
+      ORDER BY c_custkey ASC
+    """))
+
   /** The shuffled-hash-join strategy pinned explicitly (completes the
     * join-strategy matrix: broadcast / sort-merge / shuffled-hash /
     * bucketed / salted / range / as-of / semi / anti). Right choice when
@@ -521,7 +547,7 @@ object RelationalQueries {
     q9ProfitByNation,
     sketchDistinctUsers, exactDistinctUsers, cubeOrders, windowOrderGaps,
     quantilePrices, windowTopOrders, windowRunningRevenue, windowRolling7d,
-    rollupCustomers, shuffleHashJoinAgg,
+    windowRankFunctions, rollupCustomers, shuffleHashJoinAgg,
     semiAntiCustomers, eventsHourly, eventsJson, asofClickBeforePurchase,
     collectionStats)
 }

@@ -134,6 +134,14 @@ class DedupSpec extends SparkSpec {
       7L -> 7L))
   }
 
+  test("clusters: empty pair set leaves every node its own cluster") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val r = Dedup.clusters(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("clusters: long path converges (diameter > 1 round)") {
     val n = 12
     val nodes = (0L until n.toLong).toDF("id")

@@ -94,6 +94,12 @@ class KnnSpec extends SparkSpec {
     assert(large.size == 7 * 4)
   }
 
+  test("bm25: no query term anywhere -> empty result, not an error") {
+    import graft.search.Bm25
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("id", "text")
+    assert(Bm25.score(docs, "id", "text", Seq("absent")).isEmpty)
+  }
+
   test("bm25: tf monotone, rare terms outweigh common, absent docs dropped") {
     import graft.search.Bm25
     val docs = Seq(

@@ -167,6 +167,22 @@ class OperatorSpec extends SparkSpec {
     assert(r(2L)._2 == 0.0 && r(2L)._3 == Seq(0, 0, 0) && r(2L)._4 == 0.0)
   }
 
+  test("contamination: no overlap or empty train side -> empty report") {
+    import graft.curate.{Contamination, Sampling}
+    val buckets = (0L until 60L).toDF("id")
+      .select(col("id"), Sampling.hashBucket(col("id")).as("b"))
+      .as[(Long, Long)].collect()
+    val trainId = buckets.collectFirst { case (i, b) if b < 80 => i }.get
+    val evalId = buckets.collectFirst { case (i, b) if b >= 90 => i }.get
+    // disjoint vocabularies: no shared shingle, so no report rows
+    val df = Seq((trainId, "a1 a2 a3 a4 a5"), (evalId, "b1 b2 b3 b4 b5"))
+      .toDF("doc_id", "text")
+    assert(Contamination.report(df, "doc_id", "text", maxDfFrac = 1.0).isEmpty)
+    // train-only corpus: nothing to evaluate
+    val trainOnly = Seq((trainId, "a1 a2 a3 a4 a5")).toDF("doc_id", "text")
+    assert(Contamination.report(trainOnly, "doc_id", "text").isEmpty)
+  }
+
   test("contamination: identical eval doc points at its train twin") {
     import graft.curate.{Contamination, Sampling}
     // pick ids per split from the deterministic hash (not assumed)
