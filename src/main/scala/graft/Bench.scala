@@ -24,12 +24,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def time(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => failed += name }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop caches OUTSIDE the timed window: several operators cache()
-      // intermediates, and 57 queries × 3 passes of retained caches
+      // intermediates, and 75 queries × 3 passes of retained caches
       // otherwise build GC pressure that inflates later queries' numbers
       spark.catalog.clearCache()
       dt
@@ -40,14 +43,17 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
-    SparkEntry.queries.foreach { case (_, fn) => time(fn) } // warm-up pass
+    SparkEntry.queries.foreach { case (n, fn) => time(n, fn) } // warm-up pass
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> median((1 to runs).map(_ => time(fn)))
+      name -> median((1 to runs).map(_ => time(name, fn)))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a query that THREW still gets a time entry (the failure is fast),
+    // so failures are surfaced explicitly rather than read as speedups
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

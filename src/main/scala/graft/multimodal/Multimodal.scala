@@ -46,6 +46,26 @@ object Multimodal {
     }
   }
 
+  /** Resize/downsample decoder: nearest-neighbor resample of the byte
+    * stream to a fixed target length (byte values scaled to [0,1]) — the
+    * 1-D shape of an image resize, behind the same seam the codec-aware
+    * resize plugs into. Deterministic: sample i reads byte
+    * floor(i·len/target). */
+  final class ResampleDecoder(val target: Int) extends MediaDecoder {
+    override def dim: Int = target
+    override def features(bytes: Array[Byte]): Array[Float] = {
+      val v = new Array[Float](target)
+      if (bytes != null && bytes.length > 0) {
+        var i = 0
+        while (i < target) {
+          v(i) = (bytes((i.toLong * bytes.length / target).toInt) & 0xff) / 255.0f
+          i += 1
+        }
+      }
+      v
+    }
+  }
+
   /** Batched decode: append a float-feature column from a binary column.
     * Same mapPartitions/grouped shape as the embedding ingest (the model
     * seam contract). */

@@ -103,4 +103,16 @@ class StreamingSpec extends SparkSpec {
       .as[Seq[Array[Byte]]].head()
     assert(frames.map(new String(_)) == Seq("0123", "4567", "89"))
   }
+
+  test("multimodal: resample decoder resizes by nearest-neighbor stride") {
+    // 8 bytes -> 4 samples: reads bytes 0, 2, 4, 6
+    val dec = new Multimodal.ResampleDecoder(4)
+    val out = dec.features(Array[Byte](0, 10, 20, 30, 40, 50, 60, 70))
+    assert(out.length == 4)
+    assert(out.toSeq == Seq(0, 20, 40, 60).map(_ / 255.0f))
+    // upsample repeats neighbors: 2 bytes -> 4 samples reads 0,0,1,1
+    val up = dec.features(Array[Byte](100, -1))
+    assert(up.toSeq == Seq(100 / 255.0f, 100 / 255.0f, 255 / 255.0f, 255 / 255.0f))
+    assert(dec.features(Array.emptyByteArray).toSeq == Seq(0f, 0f, 0f, 0f))
+  }
 }
