@@ -38,8 +38,13 @@ object DuckOracle {
                CAST(c / sqrt(sum(c * c) OVER (PARTITION BY id)) AS FLOAT) AS w
         FROM ${p}cnt),
       ${p}n2 AS (
-        SELECT id, sum(CAST(w AS DOUBLE) * CAST(w AS DOUBLE)) AS n2
-        FROM ${p}w GROUP BY id)"""
+        -- LEFT JOIN from ALL source ids: a zero-token document embeds as
+        -- the zero vector on the Spark side (n2 = 0, distance = |q|²),
+        -- so it must rank here too, not silently drop out of the CTE
+        SELECT s.id, coalesce(t.n2, 0) AS n2
+        FROM (SELECT id FROM ($src)) s
+        LEFT JOIN (SELECT id, sum(CAST(w AS DOUBLE) * CAST(w AS DOUBLE)) AS n2
+                   FROM ${p}w GROUP BY id) t USING (id))"""
 
   /** CTE `{out}` = L2² distance of every (corpus `c`, query `q`) pair:
     * columns (id, qid, distance), distance unrounded (rank on it, round

@@ -463,10 +463,7 @@ object PipelineQueries {
              CASE WHEN coalesce(a.nnz, 0) > 0 THEN 1.0 ELSE 0.0 END AS sq_norm
       FROM f LEFT JOIN agg a USING (doc_id)
       ORDER BY f.doc_id ASC
-    """.replace("%BUCKET%",
-      // first 4 md5 bytes big-endian = Horner over the first 8 hex nibbles
-      (1 to 8).map(i => s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)")
-        .mkString("((((((((", ") * 16 + ", ")"))))
+    """.replace("%BUCKET%", DuckOracle.md5Bucket32)))
 
   val all: Seq[Q] = Seq(ivfSearch, ivfAutoRewrite, ivfAutoRewriteSql,
     ivfIncrementalSearch, multiStrategySearch,

@@ -29,8 +29,9 @@ object StreamingQueries {
       val q = EventsStream.hourlyCounts(ev)
         .writeStream.outputMode("complete").format("memory")
         .queryName(qname).start()
-      q.processAllAvailable()
-      q.stop()
+      // stop in finally: a transient drain failure would otherwise leave
+      // the named query active and poison every later run in the session
+      try q.processAllAvailable() finally q.stop()
       s.table(qname).orderBy(col("hour").asc, col("event_type").asc)
     },
     Some("""
@@ -146,8 +147,7 @@ object StreamingQueries {
           Seq("content_hash"))
         .writeStream.outputMode("append").format("memory")
         .queryName(qname).start()
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable() finally q.stop()
       s.table(qname).orderBy(col("content_hash").asc)
     },
     Some("""

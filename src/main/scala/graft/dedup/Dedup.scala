@@ -362,7 +362,11 @@ object Dedup {
       .select(col(idCol).cast("long").as("id"),
         col(idCol).cast("long").as("cluster_id"))
       .localCheckpoint()
-    var checksum = labels.agg(sum(col("cluster_id"))).head.getLong(0)
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("cluster_id"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)   // null = empty node set
+    }
+    var checksum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -375,12 +379,20 @@ object Dedup {
           least(col("l.cluster_id"),
             coalesce(col("p.nbr_min"), col("l.cluster_id"))).as("cluster_id"))
         .localCheckpoint()
-      val s = next.agg(sum(col("cluster_id"))).head.getLong(0)
+      val s = labelSum(next)
       converged = s == checksum
       checksum = s
       labels = next
       iter += 1
     }
+    // fail LOUDLY on an unconverged fixpoint: silently returning
+    // intermediate labels would hand the caller wrong clusters with no
+    // signal (a >50-hop duplicate chain is pathological but possible)
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusters: not converged after $maxIters rounds " +
+          "(graph diameter exceeds maxIters; raise maxIters or switch " +
+          "to large-star/small-star contraction)")
     labels
   }
 

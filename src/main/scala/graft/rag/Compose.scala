@@ -24,13 +24,14 @@ object Compose {
       .orderBy(col(rankCol).asc)
       .collect().map(_.getString(1)).mkString("\n")
 
-  /** R2: knowledge-base-only answer block (src/app.py:342-359 shape). */
-  def kbAnswerBlock(hits: DataFrame, rankCol: String, chapterCol: String,
-                    contentCol: String): String = {
-    val body = contextBlock(hits, rankCol, chapterCol, contentCol)
+  private def kbBlockFromBody(body: String): String =
     if (body.isEmpty) "## 🔍 **知识库答案**\n\n未在知识库中找到相关信息。"
     else s"## 🔍 **知识库答案**\n\n$body"
-  }
+
+  /** R2: knowledge-base-only answer block (src/app.py:342-359 shape). */
+  def kbAnswerBlock(hits: DataFrame, rankCol: String, chapterCol: String,
+                    contentCol: String): String =
+    kbBlockFromBody(contextBlock(hits, rankCol, chapterCol, contentCol))
 
   /** R4: the full answer dispatch (reference `generate_ans_with_rag`,
     * src/agent.py:104-111, and `generate_combined_response`,
@@ -46,10 +47,14 @@ object Compose {
     * engine's job is retrieval + deterministic composition. */
   def dispatch(hits: DataFrame, rankCol: String, chapterCol: String,
                contentCol: String, question: String,
-               gen: AnswerGenerator): String =
-    if (hits.isEmpty) gen.generate(question)
+               gen: AnswerGenerator): String = {
+    // ONE execution of the (possibly expensive) retrieval plan: the
+    // collected context decides the branch — a separate isEmpty probe
+    // would run the whole upstream DAG twice
+    val body = contextBlock(hits, rankCol, chapterCol, contentCol)
+    if (body.isEmpty) gen.generate(question)
     else {
-      val kb = kbAnswerBlock(hits, rankCol, chapterCol, contentCol)
+      val kb = kbBlockFromBody(body)
       try {
         val supplement = gen.generate(
           s"问题：$question\n\n参考资料：\n$kb")
@@ -60,6 +65,7 @@ object Compose {
         case scala.util.control.NonFatal(_) => kb
       }
     }
+  }
 }
 
 /** R3-R5 seam: answer generation is out of engine scope (network effect);

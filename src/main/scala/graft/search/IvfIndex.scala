@@ -62,19 +62,19 @@ object IvfIndex {
     * affects recall at partial nprobe, never correctness of what is
     * stored; rebuild when drift matters. */
   def append(newDf: DataFrame, vecCol: String, model: Model): Unit = {
-    val spark = newDf.sparkSession
-    import spark.implicits._
-    val cent = model.centroids.toSeq
-      .map { case (i, c) => (i, c.toSeq) }
-      .toDF("cluster_id", "centroid")
-    val withId = newDf.withColumn("__rid", monotonically_increasing_id())
-    val best = withId.crossJoin(broadcast(cent))
-      .withColumn("__d",
-        VectorFunctions.l2Sq(col(vecCol), col("centroid")))
-      .groupBy(col("__rid"))
-      .agg(min(struct(col("__d"), col("cluster_id"))).as("m"))
-      .select(col("__rid"), col("m.cluster_id").as("cluster_id"))
-    withId.join(best, "__rid").drop("__rid")
+    // Argmin over the centroids as ONE map-side expression — an array of
+    // (distance, cluster_id) structs reduced by lexicographic array_min.
+    // No self-join, no generated row ids (a monotonically_increasing_id
+    // join would evaluate the id independently per join side and silently
+    // mis-assign rows whenever the input isn't order-stable), no row
+    // blow-up: appending N rows is O(N·nlist·dim) inside one projection.
+    val centArr = array(model.centroids.map { case (i, c) =>
+      struct(
+        VectorFunctions.l2Sq(col(vecCol), typedlit(c.toSeq)).as("d"),
+        lit(i).as("cluster_id"))
+    }: _*)
+    newDf.withColumn("cluster_id",
+        array_min(centArr).getField("cluster_id"))
       .write.mode("append").partitionBy("cluster_id")
       .parquet(dataDir(model.indexDir))
   }
