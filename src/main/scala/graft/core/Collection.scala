@@ -49,9 +49,12 @@ final class Collection(spark: SparkSession, val dir: String) {
     * files. Row-by-row streaming ingest (S6 appends) accumulates one
     * file per batch — the small-files problem that dominates scan
     * startup cost at warehouse scale (every file is a task + a footer
-    * read). Rewrites via a temp directory then an atomic-enough
-    * swap (delete + rename) so a crash leaves either the old or the
-    * new layout, never a mix. Returns (filesBefore, filesAfter). */
+    * read). Swap protocol: write to `dir__compact_tmp`, rename the live
+    * dir aside to `dir__compact_old`, rename tmp into place, delete old.
+    * Every step leaves a complete copy of the data on disk; the only
+    * crash window with no data AT `dir` is between the two renames (two
+    * metadata ops), and recovery is unambiguous — the old layout sits
+    * intact under `__compact_old`. Returns (filesBefore, filesAfter). */
   def compact(targetBytesPerFile: Long = 128L * 1024 * 1024): (Int, Int) = {
     val f = fs
     def parquetFiles(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
@@ -62,11 +65,16 @@ final class Collection(spark: SparkSession, val dir: String) {
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble
       / targetBytesPerFile).toInt)
     val tmp = new Path(dir + "__compact_tmp")
+    val old = new Path(dir + "__compact_old")
     f.delete(tmp, true)
+    f.delete(old, true)
     read.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    f.delete(new Path(dir), true)
+    if (!f.rename(new Path(dir), old))
+      throw new java.io.IOException(s"compact: rename $dir -> $old failed")
     if (!f.rename(tmp, new Path(dir)))
-      throw new java.io.IOException(s"compact: rename $tmp -> $dir failed")
+      throw new java.io.IOException(
+        s"compact: rename $tmp -> $dir failed; previous data is at $old")
+    f.delete(old, true)
     (before.length, parquetFiles(new Path(dir)).length)
   }
 }

@@ -20,6 +20,14 @@ import org.apache.spark.sql.{Column, DataFrame}
   *    verification of the LSH candidates (the classic verify step);
   *  - hashes are md5-based so the DuckDB oracle reproduces them exactly
   *    (Spark's murmur3 `hash()` is not portable across engines).
+  *
+  * Cache contract: the pair/candidate operators `cache()` their shared
+  * intermediates (shingle arrays, capped postings, signatures) for the
+  * duration of the returned plan's execution and do NOT unpersist them
+  * (laziness makes unpersist-before-return impossible). Callers running
+  * many corpus-scale invocations in one session should
+  * `spark.catalog.clearCache()` between them — the Bench/Verify
+  * harnesses do.
   */
 object Dedup {
   /** Distinct token 3-gram shingles (rows with <n tokens yield none).
@@ -37,11 +45,14 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Jaccard similarity of two (already-distinct) shingle arrays. */
+  /** Jaccard similarity of two (already-distinct) shingle arrays; two
+    * empty sets are defined as 0.0 (not the NULL a bare 0/0 division
+    * would yield under non-ANSI semantics). */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast(DoubleType)
-    val union = size(a) + size(b) - size(array_intersect(a, b))
-    round(inter / union, 4)
+    val inter = size(array_intersect(a, b))
+    val union = size(a) + size(b) - inter
+    round(when(union === 0, 0.0)
+      .otherwise(inter.cast(DoubleType) / union), 4)
   }
 
   /** n-gram Jaccard top-k pairs via an INVERTED INDEX, not a cross join:

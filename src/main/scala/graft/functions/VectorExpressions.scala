@@ -25,6 +25,12 @@ import org.apache.spark.sql.types._
   * Null handling: `BinaryExpression.eval`/`nullSafeCodeGen` already yield
   * NULL when either array is NULL; elements are assumed non-null
   * (`containsNull=false`, enforced at ingest).
+  *
+  * Dimension mismatch is a DATA ERROR the type system cannot catch (both
+  * sides are ARRAY<FLOAT>); the kernels define the result over the common
+  * prefix (min length) rather than throwing per-row, matching the DuckDB
+  * oracle formulation. Validate dimensions at ingest (the Collection
+  * schema pins dim) — a mismatched scan ranks on prefix distance.
   */
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType

@@ -33,7 +33,10 @@ final class HashingEmbedder(val dim: Int = 64) extends Embedder {
 
   override def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
     val v = new Array[Float](dim)
-    t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    // Locale.ROOT: default-locale lowercasing is JVM-dependent (Turkish
+    // dotless-i etc.) and would diverge from DuckDB's lower() — and
+    // between executors with different default locales
+    t.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
       .foreach(tok => v(bucket(tok)) += 1.0f)
     val norm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x)).toFloat
     if (norm > 0f) v.map(_ / norm) else v

@@ -51,7 +51,12 @@ object Loaders {
     import spark.implicits._
     val fallback = ExampleRows.toDF("chapter", "content")
     try {
-      val raw = spark.read.option("header", "true").csv(path)
+      // multiLine: a quoted content cell may legitimately contain
+      // newlines (Spark's own CSV writer quotes them); default
+      // single-line mode would silently shred such a record into garbage
+      // rows instead of reading it back
+      val raw = spark.read.option("header", "true")
+        .option("multiLine", "true").csv(path)
       val (ch, co) = detectColumns(raw.columns.toSeq)
       val df = raw.select(col(ch).as("chapter"), col(co).as("content"))
         .where(col("content").isNotNull && col("content") =!= "")

@@ -14,7 +14,10 @@ import org.apache.spark.sql.DataFrame
   * forward. Cost at scale: ONE shuffle on the key (the window exchange),
   * no nested-loop, no per-row probe — this is the shape that survives a
   * 1000-executor 100 TB run. Right rows at exactly leftTs win (<=), and
-  * the side tag orders right before left on timestamp ties.
+  * the side tag orders right before left on timestamp ties. Right rows
+  * sharing (key, ts) are further ordered by a hash of their payload so
+  * the carried-forward value is deterministic across runs (no
+  * partition-order dependence); the greatest payload hash wins.
   */
 object AsOfJoin {
   /** @param left      left (probe) side
@@ -29,23 +32,25 @@ object AsOfJoin {
                  payload: Seq[(String, String)]): DataFrame = {
     val leftCols = left.columns
     val l = payload.foldLeft(
-      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))) {
+      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+        .withColumn("__tie", lit(0L))) {
       case (df, (_, out)) => df.withColumn(out, lit(null))
     }
     val rBase = right.select(
-      (Seq(col(keyCol), col(rightTs).as("__ts"), lit(0).as("__side")) ++
+      (Seq(col(keyCol), col(rightTs).as("__ts"), lit(0).as("__side"),
+        xxhash64(payload.map { case (in, _) => col(in) }: _*).as("__tie")) ++
         payload.map { case (in, out) => col(in).as(out) }): _*)
     // null-pad the left-only columns on the right side for unionByName
     val r = leftCols.filterNot(c => c == keyCol)
       .foldLeft(rBase)((df, c) => df.withColumn(c, lit(null)))
       .withColumn(leftTs, col("__ts"))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     payload.foldLeft(l.unionByName(r.select(l.columns.map(col): _*))) {
       case (df, (_, out)) => df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
     }
       .where(col("__side") === 1)
-      .drop("__ts", "__side")
+      .drop("__ts", "__side", "__tie")
   }
 }

@@ -43,7 +43,14 @@ object EventsStream {
 
     /** Streaming form: per-user state via flatMapGroupsWithState; closes a
       * session when the event-time watermark passes `gapMs` after its last
-      * event (or on state timeout). Input must carry a watermark. */
+      * event (or on state timeout). Input must carry a watermark.
+      * Cross-batch late arrivals (inside the watermark): an event within a
+      * gap of the open session merges into it (extending its start
+      * backwards if needed); an event more than a gap before the open
+      * session's start closes immediately as a singleton session — exact
+      * only if no sibling of that earlier session is still in flight,
+      * the standard bounded-lateness trade-off of single-pass streaming
+      * sessionization. In-order streams match the batch twin exactly. */
     def streaming(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
       import events.sparkSession.implicits._
       events.groupByKey(_.user_id)
@@ -62,9 +69,20 @@ object EventsStream {
               sorted.foreach { e =>
                 val t = e.ts.getTime
                 cur match {
-                  case Some(s) if t - s.end <= gapMs =>
-                    cur = Some(State(s.start, math.max(s.end, t),
-                      s.n + 1, s.value + e.value))
+                  // within a gap of the open session on EITHER side:
+                  // merge, extending start back for a cross-batch late
+                  // arrival (in-batch events are sorted, so only late
+                  // arrivals can precede the open start)
+                  case Some(s)
+                      if t - s.end <= gapMs && t >= s.start - gapMs =>
+                    cur = Some(State(math.min(s.start, t),
+                      math.max(s.end, t), s.n + 1, s.value + e.value))
+                  // a late arrival more than a gap BEFORE the open
+                  // session: a session of its own, closed immediately
+                  // (the open session is not its successor's business)
+                  case Some(s) if t < s.start - gapMs =>
+                    closed ::= Session(user, new Timestamp(t),
+                      new Timestamp(t), 1, e.value)
                   case Some(s) =>
                     closed ::= Session(user, new Timestamp(s.start),
                       new Timestamp(s.end), s.n, s.value)

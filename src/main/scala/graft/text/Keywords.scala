@@ -16,7 +16,8 @@ import org.apache.spark.sql.{Column, DataFrame}
   *    first 2 surviving chunks (src/app.py:322-326).
   */
 object Keywords {
-  /** STOP_WORDS, reference src/app.py:26-31 (30 distinct entries). */
+  /** STOP_WORDS, reference src/app.py:26-31 — 32 distinct entries (the
+    * reference's set literal repeats 这个/那个; dedup'd here). */
   val StopWords: Seq[String] = Seq(
     "的", "是", "在", "和", "有", "这个", "那个", "什么", "怎么", "如何", "为什么",
     "吗", "呢", "了", "啊", "呀", "吧", "嗯", "哦", "哈", "哎", "呃", "那么",

@@ -27,6 +27,20 @@ class OperatorSpec extends SparkSpec {
     assert(r("t3").isEmpty)         // quote is after the trade
   }
 
+  test("asOfJoin: duplicate (key, ts) right rows resolve deterministically") {
+    val trades = Seq((1L, ts(20), "t")).toDF("k", "ts", "trade")
+    // two quotes at the identical (key, ts): the payload-hash tie-break
+    // must pick the same one on every run
+    val quotes = Seq((1L, ts(10), 5.0), (1L, ts(10), 7.0))
+      .toDF("k", "qts", "px")
+    def run() = AsOfJoin.lastBefore(trades, quotes, "k", "ts", "qts",
+        Seq("px" -> "last_px"))
+      .select(col("last_px").cast("double")).as[Double].collect().toSeq
+    val first = run()
+    assert(first.length == 1 && (first.head == 5.0 || first.head == 7.0))
+    (1 to 3).foreach(_ => assert(run() == first))
+  }
+
   test("hashing embedder: deterministic, unit-norm, batch-size independent") {
     val e = new HashingEmbedder(16)
     val v1 = e.embed(Seq("hello world hello"))(0)

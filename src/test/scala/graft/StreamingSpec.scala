@@ -78,6 +78,30 @@ class StreamingSpec extends SparkSpec {
       (2L, 1L, 1L, 1L, 8.0)))
   }
 
+  test("streaming sessionize: cross-batch late arrivals merge or close") {
+    val gapMs = 10 * 60000L
+    val mem = MemoryStream[Event](spark)
+    // batch 1 opens a session at minute 30 (large watermark delay so the
+    // late batch-2 events are still admissible)
+    mem.addData(Seq(Event(1L, ts(30), 1.0)))
+    val withWm = mem.toDS().withWatermark("ts", "2 hours").as[Event]
+    val q = EventsStream.Sessionize.streaming(withWm, gapMs)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("t_sess_late").start()
+    q.processAllAvailable()
+    // batch 2: minute 25 is within a gap BEFORE the open start -> merges,
+    // start moves back; minute 5 is > gap before -> closes as a singleton
+    mem.addData(Seq(Event(1L, ts(25), 2.0), Event(1L, ts(5), 4.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(Event(99L, ts(2000), 0.0)))   // flush state
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_sess_late").as[Session].collect()
+      .filter(_.user_id != 99L)
+      .map(s => (s.session_start.getTime / 60000 - 60,
+        s.session_end.getTime / 60000 - 60, s.n_events, s.total_value)).toSet
+    assert(got == Set((5L, 5L, 1L, 4.0), (25L, 30L, 2L, 3.0)))
+  }
+
   test("graft SQL functions registered via extensions surface") {
     GraftExtensions.register(spark)
     Seq((Array(0f, 3f), Array(4f, 0f))).toDF("a", "b")
