@@ -177,6 +177,51 @@ object CurateQueries {
       WHERE r <= 10 ORDER BY doc_id ASC
     """))
 
+  /** PII scrub over deterministically PII-augmented fixture text (the
+    * synthetic corpus contains no PII, so each doc gets a constructed
+    * email / phone / URL derived from its id — both engines build the
+    * identical input, then redact with the same regexes in the same
+    * URL→email→phone order). Output keeps the redacted text as an md5
+    * fingerprint so the hash check covers the full redacted string. */
+  private val piiScrub = Q(
+    "pii_scrub",
+    (s, dir) => {
+      import graft.curate.Pii
+      val augmented = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" via https://ex.org/d/"), col("doc_id")))
+      Pii.scrub(augmented, "text")
+        .select(col("doc_id"), col("n_urls"), col("n_emails"),
+          col("n_phones"), md5(col("text_redacted")).as("redacted_md5"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some(s"""
+      WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' via https://ex.org/d/' || doc_id AS text
+        FROM documents),
+      p AS (
+        SELECT doc_id, text AS t0,
+               regexp_replace(text, '${graft.curate.Pii.UrlRe}', '<URL>', 'g') AS t1
+        FROM aug),
+      p2 AS (
+        SELECT *, regexp_replace(t1, '${graft.curate.Pii.EmailRe}', '<EMAIL>', 'g') AS t2
+        FROM p),
+      p3 AS (
+        SELECT *, regexp_replace(t2, '${graft.curate.Pii.PhoneRe}', '<PHONE>', 'g') AS t3
+        FROM p2)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t0, '${graft.curate.Pii.UrlRe}')) AS BIGINT) AS n_urls,
+             CAST(len(regexp_extract_all(t1, '${graft.curate.Pii.EmailRe}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(t2, '${graft.curate.Pii.PhoneRe}')) AS BIGINT) AS n_phones,
+             md5(t3) AS redacted_md5
+      FROM p3 ORDER BY doc_id ASC
+    """))
+
   val all: Seq[Q] = Seq(trainValTestSplit, sampleHash, packTokenBatches,
-    curatePipeline, contaminationReport, quotaPerSource)
+    curatePipeline, contaminationReport, quotaPerSource, piiScrub)
 }

@@ -3,7 +3,7 @@ package graft
 import graft.QueryDsl._
 import graft.core.Tables
 import graft.ingest.Preprocess
-import graft.text.{Keywords, TextAnalysis}
+import graft.text.{Keywords, Repetition, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Text-operator coverage: ingest preprocess (SURVEY §2.2), keyword/chunk
@@ -238,7 +238,51 @@ object TextQueries {
       SELECT doc_id, term, tfidf FROM rk WHERE r = 1 ORDER BY doc_id ASC
     """))
 
+  /** Gopher-style repetition filter: dup n-gram fractions (codegen shingle
+    * kernel) + modal-token dominance, with a keep flag at the pinned
+    * thresholds (Repetition.MaxDup2/MaxDup3/MaxTopToken). */
+  private val repetitionFilter = Q(
+    "repetition_filter",
+    (s, dir) =>
+      Repetition.stats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id").asc),
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                 FROM documents),
+      per AS (SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     len(list_distinct(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1]))) AS dist2,
+                     len(list_distinct(list_transform(range(1, len(toks)-1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                       AS dist3
+              FROM t),
+      top AS (SELECT doc_id, max(c) AS top_cnt
+              FROM (SELECT doc_id, token, count(*) AS c
+                    FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+                    GROUP BY doc_id, token)
+              GROUP BY doc_id),
+      j AS (SELECT doc_id, n_tokens,
+                   CASE WHEN n_tokens - 1 <= 0 THEN 0.0
+                        ELSE round(1.0 - CAST(dist2 AS DOUBLE)
+                                       / (n_tokens - 1), 4) END
+                     AS dup_2gram_frac,
+                   CASE WHEN n_tokens - 2 <= 0 THEN 0.0
+                        ELSE round(1.0 - CAST(dist3 AS DOUBLE)
+                                       / (n_tokens - 2), 4) END
+                     AS dup_3gram_frac,
+                   round(CAST(top_cnt AS DOUBLE) / n_tokens, 4)
+                     AS top_token_frac
+            FROM per JOIN top USING (doc_id))
+      SELECT doc_id, n_tokens, dup_2gram_frac, dup_3gram_frac,
+             top_token_frac,
+             (dup_2gram_frac <= ${Repetition.MaxDup2}
+              AND dup_3gram_frac <= ${Repetition.MaxDup3}
+              AND top_token_frac <= ${Repetition.MaxTopToken}) AS keep
+      FROM j ORDER BY doc_id ASC
+    """))
+
   val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
     tokenStats, tokenCounts, qualityScore, langId, docFingerprint,
-    vocabTopK, tfidfTopTerms)
+    vocabTopK, tfidfTopTerms, repetitionFilter)
 }

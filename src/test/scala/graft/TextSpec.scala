@@ -153,4 +153,51 @@ class TextSpec extends SparkSpec {
       batches.groupBy(identity).values.foreach(g => assert(g.length <= 3))
     }
   }
+
+  test("repetition: dup fractions and modal-token dominance, pinned") {
+    import graft.text.Repetition
+    val df = Seq(
+      (1L, "a a a a"),     // 2-grams: 3 total, 1 distinct; 3-grams: 2/1
+      (2L, "a b c d"),     // no repetition at all
+      (3L, "x"),           // too short for any n-gram -> fracs 0
+      (4L, "a b a b a")    // 2-grams: 4 total {a b, b a} -> dup 0.5
+    ).toDF("doc_id", "text")
+    val r = Repetition.stats(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_tokens", "dup_2gram_frac", "dup_3gram_frac",
+        "top_token_frac", "keep")
+      .collect()
+    assert(r(0).getDouble(1) === 0.6667)          // round(1 - 1/3, 4)
+    assert(r(0).getDouble(2) === 0.5)
+    assert(r(0).getDouble(3) === 1.0)
+    assert(!r(0).getBoolean(4))
+    assert(r(1).getDouble(1) === 0.0 && r(1).getBoolean(4) === false)
+    // doc 2 fails only on top_token_frac (each token 1/4 = 0.25 > 0.10)
+    assert(r(1).getDouble(3) === 0.25)
+    assert(r(2).getLong(0) === 1L)
+    assert(r(2).getDouble(1) === 0.0 && r(2).getDouble(2) === 0.0)
+    assert(r(2).getDouble(3) === 1.0)             // modal token is all of it
+    assert(r(3).getDouble(1) === 0.5)
+    assert(r(3).getDouble(3) === 0.6)             // 'a' 3 of 5
+  }
+
+  test("pii scrub: sequential URL->email->phone, no double counting") {
+    import graft.curate.Pii
+    val df = Seq(
+      // email inside a URL is consumed by the URL pass, not counted twice
+      (1L, "see https://x.com/a?mail=bob@x.com and write bob@x.co or 555-1234"),
+      (2L, "digits 555-12345 do not phone-match; 555-0042 does"),
+      (3L, "nothing sensitive here")
+    ).toDF("id", "text")
+    val r = Pii.scrub(df, "text").orderBy("id")
+      .select("n_urls", "n_emails", "n_phones", "text_redacted").collect()
+    assert(r(0).getLong(0) === 1L && r(0).getLong(1) === 1L
+      && r(0).getLong(2) === 1L)
+    assert(r(0).getString(3) === "see <URL> and write <EMAIL> or <PHONE>")
+    assert(r(1).getLong(2) === 1L)                // \b rejects 5-digit tail
+    assert(r(1).getString(3) === "digits 555-12345 do not phone-match; <PHONE> does")
+    assert(r(2).getLong(0) === 0L && r(2).getLong(1) === 0L
+      && r(2).getLong(2) === 0L)
+    assert(r(2).getString(3) === "nothing sensitive here")
+  }
 }
