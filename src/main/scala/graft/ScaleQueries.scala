@@ -112,5 +112,47 @@ object ScaleQueries {
       ORDER BY tag ASC, c_custkey ASC
     """))
 
-  val all: Seq[Q] = Seq(saltedJoinAgg, bucketedJoinAgg, setOpsCustomers)
+  /** Runtime bloom-filter join pruning (Catalyst's InjectRuntimeFilter):
+    * a selective filter on one join side is turned into a bloom filter
+    * that prunes the other side's rows BEFORE the join shuffle, cutting
+    * shuffle bytes by ~the filter's selectivity. The sweet spot at 100 TB
+    * is a creation side that is small-but-not-broadcastable (100 MB-1 GB
+    * of keys → a ~10-20 MB bloom), so the demo pins that shape by
+    * disabling auto-broadcast; bloom false positives only cost a little
+    * extra shuffle — join results stay exact, which is what the oracle
+    * checks. Configs are scoped to a child session (`newSession` shares
+    * the SparkContext but owns its SQLConf) so no other query's plan is
+    * affected. PlanSpec asserts `might_contain` actually lands in the
+    * lineitem-side filter. */
+  private val bloomFilterJoin = Q(
+    "bloom_filter_join",
+    (s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = Tables.orders(s2, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val l = Tables.lineitem(s2, dir)
+        .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("l_returnflag").asc)
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY l_returnflag ORDER BY l_returnflag ASC
+    """))
+
+  val all: Seq[Q] = Seq(saltedJoinAgg, bucketedJoinAgg, setOpsCustomers,
+    bloomFilterJoin)
 }

@@ -3,7 +3,7 @@ package graft
 import graft.QueryDsl._
 import graft.core.Tables
 import graft.ingest.Preprocess
-import graft.text.{Keywords, Repetition, TextAnalysis}
+import graft.text.{Keywords, LangModel, Repetition, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Text-operator coverage: ingest preprocess (SURVEY §2.2), keyword/chunk
@@ -282,7 +282,30 @@ object TextQueries {
       FROM j ORDER BY doc_id ASC
     """))
 
+  /** Unigram-LM doc scoring (perplexity proxy): mean ln P(token) under
+    * the corpus's own unigram distribution. */
+  private val unigramLogprob = Q(
+    "unigram_logprob",
+    (s, dir) =>
+      LangModel.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id").asc),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, token
+        FROM (SELECT doc_id,
+                unnest(string_split_regex(text, '\s+')) AS token
+              FROM documents)
+        WHERE token <> ''),
+      vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+      tot AS (SELECT sum(cnt) AS n_total FROM vocab)
+      SELECT doc_id,
+             round(avg(ln(cnt) - ln(n_total)), 4) AS avg_logprob,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM tok JOIN vocab USING (token) CROSS JOIN tot
+      GROUP BY doc_id ORDER BY doc_id ASC
+    """))
+
   val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
     tokenStats, tokenCounts, qualityScore, langId, docFingerprint,
-    vocabTopK, tfidfTopTerms, repetitionFilter)
+    vocabTopK, tfidfTopTerms, repetitionFilter, unigramLogprob)
 }

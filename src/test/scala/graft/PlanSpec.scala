@@ -38,6 +38,14 @@ class PlanSpec extends SparkSpec {
     assert(plan("shuffle_hash_join_agg").contains("ShuffledHashJoin"))
   }
 
+  test("runtime bloom filter prunes the fact side before the join shuffle") {
+    val p = plan("bloom_filter_join")
+    assert(p.contains("might_contain"),
+      s"InjectRuntimeFilter did not fire:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      "demo pins the non-broadcastable creation-side shape")
+  }
+
   test("no dedup plan degenerates to a cartesian product") {
     Seq("dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_cosine_pairs", "contamination_report")

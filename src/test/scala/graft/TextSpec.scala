@@ -181,6 +181,18 @@ class TextSpec extends SparkSpec {
     assert(r(3).getDouble(3) === 0.6)             // 'a' 3 of 5
   }
 
+  test("unigram logprob: corpus distribution, pinned tiny-corpus values") {
+    import graft.text.LangModel
+    // counts: a=2 b=2 c=1, N=5
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = LangModel.unigramLogProb(df, "doc_id", "text").orderBy("doc_id")
+      .collect()
+    assert(r(0).getDouble(1) === -0.9163) // ln(2/5), every token p=0.4
+    assert(r(0).getLong(2) === 3L)
+    assert(r(1).getDouble(1) === -1.2629) // (ln .4 + ln .2)/2
+    assert(r(1).getLong(2) === 2L)
+  }
+
   test("pii scrub: sequential URL->email->phone, no double counting") {
     import graft.curate.Pii
     val df = Seq(
