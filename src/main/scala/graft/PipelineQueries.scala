@@ -465,8 +465,50 @@ object PipelineQueries {
       ORDER BY f.doc_id ASC
     """.replace("%BUCKET%", DuckOracle.md5Bucket32)))
 
+  /** MERGE-by-key upsert: base = customers with custkey % 3 != 0,
+    * updates = customers with custkey % 2 = 0 and +1000 balance — so the
+    * update batch both replaces existing keys (key % 6 ∈ {2,4}) and
+    * inserts brand-new ones (key % 6 = 0), exercising both MERGE arms.
+    * Result is read back from the swapped-in parquet, so the oracle
+    * checks the full write→merge→rewrite path, not just the plan. */
+  private val collectionUpsert = Q(
+    "collection_upsert",
+    (s, dir) => {
+      val out = s"/tmp/graft_upsert_${math.abs(dir.hashCode)}/cust"
+      val coll = Collection(s, out)
+      val base = Tables.customer(s, dir)
+        .where(col("c_custkey") % 3 =!= 0)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val upd = Tables.customer(s, dir)
+        .where(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") + 1000, 2).as("c_acctbal"))
+      coll.create(base.schema, force = true)
+      coll.append(base)
+      coll.upsert(upd, "c_custkey")
+      coll.read.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("c_mktsegment").asc)
+    },
+    Some("""
+      WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal
+                    FROM customer WHERE c_custkey % 3 <> 0),
+      upd AS (SELECT c_custkey, c_mktsegment,
+                     round(c_acctbal + 1000, 2) AS c_acctbal
+              FROM customer WHERE c_custkey % 2 = 0),
+      merged AS (SELECT * FROM upd
+                 UNION ALL
+                 SELECT * FROM base
+                 WHERE c_custkey NOT IN (SELECT c_custkey FROM upd))
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             round(sum(c_acctbal), 2) AS total_bal
+      FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment ASC
+    """))
+
   val all: Seq[Q] = Seq(ivfSearch, ivfAutoRewrite, ivfAutoRewriteSql,
     ivfIncrementalSearch, multiStrategySearch,
     chapterParse, collectionRoundtrip, ragContextLines, embedIngest,
-    keywordTextSearch, chunkTextSearch, questionAnswerPipeline)
+    keywordTextSearch, chunkTextSearch, questionAnswerPipeline,
+    collectionUpsert)
 }

@@ -223,6 +223,43 @@ object VectorQueries {
       ORDER BY rrf DESC, doc_id ASC LIMIT 10
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** SQ8 two-stage search: approximate top-20 candidates from the int8
+    * representation, exact rerank to top-5. */
+  private val sq8RerankSearch = Q(
+    "sq8_rerank_search",
+    (s, dir) => {
+      import graft.search.Quantize
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      Quantize.sq8RerankSearch(e, "embedding", "vec_id", q, "qe",
+        k = 5, margin = 4)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      sc AS (SELECT vec_id, embedding,
+               CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale
+             FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS mx
+                   FROM embeddings)),
+      qz AS (SELECT vec_id, embedding, scale,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * scale, 0) AS INT)) AS qv
+             FROM sc),
+      ap AS (SELECT vec_id,
+               round(list_sum(list_transform(range(1, len(qv)+1),
+                 i -> ((CASE WHEN scale = 0 THEN 0.0
+                             ELSE qv[i] / scale END)
+                       - CAST(qe[i] AS DOUBLE)) ^ 2)), 4) AS approx_distance
+             FROM qz, q),
+      cand AS (SELECT vec_id, approx_distance FROM ap
+               ORDER BY approx_distance ASC, vec_id ASC LIMIT 20)
+      SELECT c.vec_id, c.approx_distance, %L2% AS distance
+      FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id, q
+      ORDER BY distance ASC, c.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery,
-    nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf)
+    nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
+    sq8RerankSearch)
 }

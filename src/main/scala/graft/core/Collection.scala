@@ -56,26 +56,51 @@ final class Collection(spark: SparkSession, val dir: String) {
     * metadata ops), and recovery is unambiguous — the old layout sits
     * intact under `__compact_old`. Returns (filesBefore, filesAfter). */
   def compact(targetBytesPerFile: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val f = fs
-    def parquetFiles(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
-      f.listStatus(p).filter(s => s.isFile &&
-        s.getPath.getName.endsWith(".parquet"))
     val before = parquetFiles(new Path(dir))
     val totalBytes = before.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble
       / targetBytesPerFile).toInt)
+    swapRewrite(read.coalesce(nFiles))
+    (before.length, parquetFiles(new Path(dir)).length)
+  }
+
+  /** MERGE by key (Delta/Iceberg-style upsert): rows of `updates` replace
+    * same-key collection rows; new keys insert. The merge plan is a
+    * key-shuffled left-anti join of the collection against the update
+    * keys (never a broadcast of the collection — the update side is the
+    * one that is usually small, and Catalyst broadcasts it) unioned with
+    * the updates, rewritten via the same crash-safe tmp-dir swap as
+    * [[compact]]. At warehouse scale the rewrite would be scoped to
+    * affected partitions; a parquet directory has no partition metadata
+    * to scope by, so the whole collection rewrites — the semantics,
+    * oracle-checked, are identical. */
+  def upsert(updates: DataFrame, keyCol: String): Unit = {
+    val merged = read
+      .join(updates.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+      .unionByName(updates)
+    swapRewrite(merged)
+  }
+
+  private def parquetFiles(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(p).filter(s => s.isFile &&
+      s.getPath.getName.endsWith(".parquet"))
+
+  /** Crash-safe full rewrite: write to `dir__compact_tmp`, rename live
+    * aside, rename tmp into place, delete old (see [[compact]] scaladoc
+    * for the recovery argument). */
+  private def swapRewrite(newData: DataFrame): Unit = {
+    val f = fs
     val tmp = new Path(dir + "__compact_tmp")
     val old = new Path(dir + "__compact_old")
     f.delete(tmp, true)
     f.delete(old, true)
-    read.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    newData.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (!f.rename(new Path(dir), old))
-      throw new java.io.IOException(s"compact: rename $dir -> $old failed")
+      throw new java.io.IOException(s"swap: rename $dir -> $old failed")
     if (!f.rename(tmp, new Path(dir)))
       throw new java.io.IOException(
-        s"compact: rename $tmp -> $dir failed; previous data is at $old")
+        s"swap: rename $tmp -> $dir failed; previous data is at $old")
     f.delete(old, true)
-    (before.length, parquetFiles(new Path(dir)).length)
   }
 }
 

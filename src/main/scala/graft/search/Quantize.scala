@@ -1,7 +1,8 @@
 package graft.search
 
-import org.apache.spark.sql.Column
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Scalar int8 quantization for embedding storage — the 4× footprint cut
   * a 100 TB vector corpus takes before anything else (Milvus/FAISS call
@@ -21,6 +22,47 @@ object Quantize {
   /** Quantized int8 components (as INT array; range [-127, 127]). */
   def quantized(v: Column, scale: Column): Column =
     transform(v, x => round(x.cast("double") * scale, 0).cast("int"))
+
+  /** Two-stage SQ8 search (FAISS's IVF_SQ8 rerank pattern, minus the IVF
+    * tier): stage 1 scans the QUANTIZED corpus — the 4×-smaller
+    * representation a 100 TB deployment actually stores — and takes the
+    * top-(k·margin) candidates by reconstructed distance; stage 2 joins
+    * only those candidates back to the full-precision vectors (broadcast
+    * of k·margin rows, never the corpus) and reranks exactly. Both
+    * stages are TakeOrderedAndProject, so nothing global is sorted.
+    * Quantization error only costs candidate recall (tunable via
+    * `margin`), never exactness of the final distances.
+    *
+    * `qdf`/`qCol` carry the query vector as a one-row broadcast, same
+    * convention as [[Knn.topK]]. */
+  def sq8RerankSearch(df: DataFrame, vecCol: String, idCol: String,
+                      qdf: DataFrame, qCol: String,
+                      k: Int, margin: Int = 4): DataFrame = {
+    val scale = scaleCol(col(vecCol))
+    val qtab = df.select(col(idCol), scale.as("__scale"),
+      quantized(col(vecCol), scale).as("__qvec"))
+    val approx = round(
+      aggregate(
+        zip_with(col("__qvec"), col(qCol), (qi, x) => {
+          val deq = when(col("__scale") === 0.0, lit(0.0))
+            .otherwise(qi.cast("double") / col("__scale"))
+          (deq - x.cast("double")) * (deq - x.cast("double"))
+        }),
+        lit(0.0), (acc, e) => acc + e), 4)
+    val cand = qtab.crossJoin(broadcast(qdf))
+      .withColumn("approx_distance", approx)
+      .orderBy(col("approx_distance").asc, col(idCol).asc)
+      .limit(k * margin)
+      .select(col(idCol), col("approx_distance"))
+    broadcast(cand)
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .crossJoin(broadcast(qdf))
+      .withColumn("distance",
+        round(VectorFunctions.l2Sq(col(vecCol), col(qCol)), 4))
+      .select(col(idCol), col("approx_distance"), col("distance"))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
 
   /** Squared reconstruction error ‖x − q/scale‖². */
   def reconSqError(v: Column, q: Column, scale: Column): Column =

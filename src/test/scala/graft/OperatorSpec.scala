@@ -219,4 +219,41 @@ class OperatorSpec extends SparkSpec {
     assert(docId == evalId && split == "test" && best == trainId)
     assert(overlap == 1.0)
   }
+
+  test("collection upsert: replaces matching keys, inserts new ones") {
+    import graft.core.Collection
+    import spark.implicits._
+    val dir = "/tmp/graft_test_upsert/coll"
+    val coll = Collection(spark, dir)
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "tag", "v")
+    coll.create(base.schema, force = true)
+    coll.append(base)
+    val upd = Seq((2L, "B", 99.0), (9L, "z", 1.0)).toDF("id", "tag", "v")
+    coll.upsert(upd, "id")
+    val out = coll.read.orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0),
+      (9L, "z", 1.0)))
+    // idempotent: re-upserting the same batch changes nothing
+    coll.upsert(upd, "id")
+    assert(coll.count() == 4L)
+    coll.drop()
+  }
+
+  test("sq8 rerank: exact final distances, full recall at this margin") {
+    import graft.search.{Knn, Quantize}
+    val e = graft.core.Tables.embeddings(spark, sf0001)
+    val q = e.where(col("vec_id") === 1).select(col("embedding").as("qe"))
+    val sq8 = Quantize.sq8RerankSearch(e, "embedding", "vec_id", q, "qe",
+        k = 5, margin = 4)
+      .select("vec_id", "distance")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Knn.topK(e, "embedding", "vec_id", q, "qe", k = 5)
+      .select("vec_id", "distance")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // margin 4 recovers the exact top-5 on this corpus, with the same
+    // exact (not approximate) distances attached
+    assert(sq8 == exact)
+  }
 }
