@@ -222,6 +222,42 @@ object CurateQueries {
       FROM p3 ORDER BY doc_id ASC
     """))
 
+  /** Contrastive (anchor, positive, negative) triplets: exact 1-NN
+    * positive + deterministic offset negative, every 100th vector as
+    * anchor. */
+  private val contrastiveTriplets = Q(
+    "contrastive_triplets",
+    (s, dir) =>
+      graft.curate.Contrastive.triplets(
+        Tables.embeddings(s, dir), "vec_id", "embedding", anchorEvery = 100),
+    Some("""
+      WITH a AS (SELECT vec_id AS anchor_id, embedding AS ae
+                 FROM embeddings WHERE vec_id % 100 = 0),
+      d AS (SELECT a.anchor_id, e.vec_id, %L2% AS distance
+            FROM embeddings e, a WHERE e.vec_id <> a.anchor_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                        ORDER BY distance, vec_id) AS rn
+            FROM d),
+      nn AS (SELECT count(*) AS n FROM embeddings),
+      b AS (SELECT anchor_id, vec_id AS positive_id,
+                   distance AS positive_distance
+            FROM r WHERE rn = 1),
+      c0 AS (SELECT b.*, n, (anchor_id + n // 2) % n AS cand
+             FROM b CROSS JOIN nn),
+      c1 AS (SELECT * REPLACE (CASE WHEN cand = anchor_id
+                                      OR cand = positive_id
+                                    THEN (cand + 1) % n ELSE cand END AS cand)
+             FROM c0),
+      c2 AS (SELECT * REPLACE (CASE WHEN cand = anchor_id
+                                      OR cand = positive_id
+                                    THEN (cand + 1) % n ELSE cand END AS cand)
+             FROM c1)
+      SELECT anchor_id, positive_id, positive_distance,
+             cand AS negative_id
+      FROM c2 ORDER BY anchor_id ASC
+    """.replace("%L2%", graft.QueryDsl.duckL2("e.embedding", "a.ae"))))
+
   val all: Seq[Q] = Seq(trainValTestSplit, sampleHash, packTokenBatches,
-    curatePipeline, contaminationReport, quotaPerSource, piiScrub)
+    curatePipeline, contaminationReport, quotaPerSource, piiScrub,
+    contrastiveTriplets)
 }

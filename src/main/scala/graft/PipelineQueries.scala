@@ -506,9 +506,45 @@ object PipelineQueries {
       FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment ASC
     """))
 
+  /** Schema evolution: a v2 batch lands with a NEW column; a mergeSchema
+    * read surfaces v1 rows with NULL there — no rewrite of old files. */
+  private val collectionSchemaEvolution = Q(
+    "collection_schema_evolution",
+    (s, dir) => {
+      val out = s"/tmp/graft_evolve_${math.abs(dir.hashCode)}/cust"
+      val coll = Collection(s, out)
+      val v1 = Tables.customer(s, dir)
+        .where(col("c_custkey") % 2 === 1)
+        .select("c_custkey", "c_acctbal")
+      val v2 = Tables.customer(s, dir)
+        .where(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("c_mktsegment").as("c_segment"))
+      coll.create(v1.schema, force = true)
+      coll.append(v1)
+      coll.append(v2)
+      coll.readMerged
+        .groupBy(coalesce(col("c_segment"), lit("v1_rows")).as("segment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("segment").asc)
+    },
+    Some("""
+      WITH v AS (
+        SELECT c_custkey, c_acctbal, NULL AS c_segment
+        FROM customer WHERE c_custkey % 2 = 1
+        UNION ALL
+        SELECT c_custkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 2 = 0)
+      SELECT coalesce(c_segment, 'v1_rows') AS segment,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(c_acctbal), 2) AS total_bal
+      FROM v GROUP BY 1 ORDER BY segment ASC
+    """))
+
   val all: Seq[Q] = Seq(ivfSearch, ivfAutoRewrite, ivfAutoRewriteSql,
     ivfIncrementalSearch, multiStrategySearch,
     chapterParse, collectionRoundtrip, ragContextLines, embedIngest,
     keywordTextSearch, chunkTextSearch, questionAnswerPipeline,
-    collectionUpsert)
+    collectionUpsert, collectionSchemaEvolution)
 }

@@ -155,7 +155,52 @@ object StreamingQueries {
       FROM documents ORDER BY content_hash ASC
     """))
 
+  /** Stream-stream interval join (click→purchase attribution): purchases
+    * join the same user's clicks from the preceding 30 minutes. Both
+    * sides carry event-time watermarks, so Spark bounds the join state
+    * (clicks older than watermark + interval are evicted); inner-join
+    * results emit eagerly per micro-batch — the drained memory sink must
+    * equal the batch theta-join, which is what the oracle checks. At
+    * scale the state store is keyed by user and bounded by the watermark
+    * horizon — the standard streaming-join contract. */
+  private val streamingIntervalJoin = Q(
+    "streaming_interval_join",
+    (s, dir) => {
+      def src = s.readStream.schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = src.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = src.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          col("value"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("p_user") === col("user_id") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("click_ts") <= col("purchase_ts"))
+      val qname = "graft_streaming_ij_" + math.abs(dir.hashCode)
+      val q = joined
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          col("value").as("purchase_value"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(qname).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qname).orderBy(col("purchase_id").asc, col("click_id").asc)
+    },
+    Some("""
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             p.user_id, p.value AS purchase_value
+      FROM events p JOIN events c ON p.user_id = c.user_id
+       AND p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+      ORDER BY purchase_id ASC, click_id ASC
+    """))
+
   val all: Seq[Q] = Seq(streamingHourly, sessionizeEvents, streamingDedup,
     multimodalMeta,
-    multimodalFeatures)
+    multimodalFeatures, streamingIntervalJoin)
 }

@@ -36,6 +36,15 @@ final class Collection(spark: SparkSession, val dir: String) {
   /** Full scan of the collection. */
   def read: DataFrame = spark.read.parquet(dir)
 
+  /** Schema-evolution read: unions the footer schemas of every file, so
+    * batches appended with NEW columns coexist with old files (old rows
+    * surface NULL for the added columns — parquet's standard
+    * add-a-nullable-column evolution, same contract as Delta/Iceberg).
+    * Costs one footer read per file at planning time; keep collections
+    * compacted ([[compact]]) so that stays cheap at warehouse scale. */
+  def readMerged: DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
   /** S7: describe — schema of the stored data. */
   def describe: StructType = read.schema
 

@@ -241,6 +241,21 @@ class OperatorSpec extends SparkSpec {
     coll.drop()
   }
 
+  test("contrastive triplets: offset negative dodges a positive collision") {
+    import graft.curate.Contrastive
+    import spark.implicits._
+    // n=4, offset n/2=2; anchor 0's nearest non-self IS id 2, so the
+    // offset draw collides with the positive and must dodge to 3
+    val df = Seq((0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)),
+      (2L, Seq(0.1f, 0f)), (3L, Seq(5f, 5f))).toDF("vec_id", "embedding")
+    val r = Contrastive.triplets(df, "vec_id", "embedding", anchorEvery = 4)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 0L)     // anchor
+    assert(r.head.getLong(1) == 2L)     // positive = true 1-NN
+    assert(r.head.getLong(3) == 3L)     // negative dodged off the positive
+  }
+
   test("sq8 rerank: exact final distances, full recall at this margin") {
     import graft.search.{Knn, Quantize}
     val e = graft.core.Tables.embeddings(spark, sf0001)

@@ -46,6 +46,12 @@ class PlanSpec extends SparkSpec {
       "demo pins the non-broadcastable creation-side shape")
   }
 
+  test("sorted layout: ts range predicate reaches the parquet scan") {
+    val p = plan("sorted_scan_prune")
+    assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"),
+      s"ts filters not pushed:\n$p")
+  }
+
   test("no dedup plan degenerates to a cartesian product") {
     Seq("dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_cosine_pairs", "contamination_report")
