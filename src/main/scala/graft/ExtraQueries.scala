@@ -200,6 +200,35 @@ object ExtraQueries {
       FROM conv
     """))
 
+  /** Correlated scalar subquery (big-spender orders: totalprice > 2× the
+    * customer's own average): Catalyst decorrelates the per-row subquery
+    * into ONE aggregate over orders plus a key-shuffled join — check
+    * `.explain`: no per-row re-execution, no nested loop. The textual SQL
+    * runs verbatim on both engines, so the oracle also pins that both
+    * optimizers agree on the decorrelated semantics (including the
+    * empty-group NULL contract). */
+  private val correlatedSubqueryOrders = Q(
+    "correlated_subquery_orders",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+        FROM graft_orders o
+        WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+                                  FROM graft_orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey ASC
+      """)
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+      FROM orders o
+      WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+                                FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey ASC
+    """))
+
   val all: Seq[Q] = Seq(funnelConversion, csvKnowledgeLoad, annLsh, labelCentroids,
-    rangeJoinBuckets, pivotUserEvents, sqlKnn)
+    rangeJoinBuckets, pivotUserEvents, sqlKnn, correlatedSubqueryOrders)
 }

@@ -3,7 +3,7 @@ package graft
 import graft.QueryDsl._
 import graft.core.Tables
 import graft.ingest.Preprocess
-import graft.text.{Keywords, LangModel, Repetition, TextAnalysis}
+import graft.text.{CdcChunks, Keywords, LangModel, Repetition, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Text-operator coverage: ingest preprocess (SURVEY §2.2), keyword/chunk
@@ -305,7 +305,42 @@ object TextQueries {
       GROUP BY doc_id ORDER BY doc_id ASC
     """))
 
+  /** Content-defined chunking: md5-window boundaries (w=8, nibble '0'),
+    * exploded chunk inventory. Summed per doc here; the exploded form
+    * feeds chunk-level dedup (group by chunk_md5). */
+  private val cdcChunks = Q(
+    "cdc_chunks",
+    (s, dir) =>
+      CdcChunks.chunks(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id").asc, col("chunk_no").asc),
+    Some("""
+      WITH t AS (SELECT doc_id, text, length(text) AS L FROM documents),
+      b0 AS (SELECT doc_id, text, L,
+               CASE WHEN L >= 8 THEN
+                 list_filter(range(8, L + 1),
+                   i -> substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 1)
+                          = '0')
+               ELSE CAST([] AS BIGINT[]) END AS bounds
+             FROM t),
+      b AS (SELECT doc_id, text,
+              CASE WHEN bounds[-1] = L THEN bounds
+                   ELSE list_append(bounds, L) END AS bs
+            FROM b0),
+      c AS (SELECT doc_id, text, bs,
+              unnest(range(1, len(bs) + 1)) AS j
+            FROM b),
+      seg AS (SELECT doc_id, j, text,
+                CASE WHEN j = 1 THEN 1 ELSE bs[j - 1] + 1 END AS start,
+                bs[j] AS fin
+              FROM c)
+      SELECT doc_id, CAST(j AS BIGINT) AS chunk_no,
+             CAST(fin - start + 1 AS BIGINT) AS chunk_len,
+             md5(substr(text, CAST(start AS INT),
+                        CAST(fin - start + 1 AS INT))) AS chunk_md5
+      FROM seg ORDER BY doc_id ASC, chunk_no ASC
+    """))
+
   val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
     tokenStats, tokenCounts, qualityScore, langId, docFingerprint,
-    vocabTopK, tfidfTopTerms, repetitionFilter, unigramLogprob)
+    vocabTopK, tfidfTopTerms, repetitionFilter, unigramLogprob, cdcChunks)
 }

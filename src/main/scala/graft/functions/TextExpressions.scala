@@ -77,8 +77,98 @@ object TokenShingles {
   }
 }
 
+/** Codegen'd content-defined chunking (see [[graft.text.CdcChunks]] for
+  * the operator-level story). One compiled pass per row: slide a w-char
+  * window, boundary where md5(window) starts with hex nibble '0', emit
+  * (chunk_no, chunk_len, chunk_md5) structs.
+  *
+  * Why an Expression: the higher-order-function formulation re-evaluates
+  * the O(L)-md5 boundary array at every lambda reference (Catalyst inlines
+  * expression trees, and interpreted HOFs have no common-subexpression
+  * reuse), which profiled at ~1 s/document — this kernel computes each
+  * window hash exactly once. `java.security.MessageDigest("MD5")` over the
+  * window's UTF-8 bytes is bit-identical to Spark's and DuckDB's `md5`,
+  * so the DuckDB oracle pins the kernel's semantics row by row.
+  */
+case class CdcChunkList(child: Expression, w: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "cdc_chunk_list"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("chunk_no", LongType, nullable = false),
+      StructField("chunk_len", LongType, nullable = false),
+      StructField("chunk_md5", StringType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && w >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument and w >= 1, " +
+        s"got ${child.dataType.sql}, w=$w")
+
+  override def nullSafeEval(input: Any): Any =
+    CdcChunkList.compute(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcChunkList.compute($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcChunkList {
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(i * 2) = HexChars((bytes(i) >> 4) & 0xF)
+      out(i * 2 + 1) = HexChars(bytes(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Called from generated code. Semantics identical to the DuckDB
+    * oracle's list formulation (character positions, 1-based; boundary
+    * after i iff md5(text[i-w+1..i]) high nibble is 0; doc end closes the
+    * last chunk; empty text yields one empty chunk). */
+  def compute(text: UTF8String, w: Int): ArrayData = {
+    val s = text.toString
+    val L = s.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = w
+    while (i <= L) {
+      val digest = md.digest(s.substring(i - w, i)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((digest(0) & 0xF0) == 0) bounds += i
+      i += 1
+    }
+    if (bounds.isEmpty || bounds.last != L) bounds += L
+    val rows = new Array[Any](bounds.length)
+    var start = 1
+    var j = 0
+    while (j < bounds.length) {
+      val b = bounds(j)
+      val chunkMd5 = hex(md.digest(s.substring(start - 1, b)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      rows(j) = org.apache.spark.sql.catalyst.InternalRow(
+        (j + 1).toLong, (b - start + 1).toLong,
+        UTF8String.fromString(chunkMd5))
+      start = b + 1
+      j += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
 /** Column-level API for the text kernels. */
 object TextFunctions {
   def tokenShingles(text: Column, n: Int): Column =
     Bridge.column(TokenShingles(Bridge.expression(text), n))
+
+  def cdcChunkList(text: Column, w: Int): Column =
+    Bridge.column(CdcChunkList(Bridge.expression(text), w))
 }

@@ -181,6 +181,26 @@ class TextSpec extends SparkSpec {
     assert(r(3).getDouble(3) === 0.6)             // 'a' 3 of 5
   }
 
+  test("cdc chunks: boundaries survive a prefix edit (shift tolerance)") {
+    import graft.text.CdcChunks
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight while stars shine"
+    val df = Seq((1L, base), (2L, "EDITED PREFIX " + base))
+      .toDF("doc_id", "text")
+    val out = CdcChunks.chunks(df, "doc_id", "text")
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(3)).toSet).toMap
+    // content-defined boundaries realign after the edit: all but the
+    // first chunk(s) of the edited doc reappear verbatim
+    val shared = out(1L).intersect(out(2L))
+    assert(out(1L).size >= 4, s"corpus string too short: ${out(1L).size} chunks")
+    assert(shared.size >= out(1L).size - 2,
+      s"expected near-total chunk reuse, got ${shared.size}/${out(1L).size}")
+    // and a FIXED-size chunker would not: verify the edit actually
+    // shifted the text (first chunk differs)
+    assert(out(1L) != out(2L))
+  }
+
   test("unigram logprob: corpus distribution, pinned tiny-corpus values") {
     import graft.text.LangModel
     // counts: a=2 b=2 c=1, N=5
