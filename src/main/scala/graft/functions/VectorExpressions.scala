@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -179,6 +179,72 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 between an SQ8-quantized vector (INT components + per-vector
+  * scale; see [[graft.search.Quantize]]) and a full-precision query —
+  * dequantize-and-accumulate in ONE codegen pass, so the quantized
+  * candidate scan of `sq8RerankSearch` stays inside whole-stage codegen
+  * instead of paying interpreted `zip_with`/`aggregate` per element.
+  * Semantics identical to the HOF formulation it replaces (and to the
+  * DuckDB oracle): left-to-right double accumulation over the common
+  * prefix; scale 0 dequantizes to 0. */
+case class DequantizedL2(first: Expression, second: Expression,
+                         third: Expression)
+    extends TernaryExpression {
+  override def prettyName: String = "dequant_l2_sq"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(IntegerType, _), DoubleType, ArrayType(FloatType, _)) => true
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<INT>, DOUBLE, ARRAY<FLOAT>), got " +
+        s"${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql}")
+  }
+
+  override def nullSafeEval(q: Any, s: Any, v: Any): Any = {
+    val qa = q.asInstanceOf[ArrayData]
+    val scale = s.asInstanceOf[Double]
+    val va = v.asInstanceOf[ArrayData]
+    val n = math.min(qa.numElements(), va.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val deq = if (scale == 0.0) 0.0 else qa.getInt(i).toDouble / scale
+      val d = deq - va.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, s, v) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val deq = ctx.freshName("deq")
+      s"""
+         |int $n = java.lang.Math.min($q.numElements(), $v.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $deq = ($s == 0.0) ? 0.0 : (double) $q.getInt($i) / $s;
+         |  double $d = $deq - (double) $v.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Column-level API for the vector kernels. */
 object VectorFunctions {
   def l2Sq(a: Column, b: Column): Column =
@@ -189,4 +255,8 @@ object VectorFunctions {
 
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  def dequantL2(qvec: Column, scale: Column, query: Column): Column =
+    Bridge.column(DequantizedL2(Bridge.expression(qvec),
+      Bridge.expression(scale), Bridge.expression(query)))
 }

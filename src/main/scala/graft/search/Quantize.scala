@@ -37,18 +37,29 @@ object Quantize {
     * convention as [[Knn.topK]]. */
   def sq8RerankSearch(df: DataFrame, vecCol: String, idCol: String,
                       qdf: DataFrame, qCol: String,
-                      k: Int, margin: Int = 4): DataFrame = {
+                      k: Int, margin: Int = 4): DataFrame =
+    searchQuantized(quantizedTable(df, vecCol, idCol), df, vecCol, idCol,
+      qdf, qCol, k, margin)
+
+  /** The stored SQ8 representation: (id, __scale, __qvec). A deployment
+    * materializes this ONCE (it is the 4×-smaller table scans run over);
+    * quantizing inline per query would pay the per-element rounding on
+    * every search. */
+  def quantizedTable(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
     val scale = scaleCol(col(vecCol))
-    val qtab = df.select(col(idCol), scale.as("__scale"),
+    df.select(col(idCol), scale.as("__scale"),
       quantized(col(vecCol), scale).as("__qvec"))
-    val approx = round(
-      aggregate(
-        zip_with(col("__qvec"), col(qCol), (qi, x) => {
-          val deq = when(col("__scale") === 0.0, lit(0.0))
-            .otherwise(qi.cast("double") / col("__scale"))
-          (deq - x.cast("double")) * (deq - x.cast("double"))
-        }),
-        lit(0.0), (acc, e) => acc + e), 4)
+  }
+
+  /** Search over a pre-materialized [[quantizedTable]]; `full` supplies
+    * the exact vectors for the rerank join. */
+  def searchQuantized(qtab: DataFrame, full: DataFrame,
+                      vecCol: String, idCol: String,
+                      qdf: DataFrame, qCol: String,
+                      k: Int, margin: Int): DataFrame = {
+    val df = full
+    val approx = round(VectorFunctions.dequantL2(
+      col("__qvec"), col("__scale"), col(qCol)), 4)
     val cand = qtab.crossJoin(broadcast(qdf))
       .withColumn("approx_distance", approx)
       .orderBy(col("approx_distance").asc, col(idCol).asc)
