@@ -214,7 +214,7 @@ object ExtraQueries {
       s.sql("""
         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
         FROM graft_orders o
-        WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+        WHERE o_totalprice > 2 * (SELECT round(avg(o2.o_totalprice), 2)
                                   FROM graft_orders o2
                                   WHERE o2.o_custkey = o.o_custkey)
         ORDER BY o_orderkey ASC
@@ -223,7 +223,7 @@ object ExtraQueries {
     Some("""
       SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
       FROM orders o
-      WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+      WHERE o_totalprice > 2 * (SELECT round(avg(o2.o_totalprice), 2)
                                 FROM orders o2
                                 WHERE o2.o_custkey = o.o_custkey)
       ORDER BY o_orderkey ASC

@@ -84,6 +84,13 @@ final class Collection(spark: SparkSession, val dir: String) {
     * to scope by, so the whole collection rewrites — the semantics,
     * oracle-checked, are identical. */
   def upsert(updates: DataFrame, keyCol: String): Unit = {
+    // Delta/Iceberg MERGE refuses a source with duplicate keys (two rows
+    // would race for the same target row); match that contract loudly
+    // instead of silently storing duplicate-key rows.
+    val dups = updates.groupBy(col(keyCol)).count()
+      .where(col("count") > 1).limit(1).collect()
+    require(dups.isEmpty,
+      s"upsert: update batch has duplicate $keyCol (e.g. ${dups.head.get(0)})")
     val merged = read
       .join(updates.select(keyCol).distinct(), Seq(keyCol), "left_anti")
       .unionByName(updates)

@@ -131,19 +131,22 @@ object CdcChunkList {
   }
 
   /** Called from generated code. Semantics identical to the DuckDB
-    * oracle's list formulation (character positions, 1-based; boundary
-    * after i iff md5(text[i-w+1..i]) high nibble is 0; doc end closes the
-    * last chunk; empty text yields one empty chunk). */
+    * oracle's list formulation (CODE-POINT positions, 1-based — DuckDB
+    * `length`/`substr` and Spark `substr` both count code points, so a
+    * supplementary-plane character is ONE position, never a surrogate
+    * pair; boundary after i iff md5(text[i-w+1..i]) high nibble is 0; doc
+    * end closes the last chunk; empty text yields one empty chunk). */
   def compute(text: UTF8String, w: Int): ArrayData = {
-    val s = text.toString
-    val L = s.length
+    val cp = text.toString.codePoints().toArray
+    val L = cp.length
     val md = java.security.MessageDigest.getInstance("MD5")
+    def md5At(from: Int, until: Int): Array[Byte] =
+      md.digest(new String(cp, from, until - from)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
     var i = w
     while (i <= L) {
-      val digest = md.digest(s.substring(i - w, i)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      if ((digest(0) & 0xF0) == 0) bounds += i
+      if ((md5At(i - w, i)(0) & 0xF0) == 0) bounds += i
       i += 1
     }
     if (bounds.isEmpty || bounds.last != L) bounds += L
@@ -152,8 +155,7 @@ object CdcChunkList {
     var j = 0
     while (j < bounds.length) {
       val b = bounds(j)
-      val chunkMd5 = hex(md.digest(s.substring(start - 1, b)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val chunkMd5 = hex(md5At(start - 1, b))
       rows(j) = org.apache.spark.sql.catalyst.InternalRow(
         (j + 1).toLong, (b - start + 1).toLong,
         UTF8String.fromString(chunkMd5))

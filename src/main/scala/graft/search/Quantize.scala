@@ -57,7 +57,6 @@ object Quantize {
                       vecCol: String, idCol: String,
                       qdf: DataFrame, qCol: String,
                       k: Int, margin: Int): DataFrame = {
-    val df = full
     val approx = round(VectorFunctions.dequantL2(
       col("__qvec"), col("__scale"), col(qCol)), 4)
     val cand = qtab.crossJoin(broadcast(qdf))
@@ -66,7 +65,7 @@ object Quantize {
       .limit(k * margin)
       .select(col(idCol), col("approx_distance"))
     broadcast(cand)
-      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(full.select(col(idCol), col(vecCol)), Seq(idCol))
       .crossJoin(broadcast(qdf))
       .withColumn("distance",
         round(VectorFunctions.l2Sq(col(vecCol), col(qCol)), 4))

@@ -238,6 +238,11 @@ class OperatorSpec extends SparkSpec {
     // idempotent: re-upserting the same batch changes nothing
     coll.upsert(upd, "id")
     assert(coll.count() == 4L)
+    // duplicate keys in one batch are a MERGE contract violation
+    val dup = Seq((5L, "x", 1.0), (5L, "y", 2.0)).toDF("id", "tag", "v")
+    val e = intercept[IllegalArgumentException] { coll.upsert(dup, "id") }
+    assert(e.getMessage.contains("duplicate"))
+    assert(coll.count() == 4L) // refused batch left the collection intact
     coll.drop()
   }
 

@@ -201,6 +201,37 @@ class TextSpec extends SparkSpec {
     assert(out(1L) != out(2L))
   }
 
+  test("cdc chunks: kernel counts code points, not UTF-16 units") {
+    import graft.text.CdcChunks
+    // 𝄞 (U+1D11E) and 🎵 are supplementary-plane (2 UTF-16 units, 1 code
+    // point); the oracle dialect counts code points, so the kernel must
+    // too. Reference = the HOF formulation over Spark substr (code-point
+    // based like DuckDB substr), computed inline.
+    val text = "a𝄞b🎵c the quick brown fox jumps over the lazy dog again " +
+      "and again until chunks form 𝄞𝄞🎵 end of the test string here"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val kernel = CdcChunks.chunks(df, "doc_id", "text")
+      .orderBy("chunk_no")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val w = CdcChunks.Window
+    val hof = df.select(col("doc_id"),
+        filter(sequence(lit(w), length(col("text"))), i =>
+          md5(col("text").substr(i - (w - 1), lit(w))).substr(1, 1) === "0")
+          .as("bounds"), length(col("text")).as("L"))
+      .select(col("doc_id"),
+        when(try_element_at(col("bounds"), lit(-1)) === col("L"), col("bounds"))
+          .otherwise(concat(col("bounds"), array(col("L")))).as("bs"))
+      .select(col("doc_id"), col("bs"))
+      .collect().head.getSeq[Int](1)
+    // same boundaries -> same chunk count and lengths
+    assert(kernel.map(_._2).sum === hof.last.toLong,
+      "total code points disagree")
+    assert(kernel.length === hof.length, s"kernel=$kernel bounds=$hof")
+    // and the total length is the code-point count, not String.length
+    assert(hof.last === text.codePointCount(0, text.length))
+    assert(text.codePointCount(0, text.length) < text.length)
+  }
+
   test("unigram logprob: corpus distribution, pinned tiny-corpus values") {
     import graft.text.LangModel
     // counts: a=2 b=2 c=1, N=5
