@@ -340,7 +340,56 @@ object TextQueries {
       FROM seg ORDER BY doc_id ASC, chunk_no ASC
     """))
 
+  /** Cross-document boilerplate via CDC chunks: chunks (≥8 chars) that
+    * recur in ≥2 distinct documents — the passage-level duplication that
+    * document fingerprints cannot see. One hash aggregate keyed by
+    * chunk_md5 (map-side partials; no joins, no corpus-size state). */
+  private val cdcBoilerplate = Q(
+    "cdc_boilerplate",
+    (s, dir) =>
+      CdcChunks.chunks(Tables.documents(s, dir), "doc_id", "text")
+        .where(col("chunk_len") >= 8)
+        .groupBy(col("chunk_md5"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          max(col("chunk_len")).as("chunk_len"))
+        .where(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("chunk_md5").asc),
+    Some("""
+      WITH t AS (SELECT doc_id, text, length(text) AS L FROM documents),
+      b0 AS (SELECT doc_id, text, L,
+               CASE WHEN L >= 8 THEN
+                 list_filter(range(8, L + 1),
+                   i -> substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 1)
+                          = '0')
+               ELSE CAST([] AS BIGINT[]) END AS bounds
+             FROM t),
+      b AS (SELECT doc_id, text,
+              CASE WHEN bounds[-1] = L THEN bounds
+                   ELSE list_append(bounds, L) END AS bs
+            FROM b0),
+      c AS (SELECT doc_id, text, bs,
+              unnest(range(1, len(bs) + 1)) AS j
+            FROM b),
+      seg AS (SELECT doc_id, text,
+                CASE WHEN j = 1 THEN 1 ELSE bs[j - 1] + 1 END AS start,
+                bs[j] AS fin
+              FROM c),
+      ch AS (SELECT doc_id, fin - start + 1 AS chunk_len,
+               md5(substr(text, CAST(start AS INT),
+                          CAST(fin - start + 1 AS INT))) AS chunk_md5
+             FROM seg)
+      SELECT chunk_md5,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(max(chunk_len) AS BIGINT) AS chunk_len
+      FROM ch WHERE chunk_len >= 8
+      GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2
+      ORDER BY n_docs DESC, chunk_md5 ASC
+    """))
+
   val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
     tokenStats, tokenCounts, qualityScore, langId, docFingerprint,
-    vocabTopK, tfidfTopTerms, repetitionFilter, unigramLogprob, cdcChunks)
+    vocabTopK, tfidfTopTerms, repetitionFilter, unigramLogprob, cdcChunks,
+    cdcBoilerplate)
 }

@@ -89,6 +89,28 @@ class PropertySpec extends SparkSpec {
     check(prop, tests = 30)
   }
 
+  test("property: CDC chunks partition the text exactly, code-point-wise") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // includes supplementary-plane chars (2 UTF-16 units, 1 code point)
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString), 2 -> Gen.const(" "),
+      1 -> Gen.const("中"), 1 -> Gen.const(new String(Character.toChars(0x1D11E))))
+    val textGen = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, charGen).map(_.mkString))
+    val prop = Prop.forAll(textGen) { t =>
+      val arr = graft.functions.CdcChunkList.compute(UTF8String.fromString(t), 8)
+      val rows = (0 until arr.numElements()).map(i =>
+        arr.getStruct(i, 3)).map(r => (r.getLong(0), r.getLong(1)))
+      val cpLen = t.codePointCount(0, t.length).toLong
+      // chunk_no is 1..n, lengths sum to the code-point length, every
+      // chunk except possibly a degenerate empty-text chunk is non-empty
+      rows.map(_._1) == (1L to rows.length.toLong) &&
+        rows.map(_._2).sum == cpLen &&
+        (cpLen == 0 || rows.forall(_._2 > 0))
+    }
+    check(prop, tests = 40)
+  }
+
   test("property: minhash similarity of identical inputs is 1.0") {
     val textGen = Gen.listOfN(10,
       Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")).map(_.mkString(" "))
