@@ -3,7 +3,7 @@ package graft
 import graft.QueryDsl._
 import graft.core.Tables
 import graft.ingest.Preprocess
-import graft.text.{CdcChunks, Keywords, LangModel, Repetition, TextAnalysis}
+import graft.text.{BpeLearn, CdcChunks, Keywords, LangModel, Repetition, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Text-operator coverage: ingest preprocess (SURVEY §2.2), keyword/chunk
@@ -388,8 +388,57 @@ object TextQueries {
       ORDER BY n_docs DESC, chunk_md5 ASC
     """))
 
+  /** DuckDB replay of the BPE loop: one (p_k, m_k, s_k) CTE triple per
+    * round — pair counts, argmax (excluding prior merges), two-pass
+    * delimiter replace — mechanically generated for `n` rounds. */
+  private def bpeOracle(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """
+      WITH s0 AS (
+        SELECT ' ' || array_to_string(list_transform(range(1, len(w)+1),
+                 i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS seq
+        FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w
+              FROM documents)
+        WHERE w <> '')"""
+    for (k <- 1 to n) {
+      val notIn =
+        if (k == 1) ""
+        else "WHERE pair NOT IN (" +
+          (1 until k).map(j => s"SELECT pair FROM m$j")
+            .mkString(" UNION ALL ") + ")"
+      sb ++= s"""
+      , p$k AS (SELECT pair, count(*) AS n FROM (
+            SELECT unnest(CASE WHEN len(sym) >= 2
+              THEN list_transform(range(1, len(sym)),
+                     i -> sym[i] || ' ' || sym[i+1])
+              ELSE CAST([] AS VARCHAR[]) END) AS pair
+            FROM (SELECT string_split(trim(seq), ' ') AS sym FROM s${k - 1}))
+          $notIn GROUP BY pair)
+      , m$k AS (SELECT pair, n FROM p$k ORDER BY n DESC, pair ASC LIMIT 1)
+      , s$k AS (SELECT replace(replace(s${k - 1}.seq,
+                  ' ' || m$k.pair || ' ',
+                  ' ' || replace(m$k.pair, ' ', '') || ' '),
+                  ' ' || m$k.pair || ' ',
+                  ' ' || replace(m$k.pair, ' ', '') || ' ') AS seq
+                FROM s${k - 1} CROSS JOIN m$k)"""
+    }
+    sb ++= (1 to n).map(k => s"""
+      SELECT CAST($k AS BIGINT) AS merge_rank, pair,
+             replace(pair, ' ', '') AS merged, CAST(n AS BIGINT) AS n
+      FROM m$k""").mkString(" UNION ALL ")
+    sb ++= "\n      ORDER BY merge_rank ASC"
+    sb.toString
+  }
+
+  /** BPE tokenizer fitting: 5 rounds of distributed pair counting +
+    * corpus-wide merge. */
+  private val bpeLearnMerges = Q(
+    "bpe_learn_merges",
+    (s, dir) => BpeLearn.learn(Tables.documents(s, dir), "text", nMerges = 5),
+    Some(bpeOracle(5)))
+
   val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
     tokenStats, tokenCounts, qualityScore, langId, docFingerprint,
     vocabTopK, tfidfTopTerms, repetitionFilter, unigramLogprob, cdcChunks,
-    cdcBoilerplate)
+    cdcBoilerplate, bpeLearnMerges)
 }

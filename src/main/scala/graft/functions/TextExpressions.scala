@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * operator. This kernel is one compiled method per row — the same
   * pattern as [[L2SquaredDistance]] for vector distance.
   */
-case class TokenShingles(child: Expression, n: Int)
+case class TokenShingles(child: Expression, n: Int,
+                         distinct: Boolean = true)
     extends UnaryExpression {
   override def prettyName: String = "token_shingles"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -38,10 +39,11 @@ case class TokenShingles(child: Expression, n: Int)
         s"got ${child.dataType.sql}, n=$n")
 
   override def nullSafeEval(input: Any): Any =
-    TokenShingles.compute(input.asInstanceOf[UTF8String], n)
+    TokenShingles.compute(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TokenShingles.compute($c, $n)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenShingles.compute($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -51,11 +53,15 @@ object TokenShingles {
   private val WS = java.util.regex.Pattern.compile("\\s+")
 
   /** One compiled pass per row: split, slide an n-window, join with one
-    * space, first-occurrence dedup. Called from generated code. */
-  def compute(text: UTF8String, n: Int): ArrayData = {
+    * space; first-occurrence dedup when `distinct`, full multiset when
+    * not (pair counting — e.g. BPE — needs multiplicity). Called from
+    * generated code. */
+  def compute(text: UTF8String, n: Int, distinct: Boolean = true): ArrayData = {
     val toks = WS.split(text.toString, -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val seen: java.util.Collection[String] =
+      if (distinct) new java.util.LinkedHashSet[String](toks.length * 2)
+      else new java.util.ArrayList[String](toks.length)
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i <= toks.length - n) {
@@ -170,6 +176,10 @@ object CdcChunkList {
 object TextFunctions {
   def tokenShingles(text: Column, n: Int): Column =
     Bridge.column(TokenShingles(Bridge.expression(text), n))
+
+  /** Multiset variant (keeps duplicate shingles — pair counting). */
+  def tokenShinglesAll(text: Column, n: Int): Column =
+    Bridge.column(TokenShingles(Bridge.expression(text), n, distinct = false))
 
   def cdcChunkList(text: Column, w: Int): Column =
     Bridge.column(CdcChunkList(Bridge.expression(text), w))

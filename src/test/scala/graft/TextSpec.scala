@@ -181,6 +181,18 @@ class TextSpec extends SparkSpec {
     assert(r(3).getDouble(3) === 0.6)             // 'a' 3 of 5
   }
 
+  test("bpe learn: multiset argmax, two-pass merge, prior-merge exclusion") {
+    import graft.text.BpeLearn
+    // words: aaab aab -> pairs {a a:3, a b:2}; after merging 'a a':
+    // ' aa a b ' / ' aa b ' -> remaining pairs all count 1, and the
+    // lexicographically smallest ('a b' < 'aa a' < 'aa b') wins round 2
+    val df = Seq((1L, "aaab aab")).toDF("doc_id", "text")
+    val r = BpeLearn.learn(df, "text", nMerges = 2).collect()
+    assert(r(0).getString(1) === "a a" && r(0).getString(2) === "aa")
+    assert(r(0).getLong(3) === 3L) // multiset count, not distinct-per-word
+    assert(r(1).getString(1) === "a b" && r(1).getLong(3) === 1L)
+  }
+
   test("cdc chunks: boundaries survive a prefix edit (shift tolerance)") {
     import graft.text.CdcChunks
     val base = "the quick brown fox jumps over the lazy dog and then " +
