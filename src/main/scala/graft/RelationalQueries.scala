@@ -199,9 +199,18 @@ object RelationalQueries {
   private val windowRunningRevenue = Q(
     "window_running_revenue",
     (s, dir) => {
+      // The fixture has duplicate (l_orderkey, l_linenumber) pairs (118k
+      // at sf0.1), so (shipdate, orderkey, linenumber) is NOT a total
+      // order: two rows with different revenue can tie, and each engine
+      // may order the pair differently — their intermediate cumulative
+      // values then differ (caught by the sf0.1 oracle run). Appending
+      // the revenue inputs to the ORDER BY makes the frame total over
+      // everything the sum depends on: fully-identical rows can still
+      // swap, but then their cumulative values are identical too.
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
-          col("l_linenumber").asc)
+          col("l_linenumber").asc, col("l_extendedprice").asc,
+          col("l_discount").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // DECIMAL accumulation: engines disagree on FP summation order for
       // window frames (DuckDB uses segment trees), so exact decimal math
@@ -220,7 +229,8 @@ object RelationalQueries {
              CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
                AS DECIMAL(18,4))) OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+                        l_extendedprice ASC, l_discount ASC
                ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_revenue
       FROM lineitem
       ORDER BY l_suppkey ASC, l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
@@ -543,11 +553,93 @@ object RelationalQueries {
       GROUP BY o_orderstatus ORDER BY o_orderstatus ASC
     """))
 
+  /** Incremental aggregate maintenance (materialized-view merge): the
+    * first 20 days' hourly rollup is "already materialized"; a late
+    * 10-day delta arrives and merges ADDITIVELY — counts and sums add,
+    * avg re-derives as merged-sum ∕ merged-count — with no rescan of the
+    * base partitions. This is THE pattern that keeps a 100 TB rollup
+    * current: each refresh touches only the delta, and the oracle proves
+    * merge(agg(base), agg(delta)) ≡ agg(base ∪ delta). Averages are NOT
+    * merged as avg-of-avgs (wrong weighting) — only additive states
+    * (sum, count) move through the merge. */
+  private val incrementalAggMerge = Q(
+    "incremental_agg_merge",
+    (s, dir) => {
+      val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+      // hour-OF-DAY grouping: every (hour_of_day, type) group receives
+      // rows from both the base and the delta, so the merge genuinely
+      // combines two partial states for every output row
+      def rollup(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(hour(col("ts")).cast("long").as("hour_of_day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      val ev = Tables.events(s, dir)
+      val base = rollup(ev.where(col("ts") < cut))   // the materialized state
+      val delta = rollup(ev.where(col("ts") >= cut)) // the new arrivals
+      base.unionByName(delta)
+        .groupBy(col("hour_of_day"), col("event_type"))
+        .agg(sum(col("n")).as("n"),
+          round(sum(col("sum_value")), 2).as("sum_value"))
+        .select(col("hour_of_day"), col("event_type"), col("n"),
+          col("sum_value"),
+          round(col("sum_value") / col("n"), 4).as("avg_value"))
+        .orderBy(col("hour_of_day").asc, col("event_type").asc)
+    },
+    Some("""
+      SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS sum_value,
+             round(round(sum(value), 2) / count(*), 4) AS avg_value
+      FROM events
+      GROUP BY 1, 2 ORDER BY hour_of_day ASC, event_type ASC
+    """))
+
+  /** ANALYZE-style table profiling: per-column null count, distinct
+    * count, numeric min/max for six lineitem columns — in ONE scan. The
+    * multiple DISTINCT aggregates compile to a single Expand-based
+    * aggregation (one pass over the fact table, the standard engine
+    * trick); the wide single-row result then unpivots to long format via
+    * an array-of-structs explode. At 100 TB profiling cost ≡ one
+    * map-side-combined scan, which is what ANALYZE must be. */
+  private val tableProfile = Q(
+    "table_profile",
+    (s, dir) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__distinct"),
+          round(min(col(c)).cast("double"), 4).as(s"${c}__min"),
+          round(max(col(c)).cast("double"), 4).as(s"${c}__max"))
+      }
+      val wide = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+      wide.select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__distinct").as("n_distinct"),
+          col(s"${c}__min").as("min_value"),
+          col(s"${c}__max").as("max_value"))): _*)).as("p"))
+        .select(col("p.col_name"), col("p.n_nulls"), col("p.n_distinct"),
+          col("p.min_value"), col("p.max_value"))
+        .orderBy(col("col_name").asc)
+    },
+    Some(Seq("l_orderkey", "l_partkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax").map(c => s"""
+      SELECT '$c' AS col_name,
+             CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+             CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             round(CAST(min($c) AS DOUBLE), 4) AS min_value,
+             round(CAST(max($c) AS DOUBLE), 4) AS max_value
+      FROM lineitem""").mkString(" UNION ALL ") +
+      "\n      ORDER BY col_name ASC"))
+
   val all: Seq[Q] = Seq(q1Pricing, q3TopRevenue, q5NationRevenue,
     q9ProfitByNation,
     sketchDistinctUsers, exactDistinctUsers, cubeOrders, windowOrderGaps,
     quantilePrices, windowTopOrders, windowRunningRevenue, windowRolling7d,
     windowRankFunctions, rollupCustomers, shuffleHashJoinAgg,
     semiAntiCustomers, eventsHourly, eventsJson, asofClickBeforePurchase,
-    collectionStats)
+    collectionStats, incrementalAggMerge, tableProfile)
 }

@@ -141,7 +141,8 @@ object TextQueries {
              round(0.3 * least(len(toks) / 100.0, 1.0)
                  + 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
                  + 0.3 * least((list_sum(list_transform(toks,
-                     tk -> CAST(length(tk) AS DOUBLE))) / len(toks)) / 8.0, 1.0),
+                     tk -> CAST(length(tk) AS DOUBLE))) / len(toks)) / 8.0, 1.0)
+                     + 1e-9,
                4) AS quality
       FROM t ORDER BY doc_id ASC
     """))

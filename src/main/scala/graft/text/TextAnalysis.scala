@@ -43,7 +43,15 @@ object TextAnalysis {
   }
 
   /** Composite quality score in [0,1]: length, lexical diversity, word
-    * shape. Weights are part of the pinned operator semantics. */
+    * shape. Weights are part of the pinned operator semantics.
+    *
+    * The +1e-9 before rounding is a deterministic tie-break: the score is
+    * a small-denominator rational that can land EXACTLY on a 4th-decimal
+    * half (e.g. 2167/4000 = 0.54175), where each engine's last-ulp double
+    * error decides the rounding — observed diverging at sf0.1. Nudging
+    * both engines' values up by far-less-than-the-minimum-rational-gap
+    * (≥1e-7 here) rounds every exact half up everywhere and changes
+    * nothing else. */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = wsTokens(col(textCol))
     val nTok = size(toks).cast(DoubleType)
@@ -54,7 +62,8 @@ object TextAnalysis {
       col(idCol),
       round(lit(0.3) * least(nTok / 100.0, lit(1.0))
         + lit(0.4) * distinctRatio
-        + lit(0.3) * least(avgLen / 8.0, lit(1.0)), 4).as("quality"))
+        + lit(0.3) * least(avgLen / 8.0, lit(1.0)) + lit(1e-9), 4)
+        .as("quality"))
   }
 
   /** Token counting: whitespace tokens, BPE-ish matches, chars/4 proxy. */
