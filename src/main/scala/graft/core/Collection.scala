@@ -97,6 +97,20 @@ final class Collection(spark: SparkSession, val dir: String) {
     swapRewrite(merged)
   }
 
+  /** Maintenance: remove leftover swap artifacts — `__compact_tmp` from
+    * an interrupted rewrite, `__compact_old` from a crash between the
+    * swap and its cleanup (see [[compact]]'s recovery argument; once the
+    * live dir exists, both siblings are disposable). Returns what was
+    * deleted. */
+  def vacuum(): Seq[String] = {
+    require(exists, s"vacuum: no live collection at $dir — " +
+      "recover __compact_old manually before discarding it")
+    Seq(dir + "__compact_tmp", dir + "__compact_old").flatMap { p =>
+      val path = new Path(p)
+      if (fs.exists(path)) { fs.delete(path, true); Some(p) } else None
+    }
+  }
+
   private def parquetFiles(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
     fs.listStatus(p).filter(s => s.isFile &&
       s.getPath.getName.endsWith(".parquet"))

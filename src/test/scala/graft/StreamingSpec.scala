@@ -139,4 +139,50 @@ class StreamingSpec extends SparkSpec {
     assert(up.toSeq == Seq(100 / 255.0f, 100 / 255.0f, 255 / 255.0f, 255 / 255.0f))
     assert(dec.features(Array.emptyByteArray).toSeq == Seq(0f, 0f, 0f, 0f))
   }
+
+  test("streaming upsert: foreachBatch merges latest version per key") {
+    import graft.core.Collection
+    import graft.streaming.StreamUpsert
+    val dir = "/tmp/graft_test_stream_upsert/coll"
+    val coll = Collection(spark, dir)
+    val base = Seq((1L, 0L, "a"), (2L, 0L, "b")).toDF("id", "version", "v")
+    coll.create(base.schema, force = true)
+    coll.append(base)
+    // one batch holding TWO versions of key 2 plus a brand-new key 3:
+    // latest-wins reduction must keep version 2, and the merge must
+    // replace key 2 and insert key 3
+    val mem = MemoryStream[(Long, Long, String)](spark)
+    mem.addData(Seq((2L, 1L, "b1"), (2L, 2L, "b2"), (3L, 1L, "c")))
+    val q = StreamUpsert.start(mem.toDF.toDF("id", "version", "v"),
+      coll, "id", "version", "t_upsert")
+    q.awaitTermination() // AvailableNow: stops after draining
+    val got = coll.read.orderBy("id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 0L, "a"), (2L, 2L, "b2"), (3L, 1L, "c")))
+    coll.drop()
+  }
+
+  test("collection vacuum removes swap leftovers, refuses a dead dir") {
+    import graft.core.Collection
+    import org.apache.hadoop.fs.Path
+    val dir = "/tmp/graft_test_vacuum/coll"
+    val coll = Collection(spark, dir)
+    val df = Seq((1L, "a")).toDF("id", "v")
+    coll.create(df.schema, force = true)
+    coll.append(df)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(dir + "__compact_tmp"))
+    fs.mkdirs(new Path(dir + "__compact_old"))
+    assert(coll.vacuum().toSet ==
+      Set(dir + "__compact_tmp", dir + "__compact_old"))
+    assert(!fs.exists(new Path(dir + "__compact_old")))
+    assert(coll.vacuum().isEmpty) // idempotent
+    // a crash BETWEEN the renames leaves only __compact_old: vacuum must
+    // refuse rather than delete the sole surviving copy
+    fs.mkdirs(new Path(dir + "__compact_old"))
+    coll.drop()
+    intercept[IllegalArgumentException] { coll.vacuum() }
+    fs.delete(new Path(dir + "__compact_old"), true)
+  }
 }
