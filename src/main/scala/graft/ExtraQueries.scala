@@ -206,7 +206,11 @@ object ExtraQueries {
     * `.explain`: no per-row re-execution, no nested loop. The textual SQL
     * runs verbatim on both engines, so the oracle also pins that both
     * optimizers agree on the decorrelated semantics (including the
-    * empty-group NULL contract). */
+    * empty-group NULL contract). The +1e-9 inside the round is the same
+    * deterministic half-boundary tie-break as TextAnalysis.qualityScore:
+    * averages of 2-decimal money values land exactly on x.xx5 halves for
+    * hundreds of customers at sf0.1, where engine ulp luck would
+    * otherwise decide the threshold. */
   private val correlatedSubqueryOrders = Q(
     "correlated_subquery_orders",
     (s, dir) => {
@@ -214,7 +218,7 @@ object ExtraQueries {
       s.sql("""
         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
         FROM graft_orders o
-        WHERE o_totalprice > 2 * (SELECT round(avg(o2.o_totalprice), 2)
+        WHERE o_totalprice > 2 * (SELECT round(avg(o2.o_totalprice) + 1e-9, 2)
                                   FROM graft_orders o2
                                   WHERE o2.o_custkey = o.o_custkey)
         ORDER BY o_orderkey ASC
@@ -223,7 +227,7 @@ object ExtraQueries {
     Some("""
       SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
       FROM orders o
-      WHERE o_totalprice > 2 * (SELECT round(avg(o2.o_totalprice), 2)
+      WHERE o_totalprice > 2 * (SELECT round(avg(o2.o_totalprice) + 1e-9, 2)
                                 FROM orders o2
                                 WHERE o2.o_custkey = o.o_custkey)
       ORDER BY o_orderkey ASC

@@ -222,7 +222,8 @@ object RelationalQueries {
         .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
           "running_revenue")
         .orderBy(col("l_suppkey").asc, col("l_shipdate").asc,
-          col("l_orderkey").asc, col("l_linenumber").asc)
+          col("l_orderkey").asc, col("l_linenumber").asc,
+          col("running_revenue").asc)
     },
     Some("""
       SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
@@ -233,7 +234,8 @@ object RelationalQueries {
                         l_extendedprice ASC, l_discount ASC
                ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_revenue
       FROM lineitem
-      ORDER BY l_suppkey ASC, l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+      ORDER BY l_suppkey ASC, l_shipdate ASC, l_orderkey ASC,
+               l_linenumber ASC, running_revenue ASC
     """))
 
   /** Rollup over region/nation: multi-level aggregation. */

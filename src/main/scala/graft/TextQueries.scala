@@ -306,15 +306,11 @@ object TextQueries {
       GROUP BY doc_id ORDER BY doc_id ASC
     """))
 
-  /** Content-defined chunking: md5-window boundaries (w=8, nibble '0'),
-    * exploded chunk inventory. Summed per doc here; the exploded form
-    * feeds chunk-level dedup (group by chunk_md5). */
-  private val cdcChunks = Q(
-    "cdc_chunks",
-    (s, dir) =>
-      CdcChunks.chunks(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy(col("doc_id").asc, col("chunk_no").asc),
-    Some("""
+  /** Shared DuckDB mirror of the CdcChunkList kernel — ONE definition of
+    * the pinned CDC semantics (window 8, nibble '0', doc end closes)
+    * ending in a `ch(doc_id, chunk_no, chunk_len, chunk_md5)` CTE, so
+    * the two CDC oracles cannot silently diverge from each other. */
+  private val duckCdcChunks: String = """
       WITH t AS (SELECT doc_id, text, length(text) AS L FROM documents),
       b0 AS (SELECT doc_id, text, L,
                CASE WHEN L >= 8 THEN
@@ -333,12 +329,24 @@ object TextQueries {
       seg AS (SELECT doc_id, j, text,
                 CASE WHEN j = 1 THEN 1 ELSE bs[j - 1] + 1 END AS start,
                 bs[j] AS fin
-              FROM c)
-      SELECT doc_id, CAST(j AS BIGINT) AS chunk_no,
-             CAST(fin - start + 1 AS BIGINT) AS chunk_len,
-             md5(substr(text, CAST(start AS INT),
-                        CAST(fin - start + 1 AS INT))) AS chunk_md5
-      FROM seg ORDER BY doc_id ASC, chunk_no ASC
+              FROM c),
+      ch AS (SELECT doc_id, CAST(j AS BIGINT) AS chunk_no,
+               CAST(fin - start + 1 AS BIGINT) AS chunk_len,
+               md5(substr(text, CAST(start AS INT),
+                          CAST(fin - start + 1 AS INT))) AS chunk_md5
+             FROM seg)"""
+
+  /** Content-defined chunking: md5-window boundaries (w=8, nibble '0'),
+    * exploded chunk inventory. Summed per doc here; the exploded form
+    * feeds chunk-level dedup (group by chunk_md5). */
+  private val cdcChunks = Q(
+    "cdc_chunks",
+    (s, dir) =>
+      CdcChunks.chunks(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id").asc, col("chunk_no").asc),
+    Some(duckCdcChunks + """
+      SELECT doc_id, chunk_no, chunk_len, chunk_md5
+      FROM ch ORDER BY doc_id ASC, chunk_no ASC
     """))
 
   /** Cross-document boilerplate via CDC chunks: chunks (≥8 chars) that
@@ -356,30 +364,7 @@ object TextQueries {
           max(col("chunk_len")).as("chunk_len"))
         .where(col("n_docs") >= 2)
         .orderBy(col("n_docs").desc, col("chunk_md5").asc),
-    Some("""
-      WITH t AS (SELECT doc_id, text, length(text) AS L FROM documents),
-      b0 AS (SELECT doc_id, text, L,
-               CASE WHEN L >= 8 THEN
-                 list_filter(range(8, L + 1),
-                   i -> substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 1)
-                          = '0')
-               ELSE CAST([] AS BIGINT[]) END AS bounds
-             FROM t),
-      b AS (SELECT doc_id, text,
-              CASE WHEN bounds[-1] = L THEN bounds
-                   ELSE list_append(bounds, L) END AS bs
-            FROM b0),
-      c AS (SELECT doc_id, text, bs,
-              unnest(range(1, len(bs) + 1)) AS j
-            FROM b),
-      seg AS (SELECT doc_id, text,
-                CASE WHEN j = 1 THEN 1 ELSE bs[j - 1] + 1 END AS start,
-                bs[j] AS fin
-              FROM c),
-      ch AS (SELECT doc_id, fin - start + 1 AS chunk_len,
-               md5(substr(text, CAST(start AS INT),
-                          CAST(fin - start + 1 AS INT))) AS chunk_md5
-             FROM seg)
+    Some(duckCdcChunks + """
       SELECT chunk_md5,
              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
              CAST(count(*) AS BIGINT) AS n_occurrences,

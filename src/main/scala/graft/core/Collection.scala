@@ -97,6 +97,26 @@ final class Collection(spark: SparkSession, val dir: String) {
     swapRewrite(merged)
   }
 
+  /** Version-aware MERGE: like [[upsert]], but an update only replaces a
+    * stored row whose `versionCol` is LOWER — a redelivered older version
+    * (at-least-once sources replay) leaves the newer stored row in place,
+    * so replays converge. Ties prefer the stored row (a redelivery of the
+    * stored version changes nothing, no rewrite churn). Duplicate keys in
+    * `updates` resolve to the highest version; give versions a per-key
+    * total order for full determinism. Plan: union + one key-partitioned
+    * window — no driver state, no broadcast of the collection. */
+  def upsertVersioned(updates: DataFrame, keyCol: String,
+                      versionCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val all = read.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc, col("__src").asc)
+    val merged = all.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__src", "__rn")
+    swapRewrite(merged)
+  }
+
   /** Maintenance: remove leftover swap artifacts — `__compact_tmp` from
     * an interrupted rewrite, `__compact_old` from a crash between the
     * swap and its cleanup (see [[compact]]'s recovery argument; once the

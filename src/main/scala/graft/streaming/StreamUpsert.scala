@@ -10,41 +10,34 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * record replaces its stored row instead of landing twice.
   *
   * Contract notes:
-  *  - `foreachBatch` gives at-least-once delivery; the MERGE makes the
-  *    sink idempotent per key, so replays converge instead of
-  *    duplicating — exactly why CDC sinks pair foreachBatch with MERGE.
-  *  - A micro-batch may contain several versions of one key;
-  *    [[Collection.upsert]] refuses duplicate-key batches, so the batch
-  *    is first reduced to its LAST version per key (max by `versionCol`,
-  *    ties by the row's key order) — the same "latest wins" reduction
-  *    Delta's CDC apply does.
+  *  - `foreachBatch` gives at-least-once delivery; the merge is
+  *    version-aware ([[Collection.upsertVersioned]]): an update wins only
+  *    with a strictly higher version, so a replayed OLDER record —
+  *    whether inside one batch or batches apart — can never regress a
+  *    newer stored row. That is what makes replays converge.
+  *  - For durable progress across restarts pass `checkpointDir`;
+  *    without it the query uses a temporary checkpoint and a restart
+  *    reprocesses from scratch (safe — the versioned merge is
+  *    idempotent — just wasteful).
+  *  - `trigger` defaults to AvailableNow (drain-and-stop backfill);
+  *    pass a processing-time trigger for an always-on stream.
   *  - State is all in the sink; the stream itself is stateless, so this
-  *    scales as: per-trigger shuffle of the batch by key + the MERGE
-  *    rewrite.
+  *    scales as: per-trigger key-partitioned window over
+  *    collection ∪ batch + the MERGE rewrite.
   */
 object StreamUpsert {
-  /** Start a stream that upserts every micro-batch into `coll`. */
+  /** Start a stream that version-merges every micro-batch into `coll`. */
   def start(src: DataFrame, coll: Collection, keyCol: String,
-            versionCol: String, queryName: String): StreamingQuery =
-    src.writeStream
+            versionCol: String, queryName: String,
+            trigger: Trigger = Trigger.AvailableNow(),
+            checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = src.writeStream
       .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        coll.upsert(latestPerKey(batch, keyCol, versionCol), keyCol)
+        coll.upsertVersioned(batch, keyCol, versionCol)
       }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()
-
-  /** Reduce a batch to its latest version per key. Deterministic only
-    * when `versionCol` is unique per key within a batch (give versions a
-    * total order — a sequence number or exact timestamp); on version
-    * ties the kept row is arbitrary. */
-  def latestPerKey(batch: DataFrame, keyCol: String,
-                   versionCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(versionCol).desc)
-    batch.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
   }
 }

@@ -58,14 +58,13 @@ object BpeLearn {
     // before returning — nothing leaks into later queries' timings. At
     // cluster scale this is the same decision as checkpointing the
     // iteration state of any fixed-point loop (cf. Dedup.clusters).
-    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var prev: Option[DataFrame] = None
     var cur = wordSeqs(df, textCol)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     try {
       var r = 1
       while (r <= nMerges) {
         cur.cache()
-        cached += cur
         val counts = cur.select(explode(pairsOf(col("seq"))).as("pair"))
           .groupBy(col("pair")).agg(count(lit(1)).as("n"))
         val excluded = merges.map(_._2).toSeq
@@ -78,12 +77,21 @@ object BpeLearn {
         val pair = top.head.getString(0)
         val merged = pair.replace(" ", "")
         merges += ((r.toLong, pair, merged, top.head.getLong(1)))
+        // the collect above materialized cur's cache; the previous
+        // round's cache is never read again — release it now so peak
+        // storage stays 2× corpus, not rounds× (standard iterative-
+        // algorithm cache rotation)
+        prev.foreach(_.unpersist(blocking = false))
+        prev = Some(cur)
         def rep(c: Column): Column =
           call_function("replace", c, lit(s" $pair "), lit(s" $merged "))
         cur = cur.select(rep(rep(col("seq"))).as("seq"))
         r += 1
       }
-    } finally cached.foreach(_.unpersist(blocking = false))
+    } finally {
+      prev.foreach(_.unpersist(blocking = false))
+      cur.unpersist(blocking = false)
+    }
     import spark.implicits._
     merges.toSeq.toDF("merge_rank", "pair", "merged", "n")
       .orderBy(col("merge_rank").asc)

@@ -159,6 +159,17 @@ class StreamingSpec extends SparkSpec {
     val got = coll.read.orderBy("id")
       .as[(Long, Long, String)].collect().toSeq
     assert(got == Seq((1L, 0L, "a"), (2L, 2L, "b2"), (3L, 1L, "c")))
+    // at-least-once replay of an OLDER version in a later batch must
+    // NOT regress the stored newer row (version-aware merge)
+    val mem2 = MemoryStream[(Long, Long, String)](spark)
+    mem2.addData(Seq((2L, 1L, "stale"), (4L, 1L, "d")))
+    val q2 = StreamUpsert.start(mem2.toDF.toDF("id", "version", "v"),
+      coll, "id", "version", "t_upsert2")
+    q2.awaitTermination()
+    val got2 = coll.read.orderBy("id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got2 == Seq((1L, 0L, "a"), (2L, 2L, "b2"), (3L, 1L, "c"),
+      (4L, 1L, "d")))
     coll.drop()
   }
 
