@@ -233,6 +233,36 @@ object ExtraQueries {
       ORDER BY o_orderkey ASC
     """))
 
+  /** LATERAL correlated top-N (each MACHINERY customer's 2 biggest
+    * orders): the OTHER decorrelation shape — a correlated subquery with
+    * ORDER BY + LIMIT, which Catalyst rewrites to a per-key window, not
+    * a per-row re-execution. Identical SQL text on both engines. */
+  private val lateralTopOrders = Q(
+    "lateral_top_orders",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS total
+        FROM graft_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM graft_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+        WHERE c.c_mktsegment = 'MACHINERY'
+        ORDER BY c.c_custkey ASC, total DESC, t.o_orderkey ASC
+      """)
+    },
+    Some("""
+      SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS total
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+      WHERE c.c_mktsegment = 'MACHINERY'
+      ORDER BY c.c_custkey ASC, total DESC, t.o_orderkey ASC
+    """))
+
   val all: Seq[Q] = Seq(funnelConversion, csvKnowledgeLoad, annLsh, labelCentroids,
-    rangeJoinBuckets, pivotUserEvents, sqlKnn, correlatedSubqueryOrders)
+    rangeJoinBuckets, pivotUserEvents, sqlKnn, correlatedSubqueryOrders,
+    lateralTopOrders)
 }
