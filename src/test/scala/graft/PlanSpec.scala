@@ -52,6 +52,21 @@ class PlanSpec extends SparkSpec {
       s"ts filters not pushed:\n$p")
   }
 
+  test("lateral top-N decorrelates to WindowGroupLimit, no nested loop") {
+    val p = plan("lateral_top_orders")
+    assert(p.contains("WindowGroupLimit"),
+      s"correlated LIMIT did not become a group limit:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sq8 rerank: top-k stages, broadcast only the candidate set") {
+    val p = plan("sq8_rerank_search")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      "both stages must be top-k, never a global sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "the k*margin candidate set is the broadcast side of the rerank")
+  }
+
   test("no dedup plan degenerates to a cartesian product") {
     Seq("dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_cosine_pairs", "contamination_report")
