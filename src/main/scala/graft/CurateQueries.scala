@@ -156,7 +156,7 @@ object CurateQueries {
              FROM shared JOIN esz USING (eval_id))
       SELECT eval_id AS doc_id, split, train_id AS best_train_id,
              CAST(n_shared AS BIGINT) AS n_shared,
-             round(CAST(n_shared AS DOUBLE) / eval_sz, 4) AS overlap
+             round(CAST(n_shared AS DOUBLE) / eval_sz + 1e-9, 4) AS overlap
       FROM rk WHERE r = 1 ORDER BY doc_id ASC
     """))
 

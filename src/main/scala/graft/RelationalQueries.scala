@@ -584,14 +584,16 @@ object RelationalQueries {
           round(sum(col("sum_value")), 2).as("sum_value"))
         .select(col("hour_of_day"), col("event_type"), col("n"),
           col("sum_value"),
-          round(col("sum_value") / col("n"), 4).as("avg_value"))
+          // 2-dec sum / count lands exactly on 4th-decimal halves
+          // (551.43/8 = 68.92875): the standard +1e-9 half tie-break
+          round(col("sum_value") / col("n") + lit(1e-9), 4).as("avg_value"))
         .orderBy(col("hour_of_day").asc, col("event_type").asc)
     },
     Some("""
       SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day, event_type,
              CAST(count(*) AS BIGINT) AS n,
              round(sum(value), 2) AS sum_value,
-             round(round(sum(value), 2) / count(*), 4) AS avg_value
+             round(round(sum(value), 2) / count(*) + 1e-9, 4) AS avg_value
       FROM events
       GROUP BY 1, 2 ORDER BY hour_of_day ASC, event_type ASC
     """))

@@ -106,10 +106,10 @@ object TextQueries {
              CAST(len(toks) AS BIGINT) AS n_tokens,
              CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
              round(list_sum(list_transform(toks,
-               tk -> CAST(length(tk) AS DOUBLE))) / len(toks), 4)
+               tk -> CAST(length(tk) AS DOUBLE))) / len(toks) + 1e-9, 4)
                AS avg_token_len,
-             round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
-               AS distinct_ratio
+             round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               + 1e-9, 4) AS distinct_ratio
       FROM t ORDER BY doc_id ASC
     """))
 
@@ -266,13 +266,13 @@ object TextQueries {
       j AS (SELECT doc_id, n_tokens,
                    CASE WHEN n_tokens - 1 <= 0 THEN 0.0
                         ELSE round(1.0 - CAST(dist2 AS DOUBLE)
-                                       / (n_tokens - 1), 4) END
+                                       / (n_tokens - 1) + 1e-9, 4) END
                      AS dup_2gram_frac,
                    CASE WHEN n_tokens - 2 <= 0 THEN 0.0
                         ELSE round(1.0 - CAST(dist3 AS DOUBLE)
-                                       / (n_tokens - 2), 4) END
+                                       / (n_tokens - 2) + 1e-9, 4) END
                      AS dup_3gram_frac,
-                   round(CAST(top_cnt AS DOUBLE) / n_tokens, 4)
+                   round(CAST(top_cnt AS DOUBLE) / n_tokens + 1e-9, 4)
                      AS top_token_frac
             FROM per JOIN top USING (doc_id))
       SELECT doc_id, n_tokens, dup_2gram_frac, dup_3gram_frac,

@@ -59,7 +59,7 @@ object Contamination {
       .where(col("rk") === 1)
       .select(col("eval_id").as("doc_id"), col("split"),
         col("train_id").as("best_train_id"), col("n_shared"),
-        round(col("n_shared").cast("double") / col("eval_sz"), 4)
+        round(col("n_shared").cast("double") / col("eval_sz") + lit(1e-9), 4)
           .as("overlap"))
   }
 }

@@ -54,9 +54,12 @@ object Repetition {
       .agg(count(lit(1)).as("c"))
       .groupBy(col("id"))
       .agg(max(col("c")).as("top_cnt"))
-    val dup2 = round(dupFrac(col("dist2"), col("n_tokens") - 1L), 4)
-    val dup3 = round(dupFrac(col("dist3"), col("n_tokens") - 2L), 4)
-    val topFrac = round(col("top_cnt").cast("double") / col("n_tokens"), 4)
+    // +1e-9: deterministic half tie-break for small-denominator rational
+    // fractions (see TextAnalysis.qualityScore's scaladoc)
+    val dup2 = round(dupFrac(col("dist2"), col("n_tokens") - 1L) + lit(1e-9), 4)
+    val dup3 = round(dupFrac(col("dist3"), col("n_tokens") - 2L) + lit(1e-9), 4)
+    val topFrac = round(col("top_cnt").cast("double") / col("n_tokens")
+      + lit(1e-9), 4)
     perRow.join(topTok, "id")
       .select(
         col("id"),

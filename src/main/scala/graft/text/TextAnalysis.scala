@@ -36,10 +36,14 @@ object TextAnalysis {
       col(idCol),
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct"),
+      // token-count ratios are small-denominator rationals that can land
+      // exactly on a 4th-decimal half (e.g. 143/32 = 4.46875): +1e-9 is
+      // the deterministic half tie-break (see qualityScore's scaladoc)
       round(aggregate(transform(toks, t => length(t).cast(DoubleType)),
-        lit(0.0), (acc, v) => acc + v) / size(toks), 4).as("avg_token_len"),
-      round(size(array_distinct(toks)).cast(DoubleType) / size(toks), 4)
-        .as("distinct_ratio"))
+        lit(0.0), (acc, v) => acc + v) / size(toks) + lit(1e-9), 4)
+        .as("avg_token_len"),
+      round(size(array_distinct(toks)).cast(DoubleType) / size(toks)
+        + lit(1e-9), 4).as("distinct_ratio"))
   }
 
   /** Composite quality score in [0,1]: length, lexical diversity, word
