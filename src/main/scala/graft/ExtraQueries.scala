@@ -262,7 +262,45 @@ object ExtraQueries {
       ORDER BY c.c_custkey ASC, total DESC, t.o_orderkey ASC
     """))
 
+  /** First-order event-transition matrix (Markov counts): per-user
+    * consecutive event pairs via one lag window (shuffled by user,
+    * bounded per-key state), then a global pair count and a per-source
+    * row-normalized probability. The +1e-9 inside the round is the
+    * uniform rational-half tie-break. */
+  private val eventTransitions = Q(
+    "event_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val rowTotal = Window.partitionBy(col("prev_type"))
+      Tables.events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double")
+          / sum(col("n")).over(rowTotal) + lit(1e-9), 4))
+        .orderBy(col("prev_type").asc, col("next_type").asc)
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts ASC, event_id ASC)
+                 AS prev_type
+        FROM events),
+      c AS (SELECT prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type)
+      SELECT prev_type, next_type, n,
+             round(CAST(n AS DOUBLE)
+                   / sum(n) OVER (PARTITION BY prev_type) + 1e-9, 4) AS p
+      FROM c ORDER BY prev_type ASC, next_type ASC
+    """))
+
   val all: Seq[Q] = Seq(funnelConversion, csvKnowledgeLoad, annLsh, labelCentroids,
     rangeJoinBuckets, pivotUserEvents, sqlKnn, correlatedSubqueryOrders,
-    lateralTopOrders)
+    lateralTopOrders, eventTransitions)
 }
