@@ -54,7 +54,7 @@ object DedupQueries {
             GROUP BY a.doc_id, b.doc_id)
       SELECT i.id_a, i.id_b,
              round(CAST(i.inter AS DOUBLE)
-               / (sa.sz + sb.sz - i.inter), 4) AS jaccard
+               / (sa.sz + sb.sz - i.inter) + 1e-9, 4) AS jaccard
       FROM i JOIN sz sa ON sa.doc_id = i.id_a
              JOIN sz sb ON sb.doc_id = i.id_b
       ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20

@@ -24,7 +24,7 @@ object ExtraQueries {
       Preprocess(loaded, "content")
         .groupBy(col("chapter"))
         .agg(count(lit(1)).as("n"),
-          round(avg(length(col("content_clean"))), 4).as("avg_len"))
+          round(avg(length(col("content_clean"))) + lit(1e-9), 4).as("avg_len"))
         .orderBy(col("chapter").asc)
     },
     Some("""
@@ -35,7 +35,7 @@ object ExtraQueries {
                  AS content_clean
         FROM documents WHERE doc_id < 50)
       SELECT chapter, CAST(count(*) AS BIGINT) AS n,
-             round(avg(length(content_clean)), 4) AS avg_len
+             round(avg(length(content_clean)) + 1e-9, 4) AS avg_len
       FROM c WHERE length(content_clean) >= 10
       GROUP BY chapter ORDER BY chapter ASC
     """))
@@ -174,13 +174,13 @@ object ExtraQueries {
         count(lit(1)).as("users_converted"),
         round(sum(unix_micros(col("first_purchase"))
             - unix_micros(col("first_signup"))).cast("double")
-          / count(lit(1)).cast("double") / 3600000000.0, 2)
+          / count(lit(1)).cast("double") / 3600000000.0 + lit(1e-9), 2)
           .as("avg_hours_to_convert"))
       signup.agg(count(lit(1)).as("users_signed_up"))
         .crossJoin(conv)
         .select(col("users_signed_up"), col("users_converted"),
           round(col("users_converted").cast("double")
-            / col("users_signed_up"), 4).as("conversion_rate"),
+            / col("users_signed_up") + lit(1e-9), 4).as("conversion_rate"),
           col("avg_hours_to_convert"))
     },
     Some("""
@@ -194,9 +194,9 @@ object ExtraQueries {
       SELECT (SELECT CAST(count(*) AS BIGINT) FROM signup) AS users_signed_up,
              CAST(count(*) AS BIGINT) AS users_converted,
              round(CAST(count(*) AS DOUBLE)
-               / (SELECT count(*) FROM signup), 4) AS conversion_rate,
+               / (SELECT count(*) FROM signup) + 1e-9, 4) AS conversion_rate,
              round(CAST(sum(epoch_us(first_purchase) - epoch_us(first_signup))
-               AS DOUBLE) / count(*) / 3600000000.0, 2) AS avg_hours_to_convert
+               AS DOUBLE) / count(*) / 3600000000.0 + 1e-9, 2) AS avg_hours_to_convert
       FROM conv
     """))
 

@@ -26,9 +26,9 @@ object RelationalQueries {
             .as("sum_disc_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
             * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          round(avg(col("l_quantity")) + lit(1e-9), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")) + lit(1e-9), 4).as("avg_price"),
+          round(avg(col("l_discount")) + lit(1e-9), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag").asc, col("l_linestatus").asc),
     Some("""
@@ -38,9 +38,9 @@ object RelationalQueries {
              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
                AS sum_charge,
-             round(avg(l_quantity), 4) AS avg_qty,
-             round(avg(l_extendedprice), 4) AS avg_price,
-             round(avg(l_discount), 4) AS avg_disc,
+             round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
+             round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
+             round(avg(l_discount) + 1e-9, 4) AS avg_disc,
              CAST(count(*) AS BIGINT) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '2001-06-01'
@@ -382,14 +382,14 @@ object RelationalQueries {
       Tables.events(s, dir)
         .select(col("event_type"), k.as("k"))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"),
+        .agg(count(lit(1)).as("n"), round(avg(col("k")) + lit(1e-9), 4).as("avg_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type").asc)
     },
     Some("""
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS n,
-             round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+             round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) + 1e-9, 4)
                AS avg_k,
              CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
                AS BIGINT) AS min_k,
@@ -514,15 +514,15 @@ object RelationalQueries {
       Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_mktsegment"),
           ntile(4).over(w).cast("long").as("balance_quartile"),
-          round(percent_rank().over(w), 4).as("pct_rank"),
-          round(cume_dist().over(w), 4).as("cume"))
+          round(percent_rank().over(w) + lit(1e-9), 4).as("pct_rank"),
+          round(cume_dist().over(w) + lit(1e-9), 4).as("cume"))
         .orderBy(col("c_custkey").asc)
     },
     Some("""
       SELECT c_custkey, c_mktsegment,
              CAST(ntile(4) OVER w AS BIGINT) AS balance_quartile,
-             round(percent_rank() OVER w, 4) AS pct_rank,
-             round(cume_dist() OVER w, 4) AS cume
+             round(percent_rank() OVER w + 1e-9, 4) AS pct_rank,
+             round(cume_dist() OVER w + 1e-9, 4) AS cume
       FROM customer
       WINDOW w AS (PARTITION BY c_mktsegment
                    ORDER BY c_acctbal DESC, c_custkey ASC)

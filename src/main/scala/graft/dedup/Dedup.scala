@@ -52,7 +52,7 @@ object Dedup {
     val inter = size(array_intersect(a, b))
     val union = size(a) + size(b) - inter
     round(when(union === 0, 0.0)
-      .otherwise(inter.cast(DoubleType) / union), 4)
+      .otherwise(inter.cast(DoubleType) / union) + lit(1e-9), 4)
   }
 
   /** n-gram Jaccard top-k pairs via an INVERTED INDEX, not a cross join:
@@ -113,7 +113,8 @@ object Dedup {
         first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast(DoubleType) /
-          (col("sz_a") + col("sz_b") - col("inter")), 4).as("jaccard"))
+          (col("sz_a") + col("sz_b") - col("inter")) + lit(1e-9), 4)
+          .as("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
       .limit(k)
   }
