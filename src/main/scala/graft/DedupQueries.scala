@@ -168,20 +168,13 @@ object DedupQueries {
       FROM r GROUP BY id ORDER BY doc_id ASC
     """))
 
-  /** Embedding-cosine near-dup: top-20 pairs among SRP-LSH candidates
-    * (16 md5-derived hyperplanes, 4 bands of 4 sign bits; pairs sharing a
-    * band are cosine-verified). The planes are md5-deterministic, so the
-    * oracle reproduces the identical candidate set — an exact comparison
-    * of the ANN semantics, not a recall gamble. Scale shape: per-row
-    * signature map + band equi-join; no all-pairs compare, no O(corpus)
-    * broadcast. */
-  private val dedupCosinePairs = Q(
-    "dedup_cosine_pairs",
-    (s, dir) =>
-      Dedup.cosineCandidatePairs(Tables.embeddings(s, dir), "vec_id",
-        "embedding", k = 20, dim = 64),
-    Some("""
-      WITH w AS (SELECT i, md5('w' || CAST(i AS VARCHAR)) AS h
+  /** DuckDB SRP-LSH candidate CTEs over `embeddings` (16 md5-derived
+    * hyperplanes → sign bits → 4 bands of 4): textual mirror of
+    * Dedup.srpWeights/srpSignature + the first-matching-band join —
+    * shared by `dedup_cosine_pairs` and `ann_bulk_topk`, and by the
+    * verified-pairs CTE below. */
+  private val duckSrpCand = """
+      w AS (SELECT i, md5('w' || CAST(i AS VARCHAR)) AS h
                  FROM range(1, 65) t(i)),
       e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x, h
             FROM embeddings CROSS JOIN w WHERE i <= len(embedding)),
@@ -194,18 +187,61 @@ object DedupQueries {
       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                FROM bands a JOIN bands b
                  ON a.b = b.b AND a.band_key = b.band_key
-                    AND a.vec_id < b.vec_id)
-      SELECT id_a, id_b, %COS% AS cosine
-      FROM cand
-      JOIN embeddings ea ON ea.vec_id = id_a
-      JOIN embeddings eb ON eb.vec_id = id_b
+                    AND a.vec_id < b.vec_id)""".replace("%BITS%",
+    "[" + (1 to 16).map(p =>
+      s"CASE WHEN sum((strpos('0123456789abcdef', substr(h, $p, 1)) - 1 " +
+        s"- 7.5) * x) > 0 THEN 1 ELSE 0 END").mkString(", ") + "]")
+
+  /** Cosine-verified candidate pairs (follows [[duckSrpCand]]). */
+  private val duckSrpPairs = """
+      pairs AS (SELECT id_a, id_b, %COS% AS cosine
+                FROM cand
+                JOIN embeddings ea ON ea.vec_id = id_a
+                JOIN embeddings eb ON eb.vec_id = id_b)"""
+    .replace("%COS%", duckCosine("ea.embedding", "eb.embedding"))
+
+  /** Embedding-cosine near-dup: top-20 pairs among SRP-LSH candidates
+    * (16 md5-derived hyperplanes, 4 bands of 4 sign bits; pairs sharing a
+    * band are cosine-verified). The planes are md5-deterministic, so the
+    * oracle reproduces the identical candidate set — an exact comparison
+    * of the ANN semantics, not a recall gamble. Scale shape: per-row
+    * signature map + band equi-join; no all-pairs compare, no O(corpus)
+    * broadcast. */
+  private val dedupCosinePairs = Q(
+    "dedup_cosine_pairs",
+    (s, dir) =>
+      Dedup.cosineCandidatePairs(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 20, dim = 64),
+    Some(s"""
+      WITH $duckSrpCand, $duckSrpPairs
+      SELECT id_a, id_b, cosine FROM pairs
       ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20
-    """.replace("%BITS%",
-        "[" + (1 to 16).map(p =>
-          s"CASE WHEN sum((strpos('0123456789abcdef', substr(h, $p, 1)) - 1 " +
-            s"- 7.5) * x) > 0 THEN 1 ELSE 0 END").mkString(", ") + "]")
-      .replace("%COS%", duckCosine("ea.embedding", "eb.embedding"))))
+    """))
+
+  /** Bulk ANN join (north-star similarity-search shape with no reference
+    * twin — see AnnJoin scaladoc): for EVERY embedding, its 5 most
+    * cosine-similar neighbours among the SRP-LSH candidates,
+    * sub-quadratically. The oracle replays the identical md5-derived
+    * candidate set, symmetric closure, and rank arithmetic. */
+  private val annBulkTopk = Q(
+    "ann_bulk_topk",
+    (s, dir) =>
+      graft.search.AnnJoin.bulkTopK(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k = 5, dim = 64)
+        .orderBy(col("id").asc, col("nbr_rank").asc),
+    Some(s"""
+      WITH $duckSrpCand, $duckSrpPairs,
+      sym AS (SELECT id_a AS id, id_b AS nbr, cosine FROM pairs
+              UNION ALL
+              SELECT id_b AS id, id_a AS nbr, cosine FROM pairs),
+      r AS (SELECT id, nbr, cosine,
+                   CAST(row_number() OVER (PARTITION BY id
+                     ORDER BY cosine DESC, nbr ASC) AS BIGINT) AS nbr_rank
+            FROM sym)
+      SELECT id, nbr_rank, nbr, cosine FROM r WHERE nbr_rank <= 5
+      ORDER BY id ASC, nbr_rank ASC
+    """))
 
   val all: Seq[Q] = Seq(dedupExact, dedupJaccardPairs, dedupMinhashLsh,
-    dedupSimhash, dedupCosinePairs, dedupClusters)
+    dedupSimhash, dedupCosinePairs, annBulkTopk, dedupClusters)
 }

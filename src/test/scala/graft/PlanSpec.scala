@@ -69,9 +69,26 @@ class PlanSpec extends SparkSpec {
 
   test("no dedup plan degenerates to a cartesian product") {
     Seq("dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_lsh",
-      "dedup_simhash", "dedup_cosine_pairs", "contamination_report")
+      "dedup_simhash", "dedup_cosine_pairs", "ann_bulk_topk",
+      "contamination_report")
       .foreach { q =>
         assert(!plan(q).contains("CartesianProduct"), q)
       }
+  }
+
+  test("bulk ANN join: true band equi-join — sort-merge once broadcast is off") {
+    // At fixture scale Catalyst rightly broadcasts the small band side;
+    // the 100 TB claim is that the join degrades to a SHUFFLED equi-join
+    // (never a nested loop) when the side outgrows the threshold — pin it
+    // by disabling broadcast in a scratch session.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = Queries.all("ann_bulk_topk")(s2, dir)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"candidate generation must be a shuffled equi-join on band keys:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "per-doc top-k must never fall back to all-pairs")
   }
 }
