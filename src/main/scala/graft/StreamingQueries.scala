@@ -109,8 +109,15 @@ object StreamingQueries {
       FROM documents ORDER BY doc_id ASC
     """))
 
-  /** Multimodal decode seam (stub decoder — rows-only; determinism and
-    * batch shape are pinned in ScalaTest). */
+  /** Multimodal decode seam run through the REAL batched mapPartitions
+    * decoder (the stub ByteHistogramDecoder — deterministic byte
+    * histogram, so the pipeline is fully oracle-able): a 16-bucket
+    * histogram bucket is the byte's high nibble, which DuckDB reproduces
+    * from `hex(encode(text))`. The projection exposes integer-exact
+    * features of the float vector (non-zero buckets, first argmax
+    * bucket) plus the L1 sum, which is exactly n_bytes/max(n_bytes,1)
+    * up to float summation noise ≪ the 4-dp round. A production codec
+    * drops into the same seam and keeps the rows-only contract. */
   private val multimodalFeatures = Q(
     "multimodal_features",
     (s, dir) => {
@@ -120,11 +127,35 @@ object StreamingQueries {
           new Multimodal.ByteHistogramDecoder(16))
         .select(col("doc_id"),
           size(col("features")).cast("long").as("dim"),
+          size(filter(col("features"), x => x > lit(0.0f))).cast("long")
+            .as("nnz"),
+          (array_position(col("features"), array_max(col("features"))) - 1)
+            .cast("long").as("top_bucket"),
           round(aggregate(col("features"),
             lit(0.0), (acc, v) => acc + v.cast("double")), 4).as("sum_f"))
         .orderBy(col("doc_id").asc)
     },
-    None)
+    Some("""
+      WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                        octet_length(encode(text)) AS n
+                 FROM documents),
+      nib AS (SELECT doc_id, substr(hx, 2*i-1, 1) AS c
+              FROM (SELECT doc_id, hx, unnest(range(1, n+1)) AS i FROM h)),
+      cnt AS (SELECT doc_id, strpos('0123456789ABCDEF', c) - 1 AS bucket,
+                     count(*) AS cn
+              FROM nib GROUP BY 1, 2),
+      mx AS (SELECT *, max(cn) OVER (PARTITION BY doc_id) AS max_c FROM cnt),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nnz,
+                     CAST(min(bucket) FILTER (WHERE cn = max_c) AS BIGINT)
+                       AS top_bucket
+              FROM mx GROUP BY doc_id)
+      SELECT h.doc_id, CAST(16 AS BIGINT) AS dim,
+             coalesce(a.nnz, 0) AS nnz,
+             coalesce(a.top_bucket, 0) AS top_bucket,
+             CASE WHEN h.n > 0 THEN 1.0 ELSE 0.0 END AS sum_f
+      FROM h LEFT JOIN agg a USING (doc_id)
+      ORDER BY h.doc_id ASC
+    """))
 
   private val docsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
