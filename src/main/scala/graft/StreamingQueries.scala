@@ -186,6 +186,81 @@ object StreamingQueries {
       FROM documents ORDER BY content_hash ASC
     """))
 
+  /** Stateful streaming sessionization run FOR REAL — the
+    * flatMapGroupsWithState path (EventsStream.Sessionize), not the batch
+    * window twin: the events file streams into per-user session state;
+    * two far-future sentinel rows for a fake user (-1) then advance the
+    * event-time watermark across two extra micro-batches so every real
+    * session times out and EMITS (append mode only ever outputs closed
+    * sessions; without the sentinels the final session per user would
+    * stay in the state store forever). The drained memory sink must equal
+    * the batch window-function formulation — batch≡stream for the hard
+    * stateful path, same contract the other three streaming entries pin.
+    * The oracle is the `sessionize_events` SQL minus the per-user
+    * session numbering (append-mode emission order is timeout order, so
+    * a dense per-user index is not reproducible; the (user, start, end,
+    * n, value) tuples are). */
+  private val streamingSessionize = Q(
+    "streaming_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      val tmp = s"/tmp/graft_sess_${math.abs(dir.hashCode)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(tmp).getFileSystem(conf)
+      fs.delete(new Path(tmp), true)
+      fs.mkdirs(new Path(tmp))
+      FileUtil.copy(fs, new Path(s"$dir/events.parquet"),
+        fs, new Path(s"$tmp/batch0.parquet"), false, conf)
+      // one sentinel row, appended as a NEW file so the stream sees a
+      // fresh micro-batch; ts in nanos (fixture convention), ~2096
+      def sentinel(tsNanos: Long): Unit =
+        Seq((0L, tsNanos, -1L, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(tmp)
+      val ev = s.readStream.schema(eventsSchema).parquet(tmp)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("user_id"), col("ts"), col("value"))
+        .withWatermark("ts", "0 seconds")
+        .as[EventsStream.Event]
+      val sess = EventsStream.Sessionize.streaming(ev, gapMs = 1800000L)
+      val qname = "graft_streaming_sess_" + math.abs(dir.hashCode)
+      val q = sess.writeStream.outputMode("append").format("memory")
+        .queryName(qname).start()
+      try {
+        q.processAllAvailable()                 // batch 1: all real events
+        sentinel(4000000000000000000L)          // batch 2: watermark → 2096
+        q.processAllAvailable()
+        sentinel(4100000000000000000L)          // batch 3: timeouts fire
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qname).where(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("total_value"), 2).as("total_value"))
+        .orderBy(col("user_id").asc, col("session_start").asc)
+    },
+    Some("""
+      WITH m AS (SELECT user_id, event_id, ts, value, epoch_ms(ts) AS ms
+                 FROM events),
+      b AS (SELECT *,
+              CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+                   THEN 1 ELSE 0 END AS new_sess
+            FROM m
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (SELECT *,
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+               FROM b)
+      SELECT user_id,
+             min(ts) AS session_start, max(ts) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 2) AS total_value
+      FROM sess
+      GROUP BY user_id, session_id
+      ORDER BY user_id ASC, session_start ASC
+    """))
+
   /** Stream-stream interval join (click→purchase attribution): purchases
     * join the same user's clicks from the preceding 30 minutes. Both
     * sides carry event-time watermarks, so Spark bounds the join state
@@ -233,5 +308,5 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(streamingHourly, sessionizeEvents, streamingDedup,
     multimodalMeta,
-    multimodalFeatures, streamingIntervalJoin)
+    multimodalFeatures, streamingIntervalJoin, streamingSessionize)
 }

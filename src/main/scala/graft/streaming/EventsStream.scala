@@ -34,9 +34,23 @@ object EventsStream {
                            total_value: Double)
 
   /** Mutable-session accumulator (top-level in the object: deeper nesting
-    * breaks the Catalyst encoder's codegen constructor lookup). */
+    * breaks the Catalyst encoder's codegen constructor lookup).
+    * `start`/`end` are epoch MICROseconds — Spark's native timestamp
+    * resolution — so session bounds round-trip without truncating the
+    * sub-millisecond part; gap decisions use the millisecond floor (see
+    * [[Sessionize.streaming]]). */
   private[streaming] final case class State(start: Long, end: Long, n: Long,
                                             value: Double)
+
+  /** Timestamp ↔ epoch-micros (java.sql.Timestamp keeps sub-ms in its
+    * nanos-of-second field; getTime alone would truncate it). */
+  def toMicros(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+  def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Gap-based sessionization. */
   object Sessionize {
@@ -46,11 +60,22 @@ object EventsStream {
       * event (or on state timeout). Input must carry a watermark.
       * Cross-batch late arrivals (inside the watermark): an event within a
       * gap of the open session merges into it (extending its start
-      * backwards if needed); an event more than a gap before the open
-      * session's start closes immediately as a singleton session — exact
-      * only if no sibling of that earlier session is still in flight,
-      * the standard bounded-lateness trade-off of single-pass streaming
-      * sessionization. In-order streams match the batch twin exactly. */
+      * backwards if needed). Events more than a gap BEFORE the open
+      * session's start form their own "late" session, which absorbs
+      * further late siblings of the same micro-batch that land within a
+      * gap of it (the batch had that information — sorted input), merges
+      * into the open session if a backward extension brings the two
+      * within a gap, and otherwise closes at the end of the batch. The
+      * only remaining divergence from the batch twin is late siblings
+      * split ACROSS micro-batches — the standard bounded-lateness
+      * trade-off of single-pass streaming sessionization. In-order
+      * streams match the batch twin exactly.
+      *
+      * Gap decisions compare MILLISECOND floors of the event times —
+      * byte-for-byte the batch twin's `unix_millis` arithmetic — while
+      * session bounds keep full microsecond precision, so two events
+      * exactly a gap apart ± sub-ms can never split differently between
+      * the batch and streaming forms. */
     def streaming(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
       import events.sparkSession.implicits._
       events.groupByKey(_.user_id)
@@ -60,40 +85,65 @@ object EventsStream {
             if (state.hasTimedOut) {
               val s = state.get
               state.remove()
-              Iterator.single(Session(user, new Timestamp(s.start),
-                new Timestamp(s.end), s.n, s.value))
+              Iterator.single(Session(user, fromMicros(s.start),
+                fromMicros(s.end), s.n, s.value))
             } else {
-              val sorted = it.toSeq.sortBy(_.ts.getTime)
+              val sorted = it.toSeq.sortBy(e => toMicros(e.ts))
               var closed = List.empty[Session]
               var cur = state.getOption
+              // open late-session accumulator: the most recent run of
+              // late arrivals (see scaladoc); closes at batch end
+              var late = Option.empty[State]
+              def toSession(s: State) = Session(user,
+                fromMicros(s.start), fromMicros(s.end), s.n, s.value)
+              def ms(us: Long) = Math.floorDiv(us, 1000L)
               sorted.foreach { e =>
-                val t = e.ts.getTime
+                val t = toMicros(e.ts)
                 cur match {
                   // within a gap of the open session on EITHER side:
                   // merge, extending start back for a cross-batch late
                   // arrival (in-batch events are sorted, so only late
                   // arrivals can precede the open start)
                   case Some(s)
-                      if t - s.end <= gapMs && t >= s.start - gapMs =>
-                    cur = Some(State(math.min(s.start, t),
-                      math.max(s.end, t), s.n + 1, s.value + e.value))
+                      if ms(t) - ms(s.end) <= gapMs &&
+                        ms(t) >= ms(s.start) - gapMs =>
+                    var ns = State(math.min(s.start, t),
+                      math.max(s.end, t), s.n + 1, s.value + e.value)
+                    // a backward extension can bridge to the pending
+                    // late session — then they are ONE batch session
+                    late match {
+                      case Some(ls) if ms(ns.start) - ms(ls.end) <= gapMs =>
+                        ns = State(ls.start, ns.end, ns.n + ls.n,
+                          ns.value + ls.value)
+                        late = None
+                      case _ => ()
+                    }
+                    cur = Some(ns)
                   // a late arrival more than a gap BEFORE the open
-                  // session: a session of its own, closed immediately
-                  // (the open session is not its successor's business)
-                  case Some(s) if t < s.start - gapMs =>
-                    closed ::= Session(user, new Timestamp(t),
-                      new Timestamp(t), 1, e.value)
+                  // session: extend the pending late session if within
+                  // a gap of it, else close it and open a new one
+                  case Some(s) if ms(t) < ms(s.start) - gapMs =>
+                    late match {
+                      case Some(ls) if ms(t) - ms(ls.end) <= gapMs =>
+                        late = Some(State(ls.start, t, ls.n + 1,
+                          ls.value + e.value))
+                      case Some(ls) =>
+                        closed ::= toSession(ls)
+                        late = Some(State(t, t, 1, e.value))
+                      case None =>
+                        late = Some(State(t, t, 1, e.value))
+                    }
                   case Some(s) =>
-                    closed ::= Session(user, new Timestamp(s.start),
-                      new Timestamp(s.end), s.n, s.value)
+                    closed ::= toSession(s)
                     cur = Some(State(t, t, 1, e.value))
                   case None =>
                     cur = Some(State(t, t, 1, e.value))
                 }
               }
+              late.foreach(ls => closed ::= toSession(ls))
               cur.foreach { s =>
                 state.update(s)
-                state.setTimeoutTimestamp(s.end + gapMs)
+                state.setTimeoutTimestamp(ms(s.end) + gapMs)
               }
               closed.reverseIterator
             }

@@ -102,6 +102,76 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((5L, 5L, 1L, 4.0), (25L, 30L, 2L, 3.0)))
   }
 
+  test("streaming sessionize: late siblings in one batch merge like batch") {
+    val gapMs = 10 * 60000L
+    val mem = MemoryStream[Event](spark)
+    // batch 1 opens a session at minute 60 (large watermark delay keeps
+    // the batch-2 late events admissible)
+    mem.addData(Seq(Event(1L, ts(60), 1.0)))
+    val withWm = mem.toDS().withWatermark("ts", "5 hours").as[Event]
+    val q = EventsStream.Sessionize.streaming(withWm, gapMs)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("t_sess_sib").start()
+    q.processAllAvailable()
+    // batch 2: three late events, all > gap before the open start (50):
+    // 5 and 12 are within a gap of each other -> ONE session (not two
+    // singletons); 30 is > gap after 12 -> its own session
+    mem.addData(Seq(Event(1L, ts(5), 2.0), Event(1L, ts(12), 4.0),
+      Event(1L, ts(30), 8.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(Event(99L, ts(2000), 0.0)))   // flush state
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_sess_sib").as[Session].collect()
+      .filter(_.user_id != 99L)
+      .map(s => (s.session_start.getTime / 60000 - 60,
+        s.session_end.getTime / 60000 - 60, s.n_events, s.total_value)).toSet
+    assert(got == Set((5L, 12L, 2L, 6.0), (30L, 30L, 1L, 8.0),
+      (60L, 60L, 1L, 1.0)))
+  }
+
+  test("streaming sessionize: a backward merge bridges to the late run") {
+    val gapMs = 10 * 60000L
+    val mem = MemoryStream[Event](spark)
+    mem.addData(Seq(Event(1L, ts(60), 1.0)))
+    val withWm = mem.toDS().withWatermark("ts", "5 hours").as[Event]
+    val q = EventsStream.Sessionize.streaming(withWm, gapMs)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("t_sess_bridge").start()
+    q.processAllAvailable()
+    // batch 2: 44 is late (> gap before 50); 52 merges backwards into the
+    // open session (start -> 52) and 52 - 44 <= gap bridges the late run
+    // in, so the batch-equivalent single session (44-60) must come out
+    mem.addData(Seq(Event(1L, ts(44), 2.0), Event(1L, ts(52), 4.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(Event(99L, ts(2000), 0.0)))   // flush state
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_sess_bridge").as[Session].collect()
+      .filter(_.user_id != 99L)
+      .map(s => (s.session_start.getTime / 60000 - 60,
+        s.session_end.getTime / 60000 - 60, s.n_events, s.total_value)).toSet
+    assert(got == Set((44L, 60L, 3L, 7.0)))
+  }
+
+  test("session timestamps keep microsecond precision through state") {
+    val us = 123456L  // sub-millisecond part that a ms round-trip drops
+    val t0 = EventsStream.fromMicros(ts(10).getTime * 1000L + us)
+    assert(EventsStream.toMicros(t0) == ts(10).getTime * 1000L + us)
+    val mem = MemoryStream[Event](spark)
+    mem.addData(Seq(Event(1L, t0, 1.0)))
+    val withWm = mem.toDS().withWatermark("ts", "1 hour").as[Event]
+    val q = EventsStream.Sessionize.streaming(withWm, 10 * 60000L)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("t_sess_us").start()
+    q.processAllAvailable()
+    mem.addData(Seq(Event(99L, ts(2000), 0.0)))   // flush state
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_sess_us").as[Session].collect()
+      .filter(_.user_id != 99L)
+    assert(got.length == 1)
+    assert(EventsStream.toMicros(got.head.session_start)
+      == ts(10).getTime * 1000L + us)
+  }
+
   test("graft SQL functions registered via extensions surface") {
     GraftExtensions.register(spark)
     Seq((Array(0f, 3f), Array(4f, 0f))).toDF("a", "b")
