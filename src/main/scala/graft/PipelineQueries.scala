@@ -49,6 +49,62 @@ object PipelineQueries {
     },
     Some(exactTop5Oracle))
 
+  /** IVF search at PARTIAL probe (nprobe=4 of nlist=16) — the pruning
+    * arithmetic itself is oracled, not just the exact-degenerate case:
+    * the query hands the built centroid table and the (vec_id,
+    * cluster_id) assignment map to DuckDB at a fixed path, and the
+    * oracle re-ranks the centroids against the query vector (unrounded
+    * double L2, cluster-id tie-break — byte-for-byte the
+    * IvfIndex.probeClusters arithmetic), selects the same 4 clusters,
+    * and computes top-k over exactly those partitions. Any cross-engine
+    * divergence in the probe ranking or the pruned scan flips the hash. */
+  private val ivfPartialProbe = Q(
+    "ivf_partial_probe",
+    (s, dir) => {
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      // handoff artifacts for the oracle (fixed path — the oracle SQL is
+      // static text and cannot see sfDir): tiny (nlist rows + one long
+      // pair per vector)
+      val oracleDir = "/tmp/graft_ivf_probe_oracle"
+      s.read.parquet(IvfIndex.centroidsDir(indexDir))
+        .coalesce(1).write.mode("overwrite").parquet(s"$oracleDir/centroids")
+      s.read.parquet(IvfIndex.dataDir(indexDir))
+        .select(col("vec_id"), col("cluster_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$oracleDir/assign")
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      IvfIndex.search(s, model, "embedding", "vec_id", query, k = 5,
+          nprobe = 4)
+        .select("vec_id", "distance")
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      cent AS (SELECT * FROM
+        read_parquet('/tmp/graft_ivf_probe_oracle/centroids/*.parquet')),
+      ranked AS (SELECT cluster_id,
+                   row_number() OVER (ORDER BY
+                     list_sum(list_transform(range(1, len(centroid)+1),
+                       i -> (CAST(centroid[i] AS DOUBLE)
+                             - CAST(qe[i] AS DOUBLE))^2)) ASC,
+                     cluster_id ASC) AS rn
+                 FROM cent, q),
+      probe AS (SELECT cluster_id FROM ranked WHERE rn <= 4),
+      a AS (SELECT * FROM
+        read_parquet('/tmp/graft_ivf_probe_oracle/assign/*.parquet')),
+      sel AS (SELECT e.vec_id, e.embedding
+              FROM embeddings e
+              JOIN a ON a.vec_id = e.vec_id
+              JOIN probe p ON p.cluster_id = a.cluster_id)
+      SELECT e.vec_id, %L2% AS distance
+      FROM sel e, q
+      ORDER BY distance ASC, e.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   /** The §4.3 stretch rule end-to-end: a NAIVE orderBy(l2)+limit over the
     * IVF data dir, with the index registered at nprobe=nlist — the
     * optimizer injects the probe filter, and the result must still equal
@@ -542,7 +598,8 @@ object PipelineQueries {
       FROM v GROUP BY 1 ORDER BY segment ASC
     """))
 
-  val all: Seq[Q] = Seq(ivfSearch, ivfAutoRewrite, ivfAutoRewriteSql,
+  val all: Seq[Q] = Seq(ivfSearch, ivfPartialProbe, ivfAutoRewrite,
+    ivfAutoRewriteSql,
     ivfIncrementalSearch, multiStrategySearch,
     chapterParse, collectionRoundtrip, ragContextLines, embedIngest,
     keywordTextSearch, chunkTextSearch, questionAnswerPipeline,
