@@ -245,6 +245,82 @@ case class DequantizedL2(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Signed-random-projection signature: sign bits of `bits` fixed hyperplane
+  * projections of an ARRAY<FLOAT> vector — the per-row map step of the
+  * SRP-LSH cosine family ([[graft.dedup.Dedup.cosineCandidatePairs]],
+  * [[graft.search.AnnJoin]]). One codegen pass computes all planes
+  * (`weights` is row-major `bits × dim`, shipped as a reference object),
+  * replacing the interpreted `aggregate(zip_with(...))` per plane — at 64
+  * planes the HOF form pays ~bits × dim lambda calls per row and dominates
+  * the signature stage of a corpus-scale dedup run.
+  *
+  * Accumulation is left-to-right in double precision over the common
+  * prefix of (dim, vector length), matching the DuckDB oracle's
+  * `sum((nibble - 7.5) * x)` formulation at the sign-decision granularity.
+  * Output: ARRAY<INT> of 0/1, length `bits`.
+  */
+case class SrpSignature(child: Expression, weights: IndexedSeq[Double],
+                        bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits > 0 && weights.length % bits == 0,
+    s"weights length ${weights.length} must be bits=$bits × dim")
+  private val dim = weights.length / bits
+  @transient private lazy val w: Array[Double] = weights.toArray
+
+  override def prettyName: String = "srp_signature"
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, x.numElements())
+    val out = new Array[Int](bits)
+    var p = 0
+    while (p < bits) {
+      val off = p * dim
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += w(off + i) * x.getFloat(i).toDouble; i += 1 }
+      out(p) = if (acc > 0) 1 else 0
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val wRef = ctx.addReferenceObj("srpWeights", w, "double[]")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val off = ctx.freshName("off")
+      s"""
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |int[] $out = new int[$bits];
+         |for (int $p = 0; $p < $bits; $p++) {
+         |  int $off = $p * $dim;
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $wRef[$off + $i] * (double) $v.getFloat($i);
+         |  }
+         |  $out[$p] = ($acc > 0.0) ? 1 : 0;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API for the vector kernels. */
 object VectorFunctions {
   def l2Sq(a: Column, b: Column): Column =
@@ -259,4 +335,9 @@ object VectorFunctions {
   def dequantL2(qvec: Column, scale: Column, query: Column): Column =
     Bridge.column(DequantizedL2(Bridge.expression(qvec),
       Bridge.expression(scale), Bridge.expression(query)))
+
+  /** SRP sign-bit signature; `weights` is plane-major (bits rows × dim). */
+  def srpSignature(vec: Column, weights: IndexedSeq[IndexedSeq[Double]]): Column =
+    Bridge.column(SrpSignature(Bridge.expression(vec),
+      weights.flatten.toIndexedSeq, weights.length))
 }

@@ -1,7 +1,6 @@
 package graft.search
 
 import graft.dedup.Dedup
-import graft.functions.VectorFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,15 +13,21 @@ import org.apache.spark.sql.functions._
   *
   * Sub-quadratic by construction: candidates come from the same
   * signed-random-projection LSH family as [[Dedup.cosineCandidatePairs]]
-  * (16 md5-derived hyperplanes → sign bits → band keys); only pairs
-  * sharing a band are cosine-verified, and the per-document top-k is a
-  * window over those candidates. Nothing in the plan is O(corpus²):
-  *  - signature: per-row map work (O(rows × bits × dim));
+  * (64 md5-derived hyperplanes → sign bits → 4 bands of 16 bits); only
+  * pairs sharing a non-hot band are cosine-verified, and the per-document
+  * top-k is a window over those candidates. Nothing in the plan is
+  * O(corpus²):
+  *  - signature: per-row codegen map work (O(rows × bits × dim));
   *  - candidate generation: equi-JOIN on (band, band_key) — shuffle by
-  *    band key, cost Σ_key (rows-per-key)², driven by genuinely-similar
-  *    clusters rather than n²;
-  *  - per-id top-k: one shuffle of the candidate pairs by id (each pair
-  *    contributes one row per endpoint), rank ≤ k.
+  *    band key, cost Σ_key (rows-per-key)². With 16-bit band keys two
+  *    UNRELATED vectors collide with probability ≈ 0.5¹⁶ ≈ 1.5×10⁻⁵ per
+  *    band, so candidate volume is driven by genuinely-similar clusters;
+  *    `maxBucket` caps the residual quadratic term of any degenerate
+  *    bucket with an observable dropped record ([[Dedup.srpHotBuckets]]);
+  *  - per-id top-k: the symmetric closure is an `explode` of each pair
+  *    into its two endpoint rows (so the band join + cosine kernel run
+  *    ONCE per action, not once per union branch), then one shuffle of
+  *    the candidate pairs by id, rank ≤ k.
   * No O(corpus) broadcast anywhere; the hyperplanes are md5-deterministic
   * so the DuckDB oracle reproduces the IDENTICAL candidate set and the
   * comparison is exact, not a recall gamble (same contract as
@@ -30,49 +35,99 @@ import org.apache.spark.sql.functions._
   *
   * Documents whose band buckets contain no other document yield no rows —
   * correct for near-dup mining (no candidates ⇔ nothing within LSH
-  * reach); a guaranteed-k variant would union an exact fallback for the
-  * missing ids (their count is an observable, bounded follow-up scan).
+  * reach); [[bulkTopKGuaranteed]] is the variant that unions an exact
+  * fallback for those ids so every document gets exactly k rows.
   */
 object AnnJoin {
-  /** Per-id top-k most-cosine-similar neighbours among SRP-LSH candidate
-    * pairs. Output: (id, nbr_rank 1..k, nbr, cosine), ordered by
-    * (id, nbr_rank). Ranking uses the 4-dp-rounded cosine with an id
-    * tie-break, so it is reproducible cross-engine. */
-  def bulkTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-               dim: Int, bits: Int = 16, nBands: Int = 4): DataFrame = {
-    require(bits % nBands == 0)
-    val bandSize = bits / nBands
-    val w = Dedup.srpWeights(bits, dim)
-    def bandKey(sigCol: org.apache.spark.sql.Column, b: Int) =
-      concat_ws("", (0 until bandSize).map(j =>
-        sigCol.getItem(b * bandSize + j)): _*)
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Dedup.srpSignature(col(vecCol), w).as("sig"))
-    val bands = sig.select(col("id"), col("v"), col("sig"),
-      posexplode(array((0 until nBands).map(b => bandKey(col("sig"), b)): _*))
-        .as(Seq("band", "band_key")))
-    val a = bands.select(col("band"), col("band_key"),
-      col("id").as("id_a"), col("v").as("v_a"), col("sig").as("sig_a"))
-    val b = bands.select(col("band"), col("band_key"),
-      col("id").as("id_b"), col("v").as("v_b"), col("sig").as("sig_b"))
-    // id_a < id_b + first-matching-band: each unordered pair surfaces
-    // exactly once, so the cosine kernel runs once per candidate pair;
-    // both directions are recovered by the symmetric union below.
-    val firstMatch = (0 until nBands).map { bd =>
-      (col("band") === bd) && (0 until bd)
-        .map(pb => bandKey(col("sig_a"), pb) =!= bandKey(col("sig_b"), pb))
-        .foldLeft(lit(true))(_ && _)
-    }.reduce(_ || _)
-    val pairs = a.join(b, Seq("band", "band_key"))
-      .where(col("id_a") < col("id_b") && firstMatch)
-      .select(col("id_a"), col("id_b"),
-        round(VectorFunctions.cosineSim(col("v_a"), col("v_b")), 4).as("cosine"))
-    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"), col("cosine"))
-      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nbr"), col("cosine")))
+  /** Cosine-verified SRP-LSH candidate pairs for `df`, built either
+    * in-plan or from the build-once parquet band artifact when `workDir`
+    * is given (the warehouse form — see [[Dedup.srpBandsTable]]). */
+  private def candidatePairs(df: DataFrame, idCol: String, vecCol: String,
+                             dim: Int, bits: Int, nBands: Int,
+                             maxBucket: Int,
+                             workDir: Option[String]): DataFrame = {
+    workDir match {
+      case Some(d) =>
+        Dedup.srpVerifiedPairsTable(df, idCol, vecCol, dim, bits, nBands,
+          maxBucket, d)
+      case None =>
+        val bands = Dedup.srpBands(df, idCol, vecCol, dim, bits, nBands)
+        Dedup.cosineVerifiedPairs(
+          Dedup.srpKeptBands(bands, Dedup.srpHotBuckets(bands, maxBucket)))
+    }
+  }
+
+  /** Each unordered pair exploded into its two directed endpoint rows
+    * `(id, nbr, cosine)` — the symmetric closure without re-executing the
+    * candidate join per union branch. */
+  private def symmetric(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(
+        struct(col("id_a").as("id"), col("id_b").as("nbr")),
+        struct(col("id_b").as("id"), col("id_a").as("nbr")))).as("e"),
+      col("cosine"))
+      .select(col("e.id").as("id"), col("e.nbr").as("nbr"), col("cosine"))
+
+  /** Per-id top-k over a symmetric `(id, nbr, cosine)` edge set. Ranking
+    * uses the 4-dp-rounded cosine with an id tie-break, so it is
+    * reproducible cross-engine. */
+  private def topKPerId(sym: DataFrame, k: Int): DataFrame = {
     val byId = Window.partitionBy(col("id"))
       .orderBy(col("cosine").desc, col("nbr").asc)
     sym.withColumn("nbr_rank", row_number().over(byId).cast("long"))
       .where(col("nbr_rank") <= k)
       .select(col("id"), col("nbr_rank"), col("nbr"), col("cosine"))
+  }
+
+  /** Per-id top-k most-cosine-similar neighbours among SRP-LSH candidate
+    * pairs. Output: (id, nbr_rank 1..k, nbr, cosine), ordered by
+    * (id, nbr_rank). Ids with no surviving band companion yield no rows
+    * (see class doc / [[bulkTopKGuaranteed]]). */
+  def bulkTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               dim: Int, bits: Int = 64, nBands: Int = 4,
+               maxBucket: Int = 4096,
+               workDir: Option[String] = None): DataFrame =
+    topKPerId(symmetric(
+      candidatePairs(df, idCol, vecCol, dim, bits, nBands, maxBucket,
+        workDir)), k)
+
+  /** Guaranteed-k bulk ANN join: like [[bulkTopK]], but ids the LSH tier
+    * left DEFICIENT (fewer than k candidate neighbours — empty band
+    * buckets, hot-bucket drops, or just a sparse neighbourhood) fall back
+    * to their EXACT top-k over the whole corpus, so every id emits
+    * exactly k rows (given corpus size > k).
+    *
+    * Scale shape: the deficient set is an observable, bounded follow-up —
+    * its ids are collected per-id counts only (never vectors), and the
+    * fallback is one scan of the corpus joined to the BROADCAST deficient
+    * vectors with a per-partition bounded heap... expressed here as a
+    * broadcast-join + window because the deficient count is small by
+    * construction (LSH leaves few orphans; if it left many, the band
+    * parameters are wrong, and the observable makes that loud). A
+    * deficient id's rows are entirely exact (not a mix), so the semantics
+    * are clean: `rows(id) = lsh_topk(id)` when LSH found ≥ k candidates,
+    * else `exact_topk(id)`. */
+  def bulkTopKGuaranteed(df: DataFrame, idCol: String, vecCol: String,
+                         k: Int, dim: Int, bits: Int = 64, nBands: Int = 4,
+                         maxBucket: Int = 4096,
+                         workDir: Option[String] = None): DataFrame = {
+    val sym = symmetric(
+      candidatePairs(df, idCol, vecCol, dim, bits, nBands, maxBucket,
+        workDir))
+    val lsh = topKPerId(sym, k)
+    val ids = df.select(col(idCol).as("id"))
+    // ids with ≥ k LSH rows keep them; everyone else (including ids with
+    // ZERO candidates, which lsh cannot even name) goes exact
+    val full = lsh.groupBy(col("id")).agg(count(lit(1)).as("n_lsh"))
+      .where(col("n_lsh") >= k).select(col("id"))
+    val deficient = ids.join(full, Seq("id"), "left_anti")
+    val defVecs = deficient
+      .join(df.select(col(idCol).as("id"), col(vecCol).as("v_q")), Seq("id"))
+    val corpus = df.select(col(idCol).as("nbr"), col(vecCol).as("v_c"))
+    val exact = corpus.join(broadcast(defVecs), col("nbr") =!= col("id"))
+      .select(col("id"), col("nbr"),
+        round(graft.functions.VectorFunctions.cosineSim(
+          col("v_q"), col("v_c")), 4).as("cosine"))
+    val lshKept = lsh.join(broadcast(full), Seq("id"), "left_semi")
+    lshKept.unionByName(topKPerId(exact, k))
   }
 }

@@ -152,6 +152,67 @@ class DedupSpec extends SparkSpec {
     assert(r.values.toSet == Set(0L) && r.size == n)
   }
 
+  test("SRP candidate set is ≪ n² on a clustered corpus (16-bit band keys)") {
+    // 200 vectors in 10 tight clusters: intra-cluster pairs must collide
+    // (near-identical sign bits), inter-cluster pairs must NOT — with
+    // 16-bit band keys a random pair collides w.p. ≈ 4 × 1.5e-5, so the
+    // candidate count is driven by the 10 × C(20,2) = 1900 genuine pairs,
+    // not by n(n-1)/2 = 19900. The round-3 4-bit keys put ~20% of ALL
+    // pairs in the candidate set; this test is the regression pin.
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val centers = Seq.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = for (c <- 0 until 10; m <- 0 until 20) yield
+      ((c * 20 + m).toLong,
+        centers(c).map(x => (x + 0.02 * rnd.nextGaussian()).toFloat).toSeq)
+    val df = rows.toDF("id", "v")
+    val bands = Dedup.srpBands(df, "id", "v", dim = dim, bits = 64, nBands = 4)
+    val nCand = Dedup.cosineVerifiedPairs(
+      Dedup.srpKeptBands(bands, Dedup.srpHotBuckets(bands, 4096))).count()
+    val allPairs = 200L * 199 / 2
+    assert(nCand < allPairs / 5,
+      s"candidate set $nCand is a constant fraction of n²=$allPairs — " +
+        "band keys too short")
+    assert(nCand >= 1500,
+      s"candidate set $nCand misses planted intra-cluster pairs")
+  }
+
+  test("hot SRP buckets are capped with an observable dropped record") {
+    // 50 identical vectors land in the same 4 band buckets; cap 10 drops
+    // all of them (the degenerate-bucket story: without the cap this is
+    // the quadratic term), and srpHotBuckets is the observable record.
+    val v = Seq.fill(8)(1.0f)
+    val df = (0L until 50L).map(i => (i, v)).toDF("id", "v")
+    val bands = Dedup.srpBands(df, "id", "v", dim = 8, bits = 64, nBands = 4)
+    val hot = Dedup.srpHotBuckets(bands, maxBucket = 10)
+      .as[(Int, String, Long)].collect()
+    assert(hot.length == 4 && hot.forall(_._3 == 50L))
+    val pairs = Dedup.cosineCandidatePairs(df, "id", "v", k = 100, dim = 8,
+      maxBucket = 10)
+    assert(pairs.count() == 0L)
+  }
+
+  test("bulkTopKGuaranteed: every id emits exactly k rows, exact for orphans") {
+    // 2 near-identical vectors (LSH finds each other, but that is only 1
+    // neighbour < k) + 10 scattered ones ⇒ everyone is deficient at k=3
+    // and falls back to exact; spot-check one id against brute force.
+    val rnd = new scala.util.Random(11)
+    def vec(): Seq[Float] = Seq.fill(8)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    val rows = Seq((0L, base), (1L, base.map(x => x + 0.001f))) ++
+      (2L to 11L).map(i => (i, vec()))
+    val df = rows.toDF("id", "v")
+    val r = graft.search.AnnJoin.bulkTopKGuaranteed(df, "id", "v",
+        k = 3, dim = 8)
+      .as[(Long, Long, Long, Double)].collect()
+    val byId = r.groupBy(_._1)
+    assert(byId.size == 12 && byId.values.forall(_.length == 3),
+      s"every id must emit exactly 3 rows, got ${byId.view.mapValues(_.length).toMap}")
+    // brute-force check for id 0: nearest neighbour is the planted twin
+    val id0 = byId(0L).sortBy(_._2)
+    assert(id0.head._3 == 1L && id0.head._4 > 0.999)
+  }
+
   test("cosineCandidatePairs finds planted near-duplicate vectors") {
     val rnd = new scala.util.Random(7)
     def vec(): Seq[Float] = Seq.fill(8)(rnd.nextGaussian().toFloat)

@@ -70,7 +70,7 @@ class PlanSpec extends SparkSpec {
   test("no dedup plan degenerates to a cartesian product") {
     Seq("dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_cosine_pairs", "ann_bulk_topk",
-      "contamination_report")
+      "ann_bulk_topk_guaranteed", "contamination_report")
       .foreach { q =>
         assert(!plan(q).contains("CartesianProduct"), q)
       }
@@ -80,10 +80,14 @@ class PlanSpec extends SparkSpec {
     // At fixture scale Catalyst rightly broadcasts the small band side;
     // the 100 TB claim is that the join degrades to a SHUFFLED equi-join
     // (never a nested loop) when the side outgrows the threshold — pin it
-    // by disabling broadcast in a scratch session.
+    // by disabling broadcast in a scratch session. workDir=None pins the
+    // IN-PLAN band join (the registry entries scan the build-once pairs
+    // artifact instead, whose builder runs this same plan).
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val p = Queries.all("ann_bulk_topk")(s2, dir)
+    val p = graft.search.AnnJoin.bulkTopK(
+        core.Tables.embeddings(s2, dir), "vec_id", "embedding",
+        k = 5, dim = 64)
       .queryExecution.executedPlan.toString()
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
       s"candidate generation must be a shuffled equi-join on band keys:\n$p")
