@@ -45,7 +45,7 @@ object TextSearch {
     * (chunk_rank, chunk, id, distance). */
   def chunkSearch(spark: SparkSession, docs: DataFrame, idCol: String,
                   textCol: String, queryText: String, embedder: Embedder,
-                  k: Int = 1, roundTo: Int = -1): DataFrame = {
+                  k: Int = 1): DataFrame = {
     import spark.implicits._
     val chunkRows = Keywords.chunks(
         Seq((0L, queryText)).toDF("qid", "text"), "qid", "text")
@@ -57,8 +57,14 @@ object TextSearch {
       .toDF("chunk_rank", "chunk", "qe")
     val corpus = Embed.withEmbeddings(
       docs.select(col(idCol), col(textCol)), textCol, "embedding", embedder)
-    Knn.knnJoin(corpus, "embedding", idCol, strategies, "chunk_rank", "qe",
-        k, roundTo)
+    // knnJoinLarge (bounded per-partition heaps — the 100 TB form) rather
+    // than knnJoin's corpus×queries window; ranking is identical (4-dp
+    // distance, id tie-break). The chunk text rides back in via a
+    // broadcast of the tiny strategy table.
+    Knn.knnJoinLarge(corpus, "embedding", idCol, strategies, "chunk_rank",
+        "qe", k)
+      .join(broadcast(strategies.select(col("chunk_rank"), col("chunk"))),
+        Seq("chunk_rank"))
       .select(col("chunk_rank"), col("chunk"), col(idCol), col("distance"))
   }
 

@@ -143,7 +143,15 @@ object EventsStream {
               late.foreach(ls => closed ::= toSession(ls))
               cur.foreach { s =>
                 state.update(s)
-                state.setTimeoutTimestamp(ms(s.end) + gapMs)
+                // clamp: when a batch holds only admissible-late events
+                // older than watermark − gap, end+gap can precede the
+                // current watermark and Spark rejects the timeout with
+                // IllegalArgumentException (kills the whole query).
+                // Unreachable at the 0s delay the shipped entry uses, but
+                // reachable through the public API with a real delay.
+                state.setTimeoutTimestamp(
+                  math.max(ms(s.end) + gapMs,
+                    state.getCurrentWatermarkMs() + 1))
               }
               closed.reverseIterator
             }
