@@ -1,0 +1,162 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.search.{AnnJoin, IvfIndex, Knn}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scaling rehearsal (SCALE.md): run the dedup / ANN / IVF families over
+  * DETERMINISTIC synthetic corpora at multiple sizes and report the
+  * observed time-vs-corpus exponent per operator — the empirical check
+  * that no operator is secretly super-linear (the round-3 SRP band-key
+  * defect would have shown up here as exponent → 2 in the candidate
+  * count while the sf0.1 fixture showed nothing).
+  *
+  * Corpus shape mirrors what the operators are FOR: embeddings come in
+  * tight clusters of `clusterSize` near-duplicates (so LSH has real
+  * positives to find — an all-random corpus has no candidates and would
+  * flatter any LSH); documents contain planted near-dup pairs (one token
+  * edited) on the same rationale. Seeded JVM PRNG per row id, so every
+  * run at a given n sees byte-identical data.
+  *
+  * Usage: tools/run.sh graft.ScaleBench [sizes]   (default "4000,16000")
+  * Prints one markdown row per (operator, n) plus a fitted exponent
+  * log(t_hi/t_lo)/log(n_hi/n_lo) per operator across consecutive sizes.
+  */
+object ScaleBench {
+  private val Dim = 64
+
+  /** n vectors in clusters of 8: cluster centre ~N(0,1)^64 from a PRNG
+    * seeded by the cluster id, members = centre + 0.02·noise seeded by the
+    * row id. Deterministic for any n; bigger n = more clusters (constant
+    * density, the realistic growth mode — a 10× corpus has 10× the
+    * near-dup groups, not 10×-bigger groups). */
+  def synthEmbeddings(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    val clusterSize = 8
+    val rows = (0 until n).map { i =>
+      val c = i / clusterSize
+      val rc = new scala.util.Random(1000003L * c + 17)
+      val centre = Array.fill(Dim)(rc.nextGaussian())
+      val rm = new scala.util.Random(7919L * i + 3)
+      (i.toLong, centre.map(x => (x + 0.02 * rm.nextGaussian()).toFloat).toSeq)
+    }
+    rows.toDF("vec_id", "embedding").repartition(32)
+  }
+
+  /** n docs of 30 tokens from a 5000-word vocab; every 4th doc is a
+    * near-dup of its predecessor with one token edited (Jaccard ≈ 0.93,
+    * simhash-adjacent) — the planted positives the text-dedup family
+    * exists to find. */
+  def synthDocs(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until n).map { i =>
+      if (i % 4 == 1) {
+        val r = new scala.util.Random(104729L * (i - 1) + 5)
+        val toks = Array.fill(30)(s"w${r.nextInt(5000)}")
+        toks(13) = s"w${new scala.util.Random(i).nextInt(5000)}"
+        (i.toLong, toks.mkString(" "))
+      } else {
+        val r = new scala.util.Random(104729L * i + 5)
+        (i.toLong, Array.fill(30)(s"w${r.nextInt(5000)}").mkString(" "))
+      }
+    }
+    rows.toDF("doc_id", "text").repartition(32)
+  }
+
+  private def materialize(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = (if (args.nonEmpty) args(0) else "4000,16000")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(body: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val out = body
+      ((System.nanoTime() - t0) / 1e9, out)
+    }
+
+    // (operator, n) -> (seconds, result cardinality)
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Int), (Double, Long)]
+
+    for (n <- sizes) {
+      val emb = materialize(synthEmbeddings(spark, n), s"/tmp/graft_scale/emb_$n")
+      val docs = materialize(synthDocs(spark, n), s"/tmp/graft_scale/docs_$n")
+      val ops: Seq[(String, () => Long)] = Seq(
+        "srp_candidate_pairs" -> (() => {
+          val bands = Dedup.srpBands(emb, "vec_id", "embedding", Dim, 64, 4)
+          Dedup.cosineVerifiedPairs(
+            Dedup.srpKeptBands(bands, Dedup.srpHotBuckets(bands, 4096))).count()
+        }),
+        "ann_bulk_topk" -> (() =>
+          AnnJoin.bulkTopK(emb, "vec_id", "embedding", k = 5, dim = Dim).count()),
+        "knn_exact_1q (linear baseline)" -> (() => {
+          import spark.implicits._
+          val q = Seq(Tuple1(emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head())).toDF("qe")
+          Knn.topK(emb, "embedding", "vec_id", q, "qe", 5).count()
+        }),
+        "ivf_build (nlist=64)" -> (() => {
+          IvfIndex.build(emb, "embedding", s"/tmp/graft_scale/ivf_$n",
+            nlist = 64, maxIter = 10)
+          1L
+        }),
+        "ivf_search (nprobe=8)" -> (() => {
+          import spark.implicits._
+          val model = IvfIndex.load(spark, s"/tmp/graft_scale/ivf_$n")
+          val q = emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head().toArray
+          IvfIndex.search(spark, model, "embedding", "vec_id", q,
+            k = 5, nprobe = 8).count()
+        }),
+        "minhash_candidates" -> (() =>
+          Dedup.minhashCandidates(docs, "doc_id", "text", 8, 1).count()),
+        "simhash_near_pairs" -> (() =>
+          Dedup.simhashNearPairs(docs, "doc_id", "text", maxHamming = 1).count()),
+        "jaccard_top20" -> (() =>
+          Dedup.jaccardTopPairs(docs, "doc_id", "text", k = 20).count()),
+        "exact_dedup" -> (() => Dedup.exact(docs, "doc_id", "text").count())
+      )
+      ops.foreach { case (name, body) =>
+        body()                            // warm-up (JIT/codegen/page cache)
+        val (t, card) = timed(body())
+        results((name, n)) = (t, card)
+        System.err.println(f"[scale] $name%-32s n=$n%-6d ${t}%7.2fs  rows=$card")
+      }
+    }
+
+    // exponents over the LAST size pair — the small-n points are Spark
+    // fixed-cost dominated (job launch ~0.2-0.5 s swamps the compute), so
+    // head-vs-last would understate every operator's true growth
+    println("| operator | " + sizes.map(n => s"t(n=$n) | rows(n=$n)").mkString(" | ") +
+      " | t-exponent | rows-exponent |")
+    println("|---|" + ("---|" * (2 * sizes.size + 2)))
+    val opNames = results.keys.map(_._1).toSeq.distinct
+    val (nLo, nHi) = (sizes(sizes.size - 2), sizes.last)
+    opNames.foreach { op =>
+      val cells = sizes.map { n =>
+        val (t, c) = results((op, n)); f"$t%.2f s | $c%d"
+      }
+      val ((tLo, cLo), (tHi, cHi)) = (results((op, nLo)), results((op, nHi)))
+      val logN = math.log(nHi.toDouble / nLo.toDouble)
+      val tExp = math.log(tHi / tLo) / logN
+      val rExp =
+        if (cLo > 0 && cHi > 0) f"${math.log(cHi.toDouble / cLo) / logN}%.2f"
+        else "-"
+      println(s"| $op | " + cells.mkString(" | ") + f" | $tExp%.2f | $rExp |")
+    }
+    spark.stop()
+  }
+}

@@ -297,17 +297,20 @@ object Dedup {
   }
 
   /** Deterministic signed-random-projection weights: plane `p` (1-based,
-    * up to 64) weights dimension `i` (1-based) by nibble `p` of
-    * md5("w" + i) ∥ md5("x" + i), centered at 7.5 (planes 1-32 use the
-    * "w" digest — unchanged from the 16/32-plane form — planes 33-64 the
-    * "x" digest). Derived only from md5, so the DuckDB oracle reproduces
-    * the identical planes (see DedupQueries). */
+    * up to 128) weights dimension `i` (1-based) by nibble `p` of
+    * md5("w" + i) ∥ md5("x" + i) ∥ md5("y" + i) ∥ md5("z" + i), centered
+    * at 7.5. Salts are appended, so any prefix of planes is IDENTICAL at
+    * every `bits` — widening the signature for a bigger corpus (the
+    * band-width-grows-with-log-n rule, see SCALE.md) never changes the
+    * planes an oracle already pins. Derived only from md5, so the DuckDB
+    * oracle reproduces the identical planes (see DedupQueries). */
   def srpWeights(bits: Int, dim: Int): IndexedSeq[IndexedSeq[Double]] = {
-    require(bits <= 64, s"srpWeights supports at most 64 planes, got $bits")
+    require(bits <= 128, s"srpWeights supports at most 128 planes, got $bits")
     val md = java.security.MessageDigest.getInstance("MD5")
     def hex(s: String): String =
       md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val hexes = (1 to dim).map(i => hex(s"w$i") + hex(s"x$i"))
+    val hexes = (1 to dim).map(i =>
+      hex(s"w$i") + hex(s"x$i") + hex(s"y$i") + hex(s"z$i"))
     (1 to bits).map(p => (1 to dim).map(i =>
       Integer.parseInt(hexes(i - 1).substring(p - 1, p), 16) - 7.5))
   }

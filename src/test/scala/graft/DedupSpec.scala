@@ -152,6 +152,14 @@ class DedupSpec extends SparkSpec {
     assert(r.values.toSet == Set(0L) && r.size == n)
   }
 
+  test("srpWeights: widening the signature never changes existing planes") {
+    // the oracle pins planes 1-64; a 128-plane production signature must
+    // keep that prefix byte-identical or every pinned candidate set breaks
+    val w64 = Dedup.srpWeights(64, 8)
+    val w128 = Dedup.srpWeights(128, 8)
+    assert(w128.take(64) == w64)
+  }
+
   test("SRP candidate set is ≪ n² on a clustered corpus (16-bit band keys)") {
     // 200 vectors in 10 tight clusters: intra-cluster pairs must collide
     // (near-identical sign bits), inter-cluster pairs must NOT — with
