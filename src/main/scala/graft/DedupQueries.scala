@@ -2,7 +2,7 @@ package graft
 
 import graft.QueryDsl._
 import graft.core.Tables
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, SemanticDedup}
 import org.apache.spark.sql.functions._
 
 /** Deduplication-operator coverage (north-star surface): exact,
@@ -299,7 +299,61 @@ object DedupQueries {
       ORDER BY id ASC, nbr_rank ASC
     """))
 
+  /** Semantic dedup (SemDeDup, arXiv:2303.09540): within-KMeans-cluster
+    * cosine prune — duplicate iff a lower-id member of the same coarse
+    * cluster has rounded cosine ≥ 0.25 (the fixture embeddings carry no
+    * planted near-dups, so the threshold sits inside the observed
+    * within-cluster similarity range to exercise the prune rule; the
+    * SEMANTICS — assignment join, bounded within-cluster pair join,
+    * min-lower-id keep rule — are threshold-independent). Reuses the IVF
+    * index's KMeans layout as the coarse quantizer and hands the
+    * assignment table to DuckDB (staged + renamed, same contract as
+    * ivf_partial_probe), so the oracle replays the identical clusters,
+    * cap, and prune arithmetic. */
+  private val semanticDedup = Q(
+    "semantic_dedup",
+    (s, dir) => {
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(graft.search.IvfIndex.centroidsDir(indexDir)).exists())
+          graft.search.IvfIndex.load(s, indexDir)
+        else graft.search.IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      val assignments = s.read.parquet(graft.search.IvfIndex.dataDir(indexDir))
+        .select(col("vec_id"), col("cluster_id"))
+      val oracleDir = "/tmp/graft_semdedup_oracle"
+      val staging = s"$oracleDir.staging"
+      assignments.coalesce(1).write.mode("overwrite")
+        .parquet(s"$staging/assign")
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(oracleDir), true)
+      fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(oracleDir))
+      SemanticDedup.markDuplicates(e, assignments, "vec_id", "embedding",
+          tau = 0.25, maxClusterSize = 10000)
+        .orderBy(col("vec_id").asc)
+    },
+    Some(s"""
+      WITH a AS (SELECT vec_id, cluster_id FROM
+        read_parquet('/tmp/graft_semdedup_oracle/assign/*.parquet')),
+      sz AS (SELECT cluster_id FROM a
+             GROUP BY cluster_id HAVING count(*) <= 10000),
+      v AS (SELECT a.vec_id, a.cluster_id, e.embedding
+            FROM a JOIN sz USING (cluster_id)
+                   JOIN embeddings e USING (vec_id)),
+      p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM v x JOIN v y
+              ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+            WHERE ${duckCosine("x.embedding", "y.embedding")} >= 0.25),
+      d AS (SELECT id_b AS vec_id, CAST(min(id_a) AS BIGINT) AS dup_of
+            FROM p GROUP BY id_b)
+      SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id, d.dup_of
+      FROM a LEFT JOIN d USING (vec_id)
+      ORDER BY a.vec_id ASC
+    """))
+
   val all: Seq[Q] = Seq(dedupExact, dedupJaccardPairs, dedupMinhashLsh,
     dedupSimhash, dedupCosinePairs, annBulkTopk, annBulkTopkGuaranteed,
-    dedupClusters)
+    dedupClusters, semanticDedup)
 }

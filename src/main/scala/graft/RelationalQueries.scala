@@ -458,6 +458,43 @@ object RelationalQueries {
         .orderBy(col("event_type").asc),
     None)
 
+  /** KMV (k-minimum-values) distinct sketch per event type — the
+    * deterministic, engine-portable sibling of sketch_distinct_users:
+    * same fixed-size mergeable-state scale shape as HLL, but fed
+    * md5-derived 60-bit hashes, so the DuckDB oracle replays the sketch
+    * AND its estimate bit-for-bit (k-th-min hash, (k−1)/r_k arithmetic,
+    * exact-count fallback below k distinct) — the approximate-distinct
+    * operator itself is hash-checked, not just row-counted. */
+  private val sketchKmvUsers = Q(
+    "sketch_kmv_users",
+    (s, dir) => {
+      val kmv = udaf(new graft.functions.KmvSketchAggregator(256),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val h = conv(substring(md5(col("user_id").cast("string")), 1, 15),
+        16, 10).cast("long")
+      Tables.events(s, dir)
+        .where(col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(round(kmv(h), 4).as("est_users"))
+        .orderBy(col("event_type").asc)
+    },
+    Some("""
+      WITH h AS (SELECT DISTINCT event_type,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) AS h
+                 FROM events WHERE user_id IS NOT NULL),
+      r AS (SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h ASC) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS nd
+            FROM h)
+      SELECT event_type,
+             round(CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
+                   ELSE 255.0 * 1152921504606846976.0 / h END, 4) AS est_users
+      FROM r WHERE rn = CASE WHEN nd < 256 THEN 1 ELSE 256 END
+      ORDER BY event_type ASC
+    """))
+
   /** The exact verification twin of sketch_distinct_users: a true
     * countDistinct per group, oracle-backed (so only the sketch half —
     * whose value is engine-specific by nature — stays rows-only).
@@ -641,7 +678,8 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(q1Pricing, q3TopRevenue, q5NationRevenue,
     q9ProfitByNation,
-    sketchDistinctUsers, exactDistinctUsers, cubeOrders, windowOrderGaps,
+    sketchDistinctUsers, sketchKmvUsers, exactDistinctUsers, cubeOrders,
+    windowOrderGaps,
     quantilePrices, windowTopOrders, windowRunningRevenue, windowRolling7d,
     windowRankFunctions, rollupCustomers, shuffleHashJoinAgg,
     semiAntiCustomers, eventsHourly, eventsJson, asofClickBeforePurchase,

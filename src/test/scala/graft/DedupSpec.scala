@@ -236,4 +236,30 @@ class DedupSpec extends SparkSpec {
     // ranks first by cosine
     assert(top.head._1 == 0L && top.head._2 == 1L && top.head._3 > 0.99)
   }
+
+  test("semantic dedup: within-cluster prune keeps min id, respects cap") {
+    val rnd = new scala.util.Random(11)
+    def vec(): Seq[Float] = Seq.fill(8)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    val near = base.map(x => x + 0.001f)          // cosine ≈ 1 with base
+    val far = base.map(x => -x)                   // cosine = −1
+    // cluster 0: {0 base, 1 near, 2 near, 7 far}; cluster 1: {3, 4}
+    val emb = (Seq((0L, base), (1L, near), (2L, near), (7L, far),
+      (3L, vec()), (4L, vec()))).toDF("id", "v")
+    val asg = Seq((0L, 0), (1L, 0), (2L, 0), (7L, 0), (3L, 1), (4L, 1))
+      .toDF("id", "cluster_id")
+    val r = graft.dedup.SemanticDedup
+      .markDuplicates(emb, asg, "id", "v", tau = 0.95)
+      .select("id", "dup_of").as[(Long, Option[Long])].collect().toMap
+    assert(r(0L).isEmpty && r(7L).isEmpty, "cluster representatives kept")
+    assert(r(1L).contains(0L) && r(2L).contains(0L),
+      "near-dups point at the MIN qualifying lower id")
+    assert(r(3L).isEmpty && r(4L).isEmpty, "random pair below tau")
+    // cap: with maxClusterSize=3, cluster 0 (4 members) yields no pairs
+    val capped = graft.dedup.SemanticDedup
+      .markDuplicates(emb, asg, "id", "v", tau = 0.95, maxClusterSize = 3)
+      .select("id", "dup_of").as[(Long, Option[Long])].collect().toMap
+    assert(capped.values.forall(_.isEmpty),
+      "oversized cluster contributes no pairs; all members kept")
+  }
 }

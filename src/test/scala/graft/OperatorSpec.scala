@@ -276,4 +276,37 @@ class OperatorSpec extends SparkSpec {
     // exact (not approximate) distances attached
     assert(sq8 == exact)
   }
+
+  test("KMV sketch: exact below k, within rsd above k, order-independent") {
+    import graft.functions.KmvSketchAggregator
+    val agg = new KmvSketchAggregator(64)
+    // exact fallback: fewer than k distinct hashes → count, not estimate
+    val small = (1L to 40L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(small) == 40.0)
+    // duplicates never inflate the sketch
+    val dup = (1L to 40L).foldLeft(small)(agg.reduce)
+    assert(agg.finish(dup) == 40.0)
+    // estimation branch: 5000 md5-style uniform hashes, k=64 → rsd ≈ 12.5%
+    def h(i: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+    }
+    val hashes = (0 until 5000).map(h)
+    val est = agg.finish(hashes.foldLeft(agg.zero)(agg.reduce))
+    assert(math.abs(est - 5000) / 5000.0 < 0.4,
+      s"KMV estimate $est too far from 5000")
+    // merge(a, b) ≡ sequential insert of a++b (map-side combine safety)
+    val (left, right) = hashes.splitAt(2500)
+    val merged = agg.merge(
+      left.foldLeft(agg.zero)(agg.reduce),
+      right.foldLeft(agg.zero)(agg.reduce))
+    val sequential = hashes.foldLeft(agg.zero)(agg.reduce)
+    assert(merged.toSeq == sequential.toSeq)
+    // and shuffling arrival order changes nothing
+    val shuffled = scala.util.Random.shuffle(hashes)
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(shuffled.toSeq == sequential.toSeq)
+  }
 }
