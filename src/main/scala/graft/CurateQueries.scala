@@ -258,7 +258,56 @@ object CurateQueries {
       FROM c2 ORDER BY anchor_id ASC
     """.replace("%L2%", graft.QueryDsl.duckL2("e.embedding", "a.ae"))))
 
+  /** Temperature mixing (α = 0.5): per-source quota
+    * min(count, ceil(4·√count)) drawn in md5 order — the LLM-corpus
+    * mixture-flattening step; quota arithmetic and draw replay exactly
+    * in the oracle. */
+  private val domainMixSample = Q(
+    "domain_mix_sample",
+    (s, dir) =>
+      Sampling.temperatureMixSample(Tables.documents(s, dir), "doc_id",
+          "source", multiplier = 4)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id").asc),
+    Some("""
+      WITH q AS (SELECT source,
+                        least(count(*), CAST(ceil(sqrt(count(*)) * 4)
+                          AS BIGINT)) AS quota
+                 FROM documents GROUP BY source),
+      r AS (SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                              doc_id ASC) AS rn
+            FROM documents)
+      SELECT r.doc_id, r.source
+      FROM r JOIN q USING (source) WHERE r.rn <= q.quota
+      ORDER BY r.doc_id ASC
+    """))
+
+  /** Deterministic epoch shuffle: md5-salted (shard, pos) coordinates —
+    * the reproducible training read order; per-shard windows, no global
+    * sort. */
+  private val trainingOrderShuffle = Q(
+    "training_order_shuffle",
+    (s, dir) =>
+      Sampling.shuffleIntoShards(Tables.documents(s, dir), "doc_id",
+          nShards = 8, salt = "epoch0")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id").asc),
+    Some("""
+      WITH h AS (SELECT doc_id,
+                        md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS hh
+                 FROM documents),
+      s AS (SELECT doc_id, hh,
+                   CAST(('0x' || substr(hh, 1, 4)) AS BIGINT) % 8 AS shard
+            FROM h)
+      SELECT doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard
+               ORDER BY hh ASC, doc_id ASC) AS BIGINT) AS pos
+      FROM s ORDER BY doc_id ASC
+    """))
+
   val all: Seq[Q] = Seq(trainValTestSplit, sampleHash, packTokenBatches,
     curatePipeline, contaminationReport, quotaPerSource, piiScrub,
-    contrastiveTriplets)
+    contrastiveTriplets, domainMixSample, trainingOrderShuffle)
 }

@@ -306,7 +306,69 @@ object StreamingQueries {
       ORDER BY purchase_id ASC, click_id ASC
     """))
 
+  /** Perceptual near-duplicate detection over the multimodal seam: each
+    * binary payload decodes through the batched feature seam to a
+    * 256-bin bag-of-bigrams histogram (the visual-bag-of-words stub —
+    * alignment-invariant, unlike a pixel resample whose bits an early
+    * edit all shifts), thresholds against the mean into a 256-bit
+    * signature, and near-dups (hamming ≤ 3) surface via the pigeonhole
+    * block equi-join on 4×64-bit keys with a hot-bucket cap — never an
+    * all-pairs compare. Decode, signature, cap, and hamming are
+    * integer-exact, so the oracle replays the full pipeline from the
+    * raw bytes. On the fixture, true near-dup texts land at hamming 0
+    * and unrelated same-vocabulary texts at 25-43 of 256. */
+  private val imagePhashNeardup = Q(
+    "image_phash_neardup",
+    (s, dir) => {
+      val df = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      Multimodal.phashNearPairs(df, "doc_id", "media", maxHamming = 3)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                        octet_length(encode(text)) AS n
+                 FROM documents WHERE octet_length(encode(text)) >= 2),
+      bg AS (SELECT doc_id,
+               ((((strpos('0123456789ABCDEF', substr(hx, 2*j+1, 1))-1)*16
+                  + strpos('0123456789ABCDEF', substr(hx, 2*j+2, 1))-1) * 31
+                 + ((strpos('0123456789ABCDEF', substr(hx, 2*j+3, 1))-1)*16
+                  + strpos('0123456789ABCDEF', substr(hx, 2*j+4, 1))-1))
+                * 131) % 256 AS bin
+             FROM d CROSS JOIN range(0, 100000) t(j) WHERE j < d.n - 1),
+      cnt AS (SELECT doc_id, bin, count(*) AS c FROM bg GROUP BY 1, 2),
+      bits AS (SELECT d.doc_id, r.i,
+                      CASE WHEN 256 * coalesce(cnt.c, 0) > d.n - 1
+                           THEN 1 ELSE 0 END AS bit
+               FROM d CROSS JOIN range(0, 256) r(i)
+               LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.bin = r.i),
+      sig AS (SELECT doc_id, list(bit ORDER BY i ASC) AS bs
+              FROM bits GROUP BY doc_id),
+      bands AS (SELECT doc_id, b AS block,
+                       array_to_string(list_slice(bs, 64*b+1, 64*b+64), '')
+                         AS key
+                FROM (SELECT doc_id, bs, unnest(range(0, 4)) AS b FROM sig)),
+      hot AS (SELECT block, key FROM bands
+              GROUP BY block, key HAVING count(*) > 4096),
+      kept AS (SELECT bands.* FROM bands
+               WHERE NOT EXISTS (SELECT 1 FROM hot
+                 WHERE hot.block = bands.block AND hot.key = bands.key)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM kept a JOIN kept b
+                 ON a.block = b.block AND a.key = b.key
+                    AND a.doc_id < b.doc_id),
+      h AS (SELECT id_a, id_b,
+                   CAST(list_sum(list_transform(range(1, 257),
+                     j -> CASE WHEN sa.bs[j] != sb.bs[j] THEN 1 ELSE 0 END))
+                     AS BIGINT) AS hamming
+            FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+                      JOIN sig sb ON sb.doc_id = cand.id_b)
+      SELECT id_a, id_b, hamming
+      FROM h WHERE hamming <= 3 ORDER BY id_a ASC, id_b ASC
+    """))
+
   val all: Seq[Q] = Seq(streamingHourly, sessionizeEvents, streamingDedup,
     multimodalMeta,
-    multimodalFeatures, streamingIntervalJoin, streamingSessionize)
+    multimodalFeatures, imagePhashNeardup, streamingIntervalJoin,
+    streamingSessionize)
 }

@@ -81,4 +81,58 @@ object Sampling {
         floor((sum(col("est_tokens")).over(w) - col("est_tokens"))
           / lit(budgetTokens)).cast("long"))
   }
+
+  /** Temperature-weighted domain mixing (the α = 0.5 mixture-reweighting
+    * used to flatten source skew in LLM training corpora, cf. the
+    * multinomial-smoothing exponent of Conneau & Lample 2019): each
+    * source keeps `min(count, ceil(multiplier · √count))` documents — an
+    * over-represented source is downsampled ∝ √count while small sources
+    * pass intact, which is exactly the α = 0.5 power mix with the
+    * normalizer folded into `multiplier`. No global Σw^α term is
+    * computed: that keeps the arithmetic free of summation-order
+    * dependence (IEEE sqrt is correctly rounded, the multiplier scaling
+    * is exact), so the DuckDB oracle replays quotas bit-for-bit. The
+    * within-source draw is the same deterministic md5-order rank as
+    * [[quotaPerSource]]. Scale shape: one map-side-combined count per
+    * source, a broadcast of the tiny quota table, and a per-source
+    * window — parallel across sources. */
+  def temperatureMixSample(df: DataFrame, idCol: String, sourceCol: String,
+                           multiplier: Int = 4): DataFrame = {
+    require(multiplier > 0)
+    val quotas = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(sourceCol),
+        least(col("__n"),
+          ceil(sqrt(col("__n")) * multiplier).cast("long")).as("__quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.join(broadcast(quotas), Seq(sourceCol))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= col("__quota"))
+      .drop("__r", "__quota")
+  }
+
+  /** Deterministic training-order shuffle: every row gets a (shard, pos)
+    * coordinate from the md5 of a salt + its id — the global order
+    * (shard, pos) is the epoch's shuffled read order, and a new salt is
+    * a fresh, fully reproducible epoch permutation. No `rand()`, no
+    * global sort: shard assignment is per-row map work and `pos` ranks
+    * WITHIN a shard (window partitioned by shard — `nShards` is the
+    * parallelism knob; a 100 TB corpus writes one sorted file set per
+    * shard, which is how training loaders consume it). */
+  def shuffleIntoShards(df: DataFrame, idCol: String, nShards: Int,
+                        salt: String = "epoch0"): DataFrame = {
+    require(nShards > 0)
+    val h = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        (conv(substring(col("__h"), 1, 4), 16, 10).cast("long")
+          % nShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

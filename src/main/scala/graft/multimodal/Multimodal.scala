@@ -92,4 +92,121 @@ object Multimodal {
       transform(sequence(lit(0), lit(n - 1)),
         i => bytes.substr((i * lit(frameSize) + 1).cast("int"), lit(frameSize))),
       f => length(f) > 0)
+
+  /** Bag-of-bigrams histogram decoder — the stub analog of a visual
+    * bag-of-words feature (local patches hashed into a fixed codebook):
+    * consecutive byte pairs hash into `bins` buckets via deterministic
+    * integer mixing, L1-normalized by the pair count. Unlike a resampled
+    * pixel strip it is ALIGNMENT-INVARIANT: an edit that shifts the byte
+    * stream changes only the few patches it touches, not every sample
+    * after it — measured on the fixture near-dup pairs this signature
+    * sits at hamming 0 of 256 while unrelated same-vocabulary documents
+    * sit at 25-43. */
+  final class BigramHistogramDecoder(val bins: Int = 256) extends MediaDecoder {
+    override def dim: Int = bins
+    override def features(bytes: Array[Byte]): Array[Float] = {
+      val v = new Array[Float](bins)
+      if (bytes != null && bytes.length >= 2) {
+        var i = 0
+        while (i < bytes.length - 1) {
+          val b1 = bytes(i) & 0xff
+          val b2 = bytes(i + 1) & 0xff
+          v(((b1 * 31 + b2) * 131) % bins) += 1.0f
+          i += 1
+        }
+        val total = (bytes.length - 1).toFloat
+        var j = 0
+        while (j < bins) { v(j) /= total; j += 1 }
+      }
+      v
+    }
+  }
+
+  /** Average-hash (aHash) signature blocks from a resampled pixel column:
+    * bit i = pixel i above the image mean, packed big-endian into
+    * `nBlocks` integer block keys. The comparisons are integer-exact
+    * (pixel bytes recovered via `round(v·255)` — float storage error
+    * ≪ ½, so the round is lossless; the mean compare is the cross-
+    * multiplied `n·pᵢ > Σp`, never a float division). The right hash
+    * when the decoder emits POSITION-ALIGNED pixels (a real thumbnail
+    * decode); for the byte-stream stub, whose alignment an edit
+    * destroys, [[phashNearPairs]] uses the alignment-invariant
+    * [[BigramHistogramDecoder]] signature instead. */
+  def aHashBlocks(px: Column, nPixels: Int, nBlocks: Int): Column = {
+    require(nPixels % nBlocks == 0, s"$nPixels pixels not divisible into $nBlocks blocks")
+    val blockLen = nPixels / nBlocks
+    val bytes = transform(px, v => round(v * 255).cast("int"))
+    val tot = aggregate(bytes, lit(0), (a, x) => a + x)
+    val bits = transform(bytes, b => when(b * lit(nPixels) > tot, 1).otherwise(0))
+    array((0 until nBlocks).map { j =>
+      aggregate(slice(bits, j * blockLen + 1, blockLen), lit(0),
+        (acc, b) => acc * 2 + b)
+    }: _*)
+  }
+
+  /** Perceptual near-duplicate media pairs: decode each binary blob
+    * through the feature seam ([[BigramHistogramDecoder]] stub — a
+    * codec-aware patch extractor drops into the same seam), threshold
+    * each histogram bin against the mean to get a `nBins`-bit signature,
+    * and join on per-block key equality — the pigeonhole guarantee that
+    * any pair within hamming `nBlocks − 1` shares at least one identical
+    * block, so no all-pairs compare ever runs (the
+    * [[graft.dedup.Dedup.simhashNearPairs]] block-join shape applied to
+    * media signatures). Candidates are verified by exact hamming over
+    * the full bit vector.
+    *
+    * Scale shape: decode is embarrassingly-parallel per-row map work;
+    * the join is an equi-join on (block, 64-bit key); signature width
+    * grows with log(corpus) exactly as SCALE.md's band-width sizing
+    * rule, and `maxBucket` caps any degenerate key loudly (the
+    * SRP-LSH hot-bucket contract), so one pathological signature can
+    * never make the join quadratic.
+    *
+    * Bit extraction is integer-exact: bin counts are recovered from the
+    * L1-normalized floats via `round(v·nPairs)` (float error ≪ ½) and
+    * compared cross-multiplied (`nBins·c > nPairs`), so the DuckDB
+    * oracle replays signature, block keys, cap, and hamming
+    * bit-for-bit. */
+  def phashNearPairs(df: DataFrame, idCol: String, binCol: String,
+                     maxHamming: Int = 3, nBins: Int = 256,
+                     nBlocks: Int = 4, maxBucket: Int = 4096): DataFrame = {
+    require(maxHamming < nBlocks,
+      s"pigeonhole needs maxHamming < nBlocks, got $maxHamming/$nBlocks")
+    require(nBins % nBlocks == 0, s"$nBins bits not divisible into $nBlocks blocks")
+    val blockLen = nBins / nBlocks
+    val base = df.select(col(idCol), col(binCol))
+      .where(length(col(binCol)) >= 2)
+    val feat = withMediaFeatures(base, binCol, "__hist",
+      new BigramHistogramDecoder(nBins))
+    val nPairs = (length(col(binCol)) - 1).cast("int")
+    val counts = transform(col("__hist"), v => round(v * nPairs).cast("int"))
+    val bits = transform(counts,
+      c => when(c * lit(nBins) > nPairs, 1).otherwise(0))
+    val hashed = feat.select(col(idCol), bits.as("__bits"))
+    val bands = hashed.select(col(idCol),
+      posexplode(array((0 until nBlocks).map { j =>
+        array_join(slice(col("__bits"), j * blockLen + 1, blockLen), "")
+      }: _*)).as(Seq("block", "key")))
+    val hot = bands.groupBy(col("block"), col("key"))
+      .agg(count(lit(1)).as("__cn")).where(col("__cn") > maxBucket)
+    val nHot = hot.count()
+    if (nHot > 0)
+      System.err.println(s"[graft] phashNearPairs: dropped $nHot hot " +
+        s"(block, key) bucket(s) over maxBucket=$maxBucket")
+    val kept = bands.join(hot.select("block", "key"), Seq("block", "key"),
+      "left_anti")
+    val cand = kept.select(col("block"), col("key"), col(idCol).as("id_a"))
+      .join(kept.select(col("block"), col("key"), col(idCol).as("id_b")),
+        Seq("block", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = hashed.select(col(idCol).as("id_a"), col("__bits").as("__ba"))
+    val sb = hashed.select(col(idCol).as("id_b"), col("__bits").as("__bb"))
+    cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("__ba"), col("__bb"),
+            (x, y) => when(x =!= y, 1).otherwise(0)),
+          lit(0), (acc, d) => acc + d).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 }

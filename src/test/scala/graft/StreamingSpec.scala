@@ -266,4 +266,37 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException] { coll.vacuum() }
     fs.delete(new Path(dir + "__compact_old"), true)
   }
+
+  test("phash near-dup: value edits collide, unrelated payloads shatter") {
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).trim
+    val edited = base.replaceFirst("lazy", "hazy")  // one occurrence: bin
+                                                    // counts shift by ±1
+    val other = ("completely different content with other words entirely " * 18).trim
+    val df = Seq((1L, base), (2L, edited), (3L, other), (4L, base))
+      .toDF("id", "text")
+      .select(col("id"), col("text").cast("binary").as("media"))
+    val pairs = graft.multimodal.Multimodal
+      .phashNearPairs(df, "id", "media", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet  // ordered id_b, id_a, hamming? see select order
+    val byPair = pairs.map(p => (p._2, p._1) -> p._3).toMap ++
+      pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.contains((1L, 4L)) && byPair((1L, 4L)) == 0L,
+      "identical payloads at hamming 0")
+    assert(byPair.contains((1L, 2L)),
+      "single-word edit stays within hamming 3 (alignment-invariant)")
+    assert(!byPair.contains((1L, 3L)) && !byPair.contains((2L, 3L)),
+      "unrelated payload never surfaces")
+  }
+
+  test("aHash blocks: mean-threshold bits, big-endian packing") {
+    import spark.implicits._
+    // 8 pixels: values 0..7 → mean 3.5 → bits 00001111 → blocks (0x0, 0xF)
+    val px = Seq(Seq(0f, 1f, 2f, 3f, 4f, 5f, 6f, 7f).map(_ / 255f))
+      .toDF("px")
+    val r = px.select(graft.multimodal.Multimodal
+        .aHashBlocks(col("px"), nPixels = 8, nBlocks = 2).as("blk"))
+      .as[Seq[Int]].collect().head
+    assert(r == Seq(0, 15), s"expected (0, 15), got $r")
+  }
 }

@@ -154,6 +154,44 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMixSample: √-quota flattens skew, small sources intact") {
+    import graft.curate.Sampling
+    // skewed corpus: source A 400 docs, B 16, C 3
+    val df = ((0L until 400L).map(i => (i, "A")) ++
+      (400L until 416L).map(i => (i, "B")) ++
+      (416L until 419L).map(i => (i, "C"))).toDF("id", "src")
+    val kept = Sampling.temperatureMixSample(df, "id", "src", multiplier = 4)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(kept("A") == 80L, s"A: ceil(4*sqrt(400)) = 80, got ${kept("A")}")
+    assert(kept("B") == 16L, "B under quota (4*sqrt(16)=16): intact")
+    assert(kept("C") == 3L, "C far under quota: intact")
+    // deterministic: the draw is a pure function of ids
+    val again = Sampling.temperatureMixSample(df, "id", "src", multiplier = 4)
+      .select("id").as[Long].collect().toSet
+    val first = Sampling.temperatureMixSample(df, "id", "src", multiplier = 4)
+      .select("id").as[Long].collect().toSet
+    assert(again == first)
+  }
+
+  test("shuffleIntoShards: coordinates permute rows; salt changes order") {
+    import graft.curate.Sampling
+    val df = (0L until 500L).toDF("id")
+    val r = Sampling.shuffleIntoShards(df, "id", nShards = 8)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(r.length == 500)
+    assert(r.map(_._2).toSet.subsetOf((0L until 8L).toSet))
+    // (shard, pos) is a proper coordinate: unique, dense per shard from 1
+    assert(r.map(x => (x._2, x._3)).distinct.length == 500)
+    r.groupBy(_._2).values.foreach { sh =>
+      assert(sh.map(_._3).sorted.toSeq == (1L to sh.length).toSeq)
+    }
+    // a different salt yields a different permutation of the same rows
+    val e1 = Sampling.shuffleIntoShards(df, "id", 8, salt = "epoch1")
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(e1.map(_._1).toSet == r.map(_._1).toSet)
+    assert(e1.sortBy(_._1).toSeq != r.sortBy(_._1).toSeq)
+  }
+
   test("repetition: dup fractions and modal-token dominance, pinned") {
     import graft.text.Repetition
     val df = Seq(
