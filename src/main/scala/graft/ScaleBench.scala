@@ -121,6 +121,26 @@ object ScaleBench {
           IvfIndex.search(spark, model, "embedding", "vec_id", q,
             k = 5, nprobe = 8).count()
         }),
+        "semantic_dedup (nlist ∝ n)" -> (() => {
+          // The operator's contract: the coarse quantizer's nlist grows
+          // with the corpus so cluster sizes stay ~constant (~250 here) —
+          // a FIXED nlist under corpus growth makes within-cluster pair
+          // volume quadratic by definition, which is the documented
+          // misuse, not a plan defect.
+          val nlist = math.max(16, n / 250)
+          val dir = s"/tmp/graft_scale/semivf_${n}"
+          if (!new java.io.File(s"$dir/centroids/_SUCCESS").exists())
+            IvfIndex.build(emb, "embedding", dir, nlist = nlist, maxIter = 5)
+          val asg = spark.read.parquet(IvfIndex.dataDir(dir))
+            .select(col("vec_id"), col("cluster_id"))
+          graft.dedup.SemanticDedup
+            .markDuplicates(emb, asg, "vec_id", "embedding", tau = 0.9)
+            .where(col("dup_of").isNotNull).count()
+        }),
+        "phash_neardup" -> (() =>
+          graft.multimodal.Multimodal.phashNearPairs(
+            docs.select(col("doc_id"), col("text").cast("binary").as("media")),
+            "doc_id", "media", maxHamming = 3).count()),
         "minhash_candidates" -> (() =>
           Dedup.minhashCandidates(docs, "doc_id", "text", 8, 1).count()),
         "simhash_near_pairs" -> (() =>

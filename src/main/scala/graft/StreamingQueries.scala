@@ -367,8 +367,35 @@ object StreamingQueries {
       FROM h WHERE hamming <= 3 ORDER BY id_a ASC, id_b ASC
     """))
 
+  /** Frame-level dedup over the multimodal seam: fixed-stride frames
+    * fingerprinted and aggregated — frames recurring across distinct
+    * payloads surface with their keeper id. Pure explode + hash-agg; the
+    * oracle replays slicing, hex-md5 fingerprints, and the recurrence
+    * filter exactly. */
+  private val frameHashDedup = Q(
+    "frame_hash_dedup",
+    (s, dir) => {
+      val df = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      Multimodal.frameHashDedup(df, "doc_id", "media",
+          nFrames = 4, frameSize = 100)
+        .orderBy(col("frame_hash").asc)
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                        octet_length(encode(text)) AS n
+                 FROM documents),
+      f AS (SELECT doc_id, md5(substr(hx, 200*j+1, 200)) AS frame_hash
+            FROM d CROSS JOIN range(0, 4) t(j) WHERE 100*j < d.n)
+      SELECT frame_hash,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(min(doc_id) AS BIGINT) AS keep_id
+      FROM f GROUP BY frame_hash HAVING count(DISTINCT doc_id) > 1
+      ORDER BY frame_hash ASC
+    """))
+
   val all: Seq[Q] = Seq(streamingHourly, sessionizeEvents, streamingDedup,
     multimodalMeta,
-    multimodalFeatures, imagePhashNeardup, streamingIntervalJoin,
-    streamingSessionize)
+    multimodalFeatures, imagePhashNeardup, frameHashDedup,
+    streamingIntervalJoin, streamingSessionize)
 }

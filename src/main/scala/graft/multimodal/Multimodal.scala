@@ -93,6 +93,27 @@ object Multimodal {
         i => bytes.substr((i * lit(frameSize) + 1).cast("int"), lit(frameSize))),
       f => length(f) > 0)
 
+  /** Frame-level exact dedup across media payloads: every payload is
+    * sliced into fixed-stride frames ([[frameSample]] — the codec-aware
+    * keyframe extractor drops into the same seam), each frame fingerprinted
+    * (md5 over its hex image — hex-first keeps the digest replayable in
+    * engines whose md5 is VARCHAR-only), and frames recurring across
+    * DISTINCT payloads reported with the minimum containing id — the
+    * video-corpus analog of [[graft.text.CdcChunks]]' cross-document
+    * boilerplate detection. Scale shape: explode to (payload × nFrames)
+    * rows, one hash-aggregate with map-side combine; no joins at all. */
+  def frameHashDedup(df: DataFrame, idCol: String, binCol: String,
+                     nFrames: Int = 4, frameSize: Int = 100): DataFrame = {
+    require(nFrames > 0 && frameSize > 0)
+    df.select(col(idCol),
+        explode(frameSample(col(binCol), nFrames, frameSize)).as("frame"))
+      .select(col(idCol), md5(hex(col("frame"))).as("frame_hash"))
+      .groupBy(col("frame_hash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("keep_id"))
+      .where(col("n_docs") > 1)
+  }
+
   /** Bag-of-bigrams histogram decoder — the stub analog of a visual
     * bag-of-words feature (local patches hashed into a fixed codebook):
     * consecutive byte pairs hash into `bins` buckets via deterministic

@@ -113,12 +113,22 @@ object AnnJoin {
     val sym = symmetric(
       candidatePairs(df, idCol, vecCol, dim, bits, nBands, maxBucket,
         workDir))
-    val lsh = topKPerId(sym, k)
-    val ids = df.select(col(idCol).as("id"))
     // ids with ≥ k LSH rows keep them; everyone else (including ids with
-    // ZERO candidates, which lsh cannot even name) goes exact
-    val full = lsh.groupBy(col("id")).agg(count(lit(1)).as("n_lsh"))
-      .where(col("n_lsh") >= k).select(col("id"))
+    // ZERO candidates, which the edge set cannot even name) goes exact.
+    // The ≥ k test rides the SAME per-id window shuffle as the ranking
+    // (count over the id partition), so no O(corpus) id set is ever
+    // broadcast or re-joined.
+    val byId = Window.partitionBy(col("id"))
+    val ranked = sym
+      .withColumn("nbr_rank", row_number()
+        .over(byId.orderBy(col("cosine").desc, col("nbr").asc)).cast("long"))
+      .withColumn("__n_cand", count(lit(1)).over(byId))
+    val lshKept = ranked
+      .where(col("__n_cand") >= k && col("nbr_rank") <= k)
+      .select(col("id"), col("nbr_rank"), col("nbr"), col("cosine"))
+    val ids = df.select(col(idCol).as("id"))
+    val full = ranked.where(col("__n_cand") >= k)
+      .select(col("id")).distinct()
     val deficient = ids.join(full, Seq("id"), "left_anti")
     val defVecs = deficient
       .join(df.select(col(idCol).as("id"), col(vecCol).as("v_q")), Seq("id"))
@@ -127,7 +137,6 @@ object AnnJoin {
       .select(col("id"), col("nbr"),
         round(graft.functions.VectorFunctions.cosineSim(
           col("v_q"), col("v_c")), 4).as("cosine"))
-    val lshKept = lsh.join(broadcast(full), Seq("id"), "left_semi")
     lshKept.unionByName(topKPerId(exact, k))
   }
 }

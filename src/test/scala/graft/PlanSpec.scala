@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Physical-plan shape assertions — locks in the scale decisions the
   * queries were tuned for (fact joins stay sort-merge, dims broadcast,
   * filters reach the scan, top-k never becomes a global sort), so a
@@ -70,10 +72,29 @@ class PlanSpec extends SparkSpec {
   test("no dedup plan degenerates to a cartesian product") {
     Seq("dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_cosine_pairs", "ann_bulk_topk",
-      "ann_bulk_topk_guaranteed", "contamination_report")
+      "ann_bulk_topk_guaranteed", "contamination_report",
+      "semantic_dedup", "image_phash_neardup")
       .foreach { q =>
         assert(!plan(q).contains("CartesianProduct"), q)
       }
+  }
+
+  test("phash near-dup: block equi-join survives with broadcast disabled") {
+    // Same contract as the bulk ANN pin: candidate generation must stay a
+    // shuffled equi-join on (block, key) — never a nested loop — when the
+    // signature side outgrows the broadcast threshold.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = core.Tables.documents(s2, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    val p = graft.multimodal.Multimodal
+      .phashNearPairs(df, "doc_id", "media", maxHamming = 3)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"block-key candidate join must be a shuffled equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "near-dup detection must never fall back to all-pairs")
   }
 
   test("bulk ANN join: true band equi-join — sort-merge once broadcast is off") {

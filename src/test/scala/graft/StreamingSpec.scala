@@ -289,6 +289,23 @@ class StreamingSpec extends SparkSpec {
       "unrelated payload never surfaces")
   }
 
+  test("frameHashDedup: shared frames surface, unique frames don't") {
+    import spark.implicits._
+    val shared = "S" * 100                      // frame-aligned shared block
+    val df = Seq(
+      (1L, shared + "A" * 100),                 // frame0 = shared
+      (2L, shared + "B" * 100),                 // frame0 = shared
+      (3L, "C" * 250))                          // no shared frames; 3 frames
+      .toDF("id", "text")
+      .select(col("id"), col("text").cast("binary").as("media"))
+    val r = graft.multimodal.Multimodal
+      .frameHashDedup(df, "id", "media", nFrames = 4, frameSize = 100)
+      .as[(String, Long, Long)].collect()
+    assert(r.length == 1, s"exactly the shared frame recurs, got ${r.toSeq}")
+    assert(r.head._2 == 2L && r.head._3 == 1L,
+      "two docs share it; keeper is the min id")
+  }
+
   test("aHash blocks: mean-threshold bits, big-endian packing") {
     import spark.implicits._
     // 8 pixels: values 0..7 → mean 3.5 → bits 00001111 → blocks (0x0, 0xF)
