@@ -394,8 +394,77 @@ object StreamingQueries {
       ORDER BY frame_hash ASC
     """))
 
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming vector ingest tagging — the online half of IVF index
+    * maintenance run as a REAL streaming query: embeddings stream through
+    * the file source and every row is assigned its nearest existing
+    * centroid (the IvfIndex.append argmin — an array-of-structs
+    * lexicographic min over the tiny centroid table, evaluated as
+    * per-row codegen map work; the centroid table is a literal, i.e. the
+    * degenerate broadcast of the stream-static join, so the stream never
+    * shuffles). The centroid table is handed off to DuckDB and the
+    * oracle replays the assignment arithmetic — unrounded double L2,
+    * cluster-id tie-break — exactly, the ivf_partial_probe contract
+    * applied to a stream. */
+  private val streamingKnnTag = Q(
+    "streaming_knn_tag",
+    (s, dir) => {
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(graft.search.IvfIndex.centroidsDir(indexDir)).exists())
+          graft.search.IvfIndex.load(s, indexDir)
+        else graft.search.IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      val oracleDir = "/tmp/graft_knn_tag_oracle"
+      val staging = s"$oracleDir.staging"
+      s.read.parquet(graft.search.IvfIndex.centroidsDir(indexDir))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(oracleDir), true)
+      fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(oracleDir))
+      val centArr = array(model.centroids.map { case (i, c) =>
+        struct(
+          graft.functions.VectorFunctions.l2Sq(col("embedding"),
+            typedlit(c.toSeq)).as("d"),
+          lit(i).as("cluster_id"))
+      }: _*)
+      val src = s.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      val tagged = src.withColumn("__a", array_min(centArr))
+        .select(col("vec_id"),
+          col("__a.cluster_id").cast("long").as("cluster_id"),
+          round(col("__a.d"), 4).as("distance"))
+      val qname = "graft_streaming_knn_tag_" + math.abs(dir.hashCode)
+      val q = tagged.writeStream.outputMode("append").format("memory")
+        .queryName(qname).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qname).orderBy(col("vec_id").asc)
+    },
+    Some(s"""
+      WITH cent AS (SELECT * FROM
+        read_parquet('/tmp/graft_knn_tag_oracle/centroids/*.parquet')),
+      d AS (SELECT e.vec_id, c.cluster_id,
+                   list_sum(list_transform(range(1, len(c.centroid)+1),
+                     i -> (CAST(c.centroid[i] AS DOUBLE)
+                           - CAST(e.embedding[i] AS DOUBLE))^2)) AS dd
+            FROM embeddings e CROSS JOIN cent c),
+      r AS (SELECT vec_id, cluster_id, dd,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dd ASC, cluster_id ASC) AS rn
+            FROM d)
+      SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+             round(dd, 4) AS distance
+      FROM r WHERE rn = 1 ORDER BY vec_id ASC
+    """))
+
   val all: Seq[Q] = Seq(streamingHourly, sessionizeEvents, streamingDedup,
     multimodalMeta,
     multimodalFeatures, imagePhashNeardup, frameHashDedup,
-    streamingIntervalJoin, streamingSessionize)
+    streamingIntervalJoin, streamingSessionize, streamingKnnTag)
 }

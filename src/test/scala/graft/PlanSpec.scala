@@ -54,6 +54,22 @@ class PlanSpec extends SparkSpec {
       s"ts filters not pushed:\n$p")
   }
 
+  test("z-order layout: BOTH dimension predicates reach the parquet scan") {
+    // read the scan's metadata directly — the plan's toString truncates
+    // a 6-entry PushedFilters list, so a substring check is unreliable
+    val pushed = Queries.all("zorder_scan_prune")(spark, dir)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata.getOrElse("PushedFilters", "")
+      }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(user_id,10)") &&
+      pushed.contains("LessThanOrEqual(user_id,40)"),
+      s"user_id range not pushed: $pushed")
+    assert(pushed.contains("GreaterThanOrEqual(ts") &&
+      pushed.contains("LessThan(ts"),
+      s"ts range not pushed: $pushed")
+  }
+
   test("lateral top-N decorrelates to WindowGroupLimit, no nested loop") {
     val p = plan("lateral_top_orders")
     assert(p.contains("WindowGroupLimit"),
