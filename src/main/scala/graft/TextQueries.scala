@@ -3,7 +3,7 @@ package graft
 import graft.QueryDsl._
 import graft.core.Tables
 import graft.ingest.Preprocess
-import graft.text.{BpeLearn, CdcChunks, Keywords, LangModel, Repetition, TextAnalysis}
+import graft.text.{BpeLearn, CdcChunks, CountMin, Keywords, LangModel, Repetition, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Text-operator coverage: ingest preprocess (SURVEY §2.2), keyword/chunk
@@ -423,8 +423,54 @@ object TextQueries {
     (s, dir) => BpeLearn.learn(Tables.documents(s, dir), "text", nMerges = 5),
     Some(bpeOracle(5)))
 
+  /** Count-min heavy hitters: the top-20 corpus tokens (selected exactly
+    * for a stable output) with BOTH their exact count and their count-min
+    * estimate (depth 4 × width 1024, md5-salted buckets) — the sketch
+    * overestimate is part of the checked result, so the counter matrix,
+    * bucket hashing, and min-of-rows arithmetic all replay exactly in
+    * the oracle. At 100 TB the matrix (4096 counters) is the ONLY state
+    * that moves between executors; the token stream never shuffles. */
+  private val sketchHeavyTokens = Q(
+    "sketch_heavy_tokens",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val top = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok").asc).limit(20)
+      val matrix = CountMin.counterMatrix(toks, "tok", depth = 4, width = 1024)
+      CountMin.estimate(top, "tok", matrix, depth = 4, width = 1024)
+        .join(top, Seq("tok"))
+        .select(col("tok").as("token"), col("n_exact"), col("n_cms"))
+        .orderBy(col("n_exact").desc, col("token").asc)
+    },
+    Some("""
+      WITH t AS (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+                 FROM documents),
+      tk AS (SELECT tok FROM t WHERE length(tok) > 0),
+      exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+                FROM tk GROUP BY tok),
+      top AS (SELECT * FROM exact ORDER BY n_exact DESC, tok ASC LIMIT 20),
+      rb AS (SELECT tok, r,
+                    CAST(('0x' || substr(md5('cms' || r || ':' || tok), 1, 8))
+                      AS BIGINT) % 1024 AS b
+             FROM tk CROSS JOIN range(0, 4) s(r)),
+      m AS (SELECT r, b, count(*) AS c FROM rb GROUP BY r, b),
+      lk AS (SELECT top.tok, r2.r,
+                    CAST(('0x' || substr(md5('cms' || r2.r || ':' || top.tok),
+                      1, 8)) AS BIGINT) % 1024 AS b
+             FROM top CROSS JOIN range(0, 4) r2(r)),
+      est AS (SELECT lk.tok, CAST(min(m.c) AS BIGINT) AS n_cms
+              FROM lk JOIN m ON m.r = lk.r AND m.b = lk.b
+              GROUP BY lk.tok)
+      SELECT top.tok AS token, top.n_exact, est.n_cms
+      FROM top JOIN est ON est.tok = top.tok
+      ORDER BY top.n_exact DESC, token ASC
+    """))
+
   val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
     tokenStats, tokenCounts, qualityScore, langId, docFingerprint,
     vocabTopK, tfidfTopTerms, repetitionFilter, unigramLogprob, cdcChunks,
-    cdcBoilerplate, bpeLearnMerges)
+    cdcBoilerplate, bpeLearnMerges, sketchHeavyTokens)
 }

@@ -192,6 +192,30 @@ class TextSpec extends SparkSpec {
     assert(e1.sortBy(_._1).toSeq != r.sortBy(_._1).toSeq)
   }
 
+  test("count-min: never underestimates, exact when width ≫ vocab") {
+    import graft.text.CountMin
+    val toks = (Seq.fill(50)("hot") ++ Seq.fill(7)("warm") ++
+      (0 until 40).map(i => s"cold$i")).toDF("tok")
+    val exact = toks.groupBy("tok").count()
+    // wide sketch: 42 distinct tokens over 4×4096 counters → collisions
+    // essentially impossible → estimate ≡ exact
+    val wide = CountMin.counterMatrix(toks, "tok", depth = 4, width = 4096)
+    val estWide = CountMin.estimate(exact, "tok", wide, 4, 4096)
+      .join(exact, Seq("tok"))
+      .select("tok", "n_cms", "count").as[(String, Long, Long)].collect()
+    assert(estWide.forall { case (_, cms, ex) => cms == ex },
+      s"wide sketch must be exact: ${estWide.filter(p => p._2 != p._3).toSeq}")
+    // narrow sketch: width 4 forces collisions → still NEVER under
+    val narrow = CountMin.counterMatrix(toks, "tok", depth = 2, width = 4)
+    val estNarrow = CountMin.estimate(exact, "tok", narrow, 2, 4)
+      .join(exact, Seq("tok"))
+      .select("tok", "n_cms", "count").as[(String, Long, Long)].collect()
+    assert(estNarrow.forall { case (_, cms, ex) => cms >= ex },
+      "count-min must never underestimate")
+    assert(estNarrow.exists { case (_, cms, ex) => cms > ex },
+      "width 4 over 42 tokens must collide somewhere")
+  }
+
   test("repetition: dup fractions and modal-token dominance, pinned") {
     import graft.text.Repetition
     val df = Seq(
