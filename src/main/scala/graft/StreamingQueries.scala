@@ -225,8 +225,15 @@ object StreamingQueries {
         .as[EventsStream.Event]
       val sess = EventsStream.Sessionize.streaming(ev, gapMs = 1800000L)
       val qname = "graft_streaming_sess_" + math.abs(dir.hashCode)
-      val q = sess.writeStream.outputMode("append").format("memory")
-        .queryName(qname).start()
+      // state partitions sized to the state load, not the session's
+      // batch shuffle width (see streaming_interval_join)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          sess.writeStream.outputMode("append").format("memory")
+            .queryName(qname).start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try {
         q.processAllAvailable()                 // batch 1: all real events
         sentinel(4000000000000000000L)          // batch 2: watermark → 2096
@@ -289,11 +296,22 @@ object StreamingQueries {
           col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
           col("click_ts") <= col("purchase_ts"))
       val qname = "graft_streaming_ij_" + math.abs(dir.hashCode)
-      val q = joined
-        .select(col("purchase_id"), col("click_id"), col("user_id"),
-          col("value").as("purchase_value"))
-        .writeStream.outputMode("append").format("memory")
-        .queryName(qname).start()
+      // A streaming query pins its state partitioning at checkpoint
+      // creation, so it is sized to the STATE load, not the session's
+      // batch shuffle width: every state partition costs a state-store
+      // instance per micro-batch regardless of data, which at 32
+      // session partitions is ~2/3 of this query's wall-clock. Scoped
+      // to the stream start and restored after.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          joined
+            .select(col("purchase_id"), col("click_id"), col("user_id"),
+              col("value").as("purchase_value"))
+            .writeStream.outputMode("append").format("memory")
+            .queryName(qname).start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try q.processAllAvailable() finally q.stop()
       s.table(qname).orderBy(col("purchase_id").asc, col("click_id").asc)
     },
@@ -322,7 +340,8 @@ object StreamingQueries {
     (s, dir) => {
       val df = Tables.documents(s, dir)
         .select(col("doc_id"), col("text").cast("binary").as("media"))
-      Multimodal.phashNearPairs(df, "doc_id", "media", maxHamming = 3)
+      Multimodal.phashNearPairs(df, "doc_id", "media", maxHamming = 3,
+          workDir = Some(s"/tmp/graft_mm_${math.abs(dir.hashCode)}"))
         .orderBy(col("id_a").asc, col("id_b").asc)
     },
     Some("""

@@ -190,7 +190,8 @@ object Multimodal {
     * bit-for-bit. */
   def phashNearPairs(df: DataFrame, idCol: String, binCol: String,
                      maxHamming: Int = 3, nBins: Int = 256,
-                     nBlocks: Int = 4, maxBucket: Int = 4096): DataFrame = {
+                     nBlocks: Int = 4, maxBucket: Int = 4096,
+                     workDir: Option[String] = None): DataFrame = {
     require(maxHamming < nBlocks,
       s"pigeonhole needs maxHamming < nBlocks, got $maxHamming/$nBlocks")
     require(nBins % nBlocks == 0, s"$nBins bits not divisible into $nBlocks blocks")
@@ -203,7 +204,16 @@ object Multimodal {
     val counts = transform(col("__hist"), v => round(v * nPairs).cast("int"))
     val bits = transform(counts,
       c => when(c * lit(nBins) > nPairs, 1).otherwise(0))
-    val hashed = feat.select(col(idCol), bits.as("__bits"))
+    val hashedPlan = feat.select(col(idCol), bits.as("__bits"))
+    // The signature table is referenced three times below (band A side,
+    // band B side, both verification sides) — as a plain plan the decode
+    // seam would re-run per reference, so with a workDir it becomes a
+    // build-once parquet artifact (the dedup-family warehouse
+    // convention, Dedup.srpBandsTable).
+    val hashed = workDir.map(d =>
+      graft.core.Artifacts.buildOnce(df.sparkSession,
+        s"$d/phash_bits_n${nBins}_g$nBlocks")(hashedPlan))
+      .getOrElse(hashedPlan)
     val bands = hashed.select(col(idCol),
       posexplode(array((0 until nBlocks).map { j =>
         array_join(slice(col("__bits"), j * blockLen + 1, blockLen), "")

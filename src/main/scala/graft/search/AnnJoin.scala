@@ -130,13 +130,52 @@ object AnnJoin {
     val full = ranked.where(col("__n_cand") >= k)
       .select(col("id")).distinct()
     val deficient = ids.join(full, Seq("id"), "left_anti")
+    // Loud observable: a large deficient fraction means the band
+    // parameters don't fit this corpus (sparse/uniform vectors rarely
+    // share 16-bit band keys) and the exact tier is doing the real work.
+    val nDeficient = deficient.count()
+    if (nDeficient > 0)
+      System.err.println(s"[graft] bulkTopKGuaranteed: $nDeficient id(s) " +
+        s"below $k LSH candidates take the exact fallback")
     val defVecs = deficient
       .join(df.select(col(idCol).as("id"), col(vecCol).as("v_q")), Seq("id"))
     val corpus = df.select(col(idCol).as("nbr"), col(vecCol).as("v_c"))
-    val exact = corpus.join(broadcast(defVecs), col("nbr") =!= col("id"))
+    // Exact tier: corpus × broadcast(deficient) cosine, reduced by
+    // PER-PARTITION bounded heaps (≤ k rows per deficient id per
+    // partition survive) before the final per-id window — the
+    // Knn.knnJoinLarge shuffle-bounding shape, here on the
+    // (rounded cosine desc, nbr asc) order the oracle replays. Without
+    // the heap the window sorts |corpus|·|deficient| candidate rows.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val exactPairs = corpus.join(broadcast(defVecs), col("nbr") =!= col("id"))
       .select(col("id"), col("nbr"),
         round(graft.functions.VectorFunctions.cosineSim(
           col("v_q"), col("v_c")), 4).as("cosine"))
-    lshKept.unionByName(topKPerId(exact, k))
+      .as[(Long, Long, Double)]
+    val exactCand = exactPairs.mapPartitions { it =>
+      // max-heap on (−cosine, nbr): root = worst kept candidate. IEEE
+      // comparison semantics (−0.0 == 0.0), NOT total ordering — the
+      // final per-id window treats −0.0 and 0.0 as equal and breaks the
+      // tie on nbr, and the heap must never evict the row the window
+      // would keep.
+      val ord: Ordering[(Double, Long)] = (x, y) =>
+        if (x._1 < y._1) -1
+        else if (x._1 > y._1) 1
+        else java.lang.Long.compare(x._2, y._2)
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (id, nbr, cos) =>
+        val h = heaps.getOrElseUpdate(id,
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        val e = (-cos, nbr)
+        if (h.size < k) h.enqueue(e)
+        else if (ord.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }
+      }
+      heaps.iterator.flatMap { case (id, h) =>
+        h.iterator.map { case (negCos, nbr) => (id, nbr, -negCos) }
+      }
+    }.toDF("id", "nbr", "cosine")
+    lshKept.unionByName(topKPerId(exactCand, k))
   }
 }
