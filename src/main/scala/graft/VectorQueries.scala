@@ -268,7 +268,38 @@ object VectorQueries {
       ORDER BY distance ASC, c.vec_id ASC LIMIT 5
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** Per-dimension corpus statistics over the embedding column — the
+    * drift/health monitor an embedding pipeline runs per batch (a
+    * distribution shift in any dimension means the upstream model or its
+    * inputs changed): table_profile's shape applied to vectors. One
+    * explode + map-side-combined aggregate; at 100 TB this is a single
+    * scan producing `dim` rows. */
+  private val embeddingProfile = Q(
+    "embedding_profile",
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select((col("pos") + 1).cast("long").as("dim"),
+          col("v").cast("double").as("v"))
+        .groupBy(col("dim"))
+        .agg(round(avg(col("v")) + lit(1e-12), 4).as("mean_v"),
+          round(stddev_pop(col("v")) + lit(1e-12), 4).as("std_v"),
+          round(min(col("v")), 4).as("min_v"),
+          round(max(col("v")), 4).as("max_v"))
+        .orderBy(col("dim").asc),
+    Some("""
+      WITH u AS (SELECT unnest(range(1, len(embedding)+1)) AS dim,
+                        unnest(embedding) AS v
+                 FROM embeddings)
+      SELECT CAST(dim AS BIGINT) AS dim,
+             round(avg(CAST(v AS DOUBLE)) + 1e-12, 4) AS mean_v,
+             round(stddev_pop(CAST(v AS DOUBLE)) + 1e-12, 4) AS std_v,
+             round(CAST(min(v) AS DOUBLE), 4) AS min_v,
+             round(CAST(max(v) AS DOUBLE), 4) AS max_v
+      FROM u GROUP BY dim ORDER BY dim ASC
+    """))
+
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
-    sq8RerankSearch)
+    sq8RerankSearch, embeddingProfile)
 }
