@@ -353,7 +353,54 @@ object DedupQueries {
       ORDER BY a.vec_id ASC
     """))
 
+  /** Incremental ingest dedup — the nightly-batch shape: documents with
+    * doc_id ≥ 400 are the "new batch", checked ONLY against the
+    * historical (doc_id < 400) signature artifact; each new doc reports
+    * its best historical match at est ≥ 0.5. Never re-signs or
+    * self-joins the corpus. The oracle replays signatures, banding, the
+    * best-match window, and the threshold over the identical split. */
+  private val dedupIncrementalIngest = Q(
+    "dedup_incremental_ingest",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.minhashIncrementalDupes(
+          docs.where(col("doc_id") < 400), docs.where(col("doc_id") >= 400),
+          "doc_id", "text", numHashes = 8, bandSize = 1, minEst = 0.5,
+          workDir = wd(dir))
+        .orderBy(col("doc_id").asc)
+    },
+    Some(s"""
+      WITH $duckShingles,
+      e AS (SELECT doc_id, unnest(s) AS s FROM sh),
+      dg AS (SELECT doc_id, md5(s) || md5('1:' || s) AS d FROM e),
+      sig AS (SELECT doc_id,
+                [min(substr(d, 1, 8)), min(substr(d, 9, 8)),
+                 min(substr(d, 17, 8)), min(substr(d, 25, 8)),
+                 min(substr(d, 33, 8)), min(substr(d, 41, 8)),
+                 min(substr(d, 49, 8)), min(substr(d, 57, 8))] AS sig
+              FROM dg GROUP BY doc_id),
+      ob AS (SELECT doc_id, sig, unnest(range(0, 8)) AS band,
+                    unnest(sig) AS band_key
+             FROM sig WHERE doc_id < 400),
+      nb AS (SELECT doc_id, sig, unnest(range(0, 8)) AS band,
+                    unnest(sig) AS band_key
+             FROM sig WHERE doc_id >= 400),
+      cand AS (SELECT DISTINCT n.doc_id AS id, o.doc_id AS old_id,
+                 round(list_sum(list_transform(range(1, 9),
+                   i -> CASE WHEN n.sig[i] = o.sig[i]
+                        THEN 1.0 ELSE 0.0 END)) / 8, 4) AS est_jaccard
+               FROM nb n JOIN ob o
+                 ON n.band = o.band AND n.band_key = o.band_key),
+      r AS (SELECT id, old_id, est_jaccard,
+                   row_number() OVER (PARTITION BY id
+                     ORDER BY est_jaccard DESC, old_id ASC) AS rn
+            FROM cand)
+      SELECT id AS doc_id, CAST(old_id AS BIGINT) AS dup_of, est_jaccard
+      FROM r WHERE rn = 1 AND est_jaccard >= 0.5
+      ORDER BY doc_id ASC
+    """))
+
   val all: Seq[Q] = Seq(dedupExact, dedupJaccardPairs, dedupMinhashLsh,
     dedupSimhash, dedupCosinePairs, annBulkTopk, annBulkTopkGuaranteed,
-    dedupClusters, semanticDedup)
+    dedupClusters, semanticDedup, dedupIncrementalIngest)
 }

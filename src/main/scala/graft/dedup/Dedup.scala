@@ -185,7 +185,6 @@ object Dedup {
                         shingleN: Int = 3,
                         workDir: Option[String] = None): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
-    val nBands = numHashes / bandSize
     // the band self-join consumes every signature on both sides → with a
     // workDir the signature table is a build-once parquet artifact (what a
     // warehouse run stores anyway); without one it recomputes per side
@@ -198,11 +197,7 @@ object Dedup {
     // per row, duplicated nBands times in the band shuffle) so the
     // similarity is computed in-line and no O(corpus) side table is ever
     // broadcast or re-joined — the shape that survives a 100× corpus.
-    val bands = sig.select(col("id"), col("sig"),
-      posexplode(array((0 until nBands).map { b =>
-        concat_ws("|", (0 until bandSize).map(j =>
-          col("sig").getItem(b * bandSize + j)): _*)
-      }: _*)).as(Seq("band", "band_key")))
+    val bands = minhashBands(sig, numHashes, bandSize)
     val l = bands.select(col("band"), col("band_key"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val r = bands.select(col("band"), col("band_key"),
@@ -216,6 +211,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         minhashSimilarity(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
       .distinct()
+  }
+
+  /** Band table (id, sig, band, band_key) for a signature table. */
+  private def minhashBands(sig: DataFrame, numHashes: Int,
+                           bandSize: Int): DataFrame = {
+    val nBands = numHashes / bandSize
+    sig.select(col("id"), col("sig"),
+      posexplode(array((0 until nBands).map { b =>
+        concat_ws("|", (0 until bandSize).map(j =>
+          col("sig").getItem(b * bandSize + j)): _*)
+      }: _*)).as(Seq("band", "band_key")))
+  }
+
+  /** Incremental near-dup ingest — the nightly-batch dedup shape: NEW
+    * documents are checked against the EXISTING corpus's signatures only
+    * (never new×new, never old×old — intra-batch duplicates are a
+    * separate [[minhashCandidates]] pass if wanted). The historical
+    * signature table is the build-once parquet artifact a warehouse run
+    * maintains anyway (given `workDir`); the new batch's signatures are
+    * computed in-plan, so ingesting N rows costs O(N) signature work
+    * plus a band equi-join against the artifact — the corpus is never
+    * re-signed. Each new document reports its best historical match
+    * (highest estimated Jaccard, min old id tie-break) at or above
+    * `minEst`; new documents with no qualifying match emit nothing
+    * (they are the fresh rows the ingest keeps). */
+  def minhashIncrementalDupes(oldDf: DataFrame, newDf: DataFrame,
+                              idCol: String, textCol: String,
+                              numHashes: Int = 8, bandSize: Int = 1,
+                              shingleN: Int = 3, minEst: Double = 0.5,
+                              workDir: Option[String] = None): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    val oldSigPlan = minhashSignatures(oldDf, idCol, textCol, numHashes, shingleN)
+    val oldSig = workDir.map(d =>
+      graft.core.Artifacts.buildOnce(oldDf.sparkSession,
+        s"$d/minhash_hist_h${numHashes}_n$shingleN")(oldSigPlan))
+      .getOrElse(oldSigPlan)
+    val newSig = minhashSignatures(newDf, idCol, textCol, numHashes, shingleN)
+    val o = minhashBands(oldSig, numHashes, bandSize)
+      .select(col("band"), col("band_key"),
+        col("id").as("__old_id"), col("sig").as("__sig_o"))
+    val n = minhashBands(newSig, numHashes, bandSize)
+      .select(col("band"), col("band_key"),
+        col("id").as("__new_id"), col("sig").as("__sig_n"))
+    val cand = n.join(o, Seq("band", "band_key"))
+      .select(col("__new_id"), col("__old_id"),
+        minhashSimilarity(col("__sig_n"), col("__sig_o"), numHashes)
+          .as("est_jaccard"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__new_id"))
+      .orderBy(col("est_jaccard").desc, col("__old_id").asc)
+    cand.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col("est_jaccard") >= minEst)
+      .select(col("__new_id").as(idCol), col("__old_id").as("dup_of"),
+        col("est_jaccard"))
   }
 
   /** Batch SimHash via explode + groupBy: md5 evaluated ONCE per distinct

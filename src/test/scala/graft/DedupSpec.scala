@@ -237,6 +237,26 @@ class DedupSpec extends SparkSpec {
     assert(top.head._1 == 0L && top.head._2 == 1L && top.head._3 > 0.99)
   }
 
+  test("incremental ingest dedup: new vs historical only, best match wins") {
+    val base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15"
+    val hist = Seq((1L, base), (2L, base.replace("w15", "x15")),
+      (3L, "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14 z15"))
+      .toDF("id", "text")
+    // two identical NEW docs: each must match history, never each other
+    val fresh = Seq((10L, base), (11L, base),
+      (12L, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14 q15"))
+      .toDF("id", "text")
+    val r = Dedup.minhashIncrementalDupes(hist, fresh, "id", "text",
+        numHashes = 16, bandSize = 1, minEst = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r(10L)._1 == 1L && r(10L)._2 == 1.0,
+      "exact copy of historical doc 1 matches it at est 1.0")
+    assert(r(11L)._1 == 1L,
+      "second identical new doc ALSO matches doc 1 — never its new twin")
+    assert(!r.contains(12L), "fresh content emits nothing")
+  }
+
   test("semantic dedup: within-cluster prune keeps min id, respects cap") {
     val rnd = new scala.util.Random(11)
     def vec(): Seq[Float] = Seq.fill(8)(rnd.nextGaussian().toFloat)
