@@ -482,8 +482,70 @@ object StreamingQueries {
       FROM r WHERE rn = 1 ORDER BY vec_id ASC
     """))
 
+  /** Real-time heavy hitters: the count-min counter matrix maintained as
+    * STREAMING aggregation state (complete mode — the matrix IS the
+    * query's running state, ≤ depth·width rows regardless of stream
+    * length), then point-queried for the exact top-20 tokens. The
+    * output — and therefore the oracle — is IDENTICAL to the batch
+    * `sketch_heavy_tokens`: the batch≡stream duality contract applied
+    * to sketch maintenance, which is how a 100 TB ingest keeps
+    * frequency estimates current without ever re-scanning the corpus. */
+  private val streamingHeavyTokens = Q(
+    "streaming_heavy_tokens",
+    (s, dir) => {
+      val src = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val toks = src.select(explode(split(col("text"), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val qname = "graft_streaming_cms_" + math.abs(dir.hashCode)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.text.CountMin.counterMatrix(toks, "tok", depth = 4, width = 1024)
+            .writeStream.outputMode("complete").format("memory")
+            .queryName(qname).start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.processAllAvailable() finally q.stop()
+      val matrix = s.table(qname)
+      val batchToks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val top = batchToks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok").asc).limit(20)
+      graft.text.CountMin.estimate(top, "tok", matrix, depth = 4, width = 1024)
+        .join(top, Seq("tok"))
+        .select(col("tok").as("token"), col("n_exact"), col("n_cms"))
+        .orderBy(col("n_exact").desc, col("token").asc)
+    },
+    Some("""
+      WITH t AS (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+                 FROM documents),
+      tk AS (SELECT tok FROM t WHERE length(tok) > 0),
+      exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+                FROM tk GROUP BY tok),
+      top AS (SELECT * FROM exact ORDER BY n_exact DESC, tok ASC LIMIT 20),
+      rb AS (SELECT tok, r,
+                    CAST(('0x' || substr(md5('cms' || r || ':' || tok), 1, 8))
+                      AS BIGINT) % 1024 AS b
+             FROM tk CROSS JOIN range(0, 4) s(r)),
+      m AS (SELECT r, b, count(*) AS c FROM rb GROUP BY r, b),
+      lk AS (SELECT top.tok, r2.r,
+                    CAST(('0x' || substr(md5('cms' || r2.r || ':' || top.tok),
+                      1, 8)) AS BIGINT) % 1024 AS b
+             FROM top CROSS JOIN range(0, 4) r2(r)),
+      est AS (SELECT lk.tok, CAST(min(m.c) AS BIGINT) AS n_cms
+              FROM lk JOIN m ON m.r = lk.r AND m.b = lk.b
+              GROUP BY lk.tok)
+      SELECT top.tok AS token, top.n_exact, est.n_cms
+      FROM top JOIN est ON est.tok = top.tok
+      ORDER BY top.n_exact DESC, token ASC
+    """))
+
   val all: Seq[Q] = Seq(streamingHourly, sessionizeEvents, streamingDedup,
     multimodalMeta,
     multimodalFeatures, imagePhashNeardup, frameHashDedup,
-    streamingIntervalJoin, streamingSessionize, streamingKnnTag)
+    streamingIntervalJoin, streamingSessionize, streamingKnnTag,
+    streamingHeavyTokens)
 }
