@@ -635,10 +635,88 @@ object PipelineQueries {
       FROM v GROUP BY 1 ORDER BY segment ASC
     """))
 
+  /** Late-interaction retrieval (the ColBERT maxsim shape, Khattab &
+    * Zaharia 2020): documents are represented by MULTIPLE vectors (one
+    * per chunk, through the same batched embedder seam as
+    * `embed_ingest`), and a document's score against a multi-term query
+    * is Σ over query terms of the MAX dot product across the document's
+    * chunk vectors — fine-grained term-to-passage matching a single
+    * pooled vector cannot express. Plan shape: chunk explode → embed map
+    * work → cross join against the BROADCAST 4-term query side → two
+    * hash aggregations (max per (doc, term), sum per doc) →
+    * TakeOrderedAndProject; nothing shuffles more than (doc, term) rows.
+    * The oracle replays chunking, the float-precision hashing embedder,
+    * bucket-join dot products, and both aggregation levels exactly. */
+  private val lateInteractionMaxsim = Q(
+    "late_interaction_maxsim",
+    (s, dir) => {
+      import s.implicits._
+      val punctuated = Tables.documents(s, dir)
+        .withColumn("ptext",
+          regexp_replace(col("text"), "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. "))
+      val ch = graft.text.Keywords.chunks(punctuated, "doc_id", "ptext",
+        maxChunks = 2, minLen = 5)
+      val cemb = Embed.withEmbeddings(ch, "chunk", "cvec",
+        new HashingEmbedder(64), batchSize = 100)
+      val terms = Seq("spark", "shuffle", "join", "scan")
+      val tdf = terms.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("qid", "qtext")
+      val qemb = Embed.withEmbeddings(tdf, "qtext", "qvec",
+        new HashingEmbedder(64), batchSize = 100)
+      cemb.crossJoin(broadcast(qemb))
+        .select(col("doc_id"), col("qid"),
+          round(VectorFunctions.dot(col("cvec"), col("qvec")), 4).as("cos"))
+        .groupBy(col("doc_id"), col("qid"))
+        .agg(max(col("cos")).as("m"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("m")), 4).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("doc_id").asc)
+        .limit(5)
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT doc_id,
+          regexp_replace(text, '(\\w+ \\w+ \\w+ \\w+ \\w+) ', '\\1. ', 'g')
+            AS ptext
+        FROM documents),
+      cs AS (
+        SELECT doc_id,
+               unnest(range(1, len(c)+1)) AS chunk_idx,
+               trim(unnest(c)) AS chunk
+        FROM (SELECT doc_id,
+                string_split_regex(ptext, '[，。！？；:,\\.!?;]') AS c
+              FROM p)),
+      cf AS (SELECT doc_id, chunk_idx, chunk FROM cs WHERE length(chunk) > 5),
+      cr AS (SELECT doc_id, chunk,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY chunk_idx ASC) AS BIGINT) AS chunk_rank
+            FROM cf),
+      ${DuckOracle.hashEmbedCtes("c",
+        "SELECT doc_id*10 + chunk_rank AS id, chunk AS text FROM cr " +
+          "WHERE chunk_rank <= 2")},
+      ${DuckOracle.hashEmbedCtes("q",
+        "SELECT 0 AS id, 'spark' AS text UNION ALL SELECT 1, 'shuffle' " +
+          "UNION ALL SELECT 2, 'join' UNION ALL SELECT 3, 'scan'")},
+      dots AS (SELECT a.id AS cid, b.id AS qid,
+                      sum(CAST(a.w AS DOUBLE) * CAST(b.w AS DOUBLE)) AS dot
+               FROM cw a JOIN qw b USING (bucket)
+               GROUP BY 1, 2),
+      scored AS (SELECT cn.id AS cid, qn.id AS qid,
+                        round(coalesce(j.dot, 0), 4) AS cos
+                 FROM cn2 cn CROSS JOIN qn2 qn
+                 LEFT JOIN dots j ON j.cid = cn.id AND j.qid = qn.id),
+      perterm AS (SELECT cid // 10 AS doc_id, qid, max(cos) AS m
+                  FROM scored GROUP BY 1, 2),
+      total AS (SELECT doc_id, round(sum(m), 4) AS maxsim
+                FROM perterm GROUP BY doc_id)
+      SELECT doc_id, maxsim FROM total
+      ORDER BY maxsim DESC, doc_id ASC LIMIT 5
+    """))
+
   val all: Seq[Q] = Seq(ivfSearch, ivfPartialProbe, ivfAutoRewrite,
     ivfAutoRewriteSql,
     ivfIncrementalSearch, multiStrategySearch,
     chapterParse, collectionRoundtrip, ragContextLines, embedIngest,
     keywordTextSearch, chunkTextSearch, questionAnswerPipeline,
-    collectionUpsert, collectionSchemaEvolution)
+    collectionUpsert, collectionSchemaEvolution, lateInteractionMaxsim)
 }
