@@ -676,8 +676,37 @@ object RelationalQueries {
       FROM lineitem""").mkString(" UNION ALL ") +
       "\n      ORDER BY col_name ASC"))
 
+  /** Join-key skew diagnosis — the pre-flight check that decides whether
+    * a join needs salting (operators/SaltedJoin) or AQE skew handling:
+    * per-key row counts reduced to distribution stats (exact
+    * percentiles, max, max/avg skew factor) in one map-side-combined
+    * aggregation pass. At 100 TB this is the cheap scan you run BEFORE
+    * the expensive join, not after it straggles. */
+  private val skewReport = Q(
+    "skew_report",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"),
+          round(avg(col("c")) + lit(1e-9), 4).as("avg_rows"),
+          round(expr("percentile(c, 0.5)"), 4).as("p50_rows"),
+          round(expr("percentile(c, 0.99)"), 4).as("p99_rows"),
+          max(col("c")).as("max_rows"))
+        .withColumn("skew_factor",
+          round(col("max_rows") / col("avg_rows") + lit(1e-9), 4)),
+    Some("""
+      WITH k AS (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             round(avg(c) + 1e-9, 4) AS avg_rows,
+             round(quantile_cont(c, 0.5), 4) AS p50_rows,
+             round(quantile_cont(c, 0.99), 4) AS p99_rows,
+             CAST(max(c) AS BIGINT) AS max_rows,
+             round(max(c) / round(avg(c) + 1e-9, 4) + 1e-9, 4) AS skew_factor
+      FROM k
+    """))
+
   val all: Seq[Q] = Seq(q1Pricing, q3TopRevenue, q5NationRevenue,
-    q9ProfitByNation,
+    q9ProfitByNation, skewReport,
     sketchDistinctUsers, sketchKmvUsers, exactDistinctUsers, cubeOrders,
     windowOrderGaps,
     quantilePrices, windowTopOrders, windowRunningRevenue, windowRolling7d,
