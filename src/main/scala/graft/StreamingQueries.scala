@@ -425,7 +425,9 @@ object StreamingQueries {
     * lexicographic min over the tiny centroid table, evaluated as
     * per-row codegen map work; the centroid table is a literal, i.e. the
     * degenerate broadcast of the stream-static join, so the stream never
-    * shuffles). The centroid table is handed off to DuckDB and the
+    * shuffles — at nlist ≳ a few hundred, swap the literal for a real
+    * broadcast stream-static join to keep the expression tree bounded).
+    * The centroid table is handed off to DuckDB and the
     * oracle replays the assignment arithmetic — unrounded double L2,
     * cluster-id tie-break — exactly, the ivf_partial_probe contract
     * applied to a stream. */
