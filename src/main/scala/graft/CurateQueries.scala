@@ -307,7 +307,53 @@ object CurateQueries {
       FROM s ORDER BY doc_id ASC
     """))
 
+  /** Percentile-relative quality cut: drop the corpus's bottom quartile
+    * by composite quality score. The threshold is DATA-RELATIVE (the p25
+    * over the scored corpus), which is how production quality cuts are
+    * specified — an absolute threshold goes stale as the corpus mix
+    * shifts. The threshold is a DISCRETE order statistic (the
+    * floor(0.25·(n−1))+1-th smallest score — an actual data value, the
+    * quantile_disc definition), NOT an interpolated percentile: an
+    * interpolation is engine-arithmetic-dependent in its last ulp and a
+    * boundary score can straddle the rounded bound, whereas value
+    * equality against a value drawn FROM the data compares identically
+    * everywhere. Plan: one scoring scan, a bounded TakeOrdered for the
+    * order statistic, broadcast back as the filter bound (at petabyte
+    * corpora swap in an approximate quantile with a tolerance band). */
+  private val qualityPercentileFilter = Q(
+    "quality_percentile_filter",
+    (s, dir) => {
+      val scored = graft.text.TextAnalysis.qualityScore(
+        Tables.documents(s, dir), "doc_id", "text")
+      val n = scored.count()
+      val k = (0.25 * (n - 1)).toLong + 1
+      val thr = scored.select(col("quality"))
+        .orderBy(col("quality").asc).limit(k.toInt)
+        .agg(max(col("quality")).as("thr"))
+      scored.crossJoin(broadcast(thr))
+        .where(col("quality") > col("thr"))
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                 FROM documents),
+      sc AS (SELECT doc_id,
+               round(0.3 * least(len(toks) / 100.0, 1.0)
+                   + 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                            / len(toks))
+                   + 0.3 * least((list_sum(list_transform(toks,
+                       tk -> CAST(length(tk) AS DOUBLE))) / len(toks)) / 8.0,
+                       1.0)
+                   + 1e-9, 4) AS quality
+             FROM t),
+      th AS (SELECT quantile_disc(quality, 0.25) AS thr FROM sc)
+      SELECT doc_id, quality FROM sc CROSS JOIN th
+      WHERE quality > thr ORDER BY doc_id ASC
+    """))
+
   val all: Seq[Q] = Seq(trainValTestSplit, sampleHash, packTokenBatches,
     curatePipeline, contaminationReport, quotaPerSource, piiScrub,
-    contrastiveTriplets, domainMixSample, trainingOrderShuffle)
+    contrastiveTriplets, domainMixSample, trainingOrderShuffle,
+    qualityPercentileFilter)
 }

@@ -335,6 +335,39 @@ object RelationalQueries {
       ORDER BY status ASC, priority ASC
     """))
 
+  /** Explicit GROUPING SETS — the precise lattice control cube/rollup
+    * only approximate: exactly the three groupings a dashboard needs
+    * ((status), (priority), ()), none of the lattice it doesn't, via the
+    * same single-scan Expand. grouping() disambiguates real NULL-like
+    * labels from superaggregate rows. */
+  private val groupingSetsOrders = Q(
+    "grouping_sets_orders",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status ASC, priority ASC
+      """)
+    },
+    Some("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+             CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status ASC, priority ASC
+    """))
+
   /** Semi + anti join: customers with a 'P' order but none over 400k. */
   private val semiAntiCustomers = Q(
     "semi_anti_customers",
@@ -706,7 +739,7 @@ object RelationalQueries {
     """))
 
   val all: Seq[Q] = Seq(q1Pricing, q3TopRevenue, q5NationRevenue,
-    q9ProfitByNation, skewReport,
+    q9ProfitByNation, skewReport, groupingSetsOrders,
     sketchDistinctUsers, sketchKmvUsers, exactDistinctUsers, cubeOrders,
     windowOrderGaps,
     quantilePrices, windowTopOrders, windowRunningRevenue, windowRolling7d,
