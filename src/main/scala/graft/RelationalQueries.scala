@@ -368,6 +368,38 @@ object RelationalQueries {
       ORDER BY status ASC, priority ASC
     """))
 
+  /** MAP-typed column surface: the JSON props parsed to a real
+    * map<string,bigint> (not scalar get_json_object extraction), the map
+    * EXPLODED into (key, value) rows, and per-key value stats aggregated
+    * — schema-on-read over semi-structured data without a fixed struct.
+    * The fixture carries one key; the machinery is key-count-agnostic. */
+  private val propsMapStats = Q(
+    "props_map_stats",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(explode(from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType)))
+          .as(Seq("key", "value")))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("value")).as("n_distinct"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+          sum(col("value")).as("sum_v"))
+        .orderBy(col("key").asc),
+    Some("""
+      WITH kv AS (SELECT unnest(json_keys(props)) AS key, props FROM events),
+      v AS (SELECT key,
+                   CAST(json_extract(props, '$.' || key) AS BIGINT) AS value
+            FROM kv)
+      SELECT key, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+             min(value) AS min_v, max(value) AS max_v,
+             CAST(sum(value) AS BIGINT) AS sum_v
+      FROM v GROUP BY key ORDER BY key ASC
+    """))
+
   /** Semi + anti join: customers with a 'P' order but none over 400k. */
   private val semiAntiCustomers = Q(
     "semi_anti_customers",
@@ -744,6 +776,7 @@ object RelationalQueries {
     windowOrderGaps,
     quantilePrices, windowTopOrders, windowRunningRevenue, windowRolling7d,
     windowRankFunctions, rollupCustomers, shuffleHashJoinAgg,
-    semiAntiCustomers, eventsHourly, eventsJson, asofClickBeforePurchase,
+    semiAntiCustomers, eventsHourly, eventsJson, propsMapStats,
+    asofClickBeforePurchase,
     collectionStats, incrementalAggMerge, tableProfile)
 }
