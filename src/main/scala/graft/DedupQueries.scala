@@ -400,7 +400,157 @@ object DedupQueries {
       ORDER BY doc_id ASC
     """))
 
+  /** ANN quality evaluation as an engine query — the recall harness a
+    * vector store ships so an operator can SIZE nprobe/band parameters
+    * against measured recall instead of folklore: for the first 10
+    * corpus vectors as queries, recall@5 of (a) the IVF index at partial
+    * probe nprobe=4/16 vs exact L2 top-5, and (b) the SRP-LSH bulk-ANN
+    * tier vs exact cosine top-5 (self excluded — the LSH tier never
+    * emits self-pairs). Every tier's arithmetic — probe ranking,
+    * candidate generation, rank windows, the recall division itself —
+    * replays in the oracle, so the MEASUREMENT is hash-checked, not just
+    * the searches it measures. On the random fixture it reports what the
+    * design docs claim: IVF at 4/16 probes recalls ~0.8, while SRP-LSH
+    * recalls ~0 — cosine LSH finds NEAR-DUPLICATES, not arbitrary
+    * nearest neighbours of unclustered vectors, which is precisely why
+    * [[graft.search.AnnJoin.bulkTopKGuaranteed]]'s exact fallback
+    * exists. */
+  private val annRecallReport = Q(
+    "ann_recall_report",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(graft.search.IvfIndex.centroidsDir(indexDir)).exists())
+          graft.search.IvfIndex.load(s, indexDir)
+        else graft.search.IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      val oracleDir = "/tmp/graft_recall_oracle"
+      val staging = s"$oracleDir.staging"
+      s.read.parquet(graft.search.IvfIndex.centroidsDir(indexDir))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
+      s.read.parquet(graft.search.IvfIndex.dataDir(indexDir))
+        .select(col("vec_id"), col("cluster_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/assign")
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(oracleDir), true)
+      fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(oracleDir))
+
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      import graft.functions.VectorFunctions
+      // exact L2 top-5 (self included — IVF includes it identically)
+      val exL2 = e.crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"),
+          VectorFunctions.l2Sq(col("embedding"), col("qv")).as("d"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("d").asc, col("vec_id").asc)))
+        .where(col("rn") <= 5).select("qid", "vec_id")
+      // IVF tier at nprobe=4: rank centroids per query, probe, exact within
+      val cent = s.read.parquet(graft.search.IvfIndex.centroidsDir(indexDir))
+      val probed = q.crossJoin(broadcast(cent))
+        .select(col("qid"), col("qv"), col("cluster_id"),
+          VectorFunctions.l2Sq(col("qv"), col("centroid")).as("cd"))
+        .withColumn("crn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cd").asc, col("cluster_id").asc)))
+        .where(col("crn") <= 4)
+        .select("qid", "qv", "cluster_id")
+      val asg = s.read.parquet(graft.search.IvfIndex.dataDir(indexDir))
+        .select(col("vec_id"), col("cluster_id"))
+      val ivf = probed.join(asg, Seq("cluster_id"))
+        .join(e, Seq("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          VectorFunctions.l2Sq(col("embedding"), col("qv")).as("d"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("d").asc, col("vec_id").asc)))
+        .where(col("rn") <= 5).select("qid", "vec_id")
+      // exact cosine top-5, self excluded (the SRP tier's ground truth)
+      val exCos = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(VectorFunctions.cosineSim(col("embedding"), col("qv")), 4)
+            .as("c"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("c").desc, col("vec_id").asc)))
+        .where(col("rn") <= 5).select("qid", "vec_id")
+      val srp = graft.search.AnnJoin.bulkTopK(e, "vec_id", "embedding",
+          k = 5, dim = 64, workDir = wd(dir))
+        .where(col("id") < 10)
+        .select(col("id").as("qid"), col("nbr").as("vec_id"))
+      def recall(approx: org.apache.spark.sql.DataFrame,
+                 exact: org.apache.spark.sql.DataFrame,
+                 name: String) =
+        approx.join(exact, Seq("qid", "vec_id"))
+          .agg(round(count(lit(1)) / lit(50.0), 4).as("recall_at_5"))
+          .withColumn("method", lit(name))
+      recall(ivf, exL2, "ivf_nprobe4")
+        .unionByName(recall(srp, exCos, "srp_lsh"))
+        .select(col("method"), col("recall_at_5"))
+        .orderBy(col("method").asc)
+    },
+    Some(s"""
+      WITH $duckSrpCand, $duckSrpPairs,
+      q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id < 10),
+      exl2 AS (SELECT qid, vec_id FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid ORDER BY
+                   list_sum(list_transform(range(1, len(e.embedding)+1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE)
+                           - CAST(q.qv[i] AS DOUBLE))^2)) ASC,
+                   e.vec_id ASC) AS rn
+          FROM embeddings e CROSS JOIN q) WHERE rn <= 5),
+      centt AS (SELECT * FROM
+        read_parquet('/tmp/graft_recall_oracle/centroids/*.parquet')),
+      probed AS (SELECT qid, cluster_id FROM (
+          SELECT q.qid, c.cluster_id,
+                 row_number() OVER (PARTITION BY q.qid ORDER BY
+                   list_sum(list_transform(range(1, len(c.centroid)+1),
+                     i -> (CAST(c.centroid[i] AS DOUBLE)
+                           - CAST(q.qv[i] AS DOUBLE))^2)) ASC,
+                   c.cluster_id ASC) AS crn
+          FROM centt c CROSS JOIN q) WHERE crn <= 4),
+      assign AS (SELECT * FROM
+        read_parquet('/tmp/graft_recall_oracle/assign/*.parquet')),
+      ivf AS (SELECT qid, vec_id FROM (
+          SELECT p.qid, a.vec_id,
+                 row_number() OVER (PARTITION BY p.qid ORDER BY
+                   list_sum(list_transform(range(1, len(e.embedding)+1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE)
+                           - CAST(q.qv[i] AS DOUBLE))^2)) ASC,
+                   a.vec_id ASC) AS rn
+          FROM probed p JOIN assign a USING (cluster_id)
+               JOIN embeddings e ON e.vec_id = a.vec_id
+               JOIN q ON q.qid = p.qid) WHERE rn <= 5),
+      excos AS (SELECT qid, vec_id FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid ORDER BY
+                   ${duckCosine("e.embedding", "q.qv")} DESC,
+                   e.vec_id ASC) AS rn
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id != q.qid) WHERE rn <= 5),
+      sym AS (SELECT id_a AS id, id_b AS nbr, cosine FROM pairs
+              UNION ALL
+              SELECT id_b AS id, id_a AS nbr, cosine FROM pairs),
+      srp AS (SELECT id AS qid, nbr AS vec_id FROM (
+          SELECT id, nbr,
+                 row_number() OVER (PARTITION BY id
+                   ORDER BY cosine DESC, nbr ASC) AS rn
+          FROM sym WHERE id < 10) WHERE rn <= 5),
+      rivf AS (SELECT 'ivf_nprobe4' AS method,
+                      round(count(*) / 50.0, 4) AS recall_at_5
+               FROM ivf JOIN exl2 USING (qid, vec_id)),
+      rsrp AS (SELECT 'srp_lsh' AS method,
+                      round(count(*) / 50.0, 4) AS recall_at_5
+               FROM srp JOIN excos USING (qid, vec_id))
+      SELECT method, recall_at_5 FROM rivf
+      UNION ALL SELECT method, recall_at_5 FROM rsrp
+      ORDER BY method ASC
+    """))
+
   val all: Seq[Q] = Seq(dedupExact, dedupJaccardPairs, dedupMinhashLsh,
     dedupSimhash, dedupCosinePairs, annBulkTopk, annBulkTopkGuaranteed,
-    dedupClusters, semanticDedup, dedupIncrementalIngest)
+    dedupClusters, semanticDedup, dedupIncrementalIngest, annRecallReport)
 }
