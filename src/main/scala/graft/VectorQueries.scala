@@ -299,7 +299,63 @@ object VectorQueries {
       FROM u GROUP BY dim ORDER BY dim ASC
     """))
 
+  /** Product-quantized ADC search (see [[graft.search.Pq]]): dim-64
+    * vectors stored as 8 nibble codes (32× cut), searched via the
+    * asymmetric-distance lookup table and reranked exactly. Codebooks
+    * are handed off (staged + renamed), and the oracle replays
+    * per-subspace argmin encoding, the ADC table, candidate ranking,
+    * and the exact rerank — the full PQ pipeline is hash-checked. */
+  private val pqAdcSearch = Q(
+    "pq_adc_search",
+    (s, dir) => {
+      val indexDir = s"/tmp/graft_pq_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(
+            graft.search.Pq.codesDir(indexDir) + "/_SUCCESS").exists())
+          graft.search.Pq.load(s, indexDir)
+        else graft.search.Pq.build(e, "embedding", "vec_id", indexDir)
+      val oracleDir = "/tmp/graft_pq_oracle"
+      val staging = s"$oracleDir.staging"
+      s.read.parquet(graft.search.Pq.codebooksDir(indexDir))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/codebooks")
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(oracleDir), true)
+      fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(oracleDir))
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      graft.search.Pq.adcSearch(s, model, e, "embedding", "vec_id", query,
+        k = 5, margin = 4)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      cb AS (SELECT * FROM
+        read_parquet('/tmp/graft_pq_oracle/codebooks/*.parquet')),
+      enc AS (SELECT vec_id, sub, code FROM (
+          SELECT e.vec_id, cb.sub, cb.code,
+                 row_number() OVER (PARTITION BY e.vec_id, cb.sub ORDER BY
+                   list_sum(list_transform(range(1, 9),
+                     i -> (CAST(e.embedding[cb.sub*8 + i] AS DOUBLE)
+                           - CAST(cb.centroid[i] AS DOUBLE))^2)) ASC,
+                   cb.code ASC) AS rn
+          FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
+      lut AS (SELECT cb.sub, cb.code,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (CAST(q.qv[cb.sub*8 + i] AS DOUBLE)
+                             - CAST(cb.centroid[i] AS DOUBLE))^2)) AS d
+              FROM cb CROSS JOIN q),
+      adc AS (SELECT enc.vec_id, round(sum(lut.d), 4) AS approx_distance
+              FROM enc JOIN lut USING (sub, code) GROUP BY enc.vec_id),
+      cand AS (SELECT vec_id, approx_distance FROM adc
+               ORDER BY approx_distance ASC, vec_id ASC LIMIT 20)
+      SELECT c.vec_id, c.approx_distance, %L2% AS distance
+      FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, q
+      ORDER BY distance ASC, c.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qv"))))
+
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
-    sq8RerankSearch, embeddingProfile)
+    sq8RerankSearch, embeddingProfile, pqAdcSearch)
 }

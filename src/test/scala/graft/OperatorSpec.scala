@@ -277,6 +277,31 @@ class OperatorSpec extends SparkSpec {
     assert(sq8 == exact)
   }
 
+  test("PQ: codes in range, self found at exact distance 0, ADC ≥ 0") {
+    import graft.search.Pq
+    val dir = "/tmp/graft_pq_spec"
+    org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    val e = graft.core.Tables.embeddings(spark, sf0001)
+    val model = Pq.build(e, "embedding", "vec_id", dir)
+    assert(model.m == 8 && model.kCodes == 16 && model.dsub == 8)
+    val codes = spark.read.parquet(Pq.codesDir(dir))
+      .select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // reload round-trips the codebooks
+    val re = Pq.load(spark, dir)
+    assert(re.codebooks.flatten.flatten.toSeq ==
+      model.codebooks.flatten.flatten.toSeq)
+    val q = e.where(col("vec_id") === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val r = Pq.adcSearch(spark, model, e, "embedding", "vec_id", q, k = 5)
+      .collect()
+    assert(r.head.getLong(0) == 3L && r.head.getDouble(2) == 0.0,
+      "the query vector itself must rerank first at exact distance 0")
+    assert(r.forall(_.getDouble(1) >= 0.0))
+  }
+
   test("KMV sketch: exact below k, within rsd above k, order-independent") {
     import graft.functions.KmvSketchAggregator
     val agg = new KmvSketchAggregator(64)
