@@ -355,7 +355,116 @@ object VectorQueries {
       ORDER BY distance ASC, c.vec_id ASC LIMIT 5
     """.replace("%L2%", duckL2("e.embedding", "q.qv"))))
 
+  /** IVF_PQ — the composed index family the reference's Milvus config
+    * belongs to (src/app.py:105-111 chooses IVF_FLAT; IVF_PQ is the same
+    * coarse quantizer with PQ codes instead of raw vectors inside each
+    * list): the query ranks the IVF centroids and prunes to nprobe=4
+    * clusters, the ADC lookup scan runs ONLY over the surviving codes,
+    * and the candidate set reranks exactly. At 100 TB this is the
+    * standard trillion-vector layout — partition pruning cuts the scan
+    * to nprobe/nlist of the corpus and PQ cuts the bytes per scanned row
+    * 32×, multiplicatively. The oracle replays centroid ranking, the
+    * cluster restriction, per-subspace encoding, the ADC table, and the
+    * rerank from one composite handoff. */
+  private val ivfPqSearch = Q(
+    "ivf_pq_search",
+    (s, dir) => {
+      val ivfDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val pqDir = s"/tmp/graft_pq_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val ivf =
+        if (new java.io.File(
+            graft.search.IvfIndex.centroidsDir(ivfDir)).exists())
+          graft.search.IvfIndex.load(s, ivfDir)
+        else graft.search.IvfIndex.build(e, "embedding", ivfDir, nlist = 16)
+      val pq =
+        if (new java.io.File(
+            graft.search.Pq.codesDir(pqDir) + "/_SUCCESS").exists())
+          graft.search.Pq.load(s, pqDir)
+        else graft.search.Pq.build(e, "embedding", "vec_id", pqDir)
+      val oracleDir = "/tmp/graft_ivfpq_oracle"
+      val staging = s"$oracleDir.staging"
+      s.read.parquet(graft.search.IvfIndex.centroidsDir(ivfDir))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
+      s.read.parquet(graft.search.IvfIndex.dataDir(ivfDir))
+        .select(col("vec_id"), col("cluster_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/assign")
+      s.read.parquet(graft.search.Pq.codebooksDir(pqDir))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/codebooks")
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(oracleDir), true)
+      fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(oracleDir))
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val clusters = graft.search.IvfIndex.probeClusters(ivf, query, 4)
+      val selected = s.read.parquet(graft.search.IvfIndex.dataDir(ivfDir))
+        .where(col("cluster_id").isin(clusters: _*))
+        .select(col("vec_id"))
+      val lut = graft.search.Pq.adcTable(pq, query)
+      val lutLit = typedlit(lut.toSeq)
+      val adc = round(aggregate(sequence(lit(0), lit(pq.m - 1)), lit(0.0),
+        (acc, sb) => acc +
+          element_at(lutLit,
+            (sb * pq.kCodes + element_at(col("codes"), sb + 1) + 1)
+              .cast("int"))), 4)
+      val cand = s.read.parquet(graft.search.Pq.codesDir(pqDir))
+        .join(selected, Seq("vec_id"), "left_semi")
+        .withColumn("approx_distance", adc)
+        .orderBy(col("approx_distance").asc, col("vec_id").asc)
+        .limit(20)
+        .select(col("vec_id"), col("approx_distance"))
+      val qlit = typedlit(query.toSeq)
+      broadcast(cand)
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .withColumn("distance",
+          round(graft.functions.VectorFunctions.l2Sq(col("embedding"), qlit), 4))
+        .select(col("vec_id"), col("approx_distance"), col("distance"))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+        .limit(5)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      cent AS (SELECT * FROM
+        read_parquet('/tmp/graft_ivfpq_oracle/centroids/*.parquet')),
+      probe AS (SELECT cluster_id FROM (
+          SELECT cluster_id,
+                 row_number() OVER (ORDER BY
+                   list_sum(list_transform(range(1, len(centroid)+1),
+                     i -> (CAST(centroid[i] AS DOUBLE)
+                           - CAST(qe.qv[i] AS DOUBLE))^2)) ASC,
+                   cluster_id ASC) AS rn
+          FROM cent, q qe) WHERE rn <= 4),
+      a AS (SELECT * FROM
+        read_parquet('/tmp/graft_ivfpq_oracle/assign/*.parquet')),
+      sel AS (SELECT a.vec_id FROM a JOIN probe USING (cluster_id)),
+      cb AS (SELECT * FROM
+        read_parquet('/tmp/graft_ivfpq_oracle/codebooks/*.parquet')),
+      enc AS (SELECT vec_id, sub, code FROM (
+          SELECT e.vec_id, cb.sub, cb.code,
+                 row_number() OVER (PARTITION BY e.vec_id, cb.sub ORDER BY
+                   list_sum(list_transform(range(1, 9),
+                     i -> (CAST(e.embedding[cb.sub*8 + i] AS DOUBLE)
+                           - CAST(cb.centroid[i] AS DOUBLE))^2)) ASC,
+                   cb.code ASC) AS rn
+          FROM embeddings e JOIN sel USING (vec_id) CROSS JOIN cb)
+          WHERE rn = 1),
+      lut AS (SELECT cb.sub, cb.code,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (CAST(q.qv[cb.sub*8 + i] AS DOUBLE)
+                             - CAST(cb.centroid[i] AS DOUBLE))^2)) AS d
+              FROM cb CROSS JOIN q),
+      adc AS (SELECT enc.vec_id, round(sum(lut.d), 4) AS approx_distance
+              FROM enc JOIN lut USING (sub, code) GROUP BY enc.vec_id),
+      cand AS (SELECT vec_id, approx_distance FROM adc
+               ORDER BY approx_distance ASC, vec_id ASC LIMIT 20)
+      SELECT c.vec_id, c.approx_distance, %L2% AS distance
+      FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, q
+      ORDER BY distance ASC, c.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qv"))))
+
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
-    sq8RerankSearch, embeddingProfile, pqAdcSearch)
+    sq8RerankSearch, embeddingProfile, pqAdcSearch, ivfPqSearch)
 }
