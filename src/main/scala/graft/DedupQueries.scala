@@ -184,7 +184,7 @@ object DedupQueries {
     * `dedup_cosine_pairs`, `ann_bulk_topk(_guaranteed)`, and the
     * verified-pairs CTE below. Plane p weights dim i by nibble p of
     * md5('w'‖i)‖md5('x'‖i) − 7.5, exactly Dedup.srpWeights. */
-  private val duckSrpCand = """
+  private val duckSrpKept = """
       w AS (SELECT i, md5('w' || CAST(i AS VARCHAR))
                       || md5('x' || CAST(i AS VARCHAR)) AS h
                  FROM range(1, 65) t(i)),
@@ -199,14 +199,17 @@ object DedupQueries {
               GROUP BY b, band_key HAVING count(*) > 4096),
       kept AS (SELECT bands.* FROM bands
                WHERE NOT EXISTS (SELECT 1 FROM hot
-                 WHERE hot.b = bands.b AND hot.band_key = bands.band_key)),
+                 WHERE hot.b = bands.b AND hot.band_key = bands.band_key))"""
+    .replace("%BITS%",
+      "[" + (1 to 64).map(p =>
+        s"CASE WHEN sum((strpos('0123456789abcdef', substr(h, $p, 1)) - 1 " +
+          s"- 7.5) * x) > 0 THEN 1 ELSE 0 END").mkString(", ") + "]")
+
+  private val duckSrpCand = duckSrpKept + """,
       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                FROM kept a JOIN kept b
                  ON a.b = b.b AND a.band_key = b.band_key
-                    AND a.vec_id < b.vec_id)""".replace("%BITS%",
-    "[" + (1 to 64).map(p =>
-      s"CASE WHEN sum((strpos('0123456789abcdef', substr(h, $p, 1)) - 1 " +
-        s"- 7.5) * x) > 0 THEN 1 ELSE 0 END").mkString(", ") + "]")
+                    AND a.vec_id < b.vec_id)"""
 
   /** Cosine-verified candidate pairs (follows [[duckSrpCand]]). */
   private val duckSrpPairs = """
@@ -550,7 +553,43 @@ object DedupQueries {
       ORDER BY method ASC
     """))
 
+  /** Multi-probe cosine near-dup: the probe side also emits each band
+    * key's 16 single-bit-flip variants, widening candidates to pairs
+    * within hamming 1 of a shared band — multi-probe LSH's recall for
+    * 17× probe rows instead of extra hash tables. Top-20 by cosine over
+    * the widened set; the flip enumeration is positional, so the oracle
+    * replays the identical candidate set. */
+  private val dedupCosineMultiprobe = Q(
+    "dedup_cosine_multiprobe",
+    (s, dir) => {
+      val bands = Dedup.srpBandsTable(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64, bits = 64, nBands = 4, maxBucket = 4096,
+        dir = wd(dir).get)
+      Dedup.cosineVerifiedPairsMultiprobe(bands, bandSize = 16)
+        .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
+        .limit(20)
+    },
+    Some(s"""
+      WITH $duckSrpKept,
+      vkey AS (SELECT vec_id, b,
+                      CASE WHEN f = 0 THEN band_key
+                           ELSE substr(band_key, 1, f-1)
+                                || (CASE WHEN substr(band_key, f, 1) = '0'
+                                    THEN '1' ELSE '0' END)
+                                || substr(band_key, f+1)
+                      END AS band_key
+               FROM kept CROSS JOIN range(0, 17) t(f)),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM vkey a JOIN kept b
+                 ON a.b = b.b AND a.band_key = b.band_key
+                    AND a.vec_id < b.vec_id),
+      $duckSrpPairs
+      SELECT id_a, id_b, cosine FROM pairs
+      ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20
+    """))
+
   val all: Seq[Q] = Seq(dedupExact, dedupJaccardPairs, dedupMinhashLsh,
-    dedupSimhash, dedupCosinePairs, annBulkTopk, annBulkTopkGuaranteed,
+    dedupSimhash, dedupCosinePairs, dedupCosineMultiprobe, annBulkTopk,
+    annBulkTopkGuaranteed,
     dedupClusters, semanticDedup, dedupIncrementalIngest, annRecallReport)
 }

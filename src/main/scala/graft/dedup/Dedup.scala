@@ -483,6 +483,35 @@ object Dedup {
       .distinct()
   }
 
+  /** Multi-probe variant of [[cosineVerifiedPairs]] (multi-probe LSH,
+    * Lv et al. 2007): the probe side ALSO emits each band key's
+    * `bandSize` single-bit-flip variants, so candidate pairs include
+    * those whose keys differ by ≤ 1 bit in SOME band — the recall of
+    * ~bandSize extra hash tables for bandSize× probe rows and zero extra
+    * signatures or storage. The flip set is deterministic (positional),
+    * so the oracle replays the widened candidate set exactly. */
+  def cosineVerifiedPairsMultiprobe(keptBands: DataFrame,
+                                    bandSize: Int): DataFrame = {
+    val variants = explode(array((0 to bandSize).map { f =>
+      if (f == 0) col("band_key")
+      else concat(
+        substring(col("band_key"), 1, f - 1),
+        when(substring(col("band_key"), f, 1) === "0", lit("1"))
+          .otherwise(lit("0")),
+        substring(col("band_key"), f + 1, bandSize - f))
+    }: _*))
+    val a = keptBands.select(col("band"), variants.as("band_key"),
+      col("id").as("id_a"), col("v").as("v_a"))
+    val b = keptBands.select(col("band"), col("band_key"),
+      col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.cosineSim(col("v_a"), col("v_b")), 4)
+          .as("cosine"))
+      .distinct()
+  }
+
   /** Embedding-cosine near-dup: top-k most similar CANDIDATE pairs, where
     * candidates come from signed-random-projection LSH (cosine LSH):
     * `bits` md5-derived hyperplanes → sign bits → `nBands` band keys of

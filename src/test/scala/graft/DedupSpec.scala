@@ -237,6 +237,25 @@ class DedupSpec extends SparkSpec {
     assert(top.head._1 == 0L && top.head._2 == 1L && top.head._3 > 0.99)
   }
 
+  test("multiprobe cosine candidates strictly contain the exact-key set") {
+    val rnd = new scala.util.Random(23)
+    def vec(): Seq[Float] = Seq.fill(8)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    val near = base.map(x => x + 0.001f)
+    val rows = Seq((0L, base), (1L, near)) ++ (2L to 40L).map(i => (i, vec()))
+    val df = rows.toDF("id", "v")
+    val bands = Dedup.srpBands(df, "id", "v", dim = 8, bits = 64, nBands = 4)
+    val kept = Dedup.srpKeptBands(bands, Dedup.srpHotBuckets(bands, 4096))
+    val exact = Dedup.cosineVerifiedPairs(kept)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val multi = Dedup.cosineVerifiedPairsMultiprobe(kept, bandSize = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(multi),
+      "flip f=0 reproduces every exact-key candidate")
+    assert(multi.contains((0L, 1L)), "planted near-dup pair survives")
+    assert(multi.size >= exact.size)
+  }
+
   test("incremental ingest dedup: new vs historical only, best match wins") {
     val base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15"
     val hist = Seq((1L, base), (2L, base.replace("w15", "x15")),
