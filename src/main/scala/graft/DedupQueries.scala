@@ -588,8 +588,82 @@ object DedupQueries {
       ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20
     """))
 
+  /** The production dedup CASCADE: cheap exact tier first (md5
+    * hash-agg), the near-dup tier (MinHash-LSH, est ≥ 0.9) ONLY over
+    * exact-tier survivors — each tier shrinks the next tier's input,
+    * which is what makes a multi-pass dedup affordable at corpus scale.
+    * Every document reports which tier flagged it ('exact', 'near', or
+    * NULL = kept) and its keeper id. Tie/ordering rules are the tiers'
+    * own (min qualifying lower id), so the oracle replays the full
+    * cascade decision per document. */
+  private val dedupCascade = Q(
+    "dedup_cascade",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val exact = Dedup.exact(docs, "doc_id", "text")   // hash, keep_id, n
+      val withExact = docs.select(col("doc_id"), md5(col("text")).as("__h"))
+        .join(exact.select(col("content_hash").as("__h"),
+          col("keep_id")), Seq("__h"))
+        .select(col("doc_id"),
+          when(col("doc_id") =!= col("keep_id"), col("keep_id")).as("exact_of"))
+      val survivors = withExact.where(col("exact_of").isNull)
+        .select("doc_id")
+      val nearPairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+          numHashes = 8, bandSize = 1, workDir = wd(dir))
+        .where(col("est_jaccard") >= 0.9)
+        .join(survivors.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+        .join(survivors.withColumnRenamed("doc_id", "id_b"), Seq("id_b"))
+      val nearOf = nearPairs.groupBy(col("id_b").as("doc_id"))
+        .agg(min(col("id_a")).as("near_of"))
+      withExact.join(nearOf, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_of").isNotNull, lit("exact"))
+            .when(col("near_of").isNotNull, lit("near")).as("tier"),
+          coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some(s"""
+      WITH $duckShingles,
+      ex AS (SELECT doc_id,
+                    min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+             FROM documents),
+      we AS (SELECT doc_id,
+                    CASE WHEN doc_id != keep_id THEN keep_id END AS exact_of
+             FROM ex),
+      surv AS (SELECT doc_id FROM we WHERE exact_of IS NULL),
+      e AS (SELECT doc_id, unnest(s) AS s FROM sh),
+      dg AS (SELECT doc_id, md5(s) || md5('1:' || s) AS d FROM e),
+      sig AS (SELECT doc_id,
+                [min(substr(d, 1, 8)), min(substr(d, 9, 8)),
+                 min(substr(d, 17, 8)), min(substr(d, 25, 8)),
+                 min(substr(d, 33, 8)), min(substr(d, 41, 8)),
+                 min(substr(d, 49, 8)), min(substr(d, 57, 8))] AS sig
+              FROM dg GROUP BY doc_id),
+      bands AS (SELECT doc_id, sig, unnest(range(0, 8)) AS band,
+                       unnest(sig) AS band_key
+                FROM sig),
+      np AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+             WHERE round(list_sum(list_transform(range(1, 9),
+               i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1.0 ELSE 0.0 END)) / 8,
+               4) >= 0.9
+               AND a.doc_id IN (SELECT doc_id FROM surv)
+               AND b.doc_id IN (SELECT doc_id FROM surv)),
+      nearof AS (SELECT id_b AS doc_id, CAST(min(id_a) AS BIGINT) AS near_of
+                 FROM np GROUP BY id_b)
+      SELECT we.doc_id,
+             CASE WHEN we.exact_of IS NOT NULL THEN 'exact'
+                  WHEN n.near_of IS NOT NULL THEN 'near' END AS tier,
+             coalesce(we.exact_of, n.near_of) AS dup_of
+      FROM we LEFT JOIN nearof n USING (doc_id)
+      ORDER BY we.doc_id ASC
+    """))
+
   val all: Seq[Q] = Seq(dedupExact, dedupJaccardPairs, dedupMinhashLsh,
     dedupSimhash, dedupCosinePairs, dedupCosineMultiprobe, annBulkTopk,
     annBulkTopkGuaranteed,
-    dedupClusters, semanticDedup, dedupIncrementalIngest, annRecallReport)
+    dedupClusters, semanticDedup, dedupIncrementalIngest, annRecallReport,
+    dedupCascade)
 }
