@@ -368,6 +368,33 @@ object RelationalQueries {
       ORDER BY status ASC, priority ASC
     """))
 
+  /** Bivariate statistics surface: Pearson correlation and population
+    * covariance per group in one map-side-combined pass (the moment
+    * sketches merge associatively — the same fixed-size-state shape as
+    * the sketch family). Both engines accumulate in double; 4-dp
+    * rounding absorbs the summation-order ulp. */
+  private val columnCorrelation = Q(
+    "column_correlation",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_extendedprice"), col("l_quantity")) + lit(1e-9), 4)
+            .as("corr_price_qty"),
+          round(covar_pop(col("l_extendedprice"), col("l_discount"))
+            + lit(1e-9), 4).as("covar_price_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc),
+    Some("""
+      SELECT l_returnflag,
+             round(corr(l_extendedprice, l_quantity) + 1e-9, 4)
+               AS corr_price_qty,
+             round(covar_pop(l_extendedprice, l_discount) + 1e-9, 4)
+               AS covar_price_disc,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC
+    """))
+
   /** MAP-typed column surface: the JSON props parsed to a real
     * map<string,bigint> (not scalar get_json_object extraction), the map
     * EXPLODED into (key, value) rows, and per-key value stats aggregated
@@ -777,6 +804,6 @@ object RelationalQueries {
     quantilePrices, windowTopOrders, windowRunningRevenue, windowRolling7d,
     windowRankFunctions, rollupCustomers, shuffleHashJoinAgg,
     semiAntiCustomers, eventsHourly, eventsJson, propsMapStats,
-    asofClickBeforePurchase,
+    columnCorrelation, asofClickBeforePurchase,
     collectionStats, incrementalAggMerge, tableProfile)
 }
