@@ -122,4 +122,38 @@ class PropertySpec extends SparkSpec {
     }
     check(prop, tests = 8)
   }
+
+  test("property: KMV merge associativity and order-independence") {
+    import graft.functions.KmvSketchAggregator
+    val agg = new KmvSketchAggregator(16)
+    val hashGen = Gen.listOf(Gen.chooseNum(0L, 1L << 60))
+    val prop = Prop.forAll(hashGen, hashGen, hashGen) { (a, b, c) =>
+      def ins(xs: Seq[Long]) = xs.foldLeft(agg.zero)(agg.reduce)
+      // merge(merge(a,b),c) == merge(a,merge(b,c)) == sequential(a++b++c)
+      val left = agg.merge(agg.merge(ins(a), ins(b)), ins(c))
+      val right = agg.merge(ins(a), agg.merge(ins(b), ins(c)))
+      val seqAll = ins(a ++ b ++ c)
+      left.toSeq == right.toSeq && left.toSeq == seqAll.toSeq &&
+        // estimate over any permutation of arrivals is identical
+        agg.finish(ins(scala.util.Random.shuffle(a ++ b ++ c))) ==
+          agg.finish(seqAll)
+    }
+    check(prop, tests = 30)
+  }
+
+  test("property: count-min never underestimates on random streams") {
+    import graft.text.CountMin
+    val tokGen = Gen.listOfN(60,
+      Gen.oneOf((0 until 25).map(i => s"t$i"))).map(_.map(Tuple1(_)))
+    val prop = Prop.forAll(tokGen) { rows =>
+      val toks = rows.toDF("tok")
+      val exact = toks.groupBy("tok").count()
+      val m = CountMin.counterMatrix(toks, "tok", depth = 2, width = 8)
+      CountMin.estimate(exact, "tok", m, 2, 8)
+        .join(exact, Seq("tok"))
+        .select("n_cms", "count").as[(Long, Long)].collect()
+        .forall { case (cms, ex) => cms >= ex }
+    }
+    check(prop, tests = 8)
+  }
 }
