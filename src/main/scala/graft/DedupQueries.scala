@@ -266,16 +266,34 @@ object DedupQueries {
   /** Guaranteed-k bulk ANN join: ids the LSH tier left with fewer than 5
     * candidate neighbours (empty/hot band buckets or sparse
     * neighbourhoods — at 16-bit band keys that is MOST of a non-clustered
-    * corpus, by design) fall back to their exact top-5 over the corpus,
-    * so every id emits exactly 5 rows. The oracle replays the identical
-    * LSH tier, deficiency rule (≥ 5 candidates keeps LSH rows), exact
-    * fallback, and rank arithmetic. */
+    * corpus, by design) are routed through the IVF index: probe the 4
+    * nearest of 16 centroids, exact cosine top-5 WITHIN the probed cells
+    * — an equi-join on cluster_id touching ~nprobe/nlist of the corpus,
+    * never the round-4 corpus × broadcast(deficient) nested loop
+    * (plan-pinned in PlanSpec). The oracle replays the identical LSH
+    * tier, deficiency rule (≥ 5 candidates keeps LSH rows), per-id probe
+    * ranking (unrounded double L2, cluster-id tie-break), probed-cell
+    * candidate set, and rank arithmetic from the staged centroid +
+    * assignment handoff. */
   private val annBulkTopkGuaranteed = Q(
     "ann_bulk_topk_guaranteed",
-    (s, dir) =>
-      graft.search.AnnJoin.bulkTopKGuaranteed(Tables.embeddings(s, dir),
-          "vec_id", "embedding", k = 5, dim = 64, workDir = wd(dir))
-        .orderBy(col("id").asc, col("nbr_rank").asc),
+    (s, dir) => {
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(graft.search.IvfIndex.centroidsDir(indexDir)).exists())
+          graft.search.IvfIndex.load(s, indexDir)
+        else graft.search.IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      stageOracle(s, "annk", dir)(
+        "centroids" -> s.read.parquet(
+          graft.search.IvfIndex.centroidsDir(indexDir)),
+        "assign" -> s.read.parquet(graft.search.IvfIndex.dataDir(indexDir))
+          .select(col("vec_id"), col("cluster_id")))
+      graft.search.AnnJoin.bulkTopKGuaranteed(e,
+          "vec_id", "embedding", k = 5, dim = 64, ivf = model, nprobe = 4,
+          workDir = wd(dir))
+        .orderBy(col("id").asc, col("nbr_rank").asc)
+    },
     Some(s"""
       WITH $duckSrpCand, $duckSrpPairs,
       sym AS (SELECT id_a AS id, id_b AS nbr, cosine FROM pairs
@@ -286,15 +304,31 @@ object DedupQueries {
                    CAST(row_number() OVER (PARTITION BY id
                      ORDER BY cosine DESC, nbr ASC) AS BIGINT) AS nbr_rank
               FROM sym),
-      exact AS (SELECT eq.vec_id AS id, ec.vec_id AS nbr,
-                       ${duckCosine("eq.embedding", "ec.embedding")} AS cosine
-                FROM embeddings eq JOIN embeddings ec
-                  ON ec.vec_id != eq.vec_id
-                WHERE eq.vec_id NOT IN (SELECT id FROM full_ids)),
+      centt AS (SELECT * FROM read_parquet(
+        '/tmp/graft_annk_oracle_$OracleKey/centroids/*.parquet')),
+      assign AS (SELECT * FROM read_parquet(
+        '/tmp/graft_annk_oracle_$OracleKey/assign/*.parquet')),
+      defq AS (SELECT vec_id AS id, embedding AS qe FROM embeddings
+               WHERE vec_id NOT IN (SELECT id FROM full_ids)),
+      probed AS (SELECT id, cluster_id FROM (
+          SELECT d.id, c.cluster_id,
+                 row_number() OVER (PARTITION BY d.id ORDER BY
+                   list_sum(list_transform(range(1, len(c.centroid)+1),
+                     i -> (CAST(c.centroid[i] AS DOUBLE)
+                           - CAST(d.qe[i] AS DOUBLE))^2)) ASC,
+                   c.cluster_id ASC) AS crn
+          FROM centt c CROSS JOIN defq d) WHERE crn <= 4),
+      ivf AS (SELECT p.id, a.vec_id AS nbr,
+                     ${duckCosine("d.qe", "ec.embedding")} AS cosine
+              FROM probed p
+              JOIN assign a USING (cluster_id)
+              JOIN defq d ON d.id = p.id
+              JOIN embeddings ec ON ec.vec_id = a.vec_id
+              WHERE a.vec_id != p.id),
       exr AS (SELECT id, nbr, cosine,
                    CAST(row_number() OVER (PARTITION BY id
                      ORDER BY cosine DESC, nbr ASC) AS BIGINT) AS nbr_rank
-              FROM exact)
+              FROM ivf)
       SELECT id, nbr_rank, nbr, cosine FROM lsh
       WHERE nbr_rank <= 5 AND id IN (SELECT id FROM full_ids)
       UNION ALL
@@ -324,22 +358,14 @@ object DedupQueries {
         else graft.search.IvfIndex.build(e, "embedding", indexDir, nlist = 16)
       val assignments = s.read.parquet(graft.search.IvfIndex.dataDir(indexDir))
         .select(col("vec_id"), col("cluster_id"))
-      val oracleDir = "/tmp/graft_semdedup_oracle"
-      val staging = s"$oracleDir.staging"
-      assignments.coalesce(1).write.mode("overwrite")
-        .parquet(s"$staging/assign")
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-        s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(oracleDir), true)
-      fs.rename(new org.apache.hadoop.fs.Path(staging),
-        new org.apache.hadoop.fs.Path(oracleDir))
+      stageOracle(s, "semdedup", dir)("assign" -> assignments)
       SemanticDedup.markDuplicates(e, assignments, "vec_id", "embedding",
           tau = 0.25, maxClusterSize = 10000)
         .orderBy(col("vec_id").asc)
     },
     Some(s"""
       WITH a AS (SELECT vec_id, cluster_id FROM
-        read_parquet('/tmp/graft_semdedup_oracle/assign/*.parquet')),
+        read_parquet('/tmp/graft_semdedup_oracle_$OracleKey/assign/*.parquet')),
       sz AS (SELECT cluster_id FROM a
              GROUP BY cluster_id HAVING count(*) <= 10000),
       v AS (SELECT a.vec_id, a.cluster_id, e.embedding
@@ -428,18 +454,11 @@ object DedupQueries {
         if (new java.io.File(graft.search.IvfIndex.centroidsDir(indexDir)).exists())
           graft.search.IvfIndex.load(s, indexDir)
         else graft.search.IvfIndex.build(e, "embedding", indexDir, nlist = 16)
-      val oracleDir = "/tmp/graft_recall_oracle"
-      val staging = s"$oracleDir.staging"
-      s.read.parquet(graft.search.IvfIndex.centroidsDir(indexDir))
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
-      s.read.parquet(graft.search.IvfIndex.dataDir(indexDir))
-        .select(col("vec_id"), col("cluster_id"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/assign")
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-        s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(oracleDir), true)
-      fs.rename(new org.apache.hadoop.fs.Path(staging),
-        new org.apache.hadoop.fs.Path(oracleDir))
+      stageOracle(s, "recall", dir)(
+        "centroids" -> s.read.parquet(
+          graft.search.IvfIndex.centroidsDir(indexDir)),
+        "assign" -> s.read.parquet(graft.search.IvfIndex.dataDir(indexDir))
+          .select(col("vec_id"), col("cluster_id")))
 
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -506,7 +525,7 @@ object DedupQueries {
                    e.vec_id ASC) AS rn
           FROM embeddings e CROSS JOIN q) WHERE rn <= 5),
       centt AS (SELECT * FROM
-        read_parquet('/tmp/graft_recall_oracle/centroids/*.parquet')),
+        read_parquet('/tmp/graft_recall_oracle_$OracleKey/centroids/*.parquet')),
       probed AS (SELECT qid, cluster_id FROM (
           SELECT q.qid, c.cluster_id,
                  row_number() OVER (PARTITION BY q.qid ORDER BY
@@ -516,7 +535,7 @@ object DedupQueries {
                    c.cluster_id ASC) AS crn
           FROM centt c CROSS JOIN q) WHERE crn <= 4),
       assign AS (SELECT * FROM
-        read_parquet('/tmp/graft_recall_oracle/assign/*.parquet')),
+        read_parquet('/tmp/graft_recall_oracle_$OracleKey/assign/*.parquet')),
       ivf AS (SELECT qid, vec_id FROM (
           SELECT p.qid, a.vec_id,
                  row_number() OVER (PARTITION BY p.qid ORDER BY

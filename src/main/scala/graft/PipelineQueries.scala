@@ -67,25 +67,16 @@ object PipelineQueries {
         if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
           IvfIndex.load(s, indexDir)
         else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
-      // handoff artifacts for the oracle (fixed path — the oracle SQL is
-      // static text and cannot see sfDir, so the LAST fixture dir verified
-      // wins: verify one fixture at a time, which is how the driver and
-      // tools/check.py run). Tiny (nlist rows + one long pair per vector).
-      // Staged + renamed so a concurrent DuckDB read never sees a
-      // half-written dir — the swap window is one directory rename, not a
-      // parquet job.
-      val oracleDir = "/tmp/graft_ivf_probe_oracle"
-      val staging = s"$oracleDir.staging"
-      s.read.parquet(IvfIndex.centroidsDir(indexDir))
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
-      s.read.parquet(IvfIndex.dataDir(indexDir))
-        .select(col("vec_id"), col("cluster_id"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/assign")
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-        s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(oracleDir), true)
-      fs.rename(new org.apache.hadoop.fs.Path(staging),
-        new org.apache.hadoop.fs.Path(oracleDir))
+      // handoff artifacts for the oracle, keyed by the fixture dir on
+      // both sides (Verify substitutes %ORACLE_KEY% into the SQL — see
+      // QueryDsl.OracleKey), so two fixture dirs verified back-to-back
+      // or concurrently never clobber each other's staged centroids.
+      // Tiny (nlist rows + one long pair per vector); staged + renamed so
+      // a concurrent DuckDB read never sees a half-written dir.
+      stageOracle(s, "ivf_probe", dir)(
+        "centroids" -> s.read.parquet(IvfIndex.centroidsDir(indexDir)),
+        "assign" -> s.read.parquet(IvfIndex.dataDir(indexDir))
+          .select(col("vec_id"), col("cluster_id")))
       val query = e.where(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).toArray
       IvfIndex.search(s, model, "embedding", "vec_id", query, k = 5,
@@ -95,7 +86,7 @@ object PipelineQueries {
     Some("""
       WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
       cent AS (SELECT * FROM
-        read_parquet('/tmp/graft_ivf_probe_oracle/centroids/*.parquet')),
+        read_parquet('/tmp/graft_ivf_probe_oracle_%ORACLE_KEY%/centroids/*.parquet')),
       ranked AS (SELECT cluster_id,
                    row_number() OVER (ORDER BY
                      list_sum(list_transform(range(1, len(centroid)+1),
@@ -105,7 +96,7 @@ object PipelineQueries {
                  FROM cent, q),
       probe AS (SELECT cluster_id FROM ranked WHERE rn <= 4),
       a AS (SELECT * FROM
-        read_parquet('/tmp/graft_ivf_probe_oracle/assign/*.parquet')),
+        read_parquet('/tmp/graft_ivf_probe_oracle_%ORACLE_KEY%/assign/*.parquet')),
       sel AS (SELECT e.vec_id, e.embedding
               FROM embeddings e
               JOIN a ON a.vec_id = e.vec_id

@@ -8,6 +8,40 @@ object QueryDsl {
                      fn: (SparkSession, String) => DataFrame,
                      oracle: Option[String])
 
+  /** Oracle-SQL placeholder for the fixture-dir key: [[graft.Verify]]
+    * substitutes it with `math.abs(sfDir.hashCode)` when it dumps
+    * `oracle_sql.json` — the SAME value query fns compute from the `dir`
+    * they receive, so handoff artifacts written by [[stageOracle]] and
+    * the paths the DuckDB oracle reads are keyed by the fixture dir on
+    * BOTH sides. Two fixture dirs verified back-to-back (or
+    * concurrently) no longer clobber each other's staged centroids. */
+  val OracleKey = "%ORACLE_KEY%"
+
+  /** The handoff dir for oracle `name` under fixture `dir` (Spark side);
+    * mirror it in SQL as `/tmp/graft_<name>_oracle_%ORACLE_KEY%`. */
+  def oracleDir(name: String, dir: String): String =
+    s"/tmp/graft_${name}_oracle_${math.abs(dir.hashCode)}"
+
+  /** Stage small handoff tables (centroids, assignment maps) for a DuckDB
+    * oracle: each `(subdir, df)` is written single-file under a staging
+    * dir, then the whole dir is swapped in with ONE rename — a concurrent
+    * DuckDB read never sees a half-written parquet job. Returns the
+    * final dir ([[oracleDir]]). */
+  def stageOracle(spark: SparkSession, name: String, dir: String)
+                 (parts: (String, DataFrame)*): String = {
+    val out = oracleDir(name, dir)
+    val staging = s"$out.staging"
+    parts.foreach { case (sub, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$staging/$sub")
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(out))
+    out
+  }
+
   /** DuckDB squared-L2 over list<float> columns, double accumulation,
     * rounded — textual mirror of graft.functions.L2SquaredDistance. */
   def duckL2(a: String, b: String): String =

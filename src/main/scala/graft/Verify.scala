@@ -44,9 +44,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // %ORACLE_KEY% → the fixture-dir key (see QueryDsl.OracleKey): the
+    // dumped SQL reads the SAME keyed handoff dirs the query fns staged.
+    val oracleKey = math.abs(sfDir.hashCode).toString
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(QueryDsl.OracleKey, oracleKey))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -35,8 +35,8 @@ import org.apache.spark.sql.functions._
   *
   * Documents whose band buckets contain no other document yield no rows —
   * correct for near-dup mining (no candidates ⇔ nothing within LSH
-  * reach); [[bulkTopKGuaranteed]] is the variant that unions an exact
-  * fallback for those ids so every document gets exactly k rows.
+  * reach); [[bulkTopKGuaranteed]] is the variant that routes those ids
+  * through an IVF-probe fallback so every document still gets its k rows.
   */
 object AnnJoin {
   /** Cosine-verified SRP-LSH candidate pairs for `df`, built either
@@ -93,31 +93,49 @@ object AnnJoin {
   /** Guaranteed-k bulk ANN join: like [[bulkTopK]], but ids the LSH tier
     * left DEFICIENT (fewer than k candidate neighbours — empty band
     * buckets, hot-bucket drops, or just a sparse neighbourhood) fall back
-    * to their EXACT top-k over the whole corpus, so every id emits
-    * exactly k rows (given corpus size > k).
+    * to an IVF-probe-routed search: each deficient id ranks the (tiny)
+    * centroid table, probes its `nprobe` nearest cells, and takes its
+    * exact top-k WITHIN the probed cells — the standard IVF contract
+    * (exact inside the probe, recall governed by nprobe; nprobe = nlist
+    * degrades gracefully to exact over the whole corpus).
     *
-    * Scale shape: the deficient set is an observable, bounded follow-up —
-    * its ids are collected per-id counts only (never vectors), and the
-    * fallback is one scan of the corpus joined to the BROADCAST deficient
-    * vectors with a per-partition bounded heap... expressed here as a
-    * broadcast-join + window because the deficient count is small by
-    * construction (LSH leaves few orphans; if it left many, the band
-    * parameters are wrong, and the observable makes that loud). A
-    * deficient id's rows are entirely exact (not a mix), so the semantics
-    * are clean: `rows(id) = lsh_topk(id)` when LSH found ≥ k candidates,
-    * else `exact_topk(id)`. */
+    * Scale shape — nothing here is O(corpus × deficient):
+    *  - probe selection is ONE map-side projection per deficient row
+    *    (`array_sort` over nlist (distance, cluster_id) structs, prefix
+    *    nprobe) — no window shuffle, no broadcast of anything but the
+    *    nlist-row centroid literals (at nlist ≳ 10⁴, swap the literal
+    *    array for a broadcast-join + window over the centroid table);
+    *  - candidates come from an EQUI-join on cluster_id against the
+    *    index's partitioned layout, so the fallback touches
+    *    |deficient| × corpus × (nprobe / nlist) rows — the probe
+    *    fraction, not the corpus — and it is a shuffled join, never a
+    *    nested loop (plan-pinned in PlanSpec). Round 4's exact tier was
+    *    corpus × broadcast(deficient), quadratic precisely on
+    *    LSH-hostile corpora where EVERY id is deficient;
+    *  - per-partition bounded heaps (≤ k rows per id per partition)
+    *    reduce the candidates before the final per-id window.
+    * A deficient id's rows are entirely IVF-tier (not a mix), so the
+    * semantics are clean and oracle-replayable: `rows(id) = lsh_topk(id)`
+    * when LSH found ≥ k candidates, else `ivf_topk(id, nprobe)`. Every id
+    * emits exactly k rows whenever its probed cells hold ≥ k other
+    * vectors — guaranteed at nprobe = nlist (given corpus size > k),
+    * else a sizing contract like every IVF search. */
   def bulkTopKGuaranteed(df: DataFrame, idCol: String, vecCol: String,
-                         k: Int, dim: Int, bits: Int = 64, nBands: Int = 4,
+                         k: Int, dim: Int, ivf: IvfIndex.Model, nprobe: Int,
+                         bits: Int = 64, nBands: Int = 4,
                          maxBucket: Int = 4096,
-                         workDir: Option[String] = None): DataFrame = {
+                         workDir: Option[String] = None,
+                         logDeficient: Boolean = false): DataFrame = {
+    require(nprobe >= 1 && nprobe <= ivf.nlist,
+      s"nprobe must be in [1, nlist=${ivf.nlist}], got $nprobe")
     val sym = symmetric(
       candidatePairs(df, idCol, vecCol, dim, bits, nBands, maxBucket,
         workDir))
     // ids with ≥ k LSH rows keep them; everyone else (including ids with
-    // ZERO candidates, which the edge set cannot even name) goes exact.
-    // The ≥ k test rides the SAME per-id window shuffle as the ranking
-    // (count over the id partition), so no O(corpus) id set is ever
-    // broadcast or re-joined.
+    // ZERO candidates, which the edge set cannot even name) goes to the
+    // IVF tier. The ≥ k test rides the SAME per-id window shuffle as the
+    // ranking (count over the id partition), so no O(corpus) id set is
+    // ever broadcast or re-joined.
     val byId = Window.partitionBy(col("id"))
     val ranked = sym
       .withColumn("nbr_rank", row_number()
@@ -130,30 +148,47 @@ object AnnJoin {
     val full = ranked.where(col("__n_cand") >= k)
       .select(col("id")).distinct()
     val deficient = ids.join(full, Seq("id"), "left_anti")
-    // Loud observable: a large deficient fraction means the band
-    // parameters don't fit this corpus (sparse/uniform vectors rarely
-    // share 16-bit band keys) and the exact tier is doing the real work.
-    val nDeficient = deficient.count()
-    if (nDeficient > 0)
-      System.err.println(s"[graft] bulkTopKGuaranteed: $nDeficient id(s) " +
-        s"below $k LSH candidates take the exact fallback")
+    // Optional observable (costs an extra pass over the LSH tier, so it
+    // is opt-in): a large deficient fraction means the band parameters
+    // don't fit this corpus and the IVF tier is doing the real work.
+    if (logDeficient) {
+      val nDeficient = deficient.count()
+      if (nDeficient > 0)
+        System.err.println(s"[graft] bulkTopKGuaranteed: $nDeficient " +
+          s"id(s) below $k LSH candidates take the IVF-probe fallback")
+    }
     val defVecs = deficient
       .join(df.select(col(idCol).as("id"), col(vecCol).as("v_q")), Seq("id"))
-    val corpus = df.select(col(idCol).as("nbr"), col(vecCol).as("v_c"))
-    // Exact tier: corpus × broadcast(deficient) cosine, reduced by
-    // PER-PARTITION bounded heaps (≤ k rows per deficient id per
-    // partition survive) before the final per-id window — the
-    // Knn.knnJoinLarge shuffle-bounding shape, here on the
-    // (rounded cosine desc, nbr asc) order the oracle replays. Without
-    // the heap the window sorts |corpus|·|deficient| candidate rows.
+    // Probe: nprobe nearest centroids per deficient vector, as one
+    // map-side expression — array of (unrounded double L2, cluster_id)
+    // structs, lexicographic array_sort (distance asc, cluster-id
+    // tie-break — byte-for-byte IvfIndex.probeClusters), prefix nprobe.
+    val centArr = array(ivf.centroids.map { case (i, c) =>
+      struct(
+        graft.functions.VectorFunctions.l2Sq(col("v_q"), typedlit(c.toSeq))
+          .as("d"),
+        lit(i).as("cluster_id"))
+    }: _*)
+    val probed = defVecs.select(col("id"), col("v_q"),
+        explode(slice(array_sort(centArr), 1, nprobe)).as("pc"))
+      .select(col("id"), col("v_q"),
+        col("pc").getField("cluster_id").as("cluster_id"))
+    val cells = df.sparkSession.read.parquet(IvfIndex.dataDir(ivf.indexDir))
+      .select(col(idCol).as("nbr"), col(vecCol).as("v_c"), col("cluster_id"))
     val spark = df.sparkSession
     import spark.implicits._
-    val exactPairs = corpus.join(broadcast(defVecs), col("nbr") =!= col("id"))
+    val ivfPairs = probed.join(cells, Seq("cluster_id"))
+      .where(col("nbr") =!= col("id"))
       .select(col("id"), col("nbr"),
         round(graft.functions.VectorFunctions.cosineSim(
           col("v_q"), col("v_c")), 4).as("cosine"))
       .as[(Long, Long, Double)]
-    val exactCand = exactPairs.mapPartitions { it =>
+    // IVF-tier reduction: PER-PARTITION bounded heaps (≤ k rows per
+    // deficient id per partition survive) before the final per-id window
+    // — the Knn.knnJoinLarge shuffle-bounding shape, on the
+    // (rounded cosine desc, nbr asc) order the oracle replays. Without
+    // the heap the window sorts every probed candidate row.
+    val exactCand = ivfPairs.mapPartitions { it =>
       // max-heap on (−cosine, nbr): root = worst kept candidate. IEEE
       // comparison semantics (−0.0 == 0.0), NOT total ordering — the
       // final per-id window treats −0.0 and 0.0 as equal and breaks the

@@ -203,15 +203,20 @@ class DedupSpec extends SparkSpec {
   test("bulkTopKGuaranteed: every id emits exactly k rows, exact for orphans") {
     // 2 near-identical vectors (LSH finds each other, but that is only 1
     // neighbour < k) + 10 scattered ones ⇒ everyone is deficient at k=3
-    // and falls back to exact; spot-check one id against brute force.
+    // and takes the IVF fallback; at nprobe = nlist the probe covers every
+    // cell, so the fallback is EXACT — spot-check one id against brute
+    // force.
     val rnd = new scala.util.Random(11)
     def vec(): Seq[Float] = Seq.fill(8)(rnd.nextGaussian().toFloat)
     val base = vec()
     val rows = Seq((0L, base), (1L, base.map(x => x + 0.001f))) ++
       (2L to 11L).map(i => (i, vec()))
     val df = rows.toDF("id", "v")
+    val idx = java.nio.file.Files.createTempDirectory("graft_annk_spec")
+      .toString
+    val model = graft.search.IvfIndex.build(df, "v", idx, nlist = 4)
     val r = graft.search.AnnJoin.bulkTopKGuaranteed(df, "id", "v",
-        k = 3, dim = 8)
+        k = 3, dim = 8, ivf = model, nprobe = 4)
       .as[(Long, Long, Long, Double)].collect()
     val byId = r.groupBy(_._1)
     assert(byId.size == 12 && byId.values.forall(_.length == 3),

@@ -95,6 +95,20 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("guaranteed-k ANN: IVF fallback is an equi-join, never a nested loop") {
+    // Round 4's exact tier was corpus × broadcast(deficient) — a
+    // BroadcastNestedLoopJoin that is quadratic precisely on LSH-hostile
+    // corpora (where EVERY id is deficient). The IVF-probe routing must
+    // keep the fallback an equi-join on cluster_id: no nested loop, no
+    // cartesian, anywhere in the plan.
+    val p = plan("ann_bulk_topk_guaranteed")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"IVF fallback degenerated to a nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("cluster_id"),
+      "fallback must route through the IVF cluster_id equi-join")
+  }
+
   test("phash near-dup: block equi-join survives with broadcast disabled") {
     // Same contract as the bulk ANN pin: candidate generation must stay a
     // shuffled equi-join on (block, key) — never a nested loop — when the
