@@ -131,6 +131,54 @@ object DedupQueries {
         s"CASE WHEN sum(CAST(strpos('0123456789abcdef', substr(h, $p, 1)) - 1 " +
           s"AS DOUBLE) - 7.5) > 0 THEN 1 ELSE 0 END").mkString(", ") + "]")))
 
+  /** PRODUCTION-width SimHash: 64 nibble-slot signature (2 salted md5
+    * digests per feature — the first 32 slots are bit-identical to a
+    * 32-slot run, same prefix-stability contract as Dedup.srpWeights)
+    * over token 3-GRAM SHINGLE features, near pairs at hamming ≤ 3 via
+    * 4-block pigeonhole (hamming ≤ 3 ⇒ at least one 16-slot block
+    * matches exactly), packed bit_count verify. Two width/feature fixes
+    * over the 16-bit demo entry: (a) 64 slots give 2⁶⁴ signature points
+    * vs the 65 536 that saturate around 10⁵ docs (SCALE.md), and (b)
+    * order-sensitive shingle features — on the fixture's small shared
+    * vocabulary, distinct token SETS collapse (unrelated docs at
+    * hamming 0), while shingles keep the feature space rich, so the
+    * sf0.1 pair count is driven by genuinely-similar documents. The
+    * oracle replays the identical shingles, signatures, block keys,
+    * pigeonhole candidate join, and hamming arithmetic (block-join
+    * form, not all-pairs — same sub-quadratic shape on both engines). */
+  private val dedupSimhash64 = Q(
+    "dedup_simhash64",
+    (s, dir) =>
+      Dedup.simhashNearPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = 3, bits = 64, workDir = wd(dir),
+          featureShingleN = 3)
+        .orderBy(col("id_a").asc, col("id_b").asc),
+    Some(s"""
+      WITH $duckShingles,
+      e AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+      n AS (SELECT doc_id, md5(tok) || md5('1:' || tok) AS h FROM e),
+      s AS (SELECT doc_id, %BITS% AS sig FROM n GROUP BY doc_id),
+      blk AS (SELECT doc_id, b,
+                     array_to_string(list_slice(sig, 16*b+1, 16*b+16), '')
+                       AS block_key
+              FROM (SELECT doc_id, sig, unnest(range(0, 4)) AS b FROM s)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM blk a JOIN blk b
+                 ON a.b = b.b AND a.block_key = b.block_key
+                    AND a.doc_id < b.doc_id),
+      p AS (SELECT id_a, id_b,
+                   CAST(list_sum(list_transform(range(1, 65),
+                     i -> CASE WHEN sa.sig[i] != sb.sig[i] THEN 1 ELSE 0 END))
+                     AS BIGINT) AS hamming
+            FROM cand JOIN s sa ON sa.doc_id = id_a
+                      JOIN s sb ON sb.doc_id = id_b)
+      SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+      ORDER BY id_a ASC, id_b ASC
+    """.replace("%BITS%",
+      "[" + (1 to 64).map(p =>
+        s"CASE WHEN sum(CAST(strpos('0123456789abcdef', substr(h, $p, 1)) - 1 " +
+          s"AS DOUBLE) - 7.5) > 0 THEN 1 ELSE 0 END").mkString(", ") + "]")))
+
   /** Dedup clustering end-to-end: MinHash-LSH candidates (est Jaccard ≥
     * 0.5) → connected components → every doc labeled with the min id of
     * its duplicate cluster. Spark side is iterative min-label
@@ -681,7 +729,7 @@ object DedupQueries {
     """))
 
   val all: Seq[Q] = Seq(dedupExact, dedupJaccardPairs, dedupMinhashLsh,
-    dedupSimhash, dedupCosinePairs, dedupCosineMultiprobe, annBulkTopk,
+    dedupSimhash, dedupSimhash64, dedupCosinePairs, dedupCosineMultiprobe, annBulkTopk,
     annBulkTopkGuaranteed,
     dedupClusters, semanticDedup, dedupIncrementalIngest, annRecallReport,
     dedupCascade)

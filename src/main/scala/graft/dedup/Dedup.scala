@@ -269,22 +269,48 @@ object Dedup {
   }
 
   /** Batch SimHash via explode + groupBy: md5 evaluated ONCE per distinct
-    * token, 16 nibble-sum aggregates over the materialized digest (the
-    * Column form below recomputes md5 16× per token). Partial aggregation
-    * applies to the sums. Returns (idCol, sig ARRAY<INT>[16]). */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * token (⌈bits/32⌉ salted digests, concatenated — salt appended like
+    * [[srpWeights]], so any 32-slot prefix is identical at every width
+    * and widening the signature never changes slots an oracle already
+    * pins), `bits` nibble-sum aggregates over the materialized digest
+    * (the Column form below recomputes md5 16× per token). Partial
+    * aggregation applies to the sums. Default 16 slots is the compact
+    * demo width; production near-dup runs want 64 (see
+    * [[simhashNearPairs]]'s packed verify, which caps the width).
+    *
+    * `featureShingleN` picks the feature set the signature hashes:
+    * ≤ 1 = distinct whitespace tokens (the compact demo form); n ≥ 2 =
+    * distinct token n-gram shingles — ORDER-SENSITIVE features, the form
+    * a production corpus needs (on a small shared vocabulary, distinct
+    * token SETS collapse to a handful of values and unrelated documents
+    * land at hamming 0; shingles keep the feature space rich). Documents
+    * with fewer than n tokens have no shingles and emit no signature —
+    * the same exclusion rule as every shingle-based dedup operator here.
+    * Returns (idCol, sig ARRAY<INT>[bits]). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        bits: Int = 16,
+                        featureShingleN: Int = 1): DataFrame = {
+    require(bits >= 1 && bits <= 64,
+      s"simhash signature width must be in [1, 64], got $bits")
+    val nDigests = (bits + 31) / 32
+    val digestConcat = concat((0 until nDigests).map { i =>
+      if (i == 0) md5(col("tok")) else md5(concat(lit(s"$i:"), col("tok")))
+    }: _*)
+    val feats =
+      if (featureShingleN <= 1) array_distinct(split(col("text"), "\\s+"))
+      else shingles(col("text"), featureShingleN)
     // raw-text repartition by id: parallel md5/nibble work + the
     // groupBy(id) reuses the partitioning (no digest-row shuffle)
     df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(col("id"))
-      .select(col("id"),
-        explode(array_distinct(split(col("text"), "\\s+"))).as("tok"))
-      .withColumn("h", md5(col("tok")))
+      .select(col("id"), explode(feats).as("tok"))
+      .withColumn("h", digestConcat)
       .groupBy(col("id"))
-      .agg(array((1 to 16).map { p =>
+      .agg(array((1 to bits).map { p =>
         when(sum(conv(substring(col("h"), p, 1), 16, 10).cast(DoubleType)
           - lit(7.5)) > 0, 1).otherwise(0)
       }: _*).as("sig"))
+  }
 
   /** SimHash over md5 nibbles: 16-dimensional sign-of-sum signature.
     * Portable across engines (md5-only); hamming distance via array ops. */
@@ -317,42 +343,62 @@ object Dedup {
     * scale is driven by genuinely-near-dup clusters rather than n². */
   def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
                        maxHamming: Int = 1, bits: Int = 16,
-                       workDir: Option[String] = None): DataFrame = {
+                       workDir: Option[String] = None,
+                       featureShingleN: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits)
+    // width cap matches simhashSignatures (⌈bits/32⌉ md5 digests); the
+    // packed verify below words the slots into ≤32-bit Longs, so no fold
+    // ever overflows or truncates at any supported width
+    require(bits <= 64,
+      s"simhash signature width must be <= 64, got $bits")
     val nBlocks = maxHamming + 1
     val bounds = (0 to nBlocks).map(b => b * bits / nBlocks)
-    val sigPlan = simhashSignatures(df, idCol, textCol)
+    val sigPlan = simhashSignatures(df, idCol, textCol, bits, featureShingleN)
     val sig = workDir.map(d =>
       graft.core.Artifacts.buildOnce(df.sparkSession,
-        s"$d/simhash_sig")(sigPlan))
+        s"$d/simhash_sig_b${bits}_f$featureShingleN")(sigPlan))
       .getOrElse(sigPlan)
-    // signatures are carried through the join PACKED into one long
-    // (big-endian Horner over the 0/1 slots) so the hamming verification
-    // on every candidate row is a single codegen bit_count(XOR) over two
-    // scalars instead of `bits` array-element compares — on a saturated
+    // signatures are carried through the join PACKED into ⌈bits/32⌉
+    // longs (big-endian Horner over ≤32 0/1 slots per word — one word
+    // never exceeds 32 slots, so the fold cannot overflow a signed Long
+    // even at the 64-slot production width) so the hamming verification
+    // on every candidate row is one codegen bit_count(XOR) per word
+    // instead of `bits` array-element compares — on a saturated
     // signature space (common-vocab corpora bias the sign bits, so block
     // keys skew hot and the join emits millions of candidates) this is
     // the difference between a ~30 s and a ~3 s verification pass at
-    // sf0.1. Equality of packed values ⇔ slotwise equality, so output is
+    // sf0.1. Per-word packed equality ⇔ slotwise equality, so output is
     // byte-identical to the array formulation the oracle mirrors.
-    val packed = aggregate(col("sig"), lit(0L), (acc, v) => acc * 2 + v)
-    val blocks = sig.select(col("id"), packed.as("psig"),
-      posexplode(array((0 until nBlocks).map { b =>
-        concat_ws("", (bounds(b) until bounds(b + 1)).map(i =>
-          col("sig").getItem(i)): _*)
-      }: _*)).as(Seq("block", "block_key")))
-    val a = blocks.select(col("block"), col("block_key"),
-      col("id").as("id_a"), col("psig").as("psig_a"))
-    val b = blocks.select(col("block"), col("block_key"),
-      col("id").as("id_b"), col("psig").as("psig_b"))
+    val nWords = (bits + 31) / 32
+    def packedWord(wi: Int): Column = {
+      val lo = wi * 32
+      val hi = math.min(bits, lo + 32)
+      aggregate(slice(col("sig"), lo + 1, hi - lo), lit(0L),
+        (acc, v) => acc * 2 + v)
+    }
+    val blocks = sig.select(
+      Seq(col("id")) ++
+        (0 until nWords).map(wi => packedWord(wi).as(s"psig$wi")) ++
+        Seq(posexplode(array((0 until nBlocks).map { b =>
+          concat_ws("", (bounds(b) until bounds(b + 1)).map(i =>
+            col("sig").getItem(i)): _*)
+        }: _*)).as(Seq("block", "block_key"))): _*)
+    val a = blocks.select(
+      Seq(col("block"), col("block_key"), col("id").as("id_a")) ++
+        (0 until nWords).map(wi => col(s"psig$wi").as(s"psig${wi}_a")): _*)
+    val b = blocks.select(
+      Seq(col("block"), col("block_key"), col("id").as("id_b")) ++
+        (0 until nWords).map(wi => col(s"psig$wi").as(s"psig${wi}_b")): _*)
+    val hammingExpr = (0 until nWords).map { wi =>
+      call_function("bit_count",
+        col(s"psig${wi}_a").bitwiseXOR(col(s"psig${wi}_b"))).cast("long")
+    }.reduce(_ + _)
     // multi-block duplicates removed by distinct() AFTER the hamming
     // filter: the distinct rows are three longs, far cheaper to shuffle
     // than evaluating a first-matching-block predicate on every join row
     a.join(b, Seq("block", "block_key"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        call_function("bit_count",
-          col("psig_a").bitwiseXOR(col("psig_b"))).cast("long").as("hamming"))
+      .select(col("id_a"), col("id_b"), hammingExpr.as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

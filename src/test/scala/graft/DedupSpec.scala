@@ -124,6 +124,42 @@ class DedupSpec extends SparkSpec {
     assert(banded.contains((0L, 1L, 0L)))  // exact dup found with hamming 0
   }
 
+  test("simhashNearPairs at 64-bit width: pigeonhole equals all-pairs, " +
+    "prefix-stable") {
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta theta",   // exact dup of 0
+      "alpha beta gamma delta epsilon zeta eta iota",    // near-dup of 0
+      "one two three four five six seven eight nine",
+      "totally different content here about other things",
+      "one two three four five six seven eight ten")     // near-dup of 3
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val banded = Dedup.simhashNearPairs(df, "id", "text", maxHamming = 3,
+        bits = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    val sig = Dedup.simhashSignatures(df, "id", "text", bits = 64)
+    val a = sig.select(col("id").as("id_a"), col("sig").as("sa"))
+    val b = sig.select(col("id").as("id_b"), col("sig").as("sb"))
+    val allPairs = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.hamming(col("sa"), col("sb"), bits = 64).cast("long").as("h"))
+      .where(col("h") <= 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == allPairs)
+    assert(banded.contains((0L, 1L, 0L)))
+    // widening never changes the slots a narrower run pinned (salt-append
+    // prefix stability, same contract as srpWeights)
+    val s32 = Dedup.simhashSignatures(df, "id", "text", bits = 32)
+      .as[(Long, Seq[Int])].collect().toMap
+    val s64 = sig.as[(Long, Seq[Int])].collect().toMap
+    assert(s64.forall { case (id, v) => v.take(32) == s32(id) })
+    // the packed-Long verify invariant is a hard cap, not a convention
+    assertThrows[IllegalArgumentException] {
+      Dedup.simhashNearPairs(df, "id", "text", maxHamming = 1, bits = 65)
+    }
+  }
+
   test("clusters: min-label propagation finds connected components") {
     // components: {1,2,3} via chain 1-2, 2-3; {5,9} ; {7} isolated
     val nodes = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("id")
