@@ -122,7 +122,8 @@ object CurateQueries {
     "contamination_report",
     (s, dir) =>
       graft.curate.Contamination.report(Tables.documents(s, dir),
-          "doc_id", "text")
+          "doc_id", "text",
+          workDir = Some(s"/tmp/graft_dedup_${math.abs(dir.hashCode)}"))
         .orderBy(col("doc_id").asc),
     Some(s"""
       WITH sp AS (SELECT doc_id, text,
@@ -299,7 +300,7 @@ object CurateQueries {
                         md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS hh
                  FROM documents),
       s AS (SELECT doc_id, hh,
-                   CAST(('0x' || substr(hh, 1, 4)) AS BIGINT) % 8 AS shard
+                   CAST(('0x' || substr(hh, 1, 15)) AS BIGINT) % 8 AS shard
             FROM h)
       SELECT doc_id, shard,
              CAST(row_number() OVER (PARTITION BY shard

@@ -21,16 +21,29 @@ object Contamination {
   /** Overlap report: (doc_id, split, best_train_id, n_shared, overlap)
     * for each non-train doc sharing >= 1 (sub-cap) shingle with any
     * train doc; overlap = shared / eval-doc shingle count, ties on
-    * n_shared broken by lowest train id. */
+    * n_shared broken by lowest train id.
+    *
+    * The split+shingle table feeds THREE consumers (postings, the train
+    * count, eval sizes) — so, per the shared-intermediate contract
+    * (graft.dedup.Dedup class doc), it takes a `workDir`: when given,
+    * the table is a build-once parquet artifact both sides scan; when
+    * omitted (small inputs, tests) it is recomputed per consumer.
+    * Nothing is `cache()`d — an un-evicted executor-memory copy of
+    * every shingle array is exactly what a 100 TB corpus run cannot
+    * afford, while a parquet artifact is bounded only by storage. */
   def report(df: DataFrame, idCol: String, textCol: String,
-             shingleN: Int = 3, maxDfFrac: Double = 0.05): DataFrame = {
+             shingleN: Int = 3, maxDfFrac: Double = 0.05,
+             workDir: Option[String] = None): DataFrame = {
     val base = Sampling.withSplit(
       df.select(col(idCol).as("id"), col(textCol).as("text")), "id")
       .repartition(col("id"))
-    val sh = base.select(col("id"), col("split"),
+    val shPlan = base.select(col("id"), col("split"),
         Dedup.shingles(col("text"), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
-      .cache()
+    val sh = workDir.map(d =>
+      graft.core.Artifacts.buildOnce(df.sparkSession,
+        s"$d/contamination_sh_n$shingleN")(shPlan))
+      .getOrElse(shPlan)
     val postings = sh.select(col("id"), col("split"),
       explode(col("sh")).as("shingle"))
     val train = postings.where(col("split") === "train")

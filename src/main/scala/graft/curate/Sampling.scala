@@ -128,9 +128,14 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))
       .orderBy(col("__h").asc, col(idCol).asc)
+    // 15 hex chars = 60 hash bits before the mod (same width as the KMV
+    // hash): any practical shard count divides 2^60 with negligible
+    // modulo bias, and shard ids far beyond 65 536 stay reachable — the
+    // 4-char form left every shard > 2^16 permanently empty, at odds
+    // with the 100 TB framing above.
     df.withColumn("__h", h)
       .withColumn("shard",
-        (conv(substring(col("__h"), 1, 4), 16, 10).cast("long")
+        (conv(substring(col("__h"), 1, 15), 16, 10).cast("long")
           % nShards).cast("long"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__h")

@@ -39,7 +39,16 @@ object CountMin {
 
   /** Point-query estimates for `items` (a small DataFrame with `tokCol`):
     * min over the `depth` counters each item hashes to. The item side is
-    * tiny (heavy-hitter candidates), so the lookups broadcast. */
+    * tiny (heavy-hitter candidates), so the lookups broadcast.
+    *
+    * LEFT join + coalesce(0): the sparse matrix only stores touched
+    * buckets, but an untouched bucket's counter is ZERO by the sketch's
+    * definition — an inner join would take the min over only the nonzero
+    * counters (overestimating an absent item) and would drop an item
+    * hitting exclusively empty buckets instead of reporting 0, which
+    * breaks `estimate` as a general point-query primitive (items drawn
+    * from the stream always have all counters > 0, so registry queries
+    * never saw the difference). */
   def estimate(items: DataFrame, tokCol: String, matrix: DataFrame,
                depth: Int, width: Int): DataFrame = {
     require(depth > 0 && width > 0)
@@ -47,8 +56,8 @@ object CountMin {
         struct(lit(r).as("r"), bucket(col(tokCol), r, width).as("b"))
       }: _*)).as("rb"))
       .select(col("*"), col("rb.r").as("r"), col("rb.b").as("b"))
-      .join(matrix, Seq("r", "b"))
+      .join(matrix, Seq("r", "b"), "left")
       .groupBy(col(tokCol))
-      .agg(min(col("c")).as("n_cms"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("n_cms"))
   }
 }

@@ -214,6 +214,16 @@ class TextSpec extends SparkSpec {
       "count-min must never underestimate")
     assert(estNarrow.exists { case (_, cms, ex) => cms > ex },
       "width 4 over 42 tokens must collide somewhere")
+    // absent-item point query: an item hitting any untouched bucket must
+    // min() that counter AS ZERO (left-join semantics), not min() over
+    // only the nonzero counters — and an item whose buckets are all
+    // untouched reports 0 rather than vanishing. Wide sketch ⇒ a never-
+    // seen token almost surely hits at least one empty bucket per row.
+    val absent = Seq("never_seen_token_xyz").toDF("tok")
+    val estAbsent = CountMin.estimate(absent, "tok", wide, 4, 4096)
+      .as[(String, Long)].collect()
+    assert(estAbsent.toSeq == Seq(("never_seen_token_xyz", 0L)),
+      s"absent item must report 0, got ${estAbsent.toSeq}")
   }
 
   test("repetition: dup fractions and modal-token dominance, pinned") {
