@@ -481,9 +481,11 @@ object DedupQueries {
     * vector store ships so an operator can SIZE nprobe/band parameters
     * against measured recall instead of folklore: for the first 10
     * corpus vectors as queries, recall@5 of (a) the IVF index at partial
-    * probe nprobe=4/16 vs exact L2 top-5, and (b) the SRP-LSH bulk-ANN
+    * probe nprobe=4/16 vs exact L2 top-5, (b) the SRP-LSH bulk-ANN
     * tier vs exact cosine top-5 (self excluded — the LSH tier never
-    * emits self-pairs). Every tier's arithmetic — probe ranking,
+    * emits self-pairs), and (c) the multi-probe SRP tier (1-bit-flip
+    * probes) vs the same exact cosine truth — quantifying what
+    * multi-probe buys back. Every tier's arithmetic — probe ranking,
     * candidate generation, rank windows, the recall division itself —
     * replays in the oracle, so the MEASUREMENT is hash-checked, not just
     * the searches it measures. On the random fixture it reports what the
@@ -549,6 +551,23 @@ object DedupQueries {
           k = 5, dim = 64, workDir = wd(dir))
         .where(col("id") < 10)
         .select(col("id").as("qid"), col("nbr").as("vec_id"))
+      // multi-probe SRP tier: candidates widened by the 1-bit-flip probe
+      // set (Dedup.cosineVerifiedPairsMultiprobe over the same band
+      // artifact), top-5 per query — its candidate recall vs exact
+      // cosine completes the honest-LSH story: the report now measures
+      // how much of the exact-vs-SRP gap multi-probe buys back
+      val mpairs = Dedup.cosineVerifiedPairsMultiprobe(
+        Dedup.srpBandsTable(e, "vec_id", "embedding", dim = 64, bits = 64,
+          nBands = 4, maxBucket = 4096, dir = wd(dir).get), bandSize = 16)
+      val msym = mpairs
+        .select(col("id_a").as("id"), col("id_b").as("nbr"), col("cosine"))
+        .unionByName(mpairs
+          .select(col("id_b").as("id"), col("id_a").as("nbr"), col("cosine")))
+      val msrp = msym.where(col("id") < 10)
+        .withColumn("rn", row_number().over(Window.partitionBy(col("id"))
+          .orderBy(col("cosine").desc, col("nbr").asc)))
+        .where(col("rn") <= 5)
+        .select(col("id").as("qid"), col("nbr").as("vec_id"))
       def recall(approx: org.apache.spark.sql.DataFrame,
                  exact: org.apache.spark.sql.DataFrame,
                  name: String) =
@@ -557,6 +576,7 @@ object DedupQueries {
           .withColumn("method", lit(name))
       recall(ivf, exL2, "ivf_nprobe4")
         .unionByName(recall(srp, exCos, "srp_lsh"))
+        .unionByName(recall(msrp, exCos, "srp_multiprobe"))
         .select(col("method"), col("recall_at_5"))
         .orderBy(col("method").asc)
     },
@@ -609,14 +629,43 @@ object DedupQueries {
                  row_number() OVER (PARTITION BY id
                    ORDER BY cosine DESC, nbr ASC) AS rn
           FROM sym WHERE id < 10) WHERE rn <= 5),
+      vkey AS (SELECT vec_id, b,
+                      CASE WHEN f = 0 THEN band_key
+                           ELSE substr(band_key, 1, f-1)
+                                || (CASE WHEN substr(band_key, f, 1) = '0'
+                                    THEN '1' ELSE '0' END)
+                                || substr(band_key, f+1)
+                      END AS band_key
+               FROM kept CROSS JOIN range(0, 17) t(f)),
+      mcand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM vkey a JOIN kept b
+                  ON a.b = b.b AND a.band_key = b.band_key
+                     AND a.vec_id < b.vec_id),
+      mpairs AS (SELECT id_a, id_b,
+                        ${duckCosine("ea.embedding", "eb.embedding")} AS cosine
+                 FROM mcand
+                 JOIN embeddings ea ON ea.vec_id = id_a
+                 JOIN embeddings eb ON eb.vec_id = id_b),
+      msym AS (SELECT id_a AS id, id_b AS nbr, cosine FROM mpairs
+               UNION ALL
+               SELECT id_b AS id, id_a AS nbr, cosine FROM mpairs),
+      msrp AS (SELECT id AS qid, nbr AS vec_id FROM (
+          SELECT id, nbr,
+                 row_number() OVER (PARTITION BY id
+                   ORDER BY cosine DESC, nbr ASC) AS rn
+          FROM msym WHERE id < 10) WHERE rn <= 5),
       rivf AS (SELECT 'ivf_nprobe4' AS method,
                       round(count(*) / 50.0, 4) AS recall_at_5
                FROM ivf JOIN exl2 USING (qid, vec_id)),
       rsrp AS (SELECT 'srp_lsh' AS method,
                       round(count(*) / 50.0, 4) AS recall_at_5
-               FROM srp JOIN excos USING (qid, vec_id))
+               FROM srp JOIN excos USING (qid, vec_id)),
+      rmp AS (SELECT 'srp_multiprobe' AS method,
+                     round(count(*) / 50.0, 4) AS recall_at_5
+              FROM msrp JOIN excos USING (qid, vec_id))
       SELECT method, recall_at_5 FROM rivf
       UNION ALL SELECT method, recall_at_5 FROM rsrp
+      UNION ALL SELECT method, recall_at_5 FROM rmp
       ORDER BY method ASC
     """))
 

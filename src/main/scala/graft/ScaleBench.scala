@@ -94,14 +94,24 @@ object ScaleBench {
     for (n <- sizes) {
       val emb = materialize(synthEmbeddings(spark, n), s"/tmp/graft_scale/emb_$n")
       val docs = materialize(synthDocs(spark, n), s"/tmp/graft_scale/docs_$n")
+      // band width auto-sized per corpus (Dedup.bitsForCorpus — SCALE.md's
+      // log₂(n) rule): 64 planes/16-bit bands up to ~10³, widening to 96
+      // planes/24-bit bands at the 256 k demonstration size, so the
+      // rehearsal exercises the width a corpus of each size NEEDS instead
+      // of pinning the fixture default and saturating
+      val autoBits = Dedup.bitsForCorpus(n)
+      System.err.println(s"[scale] n=$n: auto-sized SRP bits=$autoBits " +
+        s"(${autoBits / 4}-bit bands)")
       val ops: Seq[(String, () => Long)] = Seq(
-        "srp_candidate_pairs" -> (() => {
-          val bands = Dedup.srpBands(emb, "vec_id", "embedding", Dim, 64, 4)
+        "srp_candidate_pairs (auto-sized)" -> (() => {
+          val bands = Dedup.srpBands(emb, "vec_id", "embedding", Dim,
+            autoBits, 4)
           Dedup.cosineVerifiedPairs(
             Dedup.srpKeptBands(bands, Dedup.srpHotBuckets(bands, 4096))).count()
         }),
         "ann_bulk_topk" -> (() =>
-          AnnJoin.bulkTopK(emb, "vec_id", "embedding", k = 5, dim = Dim).count()),
+          AnnJoin.bulkTopK(emb, "vec_id", "embedding", k = 5, dim = Dim,
+            bits = autoBits).count()),
         "knn_exact_1q (linear baseline)" -> (() => {
           import spark.implicits._
           val q = Seq(Tuple1(emb.where(col("vec_id") === 0)
@@ -148,6 +158,12 @@ object ScaleBench {
           Dedup.minhashCandidates(docs, "doc_id", "text", 8, 1).count()),
         "simhash_near_pairs" -> (() =>
           Dedup.simhashNearPairs(docs, "doc_id", "text", maxHamming = 1).count()),
+        // the production form (dedup_simhash64): 2⁶⁴ signature points +
+        // order-sensitive shingle features — the Θ(n²) of the 16-bit line
+        // above is that width's SEMANTICS, and this line is the fix
+        "simhash64_near_pairs (shingles)" -> (() =>
+          Dedup.simhashNearPairs(docs, "doc_id", "text", maxHamming = 3,
+            bits = 64, featureShingleN = 3).count()),
         "jaccard_top20" -> (() =>
           Dedup.jaccardTopPairs(docs, "doc_id", "text", k = 20).count()),
         "exact_dedup" -> (() => Dedup.exact(docs, "doc_id", "text").count())

@@ -422,6 +422,32 @@ object Dedup {
       Integer.parseInt(hexes(i - 1).substring(p - 1, p), 16) - 7.5))
   }
 
+  /** SCALE.md's band-width sizing rule, operationalized: the SRP band
+    * join's random-collision term is n²/2 · nBands · p^w (w = bits per
+    * band, p ≈ 0.5 ideal), which stays at or below the planted-linear
+    * term only while 2^w ≳ n — so the band width must GROW WITH log₂(n).
+    * This helper returns ceil(log₂ n) + 6 bits per band: +3 because the
+    * measured per-band collision on sign-correlated Gaussian clusters is
+    * ~8× the ideal 2⁻ʷ (SCALE.md's 64 k decomposition), +3 headroom;
+    * floored at the oracle-pinned 16-bit default and capped at
+    * 128/nBands planes ([[srpWeights]]' derivation limit). At the
+    * SCALE.md 256 k demonstration size this yields 24-bit bands (96
+    * planes), the widening measured there to collapse candidates 5.5×;
+    * salt-append plane derivation keeps every narrower prefix
+    * byte-identical, so auto-widening never changes oracle-pinned
+    * planes. */
+  def bandBitsForCorpus(n: Long, nBands: Int = 4): Int = {
+    require(n > 0 && nBands > 0)
+    val w = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt + 6
+    math.min(128 / nBands, math.max(16, w))
+  }
+
+  /** Total SRP signature width (all bands) for a corpus of `n` vectors —
+    * `nBands × bandBitsForCorpus(n)`; pass as `bits` to [[srpBands]] /
+    * [[cosineCandidatePairs]] / the bulk-ANN joins. */
+  def bitsForCorpus(n: Long, nBands: Int = 4): Int =
+    nBands * bandBitsForCorpus(n, nBands)
+
   /** Sign-of-projection bit array for a float-vector column (codegen'd —
     * see [[graft.functions.SrpSignature]]; the interpreted
     * `aggregate(zip_with(...))` per plane dominated the signature stage

@@ -37,21 +37,27 @@ object SemanticDedup {
     * `round(cosine, 4) ≥ tau` (NULL ⇔ keep this document).
     *
     * Oversized clusters (> `maxClusterSize` members) are excluded from
-    * pair generation — every member is kept — and surfaced via a driver
-    * log line, never silently. */
+    * pair generation — every member is kept. `logOversized` surfaces the
+    * excluded-cluster count on stderr; it is opt-in because the eager
+    * count is an extra aggregate job per invocation (the exclusion
+    * itself always applies and is visible in the result's kept
+    * members). */
   def markDuplicates(embeddings: DataFrame, assignments: DataFrame,
                      idCol: String, vecCol: String, tau: Double,
-                     maxClusterSize: Int = 100000): DataFrame = {
+                     maxClusterSize: Int = 100000,
+                     logOversized: Boolean = false): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     require(maxClusterSize > 1, s"maxClusterSize must be > 1")
     val asg = assignments.select(col(idCol), col("cluster_id"))
     val sizes = asg.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("__cn"))
-    val oversized = sizes.where(col("__cn") > maxClusterSize).count()
-    if (oversized > 0)
-      System.err.println(s"[graft] SemanticDedup: $oversized cluster(s) " +
-        s"over maxClusterSize=$maxClusterSize excluded from pair " +
-        s"generation (members kept)")
+    if (logOversized) {
+      val oversized = sizes.where(col("__cn") > maxClusterSize).count()
+      if (oversized > 0)
+        System.err.println(s"[graft] SemanticDedup: $oversized cluster(s) " +
+          s"over maxClusterSize=$maxClusterSize excluded from pair " +
+          s"generation (members kept)")
+    }
     val bounded = asg.join(
       sizes.where(col("__cn") <= maxClusterSize).select("cluster_id"),
       Seq("cluster_id"))

@@ -191,7 +191,8 @@ object Multimodal {
   def phashNearPairs(df: DataFrame, idCol: String, binCol: String,
                      maxHamming: Int = 3, nBins: Int = 256,
                      nBlocks: Int = 4, maxBucket: Int = 4096,
-                     workDir: Option[String] = None): DataFrame = {
+                     workDir: Option[String] = None,
+                     logDropped: Boolean = false): DataFrame = {
     require(maxHamming < nBlocks,
       s"pigeonhole needs maxHamming < nBlocks, got $maxHamming/$nBlocks")
     require(nBins % nBlocks == 0, s"$nBins bits not divisible into $nBlocks blocks")
@@ -220,10 +221,14 @@ object Multimodal {
       }: _*)).as(Seq("block", "key")))
     val hot = bands.groupBy(col("block"), col("key"))
       .agg(count(lit(1)).as("__cn")).where(col("__cn") > maxBucket)
-    val nHot = hot.count()
-    if (nHot > 0)
-      System.err.println(s"[graft] phashNearPairs: dropped $nHot hot " +
-        s"(block, key) bucket(s) over maxBucket=$maxBucket")
+    // opt-in (an eager count is an extra job per invocation; the cap's
+    // exclusion semantics apply regardless)
+    if (logDropped) {
+      val nHot = hot.count()
+      if (nHot > 0)
+        System.err.println(s"[graft] phashNearPairs: dropped $nHot hot " +
+          s"(block, key) bucket(s) over maxBucket=$maxBucket")
+    }
     val kept = bands.join(hot.select("block", "key"), Seq("block", "key"),
       "left_anti")
     val cand = kept.select(col("block"), col("key"), col(idCol).as("id_a"))

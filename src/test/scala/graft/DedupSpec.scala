@@ -262,6 +262,24 @@ class DedupSpec extends SparkSpec {
     assert(id0.head._3 == 1L && id0.head._4 > 0.999)
   }
 
+  test("bitsForCorpus: log₂(n) sizing rule, 96-plane prefix determinism") {
+    // floor: tiny corpora keep the oracle-pinned 64-plane/16-bit default
+    assert(Dedup.bitsForCorpus(100) == 64)
+    // SCALE.md's demonstrated 256 k widening: 96 planes / 24-bit bands
+    assert(Dedup.bitsForCorpus(256000) == 96)
+    assert(Dedup.bandBitsForCorpus(256000) == 24)
+    // cap: srpWeights derives at most 128 planes
+    assert(Dedup.bitsForCorpus(100000000000L) == 128)
+    // monotone in n — a bigger corpus never narrows its bands
+    val widths = Seq(1000L, 10000L, 100000L, 1000000L, 100000000L)
+      .map(Dedup.bitsForCorpus(_))
+    assert(widths == widths.sorted)
+    // the widened 96-plane set's first 64 planes ARE the 64-plane oracle
+    // planes (salt-append derivation) — auto-widening at 256 k can never
+    // change planes an oracle already pinned
+    assert(Dedup.srpWeights(96, 16).take(64) == Dedup.srpWeights(64, 16))
+  }
+
   test("cosineCandidatePairs finds planted near-duplicate vectors") {
     val rnd = new scala.util.Random(7)
     def vec(): Seq[Float] = Seq.fill(8)(rnd.nextGaussian().toFloat)
