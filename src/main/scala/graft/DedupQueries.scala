@@ -179,6 +179,40 @@ object DedupQueries {
         s"CASE WHEN sum(CAST(strpos('0123456789abcdef', substr(h, $p, 1)) - 1 " +
           s"AS DOUBLE) - 7.5) > 0 THEN 1 ELSE 0 END").mkString(", ") + "]")))
 
+  /** Substring-level exact dedup (Lee et al. 2022, arXiv:2107.06499 —
+    * see SubstringDedup): per document, how many of its 20-token rolling
+    * windows occur more than once ANYWHERE in the corpus. Catches shared
+    * boilerplate paragraphs that document-level dedup (exact/MinHash/
+    * SimHash) never flags. Map-reduce native — window digests
+    * hash-aggregate and equi-join; nothing pairwise, no df-cap needed (a
+    * window shared by 10⁶ docs costs one counter, not 10¹² pairs). The
+    * oracle replays windows, digests, the repeated rule, and the ratio
+    * arithmetic. */
+  private val dedupSubstringSpans = Q(
+    "dedup_substring_spans",
+    (s, dir) =>
+      graft.dedup.SubstringDedup.spanReport(Tables.documents(s, dir),
+          "doc_id", "text", windowTokens = 20)
+        .orderBy(col("doc_id").asc),
+    Some("""
+      WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                  FROM documents),
+      w AS (SELECT doc_id, md5(array_to_string(toks[i:i+19], ' ')) AS h
+            FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-18)) AS i
+                  FROM tk WHERE len(toks) >= 20)),
+      rep AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+              FROM w GROUP BY doc_id),
+      dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+             FROM w JOIN rep USING (h) GROUP BY doc_id)
+      SELECT tot.doc_id, tot.n_windows,
+             coalesce(dw.n_dup_windows, 0) AS n_dup_windows,
+             round(CAST(coalesce(dw.n_dup_windows, 0) AS DOUBLE)
+               / tot.n_windows + 1e-9, 4) AS dup_frac
+      FROM tot LEFT JOIN dw USING (doc_id)
+      ORDER BY doc_id ASC
+    """))
+
   /** Dedup clustering end-to-end: MinHash-LSH candidates (est Jaccard ≥
     * 0.5) → connected components → every doc labeled with the min id of
     * its duplicate cluster. Spark side is iterative min-label
@@ -780,6 +814,6 @@ object DedupQueries {
   val all: Seq[Q] = Seq(dedupExact, dedupJaccardPairs, dedupMinhashLsh,
     dedupSimhash, dedupSimhash64, dedupCosinePairs, dedupCosineMultiprobe, annBulkTopk,
     annBulkTopkGuaranteed,
-    dedupClusters, semanticDedup, dedupIncrementalIngest, annRecallReport,
+    dedupSubstringSpans, dedupClusters, semanticDedup, dedupIncrementalIngest, annRecallReport,
     dedupCascade)
 }

@@ -374,10 +374,12 @@ object TextQueries {
       ORDER BY n_docs DESC, chunk_md5 ASC
     """))
 
-  /** DuckDB replay of the BPE loop: one (p_k, m_k, s_k) CTE triple per
-    * round — pair counts, argmax (excluding prior merges), two-pass
-    * delimiter replace — mechanically generated for `n` rounds. */
-  private def bpeOracle(n: Int): String = {
+  /** DuckDB replay of the BPE learning loop's CTEs: one (p_k, m_k, s_k)
+    * triple per round — pair counts, argmax (excluding prior merges),
+    * two-pass delimiter replace — mechanically generated for `n` rounds.
+    * Shared by the learner oracle (final SELECT over m_1..m_n) and the
+    * encoder oracle (per-document replay of the learned replaces). */
+  private def bpeCtes(n: Int): String = {
     val sb = new StringBuilder
     sb ++= """
       WITH s0 AS (
@@ -408,11 +410,44 @@ object TextQueries {
                   ' ' || replace(m$k.pair, ' ', '') || ' ') AS seq
                 FROM s${k - 1} CROSS JOIN m$k)"""
     }
-    sb ++= (1 to n).map(k => s"""
+    sb.toString
+  }
+
+  private def bpeOracle(n: Int): String =
+    bpeCtes(n) +
+      (1 to n).map(k => s"""
       SELECT CAST($k AS BIGINT) AS merge_rank, pair,
              replace(pair, ' ', '') AS merged, CAST(n AS BIGINT) AS n
-      FROM m$k""").mkString(" UNION ALL ")
-    sb ++= "\n      ORDER BY merge_rank ASC"
+      FROM m$k""").mkString(" UNION ALL ") +
+      "\n      ORDER BY merge_rank ASC"
+
+  /** Encode oracle: re-learn the merges (same CTEs), then replay the
+    * rank-ordered two-pass replaces over every document's words and
+    * count post-merge symbols per document. */
+  private def bpeEncodeOracle(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= bpeCtes(n)
+    sb ++= """
+      , w0 AS (
+        SELECT doc_id,
+               ' ' || array_to_string(list_transform(range(1, len(w)+1),
+                 i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS seq
+        FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+              FROM documents)
+        WHERE w <> '')"""
+    for (k <- 1 to n)
+      sb ++= s"""
+      , w$k AS (SELECT doc_id, replace(replace(w${k - 1}.seq,
+                  ' ' || m$k.pair || ' ',
+                  ' ' || replace(m$k.pair, ' ', '') || ' '),
+                  ' ' || m$k.pair || ' ',
+                  ' ' || replace(m$k.pair, ' ', '') || ' ') AS seq
+                FROM w${k - 1} CROSS JOIN m$k)"""
+    sb ++= s"""
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(len(string_split(trim(seq), ' '))) AS BIGINT)
+               AS n_bpe_tokens
+      FROM w$n GROUP BY doc_id ORDER BY doc_id ASC"""
     sb.toString
   }
 
@@ -422,6 +457,29 @@ object TextQueries {
     "bpe_learn_merges",
     (s, dir) => BpeLearn.learn(Tables.documents(s, dir), "text", nMerges = 5),
     Some(bpeOracle(5)))
+
+  /** The tokenizer's ENCODE half: apply the learned 5-merge table to
+    * every document and report its post-merge token count — learn →
+    * encode round-trips one deterministic tokenizer, and the oracle
+    * replays BOTH halves (re-learns the merges, then replays the
+    * rank-ordered two-pass replaces per document). The merge table is
+    * tokenizer state: built once per fixture as a parquet artifact
+    * (the Artifacts convention — a warehouse stores its tokenizer), so
+    * the timed body is assignment-free map work + one aggregate. */
+  private val bpeEncode = Q(
+    "bpe_encode",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val mergeTable = graft.core.Artifacts.buildOnce(s,
+        s"/tmp/graft_dedup_${math.abs(dir.hashCode)}/bpe_merges_5")(
+        BpeLearn.learn(docs, "text", nMerges = 5))
+      val merges = mergeTable.orderBy(col("merge_rank").asc)
+        .select("pair", "merged").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      BpeLearn.encode(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id").asc)
+    },
+    Some(bpeEncodeOracle(5)))
 
   /** Count-min heavy hitters: the top-20 corpus tokens (selected exactly
     * for a stable output) with BOTH their exact count and their count-min
@@ -472,5 +530,5 @@ object TextQueries {
   val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
     tokenStats, tokenCounts, qualityScore, langId, docFingerprint,
     vocabTopK, tfidfTopTerms, repetitionFilter, unigramLogprob, cdcChunks,
-    cdcBoilerplate, bpeLearnMerges, sketchHeavyTokens)
+    cdcBoilerplate, bpeLearnMerges, bpeEncode, sketchHeavyTokens)
 }

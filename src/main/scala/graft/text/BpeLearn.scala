@@ -96,4 +96,35 @@ object BpeLearn {
     merges.toSeq.toDF("merge_rank", "pair", "merged", "n")
       .orderBy(col("merge_rank").asc)
   }
+
+  /** Apply a learned merge table — the ENCODE half of the tokenizer:
+    * every word becomes its delimited char sequence and each merge is
+    * applied in rank order via the SAME two-pass leftmost-nonoverlapping
+    * delimiter replace the learner used, so learn → encode round-trips
+    * one deterministic tokenizer (the engine-portable property that lets
+    * the oracle replay both halves). The merge table is tokenizer STATE:
+    * N driver-held rows folded into the column expression, so encoding
+    * is pure per-row map work — 2N codegen `replace` calls per word, no
+    * shuffle until the per-document aggregate. Returns one row per
+    * document with ≥ 1 word: `(idCol, n_words, n_bpe_tokens)` — the
+    * post-merge token count a pipeline budgets sequences with. */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(col(idCol),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+    val seq0: Column = concat(lit(" "),
+      array_join(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))), " "), lit(" "))
+    val encoded = merges.foldLeft(seq0) { case (c, (pair, merged)) =>
+      def rep(x: Column): Column =
+        call_function("replace", x, lit(s" $pair "), lit(s" $merged "))
+      rep(rep(c))
+    }
+    words
+      .select(col(idCol),
+        size(split(trim(encoded), " ")).cast("long").as("__nt"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__nt")).as("n_bpe_tokens"))
+  }
 }

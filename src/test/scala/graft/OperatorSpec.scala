@@ -334,4 +334,47 @@ class OperatorSpec extends SparkSpec {
       .foldLeft(agg.zero)(agg.reduce)
     assert(shuffled.toSeq == sequential.toSeq)
   }
+
+  test("substring spans: shared boilerplate flagged, unique text clean") {
+    import graft.dedup.SubstringDedup
+    val boiler = (1 to 6).map(i => s"b$i").mkString(" ")  // 6-token span
+    val df = Seq(
+      (0L, s"u1 u2 u3 $boiler t1 t2"),      // shares boiler with 1
+      (1L, s"v1 v2 $boiler w1 w2 w3"),      // shares boiler with 0
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),   // unique
+      (3L, "short text"))                    // < windowTokens → no row
+      .toDF("doc_id", "text")
+    val r = SubstringDedup.spanReport(df, "doc_id", "text", windowTokens = 6)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // doc 0: 11 tokens → 6 windows, exactly 1 (the boiler window) repeated
+    assert(r(0L) == ((6L, 1L)) && r(1L) == ((6L, 1L)))
+    assert(r(2L)._2 == 0L)
+    assert(!r.contains(3L), "docs below the window length emit no row")
+  }
+
+  test("bpe encode: learned merges shrink token counts, never below words") {
+    import graft.text.BpeLearn
+    val df = Seq(
+      (0L, "banana bandana banana"),
+      (1L, "an analysis and an anomaly"),
+      (2L, "zzz qqq")).toDF("doc_id", "text")
+    val merges = BpeLearn.learn(df, "text", nMerges = 3)
+      .orderBy(col("merge_rank").asc)
+      .select("pair", "merged").as[(String, String)].collect().toSeq
+    val enc = BpeLearn.encode(df, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // chars per doc (upper bound before merges)
+    val chars = Map(0L -> ("bananabandanabanana".length.toLong),
+      1L -> "ananalysisandananomaly".length.toLong,
+      2L -> "zzzqqq".length.toLong)
+    enc.foreach { case (id, (nWords, nTok)) =>
+      assert(nTok >= nWords, "a token count can never drop below one/word")
+      assert(nTok <= chars(id), "encoding never exceeds the char count")
+    }
+    // 'an' ('a n') dominates this corpus: doc 1's count must have shrunk
+    assert(enc(1L)._2 < chars(1L))
+    // a corpus with none of the learned merges is untouched (char count)
+    assert(enc(2L)._2 == chars(2L))
+  }
 }
