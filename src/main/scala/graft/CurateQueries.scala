@@ -353,8 +353,53 @@ object CurateQueries {
       WHERE quality > thr ORDER BY doc_id ASC
     """))
 
+  /** Exact-hash split-leakage audit — the cheap decontamination gate a
+    * pipeline runs BEFORE the n-gram contamination pass: any content
+    * hash whose copies span more than one of train/val/test is verbatim
+    * leakage (an eval answer sitting in the training set), reported with
+    * per-split copy counts. One hash-aggregate over digests — map-side
+    * combined, no text shuffles, no pairwise anything — so it costs an
+    * exact-dedup pass regardless of corpus size. Complements
+    * contamination_report (n-gram overlap ranks fuzzy matches; this
+    * catches the exact ones with certainty and at ~zero cost). */
+  private val splitLeakageCheck = Q(
+    "split_leakage_check",
+    (s, dir) => {
+      val d = Sampling.withSplit(Tables.documents(s, dir), "doc_id")
+      d.groupBy(md5(col("text")).as("content_hash"))
+        .agg(countDistinct(col("split")).as("n_splits"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+          min(col("doc_id")).as("example_doc"))
+        .where(col("n_splits") > 1)
+        .orderBy(col("content_hash").asc)
+    },
+    Some(s"""
+      WITH sp AS (SELECT doc_id, text,
+                         CASE WHEN $duckBucket < 80 THEN 'train'
+                              WHEN $duckBucket < 90 THEN 'val'
+                              ELSE 'test' END AS split
+                  FROM documents),
+      g AS (SELECT md5(text) AS content_hash,
+                   CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_train,
+                   CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_val,
+                   CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_test,
+                   CAST(min(doc_id) AS BIGINT) AS example_doc
+            FROM sp GROUP BY md5(text))
+      SELECT content_hash, n_splits, n_docs, n_train, n_val, n_test,
+             example_doc
+      FROM g WHERE n_splits > 1 ORDER BY content_hash ASC
+    """))
+
   val all: Seq[Q] = Seq(trainValTestSplit, sampleHash, packTokenBatches,
     curatePipeline, contaminationReport, quotaPerSource, piiScrub,
     contrastiveTriplets, domainMixSample, trainingOrderShuffle,
-    qualityPercentileFilter)
+    qualityPercentileFilter, splitLeakageCheck)
 }

@@ -464,7 +464,51 @@ object VectorQueries {
       ORDER BY distance ASC, c.vec_id ASC LIMIT 5
     """.replace("%L2%", duckL2("e.embedding", "q.qv"))))
 
-  val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery,
+  /** Matryoshka-style truncated-dimension two-stage search (MRL,
+    * Kusupati et al. 2022, arXiv:2205.13147): stage 1 ranks the corpus
+    * by cosine over only the FIRST 16 of 64 dimensions (¼ the multiply
+    * work and — the real 100 TB win — ¼ the bytes read when the prefix
+    * is stored as its own column/page), keeping a 10× candidate margin;
+    * stage 2 reranks the 50 survivors by full-dimension cosine, top 5.
+    * Same two-TakeOrderedAndProject shape as sq8_rerank_search (rank on
+    * the cheap representation, exact-score only the candidate set) with
+    * truncation instead of quantization as the compression. The fixture
+    * embeddings are not MRL-trained — what the oracle pins is the
+    * truncate → rank → margin → rerank SEMANTICS, both stages replayed
+    * with the identical rounding and tie-breaks. */
+  private val mrlTruncatedSearch = Q(
+    "mrl_truncated_search",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val stage1 = e.crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"), col("qe"),
+          round(VectorFunctions.cosineSim(
+            slice(col("embedding"), 1, 16), slice(col("qe"), 1, 16)), 4)
+            .as("c1"))
+        .orderBy(col("c1").desc, col("vec_id").asc)
+        .limit(50)
+      stage1
+        .select(col("vec_id"),
+          round(VectorFunctions.cosineSim(col("embedding"), col("qe")), 4)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(5)
+    },
+    Some(s"""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      s1 AS (SELECT e.vec_id, e.embedding,
+                    ${duckCosine("list_slice(e.embedding, 1, 16)",
+                                 "list_slice(q.qe, 1, 16)")} AS c1
+             FROM embeddings e, q
+             ORDER BY c1 DESC, e.vec_id ASC LIMIT 50)
+      SELECT s1.vec_id,
+             ${duckCosine("s1.embedding", "q.qe")} AS cosine
+      FROM s1, q
+      ORDER BY cosine DESC, s1.vec_id ASC LIMIT 5
+    """))
+
+  val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery, mrlTruncatedSearch,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     sq8RerankSearch, embeddingProfile, pqAdcSearch, ivfPqSearch)
 }
