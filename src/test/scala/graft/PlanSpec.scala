@@ -95,6 +95,12 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("mrl truncated search: both stages top-k, never a global sort") {
+    val p = plan("mrl_truncated_search")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"truncated rank and full rerank must both be top-k:\n$p")
+  }
+
   test("guaranteed-k ANN: IVF fallback is an equi-join, never a nested loop") {
     // Round 4's exact tier was corpus × broadcast(deficient) — a
     // BroadcastNestedLoopJoin that is quadratic precisely on LSH-hostile
