@@ -527,8 +527,83 @@ object TextQueries {
       ORDER BY top.n_exact DESC, token ASC
     """))
 
+  /** Mergeable quantile sketch over per-document token counts — the
+    * histogram-quantile primitive (DDSketch's log-bucket idea, Masson
+    * et al. 2019, VLDB — here with INTEGER-EXACT buckets so the sketch
+    * is engine-portable): value n lands in octave b = len(bin(n)) with
+    * 4 linear sub-buckets per octave (≤ 12.5 % relative error), all
+    * derived by integer arithmetic — no float log whose floor could
+    * straddle an octave boundary differently across libms. The sketch
+    * is a (b, sub) → count table: additively mergeable (map-side
+    * combine ships ≤ 4·octaves counters per partition, never the
+    * values), exactly the CMS/KMV/HLL contract. Quantile estimate =
+    * lower edge of the first bucket whose cumulative count reaches
+    * ⌈q·N⌉ (thresholds in exact rational arithmetic); each estimate is
+    * reported NEXT TO its exact order-statistic twin, so the oracle
+    * hash-checks both the sketch arithmetic and its honesty gap. */
+  private val sketchTokenQuantiles = Q(
+    "sketch_token_quantiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, dir)
+        .select(size(split(col("text"), "\\s+")).cast("long").as("n"))
+      val hb = t
+        .select(col("n"), length(bin(col("n"))).cast("int").as("b"))
+        .withColumn("sb", expr(
+          "CAST((n * 4) DIV CAST(power(2, b - 1) AS BIGINT) - 4 AS INT)"))
+      val hist = hb.groupBy(col("b"), col("sb")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("b").asc, col("sb").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      val total = t.count()   // ONE driver scalar: sizes the rank
+                              // thresholds and the exact-twin limits
+      val qs = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+      qs.map { case (label, num, den) =>
+        val k = ((num * total + den - 1) / den).toInt
+        val est = cum.where(col("cum") >= k)
+          .orderBy(col("b").asc, col("sb").asc).limit(1)
+          .select(lit(label).as("q"),
+            round((col("sb").cast("double") + 4.0)
+              * expr("CAST(power(2, b - 1) AS DOUBLE)") / 4.0, 4)
+              .as("est_tokens"))
+        val exact = t.orderBy(col("n").asc).limit(k)
+          .agg(max(col("n")).as("exact_tokens"))
+        est.crossJoin(exact)
+      }.reduce(_ unionByName _)
+        .orderBy(col("q").asc)
+    },
+    Some("""
+      WITH t AS (SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                          AS n
+                 FROM documents),
+      hb AS (SELECT n, CAST(length(bin(n)) AS INT) AS b FROM t),
+      hb2 AS (SELECT n, b,
+                     CAST((n * 4) // CAST(power(2, b - 1) AS BIGINT) - 4
+                       AS INT) AS sb
+              FROM hb),
+      hist AS (SELECT b, sb, count(*) AS c FROM hb2 GROUP BY b, sb),
+      cum AS (SELECT b, sb,
+                     sum(c) OVER (ORDER BY b, sb ROWS UNBOUNDED PRECEDING)
+                       AS cum
+              FROM hist),
+      tot AS (SELECT count(*) AS nt FROM t),
+      ranked AS (SELECT n, row_number() OVER (ORDER BY n) AS rn FROM t),
+      qk AS (SELECT 'p50' AS q, (1 * nt + 1) // 2 AS k FROM tot
+             UNION ALL SELECT 'p90', (9 * nt + 9) // 10 FROM tot
+             UNION ALL SELECT 'p99', (99 * nt + 99) // 100 FROM tot),
+      est AS (SELECT qk.q,
+                     (SELECT round((c1.sb + 4.0) * power(2, c1.b - 1) / 4.0, 4)
+                      FROM cum c1 WHERE c1.cum >= qk.k
+                      ORDER BY c1.b, c1.sb LIMIT 1) AS est_tokens,
+                     (SELECT r.n FROM ranked r WHERE r.rn = qk.k)
+                       AS exact_tokens
+              FROM qk)
+      SELECT q, est_tokens, exact_tokens FROM est ORDER BY q ASC
+    """))
+
   val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
     tokenStats, tokenCounts, qualityScore, langId, docFingerprint,
     vocabTopK, tfidfTopTerms, repetitionFilter, unigramLogprob, cdcChunks,
-    cdcBoilerplate, bpeLearnMerges, bpeEncode, sketchHeavyTokens)
+    cdcBoilerplate, bpeLearnMerges, bpeEncode, sketchHeavyTokens,
+    sketchTokenQuantiles)
 }
