@@ -131,6 +131,19 @@ object ScaleBench {
           IvfIndex.search(spark, model, "embedding", "vec_id", q,
             k = 5, nprobe = 8).count()
         }),
+        // round 4's scale defect, now measured: deficient ids route
+        // through the IVF probe (equi-join on cluster_id) instead of a
+        // corpus × broadcast nested loop. On this clustered corpus the
+        // LSH tier covers most ids (clusters of 8 ≥ k=5) and the IVF
+        // tier handles stragglers; output saturates at k·n.
+        "ann_bulk_topk_guaranteed (IVF fallback)" -> (() => {
+          val model = IvfIndex.load(spark, s"/tmp/graft_scale/ivf_$n")
+          AnnJoin.bulkTopKGuaranteed(emb, "vec_id", "embedding", k = 5,
+            dim = Dim, ivf = model, nprobe = 8, bits = autoBits).count()
+        }),
+        "substring_spans (w=20)" -> (() =>
+          graft.dedup.SubstringDedup.spanReport(docs, "doc_id", "text",
+            windowTokens = 20).count()),
         "semantic_dedup (nlist ∝ n)" -> (() => {
           // The operator's contract: the coarse quantizer's nlist grows
           // with the corpus so cluster sizes stay ~constant (~250 here) —
