@@ -590,6 +590,35 @@ object PipelineQueries {
       FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment ASC
     """))
 
+  /** DELETE-by-expression (Milvus delete parity — see
+    * [[graft.core.Collection.delete]]): load documents, delete the short
+    * French/German rows, read back survivors per language. The oracle
+    * checks the full write → delete-rewrite → read-back path, so a
+    * predicate-inversion or swap bug shows up as wrong surviving rows,
+    * not just a wrong plan. */
+  private val collectionDeleteExpr = Q(
+    "collection_delete_expr",
+    (s, dir) => {
+      val out = s"/tmp/graft_delete_${math.abs(dir.hashCode)}/docs"
+      val coll = Collection(s, out)
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "lang", "n_chars")
+      coll.create(docs.schema, force = true)
+      coll.append(docs)
+      coll.delete(col("lang").isin("fr", "de") && col("n_chars") < 300)
+      coll.read.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang").asc)
+    },
+    Some("""
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+      WHERE NOT (lang IN ('fr', 'de') AND n_chars < 300)
+      GROUP BY lang ORDER BY lang ASC
+    """))
+
   /** Schema evolution: a v2 batch lands with a NEW column; a mergeSchema
     * read surfaces v1 rows with NULL there — no rewrite of old files. */
   private val collectionSchemaEvolution = Q(
@@ -709,5 +738,6 @@ object PipelineQueries {
     ivfIncrementalSearch, multiStrategySearch,
     chapterParse, collectionRoundtrip, ragContextLines, embedIngest,
     keywordTextSearch, chunkTextSearch, questionAnswerPipeline,
-    collectionUpsert, collectionSchemaEvolution, lateInteractionMaxsim)
+    collectionUpsert, collectionSchemaEvolution, collectionDeleteExpr,
+    lateInteractionMaxsim)
 }

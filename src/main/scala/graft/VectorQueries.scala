@@ -315,15 +315,8 @@ object VectorQueries {
             graft.search.Pq.codesDir(indexDir) + "/_SUCCESS").exists())
           graft.search.Pq.load(s, indexDir)
         else graft.search.Pq.build(e, "embedding", "vec_id", indexDir)
-      val oracleDir = "/tmp/graft_pq_oracle"
-      val staging = s"$oracleDir.staging"
-      s.read.parquet(graft.search.Pq.codebooksDir(indexDir))
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/codebooks")
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-        s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(oracleDir), true)
-      fs.rename(new org.apache.hadoop.fs.Path(staging),
-        new org.apache.hadoop.fs.Path(oracleDir))
+      stageOracle(s, "pq", dir)(
+        "codebooks" -> s.read.parquet(graft.search.Pq.codebooksDir(indexDir)))
       val query = e.where(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).toArray
       graft.search.Pq.adcSearch(s, model, e, "embedding", "vec_id", query,
@@ -332,7 +325,7 @@ object VectorQueries {
     Some("""
       WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
       cb AS (SELECT * FROM
-        read_parquet('/tmp/graft_pq_oracle/codebooks/*.parquet')),
+        read_parquet('/tmp/graft_pq_oracle_%ORACLE_KEY%/codebooks/*.parquet')),
       enc AS (SELECT vec_id, sub, code FROM (
           SELECT e.vec_id, cb.sub, cb.code,
                  row_number() OVER (PARTITION BY e.vec_id, cb.sub ORDER BY
@@ -382,20 +375,11 @@ object VectorQueries {
             graft.search.Pq.codesDir(pqDir) + "/_SUCCESS").exists())
           graft.search.Pq.load(s, pqDir)
         else graft.search.Pq.build(e, "embedding", "vec_id", pqDir)
-      val oracleDir = "/tmp/graft_ivfpq_oracle"
-      val staging = s"$oracleDir.staging"
-      s.read.parquet(graft.search.IvfIndex.centroidsDir(ivfDir))
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
-      s.read.parquet(graft.search.IvfIndex.dataDir(ivfDir))
-        .select(col("vec_id"), col("cluster_id"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/assign")
-      s.read.parquet(graft.search.Pq.codebooksDir(pqDir))
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/codebooks")
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-        s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(oracleDir), true)
-      fs.rename(new org.apache.hadoop.fs.Path(staging),
-        new org.apache.hadoop.fs.Path(oracleDir))
+      stageOracle(s, "ivfpq", dir)(
+        "centroids" -> s.read.parquet(graft.search.IvfIndex.centroidsDir(ivfDir)),
+        "assign" -> s.read.parquet(graft.search.IvfIndex.dataDir(ivfDir))
+          .select(col("vec_id"), col("cluster_id")),
+        "codebooks" -> s.read.parquet(graft.search.Pq.codebooksDir(pqDir)))
       val query = e.where(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).toArray
       val clusters = graft.search.IvfIndex.probeClusters(ivf, query, 4)
@@ -427,7 +411,7 @@ object VectorQueries {
     Some("""
       WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
       cent AS (SELECT * FROM
-        read_parquet('/tmp/graft_ivfpq_oracle/centroids/*.parquet')),
+        read_parquet('/tmp/graft_ivfpq_oracle_%ORACLE_KEY%/centroids/*.parquet')),
       probe AS (SELECT cluster_id FROM (
           SELECT cluster_id,
                  row_number() OVER (ORDER BY
@@ -437,10 +421,10 @@ object VectorQueries {
                    cluster_id ASC) AS rn
           FROM cent, q qe) WHERE rn <= 4),
       a AS (SELECT * FROM
-        read_parquet('/tmp/graft_ivfpq_oracle/assign/*.parquet')),
+        read_parquet('/tmp/graft_ivfpq_oracle_%ORACLE_KEY%/assign/*.parquet')),
       sel AS (SELECT a.vec_id FROM a JOIN probe USING (cluster_id)),
       cb AS (SELECT * FROM
-        read_parquet('/tmp/graft_ivfpq_oracle/codebooks/*.parquet')),
+        read_parquet('/tmp/graft_ivfpq_oracle_%ORACLE_KEY%/codebooks/*.parquet')),
       enc AS (SELECT vec_id, sub, code FROM (
           SELECT e.vec_id, cb.sub, cb.code,
                  row_number() OVER (PARTITION BY e.vec_id, cb.sub ORDER BY
@@ -508,7 +492,221 @@ object VectorQueries {
       ORDER BY cosine DESC, s1.vec_id ASC LIMIT 5
     """))
 
+  /** Metadata-filtered vector search — the `expr` parameter of a Milvus
+    * search call (the reference's collection carries scalar fields next
+    * to the vector for exactly this, src/app.py:92-103): PRE-filter
+    * semantics, i.e. the predicate restricts the corpus BEFORE the
+    * distance ranking, so exactly k survivors return and recall over the
+    * filtered set is exact. (POST-filtering a top-k·m overfetch is the
+    * cheaper-but-lossy alternative; pre-filter is what Milvus executes.)
+    *
+    * Scale shape: the label predicate reaches the parquet scan as a
+    * pushed filter — on a corpus partitioned/clustered by the metadata
+    * column a selective predicate prunes IO before any distance math,
+    * and what remains is the usual TakeOrderedAndProject top-k, no
+    * global sort, no shuffle. */
+  private val filteredKnnSearch = Q(
+    "filtered_knn_search",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      Knn.topK(e.where(col("label").isin(2, 5, 7)), "embedding", "vec_id",
+          q, "qe", k = 5)
+        .select("vec_id", "label", "distance")
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id, e.label, %L2% AS distance
+      FROM embeddings e, q
+      WHERE e.label IN (2, 5, 7)
+      ORDER BY distance ASC, e.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
+  /** Range search — Milvus's other search mode (radius + range_filter):
+    * every vector with `range_filter <= distance < radius`, not a fixed
+    * k. The inner bound's standard job is self-match/near-duplicate
+    * exclusion (the query vector itself sits at distance 0 and is
+    * correctly absent here). Unlike top-k there is NO result-size bound,
+    * so the plan is scan + pushable predicate + sort of the (small)
+    * survivor set — at 100 TB the radius does the bounding and the sort
+    * is over the survivors only, never the corpus. */
+  private val knnRangeSearch = Q(
+    "knn_range_search",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.crossJoin(broadcast(q))
+        .withColumn("distance", Knn.distCol(col("embedding"), col("qe")))
+        .where(col("distance") >= 1.0 && col("distance") < 1.6)
+        .select("vec_id", "distance")
+        .orderBy(col("distance").asc, col("vec_id").asc)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      d AS (SELECT e.vec_id, %L2% AS distance FROM embeddings e, q)
+      SELECT vec_id, distance FROM d
+      WHERE distance >= 1.0 AND distance < 1.6
+      ORDER BY distance ASC, vec_id ASC
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
+  /** Partitioned (per-group) vector search: the k nearest within EVERY
+    * metadata group in one pass — Milvus's partition_names search
+    * generalized to all partitions at once (one query per partition would
+    * rescan the corpus |groups| times). One scan computes distances, one
+    * hash-partitioned window takes per-group top-k; at 100 TB the shuffle
+    * moves only candidate rows keyed by group, and a corpus already
+    * bucketed by the group column skips even that. */
+  private val groupedKnnPerLabel = Q(
+    "grouped_knn_per_label",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+      e.crossJoin(broadcast(q))
+        .withColumn("distance", Knn.distCol(col("embedding"), col("qe")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select("label", "vec_id", "distance")
+        .orderBy(col("label").asc, col("distance").asc, col("vec_id").asc)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      d AS (SELECT e.label, e.vec_id, %L2% AS distance FROM embeddings e, q),
+      r AS (SELECT label, vec_id, distance,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY distance, vec_id) AS rn
+            FROM d)
+      SELECT label, vec_id, distance FROM r WHERE rn <= 2
+      ORDER BY label ASC, distance ASC, vec_id ASC
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
+  /** Binary-vector search — Milvus BINARY_VECTOR + HAMMING metric parity:
+    * the corpus's float vectors binarized to sign bits and packed into
+    * two 32-bit words (64× smaller than float32; the slots are exactly
+    * the zero-threshold case of the SRP signs the dedup family uses),
+    * ranked by hamming distance = one codegen `bit_count(XOR)` per word.
+    * At 100 TB the packed form is the point: 8 bytes/vector scan +
+    * 2 XORs replaces 256 bytes + 64 multiplies, and the top-k is still
+    * TakeOrderedAndProject. Packer assumes the fixture's 64-dim layout
+    * (same contract as [[graft.search.Pq]]'s 8×8 subspaces). */
+  private val binaryHammingSearch = Q(
+    "binary_hamming_search",
+    (s, dir) => {
+      import graft.search.BinaryVec
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0)
+        .select(BinaryVec.signWord(col("embedding"), 0).as("qw0"),
+          BinaryVec.signWord(col("embedding"), 1).as("qw1"))
+      val packed = e.select(col("vec_id"),
+        BinaryVec.signWord(col("embedding"), 0).as("w0"),
+        BinaryVec.signWord(col("embedding"), 1).as("w1"))
+      packed.crossJoin(broadcast(q))
+        .withColumn("hamming", BinaryVec.hamming(
+          Seq(col("w0") -> col("qw0"), col("w1") -> col("qw1"))))
+        .select("vec_id", "hamming")
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH b AS (SELECT vec_id,
+                        list_transform(embedding,
+                          x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bits
+                 FROM embeddings),
+      q AS (SELECT bits AS qb FROM b WHERE vec_id = 0)
+      SELECT b.vec_id,
+             CAST(list_sum(list_transform(range(1, len(b.bits)+1),
+               i -> CASE WHEN b.bits[i] != q.qb[i] THEN 1 ELSE 0 END))
+               AS BIGINT) AS hamming
+      FROM b, q
+      ORDER BY hamming ASC, b.vec_id ASC LIMIT 10
+    """))
+
+  /** MMR diversity rerank over a top-20 cosine candidate cut (see
+    * [[graft.search.Mmr]]): 5 picks at λ=0.7. The oracle replays the
+    * sequential argmax exactly — the 5 steps unrolled as chained CTEs,
+    * every relevance/similarity/blend rounded to 4 decimals with id
+    * tie-breaks, so the pick ORDER itself is hash-checked. */
+  private val mmrRerank = Q(
+    "mmr_rerank",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val cand = e.crossJoin(broadcast(q))
+        .withColumn("rel",
+          round(VectorFunctions.cosineSim(col("embedding"), col("qe")), 4))
+        .orderBy(col("rel").desc, col("vec_id").asc)
+        .limit(20)
+        .select(col("vec_id"), col("rel"), col("embedding"))
+      graft.search.Mmr.rerank(cand, "vec_id", "rel", "embedding",
+        k = 5, lambda = 0.7)
+    },
+    Some {
+      def picked(upTo: Int): String =
+        (1 to upTo).map(i => s"SELECT vec_id FROM p$i").mkString(" UNION ")
+      def step(i: Int): String =
+        s"""p$i AS (SELECT c.vec_id, round(0.7*c.rel - 0.3*max(s.s), 4) AS mmr
+           |       FROM rel c JOIN sim s ON s.ia = c.vec_id
+           |       WHERE s.ib IN (${picked(i - 1)})
+           |         AND c.vec_id NOT IN (${picked(i - 1)})
+           |       GROUP BY c.vec_id, c.rel
+           |       ORDER BY mmr DESC, c.vec_id ASC LIMIT 1)""".stripMargin
+      s"""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      rel AS (SELECT e.vec_id, e.embedding,
+                     ${duckCosine("e.embedding", "q.qe")} AS rel
+              FROM embeddings e, q
+              ORDER BY rel DESC, e.vec_id ASC LIMIT 20),
+      sim AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                     ${duckCosine("a.embedding", "b.embedding")} AS s
+              FROM rel a JOIN rel b ON a.vec_id != b.vec_id),
+      p1 AS (SELECT vec_id, round(0.7 * rel, 4) AS mmr FROM rel
+             ORDER BY mmr DESC, vec_id ASC LIMIT 1),
+      ${(2 to 5).map(step).mkString(",\n      ")}
+      SELECT step, CAST(vec_id AS BIGINT) AS vec_id, mmr FROM (
+        ${(1 to 5).map(i =>
+          s"SELECT $i AS step, vec_id, mmr FROM p$i").mkString(
+          " UNION ALL ")})
+      ORDER BY step ASC
+      """
+    })
+
+  /** Corpus diversity: the EXACT mean pairwise cosine over all n·(n−1)
+    * ordered pairs of normalized vectors — computed in ONE linear scan
+    * via the moment identity `Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − n` (each uᵢ unit),
+    * never materializing a pair. The naive form is a self-join (10¹⁶
+    * pairs at 10⁸ rows); this is a per-dimension sum (map-side combined,
+    * `dim` rows shuffle) plus a 64-row reduce — the curation-time
+    * diversity monitor that tells you SemDeDup/near-dup passes are
+    * actually decorrelating the corpus. Zero vectors are excluded (no
+    * direction ⇒ no cosine), count returned for observability. */
+  private val corpusDiversity = Q(
+    "corpus_diversity",
+    (s, dir) =>
+      graft.search.VectorStats.meanPairwiseCosine(
+        Tables.embeddings(s, dir), "embedding"),
+    Some("""
+      WITH nrm AS (SELECT * FROM (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE)^2))) AS nv
+          FROM embeddings) WHERE nv > 0),
+      u AS (SELECT unnest(range(1, len(embedding)+1)) AS pos,
+                   unnest(embedding) AS v, nv
+            FROM nrm),
+      sums AS (SELECT pos, sum(CAST(v AS DOUBLE) / nv) AS sd
+               FROM u GROUP BY pos),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nrm)
+      SELECT nn.n AS n,
+             round((sum(sd*sd) - nn.n) / (nn.n * (nn.n - 1)) + 1e-12, 4)
+               AS mean_pairwise_cosine
+      FROM sums, nn GROUP BY nn.n
+    """))
+
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery, mrlTruncatedSearch,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
-    sq8RerankSearch, embeddingProfile, pqAdcSearch, ivfPqSearch)
+    sq8RerankSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
+    filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
+    binaryHammingSearch, mmrRerank, corpusDiversity)
 }

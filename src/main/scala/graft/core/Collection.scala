@@ -117,6 +117,18 @@ final class Collection(spark: SparkSession, val dir: String) {
     swapRewrite(merged)
   }
 
+  /** Delete-by-expression — Milvus `delete(expr)` parity, the remaining
+    * member of the reference's collection surface (create/insert/
+    * describe/drop at src/app.py:81-118; Milvus exposes delete on the
+    * same client). Matching rows are removed via the same crash-safe
+    * tmp-dir swap as [[compact]]. At warehouse scale a format with
+    * file-level metadata (Delta/Iceberg) scopes the rewrite to files
+    * containing matches; a plain parquet dir rewrites whole — the
+    * SEMANTICS (oracle-checked) are identical, and rows where the
+    * predicate is NULL are kept, matching SQL `DELETE WHERE`. */
+  def delete(predicate: org.apache.spark.sql.Column): Unit =
+    swapRewrite(read.where(!coalesce(predicate, lit(false))))
+
   /** Maintenance: remove leftover swap artifacts — `__compact_tmp` from
     * an interrupted rewrite, `__compact_old` from a crash between the
     * swap and its cleanup (see [[compact]]'s recovery argument; once the

@@ -1,0 +1,35 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Binary-vector representation and hamming ranking — Milvus
+  * BINARY_VECTOR + HAMMING metric parity (the reference's Milvus client
+  * exposes binary collections alongside the FLOAT_VECTOR one it creates
+  * at src/app.py:92-103).
+  *
+  * Float vectors binarize to their sign bits (the zero-threshold case of
+  * the SRP hyperplane signs in [[graft.dedup.Dedup]]), packed 32 bits
+  * per Long word via the same big-endian Horner fold as the packed
+  * simhash carrier — a 32-slot fold cannot overflow a signed Long, and
+  * per-word equality ⇔ slotwise equality. Hamming distance is then one
+  * codegen `bit_count(XOR)` per word.
+  *
+  * Why it matters at 100 TB: 64 dims of float32 (256 bytes) become two
+  * Longs (16 bytes); a hamming scan reads 16× fewer bytes and does 2
+  * XOR+popcounts instead of 64 multiply-adds per row, and the top-k is
+  * still TakeOrderedAndProject — no shuffle, no index build. */
+object BinaryVec {
+  /** Word `wi` (32 sign bits) of `vec`'s binary signature. Slots past
+    * the vector's length contribute 0 (absent ⇒ bit 0). */
+  def signWord(vec: Column, wi: Int): Column =
+    aggregate(slice(vec, wi * 32 + 1, 32), lit(0L),
+      (acc, v) => acc * 2 + when(v >= 0, 1L).otherwise(0L))
+
+  /** Hamming distance between two packed signatures of `nWords` words
+    * (column-name pairs, e.g. `("w0","qw0") :: ("w1","qw1")`). */
+  def hamming(pairs: Seq[(Column, Column)]): Column =
+    pairs.map { case (a, b) =>
+      call_function("bit_count", a.bitwiseXOR(b)).cast("long")
+    }.reduce(_ + _)
+}

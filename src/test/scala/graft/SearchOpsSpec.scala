@@ -1,0 +1,117 @@
+package graft
+
+import graft.core.Collection
+import graft.search.{BinaryVec, Mmr, VectorStats}
+import org.apache.spark.sql.functions._
+
+/** Specs for the Milvus-parity search surface added in round 5:
+  * MMR rerank, binary hamming, corpus diversity, delete-by-expr. */
+class SearchOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mmr: diverse pick beats redundant higher-relevance pick") {
+    // a: top relevance, picked first. b: slightly less relevant but
+    // nearly COLLINEAR with a (sim≈0.998 — redundancy costs it ~0.3).
+    // c: less relevant but diverse from a (sim≈0.57). Pure relevance
+    // order a, b, c; MMR at λ=0.7 must flip to a, c, b. (Note rel and
+    // redundancy must decouple: if the query vector equaled a, every
+    // candidate's sim-to-a would EQUAL its rel and MMR could never
+    // reorder — so rel here is against a query off a's direction.)
+    val cand = Seq(
+      (1L, 0.95, Array(0.95f, 0.312f, 0f)),
+      (2L, 0.93, Array(0.93f, 0.368f, 0f)),
+      (3L, 0.8, Array(0.8f, -0.6f, 0f))
+    ).toDF("id", "rel", "vec")
+    val picks = Mmr.rerank(cand, "id", "rel", "vec", k = 3)
+      .select("step", "id").as[(Int, Long)].collect().toSeq
+    assert(picks == Seq((1, 1L), (2, 3L), (3, 2L)))
+  }
+
+  test("mmr: stops at candidate count, ties break to lowest id") {
+    val cand = Seq(
+      (7L, 0.5, Array(1f, 0f)),
+      (3L, 0.5, Array(-1f, 0f))   // same rel, opposite direction
+    ).toDF("id", "rel", "vec")
+    val picks = Mmr.rerank(cand, "id", "rel", "vec", k = 5)
+      .select("step", "id", "mmr").as[(Int, Long, Double)].collect().toSeq
+    // step 1: tie on mmr=0.35 → lowest id (3); step 2: only 7 remains,
+    // redundancy = cos(opposite) = -1 → mmr = 0.35 + 0.3 = 0.65
+    assert(picks == Seq((1, 3L, 0.35), (2, 7L, 0.65)))
+  }
+
+  test("mmr: refuses an unbounded candidate set") {
+    val big = spark.range(5000)
+      .select(col("id"), lit(0.5).as("rel"),
+        array(lit(1f), lit(0f)).as("vec"))
+    val e = intercept[IllegalArgumentException] {
+      Mmr.rerank(big, "id", "rel", "vec", k = 3)
+    }
+    assert(e.getMessage.contains("bounded top-m"))
+  }
+
+  test("binary hamming: packed words equal slotwise sign mismatches") {
+    // 64-dim: all-positive vs all-negative = 64; half flip = 32;
+    // single-dim flip = 1 (and it lands in the right word)
+    val allPos = Array.fill(64)(1f)
+    val allNeg = Array.fill(64)(-1f)
+    val halfFlip = Array.tabulate(64)(i => if (i < 32) 1f else -1f)
+    val oneFlip = Array.tabulate(64)(i => if (i == 40) -1f else 1f)
+    val df = Seq((0L, allPos), (1L, allNeg), (2L, halfFlip), (3L, oneFlip))
+      .toDF("id", "vec")
+      .select(col("id"),
+        BinaryVec.signWord(col("vec"), 0).as("w0"),
+        BinaryVec.signWord(col("vec"), 1).as("w1"))
+    val q = df.where(col("id") === 0)
+      .select(col("w0").as("qw0"), col("w1").as("qw1"))
+    val h = df.crossJoin(q)
+      .withColumn("h", BinaryVec.hamming(
+        Seq(col("w0") -> col("qw0"), col("w1") -> col("qw1"))))
+      .select("id", "h").as[(Long, Long)].collect().toMap
+    assert(h == Map(0L -> 0L, 1L -> 64L, 2L -> 32L, 3L -> 1L))
+  }
+
+  test("corpus diversity: moment identity equals naive pairwise mean") {
+    val vecs = Seq(
+      Array(1f, 0f, 0f), Array(0.6f, 0.8f, 0f), Array(0f, 0f, 2f),
+      Array(-1f, 1f, 0.5f), Array(0.2f, -0.3f, 0.9f))
+    val naive = {
+      def cos(a: Array[Float], b: Array[Float]) = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+        dot / (na * nb)
+      }
+      val ps = for {
+        i <- vecs.indices; j <- vecs.indices if i != j
+      } yield cos(vecs(i), vecs(j))
+      ps.sum / ps.size
+    }
+    val got = VectorStats.meanPairwiseCosine(
+        vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("id", "vec"), "vec", roundTo = 6)
+      .select("mean_pairwise_cosine").as[Double].head()
+    assert(math.abs(got - naive) < 1e-5)
+  }
+
+  test("corpus diversity: zero vectors are excluded from n and the mean") {
+    val df = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 0f)), (2L, Array(1f, 0f)))
+      .toDF("id", "vec")
+    val r = VectorStats.meanPairwiseCosine(df, "vec")
+      .as[(Long, Double)].head()
+    assert(r == ((2L, 1.0)))   // the two unit-x vectors; zero vec dropped
+  }
+
+  test("collection delete: predicate rows removed, NULL-predicate rows kept") {
+    val dir = "/tmp/graft_test_delete/coll"
+    val coll = Collection(spark, dir)
+    val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
+      .toDF("id", "tag")
+    coll.create(df.schema, force = true)
+    coll.append(df)
+    coll.delete(col("tag") === "a")   // NULL tag ⇒ predicate NULL ⇒ keep
+    val left = coll.read.select("id").as[Long].collect().toSet
+    assert(left == Set(2L, 3L))
+    coll.drop()
+  }
+}
