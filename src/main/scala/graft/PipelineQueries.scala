@@ -106,6 +106,66 @@ object PipelineQueries {
       ORDER BY distance ASC, e.vec_id ASC LIMIT 5
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** Filtered ANN at the index level — the Milvus search(expr=...) form
+    * that COMPOSES with the IVF probe (filtered_knn_search pins the
+    * flat-scan form): the centroid ranking prunes to nprobe=4 cluster
+    * partitions AND the metadata predicate pushes into the surviving
+    * partitions' parquet scan, so IO is cut multiplicatively —
+    * nprobe/nlist of the corpus × the label selectivity — before any
+    * distance math. Pre-filter semantics within the probed clusters:
+    * exactly k survivors of the predicate return (recall vs the
+    * UNfiltered probe is the usual IVF nprobe tradeoff, unchanged by
+    * the filter). The oracle replays centroid ranking, the cluster
+    * restriction, the label predicate, and the top-k. */
+  private val ivfFilteredSearch = Q(
+    "ivf_filtered_search",
+    (s, dir) => {
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      stageOracle(s, "ivf_filtered", dir)(
+        "centroids" -> s.read.parquet(IvfIndex.centroidsDir(indexDir)),
+        "assign" -> s.read.parquet(IvfIndex.dataDir(indexDir))
+          .select(col("vec_id"), col("cluster_id")))
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val clusters = IvfIndex.probeClusters(model, query, nprobe = 4)
+      s.read.parquet(IvfIndex.dataDir(indexDir))
+        .where(col("cluster_id").isin(clusters: _*)
+          && col("label").isin(1, 3, 5, 8))
+        .withColumn("distance",
+          round(VectorFunctions.l2Sq(col("embedding"), typedlit(query.toSeq)), 4))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+        .limit(5)
+        .select("vec_id", "label", "distance")
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      cent AS (SELECT * FROM
+        read_parquet('/tmp/graft_ivf_filtered_oracle_%ORACLE_KEY%/centroids/*.parquet')),
+      ranked AS (SELECT cluster_id,
+                   row_number() OVER (ORDER BY
+                     list_sum(list_transform(range(1, len(centroid)+1),
+                       i -> (CAST(centroid[i] AS DOUBLE)
+                             - CAST(qe[i] AS DOUBLE))^2)) ASC,
+                     cluster_id ASC) AS rn
+                 FROM cent, q),
+      probe AS (SELECT cluster_id FROM ranked WHERE rn <= 4),
+      a AS (SELECT * FROM
+        read_parquet('/tmp/graft_ivf_filtered_oracle_%ORACLE_KEY%/assign/*.parquet')),
+      sel AS (SELECT e.vec_id, e.label, e.embedding
+              FROM embeddings e
+              JOIN a ON a.vec_id = e.vec_id
+              JOIN probe p ON p.cluster_id = a.cluster_id
+              WHERE e.label IN (1, 3, 5, 8))
+      SELECT e.vec_id, e.label, %L2% AS distance
+      FROM sel e, q
+      ORDER BY distance ASC, e.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   /** The §4.3 stretch rule end-to-end: a NAIVE orderBy(l2)+limit over the
     * IVF data dir, with the index registered at nprobe=nlist — the
     * optimizer injects the probe filter, and the result must still equal
@@ -733,7 +793,8 @@ object PipelineQueries {
       ORDER BY maxsim DESC, doc_id ASC LIMIT 5
     """))
 
-  val all: Seq[Q] = Seq(ivfSearch, ivfPartialProbe, ivfAutoRewrite,
+  val all: Seq[Q] = Seq(ivfSearch, ivfPartialProbe, ivfFilteredSearch,
+    ivfAutoRewrite,
     ivfAutoRewriteSql,
     ivfIncrementalSearch, multiStrategySearch,
     chapterParse, collectionRoundtrip, ragContextLines, embedIngest,

@@ -704,9 +704,152 @@ object VectorQueries {
       FROM sums, nn GROUP BY nn.n
     """))
 
+  /** Sparse-vector dot-product search (see [[graft.search.SparseVec]]):
+    * corpus sparsified to top-8 positive dims, query likewise, scored by
+    * the posting-list join + weighted-sum aggregate. The oracle replays
+    * sparsification (round-then-rank with dim tie-breaks), the dim join,
+    * and the score aggregate. */
+  private val sparseVectorSearch = Q(
+    "sparse_vector_search",
+    (s, dir) => {
+      import graft.search.SparseVec
+      val e = Tables.embeddings(s, dir)
+      val post = SparseVec.postings(e, "vec_id", "embedding", topN = 8)
+      val qp = SparseVec.postings(
+        e.where(col("vec_id") === 0), "vec_id", "embedding", topN = 8)
+      SparseVec.search(post, qp, "vec_id", k = 10)
+    },
+    Some("""
+      WITH pr AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS dim,
+                         unnest(embedding) AS v
+                  FROM embeddings),
+      pw AS (SELECT vec_id, dim, round(CAST(v AS DOUBLE), 4) AS w FROM pr),
+      top AS (SELECT vec_id, dim, w FROM (
+          SELECT vec_id, dim, w,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY w DESC, dim ASC) AS rn
+          FROM pw WHERE w > 0) WHERE rn <= 8),
+      q AS (SELECT dim, w AS qw FROM top WHERE vec_id = 0),
+      sc AS (SELECT t.vec_id, round(sum(t.w * q.qw), 4) AS score
+             FROM top t JOIN q USING (dim) GROUP BY t.vec_id)
+      SELECT vec_id, score FROM sc
+      ORDER BY score DESC, vec_id ASC LIMIT 10
+    """))
+
+  /** Weighted-score hybrid fusion — the OTHER Milvus hybrid_search
+    * ranker (WeightedRanker; `hybrid_search_rrf` covers the RRFRanker):
+    * each leg's top-20 scores are min-max normalized into [0,1] (the
+    * kNN leg inverted, nearer ⇒ higher), then blended 0.6·lexical +
+    * 0.4·dense. Rank fusion ignores score GAPS; weighted fusion keeps
+    * them — the tradeoff is the point of having both. Same bounded
+    * shape as RRF: per-leg top-k cuts, 1-row stats broadcasts, a 20-row
+    * full-outer join — nothing corpus-sized past the two scans. */
+  private val hybridSearchWeighted = Q(
+    "hybrid_search_weighted",
+    (s, dir) => {
+      import graft.search.Bm25
+      val docs = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val bmTop = Bm25.score(docs, "doc_id", "text",
+          terms = Seq("scan", "filter", "merge"))
+        .orderBy(col("bm25").desc, col("id").asc).limit(20)
+      val bmNorm = bmTop.crossJoin(broadcast(
+          bmTop.agg(min("bm25").as("bmin"), max("bm25").as("bmax"))))
+        .select(col("id"), when(col("bmax") === col("bmin"), lit(1.0))
+          .otherwise(round((col("bm25") - col("bmin"))
+            / (col("bmax") - col("bmin")), 4)).as("nb"))
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val kdTop = e.crossJoin(broadcast(q))
+        .select(col("vec_id").as("id"),
+          round(VectorFunctions.l2Sq(col("embedding"), col("qe")), 4).as("d"))
+        .orderBy(col("d").asc, col("id").asc).limit(20)
+      val kdNorm = kdTop.crossJoin(broadcast(
+          kdTop.agg(min("d").as("dmin"), max("d").as("dmax"))))
+        .select(col("id"), when(col("dmax") === col("dmin"), lit(1.0))
+          .otherwise(round((col("dmax") - col("d"))
+            / (col("dmax") - col("dmin")), 4)).as("nk"))
+      bmNorm.join(kdNorm, Seq("id"), "full_outer")
+        .select(col("id").as("doc_id"),
+          round(lit(0.6) * coalesce(col("nb"), lit(0.0))
+            + lit(0.4) * coalesce(col("nk"), lit(0.0)), 4).as("weighted"),
+          col("nb"), col("nk"))
+        .orderBy(col("weighted").desc, col("doc_id").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                           unnest(string_split_regex(text, '\s+')) AS term
+                    FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST((SELECT sum(len(string_split_regex(text, '\s+')))
+                             FROM documents) AS DOUBLE) / count(*) AS avgdl
+                FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ('scan', 'filter', 'merge') GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dl AS (SELECT doc_id,
+                    CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS dl
+             FROM documents),
+      bm AS (SELECT tf.doc_id,
+                    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2)
+                      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))), 4) AS bm25
+             FROM tf JOIN dfq USING (term)
+                     JOIN dl ON dl.doc_id = tf.doc_id
+                     CROSS JOIN stats
+             GROUP BY tf.doc_id),
+      bmtop AS (SELECT * FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+      bmn AS (SELECT doc_id,
+                CASE WHEN mx = mn THEN 1.0
+                     ELSE round((bm25 - mn) / (mx - mn), 4) END AS nb
+              FROM bmtop CROSS JOIN
+                (SELECT min(bm25) AS mn, max(bm25) AS mx FROM bmtop) st),
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      kd AS (SELECT e.vec_id AS doc_id, %L2% AS d FROM embeddings e, q),
+      kdtop AS (SELECT * FROM kd ORDER BY d ASC, doc_id ASC LIMIT 20),
+      kdn AS (SELECT doc_id,
+                CASE WHEN mx = mn THEN 1.0
+                     ELSE round((mx - d) / (mx - mn), 4) END AS nk
+              FROM kdtop CROSS JOIN
+                (SELECT min(d) AS mn, max(d) AS mx FROM kdtop) st)
+      SELECT coalesce(bmn.doc_id, kdn.doc_id) AS doc_id,
+             round(0.6 * coalesce(nb, 0) + 0.4 * coalesce(nk, 0), 4)
+               AS weighted,
+             nb, nk
+      FROM bmn FULL OUTER JOIN kdn ON bmn.doc_id = kdn.doc_id
+      ORDER BY weighted DESC, doc_id ASC LIMIT 10
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
+  /** Search pagination — Milvus search_iterator / offset+limit parity:
+    * page 2 (rows 6-10) of the exact ranking. OFFSET composes with the
+    * top-k machinery (Spark folds limit+offset into one bounded
+    * TakeOrderedAndProject of offset+limit rows — still per-partition
+    * heaps, never a global sort), which is why deep pagination is
+    * costed by OFFSET+LIMIT, not by result size — the plan materializes
+    * `offset+limit` rows however deep the page. */
+  private val searchPagination = Q(
+    "search_pagination",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.crossJoin(broadcast(q))
+        .withColumn("distance", Knn.distCol(col("embedding"), col("qe")))
+        .select("vec_id", "distance")
+        .orderBy(col("distance").asc, col("vec_id").asc)
+        .offset(5)
+        .limit(5)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id, %L2% AS distance
+      FROM embeddings e, q
+      ORDER BY distance ASC, e.vec_id ASC LIMIT 5 OFFSET 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery, mrlTruncatedSearch,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     sq8RerankSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
-    binaryHammingSearch, mmrRerank, corpusDiversity)
+    binaryHammingSearch, mmrRerank, corpusDiversity,
+    sparseVectorSearch, hybridSearchWeighted, searchPagination)
 }

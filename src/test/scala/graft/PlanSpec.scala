@@ -152,4 +152,59 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       "per-doc top-k must never fall back to all-pairs")
   }
+
+  test("filtered kNN: label predicate reaches the parquet scan") {
+    // Pre-filter search is only cheap if the metadata predicate prunes
+    // IO BEFORE the distance math — pin the pushdown, and that the
+    // top-k stays TakeOrderedAndProject over the survivors.
+    val pushed = Queries.all("filtered_knn_search")(spark, dir)
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metadata.getOrElse("PushedFilters", "")
+      }.mkString
+    assert(pushed.contains("In(label"),
+      s"label filter not pushed to scan: $pushed")
+    assert(plan("filtered_knn_search").contains("TakeOrderedAndProject"))
+  }
+
+  test("binary hamming search: packed top-k, no global sort") {
+    val p = plan("binary_hamming_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"hamming top-k must be per-partition heaps:\n$p")
+    assert(p.contains("bit_count"), "ranking must use the packed XOR form")
+  }
+
+  test("grouped per-label search: one window shuffle, no cartesian") {
+    val p = plan("grouped_knn_per_label")
+    assert(p.contains("Window"), "per-group top-k must be a window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ivf filtered search: partition pruning AND label pushdown compose") {
+    // The multiplicative-IO claim: cluster_id prunes partitions while
+    // the metadata predicate pushes into the surviving files' scan.
+    val scans = Queries.all("ivf_filtered_search")(spark, dir)
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          (s.metadata.getOrElse("PartitionFilters", ""),
+            s.metadata.getOrElse("PushedFilters", ""))
+      }
+    assert(scans.exists { case (part, pushed) =>
+      part.contains("cluster_id") && pushed.contains("In(label")
+    }, s"probe+filter did not both reach the scan: $scans")
+  }
+
+  test("sparse search: posting join is never a cartesian, agg then top-k") {
+    val p = plan("sparse_vector_search")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"sparse top-k must stay bounded:\n$p")
+  }
+
+  test("search pagination: offset folds into the top-k, not a global sort") {
+    val p = plan("search_pagination")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"offset+limit must stay a bounded top-(offset+limit):\n$p")
+    assert(!p.contains("Sort ["), "no global sort for a paged search")
+  }
 }

@@ -102,6 +102,33 @@ class SearchOpsSpec extends SparkSpec {
     assert(r == ((2L, 1.0)))   // the two unit-x vectors; zero vec dropped
   }
 
+  test("sparse vectors: top-N positive dims, rounded, dim tie-break") {
+    import graft.search.SparseVec
+    val df = Seq((1L, Array(0.5f, -0.2f, 0.30004f, 0.3f, 0.0f, 0.9f)))
+      .toDF("id", "vec")
+    val pairs = df.select(SparseVec.sparsify(col("vec"), topN = 3).as("p"))
+      .selectExpr("transform(p, x -> struct(x.dim, x.w)) AS p")
+      .as[Seq[(Int, Double)]].head()
+    // 0.30004 rounds to 0.3 — tied with dim 4; lower dim (3) wins the
+    // tie; negative and zero dims never appear; topN=3 cuts dim 4
+    assert(pairs == Seq((6, 0.9), (1, 0.5), (3, 0.3)))
+  }
+
+  test("sparse search: dot product over shared dims only") {
+    import graft.search.SparseVec
+    val corpus = Seq(
+      (1L, Array(1.0f, 0f, 2.0f, 0f)),   // shares dims 1,3 with query
+      (2L, Array(0f, 5.0f, 0f, 0f)),     // no shared dim → absent
+      (3L, Array(0.5f, 0f, 0f, 1.0f))    // shares dim 1 only
+    ).toDF("id", "vec")
+    val query = Seq((0L, Array(3.0f, 0f, 1.0f, 0f))).toDF("id", "vec")
+    val got = SparseVec.search(
+        SparseVec.postings(corpus, "id", "vec", 4),
+        SparseVec.postings(query, "id", "vec", 4), "id", k = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 5.0, 3L -> 1.5))   // 1·3+2·1; 0.5·3
+  }
+
   test("collection delete: predicate rows removed, NULL-predicate rows kept") {
     val dir = "/tmp/graft_test_delete/coll"
     val coll = Collection(spark, dir)
