@@ -440,15 +440,9 @@ object StreamingQueries {
         if (new java.io.File(graft.search.IvfIndex.centroidsDir(indexDir)).exists())
           graft.search.IvfIndex.load(s, indexDir)
         else graft.search.IvfIndex.build(e, "embedding", indexDir, nlist = 16)
-      val oracleDir = "/tmp/graft_knn_tag_oracle"
-      val staging = s"$oracleDir.staging"
-      s.read.parquet(graft.search.IvfIndex.centroidsDir(indexDir))
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-        s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(oracleDir), true)
-      fs.rename(new org.apache.hadoop.fs.Path(staging),
-        new org.apache.hadoop.fs.Path(oracleDir))
+      QueryDsl.stageOracle(s, "knn_tag", dir)(
+        "centroids" -> s.read.parquet(
+          graft.search.IvfIndex.centroidsDir(indexDir)))
       val centArr = array(model.centroids.map { case (i, c) =>
         struct(
           graft.functions.VectorFunctions.l2Sq(col("embedding"),
@@ -469,7 +463,7 @@ object StreamingQueries {
     },
     Some(s"""
       WITH cent AS (SELECT * FROM
-        read_parquet('/tmp/graft_knn_tag_oracle/centroids/*.parquet')),
+        read_parquet('/tmp/graft_knn_tag_oracle_%ORACLE_KEY%/centroids/*.parquet')),
       d AS (SELECT e.vec_id, c.cluster_id,
                    list_sum(list_transform(range(1, len(c.centroid)+1),
                      i -> (CAST(c.centroid[i] AS DOUBLE)
@@ -483,6 +477,58 @@ object StreamingQueries {
              round(dd, 4) AS distance
       FROM r WHERE rn = 1 ORDER BY vec_id ASC
     """))
+
+  /** Continuous vector search — a STREAM of query vectors searched
+    * against the static corpus as they arrive (the serving half of a
+    * vector store under continuous query load; the reference answers one
+    * query per Gradio call at src/app.py:240-274 — this is that same
+    * search as an unbounded flow). Per-query top-k needs a bounded
+    * ranking no streaming window provides, so each micro-batch runs the
+    * BATCH kNN join ([[graft.search.Knn.knnJoinLarge]]: per-partition
+    * heaps, only queries×k candidates shuffle) via foreachBatch and
+    * appends hits to a results table — exactly-once per batch via the
+    * checkpoint, and per-query results are independent, so ANY
+    * micro-batch split of the query stream yields the identical result
+    * set (which is what lets the batch oracle hash-check a stream).
+    * At 100 TB the corpus side would be the IVF layout and the batch
+    * search probe-pruned; the orchestration is unchanged. */
+  private val streamingVectorSearch = Q(
+    "streaming_vector_search",
+    (s, dir) => {
+      import graft.search.Knn
+      val outDir = s"/tmp/graft_stream_search_${math.abs(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      val corpus = Tables.embeddings(s, dir)
+      val src = s.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val q = src.writeStream
+        .option("checkpointLocation", s"$outDir/_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Knn.knnJoinLarge(corpus, "embedding", "vec_id",
+              batch, "qid", "qe", k = 3)
+            .write.mode("append").parquet(s"$outDir/hits")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$outDir/hits")
+        .orderBy(col("qid").asc, col("distance").asc, col("vec_id").asc)
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                 FROM embeddings WHERE vec_id < 5),
+      d AS (SELECT q.qid, e.vec_id, %L2% AS distance FROM embeddings e, q),
+      r AS (SELECT qid, vec_id, distance,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY distance, vec_id) AS rn
+            FROM d)
+      SELECT qid, vec_id, distance FROM r WHERE rn <= 3
+      ORDER BY qid ASC, distance ASC, vec_id ASC
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
   /** Real-time heavy hitters: the count-min counter matrix maintained as
     * STREAMING aggregation state (complete mode — the matrix IS the
@@ -549,5 +595,5 @@ object StreamingQueries {
     multimodalMeta,
     multimodalFeatures, imagePhashNeardup, frameHashDedup,
     streamingIntervalJoin, streamingSessionize, streamingKnnTag,
-    streamingHeavyTokens)
+    streamingHeavyTokens, streamingVectorSearch)
 }

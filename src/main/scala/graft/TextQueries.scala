@@ -128,6 +128,32 @@ object TextQueries {
       FROM documents ORDER BY doc_id ASC
     """))
 
+  /** Model-based quality scoring (see [[graft.text.LinearClassifier]]):
+    * fastText-shape linear inference over md5-hashed bag-of-words —
+    * the CCNet/DCLM learned-filter twin of the heuristic
+    * `quality_score`. The oracle replays tokenize → bucket → weight →
+    * mean → sigmoid with the identical md5-nibble arithmetic. */
+  private val classifierQualityScore = Q(
+    "classifier_quality_score",
+    (s, dir) =>
+      graft.text.LinearClassifier.score(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id").asc),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        unnest(string_split_regex(lower(text), '\s+')) AS tok
+                 FROM documents),
+      m AS (SELECT doc_id, md5(tok) AS m FROM t WHERE tok != ''),
+      b AS (SELECT doc_id, CAST(%BUCKET% % 64 AS BIGINT) AS bucket FROM m),
+      w AS (SELECT doc_id, avg((bucket % 7 - 3) / 10.0) AS s
+            FROM b GROUP BY doc_id)
+      SELECT d.doc_id,
+             round(1.0 / (1.0 + exp(-coalesce(w.s, 0.0))) + 1e-12, 4)
+               AS quality_prob
+      FROM documents d LEFT JOIN w USING (doc_id)
+      ORDER BY d.doc_id ASC
+    """.replace("%BUCKET%", DuckOracle.md5Bucket32)))
+
   /** Composite quality score. */
   private val qualityScore = Q(
     "quality_score",
@@ -602,7 +628,8 @@ object TextQueries {
     """))
 
   val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
-    tokenStats, tokenCounts, qualityScore, langId, docFingerprint,
+    tokenStats, tokenCounts, qualityScore, classifierQualityScore,
+    langId, docFingerprint,
     vocabTopK, tfidfTopTerms, repetitionFilter, unigramLogprob, cdcChunks,
     cdcBoilerplate, bpeLearnMerges, bpeEncode, sketchHeavyTokens,
     sketchTokenQuantiles)

@@ -129,6 +129,51 @@ class SearchOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 5.0, 3L -> 1.5))   // 1·3+2·1; 0.5·3
   }
 
+  test("linear classifier: codegen bucket equals HashingEmbedder's JVM bucket") {
+    import graft.text.LinearClassifier
+    // the classifier's conv(md5-hex) bucket must agree with the
+    // byte-arithmetic bucket the embedder uses, token for token
+    val toks = Seq("hello", "world", "数据库", "a", "Spark2026")
+    val jvm = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      toks.map { t =>
+        val d = md.digest(t.getBytes("UTF-8"))
+        ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % 64).toInt
+      }
+    }
+    val got = toks.toDF("tok")
+      .select(LinearClassifier.bucketCol(col("tok"), 64).cast("int"))
+      .as[Int].collect().toSeq
+    assert(got == jvm)
+  }
+
+  test("linear classifier: tokenless doc scores sigmoid(0) = 0.5") {
+    import graft.text.LinearClassifier
+    // NB "hello world" would also score 0.5 — the two buckets' weights
+    // (−0.3, +0.3) cancel exactly; use a single token for the contrast
+    val df = Seq((1L, "   "), (2L, "hello")).toDF("id", "text")
+    val r = LinearClassifier.score(df, "id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) == 0.5)
+    assert(r(2L) == 0.4256)   // sigmoid(-0.3) rounded
+  }
+
+  test("streaming vector search equals the batch kNN join (duality)") {
+    import graft.search.Knn
+    val streamed = Queries.all("streaming_vector_search")(spark, sf0001)
+      .select("qid", "vec_id", "distance")
+      .as[(Long, Long, Double)].collect().toSeq
+    val e = core.Tables.embeddings(spark, sf0001)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val batch = Knn.knnJoinLarge(e, "embedding", "vec_id", q, "qid", "qe", 3)
+      .orderBy(col("qid").asc, col("distance").asc, col("vec_id").asc)
+      .select("qid", "vec_id", "distance")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("collection delete: predicate rows removed, NULL-predicate rows kept") {
     val dir = "/tmp/graft_test_delete/coll"
     val coll = Collection(spark, dir)
