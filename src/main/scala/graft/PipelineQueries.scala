@@ -166,6 +166,53 @@ object PipelineQueries {
       ORDER BY distance ASC, e.vec_id ASC LIMIT 5
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** IVF index health report — list-size balance. Probe cost at fixed
+    * nprobe is governed by the LARGEST probed lists: a skewed coarse
+    * quantizer (hot centroids) makes tail queries scan far more than
+    * n·nprobe/nlist rows, the vector-index analog of the join-key skew
+    * `skew_report` diagnoses. One aggregate over the assignment column:
+    * non-empty list count (vs nlist — empty lists waste probe budget),
+    * min/max list sizes, and the max/ideal imbalance factor that says
+    * when to re-fit the quantizer. The oracle replays the aggregation
+    * from the staged assignment map. */
+  private val ivfBalanceReport = Q(
+    "ivf_balance_report",
+    (s, dir) => {
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      stageOracle(s, "ivf_balance", dir)(
+        "assign" -> s.read.parquet(IvfIndex.dataDir(indexDir))
+          .select(col("vec_id"), col("cluster_id")))
+      val sizes = s.read.parquet(IvfIndex.dataDir(indexDir))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("sz"))
+      sizes.agg(
+        lit(model.nlist).cast("long").as("nlist"),
+        count(lit(1)).as("nonempty_lists"),
+        sum(col("sz")).as("n_vectors"),
+        min(col("sz")).as("min_list"),
+        max(col("sz")).as("max_list"),
+        round(max(col("sz")) * lit(model.nlist.toDouble)
+          / sum(col("sz")) + lit(1e-12), 4).as("imbalance"))
+    },
+    Some("""
+      WITH a AS (SELECT * FROM
+        read_parquet('/tmp/graft_ivf_balance_oracle_%ORACLE_KEY%/assign/*.parquet')),
+      sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+             FROM a GROUP BY cluster_id)
+      SELECT CAST(16 AS BIGINT) AS nlist,
+             CAST(count(*) AS BIGINT) AS nonempty_lists,
+             CAST(sum(sz) AS BIGINT) AS n_vectors,
+             CAST(min(sz) AS BIGINT) AS min_list,
+             CAST(max(sz) AS BIGINT) AS max_list,
+             round(max(sz) * 16.0 / sum(sz) + 1e-12, 4) AS imbalance
+      FROM sz
+    """))
+
   /** The §4.3 stretch rule end-to-end: a NAIVE orderBy(l2)+limit over the
     * IVF data dir, with the index registered at nprobe=nlist — the
     * optimizer injects the probe filter, and the result must still equal
@@ -794,7 +841,7 @@ object PipelineQueries {
     """))
 
   val all: Seq[Q] = Seq(ivfSearch, ivfPartialProbe, ivfFilteredSearch,
-    ivfAutoRewrite,
+    ivfBalanceReport, ivfAutoRewrite,
     ivfAutoRewriteSql,
     ivfIncrementalSearch, multiStrategySearch,
     chapterParse, collectionRoundtrip, ragContextLines, embedIngest,

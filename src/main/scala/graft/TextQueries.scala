@@ -154,6 +154,43 @@ object TextQueries {
       ORDER BY d.doc_id ASC
     """.replace("%BUCKET%", DuckOracle.md5Bucket32)))
 
+  /** Character-level Shannon entropy per document — the degenerate-text
+    * signal the n-gram `repetition_filter` doesn't see (a doc of one
+    * repeated CHARACTER has few repeated n-grams of its single token but
+    * near-zero entropy; machine-generated filler and encoding garbage
+    * sit at the distribution's tails). H = log₂n − (Σ c·log₂c)/n from
+    * ONE explode + per-(doc,char) counts + a per-doc aggregate —
+    * map-side combined, no joins, the same one-scan shape as the other
+    * per-doc signals, so it rides along a 100 TB curation pass free. */
+  private val charEntropy = Q(
+    "char_entropy",
+    (s, dir) => {
+      val chars = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .where(length(col("ch")) > 0)
+        .groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      chars.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"),
+          sum(col("c") * log2(col("c"))).as("clc"))
+        .select(col("doc_id"),
+          col("n").cast("long").as("n_chars"),
+          round(log2(col("n")) - col("clc") / col("n") + lit(1e-12), 4)
+            .as("entropy_bits"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some("""
+      WITH ch AS (SELECT doc_id,
+                         unnest(string_split_regex(text, '')) AS ch
+                  FROM documents),
+      cnt AS (SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+              FROM ch WHERE len(ch) > 0 GROUP BY doc_id, ch)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+             round(log2(sum(c)) - sum(c * log2(c)) / sum(c) + 1e-12, 4)
+               AS entropy_bits
+      FROM cnt GROUP BY doc_id ORDER BY doc_id ASC
+    """))
+
   /** Composite quality score. */
   private val qualityScore = Q(
     "quality_score",
@@ -629,7 +666,7 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
     tokenStats, tokenCounts, qualityScore, classifierQualityScore,
-    langId, docFingerprint,
+    charEntropy, langId, docFingerprint,
     vocabTopK, tfidfTopTerms, repetitionFilter, unigramLogprob, cdcChunks,
     cdcBoilerplate, bpeLearnMerges, bpeEncode, sketchHeavyTokens,
     sketchTokenQuantiles)

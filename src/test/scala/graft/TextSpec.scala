@@ -347,4 +347,21 @@ class TextSpec extends SparkSpec {
       && r(2).getLong(2) === 0L)
     assert(r(2).getString(3) === "nothing sensitive here")
   }
+
+  test("char entropy: 0 bits for one repeated char, 1 bit for a fair pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "aaaaaaaa"), (2L, "abababab"), (3L, "abcd"))
+      .toDF("doc_id", "text")
+    val fn = Queries.all("char_entropy")
+    // replicate the registry expression over a local frame via the same
+    // code path: write a scratch parquet dir shaped like the fixture
+    val dir = "/tmp/graft_test_entropy"
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = fn(spark, dir).select("doc_id", "entropy_bits")
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) == 0.0)   // single symbol: no information
+    assert(r(2L) == 1.0)   // two symbols, equal counts: exactly 1 bit
+    assert(r(3L) == 2.0)   // four equally likely symbols: 2 bits
+  }
 }
