@@ -179,7 +179,41 @@ object ScaleBench {
             bits = 64, featureShingleN = 3).count()),
         "jaccard_top20" -> (() =>
           Dedup.jaccardTopPairs(docs, "doc_id", "text", k = 20).count()),
-        "exact_dedup" -> (() => Dedup.exact(docs, "doc_id", "text").count())
+        "exact_dedup" -> (() => Dedup.exact(docs, "doc_id", "text").count()),
+        // round-5 search modes: each scans its build-once stored form
+        // (postings / packed signatures), so the timed number is the
+        // per-query serving cost — the thing that must stay ~linear-or-
+        // better while the artifact build amortizes across queries
+        "sparse_search (postings artifact)" -> (() => {
+          import graft.search.SparseVec
+          val post = graft.core.Artifacts.buildOnce(spark,
+            s"/tmp/graft_scale/sparse_$n") {
+            SparseVec.postings(emb, "vec_id", "embedding", topN = 8)
+          }
+          val qp = SparseVec.postings(emb.where(col("vec_id") === 0),
+            "vec_id", "embedding", topN = 8)
+          SparseVec.search(post, qp, "vec_id", k = 10).count()
+        }),
+        "binary_hamming (signature artifact)" -> (() => {
+          import graft.search.BinaryVec
+          val packed = graft.core.Artifacts.buildOnce(spark,
+            s"/tmp/graft_scale/binsig_$n") {
+            emb.select(col("vec_id"),
+              BinaryVec.signWord(col("embedding"), 0).as("w0"),
+              BinaryVec.signWord(col("embedding"), 1).as("w1"))
+          }
+          val q = emb.where(col("vec_id") === 0)
+            .select(BinaryVec.signWord(col("embedding"), 0).as("qw0"),
+              BinaryVec.signWord(col("embedding"), 1).as("qw1"))
+          packed.crossJoin(broadcast(q))
+            .withColumn("hamming", BinaryVec.hamming(
+              Seq(col("w0") -> col("qw0"), col("w1") -> col("qw1"))))
+            .orderBy(col("hamming").asc, col("vec_id").asc)
+            .limit(10).count()
+        }),
+        "corpus_diversity (moment identity)" -> (() =>
+          graft.search.VectorStats.meanPairwiseCosine(emb, "embedding")
+            .count())
       )
       ops.foreach { case (name, body) =>
         body()                            // warm-up (JIT/codegen/page cache)
