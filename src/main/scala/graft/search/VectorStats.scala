@@ -36,8 +36,11 @@ object VectorStats {
       .agg(sum(col("v").cast("double") / col("nv")).as("sd"))
     val s2 = sums.agg(sum(col("sd") * col("sd")).as("s2"))
     val n = nrm.agg(count(lit(1)).as("n"))
+    // n ≤ 1 has no pairs: NULL mean, not a 0/0 NaN that would poison a
+    // downstream comparison silently
     s2.crossJoin(n).select(col("n"),
-      round((col("s2") - col("n")) / (col("n") * (col("n") - lit(1)))
-        + lit(1e-12), roundTo).as("mean_pairwise_cosine"))
+      when(col("n") > 1,
+        round((col("s2") - col("n")) / (col("n") * (col("n") - lit(1)))
+          + lit(1e-12), roundTo)).as("mean_pairwise_cosine"))
   }
 }

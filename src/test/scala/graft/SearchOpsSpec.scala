@@ -93,6 +93,12 @@ class SearchOpsSpec extends SparkSpec {
     assert(math.abs(got - naive) < 1e-5)
   }
 
+  test("corpus diversity: a single-vector corpus yields NULL, not NaN") {
+    val df = Seq((0L, Array(1f, 0f))).toDF("id", "vec")
+    val r = VectorStats.meanPairwiseCosine(df, "vec").collect()(0)
+    assert(r.getLong(0) == 1L && r.isNullAt(1))
+  }
+
   test("corpus diversity: zero vectors are excluded from n and the mean") {
     val df = Seq(
       (0L, Array(1f, 0f)), (1L, Array(0f, 0f)), (2L, Array(1f, 0f)))
