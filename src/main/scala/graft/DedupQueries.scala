@@ -259,6 +259,76 @@ object DedupQueries {
       FROM r GROUP BY id ORDER BY doc_id ASC
     """))
 
+  /** Quality-aware keeper selection — the decision step AFTER clustering
+    * that production dedup actually ships: within each near-dup cluster
+    * keep the BEST member (here: most content, `n_chars`, ties to lowest
+    * id), not the arbitrary min-id representative. One window over the
+    * cluster assignment joined with the quality column; the oracle
+    * replays the same connected-components fixpoint as `dedup_clusters`
+    * (recursive CTE) plus the argmax. At 100 TB the quality column is
+    * whatever scorer the pipeline ran (classifier_quality_score /
+    * quality_score) — the join + window shape is unchanged. */
+  private val dedupKeeperSelection = Q(
+    "dedup_keeper_selection",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+          numHashes = 8, bandSize = 1, workDir = wd(dir))
+        .where(col("est_jaccard") >= 0.5)
+      val clusters = Dedup.clusters(docs.select(col("doc_id")), "doc_id", pairs)
+        .withColumnRenamed("id", "doc_id")
+      val j = clusters.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      // first() over the ordered frame [unbounded preceding, current]
+      // sees row 1 of the partition from every row — the keeper
+      j.withColumn("keeper_id", first(col("doc_id")).over(w))
+        .select(col("doc_id"), col("cluster_id"), col("keeper_id"),
+          (col("doc_id") === col("keeper_id")).as("is_kept"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some(s"""
+      WITH RECURSIVE $duckShingles,
+      e AS (SELECT doc_id, unnest(s) AS s FROM sh),
+      dg AS (SELECT doc_id, md5(s) || md5('1:' || s) AS d FROM e),
+      sig AS (SELECT doc_id,
+                [min(substr(d, 1, 8)), min(substr(d, 9, 8)),
+                 min(substr(d, 17, 8)), min(substr(d, 25, 8)),
+                 min(substr(d, 33, 8)), min(substr(d, 41, 8)),
+                 min(substr(d, 49, 8)), min(substr(d, 57, 8))] AS sig
+              FROM dg GROUP BY doc_id),
+      bands AS (SELECT doc_id, sig,
+                       unnest(range(0, 8)) AS band,
+                       unnest(sig) AS band_key
+                FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+               WHERE round(list_sum(list_transform(range(1, 9),
+                 i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1.0 ELSE 0.0 END)) / 8,
+                 4) >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                UNION ALL SELECT id_b, id_a FROM cand),
+      r AS (SELECT doc_id AS id, doc_id AS lbl FROM documents
+            UNION
+            SELECT g.dst, r.lbl FROM r JOIN edges g ON g.src = r.id),
+      cl AS (SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+             FROM r GROUP BY id),
+      jq AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars
+             FROM cl JOIN documents d USING (doc_id)),
+      keep AS (SELECT cluster_id, doc_id AS keeper_id FROM (
+          SELECT cluster_id, doc_id,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM jq) WHERE rn = 1)
+      SELECT jq.doc_id, jq.cluster_id, keep.keeper_id,
+             jq.doc_id = keep.keeper_id AS is_kept
+      FROM jq JOIN keep USING (cluster_id)
+      ORDER BY jq.doc_id ASC
+    """))
+
   /** DuckDB SRP-LSH candidate CTEs over `embeddings` (64 md5-derived
     * hyperplanes → sign bits → 4 bands of 16, hot buckets over the
     * 4096 cap dropped): textual mirror of Dedup.srpWeights/srpSignature +
@@ -814,6 +884,7 @@ object DedupQueries {
   val all: Seq[Q] = Seq(dedupExact, dedupJaccardPairs, dedupMinhashLsh,
     dedupSimhash, dedupSimhash64, dedupCosinePairs, dedupCosineMultiprobe, annBulkTopk,
     annBulkTopkGuaranteed,
-    dedupSubstringSpans, dedupClusters, semanticDedup, dedupIncrementalIngest, annRecallReport,
+    dedupSubstringSpans, dedupClusters, dedupKeeperSelection, semanticDedup,
+    dedupIncrementalIngest, annRecallReport,
     dedupCascade)
 }

@@ -154,6 +154,55 @@ object TextQueries {
       ORDER BY d.doc_id ASC
     """.replace("%BUCKET%", DuckOracle.md5Bucket32)))
 
+  /** Sliding-window chunking with OVERLAP (size 20 tokens, stride 15 —
+    * 5 tokens shared between neighbours): the RAG-standard chunker that
+    * keeps context stitched across boundaries, vs `chunk_split`'s
+    * sentence splitter (the reference's semantics, src/app.py:322) and
+    * `cdc_chunks`' content-defined boundaries. Pure expression work —
+    * sequence() of starts, explode, slice — one scan, rows ≈ n·len/stride;
+    * chunks carry an md5 fingerprint rather than repeated text so the
+    * output (and a downstream chunk-level dedup) shuffles 16 bytes, not
+    * the corpus again. */
+  private val chunkOverlapSplit = Q(
+    "chunk_overlap_split",
+    (s, dir) => {
+      val winTokens = 20
+      val stride = 15
+      val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            greatest(size(col("toks")) - 1, lit(0)), lit(stride)))
+            .as("start"),
+          col("toks"))
+        .select(col("doc_id"), (col("start") / stride).cast("long").as("chunk_idx"),
+          slice(col("toks"), col("start") + 1, lit(winTokens)).as("chunk"))
+        .where(size(col("chunk")) > 0)
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("fingerprint"))
+        .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split_regex(text, '\s+'),
+                          x -> len(x) > 0) AS toks
+                 FROM documents),
+      st AS (SELECT doc_id, toks,
+                    unnest(range(0, greatest(len(toks) - 1, 0) + 1, 15))
+                      AS start
+             FROM t),
+      ch AS (SELECT doc_id, CAST(start / 15 AS BIGINT) AS chunk_idx,
+                    list_slice(toks, start + 1, start + 20) AS chunk
+             FROM st)
+      SELECT doc_id, chunk_idx,
+             CAST(len(chunk) AS BIGINT) AS n_tokens,
+             md5(array_to_string(chunk, ' ')) AS fingerprint
+      FROM ch WHERE len(chunk) > 0
+      ORDER BY doc_id ASC, chunk_idx ASC
+    """))
+
   /** Character-level Shannon entropy per document — the degenerate-text
     * signal the n-gram `repetition_filter` doesn't see (a doc of one
     * repeated CHARACTER has few repeated n-grams of its single token but
@@ -665,8 +714,8 @@ object TextQueries {
     """))
 
   val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
-    tokenStats, tokenCounts, qualityScore, classifierQualityScore,
-    charEntropy, langId, docFingerprint,
+    chunkOverlapSplit, tokenStats, tokenCounts, qualityScore,
+    classifierQualityScore, charEntropy, langId, docFingerprint,
     vocabTopK, tfidfTopTerms, repetitionFilter, unigramLogprob, cdcChunks,
     cdcBoilerplate, bpeLearnMerges, bpeEncode, sketchHeavyTokens,
     sketchTokenQuantiles)

@@ -858,10 +858,52 @@ object VectorQueries {
       ORDER BY distance ASC, e.vec_id ASC LIMIT 5 OFFSET 5
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** Embedding-norm outlier detection — the batch health check that
+    * catches broken upstream encodes (zeroed rows, exploding norms,
+    * truncated writes) BEFORE they poison an index build or a cosine
+    * dedup pass: Tukey fences (Q1/Q3 ± 1.5·IQR) over the norm
+    * distribution, per-row flags against the broadcast 1-row bounds.
+    * `embedding_profile` watches per-DIMENSION drift; this is the
+    * per-ROW companion. Exact percentiles here; at 100 TB swap in
+    * approx_percentile and the plan is otherwise unchanged (one scan
+    * for the bounds, one scan for the flags). */
+  private val embeddingOutliers = Q(
+    "embedding_outliers",
+    (s, dir) => {
+      import graft.search.VectorStats
+      val e = Tables.embeddings(s, dir)
+      val norms = e.select(col("vec_id"),
+        round(VectorStats.normCol(col("embedding")), 4).as("nrm"))
+      val fences = norms.agg(
+        percentile(col("nrm"), lit(0.25)).as("q1"),
+        percentile(col("nrm"), lit(0.75)).as("q3"))
+        .select(round(col("q1") - lit(1.5) * (col("q3") - col("q1")), 4).as("lo"),
+          round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 4).as("hi"))
+      norms.crossJoin(broadcast(fences))
+        .select(col("vec_id"), col("nrm"), col("lo"), col("hi"),
+          (col("nrm") < col("lo") || col("nrm") > col("hi")).as("is_outlier"))
+        .orderBy(col("vec_id").asc)
+    },
+    Some("""
+      WITH n AS (SELECT vec_id,
+                        round(sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE)^2))), 4) AS nrm
+                 FROM embeddings),
+      f AS (SELECT round(q1 - 1.5 * (q3 - q1), 4) AS lo,
+                   round(q3 + 1.5 * (q3 - q1), 4) AS hi
+            FROM (SELECT quantile_cont(nrm, 0.25) AS q1,
+                         quantile_cont(nrm, 0.75) AS q3 FROM n) qs)
+      SELECT vec_id, nrm, lo, hi,
+             (nrm < lo OR nrm > hi) AS is_outlier
+      FROM n CROSS JOIN f
+      ORDER BY vec_id ASC
+    """))
+
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery, mrlTruncatedSearch,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     sq8RerankSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
     binaryHammingSearch, mmrRerank, corpusDiversity,
-    sparseVectorSearch, hybridSearchWeighted, searchPagination)
+    sparseVectorSearch, hybridSearchWeighted, searchPagination,
+    embeddingOutliers)
 }

@@ -364,4 +364,22 @@ class TextSpec extends SparkSpec {
     assert(r(2L) == 1.0)   // two symbols, equal counts: exactly 1 bit
     assert(r(3L) == 2.0)   // four equally likely symbols: 2 bits
   }
+
+  test("overlap chunker: stride-15 windows of 20, short doc = one chunk") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val doc35 = (1 to 35).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc35), (2L, "just three tokens"))
+      .toDF("doc_id", "text")
+    val dir = "/tmp/graft_test_overlap"
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Queries.all("chunk_overlap_split")(spark, dir)
+      .select("doc_id", "chunk_idx", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 35 tokens: windows at 0 (20 toks), 15 (20 toks), 30 (5 toks) —
+    // neighbours share 5 tokens; 3-token doc: one window of 3
+    assert(r.filter(_._1 == 1L) == Seq((1L, 0L, 20L), (1L, 1L, 20L),
+      (1L, 2L, 5L)))
+    assert(r.filter(_._1 == 2L) == Seq((2L, 0L, 3L)))
+  }
 }
