@@ -156,4 +156,41 @@ class PropertySpec extends SparkSpec {
     }
     check(prop, tests = 8)
   }
+
+  test("property: packed hamming equals slotwise sign-mismatch count") {
+    import graft.search.BinaryVec
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-5.0f, 5.0f))
+    val prop = Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val expected = a.zip(b).count { case (x, y) => (x >= 0) != (y >= 0) }
+      val df = Seq((a.toArray, b.toArray)).toDF("va", "vb")
+        .select(BinaryVec.hamming(Seq(
+          BinaryVec.signWord(col("va"), 0) -> BinaryVec.signWord(col("vb"), 0),
+          BinaryVec.signWord(col("va"), 1) -> BinaryVec.signWord(col("vb"), 1)))
+          .as("h"))
+      df.as[Long].head() == expected.toLong
+    }
+    check(prop, tests = 12)
+  }
+
+  test("property: sparse dot equals dense dot restricted to kept dims") {
+    import graft.search.SparseVec
+    // full topN (= dim) so nothing is cut: the posting-join score must
+    // equal the plain dot product over the positive-positive dims
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-3.0f, 3.0f))
+    val prop = Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val corpus = Seq((1L, a.toArray)).toDF("id", "vec")
+      val query = Seq((0L, b.toArray)).toDF("id", "vec")
+      val got = SparseVec.search(
+          SparseVec.postings(corpus, "id", "vec", topN = 8),
+          SparseVec.postings(query, "id", "vec", topN = 8), "id", k = 1)
+        .select("score").as[Double].collect().headOption
+      val expected = a.zip(b).collect {
+        case (x, y) if x > 0 && y > 0 =>
+          roundLikeSpark(x.toDouble) * roundLikeSpark(y.toDouble)
+      }.sum
+      if (expected == 0.0) got.isEmpty || got.contains(0.0)
+      else got.contains(roundLikeSpark(expected))
+    }
+    check(prop, tests = 15)
+  }
 }
