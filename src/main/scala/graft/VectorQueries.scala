@@ -899,11 +899,106 @@ object VectorQueries {
       ORDER BY vec_id ASC
     """))
 
+  /** Candidate-recall report for the approximate tiers that rerank —
+    * the number that justifies each tier's overfetch margin (the
+    * SRP-LSH side of this story is `ann_recall_report`): of the exact
+    * top-5, how many survive into SQ8's margin-4 candidate set and into
+    * MRL's 50-candidate prefix-16 stage? Recall < 1 here means the
+    * rerank CANNOT recover the loss — margin sizing, not rerank
+    * quality, is what fixes it. Both candidate rankings and both exact
+    * rankings are replayed by the oracle, so the measurement itself is
+    * hash-checked. */
+  private val indexRecallReport = Q(
+    "index_recall_report",
+    (s, dir) => {
+      import graft.search.Quantize
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val exactL2 = e.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(VectorFunctions.l2Sq(col("embedding"), col("qe")), 4).as("d"))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(5).select("vec_id")
+      val exactCos = e.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(VectorFunctions.cosineSim(col("embedding"), col("qe")), 4)
+            .as("c"))
+        .orderBy(col("c").desc, col("vec_id").asc).limit(5).select("vec_id")
+      val sq8Tab = graft.core.Artifacts.buildOnce(s,
+        s"/tmp/graft_sq8_${math.abs(dir.hashCode)}") {
+        Quantize.quantizedTable(e, "embedding", "vec_id")
+      }
+      val sq8Cand = sq8Tab.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(VectorFunctions.dequantL2(
+            col("__qvec"), col("__scale"), col("qe")), 4).as("ad"))
+        .orderBy(col("ad").asc, col("vec_id").asc).limit(20).select("vec_id")
+      val mrlCand = e.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(VectorFunctions.cosineSim(
+            slice(col("embedding"), 1, 16), slice(col("qe"), 1, 16)), 4)
+            .as("c1"))
+        .orderBy(col("c1").desc, col("vec_id").asc).limit(50).select("vec_id")
+      def row(method: String, nCand: Int, exact: org.apache.spark.sql.DataFrame,
+              cand: org.apache.spark.sql.DataFrame) =
+        exact.join(cand, Seq("vec_id"), "left_semi")
+          .agg((count(lit(1)) / 5.0).as("recall"))
+          .select(lit(method).as("method"),
+            lit(nCand).cast("long").as("n_candidates"),
+            round(col("recall"), 4).as("recall"))
+      row("mrl16_stage1", 50, exactCos, mrlCand)
+        .unionAll(row("sq8_margin4", 20, exactL2, sq8Cand))
+        .orderBy(col("method").asc)
+    },
+    Some(s"""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      exl AS (SELECT vec_id FROM (
+          SELECT e.vec_id, ${duckL2("e.embedding", "q.qe")} AS d
+          FROM embeddings e, q
+          ORDER BY d ASC, e.vec_id ASC LIMIT 5) t1),
+      exc AS (SELECT vec_id FROM (
+          SELECT e.vec_id, ${duckCosine("e.embedding", "q.qe")} AS c
+          FROM embeddings e, q
+          ORDER BY c DESC, e.vec_id ASC LIMIT 5) t2),
+      sc AS (SELECT vec_id, embedding,
+               CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale
+             FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS mx
+                   FROM embeddings) t3),
+      qz AS (SELECT vec_id, scale,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * scale, 0) AS INT)) AS qv
+             FROM sc),
+      sq8cand AS (SELECT vec_id FROM (
+          SELECT vec_id,
+                 round(list_sum(list_transform(range(1, len(qv)+1),
+                   i -> ((CASE WHEN scale = 0 THEN 0.0
+                               ELSE qv[i] / scale END)
+                         - CAST(q.qe[i] AS DOUBLE)) ^ 2)), 4) AS ad
+          FROM qz, q ORDER BY ad ASC, vec_id ASC LIMIT 20) t4),
+      mrlcand AS (SELECT vec_id FROM (
+          SELECT e.vec_id,
+                 ${duckCosine("list_slice(e.embedding, 1, 16)",
+                              "list_slice(q.qe, 1, 16)")} AS c1
+          FROM embeddings e, q
+          ORDER BY c1 DESC, e.vec_id ASC LIMIT 50) t5)
+      SELECT method, n_candidates, recall FROM (
+        SELECT 'mrl16_stage1' AS method, CAST(50 AS BIGINT) AS n_candidates,
+               round((SELECT count(*) FROM exc
+                      WHERE vec_id IN (SELECT vec_id FROM mrlcand)) / 5.0, 4)
+                 AS recall
+        UNION ALL
+        SELECT 'sq8_margin4', CAST(20 AS BIGINT),
+               round((SELECT count(*) FROM exl
+                      WHERE vec_id IN (SELECT vec_id FROM sq8cand)) / 5.0, 4)
+      ) r ORDER BY method ASC
+    """))
+
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery, mrlTruncatedSearch,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     sq8RerankSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
     binaryHammingSearch, mmrRerank, corpusDiversity,
     sparseVectorSearch, hybridSearchWeighted, searchPagination,
-    embeddingOutliers)
+    embeddingOutliers, indexRecallReport)
 }
