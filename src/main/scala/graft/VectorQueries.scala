@@ -994,11 +994,45 @@ object VectorQueries {
       ) r ORDER BY method ASC
     """))
 
+  /** Group-by-field search — Milvus's `group_by_field` (dedup-by-group
+    * result mode, the complement of `grouped_knn_per_label`): each GROUP
+    * appears at most once, represented by its best hit, and the top-3
+    * GROUPS return — "best match per document when vectors are chunks",
+    * collapsing near-duplicate hits from one source. Plan: one scan +
+    * per-group argmin window (shuffles candidates keyed by group) +
+    * top-k of the group representatives. */
+  private val groupByFieldSearch = Q(
+    "group_by_field_search",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+      e.crossJoin(broadcast(q))
+        .withColumn("distance", Knn.distCol(col("embedding"), col("qe")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("label", "vec_id", "distance")
+        .orderBy(col("distance").asc, col("vec_id").asc)
+        .limit(3)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      d AS (SELECT e.label, e.vec_id, %L2% AS distance FROM embeddings e, q),
+      r AS (SELECT label, vec_id, distance,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY distance, vec_id) AS rn
+            FROM d)
+      SELECT label, vec_id, distance FROM r WHERE rn = 1
+      ORDER BY distance ASC, vec_id ASC LIMIT 3
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery, mrlTruncatedSearch,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     sq8RerankSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
     binaryHammingSearch, mmrRerank, corpusDiversity,
     sparseVectorSearch, hybridSearchWeighted, searchPagination,
-    embeddingOutliers, indexRecallReport)
+    embeddingOutliers, indexRecallReport, groupByFieldSearch)
 }
