@@ -201,6 +201,14 @@ class PlanSpec extends SparkSpec {
       s"sparse top-k must stay bounded:\n$p")
   }
 
+  test("group-by-field search: argmin window then bounded top-k") {
+    val p = plan("group_by_field_search")
+    assert(p.contains("Window"), "per-group argmin must be a window")
+    assert(p.contains("TakeOrderedAndProject"),
+      "group representatives must take a bounded top-k")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("search pagination: offset folds into the top-k, not a global sort") {
     val p = plan("search_pagination")
     assert(p.contains("TakeOrderedAndProject"),
