@@ -722,7 +722,9 @@ object PipelineQueries {
       SELECT lang, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM documents
-      WHERE NOT (lang IN ('fr', 'de') AND n_chars < 300)
+      -- NULL-keep parity with Collection.delete's coalesce(pred, false):
+      -- a NULL predicate row SURVIVES the delete on both engines
+      WHERE NOT coalesce(lang IN ('fr', 'de') AND n_chars < 300, false)
       GROUP BY lang ORDER BY lang ASC
     """))
 

@@ -21,10 +21,17 @@ import org.apache.spark.sql.Column
   * still TakeOrderedAndProject — no shuffle, no index build. */
 object BinaryVec {
   /** Word `wi` (32 sign bits) of `vec`'s binary signature. Slots past
-    * the vector's length contribute 0 (absent ⇒ bit 0). */
-  def signWord(vec: Column, wi: Int): Column =
-    aggregate(slice(vec, wi * 32 + 1, 32), lit(0L),
-      (acc, v) => acc * 2 + when(v >= 0, 1L).otherwise(0L))
+    * the vector's length contribute 0 (absent ⇒ bit 0): a partial final
+    * word is left-shifted into the HIGH bits by the finish lambda, so a
+    * dim-40 vector and a dim-64 vector with identical first 40 signs get
+    * identical word 1 except in genuinely-present slots — per-word
+    * alignment holds for mixed dims, as the hamming contract requires. */
+  def signWord(vec: Column, wi: Int): Column = {
+    val s = slice(vec, wi * 32 + 1, 32)
+    aggregate(s, lit(0L),
+      (acc, v) => acc * 2 + when(v >= 0, 1L).otherwise(0L),
+      acc => call_function("shiftleft", acc, lit(32) - size(s)).cast("long"))
+  }
 
   /** Hamming distance between two packed signatures of `nWords` words
     * (column-name pairs, e.g. `("w0","qw0") :: ("w1","qw1")`). */

@@ -35,14 +35,18 @@ object Mmr {
   def rerank(candidates: DataFrame, idCol: String, relCol: String,
              vecCol: String, k: Int, lambda: Double = 0.7): DataFrame = {
     val spark = candidates.sparkSession
+    // bound BEFORE collecting: limit(4097) caps what reaches the driver,
+    // so an unbounded candidate frame fails the require without ever
+    // materializing the full set driver-side
     val rows = candidates
       .select(col(idCol).cast("long"), col(relCol).cast("double"),
         col(vecCol))
+      .limit(4097)
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1),
         r.getSeq[Float](2).toArray))
     require(rows.length <= 4096,
-      s"mmr: ${rows.length} candidates — rerank a bounded top-m cut, " +
+      s"mmr: >4096 candidates — rerank a bounded top-m cut, " +
         "not a corpus (generate candidates with a top-k search first)")
 
     def cos(a: Array[Float], b: Array[Float]): Double = {
@@ -59,6 +63,12 @@ object Mmr {
     def r4(x: Double): Double = BigDecimal(x)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+    // decimal-exact complement: 1 − 0.7 in doubles is 0.30000000000000004,
+    // while the DuckDB oracle writes the literal 0.3 — on blends that land
+    // exactly on a 5th decimal the two could round to opposite sides of
+    // the HALF_UP boundary. BigDecimal subtraction yields decimal 0.3,
+    // whose nearest double is the same 0.3 the oracle parses.
+    val oneMinusLambda = (BigDecimal(1) - BigDecimal(lambda)).toDouble
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
     val remaining = scala.collection.mutable.LinkedHashMap(
       rows.map(r => r._1 -> r): _*)
@@ -71,7 +81,7 @@ object Mmr {
         val redundancy =
           if (pickedVecs.isEmpty) 0.0
           else pickedVecs.iterator.map(p => r4(cos(vec, p))).max
-        (r4(lambda * rel - (1 - lambda) * redundancy), id, vec)
+        (r4(lambda * rel - oneMinusLambda * redundancy), id, vec)
       }.reduceLeft { (a, b) =>
         if (b._1 > a._1 || (b._1 == a._1 && b._2 < a._2)) b else a
       }
