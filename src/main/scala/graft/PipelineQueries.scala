@@ -842,6 +842,70 @@ object PipelineQueries {
       ORDER BY maxsim DESC, doc_id ASC LIMIT 5
     """))
 
+  /** Graph-ANN search (see [[graft.search.GraphAnn]]) — the HNSW/DiskANN
+    * index family the reference's Milvus essay names with no engine
+    * counterpart until now (doc/milvus介绍.md:6,11,39). The graph is a
+    * build-once parquet adjacency artifact (degree ≤ 8, overlap-sharded
+    * kNN-graph build); the search is a 3-round beam-4 best-first walk
+    * from the staged medoid entry point. The oracle replays ALL THREE
+    * rounds as chained CTEs over the staged adjacency — frontier picks,
+    * visited-set growth, and the final top-5 are each pinned by
+    * (rounded distance, id) order, so the visit order itself is
+    * hash-checked, not just the end ranking. */
+  private val graphAnnSearch = Q(
+    "graph_ann_search",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$base/entry") {
+        GraphAnn.medoid(e, "vec_id", "embedding")
+      }
+      stageOracle(s, "graphann", dir)(
+        "adjacency" -> adj.select("src", "dst"),
+        "entry" -> entryDf)
+      val entryId = entryDf.collect()(0).getLong(0)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      GraphAnn.beamSearch(adj, e, "vec_id", "embedding", query, entryId,
+        k = 5, beamWidth = 4, rounds = 3, degree = 8)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      adj AS (SELECT src, dst FROM read_parquet(
+        '/tmp/graft_graphann_oracle_%ORACLE_KEY%/adjacency/*.parquet')),
+      ent AS (SELECT entry_id FROM read_parquet(
+        '/tmp/graft_graphann_oracle_%ORACLE_KEY%/entry/*.parquet')),
+      dall AS (SELECT e.vec_id AS id, %L2% AS d FROM embeddings e, q),
+      v0 AS (SELECT id, d FROM dall
+             WHERE id IN (SELECT entry_id FROM ent)),
+      f1 AS (SELECT id, d FROM v0 ORDER BY d ASC, id ASC LIMIT 4),
+      n1 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f1 ON a.src = f1.id
+             WHERE a.dst NOT IN (SELECT id FROM v0)),
+      v1 AS (SELECT id, d FROM v0 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n1 USING (id)),
+      x1 AS (SELECT id FROM f1),
+      f2 AS (SELECT id, d FROM v1 WHERE id NOT IN (SELECT id FROM x1)
+             ORDER BY d ASC, id ASC LIMIT 4),
+      n2 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f2 ON a.src = f2.id
+             WHERE a.dst NOT IN (SELECT id FROM v1)),
+      v2 AS (SELECT id, d FROM v1 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n2 USING (id)),
+      x2 AS (SELECT id FROM x1 UNION SELECT id FROM f2),
+      f3 AS (SELECT id, d FROM v2 WHERE id NOT IN (SELECT id FROM x2)
+             ORDER BY d ASC, id ASC LIMIT 4),
+      n3 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f3 ON a.src = f3.id
+             WHERE a.dst NOT IN (SELECT id FROM v2)),
+      v3 AS (SELECT id, d FROM v2 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n3 USING (id))
+      SELECT id AS vec_id, d AS distance FROM v3
+      ORDER BY distance ASC, vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))),
+  )
+
   val all: Seq[Q] = Seq(ivfSearch, ivfPartialProbe, ivfFilteredSearch,
     ivfBalanceReport, ivfAutoRewrite,
     ivfAutoRewriteSql,
@@ -849,5 +913,5 @@ object PipelineQueries {
     chapterParse, collectionRoundtrip, ragContextLines, embedIngest,
     keywordTextSearch, chunkTextSearch, questionAnswerPipeline,
     collectionUpsert, collectionSchemaEvolution, collectionDeleteExpr,
-    lateInteractionMaxsim)
+    lateInteractionMaxsim, graphAnnSearch)
 }

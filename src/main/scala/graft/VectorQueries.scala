@@ -902,11 +902,14 @@ object VectorQueries {
   /** Candidate-recall report for the approximate tiers that rerank —
     * the number that justifies each tier's overfetch margin (the
     * SRP-LSH side of this story is `ann_recall_report`): of the exact
-    * top-5, how many survive into SQ8's margin-4 candidate set and into
-    * MRL's 50-candidate prefix-16 stage? Recall < 1 here means the
-    * rerank CANNOT recover the loss — margin sizing, not rerank
-    * quality, is what fixes it. Both candidate rankings and both exact
-    * rankings are replayed by the oracle, so the measurement itself is
+    * top-5, how many survive into SQ8's margin-4 candidate set, MRL's
+    * 50-candidate prefix-16 stage, PQ's ADC margin-4 tier, IVF_PQ's
+    * probe-4 + ADC tier, and the graph index's beam-4×3 walk? Recall
+    * < 1 here means the rerank CANNOT recover the loss — margin (or
+    * beam/probe) sizing, not rerank quality, is what fixes it. Every
+    * candidate ranking and both exact rankings are replayed by the
+    * oracle — PQ encoding, the ADC tables, the IVF probe, and all
+    * three beam rounds included — so the measurement itself is
     * hash-checked. */
   private val indexRecallReport = Q(
     "index_recall_report",
@@ -938,6 +941,48 @@ object VectorQueries {
             slice(col("embedding"), 1, 16), slice(col("qe"), 1, 16)), 4)
             .as("c1"))
         .orderBy(col("c1").desc, col("vec_id").asc).limit(50).select("vec_id")
+      // PQ / IVF_PQ / graph indexes: same build-or-load discipline (and
+      // the same /tmp keys) as their serving queries, so the report
+      // measures the EXACT artifacts those queries search
+      import graft.search.{GraphAnn, IvfIndex, Pq}
+      val qArr = q.collect()(0).getSeq[Float](0).toArray
+      val pqDir = s"/tmp/graft_pq_${math.abs(dir.hashCode)}"
+      val pq =
+        if (new java.io.File(Pq.codesDir(pqDir) + "/_SUCCESS").exists())
+          Pq.load(s, pqDir)
+        else Pq.build(e, "embedding", "vec_id", pqDir)
+      val ivfDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val ivf =
+        if (new java.io.File(IvfIndex.centroidsDir(ivfDir)).exists())
+          IvfIndex.load(s, ivfDir)
+        else IvfIndex.build(e, "embedding", ivfDir, nlist = 16)
+      val gBase = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adjDf = graft.core.Artifacts.buildOnce(s, s"$gBase/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$gBase/entry") {
+        GraphAnn.medoid(e, "vec_id", "embedding")
+      }
+      stageOracle(s, "recall", dir)(
+        "codebooks" -> s.read.parquet(Pq.codebooksDir(pqDir)),
+        "centroids" -> s.read.parquet(IvfIndex.centroidsDir(ivfDir)),
+        "assign" -> s.read.parquet(IvfIndex.dataDir(ivfDir))
+          .select(col("vec_id"), col("cluster_id")),
+        "adjacency" -> adjDf.select("src", "dst"),
+        "entry" -> entryDf)
+      val pqCand = Pq.adcCandidates(s, pq, "vec_id", qArr, 20)
+        .select("vec_id")
+      val probed = IvfIndex.probeClusters(ivf, qArr, 4)
+      val sel = s.read.parquet(IvfIndex.dataDir(ivfDir))
+        .where(col("cluster_id").isin(probed: _*)).select("vec_id")
+      val ivfpqCand = s.read.parquet(Pq.codesDir(pqDir))
+        .join(sel, Seq("vec_id"), "left_semi")
+        .withColumn("ad", Pq.adcExpr(pq, qArr))
+        .orderBy(col("ad").asc, col("vec_id").asc).limit(20)
+        .select("vec_id")
+      val entryId = entryDf.collect()(0).getLong(0)
+      val graphTop = GraphAnn.beamSearch(adjDf, e, "vec_id", "embedding",
+        qArr, entryId, k = 5).select("vec_id")
       def row(method: String, nCand: Int, exact: org.apache.spark.sql.DataFrame,
               cand: org.apache.spark.sql.DataFrame) =
         exact.join(cand, Seq("vec_id"), "left_semi")
@@ -947,6 +992,9 @@ object VectorQueries {
             round(col("recall"), 4).as("recall"))
       row("mrl16_stage1", 50, exactCos, mrlCand)
         .unionAll(row("sq8_margin4", 20, exactL2, sq8Cand))
+        .unionAll(row("pq_adc_margin4", 20, exactL2, pqCand))
+        .unionAll(row("ivfpq_probe4_margin4", 20, exactL2, ivfpqCand))
+        .unionAll(row("graph_beam4x3", 5, exactL2, graphTop))
         .orderBy(col("method").asc)
     },
     Some(s"""
@@ -981,7 +1029,72 @@ object VectorQueries {
                  ${duckCosine("list_slice(e.embedding, 1, 16)",
                               "list_slice(q.qe, 1, 16)")} AS c1
           FROM embeddings e, q
-          ORDER BY c1 DESC, e.vec_id ASC LIMIT 50) t5)
+          ORDER BY c1 DESC, e.vec_id ASC LIMIT 50) t5),
+      cb AS (SELECT * FROM read_parquet(
+        '/tmp/graft_recall_oracle_%ORACLE_KEY%/codebooks/*.parquet')),
+      enc AS (SELECT vec_id, sub, code FROM (
+          SELECT e.vec_id, cb.sub, cb.code,
+                 row_number() OVER (PARTITION BY e.vec_id, cb.sub ORDER BY
+                   list_sum(list_transform(range(1, 9),
+                     i -> (CAST(e.embedding[cb.sub*8 + i] AS DOUBLE)
+                           - CAST(cb.centroid[i] AS DOUBLE))^2)) ASC,
+                   cb.code ASC) AS rn
+          FROM embeddings e CROSS JOIN cb) t6 WHERE rn = 1),
+      lut AS (SELECT cb.sub, cb.code,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (CAST(q.qe[cb.sub*8 + i] AS DOUBLE)
+                             - CAST(cb.centroid[i] AS DOUBLE))^2)) AS d
+              FROM cb CROSS JOIN q),
+      adcd AS (SELECT enc.vec_id, round(sum(lut.d), 4) AS ad
+               FROM enc JOIN lut USING (sub, code) GROUP BY enc.vec_id),
+      pqcand AS (SELECT vec_id FROM (
+          SELECT vec_id, ad FROM adcd
+          ORDER BY ad ASC, vec_id ASC LIMIT 20) t7),
+      cent AS (SELECT * FROM read_parquet(
+        '/tmp/graft_recall_oracle_%ORACLE_KEY%/centroids/*.parquet')),
+      probe AS (SELECT cluster_id FROM (
+          SELECT cluster_id,
+                 row_number() OVER (ORDER BY
+                   list_sum(list_transform(range(1, len(centroid)+1),
+                     i -> (CAST(centroid[i] AS DOUBLE)
+                           - CAST(qp.qe[i] AS DOUBLE))^2)) ASC,
+                   cluster_id ASC) AS rn
+          FROM cent, q qp) t8 WHERE rn <= 4),
+      asg AS (SELECT * FROM read_parquet(
+        '/tmp/graft_recall_oracle_%ORACLE_KEY%/assign/*.parquet')),
+      sel AS (SELECT asg.vec_id FROM asg JOIN probe USING (cluster_id)),
+      ivfpqcand AS (SELECT vec_id FROM (
+          SELECT a.vec_id, a.ad FROM adcd a JOIN sel USING (vec_id)
+          ORDER BY ad ASC, vec_id ASC LIMIT 20) t9),
+      adjg AS (SELECT src, dst FROM read_parquet(
+        '/tmp/graft_recall_oracle_%ORACLE_KEY%/adjacency/*.parquet')),
+      entg AS (SELECT entry_id FROM read_parquet(
+        '/tmp/graft_recall_oracle_%ORACLE_KEY%/entry/*.parquet')),
+      dall AS (SELECT e.vec_id AS id, ${duckL2("e.embedding", "q.qe")} AS d
+               FROM embeddings e, q),
+      v0 AS (SELECT id, d FROM dall
+             WHERE id IN (SELECT entry_id FROM entg)),
+      f1 AS (SELECT id, d FROM v0 ORDER BY d ASC, id ASC LIMIT 4),
+      n1 AS (SELECT DISTINCT a.dst AS id FROM adjg a JOIN f1 ON a.src = f1.id
+             WHERE a.dst NOT IN (SELECT id FROM v0)),
+      v1 AS (SELECT id, d FROM v0 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n1 USING (id)),
+      x1 AS (SELECT id FROM f1),
+      f2 AS (SELECT id, d FROM v1 WHERE id NOT IN (SELECT id FROM x1)
+             ORDER BY d ASC, id ASC LIMIT 4),
+      n2 AS (SELECT DISTINCT a.dst AS id FROM adjg a JOIN f2 ON a.src = f2.id
+             WHERE a.dst NOT IN (SELECT id FROM v1)),
+      v2 AS (SELECT id, d FROM v1 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n2 USING (id)),
+      x2 AS (SELECT id FROM x1 UNION SELECT id FROM f2),
+      f3 AS (SELECT id, d FROM v2 WHERE id NOT IN (SELECT id FROM x2)
+             ORDER BY d ASC, id ASC LIMIT 4),
+      n3 AS (SELECT DISTINCT a.dst AS id FROM adjg a JOIN f3 ON a.src = f3.id
+             WHERE a.dst NOT IN (SELECT id FROM v2)),
+      v3 AS (SELECT id, d FROM v2 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n3 USING (id)),
+      graphtop AS (SELECT id AS vec_id FROM v3
+                   ORDER BY d ASC, id ASC LIMIT 5)
       SELECT method, n_candidates, recall FROM (
         SELECT 'mrl16_stage1' AS method, CAST(50 AS BIGINT) AS n_candidates,
                round((SELECT count(*) FROM exc
@@ -991,6 +1104,18 @@ object VectorQueries {
         SELECT 'sq8_margin4', CAST(20 AS BIGINT),
                round((SELECT count(*) FROM exl
                       WHERE vec_id IN (SELECT vec_id FROM sq8cand)) / 5.0, 4)
+        UNION ALL
+        SELECT 'pq_adc_margin4', CAST(20 AS BIGINT),
+               round((SELECT count(*) FROM exl
+                      WHERE vec_id IN (SELECT vec_id FROM pqcand)) / 5.0, 4)
+        UNION ALL
+        SELECT 'ivfpq_probe4_margin4', CAST(20 AS BIGINT),
+               round((SELECT count(*) FROM exl
+                      WHERE vec_id IN (SELECT vec_id FROM ivfpqcand)) / 5.0, 4)
+        UNION ALL
+        SELECT 'graph_beam4x3', CAST(5 AS BIGINT),
+               round((SELECT count(*) FROM exl
+                      WHERE vec_id IN (SELECT vec_id FROM graphtop)) / 5.0, 4)
       ) r ORDER BY method ASC
     """))
 

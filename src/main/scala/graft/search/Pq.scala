@@ -110,21 +110,32 @@ object Pq {
     * per row, rounded for cross-engine rank stability) → top-(k·margin)
     * candidates → exact rerank against full precision (broadcast of the
     * candidate set only). */
-  def adcSearch(spark: SparkSession, model: Model, full: DataFrame,
-                vecCol: String, idCol: String, query: Array[Float],
-                k: Int, margin: Int = 4): DataFrame = {
-    val lut = adcTable(model, query)
-    val lutLit = typedlit(lut.toSeq)
+  /** The ADC distance of a `codes` row to `query` as one map-side
+    * expression: m lookups into the flattened table, summed, rounded. */
+  def adcExpr(model: Model, query: Array[Float]): Column = {
+    val lutLit = typedlit(adcTable(model, query).toSeq)
     val kc = model.kCodes
-    val adc = round(aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
+    round(aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
       (acc, s) => acc +
         element_at(lutLit, (s * kc + element_at(col("codes"), s + 1) + 1)
           .cast("int"))), 4)
-    val cand = spark.read.parquet(codesDir(model.indexDir))
-      .withColumn("approx_distance", adc)
+  }
+
+  /** Pre-rerank ADC candidate tier: the top-`n` codes rows by rounded
+    * lookup-table distance — the set whose recall `index_recall_report`
+    * measures (rerank quality cannot recover what this cut drops). */
+  def adcCandidates(spark: SparkSession, model: Model, idCol: String,
+                    query: Array[Float], n: Int): DataFrame =
+    spark.read.parquet(codesDir(model.indexDir))
+      .withColumn("approx_distance", adcExpr(model, query))
       .orderBy(col("approx_distance").asc, col(idCol).asc)
-      .limit(k * margin)
+      .limit(n)
       .select(col(idCol), col("approx_distance"))
+
+  def adcSearch(spark: SparkSession, model: Model, full: DataFrame,
+                vecCol: String, idCol: String, query: Array[Float],
+                k: Int, margin: Int = 4): DataFrame = {
+    val cand = adcCandidates(spark, model, idCol, query, k * margin)
     val qlit = typedlit(query.toSeq)
     broadcast(cand)
       .join(full.select(col(idCol), col(vecCol)), Seq(idCol))

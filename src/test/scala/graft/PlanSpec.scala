@@ -209,6 +209,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("graph-ann build: shard self-join is an equi-join, never cartesian") {
+    // the Σ shardSize² candidate work must key on the shard column — an
+    // optimizer regression to a cartesian/BNLJ would be the all-pairs
+    // scale-killer the overlap-sharded build exists to avoid
+    val e = graft.core.Tables.embeddings(spark, dir)
+    val p = graft.search.GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"graph build must join on shard keys only:\n$p")
+  }
+
+  test("graph-ann serving: adjacency fetch is a pushed frontier lookup") {
+    Queries.all("graph_ann_search")(spark, dir).collect() // builds artifacts
+    val adj = spark.read.parquet(
+      s"/tmp/graft_graphann_${math.abs(dir.hashCode)}/adjacency")
+    val scans = adj.where(col("src").isin(1L, 2L, 3L, 4L))
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metadata.getOrElse("PushedFilters", "")
+      }
+    assert(scans.exists(_.contains("In(src")),
+      s"frontier lookup did not push into the artifact scan: $scans")
+  }
+
   test("search pagination: offset folds into the top-k, not a global sort") {
     val p = plan("search_pagination")
     assert(p.contains("TakeOrderedAndProject"),
