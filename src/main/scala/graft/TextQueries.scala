@@ -570,6 +570,94 @@ object TextQueries {
     (s, dir) => BpeLearn.learn(Tables.documents(s, dir), "text", nMerges = 5),
     Some(bpeOracle(5)))
 
+  /** Oracle builder for [[graft.text.BpeLearn.learnBatchedScans]]: every
+    * scan's count → rank → top-4·batch window → predecessor-symbol
+    * anti-join → take-batch → two-pass replace application is unrolled
+    * as CTEs. Scan k's replaces reference sel{k} through BOUNDED scalar
+    * subqueries (one per batch slot; an empty slot no-ops via a chr(1)
+    * sentinel pattern that never occurs in a sequence). */
+  private def bpeBatchedOracle(nScans: Int, batch: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """
+      WITH s0 AS (
+        SELECT ' ' || array_to_string(list_transform(range(1, len(w)+1),
+                 i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS seq
+        FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w
+              FROM documents)
+        WHERE w <> '')"""
+    for (k <- 1 to nScans) {
+      val notIn =
+        if (k == 1) ""
+        else "WHERE pair NOT IN (" +
+          (1 until k).map(j => s"SELECT pair FROM sel$j")
+            .mkString(" UNION ALL ") + ")"
+      val offset =
+        if (k == 1) "0"
+        else (1 until k).map(j => s"(SELECT count(*) FROM sel$j)")
+          .mkString(" + ")
+      sb ++= s"""
+      , p$k AS (SELECT pair, count(*) AS n FROM (
+            SELECT unnest(CASE WHEN len(sym) >= 2
+              THEN list_transform(range(1, len(sym)),
+                     i -> sym[i] || ' ' || sym[i+1])
+              ELSE CAST([] AS VARCHAR[]) END) AS pair
+            FROM (SELECT string_split(trim(seq), ' ') AS sym
+                  FROM s${k - 1}) t$k)
+          $notIn GROUP BY pair)
+      , topk$k AS (SELECT pair, n, rnk,
+                          string_split(pair, ' ')[1] AS la,
+                          string_split(pair, ' ')[2] AS ra
+                   FROM (SELECT pair, n, row_number() OVER
+                           (ORDER BY n DESC, pair ASC) AS rnk FROM p$k) r$k
+                   WHERE rnk <= ${4 * batch})
+      , kept$k AS (SELECT t.pair, t.n, t.rnk FROM topk$k t
+                   WHERE NOT EXISTS (
+                     SELECT 1 FROM topk$k pr WHERE pr.rnk < t.rnk
+                       AND (pr.la = t.la OR pr.la = t.ra
+                            OR pr.ra = t.la OR pr.ra = t.ra)))
+      , sel$k AS (SELECT pair, n, lr, $offset + lr AS merge_rank FROM
+                    (SELECT pair, n, row_number() OVER (ORDER BY rnk ASC)
+                       AS lr FROM kept$k) q$k
+                  WHERE lr <= $batch)"""
+      if (k < nScans) {
+        var expr = "seq"
+        for (j <- 1 to batch) {
+          val pat = s"coalesce((SELECT ' ' || pair || ' ' FROM sel$k " +
+            s"WHERE lr = $j), chr(1))"
+          val rep = s"coalesce((SELECT ' ' || replace(pair, ' ', '') || ' ' " +
+            s"FROM sel$k WHERE lr = $j), chr(1))"
+          expr = s"replace(replace($expr, $pat, $rep), $pat, $rep)"
+        }
+        sb ++= s"""
+      , s$k AS (SELECT $expr AS seq FROM s${k - 1})"""
+      }
+    }
+    sb ++= s"""
+      SELECT CAST(merge_rank AS BIGINT) AS merge_rank, pair,
+             replace(pair, ' ', '') AS merged, CAST(n AS BIGINT) AS n
+      FROM (""" +
+      (1 to nScans).map(k => s"SELECT pair, n, merge_rank FROM sel$k")
+        .mkString(" UNION ALL ") + """) u
+      ORDER BY merge_rank ASC"""
+    sb.toString
+  }
+
+  /** Batched BPE learning (see [[graft.text.BpeLearn.learnBatchedScans]]):
+    * 2 scans × up-to-3 symbol-disjoint merges instead of one scan per
+    * merge — the vocab-axis scale fix (a 32k vocab at batch 256 is ~125
+    * scans, not 32k). The oracle replays BOTH scans end-to-end: pair
+    * counts, the (count DESC, pair ASC) ranking, the 4·batch candidate
+    * window, the predecessor-symbol anti-join, the rank-ordered take,
+    * and the cross-scan merge application. The single-merge
+    * `bpe_learn_merges` stays as the oracle-pinned sequential form;
+    * TextSpec pins batched ≡ sequential where the batch is
+    * conflict-free. */
+  private val bpeLearnMergesBatched = Q(
+    "bpe_learn_merges_batched",
+    (s, dir) => BpeLearn.learnBatchedScans(Tables.documents(s, dir), "text",
+      nScans = 2, batch = 3),
+    Some(bpeBatchedOracle(nScans = 2, batch = 3)))
+
   /** The tokenizer's ENCODE half: apply the learned 5-merge table to
     * every document and report its post-merge token count — learn →
     * encode round-trips one deterministic tokenizer, and the oracle
@@ -717,6 +805,6 @@ object TextQueries {
     chunkOverlapSplit, tokenStats, tokenCounts, qualityScore,
     classifierQualityScore, charEntropy, langId, docFingerprint,
     vocabTopK, tfidfTopTerms, repetitionFilter, unigramLogprob, cdcChunks,
-    cdcBoilerplate, bpeLearnMerges, bpeEncode, sketchHeavyTokens,
-    sketchTokenQuantiles)
+    cdcBoilerplate, bpeLearnMerges, bpeLearnMergesBatched, bpeEncode,
+    sketchHeavyTokens, sketchTokenQuantiles)
 }

@@ -97,6 +97,93 @@ object BpeLearn {
       .orderBy(col("merge_rank").asc)
   }
 
+  /** Batched merge learning — the vocab-axis scale path: the
+    * single-merge loop above costs one corpus scan per merge, so a 32k
+    * vocab means 32k jobs. This variant (the public batched-BPE
+    * technique production trainers use) selects up to `batch`
+    * SYMBOL-DISJOINT merges per scan and applies them together —
+    * disjointness makes the batch order-independent, so the result
+    * equals the sequential learner whenever the top pairs don't
+    * interact (TextSpec pins that equivalence on a conflict-free
+    * corpus, AND on a conflicting one where the rule defers the
+    * blocked pair to the next scan). Scans per vocab drop ~batch×.
+    *
+    * Selection rule (deterministic, engine-portable, non-recursive —
+    * the DuckDB oracle replays it verbatim): rank candidate pairs by
+    * (count DESC, pair ASC); within the top 4·batch candidates keep a
+    * pair iff NEITHER of its symbols appears in ANY higher-ranked
+    * candidate — kept or not (independence against predecessors is one
+    * anti-join; greedy-vs-kept-only would be inherently sequential);
+    * take the first `batch` kept, in rank order. The rank-1 candidate
+    * is always kept, so every scan makes progress. */
+  def learnBatched(df: DataFrame, textCol: String, nMerges: Int,
+                   batch: Int): DataFrame =
+    learnBatchedCore(df, textCol, batch,
+      maxMerges = nMerges, maxScans = Int.MaxValue)
+
+  /** Fixed-SCAN-budget batched learning: exactly `nScans` corpus scans,
+    * up to `batch` merges each — possibly fewer when conflicts defer
+    * pairs, so the total is data-dependent but the scan count (and with
+    * it the SQL replay shape) is not. This is the oracle-pinned form:
+    * a statically-unrollable number of scans is what lets DuckDB replay
+    * every scan's rank → anti-join → take → apply chain as CTEs. */
+  def learnBatchedScans(df: DataFrame, textCol: String, nScans: Int,
+                        batch: Int): DataFrame =
+    learnBatchedCore(df, textCol, batch,
+      maxMerges = nScans * batch, maxScans = nScans)
+
+  private def learnBatchedCore(df: DataFrame, textCol: String, batch: Int,
+                               maxMerges: Int, maxScans: Int): DataFrame = {
+    val spark = df.sparkSession
+    var prev: Option[DataFrame] = None
+    var cur = wordSeqs(df, textCol)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    try {
+      var scans = 0
+      while (merges.size < maxMerges && scans < maxScans) {
+        cur.cache()
+        val counts = cur.select(explode(pairsOf(col("seq"))).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        val excluded = merges.map(_._2).toSeq
+        val top = (if (excluded.isEmpty) counts
+                   else counts.where(!col("pair").isin(excluded: _*)))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(4 * batch).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        require(top.nonEmpty,
+          s"bpe: corpus exhausted after ${merges.size} merges")
+        val cap = math.min(batch, maxMerges - merges.size)
+        val seen = scala.collection.mutable.Set.empty[String]
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        for ((pair, n) <- top) {
+          val syms = pair.split(" ")
+          if (kept.size < cap && syms.forall(!seen.contains(_)))
+            kept += ((pair, n))
+          seen ++= syms
+        }
+        prev.foreach(_.unpersist(blocking = false))
+        prev = Some(cur)
+        val newSeq = kept.foldLeft(col("seq")) { case (c, (pair, _)) =>
+          val merged = pair.replace(" ", "")
+          def rep(x: Column): Column =
+            call_function("replace", x, lit(s" $pair "), lit(s" $merged "))
+          rep(rep(c))
+        }
+        cur = cur.select(newSeq.as("seq"))
+        kept.foreach { case (pair, n) =>
+          merges += ((merges.size + 1L, pair, pair.replace(" ", ""), n))
+        }
+        scans += 1
+      }
+    } finally {
+      prev.foreach(_.unpersist(blocking = false))
+      cur.unpersist(blocking = false)
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "pair", "merged", "n")
+      .orderBy(col("merge_rank").asc)
+  }
+
   /** Apply a learned merge table — the ENCODE half of the tokenizer:
     * every word becomes its delimited char sequence and each merge is
     * applied in rank order via the SAME two-pass leftmost-nonoverlapping

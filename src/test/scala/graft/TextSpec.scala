@@ -265,6 +265,35 @@ class TextSpec extends SparkSpec {
     assert(r(1).getString(1) === "a b" && r(1).getLong(3) === 1L)
   }
 
+  test("bpe batched: equals sequential when the top pairs are disjoint") {
+    import graft.text.BpeLearn
+    // frequent pairs 'a b' (x3), 'c d' (x2), 'e f' (x1) share no
+    // symbols, so one batched scan must learn exactly the sequential
+    // 3-merge table (rank order included)
+    val df = Seq((1L, "ab ab ab cd cd ef")).toDF("doc_id", "text")
+    def table(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSeq
+    assert(table(BpeLearn.learnBatched(df, "text", nMerges = 3, batch = 3))
+      === table(BpeLearn.learn(df, "text", nMerges = 3)))
+  }
+
+  test("bpe batched: a conflicting pair defers to the next scan") {
+    import graft.text.BpeLearn
+    // 'abc': pairs 'a b' and 'b c' tie at 2 and share 'b' — scan 1 may
+    // only keep 'a b' (rank-1 by pair asc); scan 2 then counts the
+    // POST-merge corpus, where 'ab c' is the top pair — which is
+    // exactly what the sequential learner does one merge at a time
+    val df = Seq((1L, "abc abc")).toDF("doc_id", "text")
+    def table(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSeq
+    val batched = table(BpeLearn.learnBatched(df, "text", nMerges = 2, batch = 2))
+    assert(batched.map(_._2) === Seq("a b", "ab c"),
+      s"conflicting pair was not deferred: $batched")
+    assert(batched === table(BpeLearn.learn(df, "text", nMerges = 2)))
+  }
+
   test("cdc chunks: boundaries survive a prefix edit (shift tolerance)") {
     import graft.text.CdcChunks
     val base = "the quick brown fox jumps over the lazy dog and then " +
