@@ -906,6 +906,207 @@ object PipelineQueries {
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))),
   )
 
+  /** WITH-body CTE chain replaying `rounds` rounds of the BULK beam walk
+    * for every qid in a caller-defined `qs(qid, qv)` CTE, over the staged
+    * adjacency/entry of oracle `name` — the single-query graph_ann_search
+    * replay generalized with qid-partitioned ranking windows. Ends with
+    * `v<rounds>` = the per-qid visited set (and `dall` = all per-qid
+    * distances, for exact-recall baselines). */
+  private def bulkWalkCtes(name: String, beamWidth: Int,
+                           rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+      adj AS (SELECT src, dst FROM read_parquet(
+        '/tmp/graft_${name}_oracle_%ORACLE_KEY%/adjacency/*.parquet')),
+      ent AS (SELECT entry_id FROM read_parquet(
+        '/tmp/graft_${name}_oracle_%ORACLE_KEY%/entry/*.parquet')),
+      dall AS (SELECT q.qid, e.vec_id AS id,
+                      ${duckL2("e.embedding", "q.qv")} AS d
+               FROM embeddings e, qs q),
+      v0 AS (SELECT qid, id, d FROM dall
+             WHERE id IN (SELECT entry_id FROM ent)),
+      x0 AS (SELECT qid, id FROM v0 WHERE 1 = 0)""")
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(s""",
+      f$r AS (SELECT qid, id FROM (
+          SELECT v.qid, v.id, row_number() OVER (PARTITION BY v.qid
+              ORDER BY v.d ASC, v.id ASC) AS rn
+          FROM v$p v WHERE NOT EXISTS (SELECT 1 FROM x$p x
+              WHERE x.qid = v.qid AND x.id = v.id)) t$r
+        WHERE rn <= $beamWidth),
+      x$r AS (SELECT qid, id FROM x$p UNION SELECT qid, id FROM f$r),
+      n$r AS (SELECT DISTINCT f.qid, a.dst AS id
+              FROM adj a JOIN f$r f ON a.src = f.id
+              WHERE NOT EXISTS (SELECT 1 FROM v$p v
+                  WHERE v.qid = f.qid AND v.id = a.dst)),
+      v$r AS (SELECT qid, id, d FROM v$p UNION
+              SELECT da.qid, da.id, da.d FROM dall da
+              JOIN n$r n ON n.qid = da.qid AND n.id = da.id)""")
+    }
+    sb.toString
+  }
+
+  /** Query-vector ids for the bulk graph entries — present at every SF. */
+  private val BulkQids = Seq(0L, 7L, 13L)
+
+  /** Build-or-load the graph artifacts (same /tmp keys as
+    * graph_ann_search, so all graph entries search the SAME graph) and
+    * stage them for the `graphbulk` oracle. */
+  private def bulkGraphArtifacts(s: org.apache.spark.sql.SparkSession,
+                                 dir: String)
+      : (org.apache.spark.sql.DataFrame, Long) = {
+    import graft.search.GraphAnn
+    val e = Tables.embeddings(s, dir)
+    val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+    val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+      GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+    }
+    val entryDf = graft.core.Artifacts.buildOnce(s, s"$base/entry") {
+      GraphAnn.medoid(e, "vec_id", "embedding")
+    }
+    stageOracle(s, "graphbulk", dir)(
+      "adjacency" -> adj.select("src", "dst"),
+      "entry" -> entryDf)
+    (adj, entryDf.collect()(0).getLong(0))
+  }
+
+  /** Bulk graph serving (see [[graft.search.GraphAnn.bulkBeamSearch]]):
+    * three query vectors walked together — per-round frontier windows by
+    * qid, neighbor expansion as ONE equi-join against the adjacency
+    * artifact, distances as ONE equi-join against the corpus — the
+    * "tag N incoming vectors against the graph" shape. The oracle
+    * replays every round with qid-partitioned ranking windows, so each
+    * query's visit order is hash-checked exactly as in the single-query
+    * entry. */
+  private val graphAnnBulk = Q(
+    "graph_ann_bulk",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val (adj, entryId) = bulkGraphArtifacts(s, dir)
+      val queries = e.where(col("vec_id").isin(BulkQids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      GraphAnn.bulkBeamSearch(adj, e, "vec_id", "embedding", queries,
+          "qid", "qv", entryId, k = 5, beamWidth = 8, rounds = 6)
+        .orderBy(col("qid").asc, col("distance").asc, col("vec_id").asc)
+    },
+    Some(s"""
+      WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                  WHERE vec_id IN (${BulkQids.mkString(", ")})),
+      ${bulkWalkCtes("graphbulk", beamWidth = 8, rounds = 6)}
+      SELECT qid, id AS vec_id, d AS distance FROM (
+        SELECT qid, id, d, row_number() OVER (PARTITION BY qid
+            ORDER BY d ASC, id ASC) AS rn FROM v6) fin
+      WHERE rn <= 5
+      ORDER BY qid ASC, distance ASC, vec_id ASC
+    """))
+
+  /** Per-query candidate recall of the bulk walk vs the exact top-5 —
+    * the graph-serving analogue of `index_recall_report`'s single-query
+    * graph row, and the honest number behind the bulk entry's
+    * beam/round sizing. Both the walk and the exact baseline are fully
+    * replayed by the oracle. */
+  private val graphAnnBulkRecall = Q(
+    "graph_ann_bulk_recall",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val (adj, entryId) = bulkGraphArtifacts(s, dir)
+      val queries = e.where(col("vec_id").isin(BulkQids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val bulk = GraphAnn.bulkBeamSearch(adj, e, "vec_id", "embedding",
+          queries, "qid", "qv", entryId, k = 5, beamWidth = 8, rounds = 6)
+        .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("d").asc, col("vec_id").asc)
+      val exact = e.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"),
+          round(VectorFunctions.l2Sq(col("embedding"), col("qv")), 4)
+            .as("d"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= 5)
+        .select("qid", "vec_id")
+      exact.join(bulk, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(round(count(col("hit")) / 5.0, 4).as("recall"))
+        .orderBy(col("qid").asc)
+    },
+    Some(s"""
+      WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                  WHERE vec_id IN (${BulkQids.mkString(", ")})),
+      ${bulkWalkCtes("graphbulk", beamWidth = 8, rounds = 6)},
+      bulk AS (SELECT qid, id FROM (
+          SELECT qid, id, row_number() OVER (PARTITION BY qid
+              ORDER BY d ASC, id ASC) AS rn FROM v6) tb
+        WHERE rn <= 5),
+      ex AS (SELECT qid, id FROM (
+          SELECT qid, id, row_number() OVER (PARTITION BY qid
+              ORDER BY d ASC, id ASC) AS rn FROM dall) te
+        WHERE rn <= 5)
+      SELECT e.qid, round(count(b.id) / 5.0, 4) AS recall
+      FROM ex e LEFT JOIN bulk b ON b.qid = e.qid AND b.id = e.id
+      GROUP BY e.qid ORDER BY e.qid ASC
+    """))
+
+  /** Incremental graph maintenance (see [[graft.search.GraphAnn.append]]):
+    * the three largest-id vectors are held out, the graph is built on the
+    * rest, and the holdouts are appended — connected by beam walks over
+    * the FROZEN base graph, symmetrized, with only the affected
+    * neighborhoods re-capped (the IvfIndex.append frozen-structure
+    * discipline; a full rebuild at 100 TB for a streaming batch is the
+    * defect this operator removes). The oracle recomputes every affected
+    * src's post-append edge list from the staged base adjacency + staged
+    * beam links — distance math, symmetrize, and the degree re-cap are
+    * all replayed; the beam discovery itself is pinned by
+    * graph_ann_search's full replay and by GraphAnnSpec's
+    * append ≡ rebuild property. */
+  private val graphAnnIncremental = Q(
+    "graph_ann_incremental",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val maxId = e.agg(max(col("vec_id"))).collect()(0).getLong(0)
+      val base = e.where(col("vec_id") < maxId - 2)
+      val batch = e.where(col("vec_id") >= maxId - 2)
+      val key = s"/tmp/graft_graphann_incr_${math.abs(dir.hashCode)}"
+      val adj0 = graft.core.Artifacts.buildOnce(s, s"$key/adjacency") {
+        GraphAnn.buildAdjacency(base, "vec_id", "embedding")
+      }
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$key/entry") {
+        GraphAnn.medoid(base, "vec_id", "embedding")
+      }
+      val entryId = entryDf.collect()(0).getLong(0)
+      val r = GraphAnn.append(adj0, base, "vec_id", "embedding", batch,
+        entryId, degree = 8, beamWidth = 4, rounds = 3)
+      stageOracle(s, "graphincr", dir)(
+        "adjacency" -> adj0.select("src", "dst"),
+        "links" -> r.links.select("src", "dst"))
+      val affected = r.links.select(col("src"))
+        .unionByName(r.links.select(col("dst").as("src"))).distinct()
+      r.adjacency.join(affected, Seq("src"), "left_semi")
+        .orderBy(col("src").asc, col("dst").asc)
+    },
+    Some(s"""
+      WITH links AS (SELECT src, dst FROM read_parquet(
+        '/tmp/graft_graphincr_oracle_%ORACLE_KEY%/links/*.parquet')),
+      base AS (SELECT src, dst FROM read_parquet(
+        '/tmp/graft_graphincr_oracle_%ORACLE_KEY%/adjacency/*.parquet')),
+      aff AS (SELECT src AS id FROM links UNION SELECT dst FROM links),
+      cand AS (SELECT src, dst FROM base
+               WHERE src IN (SELECT id FROM aff)
+               UNION SELECT src, dst FROM links
+               UNION SELECT dst AS src, src AS dst FROM links),
+      d AS (SELECT c.src, c.dst,
+                   ${duckL2("ea.embedding", "eb.embedding")} AS dist
+            FROM cand c JOIN embeddings ea ON ea.vec_id = c.src
+                        JOIN embeddings eb ON eb.vec_id = c.dst)
+      SELECT src, dst, dist FROM (
+        SELECT src, dst, dist, row_number() OVER (PARTITION BY src
+            ORDER BY dist ASC, dst ASC) AS rn FROM d) t
+      WHERE rn <= 8 ORDER BY src ASC, dst ASC
+    """))
+
   val all: Seq[Q] = Seq(ivfSearch, ivfPartialProbe, ivfFilteredSearch,
     ivfBalanceReport, ivfAutoRewrite,
     ivfAutoRewriteSql,
@@ -913,5 +1114,6 @@ object PipelineQueries {
     chapterParse, collectionRoundtrip, ragContextLines, embedIngest,
     keywordTextSearch, chunkTextSearch, questionAnswerPipeline,
     collectionUpsert, collectionSchemaEvolution, collectionDeleteExpr,
-    lateInteractionMaxsim, graphAnnSearch)
+    lateInteractionMaxsim, graphAnnSearch, graphAnnBulk,
+    graphAnnBulkRecall, graphAnnIncremental)
 }

@@ -50,18 +50,49 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   * rounds; the honest number lives in `index_recall_report`.
   */
 object GraphAnn {
-  final case class Params(degree: Int = 8, nlist: Int = 16, overlap: Int = 2,
-                          seed: Long = 42L)
+  /** Corpus-derived shard count: keeps the EXPECTED shard size ≈
+    * `targetShard`, so the build's candidate work
+    * Σ shardSize² ≈ overlap² · targetShard · n stays LINEAR in n — the
+    * same auto-sizing discipline as [[graft.dedup.Dedup.bitsForCorpus]]
+    * (a fixed nlist under corpus growth makes the shard self-join
+    * n²/nlist, quadratic-onset by definition). A pure, documented
+    * function of n, so a rebuild on the same corpus derives the same
+    * shards and the adjacency stays byte-identical. Floored at 2 (one
+    * shard would make the self-join all-pairs outright). */
+  def nlistForCorpus(n: Long, targetShard: Int = 256): Int = {
+    require(n > 0 && targetShard > 0)
+    math.max(2, math.ceil(n.toDouble / targetShard).toInt)
+  }
+
+  /** `nlist = 0` (the default) means AUTO: derive it from `df.count()`
+    * via [[nlistForCorpus]] at build time. Explicit positive values
+    * remain for oracle-pinned fixtures and tests. */
+  final case class Params(degree: Int = 8, nlist: Int = 0, overlap: Int = 2,
+                          seed: Long = 42L, maxIter: Int = 20)
+
+  /** Degree cap: keep each src's `degree` nearest edges by
+    * (dist asc, dst asc) — the deterministic Vamana-style re-cap used by
+    * both the full build and the incremental append. */
+  private def cap(edges: DataFrame, degree: Int): DataFrame = {
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("dist").asc, col("dst").asc)
+    edges.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= degree).drop("__rn")
+  }
 
   /** Build the degree-bounded neighbor graph: (src, dst, dist) with
     * ≤ `p.degree` rows per src, dist = round(L2², 4). Deterministic for a
-    * fixed seed and corpus. */
+    * fixed seed and corpus. With the default `nlist = 0` the shard count
+    * auto-derives from the corpus size ([[nlistForCorpus]]); `overlap`
+    * is clamped to the resolved nlist. */
   def buildAdjacency(df: DataFrame, idCol: String, vecCol: String,
                      p: Params = Params()): DataFrame = {
+    val nlist = if (p.nlist > 0) p.nlist else nlistForCorpus(df.count())
+    val overlap = math.min(p.overlap, nlist)
     // Coarse quantizer for sharding (seeded KMeans, same as IvfIndex)
     val withVec = df.withColumn("__mlvec", array_to_vector(col(vecCol)))
     val km = new KMeans()
-      .setK(p.nlist).setSeed(p.seed).setMaxIter(20)
+      .setK(nlist).setSeed(p.seed).setMaxIter(p.maxIter)
       .setFeaturesCol("__mlvec").setPredictionCol("__c")
     val centroids = km.fit(withVec).clusterCenters
       .zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
@@ -74,7 +105,7 @@ object GraphAnn {
     }: _*)
     val assigned = df.select(col(idCol).cast("long").as("__gid"),
         col(vecCol).as("__gvec"),
-        explode(slice(array_sort(shardArr), 1, p.overlap)).as("__asgn"))
+        explode(slice(array_sort(shardArr), 1, overlap)).as("__asgn"))
       .select(col("__gid"), col("__gvec"),
         col("__asgn").getField("shard").as("__shard"))
     // Exact neighbor lists WITHIN a shard only: the self-join keys on
@@ -90,19 +121,13 @@ object GraphAnn {
       .select(col("src"), col("dst"),
         round(VectorFunctions.l2Sq(col("__sv"), col("__dv")), 4).as("dist"))
       .groupBy("src", "dst").agg(min("dist").as("dist"))
-    def cap(edges: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("src"))
-        .orderBy(col("dist").asc, col("dst").asc)
-      edges.withColumn("__rn", row_number().over(w))
-        .where(col("__rn") <= p.degree).drop("__rn")
-    }
     // Vamana-style symmetrize-then-cap: reverse edges make the graph
     // navigable from sparse regions; the second cap re-enforces degree.
-    val forward = cap(pairs)
+    val forward = cap(pairs, p.degree)
     cap(forward.unionByName(
         forward.select(col("dst").as("src"), col("src").as("dst"),
           col("dist")))
-      .groupBy("src", "dst").agg(min("dist").as("dist")))
+      .groupBy("src", "dst").agg(min("dist").as("dist")), p.degree)
   }
 
   /** The corpus medoid: the point minimizing rounded L2² to the corpus
@@ -168,5 +193,169 @@ object GraphAnn {
       StructType(Seq(
         StructField(idCol, LongType, nullable = false),
         StructField("distance", DoubleType, nullable = false))))
+  }
+
+  /** Result of an incremental [[append]]: the post-append adjacency and
+    * the forward connection `links` (new_id → candidate, dist) the beam
+    * walks discovered — exposed so the edge arithmetic (symmetrize +
+    * re-cap) is oracle-replayable from the staged links, and so specs can
+    * pin the discovery itself. */
+  final case class AppendResult(adjacency: DataFrame, links: DataFrame)
+
+  /** DiskANN-style incremental insert (Subramanya et al., NeurIPS 2019 —
+    * the FreshDiskANN discipline): each new point is connected by a beam
+    * search over the EXISTING graph — frozen structure, no re-shard, no
+    * rebuild, mirroring [[IvfIndex.append]]'s frozen-centroid contract —
+    * then its forward edges are symmetrized and ONLY the affected
+    * neighborhoods (the new ids plus the nodes that gained a reverse
+    * edge) are re-capped; every other src's rows pass through untouched.
+    *
+    * Batch semantics: each batch point connects against the BASE graph
+    * independently (intra-batch edges are not planted — deterministic
+    * and order-free). Sequential appends compose: pass the previous
+    * result's adjacency and the grown corpus. The batch is a bounded
+    * driver loop of beam walks (`require` ≤ `maxBatch`) — the streaming-
+    * ingest shape; a bulk re-index is a rebuild, and bulk QUERYING is
+    * [[bulkBeamSearch]].
+    *
+    * Scale shape (100 TB): cost per appended point is one beam walk
+    * (rounds × beamWidth × degree point lookups — corpus-size-
+    * independent) plus a re-cap window over ≤ (1 + degree) · batch
+    * affected srcs' edge rows — never a corpus scan, never a shuffle of
+    * the full adjacency. */
+  def append(adj: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, batch: DataFrame, entryId: Long,
+             degree: Int = 8, beamWidth: Int = 4, rounds: Int = 3,
+             maxBatch: Int = 256): AppendResult = {
+    val spark = corpus.sparkSession
+    val rows = batch.select(col(idCol).cast("long"), col(vecCol))
+      .limit(maxBatch + 1).collect()
+    require(rows.length <= maxBatch,
+      s"graph-ann append: batch exceeds $maxBatch points — use a rebuild " +
+        "for bulk re-indexing")
+    val links: Seq[(Long, Long, Double)] = rows.toSeq.flatMap { r =>
+      val newId = r.getLong(0)
+      val vec = r.getSeq[Float](1).toArray
+      beamSearch(adj, corpus, idCol, vecCol, vec, entryId,
+          k = degree, beamWidth = beamWidth, rounds = rounds,
+          degree = degree)
+        .collect().map(c => (newId, c.getLong(0), c.getDouble(1)))
+    }
+    val linksDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        links.map { case (s, d, x) => Row(s, d, x) }, 1),
+      StructType(Seq(
+        StructField("src", LongType, nullable = false),
+        StructField("dst", LongType, nullable = false),
+        StructField("dist", DoubleType, nullable = false))))
+    // Affected srcs: the new ids and every node that gains a reverse
+    // edge — bounded by (1 + degree) · batch, so an isin literal is fine.
+    val affected = links.flatMap { case (s, d, _) => Seq(s, d) }.distinct
+    val fwdRev = linksDf.unionByName(
+      linksDf.select(col("dst").as("src"), col("src").as("dst"),
+        col("dist")))
+    val recapped = cap(
+      adj.where(col("src").isin(affected: _*))
+        .unionByName(fwdRev)
+        .groupBy("src", "dst").agg(min("dist").as("dist")), degree)
+    AppendResult(
+      adj.where(!col("src").isin(affected: _*)).unionByName(recapped),
+      linksDf)
+  }
+
+  /** Bulk graph serving: N query vectors walked TOGETHER — each round's
+    * frontier is a per-qid window, the neighbor expansion is one
+    * equi-join of the frontier against the adjacency artifact on `src`,
+    * and the distance pass is one equi-join against the corpus on the id
+    * — the [[AnnJoin.bulkTopK]] shape applied to the beam walk, replacing
+    * [[beamSearch]]'s 2-Spark-jobs-per-round driver loop per query
+    * ("tag 1M incoming vectors against the graph" is this, not N calls).
+    *
+    * Semantics per query are IDENTICAL to [[beamSearch]] (same frontier
+    * picks by (rounded distance, id), same visited-set growth, same
+    * budgeted expansion), so the oracle replays the same chained rounds
+    * with the ranking windows partitioned by qid. State per round is
+    * ≤ |queries| · (1 + rounds·beamWidth·degree) rows — linear in the
+    * query batch, corpus-size-independent by construction. `rounds` is a
+    * plan constant, so the loop unrolls into one declarative plan; at
+    * production round counts, checkpoint the visited set between rounds
+    * to keep lineage flat. */
+  def bulkBeamSearch(adj: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, queries: DataFrame, qidCol: String,
+                     qvecCol: String, entryId: Long, k: Int,
+                     beamWidth: Int = 4, rounds: Int = 3): DataFrame = {
+    val q = queries.select(col(qidCol).cast("long").as("qid"),
+      col(qvecCol).as("__qv"))
+    val ids = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("__cv"))
+    def distTo(cand: DataFrame): DataFrame =
+      cand.join(q, Seq("qid")).join(ids, Seq("id"))
+        .select(col("qid"), col("id"),
+          round(VectorFunctions.l2Sq(col("__qv"), col("__cv")), 4).as("d"))
+    // Round 0: every query starts at the shared entry point. The entry
+    // VECTOR is a bounded 1-row collect (the query-vector contract), so
+    // the seed is a pure projection over the query batch — no join, no
+    // nested-loop term anywhere in the walk.
+    val entryRows = corpus.where(col(idCol) === entryId)
+      .select(col(vecCol)).limit(2).collect()
+    require(entryRows.length == 1,
+      s"graph-ann bulk: entry id $entryId must match exactly one corpus " +
+        s"row, found ${entryRows.length}")
+    val entryVec = entryRows(0).getSeq[Float](0)
+    var visited = q.select(col("qid"),
+      lit(entryId).cast("long").as("id"),
+      round(VectorFunctions.l2Sq(col("__qv"), typedlit(entryVec)), 4)
+        .as("d"))
+    var expanded = visited.select("qid", "id").limit(0)
+    val byQid = Window.partitionBy(col("qid"))
+      .orderBy(col("d").asc, col("id").asc)
+    var step = 0
+    if (rounds >= 1) {
+      // Round 1 unrolled: with one visited node, every query's frontier
+      // IS the entry — and its adjacency row is a degree-bounded 1-src
+      // pushed lookup, so collecting it keeps the round a pure
+      // projection (explode of ≤ degree literal ids per query). Left as
+      // a join, Catalyst constant-folds the entry id out of the join key
+      // and the round degenerates to a nested loop.
+      val entryDsts = adj.where(col("src") === entryId)
+        .select(col("dst").cast("long")).collect().map(_.getLong(0))
+        .toSeq.distinct.sorted
+      expanded = q.select(col("qid"), lit(entryId).cast("long").as("id"))
+      if (entryDsts.nonEmpty) {
+        val fresh = q.select(col("qid"),
+            explode(typedlit(entryDsts)).as("id"))
+          .where(col("id") =!= entryId)
+        visited = visited.unionByName(distTo(fresh))
+      }
+      step = 1
+    }
+    while (step < rounds) {
+      val frontier = visited
+        .join(expanded, Seq("qid", "id"), "left_anti")
+        .withColumn("__rn", row_number().over(byQid))
+        .where(col("__rn") <= beamWidth)
+        .select("qid", "id")
+      expanded = expanded.unionByName(frontier)
+      val fresh = frontier
+        .join(adj.select(col("src").as("id"), col("dst")), Seq("id"))
+        .select(col("qid"), col("dst").as("id")).distinct()
+        .join(visited.select("qid", "id"), Seq("qid", "id"), "left_anti")
+      visited = visited.unionByName(distTo(fresh))
+      step += 1
+      // The walk references `visited` three times per round (frontier,
+      // dedup anti-join, union), so an un-truncated lineage re-executes
+      // shared subtrees ~3^rounds times. Materialize the (bounded:
+      // |queries| · budget rows) state every other INTERMEDIATE round —
+      // never the last, so the final plan still exposes the join
+      // structure. Production note: swap localCheckpoint for a reliable
+      // checkpoint dir when executor loss must be survivable.
+      if (step < rounds && step % 2 == 0) {
+        visited = visited.localCheckpoint()
+        expanded = expanded.localCheckpoint()
+      }
+    }
+    visited.withColumn("__rn", row_number().over(byQid))
+      .where(col("__rn") <= k)
+      .select(col("qid"), col("id").as(idCol), col("d").as("distance"))
   }
 }

@@ -28,11 +28,37 @@ class GraphAnnSpec extends SparkSpec {
   }
 
   test("rebuild on the same corpus is byte-identical") {
-    def edges = GraphAnn
+    // two EXPLICITLY separate builds (a single `def` evaluated twice
+    // would degrade to x == x under a routine def→val cleanup)
+    def build() = GraphAnn
       .buildAdjacency(corpus, "vec_id", "embedding", params)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sortBy(e => (e._1, e._2)).toSeq
-    assert(edges == edges)
+    val first = build()
+    val second = build()
+    assert(first.nonEmpty && first == second)
+  }
+
+  test("nlistForCorpus keeps shard size ~constant (linear candidate work)") {
+    assert(GraphAnn.nlistForCorpus(24) == 2)        // floored
+    assert(GraphAnn.nlistForCorpus(256000) == 1000) // 256k / 256
+    // shard size n/nlist stays within the target across three decades
+    Seq(4000L, 16000L, 64000L, 256000L, 1024000L).foreach { n =>
+      val shard = n.toDouble / GraphAnn.nlistForCorpus(n)
+      assert(shard <= 256.0 && shard > 64.0,
+        s"n=$n: shard size $shard drifted off the 256 target")
+    }
+  }
+
+  test("default Params auto-sizes nlist from the corpus") {
+    // nlist=0 (default) must resolve via nlistForCorpus instead of a
+    // fixed constant — the fixed-16 quadratic-onset defect
+    val adj = GraphAnn.buildAdjacency(corpus, "vec_id", "embedding",
+      GraphAnn.Params(degree = 4))
+    val deg = adj.groupBy("src").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(deg <= 4)
+    assert(adj.select("src").distinct().count() == 24)
   }
 
   test("medoid is a single deterministic entry point") {
@@ -59,6 +85,79 @@ class GraphAnnSpec extends SparkSpec {
       .orderBy(col("d").asc, col("vec_id").asc).limit(5)
       .collect().map(_.getLong(0)).toSeq
     assert(got == exact, s"beam $got != exact $exact")
+  }
+
+  test("sequential appends equal a full rebuild (complete-graph case)") {
+    // degree ≥ n and overlap = nlist ⇒ both the rebuild and the appends
+    // produce the complete graph with identical rounded distances — the
+    // deterministic case where append ≡ rebuild holds exactly
+    val full = GraphAnn.Params(degree = 12, nlist = 2, overlap = 2)
+    val base = corpus.where(col("vec_id") < 10)
+    val adj0 = GraphAnn.buildAdjacency(base, "vec_id", "embedding", full)
+    val entry = GraphAnn.medoid(base, "vec_id", "embedding")
+      .collect()(0).getLong(0)
+    val r1 = GraphAnn.append(adj0, base, "vec_id", "embedding",
+      corpus.where(col("vec_id") === 10), entry,
+      degree = 12, beamWidth = 12, rounds = 3)
+    val c11 = corpus.where(col("vec_id") < 11)
+    val r2 = GraphAnn.append(r1.adjacency, c11, "vec_id", "embedding",
+      corpus.where(col("vec_id") === 11), entry,
+      degree = 12, beamWidth = 12, rounds = 3)
+    def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(e => (e._1, e._2)).toSeq
+    val rebuilt = GraphAnn.buildAdjacency(
+      corpus.where(col("vec_id") < 12), "vec_id", "embedding", full)
+    assert(edges(r2.adjacency) == edges(rebuilt))
+  }
+
+  test("append keeps the degree bound and touches only affected srcs") {
+    val adj0 = GraphAnn.buildAdjacency(corpus, "vec_id", "embedding", params)
+    val entry = GraphAnn.medoid(corpus, "vec_id", "embedding")
+      .collect()(0).getLong(0)
+    val batch = Seq(
+      (100L, Seq(0.05f, 0.1f, -0.05f, 0.0f)),
+      (101L, Seq(10.05f, 10.1f, 9.95f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val r = GraphAnn.append(adj0, corpus, "vec_id", "embedding", batch,
+      entry, degree = params.degree, beamWidth = 4, rounds = 3)
+    assert(r.links.count() > 0)
+    val maxDeg = r.adjacency.groupBy("src").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxDeg <= params.degree, s"post-append degree $maxDeg")
+    // untouched srcs' rows pass through byte-identically
+    val affected = r.links.select(col("src")).unionByName(
+      r.links.select(col("dst").as("src"))).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val before = adj0.collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getDouble(2)))
+      .filterNot(e => affected.contains(e._1)).sortBy(e => (e._1, e._2))
+    val after = r.adjacency.collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getDouble(2)))
+      .filterNot(e => affected.contains(e._1)).sortBy(e => (e._1, e._2))
+    assert(before.toSeq == after.toSeq)
+  }
+
+  test("bulk beam search equals the per-query walk") {
+    val adj = GraphAnn.buildAdjacency(corpus, "vec_id", "embedding", params)
+    val entry = GraphAnn.medoid(corpus, "vec_id", "embedding")
+      .collect()(0).getLong(0)
+    val queries = corpus.where(col("vec_id").isin(1L, 6L, 17L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val bulk = GraphAnn.bulkBeamSearch(adj, corpus, "vec_id", "embedding",
+        queries, "qid", "qv", entry, k = 5, beamWidth = 4, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(identity))
+      .toMap
+    Seq(1L, 6L, 17L).foreach { qid =>
+      val qv = corpus.where(col("vec_id") === qid)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      val single = GraphAnn.beamSearch(adj, corpus, "vec_id", "embedding",
+          qv, entry, k = 5, beamWidth = 4, rounds = 3,
+          degree = params.degree)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(identity)
+      assert(bulk(qid).toSeq == single.toSeq, s"qid=$qid bulk != single")
+    }
   }
 
   test("visited-budget guard rejects an over-degree adjacency") {

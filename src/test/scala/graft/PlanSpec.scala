@@ -234,6 +234,26 @@ class PlanSpec extends SparkSpec {
       s"frontier lookup did not push into the artifact scan: $scans")
   }
 
+  test("graph-ann bulk: frontier expansion is an equi-join, never cartesian") {
+    // N queries walked together: the adjacency fetch must key on src and
+    // the distance pass on the corpus id — even the round-0 entry seed is
+    // an equi-join (the entry id travels as a literal column), so NO
+    // nested-loop term of any kind survives
+    val e = graft.core.Tables.embeddings(spark, dir)
+    val adj = graft.search.GraphAnn.buildAdjacency(e, "vec_id", "embedding",
+      graft.search.GraphAnn.Params(degree = 4, nlist = 2))
+    val queries = e.where(col("vec_id").isin(0L, 7L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val p = graft.search.GraphAnn.bulkBeamSearch(adj, e, "vec_id",
+        "embedding", queries, "qid", "qv", entryId = 0L, k = 5,
+        beamWidth = 4, rounds = 2)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"),
+      s"bulk walk must never go cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"bulk walk must be pure equi-joins:\n$p")
+  }
+
   test("search pagination: offset folds into the top-k, not a global sort") {
     val p = plan("search_pagination")
     assert(p.contains("TakeOrderedAndProject"),
