@@ -1153,7 +1153,165 @@ object VectorQueries {
       ORDER BY distance ASC, vec_id ASC LIMIT 3
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** DuckDB projection of a vector expression onto a staged rotation
+    * row: float·float products accumulated in double (the engines' shared
+    * op order), rounded to 4 decimals, cast to REAL — the textual mirror
+    * of [[graft.search.Rotation.projectCol]]'s per-component math. */
+  private def duckProj(vec: String): String =
+    s"CAST(round(list_sum(list_transform(range(1, len($vec)+1), " +
+      s"i -> CAST($vec[i] AS DOUBLE) * CAST(r.weights[i] AS DOUBLE))), 4) " +
+      "AS REAL)"
+
+  /** Build-or-load the 16-component rotation artifact for a fixture and
+    * stage it for the `mrlrot` oracle. */
+  private def rotationArtifact(s: org.apache.spark.sql.SparkSession,
+                               dir: String)
+      : Seq[(Int, Array[Float])] = {
+    import graft.search.Rotation
+    val e = Tables.embeddings(s, dir)
+    val rotDf = graft.core.Artifacts.buildOnce(s,
+      s"/tmp/graft_rot_${math.abs(dir.hashCode)}") {
+      Rotation.learn(e, "embedding", dim = 64, k = 16)
+    }
+    stageOracle(s, "mrlrot", dir)("rotation" -> rotDf)
+    Rotation.collectRows(rotDf)
+  }
+
+  /** Rotated Matryoshka search (see [[graft.search.Rotation]]): PCA-
+    * rotate so the 16-dim prefix carries the corpus' top-energy
+    * directions, then the same two-stage rank → margin → rerank as
+    * `mrl_truncated_search`. The rotation is a build-once staged
+    * artifact; stage-1 projections, their rounding/casts, the margin cut
+    * and the full-dimension rerank are all oracle-replayed. */
+  private val mrlRotatedSearch = Q(
+    "mrl_rotated_search",
+    (s, dir) => {
+      import graft.search.Rotation
+      val e = Tables.embeddings(s, dir)
+      val rows = rotationArtifact(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val stage1 = e.crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"), col("qe"),
+          round(VectorFunctions.cosineSim(
+            Rotation.projectCol(col("embedding"), rows),
+            Rotation.projectCol(col("qe"), rows)), 4).as("c1"))
+        .orderBy(col("c1").desc, col("vec_id").asc)
+        .limit(50)
+      stage1
+        .select(col("vec_id"),
+          round(VectorFunctions.cosineSim(col("embedding"), col("qe")), 4)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(5)
+    },
+    Some(s"""
+      WITH rot AS (SELECT component, weights FROM read_parquet(
+        '/tmp/graft_mrlrot_oracle_%ORACLE_KEY%/rotation/*.parquet')),
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      proj AS (SELECT e.vec_id, r.component, ${duckProj("e.embedding")} AS p
+               FROM embeddings e, rot r),
+      pv AS (SELECT vec_id, list(p ORDER BY component) AS v
+             FROM proj GROUP BY vec_id),
+      qproj AS (SELECT r.component, ${duckProj("q.qe")} AS p FROM q, rot r),
+      qv AS (SELECT list(p ORDER BY component) AS v FROM qproj),
+      s1 AS (SELECT e.vec_id, e.embedding,
+                    ${duckCosine("pv.v", "qv.v")} AS c1
+             FROM embeddings e JOIN pv ON pv.vec_id = e.vec_id, qv
+             ORDER BY c1 DESC, e.vec_id ASC LIMIT 50)
+      SELECT s1.vec_id, ${duckCosine("s1.embedding", "q.qe")} AS cosine
+      FROM s1, q
+      ORDER BY cosine DESC, s1.vec_id ASC LIMIT 5
+    """))
+
+  /** Rotation-lift report: mean stage-1 recall@50 of the exact cosine
+    * top-5 over EIGHT query vectors, raw 16-dim prefix vs rotated
+    * 16-dim prefix — the multi-query number that justifies shipping the
+    * rotation (a single query is noise: `index_recall_report`'s
+    * mrl16_stage1 row happens to score 0.8 on vec 0 while the raw-prefix
+    * MEAN here is lower; the rotated mean must beat the raw mean, and
+    * the measurement itself — projections, rounding, both candidate
+    * rankings, the exact baseline — is hash-checked). */
+  private val mrlRotationReport = Q(
+    "mrl_rotation_report",
+    (s, dir) => {
+      import graft.search.Rotation
+      val e = Tables.embeddings(s, dir)
+      val rows = rotationArtifact(s, dir)
+      val qids = Seq(0L, 7L, 13L, 21L, 33L, 47L, 55L, 61L)
+      val qs = e.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val joined = e.crossJoin(broadcast(qs))
+      import org.apache.spark.sql.expressions.Window
+      def topPerQid(scored: org.apache.spark.sql.DataFrame, n: Int) =
+        scored.withColumn("__rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("c").desc, col("vec_id").asc)))
+          .where(col("__rn") <= n).select("qid", "vec_id")
+      val exact = topPerQid(joined.select(col("qid"), col("vec_id"),
+        round(VectorFunctions.cosineSim(col("embedding"), col("qv")), 4)
+          .as("c")), 5)
+      val raw = topPerQid(joined.select(col("qid"), col("vec_id"),
+        round(VectorFunctions.cosineSim(
+          slice(col("embedding"), 1, 16), slice(col("qv"), 1, 16)), 4)
+          .as("c")), 50)
+      val rot = topPerQid(joined.select(col("qid"), col("vec_id"),
+        round(VectorFunctions.cosineSim(
+          Rotation.projectCol(col("embedding"), rows),
+          Rotation.projectCol(col("qv"), rows)), 4).as("c")), 50)
+      def recallRow(method: String, cand: org.apache.spark.sql.DataFrame) =
+        exact.join(cand.withColumn("hit", lit(1)),
+            Seq("qid", "vec_id"), "left")
+          .agg(round(count(col("hit")) / (5.0 * qids.size), 4).as("recall"))
+          .select(lit(method).as("method"),
+            lit(qids.size).cast("long").as("n_queries"), col("recall"))
+      recallRow("mrl16_raw", raw)
+        .unionAll(recallRow("mrl16_rotated", rot))
+        .orderBy(col("method").asc)
+    },
+    Some(s"""
+      WITH rot AS (SELECT component, weights FROM read_parquet(
+        '/tmp/graft_mrlrot_oracle_%ORACLE_KEY%/rotation/*.parquet')),
+      qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+             WHERE vec_id IN (0, 7, 13, 21, 33, 47, 55, 61)),
+      proj AS (SELECT e.vec_id, r.component, ${duckProj("e.embedding")} AS p
+               FROM embeddings e, rot r),
+      pv AS (SELECT vec_id, list(p ORDER BY component) AS v
+             FROM proj GROUP BY vec_id),
+      qproj AS (SELECT q.qid, r.component, ${duckProj("q.qv")} AS p
+                FROM qs q, rot r),
+      qpv AS (SELECT qid, list(p ORDER BY component) AS v
+              FROM qproj GROUP BY qid),
+      ex AS (SELECT qid, vec_id FROM (
+          SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+              ORDER BY ${duckCosine("e.embedding", "q.qv")} DESC,
+                       e.vec_id ASC) AS rn
+          FROM embeddings e, qs q) t WHERE rn <= 5),
+      rawc AS (SELECT qid, vec_id FROM (
+          SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+              ORDER BY ${duckCosine("list_slice(e.embedding, 1, 16)",
+                                    "list_slice(q.qv, 1, 16)")} DESC,
+                       e.vec_id ASC) AS rn
+          FROM embeddings e, qs q) t WHERE rn <= 50),
+      rotc AS (SELECT qid, vec_id FROM (
+          SELECT qpv.qid, pv.vec_id, row_number() OVER (PARTITION BY
+              qpv.qid ORDER BY ${duckCosine("pv.v", "qpv.v")} DESC,
+              pv.vec_id ASC) AS rn
+          FROM pv, qpv) t WHERE rn <= 50)
+      SELECT method, CAST(8 AS BIGINT) AS n_queries, recall FROM (
+        SELECT 'mrl16_raw' AS method,
+               round(count(c.vec_id) / 40.0, 4) AS recall
+        FROM ex e LEFT JOIN rawc c
+          ON c.qid = e.qid AND c.vec_id = e.vec_id
+        UNION ALL
+        SELECT 'mrl16_rotated' AS method,
+               round(count(c.vec_id) / 40.0, 4) AS recall
+        FROM ex e LEFT JOIN rotc c
+          ON c.qid = e.qid AND c.vec_id = e.vec_id) u
+      ORDER BY method ASC
+    """))
+
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery, mrlTruncatedSearch,
+    mrlRotatedSearch, mrlRotationReport,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     sq8RerankSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
