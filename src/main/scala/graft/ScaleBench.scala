@@ -34,14 +34,15 @@ object ScaleBench {
   def synthEmbeddings(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     val clusterSize = 8
-    val rows = (0 until n).map { i =>
+    // distributed generation (same per-id PRNG values as the original
+    // driver-side Seq — required once the rehearsal reaches 10⁶ rows)
+    spark.range(n.toLong).as[Long].map { i =>
       val c = i / clusterSize
       val rc = new scala.util.Random(1000003L * c + 17)
       val centre = Array.fill(Dim)(rc.nextGaussian())
       val rm = new scala.util.Random(7919L * i + 3)
-      (i.toLong, centre.map(x => (x + 0.02 * rm.nextGaussian()).toFloat).toSeq)
-    }
-    rows.toDF("vec_id", "embedding").repartition(32)
+      (i, centre.map(x => (x + 0.02 * rm.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding").repartition(32)
   }
 
   /** n docs of 30 tokens from a 5000-word vocab; every 4th doc is a
@@ -50,18 +51,17 @@ object ScaleBench {
     * exists to find. */
   def synthDocs(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
-    val rows = (0 until n).map { i =>
+    spark.range(n.toLong).as[Long].map { i =>
       if (i % 4 == 1) {
         val r = new scala.util.Random(104729L * (i - 1) + 5)
         val toks = Array.fill(30)(s"w${r.nextInt(5000)}")
         toks(13) = s"w${new scala.util.Random(i).nextInt(5000)}"
-        (i.toLong, toks.mkString(" "))
+        (i, toks.mkString(" "))
       } else {
         val r = new scala.util.Random(104729L * i + 5)
-        (i.toLong, Array.fill(30)(s"w${r.nextInt(5000)}").mkString(" "))
+        (i, Array.fill(30)(s"w${r.nextInt(5000)}").mkString(" "))
       }
-    }
-    rows.toDF("doc_id", "text").repartition(32)
+    }.toDF("doc_id", "text").repartition(32)
   }
 
   private def materialize(df: DataFrame, path: String): DataFrame = {
@@ -69,9 +69,46 @@ object ScaleBench {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Build-once graph adjacency + medoid entry for a rehearsal corpus:
+    * the trained-quantizer build under its auto-derived nlist through
+    * 256 k, the training-free SRP-band build past it (the KMeans n·nlist
+    * assignment pass is the trained tier's own quadratic onset — see
+    * [[graft.search.GraphAnn]]); serving never knows which built it. */
+  private def graphArtifacts(spark: SparkSession, emb: DataFrame,
+                             n: Int): (DataFrame, Long) = {
+    import graft.search.GraphAnn
+    // SPARK_GRAFT_GRAPH_BUILD=lsh pins the training-free builder for a
+    // whole series (one builder per t-exp series keeps the serving rows
+    // comparable); the default switches at the trained tier's boundary
+    val useLsh = sys.env.get("SPARK_GRAFT_GRAPH_BUILD").contains("lsh") ||
+      n > 300000
+    val adjDir = if (useLsh) s"/tmp/graft_scale/graph_lsh_$n"
+                 else s"/tmp/graft_scale/graph_$n"
+    val adj = graft.core.Artifacts.buildOnce(spark, adjDir) {
+      if (useLsh)
+        GraphAnn.buildAdjacencyLsh(emb, "vec_id", "embedding", dim = Dim)
+      else
+        GraphAnn.buildAdjacency(emb, "vec_id", "embedding",
+          GraphAnn.Params(maxIter = 5))
+    }
+    val entry = graft.core.Artifacts.buildOnce(spark,
+      s"/tmp/graft_scale/graphentry_$n") {
+      GraphAnn.medoid(emb, "vec_id", "embedding")
+    }.collect()(0).getLong(0)
+    (adj, entry)
+  }
+
   def main(args: Array[String]): Unit = {
     val sizes = (if (args.nonEmpty) args(0) else "4000,16000")
       .split(",").map(_.trim.toInt).toSeq
+    // optional 2nd arg: regex over operator names — the serving-cost
+    // rehearsal at 10⁶ runs only the per-query serving rows (the full
+    // list includes Θ(n²)-BY-SEMANTICS demo widths that are not meant
+    // to run at that size)
+    val opFilter: String => Boolean = args.lift(1) match {
+      case Some(re) => val r = re.r; (s: String) => r.findFirstIn(s).isDefined
+      case None => _ => true
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -213,10 +250,70 @@ object ScaleBench {
         }),
         "corpus_diversity (moment identity)" -> (() =>
           graft.search.VectorStats.meanPairwiseCosine(emb, "embedding")
-            .count())
+            .count()),
+        // graph-ANN build tier, candidate volume (pre-cap pair rows — the
+        // post-cap edge count saturates at n·degree and would hide a
+        // quadratic candidate tier). Two builds: the trained-quantizer
+        // form under its auto-derived nlist, and the training-free
+        // SRP-band form that replaces it past ~10⁶ (the KMeans n·nlist
+        // assignment term is that tier's own quadratic onset).
+        "graphann_candidates (auto nlist)" -> (() => {
+          import graft.search.GraphAnn
+          GraphAnn.candidatePairs(emb, "vec_id", "embedding",
+            GraphAnn.Params(maxIter = 5)).count()
+        }),
+        "graphann_lsh_candidates (auto bands)" -> (() =>
+          graft.search.GraphAnn.lshCandidatePairs(emb, "vec_id",
+            "embedding", dim = Dim).count()),
+        // graph serving over a build-once adjacency artifact: per-query
+        // cost is rounds × beamWidth × degree point lookups, corpus-size-
+        // independent by construction — t-exp ≈ 0 is the claim under test
+        "graphann_serve (beam8x6)" -> (() => {
+          import spark.implicits._
+          val (adj, entry) = graphArtifacts(spark, emb, n)
+          val q = emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head().toArray
+          graft.search.GraphAnn.beamSearch(adj, emb, "vec_id", "embedding",
+            q, entry, k = 5, beamWidth = 8, rounds = 6).count()
+        }),
+        "graphann_bulk_serve (8 queries)" -> (() => {
+          val (adj, entry) = graphArtifacts(spark, emb, n)
+          val queries = emb.where(col("vec_id") < 8)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+          graft.search.GraphAnn.bulkBeamSearch(adj, emb, "vec_id",
+            "embedding", queries, "qid", "qv", entry, k = 5,
+            beamWidth = 8, rounds = 6).count()
+        }),
+        // IVF_PQ serving: probe 8 of the IVF's cells, ADC-rank the codes
+        // within — scans nprobe/nlist of a 8-byte-per-vector table
+        "ivf_pq_serve (probe8, adc)" -> (() => {
+          import spark.implicits._
+          import graft.search.Pq
+          val pqDir = s"/tmp/graft_scale/pq_$n"
+          val pq =
+            if (new java.io.File(Pq.codesDir(pqDir) + "/_SUCCESS").exists())
+              Pq.load(spark, pqDir)
+            else Pq.build(emb, "embedding", "vec_id", pqDir, maxIter = 5)
+          val ivf = IvfIndex.load(spark, s"/tmp/graft_scale/ivf_$n")
+          val q = emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head().toArray
+          val probed = IvfIndex.probeClusters(ivf, q, 8)
+          val sel = spark.read.parquet(IvfIndex.dataDir(ivf.indexDir))
+            .where(col("cluster_id").isin(probed: _*)).select("vec_id")
+          spark.read.parquet(Pq.codesDir(pqDir))
+            .join(sel, Seq("vec_id"), "left_semi")
+            .withColumn("ad", Pq.adcExpr(pq, q))
+            .orderBy(col("ad").asc, col("vec_id").asc).limit(10).count()
+        })
       )
-      ops.foreach { case (name, body) =>
-        body()                            // warm-up (JIT/codegen/page cache)
+      // candidate-volume rows time a full build per invocation — skip the
+      // warm-up pass (the rows column is deterministic either way, and a
+      // second 256 k+ build buys nothing but wall-clock)
+      val noWarmup = Set("graphann_candidates (auto nlist)",
+        "graphann_lsh_candidates (auto bands)")
+      ops.filter(o => opFilter(o._1)).foreach { case (name, body) =>
+        if (!noWarmup(name))
+          body()                          // warm-up (JIT/codegen/page cache)
         val (t, card) = timed(body())
         results((name, n)) = (t, card)
         System.err.println(f"[scale] $name%-32s n=$n%-6d ${t}%7.2fs  rows=$card")

@@ -23,8 +23,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   * edges), compute exact neighbor lists only WITHIN a shard, then
   * symmetrize (add reverse edges) and re-enforce the degree bound — the
   * reverse-edge + cap pass is Vamana's discipline. All candidate work is
-  * Σ shardSize² — linear in n at constant shard density, the same
-  * `nlist ∝ n` sizing rule the semantic-dedup family already rehearses.
+  * Σ shardSize² — linear in n at constant shard density, which
+  * [[nlistForCorpus]] enforces BY DEFAULT (`nlist ∝ n`, the sizing rule
+  * the semantic-dedup family rehearses; a fixed nlist under corpus
+  * growth is the documented misuse). Past ~10⁶ vectors the trained
+  * quantizer's own n·nlist assignment pass dominates — switch to
+  * [[buildAdjacencyLsh]], the training-free SRP-band-sharded tier.
   * No all-pairs term anywhere. Edges are directed (src → its R nearest
   * co-sharded points) with distances rounded to 4 decimals and dst-id
   * tie-breaks, so a rebuild on the same corpus is byte-identical.
@@ -80,12 +84,13 @@ object GraphAnn {
       .where(col("__rn") <= degree).drop("__rn")
   }
 
-  /** Build the degree-bounded neighbor graph: (src, dst, dist) with
-    * ≤ `p.degree` rows per src, dist = round(L2², 4). Deterministic for a
-    * fixed seed and corpus. With the default `nlist = 0` the shard count
-    * auto-derives from the corpus size ([[nlistForCorpus]]); `overlap`
-    * is clamped to the resolved nlist. */
-  def buildAdjacency(df: DataFrame, idCol: String, vecCol: String,
+  /** Pre-cap candidate pair volume of the sharded build — `(src, dst,
+    * dist)` for every co-sharded pair, the Σ shardSize² term that is the
+    * build's shuffle cost and the row count the scaling rehearsal tracks
+    * (the post-cap edge count saturates at n·degree and would hide a
+    * quadratic candidate tier). [[buildAdjacency]] = cap ∘ symmetrize ∘
+    * cap over this. */
+  def candidatePairs(df: DataFrame, idCol: String, vecCol: String,
                      p: Params = Params()): DataFrame = {
     val nlist = if (p.nlist > 0) p.nlist else nlistForCorpus(df.count())
     val overlap = math.min(p.overlap, nlist)
@@ -116,19 +121,73 @@ object GraphAnn {
       col("__gvec").as("__sv"))
     val b = assigned.select(col("__shard"), col("__gid").as("dst"),
       col("__gvec").as("__dv"))
-    val pairs = a.join(b, Seq("__shard"))
+    a.join(b, Seq("__shard"))
       .where(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         round(VectorFunctions.l2Sq(col("__sv"), col("__dv")), 4).as("dist"))
       .groupBy("src", "dst").agg(min("dist").as("dist"))
-    // Vamana-style symmetrize-then-cap: reverse edges make the graph
-    // navigable from sparse regions; the second cap re-enforces degree.
-    val forward = cap(pairs, p.degree)
+  }
+
+  /** Build the degree-bounded neighbor graph: (src, dst, dist) with
+    * ≤ `p.degree` rows per src, dist = round(L2², 4). Deterministic for a
+    * fixed seed and corpus. With the default `nlist = 0` the shard count
+    * auto-derives from the corpus size ([[nlistForCorpus]]); `overlap`
+    * is clamped to the resolved nlist. */
+  def buildAdjacency(df: DataFrame, idCol: String, vecCol: String,
+                     p: Params = Params()): DataFrame =
+    capSymmetrizeCap(candidatePairs(df, idCol, vecCol, p), p.degree)
+
+  /** Vamana-style symmetrize-then-cap: reverse edges make the graph
+    * navigable from sparse regions; the second cap re-enforces degree. */
+  private def capSymmetrizeCap(pairs: DataFrame, degree: Int): DataFrame = {
+    val forward = cap(pairs, degree)
     cap(forward.unionByName(
         forward.select(col("dst").as("src"), col("src").as("dst"),
           col("dist")))
-      .groupBy("src", "dst").agg(min("dist").as("dist")), p.degree)
+      .groupBy("src", "dst").agg(min("dist").as("dist")), degree)
   }
+
+  /** SRP-LSH-sharded candidate pairs — the huge-corpus build tier. The
+    * KMeans coarse quantizer's assignment is an n · nlist distance pass:
+    * with nlist ∝ n (the linear-candidate sizing) that term is n²/shard,
+    * so past ~10⁶ vectors the TRAINED quantizer becomes the build's
+    * bottleneck even though the candidate join stays linear. Signed-
+    * random-projection band keys shard with ZERO training and one
+    * map-side signature pass: a shard is a (band, band_key) bucket, the
+    * `nBands` bands ARE the overlap assignments, band width auto-derives
+    * from corpus size ([[graft.dedup.Dedup.bitsForCorpus]] — the rule
+    * SCALE.md measured linear through 256 k), and the hot-bucket cap
+    * bounds any degenerate key. Same (src, dst, dist) contract as
+    * [[candidatePairs]]. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, bits: Int = 0, nBands: Int = 4,
+                        maxBucket: Int = 4096): DataFrame = {
+    import graft.dedup.Dedup
+    val b = if (bits > 0) bits else Dedup.bitsForCorpus(df.count(), nBands)
+    val bands = Dedup.srpBands(df, idCol, vecCol, dim, b, nBands)
+    val kept = Dedup.srpKeptBands(bands, Dedup.srpHotBuckets(bands, maxBucket))
+    val a = kept.select(col("band"), col("band_key"),
+      col("id").cast("long").as("src"), col("v").as("__sv"))
+    val c = kept.select(col("band"), col("band_key"),
+      col("id").cast("long").as("dst"), col("v").as("__dv"))
+    a.join(c, Seq("band", "band_key"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(VectorFunctions.l2Sq(col("__sv"), col("__dv")), 4).as("dist"))
+      .groupBy("src", "dst").agg(min("dist").as("dist"))
+  }
+
+  /** [[buildAdjacency]]'s huge-corpus sibling: the degree-bounded graph
+    * over [[lshCandidatePairs]] — training-free sharding, linear
+    * candidate volume under the auto-derived band width, identical
+    * adjacency schema and serving path ([[beamSearch]] /
+    * [[bulkBeamSearch]] never know which build produced the artifact). */
+  def buildAdjacencyLsh(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, degree: Int = 8, bits: Int = 0,
+                        nBands: Int = 4, maxBucket: Int = 4096): DataFrame =
+    capSymmetrizeCap(
+      lshCandidatePairs(df, idCol, vecCol, dim, bits, nBands, maxBucket),
+      degree)
 
   /** The corpus medoid: the point minimizing rounded L2² to the corpus
     * mean, id tie-break — the deterministic entry point DiskANN also

@@ -41,7 +41,7 @@ object Pq {
     * corpus, and write both as parquet artifacts. */
   def build(df: DataFrame, vecCol: String, idCol: String, indexDir: String,
             m: Int = 8, kCodes: Int = 16, dim: Int = 64,
-            seed: Long = 42L): Model = {
+            seed: Long = 42L, maxIter: Int = 20): Model = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val spark = df.sparkSession
     import spark.implicits._
@@ -49,7 +49,7 @@ object Pq {
     val codebooks = (0 until m).map { sub =>
       val sliced = df.select(
         array_to_vector(slice(col(vecCol), sub * dsub + 1, dsub)).as("__mlvec"))
-      val km = new KMeans().setK(kCodes).setSeed(seed + sub).setMaxIter(20)
+      val km = new KMeans().setK(kCodes).setSeed(seed + sub).setMaxIter(maxIter)
         .setFeaturesCol("__mlvec").setPredictionCol("__c")
       km.fit(sliced).clusterCenters
         .map(_.toArray.map(_.toFloat))

@@ -160,6 +160,30 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
+  test("lsh build: degree bound, rebuild determinism, servable adjacency") {
+    // the training-free huge-corpus tier must honor the same contracts
+    // as the trained-quantizer build: degree cap, byte-identical
+    // rebuilds (md5-derived planes), and an adjacency the beam walk can
+    // serve unchanged
+    def build() = GraphAnn.buildAdjacencyLsh(corpus, "vec_id", "embedding",
+      dim = 4, degree = 4)
+    val adj = build()
+    val deg = adj.groupBy("src").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(deg <= 4, s"lsh-build max out-degree $deg > 4")
+    def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(e => (e._1, e._2)).toSeq
+    val first = edges(adj)
+    assert(first.nonEmpty && first == edges(build()))
+    val entry = GraphAnn.medoid(corpus, "vec_id", "embedding")
+      .collect()(0).getLong(0)
+    val got = GraphAnn.beamSearch(adj, corpus, "vec_id", "embedding",
+      Array(10.0f, 10.0f, 10.0f, 10.0f), entry, k = 3, beamWidth = 4,
+      rounds = 3, degree = 4)
+    assert(got.count() >= 1)
+  }
+
   test("visited-budget guard rejects an over-degree adjacency") {
     // an adjacency with true degree 23 walked under a declared degree of
     // 1 must trip the budget require instead of silently ballooning
