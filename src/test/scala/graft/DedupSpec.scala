@@ -360,4 +360,128 @@ class DedupSpec extends SparkSpec {
     assert(capped.values.forall(_.isEmpty),
       "oversized cluster contributes no pairs; all members kept")
   }
+
+  // ---- degenerate-corpus properties (keeper selection + cascade) ----
+  // The registry entries are verified on planted-dup fixtures; these
+  // properties pin the boundary shapes those fixtures never produce:
+  // all-duplicate, all-unique (disjoint vocab ⇒ zero candidates), and
+  // one cluster spanning the whole corpus.
+
+  /** shape 0 = all-dup (identical text), 1 = all-unique (disjoint
+    * vocab), 2 = single cluster (periodic texts: identical 3-gram
+    * shingle SETS at different lengths ⇒ identical minhash signatures,
+    * pairwise near-candidates, no exact dups). */
+  private def degenerateDocs(shape: Int, n: Int)
+      : org.apache.spark.sql.DataFrame = (shape match {
+    case 0 => (0 until n).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+    case 1 => (0 until n).map(i =>
+      (i.toLong, (0 until 8).map(j => s"tok_${i}_$j").mkString(" ")))
+    case _ => (0 until n).map(i =>
+      (i.toLong, Seq.fill(4 + i)("p1 p2 p3").mkString(" ")))
+  }).toDF("doc_id", "text")
+
+  private def scCheck(prop: org.scalacheck.Prop, tests: Int): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(tests).withInitialSeed(42L), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: keeper selection is unique-per-cluster on degenerate corpora") {
+    import org.scalacheck.{Gen, Prop}
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      shape <- Gen.oneOf(0, 1, 2)
+      n <- Gen.chooseNum(4, 9)
+    } yield (shape, n)
+    val prop = Prop.forAll(gen) { case (shape, n) =>
+      val docs = degenerateDocs(shape, n)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+        numHashes = 8, bandSize = 1).where(col("est_jaccard") >= 0.5)
+      val clusters = Dedup
+        .clusters(docs.select(col("doc_id")), "doc_id", pairs)
+        .withColumnRenamed("id", "doc_id")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val picked = clusters
+        .join(docs.select(col("doc_id"), length(col("text")).as("n_chars")),
+          "doc_id")
+        .withColumn("keeper_id", first(col("doc_id")).over(w))
+        .select("doc_id", "cluster_id", "keeper_id")
+        .as[(Long, Long, Long)].collect().toSeq
+      val byCluster = picked.groupBy(_._2)
+      // exactly one keeper per cluster, and it is a member of the cluster
+      val unique = byCluster.values.forall { ms =>
+        ms.map(_._3).distinct.size == 1 &&
+          ms.map(_._1).contains(ms.head._3)
+      }
+      val shapeOk = shape match {
+        case 0 => byCluster.size == 1 && picked.forall(_._3 == 0L)
+        case 1 => byCluster.size == n && picked.forall(m => m._3 == m._1)
+        // single cluster: the longest member (highest id here) wins
+        case _ => byCluster.size == 1 && picked.forall(_._3 == (n - 1).toLong)
+      }
+      unique && shapeOk
+    }
+    scCheck(prop, tests = 12)
+  }
+
+  test("property: cascade tier verdicts partition degenerate corpora") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = for {
+      shape <- Gen.oneOf(0, 1, 2)
+      n <- Gen.chooseNum(4, 9)
+    } yield (shape, n)
+    val prop = Prop.forAll(gen) { case (shape, n) =>
+      val docs = degenerateDocs(shape, n)
+      // the dedup_cascade composition: exact tier, then near tier (est
+      // ≥ 0.9) over exact-tier survivors only
+      val exact = Dedup.exact(docs, "doc_id", "text")
+      val withExact = docs.select(col("doc_id"), md5(col("text")).as("__h"))
+        .join(exact.select(col("content_hash").as("__h"), col("keep_id")),
+          Seq("__h"))
+        .select(col("doc_id"),
+          when(col("doc_id") =!= col("keep_id"), col("keep_id"))
+            .as("exact_of"))
+      val survivors = withExact.where(col("exact_of").isNull)
+        .select("doc_id")
+      val nearOf = Dedup.minhashCandidates(docs, "doc_id", "text",
+          numHashes = 8, bandSize = 1)
+        .where(col("est_jaccard") >= 0.9)
+        .join(survivors.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+        .join(survivors.withColumnRenamed("doc_id", "id_b"), Seq("id_b"))
+        .groupBy(col("id_b").as("doc_id"))
+        .agg(min(col("id_a")).as("near_of"))
+      val verdicts = withExact.join(nearOf, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_of").isNotNull, lit("exact"))
+            .when(col("near_of").isNotNull, lit("near")).as("tier"),
+          coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+        .as[(Long, Option[String], Option[Long])].collect().toSeq
+      val invariants = verdicts.size == n &&
+        verdicts.map(_._1).distinct.size == n &&
+        verdicts.forall { case (id, tier, dupOf) =>
+          tier.isDefined == dupOf.isDefined &&       // verdict ⇔ keeper
+            dupOf.forall(_ < id)                     // keeper has lower id
+        }
+      val (nExact, nNear, nKept) = (
+        verdicts.count(_._2.contains("exact")),
+        verdicts.count(_._2.contains("near")),
+        verdicts.count(_._2.isEmpty))
+      val totalsOk = nExact + nNear + nKept == n
+      val shapeOk = shape match {
+        case 0 => nExact == n - 1 && nNear == 0 && nKept == 1
+        case 1 => nExact == 0 && nNear == 0 && nKept == n
+        // identical signatures, pairwise-distinct texts: doc 0 keeps,
+        // everyone else lands in the near tier pointing at 0
+        case _ => nExact == 0 && nNear == n - 1 && nKept == 1 &&
+          verdicts.forall { case (id, _, dupOf) =>
+            id == 0L || dupOf.contains(0L)
+          }
+      }
+      invariants && totalsOk && shapeOk
+    }
+    scCheck(prop, tests = 12)
+  }
 }
