@@ -6,6 +6,7 @@ import graft.multimodal.Multimodal
 import graft.streaming.EventsStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Streaming + multimodal surface. The streaming entry actually runs a
   * Structured Streaming query (file source → memory sink, drained with
@@ -17,14 +18,30 @@ object StreamingQueries {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** File-source schema for an events parquet path: the fixed column
+    * layout with `ts` declared at whatever physical type the fixture on
+    * disk actually carries (nanos LONG in older driver generations,
+    * TIMESTAMP_NTZ micros in newer ones — see Tables.normalizeTs). A
+    * stream can't infer parquet schemas, so probe via one batch footer
+    * read. */
+  private def eventsDiskSchema(s: SparkSession, path: String): StructType = {
+    val tsType = s.read.parquet(path).schema("ts").dataType
+    StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+  }
+
+  /** Streaming events source normalized to session-TZ TIMESTAMP `ts`. */
+  private def eventsSource(s: SparkSession, dir: String): DataFrame =
+    Tables.normalizeTs(
+      s.readStream.schema(eventsDiskSchema(s, s"$dir/events.parquet"))
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+
   /** Structured Streaming tumbling-hour aggregation over the events file
     * source; complete-mode memory sink, drained synchronously. */
   private val streamingHourly = Q(
     "streaming_hourly",
     (s, dir) => {
-      val src = s.readStream.schema(eventsSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev = src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = eventsSource(s, dir)
       val qname = "graft_streaming_hourly_" + math.abs(dir.hashCode)
       val q = EventsStream.hourlyCounts(ev)
         .writeStream.outputMode("complete").format("memory")
@@ -213,13 +230,22 @@ object StreamingQueries {
       FileUtil.copy(fs, new Path(s"$dir/events.parquet"),
         fs, new Path(s"$tmp/batch0.parquet"), false, conf)
       // one sentinel row, appended as a NEW file so the stream sees a
-      // fresh micro-batch; ts in nanos (fixture convention), ~2096
-      def sentinel(tsNanos: Long): Unit =
-        Seq((0L, tsNanos, -1L, "sentinel", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // fresh micro-batch; ts ~2096, written at the SAME physical type
+      // as the copied fixture file so the stream schema stays uniform
+      val diskSchema = eventsDiskSchema(s, s"$tmp/batch0.parquet")
+      val diskTsType = diskSchema("ts").dataType
+      def sentinel(tsNanos: Long): Unit = {
+        val tsCol = diskTsType match {
+          case LongType => lit(tsNanos)
+          case t => timestamp_micros(lit(tsNanos / 1000L)).cast(t)
+        }
+        s.range(1).select(lit(0L).as("event_id"), tsCol.as("ts"),
+            lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
           .coalesce(1).write.mode("append").parquet(tmp)
-      val ev = s.readStream.schema(eventsSchema).parquet(tmp)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      }
+      val ev = Tables.normalizeTs(
+          s.readStream.schema(diskSchema).parquet(tmp))
         .select(col("user_id"), col("ts"), col("value"))
         .withWatermark("ts", "0 seconds")
         .as[EventsStream.Event]
@@ -279,9 +305,7 @@ object StreamingQueries {
   private val streamingIntervalJoin = Q(
     "streaming_interval_join",
     (s, dir) => {
-      def src = s.readStream.schema(eventsSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def src = eventsSource(s, dir)
       val clicks = src.where(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"))

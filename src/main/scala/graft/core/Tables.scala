@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Fixture-table loaders (see /root/repo/TESTDATA.md).
@@ -26,17 +26,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 only reads with `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set in every session builder here). The long is converted back to a
-    * microsecond timestamp — integer `div`, never double division, since
-    * epoch-nanos exceed double's 2^53 exact-integer range. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = load(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  /** The events fixture's `ts` physical type has varied across driver
+    * generations: parquet TIMESTAMP(NANOS) (Spark 4 reads it as a
+    * nanos LONG under `spark.sql.legacy.parquet.nanosAsLong=true`, set
+    * in every session builder here) and parquet TIMESTAMP(MICROS)
+    * without UTC adjustment (Spark reads TIMESTAMP_NTZ). DuckDB sees a
+    * naive timestamp either way, so normalize every variant to a
+    * session-TZ TIMESTAMP (sessions run UTC): nanos-long → integer
+    * `div` (never double division — epoch-nanos exceed double's 2^53
+    * exact-integer range) → `timestamp_micros`; NTZ → cast. */
+  def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame =
+    df.schema(c).dataType match {
+      case LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case _                => df
+    }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
