@@ -2,7 +2,7 @@ package graft
 
 import graft.QueryDsl._
 import graft.core.Tables
-import graft.dedup.{Dedup, SemanticDedup}
+import graft.dedup.{Dedup, FuzzyJoin, SemanticDedup}
 import org.apache.spark.sql.functions._
 
 /** Deduplication-operator coverage (north-star surface): exact,
@@ -881,10 +881,56 @@ object DedupQueries {
       ORDER BY we.doc_id ASC
     """))
 
+  /** Exact edit-distance-1 self-join on customer names via deletion-
+    * neighborhood blocking (FuzzyJoin.selfJoin) — entity resolution on
+    * near-identical identifiers. The oracle is the BRUTE-FORCE all-
+    * pairs Levenshtein formulation, so a hash match proves the
+    * deletion-key block join is lossless, not merely plausible. */
+  private val fuzzyEditJoin = Q(
+    "fuzzy_edit_join",
+    (s, dir) =>
+      FuzzyJoin.selfJoin(Tables.customer(s, dir), "c_custkey", "c_name",
+          maxDist = 1)
+        .orderBy(col("a_id").asc, col("b_id").asc),
+    Some("""
+      SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+             CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY a_id ASC, b_id ASC
+    """))
+
+  /** Radius-2 variant, profiled: per-distance pair counts and distinct
+    * left endpoints. The Spark side still computes the exact pair set
+    * (the aggregation is over FuzzyJoin.selfJoin's output); the oracle
+    * recomputes the same profile from brute-force all-pairs
+    * Levenshtein, pinning both the d=2 neighborhood generation and the
+    * verify filter. */
+  private val fuzzyEditJoinD2 = Q(
+    "fuzzy_edit_join_d2",
+    (s, dir) =>
+      FuzzyJoin.selfJoin(Tables.customer(s, dir), "c_custkey", "c_name",
+          maxDist = 2)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("a_id")).as("n_left"))
+        .orderBy(col("dist").asc),
+    Some("""
+      WITH p AS (
+        SELECT a.c_custkey AS a_id,
+               levenshtein(a.c_name, b.c_name) AS dist
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2)
+      SELECT CAST(dist AS INT) AS dist,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(DISTINCT a_id) AS BIGINT) AS n_left
+      FROM p GROUP BY dist ORDER BY dist ASC
+    """))
+
   val all: Seq[Q] = Seq(dedupExact, dedupJaccardPairs, dedupMinhashLsh,
     dedupSimhash, dedupSimhash64, dedupCosinePairs, dedupCosineMultiprobe, annBulkTopk,
     annBulkTopkGuaranteed,
     dedupSubstringSpans, dedupClusters, dedupKeeperSelection, semanticDedup,
     dedupIncrementalIngest, annRecallReport,
-    dedupCascade)
+    dedupCascade, fuzzyEditJoin, fuzzyEditJoinD2)
 }

@@ -1,0 +1,81 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (Levenshtein) self-join via deletion-neighborhood
+  * blocking — the SymSpell family (Garbe 2012; the same delete-variant
+  * candidate generation underlying FastSS, Bocek et al. 2007). The
+  * reference's fuzzy surface is embedding-side (Milvus similarity);
+  * string-identity near-match is the complementary pipeline need
+  * (entity resolution on titles/URLs/names before semantic dedup).
+  *
+  * Technique: two strings with `lev(s,t) <= d` necessarily share a
+  * variant reachable from both by at most `d` single-character
+  * deletions (each edit op — substitution, insertion, deletion — is
+  * absorbed by deleting the touched position from one or both sides).
+  * So: explode each string's deletion neighborhood, equi-join on the
+  * variant, then VERIFY surviving candidate pairs with the exact
+  * `levenshtein` function. The block join is a superset generator; the
+  * verify step makes the result exact — same candidates-then-verify
+  * discipline as the simhash pigeonhole join (Dedup.simhashNearPairs).
+  *
+  * Spark shape: all candidate generation is native codegen'd functions
+  * (`transform`/`flatten`/`array_distinct`/`explode`), the block join
+  * is an equi-join on the variant string (shuffle on variant, never a
+  * cartesian), pair dedup is one `dropDuplicates` shuffle on the pair
+  * key, and the verifier is the codegen'd `levenshtein`.
+  *
+  * Scale: per row the neighborhood is O(len^d) variants (19 for
+  * len=18 at d=1, ~170 at d=2) — a constant fan-out, so candidate
+  * volume grows linearly with corpus size for fixed near-dup density.
+  * Bucket sizes are bounded by near-duplicate cluster size, NOT corpus
+  * size; the one degenerate case is exact-duplicate clusters (every
+  * copy shares every variant — quadratic within the cluster), which is
+  * why the pipeline composes `dedup_exact` FIRST (the cascade
+  * discipline, Dedup.cascade): run this join on exact-dedup keepers.
+  */
+object FuzzyJoin {
+
+  /** All variants of `s` reachable by deleting exactly 0 or 1
+    * characters: index `i` in `0 until length` deletes the char at
+    * 0-based position `i`; index `length` yields `s` itself (the empty
+    * deletion falls out of the substring arithmetic). */
+  private def deleteOne(s: Column): Column =
+    transform(sequence(lit(0), length(s)),
+      i => concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s))))
+
+  /** The deletion neighborhood of `s` at radius `d`: every distinct
+    * string reachable by at most `d` single-character deletions
+    * (includes `s`). Fan-out is O(len^d) pre-distinct — keep `d` <= 2;
+    * larger radii belong to the q-gram/jaccard tiers. */
+  def deletionNeighborhood(s: Column, d: Int): Column = {
+    require(d >= 1 && d <= 2, s"deletion radius $d outside [1,2]")
+    val once = deleteOne(s)
+    if (d == 1) array_distinct(once)
+    else array_distinct(flatten(transform(once, v => deleteOne(v))))
+  }
+
+  /** Exact Levenshtein self-join: all pairs `(a_id < b_id)` with
+    * `lev(a, b) <= maxDist`, as `(a_id, b_id, dist)`. Equality pairs
+    * (dist 0, distinct ids) are reported too — on an exact-deduped
+    * input they cannot occur. */
+  def selfJoin(df: DataFrame, idCol: String, strCol: String,
+               maxDist: Int): DataFrame = {
+    val keyed = df
+      .select(col(idCol).as("fj_id"), col(strCol).as("fj_s"))
+      .withColumn("dk",
+        explode(deletionNeighborhood(col("fj_s"), maxDist)))
+    val a = keyed.select(col("fj_id").as("a_id"), col("fj_s").as("a_s"),
+      col("dk"))
+    val b = keyed.select(col("fj_id").as("b_id"), col("fj_s").as("b_s"),
+      col("dk"))
+    a.join(b, Seq("dk"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_s", "b_s")
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
+      .where(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist").cast("int").as("dist"))
+  }
+}

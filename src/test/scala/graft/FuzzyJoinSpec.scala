@@ -1,0 +1,87 @@
+package graft
+
+import graft.dedup.FuzzyJoin
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScalaCheckTest}
+
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference DP Levenshtein for the brute-force cross-check. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = d(0)
+      d(0) = j
+      for (i <- 1 to a.length) {
+        val cur = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    d(a.length)
+  }
+
+  private def brute(rows: Seq[(Long, String)], d: Int): Set[(Long, Long, Int)] =
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib
+      dist = lev(sa, sb)
+      if dist <= d
+    } yield (ia, ib, dist)).toSet
+
+  private def run(rows: Seq[(Long, String)], d: Int): Set[(Long, Long, Int)] =
+    FuzzyJoin.selfJoin(rows.toDF("id", "s"), "id", "s", d)
+      .as[(Long, Long, Int)].collect().toSet
+
+  test("deletion neighborhood at d=1: identity plus each deletion") {
+    val r = Seq("abc").toDF("s")
+      .select(FuzzyJoin.deletionNeighborhood(col("s"), 1).as("n"))
+      .as[Seq[String]].head()
+    assert(r.toSet == Set("abc", "bc", "ac", "ab"))
+  }
+
+  test("planted edits: substitution, insertion, deletion all found at d=1") {
+    val rows = Seq(
+      1L -> "retrieval", 2L -> "retrieval",  // dist 0 (distinct ids)
+      3L -> "retrievol",                     // sub
+      4L -> "retrievall",                    // ins
+      5L -> "retrieva",                      // del
+      6L -> "transformer")                   // far
+    assert(run(rows, 1) == brute(rows, 1))
+    assert(run(rows, 1).contains((1L, 3L, 1)))
+    assert(run(rows, 1).contains((1L, 4L, 1)))
+    assert(run(rows, 1).contains((1L, 5L, 1)))
+    assert(!run(rows, 1).exists { case (a, b, _) => a == 6L || b == 6L })
+  }
+
+  test("d=2 equals brute force on a mixed-radius corpus") {
+    val rows = Seq(
+      1L -> "embedding", 2L -> "embeddings", 3L -> "embedxyng",
+      4L -> "embed", 5L -> "bedding", 6L -> "shardmap")
+    assert(run(rows, 2) == brute(rows, 2))
+  }
+
+  test("property: selfJoin equals brute force on random short strings") {
+    val word = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpus = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, word))
+    val prop = Prop.forAll(corpus, Gen.oneOf(1, 2)) { (words, d) =>
+      val rows = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      run(rows, d) == brute(rows, d)
+    }
+    val res = ScalaCheckTest.check(
+      ScalaCheckTest.Parameters.default
+        .withMinSuccessfulTests(12).withInitialSeed(42L), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("block join is an equi-join on the variant key, not a cartesian") {
+    val df = Seq(1L -> "alpha", 2L -> "alphb").toDF("id", "s")
+    val plan = FuzzyJoin.selfJoin(df, "id", "s", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
