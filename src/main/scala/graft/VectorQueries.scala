@@ -1310,8 +1310,89 @@ object VectorQueries {
       ORDER BY method ASC
     """))
 
+  /** Build-or-load the FULL-rank (64-component) rotation artifact for
+    * the OPQ tier and stage it for the `opqrot` oracle. Distinct from
+    * the 16-component MRL prefix artifact: OPQ needs a complete
+    * orthonormal basis so rotated-space L2 is a faithful search metric,
+    * not a truncation. */
+  private def opqRotationArtifact(s: org.apache.spark.sql.SparkSession,
+                                  dir: String)
+      : Seq[(Int, Array[Float])] = {
+    import graft.search.Rotation
+    val e = Tables.embeddings(s, dir)
+    val rotDf = graft.core.Artifacts.buildOnce(s,
+      s"/tmp/graft_rot64_${math.abs(dir.hashCode)}") {
+      Rotation.learn(e, "embedding", dim = 64, k = 64)
+    }
+    stageOracle(s, "opqrot", dir)("rotation" -> rotDf)
+    Rotation.collectRows(rotDf)
+  }
+
+  /** OPQ-style product quantization (Ge et al. 2013, "Optimized Product
+    * Quantization"; the Faiss `OPQ..,PQ..` transform chain): PCA-rotate
+    * the corpus so variance concentrates in the leading dims, THEN
+    * product-quantize the rotated vectors. The rotation is the public
+    * PCA initialization of OPQ (the iterative codebook/rotation
+    * refinement is a training loop, out of engine scope) — it
+    * decorrelates the subspaces a plain PQ splits blindly, which is
+    * where PQ loses recall on correlated embeddings. Same build-once
+    * artifact discipline (rotation + codebooks staged) and the oracle
+    * replays rotation, per-subspace encoding, the ADC table, candidate
+    * ranking, and the rotated-space exact rerank end-to-end. */
+  private val opqAdcSearch = Q(
+    "opq_adc_search",
+    (s, dir) => {
+      import graft.search.{Pq, Rotation}
+      val e = Tables.embeddings(s, dir)
+      val rows = opqRotationArtifact(s, dir)
+      val rotated = e.select(col("vec_id"),
+        Rotation.projectCol(col("embedding"), rows).as("rvec"))
+      val opqDir = s"/tmp/graft_opq_${math.abs(dir.hashCode)}"
+      val model =
+        if (new java.io.File(Pq.codesDir(opqDir) + "/_SUCCESS").exists())
+          Pq.load(s, opqDir)
+        else Pq.build(rotated, "rvec", "vec_id", opqDir)
+      stageOracle(s, "opq", dir)(
+        "codebooks" -> s.read.parquet(Pq.codebooksDir(opqDir)))
+      val rq = rotated.where(col("vec_id") === 0).select("rvec")
+        .collect()(0).getSeq[Float](0).toArray
+      Pq.adcSearch(s, model, rotated, "rvec", "vec_id", rq,
+        k = 5, margin = 4)
+    },
+    Some(s"""
+      WITH rot AS (SELECT component, weights FROM read_parquet(
+        '/tmp/graft_opqrot_oracle_%ORACLE_KEY%/rotation/*.parquet')),
+      proj AS (SELECT e.vec_id, r.component, ${duckProj("e.embedding")} AS p
+               FROM embeddings e, rot r),
+      pv AS (SELECT vec_id, list(p ORDER BY component) AS v
+             FROM proj GROUP BY vec_id),
+      q AS (SELECT v AS qv FROM pv WHERE vec_id = 0),
+      cb AS (SELECT * FROM read_parquet(
+        '/tmp/graft_opq_oracle_%ORACLE_KEY%/codebooks/*.parquet')),
+      enc AS (SELECT vec_id, sub, code FROM (
+          SELECT pv.vec_id, cb.sub, cb.code,
+                 row_number() OVER (PARTITION BY pv.vec_id, cb.sub ORDER BY
+                   list_sum(list_transform(range(1, 9),
+                     i -> (CAST(pv.v[cb.sub*8 + i] AS DOUBLE)
+                           - CAST(cb.centroid[i] AS DOUBLE))^2)) ASC,
+                   cb.code ASC) AS rn
+          FROM pv CROSS JOIN cb) WHERE rn = 1),
+      lut AS (SELECT cb.sub, cb.code,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (CAST(q.qv[cb.sub*8 + i] AS DOUBLE)
+                             - CAST(cb.centroid[i] AS DOUBLE))^2)) AS d
+              FROM cb CROSS JOIN q),
+      adc AS (SELECT enc.vec_id, round(sum(lut.d), 4) AS approx_distance
+              FROM enc JOIN lut USING (sub, code) GROUP BY enc.vec_id),
+      cand AS (SELECT vec_id, approx_distance FROM adc
+               ORDER BY approx_distance ASC, vec_id ASC LIMIT 20)
+      SELECT c.vec_id, c.approx_distance, ${duckL2("pv.v", "q.qv")} AS distance
+      FROM cand c JOIN pv ON pv.vec_id = c.vec_id, q
+      ORDER BY distance ASC, c.vec_id ASC LIMIT 5
+    """))
+
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery, mrlTruncatedSearch,
-    mrlRotatedSearch, mrlRotationReport,
+    mrlRotatedSearch, mrlRotationReport, opqAdcSearch,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     sq8RerankSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
