@@ -1391,8 +1391,138 @@ object VectorQueries {
       ORDER BY distance ASC, c.vec_id ASC LIMIT 5
     """))
 
+  /** OPQ-vs-PQ candidate recall over FOUR query vectors: recall@20 of
+    * the exact L2 top-5 for the plain-PQ ADC tier vs the rotated (OPQ)
+    * ADC tier — the multi-query measurement that justifies shipping the
+    * rotation for PQ (same discipline as `mrl_rotation_report`: a
+    * single query is noise, and the measurement itself — both encodings,
+    * both ADC tables, both candidate rankings, the exact baseline — is
+    * hash-checked end-to-end). */
+  private val opqRecallReport = Q(
+    "opq_recall_report",
+    (s, dir) => {
+      import graft.search.{Pq, Rotation}
+      val e = Tables.embeddings(s, dir)
+      val rows = opqRotationArtifact(s, dir)
+      val rotated = e.select(col("vec_id"),
+        Rotation.projectCol(col("embedding"), rows).as("rvec"))
+      val pqDir = s"/tmp/graft_pq_${math.abs(dir.hashCode)}"
+      val opqDir = s"/tmp/graft_opq_${math.abs(dir.hashCode)}"
+      val pq =
+        if (new java.io.File(Pq.codesDir(pqDir) + "/_SUCCESS").exists())
+          Pq.load(s, pqDir)
+        else Pq.build(e, "embedding", "vec_id", pqDir)
+      val opq =
+        if (new java.io.File(Pq.codesDir(opqDir) + "/_SUCCESS").exists())
+          Pq.load(s, opqDir)
+        else Pq.build(rotated, "rvec", "vec_id", opqDir)
+      stageOracle(s, "pq", dir)(
+        "codebooks" -> s.read.parquet(Pq.codebooksDir(pqDir)))
+      stageOracle(s, "opq", dir)(
+        "codebooks" -> s.read.parquet(Pq.codebooksDir(opqDir)))
+      val qids = Seq(0L, 7L, 13L, 21L)
+      val origQ = e.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val rotQ = rotated.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("rvec")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      def candUnion(model: Pq.Model, qs: Map[Long, Array[Float]]) =
+        qids.map { qid =>
+          Pq.adcCandidates(s, model, "vec_id", qs(qid), 20)
+            .select(lit(qid).as("qid"), col("vec_id"))
+        }.reduce(_ unionAll _)
+      val qsDf = e.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      import org.apache.spark.sql.expressions.Window
+      val exact = e.crossJoin(broadcast(qsDf))
+        .select(col("qid"), col("vec_id"),
+          round(VectorFunctions.l2Sq(col("embedding"), col("qv")), 4).as("d"))
+        .withColumn("__rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("d").asc, col("vec_id").asc)))
+        .where(col("__rn") <= 5).select("qid", "vec_id")
+      def recallRow(method: String,
+                    cand: org.apache.spark.sql.DataFrame) =
+        exact.join(cand.withColumn("hit", lit(1)),
+            Seq("qid", "vec_id"), "left")
+          .agg(round(count(col("hit")) / (5.0 * qids.size), 4).as("recall"))
+          .select(lit(method).as("method"),
+            lit(qids.size).cast("long").as("n_queries"), col("recall"))
+      recallRow("opq_adc20", candUnion(opq, rotQ))
+        .unionAll(recallRow("pq_adc20", candUnion(pq, origQ)))
+        .orderBy(col("method").asc)
+    },
+    Some(s"""
+      WITH rot AS (SELECT component, weights FROM read_parquet(
+        '/tmp/graft_opqrot_oracle_%ORACLE_KEY%/rotation/*.parquet')),
+      proj AS (SELECT e.vec_id, r.component, ${duckProj("e.embedding")} AS p
+               FROM embeddings e, rot r),
+      pv AS (SELECT vec_id, list(p ORDER BY component) AS v
+             FROM proj GROUP BY vec_id),
+      qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+             WHERE vec_id IN (0, 7, 13, 21)),
+      qpv AS (SELECT vec_id AS qid, v AS qv FROM pv
+              WHERE vec_id IN (0, 7, 13, 21)),
+      cbp AS (SELECT * FROM read_parquet(
+        '/tmp/graft_pq_oracle_%ORACLE_KEY%/codebooks/*.parquet')),
+      cbo AS (SELECT * FROM read_parquet(
+        '/tmp/graft_opq_oracle_%ORACLE_KEY%/codebooks/*.parquet')),
+      encp AS (SELECT vec_id, sub, code FROM (
+          SELECT e.vec_id, cbp.sub, cbp.code,
+                 row_number() OVER (PARTITION BY e.vec_id, cbp.sub ORDER BY
+                   list_sum(list_transform(range(1, 9),
+                     i -> (CAST(e.embedding[cbp.sub*8 + i] AS DOUBLE)
+                           - CAST(cbp.centroid[i] AS DOUBLE))^2)) ASC,
+                   cbp.code ASC) AS rn
+          FROM embeddings e CROSS JOIN cbp) WHERE rn = 1),
+      enco AS (SELECT vec_id, sub, code FROM (
+          SELECT pv.vec_id, cbo.sub, cbo.code,
+                 row_number() OVER (PARTITION BY pv.vec_id, cbo.sub ORDER BY
+                   list_sum(list_transform(range(1, 9),
+                     i -> (CAST(pv.v[cbo.sub*8 + i] AS DOUBLE)
+                           - CAST(cbo.centroid[i] AS DOUBLE))^2)) ASC,
+                   cbo.code ASC) AS rn
+          FROM pv CROSS JOIN cbo) WHERE rn = 1),
+      lutp AS (SELECT qs.qid, cbp.sub, cbp.code,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (CAST(qs.qv[cbp.sub*8 + i] AS DOUBLE)
+                             - CAST(cbp.centroid[i] AS DOUBLE))^2)) AS d
+              FROM cbp CROSS JOIN qs),
+      luto AS (SELECT qpv.qid, cbo.sub, cbo.code,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (CAST(qpv.qv[cbo.sub*8 + i] AS DOUBLE)
+                             - CAST(cbo.centroid[i] AS DOUBLE))^2)) AS d
+              FROM cbo CROSS JOIN qpv),
+      candp AS (SELECT qid, vec_id FROM (
+          SELECT l.qid, e.vec_id, row_number() OVER (PARTITION BY l.qid
+              ORDER BY round(sum(l.d), 4) ASC, e.vec_id ASC) AS rn
+          FROM encp e JOIN lutp l USING (sub, code)
+          GROUP BY l.qid, e.vec_id) t WHERE rn <= 20),
+      cando AS (SELECT qid, vec_id FROM (
+          SELECT l.qid, e.vec_id, row_number() OVER (PARTITION BY l.qid
+              ORDER BY round(sum(l.d), 4) ASC, e.vec_id ASC) AS rn
+          FROM enco e JOIN luto l USING (sub, code)
+          GROUP BY l.qid, e.vec_id) t WHERE rn <= 20),
+      ex AS (SELECT qid, vec_id FROM (
+          SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+              ORDER BY ${duckL2("e.embedding", "q.qv")} ASC,
+                       e.vec_id ASC) AS rn
+          FROM embeddings e, qs q) t WHERE rn <= 5)
+      SELECT method, CAST(4 AS BIGINT) AS n_queries, recall FROM (
+        SELECT 'pq_adc20' AS method,
+               round(count(c.vec_id) / 20.0, 4) AS recall
+        FROM ex e LEFT JOIN candp c
+          ON c.qid = e.qid AND c.vec_id = e.vec_id
+        UNION ALL
+        SELECT 'opq_adc20' AS method,
+               round(count(c.vec_id) / 20.0, 4) AS recall
+        FROM ex e LEFT JOIN cando c
+          ON c.qid = e.qid AND c.vec_id = e.vec_id) u
+      ORDER BY method ASC
+    """))
+
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery, mrlTruncatedSearch,
-    mrlRotatedSearch, mrlRotationReport, opqAdcSearch,
+    mrlRotatedSearch, mrlRotationReport, opqAdcSearch, opqRecallReport,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     sq8RerankSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
