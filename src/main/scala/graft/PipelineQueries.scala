@@ -1107,6 +1107,46 @@ object PipelineQueries {
       WHERE rn <= 8 ORDER BY src ASC, dst ASC
     """))
 
+  /** Small-file compaction end-to-end: ingest the documents table as
+    * EIGHT single-file appends (the streaming-ingest accumulation
+    * pattern that causes the small-files problem), compact to the byte
+    * target, and report the measured file counts plus content
+    * aggregates over the COMPACTED collection. The oracle pins the
+    * expected 9→1 file transition (constants — the Spark side measures
+    * the real directory; the 9th pre-compact file is `create`'s empty
+    * schema-registration write) and recomputes the content aggregates
+    * from the fixture, so a compaction that lost, duplicated, or
+    * mutated rows hash-mismatches. The crash-safety protocol itself (tmp-dir swap,
+    * vacuum recovery) is spec-pinned in OperatorSpec/StreamingSpec. */
+  private val collectionCompact = Q(
+    "collection_compact",
+    (s, dir) => {
+      val out = s"/tmp/graft_compactq_${math.abs(dir.hashCode)}/docs"
+      val coll = Collection(s, out)
+      val docs = Tables.documents(s, dir)
+      coll.create(docs.schema, force = true)
+      (0 until 8).foreach { b =>
+        coll.append(docs.where(pmod(col("doc_id"), lit(8)) === b).coalesce(1))
+      }
+      val (before, after) = coll.compact()
+      coll.read.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).cast("long").as("sum_text_len"))
+        .select(lit(before).cast("int").as("files_before"),
+          lit(after).cast("int").as("files_after"),
+          col("n_rows"), col("n_docs"), col("sum_chars"),
+          col("sum_text_len"))
+    },
+    Some("""
+      SELECT CAST(9 AS INT) AS files_before, CAST(1 AS INT) AS files_after,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+      FROM documents
+    """))
+
   val all: Seq[Q] = Seq(ivfSearch, ivfPartialProbe, ivfFilteredSearch,
     ivfBalanceReport, ivfAutoRewrite,
     ivfAutoRewriteSql,
@@ -1115,5 +1155,5 @@ object PipelineQueries {
     keywordTextSearch, chunkTextSearch, questionAnswerPipeline,
     collectionUpsert, collectionSchemaEvolution, collectionDeleteExpr,
     lateInteractionMaxsim, graphAnnSearch, graphAnnBulk,
-    graphAnnBulkRecall, graphAnnIncremental)
+    graphAnnBulkRecall, graphAnnIncremental, collectionCompact)
 }
