@@ -217,6 +217,21 @@ object ScaleBench {
         "jaccard_top20" -> (() =>
           Dedup.jaccardTopPairs(docs, "doc_id", "text", k = 20).count()),
         "exact_dedup" -> (() => Dedup.exact(docs, "doc_id", "text").count()),
+        // deletion-neighborhood edit-join: candidate volume (pre-verify
+        // pair rows) and the verified result, over id-style strings whose
+        // digit-hamming-1 neighbors are the planted positives. Both must
+        // stay ~linear: the blocking key is a full deletion variant, so
+        // bucket size is bounded by near-dup cluster density, not n.
+        "fuzzy_candidates (d=1)" -> (() =>
+          graft.dedup.FuzzyJoin.candidatePairs(
+            spark.range(n.toLong).select(col("id"),
+              format_string("user#%09d", col("id")).as("s")),
+            "id", "s", maxDist = 1).count()),
+        "fuzzy_edit_join (d=1)" -> (() =>
+          graft.dedup.FuzzyJoin.selfJoin(
+            spark.range(n.toLong).select(col("id"),
+              format_string("user#%09d", col("id")).as("s")),
+            "id", "s", maxDist = 1).count()),
         // round-5 search modes: each scans its build-once stored form
         // (postings / packed signatures), so the timed number is the
         // per-query serving cost — the thing that must stay ~linear-or-

@@ -56,12 +56,14 @@ object FuzzyJoin {
     else array_distinct(flatten(transform(once, v => deleteOne(v))))
   }
 
-  /** Exact Levenshtein self-join: all pairs `(a_id < b_id)` with
-    * `lev(a, b) <= maxDist`, as `(a_id, b_id, dist)`. Equality pairs
-    * (dist 0, distinct ids) are reported too — on an exact-deduped
-    * input they cannot occur. */
-  def selfJoin(df: DataFrame, idCol: String, strCol: String,
-               maxDist: Int): DataFrame = {
+  /** The pre-verify candidate tier: distinct `(a_id < b_id)` pairs
+    * sharing at least one deletion variant, with both strings carried
+    * for the verifier. Exposed separately so the scaling rehearsal can
+    * measure THIS volume — the verified result saturates at true-pair
+    * density and would hide a quadratic candidate tier (the same
+    * pre-cap measurement discipline as GraphAnn.candidatePairs). */
+  def candidatePairs(df: DataFrame, idCol: String, strCol: String,
+                     maxDist: Int): DataFrame = {
     val keyed = df
       .select(col(idCol).as("fj_id"), col(strCol).as("fj_s"))
       .withColumn("dk",
@@ -74,8 +76,16 @@ object FuzzyJoin {
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "a_s", "b_s")
       .dropDuplicates("a_id", "b_id")
+  }
+
+  /** Exact Levenshtein self-join: all pairs `(a_id < b_id)` with
+    * `lev(a, b) <= maxDist`, as `(a_id, b_id, dist)`. Equality pairs
+    * (dist 0, distinct ids) are reported too — on an exact-deduped
+    * input they cannot occur. */
+  def selfJoin(df: DataFrame, idCol: String, strCol: String,
+               maxDist: Int): DataFrame =
+    candidatePairs(df, idCol, strCol, maxDist)
       .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
       .where(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist").cast("int").as("dist"))
-  }
 }
