@@ -1002,6 +1002,47 @@ object PipelineQueries {
       ORDER BY qid ASC, distance ASC, vec_id ASC
     """))
 
+  /** Predicate + graph index (see
+    * [[graft.search.GraphAnn.filteredBeamSearch]]): the walk is
+    * label-blind (filtering expansion can disconnect the graph and
+    * strand the beam — the Filtered-DiskANN post-filter discipline),
+    * the predicate applies to the visited set, and filtered recall is
+    * bought with a wider beam than the unfiltered entry. The oracle
+    * replays every walk round via the shared CTE chain, then applies
+    * the same label filter to the final visited set — so both the
+    * routing and the filter semantics are hash-checked. */
+  private val graphAnnFiltered = Q(
+    "graph_ann_filtered",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$base/entry") {
+        GraphAnn.medoid(e, "vec_id", "embedding")
+      }
+      stageOracle(s, "graphfilt", dir)(
+        "adjacency" -> adj.select("src", "dst"),
+        "entry" -> entryDf)
+      val entryId = entryDf.collect()(0).getLong(0)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      GraphAnn.filteredBeamSearch(adj, e, "vec_id", "embedding", query,
+        entryId, predicate = col("label") === 3, k = 5,
+        beamWidth = 6, rounds = 3, degree = 8)
+    },
+    Some(s"""
+      WITH qs AS (SELECT CAST(0 AS BIGINT) AS qid, embedding AS qv
+                  FROM embeddings WHERE vec_id = 0),
+      ${bulkWalkCtes("graphfilt", beamWidth = 6, rounds = 3)}
+      SELECT v.id AS vec_id, v.d AS distance
+      FROM v3 v JOIN embeddings e ON e.vec_id = v.id
+      WHERE e.label = 3
+      ORDER BY distance ASC, vec_id ASC LIMIT 5
+    """))
+
   /** Per-query candidate recall of the bulk walk vs the exact top-5 —
     * the graph-serving analogue of `index_recall_report`'s single-query
     * graph row, and the honest number behind the bulk entry's
@@ -1155,5 +1196,6 @@ object PipelineQueries {
     keywordTextSearch, chunkTextSearch, questionAnswerPipeline,
     collectionUpsert, collectionSchemaEvolution, collectionDeleteExpr,
     lateInteractionMaxsim, graphAnnSearch, graphAnnBulk,
-    graphAnnBulkRecall, graphAnnIncremental, collectionCompact)
+    graphAnnBulkRecall, graphAnnIncremental, graphAnnFiltered,
+    collectionCompact)
 }

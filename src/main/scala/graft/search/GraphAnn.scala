@@ -208,11 +208,14 @@ object GraphAnn {
     * (rounded distance, id). Each round issues two pushed-filter point
     * lookups (adjacency rows of the frontier; vectors of the new
     * candidates) — never a corpus scan. */
-  def beamSearch(adj: DataFrame, corpus: DataFrame, idCol: String,
-                 vecCol: String, query: Array[Float], entryId: Long,
-                 k: Int, beamWidth: Int = 4, rounds: Int = 3,
-                 degree: Int = 8): DataFrame = {
-    val spark = corpus.sparkSession
+  /** The shared walk: visited set after `rounds` rounds of label-blind
+    * best-first expansion, as (id, rounded distance) pairs — bounded by
+    * the `require` budget. [[beamSearch]] takes its top-k;
+    * [[filteredBeamSearch]] post-filters it first. */
+  private def walkVisited(adj: DataFrame, corpus: DataFrame, idCol: String,
+                          vecCol: String, query: Array[Float],
+                          entryId: Long, beamWidth: Int, rounds: Int,
+                          degree: Int): Seq[(Long, Double)] = {
     val qLit = typedlit(query.toSeq)
     def distOf(ids: Seq[Long]): Array[(Long, Double)] =
       if (ids.isEmpty) Array.empty
@@ -245,13 +248,51 @@ object GraphAnn {
       }
       step += 1
     }
-    val top = visited.toSeq.sortBy { case (id, d) => (d, id) }.take(k)
+    visited.toSeq
+  }
+
+  private def resultDf(spark: SparkSession, idCol: String,
+                       top: Seq[(Long, Double)]): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.parallelize(
         top.map { case (id, d) => Row(id, d) }, 1),
       StructType(Seq(
         StructField(idCol, LongType, nullable = false),
         StructField("distance", DoubleType, nullable = false))))
+
+  def beamSearch(adj: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, query: Array[Float], entryId: Long,
+                 k: Int, beamWidth: Int = 4, rounds: Int = 3,
+                 degree: Int = 8): DataFrame = {
+    val top = walkVisited(adj, corpus, idCol, vecCol, query, entryId,
+        beamWidth, rounds, degree)
+      .sortBy { case (id, d) => (d, id) }.take(k)
+    resultDf(corpus.sparkSession, idCol, top)
+  }
+
+  /** Filtered graph serving — the post-filter form of Filtered-DiskANN
+    * (Gollapudi et al., WWW 2023; Milvus serves predicate + HNSW the
+    * same way): the walk routes LABEL-BLIND — pruning expansion by the
+    * predicate can disconnect the graph and strand the beam — and the
+    * predicate applies to the VISITED set, with recall under filtering
+    * bought by widening the beam (over-retrieval, the filtered analogue
+    * of the k·margin rerank discipline). `predicate` evaluates against
+    * the corpus rows of visited ids only (a pushed `id IN (...)` point
+    * lookup, corpus-size-independent like every other serving read). */
+  def filteredBeamSearch(adj: DataFrame, corpus: DataFrame, idCol: String,
+                         vecCol: String, query: Array[Float],
+                         entryId: Long,
+                         predicate: org.apache.spark.sql.Column, k: Int,
+                         beamWidth: Int = 6, rounds: Int = 3,
+                         degree: Int = 8): DataFrame = {
+    val vis = walkVisited(adj, corpus, idCol, vecCol, query, entryId,
+      beamWidth, rounds, degree)
+    val keep = corpus.where(col(idCol).isin(vis.map(_._1): _*))
+      .where(predicate)
+      .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
+    val top = vis.filter { case (id, _) => keep(id) }
+      .sortBy { case (id, d) => (d, id) }.take(k)
+    resultDf(corpus.sparkSession, idCol, top)
   }
 
   /** Result of an incremental [[append]]: the post-append adjacency and

@@ -184,6 +184,45 @@ class GraphAnnSpec extends SparkSpec {
     assert(got.count() >= 1)
   }
 
+  test("filtered beam: result honors the predicate, walk stays label-blind") {
+    // complete graph ⇒ visited = whole corpus after round 1, so the
+    // filtered result must be EXACTLY the brute-force filtered top-k
+    val full = GraphAnn.Params(degree = 23, nlist = 2, overlap = 2)
+    val adj = GraphAnn.buildAdjacency(corpus, "vec_id", "embedding", full)
+    val entry = GraphAnn.medoid(corpus, "vec_id", "embedding")
+      .collect()(0).getLong(0)
+    val labeled = corpus.withColumn("label",
+      (col("vec_id") % 3).cast("int"))
+    val query = Array(10.0f, 10.0f, 10.0f, 10.0f)
+    val got = GraphAnn.filteredBeamSearch(adj, labeled, "vec_id",
+        "embedding", query, entry, predicate = col("label") === 1,
+        k = 5, beamWidth = 4, rounds = 3, degree = 23)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = labeled.where(col("label") === 1)
+      .select(col("vec_id"), round(graft.functions.VectorFunctions.l2Sq(
+        col("embedding"), typedlit(query.toSeq)), 4).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact, s"filtered beam $got != filtered exact $exact")
+    assert(got.forall(_ % 3 == 1))
+  }
+
+  test("filtered beam with an always-true predicate equals beamSearch") {
+    val full = GraphAnn.Params(degree = 23, nlist = 2, overlap = 2)
+    val adj = GraphAnn.buildAdjacency(corpus, "vec_id", "embedding", full)
+    val entry = GraphAnn.medoid(corpus, "vec_id", "embedding")
+      .collect()(0).getLong(0)
+    val query = Array(0.5f, 0.5f, 0.5f, 0.5f)
+    val a = GraphAnn.filteredBeamSearch(adj, corpus, "vec_id", "embedding",
+        query, entry, predicate = lit(true), k = 5,
+        beamWidth = 4, rounds = 3, degree = 23)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = GraphAnn.beamSearch(adj, corpus, "vec_id", "embedding",
+        query, entry, k = 5, beamWidth = 4, rounds = 3, degree = 23)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+  }
+
   test("visited-budget guard rejects an over-degree adjacency") {
     // an adjacency with true degree 23 walked under a declared degree of
     // 1 must trip the budget require instead of silently ballooning
