@@ -1043,6 +1043,44 @@ object PipelineQueries {
       ORDER BY distance ASC, vec_id ASC LIMIT 5
     """))
 
+  /** Range search over the graph index (see
+    * [[graft.search.GraphAnn.rangeBeamSearch]]): every visited node
+    * within the radius, same walk as `graph_ann_filtered` — so the
+    * oracle reuses the shared round-replay CTE chain and applies the
+    * radius cut to the final visited set. Approximate by construction
+    * (matches outside the walked neighborhood are not reported), the
+    * same contract Milvus documents for range_search on graph
+    * indexes. */
+  private val graphAnnRange = Q(
+    "graph_ann_range",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$base/entry") {
+        GraphAnn.medoid(e, "vec_id", "embedding")
+      }
+      stageOracle(s, "graphrange", dir)(
+        "adjacency" -> adj.select("src", "dst"),
+        "entry" -> entryDf)
+      val entryId = entryDf.collect()(0).getLong(0)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      GraphAnn.rangeBeamSearch(adj, e, "vec_id", "embedding", query,
+        entryId, radius = 1.6, beamWidth = 6, rounds = 3, degree = 8)
+    },
+    Some(s"""
+      WITH qs AS (SELECT CAST(0 AS BIGINT) AS qid, embedding AS qv
+                  FROM embeddings WHERE vec_id = 0),
+      ${bulkWalkCtes("graphrange", beamWidth = 6, rounds = 3)}
+      SELECT id AS vec_id, d AS distance FROM v3
+      WHERE d <= 1.6
+      ORDER BY distance ASC, vec_id ASC
+    """))
+
   /** Per-query candidate recall of the bulk walk vs the exact top-5 —
     * the graph-serving analogue of `index_recall_report`'s single-query
     * graph row, and the honest number behind the bulk entry's
@@ -1197,5 +1235,5 @@ object PipelineQueries {
     collectionUpsert, collectionSchemaEvolution, collectionDeleteExpr,
     lateInteractionMaxsim, graphAnnSearch, graphAnnBulk,
     graphAnnBulkRecall, graphAnnIncremental, graphAnnFiltered,
-    collectionCompact)
+    graphAnnRange, collectionCompact)
 }

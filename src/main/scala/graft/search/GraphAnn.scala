@@ -295,6 +295,23 @@ object GraphAnn {
     resultDf(corpus.sparkSession, idCol, top)
   }
 
+  /** Range search over the graph (Milvus `range_search` parity for this
+    * index family): the same label-blind walk, result = every VISITED
+    * node within `radius` (rounded L2²), ordered by (distance, id).
+    * Like every graph serving mode this is an approximate frontier —
+    * matches outside the walked neighborhood are not reported; radius
+    * coverage grows with beamWidth/rounds exactly like top-k recall. */
+  def rangeBeamSearch(adj: DataFrame, corpus: DataFrame, idCol: String,
+                      vecCol: String, query: Array[Float], entryId: Long,
+                      radius: Double, beamWidth: Int = 6, rounds: Int = 3,
+                      degree: Int = 8): DataFrame = {
+    val top = walkVisited(adj, corpus, idCol, vecCol, query, entryId,
+        beamWidth, rounds, degree)
+      .filter { case (_, d) => d <= radius }
+      .sortBy { case (id, d) => (d, id) }
+    resultDf(corpus.sparkSession, idCol, top)
+  }
+
   /** Result of an incremental [[append]]: the post-append adjacency and
     * the forward connection `links` (new_id → candidate, dist) the beam
     * walks discovered — exposed so the edge arithmetic (symmetrize +
