@@ -801,10 +801,46 @@ object TextQueries {
       SELECT q, est_tokens, exact_tokens FROM est ORDER BY q ASC
     """))
 
+  /** Unicode NFC normalization at ingest (see
+    * [[graft.functions.NfcNormalize]] — codegen'd canonical
+    * composition, the primitive exact-hash dedup and shingling need on
+    * web corpora that mix precomposed and decomposed forms). The query
+    * plants a decomposed suffix (e + combining acute, U+0301) on every
+    * document, normalizes, and reports corpus-level before/after
+    * character totals — each composed pair shortens by exactly one, so
+    * a normalizer that missed (or over-applied) composition breaks the
+    * totals. Both engines implement Unicode canonical composition
+    * (java.text.Normalizer / DuckDB nfc_normalize), so the comparison
+    * is exact. */
+  private val textNormalizeNfc = Q(
+    "text_normalize_nfc",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val planted = concat(col("text"), lit(" cafe\u0301"))
+      Tables.documents(s, dir)
+        .select(length(planted).cast("long").as("len_before"),
+          length(TextFunctions.nfcNormalize(planted)).cast("long")
+            .as("len_after"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("len_before")).as("sum_len_before"),
+          sum(col("len_after")).as("sum_len_after"),
+          sum(when(col("len_after") =!= col("len_before"), 1L)
+            .otherwise(0L)).as("n_changed"))
+    },
+    Some("""
+      WITH p AS (SELECT text || ' cafe' || chr(769) AS t FROM documents)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(length(t)) AS BIGINT) AS sum_len_before,
+             CAST(sum(length(nfc_normalize(t))) AS BIGINT) AS sum_len_after,
+             CAST(sum(CASE WHEN length(nfc_normalize(t)) != length(t)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+      FROM p
+    """))
+
   val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
     chunkOverlapSplit, tokenStats, tokenCounts, qualityScore,
     classifierQualityScore, charEntropy, langId, docFingerprint,
     vocabTopK, tfidfTopTerms, repetitionFilter, unigramLogprob, cdcChunks,
     cdcBoilerplate, bpeLearnMerges, bpeLearnMergesBatched, bpeEncode,
-    sketchHeavyTokens, sketchTokenQuantiles)
+    sketchHeavyTokens, sketchTokenQuantiles, textNormalizeNfc)
 }

@@ -172,6 +172,51 @@ object CdcChunkList {
   }
 }
 
+/** Codegen'd Unicode NFC normalization (canonical composition) — the
+  * text-pipeline primitive Spark SQL lacks natively: web-scraped corpora
+  * mix precomposed (U+00E9 'é') and decomposed (e + U+0301) forms of the
+  * SAME text, which defeats exact-hash dedup, shingle matching, and
+  * vocabulary counting unless every string is normalized at ingest
+  * (every serious tokenizer pipeline — SentencePiece's default — runs
+  * NFKC/NFC first; cf. the reference's content cleanup at
+  * src/app.py:156-178, which strips but does not normalize).
+  *
+  * Semantics = `java.text.Normalizer.normalize(s, NFC)`, byte-compatible
+  * with DuckDB's `nfc_normalize` (both implement Unicode canonical
+  * composition, so the oracle comparison is exact). The fast path skips
+  * allocation when the input is already NFC (the overwhelmingly common
+  * case — `Normalizer.isNormalized` is a table lookup scan). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "nfc_normalize"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NfcNormalize.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  import java.text.Normalizer
+
+  /** Called from generated code. */
+  def compute(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) text
+    else UTF8String.fromString(Normalizer.normalize(s, Normalizer.Form.NFC))
+  }
+}
+
 /** Column-level API for the text kernels. */
 object TextFunctions {
   def tokenShingles(text: Column, n: Int): Column =
@@ -183,4 +228,7 @@ object TextFunctions {
 
   def cdcChunkList(text: Column, w: Int): Column =
     Bridge.column(CdcChunkList(Bridge.expression(text), w))
+
+  def nfcNormalize(text: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(text)))
 }

@@ -411,4 +411,24 @@ class TextSpec extends SparkSpec {
       (1L, 2L, 5L)))
     assert(r.filter(_._1 == 2L) == Seq((2L, 0L, 3L)))
   }
+
+  test("nfc normalize: composes decomposed forms, fixes idempotently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.nfcNormalize
+    val decomposed = "cafe\u0301 A\u030a" // e+acute, A+ring
+    val composed = "caf\u00e9 \u00c5"     // \u00e9, \u00c5
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"))
+      .toDF("id", "s")
+      .select(col("id"), nfcNormalize(col("s")).as("n"),
+        nfcNormalize(nfcNormalize(col("s"))).as("nn"),
+        length(col("s")).as("lb"), length(nfcNormalize(col("s"))).as("la"))
+    val r = df.as[(Long, String, String, Int, Int)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L)._2 == composed)               // composition happened
+    assert(r(1L)._4 == 8 && r(1L)._5 == 6)     // two marks absorbed
+    assert(r(2L)._2 == composed && r(2L)._4 == r(2L)._5) // NFC-stable
+    assert(r(3L)._2 == "plain ascii")
+    assert(r(1L)._2 == r(1L)._3)               // idempotent
+  }
 }
