@@ -1081,6 +1081,91 @@ object PipelineQueries {
       ORDER BY distance ASC, vec_id ASC
     """))
 
+  /** Streaming index maintenance for the graph family: two file-source
+    * micro-batches (base corpus, then a small late batch) drive
+    * foreachBatch — batch 1 BUILDS the graph, batch 2 runs the
+    * FreshDiskANN-style [[graft.search.GraphAnn.append]] against the
+    * frozen base structure (no rebuild; the IvfIndex.append /
+    * ivf_incremental_search contract applied to streaming ingest, which
+    * is how a 100 TB index stays current). The final adjacency is
+    * staged and the oracle replays the SERVING walk over it round by
+    * round — the streaming-built graph must serve exactly like any
+    * other; append ≡ rebuild is GraphAnnSpec's pin. */
+  private val streamingGraphIngest = Q(
+    "streaming_graph_ingest",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.types._
+      val e = Tables.embeddings(s, dir)
+      val work = s"/tmp/graft_streamgraph_${math.abs(dir.hashCode)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(work).getFileSystem(conf)
+      fs.delete(new Path(work), true)
+      fs.mkdirs(new Path(s"$work/in"))
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+        val tmp = s"$work/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        fs.rename(part, new Path(s"$work/in/$name"))
+        fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
+        fs.delete(new Path(tmp), true)
+      }
+      val isBatch = col("vec_id").between(492, 499)
+      writeOne(e.where(!isBatch), "00_base.parquet", 1000000L)
+      writeOne(e.where(isBatch), "01_batch.parquet", 2000000L)
+      val adjDir = s"$work/adjacency"
+      val entryDir = s"$work/entry"
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+      val q = src.writeStream
+        .option("checkpointLocation", s"$work/_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!fs.exists(new Path(s"$adjDir/_SUCCESS"))) {
+            GraphAnn.buildAdjacency(batch, "vec_id", "embedding")
+              .write.mode("overwrite").parquet(adjDir)
+            GraphAnn.medoid(batch, "vec_id", "embedding")
+              .write.mode("overwrite").parquet(entryDir)
+          } else {
+            val adj = s.read.parquet(adjDir)
+            val grown = s.read.schema(schema).parquet(s"$work/in")
+            val entryId = s.read.parquet(entryDir)
+              .collect()(0).getLong(0)
+            GraphAnn.append(adj, grown, "vec_id", "embedding", batch,
+                entryId, degree = 8, beamWidth = 4, rounds = 3)
+              .adjacency.write.mode("overwrite").parquet(s"$adjDir.next")
+            fs.delete(new Path(adjDir), true)
+            fs.rename(new Path(s"$adjDir.next"), new Path(adjDir))
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val adj = s.read.parquet(adjDir)
+      val entryDf = s.read.parquet(entryDir)
+      stageOracle(s, "streamgraph", dir)(
+        "adjacency" -> adj.select("src", "dst"),
+        "entry" -> entryDf)
+      val entryId = entryDf.collect()(0).getLong(0)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      GraphAnn.beamSearch(adj, e, "vec_id", "embedding", query, entryId,
+        k = 5, beamWidth = 4, rounds = 3, degree = 8)
+    },
+    Some(s"""
+      WITH qs AS (SELECT CAST(0 AS BIGINT) AS qid, embedding AS qv
+                  FROM embeddings WHERE vec_id = 0),
+      ${bulkWalkCtes("streamgraph", beamWidth = 4, rounds = 3)}
+      SELECT id AS vec_id, d AS distance FROM v3
+      ORDER BY distance ASC, vec_id ASC LIMIT 5
+    """))
+
   /** Per-query candidate recall of the bulk walk vs the exact top-5 —
     * the graph-serving analogue of `index_recall_report`'s single-query
     * graph row, and the honest number behind the bulk entry's
@@ -1235,5 +1320,5 @@ object PipelineQueries {
     collectionUpsert, collectionSchemaEvolution, collectionDeleteExpr,
     lateInteractionMaxsim, graphAnnSearch, graphAnnBulk,
     graphAnnBulkRecall, graphAnnIncremental, graphAnnFiltered,
-    graphAnnRange, collectionCompact)
+    graphAnnRange, streamingGraphIngest, collectionCompact)
 }
