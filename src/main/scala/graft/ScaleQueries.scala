@@ -246,6 +246,43 @@ object ScaleQueries {
       GROUP BY event_type ORDER BY event_type ASC
     """))
 
+  /** Hive-style DIRECTORY partition pruning — the third pruning
+    * mechanism next to sorted_scan_prune (file/row-group min-max stats)
+    * and zorder_scan_prune (multi-column stats): events written
+    * `partitionBy(event_type)`, so an equality predicate eliminates
+    * whole directories at PLANNING time (`PartitionFilters` on the
+    * scan — zero I/O for pruned partitions, not even footer reads; the
+    * PlanSpec pin asserts the filter lands in PartitionFilters, not
+    * PushedFilters). The warehouse default for low-cardinality hot
+    * predicates; stats pruning handles the high-cardinality rest.
+    * One-time build per JVM+sfDir (the sorted/bucketed convention). */
+  private val partitionedScanPrune = Q(
+    "partitioned_scan_prune",
+    (s, dir) => {
+      val out = s"/tmp/graft_part_events_${math.abs(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(out + "/_SUCCESS")
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!f.exists(p))
+        Tables.events(s, dir)
+          .write.partitionBy("event_type").mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type").asc)
+    },
+    Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS total_value,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY event_type ORDER BY event_type ASC
+    """))
+
   val all: Seq[Q] = Seq(saltedJoinAgg, bucketedJoinAgg, setOpsCustomers,
-    bloomFilterJoin, sortedScanPrune, zorderScanPrune)
+    bloomFilterJoin, sortedScanPrune, zorderScanPrune,
+    partitionedScanPrune)
 }

@@ -260,4 +260,22 @@ class PlanSpec extends SparkSpec {
       s"offset+limit must stay a bounded top-(offset+limit):\n$p")
     assert(!p.contains("Sort ["), "no global sort for a paged search")
   }
+
+  test("partitioned scan: predicate prunes DIRECTORIES at planning time") {
+    val p = plan("partitioned_scan_prune")
+    // the equality predicate must land in PartitionFilters (directory
+    // elimination, zero I/O) — NOT merely PushedFilters (footer reads)
+    val scanSection = p.substring(p.indexOf("PartitionFilters"))
+    assert(scanSection.take(200).contains("event_type"),
+      s"event_type filter must be a partition filter:\n$p")
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"),
+      "partition column must not also appear as a data filter")
+  }
+
+  test("fuzzy edit join: variant-key block join, no cartesian") {
+    val p = plan("fuzzy_edit_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"deletion-key block join must stay an equi-join:\n$p")
+  }
 }
