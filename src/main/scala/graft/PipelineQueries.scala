@@ -1271,6 +1271,53 @@ object PipelineQueries {
       WHERE rn <= 8 ORDER BY src ASC, dst ASC
     """))
 
+  /** Time travel over the collection's retained rewrite pre-images
+    * (Collection(retainVersions = true) — the capability Milvus 2.x
+    * exposed as time travel and lakehouse formats as VERSION AS OF):
+    * ingest, then a delete and an upsert, then read ALL THREE states —
+    * v1 (pre-delete), v2 (pre-upsert), live — in one result. The
+    * oracle recomputes each historical state from the fixture, so a
+    * version that leaked the wrong rewrite's rows (off-by-one in the
+    * retain step, a version renamed over another) hash-mismatches. */
+  private val collectionTimeTravel = Q(
+    "collection_time_travel",
+    (s, dir) => {
+      val out = s"/tmp/graft_timetravel_${math.abs(dir.hashCode)}/docs"
+      val coll = Collection(s, out, retainVersions = true)
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      coll.create(docs.schema, force = true)
+      coll.append(docs)
+      coll.delete(pmod(col("doc_id"), lit(10)) === 0)
+      coll.upsert(docs.where(pmod(col("doc_id"), lit(10)) === 1)
+        .withColumn("text", concat(col("text"), lit(" v2"))), "doc_id")
+      def stateAgg(version: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(length(col("text"))).cast("long").as("sum_text"))
+          .select(lit(version).as("version"), col("n_rows"),
+            col("sum_text"))
+      stateAgg("v1", coll.readVersion(1))
+        .unionAll(stateAgg("v2", coll.readVersion(2)))
+        .unionAll(stateAgg("live", coll.read))
+        .orderBy(col("version").asc)
+    },
+    Some("""
+      WITH v2s AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
+      lives AS (SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 1 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM v2s)
+      SELECT version, n_rows, sum_text FROM (
+        SELECT 'v1' AS version, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(length(text)) AS BIGINT) AS sum_text FROM documents
+        UNION ALL
+        SELECT 'v2', CAST(count(*) AS BIGINT),
+               CAST(sum(length(text)) AS BIGINT) FROM v2s
+        UNION ALL
+        SELECT 'live', CAST(count(*) AS BIGINT),
+               CAST(sum(length(text)) AS BIGINT) FROM lives) u
+      ORDER BY version ASC
+    """))
+
   /** Small-file compaction end-to-end: ingest the documents table as
     * EIGHT single-file appends (the streaming-ingest accumulation
     * pattern that causes the small-files problem), compact to the byte
@@ -1320,5 +1367,6 @@ object PipelineQueries {
     collectionUpsert, collectionSchemaEvolution, collectionDeleteExpr,
     lateInteractionMaxsim, graphAnnSearch, graphAnnBulk,
     graphAnnBulkRecall, graphAnnIncremental, graphAnnFiltered,
-    graphAnnRange, streamingGraphIngest, collectionCompact)
+    graphAnnRange, streamingGraphIngest, collectionCompact,
+    collectionTimeTravel)
 }

@@ -15,9 +15,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * same layout is a table location with many files; the vector index over
   * it is a sibling [[graft.search.IvfIndex]] directory.
   */
-final class Collection(spark: SparkSession, val dir: String) {
+final class Collection(spark: SparkSession, val dir: String,
+                       val retainVersions: Boolean = false) {
   private def fs = new Path(dir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionsRoot = new Path(dir + "__versions")
 
   def exists: Boolean = fs.exists(new Path(dir))
 
@@ -51,8 +54,11 @@ final class Collection(spark: SparkSession, val dir: String) {
   /** A1: true row count (reference's len() bug NOT replicated; §2.5 A2). */
   def count(): Long = read.count()
 
-  /** S8: drop collection. */
-  def drop(): Unit = fs.delete(new Path(dir), true)
+  /** S8: drop collection (retained snapshots go with it). */
+  def drop(): Unit = {
+    fs.delete(new Path(dir), true)
+    fs.delete(versionsRoot, true)
+  }
 
   /** Maintenance: rewrite the collection into ~`targetBytesPerFile`
     * files. Row-by-row streaming ingest (S6 appends) accumulates one
@@ -149,7 +155,12 @@ final class Collection(spark: SparkSession, val dir: String) {
 
   /** Crash-safe full rewrite: write to `dir__compact_tmp`, rename live
     * aside, rename tmp into place, delete old (see [[compact]] scaladoc
-    * for the recovery argument). */
+    * for the recovery argument). With [[retainVersions]], "delete old"
+    * becomes "rename old under `dir__versions/v<N>`" — the pre-image of
+    * every rewrite is kept as a readable snapshot (time travel; Milvus
+    * 2.x exposed the same capability on its DML log). The crash window
+    * analysis is unchanged: the retain step replaces the delete AFTER
+    * the live dir is complete. */
   private def swapRewrite(newData: DataFrame): Unit = {
     val f = fs
     val tmp = new Path(dir + "__compact_tmp")
@@ -162,13 +173,62 @@ final class Collection(spark: SparkSession, val dir: String) {
     if (!f.rename(tmp, new Path(dir)))
       throw new java.io.IOException(
         s"swap: rename $tmp -> $dir failed; previous data is at $old")
-    f.delete(old, true)
+    if (retainVersions) {
+      val v = nextVersion
+      f.mkdirs(versionsRoot)
+      if (!f.rename(old, new Path(versionsRoot, s"v$v")))
+        throw new java.io.IOException(
+          s"swap: retaining pre-image as v$v failed; data is at $old")
+    } else f.delete(old, true)
+  }
+
+  private def nextVersion: Long =
+    if (!fs.exists(versionsRoot)) 1L
+    else versions.lastOption.getOrElse(0L) + 1L
+
+  /** Retained snapshot numbers, ascending. v1 is the pre-image of the
+    * FIRST rewrite (the oldest readable state); the live dir is always
+    * the newest state and has no number. */
+  def versions: Seq[Long] =
+    if (!fs.exists(versionsRoot)) Seq.empty
+    else fs.listStatus(versionsRoot).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+      .map(_.drop(1).toLong).sorted
+
+  /** Time-travel read of retained snapshot `v` (see [[versions]]).
+    *
+    * Storage note (the warehouse contrast the compact/delete scaladocs
+    * already draw): a manifest-based format (Delta/Iceberg) retains
+    * versions as file LISTS sharing unchanged files; a plain parquet
+    * dir retains whole pre-image directories. The SEMANTICS — every
+    * historical state readable until vacuumed — are identical, and
+    * that is what the oracle checks. */
+  def readVersion(v: Long): DataFrame = {
+    val p = new Path(versionsRoot, s"v$v")
+    require(fs.exists(p), s"no retained version v$v under $versionsRoot " +
+      s"(have: ${versions.mkString(", ")})")
+    spark.read.parquet(p.toString)
+  }
+
+  /** Drop retained snapshots older than the newest `keep` (time-travel
+    * retention — the vacuum policy separated from crash-artifact
+    * cleanup, which stays [[vacuum]]'s job). Returns dropped
+    * version numbers. */
+  def expireVersions(keep: Int): Seq[Long] = {
+    require(keep >= 0, s"expireVersions: keep=$keep")
+    val drop = versions.dropRight(keep)
+    drop.foreach(v => fs.delete(new Path(versionsRoot, s"v$v"), true))
+    drop
   }
 }
 
 object Collection {
   def apply(spark: SparkSession, dir: String): Collection =
     new Collection(spark, dir)
+
+  def apply(spark: SparkSession, dir: String,
+            retainVersions: Boolean): Collection =
+    new Collection(spark, dir, retainVersions)
 
   /** Dense deterministic ids 0..n-1 ordered by `orderCol` (which must be
     * unique) — the oracle-able analog of Milvus auto_id (src/app.py:100).

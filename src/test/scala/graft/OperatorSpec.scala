@@ -377,4 +377,32 @@ class OperatorSpec extends SparkSpec {
     // a corpus with none of the learned merges is untouched (char count)
     assert(enc(2L)._2 == chars(2L))
   }
+
+  test("time travel: every rewrite retains a readable pre-image") {
+    import graft.core.Collection
+    val coll = Collection(spark, "/tmp/graft_tt_test/c",
+      retainVersions = true)
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    coll.create(df.schema, force = true)
+    coll.append(df)
+    assert(coll.versions.isEmpty, "appends do not create versions")
+    coll.delete(col("id") === 2)
+    coll.upsert(Seq((3L, "C")).toDF("id", "v"), "id")
+    assert(coll.versions == Seq(1L, 2L))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, String)].collect().toSet
+    assert(rows(coll.readVersion(1)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(rows(coll.readVersion(2)) == Set((1L, "a"), (3L, "c")))
+    assert(rows(coll.read) == Set((1L, "a"), (3L, "C")))
+    // retention: keep the newest 1 → v1 drops, v2 still readable
+    assert(coll.expireVersions(keep = 1) == Seq(1L))
+    assert(coll.versions == Seq(2L))
+    intercept[IllegalArgumentException](coll.readVersion(1))
+    // next rewrite numbers PAST the expired ones — never reuses v1
+    coll.delete(col("id") === 1)
+    assert(coll.versions == Seq(2L, 3L))
+    coll.drop()
+    assert(coll.versions.isEmpty)
+  }
 }
