@@ -300,7 +300,39 @@ object ExtraQueries {
       FROM c ORDER BY prev_type ASC, next_type ASC
     """))
 
+  /** The text kernels through the SQL surface (GraftExtensions
+    * FunctionRegistry injection — the BI-layer path): NFC-normalize a
+    * planted decomposed suffix and shingle the text, entirely in
+    * `spark.sql`. Same per-doc output discipline as the Column-API
+    * entries, so the SQL registration (arity checks, literal-n
+    * extraction, codegen through the registry) is what this adds. */
+  private val sqlTextFunctions = Q(
+    "sql_text_functions",
+    (s, dir) => {
+      GraftExtensions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("graft_documents")
+      s.sql("""
+        SELECT doc_id,
+               length(graft_nfc_normalize(concat(text, ' café')))
+                 AS norm_len,
+               size(graft_token_shingles(text, 3)) AS n_shingles
+        FROM graft_documents
+        ORDER BY doc_id ASC
+      """)
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(length(nfc_normalize(text || ' cafe' || chr(769)))
+               AS INT) AS norm_len,
+             CAST(len(list_distinct(list_transform(
+               range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))))
+               AS INT) AS n_shingles
+      FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS t
+            FROM documents)
+      ORDER BY doc_id ASC
+    """))
+
   val all: Seq[Q] = Seq(funnelConversion, csvKnowledgeLoad, annLsh, labelCentroids,
     rangeJoinBuckets, pivotUserEvents, sqlKnn, correlatedSubqueryOrders,
-    lateralTopOrders, eventTransitions)
+    lateralTopOrders, eventTransitions, sqlTextFunctions)
 }

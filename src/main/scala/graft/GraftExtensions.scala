@@ -1,6 +1,8 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, L2SquaredDistance}
+import graft.functions.{CosineSimilarity, DotProduct, L2SquaredDistance,
+  NfcNormalize, TokenShingles}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -36,7 +38,23 @@ object GraftExtensions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     binary("graft_l2_sq", L2SquaredDistance.apply),
     binary("graft_dot", DotProduct.apply),
-    binary("graft_cosine_sim", CosineSimilarity.apply))
+    binary("graft_cosine_sim", CosineSimilarity.apply),
+    "graft_nfc_normalize" -> { exprs =>
+      require(exprs.length == 1, "graft_nfc_normalize expects 1 argument")
+      NfcNormalize(exprs.head)
+    },
+    // n must be a literal (it shapes the generated code, like the SQL
+    // standard's <n> in substring — not a runtime value)
+    "graft_token_shingles" -> { exprs =>
+      require(exprs.length == 2,
+        "graft_token_shingles expects (text, n literal)")
+      val n = exprs(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_token_shingles: n must be an INT literal, got $other")
+      }
+      TokenShingles(exprs.head, n)
+    })
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =
