@@ -77,6 +77,20 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("degenerate corpora: empty, single row, exact-duplicate cluster") {
+    assert(run(Seq.empty[(Long, String)], 1).isEmpty)
+    assert(run(Seq(1L -> "alone"), 1).isEmpty)
+    // exact duplicates: every pair reported at dist 0 (the documented
+    // quadratic-within-cluster case the cascade removes beforehand)
+    val dups = Seq(1L -> "same", 2L -> "same", 3L -> "same")
+    assert(run(dups, 1) == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
+  }
+
+  test("empty-string rows join only with single-char strings, not crash") {
+    val rows = Seq(1L -> "", 2L -> "a", 3L -> "", 4L -> "ab")
+    assert(run(rows, 1) == brute(rows, 1))
+  }
+
   test("block join is an equi-join on the variant key, not a cartesian") {
     val df = Seq(1L -> "alpha", 2L -> "alphb").toDF("id", "s")
     val plan = FuzzyJoin.selfJoin(df, "id", "s", 1)
