@@ -905,21 +905,31 @@ object DedupQueries {
     * (the aggregation is over FuzzyJoin.selfJoin's output); the oracle
     * recomputes the same profile from brute-force all-pairs
     * Levenshtein, pinning both the d=2 neighborhood generation and the
-    * verify filter. */
+    * verify filter.
+    *
+    * Bounded to a FIXED 1500-key slice at every SF: consecutive
+    * zero-padded id-strings are the documented worst case for radius 2
+    * — the TRUE pair density is itself ~quadratic (136 pairs/key on
+    * this slice; a real name/title corpus is sparse in edit space), so
+    * the entry's job is to hash-pin the d=2 semantics, while the
+    * full-corpus scaling form is `fuzzy_edit_join` (d=1, SCALE.md). */
   private val fuzzyEditJoinD2 = Q(
     "fuzzy_edit_join_d2",
     (s, dir) =>
-      FuzzyJoin.selfJoin(Tables.customer(s, dir), "c_custkey", "c_name",
-          maxDist = 2)
+      FuzzyJoin.selfJoin(
+          Tables.customer(s, dir).where(col("c_custkey") < 1500),
+          "c_custkey", "c_name", maxDist = 2)
         .groupBy(col("dist"))
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("a_id")).as("n_left"))
         .orderBy(col("dist").asc),
     Some("""
-      WITH p AS (
+      WITH c AS (SELECT c_custkey, c_name FROM customer
+                 WHERE c_custkey < 1500),
+      p AS (
         SELECT a.c_custkey AS a_id,
                levenshtein(a.c_name, b.c_name) AS dist
-        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        FROM c a JOIN c b ON a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 2)
       SELECT CAST(dist AS INT) AS dist,
              CAST(count(*) AS BIGINT) AS n_pairs,

@@ -1113,8 +1113,11 @@ object PipelineQueries {
         fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
         fs.delete(new Path(tmp), true)
       }
+      // fixed 500-id demo corpus at every SF: the entry measures the
+      // INGEST machinery (build → append → serve), not corpus scaling —
+      // the graph family's scale rows live in SCALE.md
       val isBatch = col("vec_id").between(492, 499)
-      writeOne(e.where(!isBatch), "00_base.parquet", 1000000L)
+      writeOne(e.where(col("vec_id") < 492), "00_base.parquet", 1000000L)
       writeOne(e.where(isBatch), "01_batch.parquet", 2000000L)
       val adjDir = s"$work/adjacency"
       val entryDir = s"$work/entry"

@@ -350,14 +350,19 @@ object GraphAnn {
     require(rows.length <= maxBatch,
       s"graph-ann append: batch exceeds $maxBatch points — use a rebuild " +
         "for bulk re-indexing")
-    val links: Seq[(Long, Long, Double)] = rows.toSeq.flatMap { r =>
-      val newId = r.getLong(0)
-      val vec = r.getSeq[Float](1).toArray
-      beamSearch(adj, corpus, idCol, vecCol, vec, entryId,
-          k = degree, beamWidth = beamWidth, rounds = rounds,
-          degree = degree)
-        .collect().map(c => (newId, c.getLong(0), c.getDouble(1)))
-    }
+    // One BULK walk for the whole batch (bulkBeamSearch ≡ the per-query
+    // walk, GraphAnnSpec's pin): rounds × 2 jobs total instead of
+    // rounds × 2 jobs PER POINT — the job-count term that dominated
+    // streaming ingest wall-clock at small batch sizes.
+    val spark0 = batch.sparkSession
+    import spark0.implicits._
+    val qdf = rows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .toDF("__qid", "__qv")
+    val links: Seq[(Long, Long, Double)] =
+      bulkBeamSearch(adj, corpus, idCol, vecCol, qdf, "__qid", "__qv",
+          entryId, k = degree, beamWidth = beamWidth, rounds = rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
     val linksDf = spark.createDataFrame(
       spark.sparkContext.parallelize(
         links.map { case (s, d, x) => Row(s, d, x) }, 1),
