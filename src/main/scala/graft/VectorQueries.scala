@@ -1521,8 +1521,60 @@ object VectorQueries {
       ORDER BY method ASC
     """))
 
+  /** Incremental BM25 (see [[graft.search.Bm25Index]]): build on the
+    * first corpus slice, absorb two batches by postings FILE APPEND (no
+    * rewrite, no re-tokenization), then search from the artifact alone.
+    * The oracle computes BM25 over the FULL corpus from scratch — so a
+    * merge that dropped rows, double-counted a batch, or drifted the
+    * (N, avgdl) statistics hash-mismatches. Completes the
+    * every-index-maintains-incrementally set: IVF (frozen centroids),
+    * graph (FreshDiskANN append), and now the lexical tier. */
+  private val bm25IncrementalSearch = Q(
+    "bm25_incremental_search",
+    (s, dir) => {
+      import graft.search.Bm25Index
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_bm25inc_${math.abs(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Bm25Index.build(docs.where(col("doc_id") < 300),
+        "doc_id", "text", idx)
+      Bm25Index.append(docs.where(col("doc_id") >= 300 &&
+        col("doc_id") < 400), "doc_id", "text", idx)
+      Bm25Index.append(docs.where(col("doc_id") >= 400),
+        "doc_id", "text", idx)
+      Bm25Index.search(s, idx, Seq("scan", "filter", "merge"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                           unnest(string_split_regex(text, '\s+')) AS term
+                    FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST((SELECT sum(len(string_split_regex(text, '\s+')))
+                             FROM documents) AS DOUBLE) / count(*) AS avgdl
+                FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ('scan', 'filter', 'merge') GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dl AS (SELECT doc_id,
+                    CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS dl
+             FROM documents),
+      bm AS (SELECT tf.doc_id,
+                    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2)
+                      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))), 4) AS bm25
+             FROM tf JOIN dfq USING (term)
+                     JOIN dl ON dl.doc_id = tf.doc_id
+                     CROSS JOIN stats
+             GROUP BY tf.doc_id)
+      SELECT doc_id, bm25 FROM bm
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """))
+
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery, mrlTruncatedSearch,
     mrlRotatedSearch, mrlRotationReport, opqAdcSearch, opqRecallReport,
+    bm25IncrementalSearch,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     sq8RerankSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,

@@ -100,6 +100,33 @@ class KnnSpec extends SparkSpec {
     assert(Bm25.score(docs, "id", "text", Seq("absent")).isEmpty)
   }
 
+  test("bm25 index: append-then-search equals rebuild-then-search") {
+    import graft.search.{Bm25, Bm25Index}
+    val docs = Seq(
+      (1L, "scan filter scan"), (2L, "merge filter x"),
+      (3L, "scan y z"), (4L, "no match here"), (5L, "filter merge merge"))
+      .toDF("id", "text")
+    def results(idx: String) =
+      Bm25Index.search(spark, idx, Seq("scan", "filter", "merge"), 10)
+        .as[(Long, Double)].collect().toSeq
+    val full = "/tmp/graft_bm25idx_full"
+    val inc = "/tmp/graft_bm25idx_inc"
+    Bm25Index.build(docs, "id", "text", full)
+    Bm25Index.build(docs.where($"id" <= 2), "id", "text", inc)
+    Bm25Index.append(docs.where($"id" === 3L || $"id" === 4L),
+      "id", "text", inc)
+    Bm25Index.append(docs.where($"id" === 5L), "id", "text", inc)
+    assert(results(inc) == results(full))
+    // and both equal the stateless scorer's ranking
+    val direct = Bm25.score(docs, "id", "text",
+        Seq("scan", "filter", "merge"))
+      .orderBy($"bm25".desc, $"id".asc)
+      .as[(Long, Double)].collect().toSeq
+    assert(results(full) == direct)
+    // absent terms: empty, not an error — from the artifact too
+    assert(Bm25Index.search(spark, full, Seq("absent"), 10).isEmpty)
+  }
+
   test("bm25: tf monotone, rare terms outweigh common, absent docs dropped") {
     import graft.search.Bm25
     val docs = Seq(
