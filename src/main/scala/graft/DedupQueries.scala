@@ -937,10 +937,65 @@ object DedupQueries {
       FROM p GROUP BY dist ORDER BY dist ASC
     """))
 
+  /** Chunk-level containment — copied-document detection between the
+    * doc-level tiers (exact/minhash/simhash) and the token-level one
+    * (substring spans): tile every document into fixed 20-token
+    * windows, fingerprint each with md5, and report per-doc how much of
+    * the document consists of chunks that appear ANYWHERE else in the
+    * corpus (the containment ratio of Broder's resemblance/containment
+    * pair). Catches partial copies that whole-doc hashing misses and
+    * near-dup pairs whose edit is confined to one tile. Plan: one
+    * explode → one hash-count shuffle → one join back; fingerprints
+    * shuffle 16 bytes, never the text. */
+  private val dedupChunkContainment = Q(
+    "dedup_chunk_containment",
+    (s, dir) => {
+      val toks = split(col("text"), "\\s+")
+      val tiled = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .where(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(20)))
+            .as("start"),
+          col("toks"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(20))))
+            .as("h"))
+      val counts = tiled.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      tiled.join(counts, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .where(col("n_shared") > 0)
+        .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+          round(col("n_shared").cast("double") / col("n_chunks"), 4)
+            .as("containment"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                 FROM documents),
+      w AS (SELECT doc_id,
+                   md5(array_to_string(toks[s+1:s+20], ' ')) AS h
+            FROM (SELECT doc_id, toks,
+                         unnest(range(0, len(toks), 20)) AS s
+                  FROM t WHERE len(toks) > 0)),
+      c AS (SELECT h, count(*) AS c FROM w GROUP BY h),
+      p AS (SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_shared
+            FROM w JOIN c USING (h) GROUP BY doc_id)
+      SELECT doc_id, n_chunks, n_shared,
+             round(CAST(n_shared AS DOUBLE) / n_chunks, 4) AS containment
+      FROM p WHERE n_shared > 0
+      ORDER BY doc_id ASC
+    """))
+
   val all: Seq[Q] = Seq(dedupExact, dedupJaccardPairs, dedupMinhashLsh,
     dedupSimhash, dedupSimhash64, dedupCosinePairs, dedupCosineMultiprobe, annBulkTopk,
     annBulkTopkGuaranteed,
     dedupSubstringSpans, dedupClusters, dedupKeeperSelection, semanticDedup,
     dedupIncrementalIngest, annRecallReport,
-    dedupCascade, fuzzyEditJoin, fuzzyEditJoinD2)
+    dedupCascade, fuzzyEditJoin, fuzzyEditJoinD2, dedupChunkContainment)
 }
