@@ -299,6 +299,34 @@ object ScaleBench {
             "embedding", queries, "qid", "qv", entry, k = 5,
             beamWidth = 8, rounds = 6).count()
         }),
+        // filtered + range serving share the label-blind walk: cost is
+        // the walk plus ONE pushed-In lookup of the visited ids' labels
+        // (filtered) or a driver-side radius cut (range) — measured so
+        // the "same corpus-size-independence as plain beam" claim is a
+        // row, not a comment
+        "graphann_filtered_serve (beam8x6)" -> (() => {
+          import spark.implicits._
+          val (adj, entry) = graphArtifacts(spark, emb, n)
+          val labeled = emb.withColumn("label",
+            (col("vec_id") % 5).cast("int"))
+          val q = emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head().toArray
+          graft.search.GraphAnn.filteredBeamSearch(adj, labeled, "vec_id",
+            "embedding", q, entry, predicate = col("label") === 1,
+            k = 5, beamWidth = 8, rounds = 6).count()
+        }),
+        "graphann_range_serve (beam8x6)" -> (() => {
+          import spark.implicits._
+          val (adj, entry) = graphArtifacts(spark, emb, n)
+          val q = emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head().toArray
+          // radius sized to the corpus geometry: inter-cluster L2² on
+          // the N(0,1)^64 centres concentrates near 2·dim = 128, so 160
+          // admits the nearer half of the visited set
+          graft.search.GraphAnn.rangeBeamSearch(adj, emb, "vec_id",
+            "embedding", q, entry, radius = 160.0,
+            beamWidth = 8, rounds = 6).count()
+        }),
         // IVF_PQ serving: probe 8 of the IVF's cells, ADC-rank the codes
         // within — scans nprobe/nlist of a 8-byte-per-vector table
         "ivf_pq_serve (probe8, adc)" -> (() => {
