@@ -937,6 +937,38 @@ object DedupQueries {
       FROM p GROUP BY dist ORDER BY dist ASC
     """))
 
+  /** Dictionary fuzzy lookup (FuzzyJoin.lookup): 50 queries with a
+    * planted trailing typo resolved against the customer-name
+    * dictionary through a build-once deletion-key ARTIFACT — SymSpell's
+    * deployment shape (precompute the dictionary's variants once; each
+    * query explodes only its own neighborhood). The oracle is the
+    * brute-force bipartite Levenshtein join, so the hash match proves
+    * the artifact path is lossless end-to-end: each typo resolves to
+    * its whole last-digit family at distance 1. */
+  private val fuzzyLookup = Q(
+    "fuzzy_lookup",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val keys = graft.core.Artifacts.buildOnce(s,
+        s"/tmp/graft_fuzkeys_${math.abs(dir.hashCode)}") {
+        FuzzyJoin.keyTable(cust, "c_custkey", "c_name", maxDist = 1)
+      }
+      val queries = cust.where(col("c_custkey") < 50)
+        .select((col("c_custkey") + 10000).as("q_id"),
+          concat(substring(col("c_name"), 1, 17), lit("X")).as("q_name"))
+      FuzzyJoin.lookup(keys, queries, "q_id", "q_name", maxDist = 1)
+        .orderBy(col("q_id").asc, col("dict_id").asc)
+    },
+    Some("""
+      WITH q AS (SELECT c_custkey + 10000 AS q_id,
+                        substr(c_name, 1, 17) || 'X' AS q_name
+                 FROM customer WHERE c_custkey < 50)
+      SELECT q.q_id, c.c_custkey AS dict_id,
+             CAST(levenshtein(q.q_name, c.c_name) AS INT) AS dist
+      FROM q JOIN customer c ON levenshtein(q.q_name, c.c_name) <= 1
+      ORDER BY q_id ASC, dict_id ASC
+    """))
+
   /** Chunk-level containment — copied-document detection between the
     * doc-level tiers (exact/minhash/simhash) and the token-level one
     * (substring spans): tile every document into fixed 20-token
@@ -997,5 +1029,6 @@ object DedupQueries {
     annBulkTopkGuaranteed,
     dedupSubstringSpans, dedupClusters, dedupKeeperSelection, semanticDedup,
     dedupIncrementalIngest, annRecallReport,
-    dedupCascade, fuzzyEditJoin, fuzzyEditJoinD2, dedupChunkContainment)
+    dedupCascade, fuzzyEditJoin, fuzzyEditJoinD2, fuzzyLookup,
+    dedupChunkContainment)
 }

@@ -88,4 +88,37 @@ object FuzzyJoin {
       .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
       .where(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist").cast("int").as("dist"))
+
+  /** The exploded deletion-key table of a corpus — the build-once
+    * artifact form for [[lookup]] (SymSpell's actual deployment shape:
+    * the dictionary's delete-variants are precomputed once; each query
+    * explodes only its OWN neighborhood and equi-joins). One row per
+    * (id, variant). */
+  def keyTable(df: DataFrame, idCol: String, strCol: String,
+               maxDist: Int): DataFrame =
+    df.select(col(idCol).as("dict_id"), col(strCol).as("dict_s"))
+      .withColumn("dk",
+        explode(deletionNeighborhood(col("dict_s"), maxDist)))
+
+  /** Dictionary lookup: every `(query, dict)` pair with
+    * `lev <= maxDist`, as `(q_id, dict_id, dist)` — the bulk
+    * spell-correct / entity-link shape ("resolve 1M scraped names
+    * against the canonical table"). `keys` is a prebuilt [[keyTable]]
+    * artifact; queries explode their own neighborhoods and the block
+    * join is the same lossless variant equi-join as [[selfJoin]],
+    * verified by `levenshtein`. */
+  def lookup(keys: DataFrame, queries: DataFrame, qidCol: String,
+             qstrCol: String, maxDist: Int): DataFrame = {
+    val q = queries
+      .select(col(qidCol).as("q_id"), col(qstrCol).as("q_s"))
+      .withColumn("dk",
+        explode(deletionNeighborhood(col("q_s"), maxDist)))
+    q.join(keys, Seq("dk"))
+      .select("q_id", "dict_id", "q_s", "dict_s")
+      .dropDuplicates("q_id", "dict_id")
+      .withColumn("dist", levenshtein(col("q_s"), col("dict_s")))
+      .where(col("dist") <= maxDist)
+      .select(col("q_id"), col("dict_id"),
+        col("dist").cast("int").as("dist"))
+  }
 }

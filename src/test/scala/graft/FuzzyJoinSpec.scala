@@ -91,6 +91,26 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(run(rows, 1) == brute(rows, 1))
   }
 
+  test("lookup: typo queries resolve via the key-table artifact exactly") {
+    val dict = Seq(1L -> "tensor", 2L -> "sensor", 3L -> "cursor")
+    val qs = Seq(
+      10L -> "tenso",    // del  → tensor (1)
+      11L -> "sensors",  // ins  → sensor (1)
+      12L -> "cursur",   // sub  → cursor (1)
+      13L -> "vector")   // far  → none
+    val keys = FuzzyJoin.keyTable(dict.toDF("id", "s"), "id", "s", 1)
+    val got = FuzzyJoin.lookup(keys, qs.toDF("qid", "qs"), "qid", "qs", 1)
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = (for {
+      (qid, q) <- qs; (did, d) <- dict
+      dist = lev(q, d); if dist <= 1
+    } yield (qid, did, dist)).toSet
+    assert(got == exact)
+    assert(got.contains((10L, 1L, 1)) && got.contains((11L, 2L, 1)) &&
+      got.contains((12L, 3L, 1)))
+    assert(!got.exists(_._1 == 13L))
+  }
+
   test("block join is an equi-join on the variant key, not a cartesian") {
     val df = Seq(1L -> "alpha", 2L -> "alphb").toDF("id", "s")
     val plan = FuzzyJoin.selfJoin(df, "id", "s", 1)
