@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 /** Edit-distance (Levenshtein) self-join via deletion-neighborhood
   * blocking — the SymSpell family (Garbe 2012; the same delete-variant
   * candidate generation underlying FastSS, Bocek et al. 2007). The
-  * reference's fuzzy surface is embedding-side (Milvus similarity);
-  * string-identity near-match is the complementary pipeline need
-  * (entity resolution on titles/URLs/names before semantic dedup).
+  * reference's fuzzy surface is embedding-side (Milvus L2 similarity,
+  * src/app.py:240-274); string-identity near-match is the
+  * complementary pipeline need (entity resolution on titles/URLs/names
+  * before semantic dedup — the cleanup stage ahead of the reference's
+  * content filters at src/app.py:156-178).
   *
   * Technique: two strings with `lev(s,t) <= d` necessarily share a
   * variant reachable from both by at most `d` single-character

@@ -5,7 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Incremental BM25 index — the lexical-search analogue of
   * [[IvfIndex.append]] and [[GraphAnn.append]], completing the
-  * every-index-maintains-incrementally discipline: tokenization happens
+  * every-index-maintains-incrementally discipline (the reference's
+  * keyword-enhanced search, src/app.py:297-340, rebuilds nothing
+  * because Milvus owns its inverted structures; this is that
+  * maintenance surface made explicit). Tokenization happens
   * ONCE per document at ingest, the artifact absorbs new batches by
   * parquet FILE APPEND (no rewrite, no re-tokenization of the existing
   * corpus), and every corpus statistic BM25 needs is derivable from the
