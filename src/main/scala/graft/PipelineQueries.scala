@@ -1321,6 +1321,55 @@ object PipelineQueries {
       ORDER BY version ASC
     """))
 
+  /** Alias-based zero-downtime reindex (Milvus create_alias/
+    * alter_alias parity): serve through alias "serving" pointed at the
+    * blue collection, build green out of band, flip the alias (one
+    * atomic file rename), read again. The result carries BOTH phases'
+    * aggregates; the oracle recomputes each phase's corpus from the
+    * fixture, so an alias resolving to the wrong target — or a torn
+    * swap — hash-mismatches. */
+  private val collectionAliasSwap = Q(
+    "collection_alias_swap",
+    (s, dir) => {
+      val root = s"/tmp/graft_alias_${math.abs(dir.hashCode)}"
+      val rp = new org.apache.hadoop.fs.Path(root)
+      rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rp, true)
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val blue = Collection(s, s"$root/blue")
+      blue.create(docs.schema, force = true)
+      blue.append(docs.where(col("doc_id") < 250))
+      val green = Collection(s, s"$root/green")
+      green.create(docs.schema, force = true)
+      green.append(docs)
+      def phaseAgg(phase: String) =
+        Collection.byAlias(s, root, "serving").read
+          .agg(count(lit(1)).as("n_rows"),
+            sum(length(col("text"))).cast("long").as("sum_text"))
+          .select(lit(phase).as("phase"), col("n_rows"), col("sum_text"))
+      Collection.setAlias(s, root, "serving", blue.dir)
+      val a = phaseAgg("1_blue")
+      // materialize BEFORE the flip: the read plan is lazy and must
+      // capture the blue resolution, not re-resolve after the swap
+      val aRows = a.collect()
+      Collection.setAlias(s, root, "serving", green.dir)
+      val b = phaseAgg("2_green")
+      s.createDataFrame(
+        s.sparkContext.parallelize(aRows.toSeq, 1), a.schema)
+        .unionAll(b)
+        .orderBy(col("phase").asc)
+    },
+    Some("""
+      SELECT phase, n_rows, sum_text FROM (
+        SELECT '1_blue' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(length(text)) AS BIGINT) AS sum_text
+        FROM documents WHERE doc_id < 250
+        UNION ALL
+        SELECT '2_green', CAST(count(*) AS BIGINT),
+               CAST(sum(length(text)) AS BIGINT) FROM documents) u
+      ORDER BY phase ASC
+    """))
+
   /** Small-file compaction end-to-end: ingest the documents table as
     * EIGHT single-file appends (the streaming-ingest accumulation
     * pattern that causes the small-files problem), compact to the byte
@@ -1371,5 +1420,5 @@ object PipelineQueries {
     lateInteractionMaxsim, graphAnnSearch, graphAnnBulk,
     graphAnnBulkRecall, graphAnnIncremental, graphAnnFiltered,
     graphAnnRange, streamingGraphIngest, collectionCompact,
-    collectionTimeTravel)
+    collectionTimeTravel, collectionAliasSwap)
 }

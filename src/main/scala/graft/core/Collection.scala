@@ -230,6 +230,53 @@ object Collection {
             retainVersions: Boolean): Collection =
     new Collection(spark, dir, retainVersions)
 
+  // --- Aliases (Milvus alias API parity: create_alias / alter_alias /
+  // drop_alias) — the zero-downtime reindex switch: build the new
+  // collection under a fresh dir, flip the alias, drop the old. An
+  // alias is a one-line file `<root>/<name>.alias` holding the target
+  // dir, written via tmp + RENAME so a reader resolving mid-swap sees
+  // the old target or the new one, never a torn write — the same
+  // atomicity argument as the collection swapRewrite itself.
+
+  private def aliasPath(root: String, name: String) =
+    new Path(root, s"$name.alias")
+
+  /** Create or atomically retarget `name` → `targetDir`. */
+  def setAlias(spark: SparkSession, root: String, name: String,
+               targetDir: String): Unit = {
+    val p = aliasPath(root, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(root))
+    val tmp = new Path(root, s".$name.alias.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(targetDir.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"alias swap: rename $tmp -> $p failed")
+  }
+
+  /** Resolve `name` to its target dir. */
+  def resolveAlias(spark: SparkSession, root: String,
+                   name: String): String = {
+    val p = aliasPath(root, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no alias '$name' under $root")
+    val in = fs.open(p)
+    try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  /** Open the collection an alias currently points at. */
+  def byAlias(spark: SparkSession, root: String, name: String): Collection =
+    apply(spark, resolveAlias(spark, root, name))
+
+  def dropAlias(spark: SparkSession, root: String, name: String): Unit = {
+    val p = aliasPath(root, name)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, false)
+  }
+
   /** Dense deterministic ids 0..n-1 ordered by `orderCol` (which must be
     * unique) — the oracle-able analog of Milvus auto_id (src/app.py:100).
     *

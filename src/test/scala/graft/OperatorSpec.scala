@@ -378,6 +378,28 @@ class OperatorSpec extends SparkSpec {
     assert(enc(2L)._2 == chars(2L))
   }
 
+  test("alias: resolve, atomic retarget, drop; missing alias is loud") {
+    import graft.core.Collection
+    val root = "/tmp/graft_alias_test"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(rp, true)
+    val a = Collection(spark, s"$root/a")
+    val b = Collection(spark, s"$root/b")
+    val df1 = Seq((1L, "x")).toDF("id", "v")
+    val df2 = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    a.create(df1.schema, force = true); a.append(df1)
+    b.create(df2.schema, force = true); b.append(df2)
+    Collection.setAlias(spark, root, "serving", a.dir)
+    assert(Collection.byAlias(spark, root, "serving").count() == 1L)
+    Collection.setAlias(spark, root, "serving", b.dir)   // retarget
+    assert(Collection.byAlias(spark, root, "serving").count() == 2L)
+    assert(a.count() == 1L, "old target untouched by the swap")
+    Collection.dropAlias(spark, root, "serving")
+    intercept[IllegalArgumentException](
+      Collection.resolveAlias(spark, root, "serving"))
+  }
+
   test("time travel: every rewrite retains a readable pre-image") {
     import graft.core.Collection
     val coll = Collection(spark, "/tmp/graft_tt_test/c",
