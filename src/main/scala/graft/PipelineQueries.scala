@@ -1043,6 +1043,62 @@ object PipelineQueries {
       ORDER BY distance ASC, vec_id ASC LIMIT 5
     """))
 
+  /** Filtered-recall measurement for the graph family: recall@5 of the
+    * filtered walk (label-blind routing, post-filter, beam 12×4 — over-retrieval sized for ~10% selectivity)
+    * against the EXACT label-filtered top-5 — the honest number behind
+    * "filtered recall is bought with a wider beam". Both the walk and
+    * the exact baseline replay in the oracle, so the measurement
+    * itself is hash-checked (the index_recall_report discipline
+    * applied to predicate search). */
+  private val graphAnnFilteredRecall = Q(
+    "graph_ann_filtered_recall",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$base/entry") {
+        GraphAnn.medoid(e, "vec_id", "embedding")
+      }
+      stageOracle(s, "graphfiltrec", dir)(
+        "adjacency" -> adj.select("src", "dst"),
+        "entry" -> entryDf)
+      val entryId = entryDf.collect()(0).getLong(0)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val walk = GraphAnn.filteredBeamSearch(adj, e, "vec_id",
+        "embedding", query, entryId, predicate = col("label") === 3,
+        k = 5, beamWidth = 12, rounds = 4, degree = 8)
+      val qLit = typedlit(query.toSeq)
+      val exact = e.where(col("label") === 3)
+        .select(col("vec_id"),
+          round(graft.functions.VectorFunctions.l2Sq(col("embedding"),
+            qLit), 4).as("d"))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(5)
+      exact.join(walk.select(col("vec_id"), lit(1).as("hit")),
+          Seq("vec_id"), "left")
+        .agg(round(count(col("hit")) / 5.0, 4).as("recall"))
+        .select(lit("graph_filtered_beam12x4").as("method"),
+          lit(1L).as("n_queries"), col("recall"))
+    },
+    Some(s"""
+      WITH qs AS (SELECT CAST(0 AS BIGINT) AS qid, embedding AS qv
+                  FROM embeddings WHERE vec_id = 0),
+      ${bulkWalkCtes("graphfiltrec", beamWidth = 12, rounds = 4)},
+      walk AS (SELECT v.id FROM v4 v JOIN embeddings e ON e.vec_id = v.id
+               WHERE e.label = 3
+               ORDER BY v.d ASC, v.id ASC LIMIT 5),
+      ex AS (SELECT d.id FROM dall d JOIN embeddings e ON e.vec_id = d.id
+             WHERE e.label = 3
+             ORDER BY d.d ASC, d.id ASC LIMIT 5)
+      SELECT 'graph_filtered_beam12x4' AS method,
+             CAST(1 AS BIGINT) AS n_queries,
+             round(count(w.id) / 5.0, 4) AS recall
+      FROM ex LEFT JOIN walk w ON w.id = ex.id
+    """))
+
   /** Range search over the graph index (see
     * [[graft.search.GraphAnn.rangeBeamSearch]]): every visited node
     * within the radius, same walk as `graph_ann_filtered` — so the
@@ -1419,6 +1475,7 @@ object PipelineQueries {
     collectionUpsert, collectionSchemaEvolution, collectionDeleteExpr,
     lateInteractionMaxsim, graphAnnSearch, graphAnnBulk,
     graphAnnBulkRecall, graphAnnIncremental, graphAnnFiltered,
+    graphAnnFilteredRecall,
     graphAnnRange, streamingGraphIngest, collectionCompact,
     collectionTimeTravel, collectionAliasSwap)
 }
