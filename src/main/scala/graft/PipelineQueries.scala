@@ -1377,6 +1377,52 @@ object PipelineQueries {
       ORDER BY version ASC
     """))
 
+  /** Point-get by primary keys (Milvus `query(expr="id in [...]")` /
+    * `get` parity): read specific rows from a stored collection by id
+    * list. The value is the PLAN, not the rows: the `In` predicate
+    * must reach the parquet scan as a pushed filter (PlanSpec pins it)
+    * so a point lookup reads row groups whose stats match, never the
+    * collection — at warehouse scale with sorted/z-ordered layout
+    * (`sorted_scan_prune`) that is a handful of pages. */
+  private val collectionPointGet = Q(
+    "collection_point_get",
+    (s, dir) => {
+      val out = s"/tmp/graft_coll_${math.abs(dir.hashCode)}/knowledge"
+      val coll = Collection(s, out)
+      if (!coll.exists) {
+        val cleaned = Preprocess(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source").as("chapter"), col("text")),
+          "text")
+          .select(col("doc_id"), col("chapter"),
+            col("text_clean").as("content"))
+        val rows = Collection.withDenseIds(cleaned, "doc_id")
+          .select("id", "chapter", "content")
+        coll.create(rows.schema, force = true)
+        coll.append(rows)
+      }
+      coll.read.where(col("id").isin(3L, 7L, 11L))
+        .select(col("id"), col("chapter"), length(col("content"))
+          .cast("long").as("content_len"))
+        .orderBy(col("id").asc)
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id, source AS chapter,
+               trim(regexp_replace(regexp_replace(text,
+                 '[^\w一-鿿\s.,!?;:，。！？；：]', '', 'g'), '\s+', ' ', 'g'))
+                 AS content
+        FROM documents),
+      f AS (SELECT * FROM c WHERE length(content) >= 10),
+      ids AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id,
+                     chapter, content
+              FROM f)
+      SELECT CAST(id AS BIGINT) AS id, chapter,
+             CAST(length(content) AS BIGINT) AS content_len
+      FROM ids WHERE id IN (3, 7, 11)
+      ORDER BY id ASC
+    """))
+
   /** Alias-based zero-downtime reindex (Milvus create_alias/
     * alter_alias parity): serve through alias "serving" pointed at the
     * blue collection, build green out of band, flip the alias (one
@@ -1477,5 +1523,5 @@ object PipelineQueries {
     graphAnnBulkRecall, graphAnnIncremental, graphAnnFiltered,
     graphAnnFilteredRecall,
     graphAnnRange, streamingGraphIngest, collectionCompact,
-    collectionTimeTravel, collectionAliasSwap)
+    collectionTimeTravel, collectionAliasSwap, collectionPointGet)
 }

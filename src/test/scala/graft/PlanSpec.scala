@@ -272,6 +272,12 @@ class PlanSpec extends SparkSpec {
       "partition column must not also appear as a data filter")
   }
 
+  test("collection point-get: id list reaches the scan as a pushed In") {
+    val p = plan("collection_point_get")
+    assert(p.contains("PushedFilters: [In(id, ["),
+      s"id IN must push to the parquet scan:\n$p")
+  }
+
   test("fuzzy edit join: variant-key block join, no cartesian") {
     val p = plan("fuzzy_edit_join")
     assert(!p.contains("CartesianProduct") &&
