@@ -913,7 +913,16 @@ object PipelineQueries {
     * `v<rounds>` = the per-qid visited set (and `dall` = all per-qid
     * distances, for exact-recall baselines). */
   private def bulkWalkCtes(name: String, beamWidth: Int,
-                           rounds: Int): String = {
+                           rounds: Int): String =
+    bulkWalkCtesExpr(name, beamWidth.toString, rounds)
+
+  /** [[bulkWalkCtes]] with the per-round frontier width as an arbitrary
+    * SQL scalar expression (e.g. a subquery deriving the
+    * selectivity-adaptive width from the fixture) instead of a compiled
+    * constant. `rounds` stays a constant — it fixes the CTE count. */
+  private def bulkWalkCtesExpr(name: String, beamWidthSql: String,
+                               rounds: Int): String = {
+    val beamWidth = beamWidthSql
     val sb = new StringBuilder
     sb.append(s"""
       adj AS (SELECT src, dst FROM read_parquet(
@@ -1095,6 +1104,78 @@ object PipelineQueries {
              ORDER BY d.d ASC, d.id ASC LIMIT 5)
       SELECT 'graph_filtered_beam12x4' AS method,
              CAST(1 AS BIGINT) AS n_queries,
+             round(count(w.id) / 5.0, 4) AS recall
+      FROM ex LEFT JOIN walk w ON w.id = ex.id
+    """))
+
+  /** Selectivity-adaptive filtered graph search (see
+    * [[graft.search.GraphAnn.filteredBeamSearchAdaptive]]): the beam is
+    * sized by the predicate's measured selectivity (width =
+    * clamp(base/sel) — here ~10% ⇒ beam ≈ 40 vs the fixed entry's 12),
+    * the production over-retrieval discipline that moves filtered
+    * recall from 0.6 to ≥ 0.8 at the same predicate. BOTH engines
+    * derive the width from the fixture (the oracle recomputes
+    * selectivity and the clamp, then walks with that width via a scalar
+    * subquery), so a drifted derivation — not just a drifted walk —
+    * hash-mismatches. Output reports the derived width and the measured
+    * recall against the exact filtered top-5. */
+  private val graphAnnFilteredAdaptive = Q(
+    "graph_ann_filtered_adaptive",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$base/entry") {
+        GraphAnn.medoid(e, "vec_id", "embedding")
+      }
+      stageOracle(s, "graphfiltad", dir)(
+        "adjacency" -> adj.select("src", "dst"),
+        "entry" -> entryDf)
+      val entryId = entryDf.collect()(0).getLong(0)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val sel = GraphAnn.estimateSelectivity(e, col("label") === 3)
+      val bw = GraphAnn.adaptiveBeamWidth(4, sel, maxBeamWidth = 64)
+      val walk = GraphAnn.filteredBeamSearchAdaptive(adj, e, "vec_id",
+        "embedding", query, entryId, predicate = col("label") === 3,
+        k = 5, selectivity = sel, baseBeamWidth = 4, rounds = 4,
+        degree = 8, maxBeamWidth = 64)
+      val qLit = typedlit(query.toSeq)
+      val exact = e.where(col("label") === 3)
+        .select(col("vec_id"),
+          round(graft.functions.VectorFunctions.l2Sq(col("embedding"),
+            qLit), 4).as("d"))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(5)
+      exact.join(walk.select(col("vec_id"), lit(1).as("hit")),
+          Seq("vec_id"), "left")
+        .agg(round(count(col("hit")) / 5.0, 4).as("recall"))
+        .select(lit("graph_filtered_adaptive").as("method"),
+          lit(1L).as("n_queries"),
+          round(lit(sel), 4).as("selectivity"),
+          lit(bw.toLong).as("beam_width"), col("recall"))
+    },
+    Some(s"""
+      WITH qs AS (SELECT CAST(0 AS BIGINT) AS qid, embedding AS qv
+                  FROM embeddings WHERE vec_id = 0),
+      selq AS (SELECT CAST(count(*) FILTER (WHERE label = 3) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) AS sel FROM embeddings),
+      parq AS (SELECT least(64, greatest(4,
+                 CAST(ceil(4.0 / sel) AS INT))) AS bw FROM selq),
+      ${bulkWalkCtesExpr("graphfiltad", "(SELECT bw FROM parq)",
+        rounds = 4)},
+      walk AS (SELECT v.id FROM v4 v JOIN embeddings e ON e.vec_id = v.id
+               WHERE e.label = 3
+               ORDER BY v.d ASC, v.id ASC LIMIT 5),
+      ex AS (SELECT d.id FROM dall d JOIN embeddings e ON e.vec_id = d.id
+             WHERE e.label = 3
+             ORDER BY d.d ASC, d.id ASC LIMIT 5)
+      SELECT 'graph_filtered_adaptive' AS method,
+             CAST(1 AS BIGINT) AS n_queries,
+             (SELECT round(sel, 4) FROM selq) AS selectivity,
+             (SELECT CAST(bw AS BIGINT) FROM parq) AS beam_width,
              round(count(w.id) / 5.0, 4) AS recall
       FROM ex LEFT JOIN walk w ON w.id = ex.id
     """))
@@ -1472,6 +1553,52 @@ object PipelineQueries {
       ORDER BY phase ASC
     """))
 
+  /** Alias enumeration ([[Collection.listAliases]]/`describeAlias` —
+    * Milvus list_aliases/describe_alias parity): stage two collections,
+    * point two aliases at them, list. The output joins each alias to
+    * its RESOLVED collection's row count, so an alias listed with the
+    * wrong target (or a listing that misses/invents aliases)
+    * hash-mismatches against the oracle's recomputed per-corpus counts.
+    * mtime is in the API but not the output (non-deterministic). */
+  private val collectionAliasList = Q(
+    "collection_alias_list",
+    (s, dir) => {
+      val root = s"/tmp/graft_aliaslist_${math.abs(dir.hashCode)}"
+      val rp = new org.apache.hadoop.fs.Path(root)
+      rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rp, true)
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val blue = Collection(s, s"$root/blue")
+      blue.create(docs.schema, force = true)
+      blue.append(docs.where(col("doc_id") < 250))
+      val green = Collection(s, s"$root/green")
+      green.create(docs.schema, force = true)
+      green.append(docs)
+      Collection.setAlias(s, root, "serving", green.dir)
+      Collection.setAlias(s, root, "staging", blue.dir)
+      // describeAlias agrees with the listing (API contract exercised
+      // on the oracle path, not just in a spec)
+      val described = Collection.describeAlias(s, root, "serving")._1
+      require(described == green.dir,
+        s"describeAlias drift: $described != ${green.dir}")
+      val rows = Collection.listAliases(s, root).map { case (n, t, _) =>
+        (n, t.split('/').last, Collection(s, t).count())
+      }
+      import s.implicits._
+      rows.toDF("alias", "target", "n_rows")
+        .orderBy(col("alias").asc)
+    },
+    Some("""
+      SELECT alias, target, n_rows FROM (
+        SELECT 'serving' AS alias, 'green' AS target,
+               CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows
+        UNION ALL
+        SELECT 'staging', 'blue',
+               CAST((SELECT count(*) FROM documents WHERE doc_id < 250)
+                 AS BIGINT)) u
+      ORDER BY alias ASC
+    """))
+
   /** Small-file compaction end-to-end: ingest the documents table as
     * EIGHT single-file appends (the streaming-ingest accumulation
     * pattern that causes the small-files problem), compact to the byte
@@ -1521,7 +1648,8 @@ object PipelineQueries {
     collectionUpsert, collectionSchemaEvolution, collectionDeleteExpr,
     lateInteractionMaxsim, graphAnnSearch, graphAnnBulk,
     graphAnnBulkRecall, graphAnnIncremental, graphAnnFiltered,
-    graphAnnFilteredRecall,
+    graphAnnFilteredRecall, graphAnnFilteredAdaptive,
     graphAnnRange, streamingGraphIngest, collectionCompact,
-    collectionTimeTravel, collectionAliasSwap, collectionPointGet)
+    collectionTimeTravel, collectionAliasSwap, collectionAliasList,
+    collectionPointGet)
 }

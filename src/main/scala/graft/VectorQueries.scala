@@ -190,14 +190,14 @@ object VectorQueries {
                            unnest(string_split_regex(text, '\s+')) AS term
                     FROM documents),
       stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-                       CAST((SELECT sum(len(string_split_regex(text, '\s+')))
+                       CAST((SELECT sum(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)))
                              FROM documents) AS DOUBLE) / count(*) AS avgdl
                 FROM documents),
       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
              WHERE term IN ('scan', 'filter', 'merge') GROUP BY doc_id, term),
       dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
       dl AS (SELECT doc_id,
-                    CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS dl
+                    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS DOUBLE) AS dl
              FROM documents),
       bm AS (SELECT tf.doc_id,
                     round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
@@ -793,14 +793,14 @@ object VectorQueries {
                            unnest(string_split_regex(text, '\s+')) AS term
                     FROM documents),
       stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-                       CAST((SELECT sum(len(string_split_regex(text, '\s+')))
+                       CAST((SELECT sum(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)))
                              FROM documents) AS DOUBLE) / count(*) AS avgdl
                 FROM documents),
       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
              WHERE term IN ('scan', 'filter', 'merge') GROUP BY doc_id, term),
       dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
       dl AS (SELECT doc_id,
-                    CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS dl
+                    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS DOUBLE) AS dl
              FROM documents),
       bm AS (SELECT tf.doc_id,
                     round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
@@ -983,6 +983,22 @@ object VectorQueries {
       val entryId = entryDf.collect()(0).getLong(0)
       val graphTop = GraphAnn.beamSearch(adjDf, e, "vec_id", "embedding",
         qArr, entryId, k = 5).select("vec_id")
+      // OPQ∘IVF_PQ tier: same artifacts as opq_ivf_pq_search (rotated
+      // corpus, rotated-space IVF + PQ) — candidates picked in rotated
+      // space, recall measured against the RAW-space exact top-5 (the
+      // rotation is orthonormal, so a lossless tier would score 1.0)
+      val (rotated, opqModel, opqIvf, opqIvfDir, opqPqDir) =
+        opqIvfPqArtifacts(s, dir)
+      val rqArr = rotated.where(col("vec_id") === 0).select("rvec")
+        .collect()(0).getSeq[Float](0).toArray
+      val oprobed = IvfIndex.probeClusters(opqIvf, rqArr, 4)
+      val osel = s.read.parquet(IvfIndex.dataDir(opqIvfDir))
+        .where(col("cluster_id").isin(oprobed: _*)).select("vec_id")
+      val opqIvfpqCand = s.read.parquet(Pq.codesDir(opqPqDir))
+        .join(osel, Seq("vec_id"), "left_semi")
+        .withColumn("ad", Pq.adcExpr(opqModel, rqArr))
+        .orderBy(col("ad").asc, col("vec_id").asc).limit(20)
+        .select("vec_id")
       def row(method: String, nCand: Int, exact: org.apache.spark.sql.DataFrame,
               cand: org.apache.spark.sql.DataFrame) =
         exact.join(cand, Seq("vec_id"), "left_semi")
@@ -994,6 +1010,7 @@ object VectorQueries {
         .unionAll(row("sq8_margin4", 20, exactL2, sq8Cand))
         .unionAll(row("pq_adc_margin4", 20, exactL2, pqCand))
         .unionAll(row("ivfpq_probe4_margin4", 20, exactL2, ivfpqCand))
+        .unionAll(row("opq_ivfpq_probe4_margin4", 20, exactL2, opqIvfpqCand))
         .unionAll(row("graph_beam4x3", 5, exactL2, graphTop))
         .orderBy(col("method").asc)
     },
@@ -1066,6 +1083,46 @@ object VectorQueries {
       ivfpqcand AS (SELECT vec_id FROM (
           SELECT a.vec_id, a.ad FROM adcd a JOIN sel USING (vec_id)
           ORDER BY ad ASC, vec_id ASC LIMIT 20) t9),
+      orot AS (SELECT component, weights FROM read_parquet(
+        '/tmp/graft_opqrot_oracle_%ORACLE_KEY%/rotation/*.parquet')),
+      oproj AS (SELECT e.vec_id, r.component, ${duckProj("e.embedding")} AS p
+                FROM embeddings e, orot r),
+      opv AS (SELECT vec_id, list(p ORDER BY component) AS v
+              FROM oproj GROUP BY vec_id),
+      oq AS (SELECT v AS qv FROM opv WHERE vec_id = 0),
+      ocent AS (SELECT * FROM read_parquet(
+        '/tmp/graft_opqivfpq_oracle_%ORACLE_KEY%/centroids/*.parquet')),
+      oprobe AS (SELECT cluster_id FROM (
+          SELECT cluster_id,
+                 row_number() OVER (ORDER BY
+                   list_sum(list_transform(range(1, len(centroid)+1),
+                     i -> (CAST(centroid[i] AS DOUBLE)
+                           - CAST(qp.qv[i] AS DOUBLE))^2)) ASC,
+                   cluster_id ASC) AS rn
+          FROM ocent, oq qp) to1 WHERE rn <= 4),
+      oasg AS (SELECT * FROM read_parquet(
+        '/tmp/graft_opqivfpq_oracle_%ORACLE_KEY%/assign/*.parquet')),
+      osel AS (SELECT oasg.vec_id FROM oasg JOIN oprobe USING (cluster_id)),
+      ocb AS (SELECT * FROM read_parquet(
+        '/tmp/graft_opqivfpq_oracle_%ORACLE_KEY%/codebooks/*.parquet')),
+      oenc AS (SELECT vec_id, sub, code FROM (
+          SELECT opv.vec_id, ocb.sub, ocb.code,
+                 row_number() OVER (PARTITION BY opv.vec_id, ocb.sub
+                   ORDER BY list_sum(list_transform(range(1, 9),
+                     i -> (CAST(opv.v[ocb.sub*8 + i] AS DOUBLE)
+                           - CAST(ocb.centroid[i] AS DOUBLE))^2)) ASC,
+                   ocb.code ASC) AS rn
+          FROM opv JOIN osel USING (vec_id) CROSS JOIN ocb) to2
+          WHERE rn = 1),
+      olut AS (SELECT ocb.sub, ocb.code,
+                      list_sum(list_transform(range(1, 9),
+                        i -> (CAST(oq.qv[ocb.sub*8 + i] AS DOUBLE)
+                              - CAST(ocb.centroid[i] AS DOUBLE))^2)) AS d
+               FROM ocb CROSS JOIN oq),
+      oivfpqcand AS (SELECT vec_id FROM (
+          SELECT oenc.vec_id, round(sum(olut.d), 4) AS ad
+          FROM oenc JOIN olut USING (sub, code) GROUP BY oenc.vec_id
+          ORDER BY ad ASC, vec_id ASC LIMIT 20) to3),
       adjg AS (SELECT src, dst FROM read_parquet(
         '/tmp/graft_recall_oracle_%ORACLE_KEY%/adjacency/*.parquet')),
       entg AS (SELECT entry_id FROM read_parquet(
@@ -1112,6 +1169,10 @@ object VectorQueries {
         SELECT 'ivfpq_probe4_margin4', CAST(20 AS BIGINT),
                round((SELECT count(*) FROM exl
                       WHERE vec_id IN (SELECT vec_id FROM ivfpqcand)) / 5.0, 4)
+        UNION ALL
+        SELECT 'opq_ivfpq_probe4_margin4', CAST(20 AS BIGINT),
+               round((SELECT count(*) FROM exl
+                      WHERE vec_id IN (SELECT vec_id FROM oivfpqcand)) / 5.0, 4)
         UNION ALL
         SELECT 'graph_beam4x3', CAST(5 AS BIGINT),
                round((SELECT count(*) FROM exl
@@ -1328,6 +1389,37 @@ object VectorQueries {
     Rotation.collectRows(rotDf)
   }
 
+  /** Build-or-load the rotated corpus, rotated-space PQ codebooks, and
+    * rotated-space IVF layout the OPQ∘IVF_PQ entries share, staging the
+    * `opqivfpq` oracle handoffs. Returns (rotated corpus, PQ model, IVF
+    * model, ivfDir, opqDir). */
+  private def opqIvfPqArtifacts(s: org.apache.spark.sql.SparkSession,
+                                dir: String)
+      : (org.apache.spark.sql.DataFrame, graft.search.Pq.Model,
+         graft.search.IvfIndex.Model, String, String) = {
+    import graft.search.{IvfIndex, Pq, Rotation}
+    val e = Tables.embeddings(s, dir)
+    val rows = opqRotationArtifact(s, dir)
+    val rotated = e.select(col("vec_id"),
+      Rotation.projectCol(col("embedding"), rows).as("rvec"))
+    val ivfDir = s"/tmp/graft_opqivf_${math.abs(dir.hashCode)}"
+    val opqDir = s"/tmp/graft_opq_${math.abs(dir.hashCode)}"
+    val ivf =
+      if (new java.io.File(IvfIndex.centroidsDir(ivfDir)).exists())
+        IvfIndex.load(s, ivfDir)
+      else IvfIndex.build(rotated, "rvec", ivfDir, nlist = 16)
+    val opq =
+      if (new java.io.File(Pq.codesDir(opqDir) + "/_SUCCESS").exists())
+        Pq.load(s, opqDir)
+      else Pq.build(rotated, "rvec", "vec_id", opqDir)
+    stageOracle(s, "opqivfpq", dir)(
+      "centroids" -> s.read.parquet(IvfIndex.centroidsDir(ivfDir)),
+      "assign" -> s.read.parquet(IvfIndex.dataDir(ivfDir))
+        .select(col("vec_id"), col("cluster_id")),
+      "codebooks" -> s.read.parquet(Pq.codebooksDir(opqDir)))
+    (rotated, opq, ivf, ivfDir, opqDir)
+  }
+
   /** OPQ-style product quantization (Ge et al. 2013, "Optimized Product
     * Quantization"; the Faiss `OPQ..,PQ..` transform chain): PCA-rotate
     * the corpus so variance concentrates in the leading dims, THEN
@@ -1377,6 +1469,88 @@ object VectorQueries {
                            - CAST(cb.centroid[i] AS DOUBLE))^2)) ASC,
                    cb.code ASC) AS rn
           FROM pv CROSS JOIN cb) WHERE rn = 1),
+      lut AS (SELECT cb.sub, cb.code,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (CAST(q.qv[cb.sub*8 + i] AS DOUBLE)
+                             - CAST(cb.centroid[i] AS DOUBLE))^2)) AS d
+              FROM cb CROSS JOIN q),
+      adc AS (SELECT enc.vec_id, round(sum(lut.d), 4) AS approx_distance
+              FROM enc JOIN lut USING (sub, code) GROUP BY enc.vec_id),
+      cand AS (SELECT vec_id, approx_distance FROM adc
+               ORDER BY approx_distance ASC, vec_id ASC LIMIT 20)
+      SELECT c.vec_id, c.approx_distance, ${duckL2("pv.v", "q.qv")} AS distance
+      FROM cand c JOIN pv ON pv.vec_id = c.vec_id, q
+      ORDER BY distance ASC, c.vec_id ASC LIMIT 5
+    """))
+
+  /** OPQ ∘ IVF_PQ — the composition Faiss/Milvus actually deploy
+    * (`OPQ64,IVF16,PQ8` in Faiss index-factory terms; Ge et al. 2013
+    * §6 evaluates exactly this chain): PCA-rotate the corpus, fit the
+    * coarse quantizer AND the PQ codebooks in ROTATED space, probe
+    * nprobe=4 rotated centroids, ADC-scan only the surviving codes,
+    * exact-rerank in rotated space (the rotation is orthonormal, so
+    * rotated L2 ranks like raw L2 up to the staged-float rounding).
+    * Reuses the `opqrot` rotation artifact and the `opq` PQ model; only
+    * the IVF layout is new. The oracle replays rotation → centroid
+    * probe → cluster restriction → encoding → ADC → rerank from the
+    * staged handoffs end-to-end. */
+  private val opqIvfPqSearch = Q(
+    "opq_ivf_pq_search",
+    (s, dir) => {
+      import graft.search.{IvfIndex, Pq}
+      val (rotated, opq, ivf, ivfDir, opqDir) = opqIvfPqArtifacts(s, dir)
+      val rq = rotated.where(col("vec_id") === 0).select("rvec")
+        .collect()(0).getSeq[Float](0).toArray
+      val clusters = IvfIndex.probeClusters(ivf, rq, 4)
+      val selected = s.read.parquet(IvfIndex.dataDir(ivfDir))
+        .where(col("cluster_id").isin(clusters: _*))
+        .select(col("vec_id"))
+      val cand = s.read.parquet(Pq.codesDir(opqDir))
+        .join(selected, Seq("vec_id"), "left_semi")
+        .withColumn("approx_distance", Pq.adcExpr(opq, rq))
+        .orderBy(col("approx_distance").asc, col("vec_id").asc)
+        .limit(20)
+        .select(col("vec_id"), col("approx_distance"))
+      val rqLit = typedlit(rq.toSeq)
+      broadcast(cand)
+        .join(rotated, Seq("vec_id"))
+        .withColumn("distance",
+          round(VectorFunctions.l2Sq(col("rvec"), rqLit), 4))
+        .select(col("vec_id"), col("approx_distance"), col("distance"))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+        .limit(5)
+    },
+    Some(s"""
+      WITH rot AS (SELECT component, weights FROM read_parquet(
+        '/tmp/graft_opqrot_oracle_%ORACLE_KEY%/rotation/*.parquet')),
+      proj AS (SELECT e.vec_id, r.component, ${duckProj("e.embedding")} AS p
+               FROM embeddings e, rot r),
+      pv AS (SELECT vec_id, list(p ORDER BY component) AS v
+             FROM proj GROUP BY vec_id),
+      q AS (SELECT v AS qv FROM pv WHERE vec_id = 0),
+      cent AS (SELECT * FROM read_parquet(
+        '/tmp/graft_opqivfpq_oracle_%ORACLE_KEY%/centroids/*.parquet')),
+      probe AS (SELECT cluster_id FROM (
+          SELECT cluster_id,
+                 row_number() OVER (ORDER BY
+                   list_sum(list_transform(range(1, len(centroid)+1),
+                     i -> (CAST(centroid[i] AS DOUBLE)
+                           - CAST(qe.qv[i] AS DOUBLE))^2)) ASC,
+                   cluster_id ASC) AS rn
+          FROM cent, q qe) WHERE rn <= 4),
+      a AS (SELECT * FROM read_parquet(
+        '/tmp/graft_opqivfpq_oracle_%ORACLE_KEY%/assign/*.parquet')),
+      sel AS (SELECT a.vec_id FROM a JOIN probe USING (cluster_id)),
+      cb AS (SELECT * FROM read_parquet(
+        '/tmp/graft_opqivfpq_oracle_%ORACLE_KEY%/codebooks/*.parquet')),
+      enc AS (SELECT vec_id, sub, code FROM (
+          SELECT pv.vec_id, cb.sub, cb.code,
+                 row_number() OVER (PARTITION BY pv.vec_id, cb.sub ORDER BY
+                   list_sum(list_transform(range(1, 9),
+                     i -> (CAST(pv.v[cb.sub*8 + i] AS DOUBLE)
+                           - CAST(cb.centroid[i] AS DOUBLE))^2)) ASC,
+                   cb.code ASC) AS rn
+          FROM pv JOIN sel USING (vec_id) CROSS JOIN cb) WHERE rn = 1),
       lut AS (SELECT cb.sub, cb.code,
                      list_sum(list_transform(range(1, 9),
                        i -> (CAST(q.qv[cb.sub*8 + i] AS DOUBLE)
@@ -1551,14 +1725,14 @@ object VectorQueries {
                            unnest(string_split_regex(text, '\s+')) AS term
                     FROM documents),
       stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-                       CAST((SELECT sum(len(string_split_regex(text, '\s+')))
+                       CAST((SELECT sum(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)))
                              FROM documents) AS DOUBLE) / count(*) AS avgdl
                 FROM documents),
       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
              WHERE term IN ('scan', 'filter', 'merge') GROUP BY doc_id, term),
       dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
       dl AS (SELECT doc_id,
-                    CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS dl
+                    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS DOUBLE) AS dl
              FROM documents),
       bm AS (SELECT tf.doc_id,
                     round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
@@ -1574,6 +1748,7 @@ object VectorQueries {
 
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery, mrlTruncatedSearch,
     mrlRotatedSearch, mrlRotationReport, opqAdcSearch, opqRecallReport,
+    opqIvfPqSearch,
     bm25IncrementalSearch,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     sq8RerankSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,

@@ -138,15 +138,32 @@ final class Collection(spark: SparkSession, val dir: String,
   /** Maintenance: remove leftover swap artifacts — `__compact_tmp` from
     * an interrupted rewrite, `__compact_old` from a crash between the
     * swap and its cleanup (see [[compact]]'s recovery argument; once the
-    * live dir exists, both siblings are disposable). Returns what was
-    * deleted. */
+    * live dir exists, `__compact_tmp` is always disposable). With
+    * [[retainVersions]], `__compact_old` is NOT disposable: a crash
+    * between the live-dir rename and the retain rename leaves the
+    * pre-image that should have become `v<N>` at `__compact_old`, so
+    * vacuum completes the interrupted retain (moves it under
+    * `dir__versions/v<N>`) instead of destroying the snapshot. Returns
+    * the paths acted on. */
   def vacuum(): Seq[String] = {
     require(exists, s"vacuum: no live collection at $dir — " +
       "recover __compact_old manually before discarding it")
-    Seq(dir + "__compact_tmp", dir + "__compact_old").flatMap { p =>
-      val path = new Path(p)
-      if (fs.exists(path)) { fs.delete(path, true); Some(p) } else None
-    }
+    val tmp = new Path(dir + "__compact_tmp")
+    val old = new Path(dir + "__compact_old")
+    val droppedTmp =
+      if (fs.exists(tmp)) { fs.delete(tmp, true); Seq(tmp.toString) }
+      else Seq.empty
+    val handledOld =
+      if (!fs.exists(old)) Seq.empty
+      else if (retainVersions) {
+        val v = nextVersion
+        fs.mkdirs(versionsRoot)
+        if (!fs.rename(old, new Path(versionsRoot, s"v$v")))
+          throw new java.io.IOException(
+            s"vacuum: retaining $old as v$v failed")
+        Seq(s"$old -> v$v")
+      } else { fs.delete(old, true); Seq(old.toString) }
+    droppedTmp ++ handledOld
   }
 
   private def parquetFiles(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
@@ -234,25 +251,45 @@ object Collection {
   // drop_alias) — the zero-downtime reindex switch: build the new
   // collection under a fresh dir, flip the alias, drop the old. An
   // alias is a one-line file `<root>/<name>.alias` holding the target
-  // dir, written via tmp + RENAME so a reader resolving mid-swap sees
-  // the old target or the new one, never a torn write — the same
-  // atomicity argument as the collection swapRewrite itself.
+  // dir, written via tmp + overwrite-RENAME so a reader resolving
+  // mid-swap sees the old target or the new one, never a torn write or
+  // a missing file — the same atomicity argument as the collection
+  // swapRewrite itself.
 
   private def aliasPath(root: String, name: String) =
     new Path(root, s"$name.alias")
 
-  /** Create or atomically retarget `name` → `targetDir`. */
+  /** Create or atomically retarget `name` → `targetDir`.
+    *
+    * The retarget is ONE overwrite-capable rename
+    * (`FileContext.rename(…, Options.Rename.OVERWRITE)` — atomic
+    * replace on local FS and HDFS), not delete-then-rename, so there is
+    * no window in which a concurrent [[resolveAlias]] finds no alias
+    * file. Only where the filesystem has no `FileContext` binding
+    * (some object stores) does it fall back to delete+rename, and THAT
+    * path can surface a transient "no alias" to a concurrent reader —
+    * on such stores rename isn't atomic anyway, so the alias root
+    * belongs on a real filesystem. */
   def setAlias(spark: SparkSession, root: String, name: String,
                targetDir: String): Unit = {
     val p = aliasPath(root, name)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
     fs.mkdirs(new Path(root))
     val tmp = new Path(root, s".$name.alias.tmp")
     val out = fs.create(tmp, true)
     try out.write(targetDir.getBytes("UTF-8")) finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"alias swap: rename $tmp -> $p failed")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(
+            s"alias swap: rename $tmp -> $p failed")
+    }
   }
 
   /** Resolve `name` to its target dir. */
@@ -275,6 +312,36 @@ object Collection {
     val p = aliasPath(root, name)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(p, false)
+  }
+
+  /** Enumerate every alias under `root`: (name, target dir, mtime ms),
+    * name-ascending — the Milvus `list_aliases` operational surface
+    * blue-green tooling audits before and after a flip. One directory
+    * listing + one tiny read per alias; in-flight `.…​.tmp` writer files
+    * are excluded. */
+  def listAliases(spark: SparkSession,
+                  root: String): Seq[(String, String, Long)] = {
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rp)) Seq.empty
+    else fs.listStatus(rp).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".alias")
+        && !s.getPath.getName.startsWith("."))
+      .map { s =>
+        val name = s.getPath.getName.stripSuffix(".alias")
+        (name, resolveAlias(spark, root, name), s.getModificationTime)
+      }.sortBy(_._1)
+  }
+
+  /** Describe one alias: (target dir, mtime ms of the last retarget) —
+    * Milvus `describe_alias` parity. */
+  def describeAlias(spark: SparkSession, root: String,
+                    name: String): (String, Long) = {
+    val p = aliasPath(root, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no alias '$name' under $root")
+    (resolveAlias(spark, root, name),
+      fs.getFileStatus(p).getModificationTime)
   }
 
   /** Dense deterministic ids 0..n-1 ordered by `orderCol` (which must be

@@ -23,7 +23,9 @@ object Bm25 {
     * term absent. IDF is the standard smoothed ln((N-df+0.5)/(df+0.5)+1). */
   def score(docs: DataFrame, idCol: String, textCol: String,
             terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = split(col(textCol), "\\s+")
+    // empty tokens (leading-whitespace split artifacts) are excluded
+    // from BOTH tf and dl, so dl is a true term count
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
     val tf = docs.select(col(idCol).as("id"), explode(toks).as("term"))
       .where(col("term").isin(terms: _*))
       .groupBy(col("id"), col("term"))

@@ -40,10 +40,12 @@ object Bm25Index {
 
   private def tokenize(docs: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame) = {
-    val toks = split(col(textCol), "\\s+")
+    // dl counts REAL terms only: split on leading whitespace yields an
+    // empty first token, which postings drops — dl must drop it too or
+    // the artifact's "per-doc token count" silently over-counts.
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
     val postings = docs
       .select(col(idCol).cast("long").as("id"), explode(toks).as("term"))
-      .where(length(col("term")) > 0)
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val doclen = docs.select(col(idCol).cast("long").as("id"),

@@ -72,7 +72,8 @@ object GraphAnn {
     * via [[nlistForCorpus]] at build time. Explicit positive values
     * remain for oracle-pinned fixtures and tests. */
   final case class Params(degree: Int = 8, nlist: Int = 0, overlap: Int = 2,
-                          seed: Long = 42L, maxIter: Int = 20)
+                          seed: Long = 42L, maxIter: Int = 20,
+                          trainSampleCap: Long = TrainSample.DefaultCap)
 
   /** Degree cap: keep each src's `degree` nearest edges by
     * (dist asc, dst asc) — the deterministic Vamana-style re-cap used by
@@ -92,14 +93,18 @@ object GraphAnn {
     * cap over this. */
   def candidatePairs(df: DataFrame, idCol: String, vecCol: String,
                      p: Params = Params()): DataFrame = {
-    val nlist = if (p.nlist > 0) p.nlist else nlistForCorpus(df.count())
+    val n = df.count()
+    val nlist = if (p.nlist > 0) p.nlist else nlistForCorpus(n)
     val overlap = math.min(p.overlap, nlist)
-    // Coarse quantizer for sharding (seeded KMeans, same as IvfIndex)
+    // Coarse quantizer for sharding (seeded KMeans, same as IvfIndex;
+    // fit on the deterministic TrainSample cap, assignment over all rows)
     val withVec = df.withColumn("__mlvec", array_to_vector(col(vecCol)))
     val km = new KMeans()
       .setK(nlist).setSeed(p.seed).setMaxIter(p.maxIter)
       .setFeaturesCol("__mlvec").setPredictionCol("__c")
-    val centroids = km.fit(withVec).clusterCenters
+    val centroids = km.fit(
+        TrainSample.forFit(withVec, vecCol, n, p.trainSampleCap, nlist))
+      .clusterCenters
       .zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
     // Assign each point to its `overlap` nearest shards: one map-side
     // sort of an nlist-long (distance, shard) struct array — the
@@ -293,6 +298,83 @@ object GraphAnn {
     val top = vis.filter { case (id, _) => keep(id) }
       .sortBy { case (id, d) => (d, id) }.take(k)
     resultDf(corpus.sparkSession, idCol, top)
+  }
+
+  /** Over-retrieval width for a filtered walk: the label-blind beam must
+    * visit ~1/selectivity candidates per filtered survivor, so the base
+    * width scales by 1/sel, floored at the base and capped at
+    * `maxBeamWidth` (the walk budget is rounds·beam·degree point
+    * lookups — a cap keeps the serving cost a plan constant). Below
+    * sel = base/maxBeamWidth the cap saturates and recall decays again —
+    * that is the dispatch floor where [[filteredSearchAuto]] abandons
+    * the graph and scans the predicate's rows exactly (a VERY selective
+    * predicate means the filtered subset is small; with the predicate
+    * pushed to the scan, exact top-k over it is the better plan — the
+    * IVF-filtered fallback of Filtered-DiskANN deployments, Gollapudi
+    * et al. 2023 §5). Pure arithmetic, replayed by the DuckDB oracle
+    * from the fixture, so a drifted derivation hash-mismatches. */
+  def adaptiveBeamWidth(base: Int, selectivity: Double,
+                        maxBeamWidth: Int = 64): Int = {
+    require(selectivity > 0 && selectivity <= 1,
+      s"selectivity must be in (0,1], got $selectivity")
+    math.min(maxBeamWidth,
+      math.max(base, math.ceil(base / selectivity).toInt))
+  }
+
+  /** Exact predicate selectivity |σ(corpus)| / |corpus| — two counts.
+    * At warehouse scale, substitute column statistics or a
+    * [[TrainSample]]-style hash-sample estimate; the DERIVED width only
+    * needs order-of-magnitude accuracy. */
+  def estimateSelectivity(corpus: DataFrame,
+                          predicate: org.apache.spark.sql.Column): Double = {
+    val row = corpus.agg(
+      count(when(predicate, 1)).cast("double").as("m"),
+      count(lit(1)).cast("double").as("n")).collect()(0)
+    row.getDouble(0) / row.getDouble(1)
+  }
+
+  /** [[filteredBeamSearch]] with the beam sized by the predicate's
+    * selectivity ([[adaptiveBeamWidth]]) — the production filtered-ANN
+    * discipline: over-retrieve by ~1/sel instead of hoping a fixed
+    * width survives the filter. */
+  def filteredBeamSearchAdaptive(adj: DataFrame, corpus: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 query: Array[Float], entryId: Long,
+                                 predicate: org.apache.spark.sql.Column,
+                                 k: Int, selectivity: Double,
+                                 baseBeamWidth: Int = 4, rounds: Int = 4,
+                                 degree: Int = 8,
+                                 maxBeamWidth: Int = 64): DataFrame =
+    filteredBeamSearch(adj, corpus, idCol, vecCol, query, entryId,
+      predicate, k,
+      beamWidth = adaptiveBeamWidth(baseBeamWidth, selectivity, maxBeamWidth),
+      rounds = rounds, degree = degree)
+
+  /** Filtered search with the selectivity dispatch: adaptive graph walk
+    * while the widened beam fits under `maxBeamWidth`; below that floor
+    * (sel < base/maxBeamWidth) the predicate is selective enough that
+    * an EXACT top-k over the pushed-predicate scan is the better plan —
+    * approximation buys nothing when the candidate set is tiny, and the
+    * label-blind walk would need an unbounded beam to hit it. */
+  def filteredSearchAuto(adj: DataFrame, corpus: DataFrame, idCol: String,
+                         vecCol: String, query: Array[Float], entryId: Long,
+                         predicate: org.apache.spark.sql.Column, k: Int,
+                         selectivity: Double, baseBeamWidth: Int = 4,
+                         rounds: Int = 4, degree: Int = 8,
+                         maxBeamWidth: Int = 64): DataFrame = {
+    require(selectivity > 0 && selectivity <= 1,
+      s"selectivity must be in (0,1], got $selectivity")
+    if (baseBeamWidth / selectivity > maxBeamWidth) {
+      val qLit = typedlit(query.toSeq)
+      corpus.where(predicate)
+        .select(col(idCol).cast("long").as(idCol),
+          round(VectorFunctions.l2Sq(col(vecCol), qLit), 4).as("distance"))
+        .orderBy(col("distance").asc, col(idCol).asc)
+        .limit(k)
+    } else
+      filteredBeamSearchAdaptive(adj, corpus, idCol, vecCol, query,
+        entryId, predicate, k, selectivity, baseBeamWidth, rounds, degree,
+        maxBeamWidth)
   }
 
   /** Range search over the graph (Milvus `range_search` parity for this

@@ -32,15 +32,20 @@ object IvfIndex {
 
   /** Fit KMeans(nlist) on `vecCol`, assign cluster ids, write the corpus
     * partitioned by cluster_id plus a centroids table. Deterministic under
-    * a fixed seed. */
+    * a fixed seed. The fit trains on a deterministic hash sample of at
+    * most ~`trainSampleCap` rows ([[TrainSample.forFit]] — corpora at or
+    * under the cap train on everything); ASSIGNMENT always covers the
+    * full corpus, so the cap changes build cost, never coverage. */
   def build(df: DataFrame, vecCol: String, indexDir: String, nlist: Int,
-            seed: Long = 42L, maxIter: Int = 20): Model = {
+            seed: Long = 42L, maxIter: Int = 20,
+            trainSampleCap: Long = TrainSample.DefaultCap): Model = {
     val spark = df.sparkSession
     val withVec = df.withColumn("__mlvec", array_to_vector(col(vecCol)))
     val km = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__mlvec").setPredictionCol("cluster_id")
-    val model = km.fit(withVec)
+    val model = km.fit(
+      TrainSample.forFit(withVec, vecCol, df.count(), trainSampleCap, nlist))
     model.transform(withVec).drop("__mlvec")
       .write.mode("overwrite").partitionBy("cluster_id").parquet(dataDir(indexDir))
     val centroids = model.clusterCenters.zipWithIndex

@@ -38,16 +38,22 @@ object Pq {
   def codesDir(indexDir: String): String = s"$indexDir/codes"
 
   /** Fit `m` subspace codebooks (KMeans(kCodes) per slice), encode the
-    * corpus, and write both as parquet artifacts. */
+    * corpus, and write both as parquet artifacts. Each subspace fit
+    * trains on the same deterministic hash sample of at most
+    * ~`trainSampleCap` rows ([[TrainSample.forFit]]); the encode pass
+    * always covers the full corpus. */
   def build(df: DataFrame, vecCol: String, idCol: String, indexDir: String,
             m: Int = 8, kCodes: Int = 16, dim: Int = 64,
-            seed: Long = 42L, maxIter: Int = 20): Model = {
+            seed: Long = 42L, maxIter: Int = 20,
+            trainSampleCap: Long = TrainSample.DefaultCap): Model = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val spark = df.sparkSession
     import spark.implicits._
     val dsub = dim / m
+    val fitDf = TrainSample.forFit(df, vecCol, df.count(), trainSampleCap,
+      kCodes)
     val codebooks = (0 until m).map { sub =>
-      val sliced = df.select(
+      val sliced = fitDf.select(
         array_to_vector(slice(col(vecCol), sub * dsub + 1, dsub)).as("__mlvec"))
       val km = new KMeans().setK(kCodes).setSeed(seed + sub).setMaxIter(maxIter)
         .setFeaturesCol("__mlvec").setPredictionCol("__c")

@@ -267,6 +267,26 @@ class StreamingSpec extends SparkSpec {
     fs.delete(new Path(dir + "__compact_old"), true)
   }
 
+  test("retain-mode vacuum completes an interrupted retain, not a delete") {
+    import graft.core.Collection
+    import org.apache.hadoop.fs.Path
+    val dir = "/tmp/graft_test_vacuum_retain/coll"
+    val coll = Collection(spark, dir, retainVersions = true)
+    val df = Seq((1L, "new")).toDF("id", "v")
+    coll.create(df.schema, force = true)
+    coll.append(df)
+    // simulate a crash between the tmp->dir rename and the retain
+    // rename: the rewrite pre-image sits at __compact_old
+    Seq((1L, "old")).toDF("id", "v").write
+      .parquet(dir + "__compact_old")
+    val acted = coll.vacuum()
+    assert(acted.exists(_.endsWith("-> v1")), s"vacuum acted: $acted")
+    assert(coll.versions == Seq(1L))
+    assert(coll.readVersion(1L).as[(Long, String)].collect().toSeq ==
+      Seq((1L, "old")))
+    coll.drop()
+  }
+
   test("phash near-dup: value edits collide, unrelated payloads shatter") {
     import spark.implicits._
     val base = ("the quick brown fox jumps over the lazy dog " * 20).trim
