@@ -69,6 +69,40 @@ object DedupQueries {
       ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20
     """))
 
+  /** Length-dispatched fuzzy join ([[FuzzyJoin.nearPairsAuto]]): the
+    * documents table's `text` is content-length, so the dispatch must
+    * refuse the O(len^d) deletion-neighborhood tier and route to the
+    * capped-df q-gram Jaccard tier — this entry pins the ROUTE (the
+    * `tier` column) plus the routed tier's full pair arithmetic. The
+    * short-string route and the hard guard on the deletion tier are
+    * spec-pinned (FuzzyJoinSpec). */
+  private val fuzzyLongDispatch = Q(
+    "fuzzy_long_dispatch",
+    (s, dir) =>
+      FuzzyJoin.nearPairsAuto(Tables.documents(s, dir), "doc_id", "text",
+          maxDist = 1, k = 20, workDir = wd(dir))
+        .orderBy(col("score").desc, col("a_id").asc, col("b_id").asc),
+    Some(s"""
+      WITH $duckShingles,
+      e AS (SELECT doc_id, unnest(s) AS s FROM sh),
+      cap AS (SELECT ceil(count(*) * 0.05) AS cap FROM sh),
+      dfc AS (SELECT s, count(*) AS df FROM e GROUP BY s),
+      kept AS (SELECT e.doc_id, e.s
+               FROM e JOIN dfc USING (s) CROSS JOIN cap
+               WHERE dfc.df <= cap.cap),
+      sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+            FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+      SELECT i.a_id, i.b_id,
+             round(CAST(i.inter AS DOUBLE)
+               / (sa.sz + sb.sz - i.inter) + 1e-9, 4) AS score,
+             'jaccard' AS tier
+      FROM i JOIN sz sa ON sa.doc_id = i.a_id
+             JOIN sz sb ON sb.doc_id = i.b_id
+      ORDER BY score DESC, a_id ASC, b_id ASC LIMIT 20
+    """))
+
   /** MinHash (8 md5 min-hashes) + LSH banding (8 bands of 1): candidate
     * pairs sharing any band, with estimated Jaccard. Sub-quadratic at
     * scale: equi-join on band keys instead of all-pairs. */
@@ -1030,5 +1064,6 @@ object DedupQueries {
     dedupSubstringSpans, dedupClusters, dedupKeeperSelection, semanticDedup,
     dedupIncrementalIngest, annRecallReport,
     dedupCascade, fuzzyEditJoin, fuzzyEditJoinD2, fuzzyLookup,
+    fuzzyLongDispatch,
     dedupChunkContainment)
 }

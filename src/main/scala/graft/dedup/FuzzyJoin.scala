@@ -39,6 +39,35 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** Length ceiling for deletion-neighborhood blocking. The per-row
+    * fan-out is O(len^d) variants — ~19 for an 18-char name at d=1 but
+    * ~4 k for a 64-char string at d=2 and MILLIONS for content-length
+    * text — so the variant explosion (not the join) becomes the cost
+    * the first time someone fuzzy-joins on `content`. Above this
+    * length, edit distance is also the wrong QUESTION: a ≤2-edit bound
+    * on a 2 000-char document is character noise, and "nearly the same
+    * content" is similarity territory — the q-gram Jaccard tier
+    * ([[Dedup.jaccardTopPairs]], with its df-cap scale guard). The
+    * enforcement lives in [[candidatePairs]]/[[keyTable]]/[[lookup]]
+    * (loud refusal) and [[nearPairsAuto]] (the dispatch). */
+  val MaxDeletionLen = 64
+
+  /** Refuse deletion-neighborhood generation on corpora with strings
+    * past [[MaxDeletionLen]]: one pushed-filter limit-1 probe — cheap
+    * next to the join it guards, and a loud error beats an executor
+    * OOM three stages later. */
+  private def requireShort(df: DataFrame, strCol: String,
+                           what: String): Unit = {
+    val over = df.where(length(col(strCol)) > MaxDeletionLen)
+      .select(length(col(strCol)).as("len")).limit(1).collect()
+    require(over.isEmpty,
+      s"$what: a '$strCol' value is ${over.head.getInt(0)} chars — " +
+        s"deletion-neighborhood blocking is capped at $MaxDeletionLen " +
+        "(O(len^d) variant fan-out); for content-length strings use " +
+        "the q-gram Jaccard tier (Dedup.jaccardTopPairs) or the " +
+        "nearPairsAuto dispatch")
+  }
+
   /** All variants of `s` reachable by deleting exactly 0 or 1
     * characters: index `i` in `0 until length` deletes the char at
     * 0-based position `i`; index `length` yields `s` itself (the empty
@@ -66,6 +95,7 @@ object FuzzyJoin {
     * pre-cap measurement discipline as GraphAnn.candidatePairs). */
   def candidatePairs(df: DataFrame, idCol: String, strCol: String,
                      maxDist: Int): DataFrame = {
+    requireShort(df, strCol, "fuzzy self-join")
     val keyed = df
       .select(col(idCol).as("fj_id"), col(strCol).as("fj_s"))
       .withColumn("dk",
@@ -97,10 +127,12 @@ object FuzzyJoin {
     * explodes only its OWN neighborhood and equi-joins). One row per
     * (id, variant). */
   def keyTable(df: DataFrame, idCol: String, strCol: String,
-               maxDist: Int): DataFrame =
+               maxDist: Int): DataFrame = {
+    requireShort(df, strCol, "fuzzy key table")
     df.select(col(idCol).as("dict_id"), col(strCol).as("dict_s"))
       .withColumn("dk",
         explode(deletionNeighborhood(col("dict_s"), maxDist)))
+  }
 
   /** Dictionary lookup: every `(query, dict)` pair with
     * `lev <= maxDist`, as `(q_id, dict_id, dist)` — the bulk
@@ -111,6 +143,7 @@ object FuzzyJoin {
     * verified by `levenshtein`. */
   def lookup(keys: DataFrame, queries: DataFrame, qidCol: String,
              qstrCol: String, maxDist: Int): DataFrame = {
+    requireShort(queries, qstrCol, "fuzzy lookup")
     val q = queries
       .select(col(qidCol).as("q_id"), col(qstrCol).as("q_s"))
       .withColumn("dk",
@@ -122,5 +155,32 @@ object FuzzyJoin {
       .where(col("dist") <= maxDist)
       .select(col("q_id"), col("dict_id"),
         col("dist").cast("int").as("dist"))
+  }
+
+  /** The length-dispatched near-pair join: ONE entry point a pipeline
+    * can call on any string column. Short strings (every value ≤
+    * `maxLenForDeletes`) get the exact edit-distance tier
+    * ([[selfJoin]] — `score` = Levenshtein distance, `tier` = 'edit');
+    * anything longer routes to the capped-df q-gram Jaccard tier
+    * ([[Dedup.jaccardTopPairs]] top-`k` — `score` = Jaccard, `tier` =
+    * 'jaccard'). The dispatch probe is one max-length aggregate —
+    * against a stored table, parquet column statistics answer it
+    * without a scan. The semantic shift is deliberate and documented:
+    * at content length, edit distance is the wrong question (see
+    * [[MaxDeletionLen]]), so the dispatch changes METRIC, not just
+    * plan, and labels the result with the tier that produced it. */
+  def nearPairsAuto(df: DataFrame, idCol: String, strCol: String,
+                    maxDist: Int, k: Int,
+                    maxLenForDeletes: Int = MaxDeletionLen,
+                    workDir: Option[String] = None): DataFrame = {
+    val maxLen = df.agg(max(length(col(strCol))).as("m")).collect()(0)
+    if (!maxLen.isNullAt(0) && maxLen.getInt(0) <= maxLenForDeletes)
+      selfJoin(df, idCol, strCol, maxDist)
+        .select(col("a_id"), col("b_id"),
+          col("dist").cast("double").as("score"), lit("edit").as("tier"))
+    else
+      Dedup.jaccardTopPairs(df, idCol, strCol, k, workDir = workDir)
+        .select(col("id_a").as("a_id"), col("id_b").as("b_id"),
+          col("jaccard").as("score"), lit("jaccard").as("tier"))
   }
 }

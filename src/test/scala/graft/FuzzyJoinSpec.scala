@@ -118,4 +118,43 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("deletion tier refuses content-length strings, loudly") {
+    val long = Seq(1L -> ("x" * 200), 2L -> "short").toDF("id", "s")
+    val e1 = intercept[IllegalArgumentException] {
+      FuzzyJoin.selfJoin(long, "id", "s", 1).collect()
+    }
+    assert(e1.getMessage.contains("jaccard"),
+      s"guard message should point at the Jaccard tier: ${e1.getMessage}")
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.keyTable(long, "id", "s", 1).collect()
+    }
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.lookup(
+        FuzzyJoin.keyTable(Seq(1L -> "dict").toDF("id", "s"), "id", "s", 1),
+        long, "id", "s", 1).collect()
+    }
+  }
+
+  test("nearPairsAuto dispatches by length: edit tier short, jaccard long") {
+    val short = Seq(1L -> "alpha", 2L -> "alphb", 3L -> "gamma")
+      .toDF("id", "s")
+    val se = FuzzyJoin.nearPairsAuto(short, "id", "s", maxDist = 1, k = 10)
+      .as[(Long, Long, Double, String)].collect().toSet
+    assert(se == Set((1L, 2L, 1.0, "edit")))
+    // content-length rows (>64 chars) route to the Jaccard tier and
+    // report that tier's metric; ≥21 docs so the tier's 5% df cap
+    // (ceil(n·0.05) ≥ 2) keeps the near-dup pair's shared shingles
+    val doc = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docB = doc.replace("tok7", "tokX")
+    val filler = (3 to 40).map(d =>
+      d.toLong -> (1 to 30).map(i => s"w${d}x$i").mkString(" "))
+    val longDf = (Seq(1L -> doc, 2L -> docB) ++ filler).toDF("id", "s")
+    val le = FuzzyJoin.nearPairsAuto(longDf, "id", "s", maxDist = 1, k = 10)
+      .as[(Long, Long, Double, String)].collect()
+    assert(le.nonEmpty && le.forall(_._4 == "jaccard"))
+    val top = le.maxBy(_._3)
+    assert(top._1 == 1L && top._2 == 2L && top._3 > 0.7,
+      s"near-dup docs should top the jaccard tier: ${le.toSeq}")
+  }
 }
