@@ -919,9 +919,15 @@ object PipelineQueries {
   /** [[bulkWalkCtes]] with the per-round frontier width as an arbitrary
     * SQL scalar expression (e.g. a subquery deriving the
     * selectivity-adaptive width from the fixture) instead of a compiled
-    * constant. `rounds` stays a constant — it fixes the CTE count. */
+    * constant, and an optional multi-entry seed window: with
+    * `seedsPerQuery > 0` the staged entry table may hold MANY entry
+    * points and each query seeds from its `seedsPerQuery` nearest
+    * (rounded distance, id order — the same ranking every frontier pick
+    * uses, mirroring GraphAnn.walkVisitedSeeded). `rounds` stays a
+    * constant — it fixes the CTE count. */
   private def bulkWalkCtesExpr(name: String, beamWidthSql: String,
-                               rounds: Int): String = {
+                               rounds: Int,
+                               seedsPerQuery: Int = 0): String = {
     val beamWidth = beamWidthSql
     val sb = new StringBuilder
     sb.append(s"""
@@ -931,7 +937,17 @@ object PipelineQueries {
         '/tmp/graft_${name}_oracle_%ORACLE_KEY%/entry/*.parquet')),
       dall AS (SELECT q.qid, e.vec_id AS id,
                       ${duckL2("e.embedding", "q.qv")} AS d
-               FROM embeddings e, qs q),
+               FROM embeddings e, qs q),""")
+    if (seedsPerQuery > 0)
+      sb.append(s"""
+      v0 AS (SELECT qid, id, d FROM (
+          SELECT d.qid, d.id, d.d, row_number() OVER (PARTITION BY d.qid
+              ORDER BY d.d ASC, d.id ASC) AS rn
+          FROM dall d WHERE d.id IN (SELECT entry_id FROM ent)) tseed
+        WHERE rn <= $seedsPerQuery),
+      x0 AS (SELECT qid, id FROM v0 WHERE 1 = 0)""")
+    else
+      sb.append(s"""
       v0 AS (SELECT qid, id, d FROM dall
              WHERE id IN (SELECT entry_id FROM ent)),
       x0 AS (SELECT qid, id FROM v0 WHERE 1 = 0)""")
@@ -1106,6 +1122,116 @@ object PipelineQueries {
              CAST(1 AS BIGINT) AS n_queries,
              round(count(w.id) / 5.0, 4) AS recall
       FROM ex LEFT JOIN walk w ON w.id = ex.id
+    """))
+
+  /** Multi-entry graph serving ([[graft.search.GraphAnn.entryPoints]] /
+    * `beamSearchMulti`): per-shard entry points (small sample-capped
+    * KMeans, nearest corpus point per cluster) replace the single
+    * global medoid, and each query seeds its walk from its 2 nearest
+    * entries — the DiskANN sharded-serving discipline. The oracle
+    * replays seed selection (a per-qid window over the staged entry
+    * ids' distances) and the walk itself, all three queries bulk. */
+  private val graphAnnMultiEntry = Q(
+    "graph_ann_multi_entry",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entries = graft.core.Artifacts.buildOnce(s, s"$base/entries") {
+        GraphAnn.entryPoints(e, "vec_id", "embedding", nEntries = 8)
+      }
+      stageOracle(s, "graphmulti", dir)(
+        "adjacency" -> adj.select("src", "dst"),
+        "entry" -> entries.select("entry_id"))
+      val qs = e.where(col("vec_id").isin(BulkQids: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      qs.map { case (qid, qv) =>
+        GraphAnn.beamSearchMulti(adj, e, "vec_id", "embedding", qv,
+            entries, k = 5, beamWidth = 4, rounds = 3, nSeeds = 2)
+          .select(lit(qid).as("qid"), col("vec_id"), col("distance"))
+      }.reduce(_ unionAll _)
+        .orderBy(col("qid").asc, col("distance").asc, col("vec_id").asc)
+    },
+    Some(s"""
+      WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                  WHERE vec_id IN (${BulkQids.mkString(", ")})),
+      ${bulkWalkCtesExpr("graphmulti", "4", rounds = 3,
+        seedsPerQuery = 2)}
+      SELECT qid, id AS vec_id, d AS distance FROM (
+        SELECT qid, id, d, row_number() OVER (PARTITION BY qid
+            ORDER BY d ASC, id ASC) AS rn FROM v3) fin
+      WHERE rn <= 5
+      ORDER BY qid ASC, distance ASC, vec_id ASC
+    """))
+
+  /** Recall of the multi-entry walk at the SINGLE-entry budget
+    * (beam 4×3): mean recall@5 against the exact top-5 over the three
+    * bulk queries — the measured justification for shipping per-shard
+    * entries (compare `index_recall_report`'s single-medoid
+    * graph_beam4x3 row; seeding from the query's region must not lose
+    * recall at equal budget, and helps exactly when the medoid start
+    * is far). Measurement hash-checked end-to-end. */
+  private val graphAnnMultiEntryRecall = Q(
+    "graph_ann_multi_entry_recall",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entries = graft.core.Artifacts.buildOnce(s, s"$base/entries") {
+        GraphAnn.entryPoints(e, "vec_id", "embedding", nEntries = 8)
+      }
+      stageOracle(s, "graphmultirec", dir)(
+        "adjacency" -> adj.select("src", "dst"),
+        "entry" -> entries.select("entry_id"))
+      val qs = e.where(col("vec_id").isin(BulkQids: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val walked = qs.map { case (qid, qv) =>
+        GraphAnn.beamSearchMulti(adj, e, "vec_id", "embedding", qv,
+            entries, k = 5, beamWidth = 4, rounds = 3, nSeeds = 2)
+          .select(lit(qid).as("qid"), col("vec_id"))
+      }.reduce(_ unionAll _)
+      import org.apache.spark.sql.expressions.Window
+      val qdf = e.where(col("vec_id").isin(BulkQids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = e.crossJoin(broadcast(qdf))
+        .select(col("qid"), col("vec_id"),
+          round(graft.functions.VectorFunctions.l2Sq(col("embedding"),
+            col("qv")), 4).as("d"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("d").asc, col("vec_id").asc)))
+        .where(col("rn") <= 5).select("qid", "vec_id")
+      exact.join(walked.withColumn("hit", lit(1)),
+          Seq("qid", "vec_id"), "left")
+        .agg(round(count(col("hit")) / (5.0 * BulkQids.size), 4)
+          .as("recall"))
+        .select(lit("graph_multi2_beam4x3").as("method"),
+          lit(BulkQids.size.toLong).as("n_queries"), col("recall"))
+    },
+    Some(s"""
+      WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                  WHERE vec_id IN (${BulkQids.mkString(", ")})),
+      ${bulkWalkCtesExpr("graphmultirec", "4", rounds = 3,
+        seedsPerQuery = 2)},
+      walk AS (SELECT qid, id FROM (
+          SELECT qid, id, d, row_number() OVER (PARTITION BY qid
+              ORDER BY d ASC, id ASC) AS rn FROM v3) fin WHERE rn <= 5),
+      ex AS (SELECT qid, id FROM (
+          SELECT qid, id, d, row_number() OVER (PARTITION BY qid
+              ORDER BY d ASC, id ASC) AS rn FROM dall) t WHERE rn <= 5)
+      SELECT 'graph_multi2_beam4x3' AS method,
+             CAST(${BulkQids.size} AS BIGINT) AS n_queries,
+             round(count(w.id) / ${5.0 * BulkQids.size}, 4) AS recall
+      FROM ex LEFT JOIN walk w ON w.qid = ex.qid AND w.id = ex.id
     """))
 
   /** Selectivity-adaptive filtered graph search (see
@@ -1649,6 +1775,7 @@ object PipelineQueries {
     lateInteractionMaxsim, graphAnnSearch, graphAnnBulk,
     graphAnnBulkRecall, graphAnnIncremental, graphAnnFiltered,
     graphAnnFilteredRecall, graphAnnFilteredAdaptive,
+    graphAnnMultiEntry, graphAnnMultiEntryRecall,
     graphAnnRange, streamingGraphIngest, collectionCompact,
     collectionTimeTravel, collectionAliasSwap, collectionAliasList,
     collectionPointGet)

@@ -208,6 +208,64 @@ object GraphAnn {
       .limit(1).select("entry_id")
   }
 
+  /** Per-shard entry points — the multi-entry seed set that replaces
+    * the single global [[medoid]]: fit a small KMeans(`nEntries`) (on
+    * the deterministic [[TrainSample]] cap) and take, per cluster, the
+    * corpus point nearest its centroid (rounded distance, id
+    * tie-break). Returns `(entry_id, entry_vec)` — the build-once
+    * artifact [[beamSearchMulti]] serves from; staged WITH vectors so
+    * seed selection replays in the oracle. Clusters that attract no
+    * points (possible when KMeans collapses) simply yield no entry —
+    * the artifact carries ≤ `nEntries` rows, all distinct points. */
+  def entryPoints(df: DataFrame, idCol: String, vecCol: String,
+                  nEntries: Int = 8, seed: Long = 42L,
+                  maxIter: Int = 20): DataFrame = {
+    require(nEntries > 0)
+    val n = df.count()
+    val withVec = df.withColumn("__mlvec", array_to_vector(col(vecCol)))
+    val km = new KMeans()
+      .setK(nEntries).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__mlvec").setPredictionCol("__c")
+    val centroids = km.fit(
+        TrainSample.forFit(withVec, vecCol, n, TrainSample.DefaultCap,
+          nEntries))
+      .clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+    val centArr = array(centroids.map { case (i, c) =>
+      struct(VectorFunctions.l2Sq(col(vecCol), typedlit(c.toSeq)).as("d"),
+        lit(i).as("shard"))
+    }: _*)
+    val w = Window.partitionBy(col("__shard"))
+      .orderBy(col("__d").asc, col("entry_id").asc)
+    df.select(col(idCol).cast("long").as("entry_id"),
+        col(vecCol).as("entry_vec"),
+        array_min(centArr).getField("shard").as("__shard"),
+        round(array_min(centArr).getField("d"), 4).as("__d"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select("entry_id", "entry_vec")
+  }
+
+  /** Beam search seeded from the `nSeeds` nearest of the staged
+    * [[entryPoints]] instead of the single medoid — same walk, same
+    * budget discipline (budget = seeds + rounds·beamWidth·degree), and
+    * the seed ranking uses the identical rounded-distance + id order as
+    * every frontier pick, so the oracle replays seed choice and walk
+    * alike. `entries` is the `(entry_id, entry_vec)` artifact; its row
+    * count is a plan constant, so the collect is bounded. */
+  def beamSearchMulti(adj: DataFrame, corpus: DataFrame, idCol: String,
+                      vecCol: String, query: Array[Float],
+                      entries: DataFrame, k: Int, beamWidth: Int = 4,
+                      rounds: Int = 3, degree: Int = 8,
+                      nSeeds: Int = 2): DataFrame = {
+    val entryIds = entries.select(col("entry_id").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    val top = walkVisitedSeeded(adj, corpus, idCol, vecCol, query,
+        entryIds, nSeeds, beamWidth, rounds, degree)
+      .sortBy { case (id, d) => (d, id) }.take(k)
+    resultDf(corpus.sparkSession, idCol, top)
+  }
+
   /** Bounded best-first beam search over a built adjacency artifact.
     * Returns (idCol, distance): the top-k of the visited set by
     * (rounded distance, id). Each round issues two pushed-filter point
@@ -220,7 +278,24 @@ object GraphAnn {
   private def walkVisited(adj: DataFrame, corpus: DataFrame, idCol: String,
                           vecCol: String, query: Array[Float],
                           entryId: Long, beamWidth: Int, rounds: Int,
-                          degree: Int): Seq[(Long, Double)] = {
+                          degree: Int): Seq[(Long, Double)] =
+    walkVisitedSeeded(adj, corpus, idCol, vecCol, query, Seq(entryId),
+      nSeeds = 1, beamWidth, rounds, degree)
+
+  /** [[walkVisited]] generalized to a seed SET: the walk starts from the
+    * `nSeeds` of `entryIds` nearest the query (ranked by the same
+    * rounded distance + id tie-break as every frontier pick, so the
+    * seed choice is oracle-replayable), instead of one global medoid.
+    * Multi-entry seeding is the standard sharded-graph discipline
+    * (DiskANN's per-shard medoids; Milvus seeds HNSW per segment): a
+    * beam from the nearest entry starts INSIDE the query's region,
+    * which buys recall at equal budget and matters doubly under
+    * filtering. */
+  private def walkVisitedSeeded(adj: DataFrame, corpus: DataFrame,
+                                idCol: String, vecCol: String,
+                                query: Array[Float], entryIds: Seq[Long],
+                                nSeeds: Int, beamWidth: Int, rounds: Int,
+                                degree: Int): Seq[(Long, Double)] = {
     val qLit = typedlit(query.toSeq)
     def distOf(ids: Seq[Long]): Array[(Long, Double)] =
       if (ids.isEmpty) Array.empty
@@ -229,12 +304,14 @@ object GraphAnn {
           round(VectorFunctions.l2Sq(col(vecCol), qLit), 4))
         .collect().map(r => (r.getLong(0), r.getDouble(1)))
 
+    val seeds = distOf(entryIds)
+      .sortBy { case (id, d) => (d, id) }.take(nSeeds)
     // visited: id → rounded distance; expanded: ids whose adjacency was
     // already fetched. Both bounded by plan constants (see require).
     val visited = scala.collection.mutable.LinkedHashMap[Long, Double](
-      distOf(Seq(entryId)).toSeq: _*)
+      seeds.toSeq: _*)
     val expanded = scala.collection.mutable.Set.empty[Long]
-    val budget = 1 + rounds * beamWidth * degree
+    val budget = seeds.length + rounds * beamWidth * degree
     var step = 0
     while (step < rounds) {
       val frontier = visited.iterator

@@ -39,6 +39,38 @@ class GraphAnnSpec extends SparkSpec {
     assert(first.nonEmpty && first == second)
   }
 
+  test("entryPoints: <= nEntries distinct corpus points, deterministic") {
+    def build() = GraphAnn
+      .entryPoints(corpus, "vec_id", "embedding", nEntries = 4)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val first = build()
+    val second = build()
+    assert(first == second)
+    assert(first.nonEmpty && first.size <= 4 && first.distinct == first)
+    val ids = corpus.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(first.forall(ids.contains), "entries must be corpus points")
+  }
+
+  test("beamSearchMulti with the medoid as sole entry equals beamSearch") {
+    import spark.implicits._
+    val adj = GraphAnn.buildAdjacency(corpus, "vec_id", "embedding", params)
+    val entryId = GraphAnn.medoid(corpus, "vec_id", "embedding")
+      .collect()(0).getLong(0)
+    val q = corpus.where(col("vec_id") === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val single = GraphAnn.beamSearch(adj, corpus, "vec_id", "embedding",
+        q, entryId, k = 5, beamWidth = 3, rounds = 2, degree = 4)
+      .as[(Long, Double)].collect().toSeq
+    val entries = corpus.where(col("vec_id") === entryId)
+      .select(col("vec_id").as("entry_id"),
+        col("embedding").as("entry_vec"))
+    val multi = GraphAnn.beamSearchMulti(adj, corpus, "vec_id",
+        "embedding", q, entries, k = 5, beamWidth = 3, rounds = 2,
+        degree = 4, nSeeds = 1)
+      .as[(Long, Double)].collect().toSeq
+    assert(single.nonEmpty && multi == single)
+  }
+
   test("nlistForCorpus keeps shard size ~constant (linear candidate work)") {
     assert(GraphAnn.nlistForCorpus(24) == 2)        // floored
     assert(GraphAnn.nlistForCorpus(256000) == 1000) // 256k / 256
