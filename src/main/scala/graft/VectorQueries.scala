@@ -1746,10 +1746,83 @@ object VectorQueries {
       ORDER BY bm25 DESC, doc_id ASC LIMIT 10
     """))
 
+  /** BM25F fielded search (see [[graft.search.Bm25Index.searchFielded]]):
+    * the documents table's (source, text) play the reference's
+    * (chapter, content) two-field row (src/app.py:101-102) with the
+    * source field weighted 2× — a tag/title hit outranks a body hit.
+    * Build on the first slice, absorb two appends, search from the
+    * artifact alone; the oracle recomputes BM25F over the FULL corpus
+    * from scratch (the `bm25_incremental_search` discipline), so
+    * dropped rows, double-counted batches, or drifted per-field
+    * statistics hash-mismatch. */
+  private val bm25fSearch = Q(
+    "bm25f_search",
+    (s, dir) => {
+      import graft.search.Bm25Index
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_bm25f_${math.abs(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val fields = Seq("source", "text")
+      Bm25Index.buildFielded(docs.where(col("doc_id") < 300),
+        "doc_id", fields, idx)
+      Bm25Index.appendFielded(docs.where(col("doc_id") >= 300 &&
+        col("doc_id") < 400), "doc_id", fields, idx)
+      Bm25Index.appendFielded(docs.where(col("doc_id") >= 400),
+        "doc_id", fields, idx)
+      Bm25Index.searchFielded(s, idx, Seq("scan", "filter", "src3"),
+          k = 10, fieldWeights = Seq("source" -> 2.0, "text" -> 1.0))
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH ftoks AS (
+        SELECT doc_id, 'source' AS field,
+               unnest(list_filter(string_split_regex(source, '\s+'),
+                 t -> len(t) > 0)) AS term
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'text',
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                 t -> len(t) > 0))
+        FROM documents),
+      tf AS (SELECT doc_id, field, term, count(*) AS tf FROM ftoks
+             WHERE term IN ('scan', 'filter', 'src3')
+             GROUP BY doc_id, field, term),
+      dl AS (SELECT doc_id, 'source' AS field,
+                    CAST(len(list_filter(string_split_regex(source, '\s+'),
+                      t -> len(t) > 0)) AS DOUBLE) AS dl
+             FROM documents
+             UNION ALL
+             SELECT doc_id, 'text',
+                    CAST(len(list_filter(string_split_regex(text, '\s+'),
+                      t -> len(t) > 0)) AS DOUBLE)
+             FROM documents),
+      fstats AS (SELECT field, sum(dl) / count(*) AS avgdl
+                 FROM dl GROUP BY field),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+              FROM tf GROUP BY term),
+      tft AS (SELECT tf.doc_id, tf.term,
+                     sum((CASE tf.field WHEN 'source' THEN 2.0
+                          ELSE 1.0 END) * tf.tf
+                       / (0.25 + 0.75 * (dl.dl / fstats.avgdl))) AS tft
+              FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+                               AND dl.field = tf.field
+                      JOIN fstats ON fstats.field = tf.field
+              GROUP BY tf.doc_id, tf.term),
+      bm AS (SELECT tft.doc_id,
+                    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * tft / (1.2 + tft)), 4) AS bm25f
+             FROM tft JOIN dfq USING (term) CROSS JOIN nd
+             GROUP BY tft.doc_id)
+      SELECT doc_id, bm25f FROM bm
+      ORDER BY bm25f DESC, doc_id ASC LIMIT 10
+    """))
+
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery, mrlTruncatedSearch,
     mrlRotatedSearch, mrlRotationReport, opqAdcSearch, opqRecallReport,
     opqIvfPqSearch,
-    bm25IncrementalSearch,
+    bm25IncrementalSearch, bm25fSearch,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     sq8RerankSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,

@@ -71,6 +71,98 @@ object Bm25Index {
     d.write.mode("append").parquet(doclenDir(indexDir))
   }
 
+  // --- BM25F: field-weighted lexical scoring over a per-field artifact
+  // (Robertson & Zaragoza 2009 §5.4 / Zaragoza et al., TREC 2004 —
+  // "simple BM25F": per-field length-normalized tf, field weights
+  // applied BEFORE the saturation, one shared k1). The reference's rows
+  // are two text fields (chapter + content, src/app.py:101-102); a
+  // title hit should outrank a body hit, which flat BM25 over
+  // concatenated text cannot express.
+
+  /** Tokenize one batch per field: postings (id, field, term, tf) and
+    * doclen (id, field, dl) — the [[tokenize]] shape with a field tag,
+    * one row pair per (doc, field) even when a field is empty (dl 0),
+    * so N derives from the artifact. */
+  private def tokenizeFielded(docs: DataFrame, idCol: String,
+                              fieldCols: Seq[String])
+      : (DataFrame, DataFrame) = {
+    require(fieldCols.nonEmpty)
+    val parts = fieldCols.map { f =>
+      val toks = filter(split(col(f), "\\s+"), t => length(t) > 0)
+      val p = docs.select(col(idCol).cast("long").as("id"),
+          lit(f).as("field"), explode(toks).as("term"))
+        .groupBy(col("id"), col("field"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val d = docs.select(col(idCol).cast("long").as("id"),
+        lit(f).as("field"), size(toks).cast("long").as("dl"))
+      (p, d)
+    }
+    (parts.map(_._1).reduce(_ unionByName _),
+      parts.map(_._2).reduce(_ unionByName _))
+  }
+
+  /** Build the per-field artifact from scratch (overwrites). */
+  def buildFielded(docs: DataFrame, idCol: String, fieldCols: Seq[String],
+                   indexDir: String): Unit = {
+    val (p, d) = tokenizeFielded(docs, idCol, fieldCols)
+    p.write.mode("overwrite").parquet(postingsDir(indexDir))
+    d.write.mode("overwrite").parquet(doclenDir(indexDir))
+  }
+
+  /** Absorb a new batch by file append — the [[append]] contract,
+    * fielded. */
+  def appendFielded(batch: DataFrame, idCol: String,
+                    fieldCols: Seq[String], indexDir: String): Unit = {
+    val (p, d) = tokenizeFielded(batch, idCol, fieldCols)
+    p.write.mode("append").parquet(postingsDir(indexDir))
+    d.write.mode("append").parquet(doclenDir(indexDir))
+  }
+
+  /** BM25F top-k for `terms` from the fielded artifact alone:
+    * tf̃(t,d) = Σ_f w_f · tf_f / (1 − b + b · dl_f/avgdl_f), score =
+    * Σ_t idf(t) · tf̃ / (k1 + tf̃) with the document-level smoothed idf
+    * (df = docs containing t in ANY field). Statistics (per-field N,
+    * Σdl; document N; df) are pure aggregates of appended rows, so
+    * append-then-search equals rebuild-then-search exactly — the
+    * [[search]] discipline, fielded. Returns (id, bm25f). */
+  def searchFielded(spark: SparkSession, indexDir: String,
+                    terms: Seq[String], k: Int,
+                    fieldWeights: Seq[(String, Double)],
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fieldWeights.nonEmpty)
+    val postings = spark.read.parquet(postingsDir(indexDir))
+      .where(col("term").isin(terms: _*))
+    val doclen = spark.read.parquet(doclenDir(indexDir))
+    val nDocs = doclen.agg(
+      countDistinct(col("id")).cast("double").as("n_docs"))
+    val fstats = doclen.groupBy(col("field")).agg(
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    val dfreq = postings.groupBy(col("term"))
+      .agg(countDistinct(col("id")).as("df_"))
+    val wCol = fieldWeights.tail.foldLeft(
+        when(col("field") === fieldWeights.head._1,
+          lit(fieldWeights.head._2))) { case (acc, (f, w)) =>
+      acc.when(col("field") === f, lit(w))
+    }.otherwise(lit(0.0))
+    val tft = postings
+      .join(doclen, Seq("id", "field"))
+      .join(broadcast(fstats), "field")
+      .withColumn("tfw", wCol * col("tf").cast("double")
+        / (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+      .groupBy(col("id"), col("term"))
+      .agg(sum(col("tfw")).as("tft"))
+    val idf = log((col("n_docs") - col("df_") + 0.5) / (col("df_") + 0.5)
+      + 1.0)
+    tft.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("contrib", idf * col("tft") / (lit(k1) + col("tft")))
+      .groupBy(col("id"))
+      .agg(round(sum(col("contrib")), 4).as("bm25f"))
+      .orderBy(col("bm25f").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** BM25 top-k for `terms` from the artifact alone (see object doc).
     * Returns (id, bm25), score-desc with id tie-break. */
   def search(spark: SparkSession, indexDir: String, terms: Seq[String],
