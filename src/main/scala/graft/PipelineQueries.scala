@@ -30,6 +30,11 @@ object PipelineQueries {
       ORDER BY distance ASC, e.vec_id ASC LIMIT 5
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))
 
+  /** Query-vector ids for the bulk/multi-query entries — present at
+    * every SF. Declared ahead of first use (object vals initialize in
+    * declaration order; a forward reference reads null). */
+  private val BulkQids = Seq(0L, 7L, 13L)
+
   /** IVF index probe with nprobe=nlist — must equal exact search (the
     * oracle pins this); partial-probe recall is covered by ScalaTest. */
   private val ivfSearch = Q(
@@ -105,6 +110,80 @@ object PipelineQueries {
       FROM sel e, q
       ORDER BY distance ASC, e.vec_id ASC LIMIT 5
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
+  /** IVF nprobe auto-tuning ([[graft.search.IvfIndex.nprobeCurve]]):
+    * the recall-vs-nprobe sweep every IVF deployment runs before fixing
+    * its serving probe count, as ONE declarative plan (distances scored
+    * once; each tier is the same ranking restricted by centroid rank ≤
+    * nprobe). Output = the measured curve over the three bulk queries
+    * plus the chosen knob (smallest nprobe with recall ≥ 0.9). The
+    * oracle re-derives centroid ranks, every tier's top-k, the recall
+    * arithmetic, AND the choice rule from the staged artifacts — a
+    * tuner that picks a different knob hash-mismatches. */
+  private val ivfNprobeAutotune = Q(
+    "ivf_nprobe_autotune",
+    (s, dir) => {
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      stageOracle(s, "ivftune", dir)(
+        "centroids" -> s.read.parquet(IvfIndex.centroidsDir(indexDir)),
+        "assign" -> s.read.parquet(IvfIndex.dataDir(indexDir))
+          .select(col("vec_id"), col("cluster_id")))
+      val qs = e.where(col("vec_id").isin(BulkQids: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).toSeq
+      IvfIndex.nprobeCurve(s, model, "embedding", "vec_id", qs, k = 5,
+        nprobes = Seq(1, 2, 4, 8, 16), targetRecall = 0.9)
+    },
+    Some(s"""
+      WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                  WHERE vec_id IN (${BulkQids.mkString(", ")})),
+      cent AS (SELECT * FROM read_parquet(
+        '/tmp/graft_ivftune_oracle_%ORACLE_KEY%/centroids/*.parquet')),
+      asg AS (SELECT * FROM read_parquet(
+        '/tmp/graft_ivftune_oracle_%ORACLE_KEY%/assign/*.parquet')),
+      crank AS (SELECT qid, cluster_id, crank FROM (
+          SELECT q.qid, c.cluster_id,
+                 row_number() OVER (PARTITION BY q.qid ORDER BY
+                   list_sum(list_transform(range(1, len(c.centroid)+1),
+                     i -> (CAST(c.centroid[i] AS DOUBLE)
+                           - CAST(q.qv[i] AS DOUBLE))^2)) ASC,
+                   c.cluster_id ASC) AS crank
+          FROM cent c, qs q) t),
+      d AS (SELECT q.qid, e.vec_id, a.cluster_id,
+                   ${duckL2("e.embedding", "q.qv")} AS d
+            FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id, qs q),
+      ex AS (SELECT qid, vec_id FROM (
+          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+              ORDER BY d ASC, vec_id ASC) AS rn FROM d) t WHERE rn <= 5),
+      np AS (SELECT unnest([1, 2, 4, 8, 16]) AS nprobe),
+      candk AS (SELECT qid, nprobe, vec_id FROM (
+          SELECT d.qid, np.nprobe, d.vec_id,
+                 row_number() OVER (PARTITION BY d.qid, np.nprobe
+                   ORDER BY d.d ASC, d.vec_id ASC) AS rn
+          FROM d JOIN crank ON crank.qid = d.qid
+                             AND crank.cluster_id = d.cluster_id
+                 JOIN np ON crank.crank <= np.nprobe) t WHERE rn <= 5),
+      rec AS (SELECT np.nprobe,
+                     round(count(c.vec_id) / 15.0, 4) AS recall
+              FROM np CROSS JOIN ex
+              LEFT JOIN candk c ON c.nprobe = np.nprobe
+                                 AND c.qid = ex.qid
+                                 AND c.vec_id = ex.vec_id
+              GROUP BY np.nprobe),
+      ch AS (SELECT coalesce(
+               min(nprobe) FILTER (WHERE recall >= 0.9),
+               max(nprobe)) AS chosen FROM rec)
+      SELECT CAST(nprobe AS BIGINT) AS nprobe,
+             CAST(3 AS BIGINT) AS n_queries, recall,
+             nprobe = (SELECT chosen FROM ch) AS chosen
+      FROM rec ORDER BY nprobe ASC
+    """))
 
   /** Filtered ANN at the index level — the Milvus search(expr=...) form
     * that COMPOSES with the IVF probe (filtered_knn_search pins the
@@ -972,9 +1051,6 @@ object PipelineQueries {
     sb.toString
   }
 
-  /** Query-vector ids for the bulk graph entries — present at every SF. */
-  private val BulkQids = Seq(0L, 7L, 13L)
-
   /** Build-or-load the graph artifacts (same /tmp keys as
     * graph_ann_search, so all graph entries search the SAME graph) and
     * stage them for the `graphbulk` oracle. */
@@ -1302,6 +1378,69 @@ object PipelineQueries {
              CAST(1 AS BIGINT) AS n_queries,
              (SELECT round(sel, 4) FROM selq) AS selectivity,
              (SELECT CAST(bw AS BIGINT) FROM parq) AS beam_width,
+             round(count(w.id) / 5.0, 4) AS recall
+      FROM ex LEFT JOIN walk w ON w.id = ex.id
+    """))
+
+  /** The composed filtered configuration — selectivity-adaptive beam ∘
+    * multi-entry seeding ([[graft.search.GraphAnn.filteredBeamSearchMulti]]):
+    * the filtered case benefits twice (over-retrieval covers the
+    * post-filter loss; the region-local start spends the budget where
+    * the predicate's survivors live). The oracle rederives selectivity,
+    * the clamped width, the per-qid seed window, all four rounds, the
+    * post-filter, and the recall arithmetic from the fixture + staged
+    * artifacts. */
+  private val graphAnnFilteredMultiRecall = Q(
+    "graph_ann_filtered_multi_recall",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entries = graft.core.Artifacts.buildOnce(s, s"$base/entries") {
+        GraphAnn.entryPoints(e, "vec_id", "embedding", nEntries = 8)
+      }
+      stageOracle(s, "graphfiltmulti", dir)(
+        "adjacency" -> adj.select("src", "dst"),
+        "entry" -> entries.select("entry_id"))
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val sel = GraphAnn.estimateSelectivity(e, col("label") === 3)
+      val walk = GraphAnn.filteredBeamSearchMulti(adj, e, "vec_id",
+        "embedding", query, entries, predicate = col("label") === 3,
+        k = 5, selectivity = sel, baseBeamWidth = 4, rounds = 4,
+        degree = 8, maxBeamWidth = 64, nSeeds = 2)
+      val qLit = typedlit(query.toSeq)
+      val exact = e.where(col("label") === 3)
+        .select(col("vec_id"),
+          round(graft.functions.VectorFunctions.l2Sq(col("embedding"),
+            qLit), 4).as("d"))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(5)
+      exact.join(walk.select(col("vec_id"), lit(1).as("hit")),
+          Seq("vec_id"), "left")
+        .agg(round(count(col("hit")) / 5.0, 4).as("recall"))
+        .select(lit("graph_filtered_adaptive_multi2").as("method"),
+          lit(1L).as("n_queries"), col("recall"))
+    },
+    Some(s"""
+      WITH qs AS (SELECT CAST(0 AS BIGINT) AS qid, embedding AS qv
+                  FROM embeddings WHERE vec_id = 0),
+      selq AS (SELECT CAST(count(*) FILTER (WHERE label = 3) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) AS sel FROM embeddings),
+      parq AS (SELECT least(64, greatest(4,
+                 CAST(ceil(4.0 / sel) AS INT))) AS bw FROM selq),
+      ${bulkWalkCtesExpr("graphfiltmulti", "(SELECT bw FROM parq)",
+        rounds = 4, seedsPerQuery = 2)},
+      walk AS (SELECT v.id FROM v4 v JOIN embeddings e ON e.vec_id = v.id
+               WHERE e.label = 3
+               ORDER BY v.d ASC, v.id ASC LIMIT 5),
+      ex AS (SELECT d.id FROM dall d JOIN embeddings e ON e.vec_id = d.id
+             WHERE e.label = 3
+             ORDER BY d.d ASC, d.id ASC LIMIT 5)
+      SELECT 'graph_filtered_adaptive_multi2' AS method,
+             CAST(1 AS BIGINT) AS n_queries,
              round(count(w.id) / 5.0, 4) AS recall
       FROM ex LEFT JOIN walk w ON w.id = ex.id
     """))
@@ -1765,7 +1904,8 @@ object PipelineQueries {
       FROM documents
     """))
 
-  val all: Seq[Q] = Seq(ivfSearch, ivfPartialProbe, ivfFilteredSearch,
+  val all: Seq[Q] = Seq(ivfSearch, ivfPartialProbe, ivfNprobeAutotune,
+    ivfFilteredSearch,
     ivfBalanceReport, ivfAutoRewrite,
     ivfAutoRewriteSql,
     ivfIncrementalSearch, multiStrategySearch,
@@ -1776,6 +1916,7 @@ object PipelineQueries {
     graphAnnBulkRecall, graphAnnIncremental, graphAnnFiltered,
     graphAnnFilteredRecall, graphAnnFilteredAdaptive,
     graphAnnMultiEntry, graphAnnMultiEntryRecall,
+    graphAnnFilteredMultiRecall,
     graphAnnRange, streamingGraphIngest, collectionCompact,
     collectionTimeTravel, collectionAliasSwap, collectionAliasList,
     collectionPointGet)

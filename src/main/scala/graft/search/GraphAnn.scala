@@ -427,6 +427,34 @@ object GraphAnn {
       beamWidth = adaptiveBeamWidth(baseBeamWidth, selectivity, maxBeamWidth),
       rounds = rounds, degree = degree)
 
+  /** The filtered walk composed with multi-entry seeding: beam sized by
+    * selectivity AND seeded from the query's `nSeeds` nearest
+    * [[entryPoints]] — the configuration that helps the filtered case
+    * twice over (the over-retrieval covers the post-filter loss; the
+    * region-local start spends the budget near where the predicate's
+    * survivors live). Same label-blind + post-filter semantics. */
+  def filteredBeamSearchMulti(adj: DataFrame, corpus: DataFrame,
+                              idCol: String, vecCol: String,
+                              query: Array[Float], entries: DataFrame,
+                              predicate: org.apache.spark.sql.Column,
+                              k: Int, selectivity: Double,
+                              baseBeamWidth: Int = 4, rounds: Int = 4,
+                              degree: Int = 8, maxBeamWidth: Int = 64,
+                              nSeeds: Int = 2): DataFrame = {
+    val entryIds = entries.select(col("entry_id").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    val beamWidth = adaptiveBeamWidth(baseBeamWidth, selectivity,
+      maxBeamWidth)
+    val vis = walkVisitedSeeded(adj, corpus, idCol, vecCol, query,
+      entryIds, nSeeds, beamWidth, rounds, degree)
+    val keep = corpus.where(col(idCol).isin(vis.map(_._1): _*))
+      .where(predicate)
+      .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
+    val top = vis.filter { case (id, _) => keep(id) }
+      .sortBy { case (id, d) => (d, id) }.take(k)
+    resultDf(corpus.sparkSession, idCol, top)
+  }
+
   /** Filtered search with the selectivity dispatch: adaptive graph walk
     * while the widened beam fits under `maxBeamWidth`; below that floor
     * (sel < base/maxBeamWidth) the predicate is selective enough that

@@ -105,6 +105,77 @@ object IvfIndex {
       .take(nprobe).map(_._1).toSeq
   }
 
+  /** Centroid ranks for a query: every cluster_id with its 1-based rank
+    * by (raw double L2, id) — [[probeClusters]]'s ordering, exposed so
+    * the tuning plan can express "rank ≤ nprobe" declaratively. */
+  def probeRanks(model: Model, query: Array[Float]): Seq[(Int, Int)] = {
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    model.centroids.sortBy { case (id, c) => (l2(c, query), id) }
+      .zipWithIndex.map { case ((id, _), r) => (id, r + 1) }.toSeq
+  }
+
+  /** Recall-vs-nprobe curve and the smallest probe count reaching
+    * `targetRecall` — the tuning loop every IVF deployment runs before
+    * fixing its serving nprobe (Faiss's `nprobe` sweep; Milvus exposes
+    * the same knob). ONE declarative plan: the query set's distances
+    * are computed once, exact top-k per query is one window, and every
+    * probed tier is the same ranking restricted by "centroid rank ≤
+    * nprobe" (a bounded broadcast of the tiny rank/nprobe tables) —
+    * not a per-nprobe re-scan. At 100 TB the same plan runs over a
+    * hash-sampled query set; recall against the exact top-k needs the
+    * exact ranking anyway, which is why tuning is a build-time, not
+    * serve-time, cost. Returns (nprobe, n_queries, recall, chosen),
+    * nprobe-ascending; `chosen` marks the smallest nprobe with recall ≥
+    * target (falling back to the largest probed). */
+  def nprobeCurve(spark: SparkSession, model: Model, vecCol: String,
+                  idCol: String, queries: Seq[(Long, Array[Float])],
+                  k: Int, nprobes: Seq[Int],
+                  targetRecall: Double): DataFrame = {
+    require(queries.nonEmpty && nprobes.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val data = spark.read.parquet(dataDir(model.indexDir))
+    val qdf = queries.map { case (qid, qv) => (qid, qv.toSeq) }
+      .toDF("qid", "qv")
+    val ranks = queries.flatMap { case (qid, qv) =>
+      probeRanks(model, qv).map { case (cid, r) => (qid, cid, r) }
+    }.toDF("qid", "cluster_id", "crank")
+    val scored = data.crossJoin(broadcast(qdf))
+      .withColumn("d",
+        round(VectorFunctions.l2Sq(col(vecCol), col("qv")), 4))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("d").asc, col(idCol).asc)
+    val exact = scored.withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= k).select(col("qid"), col(idCol))
+    val np = nprobes.toDF("nprobe")
+    val wqn = Window.partitionBy(col("qid"), col("nprobe"))
+      .orderBy(col("d").asc, col(idCol).asc)
+    val candk = scored
+      .join(broadcast(ranks), Seq("qid", "cluster_id"))
+      .join(broadcast(np), col("crank") <= col("nprobe"))
+      .withColumn("rn", row_number().over(wqn))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("nprobe"), col(idCol))
+    val denom = (k * queries.size).toDouble
+    val rec = broadcast(np).crossJoin(exact)
+      .join(candk.withColumn("hit", lit(1)),
+        Seq("nprobe", "qid", idCol), "left")
+      .groupBy(col("nprobe"))
+      .agg(round(count(col("hit")) / denom, 4).as("recall"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    val chosen = rec.find(_._2 >= targetRecall).map(_._1)
+      .getOrElse(rec.last._1)
+    spark.createDataFrame(rec.toSeq.map { case (npv, r) =>
+      (npv.toLong, queries.size.toLong, r, npv == chosen)
+    }).toDF("nprobe", "n_queries", "recall", "chosen")
+      .orderBy(col("nprobe").asc)
+  }
+
   /** IVF search: partition-pruned scan over the nprobe nearest clusters,
     * exact distance within, global top-k via TakeOrderedAndProject. */
   def search(spark: SparkSession, model: Model, vecCol: String, idCol: String,
