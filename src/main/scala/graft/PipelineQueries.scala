@@ -1864,6 +1864,41 @@ object PipelineQueries {
       ORDER BY alias ASC
     """))
 
+  /** Partition-keyed collection ([[Collection.appendPartitioned]] —
+    * Milvus partition_key parity): ingest the documents table
+    * partitioned by `source`, then run a partition-key query. The
+    * VALUE is the plan: the `source` predicate becomes a partition
+    * filter (directory pruning — zero IO outside the matching
+    * partition; PlanSpec pins PartitionFilters), and the oracle
+    * recomputes the aggregates from the fixture so routing that lost or
+    * misfiled rows hash-mismatches. */
+  private val collectionPartitionKey = Q(
+    "collection_partition_key",
+    (s, dir) => {
+      val out = s"/tmp/graft_collpk_${math.abs(dir.hashCode)}/docs"
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val coll = Collection(s, out)
+      if (!fs.exists(p)) {
+        coll.appendPartitioned(
+          Tables.documents(s, dir).select("doc_id", "text", "n_chars",
+            "source"),
+          partCol = "source")
+      }
+      coll.read.where(col("source") === "src3")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+        .select(lit("src3").as("source"), col("n_rows"),
+          col("sum_chars"), col("min_id"))
+    },
+    Some("""
+      SELECT 'src3' AS source, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(min(doc_id) AS BIGINT) AS min_id
+      FROM documents WHERE source = 'src3'
+    """))
+
   /** Small-file compaction end-to-end: ingest the documents table as
     * EIGHT single-file appends (the streaming-ingest accumulation
     * pattern that causes the small-files problem), compact to the byte
@@ -1919,5 +1954,5 @@ object PipelineQueries {
     graphAnnFilteredMultiRecall,
     graphAnnRange, streamingGraphIngest, collectionCompact,
     collectionTimeTravel, collectionAliasSwap, collectionAliasList,
-    collectionPointGet)
+    collectionPointGet, collectionPartitionKey)
 }

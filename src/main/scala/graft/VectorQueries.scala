@@ -629,6 +629,83 @@ object VectorQueries {
       ORDER BY hamming ASC, b.vec_id ASC LIMIT 10
     """))
 
+  /** Binary Jaccard (Tanimoto) search — the OTHER binary metric Milvus
+    * serves on BINARY_VECTOR collections (JACCARD next to
+    * `binary_hamming_search`'s HAMMING): distance = 1 − |a∧b|/|a∨b|
+    * over the same packed sign-bit artifact, two popcounts per word.
+    * Same 100 TB shape: 16-byte rows, codegen bit ops,
+    * TakeOrderedAndProject. */
+  private val binaryJaccardSearch = Q(
+    "binary_jaccard_search",
+    (s, dir) => {
+      import graft.search.BinaryVec
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0)
+        .select(BinaryVec.signWord(col("embedding"), 0).as("qw0"),
+          BinaryVec.signWord(col("embedding"), 1).as("qw1"))
+      val packed = graft.core.Artifacts.buildOnce(s,
+        s"/tmp/graft_binsig_${math.abs(dir.hashCode)}") {
+        e.select(col("vec_id"),
+          BinaryVec.signWord(col("embedding"), 0).as("w0"),
+          BinaryVec.signWord(col("embedding"), 1).as("w1"))
+      }
+      packed.crossJoin(broadcast(q))
+        .withColumn("jaccard_dist", BinaryVec.jaccardDist(
+          Seq(col("w0") -> col("qw0"), col("w1") -> col("qw1"))))
+        .select("vec_id", "jaccard_dist")
+        .orderBy(col("jaccard_dist").asc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH b AS (SELECT vec_id,
+                        list_transform(embedding,
+                          x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bits
+                 FROM embeddings),
+      q AS (SELECT bits AS qb FROM b WHERE vec_id = 0),
+      iu AS (SELECT b.vec_id,
+                    list_sum(list_transform(range(1, len(b.bits)+1),
+                      i -> CASE WHEN b.bits[i] = 1 AND q.qb[i] = 1
+                           THEN 1 ELSE 0 END)) AS inter,
+                    list_sum(list_transform(range(1, len(b.bits)+1),
+                      i -> CASE WHEN b.bits[i] = 1 OR q.qb[i] = 1
+                           THEN 1 ELSE 0 END)) AS uni
+             FROM b, q)
+      SELECT vec_id,
+             round(CASE WHEN uni = 0 THEN 0.0
+                   ELSE 1.0 - CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)
+                   END, 4) AS jaccard_dist
+      FROM iu
+      ORDER BY jaccard_dist ASC, vec_id ASC LIMIT 10
+    """))
+
+  /** Inner-product top-k — Milvus's IP metric (the third of its float
+    * metrics next to L2 and COSINE; the right metric when embeddings
+    * carry meaningful norms, e.g. popularity-scaled retrieval): rank by
+    * dot product DESC. Same scan-and-TakeOrderedAndProject shape as
+    * `knn_exact_topk` — metric choice changes one codegen expression,
+    * nothing about the plan. */
+  private val knnIpTopK = Q(
+    "knn_ip_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.crossJoin(broadcast(q))
+        .withColumn("ip",
+          round(VectorFunctions.dot(col("embedding"), col("qe")), 4))
+        .select("vec_id", "ip")
+        .orderBy(col("ip").desc, col("vec_id").asc)
+        .limit(5)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id,
+             round(list_sum(list_transform(range(1, len(e.embedding)+1),
+               i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(q.qe[i] AS DOUBLE))), 4) AS ip
+      FROM embeddings e, q
+      ORDER BY ip DESC, e.vec_id ASC LIMIT 5
+    """))
+
   /** MMR diversity rerank over a top-20 cosine candidate cut (see
     * [[graft.search.Mmr]]): 5 picks at λ=0.7. The oracle replays the
     * sequential argmax exactly — the 5 steps unrolled as chained CTEs,
@@ -1826,7 +1903,8 @@ object VectorQueries {
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     sq8RerankSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
-    binaryHammingSearch, mmrRerank, corpusDiversity,
+    binaryHammingSearch, binaryJaccardSearch, knnIpTopK, mmrRerank,
+    corpusDiversity,
     sparseVectorSearch, hybridSearchWeighted, searchPagination,
     embeddingOutliers, indexRecallReport, groupByFieldSearch)
 }

@@ -36,6 +36,20 @@ final class Collection(spark: SparkSession, val dir: String,
   def append(df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(dir)
 
+  /** Partition-keyed insert — Milvus `partition_key_field` parity: rows
+    * route to hive-style `partCol=value/` subdirectories, so a search
+    * carrying a partition-key predicate scans ONLY the matching
+    * partitions (Spark partition pruning does at the collection layer
+    * what Milvus's partition-key routing does at the segment layer).
+    * Contract: a partition-keyed collection is appended with the SAME
+    * `partCol` for its whole life and is not mixed with flat
+    * [[append]]s — the layouts are incompatible, exactly as a Milvus
+    * collection's partition key is fixed at creation. At 100 TB this is
+    * the difference between scanning one source's files and scanning
+    * the corpus. */
+  def appendPartitioned(df: DataFrame, partCol: String): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partCol).parquet(dir)
+
   /** Full scan of the collection. */
   def read: DataFrame = spark.read.parquet(dir)
 

@@ -39,4 +39,21 @@ object BinaryVec {
     pairs.map { case (a, b) =>
       call_function("bit_count", a.bitwiseXOR(b)).cast("long")
     }.reduce(_ + _)
+
+  /** Jaccard (Tanimoto) DISTANCE between packed signatures — the other
+    * binary metric Milvus serves (JACCARD): 1 − |a ∧ b| / |a ∨ b|,
+    * popcounts over the packed words (two bit_counts per word vs
+    * hamming's one). Two all-zero signatures are distance 0 by
+    * convention (identical), not the NULL a 0/0 would yield. Rounded
+    * to 4 decimals for cross-engine rank stability. */
+  def jaccardDist(pairs: Seq[(Column, Column)]): Column = {
+    val inter = pairs.map { case (a, b) =>
+      call_function("bit_count", a.bitwiseAND(b)).cast("long")
+    }.reduce(_ + _)
+    val union = pairs.map { case (a, b) =>
+      call_function("bit_count", a.bitwiseOR(b)).cast("long")
+    }.reduce(_ + _)
+    round(when(union === 0, 0.0)
+      .otherwise(lit(1.0) - inter.cast("double") / union.cast("double")), 4)
+  }
 }

@@ -272,6 +272,13 @@ class PlanSpec extends SparkSpec {
       "partition column must not also appear as a data filter")
   }
 
+  test("partition-key collection: source predicate prunes directories") {
+    val p = plan("collection_partition_key")
+    val scanSection = p.substring(p.indexOf("PartitionFilters"))
+    assert(scanSection.take(200).contains("source"),
+      s"source filter must be a partition filter:\n$p")
+  }
+
   test("collection point-get: id list reaches the scan as a pushed In") {
     val p = plan("collection_point_get")
     assert(p.contains("PushedFilters: [In(id, ["),
