@@ -127,6 +127,33 @@ class KnnSpec extends SparkSpec {
     assert(Bm25Index.search(spark, full, Seq("absent"), 10).isEmpty)
   }
 
+  test("bm25f: field weight decides ranking; append equals rebuild") {
+    import graft.search.Bm25Index
+    // doc 1 matches in the title, doc 2 matches (twice) in the body
+    val docs = Seq(
+      (1L, "spark", "other words here"),
+      (2L, "other", "spark engine spark"),
+      (3L, "misc", "unrelated body text"))
+      .toDF("id", "title", "body")
+    val fields = Seq("title", "body")
+    def results(idx: String, wTitle: Double) =
+      Bm25Index.searchFielded(spark, idx, Seq("spark"), 10,
+          Seq("title" -> wTitle, "body" -> 1.0))
+        .as[(Long, Double)].collect().toSeq
+    val full = "/tmp/graft_bm25f_full"
+    val inc = "/tmp/graft_bm25f_inc"
+    Bm25Index.buildFielded(docs, "id", fields, full)
+    Bm25Index.buildFielded(docs.where($"id" === 1L), "id", fields, inc)
+    Bm25Index.appendFielded(docs.where($"id" > 1L), "id", fields, inc)
+    assert(results(inc, 5.0) == results(full, 5.0))
+    // heavy title weight: the title hit outranks the double body hit
+    assert(results(full, 5.0).map(_._1).take(2) == Seq(1L, 2L))
+    // title weight ~0: the body hits dominate
+    assert(results(full, 0.01).map(_._1).head == 2L)
+    // doc 3 never matches
+    assert(!results(full, 5.0).exists(_._1 == 3L))
+  }
+
   test("bm25: tf monotone, rare terms outweigh common, absent docs dropped") {
     import graft.search.Bm25
     val docs = Seq(
