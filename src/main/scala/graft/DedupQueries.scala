@@ -103,6 +103,43 @@ object DedupQueries {
       ORDER BY score DESC, a_id ASC, b_id ASC LIMIT 20
     """))
 
+  /** PassJoin mid-length exact edit join ([[PassJoin.selfJoin]]): a
+    * deterministic 66-char corpus (two md5 digests of the row's
+    * 10-group + a '-digit' suffix, built identically in both engines
+    * from `customer`) where same-group rows differ by exactly one
+    * substitution — the URL/title shape the mid-length tier exists
+    * for, ABOVE the deletion-neighborhood ceiling. The oracle is the
+    * strongest form: a brute-force exact `levenshtein` join over the
+    * bounded slice, so the segment blocking must be COMPLETE (a lost
+    * candidate pair hash-mismatches), not merely plausible. */
+  private val fuzzyPassjoinMidlength = Q(
+    "fuzzy_passjoin_midlength",
+    (s, dir) => {
+      import graft.dedup.PassJoin
+      val g = floor(col("c_custkey") / 10).cast("long").cast("string")
+      val corpus = Tables.customer(s, dir)
+        .where(col("c_custkey") < 800)
+        .select(col("c_custkey").as("id"),
+          concat(md5(g), md5(concat(g, lit("x"))), lit("-"),
+            (col("c_custkey") % 10).cast("string")).as("s"))
+      PassJoin.selfJoin(corpus, "id", "s", maxDist = 1)
+        .orderBy(col("a_id").asc, col("b_id").asc)
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_custkey AS id,
+               md5(CAST(CAST(floor(c_custkey / 10) AS BIGINT) AS VARCHAR))
+               || md5(CAST(CAST(floor(c_custkey / 10) AS BIGINT) AS VARCHAR)
+                      || 'x')
+               || '-' || CAST(c_custkey % 10 AS VARCHAR) AS s
+        FROM customer WHERE c_custkey < 800)
+      SELECT a.id AS a_id, b.id AS b_id,
+             CAST(levenshtein(a.s, b.s) AS INT) AS dist
+      FROM c a JOIN c b ON a.id < b.id
+      WHERE levenshtein(a.s, b.s) <= 1
+      ORDER BY a_id ASC, b_id ASC
+    """))
+
   /** MinHash (8 md5 min-hashes) + LSH banding (8 bands of 1): candidate
     * pairs sharing any band, with estimated Jaccard. Sub-quadratic at
     * scale: equi-join on band keys instead of all-pairs. */
@@ -1064,6 +1101,6 @@ object DedupQueries {
     dedupSubstringSpans, dedupClusters, dedupKeeperSelection, semanticDedup,
     dedupIncrementalIngest, annRecallReport,
     dedupCascade, fuzzyEditJoin, fuzzyEditJoinD2, fuzzyLookup,
-    fuzzyLongDispatch,
+    fuzzyLongDispatch, fuzzyPassjoinMidlength,
     dedupChunkContainment)
 }

@@ -52,6 +52,13 @@ object FuzzyJoin {
     * (loud refusal) and [[nearPairsAuto]] (the dispatch). */
   val MaxDeletionLen = 64
 
+  /** Upper bound of the PassJoin mid-length tier ([[PassJoin]]):
+    * between [[MaxDeletionLen]] and this, edit distance is still the
+    * right question (URLs, titles, addresses) and segment blocking
+    * answers it exactly with constant per-row fan-out; above it the
+    * question itself shifts to similarity (q-gram Jaccard). */
+  val MaxPassJoinLen = 256
+
   /** Refuse deletion-neighborhood generation on corpora with strings
     * past [[MaxDeletionLen]]: one pushed-filter limit-1 probe — cheap
     * next to the join it guards, and a loud error beats an executor
@@ -159,25 +166,36 @@ object FuzzyJoin {
 
   /** The length-dispatched near-pair join: ONE entry point a pipeline
     * can call on any string column. Short strings (every value ≤
-    * `maxLenForDeletes`) get the exact edit-distance tier
+    * `maxLenForDeletes`) get the deletion-neighborhood exact tier
     * ([[selfJoin]] — `score` = Levenshtein distance, `tier` = 'edit');
-    * anything longer routes to the capped-df q-gram Jaccard tier
-    * ([[Dedup.jaccardTopPairs]] top-`k` — `score` = Jaccard, `tier` =
-    * 'jaccard'). The dispatch probe is one max-length aggregate —
-    * against a stored table, parquet column statistics answer it
-    * without a scan. The semantic shift is deliberate and documented:
-    * at content length, edit distance is the wrong question (see
-    * [[MaxDeletionLen]]), so the dispatch changes METRIC, not just
-    * plan, and labels the result with the tier that produced it. */
+    * mid-length strings (≤ `maxLenForSegments`) keep EXACT edit
+    * semantics via [[PassJoin.selfJoin]]'s segment blocking (`tier` =
+    * 'edit_segment' — constant fan-out where deletion variants would
+    * be O(len^d)); anything longer routes to the capped-df q-gram
+    * Jaccard tier ([[Dedup.jaccardTopPairs]] top-`k` — `score` =
+    * Jaccard, `tier` = 'jaccard'). The dispatch probe is one
+    * max-length aggregate — against a stored table, parquet column
+    * statistics answer it without a scan. The final semantic shift is
+    * deliberate and documented: at content length, edit distance is
+    * the wrong question (see [[MaxDeletionLen]]), so the dispatch
+    * changes METRIC, not just plan, and labels the result with the
+    * tier that produced it. */
   def nearPairsAuto(df: DataFrame, idCol: String, strCol: String,
                     maxDist: Int, k: Int,
                     maxLenForDeletes: Int = MaxDeletionLen,
+                    maxLenForSegments: Int = MaxPassJoinLen,
                     workDir: Option[String] = None): DataFrame = {
     val maxLen = df.agg(max(length(col(strCol))).as("m")).collect()(0)
-    if (!maxLen.isNullAt(0) && maxLen.getInt(0) <= maxLenForDeletes)
+    val m = if (maxLen.isNullAt(0)) 0 else maxLen.getInt(0)
+    if (m <= maxLenForDeletes)
       selfJoin(df, idCol, strCol, maxDist)
         .select(col("a_id"), col("b_id"),
           col("dist").cast("double").as("score"), lit("edit").as("tier"))
+    else if (m <= maxLenForSegments)
+      PassJoin.selfJoin(df, idCol, strCol, maxDist)
+        .select(col("a_id"), col("b_id"),
+          col("dist").cast("double").as("score"),
+          lit("edit_segment").as("tier"))
     else
       Dedup.jaccardTopPairs(df, idCol, strCol, k, workDir = workDir)
         .select(col("id_a").as("a_id"), col("id_b").as("b_id"),

@@ -136,19 +136,60 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("passjoin equals brute force incl. insert/delete length changes") {
+    import graft.dedup.PassJoin
+    // deterministic ~70-char strings with planted substitutions,
+    // insertions, AND deletions (unequal lengths exercise the l-range
+    // and shifted-window probe arithmetic)
+    val rng = new scala.util.Random(42)
+    def randS(n: Int) = (1 to n).map(_ => ('a' + rng.nextInt(4)).toChar)
+      .mkString // tiny alphabet: accidental near-pairs possible = good
+    val bases = (0 until 12).map(_ => randS(66 + rng.nextInt(8)))
+    val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+      val sub = b.updated(7, if (b(7) == 'a') 'b' else 'a')
+      val ins = b.substring(0, 30) + "Q" + b.substring(30)
+      val del = b.substring(0, 44) + b.substring(45)
+      Seq((i * 10L, b), (i * 10L + 1, sub), (i * 10L + 2, ins),
+        (i * 10L + 3, del))
+    }
+    val df = rows.toDF("id", "s")
+    for (d <- 1 to 2) {
+      val got = PassJoin.selfJoin(df, "id", "s", d)
+        .as[(Long, Long, Int)].collect().toSet
+      val brute = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib
+        dist = lev(sa, sb) if dist <= d
+      } yield (ia, ib, dist)).toSet
+      assert(got == brute,
+        s"d=$d: got ${got.size} pairs, brute ${brute.size}; " +
+          s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+      assert(brute.nonEmpty, "test corpus must contain true pairs")
+    }
+  }
+
   test("nearPairsAuto dispatches by length: edit tier short, jaccard long") {
     val short = Seq(1L -> "alpha", 2L -> "alphb", 3L -> "gamma")
       .toDF("id", "s")
     val se = FuzzyJoin.nearPairsAuto(short, "id", "s", maxDist = 1, k = 10)
       .as[(Long, Long, Double, String)].collect().toSet
     assert(se == Set((1L, 2L, 1.0, "edit")))
-    // content-length rows (>64 chars) route to the Jaccard tier and
+    // mid-length rows (64 < len <= 256) keep EXACT edit semantics via
+    // the PassJoin segment tier
+    val mid = (1 to 30).map(i => s"tok$i").mkString(" ") // ~170 chars
+    val midB = mid.replace("tok7", "tokX")               // 1 substitution
+    val midDf = Seq(1L -> mid, 2L -> midB, 3L -> mid.reverse)
+      .toDF("id", "s")
+    val me = FuzzyJoin.nearPairsAuto(midDf, "id", "s", maxDist = 1, k = 10)
+      .as[(Long, Long, Double, String)].collect().toSet
+    assert(me == Set((1L, 2L, 1.0, "edit_segment")), s"mid tier: $me")
+    // content-length rows (>256 chars) route to the Jaccard tier and
     // report that tier's metric; ≥21 docs so the tier's 5% df cap
     // (ceil(n·0.05) ≥ 2) keeps the near-dup pair's shared shingles
-    val doc = (1 to 30).map(i => s"tok$i").mkString(" ")
-    val docB = doc.replace("tok7", "tokX")
+    val doc = (1 to 60).map(i => s"token$i").mkString(" ") // ~460 chars
+    val docB = doc.replace("token7 ", "tokenX ")
     val filler = (3 to 40).map(d =>
-      d.toLong -> (1 to 30).map(i => s"w${d}x$i").mkString(" "))
+      d.toLong -> (1 to 60).map(i => s"w${d}x$i").mkString(" "))
     val longDf = (Seq(1L -> doc, 2L -> docB) ++ filler).toDF("id", "s")
     val le = FuzzyJoin.nearPairsAuto(longDf, "id", "s", maxDist = 1, k = 10)
       .as[(Long, Long, Double, String)].collect()

@@ -285,6 +285,13 @@ class PlanSpec extends SparkSpec {
       s"id IN must push to the parquet scan:\n$p")
   }
 
+  test("passjoin mid-length: segment-key block join, no cartesian") {
+    val p = plan("fuzzy_passjoin_midlength")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"segment block join must stay an equi-join:\n$p")
+  }
+
   test("fuzzy edit join: variant-key block join, no cartesian") {
     val p = plan("fuzzy_edit_join")
     assert(!p.contains("CartesianProduct") &&
