@@ -232,6 +232,35 @@ object ScaleBench {
             spark.range(n.toLong).select(col("id"),
               format_string("user#%09d", col("id")).as("s")),
             "id", "s", maxDist = 1).count()),
+        // PassJoin mid-length tier over a 71-char corpus (the md5-group
+        // shape of fuzzy_passjoin_midlength, grown with n): groups of
+        // 10 share a 64-char body and differ in the suffix digit, so
+        // TRUE pair density is constant (45/group) and the verified
+        // count must grow exactly linearly; the candidate count is the
+        // pre-verify volume the segment buckets generate
+        "passjoin_candidates (d=1, len=71)" -> (() => {
+          val g = floor(col("id") / 10).cast("long").cast("string")
+          graft.dedup.PassJoin.probeKeys(
+              spark.range(n.toLong).select(col("id"),
+                concat(md5(g), md5(concat(g, lit("x"))), lit("-"),
+                  (col("id") % 10).cast("string")).as("s")),
+              "id", "s", maxDist = 1)
+            .join(graft.dedup.PassJoin.segmentKeys(
+              spark.range(n.toLong).select(col("id"),
+                concat(md5(g), md5(concat(g, lit("x"))), lit("-"),
+                  (col("id") % 10).cast("string")).as("s")),
+              "id", "s", maxDist = 1), Seq("l", "seg_i", "seg_s"))
+            .where(col("a_id") < col("b_id"))
+            .select("a_id", "b_id").distinct().count()
+        }),
+        "passjoin_edit_join (d=1, len=71)" -> (() => {
+          val g = floor(col("id") / 10).cast("long").cast("string")
+          graft.dedup.PassJoin.selfJoin(
+            spark.range(n.toLong).select(col("id"),
+              concat(md5(g), md5(concat(g, lit("x"))), lit("-"),
+                (col("id") % 10).cast("string")).as("s")),
+            "id", "s", maxDist = 1).count()
+        }),
         // round-5 search modes: each scans its build-once stored form
         // (postings / packed signatures), so the timed number is the
         // per-query serving cost — the thing that must stay ~linear-or-

@@ -1896,10 +1896,115 @@ object VectorQueries {
       ORDER BY bm25f DESC, doc_id ASC LIMIT 10
     """))
 
+  /** Streaming lexical-index maintenance — the [[bm25fSearch]] artifact
+    * kept current by a Structured Streaming file source (the
+    * `streaming_graph_ingest` discipline applied to the lexical tier):
+    * three micro-batches drive foreachBatch — the first BUILDS the
+    * per-field artifact, later ones absorb by
+    * [[graft.search.Bm25Index.appendFielded]] (tokenize the batch only,
+    * file append, no rewrite). The final search runs from the artifact
+    * alone and the oracle recomputes BM25F over the FULL corpus, so a
+    * dropped or double-absorbed micro-batch hash-mismatches. */
+  private val streamingBm25Ingest = Q(
+    "streaming_bm25_ingest",
+    (s, dir) => {
+      import graft.search.Bm25Index
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.types._
+      val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+      val work = s"/tmp/graft_streambm25_${math.abs(dir.hashCode)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(work).getFileSystem(conf)
+      fs.delete(new Path(work), true)
+      fs.mkdirs(new Path(s"$work/in"))
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+        val tmp = s"$work/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        fs.rename(part, new Path(s"$work/in/$name"))
+        fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
+        fs.delete(new Path(tmp), true)
+      }
+      writeOne(docs.where(col("doc_id") < 300), "00_base.parquet", 1000000L)
+      writeOne(docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
+        "01_batch.parquet", 2000000L)
+      writeOne(docs.where(col("doc_id") >= 400), "02_batch.parquet",
+        3000000L)
+      val idx = s"$work/bm25f"
+      val fields = Seq("source", "text")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("source", StringType),
+        StructField("text", StringType)))
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+      val q = src.writeStream
+        .option("checkpointLocation", s"$work/_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!fs.exists(new Path(
+              Bm25Index.postingsDir(idx) + "/_SUCCESS")))
+            Bm25Index.buildFielded(batch, "doc_id", fields, idx)
+          else
+            Bm25Index.appendFielded(batch, "doc_id", fields, idx)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Bm25Index.searchFielded(s, idx, Seq("scan", "merge", "src5"),
+          k = 10, fieldWeights = Seq("source" -> 2.0, "text" -> 1.0))
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH ftoks AS (
+        SELECT doc_id, 'source' AS field,
+               unnest(list_filter(string_split_regex(source, '\s+'),
+                 t -> len(t) > 0)) AS term
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'text',
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                 t -> len(t) > 0))
+        FROM documents),
+      tf AS (SELECT doc_id, field, term, count(*) AS tf FROM ftoks
+             WHERE term IN ('scan', 'merge', 'src5')
+             GROUP BY doc_id, field, term),
+      dl AS (SELECT doc_id, 'source' AS field,
+                    CAST(len(list_filter(string_split_regex(source, '\s+'),
+                      t -> len(t) > 0)) AS DOUBLE) AS dl
+             FROM documents
+             UNION ALL
+             SELECT doc_id, 'text',
+                    CAST(len(list_filter(string_split_regex(text, '\s+'),
+                      t -> len(t) > 0)) AS DOUBLE)
+             FROM documents),
+      fstats AS (SELECT field, sum(dl) / count(*) AS avgdl
+                 FROM dl GROUP BY field),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+              FROM tf GROUP BY term),
+      tft AS (SELECT tf.doc_id, tf.term,
+                     sum((CASE tf.field WHEN 'source' THEN 2.0
+                          ELSE 1.0 END) * tf.tf
+                       / (0.25 + 0.75 * (dl.dl / fstats.avgdl))) AS tft
+              FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+                               AND dl.field = tf.field
+                      JOIN fstats ON fstats.field = tf.field
+              GROUP BY tf.doc_id, tf.term),
+      bm AS (SELECT tft.doc_id,
+                    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * tft / (1.2 + tft)), 4) AS bm25f
+             FROM tft JOIN dfq USING (term) CROSS JOIN nd
+             GROUP BY tft.doc_id)
+      SELECT doc_id, bm25f FROM bm
+      ORDER BY bm25f DESC, doc_id ASC LIMIT 10
+    """))
+
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery, mrlTruncatedSearch,
     mrlRotatedSearch, mrlRotationReport, opqAdcSearch, opqRecallReport,
     opqIvfPqSearch,
-    bm25IncrementalSearch, bm25fSearch,
+    bm25IncrementalSearch, bm25fSearch, streamingBm25Ingest,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     sq8RerankSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
