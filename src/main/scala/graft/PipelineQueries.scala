@@ -1899,6 +1899,43 @@ object PipelineQueries {
       FROM documents WHERE source = 'src3'
     """))
 
+  /** Collection clone ([[Collection.cloneTo]] — backup/fork parity):
+    * ingest, clone, then MUTATE THE SOURCE (delete rows) and read the
+    * clone — the clone must still carry the pre-mutation corpus (file
+    * copy, not a reference). Oracle recomputes both sides' aggregates
+    * from the fixture. */
+  private val collectionClone = Q(
+    "collection_clone",
+    (s, dir) => {
+      val root = s"/tmp/graft_clone_${math.abs(dir.hashCode)}"
+      val rp = new org.apache.hadoop.fs.Path(root)
+      rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rp, true)
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+      val src = Collection(s, s"$root/src")
+      src.create(docs.schema, force = true)
+      src.append(docs)
+      val backup = src.cloneTo(s"$root/backup")
+      src.delete(col("doc_id") >= 100) // mutate the source AFTER cloning
+      def agg(c: Collection, which: String) =
+        c.read.agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(lit(which).as("side"), col("n_rows"), col("sum_chars"))
+      agg(src, "1_source_after_delete").unionAll(agg(backup, "2_backup"))
+        .orderBy(col("side").asc)
+    },
+    Some("""
+      SELECT side, n_rows, sum_chars FROM (
+        SELECT '1_source_after_delete' AS side,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT '2_backup', CAST(count(*) AS BIGINT),
+               CAST(sum(n_chars) AS BIGINT) FROM documents) u
+      ORDER BY side ASC
+    """))
+
   /** Small-file compaction end-to-end: ingest the documents table as
     * EIGHT single-file appends (the streaming-ingest accumulation
     * pattern that causes the small-files problem), compact to the byte
@@ -1954,5 +1991,5 @@ object PipelineQueries {
     graphAnnFilteredMultiRecall,
     graphAnnRange, streamingGraphIngest, collectionCompact,
     collectionTimeTravel, collectionAliasSwap, collectionAliasList,
-    collectionPointGet, collectionPartitionKey)
+    collectionPointGet, collectionPartitionKey, collectionClone)
 }

@@ -180,6 +180,27 @@ final class Collection(spark: SparkSession, val dir: String,
     droppedTmp ++ handledOld
   }
 
+  /** Clone the LIVE collection state to `destDir` (Milvus
+    * backup/collection-clone parity; also the cheap way to fork a
+    * corpus for an experiment): a file-level copy of the live
+    * directory — retained versions deliberately stay behind, a clone
+    * is a fork of NOW, not of history. Crash-safe: copies into
+    * `destDir__clone_tmp`, then one rename — a reader never sees a
+    * half-copied collection at `destDir`. Refuses a non-empty
+    * destination. */
+  def cloneTo(destDir: String): Collection = {
+    require(exists, s"clone: no live collection at $dir")
+    val dst = new Path(destDir)
+    require(!fs.exists(dst), s"clone: destination $destDir exists")
+    val tmp = new Path(destDir + "__clone_tmp")
+    fs.delete(tmp, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(dir), fs, tmp,
+      false, spark.sparkContext.hadoopConfiguration)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"clone: rename $tmp -> $dst failed")
+    new Collection(spark, destDir, retainVersions)
+  }
+
   private def parquetFiles(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
     fs.listStatus(p).filter(s => s.isFile &&
       s.getPath.getName.endsWith(".parquet"))
