@@ -1006,47 +1006,51 @@ object PipelineQueries {
     * constant — it fixes the CTE count. */
   private def bulkWalkCtesExpr(name: String, beamWidthSql: String,
                                rounds: Int,
-                               seedsPerQuery: Int = 0): String = {
+                               seedsPerQuery: Int = 0,
+                               prefix: String = ""): String = {
     val beamWidth = beamWidthSql
+    val P = prefix
     val sb = new StringBuilder
     sb.append(s"""
-      adj AS (SELECT src, dst FROM read_parquet(
+      ${P}adj AS (SELECT src, dst FROM read_parquet(
         '/tmp/graft_${name}_oracle_%ORACLE_KEY%/adjacency/*.parquet')),
-      ent AS (SELECT entry_id FROM read_parquet(
+      ${P}ent AS (SELECT entry_id FROM read_parquet(
         '/tmp/graft_${name}_oracle_%ORACLE_KEY%/entry/*.parquet')),
-      dall AS (SELECT q.qid, e.vec_id AS id,
+      ${P}dall AS (SELECT q.qid, e.vec_id AS id,
                       ${duckL2("e.embedding", "q.qv")} AS d
                FROM embeddings e, qs q),""")
     if (seedsPerQuery > 0)
       sb.append(s"""
-      v0 AS (SELECT qid, id, d FROM (
+      ${P}v0 AS (SELECT qid, id, d FROM (
           SELECT d.qid, d.id, d.d, row_number() OVER (PARTITION BY d.qid
               ORDER BY d.d ASC, d.id ASC) AS rn
-          FROM dall d WHERE d.id IN (SELECT entry_id FROM ent)) tseed
+          FROM ${P}dall d
+          WHERE d.id IN (SELECT entry_id FROM ${P}ent)) ${P}tseed
         WHERE rn <= $seedsPerQuery),
-      x0 AS (SELECT qid, id FROM v0 WHERE 1 = 0)""")
+      ${P}x0 AS (SELECT qid, id FROM ${P}v0 WHERE 1 = 0)""")
     else
       sb.append(s"""
-      v0 AS (SELECT qid, id, d FROM dall
-             WHERE id IN (SELECT entry_id FROM ent)),
-      x0 AS (SELECT qid, id FROM v0 WHERE 1 = 0)""")
+      ${P}v0 AS (SELECT qid, id, d FROM ${P}dall
+             WHERE id IN (SELECT entry_id FROM ${P}ent)),
+      ${P}x0 AS (SELECT qid, id FROM ${P}v0 WHERE 1 = 0)""")
     for (r <- 1 to rounds) {
       val p = r - 1
       sb.append(s""",
-      f$r AS (SELECT qid, id FROM (
+      ${P}f$r AS (SELECT qid, id FROM (
           SELECT v.qid, v.id, row_number() OVER (PARTITION BY v.qid
               ORDER BY v.d ASC, v.id ASC) AS rn
-          FROM v$p v WHERE NOT EXISTS (SELECT 1 FROM x$p x
-              WHERE x.qid = v.qid AND x.id = v.id)) t$r
+          FROM ${P}v$p v WHERE NOT EXISTS (SELECT 1 FROM ${P}x$p x
+              WHERE x.qid = v.qid AND x.id = v.id)) ${P}t$r
         WHERE rn <= $beamWidth),
-      x$r AS (SELECT qid, id FROM x$p UNION SELECT qid, id FROM f$r),
-      n$r AS (SELECT DISTINCT f.qid, a.dst AS id
-              FROM adj a JOIN f$r f ON a.src = f.id
-              WHERE NOT EXISTS (SELECT 1 FROM v$p v
+      ${P}x$r AS (SELECT qid, id FROM ${P}x$p
+                  UNION SELECT qid, id FROM ${P}f$r),
+      ${P}n$r AS (SELECT DISTINCT f.qid, a.dst AS id
+              FROM ${P}adj a JOIN ${P}f$r f ON a.src = f.id
+              WHERE NOT EXISTS (SELECT 1 FROM ${P}v$p v
                   WHERE v.qid = f.qid AND v.id = a.dst)),
-      v$r AS (SELECT qid, id, d FROM v$p UNION
-              SELECT da.qid, da.id, da.d FROM dall da
-              JOIN n$r n ON n.qid = da.qid AND n.id = da.id)""")
+      ${P}v$r AS (SELECT qid, id, d FROM ${P}v$p UNION
+              SELECT da.qid, da.id, da.d FROM ${P}dall da
+              JOIN ${P}n$r n ON n.qid = da.qid AND n.id = da.id)""")
     }
     sb.toString
   }
@@ -1308,6 +1312,99 @@ object PipelineQueries {
              CAST(${BulkQids.size} AS BIGINT) AS n_queries,
              round(count(w.id) / ${5.0 * BulkQids.size}, 4) AS recall
       FROM ex LEFT JOIN walk w ON w.qid = ex.qid AND w.id = ex.id
+    """))
+
+  /** Graph beam-width auto-tuning — the serving-knob sweep for the
+    * graph family, symmetric to `ivf_nprobe_autotune`: recall@5 vs
+    * beamWidth ∈ {2, 4, 8} at fixed rounds over the three bulk
+    * queries, choosing the smallest width with recall ≥ 0.9. The
+    * oracle replays ALL THREE walks (prefixed CTE chains), both recall
+    * aggregations, and the choice rule — so the tuner's pick itself is
+    * hash-checked. */
+  private val graphBeamAutotune = Q(
+    "graph_beam_autotune",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$base/entry") {
+        GraphAnn.medoid(e, "vec_id", "embedding")
+      }
+      stageOracle(s, "graphtune", dir)(
+        "adjacency" -> adj.select("src", "dst"),
+        "entry" -> entryDf)
+      val entryId = entryDf.collect()(0).getLong(0)
+      val qs = e.where(col("vec_id").isin(BulkQids: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      import org.apache.spark.sql.expressions.Window
+      val qdf = e.where(col("vec_id").isin(BulkQids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = e.crossJoin(broadcast(qdf))
+        .select(col("qid"), col("vec_id"),
+          round(graft.functions.VectorFunctions.l2Sq(col("embedding"),
+            col("qv")), 4).as("d"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("d").asc, col("vec_id").asc)))
+        .where(col("rn") <= 5).select("qid", "vec_id")
+      val widths = Seq(2, 4, 8)
+      val rec = widths.map { w =>
+        val walked = qs.map { case (qid, qv) =>
+          GraphAnn.beamSearch(adj, e, "vec_id", "embedding", qv, entryId,
+              k = 5, beamWidth = w, rounds = 3)
+            .select(lit(qid).as("qid"), col("vec_id"))
+        }.reduce(_ unionAll _)
+        val r = exact.join(walked.withColumn("hit", lit(1)),
+            Seq("qid", "vec_id"), "left")
+          .agg(round(count(col("hit")) / (5.0 * BulkQids.size), 4))
+          .collect()(0).getDouble(0)
+        (w, r)
+      }
+      val chosen = rec.find(_._2 >= 0.9).map(_._1).getOrElse(rec.last._1)
+      import s.implicits._
+      rec.map { case (w, r) =>
+        (w.toLong, BulkQids.size.toLong, r, w == chosen)
+      }.toDF("beam_width", "n_queries", "recall", "chosen")
+        .orderBy(col("beam_width").asc)
+    },
+    Some(s"""
+      WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                  WHERE vec_id IN (${BulkQids.mkString(", ")})),
+      ${bulkWalkCtesExpr("graphtune", "2", rounds = 3, prefix = "ta")},
+      ${bulkWalkCtesExpr("graphtune", "4", rounds = 3, prefix = "tb")},
+      ${bulkWalkCtesExpr("graphtune", "8", rounds = 3, prefix = "tc")},
+      ex AS (SELECT qid, id FROM (
+          SELECT qid, id, d, row_number() OVER (PARTITION BY qid
+              ORDER BY d ASC, id ASC) AS rn FROM tadall) t WHERE rn <= 5),
+      wa AS (SELECT qid, id FROM (
+          SELECT qid, id, d, row_number() OVER (PARTITION BY qid
+              ORDER BY d ASC, id ASC) AS rn FROM tav3) t WHERE rn <= 5),
+      wb AS (SELECT qid, id FROM (
+          SELECT qid, id, d, row_number() OVER (PARTITION BY qid
+              ORDER BY d ASC, id ASC) AS rn FROM tbv3) t WHERE rn <= 5),
+      wc AS (SELECT qid, id FROM (
+          SELECT qid, id, d, row_number() OVER (PARTITION BY qid
+              ORDER BY d ASC, id ASC) AS rn FROM tcv3) t WHERE rn <= 5),
+      rec AS (
+        SELECT 2 AS beam_width, round(count(w.id) / 15.0, 4) AS recall
+        FROM ex LEFT JOIN wa w ON w.qid = ex.qid AND w.id = ex.id
+        UNION ALL
+        SELECT 4, round(count(w.id) / 15.0, 4)
+        FROM ex LEFT JOIN wb w ON w.qid = ex.qid AND w.id = ex.id
+        UNION ALL
+        SELECT 8, round(count(w.id) / 15.0, 4)
+        FROM ex LEFT JOIN wc w ON w.qid = ex.qid AND w.id = ex.id),
+      ch AS (SELECT coalesce(
+               min(beam_width) FILTER (WHERE recall >= 0.9),
+               max(beam_width)) AS c FROM rec)
+      SELECT CAST(beam_width AS BIGINT) AS beam_width,
+             CAST(3 AS BIGINT) AS n_queries, recall,
+             beam_width = (SELECT c FROM ch) AS chosen
+      FROM rec ORDER BY beam_width ASC
     """))
 
   /** Selectivity-adaptive filtered graph search (see
@@ -1988,7 +2085,7 @@ object PipelineQueries {
     graphAnnBulkRecall, graphAnnIncremental, graphAnnFiltered,
     graphAnnFilteredRecall, graphAnnFilteredAdaptive,
     graphAnnMultiEntry, graphAnnMultiEntryRecall,
-    graphAnnFilteredMultiRecall,
+    graphAnnFilteredMultiRecall, graphBeamAutotune,
     graphAnnRange, streamingGraphIngest, collectionCompact,
     collectionTimeTravel, collectionAliasSwap, collectionAliasList,
     collectionPointGet, collectionPartitionKey, collectionClone)
