@@ -1407,6 +1407,200 @@ object PipelineQueries {
       FROM rec ORDER BY beam_width ASC
     """))
 
+  /** Beam-width auto-tuning over MULTI-ENTRY seeded walks — the
+    * composition `graph_beam_autotune`'s own result motivates: the
+    * single-medoid sweep saturates at recall 0.7333 even at width 8 ×
+    * 3 rounds = 24 expansions (its fallback branch fires), because the
+    * medoid start is far from two of the three query regions. Seeding
+    * each query's walk from its 2 nearest of the 8 per-shard entry
+    * points ([[graft.search.GraphAnn.entryPoints]] — the DiskANN
+    * sharded discipline) moves the whole budget-recall curve: at
+    * sf0.01 every width in the sweep reaches recall 1.0 and the ≥ 0.9
+    * rule picks width 2 — 2 × 4 rounds = 8 expansions, a THIRD of the
+    * budget the saturated single-medoid sweep spent for 0.7333. That
+    * is the point of tuning over the right family: the knob only
+    * matters once the walk starts in the query's region. Same
+    * triple-walk oracle replay as the single-entry tuner (three
+    * prefixed seeded CTE chains, both aggregations, the choice rule),
+    * so the pick itself is hash-checked. */
+  private val graphBeamAutotuneMulti = Q(
+    "graph_beam_autotune_multi",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entries = graft.core.Artifacts.buildOnce(s, s"$base/entries") {
+        GraphAnn.entryPoints(e, "vec_id", "embedding", nEntries = 8)
+      }
+      stageOracle(s, "graphtunem", dir)(
+        "adjacency" -> adj.select("src", "dst"),
+        "entry" -> entries.select("entry_id"))
+      val qs = e.where(col("vec_id").isin(BulkQids: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      import org.apache.spark.sql.expressions.Window
+      val qdf = e.where(col("vec_id").isin(BulkQids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = e.crossJoin(broadcast(qdf))
+        .select(col("qid"), col("vec_id"),
+          round(graft.functions.VectorFunctions.l2Sq(col("embedding"),
+            col("qv")), 4).as("d"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("d").asc, col("vec_id").asc)))
+        .where(col("rn") <= 5).select("qid", "vec_id")
+      val widths = Seq(2, 4, 8)
+      val rec = widths.map { w =>
+        val walked = qs.map { case (qid, qv) =>
+          GraphAnn.beamSearchMulti(adj, e, "vec_id", "embedding", qv,
+              entries, k = 5, beamWidth = w, rounds = 4, nSeeds = 2)
+            .select(lit(qid).as("qid"), col("vec_id"))
+        }.reduce(_ unionAll _)
+        val r = exact.join(walked.withColumn("hit", lit(1)),
+            Seq("qid", "vec_id"), "left")
+          .agg(round(count(col("hit")) / (5.0 * BulkQids.size), 4))
+          .collect()(0).getDouble(0)
+        (w, r)
+      }
+      val chosen = rec.find(_._2 >= 0.9).map(_._1).getOrElse(rec.last._1)
+      import s.implicits._
+      rec.map { case (w, r) =>
+        (w.toLong, BulkQids.size.toLong, r, w == chosen)
+      }.toDF("beam_width", "n_queries", "recall", "chosen")
+        .orderBy(col("beam_width").asc)
+    },
+    Some(s"""
+      WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                  WHERE vec_id IN (${BulkQids.mkString(", ")})),
+      ${bulkWalkCtesExpr("graphtunem", "2", rounds = 4,
+        seedsPerQuery = 2, prefix = "ma")},
+      ${bulkWalkCtesExpr("graphtunem", "4", rounds = 4,
+        seedsPerQuery = 2, prefix = "mb")},
+      ${bulkWalkCtesExpr("graphtunem", "8", rounds = 4,
+        seedsPerQuery = 2, prefix = "mc")},
+      ex AS (SELECT qid, id FROM (
+          SELECT qid, id, d, row_number() OVER (PARTITION BY qid
+              ORDER BY d ASC, id ASC) AS rn FROM madall) t WHERE rn <= 5),
+      wa AS (SELECT qid, id FROM (
+          SELECT qid, id, d, row_number() OVER (PARTITION BY qid
+              ORDER BY d ASC, id ASC) AS rn FROM mav4) t WHERE rn <= 5),
+      wb AS (SELECT qid, id FROM (
+          SELECT qid, id, d, row_number() OVER (PARTITION BY qid
+              ORDER BY d ASC, id ASC) AS rn FROM mbv4) t WHERE rn <= 5),
+      wc AS (SELECT qid, id FROM (
+          SELECT qid, id, d, row_number() OVER (PARTITION BY qid
+              ORDER BY d ASC, id ASC) AS rn FROM mcv4) t WHERE rn <= 5),
+      rec AS (
+        SELECT 2 AS beam_width, round(count(w.id) / 15.0, 4) AS recall
+        FROM ex LEFT JOIN wa w ON w.qid = ex.qid AND w.id = ex.id
+        UNION ALL
+        SELECT 4, round(count(w.id) / 15.0, 4)
+        FROM ex LEFT JOIN wb w ON w.qid = ex.qid AND w.id = ex.id
+        UNION ALL
+        SELECT 8, round(count(w.id) / 15.0, 4)
+        FROM ex LEFT JOIN wc w ON w.qid = ex.qid AND w.id = ex.id),
+      ch AS (SELECT coalesce(
+               min(beam_width) FILTER (WHERE recall >= 0.9),
+               max(beam_width)) AS c FROM rec)
+      SELECT CAST(beam_width AS BIGINT) AS beam_width,
+             CAST(3 AS BIGINT) AS n_queries, recall,
+             beam_width = (SELECT c FROM ch) AS chosen
+      FROM rec ORDER BY beam_width ASC
+    """))
+
+  /** PQ-scored graph walk (see [[graft.search.GraphAnn.beamSearchPq]]) —
+    * the DiskANN serving layout proper (Subramanya et al. 2019 §3:
+    * codes in memory route the walk, full vectors only rerank), the
+    * composition of the graph family's routing with the PQ family's
+    * 32× storage cut. The walk's frontier ranks by ADC lookup distance
+    * over the SHARED codes artifact (same build as `pq_adc_search`);
+    * the visited set reranks exactly. The oracle replays per-subspace
+    * encoding, the query lookup table, all three walk rounds scored by
+    * ADC, and the exact rerank — one CTE chain, everything
+    * hash-checked. At 100 TB this is the serving memory story: rounds ×
+    * beam × degree point reads of m-byte codes, corpus-size-independent
+    * like every walk, with full-precision I/O only for the ≤ budget
+    * rerank rows. */
+  private val graphAnnPqWalk = Q(
+    "graph_ann_pq_walk",
+    (s, dir) => {
+      import graft.search.{GraphAnn, Pq}
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val pqDir = s"/tmp/graft_pq_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$base/entry") {
+        GraphAnn.medoid(e, "vec_id", "embedding")
+      }
+      val model =
+        if (new java.io.File(Pq.codesDir(pqDir) + "/_SUCCESS").exists())
+          Pq.load(s, pqDir)
+        else Pq.build(e, "embedding", "vec_id", pqDir)
+      stageOracle(s, "graphpq", dir)(
+        "adjacency" -> adj.select("src", "dst"),
+        "entry" -> entryDf,
+        "codebooks" -> s.read.parquet(Pq.codebooksDir(pqDir)))
+      val entryId = entryDf.collect()(0).getLong(0)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val codes = s.read.parquet(Pq.codesDir(pqDir))
+      GraphAnn.beamSearchPq(adj, codes, e, "vec_id", "embedding", query,
+        model, entryId, k = 5, beamWidth = 4, rounds = 3, degree = 8)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      adj AS (SELECT src, dst FROM read_parquet(
+        '/tmp/graft_graphpq_oracle_%ORACLE_KEY%/adjacency/*.parquet')),
+      ent AS (SELECT entry_id FROM read_parquet(
+        '/tmp/graft_graphpq_oracle_%ORACLE_KEY%/entry/*.parquet')),
+      cb AS (SELECT * FROM read_parquet(
+        '/tmp/graft_graphpq_oracle_%ORACLE_KEY%/codebooks/*.parquet')),
+      enc AS (SELECT vec_id, sub, code FROM (
+          SELECT e.vec_id, cb.sub, cb.code,
+                 row_number() OVER (PARTITION BY e.vec_id, cb.sub ORDER BY
+                   list_sum(list_transform(range(1, 9),
+                     i -> (CAST(e.embedding[cb.sub*8 + i] AS DOUBLE)
+                           - CAST(cb.centroid[i] AS DOUBLE))^2)) ASC,
+                   cb.code ASC) AS rn
+          FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
+      lut AS (SELECT cb.sub, cb.code,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (CAST(q.qv[cb.sub*8 + i] AS DOUBLE)
+                             - CAST(cb.centroid[i] AS DOUBLE))^2)) AS d
+              FROM cb CROSS JOIN q),
+      dall AS (SELECT enc.vec_id AS id, round(sum(lut.d), 4) AS d
+               FROM enc JOIN lut USING (sub, code) GROUP BY enc.vec_id),
+      v0 AS (SELECT id, d FROM dall
+             WHERE id IN (SELECT entry_id FROM ent)),
+      f1 AS (SELECT id, d FROM v0 ORDER BY d ASC, id ASC LIMIT 4),
+      n1 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f1 ON a.src = f1.id
+             WHERE a.dst NOT IN (SELECT id FROM v0)),
+      v1 AS (SELECT id, d FROM v0 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n1 USING (id)),
+      x1 AS (SELECT id FROM f1),
+      f2 AS (SELECT id, d FROM v1 WHERE id NOT IN (SELECT id FROM x1)
+             ORDER BY d ASC, id ASC LIMIT 4),
+      n2 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f2 ON a.src = f2.id
+             WHERE a.dst NOT IN (SELECT id FROM v1)),
+      v2 AS (SELECT id, d FROM v1 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n2 USING (id)),
+      x2 AS (SELECT id FROM x1 UNION SELECT id FROM f2),
+      f3 AS (SELECT id, d FROM v2 WHERE id NOT IN (SELECT id FROM x2)
+             ORDER BY d ASC, id ASC LIMIT 4),
+      n3 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f3 ON a.src = f3.id
+             WHERE a.dst NOT IN (SELECT id FROM v2)),
+      v3 AS (SELECT id, d FROM v2 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n3 USING (id))
+      SELECT v.id AS vec_id, v.d AS approx_distance, %L2% AS distance
+      FROM v3 v JOIN embeddings e ON e.vec_id = v.id, q
+      ORDER BY distance ASC, vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qv"))))
+
   /** Selectivity-adaptive filtered graph search (see
     * [[graft.search.GraphAnn.filteredBeamSearchAdaptive]]): the beam is
     * sized by the predicate's measured selectivity (width =
@@ -1820,6 +2014,153 @@ object PipelineQueries {
       ORDER BY version ASC
     """))
 
+  /** Hybrid search with a GRAPH dense side — `hybrid_search_rrf`'s
+    * fusion (BM25 lexical top-20 + dense top-20, reciprocal-rank k=60)
+    * with the exact-kNN scan replaced by the beam walk: at 100 TB the
+    * dense side of hybrid retrieval CANNOT be a corpus scan, and this
+    * entry pins that the fusion semantics survive the swap —
+    * rank-based fusion only needs the walk's top-20, not its scores'
+    * comparability. The oracle replays BM25 (tf/df/dl/avgdl from the
+    * raw fixture), all three walk rounds over the staged adjacency,
+    * both rank windows, and the fused ordering. */
+  private val hybridGraphRrf = Q(
+    "hybrid_graph_rrf",
+    (s, dir) => {
+      import graft.search.{Bm25, GraphAnn}
+      val docs = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$base/entry") {
+        GraphAnn.medoid(e, "vec_id", "embedding")
+      }
+      stageOracle(s, "graphhyb", dir)(
+        "adjacency" -> adj.select("src", "dst"),
+        "entry" -> entryDf)
+      val entryId = entryDf.collect()(0).getLong(0)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val bm = Bm25.score(docs, "doc_id", "text",
+        terms = Seq("scan", "filter", "merge"))
+      val bmRanks = Bm25.topRanks(bm, "bm25", n = 20,
+        ascending = false, rankCol = "bm25_rank")
+      val walk = GraphAnn.beamSearch(adj, e, "vec_id", "embedding",
+          query, entryId, k = 20, beamWidth = 4, rounds = 3, degree = 8)
+        .select(col("vec_id").as("id"), col("distance").as("d"))
+      val graphRanks = Bm25.topRanks(walk, "d", n = 20,
+        ascending = true, rankCol = "graph_rank")
+      Bm25.rrfFuse(bmRanks, "bm25_rank", graphRanks, "graph_rank")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(10)
+    },
+    Some(("""
+      WITH toks AS (SELECT doc_id,
+                           unnest(string_split_regex(text, '\s+')) AS term
+                    FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST((SELECT sum(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)))
+                             FROM documents) AS DOUBLE) / count(*) AS avgdl
+                FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ('scan', 'filter', 'merge') GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dl AS (SELECT doc_id,
+                    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS DOUBLE) AS dl
+             FROM documents),
+      bm AS (SELECT tf.doc_id,
+                    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2)
+                      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))), 4) AS bm25
+             FROM tf JOIN dfq USING (term)
+                     JOIN dl ON dl.doc_id = tf.doc_id
+                     CROSS JOIN stats
+             GROUP BY tf.doc_id),
+      bmr AS (SELECT doc_id, CAST(row_number() OVER
+                       (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS bm25_rank
+              FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 20)),
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      adj AS (SELECT src, dst FROM read_parquet(
+        '/tmp/graft_graphhyb_oracle_%ORACLE_KEY%/adjacency/*.parquet')),
+      ent AS (SELECT entry_id FROM read_parquet(
+        '/tmp/graft_graphhyb_oracle_%ORACLE_KEY%/entry/*.parquet')),
+      dall AS (SELECT e.vec_id AS id, %L2% AS d FROM embeddings e, q),
+      v0 AS (SELECT id, d FROM dall
+             WHERE id IN (SELECT entry_id FROM ent)),
+      f1 AS (SELECT id, d FROM v0 ORDER BY d ASC, id ASC LIMIT 4),
+      n1 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f1 ON a.src = f1.id
+             WHERE a.dst NOT IN (SELECT id FROM v0)),
+      v1 AS (SELECT id, d FROM v0 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n1 USING (id)),
+      x1 AS (SELECT id FROM f1),
+      f2 AS (SELECT id, d FROM v1 WHERE id NOT IN (SELECT id FROM x1)
+             ORDER BY d ASC, id ASC LIMIT 4),
+      n2 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f2 ON a.src = f2.id
+             WHERE a.dst NOT IN (SELECT id FROM v1)),
+      v2 AS (SELECT id, d FROM v1 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n2 USING (id)),
+      x2 AS (SELECT id FROM x1 UNION SELECT id FROM f2),
+      f3 AS (SELECT id, d FROM v2 WHERE id NOT IN (SELECT id FROM x2)
+             ORDER BY d ASC, id ASC LIMIT 4),
+      n3 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f3 ON a.src = f3.id
+             WHERE a.dst NOT IN (SELECT id FROM v2)),
+      v3 AS (SELECT id, d FROM v2 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n3 USING (id)),
+      knr AS (SELECT id AS doc_id, CAST(row_number() OVER
+                       (ORDER BY d ASC, id ASC) AS BIGINT) AS graph_rank
+              FROM (SELECT * FROM v3 ORDER BY d ASC, id ASC LIMIT 20))
+      SELECT coalesce(bmr.doc_id, knr.doc_id) AS doc_id,
+             round(coalesce(1.0 / (60 + bm25_rank), 0)
+                 + coalesce(1.0 / (60 + graph_rank), 0), 6) AS rrf,
+             bm25_rank, graph_rank
+      FROM bmr FULL OUTER JOIN knr ON bmr.doc_id = knr.doc_id
+      ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """).replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
+  /** Version diff (see [[Collection.diffVersion]]) — the
+    * `table_changes`/changelog-read audit over the time-travel
+    * retention: which keys a rewrite added / removed / updated between
+    * snapshot v1 and live. The fixture exercises all three classes in
+    * one history (delete doc_id%10=0, update %10=1, insert fresh
+    * offset keys from %10=2) and the oracle derives the full expected
+    * change set from the raw fixture — a key that leaks into the wrong
+    * class, an unchanged key that appears, or a lost change all
+    * hash-mismatch. One full-outer key join, column-pruned to the
+    * shared non-key columns. */
+  private val collectionVersionDiff = Q(
+    "collection_version_diff",
+    (s, dir) => {
+      val out = s"/tmp/graft_versiondiff_${math.abs(dir.hashCode)}/docs"
+      val coll = Collection(s, out, retainVersions = true)
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      coll.create(docs.schema, force = true)
+      coll.append(docs)
+      coll.delete(pmod(col("doc_id"), lit(10)) === 0)       // v1 = original
+      coll.upsert(
+        docs.where(pmod(col("doc_id"), lit(10)) === 1)
+          .withColumn("text", concat(col("text"), lit(" v2")))
+          .unionAll(docs.where(pmod(col("doc_id"), lit(10)) === 2)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              concat(lit("new "), col("text")).as("text"))),
+        "doc_id")                                           // v2 = post-delete
+      coll.diffVersion(1, "doc_id")
+        .select(col("change"), col("doc_id").cast("long").as("doc_id"))
+        .orderBy(col("change").asc, col("doc_id").asc)
+    },
+    Some("""
+      SELECT change, CAST(doc_id AS BIGINT) AS doc_id FROM (
+        SELECT 'removed' AS change, doc_id FROM documents
+        WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT 'updated', doc_id FROM documents WHERE doc_id % 10 = 1
+        UNION ALL
+        SELECT 'added', doc_id + 1000000 FROM documents
+        WHERE doc_id % 10 = 2) u
+      ORDER BY change ASC, doc_id ASC
+    """))
+
   /** Point-get by primary keys (Milvus `query(expr="id in [...]")` /
     * `get` parity): read specific rows from a stored collection by id
     * list. The value is the PLAN, not the rows: the `In` predicate
@@ -2086,7 +2427,9 @@ object PipelineQueries {
     graphAnnFilteredRecall, graphAnnFilteredAdaptive,
     graphAnnMultiEntry, graphAnnMultiEntryRecall,
     graphAnnFilteredMultiRecall, graphBeamAutotune,
+    graphBeamAutotuneMulti, graphAnnPqWalk, hybridGraphRrf,
     graphAnnRange, streamingGraphIngest, collectionCompact,
-    collectionTimeTravel, collectionAliasSwap, collectionAliasList,
+    collectionTimeTravel, collectionVersionDiff,
+    collectionAliasSwap, collectionAliasList,
     collectionPointGet, collectionPartitionKey, collectionClone)
 }

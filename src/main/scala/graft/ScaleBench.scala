@@ -356,6 +356,26 @@ object ScaleBench {
             "embedding", q, entry, radius = 160.0,
             beamWidth = 8, rounds = 6).count()
         }),
+        // PQ-scored walk (DiskANN serving layout): routing reads m-byte
+        // codes rows instead of dim·4-byte vectors; full precision only
+        // for the visited-set rerank. Same corpus-size-independence
+        // claim as plain beam — measured, with 32× less hot data.
+        "graphann_pq_serve (beam8x6, adc)" -> (() => {
+          import spark.implicits._
+          import graft.search.Pq
+          val (adj, entry) = graphArtifacts(spark, emb, n)
+          val pqDir = s"/tmp/graft_scale/pq_$n"
+          val pq =
+            if (new java.io.File(Pq.codesDir(pqDir) + "/_SUCCESS").exists())
+              Pq.load(spark, pqDir)
+            else Pq.build(emb, "embedding", "vec_id", pqDir, maxIter = 5)
+          val codes = spark.read.parquet(Pq.codesDir(pqDir))
+          val q = emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head().toArray
+          graft.search.GraphAnn.beamSearchPq(adj, codes, emb, "vec_id",
+            "embedding", q, pq, entry, k = 5,
+            beamWidth = 8, rounds = 6).count()
+        }),
         // IVF_PQ serving: probe 8 of the IVF's cells, ADC-rank the codes
         // within — scans nprobe/nlist of a 8-byte-per-vector table
         "ivf_pq_serve (probe8, adc)" -> (() => {

@@ -262,6 +262,40 @@ final class Collection(spark: SparkSession, val dir: String,
     spark.read.parquet(p.toString)
   }
 
+  /** Key-level change set between retained snapshot `v` and the live
+    * data — the "what did this reindex/backfill actually touch" audit
+    * that pairs with time travel (Delta's `table_changes` / Iceberg's
+    * changelog read, over the plain-parquet retention here). Returns
+    * (`change`, keyCol) rows, `change` ∈ added | removed | updated:
+    * a key only in the live data is `added`, only in the snapshot is
+    * `removed`, and present in both with any common non-key column
+    * differing (null-safe comparison) is `updated`; unchanged keys
+    * don't appear. Columns existing on only one side (schema
+    * evolution) are ignored — presence of the KEY is what classifies.
+    * Plan shape: both sides pruned to the common columns, ONE
+    * key-partitioned full-outer shuffle join, no driver state — at
+    * warehouse scale this is the standard CDC-by-diff job. */
+  def diffVersion(v: Long, keyCol: String): DataFrame = {
+    val old = readVersion(v)
+    val cur = read
+    val shared = (old.columns.toSet intersect cur.columns.toSet) - keyCol
+    val cols = shared.toSeq.sorted
+    val o = old.select((keyCol +: cols).map(old(_)): _*).alias("__diff_o")
+    val c = cur.select((keyCol +: cols).map(cur(_)): _*).alias("__diff_c")
+    val ok = col(s"__diff_o.$keyCol")
+    val ck = col(s"__diff_c.$keyCol")
+    val changed = cols
+      .map(n => !(col(s"__diff_o.$n") <=> col(s"__diff_c.$n")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(c, ok === ck, "full_outer")
+      .select(
+        when(ck.isNull, lit("removed"))
+          .when(ok.isNull, lit("added"))
+          .when(changed, lit("updated")).as("change"),
+        coalesce(ck, ok).as(keyCol))
+      .where(col("change").isNotNull)
+  }
+
   /** Drop retained snapshots older than the newest `keep` (time-travel
     * retention — the vacuum policy separated from crash-artifact
     * cleanup, which stays [[vacuum]]'s job). Returns dropped

@@ -303,7 +303,20 @@ object GraphAnn {
         .select(col(idCol).cast("long"),
           round(VectorFunctions.l2Sq(col(vecCol), qLit), 4))
         .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    walkVisitedBy(adj, distOf, entryIds, nSeeds, beamWidth, rounds, degree)
+  }
 
+  /** The walk loop itself, with the candidate scorer as a seam:
+    * `distOf(ids)` returns the (id, rounded distance) of each id — exact
+    * L2 over the corpus for [[walkVisitedSeeded]], an ADC lookup over
+    * the PQ codes artifact for [[beamSearchPq]]. Everything else
+    * (frontier ranking, dedup, budget `require`) is shared, so every
+    * scoring mode walks with byte-identical visit-order discipline. */
+  private def walkVisitedBy(adj: DataFrame,
+                            distOf: Seq[Long] => Array[(Long, Double)],
+                            entryIds: Seq[Long], nSeeds: Int,
+                            beamWidth: Int, rounds: Int,
+                            degree: Int): Seq[(Long, Double)] = {
     val seeds = distOf(entryIds)
       .sortBy { case (id, d) => (d, id) }.take(nSeeds)
     // visited: id → rounded distance; expanded: ids whose adjacency was
@@ -350,6 +363,47 @@ object GraphAnn {
         beamWidth, rounds, degree)
       .sortBy { case (id, d) => (d, id) }.take(k)
     resultDf(corpus.sparkSession, idCol, top)
+  }
+
+  /** PQ-scored beam walk — DiskANN's actual serving layout (Subramanya
+    * et al., NeurIPS 2019 §3: the in-memory structure holds PQ codes,
+    * the walk routes on ADC distances, and only the FINAL candidates
+    * fetch full-precision vectors from disk for rerank). Here the walk's
+    * scorer is an ADC lookup over the codes artifact ([[Pq.adcExpr]]:
+    * m table lookups per row, pushed `id IN` point reads — the codes
+    * row is m bytes vs dim·4 for the vector, so at 100 TB the hot
+    * serving path touches 32× less data per expansion), and the visited
+    * set reranks exactly against the corpus (one bounded pushed-In
+    * fetch). Returns (idCol, approx_distance, distance) — the
+    * [[Pq.adcSearch]] projection with graph routing instead of a
+    * full-codes scan. Budget/determinism contract identical to
+    * [[beamSearch]]: ADC distances round to 4 decimals with id
+    * tie-breaks, so the DuckDB oracle replays encoding, the lookup
+    * table, every round's frontier, and the rerank. */
+  def beamSearchPq(adj: DataFrame, codes: DataFrame, corpus: DataFrame,
+                   idCol: String, vecCol: String, query: Array[Float],
+                   model: Pq.Model, entryId: Long, k: Int,
+                   beamWidth: Int = 4, rounds: Int = 3,
+                   degree: Int = 8): DataFrame = {
+    def adcOf(ids: Seq[Long]): Array[(Long, Double)] =
+      if (ids.isEmpty) Array.empty
+      else codes.where(col(idCol).isin(ids: _*))
+        .select(col(idCol).cast("long"), Pq.adcExpr(model, query))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val vis = walkVisitedBy(adj, adcOf, Seq(entryId), nSeeds = 1,
+      beamWidth, rounds, degree)
+    val spark = corpus.sparkSession
+    val approx = resultDf(spark, idCol, vis.sortBy { case (id, d) => (d, id) })
+      .withColumnRenamed("distance", "approx_distance")
+    val qLit = typedlit(query.toSeq)
+    approx.join(
+        corpus.where(col(idCol).isin(vis.map(_._1): _*))
+          .select(col(idCol).cast("long").as(idCol), col(vecCol)),
+        Seq(idCol))
+      .withColumn("distance", round(VectorFunctions.l2Sq(col(vecCol), qLit), 4))
+      .select(col(idCol), col("approx_distance"), col("distance"))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
   }
 
   /** Filtered graph serving — the post-filter form of Filtered-DiskANN

@@ -255,6 +255,43 @@ class GraphAnnSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("beamSearchPq: exact-rerank contract, determinism, walk coverage") {
+    import graft.search.Pq
+    val adj = GraphAnn.buildAdjacency(corpus, "vec_id", "embedding", params)
+    val entry = GraphAnn.medoid(corpus, "vec_id", "embedding")
+      .collect()(0).getLong(0)
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("graft_pqwalk_spec").toString
+    val model = Pq.build(corpus, "embedding", "vec_id", pqDir,
+      m = 2, kCodes = 8, dim = 4)
+    val codes = spark.read.parquet(Pq.codesDir(pqDir))
+    val q = corpus.where(col("vec_id") === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    def run() = GraphAnn.beamSearchPq(adj, codes, corpus, "vec_id",
+        "embedding", q, model, entry, k = 5, beamWidth = 4, rounds = 3,
+        degree = params.degree)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq
+    val first = run()
+    val second = run()
+    assert(first == second, "PQ-scored walk must be deterministic")
+    assert(first.size == 5)
+    // the reported `distance` is EXACT (rerank contract): recompute it
+    // independently of the walk for every returned id
+    val exact = corpus.collect().map { r =>
+      val v = r.getSeq[Float](1)
+      val d = v.zip(q).map { case (a, b) =>
+        (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum
+      r.getLong(0) -> math.rint(d * 1e4) / 1e4
+    }.toMap
+    first.foreach { case (id, _, d) =>
+      assert(d == exact(id), s"rerank distance of $id drifted: $d")
+    }
+    // ranked by exact distance, id tie-break — not by the ADC score
+    assert(first.map { case (id, _, d) => (d, id) } ==
+      first.map { case (id, _, d) => (d, id) }.sorted)
+  }
+
   test("visited-budget guard rejects an over-degree adjacency") {
     // an adjacency with true degree 23 walked under a declared degree of
     // 1 must trip the budget require instead of silently ballooning

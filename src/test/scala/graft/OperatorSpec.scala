@@ -427,4 +427,33 @@ class OperatorSpec extends SparkSpec {
     coll.drop()
     assert(coll.versions.isEmpty)
   }
+
+  test("diffVersion: added/removed/updated classes, unchanged keys absent") {
+    import graft.core.Collection
+    val coll = Collection(spark, "/tmp/graft_diff_test/c",
+      retainVersions = true)
+    val df = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "v", "x")
+    coll.create(df.schema, force = true)
+    coll.append(df)
+    coll.delete(col("id") === 2)                      // v1 = original
+    coll.upsert(Seq((3L, "C", 30), (9L, "new", 90)).toDF("id", "v", "x"),
+      "id")                                           // v2
+    val d = coll.diffVersion(1, "id")
+      .as[(String, Long)].collect().toSet
+    assert(d == Set(("removed", 2L), ("updated", 3L), ("added", 9L)),
+      s"got $d")                                      // 1L unchanged: absent
+    // null-safe comparison: null -> value and value -> null both count
+    val coll2 = Collection(spark, "/tmp/graft_diff_test/c2",
+      retainVersions = true)
+    val df2 = Seq((1L, Some("a")), (2L, None: Option[String]))
+      .toDF("id", "v")
+    coll2.create(df2.schema, force = true)
+    coll2.append(df2)
+    coll2.upsert(Seq((1L, None: Option[String]), (2L, Some("b")))
+      .toDF("id", "v"), "id")
+    val d2 = coll2.diffVersion(1, "id").as[(String, Long)].collect().toSet
+    assert(d2 == Set(("updated", 1L), ("updated", 2L)), s"got $d2")
+    coll.drop(); coll2.drop()
+  }
 }
