@@ -678,6 +678,223 @@ object VectorQueries {
       ORDER BY jaccard_dist ASC, vec_id ASC LIMIT 10
     """))
 
+  /** Build-or-stage the deterministic Hadamard-sign rotation artifact
+    * shared by the asymmetric-binary tier (staged under `binrot` for the
+    * oracle; the rotation is COMPUTED, not learned — no corpus pass). */
+  private def binRotationArtifact(s: org.apache.spark.sql.SparkSession,
+                                  dir: String)
+      : Seq[(Int, Array[Float])] = {
+    import graft.search.Rotation
+    val rows = Rotation.hadamardSignRows(64, "graft-bin-rot")
+    stageOracle(s, "binrot", dir)("rotation" -> Rotation.rowsToDf(s, rows))
+    rows
+  }
+
+  /** Asymmetric 1-bit quantized search — the RaBitQ-family tier (Gao &
+    * Long, SIGMOD 2024) on top of the packed-sign machinery of
+    * `binary_hamming_search`: (1) rotate the corpus by a deterministic
+    * Hadamard-sign rotation (energy-spreading, training-free — the
+    * FJLT/RaBitQ preprocessing), (2) store per row only 2 packed sign
+    * words + one correction float c_x = ‖x̃‖₁/(√D·‖x̃‖₂) (20 bytes vs 256
+    * — RaBitQ's ⟨ō,x̄⟩ term), (3) rank stage-1 by the ASYMMETRIC
+    * estimator (2·S₁−Σq̂)/(√D·c_x) where the float query is never
+    * binarized — the precision the symmetric hamming tier throws away —
+    * then (4) exact-rerank the top-50. At 100 TB stage-1 scans 12×
+    * fewer bytes than the float corpus and runs entirely on codegen'd
+    * bit ops; the rotation, packing, correction, estimator, cut and
+    * rerank are all oracle-replayed. */
+  private val asymmetricBinarySearch = Q(
+    "asymmetric_binary_search",
+    (s, dir) => {
+      import graft.search.{BinaryVec, Rotation}
+      val e = Tables.embeddings(s, dir)
+      val rows = binRotationArtifact(s, dir)
+      val packed = graft.core.Artifacts.buildOnce(s,
+        s"/tmp/graft_asymsig_${math.abs(dir.hashCode)}") {
+        e.select(col("vec_id"),
+            Rotation.projectCol(col("embedding"), rows).as("rvec"))
+          .select(col("vec_id"),
+            BinaryVec.signWord(col("rvec"), 0).as("w0"),
+            BinaryVec.signWord(col("rvec"), 1).as("w1"),
+            BinaryVec.signCorrection(col("rvec"), 64).as("cx"))
+      }
+      // 1-row bounded query state: rotate + unit-normalize driver-side
+      // with projectCol's exact arithmetic, inlined as plan literals
+      val qe = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val qr = Rotation.projectRow(qe, rows)
+      val qn = math.sqrt(qr.map(v => v.toDouble * v.toDouble).sum)
+      require(qn > 0, "query vector must be non-zero")
+      val qhat = qr.map(_.toDouble / qn)
+      val stage1 = packed
+        .withColumn("est", BinaryVec.asymCosScore(
+          Seq(col("w0"), col("w1")), qhat, col("cx")))
+        .orderBy(col("est").desc, col("vec_id").asc)
+        .limit(50)
+      broadcast(stage1.select("vec_id", "est"))
+        .join(e, Seq("vec_id"))
+        .withColumn("cosine", round(VectorFunctions.cosineSim(
+          col("embedding"), typedlit(qe.toSeq)), 4))
+        .select("vec_id", "est", "cosine")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(5)
+    },
+    Some(s"""
+      WITH rot AS (SELECT component, weights FROM read_parquet(
+        '/tmp/graft_binrot_oracle_%ORACLE_KEY%/rotation/*.parquet')),
+      proj AS (SELECT e.vec_id, r.component, ${duckProj("e.embedding")} AS p
+               FROM embeddings e, rot r),
+      pv AS (SELECT vec_id, list(p ORDER BY component) AS v
+             FROM proj GROUP BY vec_id),
+      q AS (SELECT v AS qv FROM pv WHERE vec_id = 0),
+      qn AS (SELECT sqrt(list_sum(list_transform(qv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n FROM q),
+      cxs AS (SELECT vec_id, CAST(round(CASE WHEN l2 = 0 THEN 0.0
+                ELSE l1 / (8 * l2) END, 4) AS REAL) AS cx
+              FROM (SELECT vec_id,
+                      list_sum(list_transform(v,
+                        x -> abs(CAST(x AS DOUBLE)))) AS l1,
+                      sqrt(list_sum(list_transform(v,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+                    FROM pv)),
+      est AS (SELECT pv.vec_id,
+                round(CASE WHEN cxs.cx = 0 THEN 0.0 ELSE
+                  (2 * list_sum(list_transform(range(1, len(pv.v)+1),
+                     i -> CASE WHEN pv.v[i] >= 0
+                          THEN CAST(q.qv[i] AS DOUBLE) / qn.n
+                          ELSE 0.0 END))
+                   - list_sum(list_transform(q.qv,
+                       x -> CAST(x AS DOUBLE) / qn.n)))
+                  / (8 * CAST(cxs.cx AS DOUBLE)) END, 4) AS est
+              FROM pv JOIN cxs USING (vec_id), q, qn),
+      cand AS (SELECT vec_id, est FROM est
+               ORDER BY est DESC, vec_id ASC LIMIT 50)
+      SELECT c.vec_id, c.est,
+             ${duckCosine("e.embedding", "qq.qe")} AS cosine
+      FROM cand c JOIN embeddings e USING (vec_id),
+           (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) qq
+      ORDER BY cosine DESC, c.vec_id ASC LIMIT 5
+    """))
+
+  /** Symmetric-vs-asymmetric 1-bit recall over EIGHT query vectors:
+    * stage-1 recall@50 of the exact cosine top-5 for (a) symmetric
+    * hamming over raw sign bits — `binary_hamming_search`'s ranking —
+    * vs (b) the rotated asymmetric estimator of
+    * `asymmetric_binary_search`. The measurement that justifies storing
+    * the correction float and keeping the query in float: both
+    * rankings, the rotation, the corrections and the exact baseline are
+    * hash-checked (the `mrl_rotation_report` discipline). */
+  private val binaryRecallReport = Q(
+    "binary_recall_report",
+    (s, dir) => {
+      import graft.search.{BinaryVec, Rotation}
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+      val rows = binRotationArtifact(s, dir)
+      val e2 = e.select(col("vec_id"), col("embedding"),
+        Rotation.projectCol(col("embedding"), rows).as("rvec"))
+      val qids = Seq(0L, 7L, 13L, 21L, 33L, 47L, 55L, 61L)
+      val qs = e2.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("rvec").as("qrv"))
+      val joined = e2.crossJoin(broadcast(qs))
+      def topPerQid(scored: org.apache.spark.sql.DataFrame, n: Int,
+                    desc: Boolean) =
+        scored.withColumn("__rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(
+              if (desc) col("c").desc else col("c").asc,
+              col("vec_id").asc)))
+          .where(col("__rn") <= n).select("qid", "vec_id")
+      val exact = topPerQid(joined.select(col("qid"), col("vec_id"),
+        round(VectorFunctions.cosineSim(col("embedding"), col("qv")), 4)
+          .as("c")), 5, desc = true)
+      // (a) symmetric: hamming between raw sign bits of corpus AND query
+      val sym = topPerQid(joined.select(col("qid"), col("vec_id"),
+        aggregate(zip_with(col("embedding"), col("qv"),
+            (x, y) => when((x >= 0) =!= (y >= 0), 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("c")), 50, desc = false)
+      // (b) asymmetric: rotated bits, float query, per-row correction
+      val qnCol = sqrt(aggregate(col("qrv"), lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double")))
+      val s1Col = aggregate(zip_with(col("rvec"), col("qrv"),
+          (x, qv) => when(x >= 0, qv.cast("double")).otherwise(0.0)),
+        lit(0.0), (acc, v) => acc + v)
+      val stotCol = aggregate(col("qrv"), lit(0.0),
+        (acc, v) => acc + v.cast("double"))
+      val cxCol = BinaryVec.signCorrection(col("rvec"), 64)
+      val asym = topPerQid(joined.select(col("qid"), col("vec_id"),
+        round(when(cxCol === 0f, 0.0)
+          .otherwise((s1Col * 2.0 - stotCol) / qnCol
+            / (lit(8.0) * cxCol.cast("double"))), 4).as("c")),
+        50, desc = true)
+      def recallRow(method: String, cand: org.apache.spark.sql.DataFrame) =
+        exact.join(cand.withColumn("hit", lit(1)),
+            Seq("qid", "vec_id"), "left")
+          .agg(round(count(col("hit")) / (5.0 * qids.size), 4).as("recall"))
+          .select(lit(method).as("method"),
+            lit(qids.size).cast("long").as("n_queries"), col("recall"))
+      recallRow("bin_symmetric", sym)
+        .unionAll(recallRow("bin_asymmetric", asym))
+        .orderBy(col("method").asc)
+    },
+    Some(s"""
+      WITH rot AS (SELECT component, weights FROM read_parquet(
+        '/tmp/graft_binrot_oracle_%ORACLE_KEY%/rotation/*.parquet')),
+      qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+             WHERE vec_id IN (0, 7, 13, 21, 33, 47, 55, 61)),
+      proj AS (SELECT e.vec_id, r.component, ${duckProj("e.embedding")} AS p
+               FROM embeddings e, rot r),
+      pv AS (SELECT vec_id, list(p ORDER BY component) AS v
+             FROM proj GROUP BY vec_id),
+      qpv AS (SELECT q.qid, pv.v FROM qs q JOIN pv ON pv.vec_id = q.qid),
+      ex AS (SELECT qid, vec_id FROM (
+          SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+              ORDER BY ${duckCosine("e.embedding", "q.qv")} DESC,
+                       e.vec_id ASC) AS rn
+          FROM embeddings e, qs q) t WHERE rn <= 5),
+      sym AS (SELECT qid, vec_id FROM (
+          SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+              ORDER BY list_sum(list_transform(range(1, len(e.embedding)+1),
+                i -> CASE WHEN (e.embedding[i] >= 0) != (q.qv[i] >= 0)
+                     THEN 1 ELSE 0 END)) ASC, e.vec_id ASC) AS rn
+          FROM embeddings e, qs q) t WHERE rn <= 50),
+      cxs AS (SELECT vec_id, CAST(round(CASE WHEN l2 = 0 THEN 0.0
+                ELSE l1 / (8 * l2) END, 4) AS REAL) AS cx
+              FROM (SELECT vec_id,
+                      list_sum(list_transform(v,
+                        x -> abs(CAST(x AS DOUBLE)))) AS l1,
+                      sqrt(list_sum(list_transform(v,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+                    FROM pv)),
+      asym AS (SELECT qid, vec_id FROM (
+          SELECT qp.qid, pv.vec_id, row_number() OVER (PARTITION BY qp.qid
+              ORDER BY round(CASE WHEN cxs.cx = 0 THEN 0.0 ELSE
+                (2 * list_sum(list_transform(range(1, len(pv.v)+1),
+                   i -> CASE WHEN pv.v[i] >= 0
+                        THEN CAST(qp.v[i] AS DOUBLE) ELSE 0.0 END))
+                 - list_sum(list_transform(qp.v,
+                     x -> CAST(x AS DOUBLE))))
+                / sqrt(list_sum(list_transform(qp.v,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                / (8 * CAST(cxs.cx AS DOUBLE)) END, 4) DESC,
+              pv.vec_id ASC) AS rn
+          FROM pv JOIN cxs USING (vec_id) CROSS JOIN qpv qp) t
+          WHERE rn <= 50),
+      symr AS (SELECT round(CAST(count(s.vec_id) AS DOUBLE) / 40.0, 4)
+                 AS recall
+               FROM ex LEFT JOIN sym s
+                 ON s.qid = ex.qid AND s.vec_id = ex.vec_id),
+      asymr AS (SELECT round(CAST(count(a.vec_id) AS DOUBLE) / 40.0, 4)
+                  AS recall
+                FROM ex LEFT JOIN asym a
+                  ON a.qid = ex.qid AND a.vec_id = ex.vec_id)
+      SELECT method, CAST(8 AS BIGINT) AS n_queries, recall FROM (
+        SELECT 'bin_asymmetric' AS method, recall FROM asymr
+        UNION ALL
+        SELECT 'bin_symmetric' AS method, recall FROM symr)
+      ORDER BY method ASC
+    """))
+
   /** Inner-product top-k — Milvus's IP metric (the third of its float
     * metrics next to L2 and COSINE; the right metric when embeddings
     * carry meaningful norms, e.g. popularity-scaled retrieval): rank by
@@ -2008,7 +2225,8 @@ object VectorQueries {
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     sq8RerankSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
-    binaryHammingSearch, binaryJaccardSearch, knnIpTopK, mmrRerank,
+    binaryHammingSearch, binaryJaccardSearch, asymmetricBinarySearch,
+    binaryRecallReport, knnIpTopK, mmrRerank,
     corpusDiversity,
     sparseVectorSearch, hybridSearchWeighted, searchPagination,
     embeddingOutliers, indexRecallReport, groupByFieldSearch)

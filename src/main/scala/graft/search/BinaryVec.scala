@@ -40,6 +40,45 @@ object BinaryVec {
       call_function("bit_count", a.bitwiseXOR(b)).cast("long")
     }.reduce(_ + _)
 
+  /** Per-vector 1-bit correction factor c_x = ⟨sign(x), x⟩ / (√D·‖x‖)
+    * = ‖x‖₁ / (√D·‖x‖₂) — the ⟨ō, x̄⟩ term of RaBitQ's estimator (Gao &
+    * Long, SIGMOD 2024): how well the sign vector represents its float
+    * vector. Stored ROUNDED (4 decimals) next to the packed words, one
+    * float per row. Double accumulation in slot order on both engines. */
+  def signCorrection(vec: Column, dim: Int): Column = {
+    val l1 = aggregate(vec, lit(0.0),
+      (acc, v) => acc + abs(v.cast("double")))
+    val l2 = sqrt(aggregate(vec, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    round(when(l2 === 0, 0.0)
+      .otherwise(l1 / (lit(math.sqrt(dim.toDouble)) * l2)), 4)
+      .cast("float")
+  }
+
+  /** Asymmetric 1-bit cosine estimator from PACKED sign words — the
+    * float query is NOT binarized (Jégou et al. 2011's asymmetric-
+    * distance principle applied to the 1-bit code; RaBitQ's estimator
+    * shape): est = (⟨sign(x), q̂⟩/√D) / c_x with q̂ the unit query,
+    * computed as (2·S₁ − Σq̂)/(√D·c_x) where S₁ = Σ_{j: bit j set} q̂_j.
+    * `qhat` values arrive as plan literals (driver-normalized, bounded
+    * 1-query state); the per-row work is D conditional adds over the
+    * packed words — a scan of ~20-byte rows, no float vector read. */
+  def asymCosScore(words: Seq[Column], qhat: Array[Double],
+                   cx: Column): Column = {
+    val dim = qhat.length
+    require(words.size * 32 == dim,
+      s"need ${dim / 32} packed words for dim $dim, got ${words.size}")
+    val s1 = (0 until dim).map { j =>
+      val w = words(j / 32)
+      val bit = shiftright(w, 31 - (j % 32)).bitwiseAND(lit(1L))
+      when(bit === 1L, lit(qhat(j))).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val stot = lit(qhat.sum)
+    round(when(cx === 0f, 0.0)
+      .otherwise((s1 * 2.0 - stot)
+        / (lit(math.sqrt(dim.toDouble)) * cx.cast("double"))), 4)
+  }
+
   /** Jaccard (Tanimoto) DISTANCE between packed signatures — the other
     * binary metric Milvus serves (JACCARD): 1 − |a ∧ b| / |a ∨ b|,
     * popcounts over the packed words (two bit_counts per word vs

@@ -155,4 +155,61 @@ object Rotation {
     rot.select(col("component"), col("weights")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
       .sortBy(_._1)
+
+  /** Deterministic STRUCTURED rotation R = H·diag(s)/√dim — the
+    * training-free randomized-rotation tier (Ailon & Chazelle 2009's
+    * fast JL transform; the rotation step of RaBitQ, Gao & Long,
+    * SIGMOD 2024): H is the dim×dim Walsh-Hadamard matrix
+    * (H_cj = (−1)^popcount(c AND j)), s a ±1 sign vector derived from
+    * md5(seed:j) — no corpus pass at all, unlike [[learn]]'s PCA. The
+    * rows are exactly orthonormal and every weight is ±1/√dim (exact in
+    * float for power-of-4 dims like 64), so projections introduce no
+    * weight-representation error. Use where the rotation's job is to
+    * SPREAD energy uniformly (sign/1-bit quantization) rather than
+    * compact it into a prefix (MRL/OPQ — use [[learn]]). */
+  def hadamardSignRows(dim: Int, seed: String): Seq[(Int, Array[Float])] = {
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"Walsh-Hadamard needs a power-of-2 dim, got $dim")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs = Array.tabulate(dim) { j =>
+      val h = md.digest(s"$seed:$j".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1f else -1f
+    }
+    val inv = (1.0 / math.sqrt(dim.toDouble)).toFloat
+    (0 until dim).map { c =>
+      (c, Array.tabulate(dim) { j =>
+        val had = if (Integer.bitCount(c & j) % 2 == 0) 1f else -1f
+        had * signs(j) * inv
+      })
+    }
+  }
+
+  /** Driver-side rows → the `(component, weights)` artifact DataFrame
+    * (the staged form [[learn]] emits), for rotations that are computed
+    * rather than learned. */
+  def rowsToDf(spark: SparkSession, rows: Seq[(Int, Array[Float])])
+      : DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (c, w) => Row(c, w.toSeq) }, 1),
+      StructType(Seq(
+        StructField("component", IntegerType, nullable = false),
+        StructField("weights", ArrayType(FloatType, containsNull = false),
+          nullable = false))))
+
+  /** Driver-side mirror of [[projectCol]] for a single vector (the
+    * 1-row query case): per component, float·float products accumulated
+    * in double IN SLOT ORDER, rounded to 4 decimals, cast to float —
+    * the identical op sequence, so a driver-projected query equals the
+    * plan-projected one bit for bit. */
+  def projectRow(vec: Array[Float], rows: Seq[(Int, Array[Float])])
+      : Array[Float] =
+    rows.sortBy(_._1).map { case (_, w) =>
+      var acc = 0.0
+      var i = 0
+      val n = math.min(vec.length, w.length)
+      while (i < n) { acc += vec(i).toDouble * w(i).toDouble; i += 1 }
+      BigDecimal(acc).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble.toFloat
+    }.toArray
 }

@@ -69,6 +69,33 @@ class RotationSpec extends SparkSpec {
     assert(first.nonEmpty && first == second)
   }
 
+  test("hadamard-sign rows: orthonormal, every weight ±1/√dim") {
+    val rows = Rotation.hadamardSignRows(64, "graft-bin-rot")
+    assert(rows.size == 64)
+    val w = (1.0 / 8.0).toFloat
+    assert(rows.forall(_._2.forall(v => v == w || v == -w)))
+    for (i <- 0 until 64; j <- i until 64) {
+      val dot = rows(i)._2.zip(rows(j)._2)
+        .map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-12, s"<r$i, r$j> = $dot")
+    }
+  }
+
+  test("projectRow mirrors projectCol bit for bit") {
+    val rows = Rotation.hadamardSignRows(64, "graft-bin-rot")
+    val vecs = (0 until 5).map { i =>
+      val r = new scala.util.Random(17L * i + 3)
+      Array.fill(64)((r.nextGaussian() * 2).toFloat)
+    }
+    val planSide = vecs.map(Tuple1(_)).toDF("v")
+      .select(Rotation.projectCol(col("v"), rows).as("p"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    vecs.zip(planSide).foreach { case (v, expect) =>
+      assert(Rotation.projectRow(v, rows).toSeq == expect.toSeq)
+    }
+  }
+
   test("projectCol emits one rounded float per component, in order") {
     val rows = Seq(
       (1, Array(0.0f, 1.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f)),

@@ -70,6 +70,59 @@ class SearchOpsSpec extends SparkSpec {
     assert(h == Map(0L -> 0L, 1L -> 64L, 2L -> 32L, 3L -> 1L))
   }
 
+  test("asymmetric 1-bit estimator: packed-word path equals float math") {
+    // est from packed sign words + cx must equal the same formula
+    // computed from the float vectors directly — the packing loses
+    // nothing the estimator uses
+    val r = new scala.util.Random(99)
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.fill(64)((r.nextGaussian() * 1.5).toFloat)))
+    val q = Array.fill(64)((r.nextGaussian() * 1.5).toFloat)
+    val qn = math.sqrt(q.map(v => v.toDouble * v.toDouble).sum)
+    val qhat = q.map(_.toDouble / qn)
+    val df = vecs.toDF("id", "vec")
+      .select(col("id"),
+        BinaryVec.signWord(col("vec"), 0).as("w0"),
+        BinaryVec.signWord(col("vec"), 1).as("w1"),
+        BinaryVec.signCorrection(col("vec"), 64).as("cx"))
+    val got = df.withColumn("est", BinaryVec.asymCosScore(
+        Seq(col("w0"), col("w1")), qhat, col("cx")))
+      .select("id", "est").as[(Long, Double)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val s1 = v.zip(qhat).collect { case (x, qh) if x >= 0 => qh }.sum
+      val stot = qhat.sum
+      val l1 = v.map(x => math.abs(x.toDouble)).sum
+      val l2 = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      val cx = BigDecimal(l1 / (8 * l2))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble.toFloat
+      val want = BigDecimal((s1 * 2.0 - stot) / (8 * cx.toDouble))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) == want, s"id=$id got=${got(id)} want=$want")
+    }
+  }
+
+  test("asymmetric estimator is EXACT when sign bits carry the vector") {
+    // x with all components ±a has c_x = 1: sign(x)/√D IS x/‖x‖, so the
+    // estimator equals true cosine (up to the shared 4-decimal round)
+    val r = new scala.util.Random(7)
+    val x = Array.fill(64)(if (r.nextBoolean()) 0.5f else -0.5f)
+    val q = Array.fill(64)((r.nextGaussian()).toFloat)
+    val qn = math.sqrt(q.map(v => v.toDouble * v.toDouble).sum)
+    val qhat = q.map(_.toDouble / qn)
+    val est = Seq((1L, x)).toDF("id", "vec")
+      .select(col("id"),
+        BinaryVec.signWord(col("vec"), 0).as("w0"),
+        BinaryVec.signWord(col("vec"), 1).as("w1"),
+        BinaryVec.signCorrection(col("vec"), 64).as("cx"))
+      .withColumn("est", BinaryVec.asymCosScore(
+        Seq(col("w0"), col("w1")), qhat, col("cx")))
+      .select("est").as[Double].collect()(0)
+    val dot = x.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum
+    val xn = math.sqrt(x.map(v => v.toDouble * v.toDouble).sum)
+    val cos = dot / (xn * qn)
+    assert(math.abs(est - cos) < 2e-4, s"est=$est cos=$cos")
+  }
+
   test("corpus diversity: moment identity equals naive pairwise mean") {
     val vecs = Seq(
       Array(1f, 0f, 0f), Array(0.6f, 0.8f, 0f), Array(0f, 0f, 2f),
