@@ -2414,6 +2414,94 @@ object PipelineQueries {
       FROM documents
     """))
 
+  /** Index integrity report — the operational consistency checker every
+    * serving index needs before a blue-green flip (Milvus exposes the
+    * equivalent as segment/index health; a warehouse runs it as a
+    * post-build audit job). Verifies, FROM THE ARTIFACTS THEMSELVES,
+    * the invariants the builders promise:
+    *   - graph adjacency (GraphAnn.buildAdjacency): no self-loops,
+    *     out-degree ≤ 8, no dangling dst (every neighbor exists in the
+    *     corpus), and every stored edge distance equals the recomputed
+    *     round(L2², 4) — a corrupted or stale artifact fails loudly;
+    *   - IVF layout (IvfIndex.build): every row's assigned cluster IS
+    *     the argmin over the staged centroids (unrounded double L2,
+    *     cluster-id tie-break — the probeClusters arithmetic), and no
+    *     corpus row is missing from the partitioned layout.
+    * All seven checks are plan-side aggregates (equi-joins + a bounded
+    * nlist-wide broadcast; nothing driver-side), and the oracle replays
+    * every one from the same staged artifacts — the CHECKER itself is
+    * checked. At 100 TB this is one audit scan per artifact. */
+  private val indexIntegrityReport = Q(
+    "index_integrity_report",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      val assign = s.read.parquet(IvfIndex.dataDir(indexDir))
+        .select(col("vec_id"), col("cluster_id"))
+      val cents = s.read.parquet(IvfIndex.centroidsDir(indexDir))
+      stageOracle(s, "integrity", dir)(
+        "adjacency" -> adj,
+        "assign" -> assign,
+        "centroids" -> cents)
+      import graft.search.IndexAudit
+      IndexAudit.graphChecks(adj, e, "vec_id", "embedding", degreeCap = 8)
+        .unionByName(IndexAudit.ivfChecks(e, assign, cents,
+          "vec_id", "embedding"))
+        .orderBy(col("check_name").asc)
+    },
+    Some(s"""
+      WITH adj AS (SELECT src, dst, dist FROM read_parquet(
+        '/tmp/graft_integrity_oracle_%ORACLE_KEY%/adjacency/*.parquet')),
+      asg AS (SELECT vec_id, cluster_id FROM read_parquet(
+        '/tmp/graft_integrity_oracle_%ORACLE_KEY%/assign/*.parquet')),
+      cent AS (SELECT cluster_id, centroid FROM read_parquet(
+        '/tmp/graft_integrity_oracle_%ORACLE_KEY%/centroids/*.parquet')),
+      best AS (SELECT vec_id, cid, assigned FROM (
+          SELECT e.vec_id, c.cluster_id AS cid, a.cluster_id AS assigned,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(range(1, len(e.embedding)+1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE)
+                           - CAST(c.centroid[i] AS DOUBLE))^2)) ASC,
+                   c.cluster_id ASC) AS rn
+          FROM embeddings e JOIN asg a USING (vec_id) CROSS JOIN cent c)
+          WHERE rn = 1)
+      SELECT check_name, value FROM (
+        SELECT 'graph_dangling_dst' AS check_name, CAST(count(*) AS BIGINT)
+               AS value
+        FROM adj LEFT JOIN embeddings ev ON ev.vec_id = adj.dst
+        WHERE ev.vec_id IS NULL
+        UNION ALL
+        SELECT 'graph_degree_violations', CAST(count(*) AS BIGINT) FROM (
+          SELECT src FROM adj GROUP BY src HAVING count(*) > 8)
+        UNION ALL
+        SELECT 'graph_dist_mismatch', CAST(count(*) AS BIGINT)
+        FROM adj JOIN embeddings a ON a.vec_id = adj.src
+                 JOIN embeddings b ON b.vec_id = adj.dst
+        WHERE ${duckL2("a.embedding", "b.embedding")} != adj.dist
+        UNION ALL
+        SELECT 'graph_nodes', CAST(count(DISTINCT src) AS BIGINT) FROM adj
+        UNION ALL
+        SELECT 'graph_self_loops', CAST(count(*) AS BIGINT) FROM adj
+        WHERE src = dst
+        UNION ALL
+        SELECT 'ivf_assign_mismatch', CAST(count(*) AS BIGINT) FROM best
+        WHERE cid != assigned
+        UNION ALL
+        SELECT 'ivf_missing_rows', CAST(count(*) AS BIGINT)
+        FROM embeddings e LEFT JOIN asg ON asg.vec_id = e.vec_id
+        WHERE asg.vec_id IS NULL)
+      ORDER BY check_name ASC
+    """))
+
   val all: Seq[Q] = Seq(ivfSearch, ivfPartialProbe, ivfNprobeAutotune,
     ivfFilteredSearch,
     ivfBalanceReport, ivfAutoRewrite,
@@ -2431,5 +2519,6 @@ object PipelineQueries {
     graphAnnRange, streamingGraphIngest, collectionCompact,
     collectionTimeTravel, collectionVersionDiff,
     collectionAliasSwap, collectionAliasList,
-    collectionPointGet, collectionPartitionKey, collectionClone)
+    collectionPointGet, collectionPartitionKey, collectionClone,
+    indexIntegrityReport)
 }

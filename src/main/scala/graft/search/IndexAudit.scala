@@ -1,0 +1,67 @@
+package graft.search
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Artifact integrity checks for the serving indexes — the audit-job
+  * surface behind `index_integrity_report` (see the Q's scaladoc for
+  * the operational rationale). Every check is a plan-side aggregate
+  * returning one `(check_name STRING, value BIGINT)` row; a healthy
+  * artifact scores 0 on every violation counter. Factored out of the
+  * query so the CHECKER's detection power is spec-testable: the specs
+  * corrupt an artifact and assert the right counter fires. */
+object IndexAudit {
+  private def row(name: String, df: DataFrame): DataFrame =
+    df.select(lit(name).as("check_name"),
+      col("value").cast("long").as("value"))
+
+  /** Graph-adjacency invariants (GraphAnn.buildAdjacency's contract):
+    * no self-loops, out-degree ≤ `degreeCap`, every dst present in the
+    * corpus, and every stored `dist` equal to the recomputed
+    * round(L2², 4) between its endpoints. Plus the `graph_nodes`
+    * cardinality (a drift signal, not a violation). */
+  def graphChecks(adj: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, degreeCap: Int): DataFrame = {
+    val sv = corpus.select(col(idCol).as("src"), col(vecCol).as("sv"))
+    val dv = corpus.select(col(idCol).as("dst"), col(vecCol).as("dv"))
+    val danglingDst = adj.join(dv, Seq("dst"), "left_anti")
+      .agg(count(lit(1)).as("value"))
+    val degreeViol = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") > degreeCap).agg(count(lit(1)).as("value"))
+    val distMismatch = adj.join(sv, "src").join(dv, "dst")
+      .where(round(VectorFunctions.l2Sq(col("sv"), col("dv")), 4)
+        =!= col("dist"))
+      .agg(count(lit(1)).as("value"))
+    val nodes = adj.agg(countDistinct(col("src")).as("value"))
+    val selfLoops = adj.where(col("src") === col("dst"))
+      .agg(count(lit(1)).as("value"))
+    row("graph_dangling_dst", danglingDst)
+      .unionByName(row("graph_degree_violations", degreeViol))
+      .unionByName(row("graph_dist_mismatch", distMismatch))
+      .unionByName(row("graph_nodes", nodes))
+      .unionByName(row("graph_self_loops", selfLoops))
+  }
+
+  /** IVF-layout invariants (IvfIndex.build's contract): every assigned
+    * cluster is the argmin over the centroids (unrounded double L2,
+    * cluster-id tie-break — the probeClusters arithmetic) and no corpus
+    * row is missing from the partitioned layout. `cents` is broadcast —
+    * nlist rows. */
+  def ivfChecks(corpus: DataFrame, assign: DataFrame, cents: DataFrame,
+                idCol: String, vecCol: String): DataFrame = {
+    val best = corpus.join(assign, idCol)
+      .crossJoin(broadcast(cents.withColumnRenamed("cluster_id", "cid")))
+      .withColumn("d", VectorFunctions.l2Sq(col(vecCol), col("centroid")))
+      .withColumn("rn", row_number().over(Window.partitionBy(idCol)
+        .orderBy(col("d").asc, col("cid").asc)))
+      .where(col("rn") === 1)
+    val assignMismatch = best.where(col("cid") =!= col("cluster_id"))
+      .agg(count(lit(1)).as("value"))
+    val missingRows = corpus.join(assign, Seq(idCol), "left_anti")
+      .agg(count(lit(1)).as("value"))
+    row("ivf_assign_mismatch", assignMismatch)
+      .unionByName(row("ivf_missing_rows", missingRows))
+  }
+}

@@ -123,6 +123,65 @@ class SearchOpsSpec extends SparkSpec {
     assert(math.abs(est - cos) < 2e-4, s"est=$est cos=$cos")
   }
 
+  test("index audit: healthy artifacts score zero on every violation") {
+    import graft.search.{GraphAnn, IndexAudit}
+    val r = new scala.util.Random(5)
+    val corpus = (0L until 24L).map(i =>
+      (i, Array.fill(4)((r.nextGaussian()).toFloat))).toDF("id", "vec")
+    val adj = GraphAnn.buildAdjacency(corpus, "id", "vec")
+    val checks = IndexAudit.graphChecks(adj, corpus, "id", "vec", 8)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(checks("graph_self_loops") == 0)
+    assert(checks("graph_dangling_dst") == 0)
+    assert(checks("graph_degree_violations") == 0)
+    assert(checks("graph_dist_mismatch") == 0)
+    assert(checks("graph_nodes") > 0)
+  }
+
+  test("index audit: each corruption fires exactly its own counter") {
+    import graft.search.{GraphAnn, IndexAudit}
+    val r = new scala.util.Random(5)
+    val corpus = (0L until 24L).map(i =>
+      (i, Array.fill(4)((r.nextGaussian()).toFloat))).toDF("id", "vec")
+    val adj = GraphAnn.buildAdjacency(corpus, "id", "vec")
+    // inject: one self-loop, one dangling dst, one corrupted distance
+    val bad = adj.unionByName(Seq(
+      (3L, 3L, 0.0),      // self-loop (dist 0 is also "correct" — only
+                          // the self-loop counter should fire for it)
+      (3L, 999L, 1.0),    // dst not in corpus
+      (5L, 6L, 12345.0)   // real endpoints, wrong stored dist
+    ).toDF("src", "dst", "dist"))
+    val checks = IndexAudit.graphChecks(bad, corpus, "id", "vec", 8)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(checks("graph_self_loops") == 1)
+    assert(checks("graph_dangling_dst") == 1)
+    // the 12345.0 edge mismatches; the injected (5,6) pair may ALSO
+    // duplicate a real edge (still correct) — exactly one mismatch
+    assert(checks("graph_dist_mismatch") == 1)
+  }
+
+  test("index audit: IVF wrong assignment and missing row are caught") {
+    import graft.search.IndexAudit
+    val corpus = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0.1f, 0f)),
+      (2L, Array(5f, 5f)), (3L, Array(5.1f, 5f))
+    ).toDF("id", "vec")
+    val cents = Seq((0, Array(0f, 0f)), (1, Array(5f, 5f)))
+      .toDF("cluster_id", "centroid")
+    val good = Seq((0L, 0), (1L, 0), (2L, 1), (3L, 1))
+      .toDF("id", "cluster_id")
+    val healthy = IndexAudit.ivfChecks(corpus, good, cents, "id", "vec")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(healthy("ivf_assign_mismatch") == 0)
+    assert(healthy("ivf_missing_rows") == 0)
+    val bad = Seq((0L, 0), (1L, 1), (2L, 1))   // 1 misassigned, 3 missing
+      .toDF("id", "cluster_id")
+    val caught = IndexAudit.ivfChecks(corpus, bad, cents, "id", "vec")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(caught("ivf_assign_mismatch") == 1)
+    assert(caught("ivf_missing_rows") == 1)
+  }
+
   test("corpus diversity: moment identity equals naive pairwise mean") {
     val vecs = Seq(
       Array(1f, 0f, 0f), Array(0.6f, 0.8f, 0f), Array(0f, 0f, 2f),
