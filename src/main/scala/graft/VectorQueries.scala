@@ -711,12 +711,7 @@ object VectorQueries {
       val rows = binRotationArtifact(s, dir)
       val packed = graft.core.Artifacts.buildOnce(s,
         s"/tmp/graft_asymsig_${math.abs(dir.hashCode)}") {
-        e.select(col("vec_id"),
-            Rotation.projectCol(col("embedding"), rows).as("rvec"))
-          .select(col("vec_id"),
-            BinaryVec.signWord(col("rvec"), 0).as("w0"),
-            BinaryVec.signWord(col("rvec"), 1).as("w1"),
-            BinaryVec.signCorrection(col("rvec"), 64).as("cx"))
+        asymPack(e, rows)
       }
       // 1-row bounded query state: rotate + unit-normalize driver-side
       // with projectCol's exact arithmetic, inlined as plan literals
@@ -893,6 +888,103 @@ object VectorQueries {
         UNION ALL
         SELECT 'bin_symmetric' AS method, recall FROM symr)
       ORDER BY method ASC
+    """))
+
+  /** The packed-signature projection shared by the asymmetric-binary
+    * build and append paths: (vec_id, w0, w1, cx) from the rotated
+    * corpus slice. Per-row independent — the property that makes the
+    * artifact file-appendable with zero rewrite. */
+  private def asymPack(df: org.apache.spark.sql.DataFrame,
+                       rows: Seq[(Int, Array[Float])])
+      : org.apache.spark.sql.DataFrame = {
+    import graft.search.{BinaryVec, Rotation}
+    df.select(col("vec_id"),
+        Rotation.projectCol(col("embedding"), rows).as("rvec"))
+      .select(col("vec_id"),
+        BinaryVec.signWord(col("rvec"), 0).as("w0"),
+        BinaryVec.signWord(col("rvec"), 1).as("w1"),
+        BinaryVec.signCorrection(col("rvec"), 64).as("cx"))
+  }
+
+  /** Incremental maintenance of the asymmetric 1-bit artifact — the
+    * every-index-maintains-incrementally discipline (IvfIndex.append /
+    * GraphAnn.append / Bm25Index.append) applied to the newest tier.
+    * Signatures are PER-ROW statistics under a FIXED rotation (computed,
+    * not learned — nothing to refit, ever), so absorbing a batch is:
+    * rotate + pack ONLY the batch, parquet file-append. Build on the
+    * first half, absorb two appends, search from the artifact alone;
+    * the oracle recomputes the whole pipeline from the full corpus
+    * (`bm25_incremental_search` discipline), so a dropped batch,
+    * double-append, or stale-rotation drift hash-mismatches. */
+  private val asymmetricBinaryIncremental = Q(
+    "asymmetric_binary_incremental",
+    (s, dir) => {
+      import graft.search.{BinaryVec, Rotation}
+      val e = Tables.embeddings(s, dir)
+      val rows = binRotationArtifact(s, dir)
+      val idx = s"/tmp/graft_asyminc_${math.abs(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      asymPack(e.where(col("vec_id") < 250), rows)
+        .write.mode("overwrite").parquet(idx)
+      asymPack(e.where(col("vec_id") >= 250 && col("vec_id") < 400), rows)
+        .write.mode("append").parquet(idx)
+      asymPack(e.where(col("vec_id") >= 400), rows)
+        .write.mode("append").parquet(idx)
+      val qe = e.where(col("vec_id") === 7).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val qr = Rotation.projectRow(qe, rows)
+      val qn = math.sqrt(qr.map(v => v.toDouble * v.toDouble).sum)
+      require(qn > 0, "query vector must be non-zero")
+      val qhat = qr.map(_.toDouble / qn)
+      val stage1 = s.read.parquet(idx)
+        .withColumn("est", BinaryVec.asymCosScore(
+          Seq(col("w0"), col("w1")), qhat, col("cx")))
+        .orderBy(col("est").desc, col("vec_id").asc)
+        .limit(50)
+      broadcast(stage1.select("vec_id", "est"))
+        .join(e, Seq("vec_id"))
+        .withColumn("cosine", round(VectorFunctions.cosineSim(
+          col("embedding"), typedlit(qe.toSeq)), 4))
+        .select("vec_id", "est", "cosine")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(5)
+    },
+    Some(s"""
+      WITH rot AS (SELECT component, weights FROM read_parquet(
+        '/tmp/graft_binrot_oracle_%ORACLE_KEY%/rotation/*.parquet')),
+      proj AS (SELECT e.vec_id, r.component, ${duckProj("e.embedding")} AS p
+               FROM embeddings e, rot r),
+      pv AS (SELECT vec_id, list(p ORDER BY component) AS v
+             FROM proj GROUP BY vec_id),
+      q AS (SELECT v AS qv FROM pv WHERE vec_id = 7),
+      qn AS (SELECT sqrt(list_sum(list_transform(qv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n FROM q),
+      cxs AS (SELECT vec_id, CAST(round(CASE WHEN l2 = 0 THEN 0.0
+                ELSE l1 / (8 * l2) END, 4) AS REAL) AS cx
+              FROM (SELECT vec_id,
+                      list_sum(list_transform(v,
+                        x -> abs(CAST(x AS DOUBLE)))) AS l1,
+                      sqrt(list_sum(list_transform(v,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+                    FROM pv)),
+      est AS (SELECT pv.vec_id,
+                round(CASE WHEN cxs.cx = 0 THEN 0.0 ELSE
+                  (2 * list_sum(list_transform(range(1, len(pv.v)+1),
+                     i -> CASE WHEN pv.v[i] >= 0
+                          THEN CAST(q.qv[i] AS DOUBLE) / qn.n
+                          ELSE 0.0 END))
+                   - list_sum(list_transform(q.qv,
+                       x -> CAST(x AS DOUBLE) / qn.n)))
+                  / (8 * CAST(cxs.cx AS DOUBLE)) END, 4) AS est
+              FROM pv JOIN cxs USING (vec_id), q, qn),
+      cand AS (SELECT vec_id, est FROM est
+               ORDER BY est DESC, vec_id ASC LIMIT 50)
+      SELECT c.vec_id, c.est,
+             ${duckCosine("e.embedding", "qq.qe")} AS cosine
+      FROM cand c JOIN embeddings e USING (vec_id),
+           (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7) qq
+      ORDER BY cosine DESC, c.vec_id ASC LIMIT 5
     """))
 
   /** Inner-product top-k — Milvus's IP metric (the third of its float
@@ -2226,7 +2318,7 @@ object VectorQueries {
     sq8RerankSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
     binaryHammingSearch, binaryJaccardSearch, asymmetricBinarySearch,
-    binaryRecallReport, knnIpTopK, mmrRerank,
+    asymmetricBinaryIncremental, binaryRecallReport, knnIpTopK, mmrRerank,
     corpusDiversity,
     sparseVectorSearch, hybridSearchWeighted, searchPagination,
     embeddingOutliers, indexRecallReport, groupByFieldSearch)
