@@ -292,6 +292,40 @@ object ScaleBench {
             .orderBy(col("hamming").asc, col("vec_id").asc)
             .limit(10).count()
         }),
+        // asymmetric 1-bit serving (RaBitQ-style): stage-1 scans the
+        // 20-byte packed artifact (2 sign words + correction float)
+        // with the float query as plan literals, then a 50-row
+        // broadcast rerank against the corpus — linear scan of the
+        // small table + point lookups, same shape as binary_hamming
+        // with one more conditional-add chain per row
+        "asym_binary_serve (signature artifact)" -> (() => {
+          import graft.search.{BinaryVec, Rotation}
+          val rot = Rotation.hadamardSignRows(Dim, "graft-bin-rot")
+          val packed = graft.core.Artifacts.buildOnce(spark,
+            s"/tmp/graft_scale/asymsig_$n") {
+            emb.select(col("vec_id"),
+                Rotation.projectCol(col("embedding"), rot).as("rvec"))
+              .select(col("vec_id"),
+                BinaryVec.signWord(col("rvec"), 0).as("w0"),
+                BinaryVec.signWord(col("rvec"), 1).as("w1"),
+                BinaryVec.signCorrection(col("rvec"), Dim).as("cx"))
+          }
+          import spark.implicits._
+          val qe = emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head().toArray
+          val qr = Rotation.projectRow(qe, rot)
+          val qn = math.sqrt(qr.map(v => v.toDouble * v.toDouble).sum)
+          val qhat = qr.map(_.toDouble / qn)
+          val stage1 = packed.withColumn("est", BinaryVec.asymCosScore(
+              Seq(col("w0"), col("w1")), qhat, col("cx")))
+            .orderBy(col("est").desc, col("vec_id").asc).limit(50)
+          broadcast(stage1.select("vec_id"))
+            .join(emb, Seq("vec_id"))
+            .withColumn("c", graft.functions.VectorFunctions.cosineSim(
+              col("embedding"),
+              typedlit(qe.toSeq)))
+            .orderBy(col("c").desc, col("vec_id").asc).limit(5).count()
+        }),
         "corpus_diversity (moment identity)" -> (() =>
           graft.search.VectorStats.meanPairwiseCosine(emb, "embedding")
             .count()),
