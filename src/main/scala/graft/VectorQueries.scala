@@ -347,6 +347,76 @@ object VectorQueries {
       ORDER BY distance ASC, c.vec_id ASC LIMIT 5
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** Residual-quantized ADC search (see [[graft.search.Rq]]): two-level
+    * additive codes — (c1, c2) pairs reconstructing as C1[c1] + C2[c2],
+    * 1024 effective cells from 64 trained centroids — searched via ONE
+    * flattened-table lookup per row and reranked exactly. The quantizer
+    * SHAPE matrix is now complete: scalar (`sq8_rerank_search`), product
+    * (`pq_adc_search`), additive/residual (this). Codebooks are staged;
+    * the oracle replays both encoding argmins (level-1 vs the vector,
+    * level-2 vs the double-precision residual), the additive ADC table,
+    * the candidate cut, and the exact rerank. */
+  private val rqAdcSearch = Q(
+    "rq_adc_search",
+    (s, dir) => {
+      import graft.search.Rq
+      val e = Tables.embeddings(s, dir)
+      val rqDir = s"/tmp/graft_rq_${math.abs(dir.hashCode)}"
+      val model =
+        if (new java.io.File(Rq.codesDir(rqDir) + "/_SUCCESS").exists())
+          Rq.load(s, rqDir)
+        else Rq.build(e, "embedding", "vec_id", rqDir, maxIter = 20)
+      stageOracle(s, "rq", dir)(
+        "codebooks" -> s.read.parquet(Rq.codebooksDir(rqDir)))
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      Rq.adcSearch(s, model, e, "embedding", "vec_id", query,
+        k = 5, margin = 4)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      cb1 AS (SELECT code, centroid FROM read_parquet(
+        '/tmp/graft_rq_oracle_%ORACLE_KEY%/codebooks/*.parquet')
+              WHERE level = 1),
+      cb2 AS (SELECT code, centroid FROM read_parquet(
+        '/tmp/graft_rq_oracle_%ORACLE_KEY%/codebooks/*.parquet')
+              WHERE level = 2),
+      e1 AS (SELECT vec_id, code AS c1 FROM (
+          SELECT e.vec_id, c.code,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(range(1, len(e.embedding)+1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE)
+                           - CAST(c.centroid[i] AS DOUBLE))^2)) ASC,
+                   c.code ASC) AS rn
+          FROM embeddings e CROSS JOIN cb1 c) WHERE rn = 1),
+      e2 AS (SELECT vec_id, code AS c2 FROM (
+          SELECT a.vec_id, c.code,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(range(1, len(e.embedding)+1),
+                     i -> ((CAST(e.embedding[i] AS DOUBLE)
+                            - CAST(b1.centroid[i] AS DOUBLE))
+                           - CAST(c.centroid[i] AS DOUBLE))^2)) ASC,
+                   c.code ASC) AS rn
+          FROM e1 a JOIN embeddings e USING (vec_id)
+               JOIN cb1 b1 ON b1.code = a.c1
+               CROSS JOIN cb2 c) WHERE rn = 1),
+      codes AS (SELECT e1.vec_id, e1.c1, e2.c2
+                FROM e1 JOIN e2 USING (vec_id)),
+      lut AS (SELECT b1.code AS c1, b2.code AS c2,
+                round(list_sum(list_transform(range(1, len(q.qe)+1),
+                  i -> ((CAST(q.qe[i] AS DOUBLE)
+                         - CAST(b1.centroid[i] AS DOUBLE))
+                        - CAST(b2.centroid[i] AS DOUBLE))^2)), 4)
+                  AS approx_distance
+              FROM cb1 b1 CROSS JOIN cb2 b2, q),
+      cand AS (SELECT codes.vec_id, lut.approx_distance
+               FROM codes JOIN lut USING (c1, c2)
+               ORDER BY approx_distance ASC, vec_id ASC LIMIT 20)
+      SELECT c.vec_id, c.approx_distance, %L2% AS distance
+      FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id, q
+      ORDER BY distance ASC, c.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   /** Per-dimension corpus statistics over the embedding column — the
     * drift/health monitor an embedding pipeline runs per batch (a
     * distribution shift in any dimension means the upstream model or its
@@ -2394,8 +2464,8 @@ object VectorQueries {
     opqIvfPqSearch,
     bm25IncrementalSearch, bm25fSearch, streamingBm25Ingest,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
-    sq8RerankSearch, ivfSq8Search, embeddingProfile, pqAdcSearch,
-    ivfPqSearch,
+    sq8RerankSearch, ivfSq8Search, rqAdcSearch, embeddingProfile,
+    pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
     binaryHammingSearch, binaryJaccardSearch, asymmetricBinarySearch,
     asymmetricBinaryIncremental, binaryRecallReport, knnIpTopK, mmrRerank,

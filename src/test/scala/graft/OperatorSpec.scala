@@ -302,6 +302,47 @@ class OperatorSpec extends SparkSpec {
     assert(r.forall(_.getDouble(1) >= 0.0))
   }
 
+  test("RQ: codes in range, level 2 cuts reconstruction error, self first") {
+    import graft.search.Rq
+    val dir = "/tmp/graft_rq_spec"
+    org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    val e = graft.core.Tables.embeddings(spark, sf0001)
+    val model = Rq.build(e, "embedding", "vec_id", dir, maxIter = 10)
+    assert(model.k1 == 32 && model.k2 == 32)
+    val codes = spark.read.parquet(Rq.codesDir(dir))
+      .select("c1", "c2").as[(Int, Int)].collect()
+    assert(codes.forall { case (a, b) =>
+      a >= 0 && a < 32 && b >= 0 && b < 32 })
+    // reload round-trips both codebooks
+    val re = Rq.load(spark, dir)
+    assert(re.cb1.flatten.toSeq == model.cb1.flatten.toSeq &&
+      re.cb2.flatten.toSeq == model.cb2.flatten.toSeq)
+    // the additive level's whole point: mean ‖v − C1 − C2‖² strictly
+    // below mean ‖v − C1‖² (level 2 models what level 1 missed)
+    val vecs = e.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    val cmap = spark.read.parquet(Rq.codesDir(dir))
+      .select("vec_id", "c1", "c2").as[(Long, Int, Int)].collect()
+    def err(v: Seq[Float], c: Array[Double]): Double =
+      v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    val (e1, e2) = cmap.map { case (id, a, b) =>
+      val v = vecs(id)
+      val r1 = model.cb1(a).map(_.toDouble)
+      val r2 = r1.zip(model.cb2(b)).map { case (x, y) => x + y }
+      (err(v, r1), err(v, r2))
+    }.unzip
+    assert(e2.sum < e1.sum * 0.9,
+      s"level 2 must cut reconstruction error: ${e1.sum} -> ${e2.sum}")
+    val q = e.where(col("vec_id") === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val r = Rq.adcSearch(spark, model, e, "embedding", "vec_id", q, k = 5)
+      .collect()
+    assert(r.head.getLong(0) == 3L && r.head.getDouble(2) == 0.0,
+      "the query vector itself must rerank first at exact distance 0")
+  }
+
   test("KMV sketch: exact below k, within rsd above k, order-independent") {
     import graft.functions.KmvSketchAggregator
     val agg = new KmvSketchAggregator(64)
