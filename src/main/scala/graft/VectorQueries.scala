@@ -417,6 +417,60 @@ object VectorQueries {
       ORDER BY distance ASC, c.vec_id ASC LIMIT 5
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** Norm-pruned EXACT search — the triangle inequality as a zone map
+    * (the norm-bound pruning of FEXIPRO, Li et al. SIGMOD 2017, and
+    * Faiss's exact-search norm filters): ‖x−q‖² ≥ (‖x‖−‖q‖)², so once
+    * any k distances bound the k-th-nearest by τ, every vector with
+    * ‖x‖ outside [‖q‖−√τ, ‖q‖+√τ] is provably not in the top-k. The
+    * stored form is the corpus range-partitioned and sorted by a norm
+    * column (the `sorted_scan_prune` layout derived from vector
+    * geometry); phase 1 seeds τ with the k nearest-BY-NORM rows (a
+    * top-k on the sort key), phase 2 scans only the τ-band — a pushed
+    * range filter on `norm` that at 100 TB becomes parquet row-group
+    * skipping. EXACT top-k guaranteed (the band is a superset; a small
+    * slack absorbs the 4-decimal norm rounding), unlike every ANN tier
+    * — this is the scan-pruning path for when recall must be 1.0.
+    * The oracle replays norms, the seed, τ, the band cut and the final
+    * ranking. NOTE: the fixture's embeddings are unit-normalized, so
+    * here every norm is 1.0 and the band degenerates to the full corpus
+    * — the operator's domain is norm-BEARING embeddings (IP-metric /
+    * popularity-scaled); KnnSpec proves the actual pruning (strict
+    * subset scanned, result still exactly the brute-force top-k) on a
+    * norm-varying corpus. */
+  private val normPrunedSearch = Q(
+    "norm_pruned_search",
+    (s, dir) => {
+      import graft.search.NormPrune
+      val e = Tables.embeddings(s, dir)
+      val tab = graft.core.Artifacts.buildOnce(s,
+        s"/tmp/graft_normtab_${math.abs(dir.hashCode)}") {
+        NormPrune.normTable(e, "vec_id", "embedding")
+      }
+      val qe = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      NormPrune.search(tab, "vec_id", "embedding", qe, k = 5)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      qn AS (SELECT round(sqrt(list_sum(list_transform(qe,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS n
+             FROM q),
+      tab AS (SELECT vec_id, embedding,
+                round(sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
+              FROM embeddings),
+      seed AS (SELECT t.vec_id, t.embedding FROM tab t, qn
+               ORDER BY abs(t.norm - qn.n) ASC, t.vec_id ASC LIMIT 5),
+      tau AS (SELECT max(%L2SEED%) AS t FROM seed s, q),
+      band AS (SELECT t.vec_id, t.norm, t.embedding FROM tab t, qn, tau
+               WHERE t.norm >= qn.n - sqrt(tau.t) - 0.0002
+                 AND t.norm <= qn.n + sqrt(tau.t) + 0.0002)
+      SELECT b.vec_id, b.norm, %L2BAND% AS distance
+      FROM band b, q
+      ORDER BY distance ASC, b.vec_id ASC LIMIT 5
+    """.replace("%L2SEED%", duckL2("s.embedding", "q.qe"))
+       .replace("%L2BAND%", duckL2("b.embedding", "q.qe"))))
+
   /** Per-dimension corpus statistics over the embedding column — the
     * drift/health monitor an embedding pipeline runs per batch (a
     * distribution shift in any dimension means the upstream model or its
@@ -2464,8 +2518,8 @@ object VectorQueries {
     opqIvfPqSearch,
     bm25IncrementalSearch, bm25fSearch, streamingBm25Ingest,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
-    sq8RerankSearch, ivfSq8Search, rqAdcSearch, embeddingProfile,
-    pqAdcSearch, ivfPqSearch,
+    sq8RerankSearch, ivfSq8Search, rqAdcSearch, normPrunedSearch,
+    embeddingProfile, pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
     binaryHammingSearch, binaryJaccardSearch, asymmetricBinarySearch,
     asymmetricBinaryIncremental, binaryRecallReport, knnIpTopK, mmrRerank,

@@ -1,0 +1,63 @@
+package graft.search
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Norm-bound pruning for EXACT kNN — the triangle-inequality zone map
+  * behind `norm_pruned_search` (FEXIPRO-style norm filtering, Li et al.
+  * SIGMOD 2017): ‖x−q‖² ≥ (‖x‖−‖q‖)², so a τ bound on the k-th-nearest
+  * distance shrinks the scan to the norm band [‖q‖−√τ, ‖q‖+√τ] with NO
+  * recall loss. The stored form is norm-sorted, so the band is a pushed
+  * range filter → parquet row-group skipping at scale. */
+object NormPrune {
+  /** The stored layout: corpus + rounded norm column, range-partitioned
+    * and sorted by norm (min/max row-group stats = the zone map). */
+  def normTable(df: DataFrame, idCol: String, vecCol: String,
+                partitions: Int = 8): DataFrame =
+    df.select(col(idCol), col(vecCol),
+        round(sqrt(aggregate(col(vecCol), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
+          .as("norm"))
+      .repartitionByRange(partitions, col("norm"))
+      .sortWithinPartitions(col("norm"))
+
+  /** ‖q‖ with the same arithmetic/rounding as [[normTable]]'s column. */
+  def queryNorm(query: Array[Float]): Double =
+    BigDecimal(math.sqrt(query.map(v => v.toDouble * v.toDouble).sum))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Phase-1 τ: the max exact distance among the k nearest-BY-NORM rows
+    * (real distances ⇒ a valid upper bound on the true k-th distance).
+    * One bounded top-k on the sort key + a 1-row aggregate. */
+  def tauBound(tab: DataFrame, idCol: String, vecCol: String,
+               query: Array[Float], k: Int): Double = {
+    val qn = queryNorm(query)
+    tab.orderBy(abs(col("norm") - qn).asc, col(idCol).asc)
+      .limit(k)
+      .select(round(VectorFunctions.l2Sq(col(vecCol),
+        typedlit(query.toSeq)), 4).as("d"))
+      .agg(max(col("d"))).collect()(0).getDouble(0)
+  }
+
+  /** The τ-band slice of the stored table — literal bounds, pushed to
+    * the scan; `slack` absorbs the 4-decimal norm rounding. */
+  def band(tab: DataFrame, query: Array[Float], tau: Double,
+           slack: Double = 2e-4): DataFrame = {
+    val qn = queryNorm(query)
+    val (lo, hi) = (qn - math.sqrt(tau) - slack, qn + math.sqrt(tau) + slack)
+    tab.where(col("norm") >= lo && col("norm") <= hi)
+  }
+
+  /** Exact top-k over the pruned band: (id, norm, distance). */
+  def search(tab: DataFrame, idCol: String, vecCol: String,
+             query: Array[Float], k: Int): DataFrame = {
+    val tau = tauBound(tab, idCol, vecCol, query, k)
+    band(tab, query, tau)
+      .withColumn("distance", round(VectorFunctions.l2Sq(col(vecCol),
+        typedlit(query.toSeq)), 4))
+      .select(col(idCol), col("norm"), col("distance"))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -154,6 +154,36 @@ class KnnSpec extends SparkSpec {
     assert(!results(full, 5.0).exists(_._1 == 3L))
   }
 
+  test("norm pruning: strict-subset scan, result equals brute force") {
+    import graft.search.NormPrune
+    // norm-VARYING corpus (the operator's domain — the unit-norm fixture
+    // degenerates): lengths spread over [0.5, 8]
+    val r = new scala.util.Random(23)
+    val vecs = (0L until 300L).map { i =>
+      val dir = Array.fill(16)(r.nextGaussian())
+      val n = math.sqrt(dir.map(x => x * x).sum)
+      val len = 0.5 + (i % 60) * 0.125
+      (i, dir.map(x => (x / n * len).toFloat))
+    }
+    val tab = NormPrune.normTable(vecs.toDF("id", "vec"), "id", "vec")
+    val q = vecs(17)._2
+    for (k <- Seq(1, 5, 10)) {
+      val tau = NormPrune.tauBound(tab, "id", "vec", q, k)
+      val scanned = NormPrune.band(tab, q, tau).count()
+      assert(scanned < 300, s"k=$k band must prune: scanned=$scanned")
+      val got = NormPrune.search(tab, "id", "vec", q, k)
+        .select("id").as[Long].collect().toSeq
+      val brute = vecs.map { case (id, v) =>
+        (id, v.zip(q).map { case (a, b) =>
+          (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum)
+      }.sortBy { case (id, d) =>
+        (BigDecimal(d).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble, id)
+      }.take(k).map(_._1)
+      assert(got == brute, s"k=$k: pruned result must equal brute force")
+    }
+  }
+
   test("bm25: tf monotone, rare terms outweigh common, absent docs dropped") {
     import graft.search.Bm25
     val docs = Seq(
