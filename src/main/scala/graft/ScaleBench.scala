@@ -410,6 +410,22 @@ object ScaleBench {
             "embedding", q, pq, entry, k = 5,
             beamWidth = 8, rounds = 6).count()
         }),
+        // RQ serving: one flattened-LUT lookup per 2-byte codes row +
+        // 20-row broadcast rerank — the additive quantizer's scan is
+        // even narrower than PQ's (2 codes vs 8)
+        "rq_serve (codes artifact)" -> (() => {
+          import spark.implicits._
+          import graft.search.Rq
+          val rqDir = s"/tmp/graft_scale/rq_$n"
+          val rq =
+            if (new java.io.File(Rq.codesDir(rqDir) + "/_SUCCESS").exists())
+              Rq.load(spark, rqDir)
+            else Rq.build(emb, "embedding", "vec_id", rqDir, maxIter = 5)
+          val q = emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head().toArray
+          Rq.adcSearch(spark, rq, emb, "embedding", "vec_id", q,
+            k = 5, margin = 4).count()
+        }),
         // IVF_PQ serving: probe 8 of the IVF's cells, ADC-rank the codes
         // within — scans nprobe/nlist of a 8-byte-per-vector table
         "ivf_pq_serve (probe8, adc)" -> (() => {

@@ -471,6 +471,141 @@ object VectorQueries {
     """.replace("%L2SEED%", duckL2("s.embedding", "q.qe"))
        .replace("%L2BAND%", duckL2("b.embedding", "q.qe"))))
 
+  /** RQ-vs-PQ candidate recall over FOUR query vectors: recall@20 of
+    * the exact L2 top-5 for the additive two-code tier vs the 8-code
+    * product tier — the honest compression-vs-recall trade
+    * (`opq_recall_report` discipline: the measurement itself — both
+    * encodings, both lookup tables, both rankings, the exact baseline —
+    * is hash-checked). RQ stores 4× less than PQ (2 codes vs 8); this
+    * row is what that costs in candidate recall on this corpus. */
+  private val rqRecallReport = Q(
+    "rq_recall_report",
+    (s, dir) => {
+      import graft.search.{Pq, Rq}
+      val e = Tables.embeddings(s, dir)
+      val pqDir = s"/tmp/graft_pq_${math.abs(dir.hashCode)}"
+      val rqDir = s"/tmp/graft_rq_${math.abs(dir.hashCode)}"
+      val pq =
+        if (new java.io.File(Pq.codesDir(pqDir) + "/_SUCCESS").exists())
+          Pq.load(s, pqDir)
+        else Pq.build(e, "embedding", "vec_id", pqDir)
+      val rq =
+        if (new java.io.File(Rq.codesDir(rqDir) + "/_SUCCESS").exists())
+          Rq.load(s, rqDir)
+        else Rq.build(e, "embedding", "vec_id", rqDir, maxIter = 20)
+      stageOracle(s, "pq", dir)(
+        "codebooks" -> s.read.parquet(Pq.codebooksDir(pqDir)))
+      stageOracle(s, "rq", dir)(
+        "codebooks" -> s.read.parquet(Rq.codebooksDir(rqDir)))
+      val qids = Seq(0L, 7L, 13L, 21L)
+      val qmap = e.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      def candUnion(f: Array[Float] => org.apache.spark.sql.DataFrame) =
+        qids.map { qid =>
+          f(qmap(qid)).select(lit(qid).as("qid"), col("vec_id"))
+        }.reduce(_ unionAll _)
+      val qsDf = e.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      import org.apache.spark.sql.expressions.Window
+      val exact = e.crossJoin(broadcast(qsDf))
+        .select(col("qid"), col("vec_id"),
+          round(VectorFunctions.l2Sq(col("embedding"), col("qv")), 4)
+            .as("d"))
+        .withColumn("__rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("d").asc, col("vec_id").asc)))
+        .where(col("__rn") <= 5).select("qid", "vec_id")
+      def recallRow(method: String,
+                    cand: org.apache.spark.sql.DataFrame) =
+        exact.join(cand.withColumn("hit", lit(1)),
+            Seq("qid", "vec_id"), "left")
+          .agg(round(count(col("hit")) / (5.0 * qids.size), 4).as("recall"))
+          .select(lit(method).as("method"),
+            lit(qids.size).cast("long").as("n_queries"), col("recall"))
+      recallRow("pq_adc20", candUnion(q =>
+          Pq.adcCandidates(s, pq, "vec_id", q, 20)))
+        .unionAll(recallRow("rq_adc20", candUnion(q =>
+          Rq.adcCandidates(s, rq, "vec_id", q, 20))))
+        .orderBy(col("method").asc)
+    },
+    Some(s"""
+      WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                  WHERE vec_id IN (0, 7, 13, 21)),
+      cbp AS (SELECT * FROM read_parquet(
+        '/tmp/graft_pq_oracle_%ORACLE_KEY%/codebooks/*.parquet')),
+      cb1 AS (SELECT code, centroid FROM read_parquet(
+        '/tmp/graft_rq_oracle_%ORACLE_KEY%/codebooks/*.parquet')
+              WHERE level = 1),
+      cb2 AS (SELECT code, centroid FROM read_parquet(
+        '/tmp/graft_rq_oracle_%ORACLE_KEY%/codebooks/*.parquet')
+              WHERE level = 2),
+      encp AS (SELECT vec_id, sub, code FROM (
+          SELECT e.vec_id, cbp.sub, cbp.code,
+                 row_number() OVER (PARTITION BY e.vec_id, cbp.sub ORDER BY
+                   list_sum(list_transform(range(1, 9),
+                     i -> (CAST(e.embedding[cbp.sub*8 + i] AS DOUBLE)
+                           - CAST(cbp.centroid[i] AS DOUBLE))^2)) ASC,
+                   cbp.code ASC) AS rn
+          FROM embeddings e CROSS JOIN cbp) WHERE rn = 1),
+      e1 AS (SELECT vec_id, code AS c1 FROM (
+          SELECT e.vec_id, c.code,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(range(1, len(e.embedding)+1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE)
+                           - CAST(c.centroid[i] AS DOUBLE))^2)) ASC,
+                   c.code ASC) AS rn
+          FROM embeddings e CROSS JOIN cb1 c) WHERE rn = 1),
+      e2 AS (SELECT vec_id, code AS c2 FROM (
+          SELECT a.vec_id, c.code,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(range(1, len(e.embedding)+1),
+                     i -> ((CAST(e.embedding[i] AS DOUBLE)
+                            - CAST(b1.centroid[i] AS DOUBLE))
+                           - CAST(c.centroid[i] AS DOUBLE))^2)) ASC,
+                   c.code ASC) AS rn
+          FROM e1 a JOIN embeddings e USING (vec_id)
+               JOIN cb1 b1 ON b1.code = a.c1
+               CROSS JOIN cb2 c) WHERE rn = 1),
+      rcodes AS (SELECT e1.vec_id, e1.c1, e2.c2
+                 FROM e1 JOIN e2 USING (vec_id)),
+      lutp AS (SELECT qs.qid, cbp.sub, cbp.code,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (CAST(qs.qv[cbp.sub*8 + i] AS DOUBLE)
+                             - CAST(cbp.centroid[i] AS DOUBLE))^2)) AS d
+              FROM cbp CROSS JOIN qs),
+      lutr AS (SELECT qs.qid, b1.code AS c1, b2.code AS c2,
+                round(list_sum(list_transform(range(1, len(qs.qv)+1),
+                  i -> ((CAST(qs.qv[i] AS DOUBLE)
+                         - CAST(b1.centroid[i] AS DOUBLE))
+                        - CAST(b2.centroid[i] AS DOUBLE))^2)), 4) AS d
+              FROM cb1 b1 CROSS JOIN cb2 b2, qs),
+      candp AS (SELECT qid, vec_id FROM (
+          SELECT l.qid, e.vec_id, row_number() OVER (PARTITION BY l.qid
+              ORDER BY round(sum(l.d), 4) ASC, e.vec_id ASC) AS rn
+          FROM encp e JOIN lutp l USING (sub, code)
+          GROUP BY l.qid, e.vec_id) t WHERE rn <= 20),
+      candr AS (SELECT qid, vec_id FROM (
+          SELECT l.qid, c.vec_id, row_number() OVER (PARTITION BY l.qid
+              ORDER BY l.d ASC, c.vec_id ASC) AS rn
+          FROM rcodes c JOIN lutr l USING (c1, c2)) t WHERE rn <= 20),
+      ex AS (SELECT qid, vec_id FROM (
+          SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+              ORDER BY ${duckL2("e.embedding", "q.qv")} ASC,
+                       e.vec_id ASC) AS rn
+          FROM embeddings e, qs q) t WHERE rn <= 5)
+      SELECT method, CAST(4 AS BIGINT) AS n_queries, recall FROM (
+        SELECT 'pq_adc20' AS method,
+               round(count(c.vec_id) / 20.0, 4) AS recall
+        FROM ex e LEFT JOIN candp c
+          ON c.qid = e.qid AND c.vec_id = e.vec_id
+        UNION ALL
+        SELECT 'rq_adc20' AS method,
+               round(count(c.vec_id) / 20.0, 4) AS recall
+        FROM ex e LEFT JOIN candr c
+          ON c.qid = e.qid AND c.vec_id = e.vec_id) u
+      ORDER BY method ASC
+    """))
+
   /** Per-dimension corpus statistics over the embedding column — the
     * drift/health monitor an embedding pipeline runs per batch (a
     * distribution shift in any dimension means the upstream model or its
@@ -2518,8 +2653,8 @@ object VectorQueries {
     opqIvfPqSearch,
     bm25IncrementalSearch, bm25fSearch, streamingBm25Ingest,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
-    sq8RerankSearch, ivfSq8Search, rqAdcSearch, normPrunedSearch,
-    embeddingProfile, pqAdcSearch, ivfPqSearch,
+    sq8RerankSearch, ivfSq8Search, rqAdcSearch, rqRecallReport,
+    normPrunedSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
     binaryHammingSearch, binaryJaccardSearch, asymmetricBinarySearch,
     asymmetricBinaryIncremental, binaryRecallReport, knnIpTopK, mmrRerank,

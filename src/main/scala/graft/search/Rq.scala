@@ -144,16 +144,23 @@ object Rq {
     round(element_at(typedlit(adcTable(model, query).toSeq),
       (col("c1") * model.k2 + col("c2") + 1).cast("int")), 4)
 
+  /** Pre-rerank ADC candidate tier: top-`n` codes rows by the rounded
+    * lookup distance — the set whose recall `rq_recall_report`
+    * measures. */
+  def adcCandidates(spark: SparkSession, model: Model, idCol: String,
+                    query: Array[Float], n: Int): DataFrame =
+    spark.read.parquet(codesDir(model.indexDir))
+      .withColumn("approx_distance", adcExpr(model, query))
+      .orderBy(col("approx_distance").asc, col(idCol).asc)
+      .limit(n)
+      .select(col(idCol), col("approx_distance"))
+
   /** Two-stage RQ search: ADC over the codes artifact → top-(k·margin)
     * → exact rerank (broadcast of the candidate set only). */
   def adcSearch(spark: SparkSession, model: Model, full: DataFrame,
                 vecCol: String, idCol: String, query: Array[Float],
                 k: Int, margin: Int = 4): DataFrame = {
-    val cand = spark.read.parquet(codesDir(model.indexDir))
-      .withColumn("approx_distance", adcExpr(model, query))
-      .orderBy(col("approx_distance").asc, col(idCol).asc)
-      .limit(k * margin)
-      .select(col(idCol), col("approx_distance"))
+    val cand = adcCandidates(spark, model, idCol, query, k * margin)
     val qlit = typedlit(query.toSeq)
     broadcast(cand)
       .join(full.select(col(idCol), col(vecCol)), Seq(idCol))

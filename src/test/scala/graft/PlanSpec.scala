@@ -167,6 +167,25 @@ class PlanSpec extends SparkSpec {
     assert(plan("filtered_knn_search").contains("TakeOrderedAndProject"))
   }
 
+  test("norm-pruned search: the tau band reaches the scan as a range filter") {
+    val p = plan("norm_pruned_search")
+    assert(p.contains("GreaterThanOrEqual(norm") &&
+      p.contains("LessThanOrEqual(norm"),
+      s"norm band not pushed to the parquet scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "final top-k must be per-partition heaps")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("asymmetric binary search: stage-1 scans only the packed columns") {
+    val p = plan("asymmetric_binary_search")
+    assert(p.contains("TakeOrderedAndProject"))
+    // the stage-1 scan must read the 20-byte artifact, not float vectors
+    assert(p.contains("struct<vec_id:bigint,w0:bigint,w1:bigint,cx:float>"),
+      s"stage-1 must scan the packed signature schema:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("binary hamming search: packed top-k, no global sort") {
     val p = plan("binary_hamming_search")
     assert(p.contains("TakeOrderedAndProject"),
