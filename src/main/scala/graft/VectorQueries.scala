@@ -574,6 +574,112 @@ object VectorQueries {
       ORDER BY cosine DESC, c.vec_id ASC LIMIT 5
     """))
 
+  /** IVF ∘ RQ — Faiss's IVF-ResidualQuantizer composition, closing the
+    * quantizer-composition matrix: every compressed form in the repo
+    * (SQ8 → `ivf_sq8_search`, PQ → `ivf_pq_search`, packed-sign →
+    * `ivf_asym_binary_search`, additive RQ → this) now serves behind
+    * the same nprobe-pruned coarse layout. Probe 4 of 16 cells,
+    * one-lookup ADC over the surviving clusters' 2-code rows, exact
+    * rerank. Oracle replays probe → restriction → both encoding
+    * argmins → additive LUT → cut → rerank. */
+  private val ivfRqSearch = Q(
+    "ivf_rq_search",
+    (s, dir) => {
+      import graft.search.{IvfIndex, Rq}
+      val e = Tables.embeddings(s, dir)
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      val assign = s.read.parquet(IvfIndex.dataDir(indexDir))
+        .select(col("vec_id"), col("cluster_id"))
+      val rqDir = s"/tmp/graft_rq_${math.abs(dir.hashCode)}"
+      val rq =
+        if (new java.io.File(Rq.codesDir(rqDir) + "/_SUCCESS").exists())
+          Rq.load(s, rqDir)
+        else Rq.build(e, "embedding", "vec_id", rqDir, maxIter = 20)
+      stageOracle(s, "ivfrq", dir)(
+        "centroids" -> s.read.parquet(IvfIndex.centroidsDir(indexDir)),
+        "assign" -> assign,
+        "codebooks" -> s.read.parquet(Rq.codebooksDir(rqDir)))
+      val qe = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val clusters = IvfIndex.probeClusters(model, qe, 4)
+      val sel = assign.where(col("cluster_id").isin(clusters: _*))
+        .select("vec_id")
+      val cand = s.read.parquet(Rq.codesDir(rqDir))
+        .join(sel, Seq("vec_id"), "left_semi")
+        .withColumn("approx_distance", Rq.adcExpr(rq, qe))
+        .orderBy(col("approx_distance").asc, col("vec_id").asc)
+        .limit(20)
+        .select(col("vec_id"), col("approx_distance"))
+      broadcast(cand)
+        .join(e, Seq("vec_id"))
+        .withColumn("distance", round(VectorFunctions.l2Sq(
+          col("embedding"), typedlit(qe.toSeq)), 4))
+        .select("vec_id", "approx_distance", "distance")
+        .orderBy(col("distance").asc, col("vec_id").asc)
+        .limit(5)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      cent AS (SELECT cluster_id, centroid FROM read_parquet(
+        '/tmp/graft_ivfrq_oracle_%ORACLE_KEY%/centroids/*.parquet')),
+      probe AS (SELECT cluster_id FROM (
+          SELECT cluster_id,
+                 row_number() OVER (ORDER BY
+                   list_sum(list_transform(range(1, len(centroid)+1),
+                     i -> (CAST(centroid[i] AS DOUBLE)
+                           - CAST(qe.qe[i] AS DOUBLE))^2)) ASC,
+                   cluster_id ASC) AS rn
+          FROM cent, q qe) WHERE rn <= 4),
+      a AS (SELECT vec_id, cluster_id FROM read_parquet(
+        '/tmp/graft_ivfrq_oracle_%ORACLE_KEY%/assign/*.parquet')),
+      sel AS (SELECT a.vec_id FROM a JOIN probe USING (cluster_id)),
+      cb1 AS (SELECT code, centroid FROM read_parquet(
+        '/tmp/graft_ivfrq_oracle_%ORACLE_KEY%/codebooks/*.parquet')
+              WHERE level = 1),
+      cb2 AS (SELECT code, centroid FROM read_parquet(
+        '/tmp/graft_ivfrq_oracle_%ORACLE_KEY%/codebooks/*.parquet')
+              WHERE level = 2),
+      e1 AS (SELECT vec_id, code AS c1 FROM (
+          SELECT e.vec_id, c.code,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(range(1, len(e.embedding)+1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE)
+                           - CAST(c.centroid[i] AS DOUBLE))^2)) ASC,
+                   c.code ASC) AS rn
+          FROM embeddings e CROSS JOIN cb1 c) WHERE rn = 1),
+      e2 AS (SELECT vec_id, code AS c2 FROM (
+          SELECT a.vec_id, c.code,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(range(1, len(e.embedding)+1),
+                     i -> ((CAST(e.embedding[i] AS DOUBLE)
+                            - CAST(b1.centroid[i] AS DOUBLE))
+                           - CAST(c.centroid[i] AS DOUBLE))^2)) ASC,
+                   c.code ASC) AS rn
+          FROM e1 a JOIN embeddings e USING (vec_id)
+               JOIN cb1 b1 ON b1.code = a.c1
+               CROSS JOIN cb2 c) WHERE rn = 1),
+      codes AS (SELECT e1.vec_id, e1.c1, e2.c2
+                FROM e1 JOIN e2 USING (vec_id)),
+      lut AS (SELECT b1.code AS c1, b2.code AS c2,
+                round(list_sum(list_transform(range(1, len(q.qe)+1),
+                  i -> ((CAST(q.qe[i] AS DOUBLE)
+                         - CAST(b1.centroid[i] AS DOUBLE))
+                        - CAST(b2.centroid[i] AS DOUBLE))^2)), 4)
+                  AS approx_distance
+              FROM cb1 b1 CROSS JOIN cb2 b2, q),
+      cand AS (SELECT c.vec_id, lut.approx_distance
+               FROM codes c JOIN sel USING (vec_id)
+                    JOIN lut USING (c1, c2)
+               ORDER BY approx_distance ASC, c.vec_id ASC LIMIT 20)
+      SELECT c.vec_id, c.approx_distance, %L2% AS distance
+      FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id, q
+      ORDER BY distance ASC, c.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   /** RQ-vs-PQ candidate recall over FOUR query vectors: recall@20 of
     * the exact L2 top-5 for the additive two-code tier vs the 8-code
     * product tier — the honest compression-vs-recall trade
@@ -2756,8 +2862,9 @@ object VectorQueries {
     opqIvfPqSearch,
     bm25IncrementalSearch, bm25fSearch, streamingBm25Ingest,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
-    sq8RerankSearch, ivfSq8Search, rqAdcSearch, rqRecallReport,
-    normPrunedSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
+    sq8RerankSearch, ivfSq8Search, rqAdcSearch, ivfRqSearch,
+    rqRecallReport, normPrunedSearch, embeddingProfile, pqAdcSearch,
+    ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
     binaryHammingSearch, binaryJaccardSearch, asymmetricBinarySearch,
     asymmetricBinaryIncremental, ivfAsymBinarySearch, binaryRecallReport,
