@@ -172,6 +172,120 @@ object DedupQueries {
       ORDER BY id_a ASC, id_b ASC
     """))
 
+  /** MinHash-LSH recall vs EXACT capped-df Jaccard — the banding
+    * S-curve (Broder 1997; the b-bands-of-r-rows analysis in Leskovec/
+    * Rajaraman/Ullman ch. 3) measured instead of assumed, extending the
+    * honest-recall discipline (`ann_recall_report`,
+    * `binary_recall_report`) to the dedup family: ground truth = ALL
+    * pairs at true Jaccard ≥ τ from the inverted-index join; candidates
+    * = (a) 8 bands of 1 row (P(hit) = 1−(1−j)⁸ — high recall, more
+    * false candidates) vs (b) 2 bands of 4 rows (P(hit) = 1−(1−j⁴)² —
+    * precise, recall falls off below j≈0.9). Both schemes share ONE
+    * signature artifact; the measurement — truth set, both candidate
+    * sets, the recall arithmetic — is hash-checked at two thresholds. */
+  private val dedupMinhashRecall = Q(
+    "dedup_minhash_recall",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val truth = Dedup.jaccardTopPairs(docs, "doc_id", "text",
+        k = 1000000, workDir = wd(dir))
+      val c1 = Dedup.minhashCandidates(docs, "doc_id", "text",
+          numHashes = 8, bandSize = 1, workDir = wd(dir))
+        .select("id_a", "id_b")
+      val c4 = Dedup.minhashCandidates(docs, "doc_id", "text",
+          numHashes = 8, bandSize = 4, workDir = wd(dir))
+        .select("id_a", "id_b")
+      def row(scheme: String, cand: org.apache.spark.sql.DataFrame,
+              tau: Double) =
+        truth.where(col("jaccard") >= tau)
+          .join(cand.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+          .select(lit(scheme).as("scheme"), lit(tau).as("tau"),
+            col("n_truth"), col("n_hits"),
+            when(col("n_truth") === 0, 0.0)
+              .otherwise(round(col("n_hits").cast("double")
+                / col("n_truth"), 4)).as("recall"))
+      row("b8x1", c1, 0.5).unionAll(row("b8x1", c1, 0.8))
+        .unionAll(row("b2x4", c4, 0.5)).unionAll(row("b2x4", c4, 0.8))
+        .orderBy(col("scheme").asc, col("tau").asc)
+    },
+    Some(s"""
+      WITH $duckShingles,
+      e AS (SELECT doc_id, unnest(s) AS s FROM sh),
+      cap AS (SELECT ceil(count(*) * 0.05) AS cap FROM sh),
+      dfc AS (SELECT s, count(*) AS df FROM e GROUP BY s),
+      kept AS (SELECT e.doc_id, e.s
+               FROM e JOIN dfc USING (s) CROSS JOIN cap
+               WHERE dfc.df <= cap.cap),
+      sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+      truth AS (SELECT i.id_a, i.id_b,
+                       round(CAST(i.inter AS DOUBLE)
+                         / (sa.sz + sb.sz - i.inter) + 1e-9, 4) AS j
+                FROM i JOIN sz sa ON sa.doc_id = i.id_a
+                       JOIN sz sb ON sb.doc_id = i.id_b),
+      dg AS (SELECT doc_id, md5(s) || md5('1:' || s) AS d FROM e),
+      sig AS (SELECT doc_id,
+                [min(substr(d, 1, 8)), min(substr(d, 9, 8)),
+                 min(substr(d, 17, 8)), min(substr(d, 25, 8)),
+                 min(substr(d, 33, 8)), min(substr(d, 41, 8)),
+                 min(substr(d, 49, 8)), min(substr(d, 57, 8))] AS sig
+              FROM dg GROUP BY doc_id),
+      b1 AS (SELECT doc_id, sig, unnest(range(0, 8)) AS band,
+                    unnest(sig) AS band_key
+             FROM sig),
+      c1 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM b1 a JOIN b1 b
+               ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+      c4 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+               (a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2]
+                AND a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4]) OR
+               (a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6]
+                AND a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8])))
+      SELECT scheme, tau, n_truth, n_hits, recall FROM (
+        SELECT 'b8x1' AS scheme, 0.5 AS tau,
+               CAST(count(*) AS BIGINT) AS n_truth,
+               CAST(count(c.id_a) AS BIGINT) AS n_hits,
+               CASE WHEN count(*) = 0 THEN 0.0
+                    ELSE round(CAST(count(c.id_a) AS DOUBLE)
+                               / count(*), 4) END AS recall
+        FROM truth t LEFT JOIN c1 c
+          ON c.id_a = t.id_a AND c.id_b = t.id_b
+        WHERE t.j >= 0.5
+        UNION ALL
+        SELECT 'b8x1', 0.8, CAST(count(*) AS BIGINT),
+               CAST(count(c.id_a) AS BIGINT),
+               CASE WHEN count(*) = 0 THEN 0.0
+                    ELSE round(CAST(count(c.id_a) AS DOUBLE)
+                               / count(*), 4) END
+        FROM truth t LEFT JOIN c1 c
+          ON c.id_a = t.id_a AND c.id_b = t.id_b
+        WHERE t.j >= 0.8
+        UNION ALL
+        SELECT 'b2x4', 0.5, CAST(count(*) AS BIGINT),
+               CAST(count(c.id_a) AS BIGINT),
+               CASE WHEN count(*) = 0 THEN 0.0
+                    ELSE round(CAST(count(c.id_a) AS DOUBLE)
+                               / count(*), 4) END
+        FROM truth t LEFT JOIN c4 c
+          ON c.id_a = t.id_a AND c.id_b = t.id_b
+        WHERE t.j >= 0.5
+        UNION ALL
+        SELECT 'b2x4', 0.8, CAST(count(*) AS BIGINT),
+               CAST(count(c.id_a) AS BIGINT),
+               CASE WHEN count(*) = 0 THEN 0.0
+                    ELSE round(CAST(count(c.id_a) AS DOUBLE)
+                               / count(*), 4) END
+        FROM truth t LEFT JOIN c4 c
+          ON c.id_a = t.id_a AND c.id_b = t.id_b
+        WHERE t.j >= 0.8) u
+      ORDER BY scheme ASC, tau ASC
+    """))
+
   /** SimHash (16-bit md5-nibble signature): close pairs by hamming ≤ 1,
     * found via pigeonhole half-signature equi-join — NOT an all-pairs
     * compare (hamming ≤ 1 ⇒ one of the two 8-slot halves matches
@@ -1096,6 +1210,7 @@ object DedupQueries {
     """))
 
   val all: Seq[Q] = Seq(dedupExact, dedupJaccardPairs, dedupMinhashLsh,
+    dedupMinhashRecall,
     dedupSimhash, dedupSimhash64, dedupCosinePairs, dedupCosineMultiprobe, annBulkTopk,
     annBulkTopkGuaranteed,
     dedupSubstringSpans, dedupClusters, dedupKeeperSelection, semanticDedup,
