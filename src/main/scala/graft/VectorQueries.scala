@@ -680,6 +680,157 @@ object VectorQueries {
       ORDER BY distance ASC, c.vec_id ASC LIMIT 5
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** Quantizer reconstruction-error panel — the memory-vs-distortion
+    * trade across all three compressed forms, measured on the same
+    * corpus from the same staged artifacts (the numbers a deployment
+    * uses to pick a tier): per-row squared reconstruction error
+    * ‖x − x̂‖², averaged, next to the stored bytes/vector. SQ8
+    * reconstructs q/scale (68 B), PQ concatenates its 8 subspace
+    * centroids (8 B), RQ sums its two level centroids (2 B). Every
+    * reconstruction replays from the staged scale/codebook artifacts in
+    * both engines — the panel itself is hash-checked. */
+  private val quantizerErrorReport = Q(
+    "quantizer_error_report",
+    (s, dir) => {
+      import graft.search.{Pq, Quantize, Rq}
+      val e = Tables.embeddings(s, dir)
+      val pqDir = s"/tmp/graft_pq_${math.abs(dir.hashCode)}"
+      val rqDir = s"/tmp/graft_rq_${math.abs(dir.hashCode)}"
+      val pq =
+        if (new java.io.File(Pq.codesDir(pqDir) + "/_SUCCESS").exists())
+          Pq.load(s, pqDir)
+        else Pq.build(e, "embedding", "vec_id", pqDir)
+      val rq =
+        if (new java.io.File(Rq.codesDir(rqDir) + "/_SUCCESS").exists())
+          Rq.load(s, rqDir)
+        else Rq.build(e, "embedding", "vec_id", rqDir, maxIter = 20)
+      stageOracle(s, "pq", dir)(
+        "codebooks" -> s.read.parquet(Pq.codebooksDir(pqDir)))
+      stageOracle(s, "rq", dir)(
+        "codebooks" -> s.read.parquet(Rq.codebooksDir(rqDir)))
+      // SQ8: per-row dequantized error (scale + int8 recomputed in-plan,
+      // exactly the sq8_rerank_search arithmetic)
+      val scale = Quantize.scaleCol(col("embedding"))
+      val sq8Err = e.select(Quantize.reconSqError(col("embedding"),
+          Quantize.quantized(col("embedding"), scale), scale).as("err"))
+        .agg(round(avg(col("err")), 4).as("mse"))
+      // PQ: codes → concat of subspace centroids; error = Σ_sub
+      // ‖slice − centroid‖² (slot-order double, the encode arithmetic)
+      val pqErr = s.read.parquet(Pq.codesDir(pqDir))
+        .join(e, Seq("vec_id"))
+        .select((0 until pq.m).map { sub =>
+          val sl = slice(col("embedding"), sub * pq.dsub + 1, pq.dsub)
+          val cb = typedlit(pq.codebooks(sub).map(_.toSeq).toSeq)
+          aggregate(zip_with(sl,
+              element_at(cb, element_at(col("codes"), sub + 1) + 1),
+              (x, y) => {
+                val d = x.cast("double") - y.cast("double")
+                d * d
+              }), lit(0.0), (acc, v) => acc + v).as(s"e$sub")
+        }: _*)
+        .select((0 until pq.m).map(sub => col(s"e$sub")).reduce(_ + _)
+          .as("err"))
+        .agg(round(avg(col("err")), 4).as("mse"))
+      // RQ: error = Σ_i ((x_i − c1_i) − c2_i)²
+      val cb1Lit = typedlit(rq.cb1.map(_.toSeq).toSeq)
+      val cb2Lit = typedlit(rq.cb2.map(_.toSeq).toSeq)
+      val rqErr = s.read.parquet(Rq.codesDir(rqDir))
+        .join(e, Seq("vec_id"))
+        .select(aggregate(
+          zip_with(
+            zip_with(col("embedding"), element_at(cb1Lit, col("c1") + 1),
+              (x, y) => x.cast("double") - y.cast("double")),
+            element_at(cb2Lit, col("c2") + 1),
+            (r, z) => {
+              val d = r - z.cast("double")
+              d * d
+            }), lit(0.0), (acc, v) => acc + v).as("err"))
+        .agg(round(avg(col("err")), 4).as("mse"))
+      def row(scheme: String, bytes: Int,
+              df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(scheme).as("scheme"),
+          lit(bytes).cast("long").as("bytes_per_vec"), col("mse"))
+      row("pq8x16", 8, pqErr)
+        .unionAll(row("rq32x32", 2, rqErr))
+        .unionAll(row("sq8", 68, sq8Err))
+        .orderBy(col("scheme").asc)
+    },
+    Some(s"""
+      WITH cbp AS (SELECT * FROM read_parquet(
+        '/tmp/graft_pq_oracle_%ORACLE_KEY%/codebooks/*.parquet')),
+      cb1 AS (SELECT code, centroid FROM read_parquet(
+        '/tmp/graft_rq_oracle_%ORACLE_KEY%/codebooks/*.parquet')
+              WHERE level = 1),
+      cb2 AS (SELECT code, centroid FROM read_parquet(
+        '/tmp/graft_rq_oracle_%ORACLE_KEY%/codebooks/*.parquet')
+              WHERE level = 2),
+      sc AS (SELECT vec_id, embedding,
+               CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale
+             FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS mx
+                   FROM embeddings)),
+      sq8e AS (SELECT avg(err) AS mse FROM (
+          SELECT list_sum(list_transform(range(1, len(embedding)+1),
+            i -> (CAST(embedding[i] AS DOUBLE)
+                  - (CASE WHEN scale = 0 THEN 0.0
+                     ELSE CAST(round(CAST(embedding[i] AS DOUBLE) * scale,
+                               0) AS INT) / scale END))^2)) AS err
+          FROM sc)),
+      encp AS (SELECT vec_id, sub, code FROM (
+          SELECT e.vec_id, cbp.sub, cbp.code,
+                 row_number() OVER (PARTITION BY e.vec_id, cbp.sub ORDER BY
+                   list_sum(list_transform(range(1, 9),
+                     i -> (CAST(e.embedding[cbp.sub*8 + i] AS DOUBLE)
+                           - CAST(cbp.centroid[i] AS DOUBLE))^2)) ASC,
+                   cbp.code ASC) AS rn
+          FROM embeddings e CROSS JOIN cbp) WHERE rn = 1),
+      pqe AS (SELECT avg(err) AS mse FROM (
+          SELECT en.vec_id, sum(
+            list_sum(list_transform(range(1, 9),
+              i -> (CAST(e.embedding[en.sub*8 + i] AS DOUBLE)
+                    - CAST(cb.centroid[i] AS DOUBLE))^2))) AS err
+          FROM encp en JOIN embeddings e USING (vec_id)
+               JOIN cbp cb ON cb.sub = en.sub AND cb.code = en.code
+          GROUP BY en.vec_id)),
+      e1 AS (SELECT vec_id, code AS c1 FROM (
+          SELECT e.vec_id, c.code,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(range(1, len(e.embedding)+1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE)
+                           - CAST(c.centroid[i] AS DOUBLE))^2)) ASC,
+                   c.code ASC) AS rn
+          FROM embeddings e CROSS JOIN cb1 c) WHERE rn = 1),
+      e2 AS (SELECT vec_id, code AS c2 FROM (
+          SELECT a.vec_id, c.code,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(range(1, len(e.embedding)+1),
+                     i -> ((CAST(e.embedding[i] AS DOUBLE)
+                            - CAST(b1.centroid[i] AS DOUBLE))
+                           - CAST(c.centroid[i] AS DOUBLE))^2)) ASC,
+                   c.code ASC) AS rn
+          FROM e1 a JOIN embeddings e USING (vec_id)
+               JOIN cb1 b1 ON b1.code = a.c1
+               CROSS JOIN cb2 c) WHERE rn = 1),
+      rqe AS (SELECT avg(err) AS mse FROM (
+          SELECT list_sum(list_transform(range(1, len(e.embedding)+1),
+            i -> ((CAST(e.embedding[i] AS DOUBLE)
+                   - CAST(b1.centroid[i] AS DOUBLE))
+                  - CAST(b2.centroid[i] AS DOUBLE))^2)) AS err
+          FROM e1 JOIN e2 USING (vec_id)
+               JOIN embeddings e USING (vec_id)
+               JOIN cb1 b1 ON b1.code = e1.c1
+               JOIN cb2 b2 ON b2.code = e2.c2))
+      SELECT scheme, bytes_per_vec, round(mse, 4) AS mse FROM (
+        SELECT 'pq8x16' AS scheme, CAST(8 AS BIGINT) AS bytes_per_vec,
+               mse FROM pqe
+        UNION ALL
+        SELECT 'rq32x32', CAST(2 AS BIGINT), mse FROM rqe
+        UNION ALL
+        SELECT 'sq8', CAST(68 AS BIGINT), mse FROM sq8e) u
+      ORDER BY scheme ASC
+    """))
+
   /** RQ-vs-PQ candidate recall over FOUR query vectors: recall@20 of
     * the exact L2 top-5 for the additive two-code tier vs the 8-code
     * product tier — the honest compression-vs-recall trade
@@ -2863,8 +3014,8 @@ object VectorQueries {
     bm25IncrementalSearch, bm25fSearch, streamingBm25Ingest,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     sq8RerankSearch, ivfSq8Search, rqAdcSearch, ivfRqSearch,
-    rqRecallReport, normPrunedSearch, embeddingProfile, pqAdcSearch,
-    ivfPqSearch,
+    rqRecallReport, quantizerErrorReport, normPrunedSearch,
+    embeddingProfile, pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
     binaryHammingSearch, binaryJaccardSearch, asymmetricBinarySearch,
     asymmetricBinaryIncremental, ivfAsymBinarySearch, binaryRecallReport,
