@@ -326,6 +326,41 @@ object ScaleBench {
               typedlit(qe.toSeq)))
             .orderBy(col("c").desc, col("vec_id").asc).limit(5).count()
         }),
+        // IVF ∘ asym-binary serving (the IVF_RABITQ pairing): probe 8 of
+        // the cells, asymmetric estimator over the surviving clusters'
+        // packed rows, exact rerank — nprobe/nlist × 12× byte reduction
+        "ivf_asym_serve (probe8)" -> (() => {
+          import spark.implicits._
+          import graft.search.{BinaryVec, Rotation}
+          val rot = Rotation.hadamardSignRows(Dim, "graft-bin-rot")
+          val packed = graft.core.Artifacts.buildOnce(spark,
+            s"/tmp/graft_scale/asymsig_$n") {
+            emb.select(col("vec_id"),
+                Rotation.projectCol(col("embedding"), rot).as("rvec"))
+              .select(col("vec_id"),
+                BinaryVec.signWord(col("rvec"), 0).as("w0"),
+                BinaryVec.signWord(col("rvec"), 1).as("w1"),
+                BinaryVec.signCorrection(col("rvec"), Dim).as("cx"))
+          }
+          val ivf = IvfIndex.load(spark, s"/tmp/graft_scale/ivf_$n")
+          val qe = emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head().toArray
+          val probed = IvfIndex.probeClusters(ivf, qe, 8)
+          val sel = spark.read.parquet(IvfIndex.dataDir(ivf.indexDir))
+            .where(col("cluster_id").isin(probed: _*)).select("vec_id")
+          val qr = Rotation.projectRow(qe, rot)
+          val qn = math.sqrt(qr.map(v => v.toDouble * v.toDouble).sum)
+          val qhat = qr.map(_.toDouble / qn)
+          val stage1 = packed.join(sel, Seq("vec_id"), "left_semi")
+            .withColumn("est", BinaryVec.asymCosScore(
+              Seq(col("w0"), col("w1")), qhat, col("cx")))
+            .orderBy(col("est").desc, col("vec_id").asc).limit(20)
+          broadcast(stage1.select("vec_id"))
+            .join(emb, Seq("vec_id"))
+            .withColumn("c", graft.functions.VectorFunctions.cosineSim(
+              col("embedding"), typedlit(qe.toSeq)))
+            .orderBy(col("c").desc, col("vec_id").asc).limit(5).count()
+        }),
         "corpus_diversity (moment identity)" -> (() =>
           graft.search.VectorStats.meanPairwiseCosine(emb, "embedding")
             .count()),
