@@ -1685,6 +1685,114 @@ object VectorQueries {
       ORDER BY cosine DESC, c.vec_id ASC LIMIT 5
     """))
 
+  /** STREAMING ingest of the asymmetric 1-bit artifact — the streaming
+    * twin of `asymmetric_binary_incremental` (every incremental index
+    * here has one: `streaming_bm25_ingest`, `streaming_graph_ingest`,
+    * `streaming_dedup`): a REAL micro-batch run (file source,
+    * maxFilesPerTrigger=1, foreachBatch) rotates + packs ONLY each
+    * arriving batch and file-appends its signatures — per-row
+    * statistics under a fixed computed rotation need no refit ever, so
+    * the stream sink is exactly the batch append. The final search
+    * reads the artifact alone; the oracle recomputes the whole pipeline
+    * from the full corpus, so a dropped or double-processed micro-batch
+    * hash-mismatches. */
+  private val streamingAsymIngest = Q(
+    "streaming_asym_ingest",
+    (s, dir) => {
+      import graft.search.{BinaryVec, Rotation}
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.types._
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val rows = binRotationArtifact(s, dir)
+      val work = s"/tmp/graft_streamasym_${math.abs(dir.hashCode)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(work).getFileSystem(conf)
+      fs.delete(new Path(work), true)
+      fs.mkdirs(new Path(s"$work/in"))
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+        val tmp = s"$work/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        fs.rename(part, new Path(s"$work/in/$name"))
+        fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
+        fs.delete(new Path(tmp), true)
+      }
+      writeOne(e.where(col("vec_id") < 250), "00_base.parquet", 1000000L)
+      writeOne(e.where(col("vec_id") >= 250 && col("vec_id") < 400),
+        "01_batch.parquet", 2000000L)
+      writeOne(e.where(col("vec_id") >= 400), "02_batch.parquet", 3000000L)
+      val idx = s"$work/asymsig"
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = true))))
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+      val sq = src.writeStream
+        .option("checkpointLocation", s"$work/_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          asymPack(batch, rows).write.mode("append").parquet(idx)
+          ()
+        }
+        .start()
+      try sq.processAllAvailable() finally sq.stop()
+      val qe = e.where(col("vec_id") === 13).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val qr = Rotation.projectRow(qe, rows)
+      val qn = math.sqrt(qr.map(v => v.toDouble * v.toDouble).sum)
+      require(qn > 0, "query vector must be non-zero")
+      val qhat = qr.map(_.toDouble / qn)
+      val stage1 = s.read.parquet(idx)
+        .withColumn("est", BinaryVec.asymCosScore(
+          Seq(col("w0"), col("w1")), qhat, col("cx")))
+        .orderBy(col("est").desc, col("vec_id").asc)
+        .limit(50)
+      broadcast(stage1.select("vec_id", "est"))
+        .join(e, Seq("vec_id"))
+        .withColumn("cosine", round(VectorFunctions.cosineSim(
+          col("embedding"), typedlit(qe.toSeq)), 4))
+        .select("vec_id", "est", "cosine")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(5)
+    },
+    Some(s"""
+      WITH rot AS (SELECT component, weights FROM read_parquet(
+        '/tmp/graft_binrot_oracle_%ORACLE_KEY%/rotation/*.parquet')),
+      proj AS (SELECT e.vec_id, r.component, ${duckProj("e.embedding")} AS p
+               FROM embeddings e, rot r),
+      pv AS (SELECT vec_id, list(p ORDER BY component) AS v
+             FROM proj GROUP BY vec_id),
+      q AS (SELECT v AS qv FROM pv WHERE vec_id = 13),
+      qn AS (SELECT sqrt(list_sum(list_transform(qv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n FROM q),
+      cxs AS (SELECT vec_id, CAST(round(CASE WHEN l2 = 0 THEN 0.0
+                ELSE l1 / (8 * l2) END, 4) AS REAL) AS cx
+              FROM (SELECT vec_id,
+                      list_sum(list_transform(v,
+                        x -> abs(CAST(x AS DOUBLE)))) AS l1,
+                      sqrt(list_sum(list_transform(v,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+                    FROM pv)),
+      est AS (SELECT pv.vec_id,
+                round(CASE WHEN cxs.cx = 0 THEN 0.0 ELSE
+                  (2 * list_sum(list_transform(range(1, len(pv.v)+1),
+                     i -> CASE WHEN pv.v[i] >= 0
+                          THEN CAST(q.qv[i] AS DOUBLE) / qn.n
+                          ELSE 0.0 END))
+                   - list_sum(list_transform(q.qv,
+                       x -> CAST(x AS DOUBLE) / qn.n)))
+                  / (8 * CAST(cxs.cx AS DOUBLE)) END, 4) AS est
+              FROM pv JOIN cxs USING (vec_id), q, qn),
+      cand AS (SELECT vec_id, est FROM est
+               ORDER BY est DESC, vec_id ASC LIMIT 50)
+      SELECT c.vec_id, c.est,
+             ${duckCosine("e.embedding", "qq.qe")} AS cosine
+      FROM cand c JOIN embeddings e USING (vec_id),
+           (SELECT embedding AS qe FROM embeddings WHERE vec_id = 13) qq
+      ORDER BY cosine DESC, c.vec_id ASC LIMIT 5
+    """))
+
   /** Inner-product top-k — Milvus's IP metric (the third of its float
     * metrics next to L2 and COSINE; the right metric when embeddings
     * carry meaningful norms, e.g. popularity-scaled retrieval): rank by
@@ -3018,8 +3126,8 @@ object VectorQueries {
     embeddingProfile, pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
     binaryHammingSearch, binaryJaccardSearch, asymmetricBinarySearch,
-    asymmetricBinaryIncremental, ivfAsymBinarySearch, binaryRecallReport,
-    knnIpTopK, mmrRerank,
+    asymmetricBinaryIncremental, streamingAsymIngest, ivfAsymBinarySearch,
+    binaryRecallReport, knnIpTopK, mmrRerank,
     corpusDiversity,
     sparseVectorSearch, hybridSearchWeighted, searchPagination,
     embeddingOutliers, indexRecallReport, groupByFieldSearch)
