@@ -2427,7 +2427,11 @@ object PipelineQueries {
     *     the argmin over the staged centroids (unrounded double L2,
     *     cluster-id tie-break — the probeClusters arithmetic), and no
     *     corpus row is missing from the partitioned layout.
-    * All seven checks are plan-side aggregates (equi-joins + a bounded
+    *   - derived per-row artifacts (RQ codes, asym signatures):
+    *     coverage (no corpus row missing — a dropped build/append
+    *     batch) and uniqueness (no id twice — a double-processed
+    *     append).
+    * All eleven checks are plan-side aggregates (equi-joins + a bounded
     * nlist-wide broadcast; nothing driver-side), and the oracle replays
     * every one from the same staged artifacts — the CHECKER itself is
     * checked. At 100 TB this is one audit scan per artifact. */
@@ -2448,14 +2452,37 @@ object PipelineQueries {
       val assign = s.read.parquet(IvfIndex.dataDir(indexDir))
         .select(col("vec_id"), col("cluster_id"))
       val cents = s.read.parquet(IvfIndex.centroidsDir(indexDir))
+      import graft.search.{IndexAudit, Rq}
+      val rqDir = s"/tmp/graft_rq_${math.abs(dir.hashCode)}"
+      if (!new java.io.File(Rq.codesDir(rqDir) + "/_SUCCESS").exists())
+        Rq.build(e, "embedding", "vec_id", rqDir, maxIter = 20)
+      val rqIds = s.read.parquet(Rq.codesDir(rqDir)).select("vec_id")
+      val asymIds = graft.core.Artifacts.buildOnce(s,
+        s"/tmp/graft_asymsig_${math.abs(dir.hashCode)}") {
+        // same construction as VectorQueries.asymPack (shared dir — the
+        // build closure only runs when the other entries haven't)
+        import graft.search.{BinaryVec, Rotation}
+        val rot = Rotation.hadamardSignRows(64, "graft-bin-rot")
+        e.select(col("vec_id"),
+            Rotation.projectCol(col("embedding"), rot).as("rvec"))
+          .select(col("vec_id"),
+            BinaryVec.signWord(col("rvec"), 0).as("w0"),
+            BinaryVec.signWord(col("rvec"), 1).as("w1"),
+            BinaryVec.signCorrection(col("rvec"), 64).as("cx"))
+      }.select("vec_id")
       stageOracle(s, "integrity", dir)(
         "adjacency" -> adj,
         "assign" -> assign,
-        "centroids" -> cents)
-      import graft.search.IndexAudit
+        "centroids" -> cents,
+        "rq_ids" -> rqIds,
+        "asym_ids" -> asymIds)
       IndexAudit.graphChecks(adj, e, "vec_id", "embedding", degreeCap = 8)
         .unionByName(IndexAudit.ivfChecks(e, assign, cents,
           "vec_id", "embedding"))
+        .unionByName(IndexAudit.coverageChecks(e, rqIds, "vec_id",
+          "rq_codes"))
+        .unionByName(IndexAudit.coverageChecks(e, asymIds, "vec_id",
+          "asym_sig"))
         .orderBy(col("check_name").asc)
     },
     Some(s"""
@@ -2465,6 +2492,10 @@ object PipelineQueries {
         '/tmp/graft_integrity_oracle_%ORACLE_KEY%/assign/*.parquet')),
       cent AS (SELECT cluster_id, centroid FROM read_parquet(
         '/tmp/graft_integrity_oracle_%ORACLE_KEY%/centroids/*.parquet')),
+      rqi AS (SELECT vec_id FROM read_parquet(
+        '/tmp/graft_integrity_oracle_%ORACLE_KEY%/rq_ids/*.parquet')),
+      asi AS (SELECT vec_id FROM read_parquet(
+        '/tmp/graft_integrity_oracle_%ORACLE_KEY%/asym_ids/*.parquet')),
       best AS (SELECT vec_id, cid, assigned FROM (
           SELECT e.vec_id, c.cluster_id AS cid, a.cluster_id AS assigned,
                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -2498,7 +2529,21 @@ object PipelineQueries {
         UNION ALL
         SELECT 'ivf_missing_rows', CAST(count(*) AS BIGINT)
         FROM embeddings e LEFT JOIN asg ON asg.vec_id = e.vec_id
-        WHERE asg.vec_id IS NULL)
+        WHERE asg.vec_id IS NULL
+        UNION ALL
+        SELECT 'rq_codes_missing', CAST(count(*) AS BIGINT)
+        FROM embeddings e LEFT JOIN rqi ON rqi.vec_id = e.vec_id
+        WHERE rqi.vec_id IS NULL
+        UNION ALL
+        SELECT 'rq_codes_dupes', CAST(count(*) AS BIGINT) FROM (
+          SELECT vec_id FROM rqi GROUP BY vec_id HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'asym_sig_missing', CAST(count(*) AS BIGINT)
+        FROM embeddings e LEFT JOIN asi ON asi.vec_id = e.vec_id
+        WHERE asi.vec_id IS NULL
+        UNION ALL
+        SELECT 'asym_sig_dupes', CAST(count(*) AS BIGINT) FROM (
+          SELECT vec_id FROM asi GROUP BY vec_id HAVING count(*) > 1))
       ORDER BY check_name ASC
     """))
 

@@ -44,6 +44,22 @@ object IndexAudit {
       .unionByName(row("graph_self_loops", selfLoops))
   }
 
+  /** Coverage + uniqueness of a derived per-row artifact (codes /
+    * signature tables): `<name>_missing` = corpus rows absent from the
+    * artifact (a dropped build/append batch), `<name>_dupes` = artifact
+    * ids appearing more than once (a double-processed append). Both 0
+    * on a healthy artifact. */
+  def coverageChecks(corpus: DataFrame, artifactIds: DataFrame,
+                     idCol: String, name: String): DataFrame = {
+    val missing = corpus.join(artifactIds, Seq(idCol), "left_anti")
+      .agg(count(lit(1)).as("value"))
+    val dupes = artifactIds.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n")).where(col("n") > 1)
+      .agg(count(lit(1)).as("value"))
+    row(s"${name}_missing", missing)
+      .unionByName(row(s"${name}_dupes", dupes))
+  }
+
   /** IVF-layout invariants (IvfIndex.build's contract): every assigned
     * cluster is the argmin over the centroids (unrounded double L2,
     * cluster-id tie-break — the probeClusters arithmetic) and no corpus

@@ -160,6 +160,21 @@ class SearchOpsSpec extends SparkSpec {
     assert(checks("graph_dist_mismatch") == 1)
   }
 
+  test("index audit: coverage checks catch dropped and doubled batches") {
+    import graft.search.IndexAudit
+    val corpus = (0L until 10L).map(i => Tuple1(i)).toDF("id")
+    val healthy = (0L until 10L).map(i => Tuple1(i)).toDF("id")
+    val h = IndexAudit.coverageChecks(corpus, healthy, "id", "codes")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(h == Map("codes_missing" -> 0L, "codes_dupes" -> 0L))
+    // a dropped batch (ids 7-9 absent) and one double-appended id
+    val bad = (0L until 7L).map(Tuple1(_)).toDF("id")
+      .unionAll(Seq(Tuple1(3L)).toDF("id"))
+    val b = IndexAudit.coverageChecks(corpus, bad, "id", "codes")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(b == Map("codes_missing" -> 3L, "codes_dupes" -> 1L))
+  }
+
   test("index audit: IVF wrong assignment and missing row are caught") {
     import graft.search.IndexAudit
     val corpus = Seq(
