@@ -1524,6 +1524,121 @@ object PipelineQueries {
     * beam × degree point reads of m-byte codes, corpus-size-independent
     * like every walk, with full-precision I/O only for the ≤ budget
     * rerank rows. */
+  /** Graph walk routed by the ASYMMETRIC 1-bit estimator — the
+    * RaBitQ-routing DiskANN deployment shape (Milvus 2.6 pairs RABITQ
+    * with its graph index the same way; [[graft.search.GraphAnn
+    * .beamSearchScored]]): the walk's only per-node read is the 20-byte
+    * packed-sign row, scored by the NEGATED estimator (lower = better,
+    * the walk's min-ordering; negation commutes with the shared
+    * half-away-from-zero rounding), full precision touched once in the
+    * visited-set rerank. vs `graph_ann_pq_walk`: 20 B/node with no
+    * trained codebooks at all — the routing artifact is computed, not
+    * fitted. The oracle replays the rotation, packing, correction,
+    * estimator, all three walk rounds and the exact rerank. */
+  private val graphAnnAsymWalk = Q(
+    "graph_ann_asym_walk",
+    (s, dir) => {
+      import graft.search.{BinaryVec, GraphAnn, Rotation}
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$base/entry") {
+        GraphAnn.medoid(e, "vec_id", "embedding")
+      }
+      val rot = Rotation.hadamardSignRows(64, "graft-bin-rot")
+      val packed = graft.core.Artifacts.buildOnce(s,
+        s"/tmp/graft_asymsig_${math.abs(dir.hashCode)}") {
+        e.select(col("vec_id"),
+            Rotation.projectCol(col("embedding"), rot).as("rvec"))
+          .select(col("vec_id"),
+            BinaryVec.signWord(col("rvec"), 0).as("w0"),
+            BinaryVec.signWord(col("rvec"), 1).as("w1"),
+            BinaryVec.signCorrection(col("rvec"), 64).as("cx"))
+      }
+      stageOracle(s, "graphasym", dir)(
+        "adjacency" -> adj.select("src", "dst"),
+        "entry" -> entryDf,
+        "rotation" -> Rotation.rowsToDf(s, rot))
+      val entryId = entryDf.collect()(0).getLong(0)
+      val qe = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val qr = Rotation.projectRow(qe, rot)
+      val qn = math.sqrt(qr.map(v => v.toDouble * v.toDouble).sum)
+      require(qn > 0, "query vector must be non-zero")
+      val qhat = qr.map(_.toDouble / qn)
+      val routing = packed.select(col("vec_id"),
+        (-BinaryVec.asymCosScore(Seq(col("w0"), col("w1")), qhat,
+          col("cx"))).as("route_d"))
+      GraphAnn.beamSearchScored(adj, routing, "route_d", e, "vec_id",
+        "embedding", qe, entryId, k = 5, beamWidth = 4, rounds = 3,
+        degree = 8)
+    },
+    Some(s"""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      adj AS (SELECT src, dst FROM read_parquet(
+        '/tmp/graft_graphasym_oracle_%ORACLE_KEY%/adjacency/*.parquet')),
+      ent AS (SELECT entry_id FROM read_parquet(
+        '/tmp/graft_graphasym_oracle_%ORACLE_KEY%/entry/*.parquet')),
+      rot AS (SELECT component, weights FROM read_parquet(
+        '/tmp/graft_graphasym_oracle_%ORACLE_KEY%/rotation/*.parquet')),
+      proj AS (SELECT e.vec_id, r.component,
+                 CAST(round(list_sum(list_transform(
+                   range(1, len(e.embedding)+1),
+                   i -> CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(r.weights[i] AS DOUBLE))), 4) AS REAL) AS p
+               FROM embeddings e, rot r),
+      pv AS (SELECT vec_id, list(p ORDER BY component) AS v
+             FROM proj GROUP BY vec_id),
+      qpr AS (SELECT v AS qv FROM pv WHERE vec_id = 0),
+      qn AS (SELECT sqrt(list_sum(list_transform(qv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+             FROM qpr),
+      cxs AS (SELECT vec_id, CAST(round(CASE WHEN l2 = 0 THEN 0.0
+                ELSE l1 / (8 * l2) END, 4) AS REAL) AS cx
+              FROM (SELECT vec_id,
+                      list_sum(list_transform(v,
+                        x -> abs(CAST(x AS DOUBLE)))) AS l1,
+                      sqrt(list_sum(list_transform(v,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+                    FROM pv)),
+      dall AS (SELECT pv.vec_id AS id,
+                -round(CASE WHEN cxs.cx = 0 THEN 0.0 ELSE
+                  (2 * list_sum(list_transform(range(1, len(pv.v)+1),
+                     i -> CASE WHEN pv.v[i] >= 0
+                          THEN CAST(qpr.qv[i] AS DOUBLE) / qn.n
+                          ELSE 0.0 END))
+                   - list_sum(list_transform(qpr.qv,
+                       x -> CAST(x AS DOUBLE) / qn.n)))
+                  / (8 * CAST(cxs.cx AS DOUBLE)) END, 4) AS d
+              FROM pv JOIN cxs USING (vec_id), qpr, qn),
+      v0 AS (SELECT id, d FROM dall
+             WHERE id IN (SELECT entry_id FROM ent)),
+      f1 AS (SELECT id, d FROM v0 ORDER BY d ASC, id ASC LIMIT 4),
+      n1 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f1 ON a.src = f1.id
+             WHERE a.dst NOT IN (SELECT id FROM v0)),
+      v1 AS (SELECT id, d FROM v0 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n1 USING (id)),
+      x1 AS (SELECT id FROM f1),
+      f2 AS (SELECT id, d FROM v1 WHERE id NOT IN (SELECT id FROM x1)
+             ORDER BY d ASC, id ASC LIMIT 4),
+      n2 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f2 ON a.src = f2.id
+             WHERE a.dst NOT IN (SELECT id FROM v1)),
+      v2 AS (SELECT id, d FROM v1 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n2 USING (id)),
+      x2 AS (SELECT id FROM x1 UNION SELECT id FROM f2),
+      f3 AS (SELECT id, d FROM v2 WHERE id NOT IN (SELECT id FROM x2)
+             ORDER BY d ASC, id ASC LIMIT 4),
+      n3 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f3 ON a.src = f3.id
+             WHERE a.dst NOT IN (SELECT id FROM v2)),
+      v3 AS (SELECT id, d FROM v2 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n3 USING (id))
+      SELECT v.id AS vec_id, v.d AS route_score, %L2% AS distance
+      FROM v3 v JOIN embeddings e ON e.vec_id = v.id, q
+      ORDER BY distance ASC, vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   private val graphAnnPqWalk = Q(
     "graph_ann_pq_walk",
     (s, dir) => {
@@ -2560,7 +2675,8 @@ object PipelineQueries {
     graphAnnFilteredRecall, graphAnnFilteredAdaptive,
     graphAnnMultiEntry, graphAnnMultiEntryRecall,
     graphAnnFilteredMultiRecall, graphBeamAutotune,
-    graphBeamAutotuneMulti, graphAnnPqWalk, hybridGraphRrf,
+    graphBeamAutotuneMulti, graphAnnPqWalk, graphAnnAsymWalk,
+    hybridGraphRrf,
     graphAnnRange, streamingGraphIngest, collectionCompact,
     collectionTimeTravel, collectionVersionDiff,
     collectionAliasSwap, collectionAliasList,

@@ -406,6 +406,41 @@ object GraphAnn {
       .limit(k)
   }
 
+  /** Beam walk routed by an ARBITRARY precomputed per-id routing score
+    * (`routing`: (id, routeCol) — lower is better; pushed `id IN`
+    * point lookups, the [[beamSearchPq]] fetch discipline generalized):
+    * the walk never reads float vectors, only `routing`'s narrow rows;
+    * full precision appears once, in the exact rerank of the visited
+    * set. This is the seam the compressed routing tiers share — PQ ADC
+    * rows ([[beamSearchPq]]) or the 20-byte packed-sign rows with the
+    * negated asymmetric estimator (`graph_ann_asym_walk`, the
+    * RaBitQ-routing DiskANN deployment shape). */
+  def beamSearchScored(adj: DataFrame, routing: DataFrame,
+                       routeCol: String, corpus: DataFrame, idCol: String,
+                       vecCol: String, query: Array[Float], entryId: Long,
+                       k: Int, beamWidth: Int = 4, rounds: Int = 3,
+                       degree: Int = 8): DataFrame = {
+    def dOf(ids: Seq[Long]): Array[(Long, Double)] =
+      if (ids.isEmpty) Array.empty
+      else routing.where(col(idCol).isin(ids: _*))
+        .select(col(idCol).cast("long"), col(routeCol).cast("double"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val vis = walkVisitedBy(adj, dOf, Seq(entryId), nSeeds = 1,
+      beamWidth, rounds, degree)
+    val spark = corpus.sparkSession
+    val approx = resultDf(spark, idCol, vis.sortBy { case (id, d) => (d, id) })
+      .withColumnRenamed("distance", "route_score")
+    val qLit = typedlit(query.toSeq)
+    approx.join(
+        corpus.where(col(idCol).isin(vis.map(_._1): _*))
+          .select(col(idCol).cast("long").as(idCol), col(vecCol)),
+        Seq(idCol))
+      .withColumn("distance", round(VectorFunctions.l2Sq(col(vecCol), qLit), 4))
+      .select(col(idCol), col("route_score"), col("distance"))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Filtered graph serving — the post-filter form of Filtered-DiskANN
     * (Gollapudi et al., WWW 2023; Milvus serves predicate + HNSW the
     * same way): the walk routes LABEL-BLIND — pruning expansion by the
