@@ -187,14 +187,26 @@ object DedupQueries {
     "dedup_minhash_recall",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val truth = Dedup.jaccardTopPairs(docs, "doc_id", "text",
-        k = 1000000, workDir = wd(dir))
-      val c1 = Dedup.minhashCandidates(docs, "doc_id", "text",
-          numHashes = 8, bandSize = 1, workDir = wd(dir))
-        .select("id_a", "id_b")
-      val c4 = Dedup.minhashCandidates(docs, "doc_id", "text",
-          numHashes = 8, bandSize = 4, workDir = wd(dir))
-        .select("id_a", "id_b")
+      // truth + both candidate sets are consumed once per report row —
+      // build-once artifacts so the 4 aggregate branches scan parquet
+      // instead of re-running the inverted-index / band joins
+      val truth = graft.core.Artifacts.buildOnce(s,
+        s"${wd(dir).get}/jaccard_truth_pairs") {
+        Dedup.jaccardTopPairs(docs, "doc_id", "text",
+          k = 1000000, workDir = wd(dir))
+      }
+      val c1 = graft.core.Artifacts.buildOnce(s,
+        s"${wd(dir).get}/minhash_cand_b8x1") {
+        Dedup.minhashCandidates(docs, "doc_id", "text",
+            numHashes = 8, bandSize = 1, workDir = wd(dir))
+          .select("id_a", "id_b")
+      }
+      val c4 = graft.core.Artifacts.buildOnce(s,
+        s"${wd(dir).get}/minhash_cand_b2x4") {
+        Dedup.minhashCandidates(docs, "doc_id", "text",
+            numHashes = 8, bandSize = 4, workDir = wd(dir))
+          .select("id_a", "id_b")
+      }
       def row(scheme: String, cand: org.apache.spark.sql.DataFrame,
               tau: Double) =
         truth.where(col("jaccard") >= tau)

@@ -461,6 +461,36 @@ object ScaleBench {
           Rq.adcSearch(spark, rq, emb, "embedding", "vec_id", q,
             k = 5, margin = 4).count()
         }),
+        // asym-estimator-routed walk (graph_ann_asym_walk's shape): the
+        // walk reads 20-byte packed rows via pushed id-IN lookups —
+        // same corpus-independence claim as pq_serve, 20 B/node and no
+        // trained codebooks
+        "graphann_asym_serve (beam8x6)" -> (() => {
+          import spark.implicits._
+          import graft.search.{BinaryVec, GraphAnn, Rotation}
+          val (adj, entry) = graphArtifacts(spark, emb, n)
+          val rot = Rotation.hadamardSignRows(Dim, "graft-bin-rot")
+          val packed = graft.core.Artifacts.buildOnce(spark,
+            s"/tmp/graft_scale/asymsig_$n") {
+            emb.select(col("vec_id"),
+                Rotation.projectCol(col("embedding"), rot).as("rvec"))
+              .select(col("vec_id"),
+                BinaryVec.signWord(col("rvec"), 0).as("w0"),
+                BinaryVec.signWord(col("rvec"), 1).as("w1"),
+                BinaryVec.signCorrection(col("rvec"), Dim).as("cx"))
+          }
+          val qe = emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head().toArray
+          val qr = Rotation.projectRow(qe, rot)
+          val qn = math.sqrt(qr.map(v => v.toDouble * v.toDouble).sum)
+          val qhat = qr.map(_.toDouble / qn)
+          val routing = packed.select(col("vec_id"),
+            (-BinaryVec.asymCosScore(Seq(col("w0"), col("w1")), qhat,
+              col("cx"))).as("route_d"))
+          GraphAnn.beamSearchScored(adj, routing, "route_d", emb,
+            "vec_id", "embedding", qe, entry, k = 5,
+            beamWidth = 8, rounds = 6).count()
+        }),
         // IVF_PQ serving: probe 8 of the IVF's cells, ADC-rank the codes
         // within — scans nprobe/nlist of a 8-byte-per-vector table
         "ivf_pq_serve (probe8, adc)" -> (() => {
