@@ -1550,12 +1550,7 @@ object PipelineQueries {
       val rot = Rotation.hadamardSignRows(64, "graft-bin-rot")
       val packed = graft.core.Artifacts.buildOnce(s,
         s"/tmp/graft_asymsig_${math.abs(dir.hashCode)}") {
-        e.select(col("vec_id"),
-            Rotation.projectCol(col("embedding"), rot).as("rvec"))
-          .select(col("vec_id"),
-            BinaryVec.signWord(col("rvec"), 0).as("w0"),
-            BinaryVec.signWord(col("rvec"), 1).as("w1"),
-            BinaryVec.signCorrection(col("rvec"), 64).as("cx"))
+        BinaryVec.packTable(e, "vec_id", "embedding", rot, 64)
       }
       stageOracle(s, "graphasym", dir)(
         "adjacency" -> adj.select("src", "dst"),
@@ -2574,16 +2569,9 @@ object PipelineQueries {
       val rqIds = s.read.parquet(Rq.codesDir(rqDir)).select("vec_id")
       val asymIds = graft.core.Artifacts.buildOnce(s,
         s"/tmp/graft_asymsig_${math.abs(dir.hashCode)}") {
-        // same construction as VectorQueries.asymPack (shared dir — the
-        // build closure only runs when the other entries haven't)
         import graft.search.{BinaryVec, Rotation}
-        val rot = Rotation.hadamardSignRows(64, "graft-bin-rot")
-        e.select(col("vec_id"),
-            Rotation.projectCol(col("embedding"), rot).as("rvec"))
-          .select(col("vec_id"),
-            BinaryVec.signWord(col("rvec"), 0).as("w0"),
-            BinaryVec.signWord(col("rvec"), 1).as("w1"),
-            BinaryVec.signCorrection(col("rvec"), 64).as("cx"))
+        BinaryVec.packTable(e, "vec_id", "embedding",
+          Rotation.hadamardSignRows(64, "graft-bin-rot"), 64)
       }.select("vec_id")
       stageOracle(s, "integrity", dir)(
         "adjacency" -> adj,
@@ -2611,15 +2599,18 @@ object PipelineQueries {
         '/tmp/graft_integrity_oracle_%ORACLE_KEY%/rq_ids/*.parquet')),
       asi AS (SELECT vec_id FROM read_parquet(
         '/tmp/graft_integrity_oracle_%ORACLE_KEY%/asym_ids/*.parquet')),
-      best AS (SELECT vec_id, cid, assigned FROM (
-          SELECT e.vec_id, c.cluster_id AS cid, a.cluster_id AS assigned,
-                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                   list_sum(list_transform(range(1, len(e.embedding)+1),
+      perrow AS (SELECT e.vec_id,
+                   min(list_sum(list_transform(range(1, len(e.embedding)+1),
                      i -> (CAST(e.embedding[i] AS DOUBLE)
-                           - CAST(c.centroid[i] AS DOUBLE))^2)) ASC,
-                   c.cluster_id ASC) AS rn
-          FROM embeddings e JOIN asg a USING (vec_id) CROSS JOIN cent c)
-          WHERE rn = 1)
+                           - CAST(c.centroid[i] AS DOUBLE))^2))) AS dmin,
+                   max(CASE WHEN c.cluster_id = a.cluster_id THEN
+                     list_sum(list_transform(range(1, len(e.embedding)+1),
+                       i -> (CAST(e.embedding[i] AS DOUBLE)
+                             - CAST(c.centroid[i] AS DOUBLE))^2))
+                     END) AS da
+                 FROM embeddings e JOIN asg a USING (vec_id)
+                      CROSS JOIN cent c
+                 GROUP BY e.vec_id)
       SELECT check_name, value FROM (
         SELECT 'graph_dangling_dst' AS check_name, CAST(count(*) AS BIGINT)
                AS value
@@ -2639,8 +2630,9 @@ object PipelineQueries {
         SELECT 'graph_self_loops', CAST(count(*) AS BIGINT) FROM adj
         WHERE src = dst
         UNION ALL
-        SELECT 'ivf_assign_mismatch', CAST(count(*) AS BIGINT) FROM best
-        WHERE cid != assigned
+        SELECT 'ivf_assign_mismatch', CAST(count(*) AS BIGINT) FROM perrow
+        WHERE da IS NULL
+           OR da > dmin + greatest(0.000000001, dmin * 0.000001)
         UNION ALL
         SELECT 'ivf_missing_rows', CAST(count(*) AS BIGINT)
         FROM embeddings e LEFT JOIN asg ON asg.vec_id = e.vec_id

@@ -303,12 +303,7 @@ object ScaleBench {
           val rot = Rotation.hadamardSignRows(Dim, "graft-bin-rot")
           val packed = graft.core.Artifacts.buildOnce(spark,
             s"/tmp/graft_scale/asymsig_$n") {
-            emb.select(col("vec_id"),
-                Rotation.projectCol(col("embedding"), rot).as("rvec"))
-              .select(col("vec_id"),
-                BinaryVec.signWord(col("rvec"), 0).as("w0"),
-                BinaryVec.signWord(col("rvec"), 1).as("w1"),
-                BinaryVec.signCorrection(col("rvec"), Dim).as("cx"))
+            BinaryVec.packTable(emb, "vec_id", "embedding", rot, Dim)
           }
           import spark.implicits._
           val qe = emb.where(col("vec_id") === 0)
@@ -335,12 +330,7 @@ object ScaleBench {
           val rot = Rotation.hadamardSignRows(Dim, "graft-bin-rot")
           val packed = graft.core.Artifacts.buildOnce(spark,
             s"/tmp/graft_scale/asymsig_$n") {
-            emb.select(col("vec_id"),
-                Rotation.projectCol(col("embedding"), rot).as("rvec"))
-              .select(col("vec_id"),
-                BinaryVec.signWord(col("rvec"), 0).as("w0"),
-                BinaryVec.signWord(col("rvec"), 1).as("w1"),
-                BinaryVec.signCorrection(col("rvec"), Dim).as("cx"))
+            BinaryVec.packTable(emb, "vec_id", "embedding", rot, Dim)
           }
           val ivf = IvfIndex.load(spark, s"/tmp/graft_scale/ivf_$n")
           val qe = emb.where(col("vec_id") === 0)
@@ -472,12 +462,7 @@ object ScaleBench {
           val rot = Rotation.hadamardSignRows(Dim, "graft-bin-rot")
           val packed = graft.core.Artifacts.buildOnce(spark,
             s"/tmp/graft_scale/asymsig_$n") {
-            emb.select(col("vec_id"),
-                Rotation.projectCol(col("embedding"), rot).as("rvec"))
-              .select(col("vec_id"),
-                BinaryVec.signWord(col("rvec"), 0).as("w0"),
-                BinaryVec.signWord(col("rvec"), 1).as("w1"),
-                BinaryVec.signCorrection(col("rvec"), Dim).as("cx"))
+            BinaryVec.packTable(emb, "vec_id", "embedding", rot, Dim)
           }
           val qe = emb.where(col("vec_id") === 0)
             .select("embedding").as[Seq[Float]].head().toArray

@@ -234,13 +234,11 @@ object VectorQueries {
       import graft.search.Quantize
       val e = Tables.embeddings(s, dir)
       val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
-      val out = s"/tmp/graft_sq8_${math.abs(dir.hashCode)}"
-      val p = new org.apache.hadoop.fs.Path(out + "/_SUCCESS")
-      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!f.exists(p))
+      val qtab = graft.core.Artifacts.buildOnce(s,
+        s"/tmp/graft_sq8_${math.abs(dir.hashCode)}") {
         Quantize.quantizedTable(e, "embedding", "vec_id")
-          .write.mode("overwrite").parquet(out)
-      Quantize.searchQuantized(s.read.parquet(out), e, "embedding",
+      }
+      Quantize.searchQuantized(qtab, e, "embedding",
         "vec_id", q, "qe", k = 5, margin = 4)
     },
     Some("""
@@ -294,11 +292,10 @@ object VectorQueries {
       stageOracle(s, "ivfsq8", dir)(
         "centroids" -> s.read.parquet(IvfIndex.centroidsDir(indexDir)),
         "assign" -> assign)
-      val sq8 = s"/tmp/graft_sq8_${math.abs(dir.hashCode)}"
-      val p = new org.apache.hadoop.fs.Path(sq8 + "/_SUCCESS")
-      if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      val sq8 = graft.core.Artifacts.buildOnce(s,
+        s"/tmp/graft_sq8_${math.abs(dir.hashCode)}") {
         Quantize.quantizedTable(e, "embedding", "vec_id")
-          .write.mode("overwrite").parquet(sq8)
+      }
       val query = e.where(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).toArray
       val clusters = IvfIndex.probeClusters(model, query, 4)
@@ -306,7 +303,7 @@ object VectorQueries {
         .select("vec_id")
       val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
       Quantize.searchQuantized(
-        s.read.parquet(sq8).join(sel, Seq("vec_id"), "left_semi"),
+        sq8.join(sel, Seq("vec_id"), "left_semi"),
         e, "embedding", "vec_id", q, "qe", k = 5, margin = 4)
     },
     Some("""
@@ -463,8 +460,8 @@ object VectorQueries {
                ORDER BY abs(t.norm - qn.n) ASC, t.vec_id ASC LIMIT 5),
       tau AS (SELECT max(%L2SEED%) AS t FROM seed s, q),
       band AS (SELECT t.vec_id, t.norm, t.embedding FROM tab t, qn, tau
-               WHERE t.norm >= qn.n - sqrt(tau.t) - 0.0002
-                 AND t.norm <= qn.n + sqrt(tau.t) + 0.0002)
+               WHERE t.norm >= qn.n - sqrt(tau.t + 0.00005) - 0.0002
+                 AND t.norm <= qn.n + sqrt(tau.t + 0.00005) + 0.0002)
       SELECT b.vec_id, b.norm, %L2BAND% AS distance
       FROM band b, q
       ORDER BY distance ASC, b.vec_id ASC LIMIT 5
@@ -1484,12 +1481,20 @@ object VectorQueries {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, dir)
       val rows = binRotationArtifact(s, dir)
+      // per-SIDE statistics (corpus correction, query norm/term-sum)
+      // computed BEFORE the cross join — once per row, not once per
+      // (row × query) pair
       val e2 = e.select(col("vec_id"), col("embedding"),
-        Rotation.projectCol(col("embedding"), rows).as("rvec"))
+          Rotation.projectCol(col("embedding"), rows).as("rvec"))
+        .withColumn("cx", BinaryVec.signCorrection(col("rvec"), 64))
       val qids = Seq(0L, 7L, 13L, 21L, 33L, 47L, 55L, 61L)
       val qs = e2.where(col("vec_id").isin(qids: _*))
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("rvec").as("qrv"))
+        .withColumn("qn", sqrt(aggregate(col("qrv"), lit(0.0),
+          (acc, v) => acc + v.cast("double") * v.cast("double"))))
+        .withColumn("stot", aggregate(col("qrv"), lit(0.0),
+          (acc, v) => acc + v.cast("double")))
       val joined = e2.crossJoin(broadcast(qs))
       def topPerQid(scored: org.apache.spark.sql.DataFrame, n: Int,
                     desc: Boolean) =
@@ -1507,18 +1512,15 @@ object VectorQueries {
             (x, y) => when((x >= 0) =!= (y >= 0), 1L).otherwise(0L)),
           lit(0L), (acc, v) => acc + v).as("c")), 50, desc = false)
       // (b) asymmetric: rotated bits, float query, per-row correction
-      val qnCol = sqrt(aggregate(col("qrv"), lit(0.0),
-        (acc, v) => acc + v.cast("double") * v.cast("double")))
+      // (cx/qn/stot are precomputed columns; only the cross term s1
+      // genuinely needs the pair)
       val s1Col = aggregate(zip_with(col("rvec"), col("qrv"),
           (x, qv) => when(x >= 0, qv.cast("double")).otherwise(0.0)),
         lit(0.0), (acc, v) => acc + v)
-      val stotCol = aggregate(col("qrv"), lit(0.0),
-        (acc, v) => acc + v.cast("double"))
-      val cxCol = BinaryVec.signCorrection(col("rvec"), 64)
       val asym = topPerQid(joined.select(col("qid"), col("vec_id"),
-        round(when(cxCol === 0f, 0.0)
-          .otherwise((s1Col * 2.0 - stotCol) / qnCol
-            / (lit(8.0) * cxCol.cast("double"))), 4).as("c")),
+        round(when(col("cx") === 0f, 0.0)
+          .otherwise((s1Col * 2.0 - col("stot")) / col("qn")
+            / (lit(8.0) * col("cx").cast("double"))), 4).as("c")),
         50, desc = true)
       def recallRow(method: String, cand: org.apache.spark.sql.DataFrame) =
         exact.join(cand.withColumn("hit", lit(1)),
@@ -1594,15 +1596,8 @@ object VectorQueries {
     * artifact file-appendable with zero rewrite. */
   private def asymPack(df: org.apache.spark.sql.DataFrame,
                        rows: Seq[(Int, Array[Float])])
-      : org.apache.spark.sql.DataFrame = {
-    import graft.search.{BinaryVec, Rotation}
-    df.select(col("vec_id"),
-        Rotation.projectCol(col("embedding"), rows).as("rvec"))
-      .select(col("vec_id"),
-        BinaryVec.signWord(col("rvec"), 0).as("w0"),
-        BinaryVec.signWord(col("rvec"), 1).as("w1"),
-        BinaryVec.signCorrection(col("rvec"), 64).as("cx"))
-  }
+      : org.apache.spark.sql.DataFrame =
+    graft.search.BinaryVec.packTable(df, "vec_id", "embedding", rows, 64)
 
   /** Incremental maintenance of the asymmetric 1-bit artifact — the
     * every-index-maintains-incrementally discipline (IvfIndex.append /

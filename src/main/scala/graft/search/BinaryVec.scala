@@ -40,6 +40,24 @@ object BinaryVec {
       call_function("bit_count", a.bitwiseXOR(b)).cast("long")
     }.reduce(_ + _)
 
+  /** The packed-signature table the asymmetric tier stores and every
+    * producer (search entries, audit, scale rehearsal, streaming
+    * ingest) must build IDENTICALLY: rotate by `rotation`, pack sign
+    * words w0..w(dim/32−1), attach the correction float. One
+    * definition — a layout change here reaches all producers of the
+    * shared artifact at once. */
+  def packTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+                vecCol: String, rotation: Seq[(Int, Array[Float])],
+                dim: Int): org.apache.spark.sql.DataFrame = {
+    require(dim % 32 == 0, s"dim $dim must pack into whole 32-bit words")
+    val words = (0 until dim / 32).map(wi =>
+      signWord(col("__rvec"), wi).as(s"w$wi"))
+    df.select(col(idCol),
+        Rotation.projectCol(col(vecCol), rotation).as("__rvec"))
+      .select((col(idCol) +: words :+
+        signCorrection(col("__rvec"), dim).as("cx")): _*)
+  }
+
   /** Per-vector 1-bit correction factor c_x = ⟨sign(x), x⟩ / (√D·‖x‖)
     * = ‖x‖₁ / (√D·‖x‖₂) — the ⟨ō, x̄⟩ term of RaBitQ's estimator (Gao &
     * Long, SIGMOD 2024): how well the sign vector represents its float

@@ -384,27 +384,14 @@ object GraphAnn {
                    idCol: String, vecCol: String, query: Array[Float],
                    model: Pq.Model, entryId: Long, k: Int,
                    beamWidth: Int = 4, rounds: Int = 3,
-                   degree: Int = 8): DataFrame = {
-    def adcOf(ids: Seq[Long]): Array[(Long, Double)] =
-      if (ids.isEmpty) Array.empty
-      else codes.where(col(idCol).isin(ids: _*))
-        .select(col(idCol).cast("long"), Pq.adcExpr(model, query))
-        .collect().map(r => (r.getLong(0), r.getDouble(1)))
-    val vis = walkVisitedBy(adj, adcOf, Seq(entryId), nSeeds = 1,
-      beamWidth, rounds, degree)
-    val spark = corpus.sparkSession
-    val approx = resultDf(spark, idCol, vis.sortBy { case (id, d) => (d, id) })
-      .withColumnRenamed("distance", "approx_distance")
-    val qLit = typedlit(query.toSeq)
-    approx.join(
-        corpus.where(col(idCol).isin(vis.map(_._1): _*))
-          .select(col(idCol).cast("long").as(idCol), col(vecCol)),
-        Seq(idCol))
-      .withColumn("distance", round(VectorFunctions.l2Sq(col(vecCol), qLit), 4))
-      .select(col(idCol), col("approx_distance"), col("distance"))
-      .orderBy(col("distance").asc, col(idCol).asc)
-      .limit(k)
-  }
+                   degree: Int = 8): DataFrame =
+    // the PQ walk is the ADC instance of the generalized scored walk:
+    // routing rows = codes + the per-row ADC lookup expression
+    beamSearchScored(adj,
+        codes.select(col(idCol), Pq.adcExpr(model, query).as("__route")),
+        "__route", corpus, idCol, vecCol, query, entryId, k,
+        beamWidth, rounds, degree)
+      .withColumnRenamed("route_score", "approx_distance")
 
   /** Beam walk routed by an ARBITRARY precomputed per-id routing score
     * (`routing`: (id, routeCol) — lower is better; pushed `id IN`

@@ -61,19 +61,30 @@ object IndexAudit {
   }
 
   /** IVF-layout invariants (IvfIndex.build's contract): every assigned
-    * cluster is the argmin over the centroids (unrounded double L2,
-    * cluster-id tie-break — the probeClusters arithmetic) and no corpus
-    * row is missing from the partitioned layout. `cents` is broadcast —
-    * nlist rows. */
+    * cluster's distance is within tolerance of the argmin over the
+    * staged centroids, and no corpus row is missing from the
+    * partitioned layout. The check is TOLERANCE-aware, not exact-argmin:
+    * the builder assigns via MLlib's KMeansModel.transform (double
+    * cluster centers, fastSquaredDistance shortcuts) while the audit
+    * recomputes against the FLOAT-cast staged centroids — a row
+    * near-equidistant to two centroids can legitimately differ in
+    * which one it picked without the artifact being corrupt. A
+    * violation therefore requires d(assigned) to EXCEED d(best) by
+    * more than max(1e-9, 1e-6·d(best)) — a genuinely-wrong cluster
+    * (different region) is orders of magnitude past that; a tie or
+    * float-cast wobble is inside it. `cents` is broadcast — nlist
+    * rows. */
   def ivfChecks(corpus: DataFrame, assign: DataFrame, cents: DataFrame,
                 idCol: String, vecCol: String): DataFrame = {
-    val best = corpus.join(assign, idCol)
+    val perRow = corpus.join(assign, idCol)
       .crossJoin(broadcast(cents.withColumnRenamed("cluster_id", "cid")))
       .withColumn("d", VectorFunctions.l2Sq(col(vecCol), col("centroid")))
-      .withColumn("rn", row_number().over(Window.partitionBy(idCol)
-        .orderBy(col("d").asc, col("cid").asc)))
-      .where(col("rn") === 1)
-    val assignMismatch = best.where(col("cid") =!= col("cluster_id"))
+      .groupBy(col(idCol))
+      .agg(min(col("d")).as("dmin"),
+        max(when(col("cid") === col("cluster_id"), col("d"))).as("da"))
+    val assignMismatch = perRow
+      .where(col("da").isNull ||
+        col("da") > col("dmin") + greatest(lit(1e-9), col("dmin") * 1e-6))
       .agg(count(lit(1)).as("value"))
     val missingRows = corpus.join(assign, Seq(idCol), "left_anti")
       .agg(count(lit(1)).as("value"))

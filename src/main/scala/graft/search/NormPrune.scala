@@ -41,11 +41,19 @@ object NormPrune {
   }
 
   /** The τ-band slice of the stored table — literal bounds, pushed to
-    * the scan; `slack` absorbs the 4-decimal norm rounding. */
+    * the scan. τ itself is a ROUNDED distance (4 decimals, half-up), so
+    * it may under-report the true k-th distance² by up to 5e-5; the
+    * radius uses √(τ + 5e-5) so the bound stays a true upper bound
+    * (without this, a corpus of near-duplicates where every seed
+    * distance rounds to 0 would shrink the band below genuinely closer
+    * vectors and break the exactness guarantee). `slack` then absorbs
+    * the 4-decimal rounding of the norm column itself (≤ 5e-5 per
+    * side). */
   def band(tab: DataFrame, query: Array[Float], tau: Double,
            slack: Double = 2e-4): DataFrame = {
     val qn = queryNorm(query)
-    val (lo, hi) = (qn - math.sqrt(tau) - slack, qn + math.sqrt(tau) + slack)
+    val r = math.sqrt(tau + 5e-5)
+    val (lo, hi) = (qn - r - slack, qn + r + slack)
     tab.where(col("norm") >= lo && col("norm") <= hi)
   }
 

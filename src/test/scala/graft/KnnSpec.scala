@@ -184,6 +184,26 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("norm pruning: near-duplicate corpus (tau rounds to 0) stays exact") {
+    import graft.search.NormPrune
+    // every seed distance ROUNDS to 0.0000 → naive sqrt(tau) would
+    // shrink the band to ±slack and drop genuinely closer vectors; the
+    // τ+5e-5 inflation must keep them
+    val vecs = (0L until 20L).map { i =>
+      val eps = i * 0.0003f           // d² to row 0 = (i·3e-4)² ≤ 3.3e-5
+      (i, Array(1f + eps, 0f, 0f, 0f))
+    }
+    val tab = NormPrune.normTable(vecs.toDF("id", "vec"), "id", "vec")
+    val q = vecs(0)._2
+    val tau = NormPrune.tauBound(tab, "id", "vec", q, 5)
+    assert(tau == 0.0, s"regime check: all seed distances round to 0, tau=$tau")
+    val got = NormPrune.search(tab, "id", "vec", q, 5)
+      .select("id").as[Long].collect().toSeq
+    // all rounded distances are 0.0000 → top-5 = lowest ids
+    assert(got == Seq(0L, 1L, 2L, 3L, 4L),
+      s"near-dup corpus must not be pruned away: $got")
+  }
+
   test("bm25: tf monotone, rare terms outweigh common, absent docs dropped") {
     import graft.search.Bm25
     val docs = Seq(

@@ -195,6 +195,18 @@ class SearchOpsSpec extends SparkSpec {
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(caught("ivf_assign_mismatch") == 1)
     assert(caught("ivf_missing_rows") == 1)
+    // near-tie tolerance: a row EXACTLY equidistant to both centroids
+    // may carry either assignment without being a violation (the
+    // builder's MLlib arithmetic and the audit's recomputation can
+    // legitimately disagree inside the tolerance)
+    val mid = Seq((9L, Array(2.5f, 2.5f))).toDF("id", "vec")
+    Seq(0, 1).foreach { c =>
+      val asg = Seq((9L, c)).toDF("id", "cluster_id")
+      val m = IndexAudit.ivfChecks(mid, asg, cents, "id", "vec")
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(m("ivf_assign_mismatch") == 0,
+        s"equidistant row assigned to cluster $c must not fire")
+    }
   }
 
   test("corpus diversity: moment identity equals naive pairwise mean") {
