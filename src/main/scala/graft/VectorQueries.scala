@@ -963,6 +963,59 @@ object VectorQueries {
       ORDER BY method ASC
     """))
 
+  /** MIPS norm-pruned EXACT search — the Cauchy–Schwarz cut for
+    * maximum-inner-product retrieval (FEXIPRO, Li et al. SIGMOD 2017;
+    * LEMP, Teflioudi et al. SIGMOD 2015 — the recommender-serving
+    * workload where norms ARE the signal): ip(x,q) ≤ ‖x‖·‖q‖, so once
+    * the k largest-norm rows' real inner products bound the k-th-best
+    * by τ, every row with ‖x‖ < τ/‖q‖ is provably out. On the
+    * norm-SORTED stored layout the cut is a ONE-SIDED pushed range
+    * filter (row groups of small-norm vectors skip entirely), the
+    * seeds are just the top of the sort order, and the result is exact
+    * — the deflation/slack discipline of `norm_pruned_search` applied
+    * to the upper-bound direction. Degenerate on this unit-norm
+    * fixture (τ ≤ 0 ⇒ vacuous cut, correct full scan); KnnSpec proves
+    * real pruning + brute-force equality on a norm-varying corpus. */
+  private val mipsNormPrunedSearch = Q(
+    "mips_norm_pruned_search",
+    (s, dir) => {
+      import graft.search.NormPrune
+      val e = Tables.embeddings(s, dir)
+      val tab = graft.core.Artifacts.buildOnce(s,
+        s"/tmp/graft_normtab_${math.abs(dir.hashCode)}") {
+        NormPrune.normTable(e, "vec_id", "embedding")
+      }
+      val qe = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      NormPrune.mipsSearch(tab, "vec_id", "embedding", qe, k = 5)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      tab AS (SELECT vec_id, embedding,
+                round(sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
+              FROM embeddings),
+      seeds AS (SELECT round(list_sum(list_transform(
+                  range(1, len(t.embedding)+1),
+                  i -> CAST(t.embedding[i] AS DOUBLE)
+                       * CAST(q.qe[i] AS DOUBLE))), 4) AS ip
+                FROM (SELECT * FROM tab
+                      ORDER BY norm DESC, vec_id ASC LIMIT 20) t, q),
+      tau AS (SELECT min(ip) AS t FROM
+                (SELECT ip FROM seeds ORDER BY ip DESC LIMIT 5)),
+      qn AS (SELECT sqrt(list_sum(list_transform(qe,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n FROM q),
+      cut AS (SELECT t.vec_id, t.norm, t.embedding FROM tab t, tau, qn
+              WHERE (tau.t - 0.00005) / qn.n - 0.0002 <= 0
+                 OR t.norm >= (tau.t - 0.00005) / qn.n - 0.0002)
+      SELECT c.vec_id, c.norm,
+             round(list_sum(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE)
+                    * CAST(q.qe[i] AS DOUBLE))), 4) AS ip
+      FROM cut c, q
+      ORDER BY ip DESC, c.vec_id ASC LIMIT 5
+    """))
+
   /** Per-dimension corpus statistics over the embedding column — the
     * drift/health monitor an embedding pipeline runs per batch (a
     * distribution shift in any dimension means the upstream model or its
@@ -3118,7 +3171,7 @@ object VectorQueries {
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     sq8RerankSearch, ivfSq8Search, rqAdcSearch, ivfRqSearch,
     rqRecallReport, quantizerErrorReport, normPrunedSearch,
-    embeddingProfile, pqAdcSearch, ivfPqSearch,
+    mipsNormPrunedSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
     binaryHammingSearch, binaryJaccardSearch, asymmetricBinarySearch,
     asymmetricBinaryIncremental, streamingAsymIngest, ivfAsymBinarySearch,

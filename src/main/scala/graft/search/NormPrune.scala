@@ -68,4 +68,59 @@ object NormPrune {
       .orderBy(col("distance").asc, col(idCol).asc)
       .limit(k)
   }
+
+  // --- MIPS (maximum inner product) pruning — the OTHER norm bound
+  // (Cauchy–Schwarz: ip(x,q) ≤ ‖x‖·‖q‖, the FEXIPRO/LEMP discipline
+  // for recommender retrieval): once any k inner products bound the
+  // k-th-best by τ, every vector with ‖x‖ < τ/‖q‖ is provably out.
+  // On a norm-SORTED layout the cut is a one-sided pushed range
+  // filter, and the natural seeds are simply the k LARGEST-norm rows
+  // (the top of the sort order — no distance arithmetic to find them).
+
+  /** Phase-1 τ for MIPS: the k-th best exact inner product among the
+    * k·`seedFactor` largest-norm rows (real inner products ⇒ a valid
+    * lower bound on the true k-th-best; over-seeding matters because a
+    * large norm with an unlucky direction gives a weak bound — 4k
+    * seeds make τ the k-th best of a small panel instead of the
+    * MINIMUM of exactly k rows). */
+  def mipsTauBound(tab: DataFrame, idCol: String, vecCol: String,
+                   query: Array[Float], k: Int,
+                   seedFactor: Int = 4): Double = {
+    val seeds = tab.orderBy(col("norm").desc, col(idCol).asc)
+      .limit(k * seedFactor)
+      .select(round(VectorFunctions.dot(col(vecCol),
+        typedlit(query.toSeq)), 4).as("ip"))
+      .orderBy(col("ip").desc)
+      .collect().map(_.getDouble(0))
+    seeds(math.min(k, seeds.length) - 1)
+  }
+
+  /** The MIPS norm cut: keep rows with ‖x‖ ≥ (τ − 5e-5)/‖q‖ − slack.
+    * τ is a ROUNDED inner product (may over-report the true k-th best
+    * by ≤ 5e-5, hence the deflation); a non-positive deflated τ keeps
+    * everything (the bound is vacuous — correct, no pruning). */
+  def mipsCut(tab: DataFrame, query: Array[Float], tau: Double,
+              slack: Double = 2e-4): DataFrame = {
+    // UNROUNDED ‖q‖ here (unlike the L2 band, whose bound compares to
+    // the rounded norm column on BOTH sides): dividing by a rounded-
+    // down qn would tighten the cut by ~τ·5e-5/qn², which for large
+    // norms exceeds the slack; the raw double is what the oracle
+    // mirrors
+    val qn = math.sqrt(query.map(v => v.toDouble * v.toDouble).sum)
+    require(qn > 0, "query vector must be non-zero")
+    val lo = (tau - 5e-5) / qn - slack
+    if (lo <= 0) tab else tab.where(col("norm") >= lo)
+  }
+
+  /** Exact MIPS top-k over the pruned slice: (id, norm, ip). */
+  def mipsSearch(tab: DataFrame, idCol: String, vecCol: String,
+                 query: Array[Float], k: Int): DataFrame = {
+    val tau = mipsTauBound(tab, idCol, vecCol, query, k)
+    mipsCut(tab, query, tau)
+      .withColumn("ip", round(VectorFunctions.dot(col(vecCol),
+        typedlit(query.toSeq)), 4))
+      .select(col(idCol), col("norm"), col("ip"))
+      .orderBy(col("ip").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -204,6 +204,32 @@ class KnnSpec extends SparkSpec {
       s"near-dup corpus must not be pruned away: $got")
   }
 
+  test("MIPS norm pruning: one-sided cut prunes, equals brute force") {
+    import graft.search.NormPrune
+    val r = new scala.util.Random(23)
+    val vecs = (0L until 300L).map { i =>
+      val dir = Array.fill(16)(r.nextGaussian())
+      val n = math.sqrt(dir.map(x => x * x).sum)
+      val len = 0.5 + (i % 60) * 0.125
+      (i, dir.map(x => (x / n * len).toFloat))
+    }
+    val tab = NormPrune.normTable(vecs.toDF("id", "vec"), "id", "vec")
+    val q = vecs(17)._2
+    for (k <- Seq(1, 5, 10)) {
+      val tau = NormPrune.mipsTauBound(tab, "id", "vec", q, k)
+      val scanned = NormPrune.mipsCut(tab, q, tau).count()
+      assert(scanned < 300, s"k=$k MIPS cut must prune: scanned=$scanned")
+      val got = NormPrune.mipsSearch(tab, "id", "vec", q, k)
+        .select("id").as[Long].collect().toSeq
+      val brute = vecs.map { case (id, v) =>
+        (id, BigDecimal(v.zip(q).map { case (a, b) =>
+          a.toDouble * b.toDouble }.sum)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, ip) => (-ip, id) }.take(k).map(_._1)
+      assert(got == brute, s"k=$k: MIPS pruned result must equal brute")
+    }
+  }
+
   test("bm25: tf monotone, rare terms outweigh common, absent docs dropped") {
     import graft.search.Bm25
     val docs = Seq(
