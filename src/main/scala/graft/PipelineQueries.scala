@@ -2623,7 +2623,8 @@ object PipelineQueries {
         SELECT 'graph_dist_mismatch', CAST(count(*) AS BIGINT)
         FROM adj JOIN embeddings a ON a.vec_id = adj.src
                  JOIN embeddings b ON b.vec_id = adj.dst
-        WHERE ${duckL2("a.embedding", "b.embedding")} != adj.dist
+        WHERE adj.dist IS NULL
+           OR ${duckL2("a.embedding", "b.embedding")} != adj.dist
         UNION ALL
         SELECT 'graph_nodes', CAST(count(DISTINCT src) AS BIGINT) FROM adj
         UNION ALL
@@ -2638,6 +2639,10 @@ object PipelineQueries {
         FROM embeddings e LEFT JOIN asg ON asg.vec_id = e.vec_id
         WHERE asg.vec_id IS NULL
         UNION ALL
+        SELECT 'ivf_orphan_rows', CAST(count(*) AS BIGINT)
+        FROM asg LEFT JOIN embeddings e ON e.vec_id = asg.vec_id
+        WHERE e.vec_id IS NULL
+        UNION ALL
         SELECT 'rq_codes_missing', CAST(count(*) AS BIGINT)
         FROM embeddings e LEFT JOIN rqi ON rqi.vec_id = e.vec_id
         WHERE rqi.vec_id IS NULL
@@ -2645,13 +2650,492 @@ object PipelineQueries {
         SELECT 'rq_codes_dupes', CAST(count(*) AS BIGINT) FROM (
           SELECT vec_id FROM rqi GROUP BY vec_id HAVING count(*) > 1)
         UNION ALL
+        SELECT 'rq_codes_orphans', CAST(count(*) AS BIGINT)
+        FROM rqi LEFT JOIN embeddings e ON e.vec_id = rqi.vec_id
+        WHERE e.vec_id IS NULL
+        UNION ALL
         SELECT 'asym_sig_missing', CAST(count(*) AS BIGINT)
         FROM embeddings e LEFT JOIN asi ON asi.vec_id = e.vec_id
         WHERE asi.vec_id IS NULL
         UNION ALL
         SELECT 'asym_sig_dupes', CAST(count(*) AS BIGINT) FROM (
-          SELECT vec_id FROM asi GROUP BY vec_id HAVING count(*) > 1))
+          SELECT vec_id FROM asi GROUP BY vec_id HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'asym_sig_orphans', CAST(count(*) AS BIGINT)
+        FROM asi LEFT JOIN embeddings e ON e.vec_id = asi.vec_id
+        WHERE e.vec_id IS NULL)
       ORDER BY check_name ASC
+    """))
+
+  /** Recursive local-dir copy for entries that must MUTATE an index
+    * artifact per run (compaction, rebalance): the base is built once
+    * per JVM+fixture, each invocation works on a throwaway copy, so
+    * repeated runs never compound. */
+  private def copyLocalDir(srcDir: String, dstDir: String): Unit = {
+    val src = java.nio.file.Paths.get(srcDir)
+    val dst = java.nio.file.Paths.get(dstDir)
+    import scala.jdk.CollectionConverters._
+    def walk(p: java.nio.file.Path) = {
+      val s0 = java.nio.file.Files.walk(p)
+      try s0.iterator().asScala.toVector finally s0.close()
+    }
+    if (java.nio.file.Files.exists(dst))
+      walk(dst).sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    walk(src).foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+  }
+
+  /** Delete propagation to a derived index, serve side (see
+    * [[graft.search.Tombstones]]): rows are deleted by KEY against a
+    * built IVF index — the artifact is NOT rebuilt, the delete is a
+    * key-only tombstone append — and a search over the STALE layout
+    * must return only live rows (the mask is a broadcast anti-join
+    * inside the pruned scan). The oracle is exact top-k over the live
+    * subset: a serve path that forgets the mask resurrects deleted
+    * rows and hash-mismatches. Tombstones are re-recorded from clear
+    * each run (idempotent; the data dir itself is never touched). */
+  private val deletedRowsMaskedSearch = Q(
+    "deleted_rows_masked_search",
+    (s, dir) => {
+      import graft.search.Tombstones
+      val baseDir = s"/tmp/graft_ivf_tomb_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(baseDir)).exists())
+          IvfIndex.load(s, baseDir)
+        else IvfIndex.build(e, "embedding", baseDir, nlist = 16)
+      Tombstones.clear(s, baseDir)
+      IvfIndex.delete(e.where(col("vec_id") % 7 === 3).select("vec_id"),
+        model, "vec_id")
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      IvfIndex.search(s, model, "embedding", "vec_id", query, k = 5,
+          nprobe = model.nlist)
+        .select("vec_id", "distance")
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      live AS (SELECT * FROM embeddings WHERE vec_id % 7 <> 3)
+      SELECT e.vec_id, %L2% AS distance
+      FROM live e, q
+      ORDER BY distance ASC, e.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
+  /** Tombstone COMPACTION ([[graft.search.IvfIndex.compactTombstones]]
+    * — Milvus segment compaction): fold recorded deletes into the
+    * partitioned layout (cluster partitioning preserved, crash-safe
+    * swap), clear the tombstones. Works on a per-run COPY of the base
+    * index so repeated runs never compound. Output pins the whole
+    * ledger against corpus arithmetic: row counts before/after, the
+    * tombstone count, zero orphans vs the live corpus after the fold
+    * ([[graft.search.IndexAudit]]'s orphan direction), zero tombstones
+    * left — a compaction that drops too little, too much, or forgets
+    * to clear mismatches a column. */
+  private val indexCompactTombstones = Q(
+    "index_compact_tombstones",
+    (s, dir) => {
+      import graft.search.Tombstones
+      import s.implicits._
+      val baseDir = s"/tmp/graft_ivf_tomb_${math.abs(dir.hashCode)}"
+      val runDir = s"/tmp/graft_ivf_tombfold_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      if (!new java.io.File(IvfIndex.centroidsDir(baseDir)).exists())
+        IvfIndex.build(e, "embedding", baseDir, nlist = 16)
+      copyLocalDir(baseDir, runDir)
+      Tombstones.clear(s, runDir) // copied tombstones aren't this run's
+      val model = IvfIndex.load(s, runDir)
+      val nBefore = s.read.parquet(IvfIndex.dataDir(runDir)).count()
+      IvfIndex.delete(e.where(col("vec_id") % 7 === 3).select("vec_id"),
+        model, "vec_id")
+      val nTomb = Tombstones.count(s, runDir)
+      IvfIndex.compactTombstones(s, model, "vec_id")
+      val after = s.read.parquet(IvfIndex.dataDir(runDir))
+      val live = e.where(col("vec_id") % 7 =!= 3).select("vec_id")
+      val orphans = after.select("vec_id")
+        .join(live, Seq("vec_id"), "left_anti").count()
+      Seq((nBefore, nTomb, after.count(), orphans,
+          Tombstones.count(s, runDir)))
+        .toDF("n_before", "n_tombstones", "n_after", "orphans_after",
+          "tombstones_left")
+    },
+    Some("""
+      SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+               AS n_before,
+             CAST((SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3)
+               AS BIGINT) AS n_tombstones,
+             CAST((SELECT count(*) FROM embeddings WHERE vec_id % 7 <> 3)
+               AS BIGINT) AS n_after,
+             CAST(0 AS BIGINT) AS orphans_after,
+             CAST(0 AS BIGINT) AS tombstones_left
+    """))
+
+  /** Bulk IVF serving ([[graft.search.IvfIndex.bulkSearch]]): the three
+    * bulk query vectors served at PARTIAL probe (nprobe=4 of nlist=16)
+    * as ONE plan — union-of-probed-partitions pruned scan, broadcast
+    * (qid, cluster_id) restriction, one qid-partitioned top-k window —
+    * not three sequential searches. The oracle re-ranks centroids per
+    * query from the staged artifacts, applies the same crank ≤ 4
+    * restriction, and replays every per-query top-k: a bulk path whose
+    * probe set, pruning, or window ranking drifts from the per-query
+    * semantics hash-mismatches. */
+  private val ivfBulkSearch = Q(
+    "ivf_bulk_search",
+    (s, dir) => {
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      stageOracle(s, "ivfbulk", dir)(
+        "centroids" -> s.read.parquet(IvfIndex.centroidsDir(indexDir)),
+        "assign" -> s.read.parquet(IvfIndex.dataDir(indexDir))
+          .select(col("vec_id"), col("cluster_id")))
+      val qs = e.where(col("vec_id").isin(BulkQids: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).toSeq
+      IvfIndex.bulkSearch(s, model, "embedding", "vec_id", qs, k = 5,
+        nprobe = 4)
+    },
+    Some(s"""
+      WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                  WHERE vec_id IN (${BulkQids.mkString(", ")})),
+      cent AS (SELECT * FROM read_parquet(
+        '/tmp/graft_ivfbulk_oracle_%ORACLE_KEY%/centroids/*.parquet')),
+      asg AS (SELECT * FROM read_parquet(
+        '/tmp/graft_ivfbulk_oracle_%ORACLE_KEY%/assign/*.parquet')),
+      crank AS (SELECT qid, cluster_id, crank FROM (
+          SELECT q.qid, c.cluster_id,
+                 row_number() OVER (PARTITION BY q.qid ORDER BY
+                   list_sum(list_transform(range(1, len(c.centroid)+1),
+                     i -> (CAST(c.centroid[i] AS DOUBLE)
+                           - CAST(q.qv[i] AS DOUBLE))^2)) ASC,
+                   c.cluster_id ASC) AS crank
+          FROM cent c, qs q) t WHERE crank <= 4),
+      d AS (SELECT q.qid, e.vec_id, a.cluster_id,
+                   ${duckL2("e.embedding", "q.qv")} AS distance
+            FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id, qs q),
+      topk AS (SELECT qid, vec_id, distance FROM (
+          SELECT d.qid, d.vec_id, d.distance,
+                 row_number() OVER (PARTITION BY d.qid
+                   ORDER BY d.distance ASC, d.vec_id ASC) AS rn
+          FROM d JOIN crank ON crank.qid = d.qid
+                             AND crank.cluster_id = d.cluster_id) t
+        WHERE rn <= 5)
+      SELECT qid, vec_id, distance FROM topk
+      ORDER BY qid ASC, distance ASC, vec_id ASC
+    """))
+
+  /** Delete propagation for the GRAPH family (FreshDiskANN's discipline
+    * — see [[graft.search.GraphAnn.beamSearchMasked]]): the walk routes
+    * THROUGH tombstoned nodes (eager unlinking can disconnect the
+    * graph), the RESULT masks them, and recall under deletion is bought
+    * by widening the beam (6 vs the plain walk's 4). The oracle replays
+    * the label-blind walk at beam 6 and applies the same mask at final
+    * selection. */
+  private val graphAnnMaskedWalk = Q(
+    "graph_ann_masked_walk",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$base/entry") {
+        GraphAnn.medoid(e, "vec_id", "embedding")
+      }
+      stageOracle(s, "graphmask", dir)(
+        "adjacency" -> adj.select("src", "dst"),
+        "entry" -> entryDf)
+      val entryId = entryDf.collect()(0).getLong(0)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val deletes = e.where(col("vec_id") % 7 === 3).select("vec_id")
+      GraphAnn.beamSearchMasked(adj, e, "vec_id", "embedding", query,
+        entryId, k = 5, deletes, beamWidth = 6, rounds = 3, degree = 8)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      adj AS (SELECT src, dst FROM read_parquet(
+        '/tmp/graft_graphmask_oracle_%ORACLE_KEY%/adjacency/*.parquet')),
+      ent AS (SELECT entry_id FROM read_parquet(
+        '/tmp/graft_graphmask_oracle_%ORACLE_KEY%/entry/*.parquet')),
+      dall AS (SELECT e.vec_id AS id, %L2% AS d FROM embeddings e, q),
+      v0 AS (SELECT id, d FROM dall
+             WHERE id IN (SELECT entry_id FROM ent)),
+      f1 AS (SELECT id, d FROM v0 ORDER BY d ASC, id ASC LIMIT 6),
+      n1 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f1 ON a.src = f1.id
+             WHERE a.dst NOT IN (SELECT id FROM v0)),
+      v1 AS (SELECT id, d FROM v0 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n1 USING (id)),
+      x1 AS (SELECT id FROM f1),
+      f2 AS (SELECT id, d FROM v1 WHERE id NOT IN (SELECT id FROM x1)
+             ORDER BY d ASC, id ASC LIMIT 6),
+      n2 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f2 ON a.src = f2.id
+             WHERE a.dst NOT IN (SELECT id FROM v1)),
+      v2 AS (SELECT id, d FROM v1 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n2 USING (id)),
+      x2 AS (SELECT id FROM x1 UNION SELECT id FROM f2),
+      f3 AS (SELECT id, d FROM v2 WHERE id NOT IN (SELECT id FROM x2)
+             ORDER BY d ASC, id ASC LIMIT 6),
+      n3 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f3 ON a.src = f3.id
+             WHERE a.dst NOT IN (SELECT id FROM v2)),
+      v3 AS (SELECT id, d FROM v2 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n3 USING (id))
+      SELECT id AS vec_id, d AS distance FROM v3
+      WHERE id % 7 <> 3
+      ORDER BY distance ASC, vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
+  /** IVF rebalance ([[graft.search.IvfIndex.rebalance]]) — acting on
+    * what `ivf_balance_report` only measures: clusters above sizeCap
+    * (set to half the observed max, so the fixture always exercises a
+    * real split) are re-fit sample-capped over THEIR rows alone and
+    * split into fresh sub-lists; every other partition's files are
+    * untouched. Works on a per-run copy. Output pins the operation's
+    * whole contract, each column replayed by the oracle from the staged
+    * before/after assignments + the cap: row conservation (no id lost,
+    * duplicated, or invented), non-hot assignments untouched, every
+    * moved row landed in a FRESH list (id past the old max), the split
+    * count, and the before/after max list sizes. */
+  private val ivfRebalanceReport = Q(
+    "ivf_rebalance_report",
+    (s, dir) => {
+      import s.implicits._
+      val baseDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val runDir = s"/tmp/graft_ivf_rebal_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      if (!new java.io.File(IvfIndex.centroidsDir(baseDir)).exists())
+        IvfIndex.build(e, "embedding", baseDir, nlist = 16)
+      copyLocalDir(baseDir, runDir)
+      val model = IvfIndex.load(s, runDir)
+      val before = s.read.parquet(IvfIndex.dataDir(runDir))
+        .select(col("vec_id"), col("cluster_id"))
+      val maxBefore = before.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("sz"))
+        .agg(max(col("sz"))).collect()(0).getLong(0)
+      val sizeCap = math.max(1L, maxBefore / 2)
+      val maxOldId = model.centroids.map(_._1).max
+      // snapshot the pre-image BEFORE the rebalance mutates the run dir
+      // — as a parquet table, never a driver collect (the assignment
+      // map is corpus-sized)
+      before.write.mode("overwrite").parquet(s"$runDir/__before")
+      val beforeDf = s.read.parquet(s"$runDir/__before")
+      IvfIndex.rebalance(s, model, "embedding", sizeCap)
+      val after = s.read.parquet(IvfIndex.dataDir(runDir))
+        .select(col("vec_id"), col("cluster_id"))
+      stageOracle(s, "ivfrebal", dir)(
+        "before" -> beforeDf,
+        "after" -> after,
+        "meta" -> Seq((sizeCap, maxOldId)).toDF("size_cap", "max_old_id"))
+      val hot = beforeDf.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("sz")).where(col("sz") > sizeCap)
+        .select(col("cluster_id").as("hot_cid"))
+      val j = beforeDf.withColumnRenamed("cluster_id", "b_cid")
+        .join(after.withColumnRenamed("cluster_id", "a_cid"),
+          Seq("vec_id"), "full_outer")
+        .join(broadcast(hot), col("b_cid") === col("hot_cid"), "left")
+      j.agg(
+        count(col("a_cid")).as("n_vectors"),
+        (sum(when(col("a_cid").isNull || col("b_cid").isNull, 1L)
+          .otherwise(0L))
+          + lit(after.groupBy(col("vec_id")).agg(count(lit(1)).as("n"))
+            .where(col("n") > 1).count()))
+          .cast("long").as("conservation_violations"),
+        sum(when(col("hot_cid").isNull && col("b_cid").isNotNull
+            && col("a_cid").isNotNull && col("a_cid") =!= col("b_cid"),
+          1L).otherwise(0L)).cast("long").as("unchanged_mismatch"),
+        sum(when(col("hot_cid").isNotNull && col("a_cid").isNotNull
+            && col("a_cid") <= maxOldId, 1L).otherwise(0L))
+          .cast("long").as("moved_stale"),
+        countDistinct(col("hot_cid")).as("split_clusters"),
+        lit(maxBefore).cast("long").as("max_list_before"),
+        lit(after.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+          .agg(max(col("sz"))).collect()(0).getLong(0))
+          .cast("long").as("max_list_after"))
+    },
+    Some("""
+      WITH b AS (SELECT vec_id, cluster_id FROM read_parquet(
+        '/tmp/graft_ivfrebal_oracle_%ORACLE_KEY%/before/*.parquet')),
+      a AS (SELECT vec_id, cluster_id FROM read_parquet(
+        '/tmp/graft_ivfrebal_oracle_%ORACLE_KEY%/after/*.parquet')),
+      m AS (SELECT size_cap, max_old_id FROM read_parquet(
+        '/tmp/graft_ivfrebal_oracle_%ORACLE_KEY%/meta/*.parquet')),
+      szb AS (SELECT cluster_id, count(*) AS sz FROM b GROUP BY 1),
+      hot AS (SELECT cluster_id FROM szb, m WHERE sz > size_cap),
+      sza AS (SELECT cluster_id, count(*) AS sz FROM a GROUP BY 1),
+      dup AS (SELECT CAST(count(*) AS BIGINT) AS v FROM (
+          SELECT vec_id FROM a GROUP BY vec_id HAVING count(*) > 1)),
+      fo AS (SELECT b.vec_id AS bv, b.cluster_id AS b_cid,
+                    a.vec_id AS av, a.cluster_id AS a_cid
+             FROM b FULL OUTER JOIN a ON a.vec_id = b.vec_id)
+      SELECT CAST(count(av) AS BIGINT) AS n_vectors,
+             CAST(sum(CASE WHEN av IS NULL OR bv IS NULL THEN 1 ELSE 0
+               END) + (SELECT v FROM dup) AS BIGINT)
+               AS conservation_violations,
+             CAST(sum(CASE WHEN bv IS NOT NULL AND av IS NOT NULL
+                 AND b_cid NOT IN (SELECT cluster_id FROM hot)
+                 AND a_cid <> b_cid THEN 1 ELSE 0 END) AS BIGINT)
+               AS unchanged_mismatch,
+             CAST(sum(CASE WHEN av IS NOT NULL
+                 AND b_cid IN (SELECT cluster_id FROM hot)
+                 AND a_cid <= (SELECT max_old_id FROM m)
+               THEN 1 ELSE 0 END) AS BIGINT) AS moved_stale,
+             CAST((SELECT count(*) FROM hot) AS BIGINT) AS split_clusters,
+             CAST((SELECT max(sz) FROM szb) AS BIGINT) AS max_list_before,
+             CAST((SELECT max(sz) FROM sza) AS BIGINT) AS max_list_after
+      FROM fo
+    """))
+
+  /** Search correctness across a rebalance: at nprobe = nlist the
+    * rebalanced index must still equal EXACT kNN — splitting lists and
+    * re-routing rows may never change what is stored, only where. Full
+    * self-contained flow (copy → rebalance → search) in its own run
+    * dir; the oracle is the same exact-top-5 every full-probe entry
+    * pins against. */
+  private val ivfRebalanceSearch = Q(
+    "ivf_rebalance_search",
+    (s, dir) => {
+      val baseDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val runDir = s"/tmp/graft_ivf_rebalsrch_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      if (!new java.io.File(IvfIndex.centroidsDir(baseDir)).exists())
+        IvfIndex.build(e, "embedding", baseDir, nlist = 16)
+      copyLocalDir(baseDir, runDir)
+      val model0 = IvfIndex.load(s, runDir)
+      val maxBefore = s.read.parquet(IvfIndex.dataDir(runDir))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .agg(max(col("sz"))).collect()(0).getLong(0)
+      val model = IvfIndex.rebalance(s, model0, "embedding",
+        sizeCap = math.max(1L, maxBefore / 2))
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      IvfIndex.search(s, model, "embedding", "vec_id", query, k = 5,
+          nprobe = model.nlist)
+        .select("vec_id", "distance")
+    },
+    Some(exactTop5Oracle))
+
+  /** The walk-replay CTE chain for the MIPS-routed graph walk (see
+    * [[graft.search.GraphAnn.beamSearchMips]]): identical frontier
+    * discipline to the `graph_ann_search` replay, with the per-node
+    * score d = −round(ip, 4) — ascending-d ranking IS descending-ip. */
+  private def mipsWalkCtes: String = {
+    val ip = "round(list_sum(list_transform(range(1, " +
+      "len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) " +
+      "* CAST(q.qe[i] AS DOUBLE))), 4)"
+    s"""
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      adj AS (SELECT src, dst FROM read_parquet(
+        '/tmp/graft_graphmips_oracle_%ORACLE_KEY%/adjacency/*.parquet')),
+      ent AS (SELECT entry_id FROM read_parquet(
+        '/tmp/graft_graphmips_oracle_%ORACLE_KEY%/entry/*.parquet')),
+      dall AS (SELECT e.vec_id AS id, -$ip AS d FROM embeddings e, q),
+      v0 AS (SELECT id, d FROM dall
+             WHERE id IN (SELECT entry_id FROM ent)),
+      f1 AS (SELECT id, d FROM v0 ORDER BY d ASC, id ASC LIMIT 4),
+      n1 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f1 ON a.src = f1.id
+             WHERE a.dst NOT IN (SELECT id FROM v0)),
+      v1 AS (SELECT id, d FROM v0 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n1 USING (id)),
+      x1 AS (SELECT id FROM f1),
+      f2 AS (SELECT id, d FROM v1 WHERE id NOT IN (SELECT id FROM x1)
+             ORDER BY d ASC, id ASC LIMIT 4),
+      n2 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f2 ON a.src = f2.id
+             WHERE a.dst NOT IN (SELECT id FROM v1)),
+      v2 AS (SELECT id, d FROM v1 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n2 USING (id)),
+      x2 AS (SELECT id FROM x1 UNION SELECT id FROM f2),
+      f3 AS (SELECT id, d FROM v2 WHERE id NOT IN (SELECT id FROM x2)
+             ORDER BY d ASC, id ASC LIMIT 4),
+      n3 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f3 ON a.src = f3.id
+             WHERE a.dst NOT IN (SELECT id FROM v2)),
+      v3 AS (SELECT id, d FROM v2 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n3 USING (id))"""
+  }
+
+  /** Shared body of the two MIPS-walk entries: build-or-load the shared
+    * graph artifacts, stage them for the `graphmips` oracle, return
+    * (adjacency, corpus, entryId, query vector 0). */
+  private def mipsWalkSetup(s: org.apache.spark.sql.SparkSession,
+                            dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         Long, Array[Float]) = {
+    import graft.search.GraphAnn
+    val e = Tables.embeddings(s, dir)
+    val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+    val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+      GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+    }
+    val entryDf = graft.core.Artifacts.buildOnce(s, s"$base/entry") {
+      GraphAnn.medoid(e, "vec_id", "embedding")
+    }
+    stageOracle(s, "graphmips", dir)(
+      "adjacency" -> adj.select("src", "dst"),
+      "entry" -> entryDf)
+    val query = e.where(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    (adj, e, entryDf.collect()(0).getLong(0), query)
+  }
+
+  /** MIPS-routed graph walk ([[graft.search.GraphAnn.beamSearchMips]]):
+    * the graph tier serving MAXIMUM INNER PRODUCT — walk ranked by
+    * descending exact IP, completing the metric × index matrix (cosine/
+    * IP previously fell to the flat/norm-pruned/binary tiers). The
+    * oracle replays every round of the ip-ordered walk and the final
+    * ip-desc selection. */
+  private val graphAnnMipsWalk = Q(
+    "graph_ann_mips_walk",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val (adj, e, entryId, query) = mipsWalkSetup(s, dir)
+      GraphAnn.beamSearchMips(adj, e, "vec_id", "embedding", query,
+        entryId, k = 5, beamWidth = 4, rounds = 3, degree = 8)
+    },
+    Some(s"""
+      WITH $mipsWalkCtes
+      SELECT id AS vec_id, -d AS ip FROM v3
+      ORDER BY ip DESC, vec_id ASC LIMIT 5
+    """))
+
+  /** Recall of the MIPS walk against EXACT IP top-k over the corpus —
+    * the measurement row the tier guide advertises next to every other
+    * serving family; both rankings and the hit arithmetic replay in the
+    * oracle. */
+  private val graphAnnMipsRecall = Q(
+    "graph_ann_mips_recall",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      import s.implicits._
+      val (adj, e, entryId, query) = mipsWalkSetup(s, dir)
+      val walk = GraphAnn.beamSearchMips(adj, e, "vec_id", "embedding",
+          query, entryId, k = 5, beamWidth = 4, rounds = 3, degree = 8)
+        .select("vec_id").as[Long].collect().toSet
+      val exact = e.select(col("vec_id"),
+          round(VectorFunctions.dot(col("embedding"),
+            typedlit(query.toSeq)), 4).as("ip"))
+        .orderBy(col("ip").desc, col("vec_id").asc).limit(5)
+        .select("vec_id").as[Long].collect().toSet
+      val hits = walk.intersect(exact).size.toLong
+      Seq((5L, hits, BigDecimal(hits / 5.0)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("k", "hits", "recall")
+    },
+    Some(s"""
+      WITH $mipsWalkCtes,
+      walk AS (SELECT id FROM v3 ORDER BY -d DESC, id ASC LIMIT 5),
+      exact AS (SELECT id FROM dall ORDER BY d ASC, id ASC LIMIT 5),
+      h AS (SELECT CAST(count(*) AS BIGINT) AS hits
+            FROM walk JOIN exact USING (id))
+      SELECT CAST(5 AS BIGINT) AS k, hits,
+             round(hits / 5.0, 4) AS recall
+      FROM h
     """))
 
   val all: Seq[Q] = Seq(ivfSearch, ivfPartialProbe, ivfNprobeAutotune,
@@ -2673,5 +3157,7 @@ object PipelineQueries {
     collectionTimeTravel, collectionVersionDiff,
     collectionAliasSwap, collectionAliasList,
     collectionPointGet, collectionPartitionKey, collectionClone,
-    indexIntegrityReport)
+    indexIntegrityReport, deletedRowsMaskedSearch, indexCompactTombstones,
+    graphAnnMaskedWalk, ivfBulkSearch, graphAnnMipsWalk,
+    graphAnnMipsRecall, ivfRebalanceReport, ivfRebalanceSearch)
 }

@@ -69,6 +69,34 @@ object ScaleBench {
     df.sparkSession.read.parquet(path)
   }
 
+  /** First `m` corpus vectors as a (qid, vector) batch — one bounded
+    * pushed-range fetch (the incoming-query batch a bulk serve tags). */
+  private def bulkQueries(emb: DataFrame,
+                          m: Int): Seq[(Long, Array[Float])] =
+    emb.where(col("vec_id") < m).select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** Local recursive dir copy (rehearsal ops that MUTATE an index work
+    * on a throwaway copy, the query entries' copyLocalDir discipline). */
+  private def copyDir(srcDir: String, dstDir: String): Unit = {
+    val src = java.nio.file.Paths.get(srcDir)
+    val dst = java.nio.file.Paths.get(dstDir)
+    import scala.jdk.CollectionConverters._
+    def walk(p: java.nio.file.Path) = {
+      val s0 = java.nio.file.Files.walk(p)
+      try s0.iterator().asScala.toVector finally s0.close()
+    }
+    if (java.nio.file.Files.exists(dst))
+      walk(dst).sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    walk(src).foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+  }
+
   /** Build-once graph adjacency + medoid entry for a rehearsal corpus:
     * the trained-quantizer build under its auto-derived nlist through
     * 256 k, the training-free SRP-band build past it (the KMeans n·nlist
@@ -167,6 +195,57 @@ object ScaleBench {
             .select("embedding").as[Seq[Float]].head().toArray
           IvfIndex.search(spark, model, "embedding", "vec_id", q,
             k = 5, nprobe = 8).count()
+        }),
+        // bulk serving (round 9): a query BATCH as one plan. Two batch
+        // sizes at every n — the n-exponent shows corpus flatness at
+        // fixed nprobe, the 32→128 ratio at fixed n shows |queries|
+        // linearity (one pruned scan + broadcast restriction + one
+        // window, not |queries| scans).
+        "ivf_bulk_serve (32q, nprobe=8)" -> (() => {
+          val model = IvfIndex.load(spark, s"/tmp/graft_scale/ivf_$n")
+          val qs = bulkQueries(emb, 32)
+          IvfIndex.bulkSearch(spark, model, "embedding", "vec_id", qs,
+            k = 5, nprobe = 8).count()
+        }),
+        "ivf_bulk_serve (128q, nprobe=8)" -> (() => {
+          val model = IvfIndex.load(spark, s"/tmp/graft_scale/ivf_$n")
+          val qs = bulkQueries(emb, 128)
+          IvfIndex.bulkSearch(spark, model, "embedding", "vec_id", qs,
+            k = 5, nprobe = 8).count()
+        }),
+        // tombstone-masked serving (round 9): 1% deletes recorded
+        // against a COPY of the index; the serve-time mask is one
+        // broadcast anti-join inside the pruned scan — the row measures
+        // its cost next to the unmasked ivf_search above.
+        "ivf_search_masked (1% tombstones)" -> (() => {
+          import graft.search.Tombstones
+          import spark.implicits._
+          val dir = s"/tmp/graft_scale/ivf_tomb_$n"
+          if (!new java.io.File(
+              IvfIndex.centroidsDir(dir) + "/_SUCCESS").exists()) {
+            copyDir(s"/tmp/graft_scale/ivf_$n", dir)
+            Tombstones.record(emb.where(col("vec_id") % 100 === 3)
+              .select("vec_id"), dir, "vec_id")
+          }
+          val model = IvfIndex.load(spark, dir)
+          val q = emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head().toArray
+          IvfIndex.search(spark, model, "embedding", "vec_id", q,
+            k = 5, nprobe = 8).count()
+        }),
+        // hot-list rebalance (round 9): split every list above half the
+        // observed max — cost is the hot rows' re-fit (sample-capped)
+        // + reassignment + partition rewrite, NOT a corpus rebuild.
+        "ivf_rebalance (cap=max/2)" -> (() => {
+          val dir = s"/tmp/graft_scale/ivf_rebal_$n"
+          copyDir(s"/tmp/graft_scale/ivf_$n", dir)
+          val model = IvfIndex.load(spark, dir)
+          val maxList = spark.read.parquet(IvfIndex.dataDir(dir))
+            .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+            .agg(max(col("sz"))).collect()(0).getLong(0)
+          IvfIndex.rebalance(spark, model, "embedding",
+            sizeCap = math.max(1L, maxList / 2), maxIter = 10)
+            .nlist.toLong
         }),
         // round 4's scale defect, now measured: deficient ids route
         // through the IVF probe (equi-join on cluster_id) instead of a

@@ -3164,10 +3164,146 @@ object VectorQueries {
       ORDER BY bm25f DESC, doc_id ASC LIMIT 10
     """))
 
+  /** Cross-encoder rerank composed after RRF fusion (see
+    * [[graft.search.Rerank]]): the hybrid BM25+kNN fused top-10 is
+    * joined to its document text (a broadcast point-fetch of the
+    * bounded candidate set) and re-scored by the batched pair-scorer
+    * seam — the deterministic [[graft.search.TokenJaccardScorer]]
+    * offline, a real cross-encoder in production — then re-ranked by
+    * (pair score desc, fusion desc, id asc) and truncated to 5. The
+    * oracle replays the whole stack: BM25, kNN, both rank windows, RRF,
+    * the top-10 cut, and the token-set Jaccard itself. */
+  private val rerankCrossEncoder = Q(
+    "rerank_cross_encoder",
+    (s, dir) => {
+      import graft.search.{Bm25, Rerank, TokenJaccardScorer}
+      val docs = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val bm = Bm25.score(docs, "doc_id", "text",
+        terms = Seq("scan", "filter", "merge"))
+      val bmRanks = Bm25.topRanks(bm, "bm25", n = 20,
+        ascending = false, rankCol = "bm25_rank")
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val kd = e.crossJoin(broadcast(q))
+        .select(col("vec_id").as("id"),
+          round(VectorFunctions.l2Sq(col("embedding"), col("qe")), 4).as("d"))
+      val knnRanks = Bm25.topRanks(kd, "d", n = 20,
+        ascending = true, rankCol = "knn_rank")
+      val fused = Bm25.rrfFuse(bmRanks, "bm25_rank", knnRanks, "knn_rank")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(10)
+        .select("doc_id", "rrf")
+      Rerank.crossEncoderRerank(fused, docs, "doc_id", "text", "rrf",
+        queryText = "scan filter merge", new TokenJaccardScorer, k = 5)
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                           unnest(string_split_regex(text, '\s+')) AS term
+                    FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST((SELECT sum(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)))
+                             FROM documents) AS DOUBLE) / count(*) AS avgdl
+                FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ('scan', 'filter', 'merge') GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dl AS (SELECT doc_id,
+                    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS DOUBLE) AS dl
+             FROM documents),
+      bm AS (SELECT tf.doc_id,
+                    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2)
+                      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))), 4) AS bm25
+             FROM tf JOIN dfq USING (term)
+                     JOIN dl ON dl.doc_id = tf.doc_id
+                     CROSS JOIN stats
+             GROUP BY tf.doc_id),
+      bmr AS (SELECT doc_id, CAST(row_number() OVER
+                       (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS bm25_rank
+              FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 20)),
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      kd AS (SELECT e.vec_id AS doc_id, %L2% AS d FROM embeddings e, q),
+      knr AS (SELECT doc_id, CAST(row_number() OVER
+                       (ORDER BY d ASC, doc_id ASC) AS BIGINT) AS knn_rank
+              FROM (SELECT * FROM kd ORDER BY d ASC, doc_id ASC LIMIT 20)),
+      fused AS (SELECT coalesce(bmr.doc_id, knr.doc_id) AS doc_id,
+                       round(coalesce(1.0 / (60 + bm25_rank), 0)
+                           + coalesce(1.0 / (60 + knn_rank), 0), 6) AS rrf
+                FROM bmr FULL OUTER JOIN knr ON bmr.doc_id = knr.doc_id
+                ORDER BY rrf DESC, doc_id ASC LIMIT 10),
+      dt AS (SELECT f.doc_id, f.rrf,
+                    list_distinct(list_filter(
+                      string_split_regex(lower(d.text), '\s+'),
+                      t -> len(t) > 0)) AS dtoks
+             FROM fused f JOIN documents d USING (doc_id)),
+      ce AS (SELECT doc_id, rrf,
+                    round(CASE WHEN len(list_distinct(list_concat(dtoks,
+                              ['scan', 'filter', 'merge']))) = 0 THEN 0.0
+                          ELSE len(list_intersect(dtoks,
+                                 ['scan', 'filter', 'merge']))
+                            / CAST(len(list_distinct(list_concat(dtoks,
+                                ['scan', 'filter', 'merge']))) AS DOUBLE)
+                          END, 4) AS ce_score
+             FROM dt)
+      SELECT doc_id, rrf, ce_score FROM ce
+      ORDER BY ce_score DESC, rrf DESC, doc_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
+  /** Delete propagation for the LEXICAL family (see
+    * [[graft.search.Tombstones]]): documents are deleted by key against
+    * a built BM25 artifact — postings/doclen are NOT rewritten — and
+    * the search masks them from the ranking while keeping the STALE
+    * artifact's statistics (N, avgdl, df still count the deleted docs:
+    * Milvus's masked-serve semantics, folded away only at compaction).
+    * The oracle recomputes BM25 over the FULL corpus (= the stale
+    * stats) and drops deleted ids at final selection only. */
+  private val bm25MaskedSearch = Q(
+    "bm25_masked_search",
+    (s, dir) => {
+      import graft.search.{Bm25Index, Tombstones}
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_bm25tomb_${math.abs(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Bm25Index.build(docs, "doc_id", "text", idx)
+      Tombstones.record(docs.where(col("doc_id") % 5 === 2)
+        .select(col("doc_id").as("id")), idx, "id")
+      Bm25Index.search(s, idx, Seq("scan", "filter", "merge"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                           unnest(string_split_regex(text, '\s+')) AS term
+                    FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST((SELECT sum(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)))
+                             FROM documents) AS DOUBLE) / count(*) AS avgdl
+                FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ('scan', 'filter', 'merge') GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dl AS (SELECT doc_id,
+                    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS DOUBLE) AS dl
+             FROM documents),
+      bm AS (SELECT tf.doc_id,
+                    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2)
+                      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))), 4) AS bm25
+             FROM tf JOIN dfq USING (term)
+                     JOIN dl ON dl.doc_id = tf.doc_id
+                     CROSS JOIN stats
+             GROUP BY tf.doc_id)
+      SELECT doc_id, bm25 FROM bm
+      WHERE doc_id % 5 <> 2
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """))
+
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery, mrlTruncatedSearch,
     mrlRotatedSearch, mrlRotationReport, opqAdcSearch, opqRecallReport,
     opqIvfPqSearch,
     bm25IncrementalSearch, bm25fSearch, streamingBm25Ingest,
+    bm25MaskedSearch, rerankCrossEncoder,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     sq8RerankSearch, ivfSq8Search, rqAdcSearch, ivfRqSearch,
     rqRecallReport, quantizerErrorReport, normPrunedSearch,

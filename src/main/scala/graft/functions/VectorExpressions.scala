@@ -321,6 +321,68 @@ case class SrpSignature(child: Expression, weights: IndexedSeq[Double],
     copy(child = newChild)
 }
 
+/** Masked query-sum over packed sign words — the S₁ term of the RaBitQ
+  * asymmetric 1-bit estimator ([[graft.search.BinaryVec.asymCosScore]]):
+  * S₁ = Σ_{j: bit j of the signature set} q̂_j, with the signature as an
+  * ARRAY<BIGINT> of 32-bit big-endian packed words and q̂ a per-QUERY
+  * constant shipped as a reference object. One codegen'd loop whose
+  * GENERATED CODE SIZE is constant in dim — the previous formulation
+  * unrolled one CASE term per dimension, which is tight at dim 64 but
+  * blows past JIT/codegen method limits at dim ≥ 1024 and falls back to
+  * interpreted. Accumulation is ascending-j double adds over set bits
+  * only, bit-identical to the unrolled chain (adding 0.0 for an unset
+  * bit is the identity), so every existing oracle hash is unchanged
+  * (SearchOpsSpec pins the equality). Words past the signature's length
+  * contribute nothing (absent ⇒ bit 0 — [[graft.search.BinaryVec
+  * .signWord]]'s alignment contract). */
+case class AsymSignDot(child: Expression, qhat: IndexedSeq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  @transient private lazy val q: Array[Double] = qhat.toArray
+
+  override def prettyName: String = "asym_sign_dot"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> packed sign words, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.asInstanceOf[ArrayData]
+    val n = math.min(q.length, words.numElements() * 32)
+    var acc = 0.0
+    var j = 0
+    while (j < n) {
+      if (((words.getLong(j / 32) >> (31 - (j % 32))) & 1L) == 1L)
+        acc += q(j)
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val qRef = ctx.addReferenceObj("asymQhat", q, "double[]")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($qRef.length, $v.numElements() * 32);
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if ((($v.getLong($j / 32) >> (31 - ($j % 32))) & 1L) == 1L) {
+         |    $acc += $qRef[$j];
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API for the vector kernels. */
 object VectorFunctions {
   def l2Sq(a: Column, b: Column): Column =
@@ -340,4 +402,9 @@ object VectorFunctions {
   def srpSignature(vec: Column, weights: IndexedSeq[IndexedSeq[Double]]): Column =
     Bridge.column(SrpSignature(Bridge.expression(vec),
       weights.flatten.toIndexedSeq, weights.length))
+
+  /** S₁ of the asymmetric 1-bit estimator: Σ of `qhat` over the set bits
+    * of `words` (ARRAY<BIGINT> packed signature). */
+  def asymSignDot(words: Column, qhat: IndexedSeq[Double]): Column =
+    Bridge.column(AsymSignDot(Bridge.expression(words), qhat))
 }

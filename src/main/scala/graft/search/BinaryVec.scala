@@ -82,15 +82,34 @@ object BinaryVec {
     * 1-query state); the per-row work is D conditional adds over the
     * packed words — a scan of ~20-byte rows, no float vector read. */
   def asymCosScore(words: Seq[Column], qhat: Array[Double],
-                   cx: Column): Column = {
+                   cx: Column): Column =
+    asymCosFromS1(words, qhat, cx,
+      graft.functions.VectorFunctions.asymSignDot(
+        array(words: _*), qhat.toIndexedSeq))
+
+  /** The original per-dimension CASE-chain S₁ (one codegen term per dim
+    * — tight at dim 64, past JIT/codegen limits at dim ≥ 1024). Kept as
+    * the reference formulation the kernel path is property-pinned
+    * against (SearchOpsSpec): the [[graft.functions.AsymSignDot]] loop
+    * accumulates in the same ascending-j order, so the two are equal to
+    * the last bit, not merely to tolerance. */
+  private[graft] def asymCosScoreUnrolled(words: Seq[Column],
+                                          qhat: Array[Double],
+                                          cx: Column): Column = {
     val dim = qhat.length
-    require(words.size * 32 == dim,
-      s"need ${dim / 32} packed words for dim $dim, got ${words.size}")
     val s1 = (0 until dim).map { j =>
       val w = words(j / 32)
       val bit = shiftright(w, 31 - (j % 32)).bitwiseAND(lit(1L))
       when(bit === 1L, lit(qhat(j))).otherwise(lit(0.0))
     }.reduce(_ + _)
+    asymCosFromS1(words, qhat, cx, s1)
+  }
+
+  private def asymCosFromS1(words: Seq[Column], qhat: Array[Double],
+                            cx: Column, s1: Column): Column = {
+    val dim = qhat.length
+    require(words.size * 32 == dim,
+      s"need ${dim / 32} packed words for dim $dim, got ${words.size}")
     val stot = lit(qhat.sum)
     round(when(cx === 0f, 0.0)
       .otherwise((s1 * 2.0 - stot)

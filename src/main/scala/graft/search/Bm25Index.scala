@@ -154,11 +154,12 @@ object Bm25Index {
       .agg(sum(col("tfw")).as("tft"))
     val idf = log((col("n_docs") - col("df_") + 0.5) / (col("df_") + 0.5)
       + 1.0)
-    tft.join(dfreq, "term")
+    val scored = tft.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("contrib", idf * col("tft") / (lit(k1) + col("tft")))
       .groupBy(col("id"))
       .agg(round(sum(col("contrib")), 4).as("bm25f"))
+    Tombstones.mask(scored, spark, indexDir, "id")
       .orderBy(col("bm25f").desc, col("id").asc)
       .limit(k)
   }
@@ -177,7 +178,7 @@ object Bm25Index {
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df_"))
     val idf = log((col("n_docs") - col("df_") + 0.5) / (col("df_") + 0.5)
       + 1.0)
-    postings
+    val scored = postings
       .join(dfreq, "term")
       .join(doclen, "id")
       .crossJoin(broadcast(stats))
@@ -187,6 +188,10 @@ object Bm25Index {
             + lit(b) * col("dl").cast("double") / col("avgdl"))))
       .groupBy(col("id"))
       .agg(round(sum(col("contrib")), 4).as("bm25"))
+    // Tombstone mask (delete propagation): scores keep the STALE
+    // artifact's statistics — Milvus's masked-serve semantics — and only
+    // the deleted DOCUMENTS vanish from the ranking; no-op when none.
+    Tombstones.mask(scored, spark, indexDir, "id")
       .orderBy(col("bm25").desc, col("id").asc)
       .limit(k)
   }

@@ -365,6 +365,29 @@ object GraphAnn {
     resultDf(corpus.sparkSession, idCol, top)
   }
 
+  /** Tombstone-masked beam search — delete propagation for the graph
+    * family (FreshDiskANN's delete discipline, Singh et al. 2021: the
+    * walk routes THROUGH deleted nodes — unlinking them eagerly would
+    * disconnect the graph — and deletions are masked from the RESULT
+    * until a background consolidation rewrites the adjacency). `deletes`
+    * is the tombstone key frame ([[Tombstones.table]]); the mask is one
+    * broadcast anti-join over the bounded visited set, so serving cost
+    * is unchanged. Recall under heavy deletion is bought by widening the
+    * beam, exactly like the filtered walk's over-retrieval. */
+  def beamSearchMasked(adj: DataFrame, corpus: DataFrame, idCol: String,
+                       vecCol: String, query: Array[Float], entryId: Long,
+                       k: Int, deletes: DataFrame, beamWidth: Int = 4,
+                       rounds: Int = 3, degree: Int = 8): DataFrame = {
+    val vis = walkVisited(adj, corpus, idCol, vecCol, query, entryId,
+      beamWidth, rounds, degree)
+    Tombstones.maskWith(
+        resultDf(corpus.sparkSession, idCol,
+          vis.sortBy { case (id, d) => (d, id) }),
+        deletes.withColumnRenamed(deletes.columns.head, idCol), idCol)
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** PQ-scored beam walk — DiskANN's actual serving layout (Subramanya
     * et al., NeurIPS 2019 §3: the in-memory structure holds PQ codes,
     * the walk routes on ADC distances, and only the FINAL candidates
@@ -425,6 +448,37 @@ object GraphAnn {
       .withColumn("distance", round(VectorFunctions.l2Sq(col(vecCol), qLit), 4))
       .select(col(idCol), col("route_score"), col("distance"))
       .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** MIPS-routed beam walk — the inner-product member of the metric ×
+    * index matrix (ip-Greedy over a proximity graph: Morozov & Babenko,
+    * NeurIPS 2018 showed the similarity-graph walk carries over to MIPS
+    * by swapping the comparator): the walk ranks frontier and visited
+    * set by DESCENDING exact inner product, expressed through the shared
+    * ascending-route machinery as route = −round(ip, 4) (one negation —
+    * exact, no extra rounding), and the final rerank is exact IP desc
+    * with id tie-breaks, the [[NormPrune.mipsSearch]] projection served
+    * by graph routing instead of a norm-cut scan. The L2-built adjacency
+    * serves as the similarity graph. Returns (idCol, ip). Budget and
+    * determinism contract identical to [[beamSearch]]. */
+  def beamSearchMips(adj: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, query: Array[Float], entryId: Long,
+                     k: Int, beamWidth: Int = 4, rounds: Int = 3,
+                     degree: Int = 8): DataFrame = {
+    val qLit = typedlit(query.toSeq)
+    def ipRoute(ids: Seq[Long]): Array[(Long, Double)] =
+      if (ids.isEmpty) Array.empty
+      else corpus.where(col(idCol).isin(ids: _*))
+        .select(col(idCol).cast("long"),
+          -round(VectorFunctions.dot(col(vecCol), qLit), 4))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val vis = walkVisitedBy(adj, ipRoute, Seq(entryId), nSeeds = 1,
+      beamWidth, rounds, degree)
+    resultDf(corpus.sparkSession, idCol,
+        vis.sortBy { case (id, d) => (d, id) })
+      .select(col(idCol), (-col("distance")).as("ip"))
+      .orderBy(col("ip").desc, col(idCol).asc)
       .limit(k)
   }
 

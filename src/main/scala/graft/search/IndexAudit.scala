@@ -30,9 +30,12 @@ object IndexAudit {
       .agg(count(lit(1)).as("value"))
     val degreeViol = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .where(col("deg") > degreeCap).agg(count(lit(1)).as("value"))
+    // explicit null arm: a corrupted artifact storing a NULL dist makes
+    // `recomputed =!= dist` NULL (row silently dropped) — count it
     val distMismatch = adj.join(sv, "src").join(dv, "dst")
-      .where(round(VectorFunctions.l2Sq(col("sv"), col("dv")), 4)
-        =!= col("dist"))
+      .where(col("dist").isNull ||
+        round(VectorFunctions.l2Sq(col("sv"), col("dv")), 4)
+          =!= col("dist"))
       .agg(count(lit(1)).as("value"))
     val nodes = adj.agg(countDistinct(col("src")).as("value"))
     val selfLoops = adj.where(col("src") === col("dst"))
@@ -47,8 +50,12 @@ object IndexAudit {
   /** Coverage + uniqueness of a derived per-row artifact (codes /
     * signature tables): `<name>_missing` = corpus rows absent from the
     * artifact (a dropped build/append batch), `<name>_dupes` = artifact
-    * ids appearing more than once (a double-processed append). Both 0
-    * on a healthy artifact. */
+    * ids appearing more than once (a double-processed append), and
+    * `<name>_orphans` = artifact ids absent from the CORPUS — the other
+    * direction, which a delete/rewrite of the collection leaves behind
+    * (stale rows a tombstone-less serve would resurrect; pairs with
+    * [[Tombstones]] — after a compact the counter must return to 0).
+    * All three 0 on a healthy artifact. */
   def coverageChecks(corpus: DataFrame, artifactIds: DataFrame,
                      idCol: String, name: String): DataFrame = {
     val missing = corpus.join(artifactIds, Seq(idCol), "left_anti")
@@ -56,8 +63,12 @@ object IndexAudit {
     val dupes = artifactIds.groupBy(col(idCol))
       .agg(count(lit(1)).as("n")).where(col("n") > 1)
       .agg(count(lit(1)).as("value"))
-    row(s"${name}_missing", missing)
-      .unionByName(row(s"${name}_dupes", dupes))
+    val orphans = artifactIds.join(corpus.select(col(idCol)),
+        Seq(idCol), "left_anti")
+      .agg(count(lit(1)).as("value"))
+    row(s"${name}_dupes", dupes)
+      .unionByName(row(s"${name}_missing", missing))
+      .unionByName(row(s"${name}_orphans", orphans))
   }
 
   /** IVF-layout invariants (IvfIndex.build's contract): every assigned
@@ -88,7 +99,14 @@ object IndexAudit {
       .agg(count(lit(1)).as("value"))
     val missingRows = corpus.join(assign, Seq(idCol), "left_anti")
       .agg(count(lit(1)).as("value"))
+    // the artifact→corpus direction: assigned rows whose id left the
+    // corpus (a collection delete/rewrite that never propagated) — the
+    // data-dir twin of coverageChecks' `<name>_orphans`
+    val orphanRows = assign.join(corpus.select(col(idCol)),
+        Seq(idCol), "left_anti")
+      .agg(count(lit(1)).as("value"))
     row("ivf_assign_mismatch", assignMismatch)
       .unionByName(row("ivf_missing_rows", missingRows))
+      .unionByName(row("ivf_orphan_rows", orphanRows))
   }
 }

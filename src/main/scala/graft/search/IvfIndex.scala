@@ -176,16 +176,160 @@ object IvfIndex {
       .orderBy(col("nprobe").asc)
   }
 
+  /** Bulk IVF serving — a BATCH of queries as ONE declarative plan (the
+    * tag-N-incoming-vectors shape [[nprobeCurve]] already uses for
+    * tuning, promoted to an operator; the graph family's
+    * [[GraphAnn.bulkBeamSearch]] twin for this index): each query's
+    * nprobe nearest centroids are ranked driver-side (O(|queries|·
+    * nlist·dim), the same arithmetic as [[probeClusters]]) into a tiny
+    * (qid, cluster_id) restriction table; the data scan is pruned to
+    * the UNION of probed partitions via a pushed `cluster_id IN`
+    * (partition pruning, exactly like single-query serve), the
+    * restriction and query-vector tables are broadcast, and per-query
+    * top-k is one qid-partitioned ranking window. Cost: linear in
+    * |queries| at fixed nprobe, corpus-size-independent per query —
+    * NOT |queries| separate scans. Tombstones are masked like every
+    * serve path. Returns (qid, idCol, distance), qid-ascending with the
+    * usual tie-breaks. */
+  def bulkSearch(spark: SparkSession, model: Model, vecCol: String,
+                 idCol: String, queries: Seq[(Long, Array[Float])],
+                 k: Int, nprobe: Int): DataFrame = {
+    require(queries.nonEmpty, "bulkSearch: empty query batch")
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val probed = queries.flatMap { case (qid, qv) =>
+      probeClusters(model, qv, nprobe).map(cid => (qid, cid))
+    }
+    val ranks = probed.toDF("qid", "cluster_id")
+    val allClusters = probed.map(_._2).distinct
+    val qdf = queries.map { case (qid, qv) => (qid, qv.toSeq) }
+      .toDF("qid", "qv")
+    val scan = spark.read.parquet(dataDir(model.indexDir))
+      .where(col("cluster_id").isin(allClusters: _*))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("distance").asc, col(idCol).asc)
+    Tombstones.mask(scan, spark, model.indexDir, idCol)
+      .join(broadcast(ranks), Seq("cluster_id"))
+      .join(broadcast(qdf), Seq("qid"))
+      .withColumn("distance",
+        round(VectorFunctions.l2Sq(col(vecCol), col("qv")), 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("distance"))
+      .orderBy(col("qid").asc, col("distance").asc, col(idCol).asc)
+  }
+
   /** IVF search: partition-pruned scan over the nprobe nearest clusters,
-    * exact distance within, global top-k via TakeOrderedAndProject. */
+    * exact distance within, global top-k via TakeOrderedAndProject.
+    * Tombstoned rows ([[Tombstones]] under the index dir — the
+    * delete-propagation path) are anti-joined out of the pruned scan
+    * before ranking; with no tombstones the plan is unchanged. */
   def search(spark: SparkSession, model: Model, vecCol: String, idCol: String,
              query: Array[Float], k: Int, nprobe: Int): DataFrame = {
     val clusters = probeClusters(model, query, nprobe)
-    spark.read.parquet(dataDir(model.indexDir))
+    val scan = spark.read.parquet(dataDir(model.indexDir))
       .where(col("cluster_id").isin(clusters: _*))
+    Tombstones.mask(scan, spark, model.indexDir, idCol)
       .withColumn("distance",
         round(VectorFunctions.l2Sq(col(vecCol), typedlit(query)), 4))
       .orderBy(col("distance").asc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Rebalance a skew-drifted index WITHOUT a full rebuild (Milvus
+    * handles the same drift with segment compaction + reindex; Faiss
+    * deployments re-train — both touch the whole corpus; this touches
+    * only the hot lists): every cluster whose size exceeds `sizeCap` is
+    * SPLIT — a sample-capped KMeans re-fit over that cluster's rows
+    * alone ([[TrainSample.forFit]], so the fit cost is bounded
+    * regardless of how hot the list got), its rows reassigned to
+    * ceil(size/sizeCap) fresh sub-centroids — while every other
+    * partition's files are left untouched. Sub-centroids take NEW ids
+    * past the current max, the split centroid leaves the table.
+    *
+    * Swap order = probe-safety order: (1) append sub-partition data,
+    * (2) swap the centroid table (tmp + rename), (3) drop the split
+    * partitions' dirs. A probe-based reader (every serve path here) is
+    * consistent at each step — old centroids never route to the new
+    * partitions, new centroids never route to the old ones; only a raw
+    * full scan of the data dir can observe the transient duplicate
+    * between (1) and (3). Returns the refreshed model ([[load]]). */
+  def rebalance(spark: SparkSession, model: Model, vecCol: String,
+                sizeCap: Long, seed: Long = 42L, maxIter: Int = 20,
+                trainSampleCap: Long = TrainSample.DefaultCap): Model = {
+    require(sizeCap > 0, s"rebalance: sizeCap=$sizeCap")
+    val data = spark.read.parquet(dataDir(model.indexDir))
+    val hot = data.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz")).where(col("sz") > sizeCap)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    if (hot.isEmpty) return model
+    var nextId = model.centroids.map(_._1).max + 1
+    val newCentroids = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Array[Float])]
+    hot.foreach { case (cid, sz) =>
+      val pieces = math.max(2, math.ceil(sz.toDouble / sizeCap).toInt)
+      // partition-pruned read: exactly the hot list's files
+      val rows = spark.read.parquet(dataDir(model.indexDir))
+        .where(col("cluster_id") === cid).drop("cluster_id")
+      val withVec = rows.withColumn("__mlvec", array_to_vector(col(vecCol)))
+      val km = new KMeans()
+        .setK(pieces).setSeed(seed).setMaxIter(maxIter)
+        .setFeaturesCol("__mlvec").setPredictionCol("__sub")
+      val sub = km.fit(
+        TrainSample.forFit(withVec, vecCol, sz, trainSampleCap, pieces))
+      val base = nextId
+      sub.transform(withVec).drop("__mlvec")
+        .withColumn("cluster_id", col("__sub") + lit(base)).drop("__sub")
+        .write.mode("append").partitionBy("cluster_id")
+        .parquet(dataDir(model.indexDir))
+      newCentroids ++= sub.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (base + i, c.toArray.map(_.toFloat))
+      }
+      nextId += pieces
+    }
+    // (2) centroid-table swap: survivors + sub-centroids, tmp + rename
+    val hotIds = hot.map(_._1).toSet
+    val merged = model.centroids.filterNot { case (id, _) => hotIds(id) } ++
+      newCentroids
+    import spark.implicits._
+    val cdir = new org.apache.hadoop.fs.Path(centroidsDir(model.indexDir))
+    val fs = cdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(cdir + "__rebal_tmp")
+    fs.delete(tmp, true)
+    merged.sortBy(_._1).map { case (i, c) => (i, c.toSeq) }.toSeq
+      .toDF("cluster_id", "centroid")
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(cdir + "__rebal_old")
+    fs.delete(old, true)
+    if (!fs.rename(cdir, old))
+      throw new java.io.IOException(
+        s"rebalance: rename $cdir aside failed")
+    if (!fs.rename(tmp, cdir))
+      throw new java.io.IOException(
+        s"rebalance: centroid swap $tmp -> $cdir failed; " +
+          s"previous table is at $old")
+    fs.delete(old, true)
+    // (3) drop the split partitions' directories
+    hot.foreach { case (cid, _) =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        dataDir(model.indexDir), s"cluster_id=$cid"), true)
+    }
+    load(spark, model.indexDir)
+  }
+
+  /** Delete-by-keys against the index WITHOUT rebuilding it: records the
+    * ids as [[Tombstones]]; [[search]] masks them from every subsequent
+    * result until [[compactTombstones]] folds them into the layout. */
+  def delete(ids: DataFrame, model: Model, idCol: String): Unit =
+    Tombstones.record(ids, model.indexDir, idCol)
+
+  /** Fold recorded tombstones into the partitioned data layout (cluster
+    * partitioning preserved) and clear them — Milvus segment compaction
+    * for this index family. */
+  def compactTombstones(spark: SparkSession, model: Model,
+                        idCol: String): Unit = {
+    Tombstones.compact(spark, model.indexDir, dataDir(model.indexDir),
+      Seq(idCol), partitionBy = Seq("cluster_id"))
+    Tombstones.clear(spark, model.indexDir)
   }
 }

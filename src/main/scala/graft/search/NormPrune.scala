@@ -29,15 +29,18 @@ object NormPrune {
 
   /** Phase-1 τ: the max exact distance among the k nearest-BY-NORM rows
     * (real distances ⇒ a valid upper bound on the true k-th distance).
-    * One bounded top-k on the sort key + a 1-row aggregate. */
+    * One bounded top-k on the sort key + a 1-row aggregate. An EMPTY
+    * table has no seeds to bound with — τ = +∞ (a vacuous band keeping
+    * everything, which is then also empty) instead of an NPE. */
   def tauBound(tab: DataFrame, idCol: String, vecCol: String,
                query: Array[Float], k: Int): Double = {
     val qn = queryNorm(query)
-    tab.orderBy(abs(col("norm") - qn).asc, col(idCol).asc)
+    val r = tab.orderBy(abs(col("norm") - qn).asc, col(idCol).asc)
       .limit(k)
       .select(round(VectorFunctions.l2Sq(col(vecCol),
         typedlit(query.toSeq)), 4).as("d"))
-      .agg(max(col("d"))).collect()(0).getDouble(0)
+      .agg(max(col("d"))).collect()(0)
+    if (r.isNullAt(0)) Double.PositiveInfinity else r.getDouble(0)
   }
 
   /** The τ-band slice of the stored table — literal bounds, pushed to
@@ -92,7 +95,10 @@ object NormPrune {
         typedlit(query.toSeq)), 4).as("ip"))
       .orderBy(col("ip").desc)
       .collect().map(_.getDouble(0))
-    seeds(math.min(k, seeds.length) - 1)
+    // no rows ⇒ no bound: τ = −∞ makes the cut vacuous (keep all of the
+    // — equally empty — table) instead of indexing seeds(-1)
+    if (seeds.isEmpty) Double.NegativeInfinity
+    else seeds(math.min(k, seeds.length) - 1)
   }
 
   /** The MIPS norm cut: keep rows with ‖x‖ ≥ (τ − 5e-5)/‖q‖ − slack.

@@ -1,0 +1,129 @@
+package graft.search
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Delete propagation for derived serving artifacts — segment-tombstone
+  * semantics over parquet index dirs (Milvus, the reference's engine,
+  * serves deletes exactly this way: `delete(expr)` writes tombstones and
+  * queries mask them until compaction folds them in; the reference's
+  * client exposes delete next to the insert it uses at src/app.py:230).
+  *
+  * The problem this solves: [[graft.core.Collection.delete]] rewrites the
+  * COLLECTION, but the derived serving artifacts (IVF data dirs, graph
+  * adjacency, BM25 postings, packed signatures, PQ/RQ codes) are built
+  * once and scanned many times — rebuilding every index on every delete
+  * is the one cost no 100 TB deployment pays. Instead:
+  *
+  *   - [[record]] appends deleted ids to `indexDir/deletes/` — a key-only
+  *     parquet append, no artifact rewrite, O(batch) like every other
+  *     incremental-maintenance path here;
+  *   - [[mask]] is the serve-time guard: a LEFT ANTI join of the artifact
+  *     scan against the (distinct) tombstone keys. The tombstone side is
+  *     small next to the corpus, so Catalyst broadcasts it — the mask
+  *     costs one broadcast-hash-anti per query and NO extra shuffle, and
+  *     when no tombstones exist it is a literal no-op (the plan is
+  *     unchanged — zero cost for the common tombstone-free index);
+  *   - [[compact]] folds tombstones into an artifact (rewrite minus
+  *     tombstoned keys, crash-safe tmp+rename swap — the
+  *     [[graft.core.Collection.compact]] protocol), then [[clear]] drops
+  *     the absorbed tombstones. Run it when the tombstone fraction makes
+  *     the broadcast non-trivial, exactly like Milvus segment compaction.
+  *
+  * Correctness contract (what `deleted_rows_masked_search` pins): a
+  * search over a STALE artifact after a delete returns only live rows,
+  * and after [[compact]] the artifact itself carries no deleted keys
+  * ([[IndexAudit.coverageChecks]]'s orphan counter is the detector).
+  */
+object Tombstones {
+  def deletesDir(indexDir: String): String = s"$indexDir/deletes"
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** True if any tombstones are recorded under `indexDir`. */
+  def exist(spark: SparkSession, indexDir: String): Boolean =
+    fs(spark, indexDir).exists(new Path(deletesDir(indexDir)))
+
+  /** Record a batch of deleted keys: appends `ids` (single key column,
+    * cast to long) under `indexDir/deletes/`. Re-deleting an id is
+    * harmless — [[table]] reads the key set distinct. */
+  def record(ids: DataFrame, indexDir: String, idCol: String): Unit =
+    ids.select(col(idCol).cast("long").as(idCol))
+      .write.mode("append").parquet(deletesDir(indexDir))
+
+  /** The distinct tombstone key set (empty 1-column frame if none). */
+  def table(spark: SparkSession, indexDir: String, idCol: String): DataFrame =
+    if (!exist(spark, indexDir))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    else spark.read.parquet(deletesDir(indexDir)).toDF(idCol).distinct()
+
+  /** Serve-time mask: drop `artifact` rows whose `idCol` is tombstoned
+    * under `indexDir`. No tombstones ⇒ returns `artifact` unchanged. */
+  def mask(artifact: DataFrame, spark: SparkSession, indexDir: String,
+           idCol: String): DataFrame =
+    if (!exist(spark, indexDir)) artifact
+    else artifact.join(
+      broadcast(spark.read.parquet(deletesDir(indexDir))
+        .toDF(idCol).distinct()),
+      Seq(idCol), "left_anti")
+
+  /** [[mask]] with an explicit tombstone frame (for artifact scans whose
+    * key column is named differently, or walks composing their own
+    * plans): anti-join on `idCol`, broadcast of the delete side. */
+  def maskWith(artifact: DataFrame, deletes: DataFrame,
+               idCol: String): DataFrame =
+    artifact.join(broadcast(deletes.select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+
+  /** Recorded tombstone count (distinct keys; 0 if none). */
+  def count(spark: SparkSession, indexDir: String): Long =
+    if (!exist(spark, indexDir)) 0L
+    else spark.read.parquet(deletesDir(indexDir)).distinct().count()
+
+  /** Fold the tombstones into one artifact dir: rewrite `artifactDir`
+    * WITHOUT rows whose any-of-`keyCols` key is tombstoned (adjacency
+    * folds on BOTH src and dst; per-row artifacts on their one id),
+    * preserving `partitionBy` layout (the IVF data dir's cluster_id
+    * partitioning is its index structure — a fold must not flatten it).
+    * Crash-safe swap: write `__tomb_tmp`, rename live aside, rename tmp
+    * in, delete old — every step leaves a complete artifact on disk.
+    * Call [[clear]] once EVERY artifact of the index has been folded. */
+  def compact(spark: SparkSession, indexDir: String, artifactDir: String,
+              keyCols: Seq[String],
+              partitionBy: Seq[String] = Nil): Unit = {
+    require(keyCols.nonEmpty, "compact: need at least one key column")
+    if (!exist(spark, indexDir)) return
+    val dead = spark.read.parquet(deletesDir(indexDir))
+      .toDF("__dead_id").distinct()
+    val live = keyCols.foldLeft(spark.read.parquet(artifactDir)) {
+      (df, kc) =>
+        df.join(broadcast(dead), df(kc) === dead("__dead_id"), "left_anti")
+    }
+    val f = fs(spark, artifactDir)
+    val tmp = new Path(artifactDir + "__tomb_tmp")
+    val old = new Path(artifactDir + "__tomb_old")
+    f.delete(tmp, true); f.delete(old, true)
+    val w = live.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
+    if (!f.rename(new Path(artifactDir), old))
+      throw new java.io.IOException(
+        s"tombstone compact: rename $artifactDir aside failed")
+    if (!f.rename(tmp, new Path(artifactDir)))
+      throw new java.io.IOException(
+        s"tombstone compact: rename $tmp -> $artifactDir failed; " +
+          s"previous artifact is at $old")
+    f.delete(old, true)
+  }
+
+  /** Drop the tombstone set — ONLY after every artifact of the index has
+    * been [[compact]]ed, or the deletes would silently resurrect. */
+  def clear(spark: SparkSession, indexDir: String): Unit =
+    fs(spark, indexDir).delete(new Path(deletesDir(indexDir)), true)
+}

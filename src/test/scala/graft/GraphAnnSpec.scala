@@ -192,6 +192,28 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
+  test("MIPS walk: complete graph serves exact IP top-k, ip is exact") {
+    import graft.functions.VectorFunctions
+    // degree ≥ n ⇒ complete graph: one round from any entry visits the
+    // whole corpus, so the MIPS walk's result must equal EXACT inner-
+    // product top-k with the (ip desc, id asc) ordering it advertises
+    val full = GraphAnn.Params(degree = 24, nlist = 2, overlap = 2)
+    val adj = GraphAnn.buildAdjacency(corpus, "vec_id", "embedding", full)
+    val entryId = GraphAnn.medoid(corpus, "vec_id", "embedding")
+      .collect()(0).getLong(0)
+    val q = corpus.where(col("vec_id") === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val got = GraphAnn.beamSearchMips(adj, corpus, "vec_id", "embedding",
+        q, entryId, k = 5, beamWidth = 1, rounds = 1, degree = 24)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = corpus.select(col("vec_id"),
+        round(VectorFunctions.dot(col("embedding"),
+          typedlit(q.toSeq)), 4).as("ip"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, ip) => (-ip, id) }.take(5).toSeq
+    assert(got == exact)
+  }
+
   test("lsh build: degree bound, rebuild determinism, servable adjacency") {
     // the training-free huge-corpus tier must honor the same contracts
     // as the trained-quantizer build: degree cap, byte-identical

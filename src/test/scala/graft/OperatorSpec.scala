@@ -79,6 +79,79 @@ class OperatorSpec extends SparkSpec {
       s"recall too low: ${partial.intersect(exact).size}/10")
   }
 
+  test("IVF bulk serving equals the per-query search, query by query") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = "/tmp/graft_ivf_bulk_test"
+    val model = IvfIndex.build(e, "embedding", dir, nlist = 8)
+    val qs = Seq(0L, 7L, 13L).map { qid =>
+      qid -> e.where(col("vec_id") === qid).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+    }
+    val bulk = IvfIndex.bulkSearch(spark, model, "embedding", "vec_id",
+        qs, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    // the batch plan must reproduce each query's own probe set, pruned
+    // scan, and ranking — per query, in order
+    qs.foreach { case (qid, qv) =>
+      val single = IvfIndex.search(spark, model, "embedding", "vec_id",
+          qv, k = 5, nprobe = 3)
+        .select(col("vec_id"), col("distance"))
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+      assert(bulk.filter(_._1 == qid) == single, s"qid=$qid diverged")
+    }
+    assert(bulk.map(_._1).distinct == qs.map(_._1), "qid ordering")
+  }
+
+  test("IVF rebalance: splits only hot lists, search stays exact") {
+    val r = new scala.util.Random(17)
+    // deliberate skew: 40 rows in a tight blob, 8 far away ⇒ with
+    // nlist=2 one list holds ~40 and must split at cap = max/2
+    val corpus = ((0 until 40).map(i =>
+        (i.toLong, Array.fill(4)((r.nextGaussian() * 0.1).toFloat))) ++
+      (40 until 48).map(i =>
+        (i.toLong, Array.fill(4)((10.0 + r.nextGaussian()).toFloat))))
+      .toDF("vec_id", "embedding")
+    val dir = "/tmp/graft_ivf_rebal_test"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val model0 = IvfIndex.build(corpus, "embedding", dir, nlist = 2)
+    val before = spark.read.parquet(IvfIndex.dataDir(dir))
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toMap
+    val maxBefore = before.groupBy(_._2).map(_._2.size).max
+    val cap = maxBefore / 2
+    val model = IvfIndex.rebalance(spark, model0, "embedding", cap)
+    val after = spark.read.parquet(IvfIndex.dataDir(dir))
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toMap
+    // conservation + only-hot-moved + fresh ids
+    assert(after.keySet == before.keySet)
+    val hot = before.groupBy(_._2).collect {
+      case (cid, m) if m.size > cap => cid
+    }.toSet
+    assert(hot.nonEmpty)
+    before.foreach { case (id, cid) =>
+      if (hot(cid)) assert(after(id) > 1, s"row $id not in a fresh list")
+      else assert(after(id) == cid, s"non-hot row $id moved")
+    }
+    assert(model.nlist == 2 - hot.size +
+      after.values.toSet.count(_ > 1))
+    // full-probe search over the rebalanced layout = exact kNN
+    val q = corpus.where(col("vec_id") === 5).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val got = IvfIndex.search(spark, model, "embedding", "vec_id", q,
+        k = 5, nprobe = model.nlist)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = Knn.topK(corpus, "embedding", "vec_id",
+        corpus.where(col("vec_id") === 5)
+          .select(col("embedding").as("qe")), "qe", 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exact)
+    // a cap above every list size is a no-op
+    val again = IvfIndex.rebalance(spark, model, "embedding",
+      sizeCap = 1000L)
+    assert(again.nlist == model.nlist)
+  }
+
   test("typed similaritySearch returns SearchHit rows with reference semantics") {
     import graft.core.{Knowledge, TypedSearch}
     val coll = Seq(

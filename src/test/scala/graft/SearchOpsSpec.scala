@@ -123,6 +123,33 @@ class SearchOpsSpec extends SparkSpec {
     assert(math.abs(est - cos) < 2e-4, s"est=$est cos=$cos")
   }
 
+  test("asym estimator: codegen loop kernel ≡ unrolled CASE chain") {
+    // the AsymSignDot kernel accumulates in the same ascending-j order
+    // as the unrolled chain, so equality is exact (not tolerance)
+    val r = new scala.util.Random(13)
+    def check(dim: Int, n: Int): Unit = {
+      val q = Array.fill(dim)(r.nextGaussian())
+      val qn = math.sqrt(q.map(v => v * v).sum)
+      val qhat = q.map(_ / qn)
+      val rows = (0L until n.toLong).map(i =>
+        (i, Array.fill(dim)(r.nextGaussian().toFloat)))
+      val words = (0 until dim / 32).map(wi =>
+        BinaryVec.signWord(col("vec"), wi).as(s"w$wi"))
+      val wCols = (0 until dim / 32).map(wi => col(s"w$wi"))
+      val packed = rows.toDF("id", "vec")
+        .select((col("id") +: words :+
+          BinaryVec.signCorrection(col("vec"), dim).as("cx")): _*)
+      val both = packed.select(
+        BinaryVec.asymCosScore(wCols, qhat, col("cx")).as("kernel"),
+        BinaryVec.asymCosScoreUnrolled(wCols, qhat, col("cx"))
+          .as("unrolled")).collect()
+      both.foreach(x => assert(x.getDouble(0) == x.getDouble(1),
+        s"dim=$dim kernel=${x.getDouble(0)} unrolled=${x.getDouble(1)}"))
+    }
+    check(64, 40)
+    check(256, 12) // the high-dim regime the loop kernel exists for
+  }
+
   test("index audit: healthy artifacts score zero on every violation") {
     import graft.search.{GraphAnn, IndexAudit}
     val r = new scala.util.Random(5)
@@ -166,13 +193,32 @@ class SearchOpsSpec extends SparkSpec {
     val healthy = (0L until 10L).map(i => Tuple1(i)).toDF("id")
     val h = IndexAudit.coverageChecks(corpus, healthy, "id", "codes")
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
-    assert(h == Map("codes_missing" -> 0L, "codes_dupes" -> 0L))
-    // a dropped batch (ids 7-9 absent) and one double-appended id
+    assert(h == Map("codes_missing" -> 0L, "codes_dupes" -> 0L,
+      "codes_orphans" -> 0L))
+    // a dropped batch (ids 7-9 absent), one double-appended id, and one
+    // ORPHAN (artifact id 42 no longer in the corpus — the stale row a
+    // collection delete leaves behind)
     val bad = (0L until 7L).map(Tuple1(_)).toDF("id")
-      .unionAll(Seq(Tuple1(3L)).toDF("id"))
+      .unionAll(Seq(Tuple1(3L), Tuple1(42L)).toDF("id"))
     val b = IndexAudit.coverageChecks(corpus, bad, "id", "codes")
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
-    assert(b == Map("codes_missing" -> 3L, "codes_dupes" -> 1L))
+    assert(b == Map("codes_missing" -> 3L, "codes_dupes" -> 1L,
+      "codes_orphans" -> 1L))
+  }
+
+  test("index audit: NULL stored dist fires the graph mismatch counter") {
+    import graft.search.{GraphAnn, IndexAudit}
+    val r = new scala.util.Random(5)
+    val corpus = (0L until 24L).map(i =>
+      (i, Array.fill(4)((r.nextGaussian()).toFloat))).toDF("id", "vec")
+    val adj = GraphAnn.buildAdjacency(corpus, "id", "vec")
+    // a corrupted artifact storing NULL dist must COUNT, not silently
+    // drop out of `recomputed =!= dist` (NULL-propagation blind spot)
+    val bad = adj.unionByName(
+      Seq((5L, 6L, Option.empty[Double])).toDF("src", "dst", "dist"))
+    val checks = IndexAudit.graphChecks(bad, corpus, "id", "vec", 8)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(checks("graph_dist_mismatch") == 1)
   }
 
   test("index audit: IVF wrong assignment and missing row are caught") {
@@ -189,12 +235,16 @@ class SearchOpsSpec extends SparkSpec {
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(healthy("ivf_assign_mismatch") == 0)
     assert(healthy("ivf_missing_rows") == 0)
-    val bad = Seq((0L, 0), (1L, 1), (2L, 1))   // 1 misassigned, 3 missing
+    assert(healthy("ivf_orphan_rows") == 0)
+    // 1 misassigned, 1 corpus id missing, 1 ORPHAN assign row (id 99
+    // left the corpus without delete propagation)
+    val bad = Seq((0L, 0), (1L, 1), (2L, 1), (99L, 0))
       .toDF("id", "cluster_id")
     val caught = IndexAudit.ivfChecks(corpus, bad, cents, "id", "vec")
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(caught("ivf_assign_mismatch") == 1)
     assert(caught("ivf_missing_rows") == 1)
+    assert(caught("ivf_orphan_rows") == 1)
     // near-tie tolerance: a row EXACTLY equidistant to both centroids
     // may carry either assignment without being a violation (the
     // builder's MLlib arithmetic and the audit's recomputation can

@@ -1,0 +1,118 @@
+package graft
+
+import graft.search.{Bm25Index, GraphAnn, IvfIndex, Tombstones}
+import org.apache.spark.sql.functions._
+
+/** Delete propagation to derived serving artifacts: tombstone record /
+  * serve-time mask / compaction fold, across the IVF, graph, and BM25
+  * families. */
+class TombstonesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val d = s"/tmp/graft_test_tomb_$tag"
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    d
+  }
+
+  test("mask is a no-op without tombstones and filters with them") {
+    val dir = freshDir("mask")
+    val df = (0L until 20L).map(i => (i, i * 10)).toDF("id", "v")
+    // no deletes dir: the exact same frame comes back (plan unchanged)
+    assert(Tombstones.mask(df, spark, dir, "id") eq df)
+    assert(!Tombstones.exist(spark, dir))
+    Tombstones.record(Seq(3L, 7L, 7L).toDF("id"), dir, "id")
+    Tombstones.record(Seq(11L).toDF("id"), dir, "id") // second batch
+    assert(Tombstones.count(spark, dir) == 3) // distinct, across batches
+    val live = Tombstones.mask(df, spark, dir, "id")
+      .select("id").as[Long].collect().sorted
+    assert(live.toSeq == (0L until 20L).filterNot(Set(3L, 7L, 11L)))
+    Tombstones.clear(spark, dir)
+    assert(!Tombstones.exist(spark, dir) &&
+      Tombstones.count(spark, dir) == 0)
+  }
+
+  test("IVF: delete masks stale layout; compact folds and clears") {
+    val dir = freshDir("ivf")
+    val r = new scala.util.Random(11)
+    val corpus = (0L until 60L).map(i =>
+      (i, Array.fill(4)(r.nextGaussian().toFloat))).toDF("id", "vec")
+    val model = IvfIndex.build(corpus, "vec", dir, nlist = 4)
+    val q = corpus.where(col("id") === 0).select("vec")
+      .collect()(0).getSeq[Float](0).toArray
+    val full = IvfIndex.search(spark, model, "vec", "id", q, k = 5,
+      nprobe = 4).select("id").as[Long].collect().toSeq
+    // delete the top-1 (id 0 itself): the stale artifact must stop
+    // serving it, and the rest of the exact ranking shifts up by one
+    IvfIndex.delete(Seq(0L).toDF("id"), model, "id")
+    val masked = IvfIndex.search(spark, model, "vec", "id", q, k = 4,
+      nprobe = 4).select("id").as[Long].collect().toSeq
+    assert(!masked.contains(0L))
+    assert(masked == full.filterNot(_ == 0L).take(4))
+    // before compaction the artifact is stale: one orphan vs live corpus
+    val liveCorpus = corpus.where(col("id") =!= 0)
+    val assign = spark.read.parquet(IvfIndex.dataDir(dir))
+      .select(col("id"), col("cluster_id"))
+    import graft.search.IndexAudit
+    val pre = IndexAudit.coverageChecks(liveCorpus, assign.select("id"),
+      "id", "ivf").collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(pre("ivf_orphans") == 1)
+    // compaction physically removes the row, keeps partitioning, clears
+    IvfIndex.compactTombstones(spark, model, "id")
+    assert(!Tombstones.exist(spark, dir))
+    val after = spark.read.parquet(IvfIndex.dataDir(dir))
+    assert(after.count() == 59 &&
+      after.columns.contains("cluster_id"))
+    assert(after.where(col("id") === 0).isEmpty)
+    val post = IndexAudit.coverageChecks(liveCorpus,
+        after.select("id"), "id", "ivf")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(post == Map("ivf_missing" -> 0L, "ivf_dupes" -> 0L,
+      "ivf_orphans" -> 0L))
+    // unmasked search over the compacted layout = the masked result
+    val compacted = IvfIndex.search(spark, model, "vec", "id", q, k = 4,
+      nprobe = 4).select("id").as[Long].collect().toSeq
+    assert(compacted == masked)
+  }
+
+  test("graph: masked walk hides deletions, routes through them") {
+    val r = new scala.util.Random(3)
+    val corpus = (0L until 40L).map(i =>
+      (i, Array.fill(4)(r.nextGaussian().toFloat))).toDF("id", "vec")
+    val adj = GraphAnn.buildAdjacency(corpus, "id", "vec")
+    val entry = GraphAnn.medoid(corpus, "id", "vec")
+      .collect()(0).getLong(0)
+    val q = corpus.where(col("id") === 1).select("vec")
+      .collect()(0).getSeq[Float](0).toArray
+    val plain = GraphAnn.beamSearch(adj, corpus, "id", "vec", q, entry,
+        k = 8, beamWidth = 6)
+      .select("id").as[Long].collect().toSeq
+    val dead = plain.take(2) // tombstone the two best hits
+    val masked = GraphAnn.beamSearchMasked(adj, corpus, "id", "vec", q,
+        entry, k = 5, dead.toDF("id"), beamWidth = 6)
+      .select("id").as[Long].collect().toSeq
+    assert(masked.toSet.intersect(dead.toSet).isEmpty)
+    // label-blind routing: the surviving ranking equals the plain
+    // walk's visited order with the tombstoned ids dropped
+    assert(masked == plain.filterNot(dead.toSet).take(5))
+  }
+
+  test("bm25: masked search keeps stale stats, hides deleted docs") {
+    val dir = freshDir("bm25")
+    val docs = Seq(
+      (0L, "scan the filter scan"), (1L, "merge filter join"),
+      (2L, "scan scan scan"), (3L, "window shuffle"),
+      (4L, "filter merge scan")).toDF("id", "text")
+    Bm25Index.build(docs, "id", "text", dir)
+    val before = Bm25Index.search(spark, dir, Seq("scan", "filter"), 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    Tombstones.record(Seq(2L).toDF("id"), dir, "id")
+    val after = Bm25Index.search(spark, dir, Seq("scan", "filter"), 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(!after.contains(2L))
+    // stale-stats semantics: surviving docs score EXACTLY as before —
+    // the mask never recomputes N/avgdl/df (that is compaction's job)
+    assert(after == before - 2L)
+  }
+}
