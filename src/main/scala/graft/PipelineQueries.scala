@@ -2773,6 +2773,74 @@ object PipelineQueries {
              CAST(0 AS BIGINT) AS tombstones_left
     """))
 
+  /** Streaming delete propagation — deletes arriving as a REAL
+    * micro-batch stream (a CDC delete feed), each batch recorded as
+    * [[graft.search.Tombstones]] by `foreachBatch` (a key-only file
+    * append — the same O(batch) ingest cost as every other streaming
+    * maintenance twin here), then a masked serve over the UNTOUCHED
+    * index layout. The oracle is exact top-k over the live subset, so
+    * a dropped or doubled delete batch changes the tombstone set and
+    * hash-mismatches. Shares `deleted_rows_masked_search`'s base index
+    * (safe: entries run sequentially and each clears + records its own
+    * tombstone set before serving). */
+  private val streamingDeleteIngest = Q(
+    "streaming_delete_ingest",
+    (s, dir) => {
+      import graft.search.Tombstones
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.types._
+      val baseDir = s"/tmp/graft_ivf_tomb_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(baseDir)).exists())
+          IvfIndex.load(s, baseDir)
+        else IvfIndex.build(e, "embedding", baseDir, nlist = 16)
+      Tombstones.clear(s, baseDir)
+      val work = s"/tmp/graft_streamdel_${math.abs(dir.hashCode)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(work).getFileSystem(conf)
+      fs.delete(new Path(work), true)
+      fs.mkdirs(new Path(s"$work/in"))
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+        val tmp = s"$work/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        fs.rename(part, new Path(s"$work/in/$name"))
+        fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
+        fs.delete(new Path(tmp), true)
+      }
+      val dels = e.where(col("vec_id") % 9 === 4).select("vec_id")
+      writeOne(dels.where(col("vec_id") < 150), "00_dels.parquet", 1000000L)
+      writeOne(dels.where(col("vec_id") >= 150 && col("vec_id") < 300),
+        "01_dels.parquet", 2000000L)
+      writeOne(dels.where(col("vec_id") >= 300), "02_dels.parquet",
+        3000000L)
+      val src = s.readStream
+        .schema(StructType(Seq(StructField("vec_id", LongType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+      val q = src.writeStream
+        .option("checkpointLocation", s"$work/_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Tombstones.record(batch, baseDir, "vec_id"); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      IvfIndex.search(s, model, "embedding", "vec_id", query, k = 5,
+          nprobe = model.nlist)
+        .select("vec_id", "distance")
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      live AS (SELECT * FROM embeddings WHERE vec_id % 9 <> 4)
+      SELECT e.vec_id, %L2% AS distance
+      FROM live e, q
+      ORDER BY distance ASC, e.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   /** Bulk IVF serving ([[graft.search.IvfIndex.bulkSearch]]): the three
     * bulk query vectors served at PARTIAL probe (nprobe=4 of nlist=16)
     * as ONE plan — union-of-probed-partitions pruned scan, broadcast
@@ -3159,5 +3227,6 @@ object PipelineQueries {
     collectionPointGet, collectionPartitionKey, collectionClone,
     indexIntegrityReport, deletedRowsMaskedSearch, indexCompactTombstones,
     graphAnnMaskedWalk, ivfBulkSearch, graphAnnMipsWalk,
-    graphAnnMipsRecall, ivfRebalanceReport, ivfRebalanceSearch)
+    graphAnnMipsRecall, ivfRebalanceReport, ivfRebalanceSearch,
+    streamingDeleteIngest)
 }

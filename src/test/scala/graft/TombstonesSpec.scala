@@ -98,6 +98,21 @@ class TombstonesSpec extends SparkSpec {
     assert(masked == plain.filterNot(dead.toSet).take(5))
   }
 
+  test("compact folds multi-key artifacts: adjacency drops both ends") {
+    val dir = freshDir("adjfold")
+    val adjDir = s"$dir/adjacency"
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (2L, 4L))
+      .toDF("src", "dst")
+      .write.mode("overwrite").parquet(adjDir)
+    Tombstones.record(Seq(1L).toDF("id"), dir, "id")
+    Tombstones.compact(spark, dir, adjDir, keyCols = Seq("src", "dst"))
+    Tombstones.clear(spark, dir)
+    val left = spark.read.parquet(adjDir)
+      .as[(Long, Long)].collect().toSet
+    // every edge touching node 1 is gone — src OR dst
+    assert(left == Set((2L, 3L), (2L, 4L)))
+  }
+
   test("bm25: masked search keeps stale stats, hides deleted docs") {
     val dir = freshDir("bm25")
     val docs = Seq(
