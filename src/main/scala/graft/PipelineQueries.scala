@@ -3090,6 +3090,59 @@ object PipelineQueries {
     },
     Some(exactTop5Oracle))
 
+  /** Graph delete CONSOLIDATION (see
+    * [[graft.search.GraphAnn.consolidateDeletes]]) — the fold that
+    * retires `graph_ann_masked_walk`'s tombstones: edges touching a
+    * deleted node drop, connectivity through each deleted node is
+    * repaired in-neighbor → out-neighbor with recomputed exact
+    * distances, and every source re-prunes to the degree cap. Output =
+    * the full consolidated adjacency; the oracle replays survivors,
+    * the via-node repair candidates, the distance recompute, the
+    * min-dist merge, and the per-source cap window, edge by edge. */
+  private val graphConsolidateDeletes = Q(
+    "graph_consolidate_deletes",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      stageOracle(s, "graphfold", dir)("adjacency" -> adj)
+      val deletes = e.where(col("vec_id") % 7 === 3).select("vec_id")
+      GraphAnn.consolidateDeletes(adj, e, "vec_id", "embedding",
+          deletes, degree = 8)
+        .orderBy(col("src").asc, col("dst").asc)
+    },
+    Some(s"""
+      WITH adj AS (SELECT src, dst, dist FROM read_parquet(
+        '/tmp/graft_graphfold_oracle_%ORACLE_KEY%/adjacency/*.parquet')),
+      dead AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 3),
+      live AS (SELECT src, dst, dist FROM adj
+               WHERE src NOT IN (SELECT vec_id FROM dead)
+                 AND dst NOT IN (SELECT vec_id FROM dead)),
+      inn AS (SELECT a.src AS rsrc, a.dst AS via FROM adj a
+              WHERE a.dst IN (SELECT vec_id FROM dead)
+                AND a.src NOT IN (SELECT vec_id FROM dead)),
+      outn AS (SELECT a.src AS via, a.dst AS rdst FROM adj a
+               WHERE a.src IN (SELECT vec_id FROM dead)
+                 AND a.dst NOT IN (SELECT vec_id FROM dead)),
+      rep AS (SELECT DISTINCT rsrc, rdst FROM inn JOIN outn USING (via)
+              WHERE rsrc <> rdst),
+      repd AS (SELECT r.rsrc AS src, r.rdst AS dst,
+                      ${duckL2("a.embedding", "b.embedding")} AS dist
+               FROM rep r JOIN embeddings a ON a.vec_id = r.rsrc
+                          JOIN embeddings b ON b.vec_id = r.rdst),
+      merged AS (SELECT src, dst, min(dist) AS dist FROM (
+          SELECT * FROM live UNION ALL SELECT * FROM repd) u
+        GROUP BY src, dst),
+      pruned AS (SELECT src, dst, dist FROM (
+          SELECT src, dst, dist, row_number() OVER (PARTITION BY src
+              ORDER BY dist ASC, dst ASC) AS rn FROM merged) t
+        WHERE rn <= 8)
+      SELECT src, dst, dist FROM pruned ORDER BY src ASC, dst ASC
+    """))
+
   /** The walk-replay CTE chain for the MIPS-routed graph walk (see
     * [[graft.search.GraphAnn.beamSearchMips]]): identical frontier
     * discipline to the `graph_ann_search` replay, with the per-node
@@ -3228,5 +3281,5 @@ object PipelineQueries {
     indexIntegrityReport, deletedRowsMaskedSearch, indexCompactTombstones,
     graphAnnMaskedWalk, ivfBulkSearch, graphAnnMipsWalk,
     graphAnnMipsRecall, ivfRebalanceReport, ivfRebalanceSearch,
-    streamingDeleteIngest)
+    streamingDeleteIngest, graphConsolidateDeletes)
 }

@@ -451,6 +451,60 @@ object GraphAnn {
       .limit(k)
   }
 
+  /** Delete consolidation — the graph family's [[Tombstones.compact]]
+    * (FreshDiskANN's consolidation, Singh et al. 2021: masking serves
+    * deletes cheaply, but tombstones accumulate and deleted nodes keep
+    * doing routing work — a background consolidation folds them out).
+    * Plain edge removal can DISCONNECT the graph (a deleted hub strands
+    * everything it bridged), so each deleted node's routing role is
+    * inherited by its neighborhood: candidate repair edges in-neighbor →
+    * out-neighbor THROUGH every deleted node, scored by recomputed exact
+    * distance, merged with the surviving edges, and re-pruned to the
+    * degree cap per source.
+    *
+    * One declarative plan, linear in corpus + deletes: two broadcast
+    * anti-joins (survivors), two broadcast joins through the deleted
+    * via-nodes (≤ degree² candidates per deleted node), a (src, dst)
+    * dedup aggregate, two corpus joins for the recomputed distance, one
+    * per-src ranking window. Returns the consolidated (src, dst, dist)
+    * adjacency — serve it with the plain (unmasked) walks; the
+    * [[graft.search.IndexAudit]] orphan counter returns to 0. */
+  def consolidateDeletes(adj: DataFrame, corpus: DataFrame, idCol: String,
+                         vecCol: String, deletes: DataFrame,
+                         degree: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dead = broadcast(deletes
+      .select(col(deletes.columns.head).cast("long").as("__dead"))
+      .distinct())
+    val liveEdges = adj
+      .join(dead, col("src") === col("__dead"), "left_anti")
+      .join(dead, col("dst") === col("__dead"), "left_anti")
+      .select(col("src"), col("dst"), col("dist"))
+    val inEdges = adj.join(dead, col("dst") === col("__dead"))
+      .select(col("src").as("rsrc"), col("dst").as("via"))
+      .join(dead, col("rsrc") === col("__dead"), "left_anti")
+    val outEdges = adj.join(dead, col("src") === col("__dead"))
+      .select(col("src").as("via"), col("dst").as("rdst"))
+      .join(dead, col("rdst") === col("__dead"), "left_anti")
+    val sv = corpus.select(col(idCol).cast("long").as("rsrc"),
+      col(vecCol).as("__sv"))
+    val dv = corpus.select(col(idCol).cast("long").as("rdst"),
+      col(vecCol).as("__dv"))
+    val repairs = inEdges.join(outEdges, "via")
+      .where(col("rsrc") =!= col("rdst"))
+      .select(col("rsrc"), col("rdst")).distinct()
+      .join(sv, "rsrc").join(dv, "rdst")
+      .select(col("rsrc").as("src"), col("rdst").as("dst"),
+        round(VectorFunctions.l2Sq(col("__sv"), col("__dv")), 4)
+          .as("dist"))
+    val merged = liveEdges.unionByName(repairs)
+      .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("dist").asc, col("dst").asc)
+    merged.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= degree).drop("__rn")
+  }
+
   /** MIPS-routed beam walk — the inner-product member of the metric ×
     * index matrix (ip-Greedy over a proximity graph: Morozov & Babenko,
     * NeurIPS 2018 showed the similarity-graph walk carries over to MIPS

@@ -113,6 +113,51 @@ class TombstonesSpec extends SparkSpec {
     assert(left == Set((2L, 3L), (2L, 4L)))
   }
 
+  test("graph consolidation: hub delete repairs connectivity") {
+    // a path 0 —— 1 —— 2: every edge touches the hub 1, so naive edge
+    // removal disconnects 0 from 2; consolidation must inherit the
+    // hub's routing role as a recomputed-distance 0 —— 2 edge
+    val corpus = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 0f)), (2L, Array(2f, 0f)))
+      .toDF("id", "vec")
+    val adj = Seq(
+      (0L, 1L, 1.0), (1L, 0L, 1.0), (1L, 2L, 1.0), (2L, 1L, 1.0))
+      .toDF("src", "dst", "dist")
+    val folded = GraphAnn.consolidateDeletes(adj, corpus, "id", "vec",
+        Seq(1L).toDF("id"), degree = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(folded == Set((0L, 2L, 4.0), (2L, 0L, 4.0)))
+    // and the plain (unmasked) walk serves the repaired graph: from
+    // entry 0 it now reaches 2 without routing through the dead hub
+    val live = corpus.where(col("id") =!= 1)
+    val got = GraphAnn.beamSearch(folded.toSeq.toDF("src", "dst", "dist"),
+        live, "id", "vec",
+        query = Array(2f, 0f), entryId = 0L, k = 1)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+  }
+
+  test("graph consolidation: degree cap holds, no dead endpoints") {
+    val r = new scala.util.Random(23)
+    val corpus = (0L until 30L).map(i =>
+      (i, Array.fill(4)(r.nextGaussian().toFloat))).toDF("id", "vec")
+    val adj = GraphAnn.buildAdjacency(corpus, "id", "vec")
+    val dead = Seq(2L, 9L, 16L, 23L).toDF("id")
+    val folded = GraphAnn.consolidateDeletes(adj, corpus, "id", "vec",
+      dead, degree = 8)
+    val deadSet = Set(2L, 9L, 16L, 23L)
+    val edges = folded.as[(Long, Long, Double)].collect()
+    assert(edges.nonEmpty)
+    assert(edges.forall { case (s, d, _) => !deadSet(s) && !deadSet(d) })
+    val maxDeg = edges.groupBy(_._1).map(_._2.length).max
+    assert(maxDeg <= 8, s"degree $maxDeg > 8 after consolidation")
+    // idempotent: consolidating the same deletes again changes nothing
+    val again = GraphAnn.consolidateDeletes(
+        folded, corpus, "id", "vec", dead, degree = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again == edges.toSet)
+  }
+
   test("bm25: masked search keeps stale stats, hides deleted docs") {
     val dir = freshDir("bm25")
     val docs = Seq(
