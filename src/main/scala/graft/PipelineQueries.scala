@@ -2988,7 +2988,10 @@ object PipelineQueries {
       val maxBefore = before.groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("sz"))
         .agg(max(col("sz"))).collect()(0).getLong(0)
-      val sizeCap = math.max(1L, maxBefore / 2)
+      // cap just under the observed max: only the largest list(s)
+      // split (1-2 fits) — the contract pin; the HARSH cap decade
+      // (max/2, ~50 of 64 lists hot) lives in ScaleBench/SCALE.md
+      val sizeCap = math.max(1L, maxBefore - 1)
       val maxOldId = model.centroids.map(_._1).max
       // snapshot the pre-image BEFORE the rebalance mutates the run dir
       // — as a parquet table, never a driver collect (the assignment
@@ -3081,11 +3084,46 @@ object PipelineQueries {
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
         .agg(max(col("sz"))).collect()(0).getLong(0)
       val model = IvfIndex.rebalance(s, model0, "embedding",
-        sizeCap = math.max(1L, maxBefore / 2))
+        sizeCap = math.max(1L, maxBefore - 1))
       val query = e.where(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).toArray
       IvfIndex.search(s, model, "embedding", "vec_id", query, k = 5,
           nprobe = model.nlist)
+        .select("vec_id", "distance")
+    },
+    Some(exactTop5Oracle))
+
+  /** Index UPSERT without rebuild
+    * ([[graft.search.IvfIndex.upsertBatch]]/[[graft.search.IvfIndex
+    * .searchLatest]]): the base index is built over a corpus whose
+    * `vec_id % 10 = 1` vectors are WRONG (reversed) — the state an
+    * upsert must repair — then the true vectors arrive as a versioned
+    * batch (appended with their OWN cluster assignments; the stale rows
+    * stay in the layout untouched) and the latest-wins serve must equal
+    * exact kNN over the TRUE corpus. A serve that forgets the version
+    * window ranks the stale reversed vectors and hash-mismatches; the
+    * oracle is the plain exact-top-5. Per-run copy (appends must not
+    * compound). */
+  private val ivfUpsertSearch = Q(
+    "ivf_upsert_search",
+    (s, dir) => {
+      val baseDir = s"/tmp/graft_ivf_upbase_${math.abs(dir.hashCode)}"
+      val runDir = s"/tmp/graft_ivf_upsert_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      if (!new java.io.File(IvfIndex.centroidsDir(baseDir)).exists()) {
+        val corrupted = e.withColumn("embedding",
+          when(col("vec_id") % 10 === 1, reverse(col("embedding")))
+            .otherwise(col("embedding")))
+        IvfIndex.build(corrupted, "embedding", baseDir, nlist = 16)
+      }
+      copyLocalDir(baseDir, runDir)
+      val model = IvfIndex.load(s, runDir)
+      IvfIndex.upsertBatch(e.where(col("vec_id") % 10 === 1),
+        "embedding", model, "vec_id", ver = 1)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      IvfIndex.searchLatest(s, model, "embedding", "vec_id", query,
+          k = 5, nprobe = model.nlist)
         .select("vec_id", "distance")
     },
     Some(exactTop5Oracle))
@@ -3281,5 +3319,5 @@ object PipelineQueries {
     indexIntegrityReport, deletedRowsMaskedSearch, indexCompactTombstones,
     graphAnnMaskedWalk, ivfBulkSearch, graphAnnMipsWalk,
     graphAnnMipsRecall, ivfRebalanceReport, ivfRebalanceSearch,
-    streamingDeleteIngest, graphConsolidateDeletes)
+    streamingDeleteIngest, graphConsolidateDeletes, ivfUpsertSearch)
 }

@@ -236,6 +236,92 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** UPSERT a batch against the index WITHOUT rebuilding it — the
+    * remaining maintenance verb after append (new keys) and delete
+    * (tombstones): replaced keys need BOTH, because the new vector may
+    * land in a different cluster while the old row stays in the stale
+    * layout, and a key-level tombstone would kill the new row too.
+    * Segment-version semantics (Milvus/Delta both serve upserts this
+    * way): the batch appends with an explicit `__ver` literal (strictly
+    * greater than any prior batch's — the caller's sequence number; two
+    * batches must not share one), and [[searchLatest]] serves
+    * latest-version-wins per key. [[compactVersions]] folds the history
+    * physically. Assignment arithmetic = [[append]]. */
+  def upsertBatch(batch: DataFrame, vecCol: String, model: Model,
+                  idCol: String, ver: Long): Unit = {
+    require(ver >= 1, s"upsertBatch: ver=$ver (base rows are version 0)")
+    val centArr = array(model.centroids.map { case (i, c) =>
+      struct(
+        VectorFunctions.l2Sq(col(vecCol), typedlit(c.toSeq)).as("d"),
+        lit(i).as("cluster_id"))
+    }: _*)
+    batch.withColumn("cluster_id",
+        array_min(centArr).getField("cluster_id"))
+      .withColumn("__ver", lit(ver))
+      .write.mode("append").partitionBy("cluster_id")
+      .parquet(dataDir(model.indexDir))
+  }
+
+  /** [[search]] over an upserted layout: per-key latest-version-wins
+    * (base rows without a `__ver` column read as version 0 via a
+    * merged-schema scan), then the tombstone mask, then exact ranking.
+    * The extra cost vs plain [[search]] is ONE key-partitioned window
+    * over the PROBED slice — the price of serving upserts from a stale
+    * layout; [[compactVersions]] returns the index to the plain path.
+    * Falls back to [[search]] exactly when no upsert ever happened. */
+  def searchLatest(spark: SparkSession, model: Model, vecCol: String,
+                   idCol: String, query: Array[Float], k: Int,
+                   nprobe: Int): DataFrame = {
+    val scan = spark.read.option("mergeSchema", "true")
+      .parquet(dataDir(model.indexDir))
+    if (!scan.columns.contains("__ver"))
+      return search(spark, model, vecCol, idCol, query, k, nprobe)
+    val clusters = probeClusters(model, query, nprobe)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(coalesce(col("__ver"), lit(0L)).desc)
+    val latest = scan.where(col("cluster_id").isin(clusters: _*))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn", "__ver")
+    Tombstones.mask(latest, spark, model.indexDir, idCol)
+      .withColumn("distance",
+        round(VectorFunctions.l2Sq(col(vecCol), typedlit(query)), 4))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Fold upsert history physically: keep only each key's latest
+    * version (the row keeps ITS OWN cluster assignment — the new
+    * vector's cluster, not the stale row's), drop the version column,
+    * crash-safe swap, partitioning preserved. After this, plain
+    * [[search]] serves the index again with no window. */
+  def compactVersions(spark: SparkSession, model: Model,
+                      idCol: String): Unit = {
+    val scan = spark.read.option("mergeSchema", "true")
+      .parquet(dataDir(model.indexDir))
+    if (!scan.columns.contains("__ver")) return
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(coalesce(col("__ver"), lit(0L)).desc)
+    val latest = scan.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn", "__ver")
+    val d = new org.apache.hadoop.fs.Path(dataDir(model.indexDir))
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(d + "__ver_tmp")
+    val old = new org.apache.hadoop.fs.Path(d + "__ver_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    latest.write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(tmp.toString)
+    if (!fs.rename(d, old))
+      throw new java.io.IOException(
+        s"compactVersions: rename $d aside failed")
+    if (!fs.rename(tmp, d))
+      throw new java.io.IOException(
+        s"compactVersions: rename $tmp -> $d failed; previous layout " +
+          s"is at $old")
+    fs.delete(old, true)
+  }
+
   /** Rebalance a skew-drifted index WITHOUT a full rebuild (Milvus
     * handles the same drift with segment compaction + reindex; Faiss
     * deployments re-train — both touch the whole corpus; this touches
@@ -266,6 +352,11 @@ object IvfIndex {
     var nextId = model.centroids.map(_._1).max + 1
     val newCentroids = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Array[Float])]
+    // per-hot-list fits are separate (tiny, sample-capped) KMeans jobs;
+    // the REASSIGNED ROWS accumulate and land in ONE partitioned append
+    // — |hot| fit jobs + 1 write job, not 2 jobs per hot list
+    val subAssigned = scala.collection.mutable.ArrayBuffer
+      .empty[DataFrame]
     hot.foreach { case (cid, sz) =>
       val pieces = math.max(2, math.ceil(sz.toDouble / sizeCap).toInt)
       // partition-pruned read: exactly the hot list's files
@@ -278,15 +369,16 @@ object IvfIndex {
       val sub = km.fit(
         TrainSample.forFit(withVec, vecCol, sz, trainSampleCap, pieces))
       val base = nextId
-      sub.transform(withVec).drop("__mlvec")
+      subAssigned += sub.transform(withVec).drop("__mlvec")
         .withColumn("cluster_id", col("__sub") + lit(base)).drop("__sub")
-        .write.mode("append").partitionBy("cluster_id")
-        .parquet(dataDir(model.indexDir))
       newCentroids ++= sub.clusterCenters.zipWithIndex.map { case (c, i) =>
         (base + i, c.toArray.map(_.toFloat))
       }
       nextId += pieces
     }
+    subAssigned.reduce(_ unionByName _)
+      .write.mode("append").partitionBy("cluster_id")
+      .parquet(dataDir(model.indexDir))
     // (2) centroid-table swap: survivors + sub-centroids, tmp + rename
     val hotIds = hot.map(_._1).toSet
     val merged = model.centroids.filterNot { case (id, _) => hotIds(id) } ++

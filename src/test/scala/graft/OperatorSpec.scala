@@ -152,6 +152,62 @@ class OperatorSpec extends SparkSpec {
     assert(again.nlist == model.nlist)
   }
 
+  test("IVF upsert: latest version wins; compaction folds the history") {
+    import graft.search.Tombstones
+    val r = new scala.util.Random(29)
+    val truth = (0L until 48L).map(i =>
+      (i, Array.fill(4)(r.nextGaussian().toFloat)))
+    val corpus = truth.toDF("vec_id", "embedding")
+    val dir = "/tmp/graft_ivf_upsert_test"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // base layout carries WRONG vectors for ids % 5 == 1
+    val corrupted = corpus.withColumn("embedding",
+      when(col("vec_id") % 5 === 1, reverse(col("embedding")))
+        .otherwise(col("embedding")))
+    val model = IvfIndex.build(corrupted, "embedding", dir, nlist = 4)
+    IvfIndex.upsertBatch(corpus.where(col("vec_id") % 5 === 1),
+      "embedding", model, "vec_id", ver = 1)
+    val q = truth(7)._2
+    def exactOver(c: org.apache.spark.sql.DataFrame) =
+      Knn.topK(c, "embedding", "vec_id",
+          Seq(Tuple1(q.toSeq)).toDF("qe"), "qe", 5)
+        .select("vec_id").as[Long].collect().toSeq
+    val latest = IvfIndex.searchLatest(spark, model, "embedding",
+        "vec_id", q, k = 5, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(latest == exactOver(corpus),
+      "latest-wins serve must equal exact kNN over the TRUE corpus")
+    // a second upsert of one key supersedes the first
+    val moved = corpus.where(col("vec_id") === 7)
+      .withColumn("embedding", reverse(col("embedding")))
+    IvfIndex.upsertBatch(moved, "embedding", model, "vec_id", ver = 2)
+    val truth2 = corpus.withColumn("embedding",
+      when(col("vec_id") === 7, reverse(col("embedding")))
+        .otherwise(col("embedding")))
+    val latest2 = IvfIndex.searchLatest(spark, model, "embedding",
+        "vec_id", q, k = 5, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(latest2 == exactOver(truth2))
+    // delete composes with versions: tombstoning a key hides EVERY
+    // version of it
+    IvfIndex.delete(Seq(Tuple1(7L)).toDF("vec_id"), model, "vec_id")
+    val masked = IvfIndex.searchLatest(spark, model, "embedding",
+        "vec_id", q, k = 5, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(masked == exactOver(truth2.where(col("vec_id") =!= 7)))
+    Tombstones.clear(spark, dir)
+    // compaction: one physical row per key, version column gone, plain
+    // search serves the same ranking with no window
+    IvfIndex.compactVersions(spark, model, "vec_id")
+    val after = spark.read.parquet(IvfIndex.dataDir(dir))
+    assert(after.count() == 48 && !after.columns.contains("__ver"))
+    val plain = IvfIndex.search(spark, model, "embedding", "vec_id", q,
+        k = 5, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(plain == latest2)
+  }
+
   test("typed similaritySearch returns SearchHit rows with reference semantics") {
     import graft.core.{Knowledge, TypedSearch}
     val coll = Seq(
