@@ -2667,27 +2667,10 @@ object PipelineQueries {
       ORDER BY check_name ASC
     """))
 
-  /** Recursive local-dir copy for entries that must MUTATE an index
-    * artifact per run (compaction, rebalance): the base is built once
-    * per JVM+fixture, each invocation works on a throwaway copy, so
-    * repeated runs never compound. */
-  private def copyLocalDir(srcDir: String, dstDir: String): Unit = {
-    val src = java.nio.file.Paths.get(srcDir)
-    val dst = java.nio.file.Paths.get(dstDir)
-    import scala.jdk.CollectionConverters._
-    def walk(p: java.nio.file.Path) = {
-      val s0 = java.nio.file.Files.walk(p)
-      try s0.iterator().asScala.toVector finally s0.close()
-    }
-    if (java.nio.file.Files.exists(dst))
-      walk(dst).sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-    walk(src).foreach { p =>
-      val t = dst.resolve(src.relativize(p))
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.createDirectories(t)
-      else java.nio.file.Files.copy(p, t)
-    }
-  }
+  /** Per-run throwaway copy of a mutable index base — see
+    * [[graft.core.Artifacts.copyLocalDir]]. */
+  private def copyLocalDir(srcDir: String, dstDir: String): Unit =
+    graft.core.Artifacts.copyLocalDir(srcDir, dstDir)
 
   /** Delete propagation to a derived index, serve side (see
     * [[graft.search.Tombstones]]): rows are deleted by KEY against a
@@ -2969,9 +2952,10 @@ object PipelineQueries {
     * untouched. Works on a per-run copy. Output pins the operation's
     * whole contract, each column replayed by the oracle from the staged
     * before/after assignments + the cap: row conservation (no id lost,
-    * duplicated, or invented), non-hot assignments untouched, every
-    * moved row landed in a FRESH list (id past the old max), the split
-    * count, and the before/after max list sizes. */
+    * duplicated, or invented), non-hot assignments untouched, no moved
+    * row left in a REMOVED list (globally reassigned rows may land in
+    * a fresh sub-list or, for boundary rows, a survivor — never a dead
+    * one), the split count, and the before/after max list sizes. */
   private val ivfRebalanceReport = Q(
     "ivf_rebalance_report",
     (s, dir) => {
@@ -3008,6 +2992,7 @@ object PipelineQueries {
       val hot = beforeDf.groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("sz")).where(col("sz") > sizeCap)
         .select(col("cluster_id").as("hot_cid"))
+      val hotIdList = hot.collect().map(_.getInt(0)).toSeq // <= nlist rows
       val j = beforeDf.withColumnRenamed("cluster_id", "b_cid")
         .join(after.withColumnRenamed("cluster_id", "a_cid"),
           Seq("vec_id"), "full_outer")
@@ -3022,9 +3007,9 @@ object PipelineQueries {
         sum(when(col("hot_cid").isNull && col("b_cid").isNotNull
             && col("a_cid").isNotNull && col("a_cid") =!= col("b_cid"),
           1L).otherwise(0L)).cast("long").as("unchanged_mismatch"),
-        sum(when(col("hot_cid").isNotNull && col("a_cid").isNotNull
-            && col("a_cid") <= maxOldId, 1L).otherwise(0L))
-          .cast("long").as("moved_stale"),
+        sum(when(col("a_cid").isNotNull
+            && col("a_cid").isin(hotIdList: _*), 1L).otherwise(0L))
+          .cast("long").as("moved_to_dead"),
         countDistinct(col("hot_cid")).as("split_clusters"),
         lit(maxBefore).cast("long").as("max_list_before"),
         lit(after.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
@@ -3055,9 +3040,8 @@ object PipelineQueries {
                  AND a_cid <> b_cid THEN 1 ELSE 0 END) AS BIGINT)
                AS unchanged_mismatch,
              CAST(sum(CASE WHEN av IS NOT NULL
-                 AND b_cid IN (SELECT cluster_id FROM hot)
-                 AND a_cid <= (SELECT max_old_id FROM m)
-               THEN 1 ELSE 0 END) AS BIGINT) AS moved_stale,
+                 AND a_cid IN (SELECT cluster_id FROM hot)
+               THEN 1 ELSE 0 END) AS BIGINT) AS moved_to_dead,
              CAST((SELECT count(*) FROM hot) AS BIGINT) AS split_clusters,
              CAST((SELECT max(sz) FROM szb) AS BIGINT) AS max_list_before,
              CAST((SELECT max(sz) FROM sza) AS BIGINT) AS max_list_after
@@ -3127,6 +3111,53 @@ object PipelineQueries {
         .select("vec_id", "distance")
     },
     Some(exactTop5Oracle))
+
+  /** Bulk serving OVER an upserted layout — [[graft.search.IvfIndex
+    * .bulkSearch]] composed with the [[graft.search.IvfIndex
+    * .searchLatest]] latest-wins overlay: the base index holds WRONG
+    * (reversed) vectors for `vec_id % 10 = 1`, the true vectors arrive
+    * as one versioned batch, and the whole bulk panel served at full
+    * probe must equal per-query exact kNN over the TRUE corpus. A bulk
+    * path that stays version-blind ranks the stale reversed rows (and
+    * serves replaced keys twice) — hash-mismatch. Per-run copy; the
+    * corrupted BASE index is shared with `ivf_upsert_search`. */
+  private val ivfBulkUpsertSearch = Q(
+    "ivf_bulk_upsert_search",
+    (s, dir) => {
+      val baseDir = s"/tmp/graft_ivf_upbase_${math.abs(dir.hashCode)}"
+      val runDir = s"/tmp/graft_ivf_bulkup_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      if (!new java.io.File(IvfIndex.centroidsDir(baseDir)).exists()) {
+        val corrupted = e.withColumn("embedding",
+          when(col("vec_id") % 10 === 1, reverse(col("embedding")))
+            .otherwise(col("embedding")))
+        IvfIndex.build(corrupted, "embedding", baseDir, nlist = 16)
+      }
+      copyLocalDir(baseDir, runDir)
+      val model = IvfIndex.load(s, runDir)
+      IvfIndex.upsertBatch(e.where(col("vec_id") % 10 === 1),
+        "embedding", model, "vec_id", ver = 1)
+      val qs = e.where(col("vec_id").isin(BulkQids: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).toSeq
+      IvfIndex.bulkSearch(s, model, "embedding", "vec_id", qs, k = 5,
+        nprobe = model.nlist)
+    },
+    Some(s"""
+      WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                  WHERE vec_id IN (${BulkQids.mkString(", ")})),
+      d AS (SELECT q.qid, e.vec_id,
+                   ${duckL2("e.embedding", "q.qv")} AS distance
+            FROM embeddings e, qs q),
+      topk AS (SELECT qid, vec_id, distance FROM (
+          SELECT qid, vec_id, distance,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY distance ASC, vec_id ASC) AS rn FROM d) t
+        WHERE rn <= 5)
+      SELECT qid, vec_id, distance FROM topk
+      ORDER BY qid ASC, distance ASC, vec_id ASC
+    """))
 
   /** Graph delete CONSOLIDATION (see
     * [[graft.search.GraphAnn.consolidateDeletes]]) — the fold that
@@ -3319,5 +3350,6 @@ object PipelineQueries {
     indexIntegrityReport, deletedRowsMaskedSearch, indexCompactTombstones,
     graphAnnMaskedWalk, ivfBulkSearch, graphAnnMipsWalk,
     graphAnnMipsRecall, ivfRebalanceReport, ivfRebalanceSearch,
-    streamingDeleteIngest, graphConsolidateDeletes, ivfUpsertSearch)
+    streamingDeleteIngest, graphConsolidateDeletes, ivfUpsertSearch,
+    ivfBulkUpsertSearch)
 }

@@ -78,24 +78,9 @@ object ScaleBench {
       .sortBy(_._1).toSeq
 
   /** Local recursive dir copy (rehearsal ops that MUTATE an index work
-    * on a throwaway copy, the query entries' copyLocalDir discipline). */
-  private def copyDir(srcDir: String, dstDir: String): Unit = {
-    val src = java.nio.file.Paths.get(srcDir)
-    val dst = java.nio.file.Paths.get(dstDir)
-    import scala.jdk.CollectionConverters._
-    def walk(p: java.nio.file.Path) = {
-      val s0 = java.nio.file.Files.walk(p)
-      try s0.iterator().asScala.toVector finally s0.close()
-    }
-    if (java.nio.file.Files.exists(dst))
-      walk(dst).sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-    walk(src).foreach { p =>
-      val t = dst.resolve(src.relativize(p))
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.createDirectories(t)
-      else java.nio.file.Files.copy(p, t)
-    }
-  }
+    * on a throwaway copy) — shared with the query entries. */
+  private def copyDir(srcDir: String, dstDir: String): Unit =
+    graft.core.Artifacts.copyLocalDir(srcDir, dstDir)
 
   /** Build-once graph adjacency + medoid entry for a rehearsal corpus:
     * the trained-quantizer build under its auto-derived nlist through
@@ -235,7 +220,13 @@ object ScaleBench {
         }),
         // hot-list rebalance (round 9): split every list above half the
         // observed max — cost is the hot rows' re-fit (sample-capped)
-        // + reassignment + partition rewrite, NOT a corpus rebuild.
+        // + global reassignment + partition rewrite, NOT a corpus
+        // rebuild. The timed body unavoidably includes a per-run dir
+        // copy (the op mutates; repeated runs must not compound) and
+        // the cap's size scan — the `ivf_dircopy` row right below
+        // measures that setup alone so SCALE.md can attribute honestly.
+        // Both rows are in noWarmup: a warm-up pass would double a
+        // multi-minute mutation for no cache benefit.
         "ivf_rebalance (cap=max/2)" -> (() => {
           val dir = s"/tmp/graft_scale/ivf_rebal_$n"
           copyDir(s"/tmp/graft_scale/ivf_$n", dir)
@@ -246,6 +237,11 @@ object ScaleBench {
           IvfIndex.rebalance(spark, model, "embedding",
             sizeCap = math.max(1L, maxList / 2), maxIter = 10)
             .nlist.toLong
+        }),
+        "ivf_dircopy (rebalance setup baseline)" -> (() => {
+          copyDir(s"/tmp/graft_scale/ivf_$n",
+            s"/tmp/graft_scale/ivf_rebalcopy_$n")
+          1L
         }),
         // round 4's scale defect, now measured: deficient ids route
         // through the IVF probe (equi-join on cluster_id) instead of a
@@ -581,7 +577,9 @@ object ScaleBench {
       // warm-up pass (the rows column is deterministic either way, and a
       // second 256 k+ build buys nothing but wall-clock)
       val noWarmup = Set("graphann_candidates (auto nlist)",
-        "graphann_lsh_candidates (auto bands)")
+        "graphann_lsh_candidates (auto bands)",
+        "ivf_rebalance (cap=max/2)",
+        "ivf_dircopy (rebalance setup baseline)")
       ops.filter(o => opFilter(o._1)).foreach { case (name, body) =>
         if (!noWarmup(name))
           body()                          // warm-up (JIT/codegen/page cache)

@@ -3264,9 +3264,12 @@ object VectorQueries {
       import graft.search.{Bm25Index, Tombstones}
       val docs = Tables.documents(s, dir)
       val idx = s"/tmp/graft_bm25tomb_${math.abs(dir.hashCode)}"
-      val p = new org.apache.hadoop.fs.Path(idx)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      Bm25Index.build(docs, "doc_id", "text", idx)
+      // build once per JVM+fixture; only the tombstone set is per-run
+      // (clear + record — the artifact itself never rewrites)
+      if (!new java.io.File(
+          Bm25Index.postingsDir(idx) + "/_SUCCESS").exists())
+        Bm25Index.build(docs, "doc_id", "text", idx)
+      Tombstones.clear(s, idx)
       Tombstones.record(docs.where(col("doc_id") % 5 === 2)
         .select(col("doc_id").as("id")), idx, "id")
       Bm25Index.search(s, idx, Seq("scan", "filter", "merge"), k = 10)

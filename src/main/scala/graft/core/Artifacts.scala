@@ -24,4 +24,27 @@ object Artifacts {
       build.write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)
   }
+
+  /** Recursive LOCAL-filesystem dir copy (destination is deleted first)
+    * — for harness code that must MUTATE an index artifact per run
+    * (compaction, rebalance, upsert entries): the base builds once per
+    * JVM+fixture, each invocation works on a throwaway copy so repeated
+    * runs never compound. Dev/test plumbing, not a serving path. */
+  def copyLocalDir(srcDir: String, dstDir: String): Unit = {
+    val src = java.nio.file.Paths.get(srcDir)
+    val dst = java.nio.file.Paths.get(dstDir)
+    import scala.jdk.CollectionConverters._
+    def walk(p: java.nio.file.Path) = {
+      val s0 = java.nio.file.Files.walk(p)
+      try s0.iterator().asScala.toVector finally s0.close()
+    }
+    if (java.nio.file.Files.exists(dst))
+      walk(dst).sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    walk(src).foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+  }
 }

@@ -188,9 +188,10 @@ object IvfIndex {
     * restriction and query-vector tables are broadcast, and per-query
     * top-k is one qid-partitioned ranking window. Cost: linear in
     * |queries| at fixed nprobe, corpus-size-independent per query —
-    * NOT |queries| separate scans. Tombstones are masked like every
-    * serve path. Returns (qid, idCol, distance), qid-ascending with the
-    * usual tie-breaks. */
+    * NOT |queries| separate scans. Tombstones are masked and, on an
+    * upserted layout, superseded rows are dropped by the
+    * [[searchLatest]] overlay — like every serve path. Returns
+    * (qid, idCol, distance), qid-ascending with the usual tie-breaks. */
   def bulkSearch(spark: SparkSession, model: Model, vecCol: String,
                  idCol: String, queries: Seq[(Long, Array[Float])],
                  k: Int, nprobe: Int): DataFrame = {
@@ -204,8 +205,13 @@ object IvfIndex {
     val allClusters = probed.map(_._2).distinct
     val qdf = queries.map { case (qid, qv) => (qid, qv.toSeq) }
       .toDF("qid", "qv")
-    val scan = spark.read.parquet(dataDir(model.indexDir))
+    // version-aware exactly like [[searchLatest]]: on an upserted
+    // layout the pruned scan gets the latest-wins overlay (one marker
+    // stat when never upserted — the plain plan is unchanged)
+    val vs = versionedScan(spark, model.indexDir)
+    val pruned = vs.getOrElse(spark.read.parquet(dataDir(model.indexDir)))
       .where(col("cluster_id").isin(allClusters: _*))
+    val scan = vs.map(applyLatest(_, pruned, idCol)).getOrElse(pruned)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("distance").asc, col(idCol).asc)
     Tombstones.mask(scan, spark, model.indexDir, idCol)
@@ -250,6 +256,15 @@ object IvfIndex {
   def upsertBatch(batch: DataFrame, vecCol: String, model: Model,
                   idCol: String, ver: Long): Unit = {
     require(ver >= 1, s"upsertBatch: ver=$ver (base rows are version 0)")
+    // the marker goes down FIRST: a crash after it but before the
+    // append leaves a marker over an unversioned layout, which
+    // searchLatest detects (no __ver column) and serves plain — the
+    // reverse order would leave versioned rows served WITHOUT the
+    // supersession overlay (stale duplicates)
+    val m = versionedMarker(model.indexDir)
+    val fs = m.getFileSystem(batch.sparkSession
+      .sparkContext.hadoopConfiguration)
+    fs.create(m, true).close()
     val centArr = array(model.centroids.map { case (i, c) =>
       struct(
         VectorFunctions.l2Sq(col(vecCol), typedlit(c.toSeq)).as("d"),
@@ -262,27 +277,65 @@ object IvfIndex {
       .parquet(dataDir(model.indexDir))
   }
 
-  /** [[search]] over an upserted layout: per-key latest-version-wins
-    * (base rows without a `__ver` column read as version 0 via a
-    * merged-schema scan), then the tombstone mask, then exact ranking.
-    * The extra cost vs plain [[search]] is ONE key-partitioned window
-    * over the PROBED slice — the price of serving upserts from a stale
-    * layout; [[compactVersions]] returns the index to the plain path.
-    * Falls back to [[search]] exactly when no upsert ever happened. */
+  private def versionedMarker(indexDir: String) =
+    new org.apache.hadoop.fs.Path(indexDir, "_graft_versioned")
+
+  /** The upserted layout's merged-schema scan, or None when the index
+    * was never upserted (no marker — one file stat, nothing else) or a
+    * crash left a marker over an unversioned layout (no `__ver`
+    * column: serve plain). Shared by every serve path that must not
+    * resurrect superseded rows. */
+  private def versionedScan(spark: SparkSession,
+                            indexDir: String): Option[DataFrame] = {
+    val m = versionedMarker(indexDir)
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(m)) None
+    else {
+      val scan = spark.read.option("mergeSchema", "true")
+        .parquet(dataDir(indexDir))
+      if (scan.columns.contains("__ver")) Some(scan) else None
+    }
+  }
+
+  /** Latest-version-wins overlay over a (pruned) slice of a versioned
+    * scan: the overlay is the per-key max version of the UPSERTED rows
+    * only — a two-column column-pruned aggregate bounded by upsert
+    * volume, broadcast like the tombstone set — and a row serves only
+    * if it IS its key's latest. GLOBAL, not slice-local: a superseded
+    * row whose replacement lives outside the slice is dropped, not
+    * resurrected. */
+  private def applyLatest(scan: DataFrame, pruned: DataFrame,
+                          idCol: String): DataFrame = {
+    val upVers = scan.where(col("__ver").isNotNull)
+      .groupBy(col(idCol)).agg(max(col("__ver")).as("__maxver"))
+    pruned.join(broadcast(upVers), Seq(idCol), "left")
+      .where(col("__maxver").isNull ||
+        coalesce(col("__ver"), lit(0L)) === col("__maxver"))
+      .drop("__maxver", "__ver")
+  }
+
+  /** [[search]] over an upserted layout: per-key latest-version-wins,
+    * then the tombstone mask, then exact ranking. The supersession
+    * check is GLOBAL, not probed-slice-local: the overlay is the
+    * per-key max version of the UPSERTED rows only (a two-column
+    * column-pruned scan bounded by upsert volume, broadcast like the
+    * tombstone set), and a probed row serves only if it IS its key's
+    * latest. A superseded row whose replacement lives in an UNPROBED
+    * cluster is therefore dropped, not resurrected — missing that key
+    * at partial probe is the standard IVF recall contract (its true
+    * location wasn't probed); serving its overwritten vector would be
+    * corruption. Detection is one marker-file stat (written by
+    * [[upsertBatch]]), so a never-upserted index pays nothing — not
+    * even a schema merge. [[compactVersions]] returns the index to the
+    * plain path. */
   def searchLatest(spark: SparkSession, model: Model, vecCol: String,
                    idCol: String, query: Array[Float], k: Int,
                    nprobe: Int): DataFrame = {
-    val scan = spark.read.option("mergeSchema", "true")
-      .parquet(dataDir(model.indexDir))
-    if (!scan.columns.contains("__ver"))
-      return search(spark, model, vecCol, idCol, query, k, nprobe)
+    val scan = versionedScan(spark, model.indexDir).getOrElse(
+      return search(spark, model, vecCol, idCol, query, k, nprobe))
     val clusters = probeClusters(model, query, nprobe)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(coalesce(col("__ver"), lit(0L)).desc)
-    val latest = scan.where(col("cluster_id").isin(clusters: _*))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn", "__ver")
+    val latest = applyLatest(scan,
+      scan.where(col("cluster_id").isin(clusters: _*)), idCol)
     Tombstones.mask(latest, spark, model.indexDir, idCol)
       .withColumn("distance",
         round(VectorFunctions.l2Sq(col(vecCol), typedlit(query)), 4))
@@ -292,14 +345,20 @@ object IvfIndex {
 
   /** Fold upsert history physically: keep only each key's latest
     * version (the row keeps ITS OWN cluster assignment — the new
-    * vector's cluster, not the stale row's), drop the version column,
-    * crash-safe swap, partitioning preserved. After this, plain
-    * [[search]] serves the index again with no window. */
+    * vector's cluster, not the stale row's), drop the version column
+    * and the versioned marker, crash-safe swap, partitioning
+    * preserved. After this, plain [[search]] serves the index again
+    * with no overlay. */
   def compactVersions(spark: SparkSession, model: Model,
                       idCol: String): Unit = {
     val scan = spark.read.option("mergeSchema", "true")
       .parquet(dataDir(model.indexDir))
-    if (!scan.columns.contains("__ver")) return
+    val mfs = versionedMarker(model.indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!scan.columns.contains("__ver")) {
+      mfs.delete(versionedMarker(model.indexDir), false)
+      return
+    }
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol))
       .orderBy(coalesce(col("__ver"), lit(0L)).desc)
@@ -320,6 +379,10 @@ object IvfIndex {
         s"compactVersions: rename $tmp -> $d failed; previous layout " +
           s"is at $old")
     fs.delete(old, true)
+    // marker LAST: a crash before this line leaves marker-over-folded-
+    // layout, which searchLatest detects (no __ver column) and serves
+    // plain — correct either way
+    mfs.delete(versionedMarker(model.indexDir), false)
   }
 
   /** Rebalance a skew-drifted index WITHOUT a full rebuild (Milvus
@@ -328,23 +391,40 @@ object IvfIndex {
     * only the hot lists): every cluster whose size exceeds `sizeCap` is
     * SPLIT — a sample-capped KMeans re-fit over that cluster's rows
     * alone ([[TrainSample.forFit]], so the fit cost is bounded
-    * regardless of how hot the list got), its rows reassigned to
-    * ceil(size/sizeCap) fresh sub-centroids — while every other
+    * regardless of how hot the list got) — while every other
     * partition's files are left untouched. Sub-centroids take NEW ids
-    * past the current max, the split centroid leaves the table.
+    * past the current max, the split centroids leave the table, and
+    * the hot rows are reassigned GLOBALLY: argmin over the whole new
+    * table (survivors + every split's sub-centroids — the [[append]]
+    * assignment expression), not just the local sub-centroids, so a
+    * boundary row whose true nearest list is a surviving cluster lands
+    * THERE and partial-probe serving finds it where the centroid
+    * ranking looks for it.
     *
-    * Swap order = probe-safety order: (1) append sub-partition data,
-    * (2) swap the centroid table (tmp + rename), (3) drop the split
-    * partitions' dirs. A probe-based reader (every serve path here) is
-    * consistent at each step — old centroids never route to the new
-    * partitions, new centroids never route to the old ones; only a raw
-    * full scan of the data dir can observe the transient duplicate
-    * between (1) and (3). Returns the refreshed model ([[load]]). */
+    * Approximation contract (shared with every incremental IVF
+    * maintenance scheme): COLD rows keep their assignment, so a cold
+    * row that is now nearer to a fresh sub-centroid than to its own
+    * centroid is not moved — [[IndexAudit.ivfChecks]] run against the
+    * post-rebalance centroid table can count such rows as mismatches;
+    * they are rebalance drift, not corruption, and a full rebuild is
+    * the cure when that count matters.
+    *
+    * Swap order: (1) append the reassigned hot rows, (2) swap the
+    * centroid table (tmp + rename), (3) drop the split partitions'
+    * dirs. Single-writer maintenance; a CONCURRENT full-probe reader
+    * between (1) and (3) can transiently see a hot row twice (its old
+    * partition still on disk) — serve through an alias flip
+    * ([[graft.core.Collection.setAlias]]) when that window matters.
+    * Returns the refreshed model ([[load]]). */
   def rebalance(spark: SparkSession, model: Model, vecCol: String,
                 sizeCap: Long, seed: Long = 42L, maxIter: Int = 20,
                 trainSampleCap: Long = TrainSample.DefaultCap): Model = {
     require(sizeCap > 0, s"rebalance: sizeCap=$sizeCap")
-    val data = spark.read.parquet(dataDir(model.indexDir))
+    // merged-schema reads throughout: an upserted layout carries a
+    // __ver column on some files only, and a plain read could infer a
+    // schema without it — silently flattening version history
+    val data = spark.read.option("mergeSchema", "true")
+      .parquet(dataDir(model.indexDir))
     val hot = data.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("sz")).where(col("sz") > sizeCap)
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
@@ -352,15 +432,11 @@ object IvfIndex {
     var nextId = model.centroids.map(_._1).max + 1
     val newCentroids = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Array[Float])]
-    // per-hot-list fits are separate (tiny, sample-capped) KMeans jobs;
-    // the REASSIGNED ROWS accumulate and land in ONE partitioned append
-    // — |hot| fit jobs + 1 write job, not 2 jobs per hot list
-    val subAssigned = scala.collection.mutable.ArrayBuffer
-      .empty[DataFrame]
     hot.foreach { case (cid, sz) =>
       val pieces = math.max(2, math.ceil(sz.toDouble / sizeCap).toInt)
       // partition-pruned read: exactly the hot list's files
-      val rows = spark.read.parquet(dataDir(model.indexDir))
+      val rows = spark.read.option("mergeSchema", "true")
+        .parquet(dataDir(model.indexDir))
         .where(col("cluster_id") === cid).drop("cluster_id")
       val withVec = rows.withColumn("__mlvec", array_to_vector(col(vecCol)))
       val km = new KMeans()
@@ -368,21 +444,30 @@ object IvfIndex {
         .setFeaturesCol("__mlvec").setPredictionCol("__sub")
       val sub = km.fit(
         TrainSample.forFit(withVec, vecCol, sz, trainSampleCap, pieces))
-      val base = nextId
-      subAssigned += sub.transform(withVec).drop("__mlvec")
-        .withColumn("cluster_id", col("__sub") + lit(base)).drop("__sub")
       newCentroids ++= sub.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (base + i, c.toArray.map(_.toFloat))
+        (nextId + i, c.toArray.map(_.toFloat))
       }
       nextId += pieces
     }
-    subAssigned.reduce(_ unionByName _)
-      .write.mode("append").partitionBy("cluster_id")
-      .parquet(dataDir(model.indexDir))
-    // (2) centroid-table swap: survivors + sub-centroids, tmp + rename
     val hotIds = hot.map(_._1).toSet
     val merged = model.centroids.filterNot { case (id, _) => hotIds(id) } ++
       newCentroids
+    // (1) GLOBAL reassignment of every hot row against the merged
+    // table, all hot lists in ONE partition-pruned read + ONE
+    // partitioned append (|hot| fit jobs + 1 write job total)
+    val centArr = array(merged.sortBy(_._1).map { case (i, c) =>
+      struct(
+        VectorFunctions.l2Sq(col(vecCol), typedlit(c.toSeq)).as("d"),
+        lit(i).as("cluster_id"))
+    }: _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(dataDir(model.indexDir))
+      .where(col("cluster_id").isin(hot.map(_._1): _*))
+      .drop("cluster_id")
+      .withColumn("cluster_id", array_min(centArr).getField("cluster_id"))
+      .write.mode("append").partitionBy("cluster_id")
+      .parquet(dataDir(model.indexDir))
+    // (2) centroid-table swap: survivors + sub-centroids, tmp + rename
     import spark.implicits._
     val cdir = new org.apache.hadoop.fs.Path(centroidsDir(model.indexDir))
     val fs = cdir.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -101,7 +101,11 @@ object Tombstones {
     if (!exist(spark, indexDir)) return
     val dead = spark.read.parquet(deletesDir(indexDir))
       .toDF("__dead_id").distinct()
-    val live = keyCols.foldLeft(spark.read.parquet(artifactDir)) {
+    // merged-schema read: an upserted layout carries __ver on some
+    // files only — a plain read could infer a schema without it and
+    // the rewrite would silently flatten version history
+    val live = keyCols.foldLeft(
+      spark.read.option("mergeSchema", "true").parquet(artifactDir)) {
       (df, kc) =>
         df.join(broadcast(dead), df(kc) === dead("__dead_id"), "left_anti")
     }

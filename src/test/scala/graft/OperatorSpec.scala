@@ -123,18 +123,24 @@ class OperatorSpec extends SparkSpec {
     val model = IvfIndex.rebalance(spark, model0, "embedding", cap)
     val after = spark.read.parquet(IvfIndex.dataDir(dir))
       .select("vec_id", "cluster_id").as[(Long, Int)].collect().toMap
-    // conservation + only-hot-moved + fresh ids
+    // conservation + only-hot-moved + never-into-a-dead-list
     assert(after.keySet == before.keySet)
     val hot = before.groupBy(_._2).collect {
       case (cid, m) if m.size > cap => cid
     }.toSet
     assert(hot.nonEmpty)
     before.foreach { case (id, cid) =>
-      if (hot(cid)) assert(after(id) > 1, s"row $id not in a fresh list")
+      // global reassignment: a hot row lands wherever its true nearest
+      // NEW-table centroid is (usually a fresh sub-list, legitimately a
+      // survivor for boundary rows) — never in a removed list
+      if (hot(cid)) assert(!hot.contains(after(id)),
+        s"row $id left in dead list ${after(id)}")
       else assert(after(id) == cid, s"non-hot row $id moved")
     }
-    assert(model.nlist == 2 - hot.size +
-      after.values.toSet.count(_ > 1))
+    // centroid table = survivors + fresh sub-centroids
+    val centIds = model.centroids.map(_._1).toSet
+    assert(centIds.intersect(hot).isEmpty && model.nlist > 2 - hot.size)
+    assert(after.values.toSet.subsetOf(centIds))
     // full-probe search over the rebalanced layout = exact kNN
     val q = corpus.where(col("vec_id") === 5).select("embedding")
       .collect()(0).getSeq[Float](0).toArray
@@ -206,6 +212,87 @@ class OperatorSpec extends SparkSpec {
         k = 5, nprobe = 4)
       .select("vec_id").as[Long].collect().toSeq
     assert(plain == latest2)
+  }
+
+  test("IVF upsert: partial probe never serves a superseded row") {
+    // key 5 starts in blob A; its replacement vector lives in blob B
+    // (a different cluster). A query near A probing ONLY A's list must
+    // not resurrect the overwritten vector — the supersession overlay
+    // is global, not probed-slice-local. Missing key 5 entirely is the
+    // standard partial-probe recall contract (its true location wasn't
+    // probed); serving its old vector would be corruption.
+    val r = new scala.util.Random(31)
+    val corpus = (0L until 40L).map { i =>
+      val base = if (i < 20) 0.0f else 10.0f
+      (i, Array.fill(4)(base + (r.nextGaussian() * 0.2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = "/tmp/graft_ivf_upsert_probe_test"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val model = IvfIndex.build(corpus, "embedding", dir, nlist = 2)
+    val moved = corpus.where(col("vec_id") === 5)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> x + CAST(10.0 AS FLOAT))"))
+    IvfIndex.upsertBatch(moved, "embedding", model, "vec_id", ver = 1)
+    val q = corpus.where(col("vec_id") === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    // the stale layout DOES contain 5's old vector in the probed list:
+    // the plain (version-blind) scan serves it — the scenario is real
+    // (k = whole list, so ranking luck can't hide the stale copy)
+    val stale = IvfIndex.search(spark, model, "embedding", "vec_id", q,
+        k = 20, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(stale.contains(5L))
+    val latest = IvfIndex.searchLatest(spark, model, "embedding",
+        "vec_id", q, k = 20, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(!latest.contains(5L),
+      "superseded row served from an unprobed replacement's past")
+    assert(latest.size == 19) // the 20-row list minus the superseded row
+    // at full probe the replacement itself ranks (far from q, but
+    // present exactly once, at its NEW vector's distance)
+    val full = IvfIndex.searchLatest(spark, model, "embedding",
+        "vec_id", q, k = 40, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full.count(_ == 5L) == 1 && full.size == 40)
+  }
+
+  test("IVF bulk serving applies the upsert overlay") {
+    // same two-blob shape: key 5 moves from blob A to blob B. A bulk
+    // panel with one query per blob at FULL probe must serve key 5
+    // exactly once — at its NEW vector's distance, never the old one.
+    val r = new scala.util.Random(37)
+    val corpus = (0L until 40L).map { i =>
+      val base = if (i < 20) 0.0f else 10.0f
+      (i, Array.fill(4)(base + (r.nextGaussian() * 0.2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = "/tmp/graft_ivf_bulk_upsert_test"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val model = IvfIndex.build(corpus, "embedding", dir, nlist = 2)
+    val moved = corpus.where(col("vec_id") === 5)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> x + CAST(10.0 AS FLOAT))"))
+    IvfIndex.upsertBatch(moved, "embedding", model, "vec_id", ver = 1)
+    val qs = Seq(3L, 25L).map { qid =>
+      (qid, corpus.where(col("vec_id") === qid).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray)
+    }
+    val served = IvfIndex.bulkSearch(spark, model, "embedding",
+        "vec_id", qs, k = 40, nprobe = 2)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    // per query: all 40 live keys exactly once (no stale duplicate)
+    qs.foreach { case (qid, _) =>
+      val ids = served.collect { case (q, id) if q == qid => id }
+      assert(ids.length == 40 && ids.toSet.size == 40,
+        s"qid=$qid served ${ids.length} rows (stale duplicate?)")
+    }
+    // key 5 ranks with blob B now: for the blob-B query it must beat
+    // every blob-A row (its new vector is IN blob B)
+    val q25 = IvfIndex.bulkSearch(spark, model, "embedding", "vec_id",
+        qs.filter(_._1 == 25L), k = 25, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(q25.contains(5L), "replacement vector not served to blob B")
   }
 
   test("typed similaritySearch returns SearchHit rows with reference semantics") {
