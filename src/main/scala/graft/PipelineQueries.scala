@@ -3212,6 +3212,84 @@ object PipelineQueries {
       SELECT src, dst, dist FROM pruned ORDER BY src ASC, dst ASC
     """))
 
+  /** Graph UPSERT — in-place vector updates on a graph index, the
+    * FreshDiskANN update discipline composed from the two maintenance
+    * primitives: the stale nodes (indexed with WRONG vectors — the
+    * base graph is built with `vec_id % 50 = 7` rows reversed) are
+    * folded out by [[graft.search.GraphAnn.consolidateDeletes]]
+    * (connectivity repaired through each), then the LIVE vectors
+    * re-enter by frozen-graph [[graft.search.GraphAnn.append]] under
+    * the same ids. Serving is the plain beam walk over the repaired
+    * adjacency against the live corpus — no tombstones left behind, so
+    * re-inserted ids rank normally. The oracle replays all three walk
+    * rounds over the STAGED post-upsert adjacency with live-corpus
+    * distances: an upsert that left a stale edge, dropped a re-insert,
+    * or resurrected a dead node shifts the visited set and
+    * hash-mismatches. */
+  private val graphAnnUpsertWalk = Q(
+    "graph_ann_upsert_walk",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val movedPred = pmod(col("vec_id"), lit(50)) === 7
+      val key = s"/tmp/graft_graphup_${math.abs(dir.hashCode)}"
+      val adj0 = graft.core.Artifacts.buildOnce(s, s"$key/adjacency") {
+        GraphAnn.buildAdjacency(
+          e.withColumn("embedding",
+            when(movedPred, reverse(col("embedding")))
+              .otherwise(col("embedding"))),
+          "vec_id", "embedding")
+      }
+      // entry point from the stable nodes so it survives the fold
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$key/entry") {
+        GraphAnn.medoid(e.where(!movedPred), "vec_id", "embedding")
+      }
+      val entryId = entryDf.collect()(0).getLong(0)
+      val adj1 = GraphAnn.consolidateDeletes(adj0, e, "vec_id",
+        "embedding", e.where(movedPred).select("vec_id"), degree = 8)
+      val r = GraphAnn.append(adj1, e, "vec_id", "embedding",
+        e.where(movedPred).select("vec_id", "embedding"), entryId,
+        degree = 8, beamWidth = 4, rounds = 3)
+      stageOracle(s, "graphup", dir)(
+        "adjacency" -> r.adjacency.select("src", "dst"),
+        "entry" -> entryDf)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      GraphAnn.beamSearch(r.adjacency, e, "vec_id", "embedding", query,
+        entryId, k = 5, beamWidth = 4, rounds = 3, degree = 8)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      adj AS (SELECT src, dst FROM read_parquet(
+        '/tmp/graft_graphup_oracle_%ORACLE_KEY%/adjacency/*.parquet')),
+      ent AS (SELECT entry_id FROM read_parquet(
+        '/tmp/graft_graphup_oracle_%ORACLE_KEY%/entry/*.parquet')),
+      dall AS (SELECT e.vec_id AS id, %L2% AS d FROM embeddings e, q),
+      v0 AS (SELECT id, d FROM dall
+             WHERE id IN (SELECT entry_id FROM ent)),
+      f1 AS (SELECT id, d FROM v0 ORDER BY d ASC, id ASC LIMIT 4),
+      n1 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f1 ON a.src = f1.id
+             WHERE a.dst NOT IN (SELECT id FROM v0)),
+      v1 AS (SELECT id, d FROM v0 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n1 USING (id)),
+      x1 AS (SELECT id FROM f1),
+      f2 AS (SELECT id, d FROM v1 WHERE id NOT IN (SELECT id FROM x1)
+             ORDER BY d ASC, id ASC LIMIT 4),
+      n2 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f2 ON a.src = f2.id
+             WHERE a.dst NOT IN (SELECT id FROM v1)),
+      v2 AS (SELECT id, d FROM v1 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n2 USING (id)),
+      x2 AS (SELECT id FROM x1 UNION SELECT id FROM f2),
+      f3 AS (SELECT id, d FROM v2 WHERE id NOT IN (SELECT id FROM x2)
+             ORDER BY d ASC, id ASC LIMIT 4),
+      n3 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f3 ON a.src = f3.id
+             WHERE a.dst NOT IN (SELECT id FROM v2)),
+      v3 AS (SELECT id, d FROM v2 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n3 USING (id))
+      SELECT id AS vec_id, d AS distance FROM v3
+      ORDER BY distance ASC, vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   /** The walk-replay CTE chain for the MIPS-routed graph walk (see
     * [[graft.search.GraphAnn.beamSearchMips]]): identical frontier
     * discipline to the `graph_ann_search` replay, with the per-node
@@ -3351,5 +3429,5 @@ object PipelineQueries {
     graphAnnMaskedWalk, ivfBulkSearch, graphAnnMipsWalk,
     graphAnnMipsRecall, ivfRebalanceReport, ivfRebalanceSearch,
     streamingDeleteIngest, graphConsolidateDeletes, ivfUpsertSearch,
-    ivfBulkUpsertSearch)
+    ivfBulkUpsertSearch, graphAnnUpsertWalk)
 }

@@ -3302,11 +3302,73 @@ object VectorQueries {
       ORDER BY bm25 DESC, doc_id ASC LIMIT 10
     """))
 
+  /** BM25 UPSERT — document content updates on a lexical index,
+    * delete-then-insert with an immediate physical fold: the updated
+    * docs (`doc_id % 10 = 2`, new text = old + " merge merge") are
+    * tombstoned, both artifacts are [[graft.search.Tombstones.compact]]
+    * -folded (postings AND doclen — stats leave the stale regime),
+    * tombstones cleared, and the new content enters by the plain
+    * incremental [[graft.search.Bm25Index.append]]. Same-id re-insert
+    * is exactly why the fold must precede the append: a mask-only
+    * upsert would kill BOTH versions of an updated id at serve time.
+    * The oracle recomputes BM25 over the UPDATED corpus from scratch,
+    * so a double-indexed doc (fold skipped), a lost update (append
+    * dropped), or stale (N, avgdl, df) statistics hash-mismatch. */
+  private val bm25UpsertSearch = Q(
+    "bm25_upsert_search",
+    (s, dir) => {
+      import graft.search.{Bm25Index, Tombstones}
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_bm25up_${math.abs(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Bm25Index.build(docs, "doc_id", "text", idx)
+      val updated = docs.where(col("doc_id") % 10 === 2)
+        .withColumn("text", concat(col("text"), lit(" merge merge")))
+      Tombstones.record(updated.select(col("doc_id").as("id")), idx, "id")
+      Tombstones.compact(s, idx, Bm25Index.postingsDir(idx), Seq("id"))
+      Tombstones.compact(s, idx, Bm25Index.doclenDir(idx), Seq("id"))
+      Tombstones.clear(s, idx)
+      Bm25Index.append(updated, "doc_id", "text", idx)
+      Bm25Index.search(s, idx, Seq("scan", "filter", "merge"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH docs2 AS (SELECT doc_id,
+                            CASE WHEN doc_id % 10 = 2
+                                 THEN text || ' merge merge'
+                                 ELSE text END AS text
+                     FROM documents),
+      toks AS (SELECT doc_id,
+                      unnest(string_split_regex(text, '\s+')) AS term
+               FROM docs2),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST((SELECT sum(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)))
+                             FROM docs2) AS DOUBLE) / count(*) AS avgdl
+                FROM docs2),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ('scan', 'filter', 'merge') GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dl AS (SELECT doc_id,
+                    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS DOUBLE) AS dl
+             FROM docs2),
+      bm AS (SELECT tf.doc_id,
+                    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2)
+                      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))), 4) AS bm25
+             FROM tf JOIN dfq USING (term)
+                     JOIN dl ON dl.doc_id = tf.doc_id
+                     CROSS JOIN stats
+             GROUP BY tf.doc_id)
+      SELECT doc_id, bm25 FROM bm
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """))
+
   val all: Seq[Q] = Seq(knnExactTopK, knnScoreThreshold, knnMultiQuery, mrlTruncatedSearch,
     mrlRotatedSearch, mrlRotationReport, opqAdcSearch, opqRecallReport,
     opqIvfPqSearch,
     bm25IncrementalSearch, bm25fSearch, streamingBm25Ingest,
-    bm25MaskedSearch, rerankCrossEncoder,
+    bm25MaskedSearch, bm25UpsertSearch, rerankCrossEncoder,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     sq8RerankSearch, ivfSq8Search, rqAdcSearch, ivfRqSearch,
     rqRecallReport, quantizerErrorReport, normPrunedSearch,

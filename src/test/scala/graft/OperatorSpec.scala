@@ -257,6 +257,48 @@ class OperatorSpec extends SparkSpec {
     assert(full.count(_ == 5L) == 1 && full.size == 40)
   }
 
+  test("IVF rebalance preserves version history (searchLatest composes)") {
+    // upsert first, rebalance second: the hot-row reassignment and the
+    // compaction-era reads are all merged-schema, so the __ver column
+    // (and the marker) survive the rewrite and latest-wins serving
+    // still suppresses the superseded row afterwards
+    val r = new scala.util.Random(41)
+    val corpus = ((0 until 40).map(i =>
+        (i.toLong, Array.fill(4)((r.nextGaussian() * 0.1).toFloat))) ++
+      (40 until 48).map(i =>
+        (i.toLong, Array.fill(4)((10.0 + r.nextGaussian()).toFloat))))
+      .toDF("vec_id", "embedding")
+    val dir = "/tmp/graft_ivf_rebal_ver_test"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val model0 = IvfIndex.build(corpus, "embedding", dir, nlist = 2)
+    // key 5's replacement vector moves it into the far blob
+    val moved = corpus.where(col("vec_id") === 5)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> x + CAST(10.0 AS FLOAT))"))
+    IvfIndex.upsertBatch(moved, "embedding", model0, "vec_id", ver = 1)
+    val maxBefore = spark.read.option("mergeSchema", "true")
+      .parquet(IvfIndex.dataDir(dir))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .agg(max(col("sz"))).collect()(0).getLong(0)
+    val model = IvfIndex.rebalance(spark, model0, "embedding",
+      sizeCap = maxBefore / 2)
+    // the versioned rows survived the rewrite with their versions
+    val scan = spark.read.option("mergeSchema", "true")
+      .parquet(IvfIndex.dataDir(dir))
+    assert(scan.columns.contains("__ver"), "rebalance flattened __ver")
+    // full-probe latest-wins serving over the REBALANCED layout: key 5
+    // exactly once, every key live, = exact kNN over the live corpus
+    val q = corpus.where(col("vec_id") === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val served = IvfIndex.searchLatest(spark, model, "embedding",
+        "vec_id", q, k = 48, nprobe = model.nlist)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(served.count(_ == 5L) == 1 && served.size == 48,
+      s"rebalanced versioned serve: ${served.size} rows, " +
+        s"${served.count(_ == 5L)}×key5")
+  }
+
   test("IVF bulk serving applies the upsert overlay") {
     // same two-blob shape: key 5 moves from blob A to blob B. A bulk
     // panel with one query per blob at FULL probe must serve key 5
