@@ -3159,6 +3159,127 @@ object PipelineQueries {
       ORDER BY qid ASC, distance ASC, vec_id ASC
     """))
 
+  /** Streaming UPSERT ingest for the IVF family — the CDC-update twin
+    * of `streaming_delete_ingest`: the base index holds WRONG
+    * (reversed) vectors for `vec_id % 10 = 1` (the `ivf_upsert_search`
+    * corrupted base, shared), the TRUE vectors arrive as a 3-file
+    * micro-batch stream, and `foreachBatch` lands each batch via
+    * [[graft.search.IvfIndex.upsertBatch]] at version batchId+1 — a
+    * frozen-centroid assignment + file append per batch, no rebuild.
+    * Serving is [[graft.search.IvfIndex.searchLatest]] at full probe,
+    * oracle = exact top-5 over the TRUE corpus: a dropped or doubled
+    * batch leaves reversed vectors (or stale duplicates) in the
+    * ranking and hash-mismatches. */
+  private val streamingIvfUpsertIngest = Q(
+    "streaming_ivf_upsert_ingest",
+    (s, dir) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.types._
+      val baseDir = s"/tmp/graft_ivf_upbase_${math.abs(dir.hashCode)}"
+      val runDir = s"/tmp/graft_ivf_streamup_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      if (!new java.io.File(IvfIndex.centroidsDir(baseDir)).exists()) {
+        val corrupted = e.withColumn("embedding",
+          when(col("vec_id") % 10 === 1, reverse(col("embedding")))
+            .otherwise(col("embedding")))
+        IvfIndex.build(corrupted, "embedding", baseDir, nlist = 16)
+      }
+      copyLocalDir(baseDir, runDir)
+      val model = IvfIndex.load(s, runDir)
+      val work = s"/tmp/graft_streamup_${math.abs(dir.hashCode)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(work).getFileSystem(conf)
+      fs.delete(new Path(work), true)
+      fs.mkdirs(new Path(s"$work/in"))
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+        val tmp = s"$work/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        fs.rename(part, new Path(s"$work/in/$name"))
+        fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
+        fs.delete(new Path(tmp), true)
+      }
+      val ups = e.where(col("vec_id") % 10 === 1)
+        .select("vec_id", "embedding")
+      writeOne(ups.where(col("vec_id") < 150), "00_ups.parquet", 1000000L)
+      writeOne(ups.where(col("vec_id") >= 150 && col("vec_id") < 300),
+        "01_ups.parquet", 2000000L)
+      writeOne(ups.where(col("vec_id") >= 300), "02_ups.parquet",
+        3000000L)
+      val src = s.readStream
+        .schema(StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+      val q = src.writeStream
+        .option("checkpointLocation", s"$work/_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                         batchId: Long) =>
+          if (!batch.isEmpty)
+            IvfIndex.upsertBatch(batch, "embedding", model, "vec_id",
+              ver = batchId + 1)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      IvfIndex.searchLatest(s, model, "embedding", "vec_id", query,
+          k = 5, nprobe = model.nlist)
+        .select("vec_id", "distance")
+    },
+    Some(exactTop5Oracle))
+
+  /** Version-debt observability ([[graft.search.IndexAudit
+    * .versionChecks]]): how much latest-wins / tombstone overlay work a
+    * serve pays until compaction folds it — the metric an operator
+    * watches to SCHEDULE [[graft.search.IvfIndex.compactVersions]] and
+    * [[graft.search.Tombstones.compact]] (Milvus's segment-compaction
+    * trigger is this same signal). Scenario: two overlapping upsert
+    * generations (`%10=1` at v1, `%20=1` at v2) plus a disjoint
+    * tombstone set (`%15=2`); every counter is replayed by the oracle
+    * from fixture arithmetic — superseded = base rows of upserted keys
+    * + v1 rows re-upserted at v2; debt adds the tombstoned keys' live
+    * rows. */
+  private val indexVersionReport = Q(
+    "index_version_report",
+    (s, dir) => {
+      val baseDir = s"/tmp/graft_ivf_verbase_${math.abs(dir.hashCode)}"
+      val runDir = s"/tmp/graft_ivf_verrep_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      if (!new java.io.File(IvfIndex.centroidsDir(baseDir)).exists())
+        IvfIndex.build(e, "embedding", baseDir, nlist = 16)
+      copyLocalDir(baseDir, runDir)
+      val model = IvfIndex.load(s, runDir)
+      IvfIndex.upsertBatch(e.where(col("vec_id") % 10 === 1),
+        "embedding", model, "vec_id", ver = 1)
+      IvfIndex.upsertBatch(e.where(col("vec_id") % 20 === 1),
+        "embedding", model, "vec_id", ver = 2)
+      graft.search.Tombstones.record(
+        e.where(col("vec_id") % 15 === 2).select("vec_id"),
+        runDir, "vec_id")
+      graft.search.IndexAudit.versionChecks(s, runDir, "vec_id")
+        .orderBy(col("check_name").asc)
+    },
+    Some("""
+      WITH n1 AS (SELECT count(*) AS c FROM embeddings WHERE vec_id % 10 = 1),
+      n2 AS (SELECT count(*) AS c FROM embeddings WHERE vec_id % 20 = 1),
+      n3 AS (SELECT count(*) AS c FROM embeddings WHERE vec_id % 15 = 2)
+      SELECT check_name, value FROM (
+        SELECT 'ver_compaction_debt' AS check_name,
+               CAST(n1.c + n2.c + n3.c AS BIGINT) AS value
+        FROM n1, n2, n3
+        UNION ALL
+        SELECT 'ver_superseded_rows', CAST(n1.c + n2.c AS BIGINT)
+        FROM n1, n2
+        UNION ALL
+        SELECT 'ver_tombstone_keys', CAST(n3.c AS BIGINT) FROM n3
+        UNION ALL
+        SELECT 'ver_upserted_keys', CAST(n1.c AS BIGINT) FROM n1) u
+      ORDER BY check_name ASC
+    """))
+
   /** Graph delete CONSOLIDATION (see
     * [[graft.search.GraphAnn.consolidateDeletes]]) — the fold that
     * retires `graph_ann_masked_walk`'s tombstones: edges touching a
@@ -3429,5 +3550,6 @@ object PipelineQueries {
     graphAnnMaskedWalk, ivfBulkSearch, graphAnnMipsWalk,
     graphAnnMipsRecall, ivfRebalanceReport, ivfRebalanceSearch,
     streamingDeleteIngest, graphConsolidateDeletes, ivfUpsertSearch,
-    ivfBulkUpsertSearch, graphAnnUpsertWalk)
+    ivfBulkUpsertSearch, graphAnnUpsertWalk, streamingIvfUpsertIngest,
+    indexVersionReport)
 }

@@ -109,4 +109,44 @@ object IndexAudit {
       .unionByName(row("ivf_missing_rows", missingRows))
       .unionByName(row("ivf_orphan_rows", orphanRows))
   }
+
+  /** Version-history health of an upserted IVF layout (the
+    * [[IvfIndex.upsertBatch]] `__ver` discipline) — the maintenance
+    * debt every latest-wins serve pays until [[IvfIndex.compactVersions]]
+    * / [[Tombstones.compact]] fold it away:
+    * `ver_superseded_rows` = artifact rows that are NOT their key's
+    * latest (exactly what compactVersions removes), `ver_upserted_keys`
+    * = distinct keys carrying a versioned row, `ver_tombstone_keys` =
+    * recorded deletes, `ver_compaction_debt` = superseded rows plus
+    * LIVE rows of tombstoned keys — the total row count a full
+    * compaction pass drops. All plan-side aggregates over the data dir
+    * + deletes dir; on a never-upserted, tombstone-free index every
+    * counter is 0. */
+  def versionChecks(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String, idCol: String): DataFrame = {
+    val scan0 = spark.read.option("mergeSchema", "true")
+      .parquet(IvfIndex.dataDir(indexDir))
+    val scan =
+      if (scan0.columns.contains("__ver")) scan0
+      else scan0.withColumn("__ver", lit(null).cast("long"))
+    val upVers = scan.where(col("__ver").isNotNull)
+      .groupBy(col(idCol)).agg(max(col("__ver")).as("__maxver"))
+    val dead = Tombstones.table(spark, indexDir, idCol)
+      .toDF("__dead_id")
+    val marked = scan.join(broadcast(upVers), Seq(idCol), "left")
+      .withColumn("__superseded", col("__maxver").isNotNull &&
+        coalesce(col("__ver"), lit(0L)) =!= col("__maxver"))
+      .join(broadcast(dead), col(idCol) === col("__dead_id"), "left")
+    val superseded = marked.where(col("__superseded"))
+      .agg(count(lit(1)).as("value"))
+    val upKeys = upVers.agg(count(lit(1)).as("value"))
+    val tombKeys = dead.agg(count(lit(1)).as("value"))
+    val debt = marked
+      .where(col("__superseded") || col("__dead_id").isNotNull)
+      .agg(count(lit(1)).as("value"))
+    row("ver_compaction_debt", debt)
+      .unionByName(row("ver_superseded_rows", superseded))
+      .unionByName(row("ver_tombstone_keys", tombKeys))
+      .unionByName(row("ver_upserted_keys", upKeys))
+  }
 }

@@ -257,6 +257,44 @@ class OperatorSpec extends SparkSpec {
     assert(full.count(_ == 5L) == 1 && full.size == 40)
   }
 
+  test("versionChecks counts debt; compaction returns every counter to 0") {
+    import graft.search.{IndexAudit, Tombstones}
+    val r = new scala.util.Random(43)
+    val corpus = (0L until 30L).map(i =>
+        (i, Array.fill(4)((r.nextGaussian() * 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = "/tmp/graft_ivf_verchk_test"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val model = IvfIndex.build(corpus, "embedding", dir, nlist = 2)
+    def counters(): Map[String, Long] =
+      IndexAudit.versionChecks(spark, dir, "vec_id")
+        .as[(String, Long)].collect().toMap
+    // fresh index: every counter 0
+    assert(counters().values.forall(_ == 0L))
+    // keys 0..9 upserted at v1, keys 0..4 again at v2, keys 20..24 dead
+    IvfIndex.upsertBatch(corpus.where(col("vec_id") < 10), "embedding",
+      model, "vec_id", ver = 1)
+    IvfIndex.upsertBatch(corpus.where(col("vec_id") < 5), "embedding",
+      model, "vec_id", ver = 2)
+    Tombstones.record(
+      corpus.where(col("vec_id") >= 20 && col("vec_id") < 25)
+        .select("vec_id"), dir, "vec_id")
+    val c = counters()
+    // superseded = 10 base rows of upserted keys + 5 v1 rows re-upserted
+    assert(c("ver_superseded_rows") == 15L, c.toString)
+    assert(c("ver_upserted_keys") == 10L)
+    assert(c("ver_tombstone_keys") == 5L)
+    // debt adds the 5 dead keys' (single, live) rows
+    assert(c("ver_compaction_debt") == 20L)
+    // fold everything: versions first, then tombstones, then clear
+    IvfIndex.compactVersions(spark, model, "vec_id")
+    Tombstones.compact(spark, dir, IvfIndex.dataDir(dir), Seq("vec_id"),
+      partitionBy = Seq("cluster_id"))
+    Tombstones.clear(spark, dir)
+    assert(counters().values.forall(_ == 0L), counters().toString)
+  }
+
   test("IVF rebalance preserves version history (searchLatest composes)") {
     // upsert first, rebalance second: the hot-row reassignment and the
     // compaction-era reads are all merged-schema, so the __ver column
