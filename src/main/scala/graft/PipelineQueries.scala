@@ -54,6 +54,37 @@ object PipelineQueries {
     },
     Some(exactTop5Oracle))
 
+  /** IVF MIPS serving ([[graft.search.IvfIndex.searchIp]]) — the
+    * inner-product metric through the SAME partition-pruned IVF layout
+    * (probe by centroid-IP desc, rows by exact IP desc). At full probe
+    * the result must equal exact MIPS top-5 over the corpus, which the
+    * oracle computes directly; partial-probe subset/recall behavior is
+    * spec-pinned (KnnSpec). Completes the metric × index matrix row the
+    * graph family opened with `graph_ann_mips_walk`. */
+  private val ivfIpSearch = Q(
+    "ivf_ip_search",
+    (s, dir) => {
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      IvfIndex.searchIp(s, model, "embedding", "vec_id", query, k = 5,
+        nprobe = model.nlist)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id,
+             round(list_sum(list_transform(range(1, len(e.embedding)+1),
+               i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(q.qe[i] AS DOUBLE))), 4) AS ip
+      FROM embeddings e, q
+      ORDER BY ip DESC, e.vec_id ASC LIMIT 5
+    """))
+
   /** IVF search at PARTIAL probe (nprobe=4 of nlist=16) — the pruning
     * arithmetic itself is oracled, not just the exact-degenerate case:
     * the query hands the built centroid table and the (vec_id,
@@ -3527,7 +3558,8 @@ object PipelineQueries {
       FROM h
     """))
 
-  val all: Seq[Q] = Seq(ivfSearch, ivfPartialProbe, ivfNprobeAutotune,
+  val all: Seq[Q] = Seq(ivfSearch, ivfIpSearch, ivfPartialProbe,
+    ivfNprobeAutotune,
     ivfFilteredSearch,
     ivfBalanceReport, ivfAutoRewrite,
     ivfAutoRewriteSql,

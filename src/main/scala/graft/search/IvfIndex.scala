@@ -105,6 +105,23 @@ object IvfIndex {
       .take(nprobe).map(_._1).toSeq
   }
 
+  /** Centroid probe order for MIPS serving: DESCENDING centroid inner
+    * product, id tie-break (the IVF-IP discipline — the list whose
+    * centroid has the largest ⟨c, q⟩ most plausibly holds the
+    * large-IP members; same k-means partition of the corpus as
+    * [[probeClusters]], a different ranking functional over it). */
+  def probeClustersIp(model: Model, query: Array[Float],
+                      nprobe: Int): Seq[Int] = {
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    model.centroids.sortBy { case (id, c) => (-dot(c, query), id) }
+      .take(nprobe).map(_._1).toSeq
+  }
+
   /** Centroid ranks for a query: every cluster_id with its 1-based rank
     * by (raw double L2, id) — [[probeClusters]]'s ordering, exposed so
     * the tuning plan can express "rank ≤ nprobe" declaratively. */
@@ -240,6 +257,33 @@ object IvfIndex {
         round(VectorFunctions.l2Sq(col(vecCol), typedlit(query)), 4))
       .orderBy(col("distance").asc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** IVF MIPS serving — the inner-product member of the metric × index
+    * matrix for the IVF family (graph has [[GraphAnn.beamSearchMips]],
+    * the flat tier [[NormPrune.mipsSearch]]): the probe ranks centroids
+    * by [[probeClustersIp]] (⟨c, q⟩ desc), the scan is the same
+    * partition-pruned read as [[search]], rows rank by EXACT inner
+    * product desc with id tie-breaks. At nprobe = nlist the probe
+    * restriction is vacuous and the result is exact MIPS; at partial
+    * probe the recall contract is the usual IVF one (a large-IP row in
+    * an unprobed list is missed). Tombstones are masked and the upsert
+    * overlay applied — every serve path's discipline. Returns
+    * (idCol, ip), ip-descending. */
+  def searchIp(spark: SparkSession, model: Model, vecCol: String,
+               idCol: String, query: Array[Float], k: Int,
+               nprobe: Int): DataFrame = {
+    val clusters = probeClustersIp(model, query, nprobe)
+    val vs = versionedScan(spark, model.indexDir)
+    val pruned = vs.getOrElse(spark.read.parquet(dataDir(model.indexDir)))
+      .where(col("cluster_id").isin(clusters: _*))
+    val scan = vs.map(applyLatest(_, pruned, idCol)).getOrElse(pruned)
+    Tombstones.mask(scan, spark, model.indexDir, idCol)
+      .withColumn("ip",
+        round(VectorFunctions.dot(col(vecCol), typedlit(query)), 4))
+      .orderBy(col("ip").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("ip"))
   }
 
   /** UPSERT a batch against the index WITHOUT rebuilding it — the

@@ -230,6 +230,36 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("IVF IP serving: full probe exact, partial probe finds the MIPS blob") {
+    import graft.search.IvfIndex
+    // two blobs; the LARGE-NORM blob far from the origin holds every
+    // top-IP row for a positive query — IP probing must rank its
+    // centroid first even though the query sits nearer the other blob
+    val r = new scala.util.Random(47)
+    val rows = ((0 until 30).map(i =>
+        (i.toLong, Array.fill(4)((r.nextGaussian() * 0.1).toFloat))) ++
+      (30 until 60).map(i =>
+        (i.toLong, Array.fill(4)((5.0 + r.nextGaussian() * 0.1).toFloat))))
+      .toDF("vec_id", "embedding")
+    val dir = "/tmp/graft_ivf_ip_test"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val model = IvfIndex.build(rows, "embedding", dir, nlist = 2)
+    val q = Array.fill(4)(1.0f)
+    val exact = rows
+      .withColumn("ip", round(VectorFunctions.dot(col("embedding"),
+        typedlit(q.toSeq)), 4))
+      .orderBy(col("ip").desc, col("vec_id").asc).limit(5)
+      .select("vec_id", "ip").as[(Long, Double)].collect().toSeq
+    val full = IvfIndex.searchIp(spark, model, "embedding", "vec_id", q,
+      k = 5, nprobe = 2).as[(Long, Double)].collect().toSeq
+    assert(full == exact, "full probe must equal exact MIPS")
+    // nprobe=1 must pick the big-norm blob's list: recall stays perfect
+    val one = IvfIndex.searchIp(spark, model, "embedding", "vec_id", q,
+      k = 5, nprobe = 1).as[(Long, Double)].collect().toSeq
+    assert(one == exact, "IP probe ranked the wrong centroid first")
+  }
+
   test("bm25: tf monotone, rare terms outweigh common, absent docs dropped") {
     import graft.search.Bm25
     val docs = Seq(
