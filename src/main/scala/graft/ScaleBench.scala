@@ -218,6 +218,25 @@ object ScaleBench {
           IvfIndex.search(spark, model, "embedding", "vec_id", q,
             k = 5, nprobe = 8).count()
         }),
+        // latest-wins serving over an upserted layout (round 9): 1% of
+        // rows re-inserted at v1 — the overlay adds one upsert-bounded
+        // broadcast (per-key max version) inside the pruned scan, the
+        // tombstone-mask cost model with a different small side.
+        "ivf_search_latest (1% upserted)" -> (() => {
+          import spark.implicits._
+          val dir = s"/tmp/graft_scale/ivf_up_$n"
+          if (!new java.io.File(
+              IvfIndex.centroidsDir(dir) + "/_SUCCESS").exists()) {
+            copyDir(s"/tmp/graft_scale/ivf_$n", dir)
+            IvfIndex.upsertBatch(emb.where(col("vec_id") % 100 === 7),
+              "embedding", IvfIndex.load(spark, dir), "vec_id", ver = 1)
+          }
+          val model = IvfIndex.load(spark, dir)
+          val q = emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head().toArray
+          IvfIndex.searchLatest(spark, model, "embedding", "vec_id", q,
+            k = 5, nprobe = 8).count()
+        }),
         // hot-list rebalance (round 9): split every list above half the
         // observed max — cost is the hot rows' re-fit (sample-capped)
         // + global reassignment + partition rewrite, NOT a corpus

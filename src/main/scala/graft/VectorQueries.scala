@@ -1270,6 +1270,37 @@ object VectorQueries {
       ORDER BY distance ASC, e.vec_id ASC LIMIT 5
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** Filtered kNN with the filter resolved by a SCALAR SECONDARY INDEX
+    * ([[graft.search.ScalarIndex]] — Milvus's INVERTED/BITMAP scalar
+    * index family): the `label IN (2,5,7)` id set comes from a
+    * directory-pruned scan of the build-once (value, id) artifact
+    * (PlanSpec pins `value` lands in PartitionFilters), the corpus is
+    * restricted by a semi-join on id BEFORE any distance math, and the
+    * ranking equals `filtered_knn_search`'s inline-predicate result —
+    * same oracle semantics through a different (artifact-accelerated)
+    * physical path. */
+  private val scalarIndexedKnn = Q(
+    "scalar_indexed_knn",
+    (s, dir) => {
+      import graft.search.ScalarIndex
+      val e = Tables.embeddings(s, dir)
+      val idx = s"/tmp/graft_scalaridx_${math.abs(dir.hashCode)}"
+      if (!new java.io.File(
+          ScalarIndex.valuesDir(idx) + "/_SUCCESS").exists())
+        ScalarIndex.build(e, "vec_id", "label", idx)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      ScalarIndex.filteredKnn(s, idx, e.select("vec_id", "embedding"),
+        "embedding", "vec_id", query, k = 5, Seq(2, 5, 7))
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id, %L2% AS distance
+      FROM embeddings e, q
+      WHERE e.label IN (2, 5, 7)
+      ORDER BY distance ASC, e.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   /** Range search — Milvus's other search mode (radius + range_filter):
     * every vector with `range_filter <= distance < radius`, not a fixed
     * k. The inner bound's standard job is self-match/near-duplicate
@@ -3373,7 +3404,8 @@ object VectorQueries {
     sq8RerankSearch, ivfSq8Search, rqAdcSearch, ivfRqSearch,
     rqRecallReport, quantizerErrorReport, normPrunedSearch,
     mipsNormPrunedSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
-    filteredKnnSearch, knnRangeSearch, groupedKnnPerLabel,
+    filteredKnnSearch, scalarIndexedKnn, knnRangeSearch,
+    groupedKnnPerLabel,
     binaryHammingSearch, binaryJaccardSearch, asymmetricBinarySearch,
     asymmetricBinaryIncremental, streamingAsymIngest, ivfAsymBinarySearch,
     binaryRecallReport, knnIpTopK, mmrRerank,

@@ -498,17 +498,35 @@ object IvfIndex {
       newCentroids
     // (1) GLOBAL reassignment of every hot row against the merged
     // table, all hot lists in ONE partition-pruned read + ONE
-    // partitioned append (|hot| fit jobs + 1 write job total)
-    val centArr = array(merged.sortBy(_._1).map { case (i, c) =>
-      struct(
-        VectorFunctions.l2Sq(col(vecCol), typedlit(c.toSeq)).as("d"),
-        lit(i).as("cluster_id"))
-    }: _*)
+    // partitioned append (|hot| fit jobs + 1 write job total). The
+    // argmin runs through an mllib KMeansModel closure, NOT the
+    // [[append]] literal-struct-array expression: at rebalance widths
+    // (~2·nlist centers) that expression falls out of whole-stage
+    // codegen and interprets ~100× slower (688 s for the pass at 1 M,
+    // SCALE.md round 9) — the predictor is tight primitive-array math
+    // with precomputed norms. Centers are passed cid-ascending, so a
+    // tie breaks to the LOWER cid exactly like array_min's struct
+    // comparison; the fastSquaredDistance shortcut can flip a
+    // float-precision near-tie, which is inside [[IndexAudit
+    // .ivfChecks]]' documented assignment tolerance.
+    val sortedMerged = merged.sortBy(_._1)
+    val mlCenters = sortedMerged.map { case (_, c) =>
+      org.apache.spark.mllib.linalg.Vectors.dense(
+        c.map(_.toDouble).toArray)
+    }.toArray
+    val cidByIdx = sortedMerged.map(_._1).toArray
+    val mlModel =
+      new org.apache.spark.mllib.clustering.KMeansModel(mlCenters)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      cidByIdx(mlModel.predict(
+        org.apache.spark.mllib.linalg.Vectors.dense(
+          v.map(_.toDouble).toArray)))
+    }
     spark.read.option("mergeSchema", "true")
       .parquet(dataDir(model.indexDir))
       .where(col("cluster_id").isin(hot.map(_._1): _*))
       .drop("cluster_id")
-      .withColumn("cluster_id", array_min(centArr).getField("cluster_id"))
+      .withColumn("cluster_id", assignUdf(col(vecCol)))
       .write.mode("append").partitionBy("cluster_id")
       .parquet(dataDir(model.indexDir))
     // (2) centroid-table swap: survivors + sub-centroids, tmp + rename

@@ -298,6 +298,18 @@ class PlanSpec extends SparkSpec {
       s"source filter must be a partition filter:\n$p")
   }
 
+  test("scalar index: value filter prunes artifact DIRECTORIES") {
+    val p = plan("scalar_indexed_knn")
+    // the label IN (…) must resolve on the scalar artifact's partition
+    // layout (directory elimination), and restrict the corpus via a
+    // join — never a cartesian
+    assert(p.contains("PartitionFilters: [value"),
+      s"value filter must be a partition filter on the artifact:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"id restriction must stay an equi-join:\n$p")
+  }
+
   test("collection point-get: id list reaches the scan as a pushed In") {
     val p = plan("collection_point_get")
     assert(p.contains("PushedFilters: [In(id, ["),
