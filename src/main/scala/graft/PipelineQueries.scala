@@ -85,6 +85,82 @@ object PipelineQueries {
       ORDER BY ip DESC, e.vec_id ASC LIMIT 5
     """))
 
+  /** Scalar-index-filtered IVF serving ([[graft.search.IvfIndex
+    * .searchWithIdFilter]] fed by [[graft.search.ScalarIndex.ids]]):
+    * the `label IN (2,5,7)` id set resolves from the directory-pruned
+    * scalar artifact, then restricts the partition-pruned IVF scan by
+    * semi-join BEFORE any distance math — the filtered-ANN composition
+    * Milvus runs when a search carries a `filter=` expression over an
+    * indexed scalar field. Full probe ⇒ equals exact filtered kNN
+    * (oracled); the artifacts are the shared `graft_ivf`/`scalaridx`
+    * build-once dirs. */
+  private val scalarFilteredIvfSearch = Q(
+    "scalar_filtered_ivf_search",
+    (s, dir) => {
+      import graft.search.ScalarIndex
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val scalarDir = s"/tmp/graft_scalaridx_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      if (!new java.io.File(
+          ScalarIndex.valuesDir(scalarDir) + "/_SUCCESS").exists())
+        ScalarIndex.build(e, "vec_id", "label", scalarDir)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      IvfIndex.searchWithIdFilter(s, model, "embedding", "vec_id",
+        query, k = 5, nprobe = model.nlist,
+        allowedIds = ScalarIndex.ids(s, scalarDir, Seq(2, 5, 7)))
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id, %L2% AS distance
+      FROM embeddings e, q
+      WHERE e.label IN (2, 5, 7)
+      ORDER BY distance ASC, e.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
+  /** Index reconcile ([[graft.search.IndexSync.reconcileIvf]]) — the
+    * repair verb for the drift [[graft.search.IndexAudit]]'s
+    * missing/orphan counters detect: the index was built BEFORE the
+    * collection's last 21 rows arrived and never saw the `%9 = 4`
+    * delete, so it both misses live rows and serves dead ones.
+    * Reconcile tombstones the orphans (key append) and appends the
+    * missing rows (frozen-centroid assignment) — no rebuild, no
+    * rewrite of existing artifact files — after which the full-probe
+    * serve must equal exact kNN over the LIVE corpus, which the oracle
+    * computes directly. */
+  private val indexReconcileServe = Q(
+    "index_reconcile_serve",
+    (s, dir) => {
+      import graft.search.IndexSync
+      val baseDir = s"/tmp/graft_ivf_reconbase_${math.abs(dir.hashCode)}"
+      val runDir = s"/tmp/graft_ivf_recon_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val maxId = e.agg(max(col("vec_id"))).collect()(0).getLong(0)
+      if (!new java.io.File(IvfIndex.centroidsDir(baseDir)).exists())
+        IvfIndex.build(e.where(col("vec_id") < maxId - 20), "embedding",
+          baseDir, nlist = 16)
+      copyLocalDir(baseDir, runDir)
+      val model = IvfIndex.load(s, runDir)
+      val live = e.where(col("vec_id") % 9 =!= 4)
+      IndexSync.reconcileIvf(s, live, "vec_id", "embedding", model)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      IvfIndex.search(s, model, "embedding", "vec_id", query, k = 5,
+          nprobe = model.nlist)
+        .select("vec_id", "distance")
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id, %L2% AS distance
+      FROM embeddings e, q
+      WHERE e.vec_id % 9 <> 4
+      ORDER BY distance ASC, e.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   /** IVF search at PARTIAL probe (nprobe=4 of nlist=16) — the pruning
     * arithmetic itself is oracled, not just the exact-degenerate case:
     * the query hands the built centroid table and the (vec_id,
@@ -3558,7 +3634,8 @@ object PipelineQueries {
       FROM h
     """))
 
-  val all: Seq[Q] = Seq(ivfSearch, ivfIpSearch, ivfPartialProbe,
+  val all: Seq[Q] = Seq(ivfSearch, ivfIpSearch, scalarFilteredIvfSearch,
+    indexReconcileServe, ivfPartialProbe,
     ivfNprobeAutotune,
     ivfFilteredSearch,
     ivfBalanceReport, ivfAutoRewrite,

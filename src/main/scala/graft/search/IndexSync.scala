@@ -1,0 +1,49 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Reconcile a serving index against its source collection — the
+  * "reindex delta" maintenance verb. Milvus keeps segments aligned by
+  * construction (every insert/delete flows through the engine,
+  * src/app.py:87 drops and recreates wholesale); on a lakehouse the
+  * collection and its derived artifacts DRIFT whenever a delete,
+  * rewrite, or append bypasses index maintenance — exactly the state
+  * [[IndexAudit.coverageChecks]]' `missing`/`orphans` counters detect.
+  * This operator repairs what the audit reports, without a rebuild:
+  *
+  *  - ORPHANS (artifact ids absent from the corpus — a collection
+  *    delete/rewrite that never propagated) become [[Tombstones]]: a
+  *    key append, masked by every serve path, folded by compaction.
+  *  - MISSING rows (corpus ids absent from the artifact — an append
+  *    that never hit the index) enter by [[IvfIndex.append]]'s
+  *    frozen-centroid assignment.
+  *
+  * Both diffs are anti-joins against the artifact's id projection;
+  * existing artifact data is never rewritten. After reconcile, a
+  * full-probe serve equals exact search over the live corpus. */
+object IndexSync {
+  /** Returns (orphans_tombstoned, rows_appended). Idempotent: the
+    * orphan diff runs against the artifact MINUS already-recorded
+    * tombstones, so a second reconcile over the same drift repairs
+    * nothing. Caveat (documented, detected by the version/coverage
+    * audits): a key that was deleted and then RE-ADDED to the
+    * collection still has its physical artifact row, so it is not
+    * "missing" here — yet the old tombstone masks it at serve time;
+    * fold tombstones ([[Tombstones.compact]]) before reconciling when
+    * the collection re-uses keys. */
+  def reconcileIvf(spark: SparkSession, corpus: DataFrame, idCol: String,
+                   vecCol: String, model: IvfIndex.Model): (Long, Long) = {
+    val artIds = spark.read.parquet(IvfIndex.dataDir(model.indexDir))
+      .select(col(idCol)).distinct()
+    val orphans = Tombstones.mask(artIds, spark, model.indexDir, idCol)
+      .join(corpus.select(col(idCol)), Seq(idCol), "left_anti")
+    val nOrphans = orphans.count()
+    if (nOrphans > 0) Tombstones.record(orphans, model.indexDir, idCol)
+    val missing = corpus.select(col(idCol), col(vecCol))
+      .join(artIds, Seq(idCol), "left_anti")
+    val nMissing = missing.count()
+    if (nMissing > 0) IvfIndex.append(missing, vecCol, model)
+    (nOrphans, nMissing)
+  }
+}

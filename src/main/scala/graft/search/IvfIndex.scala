@@ -286,6 +286,33 @@ object IvfIndex {
       .select(col(idCol), col("ip"))
   }
 
+  /** Pre-filtered IVF serving: [[search]] with the candidate set
+    * restricted to `allowedIds` BEFORE ranking — the id set typically
+    * comes from a [[ScalarIndex]] lookup (metadata filter) or a
+    * point-get list; the restriction is a semi-join inside the
+    * partition-pruned scan, so at a selective filter the broadcast side
+    * is the (small) id set and no disallowed row's distance is ever
+    * computed. At nprobe = nlist this equals exact filtered kNN.
+    * Tombstones are masked and the upsert overlay applied as always. */
+  def searchWithIdFilter(spark: SparkSession, model: Model,
+                         vecCol: String, idCol: String,
+                         query: Array[Float], k: Int, nprobe: Int,
+                         allowedIds: DataFrame): DataFrame = {
+    val clusters = probeClusters(model, query, nprobe)
+    val vs = versionedScan(spark, model.indexDir)
+    val pruned = vs.getOrElse(spark.read.parquet(dataDir(model.indexDir)))
+      .where(col("cluster_id").isin(clusters: _*))
+    val scan = vs.map(applyLatest(_, pruned, idCol)).getOrElse(pruned)
+    val allowed = allowedIds.toDF(idCol)
+    Tombstones.mask(scan, spark, model.indexDir, idCol)
+      .join(allowed, Seq(idCol), "left_semi")
+      .withColumn("distance",
+        round(VectorFunctions.l2Sq(col(vecCol), typedlit(query)), 4))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("distance"))
+  }
+
   /** UPSERT a batch against the index WITHOUT rebuilding it — the
     * remaining maintenance verb after append (new keys) and delete
     * (tombstones): replaced keys need BOTH, because the new vector may

@@ -257,6 +257,34 @@ class OperatorSpec extends SparkSpec {
     assert(full.count(_ == 5L) == 1 && full.size == 40)
   }
 
+  test("IndexSync.reconcileIvf: orphans tombstoned, missing appended") {
+    import graft.search.IndexSync
+    val r = new scala.util.Random(53)
+    val all = (0L until 40L).map(i =>
+        (i, Array.fill(4)((r.nextGaussian() * 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = "/tmp/graft_ivf_reconcile_test"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // index saw only ids < 30; the collection then dropped ids 5 and 7
+    val model = IvfIndex.build(all.where(col("vec_id") < 30),
+      "embedding", dir, nlist = 2)
+    val live = all.where(col("vec_id") =!= 5 && col("vec_id") =!= 7)
+    val (orphans, missing) =
+      IndexSync.reconcileIvf(spark, live, "vec_id", "embedding", model)
+    assert(orphans == 2L && missing == 10L, s"($orphans, $missing)")
+    // full-probe serve over the reconciled index = exactly the live set
+    val q = all.where(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val served = IvfIndex.search(spark, model, "embedding", "vec_id", q,
+        k = 40, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(served == (0L until 40L).toSet -- Set(5L, 7L))
+    // idempotent: a second reconcile finds nothing to repair
+    assert(IndexSync.reconcileIvf(spark, live, "vec_id", "embedding",
+      model) == ((0L, 0L)))
+  }
+
   test("versionChecks counts debt; compaction returns every counter to 0") {
     import graft.search.{IndexAudit, Tombstones}
     val r = new scala.util.Random(43)
