@@ -223,6 +223,66 @@ object VectorQueries {
       ORDER BY rrf DESC, doc_id ASC LIMIT 10
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** MULTI-VECTOR hybrid search (Milvus 2.4: one entity carrying
+    * several vector fields, each searched in its own space, fused by a
+    * WeightedRanker — the score-weighted sibling of
+    * `hybrid_search_rrf`'s rank fusion): field A is the full 64-dim
+    * embedding, field B its first-32-dim sub-vector (a coarse "view"
+    * with genuinely different geometry — rankings disagree, so the
+    * fusion does real work). Each field serves its own exact top-20 by
+    * L2; distances map to similarities 1/(1+d) and fuse
+    * 0.7·A + 0.3·B over the union (absent from a field's top-20 → 0
+    * for that field, the WeightedRanker contract). The oracle replays
+    * both rankings, the similarity map, and the weighted merge. */
+  private val multiVectorHybridSearch = Q(
+    "multi_vector_hybrid_search",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("qa"),
+          slice(col("embedding"), 1, 32).as("qb"))
+      val scored = e.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(VectorFunctions.l2Sq(col("embedding"), col("qa")), 4)
+            .as("da"),
+          round(VectorFunctions.l2Sq(
+            slice(col("embedding"), 1, 32), col("qb")), 4).as("db"))
+      val topA = scored.orderBy(col("da").asc, col("vec_id").asc)
+        .limit(20)
+        .select(col("vec_id"),
+          round(lit(1.0) / (lit(1.0) + col("da")), 6).as("simA"))
+      val topB = scored.orderBy(col("db").asc, col("vec_id").asc)
+        .limit(20)
+        .select(col("vec_id"),
+          round(lit(1.0) / (lit(1.0) + col("db")), 6).as("simB"))
+      topA.join(topB, Seq("vec_id"), "full_outer")
+        .select(col("vec_id"),
+          round(coalesce(col("simA"), lit(0.0)) * 0.7 +
+            coalesce(col("simB"), lit(0.0)) * 0.3, 6).as("hybrid_score"))
+        .orderBy(col("hybrid_score").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qa FROM embeddings WHERE vec_id = 0),
+      d AS (SELECT e.vec_id,
+              round(list_sum(list_transform(range(1, 65),
+                i -> (CAST(e.embedding[i] AS DOUBLE)
+                      - CAST(q.qa[i] AS DOUBLE))^2)), 4) AS da,
+              round(list_sum(list_transform(range(1, 33),
+                i -> (CAST(e.embedding[i] AS DOUBLE)
+                      - CAST(q.qa[i] AS DOUBLE))^2)), 4) AS db
+            FROM embeddings e, q),
+      ta AS (SELECT vec_id, round(1.0/(1.0+da), 6) AS simA
+             FROM (SELECT * FROM d ORDER BY da ASC, vec_id ASC LIMIT 20)),
+      tb AS (SELECT vec_id, round(1.0/(1.0+db), 6) AS simB
+             FROM (SELECT * FROM d ORDER BY db ASC, vec_id ASC LIMIT 20))
+      SELECT coalesce(ta.vec_id, tb.vec_id) AS vec_id,
+             round(coalesce(simA, 0)*0.7 + coalesce(simB, 0)*0.3, 6)
+               AS hybrid_score
+      FROM ta FULL OUTER JOIN tb ON ta.vec_id = tb.vec_id
+      ORDER BY hybrid_score DESC, vec_id ASC LIMIT 10
+    """))
+
   /** SQ8 two-stage search: approximate top-20 candidates from the int8
     * representation (materialized ONCE per JVM+sfDir — the stored form a
     * deployment scans; same build-once convention as the bucketed tables
@@ -3401,6 +3461,7 @@ object VectorQueries {
     bm25IncrementalSearch, bm25fSearch, streamingBm25Ingest,
     bm25MaskedSearch, bm25UpsertSearch, rerankCrossEncoder,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
+    multiVectorHybridSearch,
     sq8RerankSearch, ivfSq8Search, rqAdcSearch, ivfRqSearch,
     rqRecallReport, quantizerErrorReport, normPrunedSearch,
     mipsNormPrunedSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,

@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.Collection
+import graft.functions.VectorFunctions
 import graft.ingest.{Embed, HashingEmbedder}
 import graft.operators.AsOfJoin
 import graft.search.{IvfIndex, Knn}
@@ -255,6 +256,45 @@ class OperatorSpec extends SparkSpec {
         "vec_id", q, k = 40, nprobe = 2)
       .select("vec_id").as[Long].collect().toSeq
     assert(full.count(_ == 5L) == 1 && full.size == 40)
+  }
+
+  test("scalar index: append equals rebuild; filteredKnn equals brute force") {
+    import graft.search.ScalarIndex
+    val r = new scala.util.Random(59)
+    val rows = (0L until 40L).map(i =>
+        (i, Array.fill(4)((r.nextGaussian() * 0.5).toFloat), (i % 5).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val incDir = "/tmp/graft_scalar_inc_test"
+    val fullDir = "/tmp/graft_scalar_full_test"
+    Seq(incDir, fullDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    ScalarIndex.build(rows.where(col("vec_id") < 25), "vec_id", "label",
+      incDir)
+    ScalarIndex.append(rows.where(col("vec_id") >= 25), "vec_id", "label",
+      incDir)
+    ScalarIndex.build(rows, "vec_id", "label", fullDir)
+    val vals = Seq(1, 3)
+    val inc = ScalarIndex.ids(spark, incDir, vals)
+      .as[Long].collect().sorted.toSeq
+    val full = ScalarIndex.ids(spark, fullDir, vals)
+      .as[Long].collect().sorted.toSeq
+    assert(inc == full && inc.nonEmpty)
+    assert(inc == (0L until 40L).filter(i => vals.contains((i % 5).toInt)))
+    val q = rows.where(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val got = ScalarIndex.filteredKnn(spark, incDir,
+        rows.select("vec_id", "embedding"), "embedding", "vec_id", q,
+        k = 5, vals)
+      .as[(Long, Double)].collect().toSeq
+    val brute = rows.where(col("label").isin(vals: _*))
+      .withColumn("distance", round(VectorFunctions.l2Sq(col("embedding"),
+        typedlit(q.toSeq)), 4))
+      .orderBy(col("distance").asc, col("vec_id").asc).limit(5)
+      .select("vec_id", "distance").as[(Long, Double)].collect().toSeq
+    assert(got == brute)
   }
 
   test("IndexSync.reconcileIvf: orphans tombstoned, missing appended") {
