@@ -262,6 +262,27 @@ object ScaleBench {
             s"/tmp/graft_scale/ivf_rebalcopy_$n")
           1L
         }),
+        // index reconcile (round 9): the collection drifted by 1%
+        // deletes + 1% unseen appends; repair = two anti-join diffs
+        // against the artifact's id projection, a tombstone key append,
+        // and a frozen-centroid append of the missing rows — cost is
+        // one id-projection scan (linear, tiny rows) + the delta write,
+        // never a rebuild. Timed body includes the per-run dir copy
+        // (measured separately by ivf_dircopy above).
+        "ivf_reconcile (1% drift)" -> (() => {
+          import graft.search.IndexSync
+          val dir = s"/tmp/graft_scale/ivf_recon_$n"
+          copyDir(s"/tmp/graft_scale/ivf_$n", dir)
+          val model = IvfIndex.load(spark, dir)
+          val extra = synthEmbeddings(spark, n + n / 100)
+            .where(col("vec_id") >= n)
+          val live = emb.where(col("vec_id") % 100 =!= 3)
+            .unionByName(extra)
+          val (orph, miss) =
+            IndexSync.reconcileIvf(spark, live, "vec_id", "embedding",
+              model)
+          orph + miss
+        }),
         // round 4's scale defect, now measured: deficient ids route
         // through the IVF probe (equi-join on cluster_id) instead of a
         // corpus × broadcast nested loop. On this clustered corpus the
@@ -598,7 +619,8 @@ object ScaleBench {
       val noWarmup = Set("graphann_candidates (auto nlist)",
         "graphann_lsh_candidates (auto bands)",
         "ivf_rebalance (cap=max/2)",
-        "ivf_dircopy (rebalance setup baseline)")
+        "ivf_dircopy (rebalance setup baseline)",
+        "ivf_reconcile (1% drift)")
       ops.filter(o => opFilter(o._1)).foreach { case (name, body) =>
         if (!noWarmup(name))
           body()                          // warm-up (JIT/codegen/page cache)
