@@ -3387,6 +3387,65 @@ object PipelineQueries {
       ORDER BY check_name ASC
     """))
 
+  /** Maintenance PLAN ([[graft.search.Maintenance.plan]]) — the policy
+    * layer closing round-9's loop: the version-debt counters and
+    * list-size stats become explicit `metric > threshold` decisions for
+    * the three maintenance verbs (compact_versions /
+    * compact_tombstones / rebalance), in absolute rows an operator can
+    * audit. Shares `index_version_report`'s drift scenario on its own
+    * per-run copy; the oracle replays the version counters from
+    * fixture arithmetic and the skew trigger from the staged
+    * assignment handoff — same floor arithmetic both sides. */
+  private val indexMaintenancePlan = Q(
+    "index_maintenance_plan",
+    (s, dir) => {
+      import graft.search.Maintenance
+      val baseDir = s"/tmp/graft_ivf_verbase_${math.abs(dir.hashCode)}"
+      val runDir = s"/tmp/graft_ivf_mplan_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      if (!new java.io.File(IvfIndex.centroidsDir(baseDir)).exists())
+        IvfIndex.build(e, "embedding", baseDir, nlist = 16)
+      copyLocalDir(baseDir, runDir)
+      val model = IvfIndex.load(s, runDir)
+      IvfIndex.upsertBatch(e.where(col("vec_id") % 10 === 1),
+        "embedding", model, "vec_id", ver = 1)
+      IvfIndex.upsertBatch(e.where(col("vec_id") % 20 === 1),
+        "embedding", model, "vec_id", ver = 2)
+      graft.search.Tombstones.record(
+        e.where(col("vec_id") % 15 === 2).select("vec_id"),
+        runDir, "vec_id")
+      stageOracle(s, "mplan", dir)(
+        "assign" -> s.read.option("mergeSchema", "true")
+          .parquet(IvfIndex.dataDir(runDir)).select("cluster_id"))
+      Maintenance.plan(s, runDir, "vec_id")
+        .orderBy(col("action").asc)
+    },
+    Some("""
+      WITH asg AS (SELECT cluster_id FROM read_parquet(
+        '/tmp/graft_mplan_oracle_%ORACLE_KEY%/assign/*.parquet')),
+      per AS (SELECT cluster_id, count(*) AS sz FROM asg
+              GROUP BY cluster_id),
+      st AS (SELECT CAST(sum(sz) AS BIGINT) AS total,
+                    CAST(max(sz) AS BIGINT) AS mx,
+                    CAST(count(*) AS BIGINT) AS nlists FROM per),
+      n1 AS (SELECT count(*) AS c FROM embeddings WHERE vec_id % 10 = 1),
+      n2 AS (SELECT count(*) AS c FROM embeddings WHERE vec_id % 20 = 1),
+      n3 AS (SELECT count(*) AS c FROM embeddings WHERE vec_id % 15 = 2)
+      SELECT action, metric, threshold, metric > threshold AS triggered
+      FROM (
+        SELECT 'compact_tombstones' AS action,
+               CAST(n3.c AS BIGINT) AS metric,
+               CAST(floor(st.total * 0.05) AS BIGINT) AS threshold
+        FROM n3, st
+        UNION ALL
+        SELECT 'compact_versions', CAST(n1.c + n2.c AS BIGINT),
+               CAST(floor(st.total * 0.10) AS BIGINT) FROM n1, n2, st
+        UNION ALL
+        SELECT 'rebalance', st.mx,
+               CAST((st.total // st.nlists) * 4 AS BIGINT) FROM st) u
+      ORDER BY action ASC
+    """))
+
   /** Graph delete CONSOLIDATION (see
     * [[graft.search.GraphAnn.consolidateDeletes]]) — the fold that
     * retires `graph_ann_masked_walk`'s tombstones: edges touching a
@@ -3660,5 +3719,5 @@ object PipelineQueries {
     graphAnnMipsRecall, ivfRebalanceReport, ivfRebalanceSearch,
     streamingDeleteIngest, graphConsolidateDeletes, ivfUpsertSearch,
     ivfBulkUpsertSearch, graphAnnUpsertWalk, streamingIvfUpsertIngest,
-    indexVersionReport)
+    indexVersionReport, indexMaintenancePlan)
 }

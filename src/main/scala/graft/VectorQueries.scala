@@ -247,18 +247,24 @@ object VectorQueries {
             .as("da"),
           round(VectorFunctions.l2Sq(
             slice(col("embedding"), 1, 32), col("qb")), 4).as("db"))
+      // +1e-9 before every 6-decimal round: a similarity or fused score
+      // landing exactly on a half would otherwise round by engine ulp
+      // luck (sf0.1 caught one) — the repo-wide epsilon discipline
       val topA = scored.orderBy(col("da").asc, col("vec_id").asc)
         .limit(20)
         .select(col("vec_id"),
-          round(lit(1.0) / (lit(1.0) + col("da")), 6).as("simA"))
+          round(lit(1.0) / (lit(1.0) + col("da")) + lit(1e-9), 6)
+            .as("simA"))
       val topB = scored.orderBy(col("db").asc, col("vec_id").asc)
         .limit(20)
         .select(col("vec_id"),
-          round(lit(1.0) / (lit(1.0) + col("db")), 6).as("simB"))
+          round(lit(1.0) / (lit(1.0) + col("db")) + lit(1e-9), 6)
+            .as("simB"))
       topA.join(topB, Seq("vec_id"), "full_outer")
         .select(col("vec_id"),
           round(coalesce(col("simA"), lit(0.0)) * 0.7 +
-            coalesce(col("simB"), lit(0.0)) * 0.3, 6).as("hybrid_score"))
+            coalesce(col("simB"), lit(0.0)) * 0.3 + lit(1e-9), 6)
+            .as("hybrid_score"))
         .orderBy(col("hybrid_score").desc, col("vec_id").asc)
         .limit(10)
     },
@@ -272,12 +278,12 @@ object VectorQueries {
                 i -> (CAST(e.embedding[i] AS DOUBLE)
                       - CAST(q.qa[i] AS DOUBLE))^2)), 4) AS db
             FROM embeddings e, q),
-      ta AS (SELECT vec_id, round(1.0/(1.0+da), 6) AS simA
+      ta AS (SELECT vec_id, round(1.0/(1.0+da) + 1e-9, 6) AS simA
              FROM (SELECT * FROM d ORDER BY da ASC, vec_id ASC LIMIT 20)),
-      tb AS (SELECT vec_id, round(1.0/(1.0+db), 6) AS simB
+      tb AS (SELECT vec_id, round(1.0/(1.0+db) + 1e-9, 6) AS simB
              FROM (SELECT * FROM d ORDER BY db ASC, vec_id ASC LIMIT 20))
       SELECT coalesce(ta.vec_id, tb.vec_id) AS vec_id,
-             round(coalesce(simA, 0)*0.7 + coalesce(simB, 0)*0.3, 6)
+             round(coalesce(simA, 0)*0.7 + coalesce(simB, 0)*0.3 + 1e-9, 6)
                AS hybrid_score
       FROM ta FULL OUTER JOIN tb ON ta.vec_id = tb.vec_id
       ORDER BY hybrid_score DESC, vec_id ASC LIMIT 10

@@ -363,6 +363,38 @@ class OperatorSpec extends SparkSpec {
     assert(counters().values.forall(_ == 0L), counters().toString)
   }
 
+  test("maintenance plan: triggers fire on debt, clear after the verbs") {
+    import graft.search.{Maintenance, Tombstones}
+    val r = new scala.util.Random(61)
+    val corpus = (0L until 40L).map(i =>
+        (i, Array.fill(4)((r.nextGaussian() * 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = "/tmp/graft_ivf_mplan_test"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val model = IvfIndex.build(corpus, "embedding", dir, nlist = 2)
+    def plan(): Map[String, Boolean] =
+      Maintenance.plan(spark, dir, "vec_id")
+        .select("action", "triggered").as[(String, Boolean)]
+        .collect().toMap
+    // fresh balanced index: nothing triggers
+    assert(plan().values.forall(_ == false), plan().toString)
+    // 25% of keys upserted (superseded ≫ 10%), 20% tombstoned (≫ 5%)
+    IvfIndex.upsertBatch(corpus.where(col("vec_id") < 10), "embedding",
+      model, "vec_id", ver = 1)
+    Tombstones.record(
+      corpus.where(col("vec_id") >= 30).select("vec_id"), dir, "vec_id")
+    val fired = plan()
+    assert(fired("compact_versions") && fired("compact_tombstones"),
+      fired.toString)
+    // run the verbs the plan asked for: triggers clear
+    IvfIndex.compactVersions(spark, model, "vec_id")
+    Tombstones.compact(spark, dir, IvfIndex.dataDir(dir), Seq("vec_id"),
+      partitionBy = Seq("cluster_id"))
+    Tombstones.clear(spark, dir)
+    assert(plan().values.forall(_ == false), plan().toString)
+  }
+
   test("IVF rebalance preserves version history (searchLatest composes)") {
     // upsert first, rebalance second: the hot-row reassignment and the
     // compaction-era reads are all merged-schema, so the __ver column
