@@ -85,6 +85,55 @@ object PipelineQueries {
       ORDER BY ip DESC, e.vec_id ASC LIMIT 5
     """))
 
+  /** COSINE-metric IVF serving — the third metric through the same
+    * layout, by the standard normalize-then-IP reduction (Milvus
+    * serves COSINE exactly this way): vectors are L2-normalized at
+    * index build, the query is normalized at serve, and
+    * [[graft.search.IvfIndex.searchIp]] over the normalized layout
+    * returns inner products that ARE cosines. Full probe ⇒ exact
+    * cosine top-5, which the oracle computes directly from the RAW
+    * fixture vectors — so the normalization arithmetic itself is
+    * hash-checked, not just the ranking. */
+  private val ivfCosineSearch = Q(
+    "ivf_cosine_search",
+    (s, dir) => {
+      val indexDir = s"/tmp/graft_ivf_cos_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      def normed(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("embedding",
+          expr("transform(embedding, x -> CAST(x / sqrt(" +
+            "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+            "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))" +
+            ") AS FLOAT))"))
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(normed(e), "embedding", indexDir, nlist = 16)
+      val query = normed(e.where(col("vec_id") === 0))
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      IvfIndex.searchIp(s, model, "embedding", "vec_id", query, k = 5,
+          nprobe = model.nlist)
+        .withColumnRenamed("ip", "cos")
+    },
+    Some(s"""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      nq AS (SELECT list_transform(qe, x -> CAST(CAST(x AS DOUBLE) / sqrt(
+               list_sum(list_transform(qe, v -> CAST(v AS DOUBLE)
+                 * CAST(v AS DOUBLE)))) AS FLOAT)) AS qe FROM q),
+      ne AS (SELECT vec_id, list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) / sqrt(
+                 list_sum(list_transform(embedding,
+                   v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                 AS FLOAT)) AS embedding
+             FROM embeddings)
+      SELECT e.vec_id,
+             round(list_sum(list_transform(range(1, len(e.embedding)+1),
+               i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(q.qe[i] AS DOUBLE))), 4) AS cos
+      FROM ne e, nq q
+      ORDER BY cos DESC, e.vec_id ASC LIMIT 5
+    """))
+
   /** Scalar-index-filtered IVF serving ([[graft.search.IvfIndex
     * .searchWithIdFilter]] fed by [[graft.search.ScalarIndex.ids]]):
     * the `label IN (2,5,7)` id set resolves from the directory-pruned
@@ -3693,7 +3742,8 @@ object PipelineQueries {
       FROM h
     """))
 
-  val all: Seq[Q] = Seq(ivfSearch, ivfIpSearch, scalarFilteredIvfSearch,
+  val all: Seq[Q] = Seq(ivfSearch, ivfIpSearch, ivfCosineSearch,
+    scalarFilteredIvfSearch,
     indexReconcileServe, ivfPartialProbe,
     ivfNprobeAutotune,
     ivfFilteredSearch,

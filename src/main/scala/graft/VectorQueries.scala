@@ -1367,6 +1367,42 @@ object VectorQueries {
       ORDER BY distance ASC, e.vec_id ASC LIMIT 5
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** PARTITION-scoped search (Milvus's `partition_names=[…]` search
+    * mode — src/app.py's client exposes partitions as the coarse
+    * pre-filter tier): the collection is laid out partition-keyed by
+    * `label` ([[graft.core.Collection.appendPartitioned]]), and a
+    * search scoped to partitions (2, 5) prunes their DIRECTORIES at
+    * planning time (PlanSpec pins the partition filter) before the
+    * exact ranking — the third filtered-search mechanism next to the
+    * inline predicate and the scalar secondary index, each with its
+    * own 100 TB niche (source layout vs secondary artifact vs inline
+    * scan filter). */
+  private val partitionScopedKnn = Q(
+    "partition_scoped_knn",
+    (s, dir) => {
+      import graft.core.Collection
+      val out = s"/tmp/graft_embpk_${math.abs(dir.hashCode)}/emb"
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val coll = Collection(s, out)
+      if (!fs.exists(p))
+        coll.appendPartitioned(Tables.embeddings(s, dir),
+          partCol = "label")
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      Knn.topK(coll.read.where(col("label").isin(2, 5)), "embedding",
+          "vec_id", q, "qe", k = 5)
+        .select("vec_id", "distance")
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id, %L2% AS distance
+      FROM embeddings e, q
+      WHERE e.label IN (2, 5)
+      ORDER BY distance ASC, e.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   /** Range search — Milvus's other search mode (radius + range_filter):
     * every vector with `range_filter <= distance < radius`, not a fixed
     * k. The inner bound's standard job is self-match/near-duplicate
@@ -3471,7 +3507,8 @@ object VectorQueries {
     sq8RerankSearch, ivfSq8Search, rqAdcSearch, ivfRqSearch,
     rqRecallReport, quantizerErrorReport, normPrunedSearch,
     mipsNormPrunedSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
-    filteredKnnSearch, scalarIndexedKnn, knnRangeSearch,
+    filteredKnnSearch, scalarIndexedKnn, partitionScopedKnn,
+    knnRangeSearch,
     groupedKnnPerLabel,
     binaryHammingSearch, binaryJaccardSearch, asymmetricBinarySearch,
     asymmetricBinaryIncremental, streamingAsymIngest, ivfAsymBinarySearch,

@@ -310,6 +310,14 @@ class PlanSpec extends SparkSpec {
       s"id restriction must stay an equi-join:\n$p")
   }
 
+  test("partition-scoped knn: label scope prunes directories, top-k bounded") {
+    val p = plan("partition_scoped_knn")
+    assert(p.contains("PartitionFilters: [label"),
+      s"label scope must be a partition filter:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"scoped knn must stay a bounded top-k:\n$p")
+  }
+
   test("collection point-get: id list reaches the scan as a pushed In") {
     val p = plan("collection_point_get")
     assert(p.contains("PushedFilters: [In(id, ["),
