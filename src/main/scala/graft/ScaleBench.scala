@@ -494,6 +494,18 @@ object ScaleBench {
           graft.search.GraphAnn.beamSearch(adj, emb, "vec_id", "embedding",
             q, entry, k = 5, beamWidth = 8, rounds = 6).count()
         }),
+        // delete consolidation (round 9): the FreshDiskANN fold is a
+        // full-adjacency rewrite (survivors + via-node repairs + per-src
+        // re-cap) — linear in EDGES by construction, measured here so
+        // the cost model next to the O(deletes) tombstone mask is
+        // honest: masking is the serve-path answer, consolidation the
+        // scheduled fold.
+        "graphann_consolidate (1% deletes)" -> (() => {
+          val (adj, _) = graphArtifacts(spark, emb, n)
+          graft.search.GraphAnn.consolidateDeletes(adj, emb, "vec_id",
+            "embedding", emb.where(col("vec_id") % 100 === 3)
+              .select("vec_id"), degree = 8).count()
+        }),
         "graphann_bulk_serve (8 queries)" -> (() => {
           val (adj, entry) = graphArtifacts(spark, emb, n)
           val queries = emb.where(col("vec_id") < 8)
@@ -620,7 +632,8 @@ object ScaleBench {
         "graphann_lsh_candidates (auto bands)",
         "ivf_rebalance (cap=max/2)",
         "ivf_dircopy (rebalance setup baseline)",
-        "ivf_reconcile (1% drift)")
+        "ivf_reconcile (1% drift)",
+        "graphann_consolidate (1% deletes)")
       ops.filter(o => opFilter(o._1)).foreach { case (name, body) =>
         if (!noWarmup(name))
           body()                          // warm-up (JIT/codegen/page cache)

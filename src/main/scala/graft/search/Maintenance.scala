@@ -40,8 +40,10 @@ object Maintenance {
       .agg(sum(col("sz")).as("total"), max(col("sz")).as("mx"),
         count(lit(1)).as("nlists"))
       .collect()(0)
-    val total = stats.getLong(0)
-    val maxList = stats.getLong(1)
+    // an empty data dir aggregates to NULLs — degrade to zeros (no
+    // action triggers on an empty index) instead of an NPE
+    val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val maxList = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val nLists = stats.getLong(2)
     val avgList = total / math.max(1L, nLists)
     def row(action: String, metric: Long, threshold: Long) =
