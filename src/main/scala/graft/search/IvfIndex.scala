@@ -246,12 +246,18 @@ object IvfIndex {
     * exact distance within, global top-k via TakeOrderedAndProject.
     * Tombstoned rows ([[Tombstones]] under the index dir — the
     * delete-propagation path) are anti-joined out of the pruned scan
-    * before ranking; with no tombstones the plan is unchanged. */
+    * before ranking, and on an upserted layout the latest-wins overlay
+    * drops superseded rows ([[upsertBatch]]'s marker — one file stat
+    * when never upserted, plan unchanged). EVERY serve path in this
+    * family applies both; a version-blind plain search would silently
+    * serve replaced vectors to whoever reaches for the obvious API. */
   def search(spark: SparkSession, model: Model, vecCol: String, idCol: String,
              query: Array[Float], k: Int, nprobe: Int): DataFrame = {
     val clusters = probeClusters(model, query, nprobe)
-    val scan = spark.read.parquet(dataDir(model.indexDir))
+    val vs = versionedScan(spark, model.indexDir)
+    val pruned = vs.getOrElse(spark.read.parquet(dataDir(model.indexDir)))
       .where(col("cluster_id").isin(clusters: _*))
+    val scan = vs.map(applyLatest(_, pruned, idCol)).getOrElse(pruned)
     Tombstones.mask(scan, spark, model.indexDir, idCol)
       .withColumn("distance",
         round(VectorFunctions.l2Sq(col(vecCol), typedlit(query)), 4))
@@ -401,18 +407,10 @@ object IvfIndex {
     * plain path. */
   def searchLatest(spark: SparkSession, model: Model, vecCol: String,
                    idCol: String, query: Array[Float], k: Int,
-                   nprobe: Int): DataFrame = {
-    val scan = versionedScan(spark, model.indexDir).getOrElse(
-      return search(spark, model, vecCol, idCol, query, k, nprobe))
-    val clusters = probeClusters(model, query, nprobe)
-    val latest = applyLatest(scan,
-      scan.where(col("cluster_id").isin(clusters: _*)), idCol)
-    Tombstones.mask(latest, spark, model.indexDir, idCol)
-      .withColumn("distance",
-        round(VectorFunctions.l2Sq(col(vecCol), typedlit(query)), 4))
-      .orderBy(col("distance").asc, col(idCol).asc)
-      .limit(k)
-  }
+                   nprobe: Int): DataFrame =
+    // [[search]] applies the overlay itself now; the explicit name
+    // stays as the documented upsert-serving entry point
+    search(spark, model, vecCol, idCol, query, k, nprobe)
 
   /** Fold upsert history physically: keep only each key's latest
     * version (the row keeps ITS OWN cluster assignment — the new

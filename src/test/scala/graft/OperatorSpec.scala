@@ -237,13 +237,16 @@ class OperatorSpec extends SparkSpec {
     IvfIndex.upsertBatch(moved, "embedding", model, "vec_id", ver = 1)
     val q = corpus.where(col("vec_id") === 3).select("embedding")
       .collect()(0).getSeq[Float](0).toArray
-    // the stale layout DOES contain 5's old vector in the probed list:
-    // the plain (version-blind) scan serves it — the scenario is real
-    // (k = whole list, so ranking luck can't hide the stale copy)
-    val stale = IvfIndex.search(spark, model, "embedding", "vec_id", q,
-        k = 20, nprobe = 1)
-      .select("vec_id").as[Long].collect().toSet
-    assert(stale.contains(5L))
+    // the stale layout DOES contain 5's old (version-0) row in the
+    // probed list — pinned on the RAW data dir, since every serve path
+    // (plain search included) now applies the latest-wins overlay
+    val probed = IvfIndex.probeClusters(model, q, 1).head
+    val staleRows = spark.read.option("mergeSchema", "true")
+      .parquet(IvfIndex.dataDir(dir))
+      .where(col("cluster_id") === probed && col("vec_id") === 5L &&
+        col("__ver").isNull)
+      .count()
+    assert(staleRows == 1L, "scenario lost its stale row")
     val latest = IvfIndex.searchLatest(spark, model, "embedding",
         "vec_id", q, k = 20, nprobe = 1)
       .select("vec_id").as[Long].collect().toSeq
