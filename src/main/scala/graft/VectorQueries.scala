@@ -332,6 +332,67 @@ object VectorQueries {
       ORDER BY distance ASC, c.vec_id ASC LIMIT 5
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** SQ8 UPSERT — the quantized-artifact member of the upsert family
+    * (IVF float path: versioned latest-wins; BM25: fold-then-append;
+    * here: delete-then-insert with immediate fold on the CODES table):
+    * the stored int8 representation was encoded from WRONG (reversed)
+    * vectors for `vec_id % 10 = 1`; the upsert tombstones those ids,
+    * [[graft.search.Tombstones.compact]]-folds the codes artifact, and
+    * appends the re-encoded TRUE rows — per-row artifacts re-encode
+    * independently (no trained state), so upsert is file-level surgery.
+    * Serve = the standard two-stage scan over the artifact; the oracle
+    * is `sq8_rerank_search`'s clean-build replay, so a skipped fold
+    * (stale codes ranked), dropped append, or drifted scale
+    * hash-mismatches. */
+  private val sq8UpsertSearch = Q(
+    "sq8_upsert_search",
+    (s, dir) => {
+      import graft.search.{Quantize, Tombstones}
+      val e = Tables.embeddings(s, dir)
+      val idx = s"/tmp/graft_sq8up_${math.abs(dir.hashCode)}"
+      val codesDir = s"$idx/codes"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val corrupted = e.withColumn("embedding",
+        when(col("vec_id") % 10 === 1, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+      Quantize.quantizedTable(corrupted, "embedding", "vec_id")
+        .write.mode("overwrite").parquet(codesDir)
+      val replaced = e.where(col("vec_id") % 10 === 1)
+      Tombstones.record(replaced.select("vec_id"), idx, "vec_id")
+      Tombstones.compact(s, idx, codesDir, Seq("vec_id"))
+      Tombstones.clear(s, idx)
+      Quantize.quantizedTable(replaced, "embedding", "vec_id")
+        .write.mode("append").parquet(codesDir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      Quantize.searchQuantized(s.read.parquet(codesDir), e, "embedding",
+        "vec_id", q, "qe", k = 5, margin = 4)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      sc AS (SELECT vec_id, embedding,
+               CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale
+             FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS mx
+                   FROM embeddings)),
+      qz AS (SELECT vec_id, embedding, scale,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * scale, 0) AS INT)) AS qv
+             FROM sc),
+      ap AS (SELECT vec_id,
+               round(list_sum(list_transform(range(1, len(qv)+1),
+                 i -> ((CASE WHEN scale = 0 THEN 0.0
+                             ELSE qv[i] / scale END)
+                       - CAST(qe[i] AS DOUBLE)) ^ 2)), 4) AS approx_distance
+             FROM qz, q),
+      cand AS (SELECT vec_id, approx_distance FROM ap
+               ORDER BY approx_distance ASC, vec_id ASC LIMIT 20)
+      SELECT c.vec_id, c.approx_distance, %L2% AS distance
+      FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id, q
+      ORDER BY distance ASC, c.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   /** IVF_SQ8 composed index — the remaining member of Milvus's IVF
     * family matrix (IVF_FLAT = `ivf_search`, IVF_PQ = `ivf_pq_search`,
     * IVF_SQ8 = this; the reference's essay names the family at
@@ -3504,7 +3565,8 @@ object VectorQueries {
     bm25MaskedSearch, bm25UpsertSearch, rerankCrossEncoder,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     multiVectorHybridSearch,
-    sq8RerankSearch, ivfSq8Search, rqAdcSearch, ivfRqSearch,
+    sq8RerankSearch, sq8UpsertSearch, ivfSq8Search, rqAdcSearch,
+    ivfRqSearch,
     rqRecallReport, quantizerErrorReport, normPrunedSearch,
     mipsNormPrunedSearch, embeddingProfile, pqAdcSearch, ivfPqSearch,
     filteredKnnSearch, scalarIndexedKnn, partitionScopedKnn,
