@@ -134,6 +134,41 @@ object PipelineQueries {
       ORDER BY cos DESC, e.vec_id ASC LIMIT 5
     """))
 
+  /** EXACT range search through the IVF layout ([[graft.search
+    * .IvfIndex.rangeSearch]]): the per-cluster covering radius
+    * ([[graft.search.IvfIndex.clusterRadiiTable]], a build-once
+    * companion artifact) lets the triangle inequality SKIP whole
+    * partitions with zero recall loss — `knn_range_search`'s semantics
+    * (1.0 ≤ ‖x−q‖² < 1.6) served without a corpus scan. The oracle is
+    * the exact range scan over the fixture, so an over-eager prune
+    * (dropped row) or a bound error hash-mismatches; KnnSpec pins that
+    * clusters ARE actually skipped on a separated fixture. */
+  private val ivfRangeSearch = Q(
+    "ivf_range_search",
+    (s, dir) => {
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      val radii = graft.core.Artifacts.buildOnce(s,
+          s"/tmp/graft_ivf_radii_${math.abs(dir.hashCode)}") {
+          IvfIndex.clusterRadiiTable(s, model, "embedding")
+        }.collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      IvfIndex.rangeSearch(s, model, "embedding", "vec_id", query,
+        rLo = 1.0, rHi = 1.6, radii)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      d AS (SELECT e.vec_id, %L2% AS distance FROM embeddings e, q)
+      SELECT vec_id, distance FROM d
+      WHERE distance >= 1.0 AND distance < 1.6
+      ORDER BY distance ASC, vec_id ASC
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   /** Scalar-index-filtered IVF serving ([[graft.search.IvfIndex
     * .searchWithIdFilter]] fed by [[graft.search.ScalarIndex.ids]]):
     * the `label IN (2,5,7)` id set resolves from the directory-pruned
@@ -3743,7 +3778,7 @@ object PipelineQueries {
     """))
 
   val all: Seq[Q] = Seq(ivfSearch, ivfIpSearch, ivfCosineSearch,
-    scalarFilteredIvfSearch,
+    ivfRangeSearch, scalarFilteredIvfSearch,
     indexReconcileServe, ivfPartialProbe,
     ivfNprobeAutotune,
     ivfFilteredSearch,

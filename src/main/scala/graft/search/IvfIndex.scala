@@ -292,6 +292,69 @@ object IvfIndex {
       .select(col(idCol), col("ip"))
   }
 
+  /** Per-cluster COVERING RADIUS — max L2 distance of a cluster's
+    * members to its centroid, the zone-map statistic that turns IVF
+    * into an EXACT range-search accelerator: by the triangle
+    * inequality any member x of cluster c has
+    * d(q, x) ≥ d(q, c) − radius(c), so a cluster with
+    * d(q, c) > r + radius(c) cannot contain a point within r and its
+    * partition is skipped with NO recall loss. One corpus pass to
+    * build; materialize once ([[graft.core.Artifacts.buildOnce]]) next
+    * to the index and refresh on append/rebalance (a stale radius is
+    * only UNSAFE if it shrank — appends can only grow it, so rebuild
+    * after compaction/rebalance, not per batch). Returns
+    * (cluster_id, radius), nlist rows. */
+  def clusterRadiiTable(spark: SparkSession, model: Model,
+                        vecCol: String): DataFrame = {
+    import spark.implicits._
+    val cents = model.centroids.toSeq
+      .map { case (id, c) => (id, c.toSeq) }
+      .toDF("cluster_id", "__cent")
+    spark.read.option("mergeSchema", "true")
+      .parquet(dataDir(model.indexDir))
+      .join(broadcast(cents), Seq("cluster_id"))
+      .withColumn("__d",
+        sqrt(VectorFunctions.l2Sq(col(vecCol), col("__cent"))))
+      .groupBy(col("cluster_id"))
+      .agg(max(col("__d")).as("radius"))
+  }
+
+  /** EXACT range search through the IVF layout (Milvus's range mode
+    * served by the index instead of `knn_range_search`'s corpus scan):
+    * returns every row with rLo ≤ ‖x−q‖² < rHi, scanning ONLY the
+    * clusters the covering-radius bound cannot exclude. `radii` is the
+    * collected [[clusterRadiiTable]] (nlist-bounded, the centroid-table
+    * handoff discipline); a cluster absent from the map is never
+    * pruned (safe default). The 1e-6 slack absorbs float/double drift
+    * between the stored radii and the driver-side probe arithmetic —
+    * pruning stays conservative, exactness survives. Tombstones and
+    * the upsert overlay apply as on every serve path. */
+  def rangeSearch(spark: SparkSession, model: Model, vecCol: String,
+                  idCol: String, query: Array[Float], rLo: Double,
+                  rHi: Double, radii: Map[Int, Double]): DataFrame = {
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    val r = math.sqrt(rHi)
+    val keep = model.centroids.collect {
+      case (id, c) if radii.get(id).forall(rc =>
+        math.sqrt(l2(c, query)) <= r + rc + 1e-6) => id
+    }
+    val vs = versionedScan(spark, model.indexDir)
+    val pruned = vs.getOrElse(spark.read.parquet(dataDir(model.indexDir)))
+      .where(col("cluster_id").isin(keep: _*))
+    val scan = vs.map(applyLatest(_, pruned, idCol)).getOrElse(pruned)
+    Tombstones.mask(scan, spark, model.indexDir, idCol)
+      .withColumn("distance",
+        round(VectorFunctions.l2Sq(col(vecCol), typedlit(query)), 4))
+      .where(col("distance") >= rLo && col("distance") < rHi)
+      .select(col(idCol), col("distance"))
+      .orderBy(col("distance").asc, col(idCol).asc)
+  }
+
   /** Pre-filtered IVF serving: [[search]] with the candidate set
     * restricted to `allowedIds` BEFORE ranking — the id set typically
     * comes from a [[ScalarIndex]] lookup (metadata filter) or a

@@ -260,6 +260,46 @@ class KnnSpec extends SparkSpec {
     assert(one == exact, "IP probe ranked the wrong centroid first")
   }
 
+  test("IVF range search: covering radii skip clusters, result stays exact") {
+    import graft.search.IvfIndex
+    val r = new scala.util.Random(67)
+    // two well-separated blobs: a small radius around a blob-A query
+    // must prune blob B's list entirely and still match brute force
+    val rows = ((0 until 30).map(i =>
+        (i.toLong, Array.fill(4)((r.nextGaussian() * 0.3).toFloat))) ++
+      (30 until 60).map(i =>
+        (i.toLong, Array.fill(4)((20.0 + r.nextGaussian() * 0.3).toFloat))))
+      .toDF("vec_id", "embedding")
+    val dir = "/tmp/graft_ivf_range_test"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val model = IvfIndex.build(rows, "embedding", dir, nlist = 2)
+    val radii = IvfIndex.clusterRadiiTable(spark, model, "embedding")
+      .collect().map(x => (x.getInt(0), x.getDouble(1))).toMap
+    val q = rows.where(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val (rLo, rHi) = (0.0, 2.0)
+    // pruning really happens: blob B's centroid is ~sqrt(1600) away,
+    // far past sqrt(2.0) + its radius
+    val keep = model.centroids.collect {
+      case (id, c) if radii.get(id).forall(rc =>
+        math.sqrt(c.zip(q).map { case (a, b) =>
+          (a - b).toDouble * (a - b) }.sum) <= math.sqrt(rHi) + rc + 1e-6)
+        => id
+    }
+    assert(keep.size == 1, s"expected 1 surviving cluster, got $keep")
+    val got = IvfIndex.rangeSearch(spark, model, "embedding", "vec_id",
+        q, rLo, rHi, radii)
+      .as[(Long, Double)].collect().toSeq
+    val brute = rows
+      .withColumn("distance", round(VectorFunctions.l2Sq(col("embedding"),
+        typedlit(q.toSeq)), 4))
+      .where(col("distance") >= rLo && col("distance") < rHi)
+      .orderBy(col("distance").asc, col("vec_id").asc)
+      .select("vec_id", "distance").as[(Long, Double)].collect().toSeq
+    assert(got == brute && got.nonEmpty)
+  }
+
   test("bm25: tf monotone, rare terms outweigh common, absent docs dropped") {
     import graft.search.Bm25
     val docs = Seq(
