@@ -262,6 +262,33 @@ object ScaleBench {
             s"/tmp/graft_scale/ivf_rebalcopy_$n")
           1L
         }),
+        // exact range serving (round 9): covering-radius partition
+        // pruning vs the corpus-scan baseline — same rounded-distance
+        // predicate, the delta is partitions skipped. High-dim honesty:
+        // on this corpus the kmeans cells are wide (64-dim), so the
+        // prune ratio is what the radii EARN, not a best case.
+        "ivf_range_serve (radii-pruned)" -> (() => {
+          import spark.implicits._
+          val model = IvfIndex.load(spark, s"/tmp/graft_scale/ivf_$n")
+          val radii = materialize(
+            IvfIndex.clusterRadiiTable(spark, model, "embedding"),
+            s"/tmp/graft_scale/ivf_radii_$n")
+            .collect().map(x => (x.getInt(0), x.getDouble(1))).toMap
+          val q = emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head().toArray
+          IvfIndex.rangeSearch(spark, model, "embedding", "vec_id", q,
+            rLo = 0.0, rHi = 1.0, radii).count()
+        }),
+        "knn_range_scan (baseline)" -> (() => {
+          import spark.implicits._
+          val q = emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head()
+          emb.withColumn("distance",
+              round(graft.functions.VectorFunctions.l2Sq(
+                col("embedding"), typedlit(q)), 4))
+            .where(col("distance") >= 0.0 && col("distance") < 1.0)
+            .count()
+        }),
         // index reconcile (round 9): the collection drifted by 1%
         // deletes + 1% unseen appends; repair = two anti-join diffs
         // against the artifact's id projection, a tombstone key append,
