@@ -2182,6 +2182,71 @@ object VectorQueries {
       ORDER BY score DESC, vec_id ASC LIMIT 10
     """))
 
+  /** SPARSE + DENSE hybrid (the Milvus 2.4 flagship hybrid mode: a
+    * SPLADE-shape sparse representation and a dense vector of the SAME
+    * entity, each searched in its own index, fused by RRFRanker): the
+    * sparse leg is the top-8 posting sparsification served from the
+    * inverted-postings artifact (`sparse_vector_search`'s tier), the
+    * dense leg exact L2, both top-20 rank lists fused 1/(60+rank).
+    * The oracle replays the sparsification, the posting join, both
+    * rankings, and the fusion. */
+  private val sparseDenseHybridRrf = Q(
+    "sparse_dense_hybrid_rrf",
+    (s, dir) => {
+      import graft.search.{Bm25, SparseVec}
+      val e = Tables.embeddings(s, dir)
+      val post = graft.core.Artifacts.buildOnce(s,
+        s"/tmp/graft_sparse_${math.abs(dir.hashCode)}") {
+        SparseVec.postings(e, "vec_id", "embedding", topN = 8)
+      }
+      val qp = SparseVec.postings(
+        e.where(col("vec_id") === 0), "vec_id", "embedding", topN = 8)
+      val sparseRanks = Bm25.topRanks(
+        SparseVec.search(post, qp, "vec_id", k = 20)
+          .withColumnRenamed("vec_id", "id"),
+        "score", n = 20, ascending = false, rankCol = "sparse_rank")
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val kd = e.crossJoin(broadcast(q))
+        .select(col("vec_id").as("id"),
+          round(VectorFunctions.l2Sq(col("embedding"), col("qe")), 4)
+            .as("d"))
+      val knnRanks = Bm25.topRanks(kd, "d", n = 20,
+        ascending = true, rankCol = "knn_rank")
+      Bm25.rrfFuse(sparseRanks, "sparse_rank", knnRanks, "knn_rank")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("rrf").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH pr AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS dim,
+                         unnest(embedding) AS v
+                  FROM embeddings),
+      pw AS (SELECT vec_id, dim, round(CAST(v AS DOUBLE), 4) AS w FROM pr),
+      top AS (SELECT vec_id, dim, w FROM (
+          SELECT vec_id, dim, w,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY w DESC, dim ASC) AS rn
+          FROM pw WHERE w > 0) WHERE rn <= 8),
+      sq AS (SELECT dim, w AS qw FROM top WHERE vec_id = 0),
+      sc AS (SELECT t.vec_id, round(sum(t.w * sq.qw), 4) AS score
+             FROM top t JOIN sq USING (dim) GROUP BY t.vec_id),
+      sr AS (SELECT vec_id AS id, CAST(row_number() OVER
+                 (ORDER BY score DESC, vec_id ASC) AS BIGINT) AS sparse_rank
+             FROM (SELECT * FROM sc
+                   ORDER BY score DESC, vec_id ASC LIMIT 20)),
+      dq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      kd AS (SELECT e.vec_id AS id, %L2% AS d FROM embeddings e, dq),
+      knr AS (SELECT id, CAST(row_number() OVER
+                 (ORDER BY d ASC, id ASC) AS BIGINT) AS knn_rank
+              FROM (SELECT * FROM kd ORDER BY d ASC, id ASC LIMIT 20))
+      SELECT coalesce(sr.id, knr.id) AS vec_id,
+             round(coalesce(1.0 / (60 + sparse_rank), 0)
+                 + coalesce(1.0 / (60 + knn_rank), 0), 6) AS rrf,
+             sparse_rank, knn_rank
+      FROM sr FULL OUTER JOIN knr ON sr.id = knr.id
+      ORDER BY rrf DESC, vec_id ASC LIMIT 10
+    """.replace("%L2%", duckL2("e.embedding", "dq.qe"))))
+
   /** Weighted-score hybrid fusion — the OTHER Milvus hybrid_search
     * ranker (WeightedRanker; `hybrid_search_rrf` covers the RRFRanker):
     * each leg's top-20 scores are min-max normalized into [0,1] (the
@@ -3564,7 +3629,7 @@ object VectorQueries {
     bm25IncrementalSearch, bm25fSearch, streamingBm25Ingest,
     bm25MaskedSearch, bm25UpsertSearch, rerankCrossEncoder,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
-    multiVectorHybridSearch,
+    multiVectorHybridSearch, sparseDenseHybridRrf,
     sq8RerankSearch, sq8UpsertSearch, ivfSq8Search, rqAdcSearch,
     ivfRqSearch,
     rqRecallReport, quantizerErrorReport, normPrunedSearch,
