@@ -169,6 +169,34 @@ object PipelineQueries {
       ORDER BY distance ASC, vec_id ASC
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** EXACT top-k through the IVF layout ([[graft.search.IvfIndex
+    * .exactSearch]] — the ball-tree two-phase bound on the partitioned
+    * index): nearest cluster's k-th distance upper-bounds the answer,
+    * the covering radii prune every cluster that cannot beat it, and
+    * the surviving union ranks exactly — full-scan answers WITHOUT the
+    * full scan, no recall contract needed. The oracle is the exact
+    * top-5 over the corpus; KnnSpec pins that clusters are actually
+    * skipped on a separated fixture. */
+  private val ivfExactKnn = Q(
+    "ivf_exact_knn",
+    (s, dir) => {
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      val radii = graft.core.Artifacts.buildOnce(s,
+          s"/tmp/graft_ivf_radii_${math.abs(dir.hashCode)}") {
+          IvfIndex.clusterRadiiTable(s, model, "embedding")
+        }.collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      IvfIndex.exactSearch(s, model, "embedding", "vec_id", query,
+        k = 5, radii)
+    },
+    Some(exactTop5Oracle))
+
   /** Scalar-index-filtered IVF serving ([[graft.search.IvfIndex
     * .searchWithIdFilter]] fed by [[graft.search.ScalarIndex.ids]]):
     * the `label IN (2,5,7)` id set resolves from the directory-pruned
@@ -3778,7 +3806,7 @@ object PipelineQueries {
     """))
 
   val all: Seq[Q] = Seq(ivfSearch, ivfIpSearch, ivfCosineSearch,
-    ivfRangeSearch, scalarFilteredIvfSearch,
+    ivfRangeSearch, ivfExactKnn, scalarFilteredIvfSearch,
     indexReconcileServe, ivfPartialProbe,
     ivfNprobeAutotune,
     ivfFilteredSearch,

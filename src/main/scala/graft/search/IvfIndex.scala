@@ -355,6 +355,60 @@ object IvfIndex {
       .orderBy(col("distance").asc, col(idCol).asc)
   }
 
+  /** EXACT top-k through the IVF layout — the ball-tree discipline on
+    * the partitioned index ([[NormPrune]] buys exactness from a norm
+    * sort; this buys it from the cluster geometry): phase 1 scans the
+    * single nearest-centroid cluster and takes its k-th smallest
+    * distance as an upper bound; phase 2 scans every cluster whose
+    * triangle-inequality LOWER bound d(q, c) − radius(c) can beat that
+    * bound, and ranks exactly. Two bounded passes, no full scan, no
+    * recall loss — prune ratio set by data geometry (a clustered
+    * corpus skips most partitions; adversarial data degrades to a full
+    * scan, never to a wrong answer). Phase 1's bound uses the ROUNDED
+    * stored discipline + half-ulp slack so rounding can only WEAKEN
+    * pruning; fewer than k rows in the first cluster ⇒ unbounded ⇒
+    * all clusters scanned (degenerate but exact). Tombstones and the
+    * upsert overlay apply on both passes. */
+  def exactSearch(spark: SparkSession, model: Model, vecCol: String,
+                  idCol: String, query: Array[Float], k: Int,
+                  radii: Map[Int, Double]): DataFrame = {
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    val vs = versionedScan(spark, model.indexDir)
+    def clusterScan(ids: Seq[Int]): DataFrame = {
+      val pruned = vs
+        .getOrElse(spark.read.parquet(dataDir(model.indexDir)))
+        .where(col("cluster_id").isin(ids: _*))
+      val scan = vs.map(applyLatest(_, pruned, idCol)).getOrElse(pruned)
+      Tombstones.mask(scan, spark, model.indexDir, idCol)
+    }
+    val first = probeClusters(model, query, 1)
+    // phase 1: k rows — a bounded collect (the query-vector handoff
+    // discipline); rounded kth distance + half-ulp covers the rounding
+    val kth = clusterScan(first)
+      .select(round(VectorFunctions.l2Sq(col(vecCol), typedlit(query)), 4)
+        .as("d"))
+      .orderBy(col("d").asc).limit(k)
+      .collect().map(_.getDouble(0))
+    val ub =
+      if (kth.length < k) Double.PositiveInfinity
+      else math.sqrt(kth.last + 5e-5)
+    val keep = model.centroids.collect {
+      case (id, c) if radii.get(id).forall(rc =>
+        math.sqrt(l2(c, query)) - rc <= ub + 1e-6) => id
+    }
+    clusterScan(keep)
+      .withColumn("distance",
+        round(VectorFunctions.l2Sq(col(vecCol), typedlit(query)), 4))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("distance"))
+  }
+
   /** Pre-filtered IVF serving: [[search]] with the candidate set
     * restricted to `allowedIds` BEFORE ranking — the id set typically
     * comes from a [[ScalarIndex]] lookup (metadata filter) or a

@@ -300,6 +300,42 @@ class KnnSpec extends SparkSpec {
     assert(got == brute && got.nonEmpty)
   }
 
+  test("IVF exact kNN: two-phase bound skips clusters, equals brute force") {
+    import graft.search.IvfIndex
+    val r = new scala.util.Random(71)
+    val rows = ((0 until 30).map(i =>
+        (i.toLong, Array.fill(4)((r.nextGaussian() * 0.3).toFloat))) ++
+      (30 until 60).map(i =>
+        (i.toLong, Array.fill(4)((20.0 + r.nextGaussian() * 0.3).toFloat))))
+      .toDF("vec_id", "embedding")
+    val dir = "/tmp/graft_ivf_exact_test"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val model = IvfIndex.build(rows, "embedding", dir, nlist = 2)
+    val radii = IvfIndex.clusterRadiiTable(spark, model, "embedding")
+      .collect().map(x => (x.getInt(0), x.getDouble(1))).toMap
+    val q = rows.where(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val got = IvfIndex.exactSearch(spark, model, "embedding", "vec_id",
+        q, k = 5, radii)
+      .as[(Long, Double)].collect().toSeq
+    val brute = rows
+      .withColumn("distance", round(VectorFunctions.l2Sq(col("embedding"),
+        typedlit(q.toSeq)), 4))
+      .orderBy(col("distance").asc, col("vec_id").asc).limit(5)
+      .select("vec_id", "distance").as[(Long, Double)].collect().toSeq
+    assert(got == brute)
+    // the far blob cannot beat the first cluster's 5th distance: its
+    // lower bound is ~sqrt(1600) − radius, orders past the bound
+    val kth = brute.last._2
+    val farPruned = model.centroids.count { case (id, c) =>
+      val d = math.sqrt(c.zip(q).map { case (a, b) =>
+        (a - b).toDouble * (a - b) }.sum)
+      d - radii(id) > math.sqrt(kth + 5e-5) + 1e-6
+    }
+    assert(farPruned == 1, "expected the far cluster to be prunable")
+  }
+
   test("bm25: tf monotone, rare terms outweigh common, absent docs dropped") {
     import graft.search.Bm25
     val docs = Seq(
