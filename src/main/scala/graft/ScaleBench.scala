@@ -279,6 +279,22 @@ object ScaleBench {
           IvfIndex.rangeSearch(spark, model, "embedding", "vec_id", q,
             rLo = 0.0, rHi = 1.0, radii).count()
         }),
+        // exact top-k via the two-phase covering-radius bound (round
+        // 9): phase 1 = nearest cluster scan (k-row collect), phase 2 =
+        // pruned union — next to knn_exact_1q's linear baseline the
+        // delta is partitions the bound skipped on THIS geometry
+        "ivf_exact_knn (two-phase bound)" -> (() => {
+          import spark.implicits._
+          val model = IvfIndex.load(spark, s"/tmp/graft_scale/ivf_$n")
+          val radii = materialize(
+            IvfIndex.clusterRadiiTable(spark, model, "embedding"),
+            s"/tmp/graft_scale/ivf_radii_$n")
+            .collect().map(x => (x.getInt(0), x.getDouble(1))).toMap
+          val q = emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head().toArray
+          IvfIndex.exactSearch(spark, model, "embedding", "vec_id", q,
+            k = 5, radii).count()
+        }),
         "knn_range_scan (baseline)" -> (() => {
           import spark.implicits._
           val q = emb.where(col("vec_id") === 0)
