@@ -300,10 +300,15 @@ object IvfIndex {
     * d(q, c) > r + radius(c) cannot contain a point within r and its
     * partition is skipped with NO recall loss. One corpus pass to
     * build; materialize once ([[graft.core.Artifacts.buildOnce]]) next
-    * to the index and refresh on append/rebalance (a stale radius is
-    * only UNSAFE if it shrank — appends can only grow it, so rebuild
-    * after compaction/rebalance, not per batch). Returns
-    * (cluster_id, radius), nlist rows. */
+    * to the index. Staleness direction matters: a stored radius is
+    * safe only while it UPPER-bounds the true one, and APPENDS/UPSERTS
+    * can push a new member past it (over-pruning = wrong answers) —
+    * refresh after any append batch, or fold
+    * max(old, d(new, centroid)) into the append pass; deletes and
+    * compaction only SHRINK the true radius, so stale-after-delete
+    * merely wastes pruning, never breaks it. Rebalance replaces
+    * cluster ids outright — rebuild. Returns (cluster_id, radius),
+    * nlist rows. */
   def clusterRadiiTable(spark: SparkSession, model: Model,
                         vecCol: String): DataFrame = {
     import spark.implicits._

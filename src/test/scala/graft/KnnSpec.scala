@@ -300,6 +300,40 @@ class KnnSpec extends SparkSpec {
     assert(got == brute && got.nonEmpty)
   }
 
+  test("covering radii: append invalidates, refresh restores exactness") {
+    import graft.search.IvfIndex
+    val r = new scala.util.Random(73)
+    val rows = ((0 until 30).map(i =>
+        (i.toLong, Array.fill(4)((r.nextGaussian() * 0.2).toFloat))) ++
+      (30 until 60).map(i =>
+        (i.toLong, Array.fill(4)((20.0 + r.nextGaussian() * 0.2).toFloat))))
+      .toDF("vec_id", "embedding")
+    val dir = "/tmp/graft_ivf_radii_stale_test"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val model = IvfIndex.build(rows, "embedding", dir, nlist = 2)
+    val stale = IvfIndex.clusterRadiiTable(spark, model, "embedding")
+      .collect().map(x => (x.getInt(0), x.getDouble(1))).toMap
+    // a new member lands between the blobs, far outside its cluster's
+    // OLD covering radius
+    val q = Array.fill(4)(8.0f)
+    IvfIndex.append(Seq((100L, q.toSeq)).toDF("vec_id", "embedding"),
+      "embedding", model)
+    // stale radii over-prune: the appended row (distance 0 to q) is
+    // missed — exactly the documented hazard
+    val withStale = IvfIndex.rangeSearch(spark, model, "embedding",
+        "vec_id", q, rLo = 0.0, rHi = 1.0, stale)
+      .as[(Long, Double)].collect().toSeq
+    assert(withStale.isEmpty, s"stale radii should over-prune: $withStale")
+    // refresh after the append batch: exactness restored
+    val fresh = IvfIndex.clusterRadiiTable(spark, model, "embedding")
+      .collect().map(x => (x.getInt(0), x.getDouble(1))).toMap
+    val withFresh = IvfIndex.rangeSearch(spark, model, "embedding",
+        "vec_id", q, rLo = 0.0, rHi = 1.0, fresh)
+      .as[(Long, Double)].collect().toSeq
+    assert(withFresh == Seq((100L, 0.0)), withFresh.toString)
+  }
+
   test("IVF exact kNN: two-phase bound skips clusters, equals brute force") {
     import graft.search.IvfIndex
     val r = new scala.util.Random(71)
