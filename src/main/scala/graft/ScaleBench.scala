@@ -433,6 +433,32 @@ object ScaleBench {
             "vec_id", "embedding", topN = 8)
           SparseVec.search(post, qp, "vec_id", k = 10).count()
         }),
+        // positional phrase tier (round 9): the artifact is one row per
+        // token occurrence (30n rows here); build is a pure linear
+        // tokenize+posexplode write, serving reads ONLY the phrase's
+        // terms (pushed `term IN` — ~n·m·30/5000 rows at this vocab)
+        // and resolves anchors with two hash-aggs. Expect build t-exp
+        // ≈ 1, serve scaling with the pruned postings (≪ corpus scan).
+        "phrase_positions_build" -> (() => {
+          graft.core.Artifacts.buildOnce(spark,
+            s"/tmp/graft_scale/phrase_$n/positions") {
+            val toks = filter(split(col("text"), "\\s+"),
+              t => length(t) > 0)
+            docs.select(col("doc_id").cast("long").as("id"),
+              posexplode(toks).as(Seq("pos", "term")))
+          }
+          1L
+        }),
+        "phrase_serve (anchor agg)" -> (() => {
+          import graft.search.Phrase
+          Phrase.topK(spark, s"/tmp/graft_scale/phrase_$n",
+            Seq("w7", "w11", "w13"), k = 10).count()
+        }),
+        "phrase_slop_serve (pair window)" -> (() => {
+          import graft.search.Phrase
+          Phrase.slopTopK(spark, s"/tmp/graft_scale/phrase_$n",
+            "w7", "w11", slop = 3, k = 10).count()
+        }),
         "binary_hamming (signature artifact)" -> (() => {
           import graft.search.BinaryVec
           val packed = graft.core.Artifacts.buildOnce(spark,

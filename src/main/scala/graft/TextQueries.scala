@@ -837,10 +837,85 @@ object TextQueries {
       FROM p
     """))
 
+  /** Exact phrase search (see [[graft.search.Phrase.topK]]): Milvus 2.5
+    * `PHRASE_MATCH` parity over a positional postings artifact built
+    * incrementally (build + append — the `bm25_incremental_search`
+    * discipline). Serving is the Lucene anchor trick declarified: pushed
+    * `term IN` scan → anchor = pos − offset → (id, anchor) hash-agg
+    * keeping anchors with all 3 offsets present. The oracle recomputes
+    * phrase occurrences from the FULL corpus with a token-list replay, so
+    * a dropped batch, an off-by-one position, or a double-counted anchor
+    * hash-mismatches. */
+  private val phraseMatchSearch = Q(
+    "phrase_match_search",
+    (s, dir) => {
+      import graft.search.Phrase
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_phrase_${math.abs(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Phrase.build(docs.where(col("doc_id") < 300), "doc_id", "text", idx)
+      Phrase.append(docs.where(col("doc_id") >= 300), "doc_id", "text",
+        idx)
+      Phrase.topK(s, idx, Seq("scan", "merge", "small"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\s+'),
+                             t -> len(t) > 0) AS tk
+                    FROM documents),
+      hits AS (SELECT doc_id,
+                      len(list_filter(range(1, len(tk) + 1),
+                          i -> i + 2 <= len(tk)
+                               AND tk[i] = 'scan' AND tk[i+1] = 'merge'
+                               AND tk[i+2] = 'small')) AS nhits
+               FROM toks)
+      SELECT doc_id, CAST(nhits AS BIGINT) AS nhits
+      FROM hits WHERE nhits > 0
+      ORDER BY nhits DESC, doc_id ASC LIMIT 10
+    """))
+
+  /** Sloppy ordered-pair phrase search (see
+    * [[graft.search.Phrase.slopTopK]]): `merge` within 2 intervening
+    * tokens after `scan` — the Milvus/Lucene slop contract for an
+    * ordered pair. nhits counts DISTINCT anchors (a first-term hit with
+    * two successors in its window counts once), which the oracle's
+    * nested token-window replay mirrors exactly. */
+  private val phraseMatchSlop = Q(
+    "phrase_match_slop",
+    (s, dir) => {
+      import graft.search.Phrase
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_phraseslop_${math.abs(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Phrase.build(docs, "doc_id", "text", idx)
+      Phrase.slopTopK(s, idx, "scan", "merge", slop = 2, k = 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\s+'),
+                             t -> len(t) > 0) AS tk
+                    FROM documents),
+      hits AS (SELECT doc_id,
+                      len(list_filter(range(1, len(tk) + 1),
+                          i -> tk[i] = 'scan'
+                               AND len(list_filter(
+                                     range(i + 1, least(i + 3, len(tk)) + 1),
+                                     j -> tk[j] = 'merge')) > 0)) AS nhits
+               FROM toks)
+      SELECT doc_id, CAST(nhits AS BIGINT) AS nhits
+      FROM hits WHERE nhits > 0
+      ORDER BY nhits DESC, doc_id ASC LIMIT 10
+    """))
+
   val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
     chunkOverlapSplit, tokenStats, tokenCounts, qualityScore,
     classifierQualityScore, charEntropy, langId, docFingerprint,
     vocabTopK, tfidfTopTerms, repetitionFilter, unigramLogprob, cdcChunks,
     cdcBoilerplate, bpeLearnMerges, bpeLearnMergesBatched, bpeEncode,
-    sketchHeavyTokens, sketchTokenQuantiles, textNormalizeNfc)
+    sketchHeavyTokens, sketchTokenQuantiles, textNormalizeNfc,
+    phraseMatchSearch, phraseMatchSlop)
 }

@@ -1,0 +1,111 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Positional phrase search — Milvus 2.5 `PHRASE_MATCH(field, phrase,
+  * slop)` parity (the reference's engine grew first-class phrase queries
+  * next to the TEXT_MATCH the keyword tier covers; the reference itself
+  * does keyword-enhanced search at src/app.py:297-340). The artifact is
+  * the [[Bm25Index]] postings layout extended with token POSITIONS:
+  * `positions/` (id, term, pos) — one row per token occurrence, pos =
+  * 0-based index in the whitespace token stream. Like the BM25 artifact
+  * it absorbs new batches by parquet file APPEND (positions are
+  * per-document, so appended docs never touch existing rows).
+  *
+  * Exact-phrase serving is ONE declarative plan with no joins beyond a
+  * broadcast of the m query terms (Lucene's `PhraseQuery` anchor trick,
+  * declarified): restrict postings to the phrase's terms (pushed `term
+  * IN` — the only postings ever read), align every occurrence to its
+  * candidate phrase start `anchor = pos - offset_in_phrase`, and a
+  * (id, anchor) hash-agg keeps anchors where ALL m offsets are present —
+  * each surviving anchor is one phrase occurrence. Cost at 100 TB: a
+  * term-pruned scan + two hash-aggs, shuffled by id — no self-joins, no
+  * per-document work on the driver, skew-free (anchors distribute with
+  * the corpus).
+  *
+  * Sloppy pairs ([[slopTopK]]) are the windowed variant: anchor terms
+  * join successor terms on id with `0 < p2 - p1 <= slop + 1` — ordered,
+  * within `slop` intervening tokens (the Milvus/Lucene slop contract for
+  * an ordered pair). Distinct anchors count once however many successors
+  * land in the window, so the count is "phrase starts", same unit as the
+  * exact tier.
+  */
+object Phrase {
+  def positionsDir(indexDir: String): String = s"$indexDir/positions"
+
+  private def positional(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    // Same token stream as Bm25Index: whitespace split, empties dropped.
+    // posexplode AFTER the filter so pos is the index in the REAL token
+    // sequence (matches the oracle's list_filter-then-range replay).
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    docs.select(col(idCol).cast("long").as("id"),
+      posexplode(toks).as(Seq("pos", "term")))
+  }
+
+  /** Build the positional artifact from scratch (overwrites). */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+            indexDir: String): Unit =
+    positional(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(positionsDir(indexDir))
+
+  /** Absorb a new batch by file append — ids must be new (the
+    * [[Bm25Index.append]] contract). */
+  def append(batch: DataFrame, idCol: String, textCol: String,
+             indexDir: String): Unit =
+    positional(batch, idCol, textCol)
+      .write.mode("append").parquet(positionsDir(indexDir))
+
+  /** Exact-phrase top-k: docs containing `phrase` as consecutive tokens,
+    * ranked by occurrence count desc (id tie-break). Returns
+    * (id, nhits). */
+  def topK(spark: SparkSession, indexDir: String, phrase: Seq[String],
+           k: Int): DataFrame = {
+    require(phrase.nonEmpty)
+    import spark.implicits._
+    val m = phrase.length
+    val q = phrase.zipWithIndex
+      .map { case (t, i) => (t, i.toLong) }
+      .toDF("term", "off")
+    val postings = spark.read.parquet(positionsDir(indexDir))
+      .where(col("term").isin(phrase.distinct: _*))
+    val occurrences = postings
+      .join(broadcast(q), "term")
+      .withColumn("anchor", col("pos") - col("off"))
+      .where(col("anchor") >= 0)
+      // an anchor is a phrase occurrence iff every phrase offset matched
+      // there; countDistinct (not count) so a term repeated in the
+      // phrase can't satisfy two offsets with one posting row
+      .groupBy(col("id"), col("anchor"))
+      .agg(countDistinct(col("off")).as("nmatch"))
+      .where(col("nmatch") === m)
+    val scored = occurrences.groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("nhits"))
+    Tombstones.mask(scored, spark, indexDir, "id")
+      .orderBy(col("nhits").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Sloppy ordered-pair top-k: docs where `second` follows `first`
+    * within `slop` intervening tokens; nhits counts DISTINCT first-term
+    * anchors. Returns (id, nhits). */
+  def slopTopK(spark: SparkSession, indexDir: String, first: String,
+               second: String, slop: Int, k: Int): DataFrame = {
+    require(slop >= 0)
+    val postings = spark.read.parquet(positionsDir(indexDir))
+      .where(col("term").isin(Seq(first, second).distinct: _*))
+    val p1 = postings.where(col("term") === first)
+      .select(col("id"), col("pos").as("p1"))
+    val p2 = postings.where(col("term") === second)
+      .select(col("id"), col("pos").as("p2"))
+    val scored = p1.join(p2, Seq("id"))
+      .where(col("p2") > col("p1") &&
+        col("p2") - col("p1") <= slop + 1)
+      .groupBy(col("id"))
+      .agg(countDistinct(col("p1")).cast("long").as("nhits"))
+    Tombstones.mask(scored, spark, indexDir, "id")
+      .orderBy(col("nhits").desc, col("id").asc)
+      .limit(k)
+  }
+}
