@@ -2713,6 +2713,54 @@ object VectorQueries {
       ORDER BY distance ASC, vec_id ASC LIMIT 3
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** Group-size search — Milvus 2.5's `group_size` refinement of
+    * `group_by_field`: the top-3 GROUPS (ranked by their best hit) each
+    * return up to 2 hits (strict_group_size=false — a thinner group
+    * returns what it has), so a chunked document contributes its best
+    * passages without monopolizing the result. Plan: one scan computes
+    * distances, a per-group window keeps each group's best 2
+    * (shuffles candidates keyed by group), a min-over-group column
+    * ranks groups, and the final dense_rank cut runs over ≤ 2·|groups|
+    * representative rows — the only single-partition step is over that
+    * bounded set, never the corpus. */
+  private val groupSizeSearch = Q(
+    "group_size_search",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val wg = Window.partitionBy(col("label"))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+      e.crossJoin(broadcast(q))
+        .withColumn("distance", Knn.distCol(col("embedding"), col("qe")))
+        .withColumn("rn", row_number().over(wg))
+        .where(col("rn") <= 2)
+        .withColumn("gbest",
+          min(col("distance")).over(Window.partitionBy(col("label"))))
+        .withColumn("grank", dense_rank().over(
+          Window.orderBy(col("gbest").asc, col("label").asc)))
+        .where(col("grank") <= 3)
+        .select(col("label"), col("vec_id"), col("distance"),
+          col("rn").cast("long").as("rn"))
+        .orderBy(col("gbest").asc, col("label").asc, col("rn").asc)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      d AS (SELECT e.label, e.vec_id, %L2% AS distance FROM embeddings e, q),
+      r AS (SELECT label, vec_id, distance,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY distance, vec_id) AS rn
+            FROM d),
+      kept AS (SELECT * FROM r WHERE rn <= 2),
+      g AS (SELECT *, min(distance) OVER (PARTITION BY label) AS gbest
+            FROM kept),
+      gr AS (SELECT *, dense_rank() OVER (ORDER BY gbest, label) AS grank
+             FROM g)
+      SELECT label, vec_id, distance, CAST(rn AS BIGINT) AS rn
+      FROM gr WHERE grank <= 3
+      ORDER BY gbest ASC, label ASC, rn ASC
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   /** DuckDB projection of a vector expression onto a staged rotation
     * row: float·float products accumulated in double (the engines' shared
     * op order), rounded to 4 decimals, cast to REAL — the textual mirror
@@ -3642,5 +3690,6 @@ object VectorQueries {
     binaryRecallReport, knnIpTopK, mmrRerank,
     corpusDiversity,
     sparseVectorSearch, hybridSearchWeighted, searchPagination,
-    embeddingOutliers, indexRecallReport, groupByFieldSearch)
+    embeddingOutliers, indexRecallReport, groupByFieldSearch,
+    groupSizeSearch)
 }
