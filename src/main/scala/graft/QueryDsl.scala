@@ -42,6 +42,25 @@ object QueryDsl {
     out
   }
 
+  /** Run a deterministic artifact MUTATION (copy + rebalance / upsert /
+    * compact flows) once per on-disk state: skipped when
+    * `dir/__graft_mutated` exists. The marker is written only after
+    * `mutate` completes, so an interrupted mutation re-runs from
+    * scratch next invocation (the mutate block owns its dir and starts
+    * by copying/rebuilding it). This is the [[graft.core.Artifacts
+    * .buildOnce]] discipline extended to mutations: the operator under
+    * test runs — and is what produced the artifact the oracle
+    * replays — but a bench's warm-up + measured passes don't pay the
+    * same deterministic maintenance three times over. */
+  def mutateOnce(spark: SparkSession, dir: String)(mutate: => Unit): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(dir, "__graft_mutated")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      mutate
+      fs.create(marker, true).close()
+    }
+  }
+
   /** DuckDB squared-L2 over list<float> columns, double accumulation,
     * rounded — textual mirror of graft.functions.L2SquaredDistance. */
   def duckL2(a: String, b: String): String =

@@ -852,11 +852,14 @@ object TextQueries {
       import graft.search.Phrase
       val docs = Tables.documents(s, dir)
       val idx = s"/tmp/graft_phrase_${math.abs(dir.hashCode)}"
-      val p = new org.apache.hadoop.fs.Path(idx)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      Phrase.build(docs.where(col("doc_id") < 300), "doc_id", "text", idx)
-      Phrase.append(docs.where(col("doc_id") >= 300), "doc_id", "text",
-        idx)
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Phrase.build(docs.where(col("doc_id") < 300), "doc_id", "text",
+          idx)
+        Phrase.append(docs.where(col("doc_id") >= 300), "doc_id", "text",
+          idx)
+      }
       Phrase.topK(s, idx, Seq("scan", "merge", "small"), k = 10)
         .withColumnRenamed("id", "doc_id")
     },
@@ -888,9 +891,11 @@ object TextQueries {
       import graft.search.Phrase
       val docs = Tables.documents(s, dir)
       val idx = s"/tmp/graft_phraseslop_${math.abs(dir.hashCode)}"
-      val p = new org.apache.hadoop.fs.Path(idx)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      Phrase.build(docs, "doc_id", "text", idx)
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Phrase.build(docs, "doc_id", "text", idx)
+      }
       Phrase.slopTopK(s, idx, "scan", "merge", slop = 2, k = 10)
         .withColumnRenamed("id", "doc_id")
     },

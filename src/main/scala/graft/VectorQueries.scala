@@ -351,19 +351,21 @@ object VectorQueries {
       val e = Tables.embeddings(s, dir)
       val idx = s"/tmp/graft_sq8up_${math.abs(dir.hashCode)}"
       val codesDir = s"$idx/codes"
-      val p = new org.apache.hadoop.fs.Path(idx)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      val corrupted = e.withColumn("embedding",
-        when(col("vec_id") % 10 === 1, reverse(col("embedding")))
-          .otherwise(col("embedding")))
-      Quantize.quantizedTable(corrupted, "embedding", "vec_id")
-        .write.mode("overwrite").parquet(codesDir)
-      val replaced = e.where(col("vec_id") % 10 === 1)
-      Tombstones.record(replaced.select("vec_id"), idx, "vec_id")
-      Tombstones.compact(s, idx, codesDir, Seq("vec_id"))
-      Tombstones.clear(s, idx)
-      Quantize.quantizedTable(replaced, "embedding", "vec_id")
-        .write.mode("append").parquet(codesDir)
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val corrupted = e.withColumn("embedding",
+          when(col("vec_id") % 10 === 1, reverse(col("embedding")))
+            .otherwise(col("embedding")))
+        Quantize.quantizedTable(corrupted, "embedding", "vec_id")
+          .write.mode("overwrite").parquet(codesDir)
+        val replaced = e.where(col("vec_id") % 10 === 1)
+        Tombstones.record(replaced.select("vec_id"), idx, "vec_id")
+        Tombstones.compact(s, idx, codesDir, Seq("vec_id"))
+        Tombstones.clear(s, idx)
+        Quantize.quantizedTable(replaced, "embedding", "vec_id")
+          .write.mode("append").parquet(codesDir)
+      }
       val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
       Quantize.searchQuantized(s.read.parquet(codesDir), e, "embedding",
         "vec_id", q, "qe", k = 5, margin = 4)
@@ -3256,14 +3258,16 @@ object VectorQueries {
       import graft.search.Bm25Index
       val docs = Tables.documents(s, dir)
       val idx = s"/tmp/graft_bm25inc_${math.abs(dir.hashCode)}"
-      val p = new org.apache.hadoop.fs.Path(idx)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      Bm25Index.build(docs.where(col("doc_id") < 300),
-        "doc_id", "text", idx)
-      Bm25Index.append(docs.where(col("doc_id") >= 300 &&
-        col("doc_id") < 400), "doc_id", "text", idx)
-      Bm25Index.append(docs.where(col("doc_id") >= 400),
-        "doc_id", "text", idx)
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Bm25Index.build(docs.where(col("doc_id") < 300),
+          "doc_id", "text", idx)
+        Bm25Index.append(docs.where(col("doc_id") >= 300 &&
+          col("doc_id") < 400), "doc_id", "text", idx)
+        Bm25Index.append(docs.where(col("doc_id") >= 400),
+          "doc_id", "text", idx)
+      }
       Bm25Index.search(s, idx, Seq("scan", "filter", "merge"), k = 10)
         .withColumnRenamed("id", "doc_id")
     },
@@ -3308,15 +3312,17 @@ object VectorQueries {
       import graft.search.Bm25Index
       val docs = Tables.documents(s, dir)
       val idx = s"/tmp/graft_bm25f_${math.abs(dir.hashCode)}"
-      val p = new org.apache.hadoop.fs.Path(idx)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val fields = Seq("source", "text")
-      Bm25Index.buildFielded(docs.where(col("doc_id") < 300),
-        "doc_id", fields, idx)
-      Bm25Index.appendFielded(docs.where(col("doc_id") >= 300 &&
-        col("doc_id") < 400), "doc_id", fields, idx)
-      Bm25Index.appendFielded(docs.where(col("doc_id") >= 400),
-        "doc_id", fields, idx)
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Bm25Index.buildFielded(docs.where(col("doc_id") < 300),
+          "doc_id", fields, idx)
+        Bm25Index.appendFielded(docs.where(col("doc_id") >= 300 &&
+          col("doc_id") < 400), "doc_id", fields, idx)
+        Bm25Index.appendFielded(docs.where(col("doc_id") >= 400),
+          "doc_id", fields, idx)
+      }
       Bm25Index.searchFielded(s, idx, Seq("scan", "filter", "src3"),
           k = 10, fieldWeights = Seq("source" -> 2.0, "text" -> 1.0))
         .withColumnRenamed("id", "doc_id")
@@ -3627,16 +3633,18 @@ object VectorQueries {
       import graft.search.{Bm25Index, Tombstones}
       val docs = Tables.documents(s, dir)
       val idx = s"/tmp/graft_bm25up_${math.abs(dir.hashCode)}"
-      val p = new org.apache.hadoop.fs.Path(idx)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      Bm25Index.build(docs, "doc_id", "text", idx)
-      val updated = docs.where(col("doc_id") % 10 === 2)
-        .withColumn("text", concat(col("text"), lit(" merge merge")))
-      Tombstones.record(updated.select(col("doc_id").as("id")), idx, "id")
-      Tombstones.compact(s, idx, Bm25Index.postingsDir(idx), Seq("id"))
-      Tombstones.compact(s, idx, Bm25Index.doclenDir(idx), Seq("id"))
-      Tombstones.clear(s, idx)
-      Bm25Index.append(updated, "doc_id", "text", idx)
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Bm25Index.build(docs, "doc_id", "text", idx)
+        val updated = docs.where(col("doc_id") % 10 === 2)
+          .withColumn("text", concat(col("text"), lit(" merge merge")))
+        Tombstones.record(updated.select(col("doc_id").as("id")), idx, "id")
+        Tombstones.compact(s, idx, Bm25Index.postingsDir(idx), Seq("id"))
+        Tombstones.compact(s, idx, Bm25Index.doclenDir(idx), Seq("id"))
+        Tombstones.clear(s, idx)
+        Bm25Index.append(updated, "doc_id", "text", idx)
+      }
       Bm25Index.search(s, idx, Seq("scan", "filter", "merge"), k = 10)
         .withColumnRenamed("id", "doc_id")
     },
