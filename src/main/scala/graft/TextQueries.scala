@@ -916,11 +916,75 @@ object TextQueries {
       ORDER BY nhits DESC, doc_id ASC LIMIT 10
     """))
 
+  /** Phrase-filtered BM25 — the Lucene query model (a scoring clause
+    * under a filter clause) composed from the two artifacts sharing one
+    * index dir: docs containing the exact phrase "scan merge"
+    * ([[graft.search.Phrase.matchingIds]], no top-k cut) compete under
+    * corpus-wide BM25 statistics ([[graft.search.Bm25Index.search]]
+    * with idFilter — the filter changes WHO competes, never how scores
+    * are computed). The oracle replays both the token-window phrase
+    * match and the full BM25 arithmetic with the same IN-filter. */
+  private val phraseFilteredBm25 = Q(
+    "phrase_filtered_bm25",
+    (s, dir) => {
+      import graft.search.{Bm25Index, Phrase}
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_phrasebm25_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Phrase.build(docs, "doc_id", "text", idx)
+        Bm25Index.build(docs, "doc_id", "text", idx)
+      }
+      val ids = Phrase.matchingIds(s, idx, Seq("scan", "merge"))
+      Bm25Index.search(s, idx, Seq("scan", "filter", "merge"), k = 10,
+          idFilter = Some(ids))
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\s+'),
+                             t -> len(t) > 0) AS tk
+                    FROM documents),
+      pm AS (SELECT doc_id FROM (
+               SELECT doc_id,
+                      len(list_filter(range(1, len(tk) + 1),
+                          i -> i + 1 <= len(tk)
+                               AND tk[i] = 'scan' AND tk[i+1] = 'merge'))
+                        AS nh
+               FROM toks) t WHERE nh > 0),
+      ttoks AS (SELECT doc_id,
+                       unnest(string_split_regex(text, '\s+')) AS term
+                FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST((SELECT sum(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)))
+                             FROM documents) AS DOUBLE) / count(*) AS avgdl
+                FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks
+             WHERE term IN ('scan', 'filter', 'merge')
+             GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dl AS (SELECT doc_id,
+                    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS DOUBLE) AS dl
+             FROM documents),
+      bm AS (SELECT tf.doc_id,
+                    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2)
+                      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))), 4) AS bm25
+             FROM tf JOIN dfq USING (term)
+                     JOIN dl ON dl.doc_id = tf.doc_id
+                     CROSS JOIN stats
+             GROUP BY tf.doc_id)
+      SELECT doc_id, bm25 FROM bm
+      WHERE doc_id IN (SELECT doc_id FROM pm)
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """))
+
   val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
     chunkOverlapSplit, tokenStats, tokenCounts, qualityScore,
     classifierQualityScore, charEntropy, langId, docFingerprint,
     vocabTopK, tfidfTopTerms, repetitionFilter, unigramLogprob, cdcChunks,
     cdcBoilerplate, bpeLearnMerges, bpeLearnMergesBatched, bpeEncode,
     sketchHeavyTokens, sketchTokenQuantiles, textNormalizeNfc,
-    phraseMatchSearch, phraseMatchSlop)
+    phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25)
 }

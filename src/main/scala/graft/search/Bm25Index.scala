@@ -165,9 +165,15 @@ object Bm25Index {
   }
 
   /** BM25 top-k for `terms` from the artifact alone (see object doc).
-    * Returns (id, bm25), score-desc with id tie-break. */
+    * Returns (id, bm25), score-desc with id tie-break. `idFilter`
+    * (1-column id frame) restricts the RANKED documents while the
+    * statistics (df, N, avgdl) stay corpus-wide — the Lucene contract
+    * for a scoring query under a filter clause (a phrase match, a
+    * metadata predicate): the filter changes who competes, never how
+    * scores are computed. */
   def search(spark: SparkSession, indexDir: String, terms: Seq[String],
-             k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+             k: Int, k1: Double = 1.2, b: Double = 0.75,
+             idFilter: Option[DataFrame] = None): DataFrame = {
     val postings = spark.read.parquet(postingsDir(indexDir))
       .where(col("term").isin(terms: _*))
     val doclen = spark.read.parquet(doclenDir(indexDir))
@@ -188,10 +194,15 @@ object Bm25Index {
             + lit(b) * col("dl").cast("double") / col("avgdl"))))
       .groupBy(col("id"))
       .agg(round(sum(col("contrib")), 4).as("bm25"))
+    val filtered = idFilter match {
+      case Some(ids) =>
+        scored.join(ids.toDF("id"), Seq("id"), "left_semi")
+      case None => scored
+    }
     // Tombstone mask (delete propagation): scores keep the STALE
     // artifact's statistics — Milvus's masked-serve semantics — and only
     // the deleted DOCUMENTS vanish from the ranking; no-op when none.
-    Tombstones.mask(scored, spark, indexDir, "id")
+    Tombstones.mask(filtered, spark, indexDir, "id")
       .orderBy(col("bm25").desc, col("id").asc)
       .limit(k)
   }

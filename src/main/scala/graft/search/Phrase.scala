@@ -87,6 +87,31 @@ object Phrase {
       .limit(k)
   }
 
+  /** ALL documents containing `phrase` (no top-k cut) — the FILTER form
+    * of [[topK]], for composing phrase match with another scorer
+    * (Lucene's `PhraseQuery`-as-clause). Returns a 1-column (id) frame,
+    * tombstone-masked. */
+  def matchingIds(spark: SparkSession, indexDir: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    import spark.implicits._
+    val m = phrase.length
+    val q = phrase.zipWithIndex
+      .map { case (t, i) => (t, i.toLong) }
+      .toDF("term", "off")
+    val postings = spark.read.parquet(positionsDir(indexDir))
+      .where(col("term").isin(phrase.distinct: _*))
+    val ids = postings
+      .join(broadcast(q), "term")
+      .withColumn("anchor", col("pos") - col("off"))
+      .where(col("anchor") >= 0)
+      .groupBy(col("id"), col("anchor"))
+      .agg(countDistinct(col("off")).as("nmatch"))
+      .where(col("nmatch") === m)
+      .select(col("id")).distinct()
+    Tombstones.mask(ids, spark, indexDir, "id")
+  }
+
   /** Sloppy ordered-pair top-k: docs where `second` follows `first`
     * within `slop` intervening tokens; nhits counts DISTINCT first-term
     * anchors. Returns (id, nhits). */

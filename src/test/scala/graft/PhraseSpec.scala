@@ -71,6 +71,27 @@ class PhraseSpec extends SparkSpec {
     assert(ra == rb && ra.nonEmpty)
   }
 
+  test("matchingIds is the no-cut filter form; BM25 idFilter keeps " +
+      "corpus-wide stats") {
+    import graft.search.Bm25Index
+    val idx = freshDir("filter")
+    Phrase.build(docs, "doc_id", "text", idx)
+    Bm25Index.build(docs, "doc_id", "text", idx)
+    val ids = Phrase.matchingIds(spark, idx, Seq("a", "b"))
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 5L)) // all docs with adjacent "a b"
+    // filtered ranking = unfiltered ranking restricted to the id set:
+    // scores must be IDENTICAL (corpus-wide df/N/avgdl), only the
+    // competitor set shrinks
+    val all = Bm25Index.search(spark, idx, Seq("c"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    val filt = Bm25Index.search(spark, idx, Seq("c"), k = 10,
+        idFilter = Some(Phrase.matchingIds(spark, idx, Seq("a", "b"))))
+      .as[(Long, Double)].collect().toSeq
+    assert(filt.map(_._1).toSet.subsetOf(ids))
+    filt.foreach { case (id, score) => assert(all(id) == score) }
+  }
+
   test("tombstone mask hides deleted docs until compaction") {
     val idx = freshDir("tomb")
     Phrase.build(docs, "doc_id", "text", idx)
