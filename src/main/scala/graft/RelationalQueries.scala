@@ -797,6 +797,46 @@ object RelationalQueries {
       FROM k
     """))
 
+  /** JSON-key scalar index — Milvus 2.5's JSON-path index (a scalar
+    * INVERTED index over a key extracted from a JSON field) composed
+    * from the existing [[graft.search.ScalarIndex]] machinery: the
+    * extracted value becomes the artifact's partition key, so a
+    * `props.k IN (…)` filter resolves by DIRECTORY-pruned scan of the
+    * two-column artifact, and the events table is then restricted by a
+    * semi-join before any aggregate math — the JSON string column is
+    * parsed ONCE at index build, never per query. The oracle replays
+    * the JSON extraction + IN-filter + aggregate from the raw table. */
+  private val jsonScalarIndexFilter = Q(
+    "json_scalar_index_filter",
+    (s, dir) => {
+      import graft.search.ScalarIndex
+      val ev = Tables.events(s, dir)
+      val idx = s"/tmp/graft_jsonidx_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ScalarIndex.build(
+          ev.select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("jk")),
+          "event_id", "jk", idx)
+      }
+      val ids = ScalarIndex.ids(s, idx, Seq(29L, 30L))
+        .withColumnRenamed("id", "event_id")
+      ev.join(ids, Seq("event_id"), "left_semi")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type").asc)
+    },
+    Some("""
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IN (29, 30)
+      GROUP BY event_type ORDER BY event_type ASC
+    """))
+
   val all: Seq[Q] = Seq(q1Pricing, q3TopRevenue, q5NationRevenue,
     q9ProfitByNation, skewReport, groupingSetsOrders,
     sketchDistinctUsers, sketchKmvUsers, exactDistinctUsers, cubeOrders,
@@ -805,5 +845,6 @@ object RelationalQueries {
     windowRankFunctions, rollupCustomers, shuffleHashJoinAgg,
     semiAntiCustomers, eventsHourly, eventsJson, propsMapStats,
     columnCorrelation, asofClickBeforePurchase,
-    collectionStats, incrementalAggMerge, tableProfile)
+    collectionStats, incrementalAggMerge, tableProfile,
+    jsonScalarIndexFilter)
 }
