@@ -193,4 +193,36 @@ class PropertySpec extends SparkSpec {
     }
     check(prop, tests = 15)
   }
+
+  test("property: phrase anchor search equals sliding-window counts on " +
+      "random token streams") {
+    import graft.search.Phrase
+    // tiny vocab so phrases (incl. repeated-term ones) actually occur
+    val tokGen = Gen.oneOf("a", "b", "c")
+    val docGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, tokGen))
+    val corpusGen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, docGen)).map(_.zipWithIndex.map {
+      case (toks, i) => (i.toLong, toks.mkString(" "))
+    })
+    val phraseGen = Gen.chooseNum(1, 3).flatMap(m => Gen.listOfN(m, tokGen))
+    var tag = 0
+    val prop = Prop.forAll(corpusGen, phraseGen) { (corpus, phrase) =>
+      tag += 1
+      val idx = s"/tmp/graft_test_phrase_prop_$tag"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      Phrase.build(corpus.toDF("doc_id", "text"), "doc_id", "text", idx)
+      val got = Phrase.topK(spark, idx, phrase, k = 100)
+        .as[(Long, Long)].collect().toMap
+      val want = corpus.map { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+        val n = (0 to toks.length - phrase.length)
+          .count(i => toks.slice(i, i + phrase.length) == phrase)
+        (id, n.toLong)
+      }.filter(_._2 > 0).toMap
+      got == want
+    }
+    check(prop, tests = 15)
+  }
 }
