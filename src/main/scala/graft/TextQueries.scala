@@ -980,11 +980,85 @@ object TextQueries {
       ORDER BY bm25 DESC, doc_id ASC LIMIT 10
     """))
 
+  /** Streaming positional-index maintenance — the `streaming_bm25_
+    * ingest` discipline applied to the phrase tier: three micro-batches
+    * drive foreachBatch (first BUILDS the positions artifact, later
+    * ones absorb by [[graft.search.Phrase.append]] — tokenize the batch
+    * only, file append, no rewrite), then the exact-phrase anchor
+    * search runs from the streamed artifact alone. The oracle
+    * recomputes occurrences over the FULL corpus, so a dropped or
+    * double-absorbed micro-batch hash-mismatches. */
+  private val streamingPhraseIngest = Q(
+    "streaming_phrase_ingest",
+    (s, dir) => {
+      import graft.search.Phrase
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.types._
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val work = s"/tmp/graft_streamphrase_${math.abs(dir.hashCode)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(work).getFileSystem(conf)
+      fs.delete(new Path(work), true)
+      fs.mkdirs(new Path(s"$work/in"))
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+        val tmp = s"$work/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        fs.rename(part, new Path(s"$work/in/$name"))
+        fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
+        fs.delete(new Path(tmp), true)
+      }
+      writeOne(docs.where(col("doc_id") < 300), "00_base.parquet",
+        1000000L)
+      writeOne(docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
+        "01_batch.parquet", 2000000L)
+      writeOne(docs.where(col("doc_id") >= 400), "02_batch.parquet",
+        3000000L)
+      val idx = s"$work/phrase"
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+      val q = src.writeStream
+        .option("checkpointLocation", s"$work/_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!fs.exists(new Path(
+              Phrase.positionsDir(idx) + "/_SUCCESS")))
+            Phrase.build(batch, "doc_id", "text", idx)
+          else
+            Phrase.append(batch, "doc_id", "text", idx)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Phrase.topK(s, idx, Seq("scan", "merge", "small"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\s+'),
+                             t -> len(t) > 0) AS tk
+                    FROM documents),
+      hits AS (SELECT doc_id,
+                      len(list_filter(range(1, len(tk) + 1),
+                          i -> i + 2 <= len(tk)
+                               AND tk[i] = 'scan' AND tk[i+1] = 'merge'
+                               AND tk[i+2] = 'small')) AS nhits
+               FROM toks)
+      SELECT doc_id, CAST(nhits AS BIGINT) AS nhits
+      FROM hits WHERE nhits > 0
+      ORDER BY nhits DESC, doc_id ASC LIMIT 10
+    """))
+
   val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
     chunkOverlapSplit, tokenStats, tokenCounts, qualityScore,
     classifierQualityScore, charEntropy, langId, docFingerprint,
     vocabTopK, tfidfTopTerms, repetitionFilter, unigramLogprob, cdcChunks,
     cdcBoilerplate, bpeLearnMerges, bpeLearnMergesBatched, bpeEncode,
     sketchHeavyTokens, sketchTokenQuantiles, textNormalizeNfc,
-    phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25)
+    phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25,
+    streamingPhraseIngest)
 }
