@@ -3803,6 +3803,77 @@ object PipelineQueries {
     * IP previously fell to the flat/norm-pruned/binary tiers). The
     * oracle replays every round of the ip-ordered walk and the final
     * ip-desc selection. */
+  /** The walk-replay CTE chain for the cosine-routed graph walk
+    * ([[graft.search.GraphAnn.beamSearchCosine]]): the `mipsWalkCtes`
+    * frontier discipline with per-node score d = −round(cosine, 4) —
+    * ascending-d ranking IS descending-cosine; the normalize-then-IP
+    * arithmetic replays from RAW fixture vectors (the
+    * `ivf_cosine_search` discipline on the graph tier). */
+  private def cosWalkCtes: String = {
+    val cos = duckCosine("e.embedding", "q.qe")
+    s"""
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      adj AS (SELECT src, dst FROM read_parquet(
+        '/tmp/graft_graphcos_oracle_%ORACLE_KEY%/adjacency/*.parquet')),
+      ent AS (SELECT entry_id FROM read_parquet(
+        '/tmp/graft_graphcos_oracle_%ORACLE_KEY%/entry/*.parquet')),
+      dall AS (SELECT e.vec_id AS id, -$cos AS d FROM embeddings e, q),
+      v0 AS (SELECT id, d FROM dall
+             WHERE id IN (SELECT entry_id FROM ent)),
+      f1 AS (SELECT id, d FROM v0 ORDER BY d ASC, id ASC LIMIT 4),
+      n1 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f1 ON a.src = f1.id
+             WHERE a.dst NOT IN (SELECT id FROM v0)),
+      v1 AS (SELECT id, d FROM v0 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n1 USING (id)),
+      x1 AS (SELECT id FROM f1),
+      f2 AS (SELECT id, d FROM v1 WHERE id NOT IN (SELECT id FROM x1)
+             ORDER BY d ASC, id ASC LIMIT 4),
+      n2 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f2 ON a.src = f2.id
+             WHERE a.dst NOT IN (SELECT id FROM v1)),
+      v2 AS (SELECT id, d FROM v1 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n2 USING (id)),
+      x2 AS (SELECT id FROM x1 UNION SELECT id FROM f2),
+      f3 AS (SELECT id, d FROM v2 WHERE id NOT IN (SELECT id FROM x2)
+             ORDER BY d ASC, id ASC LIMIT 4),
+      n3 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f3 ON a.src = f3.id
+             WHERE a.dst NOT IN (SELECT id FROM v2)),
+      v3 AS (SELECT id, d FROM v2 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n3 USING (id))"""
+  }
+
+  /** Cosine-routed graph walk (see
+    * [[graft.search.GraphAnn.beamSearchCosine]]): the last cell of the
+    * metric × index matrix — L2 / IP / cosine each now serve through
+    * flat, IVF, and graph. Shares the graph artifact; the oracle
+    * replays every walk round with the cosine comparator computed from
+    * RAW fixture vectors. */
+  private val graphAnnCosineWalk = Q(
+    "graph_ann_cosine_walk",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$base/entry") {
+        GraphAnn.medoid(e, "vec_id", "embedding")
+      }
+      stageOracle(s, "graphcos", dir)(
+        "adjacency" -> adj.select("src", "dst"),
+        "entry" -> entryDf)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      GraphAnn.beamSearchCosine(adj, e, "vec_id", "embedding", query,
+        entryDf.collect()(0).getLong(0), k = 5, beamWidth = 4,
+        rounds = 3, degree = 8)
+    },
+    Some(s"""
+      WITH $cosWalkCtes
+      SELECT id AS vec_id, -d AS cosine FROM v3
+      ORDER BY cosine DESC, vec_id ASC LIMIT 5
+    """))
+
   private val graphAnnMipsWalk = Q(
     "graph_ann_mips_walk",
     (s, dir) => {
@@ -3875,6 +3946,7 @@ object PipelineQueries {
     collectionPointGet, collectionPartitionKey, collectionClone,
     indexIntegrityReport, deletedRowsMaskedSearch, indexCompactTombstones,
     graphAnnMaskedWalk, ivfBulkSearch, graphAnnMipsWalk,
+    graphAnnCosineWalk,
     graphAnnMipsRecall, ivfRebalanceReport, ivfRebalanceSearch,
     streamingDeleteIngest, graphConsolidateDeletes, ivfUpsertSearch,
     ivfBulkUpsertSearch, graphAnnUpsertWalk, streamingIvfUpsertIngest,

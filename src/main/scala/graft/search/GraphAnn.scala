@@ -536,6 +536,34 @@ object GraphAnn {
       .limit(k)
   }
 
+  /** Cosine-routed graph walk — the [[beamSearchMips]] comparator with
+    * the normalize-then-IP reduction folded into the score (Milvus's
+    * COSINE mode on the graph tier; `ivf_cosine_search` is the IVF
+    * twin): every routing read ranks by descending exact cosine
+    * (4-decimal rounded, id tie-break), so the metric × index matrix
+    * closes — L2 / IP / cosine each serve through flat, IVF, AND graph.
+    * Returns (idCol, cosine) desc. */
+  def beamSearchCosine(adj: DataFrame, corpus: DataFrame, idCol: String,
+                       vecCol: String, query: Array[Float], entryId: Long,
+                       k: Int, beamWidth: Int = 4, rounds: Int = 3,
+                       degree: Int = 8): DataFrame = {
+    val qLit = typedlit(query.toSeq)
+    def cosRoute(ids: Seq[Long]): Array[(Long, Double)] =
+      if (ids.isEmpty) Array.empty
+      else corpus.where(col(idCol).isin(ids: _*))
+        .select(col(idCol).cast("long"),
+          -round(graft.functions.VectorFunctions.cosineSim(col(vecCol),
+            qLit), 4))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val vis = walkVisitedBy(adj, cosRoute, Seq(entryId), nSeeds = 1,
+      beamWidth, rounds, degree)
+    resultDf(corpus.sparkSession, idCol,
+        vis.sortBy { case (id, d) => (d, id) })
+      .select(col(idCol), (-col("distance")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Filtered graph serving — the post-filter form of Filtered-DiskANN
     * (Gollapudi et al., WWW 2023; Milvus serves predicate + HNSW the
     * same way): the walk routes LABEL-BLIND — pruning expansion by the
