@@ -3874,6 +3874,53 @@ object PipelineQueries {
       ORDER BY cosine DESC, vec_id ASC LIMIT 5
     """))
 
+  /** Recall of the cosine-routed walk against EXACT cosine top-k —
+    * the `graph_ann_mips_recall` measurement row for the last matrix
+    * cell; both rankings and the hit arithmetic replay in the
+    * oracle. */
+  private val graphAnnCosineRecall = Q(
+    "graph_ann_cosine_recall",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$base/entry") {
+        GraphAnn.medoid(e, "vec_id", "embedding")
+      }
+      stageOracle(s, "graphcos", dir)(
+        "adjacency" -> adj.select("src", "dst"),
+        "entry" -> entryDf)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val walk = GraphAnn.beamSearchCosine(adj, e, "vec_id", "embedding",
+          query, entryDf.collect()(0).getLong(0), k = 5, beamWidth = 4,
+          rounds = 3, degree = 8)
+        .select("vec_id").as[Long].collect().toSet
+      val exact = e.select(col("vec_id"),
+          round(graft.functions.VectorFunctions.cosineSim(col("embedding"),
+            typedlit(query.toSeq)), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
+        .select("vec_id").as[Long].collect().toSet
+      val hits = walk.intersect(exact).size.toLong
+      Seq((5L, hits, BigDecimal(hits / 5.0)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("k", "hits", "recall")
+    },
+    Some(s"""
+      WITH $cosWalkCtes,
+      walk AS (SELECT id FROM v3 ORDER BY -d DESC, id ASC LIMIT 5),
+      exact AS (SELECT id FROM dall ORDER BY d ASC, id ASC LIMIT 5),
+      h AS (SELECT CAST(count(*) AS BIGINT) AS hits
+            FROM walk JOIN exact USING (id))
+      SELECT CAST(5 AS BIGINT) AS k, hits,
+             round(hits / 5.0, 4) AS recall
+      FROM h
+    """))
+
   private val graphAnnMipsWalk = Q(
     "graph_ann_mips_walk",
     (s, dir) => {
@@ -3946,7 +3993,7 @@ object PipelineQueries {
     collectionPointGet, collectionPartitionKey, collectionClone,
     indexIntegrityReport, deletedRowsMaskedSearch, indexCompactTombstones,
     graphAnnMaskedWalk, ivfBulkSearch, graphAnnMipsWalk,
-    graphAnnCosineWalk,
+    graphAnnCosineWalk, graphAnnCosineRecall,
     graphAnnMipsRecall, ivfRebalanceReport, ivfRebalanceSearch,
     streamingDeleteIngest, graphConsolidateDeletes, ivfUpsertSearch,
     ivfBulkUpsertSearch, graphAnnUpsertWalk, streamingIvfUpsertIngest,
