@@ -896,4 +896,22 @@ class OperatorSpec extends SparkSpec {
     assert(d2 == Set(("updated", 1L), ("updated", 2L)), s"got $d2")
     coll.drop(); coll2.drop()
   }
+
+  test("mutateOnce: runs once on success, re-runs after a failed attempt") {
+    val dir = "/tmp/graft_test_mutateonce"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    var runs = 0
+    // a failed mutation must NOT write the marker — the next invocation
+    // re-runs from scratch (the mutate block owns its dir)
+    intercept[RuntimeException] {
+      graft.QueryDsl.mutateOnce(spark, dir) { runs += 1; throw new RuntimeException("boom") }
+    }
+    assert(runs == 1)
+    graft.QueryDsl.mutateOnce(spark, dir) { runs += 1 }
+    assert(runs == 2)
+    // marker present now: the mutation is skipped
+    graft.QueryDsl.mutateOnce(spark, dir) { runs += 1 }
+    assert(runs == 2)
+  }
 }
