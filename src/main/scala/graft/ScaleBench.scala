@@ -568,6 +568,30 @@ object ScaleBench {
           graft.search.GraphAnn.beamSearch(adj, emb, "vec_id", "embedding",
             q, entry, k = 5, beamWidth = 8, rounds = 6).count()
         }),
+        // metric-comparator walks (round 9): identical frontier
+        // machinery to graphann_serve with the routing read ranking by
+        // -ip / -cosine instead of L2 — each routing read is a pushed
+        // id-IN point lookup, so like the L2 walk the cost is
+        // corpus-size-independent; measured so the closed metric ×
+        // index matrix carries decade rows for every comparator.
+        "graphann_mips_serve (beam8x6)" -> (() => {
+          import spark.implicits._
+          val (adj, entry) = graphArtifacts(spark, emb, n)
+          val q = emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head().toArray
+          graft.search.GraphAnn.beamSearchMips(adj, emb, "vec_id",
+            "embedding", q, entry, k = 5, beamWidth = 8, rounds = 6)
+            .count()
+        }),
+        "graphann_cosine_serve (beam8x6)" -> (() => {
+          import spark.implicits._
+          val (adj, entry) = graphArtifacts(spark, emb, n)
+          val q = emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head().toArray
+          graft.search.GraphAnn.beamSearchCosine(adj, emb, "vec_id",
+            "embedding", q, entry, k = 5, beamWidth = 8, rounds = 6)
+            .count()
+        }),
         // delete consolidation (round 9): the FreshDiskANN fold is a
         // full-adjacency rewrite (survivors + via-node repairs + per-src
         // re-cap) — linear in EDGES by construction, measured here so
