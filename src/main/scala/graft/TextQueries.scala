@@ -1053,6 +1053,65 @@ object TextQueries {
       ORDER BY nhits DESC, doc_id ASC LIMIT 10
     """))
 
+  /** Snippet extraction (search-result highlighting) from the
+    * positional artifact: for each doc matching the phrase, the ±2-token
+    * window around the FIRST occurrence ([[graft.search.Phrase
+    * .anchors]] → min anchor → one bounded `slice` on the token array —
+    * no re-search of the text, the positions already know where to
+    * look). The oracle recomputes anchors and the window slice from the
+    * raw corpus, so an off-by-one in either the anchor or the clamped
+    * window bounds hash-mismatches. */
+  private val phraseSnippetExtract = Q(
+    "phrase_snippet_extract",
+    (s, dir) => {
+      import graft.search.Phrase
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_phrase_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Phrase.build(docs.where(col("doc_id") < 300), "doc_id", "text",
+          idx)
+        Phrase.append(docs.where(col("doc_id") >= 300), "doc_id", "text",
+          idx)
+      }
+      val m = 3
+      val first = Phrase.anchors(s, idx, Seq("scan", "merge", "small"))
+        .groupBy(col("id"))
+        .agg(min(col("anchor")).as("a0"))
+      val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+      // 1-based window [max(a0-1, 1), min(a0+m+2, n)] around the
+      // occurrence at 1-based position a0+1
+      val start = greatest(col("a0") - 1, lit(1L))
+      val end = least(col("a0") + m + 2, size(col("toks_")).cast("long"))
+      first.join(docs.select(col("doc_id"), col("text")),
+          col("id") === col("doc_id"))
+        .withColumn("toks_", toks)
+        .select(col("doc_id"), col("a0").as("first_pos"),
+          array_join(slice(col("toks_"), start.cast("int"),
+            (end - start + 1).cast("int")), " ").as("snippet"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\s+'),
+                             t -> len(t) > 0) AS tk
+                    FROM documents),
+      a AS (SELECT doc_id, tk,
+                   list_filter(range(1, len(tk) + 1),
+                       i -> i + 2 <= len(tk)
+                            AND tk[i] = 'scan' AND tk[i+1] = 'merge'
+                            AND tk[i+2] = 'small') AS hits
+            FROM toks),
+      f AS (SELECT doc_id, tk, list_min(hits) AS a1 FROM a
+            WHERE len(hits) > 0)
+      SELECT doc_id, CAST(a1 - 1 AS BIGINT) AS first_pos,
+             array_to_string(
+               tk[greatest(a1 - 2, 1):least(a1 + 4, len(tk))], ' ')
+               AS snippet
+      FROM f ORDER BY doc_id ASC
+    """))
+
   val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
     chunkOverlapSplit, tokenStats, tokenCounts, qualityScore,
     classifierQualityScore, charEntropy, langId, docFingerprint,
@@ -1060,5 +1119,5 @@ object TextQueries {
     cdcBoilerplate, bpeLearnMerges, bpeLearnMergesBatched, bpeEncode,
     sketchHeavyTokens, sketchTokenQuantiles, textNormalizeNfc,
     phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25,
-    streamingPhraseIngest)
+    streamingPhraseIngest, phraseSnippetExtract)
 }

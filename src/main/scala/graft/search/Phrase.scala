@@ -57,11 +57,14 @@ object Phrase {
     positional(batch, idCol, textCol)
       .write.mode("append").parquet(positionsDir(indexDir))
 
-  /** Exact-phrase top-k: docs containing `phrase` as consecutive tokens,
-    * ranked by occurrence count desc (id tie-break). Returns
-    * (id, nhits). */
-  def topK(spark: SparkSession, indexDir: String, phrase: Seq[String],
-           k: Int): DataFrame = {
+  /** Every (id, anchor) phrase occurrence — the shared core of the
+    * exact-phrase family (anchor = 0-based position of the phrase's
+    * first token). An anchor survives iff every phrase offset matched
+    * there; countDistinct (not count) so a term repeated in the phrase
+    * can't satisfy two offsets with one posting row. Tombstone-
+    * masked. */
+  def anchors(spark: SparkSession, indexDir: String,
+              phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty)
     import spark.implicits._
     val m = phrase.length
@@ -70,47 +73,35 @@ object Phrase {
       .toDF("term", "off")
     val postings = spark.read.parquet(positionsDir(indexDir))
       .where(col("term").isin(phrase.distinct: _*))
-    val occurrences = postings
+    val hits = postings
       .join(broadcast(q), "term")
       .withColumn("anchor", col("pos") - col("off"))
       .where(col("anchor") >= 0)
-      // an anchor is a phrase occurrence iff every phrase offset matched
-      // there; countDistinct (not count) so a term repeated in the
-      // phrase can't satisfy two offsets with one posting row
       .groupBy(col("id"), col("anchor"))
       .agg(countDistinct(col("off")).as("nmatch"))
       .where(col("nmatch") === m)
-    val scored = occurrences.groupBy(col("id"))
+      .select(col("id"), col("anchor"))
+    Tombstones.mask(hits, spark, indexDir, "id")
+  }
+
+  /** Exact-phrase top-k: docs containing `phrase` as consecutive tokens,
+    * ranked by occurrence count desc (id tie-break). Returns
+    * (id, nhits). */
+  def topK(spark: SparkSession, indexDir: String, phrase: Seq[String],
+           k: Int): DataFrame =
+    anchors(spark, indexDir, phrase)
+      .groupBy(col("id"))
       .agg(count(lit(1)).cast("long").as("nhits"))
-    Tombstones.mask(scored, spark, indexDir, "id")
       .orderBy(col("nhits").desc, col("id").asc)
       .limit(k)
-  }
 
   /** ALL documents containing `phrase` (no top-k cut) — the FILTER form
     * of [[topK]], for composing phrase match with another scorer
     * (Lucene's `PhraseQuery`-as-clause). Returns a 1-column (id) frame,
     * tombstone-masked. */
   def matchingIds(spark: SparkSession, indexDir: String,
-                  phrase: Seq[String]): DataFrame = {
-    require(phrase.nonEmpty)
-    import spark.implicits._
-    val m = phrase.length
-    val q = phrase.zipWithIndex
-      .map { case (t, i) => (t, i.toLong) }
-      .toDF("term", "off")
-    val postings = spark.read.parquet(positionsDir(indexDir))
-      .where(col("term").isin(phrase.distinct: _*))
-    val ids = postings
-      .join(broadcast(q), "term")
-      .withColumn("anchor", col("pos") - col("off"))
-      .where(col("anchor") >= 0)
-      .groupBy(col("id"), col("anchor"))
-      .agg(countDistinct(col("off")).as("nmatch"))
-      .where(col("nmatch") === m)
-      .select(col("id")).distinct()
-    Tombstones.mask(ids, spark, indexDir, "id")
-  }
+                  phrase: Seq[String]): DataFrame =
+    anchors(spark, indexDir, phrase).select(col("id")).distinct()
 
   /** Sloppy ordered-pair top-k: docs where `second` follows `first`
     * within `slop` intervening tokens; nhits counts DISTINCT first-term
