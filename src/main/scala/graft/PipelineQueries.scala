@@ -2815,12 +2815,31 @@ object PipelineQueries {
         BinaryVec.packTable(e, "vec_id", "embedding",
           Rotation.hadamardSignRows(64, "graft-bin-rot"), 64)
       }.select("vec_id")
+      // positional (documents-side) artifact joins the audit: coverage
+      // runs on DISTINCT posting ids against token-bearing docs (a
+      // 0-token doc legitimately has no postings row)
+      import graft.search.Phrase
+      val docsT = Tables.documents(s, dir)
+      val phraseIdx = s"/tmp/graft_phrase_${math.abs(dir.hashCode)}"
+      mutateOnce(s, phraseIdx) {
+        val p = new org.apache.hadoop.fs.Path(phraseIdx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Phrase.build(docsT.where(col("doc_id") < 300), "doc_id", "text",
+          phraseIdx)
+        Phrase.append(docsT.where(col("doc_id") >= 300), "doc_id",
+          "text", phraseIdx)
+      }
+      val posIds = s.read.parquet(Phrase.positionsDir(phraseIdx))
+        .select(col("id").as("doc_id")).distinct()
+      val tokDocs = docsT.where(size(filter(split(col("text"), "\\s+"),
+        t => length(t) > 0)) > 0).select("doc_id")
       stageOracle(s, "integrity", dir)(
         "adjacency" -> adj,
         "assign" -> assign,
         "centroids" -> cents,
         "rq_ids" -> rqIds,
-        "asym_ids" -> asymIds)
+        "asym_ids" -> asymIds,
+        "pos_ids" -> posIds)
       IndexAudit.graphChecks(adj, e, "vec_id", "embedding", degreeCap = 8)
         .unionByName(IndexAudit.ivfChecks(e, assign, cents,
           "vec_id", "embedding"))
@@ -2828,6 +2847,8 @@ object PipelineQueries {
           "rq_codes"))
         .unionByName(IndexAudit.coverageChecks(e, asymIds, "vec_id",
           "asym_sig"))
+        .unionByName(IndexAudit.coverageChecks(tokDocs, posIds, "doc_id",
+          "positions"))
         .orderBy(col("check_name").asc)
     },
     Some(s"""
@@ -2841,6 +2862,11 @@ object PipelineQueries {
         '/tmp/graft_integrity_oracle_%ORACLE_KEY%/rq_ids/*.parquet')),
       asi AS (SELECT vec_id FROM read_parquet(
         '/tmp/graft_integrity_oracle_%ORACLE_KEY%/asym_ids/*.parquet')),
+      posi AS (SELECT doc_id FROM read_parquet(
+        '/tmp/graft_integrity_oracle_%ORACLE_KEY%/pos_ids/*.parquet')),
+      tdocs AS (SELECT doc_id FROM documents
+                WHERE len(list_filter(string_split_regex(text, '\\s+'),
+                  t -> len(t) > 0)) > 0),
       perrow AS (SELECT e.vec_id,
                    min(list_sum(list_transform(range(1, len(e.embedding)+1),
                      i -> (CAST(e.embedding[i] AS DOUBLE)
@@ -2905,7 +2931,18 @@ object PipelineQueries {
         UNION ALL
         SELECT 'asym_sig_orphans', CAST(count(*) AS BIGINT)
         FROM asi LEFT JOIN embeddings e ON e.vec_id = asi.vec_id
-        WHERE e.vec_id IS NULL)
+        WHERE e.vec_id IS NULL
+        UNION ALL
+        SELECT 'positions_missing', CAST(count(*) AS BIGINT)
+        FROM tdocs d LEFT JOIN posi ON posi.doc_id = d.doc_id
+        WHERE posi.doc_id IS NULL
+        UNION ALL
+        SELECT 'positions_dupes', CAST(count(*) AS BIGINT) FROM (
+          SELECT doc_id FROM posi GROUP BY doc_id HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'positions_orphans', CAST(count(*) AS BIGINT)
+        FROM posi LEFT JOIN tdocs d ON d.doc_id = posi.doc_id
+        WHERE d.doc_id IS NULL)
       ORDER BY check_name ASC
     """))
 
