@@ -1112,6 +1112,52 @@ object TextQueries {
       FROM f ORDER BY doc_id ASC
     """))
 
+  /** General m-term sloppy phrase (see
+    * [[graft.search.Phrase.slopPhraseTopK]]): "scan … merge … small"
+    * in order with ≤ 2 total intervening tokens — the full Milvus
+    * PHRASE_MATCH slop contract beyond pairs. The oracle replays the
+    * nested token-window chase (per-anchor exists over bounded
+    * windows) with the same total-gap budget. */
+  private val phraseMatchSlopMulti = Q(
+    "phrase_match_slop_multi",
+    (s, dir) => {
+      import graft.search.Phrase
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_phrase_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Phrase.build(docs.where(col("doc_id") < 300), "doc_id", "text",
+          idx)
+        Phrase.append(docs.where(col("doc_id") >= 300), "doc_id", "text",
+          idx)
+      }
+      Phrase.slopPhraseTopK(s, idx, Seq("scan", "merge", "small"),
+          slop = 2, k = 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\s+'),
+                             t -> len(t) > 0) AS tk
+                    FROM documents),
+      hits AS (SELECT doc_id,
+                      len(list_filter(range(1, len(tk) + 1),
+                        i -> tk[i] = 'scan'
+                          AND len(list_filter(
+                                range(i + 1, least(i + 3, len(tk)) + 1),
+                                j -> tk[j] = 'merge'
+                                  AND len(list_filter(
+                                        range(j + 1,
+                                              least(i + 4, len(tk)) + 1),
+                                        k2 -> tk[k2] = 'small')) > 0))
+                              > 0)) AS nhits
+               FROM toks)
+      SELECT doc_id, CAST(nhits AS BIGINT) AS nhits
+      FROM hits WHERE nhits > 0
+      ORDER BY nhits DESC, doc_id ASC LIMIT 10
+    """))
+
   val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
     chunkOverlapSplit, tokenStats, tokenCounts, qualityScore,
     classifierQualityScore, charEntropy, langId, docFingerprint,
@@ -1119,5 +1165,5 @@ object TextQueries {
     cdcBoilerplate, bpeLearnMerges, bpeLearnMergesBatched, bpeEncode,
     sketchHeavyTokens, sketchTokenQuantiles, textNormalizeNfc,
     phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25,
-    streamingPhraseIngest, phraseSnippetExtract)
+    streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti)
 }

@@ -103,6 +103,40 @@ object Phrase {
                   phrase: Seq[String]): DataFrame =
     anchors(spark, indexDir, phrase).select(col("id")).distinct()
 
+  /** General m-term sloppy phrase top-k — the full Milvus
+    * `PHRASE_MATCH(field, phrase, slop)` contract beyond pairs: terms
+    * in ORDER with at most `slop` total intervening tokens
+    * (p_last − p_first − (m−1) ≤ slop; slop 0 degenerates to the exact
+    * anchor search). Plan: the postings restricted to the phrase's
+    * terms (pushed `term IN`) self-join m−1 times ON ID with ascending
+    * position conditions — each join leg is the same pruned scan, the
+    * join keys are document ids so the work distributes with the
+    * corpus, and the per-document fan-out is bounded by per-doc term
+    * frequency (tiny for real phrases). nhits counts DISTINCT
+    * first-term anchors, the [[slopTopK]] unit. Returns (id, nhits). */
+  def slopPhraseTopK(spark: SparkSession, indexDir: String,
+                     phrase: Seq[String], slop: Int, k: Int): DataFrame = {
+    require(phrase.nonEmpty && slop >= 0)
+    val m = phrase.length
+    val postings = spark.read.parquet(positionsDir(indexDir))
+      .where(col("term").isin(phrase.distinct: _*))
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      postings.where(col("term") === t)
+        .select(col("id"), col("pos").as(s"p$i"))
+    }
+    val joined = legs.zipWithIndex.tail.foldLeft(legs.head) {
+      case (acc, (leg, i)) =>
+        acc.join(leg, Seq("id")).where(col(s"p$i") > col(s"p${i - 1}"))
+    }
+    val scored = joined
+      .where(col(s"p${m - 1}") - col("p0") - (m - 1) <= slop)
+      .groupBy(col("id"))
+      .agg(countDistinct(col("p0")).cast("long").as("nhits"))
+    Tombstones.mask(scored, spark, indexDir, "id")
+      .orderBy(col("nhits").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Sloppy ordered-pair top-k: docs where `second` follows `first`
     * within `slop` intervening tokens; nhits counts DISTINCT first-term
     * anchors. Returns (id, nhits). */

@@ -59,6 +59,22 @@ class PhraseSpec extends SparkSpec {
     assert(tight == Seq((1L, 2L), (5L, 1L)))
   }
 
+  test("general slop: slop 0 equals the exact anchor search; budget " +
+      "is TOTAL intervening tokens") {
+    val idx = freshDir("slopm")
+    Phrase.build(docs, "doc_id", "text", idx)
+    // slop 0 degenerates to exact: same anchors, same counts
+    val exact = Phrase.topK(spark, idx, Seq("a", "b", "c"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+    val slop0 = Phrase.slopPhraseTopK(spark, idx, Seq("a", "b", "c"),
+      slop = 0, k = 10).as[(Long, Long)].collect().toSeq
+    assert(slop0 == exact && exact == Seq((1L, 2L)))
+    // doc 2 "a b x c": gaps 0 + 1 = 1 total → matches at slop 1
+    val slop1 = Phrase.slopPhraseTopK(spark, idx, Seq("a", "b", "c"),
+      slop = 1, k = 10).as[(Long, Long)].collect().toSeq
+    assert(slop1 == Seq((1L, 2L), (2L, 1L)))
+  }
+
   test("append equals rebuild") {
     val a = freshDir("appendA"); val b = freshDir("appendB")
     Phrase.build(docs, "doc_id", "text", a)
