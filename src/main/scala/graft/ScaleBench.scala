@@ -79,6 +79,19 @@ object ScaleBench {
 
   /** Local recursive dir copy (rehearsal ops that MUTATE an index work
     * on a throwaway copy) — shared with the query entries. */
+  /** Serve-op guard: build the positional artifact if a filtered run
+    * skipped the build op (buildOnce no-ops when present). */
+  private def ensurePhraseArtifact(spark: SparkSession, docs: DataFrame,
+                                   n: Int): Unit = {
+    graft.core.Artifacts.buildOnce(spark,
+      s"/tmp/graft_scale/phrase_$n/positions") {
+      val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+      docs.select(col("doc_id").cast("long").as("id"),
+        posexplode(toks).as(Seq("pos", "term")))
+    }
+    ()
+  }
+
   private def copyDir(srcDir: String, dstDir: String): Unit =
     graft.core.Artifacts.copyLocalDir(srcDir, dstDir)
 
@@ -456,11 +469,13 @@ object ScaleBench {
         }),
         "phrase_serve (anchor agg)" -> (() => {
           import graft.search.Phrase
+          ensurePhraseArtifact(spark, docs, n)
           Phrase.topK(spark, s"/tmp/graft_scale/phrase_$n",
             Seq("w7", "w11", "w13"), k = 10).count()
         }),
         "phrase_slop_serve (pair window)" -> (() => {
           import graft.search.Phrase
+          ensurePhraseArtifact(spark, docs, n)
           Phrase.slopTopK(spark, s"/tmp/graft_scale/phrase_$n",
             "w7", "w11", slop = 3, k = 10).count()
         }),
