@@ -60,8 +60,11 @@ object Bench {
     // explicitly (omitted count + their summed seconds), so `value`
     // always equals sum(queries) + omitted_time. Full per-query data is
     // reproducible by running this main directly.
-    def fmt(v: Double): String = f"$v%.3f"
-    val desc = results.toSeq.sortBy { case (_, v) => (-v, "") }
+    // Locale.ROOT: a comma-decimal default locale would print "0,123"
+    // and break the JSON (the HashingEmbedder lowercasing rationale)
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val desc = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","""
     val meta = s""""errors":$errs,"n_queries":${results.size},"sf":"$sfDir""""
     val budget = 1900 - head.length - meta.length - 80 // slack for closers
