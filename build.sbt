@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver keeps only a bounded TAIL of stdout and parses the
+// LAST line as JSON (BENCH_r*.json "parsed"). Two sbt defaults defeat
+// that: forked-run output is logged with an "[info] " prefix, and sbt
+// prints "[success] Total time…" AFTER the program's last line. Send
+// forked output raw to stdout and suppress the success/timing trailer
+// so graft.Bench's JSON line is both unprefixed and final.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

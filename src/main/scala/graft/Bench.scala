@@ -78,8 +78,13 @@ object Bench {
       else { omitted += 1; omittedTime += v }
     }
     val qs = kept.mkString("{", ",", "}")
-    println(head + s""""queries":$qs,"omitted_queries":$omitted,""" +
-      s""""omitted_time":${fmt(omittedTime)},""" + meta + "}")
+    val line = head + s""""queries":$qs,"omitted_queries":$omitted,""" +
+      s""""omitted_time":${fmt(omittedTime)},""" + meta + "}"
+    // Stop Spark BEFORE printing: its shutdown can log ("Cannot find
+    // active jobs…"), and the driver's last-line JSON parse needs the
+    // bench line to be the final stdout line (build.sbt suppresses
+    // sbt's own [success]/[info] framing for the same reason).
     spark.stop()
+    println(line)
   }
 }

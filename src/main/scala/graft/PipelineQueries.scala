@@ -152,14 +152,15 @@ object PipelineQueries {
         if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
           IvfIndex.load(s, indexDir)
         else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
-      val radii = graft.core.Artifacts.buildOnce(s,
-          s"/tmp/graft_ivf_radii_${math.abs(dir.hashCode)}") {
-          IvfIndex.clusterRadiiTable(s, model, "embedding")
-        }.collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+      // the index's OWN maintained radii (round 10: written at build,
+      // folded by append/upsert, recomputed by rebalance) — no caller-
+      // managed refresh; a pre-radii layout (warm /tmp) gets one here
+      if (IvfIndex.loadRadii(s, indexDir).isEmpty)
+        IvfIndex.refreshRadii(s, model, "embedding")
       val query = e.where(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).toArray
       IvfIndex.rangeSearch(s, model, "embedding", "vec_id", query,
-        rLo = 1.0, rHi = 1.6, radii)
+        rLo = 1.0, rHi = 1.6)
     },
     Some("""
       WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -186,16 +187,52 @@ object PipelineQueries {
         if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
           IvfIndex.load(s, indexDir)
         else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
-      val radii = graft.core.Artifacts.buildOnce(s,
-          s"/tmp/graft_ivf_radii_${math.abs(dir.hashCode)}") {
-          IvfIndex.clusterRadiiTable(s, model, "embedding")
-        }.collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+      // stored maintained radii, like ivf_range_search above
+      if (IvfIndex.loadRadii(s, indexDir).isEmpty)
+        IvfIndex.refreshRadii(s, model, "embedding")
       val query = e.where(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).toArray
-      IvfIndex.exactSearch(s, model, "embedding", "vec_id", query,
-        k = 5, radii)
+      IvfIndex.exactSearch(s, model, "embedding", "vec_id", query, k = 5)
     },
     Some(exactTop5Oracle))
+
+  /** Range search over an APPENDED-then-served index with NO manual
+    * radii refresh — the round-10 enforcement of the covering-radius
+    * invariant made observable: the index is built on two-thirds of
+    * the corpus, the remaining third arrives by [[graft.search
+    * .IvfIndex.append]] (whose radius fold runs BEFORE its data
+    * append), and serving uses the index's OWN stored radii
+    * ([[graft.search.IvfIndex.loadRadii]]). The oracle is the exact
+    * range scan over the FULL corpus: before the fold existed this
+    * exact flow over-pruned (KnnSpec's staleness test proves the wrong
+    * answer on the explicit-radii API) — an appended row outside its
+    * cluster's stale radius would silently vanish and hash-mismatch
+    * here. */
+  private val ivfRangeSearchAppended = Q(
+    "ivf_range_search_appended",
+    (s, dir) => {
+      val indexDir = s"/tmp/graft_ivf_app_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      mutateOnce(s, indexDir) {
+        val p = new org.apache.hadoop.fs.Path(indexDir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val m = IvfIndex.build(e.where(col("vec_id") % 3 =!= 2),
+          "embedding", indexDir, nlist = 16)
+        IvfIndex.append(e.where(col("vec_id") % 3 === 2), "embedding", m)
+      }
+      val model = IvfIndex.load(s, indexDir)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      IvfIndex.rangeSearch(s, model, "embedding", "vec_id", query,
+        rLo = 1.0, rHi = 1.6)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      d AS (SELECT e.vec_id, %L2% AS distance FROM embeddings e, q)
+      SELECT vec_id, distance FROM d
+      WHERE distance >= 1.0 AND distance < 1.6
+      ORDER BY distance ASC, vec_id ASC
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
   /** Scalar-index-filtered IVF serving ([[graft.search.IvfIndex
     * .searchWithIdFilter]] fed by [[graft.search.ScalarIndex.ids]]):
@@ -2804,6 +2841,11 @@ object PipelineQueries {
       val assign = s.read.parquet(IvfIndex.dataDir(indexDir))
         .select(col("vec_id"), col("cluster_id"))
       val cents = s.read.parquet(IvfIndex.centroidsDir(indexDir))
+      // a layout from a pre-radii build (warm /tmp) gets its table here
+      // so the radius checks run against a populated artifact
+      if (IvfIndex.loadRadii(s, indexDir).isEmpty)
+        IvfIndex.refreshRadii(s, model, "embedding")
+      val radiiT = s.read.parquet(IvfIndex.radiiDir(indexDir))
       import graft.search.{IndexAudit, Rq}
       val rqDir = s"/tmp/graft_rq_${math.abs(dir.hashCode)}"
       if (!new java.io.File(Rq.codesDir(rqDir) + "/_SUCCESS").exists())
@@ -2837,12 +2879,14 @@ object PipelineQueries {
         "adjacency" -> adj,
         "assign" -> assign,
         "centroids" -> cents,
+        "radii" -> radiiT,
         "rq_ids" -> rqIds,
         "asym_ids" -> asymIds,
         "pos_ids" -> posIds)
       IndexAudit.graphChecks(adj, e, "vec_id", "embedding", degreeCap = 8)
         .unionByName(IndexAudit.ivfChecks(e, assign, cents,
           "vec_id", "embedding"))
+        .unionByName(IndexAudit.radiiChecks(s, indexDir, "embedding"))
         .unionByName(IndexAudit.coverageChecks(e, rqIds, "vec_id",
           "rq_codes"))
         .unionByName(IndexAudit.coverageChecks(e, asymIds, "vec_id",
@@ -2858,6 +2902,8 @@ object PipelineQueries {
         '/tmp/graft_integrity_oracle_%ORACLE_KEY%/assign/*.parquet')),
       cent AS (SELECT cluster_id, centroid FROM read_parquet(
         '/tmp/graft_integrity_oracle_%ORACLE_KEY%/centroids/*.parquet')),
+      rad AS (SELECT cluster_id, radius FROM read_parquet(
+        '/tmp/graft_integrity_oracle_%ORACLE_KEY%/radii/*.parquet')),
       rqi AS (SELECT vec_id FROM read_parquet(
         '/tmp/graft_integrity_oracle_%ORACLE_KEY%/rq_ids/*.parquet')),
       asi AS (SELECT vec_id FROM read_parquet(
@@ -2910,6 +2956,20 @@ object PipelineQueries {
         SELECT 'ivf_orphan_rows', CAST(count(*) AS BIGINT)
         FROM asg LEFT JOIN embeddings e ON e.vec_id = asg.vec_id
         WHERE e.vec_id IS NULL
+        UNION ALL
+        SELECT 'ivf_radius_missing', CAST(count(*) AS BIGINT) FROM (
+          SELECT DISTINCT cluster_id FROM asg) dc
+        LEFT JOIN rad ON rad.cluster_id = dc.cluster_id
+        WHERE rad.cluster_id IS NULL
+        UNION ALL
+        SELECT 'ivf_radius_violations', CAST(count(*) AS BIGINT)
+        FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+             JOIN cent c ON c.cluster_id = a.cluster_id
+             JOIN rad r ON r.cluster_id = a.cluster_id
+        WHERE sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                i -> (CAST(e.embedding[i] AS DOUBLE)
+                      - CAST(c.centroid[i] AS DOUBLE))^2)))
+              > r.radius + 0.000000001
         UNION ALL
         SELECT 'rq_codes_missing', CAST(count(*) AS BIGINT)
         FROM embeddings e LEFT JOIN rqi ON rqi.vec_id = e.vec_id
@@ -4007,7 +4067,8 @@ object PipelineQueries {
     """))
 
   val all: Seq[Q] = Seq(ivfSearch, ivfIpSearch, ivfCosineSearch,
-    ivfRangeSearch, ivfExactKnn, scalarFilteredIvfSearch,
+    ivfRangeSearch, ivfRangeSearchAppended, ivfExactKnn,
+    scalarFilteredIvfSearch,
     indexReconcileServe, ivfPartialProbe,
     ivfNprobeAutotune,
     ivfFilteredSearch,

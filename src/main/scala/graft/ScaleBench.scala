@@ -219,8 +219,11 @@ object ScaleBench {
           import graft.search.Tombstones
           import spark.implicits._
           val dir = s"/tmp/graft_scale/ivf_tomb_$n"
-          if (!new java.io.File(
-              IvfIndex.centroidsDir(dir) + "/_SUCCESS").exists()) {
+          // mutateOnce's marker is written only AFTER the mutation
+          // completes — keying on the copied _SUCCESS would let a crash
+          // between copyDir and record() leave an unmutated index that
+          // later runs benchmark under the '1% tombstones' label
+          QueryDsl.mutateOnce(spark, dir) {
             copyDir(s"/tmp/graft_scale/ivf_$n", dir)
             Tombstones.record(emb.where(col("vec_id") % 100 === 3)
               .select("vec_id"), dir, "vec_id")
@@ -238,8 +241,8 @@ object ScaleBench {
         "ivf_search_latest (1% upserted)" -> (() => {
           import spark.implicits._
           val dir = s"/tmp/graft_scale/ivf_up_$n"
-          if (!new java.io.File(
-              IvfIndex.centroidsDir(dir) + "/_SUCCESS").exists()) {
+          // explicit post-mutation marker (see ivf_search_masked above)
+          QueryDsl.mutateOnce(spark, dir) {
             copyDir(s"/tmp/graft_scale/ivf_$n", dir)
             IvfIndex.upsertBatch(emb.where(col("vec_id") % 100 === 7),
               "embedding", IvfIndex.load(spark, dir), "vec_id", ver = 1)
@@ -282,15 +285,14 @@ object ScaleBench {
         // prune ratio is what the radii EARN, not a best case.
         "ivf_range_serve (radii-pruned)" -> (() => {
           import spark.implicits._
+          // round 10: serves from the index's OWN maintained radii
+          // (written by ivf_build above) — the timed body is the load
+          // (nlist-row collect) + pruned scan, no radii build
           val model = IvfIndex.load(spark, s"/tmp/graft_scale/ivf_$n")
-          val radii = materialize(
-            IvfIndex.clusterRadiiTable(spark, model, "embedding"),
-            s"/tmp/graft_scale/ivf_radii_$n")
-            .collect().map(x => (x.getInt(0), x.getDouble(1))).toMap
           val q = emb.where(col("vec_id") === 0)
             .select("embedding").as[Seq[Float]].head().toArray
           IvfIndex.rangeSearch(spark, model, "embedding", "vec_id", q,
-            rLo = 0.0, rHi = 1.0, radii).count()
+            rLo = 0.0, rHi = 1.0).count()
         }),
         // exact top-k via the two-phase covering-radius bound (round
         // 9): phase 1 = nearest cluster scan (k-row collect), phase 2 =
@@ -298,15 +300,12 @@ object ScaleBench {
         // delta is partitions the bound skipped on THIS geometry
         "ivf_exact_knn (two-phase bound)" -> (() => {
           import spark.implicits._
+          // maintained stored radii, like ivf_range_serve above
           val model = IvfIndex.load(spark, s"/tmp/graft_scale/ivf_$n")
-          val radii = materialize(
-            IvfIndex.clusterRadiiTable(spark, model, "embedding"),
-            s"/tmp/graft_scale/ivf_radii_$n")
-            .collect().map(x => (x.getInt(0), x.getDouble(1))).toMap
           val q = emb.where(col("vec_id") === 0)
             .select("embedding").as[Seq[Float]].head().toArray
           IvfIndex.exactSearch(spark, model, "embedding", "vec_id", q,
-            k = 5, radii).count()
+            k = 5).count()
         }),
         "knn_range_scan (baseline)" -> (() => {
           import spark.implicits._

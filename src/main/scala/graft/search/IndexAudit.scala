@@ -110,6 +110,39 @@ object IndexAudit {
       .unionByName(row("ivf_orphan_rows", orphanRows))
   }
 
+  /** Covering-radius invariant of an IVF layout (the
+    * [[IvfIndex.radiiDir]] table that range/exact-via-IVF serving
+    * prunes with — [[IvfIndex.rangeSearch]]/[[IvfIndex.exactSearch]]):
+    * `ivf_radius_violations` counts data rows whose distance to their
+    * assigned centroid EXCEEDS the stored radius (each one is a row the
+    * range prune can silently drop — the wrong-answer direction), and
+    * `ivf_radius_missing` counts clusters holding rows but absent from
+    * the radii table (never used to prune — slow, not wrong — but a
+    * sign the fold was skipped). Both artifact-derived plan-side
+    * aggregates; 0/0 on an index maintained only through
+    * build/append/upsert/rebalance, which all keep the invariant. The
+    * 1e-9 slack absorbs recompute drift on the boundary row (the max
+    * member sits EXACTLY at its cluster's radius). */
+  def radiiChecks(spark: org.apache.spark.sql.SparkSession,
+                  indexDir: String, vecCol: String): DataFrame = {
+    val data = spark.read.option("mergeSchema", "true")
+      .parquet(IvfIndex.dataDir(indexDir))
+    val cents = spark.read.parquet(IvfIndex.centroidsDir(indexDir))
+    val radii = spark.read.parquet(IvfIndex.radiiDir(indexDir))
+    val viol = data
+      .join(broadcast(cents), Seq("cluster_id"))
+      .join(broadcast(radii), Seq("cluster_id"))
+      .where(sqrt(VectorFunctions.l2Sq(col(vecCol), col("centroid")))
+        > col("radius") + 1e-9)
+      .agg(count(lit(1)).as("value"))
+    val missing = data.select(col("cluster_id")).distinct()
+      .join(broadcast(radii.select(col("cluster_id"))),
+        Seq("cluster_id"), "left_anti")
+      .agg(count(lit(1)).as("value"))
+    row("ivf_radius_missing", missing)
+      .unionByName(row("ivf_radius_violations", viol))
+  }
+
   /** Version-history health of an upserted IVF layout (the
     * [[IvfIndex.upsertBatch]] `__ver` discipline) — the maintenance
     * debt every latest-wins serve pays until [[IvfIndex.compactVersions]]

@@ -34,7 +34,13 @@ object IndexSync {
     * the collection re-uses keys. */
   def reconcileIvf(spark: SparkSession, corpus: DataFrame, idCol: String,
                    vecCol: String, model: IvfIndex.Model): (Long, Long) = {
-    val artIds = spark.read.parquet(IvfIndex.dataDir(model.indexDir))
+    // mergeSchema like every other versioned-layout read (rebalance /
+    // compactVersions / versionChecks): today's projection is id-only,
+    // but a plain read of an upserted (__ver partial-schema) layout
+    // infers a schema without __ver and would silently truncate if the
+    // projection ever widens
+    val artIds = spark.read.option("mergeSchema", "true")
+      .parquet(IvfIndex.dataDir(model.indexDir))
       .select(col(idCol)).distinct()
     val orphans = Tombstones.mask(artIds, spark, model.indexDir, idCol)
       .join(corpus.select(col(idCol)), Seq(idCol), "left_anti")

@@ -29,6 +29,7 @@ object IvfIndex {
 
   def dataDir(indexDir: String): String = s"$indexDir/data"
   def centroidsDir(indexDir: String): String = s"$indexDir/centroids"
+  def radiiDir(indexDir: String): String = s"$indexDir/radii"
 
   /** Fit KMeans(nlist) on `vecCol`, assign cluster ids, write the corpus
     * partitioned by cluster_id plus a centroids table. Deterministic under
@@ -53,7 +54,87 @@ object IvfIndex {
     import spark.implicits._
     centroids.toSeq.toDF("cluster_id", "centroid")
       .write.mode("overwrite").parquet(centroidsDir(indexDir))
-    Model(indexDir, nlist, centroids)
+    val m = Model(indexDir, nlist, centroids)
+    // covering radii are a MAINTAINED invariant, not a caller-managed
+    // refresh: written at build, folded forward by append/upsertBatch,
+    // recomputed by rebalance — so range/exact-via-IVF serving never
+    // over-prunes after normal maintenance (the staleness hazard the
+    // scaladoc on clusterRadiiTable documents). One extra linear pass
+    // over the just-written layout, build-time only.
+    refreshRadii(spark, m, vecCol)
+    m
+  }
+
+  /** Recompute and (crash-safely) store the covering-radius table from
+    * the CURRENT layout — the manual refresh verb; [[build]] and
+    * [[rebalance]] call it, [[append]]/[[upsertBatch]] fold
+    * incrementally instead (O(batch), no corpus pass). */
+  def refreshRadii(spark: SparkSession, model: Model,
+                   vecCol: String): Unit =
+    writeRadiiTable(spark, model.indexDir,
+      clusterRadiiTable(spark, model, vecCol))
+
+  /** The stored covering radii, or an empty map when never written (a
+    * pre-radii index): an absent radius is NEVER used to prune, so the
+    * fallback is slow-but-exact, not wrong. Probes the rename-aside
+    * recovery state first. */
+  def loadRadii(spark: SparkSession, indexDir: String): Map[Int, Double] = {
+    val d = new org.apache.hadoop.fs.Path(radiiDir(indexDir))
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Tombstones.recoverAside(fs, d,
+      new org.apache.hadoop.fs.Path(radiiDir(indexDir) + "__old"))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+      Map.empty
+    else spark.read.parquet(radiiDir(indexDir))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+  }
+
+  /** Crash-safe swap of the (nlist-row) radii table — the rename-aside
+    * protocol every fold here uses; [[loadRadii]] runs the recovery
+    * probe. The table is materialized to `__tmp` BEFORE the live dir
+    * moves, so the plan may read the live table it replaces. */
+  private def writeRadiiTable(spark: SparkSession, indexDir: String,
+                              radii: DataFrame): Unit = {
+    val d = new org.apache.hadoop.fs.Path(radiiDir(indexDir))
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(radiiDir(indexDir) + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(radiiDir(indexDir) + "__old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    radii.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(d) && !fs.rename(d, old))
+      throw new java.io.IOException(
+        s"writeRadiiTable: rename $d aside failed")
+    if (!fs.rename(tmp, d))
+      throw new java.io.IOException(
+        s"writeRadiiTable: rename $tmp -> $d failed; previous table " +
+          s"is at $old")
+    fs.delete(old, true)
+  }
+
+  /** Fold a batch's contribution into the stored radii:
+    * radius'(c) = max(radius(c), max over batch rows assigned to c of
+    * d(row, centroid_c)) — the append-time discipline that keeps the
+    * stored radii UPPER bounds under normal operation. No-op on a
+    * pre-radii index (nothing stored to keep true). Runs BEFORE the
+    * data append: an enlarged radius whose rows never landed only
+    * weakens pruning; the reverse order is exactly the
+    * append-then-crash over-prune hazard this fold closes. */
+  private def foldRadii(batch: DataFrame, vecCol: String, model: Model,
+                        centArr: org.apache.spark.sql.Column): Unit = {
+    val spark = batch.sparkSession
+    val d = new org.apache.hadoop.fs.Path(radiiDir(model.indexDir))
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Tombstones.recoverAside(fs, d,
+      new org.apache.hadoop.fs.Path(radiiDir(model.indexDir) + "__old"))
+    if (!fs.exists(d)) return
+    val batchRadii = batch.select(
+        array_min(centArr).getField("cluster_id").as("cluster_id"),
+        sqrt(array_min(centArr).getField("d")).as("radius"))
+      .groupBy(col("cluster_id")).agg(max(col("radius")).as("radius"))
+    val merged = spark.read.parquet(radiiDir(model.indexDir))
+      .unionByName(batchRadii)
+      .groupBy(col("cluster_id")).agg(max(col("radius")).as("radius"))
+    writeRadiiTable(spark, model.indexDir, merged)
   }
 
   /** Incremental index maintenance: assign NEW vectors to their nearest
@@ -78,6 +159,10 @@ object IvfIndex {
         VectorFunctions.l2Sq(col(vecCol), typedlit(c.toSeq)).as("d"),
         lit(i).as("cluster_id"))
     }: _*)
+    // covering-radius fold FIRST (see foldRadii for the ordering
+    // argument) — the stored radii stay upper bounds through appends,
+    // so range/exact serving needs no manual refresh
+    foldRadii(newDf, vecCol, model, centArr)
     newDf.withColumn("cluster_id",
         array_min(centArr).getField("cluster_id"))
       .write.mode("append").partitionBy("cluster_id")
@@ -299,16 +384,18 @@ object IvfIndex {
     * d(q, x) ≥ d(q, c) − radius(c), so a cluster with
     * d(q, c) > r + radius(c) cannot contain a point within r and its
     * partition is skipped with NO recall loss. One corpus pass to
-    * build; materialize once ([[graft.core.Artifacts.buildOnce]]) next
-    * to the index. Staleness direction matters: a stored radius is
-    * safe only while it UPPER-bounds the true one, and APPENDS/UPSERTS
-    * can push a new member past it (over-pruning = wrong answers) —
-    * refresh after any append batch, or fold
-    * max(old, d(new, centroid)) into the append pass; deletes and
-    * compaction only SHRINK the true radius, so stale-after-delete
-    * merely wastes pruning, never breaks it. Rebalance replaces
-    * cluster ids outright — rebuild. Returns (cluster_id, radius),
-    * nlist rows. */
+    * build. Staleness direction matters: a stored radius is safe only
+    * while it UPPER-bounds the true one, and APPENDS/UPSERTS can push
+    * a new member past it (over-pruning = wrong answers). Since round
+    * 10 that invariant is ENFORCED, not caller-managed: [[build]]
+    * writes the table ([[radiiDir]]), [[append]]/[[upsertBatch]] fold
+    * max(old, d(new, centroid)) in BEFORE their data append, and
+    * [[rebalance]] recomputes it — so the stored radii stay upper
+    * bounds under every maintenance verb, and
+    * [[IndexAudit.radiiChecks]]' `ivf_radius_violations` counter
+    * detects a violated one. Deletes and compaction only SHRINK the
+    * true radius, so stale-after-delete merely wastes pruning, never
+    * breaks it. Returns (cluster_id, radius), nlist rows. */
   def clusterRadiiTable(spark: SparkSession, model: Model,
                         vecCol: String): DataFrame = {
     import spark.implicits._
@@ -334,6 +421,17 @@ object IvfIndex {
     * between the stored radii and the driver-side probe arithmetic —
     * pruning stays conservative, exactness survives. Tombstones and
     * the upsert overlay apply as on every serve path. */
+  /** [[rangeSearch]] against the index's OWN maintained radii
+    * ([[loadRadii]]) — the serving form that cannot be handed a stale
+    * map: build/append/upsert/rebalance keep the stored table an upper
+    * bound, and a pre-radii index degrades to no pruning (exact, just
+    * unaccelerated). */
+  def rangeSearch(spark: SparkSession, model: Model, vecCol: String,
+                  idCol: String, query: Array[Float], rLo: Double,
+                  rHi: Double): DataFrame =
+    rangeSearch(spark, model, vecCol, idCol, query, rLo, rHi,
+      loadRadii(spark, model.indexDir))
+
   def rangeSearch(spark: SparkSession, model: Model, vecCol: String,
                   idCol: String, query: Array[Float], rLo: Double,
                   rHi: Double, radii: Map[Int, Double]): DataFrame = {
@@ -374,6 +472,14 @@ object IvfIndex {
     * pruning; fewer than k rows in the first cluster ⇒ unbounded ⇒
     * all clusters scanned (degenerate but exact). Tombstones and the
     * upsert overlay apply on both passes. */
+  /** [[exactSearch]] against the index's own maintained radii — see the
+    * [[rangeSearch]] no-argument-radii overload. */
+  def exactSearch(spark: SparkSession, model: Model, vecCol: String,
+                  idCol: String, query: Array[Float],
+                  k: Int): DataFrame =
+    exactSearch(spark, model, vecCol, idCol, query, k,
+      loadRadii(spark, model.indexDir))
+
   def exactSearch(spark: SparkSession, model: Model, vecCol: String,
                   idCol: String, query: Array[Float], k: Int,
                   radii: Map[Int, Double]): DataFrame = {
@@ -469,6 +575,10 @@ object IvfIndex {
         VectorFunctions.l2Sq(col(vecCol), typedlit(c.toSeq)).as("d"),
         lit(i).as("cluster_id"))
     }: _*)
+    // radius fold before the data append (the [[append]] discipline) —
+    // an upsert can move a key into a cluster whose stored radius does
+    // not yet cover its new vector
+    foldRadii(batch, vecCol, model, centArr)
     batch.withColumn("cluster_id",
         array_min(centArr).getField("cluster_id"))
       .withColumn("__ver", lit(ver))
@@ -542,6 +652,13 @@ object IvfIndex {
     * with no overlay. */
   def compactVersions(spark: SparkSession, model: Model,
                       idCol: String): Unit = {
+    // crash-recovery probe first (the Tombstones.recoverAside protocol):
+    // a prior fold that died between its two renames left the complete
+    // pre-fold layout at __ver_old and nothing at the live path
+    val dd = new org.apache.hadoop.fs.Path(dataDir(model.indexDir))
+    Tombstones.recoverAside(
+      dd.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      dd, new org.apache.hadoop.fs.Path(dataDir(model.indexDir) + "__ver_old"))
     val scan = spark.read.option("mergeSchema", "true")
       .parquet(dataDir(model.indexDir))
     val mfs = versionedMarker(model.indexDir)
@@ -611,6 +728,12 @@ object IvfIndex {
                 sizeCap: Long, seed: Long = 42L, maxIter: Int = 20,
                 trainSampleCap: Long = TrainSample.DefaultCap): Model = {
     require(sizeCap > 0, s"rebalance: sizeCap=$sizeCap")
+    // crash-recovery probe for the centroid swap's rename-aside window
+    val cd = new org.apache.hadoop.fs.Path(centroidsDir(model.indexDir))
+    Tombstones.recoverAside(
+      cd.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      cd,
+      new org.apache.hadoop.fs.Path(centroidsDir(model.indexDir) + "__rebal_old"))
     // merged-schema reads throughout: an upserted layout carries a
     // __ver column on some files only, and a plain read could infer a
     // schema without it — silently flattening version history
@@ -700,7 +823,17 @@ object IvfIndex {
       fs.delete(new org.apache.hadoop.fs.Path(
         dataDir(model.indexDir), s"cluster_id=$cid"), true)
     }
-    load(spark, model.indexDir)
+    val refreshed = load(spark, model.indexDir)
+    // (4) rebalance replaces cluster ids outright, so the stored radii
+    // are recomputed from the new layout (the scaladoc's "rebuild"
+    // case, now owned by the verb instead of the caller). Skipped on a
+    // pre-radii index.
+    val rd = new org.apache.hadoop.fs.Path(radiiDir(model.indexDir))
+    val rfs = rd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Tombstones.recoverAside(rfs, rd,
+      new org.apache.hadoop.fs.Path(radiiDir(model.indexDir) + "__old"))
+    if (rfs.exists(rd)) refreshRadii(spark, refreshed, vecCol)
+    refreshed
   }
 
   /** Delete-by-keys against the index WITHOUT rebuilding it: records the

@@ -86,18 +86,39 @@ object Tombstones {
     if (!exist(spark, indexDir)) 0L
     else spark.read.parquet(deletesDir(indexDir)).distinct().count()
 
+  /** Recovery probe for the rename-aside swap protocol (shared by this
+    * object's [[compact]], [[IvfIndex.compactVersions]], and
+    * [[IvfIndex.rebalance]]'s centroid swap): a crash BETWEEN "rename
+    * live aside" and "rename tmp in" leaves NO artifact at the live
+    * path — the previous complete artifact sits at `<live><oldSuffix>`.
+    * Probe for exactly that state and rename the aside copy back, so
+    * the next maintenance pass (or load) starts from the pre-fold
+    * artifact instead of failing on a missing dir. Single-writer, like
+    * every maintenance verb here. */
+  private[search] def recoverAside(fs: org.apache.hadoop.fs.FileSystem,
+                                   live: Path, old: Path): Unit =
+    if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
+      throw new java.io.IOException(
+        s"recoverAside: restoring $old -> $live failed")
+
   /** Fold the tombstones into one artifact dir: rewrite `artifactDir`
     * WITHOUT rows whose any-of-`keyCols` key is tombstoned (adjacency
     * folds on BOTH src and dst; per-row artifacts on their one id),
     * preserving `partitionBy` layout (the IVF data dir's cluster_id
     * partitioning is its index structure — a fold must not flatten it).
-    * Crash-safe swap: write `__tomb_tmp`, rename live aside, rename tmp
-    * in, delete old — every step leaves a complete artifact on disk.
-    * Call [[clear]] once EVERY artifact of the index has been folded. */
+    * Recoverable, single-writer swap: write `__tomb_tmp`, rename live
+    * aside, rename tmp in, delete old. A crash between the two renames
+    * leaves no artifact at the live path — but the complete pre-fold
+    * artifact survives at `__tomb_old`, and the [[recoverAside]] probe
+    * (run at the top of every compact) renames it back before
+    * proceeding. Call [[clear]] once EVERY artifact of the index has
+    * been folded. */
   def compact(spark: SparkSession, indexDir: String, artifactDir: String,
               keyCols: Seq[String],
               partitionBy: Seq[String] = Nil): Unit = {
     require(keyCols.nonEmpty, "compact: need at least one key column")
+    recoverAside(fs(spark, artifactDir), new Path(artifactDir),
+      new Path(artifactDir + "__tomb_old"))
     if (!exist(spark, indexDir)) return
     val dead = spark.read.parquet(deletesDir(indexDir))
       .toDF("__dead_id").distinct()

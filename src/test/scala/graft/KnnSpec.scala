@@ -332,6 +332,71 @@ class KnnSpec extends SparkSpec {
         "vec_id", q, rLo = 0.0, rHi = 1.0, fresh)
       .as[(Long, Double)].collect().toSeq
     assert(withFresh == Seq((100L, 0.0)), withFresh.toString)
+    // round 10 — the ENFORCED path: append folded the new member into
+    // the STORED radii before its data landed, so serving from the
+    // index's own table (no manual refresh anywhere) is already exact
+    val enforced = IvfIndex.rangeSearch(spark, model, "embedding",
+        "vec_id", q, rLo = 0.0, rHi = 1.0)
+      .as[(Long, Double)].collect().toSeq
+    assert(enforced == Seq((100L, 0.0)),
+      s"stored radii must cover the appended row: $enforced")
+  }
+
+  test("stored radii: append-then-serve equals rebuild-then-serve, " +
+      "upsert folds too, audit counter fires on a violated radius") {
+    import graft.search.{IndexAudit, IvfIndex}
+    val r = new scala.util.Random(79)
+    val rows = ((0 until 30).map(i =>
+        (i.toLong, Array.fill(4)((r.nextGaussian() * 0.2).toFloat))) ++
+      (30 until 60).map(i =>
+        (i.toLong, Array.fill(4)((20.0 + r.nextGaussian() * 0.2).toFloat))))
+      .toDF("vec_id", "embedding")
+    val appendRows = Seq(
+      (100L, Seq(8.0f, 8.0f, 8.0f, 8.0f)),
+      (101L, Seq(12.0f, 12.0f, 12.0f, 12.0f))).toDF("vec_id", "embedding")
+    val dirA = "/tmp/graft_ivf_radii_appserve_test"
+    val dirB = "/tmp/graft_ivf_radii_rebuild_test"
+    Seq(dirA, dirB).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val mA = IvfIndex.build(rows, "embedding", dirA, nlist = 2)
+    IvfIndex.append(appendRows, "embedding", mA)
+    // upsert moves id 100 further out — the fold must cover the NEW
+    // vector's distance in its (possibly different) cluster
+    IvfIndex.upsertBatch(Seq((100L, Seq(10.0f, 10.0f, 10.0f, 10.0f)))
+      .toDF("vec_id", "embedding"), "embedding", mA, "vec_id", ver = 1)
+    val q = Array.fill(4)(9.0f)
+    def serve(m: IvfIndex.Model) =
+      IvfIndex.rangeSearch(spark, m, "embedding", "vec_id", q,
+          rLo = 0.0, rHi = 20.0)
+        .as[(Long, Double)].collect().toSeq
+    val got = serve(mA)
+    // the rebuild baseline carries the post-upsert state of id 100
+    val after = rows.unionByName(Seq(
+      (100L, Seq(10.0f, 10.0f, 10.0f, 10.0f)),
+      (101L, Seq(12.0f, 12.0f, 12.0f, 12.0f))).toDF("vec_id", "embedding"))
+    val mB = IvfIndex.build(after, "embedding", dirB, nlist = 2)
+    assert(got == serve(mB) && got.map(_._1).contains(100L),
+      s"append/upsert-then-serve must equal rebuild-then-serve: $got")
+    // healthy artifact: both radius counters are 0
+    val healthy = IndexAudit.radiiChecks(spark, dirA, "embedding")
+      .as[(String, Long)].collect().toMap
+    assert(healthy == Map("ivf_radius_missing" -> 0L,
+      "ivf_radius_violations" -> 0L), healthy.toString)
+    // corrupt one radius (shrink to 0): the violation counter fires for
+    // exactly that cluster's members
+    val radii = spark.read.parquet(IvfIndex.radiiDir(dirA))
+      .as[(Int, Double)].collect().sortBy(_._1)
+    val corrupt = radii.map { case (cid, rad) =>
+      if (cid == radii.head._1) (cid, 0.0) else (cid, rad) }
+    val rp = new org.apache.hadoop.fs.Path(IvfIndex.radiiDir(dirA))
+    rp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(rp, true)
+    corrupt.toSeq.toDF("cluster_id", "radius").coalesce(1)
+      .write.parquet(IvfIndex.radiiDir(dirA))
+    val fired = IndexAudit.radiiChecks(spark, dirA, "embedding")
+      .as[(String, Long)].collect().toMap
+    assert(fired("ivf_radius_violations") > 0L, fired.toString)
   }
 
   test("IVF exact kNN: two-phase bound skips clusters, equals brute force") {
