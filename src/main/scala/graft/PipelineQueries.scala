@@ -3635,19 +3635,25 @@ object PipelineQueries {
       ORDER BY check_name ASC
     """))
 
-  /** Maintenance PLAN ([[graft.search.Maintenance.plan]]) — the policy
-    * layer closing round-9's loop: the version-debt counters and
-    * list-size stats become explicit `metric > threshold` decisions for
-    * the three maintenance verbs (compact_versions /
-    * compact_tombstones / rebalance), in absolute rows an operator can
-    * audit. Shares `index_version_report`'s drift scenario on its own
-    * per-run copy; the oracle replays the version counters from
-    * fixture arithmetic and the skew trigger from the staged
-    * assignment handoff — same floor arithmetic both sides. */
+  /** Maintenance PLAN over EVERY index family ([[graft.search
+    * .Maintenance.planFull]] — round 10 extends round 9's three-verb
+    * policy to the full observe→plan→verb loop): the IVF core rows
+    * (compact_versions / compact_tombstones / rebalance) plus graph
+    * consolidation debt (dead-touching adjacency rows), lexical
+    * tombstone debt (BM25/phrase mask keys vs the doclen table),
+    * reconcile drift (orphans + missing vs the live corpus — here the
+    * collection "deleted" its `%9 = 4` rows without propagating), and
+    * the covering-radius violation counter (threshold 0 — a violated
+    * radius is a WRONG answer, not a slow one, so it schedules on the
+    * first hit; under the round-10 fold it replays to 0). Every
+    * decision is `metric > threshold` in absolute rows; the oracle
+    * recomputes all seven from fixture arithmetic + the staged
+    * assign/centroid/radii/adjacency handoffs — including the radius
+    * recompute, so even the 0 is derived, not assumed. */
   private val indexMaintenancePlan = Q(
     "index_maintenance_plan",
     (s, dir) => {
-      import graft.search.Maintenance
+      import graft.search.{Bm25Index, GraphAnn, Maintenance}
       val baseDir = s"/tmp/graft_ivf_verbase_${math.abs(dir.hashCode)}"
       val runDir = s"/tmp/graft_ivf_mplan_${math.abs(dir.hashCode)}"
       val e = Tables.embeddings(s, dir)
@@ -3655,6 +3661,10 @@ object PipelineQueries {
         IvfIndex.build(e, "embedding", baseDir, nlist = 16)
       copyLocalDir(baseDir, runDir)
       val model = IvfIndex.load(s, runDir)
+      // a base from a pre-radii build (warm /tmp) gets its table before
+      // the upserts so their folds have something to keep true
+      if (IvfIndex.loadRadii(s, runDir).isEmpty)
+        IvfIndex.refreshRadii(s, model, "embedding")
       IvfIndex.upsertBatch(e.where(col("vec_id") % 10 === 1),
         "embedding", model, "vec_id", ver = 1)
       IvfIndex.upsertBatch(e.where(col("vec_id") % 20 === 1),
@@ -3662,15 +3672,46 @@ object PipelineQueries {
       graft.search.Tombstones.record(
         e.where(col("vec_id") % 15 === 2).select("vec_id"),
         runDir, "vec_id")
+      // graph family: the shared adjacency artifact, dead keys %11=5
+      val gbase = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$gbase/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val graphDead = e.where(col("vec_id") % 11 === 5).select("vec_id")
+      // lexical family: its own BM25 artifact + tombstones (%13=1),
+      // both inside one deterministic fixture mutation
+      val docsT = Tables.documents(s, dir)
+      val textDir = s"/tmp/graft_mplan_text_${math.abs(dir.hashCode)}"
+      mutateOnce(s, textDir) {
+        val p = new org.apache.hadoop.fs.Path(textDir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Bm25Index.build(docsT, "doc_id", "text", textDir)
+        graft.search.Tombstones.record(
+          docsT.where(col("doc_id") % 13 === 1).select("doc_id"),
+          textDir, "doc_id")
+      }
+      // live corpus drifted: %9=4 rows deleted without propagating
+      val live = e.where(col("vec_id") % 9 =!= 4)
       stageOracle(s, "mplan", dir)(
         "assign" -> s.read.option("mergeSchema", "true")
-          .parquet(IvfIndex.dataDir(runDir)).select("cluster_id"))
-      Maintenance.plan(s, runDir, "vec_id")
+          .parquet(IvfIndex.dataDir(runDir))
+          .select("vec_id", "cluster_id"),
+        "centroids" -> s.read.parquet(IvfIndex.centroidsDir(runDir)),
+        "radii" -> s.read.parquet(IvfIndex.radiiDir(runDir)),
+        "adjacency" -> adj.select("src", "dst"))
+      Maintenance.planFull(s, runDir, "vec_id", "embedding", live, adj,
+          graphDead, textDir)
         .orderBy(col("action").asc)
     },
     Some("""
-      WITH asg AS (SELECT cluster_id FROM read_parquet(
+      WITH asg AS (SELECT vec_id, cluster_id FROM read_parquet(
         '/tmp/graft_mplan_oracle_%ORACLE_KEY%/assign/*.parquet')),
+      cent AS (SELECT cluster_id, centroid FROM read_parquet(
+        '/tmp/graft_mplan_oracle_%ORACLE_KEY%/centroids/*.parquet')),
+      rad AS (SELECT cluster_id, radius FROM read_parquet(
+        '/tmp/graft_mplan_oracle_%ORACLE_KEY%/radii/*.parquet')),
+      adj AS (SELECT src, dst FROM read_parquet(
+        '/tmp/graft_mplan_oracle_%ORACLE_KEY%/adjacency/*.parquet')),
       per AS (SELECT cluster_id, count(*) AS sz FROM asg
               GROUP BY cluster_id),
       st AS (SELECT CAST(sum(sz) AS BIGINT) AS total,
@@ -3678,19 +3719,55 @@ object PipelineQueries {
                     CAST(count(*) AS BIGINT) AS nlists FROM per),
       n1 AS (SELECT count(*) AS c FROM embeddings WHERE vec_id % 10 = 1),
       n2 AS (SELECT count(*) AS c FROM embeddings WHERE vec_id % 20 = 1),
-      n3 AS (SELECT count(*) AS c FROM embeddings WHERE vec_id % 15 = 2)
+      n3 AS (SELECT count(*) AS c FROM embeddings WHERE vec_id % 15 = 2),
+      gdead AS (SELECT vec_id FROM embeddings WHERE vec_id % 11 = 5),
+      ge AS (SELECT CAST(count(*) AS BIGINT) AS c FROM adj),
+      gd AS (SELECT CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT DISTINCT src, dst FROM adj
+        WHERE src IN (SELECT vec_id FROM gdead)
+           OR dst IN (SELECT vec_id FROM gdead))),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+      tk AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents
+             WHERE doc_id % 13 = 1),
+      -- reconcile diffs against the TOMBSTONE-MASKED artifact (the
+      -- IndexSync idempotency contract): the %15=2 tombstoned keys
+      -- leave the artifact side, so live ones among them count as
+      -- MISSING, while %9=4 rows (absent from the live corpus, not
+      -- tombstoned) count as ORPHANS
+      orph AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings
+               WHERE (vec_id % 9 = 4 AND vec_id % 15 <> 2)
+                  OR (vec_id % 15 = 2 AND vec_id % 9 <> 4)),
+      rv AS (SELECT CAST(count(*) AS BIGINT) AS c
+             FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+                  JOIN cent c ON c.cluster_id = a.cluster_id
+                  JOIN rad r ON r.cluster_id = a.cluster_id
+             WHERE sqrt(list_sum(list_transform(
+                     range(1, len(e.embedding)+1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE)
+                           - CAST(c.centroid[i] AS DOUBLE))^2)))
+                   > r.radius + 0.000000001)
       SELECT action, metric, threshold, metric > threshold AS triggered
       FROM (
-        SELECT 'compact_tombstones' AS action,
-               CAST(n3.c AS BIGINT) AS metric,
-               CAST(floor(st.total * 0.05) AS BIGINT) AS threshold
-        FROM n3, st
+        SELECT 'compact_text_tombstones' AS action,
+               tk.c AS metric,
+               CAST(floor(nd.c * 0.05) AS BIGINT) AS threshold
+        FROM tk, nd
+        UNION ALL
+        SELECT 'compact_tombstones', CAST(n3.c AS BIGINT),
+               CAST(floor(st.total * 0.05) AS BIGINT) FROM n3, st
         UNION ALL
         SELECT 'compact_versions', CAST(n1.c + n2.c AS BIGINT),
                CAST(floor(st.total * 0.10) AS BIGINT) FROM n1, n2, st
         UNION ALL
+        SELECT 'consolidate_graph', gd.c,
+               CAST(floor(ge.c * 0.05) AS BIGINT) FROM gd, ge
+        UNION ALL
         SELECT 'rebalance', st.mx,
-               CAST((st.total // st.nlists) * 4 AS BIGINT) FROM st) u
+               CAST((st.total // st.nlists) * 4 AS BIGINT) FROM st
+        UNION ALL
+        SELECT 'reconcile', orph.c, CAST(0 AS BIGINT) FROM orph
+        UNION ALL
+        SELECT 'refresh_radii', rv.c, CAST(0 AS BIGINT) FROM rv) u
       ORDER BY action ASC
     """))
 

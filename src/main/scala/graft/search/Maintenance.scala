@@ -26,12 +26,23 @@ import org.apache.spark.sql.types._
   * driver-side from those — the same bounded-handoff discipline as the
   * query-vector fetch. */
 object Maintenance {
-  /** One row per candidate action: (action, metric, threshold,
-    * triggered), action-ascending. Integer thresholds floor the
-    * fraction so the replaying oracle needs no float comparison. */
-  def plan(spark: SparkSession, indexDir: String, idCol: String,
-           versionDebtFrac: Double = 0.10, tombstoneFrac: Double = 0.05,
-           skewFactor: Double = 4.0): DataFrame = {
+  private def mkRow(action: String, metric: Long, threshold: Long) =
+    Row(action, metric, threshold, metric > threshold)
+
+  private def toDf(spark: SparkSession, rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("action", StringType, nullable = false),
+        StructField("metric", LongType, nullable = false),
+        StructField("threshold", LongType, nullable = false),
+        StructField("triggered", BooleanType, nullable = false))))
+
+  /** The IVF family's three core trigger rows, as raw Rows (shared by
+    * [[plan]] and [[planFull]]). */
+  private def ivfRows(spark: SparkSession, indexDir: String, idCol: String,
+                      versionDebtFrac: Double, tombstoneFrac: Double,
+                      skewFactor: Double): Seq[Row] = {
     val counters = IndexAudit.versionChecks(spark, indexDir, idCol)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val stats = spark.read.option("mergeSchema", "true")
@@ -46,20 +57,103 @@ object Maintenance {
     val maxList = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val nLists = stats.getLong(2)
     val avgList = total / math.max(1L, nLists)
-    def row(action: String, metric: Long, threshold: Long) =
-      Row(action, metric, threshold, metric > threshold)
-    val rows = Seq(
-      row("compact_tombstones", counters("ver_tombstone_keys"),
+    Seq(
+      mkRow("compact_tombstones", counters("ver_tombstone_keys"),
         (total * tombstoneFrac).toLong),
-      row("compact_versions", counters("ver_superseded_rows"),
+      mkRow("compact_versions", counters("ver_superseded_rows"),
         (total * versionDebtFrac).toLong),
-      row("rebalance", maxList, (avgList * skewFactor).toLong))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(
-        StructField("action", StringType, nullable = false),
-        StructField("metric", LongType, nullable = false),
-        StructField("threshold", LongType, nullable = false),
-        StructField("triggered", BooleanType, nullable = false))))
+      mkRow("rebalance", maxList, (avgList * skewFactor).toLong))
+  }
+
+  /** One row per candidate action: (action, metric, threshold,
+    * triggered), action-ascending. Integer thresholds floor the
+    * fraction so the replaying oracle needs no float comparison. */
+  def plan(spark: SparkSession, indexDir: String, idCol: String,
+           versionDebtFrac: Double = 0.10, tombstoneFrac: Double = 0.05,
+           skewFactor: Double = 4.0): DataFrame =
+    toDf(spark, ivfRows(spark, indexDir, idCol, versionDebtFrac,
+      tombstoneFrac, skewFactor))
+
+  /** The observe→plan loop over EVERY index family (round 10 — the
+    * three-verb [[plan]] read a third of the audit surface; this reads
+    * the rest): the IVF core rows plus
+    *
+    *  - `consolidate_graph` — adjacency rows touching a dead node
+    *    (`graphDeadKeys`, the graph index's tombstone set) exceed
+    *    `graphDebtFrac` of the artifact: tombstoned nodes still do
+    *    routing work on every walk until
+    *    [[GraphAnn.consolidateDeletes]] folds them out.
+    *  - `compact_text_tombstones` — the lexical family's tombstone
+    *    keys ([[Tombstones]] under `textIndexDir`, masking BM25 and
+    *    phrase serving) exceed `textTombstoneFrac` of the doclen
+    *    table's documents: each serve pays the anti-join until
+    *    [[Tombstones.compact]] folds postings + doclen (+ positions).
+    *  - `reconcile` — [[IndexAudit.ivfChecks]]' drift direction:
+    *    artifact ids absent from `liveCorpus` (orphans) plus corpus
+    *    ids absent from the artifact (missing), threshold 0 — any
+    *    drift means [[IndexSync.reconcileIvf]] has work.
+    *  - `refresh_radii` — [[IndexAudit.radiiChecks]]'
+    *    `ivf_radius_violations`, threshold 0: a violated covering
+    *    radius makes range/exact-via-IVF serving WRONG, not slow, so
+    *    the repair ([[IvfIndex.refreshRadii]]) schedules on the first
+    *    violation. Under normal operation the fold keeps this 0; a
+    *    nonzero metric means corruption or an out-of-band write.
+    *
+    * Every metric/threshold stays `metric > threshold` in absolute
+    * rows derived from artifacts the caller can inspect — bounded
+    * aggregates, driver-assembled rows, same as [[plan]]. */
+  def planFull(spark: SparkSession, indexDir: String, idCol: String,
+               vecCol: String, liveCorpus: DataFrame, adj: DataFrame,
+               graphDeadKeys: DataFrame, textIndexDir: String,
+               versionDebtFrac: Double = 0.10,
+               tombstoneFrac: Double = 0.05, skewFactor: Double = 4.0,
+               graphDebtFrac: Double = 0.05,
+               textTombstoneFrac: Double = 0.05): DataFrame = {
+    val base = ivfRows(spark, indexDir, idCol, versionDebtFrac,
+      tombstoneFrac, skewFactor)
+    // graph: dead-touching edge rows vs the artifact's edge count —
+    // two broadcast EQUI semi-joins unioned (an OR-join would both
+    // double-count a both-endpoints-dead edge and plan as a nested
+    // loop); distinct is safe because (src, dst) is the edge identity
+    val dead = broadcast(graphDeadKeys
+      .select(col(graphDeadKeys.columns.head).cast("long").as("__dead"))
+      .distinct())
+    val edges = adj.count()
+    val deadEdges = adj
+      .join(dead, col("src") === col("__dead"), "left_semi")
+      .unionByName(adj.join(dead, col("dst") === col("__dead"),
+        "left_semi"))
+      .select(col("src"), col("dst")).distinct().count()
+    val graphRow = mkRow("consolidate_graph", deadEdges,
+      (edges * graphDebtFrac).toLong)
+    // text: tombstone keys vs the doclen table's document count
+    val nDocs = spark.read.parquet(Bm25Index.doclenDir(textIndexDir))
+      .agg(countDistinct(col("id"))).collect()(0).getLong(0)
+    val textRow = mkRow("compact_text_tombstones",
+      Tombstones.count(spark, textIndexDir),
+      (nDocs * textTombstoneFrac).toLong)
+    // reconcile: both drift directions against the live corpus. The
+    // artifact side is tombstone-MASKED, exactly like
+    // [[IndexSync.reconcileIvf]]'s own diffs — so running the verb
+    // clears the trigger (already-recorded orphan tombstones stop
+    // counting; appended missing rows appear), the idempotency the
+    // verb documents.
+    val artIds = Tombstones.mask(
+      spark.read.option("mergeSchema", "true")
+        .parquet(IvfIndex.dataDir(indexDir))
+        .select(col(idCol)).distinct(),
+      spark, indexDir, idCol)
+    val corpusIds = liveCorpus.select(col(idCol))
+    val orphans = artIds.join(corpusIds, Seq(idCol), "left_anti").count()
+    val missing = corpusIds.join(artIds, Seq(idCol), "left_anti").count()
+    val reconcileRow = mkRow("reconcile", orphans + missing, 0L)
+    // radii: the wrong-answer direction schedules on first violation
+    val viol = IndexAudit.radiiChecks(spark, indexDir, vecCol)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val radiiRow = mkRow("refresh_radii",
+      viol("ivf_radius_violations"), 0L)
+    toDf(spark,
+      (base ++ Seq(graphRow, textRow, reconcileRow, radiiRow))
+        .sortBy(_.getString(0)))
   }
 }

@@ -398,6 +398,69 @@ class OperatorSpec extends SparkSpec {
     assert(plan().values.forall(_ == false), plan().toString)
   }
 
+  test("planFull: every family's trigger fires on debt and clears " +
+      "after its verb") {
+    import graft.search.{Bm25Index, GraphAnn, IndexSync, Maintenance,
+      Tombstones}
+    val r = new scala.util.Random(83)
+    val corpus = (0L until 60L).map(i =>
+        (i, Array.fill(4)((r.nextGaussian() * 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = "/tmp/graft_ivf_planfull_test"
+    val textDir = "/tmp/graft_text_planfull_test"
+    Seq(dir, textDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val model = IvfIndex.build(corpus, "embedding", dir, nlist = 2)
+    var adj = GraphAnn.buildAdjacency(corpus, "vec_id", "embedding",
+      GraphAnn.Params(degree = 4, nlist = 2))
+    val docs = (0L until 20L).map(i => (i, s"tok$i common words here"))
+      .toDF("doc_id", "text")
+    Bm25Index.build(docs, "doc_id", "text", textDir)
+    var graphDead = corpus.limit(0).select("vec_id")
+    var live = corpus
+    def plan(): Map[String, Boolean] =
+      Maintenance.planFull(spark, dir, "vec_id", "embedding", live,
+          adj, graphDead, textDir)
+        .select("action", "triggered").as[(String, Boolean)]
+        .collect().toMap
+    val fresh = plan()
+    assert(fresh.size == 7 && fresh.values.forall(_ == false),
+      fresh.toString)
+    // fire all four new triggers at once
+    graphDead = corpus.where(col("vec_id") < 12).select("vec_id") // 20%
+    Tombstones.record(docs.where(col("doc_id") < 5).select("doc_id"),
+      textDir, "doc_id")                                          // 25%
+    live = corpus.where(col("vec_id") % 10 =!= 9)                 // drift
+    // a violated radius (out-of-band corruption): shrink every radius
+    val rp = new org.apache.hadoop.fs.Path(IvfIndex.radiiDir(dir))
+    val shrunk = spark.read.parquet(IvfIndex.radiiDir(dir))
+      .as[(Int, Double)].collect().map { case (c, rad) => (c, rad / 4) }
+    rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(rp, true)
+    shrunk.toSeq.toDF("cluster_id", "radius").coalesce(1)
+      .write.parquet(IvfIndex.radiiDir(dir))
+    val fired = plan()
+    assert(fired("consolidate_graph") && fired("compact_text_tombstones")
+        && fired("reconcile") && fired("refresh_radii"), fired.toString)
+    // the verbs, one per trigger — each clears exactly its row
+    adj = GraphAnn.consolidateDeletes(adj, corpus, "vec_id", "embedding",
+      graphDead, degree = 4)
+    Tombstones.compact(spark, textDir, Bm25Index.postingsDir(textDir),
+      Seq("id"))
+    Tombstones.compact(spark, textDir, Bm25Index.doclenDir(textDir),
+      Seq("id"))
+    Tombstones.clear(spark, textDir)
+    IvfIndex.refreshRadii(spark, model, "embedding")
+    IndexSync.reconcileIvf(spark, live, "vec_id", "embedding", model)
+    val cleared = plan()
+    assert(!cleared("consolidate_graph")
+        && !cleared("compact_text_tombstones")
+        && !cleared("reconcile") && !cleared("refresh_radii"),
+      cleared.toString)
+  }
+
   test("IVF rebalance preserves version history (searchLatest composes)") {
     // upsert first, rebalance second: the hot-row reassignment and the
     // compaction-era reads are all merged-schema, so the __ver column
