@@ -1464,6 +1464,128 @@ object PipelineQueries {
       FROM ex LEFT JOIN walk w ON w.id = ex.id
     """))
 
+  /** Scalar-index-filtered graph walk ([[graft.search.GraphAnn
+    * .filteredBeamSearchIds]] fed by [[graft.search.ScalarIndex.ids]])
+    * — round 10 closes the filter × index matrix: flat kNN and IVF
+    * already serve `label IN (…)` from the directory-pruned scalar
+    * artifact; this gives the third index family the same indexed-
+    * filter mechanism (Milvus applies `filter=` under every index
+    * type). The walk is label-blind, the id set applies to the bounded
+    * visited set by semi-join, recall is bought by a wider beam. The
+    * oracle replays every walk round over the staged adjacency and
+    * applies the same label filter — routing AND filter semantics
+    * hash-checked. */
+  private val scalarFilteredGraphWalk = Q(
+    "scalar_filtered_graph_walk",
+    (s, dir) => {
+      import graft.search.{GraphAnn, ScalarIndex}
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val scalarDir = s"/tmp/graft_scalaridx_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$base/entry") {
+        GraphAnn.medoid(e, "vec_id", "embedding")
+      }
+      if (!new java.io.File(
+          ScalarIndex.valuesDir(scalarDir) + "/_SUCCESS").exists())
+        ScalarIndex.build(e, "vec_id", "label", scalarDir)
+      stageOracle(s, "graphscal", dir)(
+        "adjacency" -> adj.select("src", "dst"),
+        "entry" -> entryDf)
+      val entryId = entryDf.collect()(0).getLong(0)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      GraphAnn.filteredBeamSearchIds(adj, e, "vec_id", "embedding",
+        query, entryId,
+        allowedIds = ScalarIndex.ids(s, scalarDir, Seq(2, 5, 7)),
+        k = 5, beamWidth = 8, rounds = 3, degree = 8)
+    },
+    Some(s"""
+      WITH qs AS (SELECT CAST(0 AS BIGINT) AS qid, embedding AS qv
+                  FROM embeddings WHERE vec_id = 0),
+      ${bulkWalkCtes("graphscal", beamWidth = 8, rounds = 3)}
+      SELECT v.id AS vec_id, v.d AS distance
+      FROM v3 v JOIN embeddings e ON e.vec_id = v.id
+      WHERE e.label IN (2, 5, 7)
+      ORDER BY distance ASC, vec_id ASC LIMIT 5
+    """))
+
+  /** Recall row for the scalar-filtered graph walk at fixed
+    * selectivity (labels {2,5,7} of 8 ≈ 3/8): recall@5 of the id-set
+    * path AND of the predicate-only path on the SAME budget (beam
+    * 12×4) against the exact filtered top-5. The two paths post-filter
+    * the identical label-blind visited set — one from the scalar
+    * artifact's id set, one from a corpus predicate — so the id-set
+    * recall must be ≥ (in fact =) the predicate path's, which the
+    * result rows show and GraphAnnSpec pins row-identically. Both
+    * walks, both filters, and the exact baseline replay in the
+    * oracle. */
+  private val scalarFilteredGraphRecall = Q(
+    "scalar_filtered_graph_recall",
+    (s, dir) => {
+      import graft.search.{GraphAnn, ScalarIndex}
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val scalarDir = s"/tmp/graft_scalaridx_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$base/entry") {
+        GraphAnn.medoid(e, "vec_id", "embedding")
+      }
+      if (!new java.io.File(
+          ScalarIndex.valuesDir(scalarDir) + "/_SUCCESS").exists())
+        ScalarIndex.build(e, "vec_id", "label", scalarDir)
+      stageOracle(s, "graphscalrec", dir)(
+        "adjacency" -> adj.select("src", "dst"),
+        "entry" -> entryDf)
+      val entryId = entryDf.collect()(0).getLong(0)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val byIds = GraphAnn.filteredBeamSearchIds(adj, e, "vec_id",
+        "embedding", query, entryId,
+        allowedIds = ScalarIndex.ids(s, scalarDir, Seq(2, 5, 7)),
+        k = 5, beamWidth = 12, rounds = 4, degree = 8)
+      val byPred = GraphAnn.filteredBeamSearch(adj, e, "vec_id",
+        "embedding", query, entryId,
+        predicate = col("label").isin(2, 5, 7), k = 5,
+        beamWidth = 12, rounds = 4, degree = 8)
+      val qLit = typedlit(query.toSeq)
+      val exact = e.where(col("label").isin(2, 5, 7))
+        .select(col("vec_id"),
+          round(graft.functions.VectorFunctions.l2Sq(col("embedding"),
+            qLit), 4).as("d"))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(5)
+      def recallOf(walk: org.apache.spark.sql.DataFrame, name: String) =
+        exact.join(walk.select(col("vec_id"), lit(1).as("hit")),
+            Seq("vec_id"), "left")
+          .agg(round(count(col("hit")) / 5.0, 4).as("recall"))
+          .select(lit(name).as("method"), lit(1L).as("n_queries"),
+            col("recall"))
+      recallOf(byIds, "graph_scalar_ids_beam12x4")
+        .unionByName(recallOf(byPred, "graph_predicate_beam12x4"))
+        .orderBy(col("method").asc)
+    },
+    Some(s"""
+      WITH qs AS (SELECT CAST(0 AS BIGINT) AS qid, embedding AS qv
+                  FROM embeddings WHERE vec_id = 0),
+      ${bulkWalkCtes("graphscalrec", beamWidth = 12, rounds = 4)},
+      walk AS (SELECT v.id FROM v4 v JOIN embeddings e ON e.vec_id = v.id
+               WHERE e.label IN (2, 5, 7)
+               ORDER BY v.d ASC, v.id ASC LIMIT 5),
+      ex AS (SELECT d.id FROM dall d JOIN embeddings e ON e.vec_id = d.id
+             WHERE e.label IN (2, 5, 7)
+             ORDER BY d.d ASC, d.id ASC LIMIT 5),
+      rec AS (SELECT round(count(w.id) / 5.0, 4) AS recall
+              FROM ex LEFT JOIN walk w ON w.id = ex.id)
+      SELECT method, CAST(1 AS BIGINT) AS n_queries, recall
+      FROM (SELECT 'graph_predicate_beam12x4' AS method UNION ALL
+            SELECT 'graph_scalar_ids_beam12x4') m, rec
+      ORDER BY method ASC
+    """))
+
   /** Multi-entry graph serving ([[graft.search.GraphAnn.entryPoints]] /
     * `beamSearchMulti`): per-shard entry points (small sample-capped
     * KMeans, nearest corpus point per cluster) replace the single
@@ -4158,6 +4280,7 @@ object PipelineQueries {
     lateInteractionMaxsim, graphAnnSearch, graphAnnBulk,
     graphAnnBulkRecall, graphAnnIncremental, graphAnnFiltered,
     graphAnnFilteredRecall, graphAnnFilteredAdaptive,
+    scalarFilteredGraphWalk, scalarFilteredGraphRecall,
     graphAnnMultiEntry, graphAnnMultiEntryRecall,
     graphAnnFilteredMultiRecall, graphBeamAutotune,
     graphBeamAutotuneMulti, graphAnnPqWalk, graphAnnAsymWalk,

@@ -589,6 +589,38 @@ object GraphAnn {
     resultDf(corpus.sparkSession, idCol, top)
   }
 
+  /** Scalar-index-filtered graph serving — the graph column of the
+    * filter × index matrix (flat has [[ScalarIndex.filteredKnn]], IVF
+    * has [[IvfIndex.searchWithIdFilter]]; Milvus applies `filter=`
+    * under every index type): `allowedIds` is an id-set FRAME,
+    * typically [[ScalarIndex.ids]]' directory-pruned artifact scan, so
+    * the filter resolves from the compact scalar artifact instead of
+    * evaluating a predicate against corpus rows. The walk itself stays
+    * label-blind (pruning expansion can disconnect the graph — the
+    * [[filteredBeamSearch]] discipline); the id set applies to the
+    * bounded VISITED set by one semi-join (visited side ≤ the walk
+    * budget, so it broadcasts), and recall under filtering is bought
+    * by widening the beam exactly like the predicate form —
+    * [[adaptiveBeamWidth]] composes. Returns (idCol, distance). */
+  def filteredBeamSearchIds(adj: DataFrame, corpus: DataFrame,
+                            idCol: String, vecCol: String,
+                            query: Array[Float], entryId: Long,
+                            allowedIds: DataFrame, k: Int,
+                            beamWidth: Int = 6, rounds: Int = 3,
+                            degree: Int = 8): DataFrame = {
+    val vis = walkVisited(adj, corpus, idCol, vecCol, query, entryId,
+      beamWidth, rounds, degree)
+    // visited side is the bounded walk result (≤ budget rows, one
+    // partition); a semi-join builds its RIGHT side, so the id set is
+    // what Catalyst/AQE may broadcast — at low selectivity it hashes,
+    // either way the corpus is never scanned
+    resultDf(corpus.sparkSession, idCol,
+        vis.sortBy { case (id, d) => (d, id) })
+      .join(allowedIds.toDF(idCol), Seq(idCol), "left_semi")
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Over-retrieval width for a filtered walk: the label-blind beam must
     * visit ~1/selectivity candidates per filtered survivor, so the base
     * width scales by 1/sel, floored at the base and capped at

@@ -261,6 +261,30 @@ class GraphAnnSpec extends SparkSpec {
     assert(got.forall(_ % 3 == 1))
   }
 
+  test("filteredBeamSearchIds: id-set path row-identical to the " +
+      "predicate path on the same budget") {
+    val full = GraphAnn.Params(degree = 23, nlist = 2, overlap = 2)
+    val adj = GraphAnn.buildAdjacency(corpus, "vec_id", "embedding", full)
+    val entry = GraphAnn.medoid(corpus, "vec_id", "embedding")
+      .collect()(0).getLong(0)
+    val labeled = corpus.withColumn("label",
+      (col("vec_id") % 3).cast("int"))
+    val query = Array(10.0f, 10.0f, 10.0f, 10.0f)
+    // the id set a scalar-index lookup would return for label = 1
+    val allowed = labeled.where(col("label") === 1).select("vec_id")
+    val byIds = GraphAnn.filteredBeamSearchIds(adj, labeled, "vec_id",
+        "embedding", query, entry, allowed, k = 5, beamWidth = 4,
+        rounds = 3, degree = 23)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val byPred = GraphAnn.filteredBeamSearch(adj, labeled, "vec_id",
+        "embedding", query, entry, predicate = col("label") === 1,
+        k = 5, beamWidth = 4, rounds = 3, degree = 23)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(byIds == byPred && byIds.nonEmpty,
+      s"id-set $byIds != predicate $byPred")
+    assert(byIds.forall(_._1 % 3 == 1))
+  }
+
   test("filtered beam with an always-true predicate equals beamSearch") {
     val full = GraphAnn.Params(degree = 23, nlist = 2, overlap = 2)
     val adj = GraphAnn.buildAdjacency(corpus, "vec_id", "embedding", full)
