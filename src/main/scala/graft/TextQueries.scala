@@ -980,6 +980,96 @@ object TextQueries {
       ORDER BY bm25 DESC, doc_id ASC LIMIT 10
     """))
 
+  /** Prefix term match ([[graft.search.TermIndex.prefixSearch]]) —
+    * `term LIKE 'sc%'` served from the SORTED-term postings layout as a
+    * pushed StringStartsWith range scan (row-group stats pruning — the
+    * `sorted_scan_prune` discipline on a lexical artifact; Lucene's
+    * term-dictionary range scan, Milvus 2.5's prefix text-match).
+    * Ranking is Σ tf over matching terms per doc (`nhits`, the
+    * term-match unit). The oracle recomputes from the raw corpus with a
+    * LIKE filter; PlanSpec pins that the scan actually pushes the
+    * prefix. */
+  private val termPrefixSearch = Q(
+    "term_prefix_search",
+    (s, dir) => {
+      import graft.search.{Bm25Index, TermIndex}
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_prefix_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        TermIndex.buildSorted(docs, "doc_id", "text", idx)
+        Bm25Index.build(docs, "doc_id", "text", idx)
+      }
+      TermIndex.prefixSearch(s, idx, "sc", k = 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH ttoks AS (SELECT doc_id,
+                            unnest(list_filter(
+                              string_split_regex(text, '\s+'),
+                              t -> len(t) > 0)) AS term
+                     FROM documents)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nhits
+      FROM ttoks WHERE term LIKE 'sc%'
+      GROUP BY doc_id
+      ORDER BY nhits DESC, doc_id ASC LIMIT 10
+    """))
+
+  /** Prefix-filtered BM25 — the Lucene clause model again
+    * (`phrase_filtered_bm25`'s discipline with a PREFIX filter clause):
+    * docs containing any `wi%` term ([[graft.search.TermIndex
+    * .prefixIds]], resolved from the sorted layout's pushed range scan)
+    * compete under corpus-wide BM25 statistics for the scoring terms.
+    * The filter changes WHO competes, never how scores are computed;
+    * the oracle replays both the prefix match and the full BM25
+    * arithmetic. */
+  private val prefixFilteredBm25 = Q(
+    "prefix_filtered_bm25",
+    (s, dir) => {
+      import graft.search.{Bm25Index, TermIndex}
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_prefix_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        TermIndex.buildSorted(docs, "doc_id", "text", idx)
+        Bm25Index.build(docs, "doc_id", "text", idx)
+      }
+      val ids = TermIndex.prefixIds(s, idx, "wi")
+      Bm25Index.search(s, idx, Seq("scan", "filter", "merge"), k = 10,
+          idFilter = Some(ids))
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH ttoks AS (SELECT doc_id,
+                            unnest(string_split_regex(text, '\s+')) AS term
+                     FROM documents),
+      pm AS (SELECT DISTINCT doc_id FROM ttoks WHERE term LIKE 'wi%'),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST((SELECT sum(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)))
+                             FROM documents) AS DOUBLE) / count(*) AS avgdl
+                FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks
+             WHERE term IN ('scan', 'filter', 'merge')
+             GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dl AS (SELECT doc_id,
+                    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS DOUBLE) AS dl
+             FROM documents),
+      bm AS (SELECT tf.doc_id,
+                    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2)
+                      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))), 4) AS bm25
+             FROM tf JOIN dfq USING (term)
+                     JOIN dl ON dl.doc_id = tf.doc_id
+                     CROSS JOIN stats
+             GROUP BY tf.doc_id)
+      SELECT doc_id, bm25 FROM bm
+      WHERE doc_id IN (SELECT doc_id FROM pm)
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """))
+
   /** Streaming positional-index maintenance — the `streaming_bm25_
     * ingest` discipline applied to the phrase tier: three micro-batches
     * drive foreachBatch (first BUILDS the positions artifact, later
@@ -1165,5 +1255,6 @@ object TextQueries {
     cdcBoilerplate, bpeLearnMerges, bpeLearnMergesBatched, bpeEncode,
     sketchHeavyTokens, sketchTokenQuantiles, textNormalizeNfc,
     phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25,
-    streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti)
+    streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti,
+    termPrefixSearch, prefixFilteredBm25)
 }

@@ -240,6 +240,18 @@ class PlanSpec extends SparkSpec {
       s"graph build must join on shard keys only:\n$p")
   }
 
+  test("prefix term match: StringStartsWith reaches the sorted scan") {
+    // the sorted-term layout only earns its keep if the prefix arrives
+    // at parquet as a pushed range predicate (row-group stats pruning)
+    val pushed = Queries.all("term_prefix_search")(spark, dir)
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metadata.getOrElse("PushedFilters", "")
+      }.mkString
+    assert(pushed.contains("StringStartsWith(term,sc)"),
+      s"prefix not pushed to the sorted postings scan: $pushed")
+  }
+
   test("graph-ann serving: adjacency fetch is a pushed frontier lookup") {
     Queries.all("graph_ann_search")(spark, dir).collect() // builds artifacts
     val adj = spark.read.parquet(
