@@ -3893,6 +3893,63 @@ object PipelineQueries {
       ORDER BY action ASC
     """))
 
+  /** Alias-flip index serving ([[graft.search.AliasedIndex]]) — the
+    * round-10 reader-isolation verb: the index root holds immutable
+    * version dirs + root-level publish markers; maintenance builds
+    * `v<N+1>` COMPLETE (here: copy + [[graft.search.IvfIndex
+    * .compactVersions]] folding an upsert history) while readers keep
+    * serving `v<N>`, then one atomic marker create flips the alias —
+    * closing the double-serve window rebalance documents and making
+    * every `__tmp`+rename fold reader-safe (retention keeps one prior
+    * version for in-flight scans, the Delta/Iceberg snapshot
+    * discipline). The fixture upserts `%10 = 3` keys with REVERSED
+    * vectors before the fold, so serving the flipped version must
+    * equal exact kNN over the post-upsert corpus — a stale-alias serve
+    * (pre-fold v1 without the overlay) or a half-flip
+    * hash-mismatches. OperatorSpec pins mid-maintenance visibility
+    * (a reader inside the mutate sees exactly the old complete
+    * version) and retention GC. */
+  private val indexAliasServe = Q(
+    "index_alias_serve",
+    (s, dir) => {
+      import graft.search.AliasedIndex
+      val root = s"/tmp/graft_aliasivf_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val moved = e.where(col("vec_id") % 10 === 3)
+        .withColumn("embedding", reverse(col("embedding")))
+      mutateOnce(s, root) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        AliasedIndex.init(s, root) { d =>
+          IvfIndex.build(e, "embedding", d, nlist = 16); ()
+        }
+        val m1 = IvfIndex.load(s, AliasedIndex.currentDir(s, root))
+        IvfIndex.upsertBatch(moved, "embedding", m1, "vec_id", ver = 1)
+        AliasedIndex.advance(s, root) { (cur, next) =>
+          graft.core.Artifacts.copyLocalDir(cur, next)
+          IvfIndex.compactVersions(s, IvfIndex.load(s, next), "vec_id")
+        }
+        ()
+      }
+      val m = IvfIndex.load(s, AliasedIndex.currentDir(s, root))
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      IvfIndex.search(s, m, "embedding", "vec_id", query, k = 5,
+          nprobe = m.nlist)
+        .select("vec_id", "distance")
+    },
+    Some("""
+      WITH e2 AS (SELECT vec_id,
+                         CASE WHEN vec_id % 10 = 3
+                              THEN list_reverse(embedding)
+                              ELSE embedding END AS embedding
+                  FROM embeddings),
+      q AS (SELECT embedding AS qe FROM e2 WHERE vec_id = 0)
+      SELECT e.vec_id, %L2% AS distance
+      FROM e2 e, q
+      ORDER BY distance ASC, e.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   /** Graph delete CONSOLIDATION (see
     * [[graft.search.GraphAnn.consolidateDeletes]]) — the fold that
     * retires `graph_ann_masked_walk`'s tombstones: edges touching a
@@ -4295,5 +4352,5 @@ object PipelineQueries {
     graphAnnMipsRecall, ivfRebalanceReport, ivfRebalanceSearch,
     streamingDeleteIngest, graphConsolidateDeletes, ivfUpsertSearch,
     ivfBulkUpsertSearch, graphAnnUpsertWalk, streamingIvfUpsertIngest,
-    indexVersionReport, indexMaintenancePlan)
+    indexVersionReport, indexMaintenancePlan, indexAliasServe)
 }

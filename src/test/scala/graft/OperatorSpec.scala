@@ -461,6 +461,60 @@ class OperatorSpec extends SparkSpec {
       cleared.toString)
   }
 
+  test("aliased index: readers see exactly one complete version " +
+      "mid-maintenance, flip is atomic, retention GC holds one back") {
+    import graft.search.{AliasedIndex, IvfIndex}
+    val r = new scala.util.Random(89)
+    val corpus = (0L until 40L).map(i =>
+        (i, Array.fill(4)((r.nextGaussian() * 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val root = "/tmp/graft_alias_test"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    AliasedIndex.init(spark, root) { d =>
+      IvfIndex.build(corpus, "embedding", d, nlist = 2); ()
+    }
+    assert(AliasedIndex.currentVersion(spark, root) == 1)
+    val q = corpus.where(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    def serve(): Seq[(Long, Double)] = {
+      val m = IvfIndex.load(spark, AliasedIndex.currentDir(spark, root))
+      IvfIndex.search(spark, m, "embedding", "vec_id", q, k = 3,
+          nprobe = m.nlist)
+        .select("vec_id", "distance").as[(Long, Double)].collect().toSeq
+    }
+    val before = serve()
+    // advance with a mutation that DELETES half the rows in the next
+    // version; mid-mutation (the half-built-new-version window every
+    // rename-based fold exposes) a reader must still resolve v1 and get
+    // the OLD complete answer
+    var midAnswer: Seq[(Long, Double)] = Nil
+    var midVersion = -1
+    AliasedIndex.advance(spark, root) { (cur, next) =>
+      graft.core.Artifacts.copyLocalDir(cur, next)
+      // next exists but is unpublished: readers are blind to it
+      midVersion = AliasedIndex.currentVersion(spark, root)
+      midAnswer = serve()
+      val m2 = IvfIndex.load(spark, next)
+      IvfIndex.delete(corpus.where(col("vec_id") < 20).select("vec_id"),
+        m2, "vec_id")
+      IvfIndex.compactTombstones(spark, m2, "vec_id")
+    }
+    assert(midVersion == 1 && midAnswer == before,
+      s"mid-maintenance reader must see v1: $midVersion $midAnswer")
+    assert(AliasedIndex.currentVersion(spark, root) == 2)
+    val after = serve()
+    assert(after.nonEmpty && after.forall(_._1 >= 20L),
+      s"v2 must serve the folded layout: $after")
+    // retention: v1 still on disk for in-flight readers of the old alias
+    assert(AliasedIndex.publishedVersions(spark, root) == Seq(1, 2))
+    // one more advance (a no-op copy): v1 is garbage-collected, v2 kept
+    AliasedIndex.advance(spark, root) { (cur, next) =>
+      graft.core.Artifacts.copyLocalDir(cur, next)
+    }
+    assert(AliasedIndex.publishedVersions(spark, root) == Seq(2, 3))
+  }
+
   test("IVF rebalance preserves version history (searchLatest composes)") {
     // upsert first, rebalance second: the hot-row reassignment and the
     // compaction-era reads are all merged-schema, so the __ver column
