@@ -4322,6 +4322,150 @@ object PipelineQueries {
       FROM h
     """))
 
+  /** α-RNG robust-pruned graph BUILD ([[graft.search.GraphAnn
+    * .buildAdjacencyPruned]] — Vamana's diversity prune in one-shot
+    * declarative form, α = 1.2, 16 candidates pruned+filled to degree
+    * 8): a candidate edge is dominated when a closer candidate covers
+    * its direction (α²·d²(r,q) < d²(src,q)); survivors rank first and
+    * the nearest dominated candidates fill the remaining slots, then
+    * the usual symmetrize + re-cap. Output = the ENTIRE pruned
+    * adjacency; the oracle replays rank, domination (distances
+    * recomputed from the fixture), fill, symmetrize, and cap edge by
+    * edge from the staged candidate set — the prune itself is
+    * hash-checked, not just a walk over its result. */
+  private val graphAnnPrunedBuild = Q(
+    "graph_ann_pruned_build",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val cands = graft.core.Artifacts.buildOnce(s, s"$base/cands16") {
+        GraphAnn.rankedCandidates(e, "vec_id", "embedding", candCap = 16)
+      }
+      stageOracle(s, "prunebuild", dir)("cands" -> cands)
+      graft.core.Artifacts.buildOnce(s, s"$base/adjacency_pruned") {
+        GraphAnn.prunedAdjacencyFrom(cands, e, "vec_id", "embedding",
+          degree = 8, alpha = 1.2, candCap = 16)
+      }.orderBy(col("src").asc, col("dst").asc)
+    },
+    Some(s"""
+      WITH cands AS (SELECT src, dst, dist FROM read_parquet(
+        '/tmp/graft_prunebuild_oracle_%ORACLE_KEY%/cands/*.parquet')),
+      rk AS (SELECT src, dst, dist, row_number() OVER (PARTITION BY src
+               ORDER BY dist ASC, dst ASC) AS rn FROM cands),
+      dom AS (SELECT b.src, b.dst,
+                     max(CASE WHEN round(1.44 *
+                         ${duckL2("ea.embedding", "eb.embedding")}, 4)
+                         < b.dist THEN 1 ELSE 0 END) AS d
+              FROM rk b JOIN rk a ON a.src = b.src AND a.rn < b.rn
+                   JOIN embeddings ea ON ea.vec_id = a.dst
+                   JOIN embeddings eb ON eb.vec_id = b.dst
+              GROUP BY b.src, b.dst),
+      keep AS (SELECT src, dst, dist FROM (
+          SELECT r.src, r.dst, r.dist,
+                 row_number() OVER (PARTITION BY r.src
+                   ORDER BY coalesce(d.d, 0) ASC, r.dist ASC, r.dst ASC)
+                   AS krn
+          FROM rk r LEFT JOIN dom d ON d.src = r.src AND d.dst = r.dst) t
+        WHERE krn <= 8),
+      sym AS (SELECT src, dst, min(dist) AS dist FROM (
+          SELECT src, dst, dist FROM keep
+          UNION ALL SELECT dst AS src, src AS dst, dist FROM keep) u
+        GROUP BY src, dst)
+      SELECT src, dst, dist FROM (
+        SELECT src, dst, dist, row_number() OVER (PARTITION BY src
+            ORDER BY dist ASC, dst ASC) AS rn2 FROM sym) fin
+      WHERE rn2 <= 8
+      ORDER BY src ASC, dst ASC
+    """))
+
+  /** Recall of the α-RNG-pruned build vs the capped-kNN build at the
+    * SAME degree (8) and walk budget (beam 4 × 3 rounds, 3 bulk
+    * queries) — the honest number behind "diversity buys
+    * recall-per-degree": the prune spends edge slots on coverage
+    * instead of redundant near-ties, so the walk escapes local
+    * neighborhoods it previously re-visited. Both walks replay in the
+    * oracle over their staged adjacencies (two prefixed CTE chains);
+    * GraphAnnSpec pins pruned ≥ plain on the fixture. */
+  private val graphAnnPrunedRecall = Q(
+    "graph_ann_pruned_recall",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adjPlain = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val cands = graft.core.Artifacts.buildOnce(s, s"$base/cands16") {
+        GraphAnn.rankedCandidates(e, "vec_id", "embedding", candCap = 16)
+      }
+      val adjPruned = graft.core.Artifacts.buildOnce(s,
+          s"$base/adjacency_pruned") {
+        GraphAnn.prunedAdjacencyFrom(cands, e, "vec_id", "embedding",
+          degree = 8, alpha = 1.2, candCap = 16)
+      }
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$base/entry") {
+        GraphAnn.medoid(e, "vec_id", "embedding")
+      }
+      stageOracle(s, "prunrecA", dir)(
+        "adjacency" -> adjPlain.select("src", "dst"), "entry" -> entryDf)
+      stageOracle(s, "prunrecB", dir)(
+        "adjacency" -> adjPruned.select("src", "dst"), "entry" -> entryDf)
+      val entryId = entryDf.collect()(0).getLong(0)
+      val queries = e.where(col("vec_id").isin(BulkQids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val qdf = e.where(col("vec_id").isin(BulkQids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = e.crossJoin(broadcast(qdf))
+        .select(col("qid"), col("vec_id"),
+          round(VectorFunctions.l2Sq(col("embedding"), col("qv")), 4)
+            .as("d"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("d").asc, col("vec_id").asc)))
+        .where(col("rn") <= 5).select("qid", "vec_id")
+      def recallOf(adj: org.apache.spark.sql.DataFrame,
+                   name: String) = {
+        val walked = GraphAnn.bulkBeamSearch(adj, e, "vec_id",
+            "embedding", queries, "qid", "qv", entryId, k = 5,
+            beamWidth = 4, rounds = 3)
+          .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+        exact.join(walked, Seq("qid", "vec_id"), "left")
+          .agg(round(count(col("hit")) / (5.0 * BulkQids.size), 4)
+            .as("recall"))
+          .select(lit(name).as("build"), lit(8L).as("degree"),
+            lit(BulkQids.size.toLong).as("n_queries"), col("recall"))
+      }
+      recallOf(adjPlain, "capped_knn")
+        .unionByName(recallOf(adjPruned, "alpha_rng_pruned"))
+        .orderBy(col("build").asc)
+    },
+    Some(s"""
+      WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                  WHERE vec_id IN (${BulkQids.mkString(", ")})),
+      ${bulkWalkCtesExpr("prunrecA", "4", rounds = 3, prefix = "ka")},
+      ${bulkWalkCtesExpr("prunrecB", "4", rounds = 3, prefix = "kb")},
+      ex AS (SELECT qid, id FROM (
+          SELECT qid, id, d, row_number() OVER (PARTITION BY qid
+              ORDER BY d ASC, id ASC) AS rn FROM kadall) t WHERE rn <= 5),
+      wa AS (SELECT qid, id FROM (
+          SELECT qid, id, d, row_number() OVER (PARTITION BY qid
+              ORDER BY d ASC, id ASC) AS rn FROM kav3) t WHERE rn <= 5),
+      wb AS (SELECT qid, id FROM (
+          SELECT qid, id, d, row_number() OVER (PARTITION BY qid
+              ORDER BY d ASC, id ASC) AS rn FROM kbv3) t WHERE rn <= 5)
+      SELECT build, CAST(8 AS BIGINT) AS degree,
+             CAST(3 AS BIGINT) AS n_queries, recall
+      FROM (
+        SELECT 'alpha_rng_pruned' AS build,
+               round(count(w.id) / 15.0, 4) AS recall
+        FROM ex LEFT JOIN wb w ON w.qid = ex.qid AND w.id = ex.id
+        UNION ALL
+        SELECT 'capped_knn', round(count(w.id) / 15.0, 4)
+        FROM ex LEFT JOIN wa w ON w.qid = ex.qid AND w.id = ex.id)
+      ORDER BY build ASC
+    """))
+
   val all: Seq[Q] = Seq(ivfSearch, ivfIpSearch, ivfCosineSearch,
     ivfRangeSearch, ivfRangeSearchAppended, ivfExactKnn,
     scalarFilteredIvfSearch,
@@ -4352,5 +4496,6 @@ object PipelineQueries {
     graphAnnMipsRecall, ivfRebalanceReport, ivfRebalanceSearch,
     streamingDeleteIngest, graphConsolidateDeletes, ivfUpsertSearch,
     ivfBulkUpsertSearch, graphAnnUpsertWalk, streamingIvfUpsertIngest,
-    indexVersionReport, indexMaintenancePlan, indexAliasServe)
+    indexVersionReport, indexMaintenancePlan, indexAliasServe,
+    graphAnnPrunedBuild, graphAnnPrunedRecall)
 }

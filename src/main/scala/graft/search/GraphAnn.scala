@@ -144,13 +144,102 @@ object GraphAnn {
 
   /** Vamana-style symmetrize-then-cap: reverse edges make the graph
     * navigable from sparse regions; the second cap re-enforces degree. */
-  private def capSymmetrizeCap(pairs: DataFrame, degree: Int): DataFrame = {
-    val forward = cap(pairs, degree)
+  private def capSymmetrizeCap(pairs: DataFrame, degree: Int): DataFrame =
+    symmetrizeCap(cap(pairs, degree), degree)
+
+  /** The shared symmetrize half: add reverse edges, collapse dup pairs
+    * to min dist, re-enforce the degree cap. */
+  private def symmetrizeCap(forward: DataFrame, degree: Int): DataFrame =
     cap(forward.unionByName(
         forward.select(col("dst").as("src"), col("src").as("dst"),
           col("dist")))
       .groupBy("src", "dst").agg(min("dist").as("dist")), degree)
+
+  /** α-RNG diversity prune with fill — the forward-edge selection that
+    * gives DiskANN its recall-per-degree (Subramanya et al., NeurIPS
+    * 2019 §2 RobustPrune; α ≈ 1.2), in the ONE-SHOT declarative form:
+    * from each src's `candCap` nearest candidates (rank by rounded
+    * dist, dst), a candidate q is DOMINATED when some candidate r
+    * ranked closer to src has α·d(r, q) < d(src, q) — r covers q's
+    * routing direction, so the edge slot is better spent elsewhere.
+    * Vamana tests q only against already-KEPT r (a sequential fold);
+    * testing against every closer CANDIDATE instead makes the prune one
+    * self-join + aggregate — batch-friendly and oracle-replayable — at
+    * the price of pruning slightly more (a dominated r still dominates
+    * q), which the FILL step absorbs: survivors rank first, then the
+    * nearest dominated candidates fill the remaining degree slots
+    * (HNSW's keepPrunedConnections), so out-degree stays
+    * min(degree, candidates) and the graph never gets SPARSER than the
+    * capped-kNN build — only more diverse. All arithmetic in rounded
+    * squared space (α²·d² comparison), id tie-breaks everywhere, so
+    * the DuckDB oracle replays rank, domination, and fill edge by
+    * edge. */
+  def robustPruneFill(pairs: DataFrame, corpus: DataFrame, idCol: String,
+                      vecCol: String, degree: Int, alpha: Double,
+                      candCap: Int): DataFrame = {
+    require(alpha >= 1.0 && candCap >= degree)
+    val alpha2 = alpha * alpha
+    val rk = cap(pairs, candCap).withColumn("rn",
+      row_number().over(Window.partitionBy(col("src"))
+        .orderBy(col("dist").asc, col("dst").asc)))
+    val closer = rk.select(col("src"), col("dst").as("adst"),
+      col("rn").as("arn"))
+    val av = corpus.select(col(idCol).cast("long").as("adst"),
+      col(vecCol).as("__av"))
+    val bv = corpus.select(col(idCol).cast("long").as("dst"),
+      col(vecCol).as("__bv"))
+    // (src, q, r) triples with rank(r) < rank(q): α²·d²(r,q) < d²(src,q)
+    // marks q dominated. Work is Σ per-src candCap² — linear in n at
+    // fixed candCap, the build-time budget candidatePairs already set.
+    val dom = rk.join(closer, Seq("src"))
+      .where(col("arn") < col("rn"))
+      .join(av, Seq("adst")).join(bv, Seq("dst"))
+      // the α²·d² product is rounded to 4 like every cross-engine
+      // shared value, so a last-ulp difference in the α² literal can
+      // never flip a domination decision between engines
+      .withColumn("__viol",
+        round(lit(alpha2)
+            * round(VectorFunctions.l2Sq(col("__av"), col("__bv")), 4), 4)
+          < col("dist"))
+      .groupBy(col("src"), col("dst"))
+      .agg(max(col("__viol")).as("__dom"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("pruned").asc, col("dist").asc, col("dst").asc)
+    rk.join(dom, Seq("src", "dst"), "left")
+      .withColumn("pruned", coalesce(col("__dom"), lit(false)))
+      .withColumn("__krn", row_number().over(w))
+      .where(col("__krn") <= degree)
+      .select(col("src"), col("dst"), col("dist"))
   }
+
+  /** Each src's `candCap` nearest candidate edges by (rounded dist,
+    * dst) — the prune's input, exposed so an oracle can stage exactly
+    * what [[robustPruneFill]] consumed and replay the prune from it. */
+  def rankedCandidates(df: DataFrame, idCol: String, vecCol: String,
+                       p: Params = Params(),
+                       candCap: Int = 16): DataFrame =
+    cap(candidatePairs(df, idCol, vecCol, p), candCap)
+
+  /** Prune + fill + symmetrize + re-cap from a PRE-STAGED candidate
+    * set — [[buildAdjacencyPruned]] minus the candidate generation. */
+  def prunedAdjacencyFrom(cands: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String, degree: Int,
+                          alpha: Double, candCap: Int): DataFrame =
+    symmetrizeCap(
+      robustPruneFill(cands, corpus, idCol, vecCol, degree, alpha,
+        candCap),
+      degree)
+
+  /** [[buildAdjacency]] with the α-RNG prune in place of the plain
+    * nearest-cap on forward edges: prune+fill ∘ candidates, then the
+    * usual symmetrize + re-cap. Same (src, dst, dist) contract, same
+    * serving paths — a walk never knows which build produced the
+    * artifact. */
+  def buildAdjacencyPruned(df: DataFrame, idCol: String, vecCol: String,
+                           p: Params = Params(), alpha: Double = 1.2,
+                           candCap: Int = 16): DataFrame =
+    prunedAdjacencyFrom(candidatePairs(df, idCol, vecCol, p), df, idCol,
+      vecCol, p.degree, alpha, candCap)
 
   /** SRP-LSH-sharded candidate pairs — the huge-corpus build tier. The
     * KMeans coarse quantizer's assignment is an n · nlist distance pass:

@@ -301,6 +301,51 @@ class GraphAnnSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("alpha-RNG prune: diversity edges bridge what capped-kNN cliques " +
+      "cannot, recall strictly improves at equal degree") {
+    // ladder of 10 micro-clusters x 9 near-duplicate points along a
+    // line: every point's 8 nearest are its siblings, so the capped-kNN
+    // build at degree 8 spends ALL slots inside the clique and the
+    // graph never bridges clusters; the alpha-prune dominates siblings
+    // (a near-dupe covers a near-dupe) and keeps the adjacent-cluster
+    // survivors instead, so the same degree budget buys connectivity.
+    val pts = for (c <- 0 until 10; j <- 0 until 9) yield {
+      val base = 3.0f * c
+      ((c * 9 + j).toLong,
+        Array(base + j * 0.001f, j * 0.001f, 0.0f, 0.0f))
+    }
+    val rows = pts.toDF("vec_id", "embedding")
+    val p = GraphAnn.Params(degree = 8, nlist = 2, overlap = 2)
+    val plain = GraphAnn.buildAdjacency(rows, "vec_id", "embedding", p)
+    val pruned = GraphAnn.buildAdjacencyPruned(rows, "vec_id",
+      "embedding", p, alpha = 1.2, candCap = 16)
+    // both honor the degree cap
+    for (adj <- Seq(plain, pruned)) {
+      val deg = adj.groupBy("src").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      assert(deg <= 8)
+    }
+    val entry = GraphAnn.medoid(rows, "vec_id", "embedding")
+      .collect()(0).getLong(0)
+    // query at the far end of the ladder
+    val q = Array(27.0f, 0.0f, 0.0f, 0.0f)
+    val exact = rows.select(col("vec_id"),
+        round(graft.functions.VectorFunctions.l2Sq(col("embedding"),
+          typedlit(q.toSeq)), 4).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(5)
+      .collect().map(_.getLong(0)).toSet
+    def recallOf(adj: org.apache.spark.sql.DataFrame): Double = {
+      val got = GraphAnn.beamSearch(adj, rows, "vec_id", "embedding", q,
+          entry, k = 5, beamWidth = 4, rounds = 10, degree = 8)
+        .collect().map(_.getLong(0)).toSet
+      got.intersect(exact).size / 5.0
+    }
+    val (rPlain, rPruned) = (recallOf(plain), recallOf(pruned))
+    assert(rPruned > rPlain,
+      s"prune must bridge the ladder: pruned=$rPruned plain=$rPlain")
+    assert(rPruned == 1.0, s"pruned walk should reach the far end: $rPruned")
+  }
+
   test("beamSearchPq: exact-rerank contract, determinism, walk coverage") {
     import graft.search.Pq
     val adj = GraphAnn.buildAdjacency(corpus, "vec_id", "embedding", params)
