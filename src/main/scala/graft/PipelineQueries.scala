@@ -4466,6 +4466,115 @@ object PipelineQueries {
       ORDER BY build ASC
     """))
 
+  /** Serving-tier ROUTER ([[graft.search.Router.plan]]) — the choice
+    * among serving tiers made a replayable operator (round 10's #3:
+    * the README's tier guide promoted to the `index_maintenance_plan`
+    * discipline; Milvus's planner runs this internally). The PANEL —
+    * measured recall + rows-touched cost for flat / IVF@nprobe4 /
+    * graph@beam8×6 on the shared bulk queries — is a build-once tuning
+    * artifact (the nprobe/beam autotune precedent; its measurement
+    * arithmetic is oracle-replayed by those entries), and the DECISION
+    * (eligibility from presence/filter-capability/selectivity floor,
+    * meets-target, min-cost choice with the highest-recall fallback)
+    * replays here from the staged panel. OperatorSpec pins that each
+    * input — target, presence, selectivity, filter capability, cost —
+    * flips the decision. */
+  private val servingPlanReport = Q(
+    "serving_plan_report",
+    (s, dir) => {
+      import graft.search.{GraphAnn, Router}
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val n = e.count()
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      val gbase = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$gbase/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$gbase/entry") {
+        GraphAnn.medoid(e, "vec_id", "embedding")
+      }
+      val panel = graft.core.Artifacts.buildOnce(s,
+          s"/tmp/graft_router_${math.abs(dir.hashCode)}/panel") {
+        val entryId = entryDf.collect()(0).getLong(0)
+        val qs = e.where(col("vec_id").isin(BulkQids: _*))
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1).toSeq
+        // IVF recall at nprobe=4 via the tuning curve; cost = average
+        // probed-partition rows (what the pruned scan actually reads)
+        val ivfRecall = IvfIndex.nprobeCurve(s, model, "embedding",
+            "vec_id", qs, k = 5, nprobes = Seq(4), targetRecall = 0.9)
+          .collect()(0).getDouble(2)
+        val sizes = s.read.parquet(IvfIndex.dataDir(indexDir))
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+        val ivfCost = qs.map { case (_, qv) =>
+          IvfIndex.probeClusters(model, qv, 4)
+            .map(sizes.getOrElse(_, 0L)).sum
+        }.sum / qs.size
+        // graph recall at the graph_ann_bulk budget; cost = the walk's
+        // visited-budget bound (corpus-independent by construction)
+        val qdf = e.where(col("vec_id").isin(BulkQids: _*))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val exact = e.crossJoin(broadcast(qdf))
+          .select(col("qid"), col("vec_id"),
+            round(VectorFunctions.l2Sq(col("embedding"), col("qv")), 4)
+              .as("d"))
+          .withColumn("rn", row_number().over(Window.partitionBy("qid")
+            .orderBy(col("d").asc, col("vec_id").asc)))
+          .where(col("rn") <= 5).select("qid", "vec_id")
+        val walked = GraphAnn.bulkBeamSearch(adj, e, "vec_id",
+            "embedding", qdf, "qid", "qv", entryId, k = 5,
+            beamWidth = 8, rounds = 6)
+          .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+        val graphRecall = exact.join(walked, Seq("qid", "vec_id"), "left")
+          .agg(round(count(col("hit")) / (5.0 * BulkQids.size), 4))
+          .collect()(0).getDouble(0)
+        Seq(
+          ("flat", 1.0, n),
+          ("graph_beam8x6", graphRecall, (1 + 6 * 8 * 8).toLong),
+          ("ivf_nprobe4", ivfRecall, ivfCost))
+          .toDF("tier", "recall", "cost")
+      }
+      stageOracle(s, "router", dir)("panel" -> panel)
+      Router.plan(s, panel,
+        tiers = Seq(
+          Router.Tier("flat", present = true, filterCapable = true),
+          Router.Tier("graph_beam8x6",
+            present = new java.io.File(s"$gbase/adjacency/_SUCCESS")
+              .exists(),
+            filterCapable = true),
+          Router.Tier("ivf_nprobe4",
+            present = new java.io.File(
+              IvfIndex.centroidsDir(indexDir)).exists(),
+            filterCapable = true)),
+        selectivity = 1.0, recallTarget = 0.9)
+    },
+    Some("""
+      WITH panel AS (SELECT tier, recall, CAST(cost AS BIGINT) AS cost
+                     FROM read_parquet(
+        '/tmp/graft_router_oracle_%ORACLE_KEY%/panel/*.parquet')),
+      el AS (SELECT tier, TRUE AS present, TRUE AS filter_capable,
+                    TRUE AS eligible, recall, cost,
+                    recall >= 0.9 AS meets_target
+             FROM panel),
+      ch AS (SELECT tier AS c FROM el WHERE meets_target
+             ORDER BY cost ASC, tier ASC LIMIT 1),
+      ch2 AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM ch)
+                          THEN (SELECT c FROM ch)
+                          ELSE (SELECT tier FROM el
+                                ORDER BY recall DESC, cost ASC, tier ASC
+                                LIMIT 1) END AS c)
+      SELECT tier, present, filter_capable, eligible, recall, cost,
+             meets_target, tier = (SELECT c FROM ch2) AS chosen
+      FROM el ORDER BY tier ASC
+    """))
+
   val all: Seq[Q] = Seq(ivfSearch, ivfIpSearch, ivfCosineSearch,
     ivfRangeSearch, ivfRangeSearchAppended, ivfExactKnn,
     scalarFilteredIvfSearch,
@@ -4497,5 +4606,5 @@ object PipelineQueries {
     streamingDeleteIngest, graphConsolidateDeletes, ivfUpsertSearch,
     ivfBulkUpsertSearch, graphAnnUpsertWalk, streamingIvfUpsertIngest,
     indexVersionReport, indexMaintenancePlan, indexAliasServe,
-    graphAnnPrunedBuild, graphAnnPrunedRecall)
+    graphAnnPrunedBuild, graphAnnPrunedRecall, servingPlanReport)
 }

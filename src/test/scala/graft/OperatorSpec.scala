@@ -461,6 +461,49 @@ class OperatorSpec extends SparkSpec {
       cleared.toString)
   }
 
+  test("router: every input flips the serving-tier decision") {
+    import graft.search.Router
+    import graft.search.Router.Tier
+    val panel = Seq(
+      ("flat", 1.0, 1000L),
+      ("graph", 0.92, 385L),
+      ("ivf", 0.95, 125L)).toDF("tier", "recall", "cost")
+    val all = Seq(Tier("flat", present = true, filterCapable = true),
+      Tier("graph", present = true, filterCapable = true),
+      Tier("ivf", present = true, filterCapable = true))
+    def chosenOf(tiers: Seq[Tier] = all, sel: Double = 1.0,
+                 target: Double = 0.9,
+                 p: org.apache.spark.sql.DataFrame = panel): String =
+      Router.plan(spark, p, tiers, sel, target)
+        .where(col("chosen")).select("tier").as[String].collect()(0)
+    // base: cheapest tier meeting the target
+    assert(chosenOf() == "ivf")
+    // recall target up -> only flat meets
+    assert(chosenOf(target = 0.96) == "flat")
+    // chosen tier's artifact absent -> next cheapest meeting tier
+    assert(chosenOf(tiers = all.map(t =>
+      if (t.name == "ivf") t.copy(present = false) else t)) == "graph")
+    // filtered query + tier without an indexed-filter path -> skipped
+    assert(chosenOf(tiers = all.map(t =>
+      if (t.name == "ivf") t.copy(filterCapable = false) else t),
+      sel = 0.5) == "graph")
+    // selectivity below the exact floor -> flat only (the
+    // filteredSearchAuto dispatch, promoted to the router)
+    assert(chosenOf(sel = 0.01) == "flat")
+    // cost flip at equal target satisfaction
+    val costFlip = Seq(("flat", 1.0, 1000L), ("graph", 0.92, 385L),
+      ("ivf", 0.95, 500L)).toDF("tier", "recall", "cost")
+    assert(chosenOf(p = costFlip) == "graph")
+    // nothing meets the target -> highest-recall eligible fallback,
+    // reported with meets_target = false
+    val noFlat = all.map(t =>
+      if (t.name == "flat") t.copy(present = false) else t)
+    val fb = Router.plan(spark, panel, noFlat, 1.0, 0.99)
+      .where(col("chosen"))
+      .select("tier", "meets_target").as[(String, Boolean)].collect()(0)
+    assert(fb == ("ivf", false), fb.toString)
+  }
+
   test("aliased index: readers see exactly one complete version " +
       "mid-maintenance, flip is atomic, retention GC holds one back") {
     import graft.search.{AliasedIndex, IvfIndex}
