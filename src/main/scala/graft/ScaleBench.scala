@@ -478,6 +478,18 @@ object ScaleBench {
           Phrase.slopTopK(spark, s"/tmp/graft_scale/phrase_$n",
             "w7", "w11", slop = 3, k = 10).count()
         }),
+        // m-term slop (round 10, VERDICT-r9 item 8): the m−1 id-joins'
+        // fan-out under hot terms is the one phrase shape that had no
+        // measured decade. Per-doc work is bounded by per-doc term
+        // frequency (tf(w7)·tf(w11)·tf(w13) candidate triples per id),
+        // so the join volume should track the postings linearly — this
+        // row is the evidence (or the honest break point).
+        "phrase_slop3_serve (3-term id-join)" -> (() => {
+          import graft.search.Phrase
+          ensurePhraseArtifact(spark, docs, n)
+          Phrase.slopPhraseTopK(spark, s"/tmp/graft_scale/phrase_$n",
+            Seq("w7", "w11", "w13"), slop = 3, k = 10).count()
+        }),
         "binary_hamming (signature artifact)" -> (() => {
           import graft.search.BinaryVec
           val packed = graft.core.Artifacts.buildOnce(spark,
