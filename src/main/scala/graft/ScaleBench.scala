@@ -478,6 +478,31 @@ object ScaleBench {
           Phrase.slopTopK(spark, s"/tmp/graft_scale/phrase_$n",
             "w7", "w11", slop = 3, k = 10).count()
         }),
+        // prefix term match (round 10): the sorted-term layout's build
+        // is one groupBy + range-partitioned sorted write (linear); the
+        // serve is a pushed StringStartsWith over the contiguous term
+        // sliver + one per-doc agg — expect serve cost tracking the
+        // MATCHING postings, two orders under the corpus.
+        "term_prefix_build (sorted layout)" -> (() => {
+          import graft.search.TermIndex
+          val dir = s"/tmp/graft_scale/prefix_$n"
+          val p = new org.apache.hadoop.fs.Path(
+            TermIndex.sortedPostingsDir(dir))
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          TermIndex.buildSorted(docs, "doc_id", "text", dir)
+          1L
+        }),
+        "term_prefix_serve (pushed range)" -> (() => {
+          import graft.search.TermIndex
+          val dir = s"/tmp/graft_scale/prefix_$n"
+          val sp = new org.apache.hadoop.fs.Path(
+            TermIndex.sortedPostingsDir(dir), "_SUCCESS")
+          if (!sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(sp))
+            TermIndex.buildSorted(docs, "doc_id", "text", dir)
+          TermIndex.prefixSearch(spark, dir, "w13", k = 10).count()
+        }),
         // m-term slop (round 10, VERDICT-r9 item 8): the m−1 id-joins'
         // fan-out under hot terms is the one phrase shape that had no
         // measured decade. Per-doc work is bounded by per-doc term
@@ -629,6 +654,29 @@ object ScaleBench {
           graft.search.GraphAnn.consolidateDeletes(adj, emb, "vec_id",
             "embedding", emb.where(col("vec_id") % 100 === 3)
               .select("vec_id"), degree = 8).count()
+        }),
+        // scalar-index-filtered walk (round 10): the walk cost is the
+        // usual corpus-independent budget; the filter adds ONE
+        // semi-join of the bounded visited set against the scalar
+        // artifact's directory-pruned id slice — expect flat like
+        // every other walk row.
+        "graphann_scalar_filtered_serve (beam8x6)" -> (() => {
+          import graft.search.{GraphAnn, ScalarIndex}
+          import spark.implicits._
+          val (adj, entry) = graphArtifacts(spark, emb, n)
+          val sdir = s"/tmp/graft_scale/scalaridx_$n"
+          val sp = new org.apache.hadoop.fs.Path(
+            ScalarIndex.valuesDir(sdir), "_SUCCESS")
+          if (!sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(sp))
+            ScalarIndex.build(
+              emb.withColumn("label", pmod(col("vec_id"), lit(8))),
+              "vec_id", "label", sdir)
+          val q = emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head().toArray
+          GraphAnn.filteredBeamSearchIds(adj, emb, "vec_id", "embedding",
+            q, entry, ScalarIndex.ids(spark, sdir, Seq(2, 5, 7)),
+            k = 5, beamWidth = 8, rounds = 6).count()
         }),
         "graphann_bulk_serve (8 queries)" -> (() => {
           val (adj, entry) = graphArtifacts(spark, emb, n)

@@ -551,11 +551,26 @@ class OperatorSpec extends SparkSpec {
       s"v2 must serve the folded layout: $after")
     // retention: v1 still on disk for in-flight readers of the old alias
     assert(AliasedIndex.publishedVersions(spark, root) == Seq(1, 2))
-    // one more advance (a no-op copy): v1 is garbage-collected, v2 kept
+    // one more advance — REBALANCE under the alias, the exact verb
+    // whose append/swap/drop window motivated alias serving: the hot
+    // list splits in the next version while v2 keeps serving, and v1
+    // is garbage-collected by retention
     AliasedIndex.advance(spark, root) { (cur, next) =>
       graft.core.Artifacts.copyLocalDir(cur, next)
+      val m3 = IvfIndex.load(spark, next)
+      val maxList = spark.read.option("mergeSchema", "true")
+        .parquet(IvfIndex.dataDir(next))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .agg(max(col("sz"))).collect()(0).getLong(0)
+      IvfIndex.rebalance(spark, m3, "embedding",
+        sizeCap = math.max(1L, maxList / 2))
+      ()
     }
     assert(AliasedIndex.publishedVersions(spark, root) == Seq(2, 3))
+    val rebalanced = serve()
+    assert(rebalanced == after,
+      s"rebalance under the alias must not change full-probe answers: " +
+        s"$rebalanced vs $after")
   }
 
   test("IVF rebalance preserves version history (searchLatest composes)") {
