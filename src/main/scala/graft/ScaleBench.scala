@@ -496,10 +496,7 @@ object ScaleBench {
         "term_prefix_serve (pushed range)" -> (() => {
           import graft.search.TermIndex
           val dir = s"/tmp/graft_scale/prefix_$n"
-          val sp = new org.apache.hadoop.fs.Path(
-            TermIndex.sortedPostingsDir(dir), "_SUCCESS")
-          if (!sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .exists(sp))
+          if (TermIndex.segments(spark, dir).isEmpty)
             TermIndex.buildSorted(docs, "doc_id", "text", dir)
           TermIndex.prefixSearch(spark, dir, "w13", k = 10).count()
         }),

@@ -1070,6 +1070,48 @@ object TextQueries {
       ORDER BY bm25 DESC, doc_id ASC LIMIT 10
     """))
 
+  /** Incremental sorted-term maintenance ([[graft.search.TermIndex
+    * .appendSegment]]) — the Lucene segment model for the prefix
+    * layout: a raw file append would interleave term ranges and void
+    * the row-group pruning, so a new batch arrives as its OWN sorted
+    * segment (existing segments untouched; each segment's files stay
+    * range-prunable on their own stats) and [[graft.search.TermIndex
+    * .compactSegments]] merges. Here the index builds on the first 300
+    * docs, absorbs the rest as a second segment, and is then
+    * COMPACTED back to one segment — serving from the folded layout
+    * must equal the full-corpus oracle (append-then-compact ≡
+    * rebuild); TextSearchSpec pins the pre-compaction segmented serve
+    * equals it too. */
+  private val termPrefixIncremental = Q(
+    "term_prefix_incremental",
+    (s, dir) => {
+      import graft.search.TermIndex
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_prefixinc_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        TermIndex.buildSorted(docs.where(col("doc_id") < 300), "doc_id",
+          "text", idx)
+        TermIndex.appendSegment(docs.where(col("doc_id") >= 300),
+          "doc_id", "text", idx)
+        TermIndex.compactSegments(s, idx)
+      }
+      TermIndex.prefixSearch(s, idx, "sc", k = 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH ttoks AS (SELECT doc_id,
+                            unnest(list_filter(
+                              string_split_regex(text, '\s+'),
+                              t -> len(t) > 0)) AS term
+                     FROM documents)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nhits
+      FROM ttoks WHERE term LIKE 'sc%'
+      GROUP BY doc_id
+      ORDER BY nhits DESC, doc_id ASC LIMIT 10
+    """))
+
   /** Streaming positional-index maintenance — the `streaming_bm25_
     * ingest` discipline applied to the phrase tier: three micro-batches
     * drive foreachBatch (first BUILDS the positions artifact, later
@@ -1256,5 +1298,5 @@ object TextQueries {
     sketchHeavyTokens, sketchTokenQuantiles, textNormalizeNfc,
     phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25,
     streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti,
-    termPrefixSearch, prefixFilteredBm25)
+    termPrefixSearch, prefixFilteredBm25, termPrefixIncremental)
 }

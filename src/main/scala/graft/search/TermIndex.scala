@@ -25,29 +25,107 @@ object TermIndex {
   def sortedPostingsDir(indexDir: String): String =
     s"$indexDir/postings_sorted"
 
-  /** Build the sorted-term layout: the [[Bm25Index]] tokenization,
-    * range-partitioned by term into `nFiles` files and sorted within
-    * each — every file covers one contiguous term range, so parquet
-    * footer stats prune non-intersecting files at scan time. */
-  def buildSorted(docs: DataFrame, idCol: String, textCol: String,
-                  indexDir: String, nFiles: Int = 8): Unit = {
+  private def segDir(indexDir: String, n: Int): String =
+    s"${sortedPostingsDir(indexDir)}/seg=$n"
+
+  private def sortedTokens(docs: DataFrame, idCol: String,
+                           textCol: String, nFiles: Int): DataFrame = {
     val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
     docs.select(col(idCol).cast("long").as("id"), explode(toks).as("term"))
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .repartitionByRange(nFiles, col("term"))
       .sortWithinPartitions(col("term"), col("id"))
-      .write.mode("overwrite").parquet(sortedPostingsDir(indexDir))
+  }
+
+  /** Build the sorted-term layout as SEGMENT 0: the [[Bm25Index]]
+    * tokenization, range-partitioned by term into `nFiles` files and
+    * sorted within each — every file covers one contiguous term range,
+    * so parquet footer stats prune non-intersecting files at scan
+    * time. Incremental batches arrive as NEW sorted segments
+    * ([[appendSegment]] — the Lucene segment model: a raw file append
+    * into a sorted layout would interleave term ranges and void the
+    * pruning; a per-segment sort keeps every segment's files
+    * range-prunable on their own stats), folded by
+    * [[compactSegments]]. */
+  def buildSorted(docs: DataFrame, idCol: String, textCol: String,
+                  indexDir: String, nFiles: Int = 8): Unit =
+    sortedTokens(docs, idCol, textCol, nFiles)
+      .write.mode("overwrite").parquet(segDir(indexDir, 0))
+
+  /** Absorb a new batch as the next sorted segment — tokenize ONLY the
+    * batch, sort it alone, write one new `seg=N` dir; existing
+    * segments are never touched. Ids must be new (the
+    * [[Bm25Index.append]] contract), so an (id, term) row never
+    * straddles segments and serving needs no cross-segment merge of
+    * tf. Segment count grows with append batches until
+    * [[compactSegments]] folds them — the standard segment-merge
+    * economics (each query pays one footer read per segment whose
+    * range intersects the prefix). */
+  def appendSegment(batch: DataFrame, idCol: String, textCol: String,
+                    indexDir: String, nFiles: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val next = segments(spark, indexDir).maxOption.getOrElse(-1) + 1
+    sortedTokens(batch, idCol, textCol, nFiles)
+      .write.mode("overwrite").parquet(segDir(indexDir, next))
+  }
+
+  /** Existing segment numbers, ascending (empty for a flat pre-segment
+    * layout). */
+  def segments(spark: SparkSession, indexDir: String): Seq[Int] = {
+    val d = new org.apache.hadoop.fs.Path(sortedPostingsDir(indexDir))
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .collect {
+        case s if s.startsWith("seg=")
+          && s.stripPrefix("seg=").forall(_.isDigit) =>
+          s.stripPrefix("seg=").toInt
+      }.sorted
+  }
+
+  /** Fold every segment into a single re-sorted segment 0 — the
+    * segment merge: one read of all segments, one range-partitioned
+    * sorted rewrite, recoverable rename-aside swap of the whole
+    * layout dir. After this a prefix query pays one segment's footer
+    * reads again. */
+  def compactSegments(spark: SparkSession, indexDir: String,
+                      nFiles: Int = 8): Unit = {
+    val d = new org.apache.hadoop.fs.Path(sortedPostingsDir(indexDir))
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Tombstones.recoverAside(fs, d,
+      new org.apache.hadoop.fs.Path(sortedPostingsDir(indexDir) + "__old"))
+    val merged = spark.read.parquet(sortedPostingsDir(indexDir))
+      .select(col("id"), col("term"), col("tf"))
+      .repartitionByRange(nFiles, col("term"))
+      .sortWithinPartitions(col("term"), col("id"))
+    val tmp = new org.apache.hadoop.fs.Path(
+      sortedPostingsDir(indexDir) + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(
+      sortedPostingsDir(indexDir) + "__old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    merged.write.mode("overwrite").parquet(s"$tmp/seg=0")
+    if (!fs.rename(d, old))
+      throw new java.io.IOException(
+        s"compactSegments: rename $d aside failed")
+    if (!fs.rename(tmp, d))
+      throw new java.io.IOException(
+        s"compactSegments: rename $tmp -> $d failed; previous layout " +
+          s"is at $old")
+    fs.delete(old, true)
   }
 
   /** The postings slice for `term LIKE '<prefix>%'` — the pushed
-    * StringStartsWith range scan (shared by the id-set and ranked
-    * forms). */
+    * StringStartsWith range scan over every segment (each segment's
+    * files carry their own min/max term stats, so pruning composes
+    * with segmentation). Reads a flat pre-segment layout unchanged
+    * (`seg` is dropped if discovered). */
   def prefixPostings(spark: SparkSession, indexDir: String,
                      prefix: String): DataFrame = {
     require(prefix.nonEmpty, "prefixPostings: empty prefix matches all")
     spark.read.parquet(sortedPostingsDir(indexDir))
       .where(col("term").startsWith(prefix))
+      .drop("seg")
   }
 
   /** Distinct ids of documents containing ANY term with `prefix` — the

@@ -62,4 +62,41 @@ class TextSearchSpec extends SparkSpec {
     assert(r.map(_._3).toSeq == r.map(_._3).sortBy(-_).toSeq, "score-desc order")
     assert(r.map(_._1).distinct.length == 3, "content dedup keeps distinct docs")
   }
+
+  test("sorted-term segments: append-then-serve equals rebuild, compact " +
+      "folds to one segment, pushed prefix survives segmentation") {
+    import graft.search.TermIndex
+    val many = (0L until 40L).map(i =>
+      (i, s"alpha$i beta gamma${i % 5} alpha$i")).toDF("doc_id", "text")
+    val dirInc = "/tmp/graft_termseg_inc_test"
+    val dirFull = "/tmp/graft_termseg_full_test"
+    Seq(dirInc, dirFull).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    TermIndex.buildSorted(many.where(col("doc_id") < 25), "doc_id",
+      "text", dirInc)
+    TermIndex.appendSegment(many.where(col("doc_id") >= 25), "doc_id",
+      "text", dirInc)
+    assert(TermIndex.segments(spark, dirInc) == Seq(0, 1))
+    TermIndex.buildSorted(many, "doc_id", "text", dirFull)
+    def serve(d: String) =
+      TermIndex.prefixSearch(spark, d, "alpha", k = 50)
+        .as[(Long, Long)].collect().toSeq
+    val segmented = serve(dirInc)
+    assert(segmented == serve(dirFull) && segmented.length == 40,
+      "segmented serve must equal the full rebuild")
+    // the prefix predicate still reaches every segment's scan
+    val pushed = TermIndex.prefixPostings(spark, dirInc, "alpha")
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metadata.getOrElse("PushedFilters", "")
+      }.mkString
+    assert(pushed.contains("StringStartsWith(term,alpha)"), pushed)
+    // compaction folds to seg=0 and serving is unchanged
+    TermIndex.compactSegments(spark, dirInc)
+    assert(TermIndex.segments(spark, dirInc) == Seq(0))
+    assert(serve(dirInc) == segmented)
+  }
 }
