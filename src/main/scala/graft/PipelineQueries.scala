@@ -3727,15 +3727,19 @@ object PipelineQueries {
       val e = Tables.embeddings(s, dir)
       if (!new java.io.File(IvfIndex.centroidsDir(baseDir)).exists())
         IvfIndex.build(e, "embedding", baseDir, nlist = 16)
-      copyLocalDir(baseDir, runDir)
-      val model = IvfIndex.load(s, runDir)
-      IvfIndex.upsertBatch(e.where(col("vec_id") % 10 === 1),
-        "embedding", model, "vec_id", ver = 1)
-      IvfIndex.upsertBatch(e.where(col("vec_id") % 20 === 1),
-        "embedding", model, "vec_id", ver = 2)
-      graft.search.Tombstones.record(
-        e.where(col("vec_id") % 15 === 2).select("vec_id"),
-        runDir, "vec_id")
+      // deterministic mutation once per fixture state (mutateOnce);
+      // the version counters below stay live against the artifact
+      mutateOnce(s, runDir) {
+        copyLocalDir(baseDir, runDir)
+        val model = IvfIndex.load(s, runDir)
+        IvfIndex.upsertBatch(e.where(col("vec_id") % 10 === 1),
+          "embedding", model, "vec_id", ver = 1)
+        IvfIndex.upsertBatch(e.where(col("vec_id") % 20 === 1),
+          "embedding", model, "vec_id", ver = 2)
+        graft.search.Tombstones.record(
+          e.where(col("vec_id") % 15 === 2).select("vec_id"),
+          runDir, "vec_id")
+      }
       graft.search.IndexAudit.versionChecks(s, runDir, "vec_id")
         .orderBy(col("check_name").asc)
     },
@@ -3781,19 +3785,25 @@ object PipelineQueries {
       val e = Tables.embeddings(s, dir)
       if (!new java.io.File(IvfIndex.centroidsDir(baseDir)).exists())
         IvfIndex.build(e, "embedding", baseDir, nlist = 16)
-      copyLocalDir(baseDir, runDir)
-      val model = IvfIndex.load(s, runDir)
-      // a base from a pre-radii build (warm /tmp) gets its table before
-      // the upserts so their folds have something to keep true
-      if (IvfIndex.loadRadii(s, runDir).isEmpty)
-        IvfIndex.refreshRadii(s, model, "embedding")
-      IvfIndex.upsertBatch(e.where(col("vec_id") % 10 === 1),
-        "embedding", model, "vec_id", ver = 1)
-      IvfIndex.upsertBatch(e.where(col("vec_id") % 20 === 1),
-        "embedding", model, "vec_id", ver = 2)
-      graft.search.Tombstones.record(
-        e.where(col("vec_id") % 15 === 2).select("vec_id"),
-        runDir, "vec_id")
+      // deterministic fixture mutation, run once per state (the
+      // mutateOnce discipline — r10 bench showed this entry paying the
+      // copy + 2 upserts + record 3× per pass); the PLAN aggregates
+      // below stay live
+      mutateOnce(s, runDir) {
+        copyLocalDir(baseDir, runDir)
+        val model = IvfIndex.load(s, runDir)
+        // a base from a pre-radii build (warm /tmp) gets its table
+        // before the upserts so their folds have something to keep true
+        if (IvfIndex.loadRadii(s, runDir).isEmpty)
+          IvfIndex.refreshRadii(s, model, "embedding")
+        IvfIndex.upsertBatch(e.where(col("vec_id") % 10 === 1),
+          "embedding", model, "vec_id", ver = 1)
+        IvfIndex.upsertBatch(e.where(col("vec_id") % 20 === 1),
+          "embedding", model, "vec_id", ver = 2)
+        graft.search.Tombstones.record(
+          e.where(col("vec_id") % 15 === 2).select("vec_id"),
+          runDir, "vec_id")
+      }
       // graph family: the shared adjacency artifact, dead keys %11=5
       val gbase = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
       val adj = graft.core.Artifacts.buildOnce(s, s"$gbase/adjacency") {
@@ -4575,6 +4585,59 @@ object PipelineQueries {
       FROM el ORDER BY tier ASC
     """))
 
+  /** The router under a HIGHLY SELECTIVE filtered query — the other
+    * decision branch as a registry entry (the spec flips inputs; this
+    * replays the selectivity-floor rule in the ORACLE): at selectivity
+    * 0.01 < floor 0.0625 every indexed tier is ineligible and the
+    * router must fall back to flat exact-over-survivors
+    * ([[graft.search.GraphAnn.filteredSearchAuto]]'s dispatch,
+    * system-wide). Shares `serving_plan_report`'s build-once panel;
+    * stages it under its own oracle key. */
+  private val servingPlanFiltered = Q(
+    "serving_plan_filtered",
+    (s, dir) => {
+      import graft.search.Router
+      val panelDir = s"/tmp/graft_router_${math.abs(dir.hashCode)}/panel"
+      // the sibling entry owns the panel build (its own buildOnce); if
+      // it has not run yet in this JVM/fixture, run it — registry
+      // entries must be self-sufficient in any execution order
+      if (!new java.io.File(s"$panelDir/_SUCCESS").exists())
+        servingPlanReport.fn(s, dir).collect()
+      val panel = s.read.parquet(panelDir)
+      stageOracle(s, "routerfilt", dir)("panel" -> panel)
+      Router.plan(s, panel,
+        tiers = Seq(
+          Router.Tier("flat", present = true, filterCapable = true),
+          Router.Tier("graph_beam8x6", present = true,
+            filterCapable = true),
+          Router.Tier("ivf_nprobe4", present = true,
+            filterCapable = true)),
+        selectivity = 0.01, recallTarget = 0.9)
+    },
+    Some("""
+      WITH panel AS (SELECT tier, recall, CAST(cost AS BIGINT) AS cost
+                     FROM read_parquet(
+        '/tmp/graft_routerfilt_oracle_%ORACLE_KEY%/panel/*.parquet')),
+      -- the floor rule as live arithmetic, not a baked outcome:
+      -- eligible iff selectivity >= exactFloor OR the tier is flat
+      el AS (SELECT tier, TRUE AS present, TRUE AS filter_capable,
+                    (0.01 >= 0.0625 OR tier = 'flat') AS eligible,
+                    recall, cost,
+                    ((0.01 >= 0.0625 OR tier = 'flat')
+                     AND recall >= 0.9) AS meets_target
+             FROM panel),
+      ch AS (SELECT tier AS c FROM el WHERE meets_target
+             ORDER BY cost ASC, tier ASC LIMIT 1),
+      ch2 AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM ch)
+                          THEN (SELECT c FROM ch)
+                          ELSE (SELECT tier FROM el WHERE eligible
+                                ORDER BY recall DESC, cost ASC, tier ASC
+                                LIMIT 1) END AS c)
+      SELECT tier, present, filter_capable, eligible, recall, cost,
+             meets_target, tier = (SELECT c FROM ch2) AS chosen
+      FROM el ORDER BY tier ASC
+    """))
+
   val all: Seq[Q] = Seq(ivfSearch, ivfIpSearch, ivfCosineSearch,
     ivfRangeSearch, ivfRangeSearchAppended, ivfExactKnn,
     scalarFilteredIvfSearch,
@@ -4606,5 +4669,6 @@ object PipelineQueries {
     streamingDeleteIngest, graphConsolidateDeletes, ivfUpsertSearch,
     ivfBulkUpsertSearch, graphAnnUpsertWalk, streamingIvfUpsertIngest,
     indexVersionReport, indexMaintenancePlan, indexAliasServe,
-    graphAnnPrunedBuild, graphAnnPrunedRecall, servingPlanReport)
+    graphAnnPrunedBuild, graphAnnPrunedRecall, servingPlanReport,
+    servingPlanFiltered)
 }
