@@ -1112,6 +1112,76 @@ object TextQueries {
       ORDER BY nhits DESC, doc_id ASC LIMIT 10
     """))
 
+  /** Streaming sorted-term-index maintenance — the micro-batch CDC twin
+    * of `term_prefix_incremental` (the `streaming_phrase_ingest`
+    * discipline applied to the segmented prefix layout): three
+    * micro-batches drive foreachBatch — the first BUILDS segment 0, the
+    * later ones land as NEW sorted segments ([[graft.search.TermIndex
+    * .appendSegment]] — tokenize the batch only, per-segment sort, no
+    * rewrite of existing segments) — then the prefix search serves
+    * across all streamed segments. The oracle recomputes from the FULL
+    * corpus, so a dropped or double-absorbed micro-batch
+    * hash-mismatches. */
+  private val streamingPrefixIngest = Q(
+    "streaming_prefix_ingest",
+    (s, dir) => {
+      import graft.search.TermIndex
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.types._
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val work = s"/tmp/graft_streamprefix_${math.abs(dir.hashCode)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(work).getFileSystem(conf)
+      fs.delete(new Path(work), true)
+      fs.mkdirs(new Path(s"$work/in"))
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+        val tmp = s"$work/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        fs.rename(part, new Path(s"$work/in/$name"))
+        fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
+        fs.delete(new Path(tmp), true)
+      }
+      writeOne(docs.where(col("doc_id") < 300), "00_base.parquet",
+        1000000L)
+      writeOne(docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
+        "01_batch.parquet", 2000000L)
+      writeOne(docs.where(col("doc_id") >= 400), "02_batch.parquet",
+        3000000L)
+      val idx = s"$work/prefix"
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+      val q = src.writeStream
+        .option("checkpointLocation", s"$work/_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (TermIndex.segments(batch.sparkSession, idx).isEmpty)
+            TermIndex.buildSorted(batch, "doc_id", "text", idx)
+          else
+            TermIndex.appendSegment(batch, "doc_id", "text", idx)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      TermIndex.prefixSearch(s, idx, "sc", k = 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH ttoks AS (SELECT doc_id,
+                            unnest(list_filter(
+                              string_split_regex(text, '\s+'),
+                              t -> len(t) > 0)) AS term
+                     FROM documents)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nhits
+      FROM ttoks WHERE term LIKE 'sc%'
+      GROUP BY doc_id
+      ORDER BY nhits DESC, doc_id ASC LIMIT 10
+    """))
+
   /** Streaming positional-index maintenance — the `streaming_bm25_
     * ingest` discipline applied to the phrase tier: three micro-batches
     * drive foreachBatch (first BUILDS the positions artifact, later
@@ -1298,5 +1368,6 @@ object TextQueries {
     sketchHeavyTokens, sketchTokenQuantiles, textNormalizeNfc,
     phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25,
     streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti,
-    termPrefixSearch, prefixFilteredBm25, termPrefixIncremental)
+    termPrefixSearch, prefixFilteredBm25, termPrefixIncremental,
+    streamingPrefixIngest)
 }
