@@ -273,6 +273,14 @@ object ScaleBench {
             sizeCap = math.max(1L, maxList / 2), maxIter = 10)
             .nlist.toLong
         }),
+        // covering-radius refresh alone (round 10): the pass build now
+        // includes and rebalance re-runs — one data-dir scan + nlist-row
+        // broadcast join + tiny write; expect linear-at-most (scan-bound)
+        "ivf_radii_refresh" -> (() => {
+          val model = IvfIndex.load(spark, s"/tmp/graft_scale/ivf_$n")
+          IvfIndex.refreshRadii(spark, model, "embedding")
+          IvfIndex.loadRadii(spark, s"/tmp/graft_scale/ivf_$n").size.toLong
+        }),
         "ivf_dircopy (rebalance setup baseline)" -> (() => {
           copyDir(s"/tmp/graft_scale/ivf_$n",
             s"/tmp/graft_scale/ivf_rebalcopy_$n")
