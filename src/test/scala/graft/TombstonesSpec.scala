@@ -158,6 +158,34 @@ class TombstonesSpec extends SparkSpec {
     assert(again == edges.toSet)
   }
 
+  test("rename-aside crash recovery: a fold that died between its two " +
+      "renames restores the pre-fold artifact and completes") {
+    // simulate the exact crash window ADVICE-r9 flagged: live renamed
+    // aside, tmp never renamed in — nothing at the live path, the
+    // complete pre-fold layout at __tomb_old
+    val dir = freshDir("recover")
+    val rows = (0L until 30L).map(i =>
+      (i, Array.fill(4)((i * 0.1).toFloat))).toDF("vec_id", "embedding")
+    val model = IvfIndex.build(rows, "embedding", dir, nlist = 2)
+    Tombstones.record(rows.where(col("vec_id") < 10).select("vec_id"),
+      dir, "vec_id")
+    val dd = new org.apache.hadoop.fs.Path(IvfIndex.dataDir(dir))
+    val fs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(dd,
+      new org.apache.hadoop.fs.Path(IvfIndex.dataDir(dir) + "__tomb_old")))
+    assert(!fs.exists(dd), "simulated crash: live path must be empty")
+    // the next compact probes the aside dir, restores it, and folds
+    Tombstones.compact(spark, dir, IvfIndex.dataDir(dir), Seq("vec_id"),
+      partitionBy = Seq("cluster_id"))
+    Tombstones.clear(spark, dir)
+    val served = IvfIndex.search(spark, model, "embedding", "vec_id",
+        Array(0f, 0f, 0f, 0f), k = 30, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(served == (10L until 30L).toSet,
+      s"recovered-then-folded artifact must serve exactly the live " +
+        s"rows: $served")
+  }
+
   test("bm25: masked search keeps stale stats, hides deleted docs") {
     val dir = freshDir("bm25")
     val docs = Seq(
