@@ -83,8 +83,12 @@ object Bench {
     // Stop Spark BEFORE printing: its shutdown can log ("Cannot find
     // active jobs…"), and the driver's last-line JSON parse needs the
     // bench line to be the final stdout line (build.sbt suppresses
-    // sbt's own [success]/[info] framing for the same reason).
-    spark.stop()
+    // sbt's own [success]/[info] framing for the same reason). A
+    // THROWING stop must still not eat the result line — the whole
+    // run's measurements already exist at this point.
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"Bench: spark.stop() failed: $e") }
     println(line)
   }
 }

@@ -2942,7 +2942,14 @@ object PipelineQueries {
     *     coverage (no corpus row missing — a dropped build/append
     *     batch) and uniqueness (no id twice — a double-processed
     *     append).
-    * All eleven checks are plan-side aggregates (equi-joins + a bounded
+    *   - (round 11) graph entry-point LIVENESS
+    *     ([[graft.search.IndexAudit.entryChecks]]): every staged entry
+    *     point still sources adjacency edges — a consolidation-stripped
+    *     or tombstoned seed strands walks; and the sorted-term layout's
+    *     segment contract ([[graft.search.IndexAudit.segmentChecks]]):
+    *     segment count plus cross-segment id straddlers (the violated
+    *     ids-must-be-new append that double-counts tf).
+    * All 22 checks are plan-side aggregates (equi-joins + a bounded
     * nlist-wide broadcast; nothing driver-side), and the oracle replays
     * every one from the same staged artifacts — the CHECKER itself is
     * checked. At 100 TB this is one audit scan per artifact. */
@@ -2997,6 +3004,23 @@ object PipelineQueries {
         .select(col("id").as("doc_id")).distinct()
       val tokDocs = docsT.where(size(filter(split(col("text"), "\\s+"),
         t => length(t) > 0)) > 0).select("doc_id")
+      // entry liveness over the shared multi-entry seed artifact (no
+      // tombstones on this healthy fixture — the check is the
+      // adjacency-source direction) and the sorted-term layout's
+      // segment contract (the term_prefix_search fixture — one
+      // compacted segment, no straddlers; whichever entry runs first
+      // builds it)
+      val entriesA = graft.core.Artifacts.buildOnce(s, s"$base/entries") {
+        GraphAnn.entryPoints(e, "vec_id", "embedding", nEntries = 8)
+      }
+      val prefixIdx = s"/tmp/graft_prefix_${math.abs(dir.hashCode)}"
+      mutateOnce(s, prefixIdx) {
+        val p = new org.apache.hadoop.fs.Path(prefixIdx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        graft.search.TermIndex.buildSorted(docsT, "doc_id", "text",
+          prefixIdx)
+        graft.search.Bm25Index.build(docsT, "doc_id", "text", prefixIdx)
+      }
       stageOracle(s, "integrity", dir)(
         "adjacency" -> adj,
         "assign" -> assign,
@@ -3004,7 +3028,8 @@ object PipelineQueries {
         "radii" -> radiiT,
         "rq_ids" -> rqIds,
         "asym_ids" -> asymIds,
-        "pos_ids" -> posIds)
+        "pos_ids" -> posIds,
+        "entries" -> entriesA.select("entry_id"))
       IndexAudit.graphChecks(adj, e, "vec_id", "embedding", degreeCap = 8)
         .unionByName(IndexAudit.ivfChecks(e, assign, cents,
           "vec_id", "embedding"))
@@ -3015,6 +3040,9 @@ object PipelineQueries {
           "asym_sig"))
         .unionByName(IndexAudit.coverageChecks(tokDocs, posIds, "doc_id",
           "positions"))
+        .unionByName(IndexAudit.entryChecks(entriesA, adj,
+          e.limit(0).select("vec_id")))
+        .unionByName(IndexAudit.segmentChecks(s, prefixIdx))
         .orderBy(col("check_name").asc)
     },
     Some(s"""
@@ -3032,6 +3060,8 @@ object PipelineQueries {
         '/tmp/graft_integrity_oracle_%ORACLE_KEY%/asym_ids/*.parquet')),
       posi AS (SELECT doc_id FROM read_parquet(
         '/tmp/graft_integrity_oracle_%ORACLE_KEY%/pos_ids/*.parquet')),
+      enta AS (SELECT entry_id FROM read_parquet(
+        '/tmp/graft_integrity_oracle_%ORACLE_KEY%/entries/*.parquet')),
       tdocs AS (SELECT doc_id FROM documents
                 WHERE len(list_filter(string_split_regex(text, '\\s+'),
                   t -> len(t) > 0)) > 0),
@@ -3124,7 +3154,17 @@ object PipelineQueries {
         UNION ALL
         SELECT 'positions_orphans', CAST(count(*) AS BIGINT)
         FROM posi LEFT JOIN tdocs d ON d.doc_id = posi.doc_id
-        WHERE d.doc_id IS NULL)
+        WHERE d.doc_id IS NULL
+        UNION ALL
+        SELECT 'entry_points_dead', CAST(count(*) AS BIGINT) FROM enta
+        WHERE entry_id NOT IN (SELECT DISTINCT src FROM adj)
+        UNION ALL
+        -- one compacted segment by construction (the collection_compact
+        -- files_before discipline); straddlers are 0 BY DEFINITION of
+        -- the counter on a single-segment layout
+        SELECT 'term_segment_straddlers', CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'term_segments', CAST(1 AS BIGINT))
       ORDER BY check_name ASC
     """))
 
@@ -3170,19 +3210,25 @@ object PipelineQueries {
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
   /** Tombstone COMPACTION ([[graft.search.IvfIndex.compactTombstones]]
-    * — Milvus segment compaction): fold recorded deletes into the
-    * partitioned layout (cluster partitioning preserved, crash-safe
-    * swap), clear the tombstones. Works on a per-run COPY of the base
-    * index so repeated runs never compound. Output pins the whole
-    * ledger against corpus arithmetic: row counts before/after, the
-    * tombstone count, zero orphans vs the live corpus after the fold
-    * ([[graft.search.IndexAudit]]'s orphan direction), zero tombstones
-    * left — a compaction that drops too little, too much, or forgets
-    * to clear mismatches a column. */
+    * — Milvus segment compaction) under the round-11 DEFAULT serving
+    * discipline: the index lives under an [[graft.search.AliasedIndex]]
+    * root (v1 published at init), the delete tombstones land in the
+    * current version, and the fold runs through
+    * [[graft.search.IvfIndex.compactTombstonesRoot]] — copy v1 → v2,
+    * fold against the copy, publish atomically — so a concurrent reader
+    * never sees the fold's rename-aside window (OperatorSpec pins the
+    * mid-verb read). All post-fold measurements read the RESOLVED
+    * current version, exactly like a serving query would. Output pins
+    * the whole ledger against corpus arithmetic: row counts
+    * before/after, the tombstone count, zero orphans vs the live corpus
+    * after the fold ([[graft.search.IndexAudit]]'s orphan direction),
+    * zero tombstones left — a compaction that drops too little, too
+    * much, forgets to clear, or serves the stale version mismatches a
+    * column. */
   private val indexCompactTombstones = Q(
     "index_compact_tombstones",
     (s, dir) => {
-      import graft.search.Tombstones
+      import graft.search.{AliasedIndex, Tombstones}
       import s.implicits._
       val baseDir = s"/tmp/graft_ivf_tomb_${math.abs(dir.hashCode)}"
       val runDir = s"/tmp/graft_ivf_tombfold_${math.abs(dir.hashCode)}"
@@ -3190,20 +3236,28 @@ object PipelineQueries {
       if (!new java.io.File(IvfIndex.centroidsDir(baseDir)).exists())
         IvfIndex.build(e, "embedding", baseDir, nlist = 16)
       mutateOnce(s, runDir) {
-        copyLocalDir(baseDir, runDir)
-        Tombstones.clear(s, runDir) // copied tombstones aren't this run's
-        val model = IvfIndex.load(s, runDir)
-        val nBefore = s.read.parquet(IvfIndex.dataDir(runDir)).count()
+        val p = new org.apache.hadoop.fs.Path(runDir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        AliasedIndex.init(s, runDir) { d =>
+          copyLocalDir(baseDir, d)
+          Tombstones.clear(s, d) // copied tombstones aren't this run's
+        }
+        val model = IvfIndex.load(s, runDir) // binds to v1
+        val nBefore = s.read.parquet(IvfIndex.dataDir(model.indexDir))
+          .count()
         IvfIndex.delete(e.where(col("vec_id") % 7 === 3).select("vec_id"),
           model, "vec_id")
-        val nTomb = Tombstones.count(s, runDir)
-        IvfIndex.compactTombstones(s, model, "vec_id")
-        val after = s.read.parquet(IvfIndex.dataDir(runDir))
+        val nTomb = Tombstones.count(s, model.indexDir)
+        // the alias-aware fold: v1 stays immutable for in-flight
+        // readers; v2 is the folded layout, published atomically
+        IvfIndex.compactTombstonesRoot(s, runDir, "vec_id")
+        val cur = AliasedIndex.currentDir(s, runDir)
+        val after = s.read.parquet(IvfIndex.dataDir(cur))
         val live = e.where(col("vec_id") % 7 =!= 3).select("vec_id")
         val orphans = after.select("vec_id")
           .join(live, Seq("vec_id"), "left_anti").count()
         Seq((nBefore, nTomb, after.count(), orphans,
-            Tombstones.count(s, runDir)))
+            Tombstones.count(s, cur)))
           .toDF("n_before", "n_tombstones", "n_after", "orphans_after",
             "tombstones_left")
           .write.mode("overwrite").parquet(s"$runDir/__report")
@@ -3524,28 +3578,34 @@ object PipelineQueries {
 
   /** Search correctness across a rebalance: at nprobe = nlist the
     * rebalanced index must still equal EXACT kNN — splitting lists and
-    * re-routing rows may never change what is stored, only where. Full
-    * self-contained flow (copy → rebalance → search) in its own run
-    * dir; the oracle is the same exact-top-5 every full-probe entry
-    * pins against. */
+    * re-routing rows may never change what is stored, only where.
+    * Round 11: the flow runs under the DEFAULT alias discipline — the
+    * index root publishes v1, [[graft.search.IvfIndex.rebalanceRoot]]
+    * rebalances a COPY and publishes v2 (the rebalance scaladoc's
+    * double-serve window between its append and partition drops now
+    * never faces a reader), and the serve loads the ROOT, resolving the
+    * current version like any reader. Oracle unchanged: exact top-5. */
   private val ivfRebalanceSearch = Q(
     "ivf_rebalance_search",
     (s, dir) => {
+      import graft.search.AliasedIndex
       val baseDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
       val runDir = s"/tmp/graft_ivf_rebalsrch_${math.abs(dir.hashCode)}"
       val e = Tables.embeddings(s, dir)
       if (!new java.io.File(IvfIndex.centroidsDir(baseDir)).exists())
         IvfIndex.build(e, "embedding", baseDir, nlist = 16)
       mutateOnce(s, runDir) {
-        copyLocalDir(baseDir, runDir)
-        val model0 = IvfIndex.load(s, runDir)
-        val maxBefore = s.read.parquet(IvfIndex.dataDir(runDir))
+        val p = new org.apache.hadoop.fs.Path(runDir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        AliasedIndex.init(s, runDir)(d => copyLocalDir(baseDir, d))
+        val maxBefore = s.read.parquet(
+            IvfIndex.dataDir(AliasedIndex.currentDir(s, runDir)))
           .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
           .agg(max(col("sz"))).collect()(0).getLong(0)
-        IvfIndex.rebalance(s, model0, "embedding",
+        IvfIndex.rebalanceRoot(s, runDir, "embedding",
           sizeCap = math.max(1L, maxBefore - 1))
       }
-      val model = IvfIndex.load(s, runDir) // post-rebalance centroids
+      val model = IvfIndex.load(s, runDir) // resolves the published v2
       val query = e.where(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).toArray
       IvfIndex.search(s, model, "embedding", "vec_id", query, k = 5,
@@ -3769,13 +3829,19 @@ object PipelineQueries {
     * tombstone debt (BM25/phrase mask keys vs the doclen table),
     * reconcile drift (orphans + missing vs the live corpus — here the
     * collection "deleted" its `%9 = 4` rows without propagating), and
-    * the covering-radius violation counter (threshold 0 — a violated
-    * radius is a WRONG answer, not a slow one, so it schedules on the
-    * first hit; under the round-10 fold it replays to 0). Every
-    * decision is `metric > threshold` in absolute rows; the oracle
-    * recomputes all seven from fixture arithmetic + the staged
-    * assign/centroid/radii/adjacency handoffs — including the radius
-    * recompute, so even the 0 is derived, not assumed. */
+    * the covering-radius violation+missing counter (threshold 0 — a
+    * violated radius is a WRONG answer, not a slow one, so it
+    * schedules on the first hit; under the round-10 fold it replays to
+    * 0), and — round 11 — graph entry-point liveness (`reelect_entries`
+    * over the staged multi-entry seed artifact: the `%11 = 5` dead set
+    * can include an entry, which strands every walk seeded there) and
+    * lexical segment debt (`compact_term_segments`: the fixture's
+    * sorted-term layout carries 3 segments against a cap of 2 — the
+    * Lucene merge-policy signal). Every decision is `metric >
+    * threshold` in absolute rows; the oracle recomputes all NINE from
+    * fixture arithmetic + the staged
+    * assign/centroid/radii/adjacency/entries handoffs — including the
+    * radius recompute, so even the 0s are derived, not assumed. */
   private val indexMaintenancePlan = Q(
     "index_maintenance_plan",
     (s, dir) => {
@@ -3804,14 +3870,21 @@ object PipelineQueries {
           e.where(col("vec_id") % 15 === 2).select("vec_id"),
           runDir, "vec_id")
       }
-      // graph family: the shared adjacency artifact, dead keys %11=5
+      // graph family: the shared adjacency + multi-entry artifacts,
+      // dead keys %11=5 (which may include an entry point — exactly the
+      // liveness hazard the reelect_entries row watches)
       val gbase = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
       val adj = graft.core.Artifacts.buildOnce(s, s"$gbase/adjacency") {
         GraphAnn.buildAdjacency(e, "vec_id", "embedding")
       }
+      val entries = graft.core.Artifacts.buildOnce(s, s"$gbase/entries") {
+        GraphAnn.entryPoints(e, "vec_id", "embedding", nEntries = 8)
+      }
       val graphDead = e.where(col("vec_id") % 11 === 5).select("vec_id")
-      // lexical family: its own BM25 artifact + tombstones (%13=1),
-      // both inside one deterministic fixture mutation
+      // lexical family: its own BM25 artifact + tombstones (%13=1) and
+      // a SEGMENTED sorted-term layout (3 segments > cap 2 — the
+      // compact_term_segments debt), all inside one deterministic
+      // fixture mutation
       val docsT = Tables.documents(s, dir)
       val textDir = s"/tmp/graft_mplan_text_${math.abs(dir.hashCode)}"
       mutateOnce(s, textDir) {
@@ -3821,6 +3894,13 @@ object PipelineQueries {
         graft.search.Tombstones.record(
           docsT.where(col("doc_id") % 13 === 1).select("doc_id"),
           textDir, "doc_id")
+        graft.search.TermIndex.buildSorted(
+          docsT.where(col("doc_id") < 300), "doc_id", "text", textDir)
+        graft.search.TermIndex.appendSegment(
+          docsT.where(col("doc_id") >= 300 && col("doc_id") < 400),
+          "doc_id", "text", textDir)
+        graft.search.TermIndex.appendSegment(
+          docsT.where(col("doc_id") >= 400), "doc_id", "text", textDir)
       }
       // live corpus drifted: %9=4 rows deleted without propagating
       val live = e.where(col("vec_id") % 9 =!= 4)
@@ -3830,9 +3910,10 @@ object PipelineQueries {
           .select("vec_id", "cluster_id"),
         "centroids" -> s.read.parquet(IvfIndex.centroidsDir(runDir)),
         "radii" -> s.read.parquet(IvfIndex.radiiDir(runDir)),
-        "adjacency" -> adj.select("src", "dst"))
+        "adjacency" -> adj.select("src", "dst"),
+        "entries" -> entries.select("entry_id"))
       Maintenance.planFull(s, runDir, "vec_id", "embedding", live, adj,
-          graphDead, textDir)
+          graphDead, textDir, entries, textDir)
         .orderBy(col("action").asc)
     },
     Some("""
@@ -3877,12 +3958,24 @@ object PipelineQueries {
                      range(1, len(e.embedding)+1),
                      i -> (CAST(e.embedding[i] AS DOUBLE)
                            - CAST(c.centroid[i] AS DOUBLE))^2)))
-                   > r.radius + 0.000000001)
+                   > r.radius + 0.000000001),
+      rm AS (SELECT CAST(count(*) AS BIGINT) AS c FROM (
+               SELECT DISTINCT cluster_id FROM asg) dc
+             LEFT JOIN rad r ON r.cluster_id = dc.cluster_id
+             WHERE r.cluster_id IS NULL),
+      ent AS (SELECT entry_id FROM read_parquet(
+        '/tmp/graft_mplan_oracle_%ORACLE_KEY%/entries/*.parquet')),
+      edead AS (SELECT CAST(count(*) AS BIGINT) AS c FROM ent
+                WHERE entry_id IN (SELECT vec_id FROM gdead)
+                   OR entry_id NOT IN (SELECT DISTINCT src FROM adj))
       SELECT action, metric, threshold, metric > threshold AS triggered
       FROM (
-        SELECT 'compact_text_tombstones' AS action,
-               tk.c AS metric,
-               CAST(floor(nd.c * 0.05) AS BIGINT) AS threshold
+        SELECT 'compact_term_segments' AS action,
+               CAST(3 AS BIGINT) AS metric,
+               CAST(2 AS BIGINT) AS threshold
+        UNION ALL
+        SELECT 'compact_text_tombstones', tk.c,
+               CAST(floor(nd.c * 0.05) AS BIGINT)
         FROM tk, nd
         UNION ALL
         SELECT 'compact_tombstones', CAST(n3.c AS BIGINT),
@@ -3899,7 +3992,10 @@ object PipelineQueries {
         UNION ALL
         SELECT 'reconcile', orph.c, CAST(0 AS BIGINT) FROM orph
         UNION ALL
-        SELECT 'refresh_radii', rv.c, CAST(0 AS BIGINT) FROM rv) u
+        SELECT 'reelect_entries', edead.c, CAST(0 AS BIGINT) FROM edead
+        UNION ALL
+        SELECT 'refresh_radii', rv.c + rm.c, CAST(0 AS BIGINT)
+        FROM rv, rm) u
       ORDER BY action ASC
     """))
 
@@ -4012,6 +4108,98 @@ object PipelineQueries {
         WHERE rn <= 8)
       SELECT src, dst, dist FROM pruned ORDER BY src ASC, dst ASC
     """))
+
+  /** Entry-point RE-ELECTION through delete consolidation
+    * ([[graft.search.GraphAnn.consolidateDeletesWithEntries]], round
+    * 11) — the liveness gap the edges-only fold leaves: the delete set
+    * here INCLUDES the serving medoid, so [[graft.search.GraphAnn
+    * .consolidateDeletes]] strips every edge at the walk's seed and an
+    * un-re-elected serve strands at one edgeless node (OperatorSpec
+    * demonstrates that failure shape). The verb re-elects each dead
+    * entry to the SURVIVOR nearest its vector (rounded L2², id
+    * tie-break — per-row arithmetic, exactly replayable cross-engine,
+    * unlike a distributed-mean medoid recompute whose summation order
+    * can drift a float), and serving seeds from the verb's OUTPUT with
+    * no manual repair. The oracle recomputes the re-elected entry FROM
+    * THE FIXTURE (argmin over survivors against the staged old
+    * medoid's vector) and replays the full 3-round walk over the
+    * staged consolidated adjacency from that independently-derived
+    * seed — a verb that forgot re-election, picked a different
+    * survivor, or served the stale entry hash-mismatches. */
+  private val graphConsolidateEntryReelect = Q(
+    "graph_consolidate_entry_reelect",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val entry0 = graft.core.Artifacts.buildOnce(s, s"$base/entry") {
+        GraphAnn.medoid(e, "vec_id", "embedding")
+      }
+      val medoidId = entry0.collect()(0).getLong(0)
+      val deletes = e
+        .where(col("vec_id") === medoidId || col("vec_id") % 17 === 4)
+        .select("vec_id")
+      val key = s"/tmp/graft_reelect_${math.abs(dir.hashCode)}"
+      mutateOnce(s, key) {
+        val p = new org.apache.hadoop.fs.Path(key)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val (a2, e2) = GraphAnn.consolidateDeletesWithEntries(adj, e,
+          "vec_id", "embedding", deletes, entry0, degree = 8)
+        a2.write.mode("overwrite").parquet(s"$key/adjacency")
+        e2.write.mode("overwrite").parquet(s"$key/entries")
+      }
+      val adj2 = s.read.parquet(s"$key/adjacency")
+      val ents2 = s.read.parquet(s"$key/entries")
+      stageOracle(s, "reelect", dir)(
+        "adjacency" -> adj2.select("src", "dst"),
+        "old_entry" -> entry0)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      GraphAnn.beamSearchMulti(adj2, e, "vec_id", "embedding", query,
+        ents2, k = 5, beamWidth = 4, rounds = 3, degree = 8, nSeeds = 1)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      adj AS (SELECT src, dst FROM read_parquet(
+        '/tmp/graft_reelect_oracle_%ORACLE_KEY%/adjacency/*.parquet')),
+      oldent AS (SELECT entry_id FROM read_parquet(
+        '/tmp/graft_reelect_oracle_%ORACLE_KEY%/old_entry/*.parquet')),
+      dead AS (SELECT vec_id FROM embeddings WHERE vec_id % 17 = 4
+               UNION SELECT entry_id FROM oldent),
+      ov AS (SELECT embedding AS oe FROM embeddings
+             WHERE vec_id IN (SELECT entry_id FROM oldent)),
+      ent AS (SELECT e.vec_id AS entry_id FROM embeddings e, ov
+              WHERE e.vec_id NOT IN (SELECT vec_id FROM dead)
+              ORDER BY %L2OLD% ASC, e.vec_id ASC LIMIT 1),
+      dall AS (SELECT e.vec_id AS id, %L2% AS d FROM embeddings e, q),
+      v0 AS (SELECT id, d FROM dall
+             WHERE id IN (SELECT entry_id FROM ent)),
+      f1 AS (SELECT id, d FROM v0 ORDER BY d ASC, id ASC LIMIT 4),
+      n1 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f1 ON a.src = f1.id
+             WHERE a.dst NOT IN (SELECT id FROM v0)),
+      v1 AS (SELECT id, d FROM v0 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n1 USING (id)),
+      x1 AS (SELECT id FROM f1),
+      f2 AS (SELECT id, d FROM v1 WHERE id NOT IN (SELECT id FROM x1)
+             ORDER BY d ASC, id ASC LIMIT 4),
+      n2 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f2 ON a.src = f2.id
+             WHERE a.dst NOT IN (SELECT id FROM v1)),
+      v2 AS (SELECT id, d FROM v1 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n2 USING (id)),
+      x2 AS (SELECT id FROM x1 UNION SELECT id FROM f2),
+      f3 AS (SELECT id, d FROM v2 WHERE id NOT IN (SELECT id FROM x2)
+             ORDER BY d ASC, id ASC LIMIT 4),
+      n3 AS (SELECT DISTINCT a.dst AS id FROM adj a JOIN f3 ON a.src = f3.id
+             WHERE a.dst NOT IN (SELECT id FROM v2)),
+      v3 AS (SELECT id, d FROM v2 UNION
+             SELECT dall.id, dall.d FROM dall JOIN n3 USING (id))
+      SELECT id AS vec_id, d AS distance FROM v3
+      ORDER BY distance ASC, vec_id ASC LIMIT 5
+    """.replace("%L2OLD%", duckL2("e.embedding", "ov.oe"))
+      .replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
   /** Graph UPSERT — in-place vector updates on a graph index, the
     * FreshDiskANN update discipline composed from the two maintenance
@@ -4666,7 +4854,8 @@ object PipelineQueries {
     graphAnnMaskedWalk, ivfBulkSearch, graphAnnMipsWalk,
     graphAnnCosineWalk, graphAnnCosineRecall,
     graphAnnMipsRecall, ivfRebalanceReport, ivfRebalanceSearch,
-    streamingDeleteIngest, graphConsolidateDeletes, ivfUpsertSearch,
+    streamingDeleteIngest, graphConsolidateDeletes,
+    graphConsolidateEntryReelect, ivfUpsertSearch,
     ivfBulkUpsertSearch, graphAnnUpsertWalk, streamingIvfUpsertIngest,
     indexVersionReport, indexMaintenancePlan, indexAliasServe,
     graphAnnPrunedBuild, graphAnnPrunedRecall, servingPlanReport,

@@ -1081,21 +1081,29 @@ object TextQueries {
     * COMPACTED back to one segment — serving from the folded layout
     * must equal the full-corpus oracle (append-then-compact ≡
     * rebuild); TextSearchSpec pins the pre-compaction segmented serve
-    * equals it too. */
+    * equals it too. Round 11: the index lives under an
+    * [[graft.search.AliasedIndex]] root — the segment append lands in
+    * the published v1 (file appends are reader-safe in place), and
+    * [[graft.search.TermIndex.compactSegments]] detects the aliased
+    * root and merges into a copied v2, published atomically, so a
+    * reader never faces the merge's rename-aside window; the serve
+    * resolves the root like any reader. */
   private val termPrefixIncremental = Q(
     "term_prefix_incremental",
     (s, dir) => {
-      import graft.search.TermIndex
+      import graft.search.{AliasedIndex, TermIndex}
       val docs = Tables.documents(s, dir)
       val idx = s"/tmp/graft_prefixinc_${math.abs(dir.hashCode)}"
       mutateOnce(s, idx) {
         val p = new org.apache.hadoop.fs.Path(idx)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        TermIndex.buildSorted(docs.where(col("doc_id") < 300), "doc_id",
-          "text", idx)
+        AliasedIndex.init(s, idx) { d =>
+          TermIndex.buildSorted(docs.where(col("doc_id") < 300), "doc_id",
+            "text", d)
+        }
         TermIndex.appendSegment(docs.where(col("doc_id") >= 300),
           "doc_id", "text", idx)
-        TermIndex.compactSegments(s, idx)
+        TermIndex.compactSegments(s, idx) // alias-aware: publishes v2
       }
       TermIndex.prefixSearch(s, idx, "sc", k = 10)
         .withColumnRenamed("id", "doc_id")
@@ -1158,11 +1166,14 @@ object TextQueries {
         .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
       val q = src.writeStream
         .option("checkpointLocation", s"$work/_ckpt")
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          if (TermIndex.segments(batch.sparkSession, idx).isEmpty)
-            TermIndex.buildSorted(batch, "doc_id", "text", idx)
-          else
-            TermIndex.appendSegment(batch, "doc_id", "text", idx)
+        // segment number = batchId: foreachBatch is at-least-once, and a
+        // replayed micro-batch keyed on segments().max would land as a
+        // DUPLICATE segment (same doc ids, tf double-counted across
+        // segments); keyed on batchId the replay overwrites its own
+        // segment idempotently
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          TermIndex.writeSegment(batch, "doc_id", "text", idx,
+            batchId.toInt)
           ()
         }
         .start()

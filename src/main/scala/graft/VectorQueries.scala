@@ -3626,23 +3626,31 @@ object VectorQueries {
     * upsert would kill BOTH versions of an updated id at serve time.
     * The oracle recomputes BM25 over the UPDATED corpus from scratch,
     * so a double-indexed doc (fold skipped), a lost update (append
-    * dropped), or stale (N, avgdl, df) statistics hash-mismatch. */
+    * dropped), or stale (N, avgdl, df) statistics hash-mismatch.
+    * Round 11: the index lives under an [[graft.search.AliasedIndex]]
+    * root and the fold runs through the alias-aware
+    * [[graft.search.Bm25Index.compactTombstones]] — both artifacts fold
+    * in a copied v2 published atomically, so a reader can never see
+    * postings folded but doclen not; the follow-up append lands in the
+    * published current version (file appends are reader-safe in
+    * place), and the serve resolves the root like any reader. */
   private val bm25UpsertSearch = Q(
     "bm25_upsert_search",
     (s, dir) => {
-      import graft.search.{Bm25Index, Tombstones}
+      import graft.search.{AliasedIndex, Bm25Index, Tombstones}
       val docs = Tables.documents(s, dir)
       val idx = s"/tmp/graft_bm25up_${math.abs(dir.hashCode)}"
       mutateOnce(s, idx) {
         val p = new org.apache.hadoop.fs.Path(idx)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        Bm25Index.build(docs, "doc_id", "text", idx)
+        AliasedIndex.init(s, idx) { d =>
+          Bm25Index.build(docs, "doc_id", "text", d)
+        }
         val updated = docs.where(col("doc_id") % 10 === 2)
           .withColumn("text", concat(col("text"), lit(" merge merge")))
-        Tombstones.record(updated.select(col("doc_id").as("id")), idx, "id")
-        Tombstones.compact(s, idx, Bm25Index.postingsDir(idx), Seq("id"))
-        Tombstones.compact(s, idx, Bm25Index.doclenDir(idx), Seq("id"))
-        Tombstones.clear(s, idx)
+        Tombstones.record(updated.select(col("doc_id").as("id")),
+          AliasedIndex.currentDir(s, idx), "id")
+        Bm25Index.compactTombstones(s, idx) // alias-aware: publishes v2
         Bm25Index.append(updated, "doc_id", "text", idx)
       }
       Bm25Index.search(s, idx, Seq("scan", "filter", "merge"), k = 10)

@@ -63,6 +63,60 @@ object AliasedIndex {
   def currentDir(spark: SparkSession, root: String): String =
     versionDir(root, currentVersion(spark, root))
 
+  /** Resolve an index path for SERVING: the latest published version
+    * when `root` carries publish markers, the root itself otherwise (a
+    * flat, never-aliased layout — the legacy default). This is what
+    * makes alias-flip the DEFAULT discipline instead of opt-in
+    * machinery: every loader ([[IvfIndex.load]], the
+    * [[Bm25Index]]/[[Phrase]]/[[TermIndex]] readers) routes through it,
+    * so handing any reader an aliased ROOT serves the current version
+    * with no caller-side resolution — and existing flat layouts are
+    * untouched. One `listStatus` of the root per resolution; resolve
+    * once per query, like [[currentDir]]. */
+  def resolveDir(spark: SparkSession, root: String): String =
+    publishedVersions(spark, root).lastOption
+      .map(versionDir(root, _)).getOrElse(root)
+
+  /** Recursive byte copy of a complete version dir — the bootstrap for
+    * maintenance verbs that mutate PART of a layout (rebalance's
+    * partition drops, tombstone-fold of one artifact among several):
+    * copy current → next, run the in-place verb against the copy,
+    * publish. A raw `FileUtil.copy` (no parquet decode), so the cost is
+    * the version's byte size at disk bandwidth — measured in SCALE.md;
+    * verbs that rewrite the whole layout anyway should write `next`
+    * directly instead of paying it. */
+  def copyVersion(spark: SparkSession, src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sp = new Path(src); val dp = new Path(dst)
+    val sfs = sp.getFileSystem(conf); val dfs = dp.getFileSystem(conf)
+    if (!org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp,
+        false, true, conf))
+      throw new java.io.IOException(s"copyVersion: $src -> $dst failed")
+  }
+
+  /** Run an IN-PLACE maintenance verb under the alias discipline — the
+    * round-11 default for every rewrite verb ([[IvfIndex
+    * .compactTombstones]]/[[IvfIndex.compactVersions]]/[[IvfIndex
+    * .rebalance]], [[TermIndex.compactSegments]], the BM25/phrase
+    * tombstone folds): on an aliased root, copy the current version to
+    * `v<N+1>`, run `verb(v<N+1>)`, publish atomically — readers keep
+    * serving `v<N>` through the whole verb, including its rename-aside
+    * transition instants, and flip to a COMPLETE new version or never
+    * see it. On a flat root the verb runs in place (legacy layouts keep
+    * their semantics — single-writer, transient-window documented).
+    * Returns the dir the verb ran against (= the new serving dir when
+    * aliased). Pure file appends ([[IvfIndex.append]], [[Bm25Index
+    * .append]], [[TermIndex.appendSegment]]) do NOT need this — a
+    * reader's plan lists files once, so an append is reader-safe in
+    * place against [[resolveDir]]. */
+  def maintain(spark: SparkSession, root: String, keepVersions: Int = 1)
+              (verb: String => Unit): String =
+    if (publishedVersions(spark, root).isEmpty) { verb(root); root }
+    else advance(spark, root, keepVersions) { (cur, next) =>
+      copyVersion(spark, cur, next)
+      verb(next)
+    }
+
   /** Create version 1: `build` writes a complete index into the v1 dir,
     * then the publish marker makes it visible. Returns the v1 dir. */
   def init(spark: SparkSession, root: String)

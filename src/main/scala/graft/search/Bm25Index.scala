@@ -65,11 +65,31 @@ object Bm25Index {
     * Ids must be new (same contract as Collection.append — dedup is the
     * upsert/dedup family's job, not the index's). */
   def append(batch: DataFrame, idCol: String, textCol: String,
-             indexDir: String): Unit = {
+             indexDir0: String): Unit = {
+    // appends land in the CURRENT published version when the root is
+    // aliased: a pure file append is reader-safe in place (a reader's
+    // plan lists files once), so it needs no version copy — only
+    // rewrite verbs pay the AliasedIndex.maintain discipline
+    val indexDir = AliasedIndex.resolveDir(batch.sparkSession, indexDir0)
     val (p, d) = tokenize(batch, idCol, textCol)
     p.write.mode("append").parquet(postingsDir(indexDir))
     d.write.mode("append").parquet(doclenDir(indexDir))
   }
+
+  /** Fold recorded tombstones into postings + doclen and clear them —
+    * the lexical family's compaction verb, alias-aware by DEFAULT: on a
+    * root with published versions both folds run against a copy of the
+    * current version and publish atomically ([[AliasedIndex.maintain]]
+    * — readers never see the per-artifact rename-aside instants, or a
+    * state where postings folded but doclen didn't); flat layouts fold
+    * in place, both artifacts before the clear (the [[Tombstones
+    * .clear]] contract). */
+  def compactTombstones(spark: SparkSession, root: String): Unit =
+    AliasedIndex.maintain(spark, root) { d =>
+      Tombstones.compact(spark, d, postingsDir(d), Seq("id"))
+      Tombstones.compact(spark, d, doclenDir(d), Seq("id"))
+      Tombstones.clear(spark, d)
+    }
 
   // --- BM25F: field-weighted lexical scoring over a per-field artifact
   // (Robertson & Zaragoza 2009 §5.4 / Zaragoza et al., TREC 2004 —
@@ -125,11 +145,14 @@ object Bm25Index {
     * Σdl; document N; df) are pure aggregates of appended rows, so
     * append-then-search equals rebuild-then-search exactly — the
     * [[search]] discipline, fielded. Returns (id, bm25f). */
-  def searchFielded(spark: SparkSession, indexDir: String,
+  def searchFielded(spark: SparkSession, indexDir0: String,
                     terms: Seq[String], k: Int,
                     fieldWeights: Seq[(String, Double)],
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(fieldWeights.nonEmpty)
+    // aliased-root resolution (the default serving discipline): an
+    // index root with publish markers serves its current version
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
     val postings = spark.read.parquet(postingsDir(indexDir))
       .where(col("term").isin(terms: _*))
     val doclen = spark.read.parquet(doclenDir(indexDir))
@@ -171,9 +194,11 @@ object Bm25Index {
     * for a scoring query under a filter clause (a phrase match, a
     * metadata predicate): the filter changes who competes, never how
     * scores are computed. */
-  def search(spark: SparkSession, indexDir: String, terms: Seq[String],
+  def search(spark: SparkSession, indexDir0: String, terms: Seq[String],
              k: Int, k1: Double = 1.2, b: Double = 0.75,
              idFilter: Option[DataFrame] = None): DataFrame = {
+    // aliased-root resolution — see [[searchFielded]]
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
     val postings = spark.read.parquet(postingsDir(indexDir))
       .where(col("term").isin(terms: _*))
     val doclen = spark.read.parquet(doclenDir(indexDir))

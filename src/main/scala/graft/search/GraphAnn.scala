@@ -594,6 +594,81 @@ object GraphAnn {
       .where(col("__rn") <= degree).drop("__rn")
   }
 
+  /** Re-elect DEAD entry points over the survivors — the liveness half
+    * of delete consolidation (the hazard: [[consolidateDeletes]] removes
+    * ALL edges of a deleted node, so a walk seeded at a deleted
+    * medoid/entry starts at an edgeless node and STRANDS — the same
+    * silently-degrading-serving class as a violated covering radius).
+    * Each dead entry is replaced by the SURVIVOR nearest its own vector
+    * (rounded L2², id tie-break) — local re-anchoring that preserves the
+    * entry's geometric routing role, and, unlike a full medoid/KMeans
+    * re-fit (the rebuild-time answer), replays EXACTLY cross-engine:
+    * the argmin is per-row independent arithmetic over data vectors, no
+    * distributed mean whose summation order could drift a float. One
+    * corpus scan total for ALL dead entries (the ≤ nEntries dead rows
+    * broadcast against the survivors, one ranking window). Live entries
+    * pass through untouched; ids that collide after re-election
+    * collapse (a seed set is a set). Input `entries` needs `entry_id`
+    * (the [[medoid]] shape) — vectors are fetched from the corpus;
+    * returns `(entry_id, entry_vec)`, the [[entryPoints]] artifact
+    * shape, id-ascending. */
+  def reelectEntries(entries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, deletes: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    val dead = broadcast(deletes
+      .select(col(deletes.columns.head).cast("long").as("__dead"))
+      .distinct())
+    val eIds = entries.select(col("entry_id").cast("long").as("entry_id"))
+      .distinct()
+    val cVec = corpus.select(col(idCol).cast("long").as("entry_id"),
+      col(vecCol).as("entry_vec"))
+    val liveEntries = eIds
+      .join(dead, col("entry_id") === col("__dead"), "left_anti")
+      .join(cVec, Seq("entry_id"))
+    // dead entries: a bounded collect (≤ nEntries rows — the
+    // query-vector handoff discipline), vectors from the PRE-fold corpus
+    val deadEntries = eIds
+      .join(dead, col("entry_id") === col("__dead"), "left_semi")
+      .join(cVec, Seq("entry_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    if (deadEntries.isEmpty)
+      return liveEntries.orderBy(col("entry_id").asc)
+    import spark.implicits._
+    val oldVecs = deadEntries.toSeq.toDF("__old_id", "__ov")
+    val survivors = corpus
+      .select(col(idCol).cast("long").as("entry_id"),
+        col(vecCol).as("entry_vec"))
+      .join(dead, col("entry_id") === col("__dead"), "left_anti")
+    val w = Window.partitionBy(col("__old_id"))
+      .orderBy(col("__d").asc, col("entry_id").asc)
+    val reelected = survivors.crossJoin(broadcast(oldVecs))
+      .withColumn("__d",
+        round(VectorFunctions.l2Sq(col("entry_vec"), col("__ov")), 4))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("entry_id"), col("entry_vec"))
+    liveEntries.unionByName(reelected)
+      .groupBy(col("entry_id")).agg(first(col("entry_vec")).as("entry_vec"))
+      .orderBy(col("entry_id").asc)
+  }
+
+  /** [[consolidateDeletes]] WITH entry-point re-election — the round-11
+    * verb form: folding deletes out of the adjacency and keeping the
+    * seed set alive are ONE maintenance action (FreshDiskANN's
+    * consolidation re-anchors its start point the same way; a verb that
+    * did only the edges leaves [[IndexAudit.entryChecks]]'
+    * `entry_points_dead` counter firing and every subsequent walk
+    * stranded). Returns (consolidated adjacency, re-elected entries) —
+    * serve with the plain walks seeded from the returned entries, NO
+    * manual re-election. */
+  def consolidateDeletesWithEntries(adj: DataFrame, corpus: DataFrame,
+                                    idCol: String, vecCol: String,
+                                    deletes: DataFrame, entries: DataFrame,
+                                    degree: Int = 8)
+      : (DataFrame, DataFrame) =
+    (consolidateDeletes(adj, corpus, idCol, vecCol, deletes, degree),
+      reelectEntries(entries, corpus, idCol, vecCol, deletes))
+
   /** MIPS-routed beam walk — the inner-product member of the metric ×
     * index matrix (ip-Greedy over a proximity graph: Morozov & Babenko,
     * NeurIPS 2018 showed the similarity-graph walk carries over to MIPS

@@ -127,8 +127,20 @@ object IndexAudit {
                   indexDir: String, vecCol: String): DataFrame = {
     val data = spark.read.option("mergeSchema", "true")
       .parquet(IvfIndex.dataDir(indexDir))
+    // a PRE-radii index (no stored table — the loadRadii degradation
+    // contract) is not corrupt, it is unmaintained: report every
+    // populated cluster as missing (so Maintenance.planFull schedules
+    // refresh_radii) and zero violations (nothing stored can be
+    // violated), instead of throwing on the absent dir
+    if (!IvfIndex.radiiTableExists(spark, indexDir)) {
+      val missing = data.agg(
+        countDistinct(col("cluster_id")).as("value"))
+      return row("ivf_radius_missing", missing)
+        .unionByName(row("ivf_radius_violations",
+          missing.select(lit(0L).as("value"))))
+    }
     val cents = spark.read.parquet(IvfIndex.centroidsDir(indexDir))
-    val radii = spark.read.parquet(IvfIndex.radiiDir(indexDir))
+    val radii = IvfIndex.radiiTable(spark, indexDir)
     val viol = data
       .join(broadcast(cents), Seq("cluster_id"))
       .join(broadcast(radii), Seq("cluster_id"))
@@ -141,6 +153,68 @@ object IndexAudit {
       .agg(count(lit(1)).as("value"))
     row("ivf_radius_missing", missing)
       .unionByName(row("ivf_radius_violations", viol))
+  }
+
+  /** Entry-point LIVENESS of a graph index — the seed-set half of the
+    * walk's serving contract (the adjacency half is [[graphChecks]]):
+    * `entry_points_dead` counts staged entry ids that are tombstoned
+    * (`deadKeys`) OR appear as the source of NO adjacency edge (an
+    * entry [[GraphAnn.consolidateDeletes]] stripped — a walk seeded
+    * there visits one edgeless node and strands). 0 on an index
+    * maintained through [[GraphAnn.consolidateDeletesWithEntries]],
+    * which re-elects; a plain edges-only consolidation leaves this
+    * firing. One adjacency scan with the (≤ nEntries) entry set
+    * broadcast into a semi-join. */
+  def entryChecks(entries: DataFrame, adj: DataFrame,
+                  deadKeys: DataFrame): DataFrame = {
+    val eIds = entries.select(col("entry_id").cast("long").as("entry_id"))
+      .distinct()
+    val dead = eIds.join(
+      broadcast(deadKeys
+        .select(col(deadKeys.columns.head).cast("long").as("entry_id"))
+        .distinct()),
+      Seq("entry_id"), "left_semi")
+    val liveSrc = adj
+      .join(broadcast(eIds.withColumnRenamed("entry_id", "src")),
+        Seq("src"), "left_semi")
+      .select(col("src").cast("long").as("entry_id")).distinct()
+    val stranded = eIds.join(liveSrc, Seq("entry_id"), "left_anti")
+    row("entry_points_dead",
+      dead.unionByName(stranded).distinct().agg(count(lit(1)).as("value")))
+  }
+
+  /** Segment-contract audit for the sorted-term lexical layout
+    * ([[TermIndex]]): `term_segments` = segment count (the
+    * [[TermIndex.compactSegments]] scheduling signal — Lucene's merge
+    * policy reads exactly this), and `term_segment_straddlers` = ids
+    * holding postings rows in MORE THAN ONE segment — the violated
+    * ids-must-be-new append contract ([[TermIndex.appendSegment]]),
+    * under which a doc's tf is silently DOUBLE-COUNTED across segments
+    * (serving sums tf over all segments because the contract says an
+    * (id, term) row never straddles). 0 on a contract-respecting
+    * layout. The counter is a DETECTOR, not a damage gauge: after
+    * [[TermIndex.compactSegments]] merges everything into one segment
+    * the straddling (and this counter) clears while the duplicated
+    * rows persist in the data — catch the violation BEFORE compacting
+    * and re-ingest the offending ids; that is why the audit belongs in
+    * [[Maintenance.planFull]]'s pass rather than inside the verb. One
+    * column-pruned scan of the segmented layout. */
+  def segmentChecks(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String): DataFrame = {
+    val dir = AliasedIndex.resolveDir(spark, indexDir)
+    val segs = TermIndex.segments(spark, dir)
+    val straddlers =
+      if (segs.size <= 1)
+        spark.range(1).select(lit(0L).as("value"))
+      else spark.read.parquet(TermIndex.sortedPostingsDir(dir))
+        .select(col("id"), col("seg")).distinct()
+        .groupBy(col("id"))
+        .agg(countDistinct(col("seg")).as("__ns"))
+        .where(col("__ns") > 1)
+        .agg(count(lit(1)).as("value"))
+    row("term_segment_straddlers", straddlers)
+      .unionByName(row("term_segments",
+        spark.range(1).select(lit(segs.size.toLong).as("value"))))
   }
 
   /** Version-history health of an upserted IVF layout (the

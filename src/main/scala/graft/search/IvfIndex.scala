@@ -74,20 +74,47 @@ object IvfIndex {
     writeRadiiTable(spark, model.indexDir,
       clusterRadiiTable(spark, model, vecCol))
 
+  /** The readable radii table's path, WITHOUT mutating anything: the
+    * live dir when complete (_SUCCESS), else the `__old` aside copy a
+    * crashed [[writeRadiiTable]] left (read in place — renaming it back
+    * is the WRITER's recovery, run by [[foldRadii]]/[[refreshRadii]];
+    * a READER that renamed could race the single writer between its two
+    * renames and corrupt the swap), else None (pre-radii index). */
+  private def readableRadiiPath(spark: SparkSession,
+                                indexDir: String): Option[String] = {
+    val fs = new org.apache.hadoop.fs.Path(radiiDir(indexDir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def complete(p: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    if (complete(radiiDir(indexDir))) Some(radiiDir(indexDir))
+    else if (complete(radiiDir(indexDir) + "__old"))
+      Some(radiiDir(indexDir) + "__old")
+    else None
+  }
+
+  /** True when a stored radii table is readable (live or aside). */
+  private[search] def radiiTableExists(spark: SparkSession,
+                                       indexDir: String): Boolean =
+    readableRadiiPath(spark, indexDir).isDefined
+
+  /** The stored radii table as a DataFrame (live or crash-aside copy);
+    * callers must have checked [[radiiTableExists]]. Read-only. */
+  private[search] def radiiTable(spark: SparkSession,
+                                 indexDir: String): DataFrame =
+    spark.read.parquet(readableRadiiPath(spark, indexDir).get)
+
   /** The stored covering radii, or an empty map when never written (a
     * pre-radii index): an absent radius is NEVER used to prune, so the
-    * fallback is slow-but-exact, not wrong. Probes the rename-aside
-    * recovery state first. */
-  def loadRadii(spark: SparkSession, indexDir: String): Map[Int, Double] = {
-    val d = new org.apache.hadoop.fs.Path(radiiDir(indexDir))
-    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Tombstones.recoverAside(fs, d,
-      new org.apache.hadoop.fs.Path(radiiDir(indexDir) + "__old"))
-    if (!fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
-      Map.empty
-    else spark.read.parquet(radiiDir(indexDir))
-      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
-  }
+    * fallback is slow-but-exact, not wrong. READ-ONLY — a serve path
+    * must not run rename recovery (it could race the single writer
+    * between writeRadiiTable's two renames); it reads the `__old`
+    * aside copy in place instead. */
+  def loadRadii(spark: SparkSession, indexDir: String): Map[Int, Double] =
+    readableRadiiPath(spark, indexDir) match {
+      case None => Map.empty
+      case Some(p) => spark.read.parquet(p)
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    }
 
   /** Crash-safe swap of the (nlist-row) radii table — the rename-aside
     * protocol every fold here uses; [[loadRadii]] runs the recovery
@@ -169,13 +196,19 @@ object IvfIndex {
       .parquet(dataDir(model.indexDir))
   }
 
-  /** Load a previously built index's centroid table. */
+  /** Load a previously built index's centroid table. `indexDir` may be
+    * an [[AliasedIndex]] ROOT (publish markers present) — the model then
+    * binds to the current published version, so every serve path
+    * reads a complete immutable layout while maintenance builds the
+    * next one ([[AliasedIndex.maintain]]); a flat legacy dir loads
+    * unchanged. */
   def load(spark: SparkSession, indexDir: String): Model = {
-    val centroids = spark.read.parquet(centroidsDir(indexDir))
+    val dir = AliasedIndex.resolveDir(spark, indexDir)
+    val centroids = spark.read.parquet(centroidsDir(dir))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    Model(indexDir, centroids.length, centroids)
+    Model(dir, centroids.length, centroids)
   }
 
   /** Rank centroids against the query (driver-side, O(nlist·dim)). */
@@ -850,5 +883,44 @@ object IvfIndex {
     Tombstones.compact(spark, model.indexDir, dataDir(model.indexDir),
       Seq(idCol), partitionBy = Seq("cluster_id"))
     Tombstones.clear(spark, model.indexDir)
+  }
+
+  // --- Root-addressed maintenance: the alias-aware DEFAULT forms ---
+  // (round 11). The Model-based verbs above are the in-place cores; a
+  // Model loaded from an aliased root is bound to an IMMUTABLE version
+  // dir, so mutating it in place would corrupt what readers serve.
+  // These forms take the ROOT: on an aliased root the verb runs against
+  // a copy of the current version and publishes atomically
+  // ([[AliasedIndex.maintain]] — readers keep serving the old complete
+  // version through every rename-aside instant, then flip); on a flat
+  // legacy dir they are exactly the old in-place verbs.
+
+  /** Alias-aware [[compactTombstones]], addressed by root. */
+  def compactTombstonesRoot(spark: SparkSession, root: String,
+                            idCol: String): Unit =
+    AliasedIndex.maintain(spark, root) { d =>
+      compactTombstones(spark, load(spark, d), idCol)
+      ()
+    }
+
+  /** Alias-aware [[compactVersions]], addressed by root. */
+  def compactVersionsRoot(spark: SparkSession, root: String,
+                          idCol: String): Unit =
+    AliasedIndex.maintain(spark, root) { d =>
+      compactVersions(spark, load(spark, d), idCol)
+      ()
+    }
+
+  /** Alias-aware [[rebalance]], addressed by root; returns the model
+    * bound to the new serving dir. */
+  def rebalanceRoot(spark: SparkSession, root: String, vecCol: String,
+                    sizeCap: Long, seed: Long = 42L, maxIter: Int = 20,
+                    trainSampleCap: Long = TrainSample.DefaultCap): Model = {
+    AliasedIndex.maintain(spark, root) { d =>
+      rebalance(spark, load(spark, d), vecCol, sizeCap, seed, maxIter,
+        trainSampleCap)
+      ()
+    }
+    load(spark, root)
   }
 }

@@ -93,11 +93,26 @@ object Maintenance {
     *    ids absent from the artifact (missing), threshold 0 — any
     *    drift means [[IndexSync.reconcileIvf]] has work.
     *  - `refresh_radii` — [[IndexAudit.radiiChecks]]'
-    *    `ivf_radius_violations`, threshold 0: a violated covering
-    *    radius makes range/exact-via-IVF serving WRONG, not slow, so
-    *    the repair ([[IvfIndex.refreshRadii]]) schedules on the first
-    *    violation. Under normal operation the fold keeps this 0; a
-    *    nonzero metric means corruption or an out-of-band write.
+    *    `ivf_radius_violations` PLUS `ivf_radius_missing`, threshold 0:
+    *    a violated covering radius makes range/exact-via-IVF serving
+    *    WRONG, not slow, so the repair ([[IvfIndex.refreshRadii]])
+    *    schedules on the first violation; a missing radius (a pre-radii
+    *    index, or a cluster the fold never saw) is slow-not-wrong but
+    *    the same verb cures it, so it schedules too — and a LEGACY
+    *    index with no radii table now plans `refresh_radii` instead of
+    *    crashing (the round-10 ADVICE finding).
+    *  - `reelect_entries` (round 11) — [[IndexAudit.entryChecks]]'
+    *    `entry_points_dead`, threshold 0: a tombstoned or
+    *    consolidation-stripped entry point strands every walk seeded
+    *    there ([[GraphAnn.reelectEntries]] is the verb, or run the
+    *    consolidation through
+    *    [[GraphAnn.consolidateDeletesWithEntries]]).
+    *  - `compact_term_segments` (round 11) — the sorted-term layout's
+    *    segment count ([[TermIndex.segments]], one listStatus) vs
+    *    `segmentCap`: every prefix query pays one footer read per
+    *    intersecting segment, so segment debt is a serving cost
+    *    ([[TermIndex.compactSegments]] folds; Lucene's merge policy is
+    *    this row).
     *
     * Every metric/threshold stays `metric > threshold` in absolute
     * rows derived from artifacts the caller can inspect — bounded
@@ -105,10 +120,12 @@ object Maintenance {
   def planFull(spark: SparkSession, indexDir: String, idCol: String,
                vecCol: String, liveCorpus: DataFrame, adj: DataFrame,
                graphDeadKeys: DataFrame, textIndexDir: String,
+               entries: DataFrame, termIndexDir: String,
                versionDebtFrac: Double = 0.10,
                tombstoneFrac: Double = 0.05, skewFactor: Double = 4.0,
                graphDebtFrac: Double = 0.05,
-               textTombstoneFrac: Double = 0.05): DataFrame = {
+               textTombstoneFrac: Double = 0.05,
+               segmentCap: Int = 2): DataFrame = {
     val base = ivfRows(spark, indexDir, idCol, versionDebtFrac,
       tombstoneFrac, skewFactor)
     // graph: dead-touching edge rows vs the artifact's edge count —
@@ -147,13 +164,26 @@ object Maintenance {
     val orphans = artIds.join(corpusIds, Seq(idCol), "left_anti").count()
     val missing = corpusIds.join(artIds, Seq(idCol), "left_anti").count()
     val reconcileRow = mkRow("reconcile", orphans + missing, 0L)
-    // radii: the wrong-answer direction schedules on first violation
+    // radii: violations (wrong answers) + missing (unaccelerated
+    // clusters; = all of them on a legacy pre-radii index) — both cured
+    // by refreshRadii, both schedule it
     val viol = IndexAudit.radiiChecks(spark, indexDir, vecCol)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val radiiRow = mkRow("refresh_radii",
-      viol("ivf_radius_violations"), 0L)
+      viol("ivf_radius_violations") + viol("ivf_radius_missing"), 0L)
+    // graph entry liveness: dead/stranded seeds strand walks — verb is
+    // re-election, threshold 0 (one adjacency semi-join scan)
+    val entryDead = IndexAudit.entryChecks(entries, adj, graphDeadKeys)
+      .collect()(0).getLong(1)
+    val entryRow = mkRow("reelect_entries", entryDead, 0L)
+    // lexical segment debt: one listStatus, no scan
+    val segRow = mkRow("compact_term_segments",
+      TermIndex.segments(spark,
+        AliasedIndex.resolveDir(spark, termIndexDir)).size.toLong,
+      segmentCap.toLong)
     toDf(spark,
-      (base ++ Seq(graphRow, textRow, reconcileRow, radiiRow))
+      (base ++ Seq(graphRow, textRow, reconcileRow, radiiRow, entryRow,
+        segRow))
         .sortBy(_.getString(0)))
   }
 }

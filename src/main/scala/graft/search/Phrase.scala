@@ -54,8 +54,22 @@ object Phrase {
     * [[Bm25Index.append]] contract). */
   def append(batch: DataFrame, idCol: String, textCol: String,
              indexDir: String): Unit =
+    // file appends land in the current published version of an aliased
+    // root (reader-safe in place — the Bm25Index.append discipline)
     positional(batch, idCol, textCol)
-      .write.mode("append").parquet(positionsDir(indexDir))
+      .write.mode("append").parquet(positionsDir(
+        AliasedIndex.resolveDir(batch.sparkSession, indexDir)))
+
+  /** Fold recorded tombstones into the positional artifact and clear
+    * them — the phrase tier's compaction verb, alias-aware by default:
+    * on a root with published versions the fold runs against a copy of
+    * the current version and publishes atomically
+    * ([[AliasedIndex.maintain]]); flat layouts fold in place. */
+  def compactTombstones(spark: SparkSession, root: String): Unit =
+    AliasedIndex.maintain(spark, root) { d =>
+      Tombstones.compact(spark, d, positionsDir(d), Seq("id"))
+      Tombstones.clear(spark, d)
+    }
 
   /** Every (id, anchor) phrase occurrence — the shared core of the
     * exact-phrase family (anchor = 0-based position of the phrase's
@@ -63,9 +77,10 @@ object Phrase {
     * there; countDistinct (not count) so a term repeated in the phrase
     * can't satisfy two offsets with one posting row. Tombstone-
     * masked. */
-  def anchors(spark: SparkSession, indexDir: String,
+  def anchors(spark: SparkSession, indexDir0: String,
               phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty)
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
     import spark.implicits._
     val m = phrase.length
     val q = phrase.zipWithIndex
@@ -114,9 +129,10 @@ object Phrase {
     * corpus, and the per-document fan-out is bounded by per-doc term
     * frequency (tiny for real phrases). nhits counts DISTINCT
     * first-term anchors, the [[slopTopK]] unit. Returns (id, nhits). */
-  def slopPhraseTopK(spark: SparkSession, indexDir: String,
+  def slopPhraseTopK(spark: SparkSession, indexDir0: String,
                      phrase: Seq[String], slop: Int, k: Int): DataFrame = {
     require(phrase.nonEmpty && slop >= 0)
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
     val m = phrase.length
     val postings = spark.read.parquet(positionsDir(indexDir))
       .where(col("term").isin(phrase.distinct: _*))
@@ -140,9 +156,10 @@ object Phrase {
   /** Sloppy ordered-pair top-k: docs where `second` follows `first`
     * within `slop` intervening tokens; nhits counts DISTINCT first-term
     * anchors. Returns (id, nhits). */
-  def slopTopK(spark: SparkSession, indexDir: String, first: String,
+  def slopTopK(spark: SparkSession, indexDir0: String, first: String,
                second: String, slop: Int, k: Int): DataFrame = {
     require(slop >= 0)
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
     val postings = spark.read.parquet(positionsDir(indexDir))
       .where(col("term").isin(Seq(first, second).distinct: _*))
     val p1 = postings.where(col("term") === first)

@@ -63,12 +63,31 @@ object TermIndex {
     * economics (each query pays one footer read per segment whose
     * range intersects the prefix). */
   def appendSegment(batch: DataFrame, idCol: String, textCol: String,
-                    indexDir: String, nFiles: Int = 8): Unit = {
+                    indexDir0: String, nFiles: Int = 8): Unit = {
     val spark = batch.sparkSession
+    // segment appends land in the CURRENT published version of an
+    // aliased root: a new seg=N dir is invisible to a reader that
+    // already listed segments (reader-safe), so appends pay no version
+    // copy — only compactSegments' rewrite does
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
     val next = segments(spark, indexDir).maxOption.getOrElse(-1) + 1
     sortedTokens(batch, idCol, textCol, nFiles)
       .write.mode("overwrite").parquet(segDir(indexDir, next))
   }
+
+  /** Write a batch as segment `n` EXACTLY — the idempotent form of
+    * [[appendSegment]] for at-least-once ingest (Structured Streaming's
+    * foreachBatch can REPLAY a micro-batch after a failure; an
+    * appendSegment keyed on the current max segment would land the
+    * replay as a NEW segment with the same doc ids, silently
+    * double-counting tf across segments and violating the
+    * ids-must-be-new contract). Keying the segment number on the
+    * stream's batchId makes a replay overwrite its own segment —
+    * Spark's own idempotent-sink discipline. */
+  def writeSegment(batch: DataFrame, idCol: String, textCol: String,
+                   indexDir: String, n: Int, nFiles: Int = 8): Unit =
+    sortedTokens(batch, idCol, textCol, nFiles)
+      .write.mode("overwrite").parquet(segDir(indexDir, n))
 
   /** Existing segment numbers, ascending (empty for a flat pre-segment
     * layout). */
@@ -90,7 +109,20 @@ object TermIndex {
     * layout dir. After this a prefix query pays one segment's footer
     * reads again. */
   def compactSegments(spark: SparkSession, indexDir: String,
-                      nFiles: Int = 8): Unit = {
+                      nFiles: Int = 8): Unit =
+    // alias-aware by DEFAULT: on a root with published versions the
+    // rewrite runs against a copy of the current version and publishes
+    // atomically (readers never see the rename-aside window below); a
+    // flat layout compacts in place with the documented single-writer
+    // transient window
+    if (AliasedIndex.publishedVersions(spark, indexDir).nonEmpty)
+      AliasedIndex.maintain(spark, indexDir) { d =>
+        compactSegmentsInPlace(spark, d, nFiles)
+      }
+    else compactSegmentsInPlace(spark, indexDir, nFiles)
+
+  private def compactSegmentsInPlace(spark: SparkSession, indexDir: String,
+                                     nFiles: Int): Unit = {
     val d = new org.apache.hadoop.fs.Path(sortedPostingsDir(indexDir))
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Tombstones.recoverAside(fs, d,
@@ -123,7 +155,8 @@ object TermIndex {
   def prefixPostings(spark: SparkSession, indexDir: String,
                      prefix: String): DataFrame = {
     require(prefix.nonEmpty, "prefixPostings: empty prefix matches all")
-    spark.read.parquet(sortedPostingsDir(indexDir))
+    spark.read.parquet(
+        sortedPostingsDir(AliasedIndex.resolveDir(spark, indexDir)))
       .where(col("term").startsWith(prefix))
       .drop("seg")
   }
@@ -132,18 +165,21 @@ object TermIndex {
     * filter form, composing with BM25 exactly like
     * [[Phrase.matchingIds]] (a prefix clause under a scoring query).
     * Tombstone-masked. */
-  def prefixIds(spark: SparkSession, indexDir: String,
-                prefix: String): DataFrame =
+  def prefixIds(spark: SparkSession, indexDir0: String,
+                prefix: String): DataFrame = {
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
     Tombstones.mask(
       prefixPostings(spark, indexDir, prefix).select(col("id")).distinct(),
       spark, indexDir, "id")
+  }
 
   /** Prefix-match top-k: docs ranked by TOTAL occurrences of
     * prefix-matching terms (Σ tf over the matched slice), id
     * tie-break — the term-match ranking unit (`nhits`), same as the
     * phrase tier. Tombstone-masked. Returns (id, nhits). */
-  def prefixSearch(spark: SparkSession, indexDir: String, prefix: String,
+  def prefixSearch(spark: SparkSession, indexDir0: String, prefix: String,
                    k: Int): DataFrame = {
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
     val scored = prefixPostings(spark, indexDir, prefix)
       .groupBy(col("id"))
       .agg(sum(col("tf")).cast("long").as("nhits"))

@@ -418,18 +418,22 @@ class OperatorSpec extends SparkSpec {
     val docs = (0L until 20L).map(i => (i, s"tok$i common words here"))
       .toDF("doc_id", "text")
     Bm25Index.build(docs, "doc_id", "text", textDir)
+    graft.search.TermIndex.buildSorted(docs, "doc_id", "text", textDir)
     var graphDead = corpus.limit(0).select("vec_id")
     var live = corpus
+    var entries = Seq(3L, 7L).toDF("entry_id")
     def plan(): Map[String, Boolean] =
       Maintenance.planFull(spark, dir, "vec_id", "embedding", live,
-          adj, graphDead, textDir)
+          adj, graphDead, textDir, entries, textDir)
         .select("action", "triggered").as[(String, Boolean)]
         .collect().toMap
     val fresh = plan()
-    assert(fresh.size == 7 && fresh.values.forall(_ == false),
+    assert(fresh.size == 9 && fresh.values.forall(_ == false),
       fresh.toString)
-    // fire all four new triggers at once
+    // fire all six family triggers at once
     graphDead = corpus.where(col("vec_id") < 12).select("vec_id") // 20%
+    // ... which tombstones BOTH staged entry points (3 and 7) — the
+    // liveness hazard reelect_entries watches
     Tombstones.record(docs.where(col("doc_id") < 5).select("doc_id"),
       textDir, "doc_id")                                          // 25%
     live = corpus.where(col("vec_id") % 10 =!= 9)                 // drift
@@ -441,12 +445,23 @@ class OperatorSpec extends SparkSpec {
       .delete(rp, true)
     shrunk.toSeq.toDF("cluster_id", "radius").coalesce(1)
       .write.parquet(IvfIndex.radiiDir(dir))
+    // segment debt: two violating-free appends push past the cap of 2
+    graft.search.TermIndex.appendSegment(
+      (20L until 25L).map(i => (i, s"tok$i more words")).toDF("doc_id",
+        "text"), "doc_id", "text", textDir)
+    graft.search.TermIndex.appendSegment(
+      (25L until 30L).map(i => (i, s"tok$i more words")).toDF("doc_id",
+        "text"), "doc_id", "text", textDir)
     val fired = plan()
     assert(fired("consolidate_graph") && fired("compact_text_tombstones")
-        && fired("reconcile") && fired("refresh_radii"), fired.toString)
+        && fired("reconcile") && fired("refresh_radii")
+        && fired("reelect_entries") && fired("compact_term_segments"),
+      fired.toString)
     // the verbs, one per trigger — each clears exactly its row
-    adj = GraphAnn.consolidateDeletes(adj, corpus, "vec_id", "embedding",
-      graphDead, degree = 4)
+    val (adj2, entries2) = GraphAnn.consolidateDeletesWithEntries(adj,
+      corpus, "vec_id", "embedding", graphDead, entries, degree = 4)
+    adj = adj2
+    entries = entries2
     Tombstones.compact(spark, textDir, Bm25Index.postingsDir(textDir),
       Seq("id"))
     Tombstones.compact(spark, textDir, Bm25Index.doclenDir(textDir),
@@ -454,11 +469,104 @@ class OperatorSpec extends SparkSpec {
     Tombstones.clear(spark, textDir)
     IvfIndex.refreshRadii(spark, model, "embedding")
     IndexSync.reconcileIvf(spark, live, "vec_id", "embedding", model)
+    graft.search.TermIndex.compactSegments(spark, textDir)
     val cleared = plan()
     assert(!cleared("consolidate_graph")
         && !cleared("compact_text_tombstones")
-        && !cleared("reconcile") && !cleared("refresh_radii"),
+        && !cleared("reconcile") && !cleared("refresh_radii")
+        && !cleared("reelect_entries")
+        && !cleared("compact_term_segments"),
       cleared.toString)
+  }
+
+  test("graph entry liveness: deleting the medoid strands a naive " +
+      "walk; consolidateDeletesWithEntries re-elects and serving holds") {
+    import graft.search.{GraphAnn, IndexAudit}
+    val r = new scala.util.Random(84)
+    val corpus = (0L until 40L).map(i =>
+        (i, Array.fill(4)((r.nextGaussian() * 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val adj = GraphAnn.buildAdjacency(corpus, "vec_id", "embedding",
+      GraphAnn.Params(degree = 4, nlist = 2))
+    val entry0 = GraphAnn.medoid(corpus, "vec_id", "embedding")
+    val medoidId = entry0.collect()(0).getLong(0)
+    val deletes = corpus
+      .where(col("vec_id") === medoidId || col("vec_id") % 13 === 2)
+      .select("vec_id")
+    val (adj2, entries2) = GraphAnn.consolidateDeletesWithEntries(adj,
+      corpus, "vec_id", "embedding", deletes, entry0, degree = 4)
+    // the hazard, demonstrated: a walk still seeded at the dead medoid
+    // visits one edgeless node and strands
+    val q = corpus.where(col("vec_id") === 1).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val stranded = GraphAnn.beamSearch(adj2, corpus, "vec_id",
+        "embedding", q, medoidId, k = 5, beamWidth = 4, rounds = 3,
+        degree = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(stranded == Seq(medoidId),
+      s"un-reelected walk should strand at the dead medoid: $stranded")
+    // the audit sees it (old entries) and confirms the verb fixed it
+    val deadSet = deletes
+    assert(IndexAudit.entryChecks(entry0, adj2, deadSet)
+      .collect()(0).getLong(1) == 1L)
+    assert(IndexAudit.entryChecks(entries2, adj2, deadSet)
+      .collect()(0).getLong(1) == 0L)
+    // re-elected entry = the survivor nearest the dead medoid
+    val medoidVec = corpus.where(col("vec_id") === medoidId)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val expected = corpus
+      .join(deletes.withColumnRenamed("vec_id", "__d"),
+        col("vec_id") === col("__d"), "left_anti")
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.l2Sq(col("embedding"),
+          typedlit(medoidVec)), 4).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(1).collect()(0).getLong(0)
+    val newEntryIds = entries2.select("entry_id").as[Long]
+      .collect().toSeq
+    assert(newEntryIds == Seq(expected),
+      s"re-election must pick the nearest survivor: " +
+        s"$newEntryIds vs $expected")
+    // serve WITHOUT manual re-election: seeded from the verb's output,
+    // the walk runs over survivors and returns a full result set
+    val served = GraphAnn.beamSearchMulti(adj2, corpus, "vec_id",
+        "embedding", q, entries2, k = 5, beamWidth = 4, rounds = 3,
+        degree = 4, nSeeds = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    val deadIds = deletes.as[Long].collect().toSet
+    assert(served.size == 5 && served.forall(!deadIds.contains(_)),
+      s"post-reelection serve must return 5 live rows: $served")
+  }
+
+  test("segment audit: a contract-violating duplicate-id append fires " +
+      "term_segment_straddlers; compactSegments clears the straddling") {
+    import graft.search.{IndexAudit, TermIndex}
+    val dir = "/tmp/graft_straddle_test"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"),
+      (3L, "gamma delta")).toDF("doc_id", "text")
+    TermIndex.buildSorted(docs, "doc_id", "text", dir)
+    def counters(): Map[String, Long] =
+      IndexAudit.segmentChecks(spark, dir)
+        .as[(String, Long)].collect().toMap
+    val c0 = counters()
+    assert(c0("term_segment_straddlers") == 0 && c0("term_segments") == 1,
+      c0.toString)
+    // the violating append: doc 1 re-enters in a NEW segment — its tf
+    // now double-counts across segments at serve time
+    TermIndex.appendSegment(docs.where(col("doc_id") === 1), "doc_id",
+      "text", dir)
+    val c1 = counters()
+    assert(c1("term_segment_straddlers") == 1 && c1("term_segments") == 2,
+      c1.toString)
+    // compaction merges segments — the STRADDLING clears (one segment
+    // left) even though the duplicated rows persist; the audit's job is
+    // to catch the violation before this fold hides it
+    TermIndex.compactSegments(spark, dir)
+    val c2 = counters()
+    assert(c2("term_segment_straddlers") == 0 && c2("term_segments") == 1,
+      c2.toString)
   }
 
   test("router: every input flips the serving-tier decision") {
@@ -571,6 +679,155 @@ class OperatorSpec extends SparkSpec {
     assert(rebalanced == after,
       s"rebalance under the alias must not change full-probe answers: " +
         s"$rebalanced vs $after")
+  }
+
+  test("alias-flip is the DEFAULT: root-addressed verbs publish, " +
+      "loaders resolve, mid-verb readers see one complete version on " +
+      "every family (IVF / term / BM25 / phrase)") {
+    import graft.search.{AliasedIndex, Bm25Index, Phrase, TermIndex,
+      Tombstones}
+    def del(d: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    val docs = Seq(
+      (1L, "alpha scan beta scan"), (2L, "scan merge gamma"),
+      (3L, "delta filter scan"), (4L, "epsilon scab merge"),
+      (5L, "zeta scan filter")).toDF("doc_id", "text")
+
+    // --- IVF: compactTombstonesRoot folds in v2; load(root) resolves ---
+    val r = new scala.util.Random(90)
+    val corpus = (0L until 30L).map(i =>
+        (i, Array.fill(4)((r.nextGaussian() * 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val iroot = "/tmp/graft_aliasdef_ivf"
+    del(iroot)
+    AliasedIndex.init(spark, iroot) { d =>
+      IvfIndex.build(corpus, "embedding", d, nlist = 2); ()
+    }
+    val q = corpus.where(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    def iServe(): Seq[(Long, Double)] = {
+      val m = IvfIndex.load(spark, iroot) // the ROOT — loader resolves
+      IvfIndex.search(spark, m, "embedding", "vec_id", q, 3, m.nlist)
+        .select("vec_id", "distance").as[(Long, Double)].collect().toSeq
+    }
+    IvfIndex.delete(corpus.where(col("vec_id") % 3 === 1)
+        .select("vec_id"),
+      IvfIndex.load(spark, iroot), "vec_id")
+    val iBefore = iServe() // masked
+    var iMid = false
+    AliasedIndex.maintain(spark, iroot) { d =>
+      // mid-verb: the root still resolves v1 and serves the complete
+      // masked answer while the fold rewrites the v2 copy
+      iMid = AliasedIndex.resolveDir(spark, iroot).endsWith("/v1") &&
+        iServe() == iBefore
+      IvfIndex.compactTombstones(spark, IvfIndex.load(spark, d),
+        "vec_id")
+    }
+    assert(iMid, "IVF mid-verb reader must see complete v1")
+    assert(AliasedIndex.currentVersion(spark, iroot) == 2)
+    assert(iServe() == iBefore, "folded serve must equal masked serve")
+    assert(!Tombstones.exist(spark,
+      AliasedIndex.resolveDir(spark, iroot)))
+    // and the self-routing root verb on an aliased root bumps again
+    IvfIndex.delete(corpus.where(col("vec_id") === 2).select("vec_id"),
+      IvfIndex.load(spark, iroot), "vec_id")
+    IvfIndex.compactTombstonesRoot(spark, iroot, "vec_id")
+    assert(AliasedIndex.currentVersion(spark, iroot) == 3)
+    assert(iServe().forall(_._1 != 2L))
+
+    // --- term: appendSegment lands in-place; compactSegments
+    // self-routes; prefixSearch(root) resolves ---
+    val troot = "/tmp/graft_aliasdef_term"
+    del(troot)
+    AliasedIndex.init(spark, troot) { d =>
+      TermIndex.buildSorted(docs.where(col("doc_id") <= 3), "doc_id",
+        "text", d)
+    }
+    TermIndex.appendSegment(docs.where(col("doc_id") > 3), "doc_id",
+      "text", troot)
+    assert(TermIndex.segments(spark,
+      AliasedIndex.resolveDir(spark, troot)) == Seq(0, 1),
+      "append must land as a segment of the CURRENT version")
+    val tBefore = TermIndex.prefixSearch(spark, troot, "sc", 10)
+      .as[(Long, Long)].collect().toSeq
+    var tMid = false
+    AliasedIndex.maintain(spark, troot) { d =>
+      tMid = AliasedIndex.resolveDir(spark, troot).endsWith("/v1") &&
+        TermIndex.prefixSearch(spark, troot, "sc", 10)
+          .as[(Long, Long)].collect().toSeq == tBefore
+      TermIndex.compactSegments(spark, d) // d is flat: in-place branch
+    }
+    assert(tMid, "term mid-verb reader must see complete v1")
+    assert(AliasedIndex.currentVersion(spark, troot) == 2)
+    assert(TermIndex.segments(spark,
+      AliasedIndex.resolveDir(spark, troot)) == Seq(0))
+    assert(TermIndex.prefixSearch(spark, troot, "sc", 10)
+      .as[(Long, Long)].collect().toSeq == tBefore)
+    // self-routing form directly on the aliased root
+    TermIndex.appendSegment(docs.where(col("doc_id") === 1), "doc_id",
+      "text", troot) // contract violation is fine for the layout test
+    TermIndex.compactSegments(spark, troot)
+    assert(AliasedIndex.currentVersion(spark, troot) == 3)
+
+    // --- BM25: compactTombstones(root) folds both artifacts in v2 ---
+    val broot = "/tmp/graft_aliasdef_bm25"
+    del(broot)
+    AliasedIndex.init(spark, broot) { d =>
+      Bm25Index.build(docs, "doc_id", "text", d)
+    }
+    Tombstones.record(docs.where(col("doc_id") === 2)
+        .select(col("doc_id").as("id")),
+      AliasedIndex.currentDir(spark, broot), "id")
+    val bBefore = Bm25Index.search(spark, broot, Seq("scan"), 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(bBefore.nonEmpty && bBefore.forall(_._1 != 2L))
+    var bMid = false
+    AliasedIndex.maintain(spark, broot) { d =>
+      bMid = AliasedIndex.resolveDir(spark, broot).endsWith("/v1") &&
+        Bm25Index.search(spark, broot, Seq("scan"), 10)
+          .as[(Long, Double)].collect().toSeq == bBefore
+      Bm25Index.compactTombstones(spark, d) // flat: in-place branch
+    }
+    assert(bMid, "BM25 mid-verb reader must see complete v1")
+    assert(AliasedIndex.currentVersion(spark, broot) == 2)
+    val bcur = AliasedIndex.resolveDir(spark, broot)
+    assert(!Tombstones.exist(spark, bcur))
+    assert(spark.read.parquet(Bm25Index.doclenDir(bcur))
+      .where(col("id") === 2).count() == 0,
+      "doclen must fold WITH postings in the same published version")
+    // post-fold SCORES legitimately change (statistics leave the
+    // stale-mask regime — the bm25_masked_search contract); the served
+    // DOCUMENT set must not
+    assert(Bm25Index.search(spark, broot, Seq("scan"), 10)
+      .as[(Long, Double)].collect().toSeq.map(_._1).sorted ==
+      bBefore.map(_._1).sorted)
+
+    // --- phrase: compactTombstones(root) folds positions in v2 ---
+    val proot = "/tmp/graft_aliasdef_phrase"
+    del(proot)
+    AliasedIndex.init(spark, proot) { d =>
+      Phrase.build(docs, "doc_id", "text", d)
+    }
+    Tombstones.record(docs.where(col("doc_id") === 1)
+        .select(col("doc_id").as("id")),
+      AliasedIndex.currentDir(spark, proot), "id")
+    val pBefore = Phrase.topK(spark, proot, Seq("scan"), 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(pBefore.nonEmpty && pBefore.forall(_._1 != 1L))
+    var pMid = false
+    AliasedIndex.maintain(spark, proot) { d =>
+      pMid = AliasedIndex.resolveDir(spark, proot).endsWith("/v1") &&
+        Phrase.topK(spark, proot, Seq("scan"), 10)
+          .as[(Long, Long)].collect().toSeq == pBefore
+      Phrase.compactTombstones(spark, d) // flat: in-place branch
+    }
+    assert(pMid, "phrase mid-verb reader must see complete v1")
+    assert(AliasedIndex.currentVersion(spark, proot) == 2)
+    assert(Phrase.topK(spark, proot, Seq("scan"), 10)
+      .as[(Long, Long)].collect().toSeq == pBefore)
   }
 
   test("IVF rebalance preserves version history (searchLatest composes)") {

@@ -186,6 +186,35 @@ class TombstonesSpec extends SparkSpec {
         s"rows: $served")
   }
 
+  test("radii read path is non-mutating: a reader in the crash window " +
+      "serves the aside table WITHOUT renaming it back") {
+    // ADVICE-r10: loadRadii (a SERVE path) used to run the rename-aside
+    // recovery probe — a reader resolving between writeRadiiTable's two
+    // renames could move __old back and corrupt the single writer's
+    // in-flight swap. Readers now read the aside copy in place; the
+    // rename recovery belongs to the next WRITER (foldRadii/refresh).
+    val dir = freshDir("radiiread")
+    val rows = (0L until 30L).map(i =>
+      (i, Array.fill(4)((i * 0.1).toFloat))).toDF("vec_id", "embedding")
+    IvfIndex.build(rows, "embedding", dir, nlist = 2)
+    val live = IvfIndex.loadRadii(spark, dir)
+    assert(live.size == 2)
+    val rd = new org.apache.hadoop.fs.Path(IvfIndex.radiiDir(dir))
+    val fs = rd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(IvfIndex.radiiDir(dir) + "__old")
+    assert(fs.rename(rd, old), "simulate the crash window")
+    val aside = IvfIndex.loadRadii(spark, dir)
+    assert(aside == live, "reader must serve the aside table")
+    assert(!fs.exists(rd) && fs.exists(old),
+      "reader must NOT have renamed the aside table back")
+    // the next writer pass (a fold via append) recovers and proceeds
+    IvfIndex.append(rows.where(col("vec_id") === 0)
+        .withColumn("vec_id", lit(100L)),
+      "embedding", IvfIndex.load(spark, dir))
+    assert(fs.exists(rd) && IvfIndex.loadRadii(spark, dir).size == 2,
+      "writer recovery restores the live table")
+  }
+
   test("bm25: masked search keeps stale stats, hides deleted docs") {
     val dir = freshDir("bm25")
     val docs = Seq(
