@@ -633,7 +633,7 @@ object DedupQueries {
         if (new java.io.File(graft.search.IvfIndex.centroidsDir(indexDir)).exists())
           graft.search.IvfIndex.load(s, indexDir)
         else graft.search.IvfIndex.build(e, "embedding", indexDir, nlist = 16)
-      stageOracle(s, "annk", dir)(
+      stageOracleOnce(s, "annk", dir)(
         "centroids" -> s.read.parquet(
           graft.search.IvfIndex.centroidsDir(indexDir)),
         "assign" -> s.read.parquet(graft.search.IvfIndex.dataDir(indexDir))
@@ -707,7 +707,7 @@ object DedupQueries {
         else graft.search.IvfIndex.build(e, "embedding", indexDir, nlist = 16)
       val assignments = s.read.parquet(graft.search.IvfIndex.dataDir(indexDir))
         .select(col("vec_id"), col("cluster_id"))
-      stageOracle(s, "semdedup", dir)("assign" -> assignments)
+      stageOracleOnce(s, "semdedup", dir)("assign" -> assignments)
       SemanticDedup.markDuplicates(e, assignments, "vec_id", "embedding",
           tau = 0.25, maxClusterSize = 10000)
         .orderBy(col("vec_id").asc)
@@ -805,7 +805,7 @@ object DedupQueries {
         if (new java.io.File(graft.search.IvfIndex.centroidsDir(indexDir)).exists())
           graft.search.IvfIndex.load(s, indexDir)
         else graft.search.IvfIndex.build(e, "embedding", indexDir, nlist = 16)
-      stageOracle(s, "recall", dir)(
+      stageOracleOnce(s, "annrecall", dir)(
         "centroids" -> s.read.parquet(
           graft.search.IvfIndex.centroidsDir(indexDir)),
         "assign" -> s.read.parquet(graft.search.IvfIndex.dataDir(indexDir))
@@ -894,7 +894,7 @@ object DedupQueries {
                    e.vec_id ASC) AS rn
           FROM embeddings e CROSS JOIN q) WHERE rn <= 5),
       centt AS (SELECT * FROM
-        read_parquet('/tmp/graft_recall_oracle_$OracleKey/centroids/*.parquet')),
+        read_parquet('/tmp/graft_annrecall_oracle_$OracleKey/centroids/*.parquet')),
       probed AS (SELECT qid, cluster_id FROM (
           SELECT q.qid, c.cluster_id,
                  row_number() OVER (PARTITION BY q.qid ORDER BY
@@ -904,7 +904,7 @@ object DedupQueries {
                    c.cluster_id ASC) AS crn
           FROM centt c CROSS JOIN q) WHERE crn <= 4),
       assign AS (SELECT * FROM
-        read_parquet('/tmp/graft_recall_oracle_$OracleKey/assign/*.parquet')),
+        read_parquet('/tmp/graft_annrecall_oracle_$OracleKey/assign/*.parquet')),
       ivf AS (SELECT qid, vec_id FROM (
           SELECT p.qid, a.vec_id,
                  row_number() OVER (PARTITION BY p.qid ORDER BY

@@ -42,6 +42,32 @@ object QueryDsl {
     out
   }
 
+  /** [[stageOracle]] for DETERMINISTIC handoffs — content that is a
+    * pure function of buildOnce/mutateOnce fixture state (staged
+    * adjacencies, centroid/assignment maps, radii tables): skipped
+    * when the final dir carries the `__graft_staged` marker, written
+    * only after the swap completes. This is the [[mutateOnce]]
+    * discipline applied to ORACLE staging: the bench's warm-up +
+    * measured passes were paying the same staging scans and
+    * single-file writes three times over (round-10 verdict item 7 —
+    * `index_maintenance_plan` re-scanned the data dir once for its
+    * live counters and once for the oracle's assign handoff, every
+    * pass). NOT for handoffs whose content changes between passes
+    * (live-mutated panels); `rm -rf` the staged dir when changing an
+    * entry's fixture logic, like every /tmp artifact here. */
+  def stageOracleOnce(spark: SparkSession, name: String, dir: String)
+                     (parts: (String, DataFrame)*): String = {
+    val out = oracleDir(name, dir)
+    val marker = new org.apache.hadoop.fs.Path(out, "__graft_staged")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      stageOracle(spark, name, dir)(parts: _*)
+      fs.create(marker, true).close()
+    }
+    out
+  }
+
   /** Run a deterministic artifact MUTATION (copy + rebalance / upsert /
     * compact flows) once per on-disk state: skipped when
     * `dir/__graft_mutated` exists. The marker is written only after

@@ -281,6 +281,52 @@ object ScaleBench {
           IvfIndex.refreshRadii(spark, model, "embedding")
           IvfIndex.loadRadii(spark, s"/tmp/graft_scale/ivf_$n").size.toLong
         }),
+        // full-family maintenance trigger scan (round 11): the NINE-row
+        // observe→plan pass (3 IVF verbs + graph consolidation + entry
+        // liveness + text tombstones + term segments + reconcile +
+        // radii) over real artifacts at this n — the #2 bench entry by
+        // round-10 cost, so its decades are measured, not inferred.
+        // Every metric is a bounded aggregate or listStatus; the pass
+        // should be scan-bound (t-exp ≤ ~1).
+        "maintenance_plan_full (9 triggers)" -> (() => {
+          import spark.implicits._
+          val (adj, entryId) = graphArtifacts(spark, emb, n)
+          val textDir = s"/tmp/graft_scale/mplan_text_$n"
+          QueryDsl.mutateOnce(spark, textDir) {
+            graft.search.Bm25Index.build(docs, "doc_id", "text", textDir)
+            graft.search.TermIndex.buildSorted(
+              docs.where(col("doc_id") % 3 =!= 2), "doc_id", "text",
+              textDir)
+            graft.search.TermIndex.appendSegment(
+              docs.where(col("doc_id") % 3 === 2), "doc_id", "text",
+              textDir)
+          }
+          val entries = Seq(entryId).toDF("entry_id")
+          val graphDead = emb.where(col("vec_id") % 101 === 5)
+            .select("vec_id")
+          val live = emb.where(col("vec_id") % 97 =!= 4)
+          graft.search.Maintenance.planFull(spark,
+            s"/tmp/graft_scale/ivf_$n", "vec_id", "embedding", live,
+            adj, graphDead, textDir, entries, textDir).count()
+        }),
+        // alias-discipline version copy (round 11): the bootstrap cost
+        // a PARTIAL-mutation verb pays under AliasedIndex.maintain
+        // (copy current -> v<N+1>, run the verb, publish) — a raw
+        // FileUtil byte copy of the whole index layout, no parquet
+        // decode. Full-rewrite verbs (compactions) skip it by writing
+        // the next version directly; this row is the honest price of
+        // the ones that cannot (rebalance's partition drops, radii
+        // folds). Expect linear in bytes (disk-bandwidth-bound).
+        "alias_version_copy (ivf layout)" -> (() => {
+          graft.search.AliasedIndex.copyVersion(spark,
+            s"/tmp/graft_scale/ivf_$n",
+            s"/tmp/graft_scale/ivf_aliascopy_$n/v2")
+          val p = new org.apache.hadoop.fs.Path(
+            s"/tmp/graft_scale/ivf_aliascopy_$n")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          1L
+        }),
         "ivf_dircopy (rebalance setup baseline)" -> (() => {
           copyDir(s"/tmp/graft_scale/ivf_$n",
             s"/tmp/graft_scale/ivf_rebalcopy_$n")
@@ -810,6 +856,7 @@ object ScaleBench {
         "graphann_lsh_candidates (auto bands)",
         "ivf_rebalance (cap=max/2)",
         "ivf_dircopy (rebalance setup baseline)",
+        "alias_version_copy (ivf layout)",
         "ivf_reconcile (1% drift)",
         "graphann_consolidate (1% deletes)")
       ops.filter(o => opFilter(o._1)).foreach { case (name, body) =>

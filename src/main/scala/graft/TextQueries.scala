@@ -1070,6 +1070,137 @@ object TextQueries {
       ORDER BY bm25 DESC, doc_id ASC LIMIT 10
     """))
 
+  /** SUFFIX term match ([[graft.search.TermIndex.suffixSearch]], round
+    * 11 — Lucene's ReversedWildcardFilter): `term LIKE '%er'` has no
+    * prefix to push, so the artifact is the REVERSED-term sorted layout
+    * and the suffix becomes a pushed `StringStartsWith(rterm, re)`
+    * range scan — the `sorted_scan_prune` discipline buying the other
+    * wildcard direction (this corpus: `customer`, `filter`, `order`
+    * all match). Leading+trailing (infix) wildcard stays a documented
+    * absence — that is n-gram-index territory. The oracle is the
+    * brute-force LIKE over every token; PlanSpec pins the pushed
+    * filter. */
+  private val termSuffixSearch = Q(
+    "term_suffix_search",
+    (s, dir) => {
+      import graft.search.TermIndex
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_suffix_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        TermIndex.buildSortedReversed(docs, "doc_id", "text", idx)
+      }
+      TermIndex.suffixSearch(s, idx, "er", k = 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH ttoks AS (SELECT doc_id,
+                            unnest(list_filter(
+                              string_split_regex(text, '\s+'),
+                              t -> len(t) > 0)) AS term
+                     FROM documents)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nhits
+      FROM ttoks WHERE term LIKE '%er'
+      GROUP BY doc_id
+      ORDER BY nhits DESC, doc_id ASC LIMIT 10
+    """))
+
+  /** FUZZY term match ([[graft.search.TermIndex.fuzzySearch]], round
+    * 11 — Lucene's FuzzyQuery, the lexical tier's last missing match
+    * mode after term/BM25/BM25F/phrase/slop/prefix): docs ranked by
+    * total occurrences of terms within edit distance 1 of the
+    * (misspelled) query `port` — which matches BOTH `sort` and `part`
+    * in this corpus, so the candidate tier must surface multiple
+    * dictionary terms. The serving path is SymSpell's
+    * deletion-neighborhood block join over the DISTINCT term
+    * dictionary (the [[graft.dedup.FuzzyJoin]] machinery, with the
+    * lossless |Δlen| ≤ d dictionary cut), then one postings equi-join;
+    * the oracle is brute-force `levenshtein` over every token of every
+    * document — a candidate the blocking missed, or a false verify,
+    * hash-mismatches. PlanSpec pins the no-cartesian plan. */
+  private val termFuzzySearch = Q(
+    "term_fuzzy_search",
+    (s, dir) => {
+      import graft.search.{Bm25Index, TermIndex}
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_prefix_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        TermIndex.buildSorted(docs, "doc_id", "text", idx)
+        Bm25Index.build(docs, "doc_id", "text", idx)
+      }
+      TermIndex.fuzzySearch(s, idx, "port", maxDist = 1, k = 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH ttoks AS (SELECT doc_id,
+                            unnest(list_filter(
+                              string_split_regex(text, '\s+'),
+                              t -> len(t) > 0)) AS term
+                     FROM documents)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nhits
+      FROM ttoks WHERE levenshtein(term, 'port') <= 1
+      GROUP BY doc_id
+      ORDER BY nhits DESC, doc_id ASC LIMIT 10
+    """))
+
+  /** Fuzzy-filtered BM25 — the Lucene clause model with a FUZZY filter
+    * clause ([[graft.search.TermIndex.fuzzyIds]] composing under the
+    * scorer exactly like the prefix and phrase clauses): docs
+    * containing any term within 1 edit of the misspelled `port`
+    * (`sort` and `part` both qualify) compete under corpus-wide BM25
+    * statistics for the scoring terms. The filter changes WHO
+    * competes, never how scores are computed; the oracle replays both
+    * the brute-force fuzzy match and the full BM25 arithmetic. */
+  private val fuzzyFilteredBm25 = Q(
+    "fuzzy_filtered_bm25",
+    (s, dir) => {
+      import graft.search.{Bm25Index, TermIndex}
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_prefix_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        TermIndex.buildSorted(docs, "doc_id", "text", idx)
+        Bm25Index.build(docs, "doc_id", "text", idx)
+      }
+      val ids = TermIndex.fuzzyIds(s, idx, "port", maxDist = 1)
+      Bm25Index.search(s, idx, Seq("scan", "filter", "merge"), k = 10,
+          idFilter = Some(ids))
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH ttoks AS (SELECT doc_id,
+                            unnest(string_split_regex(text, '\s+')) AS term
+                     FROM documents),
+      fm AS (SELECT DISTINCT doc_id FROM ttoks
+             WHERE len(term) > 0 AND levenshtein(term, 'port') <= 1),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST((SELECT sum(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)))
+                             FROM documents) AS DOUBLE) / count(*) AS avgdl
+                FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks
+             WHERE term IN ('scan', 'filter', 'merge')
+             GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dl AS (SELECT doc_id,
+                    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS DOUBLE) AS dl
+             FROM documents),
+      bm AS (SELECT tf.doc_id,
+                    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2)
+                      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))), 4) AS bm25
+             FROM tf JOIN dfq USING (term)
+                     JOIN dl ON dl.doc_id = tf.doc_id
+                     CROSS JOIN stats
+             GROUP BY tf.doc_id)
+      SELECT doc_id, bm25 FROM bm
+      WHERE doc_id IN (SELECT doc_id FROM fm)
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """))
+
   /** Incremental sorted-term maintenance ([[graft.search.TermIndex
     * .appendSegment]]) — the Lucene segment model for the prefix
     * layout: a raw file append would interleave term ranges and void
@@ -1379,6 +1510,7 @@ object TextQueries {
     sketchHeavyTokens, sketchTokenQuantiles, textNormalizeNfc,
     phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25,
     streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti,
-    termPrefixSearch, prefixFilteredBm25, termPrefixIncremental,
+    termPrefixSearch, prefixFilteredBm25, termFuzzySearch,
+    fuzzyFilteredBm25, termSuffixSearch, termPrefixIncremental,
     streamingPrefixIngest)
 }

@@ -418,7 +418,7 @@ object VectorQueries {
         else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
       val assign = s.read.parquet(IvfIndex.dataDir(indexDir))
         .select(col("vec_id"), col("cluster_id"))
-      stageOracle(s, "ivfsq8", dir)(
+      stageOracleOnce(s, "ivfsq8", dir)(
         "centroids" -> s.read.parquet(IvfIndex.centroidsDir(indexDir)),
         "assign" -> assign)
       val sq8 = graft.core.Artifacts.buildOnce(s,
@@ -492,7 +492,7 @@ object VectorQueries {
         if (new java.io.File(Rq.codesDir(rqDir) + "/_SUCCESS").exists())
           Rq.load(s, rqDir)
         else Rq.build(e, "embedding", "vec_id", rqDir, maxIter = 20)
-      stageOracle(s, "rq", dir)(
+      stageOracleOnce(s, "rq", dir)(
         "codebooks" -> s.read.parquet(Rq.codebooksDir(rqDir)))
       val query = e.where(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).toArray
@@ -619,7 +619,7 @@ object VectorQueries {
         else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
       val assign = s.read.parquet(IvfIndex.dataDir(indexDir))
         .select(col("vec_id"), col("cluster_id"))
-      stageOracle(s, "ivfasym", dir)(
+      stageOracleOnce(s, "ivfasym", dir)(
         "centroids" -> s.read.parquet(IvfIndex.centroidsDir(indexDir)),
         "assign" -> assign)
       val packed = graft.core.Artifacts.buildOnce(s,
@@ -725,7 +725,7 @@ object VectorQueries {
         if (new java.io.File(Rq.codesDir(rqDir) + "/_SUCCESS").exists())
           Rq.load(s, rqDir)
         else Rq.build(e, "embedding", "vec_id", rqDir, maxIter = 20)
-      stageOracle(s, "ivfrq", dir)(
+      stageOracleOnce(s, "ivfrq", dir)(
         "centroids" -> s.read.parquet(IvfIndex.centroidsDir(indexDir)),
         "assign" -> assign,
         "codebooks" -> s.read.parquet(Rq.codebooksDir(rqDir)))
@@ -830,9 +830,9 @@ object VectorQueries {
         if (new java.io.File(Rq.codesDir(rqDir) + "/_SUCCESS").exists())
           Rq.load(s, rqDir)
         else Rq.build(e, "embedding", "vec_id", rqDir, maxIter = 20)
-      stageOracle(s, "pq", dir)(
+      stageOracleOnce(s, "pq", dir)(
         "codebooks" -> s.read.parquet(Pq.codebooksDir(pqDir)))
-      stageOracle(s, "rq", dir)(
+      stageOracleOnce(s, "rq", dir)(
         "codebooks" -> s.read.parquet(Rq.codebooksDir(rqDir)))
       // SQ8: per-row dequantized error (scale + int8 recomputed in-plan,
       // exactly the sq8_rerank_search arithmetic)
@@ -979,9 +979,9 @@ object VectorQueries {
         if (new java.io.File(Rq.codesDir(rqDir) + "/_SUCCESS").exists())
           Rq.load(s, rqDir)
         else Rq.build(e, "embedding", "vec_id", rqDir, maxIter = 20)
-      stageOracle(s, "pq", dir)(
+      stageOracleOnce(s, "pq", dir)(
         "codebooks" -> s.read.parquet(Pq.codebooksDir(pqDir)))
-      stageOracle(s, "rq", dir)(
+      stageOracleOnce(s, "rq", dir)(
         "codebooks" -> s.read.parquet(Rq.codebooksDir(rqDir)))
       val qids = Seq(0L, 7L, 13L, 21L)
       val qmap = e.where(col("vec_id").isin(qids: _*))
@@ -1192,7 +1192,7 @@ object VectorQueries {
             graft.search.Pq.codesDir(indexDir) + "/_SUCCESS").exists())
           graft.search.Pq.load(s, indexDir)
         else graft.search.Pq.build(e, "embedding", "vec_id", indexDir)
-      stageOracle(s, "pq", dir)(
+      stageOracleOnce(s, "pq", dir)(
         "codebooks" -> s.read.parquet(graft.search.Pq.codebooksDir(indexDir)))
       val query = e.where(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).toArray
@@ -1252,7 +1252,7 @@ object VectorQueries {
             graft.search.Pq.codesDir(pqDir) + "/_SUCCESS").exists())
           graft.search.Pq.load(s, pqDir)
         else graft.search.Pq.build(e, "embedding", "vec_id", pqDir)
-      stageOracle(s, "ivfpq", dir)(
+      stageOracleOnce(s, "ivfpq", dir)(
         "centroids" -> s.read.parquet(graft.search.IvfIndex.centroidsDir(ivfDir)),
         "assign" -> s.read.parquet(graft.search.IvfIndex.dataDir(ivfDir))
           .select(col("vec_id"), col("cluster_id")),
@@ -1630,7 +1630,7 @@ object VectorQueries {
       : Seq[(Int, Array[Float])] = {
     import graft.search.Rotation
     val rows = Rotation.hadamardSignRows(64, "graft-bin-rot")
-    stageOracle(s, "binrot", dir)("rotation" -> Rotation.rowsToDf(s, rows))
+    stageOracleOnce(s, "binrot", dir)("rotation" -> Rotation.rowsToDf(s, rows))
     rows
   }
 
@@ -2464,7 +2464,7 @@ object VectorQueries {
       val entryDf = graft.core.Artifacts.buildOnce(s, s"$gBase/entry") {
         GraphAnn.medoid(e, "vec_id", "embedding")
       }
-      stageOracle(s, "recall", dir)(
+      stageOracleOnce(s, "recall", dir)(
         "codebooks" -> s.read.parquet(Pq.codebooksDir(pqDir)),
         "centroids" -> s.read.parquet(IvfIndex.centroidsDir(ivfDir)),
         "assign" -> s.read.parquet(IvfIndex.dataDir(ivfDir))
@@ -2783,7 +2783,7 @@ object VectorQueries {
       s"/tmp/graft_rot_${math.abs(dir.hashCode)}") {
       Rotation.learn(e, "embedding", dim = 64, k = 16)
     }
-    stageOracle(s, "mrlrot", dir)("rotation" -> rotDf)
+    stageOracleOnce(s, "mrlrot", dir)("rotation" -> rotDf)
     Rotation.collectRows(rotDf)
   }
 
@@ -2934,7 +2934,7 @@ object VectorQueries {
       s"/tmp/graft_rot64_${math.abs(dir.hashCode)}") {
       Rotation.learn(e, "embedding", dim = 64, k = 64)
     }
-    stageOracle(s, "opqrot", dir)("rotation" -> rotDf)
+    stageOracleOnce(s, "opqrot", dir)("rotation" -> rotDf)
     Rotation.collectRows(rotDf)
   }
 
@@ -2961,7 +2961,7 @@ object VectorQueries {
       if (new java.io.File(Pq.codesDir(opqDir) + "/_SUCCESS").exists())
         Pq.load(s, opqDir)
       else Pq.build(rotated, "rvec", "vec_id", opqDir)
-    stageOracle(s, "opqivfpq", dir)(
+    stageOracleOnce(s, "opqivfpq", dir)(
       "centroids" -> s.read.parquet(IvfIndex.centroidsDir(ivfDir)),
       "assign" -> s.read.parquet(IvfIndex.dataDir(ivfDir))
         .select(col("vec_id"), col("cluster_id")),
@@ -2993,7 +2993,7 @@ object VectorQueries {
         if (new java.io.File(Pq.codesDir(opqDir) + "/_SUCCESS").exists())
           Pq.load(s, opqDir)
         else Pq.build(rotated, "rvec", "vec_id", opqDir)
-      stageOracle(s, "opq", dir)(
+      stageOracleOnce(s, "opq", dir)(
         "codebooks" -> s.read.parquet(Pq.codebooksDir(opqDir)))
       val rq = rotated.where(col("vec_id") === 0).select("rvec")
         .collect()(0).getSeq[Float](0).toArray
@@ -3139,9 +3139,9 @@ object VectorQueries {
         if (new java.io.File(Pq.codesDir(opqDir) + "/_SUCCESS").exists())
           Pq.load(s, opqDir)
         else Pq.build(rotated, "rvec", "vec_id", opqDir)
-      stageOracle(s, "pq", dir)(
+      stageOracleOnce(s, "pq", dir)(
         "codebooks" -> s.read.parquet(Pq.codebooksDir(pqDir)))
-      stageOracle(s, "opq", dir)(
+      stageOracleOnce(s, "opq", dir)(
         "codebooks" -> s.read.parquet(Pq.codebooksDir(opqDir)))
       val qids = Seq(0L, 7L, 13L, 21L)
       val origQ = e.where(col("vec_id").isin(qids: _*))

@@ -818,6 +818,42 @@ object GraphAnn {
     row.getDouble(0) / row.getDouble(1)
   }
 
+  /** [[estimateSelectivity]] by deterministic hash sample — the
+    * warehouse form the exact version's scaladoc promised (round-11
+    * item: the router/filtered-dispatch path must not pay two
+    * full-corpus counts per query at 100 TB). The sample is the
+    * [[TrainSample]] discipline verbatim: keep rows whose
+    * `xxhash64(hashCol) mod 1e6` falls under `cap/n` ppm — a pure
+    * function of the value, so the estimate is REPRODUCIBLE across
+    * reruns, engines and repartitioning (not `sample()`'s
+    * seed-and-partition lottery), and the scan reads only the hash +
+    * predicate columns of the sampled rows. Corpora at or under the
+    * cap estimate exactly (small-fixture oracles byte-identical — the
+    * TrainSample contract), so only the ≥cap tier pays sampling error:
+    * the derived beam width needs order-of-magnitude accuracy only,
+    * and GraphAnnSpec bounds the error on an over-cap fixture. An
+    * empty sample (possible under an adversarial cap) degrades to the
+    * exact form rather than dividing by zero. The estimate is NOT
+    * SQL-replayable (xxhash64 has no DuckDB twin), so entries stage it
+    * as a 1-row handoff and the oracle takes it as an input — the
+    * query-vector discipline. */
+  def estimateSelectivitySampled(corpus: DataFrame,
+                                 predicate: org.apache.spark.sql.Column,
+                                 hashCol: org.apache.spark.sql.Column,
+                                 n: Long,
+                                 cap: Long = TrainSample.DefaultCap)
+      : Double = {
+    require(cap > 0)
+    if (n <= cap) return estimateSelectivity(corpus, predicate)
+    val keepPpm = math.max(1L, math.ceil(cap.toDouble * 1e6 / n).toLong)
+    val row = corpus
+      .where(pmod(xxhash64(hashCol), lit(1000000L)) < keepPpm)
+      .agg(count(when(predicate, 1)).cast("double").as("m"),
+        count(lit(1)).cast("double").as("n")).collect()(0)
+    if (row.getDouble(1) == 0) estimateSelectivity(corpus, predicate)
+    else row.getDouble(0) / row.getDouble(1)
+  }
+
   /** [[filteredBeamSearch]] with the beam sized by the predicate's
     * selectivity ([[adaptiveBeamWidth]]) — the production filtered-ANN
     * discipline: over-retrieve by ~1/sel instead of hoping a fixed

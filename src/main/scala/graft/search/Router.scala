@@ -32,52 +32,106 @@ import org.apache.spark.sql.types._
   *     `exactFloorSelectivity` OR the tier is 'flat') — below the floor
   *     the filtered subset is so small that exact-over-survivors beats
   *     any index ([[GraphAnn.filteredSearchAuto]]'s dispatch rule,
-  *     promoted to the router).
+  *     promoted to the router) — AND (round 11) its serving residency
+  *     `mem_bytes` fits `memoryBudget` when one is given: the panel's
+  *     bytes column (the `quantizer_error_report` arithmetic promoted
+  *     to an input) is what lets a RAM-constrained deployment route to
+  *     SQ8/PQ instead of OOMing on flat — Milvus's quantized index
+  *     tiers exist for exactly this axis.
   *  2. a tier MEETS the target iff eligible AND panel recall ≥ target.
   *  3. CHOSEN = the meeting tier with minimum cost, tier-name
   *     tie-break; if none meets, the eligible tier with the highest
   *     recall (cost tie-break) — degrade predictably, never refuse.
   *
+  * PANEL FRESHNESS (round 11): a measured panel is only as good as the
+  * artifacts it measured — after a rebalance/compaction/alias-flip the
+  * costs and recalls are yesterday's. [[artifactFingerprint]] derives a
+  * key from each tier artifact's published version (aliased roots) or
+  * layout mtime (flat dirs); cache the panel UNDER that key and any
+  * maintenance that changes an artifact forces a re-measure (the
+  * OperatorSpec pin).
+  *
   * Returns one row per panel tier: (tier, present, filter_capable,
-  * eligible, recall, cost, meets_target, chosen), tier-ascending. */
+  * eligible, recall, cost, mem_bytes, meets_target, chosen),
+  * tier-ascending. */
 object Router {
   final case class Tier(name: String, present: Boolean,
                         filterCapable: Boolean)
 
+  /** Freshness key over the tier artifacts a panel measures: per root,
+    * the current published version when aliased ([[AliasedIndex]]),
+    * else the layout's latest file mtime — so ANY maintenance verb
+    * (alias advance, in-place fold, rebuild) changes the key. Cheap:
+    * one listStatus per root. */
+  def artifactFingerprint(spark: SparkSession, roots: Seq[String]): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parts = roots.map { r =>
+      val vs = AliasedIndex.publishedVersions(spark, r)
+      if (vs.nonEmpty) s"v${vs.last}"
+      else {
+        val p = new org.apache.hadoop.fs.Path(r)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) "absent"
+        else {
+          def newest(q: org.apache.hadoop.fs.Path): Long = {
+            val st = fs.listStatus(q)
+            if (st.isEmpty) fs.getFileStatus(q).getModificationTime
+            else st.map(s =>
+              if (s.isDirectory) newest(s.getPath)
+              else s.getModificationTime).max
+          }
+          s"m${newest(p)}"
+        }
+      }
+    }
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(parts.mkString("|"))
+        .toLong & 0xffffffffL)
+  }
+
   def plan(spark: SparkSession, panel: DataFrame, tiers: Seq[Tier],
            selectivity: Double, recallTarget: Double,
-           exactFloorSelectivity: Double = 0.0625): DataFrame = {
+           exactFloorSelectivity: Double = 0.0625,
+           memoryBudget: Option[Long] = None): DataFrame = {
     require(selectivity > 0 && selectivity <= 1.0)
     val byName = tiers.map(t => t.name -> t).toMap
-    val p = panel.select(col("tier"), col("recall").cast("double"),
-        col("cost").cast("long"))
+    // a round-10 panel has no mem_bytes column — treat it as 0 (always
+    // fits), so legacy panels keep their decisions
+    val withMem =
+      if (panel.columns.contains("mem_bytes")) panel
+      else panel.withColumn("mem_bytes", lit(0L))
+    val p = withMem.select(col("tier"), col("recall").cast("double"),
+        col("cost").cast("long"), col("mem_bytes").cast("long"))
       .collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3)))
       .sortBy(_._1)
-    val rows = p.map { case (name, recall, cost) =>
+    val rows = p.map { case (name, recall, cost, mem) =>
       val t = byName.getOrElse(name, Tier(name, present = false,
         filterCapable = false))
       val eligible = t.present &&
         (selectivity >= 1.0 || t.filterCapable) &&
-        (selectivity >= exactFloorSelectivity || name == "flat")
+        (selectivity >= exactFloorSelectivity || name == "flat") &&
+        memoryBudget.forall(mem <= _)
       val meets = eligible && recall >= recallTarget
-      (name, t.present, t.filterCapable, eligible, recall, cost, meets)
+      (name, t.present, t.filterCapable, eligible, recall, cost, mem,
+        meets)
     }
     val chosen: Option[String] = {
-      val meeting = rows.filter(_._7)
+      val meeting = rows.filter(_._8)
       if (meeting.nonEmpty)
-        Some(meeting.minBy { case (n, _, _, _, _, c, _) => (c, n) }._1)
+        Some(meeting.minBy { case (n, _, _, _, _, c, _, _) => (c, n) }._1)
       else {
         val eligible = rows.filter(_._4)
         if (eligible.isEmpty) None
         else Some(eligible
-          .minBy { case (n, _, _, _, r, c, _) => (-r, c, n) }._1)
+          .minBy { case (n, _, _, _, r, c, _, _) => (-r, c, n) }._1)
       }
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(
-        rows.map { case (n, pr, fc, el, r, c, m) =>
-          Row(n, pr, fc, el, r, c, m, chosen.contains(n))
+        rows.map { case (n, pr, fc, el, r, c, mem, m) =>
+          Row(n, pr, fc, el, r, c, mem, m, chosen.contains(n))
         }.toSeq, 1),
       StructType(Seq(
         StructField("tier", StringType, nullable = false),
@@ -86,6 +140,7 @@ object Router {
         StructField("eligible", BooleanType, nullable = false),
         StructField("recall", DoubleType, nullable = false),
         StructField("cost", LongType, nullable = false),
+        StructField("mem_bytes", LongType, nullable = false),
         StructField("meets_target", BooleanType, nullable = false),
         StructField("chosen", BooleanType, nullable = false))))
   }

@@ -173,6 +173,112 @@ object TermIndex {
       spark, indexDir, "id")
   }
 
+  def reversedPostingsDir(indexDir: String): String =
+    s"$indexDir/postings_rsorted"
+
+  /** Build the REVERSED-term sorted layout — the suffix-match twin of
+    * [[buildSorted]] (Lucene's ReversedWildcardFilter: `term LIKE
+    * '%xyz'` has no prefix to push, but over rev(term) it becomes the
+    * pushed prefix `rev(xyz)%` — the same sorted-layout range scan).
+    * Rows are (id, rterm, tf) with rterm = reverse(term),
+    * range-partitioned and sorted by rterm, so a suffix query reads
+    * one contiguous sliver exactly like [[prefixPostings]]. A LEADING
+    *+trailing wildcard (infix) stays out of scope — that is n-gram
+    * territory, documented absence. */
+  def buildSortedReversed(docs: DataFrame, idCol: String, textCol: String,
+                          indexDir: String, nFiles: Int = 8): Unit = {
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    docs.select(col(idCol).cast("long").as("id"), explode(toks).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("id"), reverse(col("term")).as("rterm"), col("tf"))
+      .repartitionByRange(nFiles, col("rterm"))
+      .sortWithinPartitions(col("rterm"), col("id"))
+      .write.mode("overwrite").parquet(reversedPostingsDir(indexDir))
+  }
+
+  /** Suffix-match top-k: docs ranked by total occurrences of terms
+    * ending in `suffix` (Σ tf over the matched slice — the
+    * [[prefixSearch]] unit), id tie-break, served as a PUSHED
+    * StringStartsWith over the reversed layout (PlanSpec pins it).
+    * Tombstone-masked. Returns (id, nhits). */
+  def suffixSearch(spark: SparkSession, indexDir0: String, suffix: String,
+                   k: Int): DataFrame = {
+    require(suffix.nonEmpty, "suffixSearch: empty suffix matches all")
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
+    val scored = spark.read.parquet(reversedPostingsDir(indexDir))
+      .where(col("rterm").startsWith(suffix.reverse))
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).cast("long").as("nhits"))
+    Tombstones.mask(scored, spark, indexDir, "id")
+      .orderBy(col("nhits").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Terms of the dictionary within `maxDist` edits of `term` — the
+    * candidate tier of fuzzy term match (Lucene's FuzzyQuery walks a
+    * Levenshtein automaton over its sorted term dictionary; the
+    * lakehouse-scale analogue is SymSpell's deletion-neighborhood
+    * block join, machinery this engine already ships in
+    * [[graft.dedup.FuzzyJoin]]): the DISTINCT term dictionary is
+    * length-filtered LOSSLESSLY first (|len(t) − len(q)| ≤ maxDist is
+    * necessary for lev ≤ maxDist — and it keeps the deletion-variant
+    * generation off pathological long tokens), its delete-variants
+    * equi-join the query's own neighborhood, and every candidate is
+    * verified by exact `levenshtein`. Cost: one distinct over the
+    * postings' term column (far smaller than the postings), O(len²)
+    * variants for the query, a broadcast equi-join — no cartesian
+    * (PlanSpec pins it). Returns (term, dist). */
+  def fuzzyTerms(spark: SparkSession, indexDir: String, term: String,
+                 maxDist: Int): DataFrame = {
+    require(term.nonEmpty && maxDist >= 1 && maxDist <= 2)
+    import spark.implicits._
+    val dict = spark.read.parquet(
+        sortedPostingsDir(AliasedIndex.resolveDir(spark, indexDir)))
+      .select(col("term")).distinct()
+      .where(abs(length(col("term")) - lit(term.length)) <= maxDist)
+    val keys = graft.dedup.FuzzyJoin.keyTable(dict, "term", "term",
+      maxDist)
+    val q = Seq(term).toDF("q_term")
+    graft.dedup.FuzzyJoin.lookup(keys, q, "q_term", "q_term", maxDist)
+      .select(col("dict_id").as("term"), col("dist"))
+  }
+
+  /** Fuzzy term-match top-k: docs ranked by TOTAL occurrences of terms
+    * within `maxDist` edits of `term` (Σ tf over the matched slice —
+    * the [[prefixSearch]]/phrase `nhits` unit), id tie-break.
+    * Tombstone-masked. Returns (id, nhits). */
+  def fuzzySearch(spark: SparkSession, indexDir0: String, term: String,
+                  maxDist: Int, k: Int): DataFrame = {
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
+    val matched = fuzzyTerms(spark, indexDir, term, maxDist)
+      .select(col("term"))
+    val scored = spark.read.parquet(sortedPostingsDir(indexDir))
+      .drop("seg")
+      .join(broadcast(matched), Seq("term"))
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).cast("long").as("nhits"))
+    Tombstones.mask(scored, spark, indexDir, "id")
+      .orderBy(col("nhits").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Distinct ids of documents containing ANY term within `maxDist`
+    * edits of `term` — the FILTER form, composing with BM25 exactly
+    * like [[prefixIds]]/[[Phrase.matchingIds]] (a fuzzy clause under a
+    * scoring query). Tombstone-masked. */
+  def fuzzyIds(spark: SparkSession, indexDir0: String, term: String,
+               maxDist: Int): DataFrame = {
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
+    val matched = fuzzyTerms(spark, indexDir, term, maxDist)
+      .select(col("term"))
+    Tombstones.mask(
+      spark.read.parquet(sortedPostingsDir(indexDir)).drop("seg")
+        .join(broadcast(matched), Seq("term"))
+        .select(col("id")).distinct(),
+      spark, indexDir, "id")
+  }
+
   /** Prefix-match top-k: docs ranked by TOTAL occurrences of
     * prefix-matching terms (Σ tf over the matched slice), id
     * tie-break — the term-match ranking unit (`nhits`), same as the

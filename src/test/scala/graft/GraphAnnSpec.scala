@@ -383,6 +383,33 @@ class GraphAnnSpec extends SparkSpec {
       first.map { case (id, _, d) => (d, id) }.sorted)
   }
 
+  test("sampled selectivity estimate: exact under the cap, bounded " +
+      "error and deterministic over it") {
+    import spark.implicits._
+    val n = 4000L
+    val df = (0L until n).map(i =>
+        (i, Seq((i % 977).toFloat, (i % 31).toFloat), i % 10))
+      .toDF("vec_id", "embedding", "label")
+    val pred = col("label") < 3 // true selectivity 0.3
+    val exactSel = GraphAnn.estimateSelectivity(df, pred)
+    assert(math.abs(exactSel - 0.3) < 1e-9)
+    // under the cap: sampled ≡ exact (the TrainSample contract —
+    // small-fixture oracles stay byte-identical)
+    assert(GraphAnn.estimateSelectivitySampled(df, pred,
+      col("embedding"), n, cap = 8192) == exactSel)
+    // over the cap: order-of-magnitude accuracy is the contract (the
+    // derived beam width is a clamp); this fixture's hash sample lands
+    // well inside ±0.1 absolute, and the estimate is a pure function
+    // of the values — two calls agree exactly
+    val s1 = GraphAnn.estimateSelectivitySampled(df, pred,
+      col("embedding"), n, cap = 512)
+    val s2 = GraphAnn.estimateSelectivitySampled(df, pred,
+      col("embedding"), n, cap = 512)
+    assert(s1 == s2, "hash sample must be deterministic")
+    assert(math.abs(s1 - exactSel) <= 0.1,
+      s"sampled estimate drifted past the bound: $s1 vs $exactSel")
+  }
+
   test("visited-budget guard rejects an over-degree adjacency") {
     // an adjacency with true degree 23 walked under a declared degree of
     // 1 must trip the budget require instead of silently ballooning

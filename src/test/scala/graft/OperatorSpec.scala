@@ -610,6 +610,61 @@ class OperatorSpec extends SparkSpec {
       .where(col("chosen"))
       .select("tier", "meets_target").as[(String, Boolean)].collect()(0)
     assert(fb == ("ivf", false), fb.toString)
+    // memory budget (v2): a budget below a tier's residency makes it
+    // ineligible however cheap it is — the cheapest FITTING tier wins
+    val memPanel = Seq(
+      ("flat", 1.0, 1000L, 4000L),
+      ("graph", 0.92, 385L, 5000L),
+      ("ivf", 0.95, 125L, 4100L),
+      ("sq8", 0.93, 1000L, 1000L))
+      .toDF("tier", "recall", "cost", "mem_bytes")
+    val memTiers = all :+ Tier("sq8", present = true,
+      filterCapable = false)
+    def chosenAt(budget: Long): String =
+      Router.plan(spark, memPanel, memTiers, 1.0, 0.9,
+          memoryBudget = Some(budget))
+        .where(col("chosen")).select("tier").as[String].collect()(0)
+    assert(chosenAt(10000L) == "ivf")   // everything fits: cheapest
+    assert(chosenAt(2000L) == "sq8")    // only the quantized tier fits
+    // a legacy panel without mem_bytes is treated as always-fitting
+    assert(Router.plan(spark, panel, all, 1.0, 0.9,
+        memoryBudget = Some(1L))
+      .where(col("chosen")).select("tier").as[String].collect()(0)
+      == "ivf")
+  }
+
+  test("router panel freshness: maintenance flips the fingerprint, " +
+      "forcing a re-measure") {
+    import graft.search.{AliasedIndex, IvfIndex, Router}
+    val root = "/tmp/graft_fp_test"
+    val flat = "/tmp/graft_fp_flat_test"
+    Seq(root, flat).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    val corpus = (0L until 20L).map(i =>
+        (i, Array.fill(4)((i * 0.3).toFloat))).toDF("vec_id", "embedding")
+    AliasedIndex.init(spark, root) { d =>
+      IvfIndex.build(corpus, "embedding", d, nlist = 2); ()
+    }
+    IvfIndex.build(corpus, "embedding", flat, nlist = 2)
+    val fp1 = Router.artifactFingerprint(spark, Seq(root, flat))
+    assert(fp1 == Router.artifactFingerprint(spark, Seq(root, flat)),
+      "fingerprint must be stable with no maintenance")
+    // an alias ADVANCE (any maintenance verb under the default
+    // discipline) bumps the published version -> new key -> the
+    // buildOnce'd panel path changes and the panel re-measures
+    AliasedIndex.advance(spark, root) { (cur, next) =>
+      graft.core.Artifacts.copyLocalDir(cur, next)
+    }
+    val fp2 = Router.artifactFingerprint(spark, Seq(root, flat))
+    assert(fp2 != fp1, s"version bump must flip the key: $fp1 -> $fp2")
+    // flat-dir maintenance (rebuild in place) flips it via mtime
+    Thread.sleep(1100) // mtime granularity
+    IvfIndex.build(corpus, "embedding", flat, nlist = 2)
+    val fp3 = Router.artifactFingerprint(spark, Seq(root, flat))
+    assert(fp3 != fp2, s"flat rebuild must flip the key: $fp2 -> $fp3")
   }
 
   test("aliased index: readers see exactly one complete version " +

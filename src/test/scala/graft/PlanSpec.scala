@@ -252,6 +252,32 @@ class PlanSpec extends SparkSpec {
       s"prefix not pushed to the sorted postings scan: $pushed")
   }
 
+  test("suffix term match: reversed StringStartsWith reaches the " +
+      "reversed-term sorted scan") {
+    Queries.all("term_suffix_search")(spark, dir).collect() // builds idx
+    val pushed = Queries.all("term_suffix_search")(spark, dir)
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metadata.getOrElse("PushedFilters", "")
+      }.mkString
+    assert(pushed.contains("StringStartsWith(rterm,re)"),
+      s"suffix not pushed to the reversed postings scan: $pushed")
+  }
+
+  test("fuzzy term match: deletion-neighborhood equi-join, no cartesian") {
+    // the SymSpell block join must plan as variant-key equi-joins with
+    // the (tiny) candidate side broadcast — a naive lev(term, q) filter
+    // over the postings × dictionary would nest-loop
+    Queries.all("term_prefix_search")(spark, dir).collect() // builds idx
+    val idx = s"/tmp/graft_prefix_${math.abs(dir.hashCode)}"
+    val p = graft.search.TermIndex
+      .fuzzySearch(spark, idx, "port", maxDist = 1, k = 10)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy term match must stay equi-join:\n$p")
+  }
+
   test("graph-ann serving: adjacency fetch is a pushed frontier lookup") {
     Queries.all("graph_ann_search")(spark, dir).collect() // builds artifacts
     val adj = spark.read.parquet(
