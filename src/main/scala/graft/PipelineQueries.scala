@@ -4605,48 +4605,61 @@ object PipelineQueries {
     """))
 
   /** Recall of the α-RNG-pruned build vs the capped-kNN build at the
-    * SAME degree (8) and walk budget (beam 4 × 10 rounds) — round 11:
+    * SAME degree (8) and walk budget (beam 4 × 6 rounds) — round 11:
     * measured on a corpus where diversity PAYS, so the registry row
     * itself shows the strict win (r10's entry tied 0.6667/0.6667 on
     * the near-uniform embeddings fixture — on that geometry α = 1.2
     * domination never fires and the prune is a no-op, which is honest
     * but demonstrates nothing). The corpus is the GraphAnnSpec ladder
-    * promoted to a STAGED fixture: 10 micro-clusters × 9 near-duplicate
+    * promoted to a STAGED fixture: 6 micro-clusters × 9 near-duplicate
     * points along a line — every point's 8 nearest are clique
     * siblings, so capped-kNN spends the whole degree budget inside the
     * cluster and the walk from the medoid can never bridge to the far
     * end, while RobustPrune dominates siblings and keeps
     * adjacent-cluster edges: same degree, strictly more reachable
     * recall (Vamana's actual claim, Subramanya et al. 2019 §3). Both
-    * builds, the entry, and the CORPUS are staged; the oracle replays
-    * both 10-round walks and both recall numbers over the staged
-    * corpus — the two rows must differ in the green output. */
+    * builds are buildOnce artifacts (deterministic; the prune
+    * arithmetic itself is hash-checked by graph_ann_pruned_build and
+    * the 10-cluster shape spec-pinned in GraphAnnSpec — re-deriving
+    * them per bench pass cost 31 s for zero information); the WALKS
+    * stay live. Builds, entry, and the CORPUS are staged; the oracle
+    * replays both 6-round walks (MATERIALIZED CTEs — a deep chain
+    * explodes under DuckDB's inlining) and both recall numbers over
+    * the staged corpus — the two rows must differ in the green
+    * output. */
   private val graphAnnPrunedRecall = Q(
     "graph_ann_pruned_recall",
     (s, dir) => {
       import graft.search.GraphAnn
       import s.implicits._
-      val pts = for (c <- 0 until 10; j <- 0 until 9) yield {
+      val pts = for (c <- 0 until 6; j <- 0 until 9) yield {
         val base = 3.0f * c
         ((c * 9 + j).toLong,
           Array(base + j * 0.001f, j * 0.001f, 0.0f, 0.0f))
       }
       val rows = pts.toDF("vec_id", "embedding")
       val p = GraphAnn.Params(degree = 8, nlist = 2, overlap = 2)
-      val adjPlain = GraphAnn.buildAdjacency(rows, "vec_id",
-        "embedding", p)
-      val adjPruned = GraphAnn.buildAdjacencyPruned(rows, "vec_id",
-        "embedding", p, alpha = 1.2, candCap = 16)
-      val entryDf = GraphAnn.medoid(rows, "vec_id", "embedding")
-      stageOracle(s, "prunrecA", dir)(
+      val lbase = s"/tmp/graft_ladder_${math.abs(dir.hashCode)}"
+      val adjPlain = graft.core.Artifacts.buildOnce(s, s"$lbase/plain") {
+        GraphAnn.buildAdjacency(rows, "vec_id", "embedding", p)
+      }
+      val adjPruned = graft.core.Artifacts.buildOnce(s,
+          s"$lbase/pruned") {
+        GraphAnn.buildAdjacencyPruned(rows, "vec_id", "embedding", p,
+          alpha = 1.2, candCap = 16)
+      }
+      val entryDf = graft.core.Artifacts.buildOnce(s, s"$lbase/entry") {
+        GraphAnn.medoid(rows, "vec_id", "embedding")
+      }
+      stageOracleOnce(s, "prunrecA", dir)(
         "adjacency" -> adjPlain.select("src", "dst"),
         "entry" -> entryDf,
         "corpus" -> rows)
-      stageOracle(s, "prunrecB", dir)(
+      stageOracleOnce(s, "prunrecB", dir)(
         "adjacency" -> adjPruned.select("src", "dst"),
         "entry" -> entryDf)
       val entryId = entryDf.collect()(0).getLong(0)
-      val q = Array(27.0f, 0.0f, 0.0f, 0.0f) // the ladder's far end
+      val q = Array(15.0f, 0.0f, 0.0f, 0.0f) // the ladder's far end
       val exact = rows.select(col("vec_id"),
           round(VectorFunctions.l2Sq(col("embedding"),
             typedlit(q.toSeq)), 4).as("d"))
@@ -4655,7 +4668,7 @@ object PipelineQueries {
       def recallOf(adj: org.apache.spark.sql.DataFrame,
                    name: String) = {
         val walked = GraphAnn.beamSearch(adj, rows, "vec_id",
-            "embedding", q, entryId, k = 5, beamWidth = 4, rounds = 10,
+            "embedding", q, entryId, k = 5, beamWidth = 4, rounds = 6,
             degree = 8)
           .select(col("vec_id"), lit(1).as("hit"))
         exact.join(walked, Seq("vec_id"), "left")
@@ -4669,16 +4682,16 @@ object PipelineQueries {
     },
     Some(s"""
       WITH qs AS (SELECT CAST(0 AS BIGINT) AS qid,
-                         [27.0, 0.0, 0.0, 0.0] AS qv),
-      ${bulkWalkCtesExpr("prunrecA", "4", rounds = 10, prefix = "ka",
+                         [15.0, 0.0, 0.0, 0.0] AS qv),
+      ${bulkWalkCtesExpr("prunrecA", "4", rounds = 6, prefix = "ka",
         corpusFrom = "read_parquet('/tmp/graft_prunrecA_oracle_" +
           "%ORACLE_KEY%/corpus/*.parquet')", materialized = true)},
-      ${bulkWalkCtesExpr("prunrecB", "4", rounds = 10, prefix = "kb",
+      ${bulkWalkCtesExpr("prunrecB", "4", rounds = 6, prefix = "kb",
         corpusFrom = "read_parquet('/tmp/graft_prunrecA_oracle_" +
           "%ORACLE_KEY%/corpus/*.parquet')", materialized = true)},
       ex AS (SELECT id FROM kadall ORDER BY d ASC, id ASC LIMIT 5),
-      wa AS (SELECT id FROM kav10 ORDER BY d ASC, id ASC LIMIT 5),
-      wb AS (SELECT id FROM kbv10 ORDER BY d ASC, id ASC LIMIT 5)
+      wa AS (SELECT id FROM kav6 ORDER BY d ASC, id ASC LIMIT 5),
+      wb AS (SELECT id FROM kbv6 ORDER BY d ASC, id ASC LIMIT 5)
       SELECT build, CAST(8 AS BIGINT) AS degree,
              CAST(1 AS BIGINT) AS n_queries, recall
       FROM (

@@ -38,31 +38,44 @@ object Maintenance {
         StructField("threshold", LongType, nullable = false),
         StructField("triggered", BooleanType, nullable = false))))
 
-  /** The IVF family's three core trigger rows, as raw Rows (shared by
-    * [[plan]] and [[planFull]]). */
-  private def ivfRows(spark: SparkSession, indexDir: String, idCol: String,
-                      versionDebtFrac: Double, tombstoneFrac: Double,
-                      skewFactor: Double): Seq[Row] = {
-    val counters = IndexAudit.versionChecks(spark, indexDir, idCol)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  /** The IVF family's metric FRAME — the versioning counters plus the
+    * list-size stats, as (k, v) rows with NO action triggered: every
+    * consumer unions further metric frames onto it and collects ONCE
+    * (round 11: the previous per-metric `collect()`s cost ~10 Spark
+    * actions per [[planFull]] pass — the same information is one
+    * multi-source union plan whose independent scans schedule in
+    * parallel inside a single job). */
+  private def ivfMetrics(spark: SparkSession, indexDir: String,
+                         idCol: String): DataFrame = {
+    val vc = IndexAudit.versionChecks(spark, indexDir, idCol)
+      .select(col("check_name").as("k"), col("value").as("v"))
+    // empty data dir: zero groups -> count 0, sum/max NULL -> coalesce
+    // to zeros (no action triggers on an empty index) instead of an NPE
     val stats = spark.read.option("mergeSchema", "true")
       .parquet(IvfIndex.dataDir(indexDir))
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
-      .agg(sum(col("sz")).as("total"), max(col("sz")).as("mx"),
+      .agg(coalesce(sum(col("sz")), lit(0L)).as("total"),
+        coalesce(max(col("sz")), lit(0L)).as("mx"),
         count(lit(1)).as("nlists"))
-      .collect()(0)
-    // an empty data dir aggregates to NULLs — degrade to zeros (no
-    // action triggers on an empty index) instead of an NPE
-    val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-    val maxList = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-    val nLists = stats.getLong(2)
-    val avgList = total / math.max(1L, nLists)
+      .selectExpr("stack(3, 'ivf_total', total, 'ivf_max_list', mx, " +
+        "'ivf_nlists', nlists) AS (k, v)")
+    vc.unionByName(stats.select(col("k"), col("v").cast("long").as("v")))
+  }
+
+  /** Assemble the IVF family's three core trigger rows from a
+    * collected metric map (shared by [[plan]] and [[planFull]]). */
+  private def ivfRowsFrom(m: Map[String, Long], versionDebtFrac: Double,
+                          tombstoneFrac: Double,
+                          skewFactor: Double): Seq[Row] = {
+    val total = m("ivf_total")
+    val avgList = total / math.max(1L, m("ivf_nlists"))
     Seq(
-      mkRow("compact_tombstones", counters("ver_tombstone_keys"),
+      mkRow("compact_tombstones", m("ver_tombstone_keys"),
         (total * tombstoneFrac).toLong),
-      mkRow("compact_versions", counters("ver_superseded_rows"),
+      mkRow("compact_versions", m("ver_superseded_rows"),
         (total * versionDebtFrac).toLong),
-      mkRow("rebalance", maxList, (avgList * skewFactor).toLong))
+      mkRow("rebalance", m("ivf_max_list"),
+        (avgList * skewFactor).toLong))
   }
 
   /** One row per candidate action: (action, metric, threshold,
@@ -70,9 +83,12 @@ object Maintenance {
     * fraction so the replaying oracle needs no float comparison. */
   def plan(spark: SparkSession, indexDir: String, idCol: String,
            versionDebtFrac: Double = 0.10, tombstoneFrac: Double = 0.05,
-           skewFactor: Double = 4.0): DataFrame =
-    toDf(spark, ivfRows(spark, indexDir, idCol, versionDebtFrac,
-      tombstoneFrac, skewFactor))
+           skewFactor: Double = 4.0): DataFrame = {
+    val m = ivfMetrics(spark, indexDir, idCol)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    toDf(spark, ivfRowsFrom(m, versionDebtFrac, tombstoneFrac,
+      skewFactor))
+  }
 
   /** The observe→plan loop over EVERY index family (round 10 — the
     * three-verb [[plan]] read a third of the audit surface; this reads
@@ -126,8 +142,8 @@ object Maintenance {
                graphDebtFrac: Double = 0.05,
                textTombstoneFrac: Double = 0.05,
                segmentCap: Int = 2): DataFrame = {
-    val base = ivfRows(spark, indexDir, idCol, versionDebtFrac,
-      tombstoneFrac, skewFactor)
+    def kv(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("k"), col("value").cast("long").as("v"))
     // graph: dead-touching edge rows vs the artifact's edge count —
     // two broadcast EQUI semi-joins unioned (an OR-join would both
     // double-count a both-endpoints-dead edge and plan as a nested
@@ -135,20 +151,21 @@ object Maintenance {
     val dead = broadcast(graphDeadKeys
       .select(col(graphDeadKeys.columns.head).cast("long").as("__dead"))
       .distinct())
-    val edges = adj.count()
-    val deadEdges = adj
+    val edgesDf = kv("graph_edges",
+      adj.agg(count(lit(1)).as("value")))
+    val deadEdgesDf = kv("graph_dead_edges", adj
       .join(dead, col("src") === col("__dead"), "left_semi")
       .unionByName(adj.join(dead, col("dst") === col("__dead"),
         "left_semi"))
-      .select(col("src"), col("dst")).distinct().count()
-    val graphRow = mkRow("consolidate_graph", deadEdges,
-      (edges * graphDebtFrac).toLong)
+      .select(col("src"), col("dst")).distinct()
+      .agg(count(lit(1)).as("value")))
     // text: tombstone keys vs the doclen table's document count
-    val nDocs = spark.read.parquet(Bm25Index.doclenDir(textIndexDir))
-      .agg(countDistinct(col("id"))).collect()(0).getLong(0)
-    val textRow = mkRow("compact_text_tombstones",
-      Tombstones.count(spark, textIndexDir),
-      (nDocs * textTombstoneFrac).toLong)
+    val nDocsDf = kv("text_docs",
+      spark.read.parquet(Bm25Index.doclenDir(textIndexDir))
+        .agg(countDistinct(col("id")).as("value")))
+    val textTombDf = kv("text_tombstones",
+      Tombstones.table(spark, textIndexDir, "id")
+        .agg(count(lit(1)).as("value")))
     // reconcile: both drift directions against the live corpus. The
     // artifact side is tombstone-MASKED, exactly like
     // [[IndexSync.reconcileIvf]]'s own diffs — so running the verb
@@ -161,26 +178,40 @@ object Maintenance {
         .select(col(idCol)).distinct(),
       spark, indexDir, idCol)
     val corpusIds = liveCorpus.select(col(idCol))
-    val orphans = artIds.join(corpusIds, Seq(idCol), "left_anti").count()
-    val missing = corpusIds.join(artIds, Seq(idCol), "left_anti").count()
-    val reconcileRow = mkRow("reconcile", orphans + missing, 0L)
-    // radii: violations (wrong answers) + missing (unaccelerated
-    // clusters; = all of them on a legacy pre-radii index) — both cured
-    // by refreshRadii, both schedule it
-    val viol = IndexAudit.radiiChecks(spark, indexDir, vecCol)
+    val orphansDf = kv("reconcile_orphans",
+      artIds.join(corpusIds, Seq(idCol), "left_anti")
+        .agg(count(lit(1)).as("value")))
+    val missingDf = kv("reconcile_missing",
+      corpusIds.join(artIds, Seq(idCol), "left_anti")
+        .agg(count(lit(1)).as("value")))
+    // radii (violations = wrong answers; missing = unaccelerated — both
+    // cured by refreshRadii) and entry liveness, already (k, v)-shaped
+    val radiiDf = IndexAudit.radiiChecks(spark, indexDir, vecCol)
+      .select(col("check_name").as("k"), col("value").as("v"))
+    val entryDf = IndexAudit.entryChecks(entries, adj, graphDeadKeys)
+      .select(col("check_name").as("k"), col("value").as("v"))
+    // lexical segment debt: one listStatus, no Spark job at all
+    val nSegs = TermIndex.segments(spark,
+      AliasedIndex.resolveDir(spark, termIndexDir)).size.toLong
+    // ONE action for the whole observe pass: every family's bounded
+    // aggregate is a branch of one union plan (independent scans
+    // schedule in parallel within the job) instead of its own collect —
+    // the round-11 answer to "the trigger scan is the #2 bench entry"
+    val m = Seq(ivfMetrics(spark, indexDir, idCol), edgesDf, deadEdgesDf,
+        nDocsDf, textTombDf, orphansDf, missingDf, radiiDf, entryDf)
+      .reduce(_ unionByName _)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = ivfRowsFrom(m, versionDebtFrac, tombstoneFrac, skewFactor)
+    val graphRow = mkRow("consolidate_graph", m("graph_dead_edges"),
+      (m("graph_edges") * graphDebtFrac).toLong)
+    val textRow = mkRow("compact_text_tombstones", m("text_tombstones"),
+      (m("text_docs") * textTombstoneFrac).toLong)
+    val reconcileRow = mkRow("reconcile",
+      m("reconcile_orphans") + m("reconcile_missing"), 0L)
     val radiiRow = mkRow("refresh_radii",
-      viol("ivf_radius_violations") + viol("ivf_radius_missing"), 0L)
-    // graph entry liveness: dead/stranded seeds strand walks — verb is
-    // re-election, threshold 0 (one adjacency semi-join scan)
-    val entryDead = IndexAudit.entryChecks(entries, adj, graphDeadKeys)
-      .collect()(0).getLong(1)
-    val entryRow = mkRow("reelect_entries", entryDead, 0L)
-    // lexical segment debt: one listStatus, no scan
-    val segRow = mkRow("compact_term_segments",
-      TermIndex.segments(spark,
-        AliasedIndex.resolveDir(spark, termIndexDir)).size.toLong,
-      segmentCap.toLong)
+      m("ivf_radius_violations") + m("ivf_radius_missing"), 0L)
+    val entryRow = mkRow("reelect_entries", m("entry_points_dead"), 0L)
+    val segRow = mkRow("compact_term_segments", nSegs, segmentCap.toLong)
     toDf(spark,
       (base ++ Seq(graphRow, textRow, reconcileRow, radiiRow, entryRow,
         segRow))
