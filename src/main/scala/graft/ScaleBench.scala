@@ -554,6 +554,40 @@ object ScaleBench {
             TermIndex.buildSorted(docs, "doc_id", "text", dir)
           TermIndex.prefixSearch(spark, dir, "w13", k = 10).count()
         }),
+        // fuzzy term match (round 11): dictionary-distinct + deletion-
+        // neighborhood block join + postings equi-join. The dict
+        // distinct is the only term that grows with postings; the
+        // synthetic vocab keeps many wNN terms within 1 edit of the
+        // query, so the candidate tier does real work at every n.
+        "term_fuzzy_serve (d=1 dict block join)" -> (() => {
+          import graft.search.TermIndex
+          val dir = s"/tmp/graft_scale/prefix_$n"
+          if (TermIndex.segments(spark, dir).isEmpty)
+            TermIndex.buildSorted(docs, "doc_id", "text", dir)
+          TermIndex.fuzzySearch(spark, dir, "w13", maxDist = 1,
+            k = 10).count()
+        }),
+        // suffix match (round 11): pushed StringStartsWith over the
+        // REVERSED-term sorted layout — the prefix discipline's twin;
+        // expect the same corpus-flat serve shape.
+        "term_suffix_build (reversed layout)" -> (() => {
+          import graft.search.TermIndex
+          val dir = s"/tmp/graft_scale/suffix_$n"
+          val p = new org.apache.hadoop.fs.Path(
+            TermIndex.reversedPostingsDir(dir))
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          TermIndex.buildSortedReversed(docs, "doc_id", "text", dir)
+          1L
+        }),
+        "term_suffix_serve (pushed reversed range)" -> (() => {
+          import graft.search.TermIndex
+          // "13" matches ~1% of the 5000-term vocab (…13) — the same
+          // matching-postings fraction as the prefix row's "w13", so
+          // the two serve rows are directly comparable
+          TermIndex.suffixSearch(spark, s"/tmp/graft_scale/suffix_$n",
+            "13", k = 10).count()
+        }),
         // m-term slop (round 10, VERDICT-r9 item 8): the m−1 id-joins'
         // fan-out under hot terms is the one phrase shape that had no
         // measured decade. Per-doc work is bounded by per-doc term
