@@ -4142,8 +4142,10 @@ object PipelineQueries {
     * here INCLUDES the serving medoid, so [[graft.search.GraphAnn
     * .consolidateDeletes]] strips every edge at the walk's seed and an
     * un-re-elected serve strands at one edgeless node (OperatorSpec
-    * demonstrates that failure shape). The verb re-elects each dead
-    * entry to the SURVIVOR nearest its vector (rounded L2², id
+    * demonstrates that failure shape). The verb re-elects each dead OR
+    * stranded entry to the EDGE-SOURCING survivor nearest its vector
+    * (round 12: candidates restricted to post-fold adjacency sources so
+    * the new seed always starts a walk; rounded L2², id
     * tie-break — per-row arithmetic, exactly replayable cross-engine,
     * unlike a distributed-mean medoid recompute whose summation order
     * can drift a float), and serving seeds from the verb's OUTPUT with
@@ -4200,6 +4202,7 @@ object PipelineQueries {
              WHERE vec_id IN (SELECT entry_id FROM oldent)),
       ent AS (SELECT e.vec_id AS entry_id FROM embeddings e, ov
               WHERE e.vec_id NOT IN (SELECT vec_id FROM dead)
+                AND e.vec_id IN (SELECT src FROM adj)
               ORDER BY %L2OLD% ASC, e.vec_id ASC LIMIT 1),
       dall AS (SELECT e.vec_id AS id, %L2% AS d FROM embeddings e, q),
       v0 AS (SELECT id, d FROM dall

@@ -132,7 +132,11 @@ object Bm25Index {
   /** Absorb a new batch by file append — the [[append]] contract,
     * fielded. */
   def appendFielded(batch: DataFrame, idCol: String,
-                    fieldCols: Seq[String], indexDir: String): Unit = {
+                    fieldCols: Seq[String], indexDir0: String): Unit = {
+    // aliased-root resolution, exactly like [[append]]: a fielded append
+    // against an aliased root must land in the SERVED version dir, or
+    // the update is silently invisible to searchFielded's resolved path
+    val indexDir = AliasedIndex.resolveDir(batch.sparkSession, indexDir0)
     val (p, d) = tokenizeFielded(batch, idCol, fieldCols)
     p.write.mode("append").parquet(postingsDir(indexDir))
     d.write.mode("append").parquet(doclenDir(indexDir))

@@ -611,34 +611,71 @@ object GraphAnn {
     * collapse (a seed set is a set). Input `entries` needs `entry_id`
     * (the [[medoid]] shape) — vectors are fetched from the corpus;
     * returns `(entry_id, entry_vec)`, the [[entryPoints]] artifact
-    * shape, id-ascending. */
+    * shape, id-ascending.
+    *
+    * `adj` (round 12, the ADVICE corner): pass the POST-consolidation
+    * adjacency and re-election also covers the LIVE-but-STRANDED entry —
+    * one whose every out-edge vanished because all its neighbors died
+    * during [[consolidateDeletes]] (and no repair edge re-landed on
+    * it). [[IndexAudit.entryChecks]] counts exactly that entry as dead,
+    * so without this the `reelect_entries` trigger fires, the verb
+    * passes the entry through untouched, and the trigger never clears.
+    * With `adj`, stranded entries join the re-elect set AND candidate
+    * survivors are restricted to ids that SOURCE an edge — a seed must
+    * start a walk, and electing the stranded entry as its own nearest
+    * survivor (distance 0) would strand it forever. Without `adj` the
+    * pre-round-12 tombstone-only semantics hold. */
   def reelectEntries(entries: DataFrame, corpus: DataFrame, idCol: String,
-                     vecCol: String, deletes: DataFrame): DataFrame = {
+                     vecCol: String, deletes: DataFrame,
+                     adj: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
     val dead = broadcast(deletes
       .select(col(deletes.columns.head).cast("long").as("__dead"))
       .distinct())
     val eIds = entries.select(col("entry_id").cast("long").as("entry_id"))
       .distinct()
+    // entry ids that source at least one post-consolidation edge — the
+    // entryChecks liveSrc shape: one adjacency scan, the (≤ nEntries)
+    // entry set broadcast into a semi-join
+    val strandedIds: DataFrame = adj match {
+      case Some(a) =>
+        val liveSrc = a
+          .join(broadcast(eIds.withColumnRenamed("entry_id", "src")),
+            Seq("src"), "left_semi")
+          .select(col("src").cast("long").as("entry_id")).distinct()
+        eIds.join(dead, col("entry_id") === col("__dead"), "left_anti")
+          .join(liveSrc, Seq("entry_id"), "left_anti")
+      case None => eIds.limit(0)
+    }
     val cVec = corpus.select(col(idCol).cast("long").as("entry_id"),
       col(vecCol).as("entry_vec"))
     val liveEntries = eIds
       .join(dead, col("entry_id") === col("__dead"), "left_anti")
+      .join(broadcast(strandedIds), Seq("entry_id"), "left_anti")
       .join(cVec, Seq("entry_id"))
-    // dead entries: a bounded collect (≤ nEntries rows — the
-    // query-vector handoff discipline), vectors from the PRE-fold corpus
+    // re-elect set (tombstoned ∪ stranded): a bounded collect
+    // (≤ nEntries rows — the query-vector handoff discipline), vectors
+    // from the PRE-fold corpus
     val deadEntries = eIds
       .join(dead, col("entry_id") === col("__dead"), "left_semi")
+      .unionByName(strandedIds).distinct()
       .join(cVec, Seq("entry_id"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
     if (deadEntries.isEmpty)
       return liveEntries.orderBy(col("entry_id").asc)
     import spark.implicits._
     val oldVecs = deadEntries.toSeq.toDF("__old_id", "__ov")
-    val survivors = corpus
+    val survivors0 = corpus
       .select(col(idCol).cast("long").as("entry_id"),
         col(vecCol).as("entry_vec"))
       .join(dead, col("entry_id") === col("__dead"), "left_anti")
+    // with adj: only edge-sourcing survivors are electable (see doc)
+    val survivors = adj match {
+      case Some(a) => survivors0.join(
+        a.select(col("src").cast("long").as("entry_id")).distinct(),
+        Seq("entry_id"), "left_semi")
+      case None => survivors0
+    }
     val w = Window.partitionBy(col("__old_id"))
       .orderBy(col("__d").asc, col("entry_id").asc)
     val reelected = survivors.crossJoin(broadcast(oldVecs))
@@ -665,9 +702,14 @@ object GraphAnn {
                                     idCol: String, vecCol: String,
                                     deletes: DataFrame, entries: DataFrame,
                                     degree: Int = 8)
-      : (DataFrame, DataFrame) =
-    (consolidateDeletes(adj, corpus, idCol, vecCol, deletes, degree),
-      reelectEntries(entries, corpus, idCol, vecCol, deletes))
+      : (DataFrame, DataFrame) = {
+    val a2 = consolidateDeletes(adj, corpus, idCol, vecCol, deletes,
+      degree)
+    // re-election sees the POST-fold adjacency so a live entry whose
+    // every out-edge died is re-anchored too (round 12)
+    (a2, reelectEntries(entries, corpus, idCol, vecCol, deletes,
+      Some(a2)))
+  }
 
   /** MIPS-routed beam walk — the inner-product member of the metric ×
     * index matrix (ip-Greedy over a proximity graph: Morozov & Babenko,

@@ -124,7 +124,11 @@ object IndexAudit {
     * 1e-9 slack absorbs recompute drift on the boundary row (the max
     * member sits EXACTLY at its cluster's radius). */
   def radiiChecks(spark: org.apache.spark.sql.SparkSession,
-                  indexDir: String, vecCol: String): DataFrame = {
+                  indexDir0: String, vecCol: String): DataFrame = {
+    // audit the SERVED version (like segmentChecks): an aliased root has
+    // no root-level data/ dir, so an unresolved read throws — and an
+    // audit of anything but the serving version would be the wrong debt
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
     val data = spark.read.option("mergeSchema", "true")
       .parquet(IvfIndex.dataDir(indexDir))
     // a PRE-radii index (no stored table — the loadRadii degradation
@@ -230,7 +234,9 @@ object IndexAudit {
     * + deletes dir; on a never-upserted, tombstone-free index every
     * counter is 0. */
   def versionChecks(spark: org.apache.spark.sql.SparkSession,
-                    indexDir: String, idCol: String): DataFrame = {
+                    indexDir0: String, idCol: String): DataFrame = {
+    // aliased-root resolution — see [[radiiChecks]]
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
     val scan0 = spark.read.option("mergeSchema", "true")
       .parquet(IvfIndex.dataDir(indexDir))
     val scan =

@@ -81,9 +81,14 @@ object Maintenance {
   /** One row per candidate action: (action, metric, threshold,
     * triggered), action-ascending. Integer thresholds floor the
     * fraction so the replaying oracle needs no float comparison. */
-  def plan(spark: SparkSession, indexDir: String, idCol: String,
+  def plan(spark: SparkSession, indexDir0: String, idCol: String,
            versionDebtFrac: Double = 0.10, tombstoneFrac: Double = 0.05,
            skewFactor: Double = 4.0): DataFrame = {
+    // observe the SERVED version: an aliased root keeps data/deletes
+    // under vN, so the unresolved dataDir read would throw (and the
+    // debt that matters is the serving version's) — resolve ONCE here,
+    // like every reader
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
     val m = ivfMetrics(spark, indexDir, idCol)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     toDf(spark, ivfRowsFrom(m, versionDebtFrac, tombstoneFrac,
@@ -133,15 +138,22 @@ object Maintenance {
     * Every metric/threshold stays `metric > threshold` in absolute
     * rows derived from artifacts the caller can inspect — bounded
     * aggregates, driver-assembled rows, same as [[plan]]. */
-  def planFull(spark: SparkSession, indexDir: String, idCol: String,
+  def planFull(spark: SparkSession, indexDir0: String, idCol: String,
                vecCol: String, liveCorpus: DataFrame, adj: DataFrame,
-               graphDeadKeys: DataFrame, textIndexDir: String,
+               graphDeadKeys: DataFrame, textIndexDir0: String,
                entries: DataFrame, termIndexDir: String,
                versionDebtFrac: Double = 0.10,
                tombstoneFrac: Double = 0.05, skewFactor: Double = 4.0,
                graphDebtFrac: Double = 0.05,
                textTombstoneFrac: Double = 0.05,
                segmentCap: Int = 2): DataFrame = {
+    // resolve BOTH roots once (see [[plan]]): fixtures hand aliased
+    // roots by default now, and the unresolved reads (ivf data dir,
+    // BM25 doclen, text tombstones) would throw on root-level paths
+    // that only exist inside vN — or worse, silently miss the serving
+    // version's tombstone debt
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
+    val textIndexDir = AliasedIndex.resolveDir(spark, textIndexDir0)
     def kv(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("k"), col("value").cast("long").as("v"))
     // graph: dead-touching edge rows vs the artifact's edge count —

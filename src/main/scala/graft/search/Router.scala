@@ -60,9 +60,16 @@ object Router {
 
   /** Freshness key over the tier artifacts a panel measures: per root,
     * the current published version when aliased ([[AliasedIndex]]),
-    * else the layout's latest file mtime — so ANY maintenance verb
+    * else (round 12, the ADVICE hardening) the layout's latest file
+    * mtime PLUS file count PLUS total byte size — mtime alone has
+    * 1-second granularity on many filesystems, so an in-place rebuild
+    * within the same second as the prior measure would leave the cached
+    * panel stale; a rebuild that changes any file's size or the file
+    * set flips the key even inside one mtime tick. Any maintenance verb
     * (alias advance, in-place fold, rebuild) changes the key. Cheap:
-    * one listStatus per root. */
+    * one recursive listing per flat root, one listStatus per aliased
+    * root. Keyed with a 64-bit FNV-1a over the full parts string (the
+    * 32-bit murmur key's collision surface retired). */
   def artifactFingerprint(spark: SparkSession, roots: Seq[String]): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val parts = roots.map { r =>
@@ -73,20 +80,29 @@ object Router {
         val fs = p.getFileSystem(conf)
         if (!fs.exists(p)) "absent"
         else {
-          def newest(q: org.apache.hadoop.fs.Path): Long = {
+          // (max mtime, file count, total bytes) in one recursive walk
+          def stat(q: org.apache.hadoop.fs.Path): (Long, Long, Long) = {
             val st = fs.listStatus(q)
-            if (st.isEmpty) fs.getFileStatus(q).getModificationTime
-            else st.map(s =>
-              if (s.isDirectory) newest(s.getPath)
-              else s.getModificationTime).max
+            if (st.isEmpty)
+              (fs.getFileStatus(q).getModificationTime, 0L, 0L)
+            else st.map { s =>
+              if (s.isDirectory) stat(s.getPath)
+              else (s.getModificationTime, 1L, s.getLen)
+            }.reduce { (a, b) =>
+              (math.max(a._1, b._1), a._2 + b._2, a._3 + b._3)
+            }
           }
-          s"m${newest(p)}"
+          val (mt, n, bytes) = stat(p)
+          s"m$mt.n$n.b$bytes"
         }
       }
     }
-    java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(parts.mkString("|"))
-        .toLong & 0xffffffffL)
+    // 64-bit FNV-1a — deterministic across JVMs, no seed, public domain
+    var h = 0xcbf29ce484222325L
+    parts.mkString("|").foreach { c =>
+      h ^= c.toLong; h *= 0x100000001b3L
+    }
+    java.lang.Long.toHexString(h)
   }
 
   def plan(spark: SparkSession, panel: DataFrame, tiers: Seq[Tier],

@@ -85,9 +85,14 @@ object TermIndex {
     * stream's batchId makes a replay overwrite its own segment —
     * Spark's own idempotent-sink discipline. */
   def writeSegment(batch: DataFrame, idCol: String, textCol: String,
-                   indexDir: String, n: Int, nFiles: Int = 8): Unit =
+                   indexDir0: String, n: Int, nFiles: Int = 8): Unit = {
+    // aliased-root resolution, like [[appendSegment]]: a replay-keyed
+    // segment written at the ROOT of an aliased layout would be
+    // invisible to every resolved reader (round-12 ADVICE)
+    val indexDir = AliasedIndex.resolveDir(batch.sparkSession, indexDir0)
     sortedTokens(batch, idCol, textCol, nFiles)
       .write.mode("overwrite").parquet(segDir(indexDir, n))
+  }
 
   /** Existing segment numbers, ascending (empty for a flat pre-segment
     * layout). */

@@ -48,10 +48,16 @@ object Tombstones {
 
   /** Record a batch of deleted keys: appends `ids` (single key column,
     * cast to long) under `indexDir/deletes/`. Re-deleting an id is
-    * harmless — [[table]] reads the key set distinct. */
-  def record(ids: DataFrame, indexDir: String, idCol: String): Unit =
+    * harmless — [[table]] reads the key set distinct. Aliased-root
+    * aware (round 12): a delete recorded against an aliased ROOT must
+    * land in the SERVED version's deletes dir, or every masked reader
+    * (which resolves to `root/vN`) keeps serving the deleted docs —
+    * the writer-side half of the no-caller-side-resolution contract. */
+  def record(ids: DataFrame, indexDir0: String, idCol: String): Unit = {
+    val indexDir = AliasedIndex.resolveDir(ids.sparkSession, indexDir0)
     ids.select(col(idCol).cast("long").as(idCol))
       .write.mode("append").parquet(deletesDir(indexDir))
+  }
 
   /** The distinct tombstone key set (empty 1-column frame if none). */
   def table(spark: SparkSession, indexDir: String, idCol: String): DataFrame =

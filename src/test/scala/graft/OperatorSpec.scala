@@ -833,9 +833,10 @@ class OperatorSpec extends SparkSpec {
     AliasedIndex.init(spark, broot) { d =>
       Bm25Index.build(docs, "doc_id", "text", d)
     }
+    // record against the ROOT — writer-side resolution is the default
+    // discipline since round 12 (no caller-side currentDir)
     Tombstones.record(docs.where(col("doc_id") === 2)
-        .select(col("doc_id").as("id")),
-      AliasedIndex.currentDir(spark, broot), "id")
+        .select(col("doc_id").as("id")), broot, "id")
     val bBefore = Bm25Index.search(spark, broot, Seq("scan"), 10)
       .as[(Long, Double)].collect().toSeq
     assert(bBefore.nonEmpty && bBefore.forall(_._1 != 2L))
@@ -867,8 +868,7 @@ class OperatorSpec extends SparkSpec {
       Phrase.build(docs, "doc_id", "text", d)
     }
     Tombstones.record(docs.where(col("doc_id") === 1)
-        .select(col("doc_id").as("id")),
-      AliasedIndex.currentDir(spark, proot), "id")
+        .select(col("doc_id").as("id")), proot, "id")
     val pBefore = Phrase.topK(spark, proot, Seq("scan"), 10)
       .as[(Long, Long)].collect().toSeq
     assert(pBefore.nonEmpty && pBefore.forall(_._1 != 1L))
@@ -883,6 +883,25 @@ class OperatorSpec extends SparkSpec {
     assert(AliasedIndex.currentVersion(spark, proot) == 2)
     assert(Phrase.topK(spark, proot, Seq("scan"), 10)
       .as[(Long, Long)].collect().toSeq == pBefore)
+
+    // --- fielded BM25: appendFielded against the ROOT lands in the
+    // served version (the round-12 ADVICE gap: an unresolved fielded
+    // append wrote root/postings, which the resolved serve never read) ---
+    val fdocs = Seq((1L, "scan title", "alpha body"),
+      (2L, "merge title", "scan scan body")).toDF("doc_id", "title", "body")
+    val froot = "/tmp/graft_aliasdef_bm25f"
+    del(froot)
+    AliasedIndex.init(spark, froot) { d =>
+      Bm25Index.buildFielded(fdocs, "doc_id", Seq("title", "body"), d)
+    }
+    Bm25Index.appendFielded(
+      Seq((3L, "scan appended", "gamma")).toDF("doc_id", "title", "body"),
+      "doc_id", Seq("title", "body"), froot)
+    val fIds = Bm25Index.searchFielded(spark, froot, Seq("scan"), 10,
+        Seq("title" -> 2.0, "body" -> 1.0))
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(fIds.contains(3L),
+      "fielded append against the aliased root must be served")
   }
 
   test("IVF rebalance preserves version history (searchLatest composes)") {
