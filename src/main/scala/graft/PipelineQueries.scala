@@ -655,6 +655,241 @@ object PipelineQueries {
     },
     Some(exactTop5Oracle))
 
+  /** ROUTER-WIRED auto-rewrite (round 12 — the round-11 verdict's #1):
+    * the [[graft.plans.IvfProbeRewrite]] rule CONSULTS
+    * [[graft.search.Router.plan]] instead of unconditionally choosing
+    * IVF, so the SAME naive `orderBy(l2).limit(k)` lands on the tier
+    * the measured panel says is best — which is what Milvus's planner
+    * does internally at `src/app.py:248-254`'s `client.search` (the
+    * caller never names an index). The registration maps three panel
+    * tiers to serving plans: flat (leave the exact plan alone),
+    * ivf_nprobe4 (inject the probe predicate), sq8_margin20 (splice
+    * the two-stage quantized-scan + exact-rerank plan). This entry
+    * routes UNconstrained (no memory budget): with the shared v2
+    * panel the min-cost tier meeting recall 0.8 is expected to be
+    * the IVF probe. The oracle replays the FULL dispatch from the
+    * staged panel — eligibility → meets-target → min-cost choice —
+    * and then the chosen tier's serving arithmetic (all three branches
+    * written out, gated on the independently re-derived choice), so a
+    * rule that routes differently than the router, or serves a
+    * different tier than it claims, hash-mismatches on the `tier`
+    * column or the rows. A DEDICATED index dir keeps the legacy
+    * always-IVF entries (`ivf_auto_rewrite*`) un-routed. */
+  private val routedAutoSearch = Q(
+    "routed_auto_search",
+    (s, dir) => {
+      import graft.plans.IvfProbeRewrite
+      import graft.search.{Quantize, Router}
+      val e = Tables.embeddings(s, dir)
+      val indexDir = s"/tmp/graft_ivf_routed_${math.abs(dir.hashCode)}"
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      val sq8Dir = s"/tmp/graft_sq8_${math.abs(dir.hashCode)}"
+      graft.core.Artifacts.buildOnce(s, sq8Dir) {
+        Quantize.quantizedTable(e, "embedding", "vec_id")
+      }
+      val panel = routerPanelV2(s, dir)
+      IvfProbeRewrite.registerRouted(IvfProbeRewrite.RoutedConfig(
+        model, nprobe = 4, sq8Dir, sq8Margin = 20,
+        idCol = "vec_id", vecCol = "embedding",
+        panel = () => routerPanelV2(s, dir),
+        tiers = Seq(
+          Router.Tier("flat", present = true, filterCapable = true),
+          Router.Tier("ivf_nprobe4", present = true,
+            filterCapable = true),
+          Router.Tier("sq8_margin20", present = true,
+            filterCapable = false)),
+        flatTier = "flat", ivfTier = "ivf_nprobe4",
+        sq8Tier = "sq8_margin20", recallTarget = 0.8,
+        memoryBudget = None,
+        fingerprintRoots = Seq(indexDir, sq8Dir)))
+      stageOracle(s, "routedauto", dir)("panel" -> panel)
+      stageOracleOnce(s, "routedautofix", dir)(
+        "assign" -> s.read.parquet(IvfIndex.dataDir(indexDir))
+          .select(col("vec_id"), col("cluster_id")),
+        "cents" -> s.read.parquet(IvfIndex.centroidsDir(indexDir)))
+      val tier = IvfProbeRewrite.routedDecision(s, indexDir).get
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      s.read.parquet(IvfIndex.dataDir(indexDir))
+        .select(col("vec_id"),
+          round(VectorFunctions.l2Sq(col("embedding"), typedlit(query)), 4)
+            .as("distance"))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+        .limit(5)
+        .select(lit(tier).as("tier"), col("vec_id"), col("distance"))
+    },
+    Some(s"""
+      WITH panel AS (SELECT tier, recall, CAST(cost AS BIGINT) AS cost
+                     FROM read_parquet(
+        '/tmp/graft_routedauto_oracle_%ORACLE_KEY%/panel/*.parquet')),
+      el AS (SELECT tier, recall, cost,
+                    tier IN ('flat', 'ivf_nprobe4', 'sq8_margin20')
+                      AS eligible
+             FROM panel),
+      ch AS (SELECT tier AS c FROM el WHERE eligible AND recall >= 0.8
+             ORDER BY cost ASC, tier ASC LIMIT 1),
+      ch2 AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM ch)
+                          THEN (SELECT c FROM ch)
+                          ELSE (SELECT tier FROM el WHERE eligible
+                                ORDER BY recall DESC, cost ASC, tier ASC
+                                LIMIT 1) END AS c),
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      exact5 AS (SELECT e.vec_id, %L2% AS distance FROM embeddings e, q
+                 ORDER BY distance ASC, e.vec_id ASC LIMIT 5),
+      assign AS (SELECT vec_id, cluster_id FROM read_parquet(
+        '/tmp/graft_routedautofix_oracle_%ORACLE_KEY%/assign/*.parquet')),
+      cents AS (SELECT cluster_id, centroid FROM read_parquet(
+        '/tmp/graft_routedautofix_oracle_%ORACLE_KEY%/cents/*.parquet')),
+      probes AS (SELECT cluster_id FROM cents, q
+                 ORDER BY list_sum(list_transform(
+                     range(1, len(centroid)+1),
+                     i -> (CAST(centroid[i] AS DOUBLE)
+                           - CAST(qe[i] AS DOUBLE))^2)) ASC,
+                   cluster_id ASC LIMIT 4),
+      ivf5 AS (SELECT e.vec_id, %L2% AS distance
+               FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id, q
+               WHERE a.cluster_id IN (SELECT cluster_id FROM probes)
+               ORDER BY distance ASC, e.vec_id ASC LIMIT 5),
+      sc AS (SELECT vec_id, embedding,
+               CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale
+             FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS mx
+                   FROM embeddings)),
+      qz AS (SELECT vec_id, scale,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * scale, 0) AS INT))
+                 AS qv
+             FROM sc),
+      ap AS (SELECT vec_id,
+               round(list_sum(list_transform(range(1, len(qv)+1),
+                 i -> ((CASE WHEN scale = 0 THEN 0.0
+                             ELSE qv[i] / scale END)
+                       - CAST(qe[i] AS DOUBLE)) ^ 2)), 4)
+                 AS approx_distance
+             FROM qz, q),
+      cand AS (SELECT vec_id FROM ap
+               ORDER BY approx_distance ASC, vec_id ASC LIMIT 100),
+      sq85 AS (SELECT c.vec_id, %L2% AS distance
+               FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id, q
+               ORDER BY distance ASC, c.vec_id ASC LIMIT 5),
+      res AS (
+        SELECT vec_id, distance FROM exact5
+        WHERE (SELECT c FROM ch2) = 'flat'
+        UNION ALL
+        SELECT vec_id, distance FROM ivf5
+        WHERE (SELECT c FROM ch2) = 'ivf_nprobe4'
+        UNION ALL
+        SELECT vec_id, distance FROM sq85
+        WHERE (SELECT c FROM ch2) = 'sq8_margin20')
+      SELECT (SELECT c FROM ch2) AS tier, vec_id, distance FROM res
+      ORDER BY distance ASC, vec_id ASC
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
+  /** The routed rewrite under a MEMORY BUDGET — the flip side of
+    * `routed_auto_search`, and the `serving_plan_budget` discipline
+    * made REAL for SQL users: the budget is the SQ8 tier's residency
+    * + 1 byte (derived from the staged panel on BOTH sides), so every
+    * n·4·dim tier fails the eligibility gate and the SAME naive query
+    * text now compiles to the spliced two-stage quantized plan
+    * (RewriteSpec pins the plan shapes; here the oracle replays the
+    * budget-gated dispatch AND the SQ8 candidate→rerank arithmetic
+    * end-to-end). A rule that ignored the budget would serve IVF rows
+    * under a 'sq8_margin20' tier claim — hash mismatch. */
+  private val routedAutoSearchBudget = Q(
+    "routed_auto_search_budget",
+    (s, dir) => {
+      import graft.plans.IvfProbeRewrite
+      import graft.search.{Quantize, Router}
+      val e = Tables.embeddings(s, dir)
+      val indexDir = s"/tmp/graft_ivf_routed_${math.abs(dir.hashCode)}"
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      val sq8Dir = s"/tmp/graft_sq8_${math.abs(dir.hashCode)}"
+      graft.core.Artifacts.buildOnce(s, sq8Dir) {
+        Quantize.quantizedTable(e, "embedding", "vec_id")
+      }
+      val panel = routerPanelV2(s, dir)
+      val budget = panel.where(col("tier") === "sq8_margin20")
+        .select(col("mem_bytes").cast("long")).collect()(0).getLong(0) + 1
+      IvfProbeRewrite.registerRouted(IvfProbeRewrite.RoutedConfig(
+        model, nprobe = 4, sq8Dir, sq8Margin = 20,
+        idCol = "vec_id", vecCol = "embedding",
+        panel = () => routerPanelV2(s, dir),
+        tiers = Seq(
+          Router.Tier("flat", present = true, filterCapable = true),
+          Router.Tier("ivf_nprobe4", present = true,
+            filterCapable = true),
+          Router.Tier("sq8_margin20", present = true,
+            filterCapable = false)),
+        flatTier = "flat", ivfTier = "ivf_nprobe4",
+        sq8Tier = "sq8_margin20", recallTarget = 0.8,
+        memoryBudget = Some(budget),
+        fingerprintRoots = Seq(indexDir, sq8Dir)))
+      stageOracle(s, "routedautob", dir)("panel" -> panel)
+      val tier = IvfProbeRewrite.routedDecision(s, indexDir).get
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      s.read.parquet(IvfIndex.dataDir(indexDir))
+        .select(col("vec_id"),
+          round(VectorFunctions.l2Sq(col("embedding"), typedlit(query)), 4)
+            .as("distance"))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+        .limit(5)
+        .select(lit(tier).as("tier"), col("vec_id"), col("distance"))
+    },
+    Some(s"""
+      WITH panel AS (SELECT tier, recall, CAST(cost AS BIGINT) AS cost,
+                            CAST(mem_bytes AS BIGINT) AS mem_bytes
+                     FROM read_parquet(
+        '/tmp/graft_routedautob_oracle_%ORACLE_KEY%/panel/*.parquet')),
+      b AS (SELECT mem_bytes + 1 AS budget FROM panel
+            WHERE tier = 'sq8_margin20'),
+      el AS (SELECT tier, recall, cost,
+                    (tier IN ('flat', 'ivf_nprobe4', 'sq8_margin20')
+                     AND mem_bytes <= (SELECT budget FROM b)) AS eligible
+             FROM panel),
+      ch AS (SELECT tier AS c FROM el WHERE eligible AND recall >= 0.8
+             ORDER BY cost ASC, tier ASC LIMIT 1),
+      ch2 AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM ch)
+                          THEN (SELECT c FROM ch)
+                          ELSE (SELECT tier FROM el WHERE eligible
+                                ORDER BY recall DESC, cost ASC, tier ASC
+                                LIMIT 1) END AS c),
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      sc AS (SELECT vec_id, embedding,
+               CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale
+             FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS mx
+                   FROM embeddings)),
+      qz AS (SELECT vec_id, scale,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * scale, 0) AS INT))
+                 AS qv
+             FROM sc),
+      ap AS (SELECT vec_id,
+               round(list_sum(list_transform(range(1, len(qv)+1),
+                 i -> ((CASE WHEN scale = 0 THEN 0.0
+                             ELSE qv[i] / scale END)
+                       - CAST(qe[i] AS DOUBLE)) ^ 2)), 4)
+                 AS approx_distance
+             FROM qz, q),
+      cand AS (SELECT vec_id FROM ap
+               ORDER BY approx_distance ASC, vec_id ASC LIMIT 100),
+      sq85 AS (SELECT c.vec_id, %L2% AS distance
+               FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id, q
+               ORDER BY distance ASC, c.vec_id ASC LIMIT 5)
+      SELECT (SELECT c FROM ch2) AS tier, vec_id, distance FROM sq85
+      WHERE (SELECT c FROM ch2) = 'sq8_margin20'
+      ORDER BY distance ASC, vec_id ASC
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   /** M1-M3: strategy fan-out + first-wins dedup + final re-rank. */
   private val multiStrategySearch = Q(
     "multi_strategy_search",
@@ -5015,7 +5250,7 @@ object PipelineQueries {
     ivfNprobeAutotune,
     ivfFilteredSearch,
     ivfBalanceReport, ivfAutoRewrite,
-    ivfAutoRewriteSql,
+    ivfAutoRewriteSql, routedAutoSearch, routedAutoSearchBudget,
     ivfIncrementalSearch, multiStrategySearch,
     chapterParse, collectionRoundtrip, ragContextLines, embedIngest,
     keywordTextSearch, chunkTextSearch, questionAnswerPipeline,

@@ -250,11 +250,16 @@ object IvfProbeRewrite extends Rule[LogicalPlan] {
     val full = spark.read.parquet(IvfIndex.dataDir(cfg.model.indexDir))
     val served = Quantize.searchQuantized(qtab, full, cfg.vecCol,
       cfg.idCol, qdf, "__rq", k, cfg.sq8Margin)
-    val analyzed = served.queryExecution.analyzed
-    val byName = analyzed.output.map(a => a.name -> a).toMap
+    // splice the OPTIMIZED inner tree: the broadcast hints must be
+    // folded into their Join nodes (EliminateResolvedHint runs BEFORE
+    // this rule's fixpoint batch — an analyzed splice would leave
+    // ResolvedHint nodes the planner silently drops, losing the
+    // candidate-side broadcasts at scale)
+    val inner = served.queryExecution.optimizedPlan
+    val byName = inner.output.map(a => a.name -> a).toMap
     Project(
       gl.output.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)),
-      analyzed)
+      inner)
   }
 
   private def rewrite(orders: Seq[SortOrder], child: LogicalPlan): Option[LogicalPlan] = {

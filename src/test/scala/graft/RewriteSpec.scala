@@ -103,4 +103,89 @@ class RewriteSpec extends AnyFunSuite {
       SparkSession.setActiveSession(TestSpark.spark)
     }
   }
+
+  test("routed auto-rewrite: the SAME naive query lands on the " +
+      "router-chosen tier, and a budget flip re-routes it to SQ8") {
+    import graft.search.{Quantize, Router}
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = "/tmp/graft_routed_rw_test"
+    val sq8Dir = "/tmp/graft_routed_rw_sq8"
+    Seq(dir, sq8Dir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    val model = IvfIndex.build(e, "embedding", dir, nlist = 8)
+    Quantize.quantizedTable(e, "embedding", "vec_id")
+      .write.mode("overwrite").parquet(sq8Dir)
+    val n = e.count()
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    // a handcrafted MEASURED panel: every tier exact here (the spec pins
+    // DISPATCH, not recall); costs make ivf the min-cost meeting tier,
+    // mem_bytes gives sq8 the only sub-budget residency
+    val panel = Seq(
+      ("flat", 1.0, n, n * 4L * dim),
+      ("ivf", 1.0, n / 4, n * 4L * dim + 8L * 4 * dim),
+      ("sq8", 1.0, n, n * (dim + 8L)))
+      .toDF("tier", "recall", "cost", "mem_bytes")
+    val tiers = Seq(
+      Router.Tier("flat", present = true, filterCapable = true),
+      Router.Tier("ivf", present = true, filterCapable = true),
+      Router.Tier("sq8", present = true, filterCapable = false))
+    // margin large enough that k·margin ≥ n: the candidate stage keeps
+    // every row, so the exact rerank IS exact top-k by construction
+    def cfg(budget: Option[Long]) = IvfProbeRewrite.RoutedConfig(
+      model, nprobe = 8, sq8Dir, sq8Margin = 1000,
+      idCol = "vec_id", vecCol = "embedding",
+      panel = () => panel, tiers = tiers,
+      flatTier = "flat", ivfTier = "ivf", sq8Tier = "sq8",
+      recallTarget = 0.9, memoryBudget = budget,
+      fingerprintRoots = Seq(dir, sq8Dir))
+    val query = e.where(col("vec_id") === 11).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    def naive = spark.read.parquet(IvfIndex.dataDir(dir))
+      .select(col("vec_id"),
+        round(VectorFunctions.l2Sq(col("embedding"), typedlit(query)), 4)
+          .as("distance"))
+      .orderBy(col("distance").asc, col("vec_id").asc)
+      .limit(10)
+    try {
+      // no budget: ivf is the min-cost meeting tier -> probe filter
+      IvfProbeRewrite.registerRouted(cfg(None))
+      assert(IvfProbeRewrite.routedDecision(spark, dir) == Some("ivf"))
+      val p1 = naive
+      assert(p1.queryExecution.optimizedPlan.toString().contains("cluster_id"),
+        "router-chosen ivf must inject the probe predicate")
+      val exactIds = IvfIndex.search(spark, model, "embedding", "vec_id",
+        query, k = 10, nprobe = 8).select("vec_id").as[Long].collect().toSeq
+      assert(p1.select("vec_id").as[Long].collect().toSeq == exactIds)
+
+      // budget flip = sq8's residency only: the SAME query text now
+      // compiles to the two-stage quantized plan over the codes dir
+      IvfProbeRewrite.registerRouted(cfg(Some(n * (dim + 8L) + 1)))
+      assert(IvfProbeRewrite.routedDecision(spark, dir) == Some("sq8"))
+      val p2 = naive
+      val opt2 = p2.queryExecution.optimizedPlan.toString()
+      assert(opt2.contains("dequant_l2_sq"),
+        s"router-chosen sq8 must splice the quantized-scan plan:\n$opt2")
+      assert(p2.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.references.exists(_.name == "cluster_id") => f
+      }.isEmpty, "sq8 route must not also inject the ivf probe")
+      assert(p2.columns.toSeq == Seq("vec_id", "distance"))
+      assert(p2.select("vec_id").as[Long].collect().toSeq == exactIds,
+        "margin ≥ n/k makes the sq8 rerank exact")
+
+      // re-registering without the budget routes BACK (cache dropped)
+      IvfProbeRewrite.registerRouted(cfg(None))
+      assert(IvfProbeRewrite.routedDecision(spark, dir) == Some("ivf"))
+      assert(naive.queryExecution.optimizedPlan.toString()
+        .contains("cluster_id"))
+    } finally {
+      IvfProbeRewrite.clear()
+      SparkSession.setDefaultSession(TestSpark.spark)
+      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
 }
