@@ -1076,10 +1076,10 @@ object TextQueries {
     * and the suffix becomes a pushed `StringStartsWith(rterm, re)`
     * range scan — the `sorted_scan_prune` discipline buying the other
     * wildcard direction (this corpus: `customer`, `filter`, `order`
-    * all match). Leading+trailing (infix) wildcard stays a documented
-    * absence — that is n-gram-index territory. The oracle is the
-    * brute-force LIKE over every token; PlanSpec pins the pushed
-    * filter. */
+    * all match). Leading+trailing (infix) wildcard is served by the
+    * trigram artifact since round 12 (`term_infix_search`). The oracle
+    * is the brute-force LIKE over every token; PlanSpec pins the
+    * pushed filter. */
   private val termSuffixSearch = Q(
     "term_suffix_search",
     (s, dir) => {
@@ -1198,6 +1198,102 @@ object TextQueries {
              GROUP BY tf.doc_id)
       SELECT doc_id, bm25 FROM bm
       WHERE doc_id IN (SELECT doc_id FROM fm)
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """))
+
+  /** INFIX term match ([[graft.search.TermIndex.infixSearch]], round 12
+    * — the LAST match mode: `term LIKE '%rder%'` has no prefix to push
+    * in either direction, so the artifact is TRIGRAM postings over the
+    * DISTINCT term dictionary (PostgreSQL's `pg_trgm` GIN model /
+    * Lucene's NGram filter — public knowledge): the needle's grams hit
+    * the artifact as one pushed `gram IN (...)` slice, a candidate must
+    * carry ALL of them (count-match AND), and exact `contains` verifies
+    * — candidate generation never touches the corpus, which is the
+    * 100 TB shape (the trigram table is vocabulary-scale). This corpus:
+    * `rder` matches `order`/`orders`-family tokens. The oracle is the
+    * brute-force LIKE over every token of every document — a candidate
+    * the gram blocking missed, or a false verify, hash-mismatches.
+    * PlanSpec pins the no-cartesian plan and the pushed gram filter. */
+  private val termInfixSearch = Q(
+    "term_infix_search",
+    (s, dir) => {
+      import graft.search.{Bm25Index, TermIndex}
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_infix_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        TermIndex.buildSorted(docs, "doc_id", "text", idx)
+        Bm25Index.build(docs, "doc_id", "text", idx)
+        TermIndex.buildTrigrams(s, idx)
+      }
+      TermIndex.infixSearch(s, idx, "rder", k = 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH ttoks AS (SELECT doc_id,
+                            unnest(list_filter(
+                              string_split_regex(text, '\s+'),
+                              t -> len(t) > 0)) AS term
+                     FROM documents)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nhits
+      FROM ttoks WHERE term LIKE '%rder%'
+      GROUP BY doc_id
+      ORDER BY nhits DESC, doc_id ASC LIMIT 10
+    """))
+
+  /** Infix-filtered BM25 — the Lucene clause model with an INFIX filter
+    * clause ([[graft.search.TermIndex.infixIds]] composing under the
+    * scorer exactly like the prefix/suffix/fuzzy/phrase clauses): docs
+    * containing any `%rder%` term compete under corpus-wide BM25
+    * statistics for the scoring terms — the filter changes WHO
+    * competes, never how scores are computed. The oracle replays both
+    * the brute-force infix match and the full BM25 arithmetic. */
+  private val infixFilteredBm25 = Q(
+    "infix_filtered_bm25",
+    (s, dir) => {
+      import graft.search.{Bm25Index, TermIndex}
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_infix_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        TermIndex.buildSorted(docs, "doc_id", "text", idx)
+        Bm25Index.build(docs, "doc_id", "text", idx)
+        TermIndex.buildTrigrams(s, idx)
+      }
+      val ids = TermIndex.infixIds(s, idx, "rder")
+      Bm25Index.search(s, idx, Seq("scan", "filter", "merge"), k = 10,
+          idFilter = Some(ids))
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH ttoks AS (SELECT doc_id,
+                            unnest(string_split_regex(text, '\s+')) AS term
+                     FROM documents),
+      im AS (SELECT DISTINCT doc_id FROM ttoks
+             WHERE len(term) > 0 AND term LIKE '%rder%'),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST((SELECT sum(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)))
+                             FROM documents) AS DOUBLE) / count(*) AS avgdl
+                FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks
+             WHERE term IN ('scan', 'filter', 'merge')
+             GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dl AS (SELECT doc_id,
+                    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS DOUBLE) AS dl
+             FROM documents),
+      bm AS (SELECT tf.doc_id,
+                    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2)
+                      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))), 4) AS bm25
+             FROM tf JOIN dfq USING (term)
+                     JOIN dl ON dl.doc_id = tf.doc_id
+                     CROSS JOIN stats
+             GROUP BY tf.doc_id)
+      SELECT doc_id, bm25 FROM bm
+      WHERE doc_id IN (SELECT doc_id FROM im)
       ORDER BY bm25 DESC, doc_id ASC LIMIT 10
     """))
 
@@ -1511,6 +1607,7 @@ object TextQueries {
     phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25,
     streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti,
     termPrefixSearch, prefixFilteredBm25, termFuzzySearch,
-    fuzzyFilteredBm25, termSuffixSearch, termPrefixIncremental,
+    fuzzyFilteredBm25, termSuffixSearch, termInfixSearch,
+    infixFilteredBm25, termPrefixIncremental,
     streamingPrefixIngest)
 }

@@ -264,6 +264,22 @@ class PlanSpec extends SparkSpec {
       s"suffix not pushed to the reversed postings scan: $pushed")
   }
 
+  test("infix term match: gram IN (...) reaches the trigram scan, " +
+      "no cartesian") {
+    Queries.all("term_infix_search")(spark, dir).collect() // builds idx
+    val df = Queries.all("term_infix_search")(spark, dir)
+    val pushed = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(pushed.contains("In(gram,"),
+      s"needle grams not pushed to the trigram scan: $pushed")
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"infix match must stay equi-join:\n$p")
+  }
+
   test("fuzzy term match: deletion-neighborhood equi-join, no cartesian") {
     // the SymSpell block join must plan as variant-key equi-joins with
     // the (tiny) candidate side broadcast — a naive lev(term, q) filter

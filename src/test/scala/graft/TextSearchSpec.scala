@@ -99,4 +99,30 @@ class TextSearchSpec extends SparkSpec {
     assert(TermIndex.segments(spark, dirInc) == Seq(0))
     assert(serve(dirInc) == segmented)
   }
+
+  test("infix term match: gram-AND candidates verified exactly, " +
+      "sub-trigram needle takes the dictionary fallback") {
+    import graft.search.TermIndex
+    // `cabca` carries ALL grams of needle `abcab` ({abc, bca, cab}) but
+    // does NOT contain it — the exact-verify stage must reject it;
+    // `xabcabx` genuinely contains the needle
+    val docs = Seq(
+      (1L, "cabca zq"), (2L, "xabcabx zq"), (3L, "plain zq"),
+      (4L, "xabcabx cabca")).toDF("doc_id", "text")
+    val dir = "/tmp/graft_infix_unit_test"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    TermIndex.buildSorted(docs, "doc_id", "text", dir)
+    TermIndex.buildTrigrams(spark, dir)
+    assert(TermIndex.infixTerms(spark, dir, "abcab")
+      .as[String].collect().toSeq == Seq("xabcabx"),
+      "gram false positive must be rejected by the contains verify")
+    assert(TermIndex.infixSearch(spark, dir, "abcab", k = 10)
+      .as[(Long, Long)].collect().toSeq == Seq((2L, 1L), (4L, 1L)))
+    // sub-trigram needle: no gram to block on — dictionary-scan verify
+    assert(TermIndex.infixTerms(spark, dir, "zq")
+      .as[String].collect().toSeq == Seq("zq"))
+    assert(TermIndex.infixIds(spark, dir, "bca")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+  }
 }
