@@ -1504,7 +1504,8 @@ object PipelineQueries {
                                seedsPerQuery: Int = 0,
                                prefix: String = "",
                                corpusFrom: String = "embeddings",
-                               materialized: Boolean = false): String = {
+                               materialized: Boolean = false,
+                               entFrom: String = ""): String = {
     val beamWidth = beamWidthSql
     val P = prefix
     // DuckDB inlines CTEs by default; a DEEP round chain (each round
@@ -1515,11 +1516,18 @@ object PipelineQueries {
     // evaluation; walk semantics are unchanged.
     val M = if (materialized) "MATERIALIZED " else ""
     val sb = new StringBuilder
+    // entFrom: seed from a caller-provided CTE (a prior walk's output —
+    // the layered-serve chain) instead of the staged entry table
+    val entCte =
+      if (entFrom.isEmpty) s"""
+      ${P}ent AS $M(SELECT entry_id FROM read_parquet(
+        '/tmp/graft_${name}_oracle_%ORACLE_KEY%/entry/*.parquet')),"""
+      else s"""
+      ${P}ent AS $M(SELECT entry_id FROM $entFrom),"""
     sb.append(s"""
       ${P}adj AS $M(SELECT src, dst FROM read_parquet(
         '/tmp/graft_${name}_oracle_%ORACLE_KEY%/adjacency/*.parquet')),
-      ${P}ent AS $M(SELECT entry_id FROM read_parquet(
-        '/tmp/graft_${name}_oracle_%ORACLE_KEY%/entry/*.parquet')),
+      $entCte
       ${P}dall AS $M(SELECT q.qid, e.vec_id AS id,
                       ${duckL2("e.embedding", "q.qv")} AS d
                FROM $corpusFrom e, qs q),""")
@@ -1609,6 +1617,64 @@ object PipelineQueries {
             ORDER BY d ASC, id ASC) AS rn FROM v6) fin
       WHERE rn <= 5
       ORDER BY qid ASC, distance ASC, vec_id ASC
+    """))
+
+  /** HNSW-STYLE LAYERED WALK ([[graft.search.GraphAnn.layeredSearch]],
+    * round 12 — Milvus's default index is HNSW; the flat Vamana-shape
+    * walk's round count grows with graph diameter at decade scale, and
+    * this closes that gap with ONE sampled upper layer, Malkov &
+    * Yashunin's upper-layers-as-zoom): a DETERMINISTIC ~1/e² node
+    * sample ([[graft.search.GraphAnn.upperSample]] — xxhash ppm, so a
+    * rebuild reproduces membership) carries its own bounded-degree
+    * adjacency; the query walks the upper layer from its medoid, and
+    * the upper top-2 seed the BASE-layer beam (base semantics
+    * untouched — only the seed changes). The oracle replays BOTH
+    * chained walks round-by-round from the staged upper/base
+    * adjacencies — the upper walk's final visited set's top-2 feed the
+    * base chain's v0 via the entFrom seed CTE — so the zoom, the
+    * handoff, and the base walk are all hash-checked. ScaleBench's
+    * `graph_layered_vs_flat` op records the fewer-rounds-at-equal-
+    * recall win on the decades. */
+  private val graphAnnLayeredWalk = Q(
+    "graph_ann_layered_walk",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val ubase = s"/tmp/graft_glayer_${math.abs(dir.hashCode)}"
+      val sample = GraphAnn.upperSample(e, "vec_id")
+      val uadj = graft.core.Artifacts.buildOnce(s, s"$ubase/adjacency") {
+        GraphAnn.buildAdjacency(sample, "vec_id", "embedding")
+      }
+      val uent = graft.core.Artifacts.buildOnce(s, s"$ubase/entry") {
+        GraphAnn.medoid(sample, "vec_id", "embedding")
+      }
+      stageOracleOnce(s, "layered", dir)(
+        "adjacency" -> uadj.select("src", "dst"),
+        "entry" -> uent.select("entry_id"))
+      stageOracleOnce(s, "layeredb", dir)(
+        "adjacency" -> adj.select("src", "dst"))
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      GraphAnn.layeredSearch(uadj, uent, adj, e, "vec_id", "embedding",
+        query, k = 5, beamWidth = 4, upperRounds = 3, rounds = 3,
+        degree = 8, nSeeds = 2)
+    },
+    Some(s"""
+      WITH qs AS (SELECT CAST(0 AS BIGINT) AS qid,
+                         (SELECT embedding FROM embeddings
+                          WHERE vec_id = 0) AS qv),
+      ${bulkWalkCtesExpr("layered", "4", rounds = 3, prefix = "u",
+        materialized = true)},
+      useed AS MATERIALIZED (SELECT id AS entry_id FROM uv3
+              ORDER BY d ASC, id ASC LIMIT 2),
+      ${bulkWalkCtesExpr("layeredb", "4", rounds = 3, prefix = "b",
+        materialized = true, entFrom = "useed")}
+      SELECT id AS vec_id, d AS distance FROM bv3
+      ORDER BY distance ASC, vec_id ASC LIMIT 5
     """))
 
   /** Predicate + graph index (see
@@ -5321,6 +5387,7 @@ object PipelineQueries {
     keywordTextSearch, chunkTextSearch, questionAnswerPipeline,
     collectionUpsert, collectionSchemaEvolution, collectionDeleteExpr,
     lateInteractionMaxsim, graphAnnSearch, graphAnnBulk,
+    graphAnnLayeredWalk,
     graphAnnBulkRecall, graphAnnIncremental, graphAnnFiltered,
     graphAnnFilteredRecall, graphAnnFilteredAdaptive,
     scalarFilteredGraphWalk, scalarFilteredGraphRecall,

@@ -422,4 +422,57 @@ class GraphAnnSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("budget"))
   }
+
+  test("layered walk: the sampled upper layer crosses the corpus in " +
+      "fewer rounds than the flat walk, sample is deterministic") {
+    import graft.search.GraphAnn
+    // a CHAIN corpus — 16 rungs of 6 nodes along x, 3.0 apart: every
+    // node's 8 base-graph neighbors span at most the adjacent rung, so
+    // a flat medoid-seeded walk advances ~1 rung per round and cannot
+    // reach the far end within the budget. The ~30% upper sample has
+    // ~2 nodes per rung, so ITS 8-degree adjacency spans several rungs
+    // per hop — the HNSW upper-layer point: a sparser layer's edges
+    // are longer relative to scale, so the zoom crosses the corpus in
+    // fewer rounds, and the base walk only refines locally.
+    val r = new scala.util.Random(7)
+    val corpus = (0 until 96).map { i =>
+      val rung = i / 6
+      (i.toLong, Array(
+        (rung * 3.0 + r.nextGaussian() * 0.2).toFloat,
+        (r.nextGaussian() * 0.2).toFloat,
+        (r.nextGaussian() * 0.2).toFloat,
+        (r.nextGaussian() * 0.2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val adj = GraphAnn.buildAdjacency(corpus, "vec_id", "embedding")
+    val sample = GraphAnn.upperSample(corpus, "vec_id", ppm = 300000)
+    // deterministic membership: same cut twice
+    assert(sample.select("vec_id").as[Long].collect().sorted.toSeq ==
+      GraphAnn.upperSample(corpus, "vec_id", ppm = 300000)
+        .select("vec_id").as[Long].collect().sorted.toSeq)
+    val uadj = GraphAnn.buildAdjacency(sample, "vec_id", "embedding")
+    // flat serving seeds at the CORPUS medoid; the upper walk at the
+    // SAMPLE's own medoid (a sample member — it must source upper
+    // edges). Both sit mid-chain.
+    val fent = GraphAnn.medoid(corpus, "vec_id", "embedding")
+    val uent = GraphAnn.medoid(sample, "vec_id", "embedding")
+    val query = Array(45.0f, 0f, 0f, 0f) // the LAST rung's center
+    val exact = corpus.withColumn("d",
+        graft.functions.VectorFunctions.l2Sq(col("embedding"),
+          typedlit(query.toSeq)))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .select("vec_id").as[Long].head(5).toSet
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").as[Long].collect().toSet
+    val flat = ids(GraphAnn.beamSearchMulti(adj, corpus, "vec_id",
+      "embedding", query, fent, k = 5, beamWidth = 4, rounds = 4,
+      degree = 8, nSeeds = 1))
+    val layered = ids(GraphAnn.layeredSearch(uadj, uent, adj, corpus,
+      "vec_id", "embedding", query, k = 5, beamWidth = 4,
+      upperRounds = 4, rounds = 4, degree = 8, nSeeds = 2))
+    assert(flat.intersect(exact).isEmpty,
+      s"fixture broken: the flat walk crossed the chain in 4 rounds " +
+        s"($flat)")
+    assert(layered == exact,
+      s"layered walk must reach the far rung: $layered vs $exact")
+  }
 }
