@@ -5073,21 +5073,29 @@ object PipelineQueries {
       ORDER BY build ASC
     """))
 
-  /** The router's MEASURED PANEL, v2 (shared by the three
-    * `serving_plan_*` entries): recall + rows-touched cost +
-    * serving-residency bytes for FIVE tiers — flat, graph@beam8×6,
-    * IVF@nprobe4, SQ8 (margin-20 candidates + exact rerank, so final
-    * recall = candidate recall), and PQ-ADC (margin 20) — on the
-    * shared bulk queries. `mem_bytes` is the artifact's residency
-    * arithmetic (the `quantizer_error_report` axis promoted to a
-    * router input): flat/IVF n·4·dim (+ centroids), graph adds
-    * 24 B/edge of adjacency, SQ8 n·(dim + 8), PQ n·M + the 256-row
-    * codebooks. The panel is CACHED UNDER A FRESHNESS KEY
-    * ([[graft.search.Router.artifactFingerprint]] over every measured
-    * artifact): any maintenance verb — alias advance, in-place fold,
-    * rebuild — changes the key and forces a re-measure, closing the
-    * stale-panel gap (round-10 verdict, What's missing #4);
-    * OperatorSpec pins the key flip. */
+  /** The router's MEASURED PANEL, v3 (shared by the `serving_plan_*`
+    * and `routed_auto_search*` entries): recall + rows-touched cost +
+    * serving-residency bytes for SEVEN tiers — flat, graph@beam8×6,
+    * graph FILTERED @beam16×6 (round 12: the filtered walk buys its
+    * recall with a wider beam, so its cost row is DIFFERENT from the
+    * unfiltered graph's — measured under the `%2 = 0` label filter
+    * against exact filtered top-5), IVF@nprobe4, SQ8 (margin-20
+    * candidates + exact rerank, so final recall = candidate recall),
+    * PQ-ADC (margin 20), and the LEXICAL tier (round 12: BM25 over the
+    * documents postings artifact, modality "text" — it is the exact
+    * scorer for its own modality, so recall 1.0 by definition; cost =
+    * the measured postings rows its panel query terms touch; residency
+    * = 24 B/posting row) — vector tiers on the shared bulk queries.
+    * `mem_bytes` is the artifact's residency arithmetic (the
+    * `quantizer_error_report` axis promoted to a router input):
+    * flat/IVF n·4·dim (+ centroids), graph adds 24 B/edge of
+    * adjacency, SQ8 n·(dim + 8), PQ n·M + the 256-row codebooks. The
+    * panel is CACHED UNDER A FRESHNESS KEY ([[graft.search.Router
+    * .artifactFingerprint]] over every measured artifact, now
+    * including the lexical postings root): any maintenance verb —
+    * alias advance, in-place fold, rebuild — changes the key and
+    * forces a re-measure, closing the stale-panel gap (round-10
+    * verdict, What's missing #4); OperatorSpec pins the key flip. */
   private def routerPanelV2(s: org.apache.spark.sql.SparkSession,
                             dir: String): org.apache.spark.sql.DataFrame = {
     import graft.search.{GraphAnn, Pq, Quantize, Router}
@@ -5114,10 +5122,19 @@ object PipelineQueries {
       if (new java.io.File(Pq.codesDir(pqDir) + "/_SUCCESS").exists())
         Pq.load(s, pqDir)
       else Pq.build(e, "embedding", "vec_id", pqDir)
+    // the lexical tier's own postings artifact (documents-side)
+    val lexDir = s"/tmp/graft_routerlex_${math.abs(dir.hashCode)}"
+    mutateOnce(s, lexDir) {
+      val p = new org.apache.hadoop.fs.Path(lexDir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.search.Bm25Index.build(Tables.documents(s, dir), "doc_id",
+        "text", lexDir)
+    }
     val fp = Router.artifactFingerprint(s,
-      Seq(indexDir, s"$gbase/adjacency", sq8Dir, Pq.codesDir(pqDir)))
+      Seq(indexDir, s"$gbase/adjacency", sq8Dir, Pq.codesDir(pqDir),
+        lexDir))
     graft.core.Artifacts.buildOnce(s,
-        s"/tmp/graft_router_${math.abs(dir.hashCode)}/panel_$fp") {
+        s"/tmp/graft_router_${math.abs(dir.hashCode)}/panel7_$fp") {
       val n = e.count()
       val dim = e.select(size(col("embedding"))).first().getInt(0)
       val entryId = entryDf.collect()(0).getLong(0)
@@ -5178,10 +5195,44 @@ object PipelineQueries {
       val pqRecall = recallOf(pqCand)
       val nCodebooks = s.read.parquet(Pq.codebooksDir(pqDir))
         .select(col("sub")).distinct().count()
+      // graph FILTERED tier (round 12): the label-blind walk at beam
+      // 16 under the %2 = 0 filter, recall vs exact FILTERED top-5 —
+      // a bounded 3-query loop, like the PQ candidates above
+      val exactF = e.where(col("vec_id") % 2 === 0)
+        .crossJoin(broadcast(qdf))
+        .select(col("qid"), col("vec_id"),
+          round(VectorFunctions.l2Sq(col("embedding"), col("qv")), 4)
+            .as("d"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("d").asc, col("vec_id").asc)))
+        .where(col("rn") <= 5).select("qid", "vec_id")
+      val fCand = qs.map { case (qid, qv) =>
+        GraphAnn.filteredBeamSearch(adj, e, "vec_id", "embedding", qv,
+            entryId, col("vec_id") % 2 === 0, k = 5, beamWidth = 16,
+            rounds = 6)
+          .select(lit(qid).as("qid"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      val gfRecall = exactF.join(fCand.withColumn("hit", lit(1)),
+          Seq("qid", "vec_id"), "left")
+        .agg(round(count(col("hit")) / (5.0 * BulkQids.size), 4))
+        .collect()(0).getDouble(0)
+      // lexical tier (round 12, modality "text"): BM25 is the exact
+      // scorer for its own modality (recall 1.0 by definition); cost =
+      // measured postings rows the panel's text query touches
+      val lexPost = s.read.parquet(
+        graft.search.Bm25Index.postingsDir(lexDir))
+      val lexCost = lexPost
+        .where(col("term").isin("scan", "filter", "merge"))
+        .count()
+      val lexRows = lexPost.count()
       Seq(
+        ("bm25_lexical", 1.0, lexCost,
+          lexRows * 24L),
         ("flat", 1.0, n,
           n * 4L * dim),
         ("graph_beam8x6", graphRecall, (1 + 6 * 8 * 8).toLong,
+          n * 4L * dim + adj.count() * 24L),
+        ("graph_filtered_beam16", gfRecall, (1 + 6 * 16 * 8).toLong,
           n * 4L * dim + adj.count() * 24L),
         ("ivf_nprobe4", ivfRecall, ivfCost,
           n * 4L * dim + model.nlist * 4L * dim),
@@ -5217,8 +5268,17 @@ object PipelineQueries {
       stageOracle(s, "router", dir)("panel" -> panel)
       Router.plan(s, panel,
         tiers = Seq(
+          Router.Tier("bm25_lexical",
+            present = new java.io.File(
+              s"/tmp/graft_routerlex_${math.abs(dir.hashCode)}")
+              .exists(),
+            filterCapable = true, modality = "text"),
           Router.Tier("flat", present = true, filterCapable = true),
           Router.Tier("graph_beam8x6",
+            present = new java.io.File(s"$gbase/adjacency/_SUCCESS")
+              .exists(),
+            filterCapable = true),
+          Router.Tier("graph_filtered_beam16",
             present = new java.io.File(s"$gbase/adjacency/_SUCCESS")
               .exists(),
             filterCapable = true),
@@ -5242,17 +5302,21 @@ object PipelineQueries {
                             CAST(mem_bytes AS BIGINT) AS mem_bytes
                      FROM read_parquet(
         '/tmp/graft_router_oracle_%ORACLE_KEY%/panel/*.parquet')),
+      -- round 12: the lexical tier is filter-capable but TEXT-modality;
+      -- a vector query's eligibility excludes it (the modality gate)
       el AS (SELECT tier, TRUE AS present,
                     tier NOT IN ('pq_adc_margin20', 'sq8_margin20')
                       AS filter_capable,
-                    TRUE AS eligible, recall, cost, mem_bytes,
-                    recall >= 0.9 AS meets_target
+                    tier <> 'bm25_lexical' AS eligible,
+                    recall, cost, mem_bytes,
+                    (tier <> 'bm25_lexical' AND recall >= 0.9)
+                      AS meets_target
              FROM panel),
       ch AS (SELECT tier AS c FROM el WHERE meets_target
              ORDER BY cost ASC, tier ASC LIMIT 1),
       ch2 AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM ch)
                           THEN (SELECT c FROM ch)
-                          ELSE (SELECT tier FROM el
+                          ELSE (SELECT tier FROM el WHERE eligible
                                 ORDER BY recall DESC, cost ASC, tier ASC
                                 LIMIT 1) END AS c)
       SELECT tier, present, filter_capable, eligible, recall, cost,
@@ -5278,8 +5342,12 @@ object PipelineQueries {
         .select(col("mem_bytes").cast("long")).collect()(0).getLong(0) + 1
       Router.plan(s, panel,
         tiers = Seq(
+          Router.Tier("bm25_lexical", present = true,
+            filterCapable = true, modality = "text"),
           Router.Tier("flat", present = true, filterCapable = true),
           Router.Tier("graph_beam8x6", present = true,
+            filterCapable = true),
+          Router.Tier("graph_filtered_beam16", present = true,
             filterCapable = true),
           Router.Tier("ivf_nprobe4", present = true,
             filterCapable = true),
@@ -5300,9 +5368,11 @@ object PipelineQueries {
       el AS (SELECT tier, TRUE AS present,
                     tier NOT IN ('pq_adc_margin20', 'sq8_margin20')
                       AS filter_capable,
-                    mem_bytes <= (SELECT budget FROM b) AS eligible,
+                    (tier <> 'bm25_lexical'
+                     AND mem_bytes <= (SELECT budget FROM b)) AS eligible,
                     recall, cost, mem_bytes,
-                    (mem_bytes <= (SELECT budget FROM b)
+                    (tier <> 'bm25_lexical'
+                     AND mem_bytes <= (SELECT budget FROM b)
                      AND recall >= 0.8) AS meets_target
              FROM panel),
       ch AS (SELECT tier AS c FROM el WHERE meets_target
@@ -5333,8 +5403,12 @@ object PipelineQueries {
       stageOracle(s, "routerfilt", dir)("panel" -> panel)
       Router.plan(s, panel,
         tiers = Seq(
+          Router.Tier("bm25_lexical", present = true,
+            filterCapable = true, modality = "text"),
           Router.Tier("flat", present = true, filterCapable = true),
           Router.Tier("graph_beam8x6", present = true,
+            filterCapable = true),
+          Router.Tier("graph_filtered_beam16", present = true,
             filterCapable = true),
           Router.Tier("ivf_nprobe4", present = true,
             filterCapable = true),
@@ -5355,12 +5429,73 @@ object PipelineQueries {
       el AS (SELECT tier, TRUE AS present,
                     tier NOT IN ('pq_adc_margin20', 'sq8_margin20')
                       AS filter_capable,
-                    (tier NOT IN ('pq_adc_margin20', 'sq8_margin20')
+                    (tier NOT IN ('pq_adc_margin20', 'sq8_margin20',
+                                  'bm25_lexical')
                      AND (0.01 >= 0.0625 OR tier = 'flat')) AS eligible,
                     recall, cost, mem_bytes,
-                    (tier NOT IN ('pq_adc_margin20', 'sq8_margin20')
+                    (tier NOT IN ('pq_adc_margin20', 'sq8_margin20',
+                                  'bm25_lexical')
                      AND (0.01 >= 0.0625 OR tier = 'flat')
                      AND recall >= 0.9) AS meets_target
+             FROM panel),
+      ch AS (SELECT tier AS c FROM el WHERE meets_target
+             ORDER BY cost ASC, tier ASC LIMIT 1),
+      ch2 AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM ch)
+                          THEN (SELECT c FROM ch)
+                          ELSE (SELECT tier FROM el WHERE eligible
+                                ORDER BY recall DESC, cost ASC, tier ASC
+                                LIMIT 1) END AS c)
+      SELECT tier, present, filter_capable, eligible, recall, cost,
+             mem_bytes, meets_target, tier = (SELECT c FROM ch2) AS chosen
+      FROM el ORDER BY tier ASC
+    """))
+
+  /** The router under a TEXT-shaped query (round 12 — the panel's
+    * seventh tier made a decision branch: Milvus dispatches BM25
+    * full-text search vs vector search by the query's modality, and so
+    * does [[graft.search.Router.plan]]'s `queryModality` gate): every
+    * embedding tier is modality-ineligible, the lexical tier — the
+    * exact scorer for its own modality, recall 1.0 by definition — is
+    * the only survivor and wins. The oracle replays the modality gate
+    * from the staged panel; a router that routed a text query to a
+    * vector index (or ignored modality entirely) hash-mismatches on
+    * the eligibility/chosen columns. */
+  private val servingPlanText = Q(
+    "serving_plan_text",
+    (s, dir) => {
+      import graft.search.Router
+      val panel = routerPanelV2(s, dir)
+      stageOracle(s, "routertext", dir)("panel" -> panel)
+      Router.plan(s, panel,
+        tiers = Seq(
+          Router.Tier("bm25_lexical", present = true,
+            filterCapable = true, modality = "text"),
+          Router.Tier("flat", present = true, filterCapable = true),
+          Router.Tier("graph_beam8x6", present = true,
+            filterCapable = true),
+          Router.Tier("graph_filtered_beam16", present = true,
+            filterCapable = true),
+          Router.Tier("ivf_nprobe4", present = true,
+            filterCapable = true),
+          Router.Tier("pq_adc_margin20", present = true,
+            filterCapable = false),
+          Router.Tier("sq8_margin20", present = true,
+            filterCapable = false)),
+        selectivity = 1.0, recallTarget = 0.9,
+        queryModality = "text")
+    },
+    Some("""
+      WITH panel AS (SELECT tier, recall, CAST(cost AS BIGINT) AS cost,
+                            CAST(mem_bytes AS BIGINT) AS mem_bytes
+                     FROM read_parquet(
+        '/tmp/graft_routertext_oracle_%ORACLE_KEY%/panel/*.parquet')),
+      el AS (SELECT tier, TRUE AS present,
+                    tier NOT IN ('pq_adc_margin20', 'sq8_margin20')
+                      AS filter_capable,
+                    tier = 'bm25_lexical' AS eligible,
+                    recall, cost, mem_bytes,
+                    (tier = 'bm25_lexical' AND recall >= 0.9)
+                      AS meets_target
              FROM panel),
       ch AS (SELECT tier AS c FROM el WHERE meets_target
              ORDER BY cost ASC, tier ASC LIMIT 1),
@@ -5408,5 +5543,5 @@ object PipelineQueries {
     ivfBulkUpsertSearch, graphAnnUpsertWalk, streamingIvfUpsertIngest,
     indexVersionReport, indexMaintenancePlan, indexAliasServe,
     graphAnnPrunedBuild, graphAnnPrunedRecall, servingPlanReport,
-    servingPlanFiltered, servingPlanBudget)
+    servingPlanFiltered, servingPlanBudget, servingPlanText)
 }

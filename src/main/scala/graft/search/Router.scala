@@ -27,8 +27,12 @@ import org.apache.spark.sql.types._
   *  - query shape: `selectivity` (1.0 = unfiltered) and `recallTarget`.
   *
   * Rules, in order (pure arithmetic, replayed by the oracle):
-  *  1. a tier is ELIGIBLE iff its artifact is present, AND (the query
-  *     is unfiltered OR the tier is filter-capable), AND (selectivity ≥
+  *  1. a tier is ELIGIBLE iff its artifact is present, AND its
+  *     modality matches the query's (round 12: "text" queries route
+  *     to the lexical tier, "vector" queries to embedding tiers —
+  *     Milvus dispatches BM25 full-text vs vector search the same
+  *     way), AND (the query is unfiltered OR the tier is
+  *     filter-capable), AND (selectivity ≥
   *     `exactFloorSelectivity` OR the tier is 'flat') — below the floor
   *     the filtered subset is so small that exact-over-survivors beats
   *     any index ([[GraphAnn.filteredSearchAuto]]'s dispatch rule,
@@ -55,8 +59,13 @@ import org.apache.spark.sql.types._
   * eligible, recall, cost, mem_bytes, meets_target, chosen),
   * tier-ascending. */
 object Router {
+  /** `modality` (round 12): the query SHAPE a tier can serve — every
+    * vector tier is "vector"; the lexical (BM25) tier is "text". A
+    * text query can never route to an embedding index and vice versa,
+    * so modality is an eligibility gate exactly like presence. */
   final case class Tier(name: String, present: Boolean,
-                        filterCapable: Boolean)
+                        filterCapable: Boolean,
+                        modality: String = "vector")
 
   /** Freshness key over the tier artifacts a panel measures: per root,
     * the current published version when aliased ([[AliasedIndex]]),
@@ -108,7 +117,8 @@ object Router {
   def plan(spark: SparkSession, panel: DataFrame, tiers: Seq[Tier],
            selectivity: Double, recallTarget: Double,
            exactFloorSelectivity: Double = 0.0625,
-           memoryBudget: Option[Long] = None): DataFrame = {
+           memoryBudget: Option[Long] = None,
+           queryModality: String = "vector"): DataFrame = {
     require(selectivity > 0 && selectivity <= 1.0)
     val byName = tiers.map(t => t.name -> t).toMap
     // a round-10 panel has no mem_bytes column — treat it as 0 (always
@@ -125,7 +135,7 @@ object Router {
     val rows = p.map { case (name, recall, cost, mem) =>
       val t = byName.getOrElse(name, Tier(name, present = false,
         filterCapable = false))
-      val eligible = t.present &&
+      val eligible = t.present && t.modality == queryModality &&
         (selectivity >= 1.0 || t.filterCapable) &&
         (selectivity >= exactFloorSelectivity || name == "flat") &&
         memoryBudget.forall(mem <= _)

@@ -631,6 +631,22 @@ class OperatorSpec extends SparkSpec {
         memoryBudget = Some(1L))
       .where(col("chosen")).select("tier").as[String].collect()(0)
       == "ivf")
+    // query modality (round 12): a text query routes to the lexical
+    // tier however cheap the vector tiers are, and vice versa
+    val modPanel = Seq(
+      ("flat", 1.0, 1000L), ("ivf", 0.95, 125L),
+      ("bm25", 1.0, 700L)).toDF("tier", "recall", "cost")
+    val modTiers = Seq(
+      Tier("flat", present = true, filterCapable = true),
+      Tier("ivf", present = true, filterCapable = true),
+      Tier("bm25", present = true, filterCapable = true,
+        modality = "text"))
+    def chosenMod(m: String): String =
+      Router.plan(spark, modPanel, modTiers, 1.0, 0.9,
+          queryModality = m)
+        .where(col("chosen")).select("tier").as[String].collect()(0)
+    assert(chosenMod("vector") == "ivf")
+    assert(chosenMod("text") == "bm25")
   }
 
   test("router panel freshness: maintenance flips the fingerprint, " +
