@@ -920,6 +920,135 @@ class OperatorSpec extends SparkSpec {
       "fielded append against the aliased root must be served")
   }
 
+  test("aliased index: a CONCURRENT reader loop during a slow maintain " +
+      "sees only complete versions, on every family (round 12 — the " +
+      "strongest form of the sealed-segment discipline)") {
+    import graft.search.{AliasedIndex, Bm25Index, IvfIndex, Phrase,
+      TermIndex}
+    def del(d: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    /** Run `maintain(root)(verb)` with a reader thread serving in a
+      * loop the whole time; the verb additionally HOLDS the
+      * pre-publish window open until ≥2 reads complete strictly inside
+      * it. Every read must equal the old or the new complete answer —
+      * never a partial layout — and the in-window reads must equal the
+      * OLD one. */
+    def race[A](root: String, serve: () => A, before: A,
+                verb: String => Unit): Unit = {
+      val done = new java.util.concurrent.atomic.AtomicInteger(0)
+      @volatile var stop = false
+      val results =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Int, A)]()
+      val reader = new Thread(() => {
+        while (!stop) {
+          val r = serve()
+          results.add((done.incrementAndGet(), r))
+        }
+      })
+      reader.start()
+      var inWindowFrom = -1
+      try {
+        AliasedIndex.maintain(spark, root) { d =>
+          verb(d)
+          // the verb's work is DONE but unpublished: hold the window
+          // until two more full reads complete inside it
+          inWindowFrom = done.get() + 1
+          val target = inWindowFrom + 1
+          val deadline = System.currentTimeMillis() + 120000
+          while (done.get() < target
+              && System.currentTimeMillis() < deadline)
+            Thread.sleep(25)
+          assert(done.get() >= target,
+            s"$root: no reads completed inside the maintain window")
+        }
+      } finally { stop = true; reader.join(120000) }
+      val after = serve()
+      import scala.jdk.CollectionConverters._
+      results.asScala.foreach { case (i, r) =>
+        assert(r == before || r == after,
+          s"$root: read #$i saw a partial layout: $r")
+        // reads that started AND finished inside the held window must
+        // see the OLD published version (the new one is unpublished)
+        if (i == inWindowFrom + 1)
+          assert(r == before,
+            s"$root: in-window read #$i saw the unpublished version")
+      }
+    }
+
+    val docs = Seq(
+      (1L, "alpha scan beta scan"), (2L, "scan merge gamma"),
+      (3L, "delta filter scan"), (4L, "epsilon scab merge"),
+      (5L, "zeta scan filter")).toDF("doc_id", "text")
+    val r = new scala.util.Random(91)
+    val corpus = (0L until 30L).map(i =>
+        (i, Array.fill(4)((r.nextGaussian() * 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+
+    // IVF
+    val iroot = "/tmp/graft_race_ivf"; del(iroot)
+    AliasedIndex.init(spark, iroot) { d =>
+      IvfIndex.build(corpus, "embedding", d, nlist = 2); ()
+    }
+    val q = corpus.where(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    IvfIndex.delete(corpus.where(col("vec_id") % 3 === 1)
+      .select("vec_id"), IvfIndex.load(spark, iroot), "vec_id")
+    def iServe(): Seq[(Long, Double)] = {
+      val m = IvfIndex.load(spark, iroot)
+      IvfIndex.search(spark, m, "embedding", "vec_id", q, 3, m.nlist)
+        .select("vec_id", "distance").as[(Long, Double)].collect().toSeq
+    }
+    race[Seq[(Long, Double)]](iroot, () => iServe(), iServe(),
+      d => IvfIndex.compactTombstones(spark, IvfIndex.load(spark, d),
+        "vec_id"))
+
+    // term
+    val troot = "/tmp/graft_race_term"; del(troot)
+    AliasedIndex.init(spark, troot) { d =>
+      TermIndex.buildSorted(docs.where(col("doc_id") <= 3), "doc_id",
+        "text", d)
+    }
+    TermIndex.appendSegment(docs.where(col("doc_id") > 3), "doc_id",
+      "text", troot)
+    def tServe(): Seq[(Long, Long)] =
+      TermIndex.prefixSearch(spark, troot, "sc", 10)
+        .as[(Long, Long)].collect().toSeq
+    race[Seq[(Long, Long)]](troot, () => tServe(), tServe(),
+      d => TermIndex.compactSegments(spark, d))
+
+    // BM25 (set: post-fold scores legitimately change, the doc set
+    // must not — compare servable id sets)
+    val broot = "/tmp/graft_race_bm25"; del(broot)
+    AliasedIndex.init(spark, broot) { d =>
+      Bm25Index.build(docs, "doc_id", "text", d)
+    }
+    graft.search.Tombstones.record(
+      docs.where(col("doc_id") === 2).select(col("doc_id").as("id")),
+      broot, "id")
+    def bServe(): Set[Long] =
+      Bm25Index.search(spark, broot, Seq("scan"), 10)
+        .as[(Long, Double)].collect().map(_._1).toSet
+    race[Set[Long]](broot, () => bServe(), bServe(),
+      d => Bm25Index.compactTombstones(spark, d))
+
+    // phrase
+    val proot = "/tmp/graft_race_phrase"; del(proot)
+    AliasedIndex.init(spark, proot) { d =>
+      Phrase.build(docs, "doc_id", "text", d)
+    }
+    graft.search.Tombstones.record(
+      docs.where(col("doc_id") === 1).select(col("doc_id").as("id")),
+      proot, "id")
+    def pServe(): Seq[(Long, Long)] =
+      Phrase.topK(spark, proot, Seq("scan"), 10)
+        .as[(Long, Long)].collect().toSeq
+    race[Seq[(Long, Long)]](proot, () => pServe(), pServe(),
+      d => Phrase.compactTombstones(spark, d))
+  }
+
   test("IVF rebalance preserves version history (searchLatest composes)") {
     // upsert first, rebalance second: the hot-row reassignment and the
     // compaction-era reads are all merged-schema, so the __ver column
