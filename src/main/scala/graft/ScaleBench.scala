@@ -95,6 +95,82 @@ object ScaleBench {
   private def copyDir(srcDir: String, dstDir: String): Unit =
     graft.core.Artifacts.copyLocalDir(srcDir, dstDir)
 
+  /** The NAVIGABLE chain corpus for the layered-vs-flat rounds decade
+    * (rungs of 6 nodes, 3.0 apart along dim 0, σ = 0.2 noise — the
+    * GraphAnnSpec layered fixture at decade size). */
+  private def chainEmbeddings(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].map { i =>
+      val rung = i / 6
+      val rm = new scala.util.Random(7919L * i + 3)
+      val v = Array.fill(Dim)((rm.nextGaussian() * 0.2).toFloat)
+      v(0) = (rung * 3.0 + rm.nextGaussian() * 0.2).toFloat
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding").repartition(32)
+  }
+
+  /** Minimal round count at which a walk's top-1 hits a query planted
+    * 24 rungs from the (mid-chain) seed — flat sweeps its round
+    * budget; layered sweeps the UPPER budget with 2 base rounds and
+    * reports upper + 2. Probes double (1,2,4,…) then refine one step;
+    * 99 = not reached within 48. */
+  private def chainRoundsToHit(spark: SparkSession, n: Int,
+                               layered: Boolean): Long = {
+    import graft.search.GraphAnn
+    import spark.implicits._
+    val emb = materialize(chainEmbeddings(spark, n),
+      s"/tmp/graft_scale/chain_$n")
+    val adj = graft.core.Artifacts.buildOnce(spark,
+      s"/tmp/graft_scale/chain_graph_$n") {
+      GraphAnn.buildAdjacency(emb, "vec_id", "embedding",
+        GraphAnn.Params(maxIter = 5))
+    }
+    val sample = GraphAnn.upperSample(emb, "vec_id")
+    val uadj = graft.core.Artifacts.buildOnce(spark,
+      s"/tmp/graft_scale/chain_upper_$n") {
+      GraphAnn.buildAdjacency(sample, "vec_id", "embedding",
+        GraphAnn.Params(maxIter = 5))
+    }
+    val ent = graft.core.Artifacts.buildOnce(spark,
+      s"/tmp/graft_scale/chain_entry_$n") {
+      GraphAnn.medoid(emb, "vec_id", "embedding")
+    }
+    val uent = graft.core.Artifacts.buildOnce(spark,
+      s"/tmp/graft_scale/chain_uentry_$n") {
+      GraphAnn.medoid(sample, "vec_id", "embedding")
+    }
+    // the planted target: 24 rungs past the seed's rung
+    val entId = ent.collect()(0).getLong(0)
+    val qid = ((entId / 6) + 24) * 6
+    val qv = emb.where(col("vec_id") === qid).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    def hit(r: Int): Boolean = {
+      val top = (if (layered)
+        GraphAnn.layeredSearch(uadj, uent, adj, emb, "vec_id",
+          "embedding", qv, k = 1, beamWidth = 8, upperRounds = r,
+          rounds = 2, degree = 8, nSeeds = 2)
+      else
+        GraphAnn.beamSearchMulti(adj, emb, "vec_id", "embedding", qv,
+          ent, k = 1, beamWidth = 8, rounds = r, degree = 8,
+          nSeeds = 1))
+        .select("vec_id").as[Long].collect()
+      top.nonEmpty && top(0) == qid
+    }
+    val cap = 96
+    var r = 1
+    var last = 0
+    while (r <= cap && !hit(math.min(r, cap))) { last = r; r *= 2 }
+    if (r > cap) return 99L
+    // refine: walk budgets are monotone in rounds on this fixture —
+    // halve-step back to the first hitting budget
+    var lo = last; var hi = math.min(r, cap)
+    while (hi - lo > 1) {
+      val mid = (lo + hi) / 2
+      if (hit(mid)) hi = mid else lo = mid
+    }
+    (if (layered) hi + 2 else hi).toLong
+  }
+
   /** Build-once graph adjacency + medoid entry for a rehearsal corpus:
     * the trained-quantizer build under its auto-derived nlist through
     * 256 k, the training-free SRP-band build past it (the KMeans n·nlist
@@ -123,6 +199,7 @@ object ScaleBench {
     }.collect()(0).getLong(0)
     (adj, entry)
   }
+
 
   def main(args: Array[String]): Unit = {
     val sizes = (if (args.nonEmpty) args(0) else "4000,16000")
@@ -288,7 +365,7 @@ object ScaleBench {
         // round-10 cost, so its decades are measured, not inferred.
         // Every metric is a bounded aggregate or listStatus; the pass
         // should be scan-bound (t-exp ≤ ~1).
-        "maintenance_plan_full (9 triggers)" -> (() => {
+        "maintenance_plan_full (10 triggers)" -> (() => {
           import spark.implicits._
           val (adj, entryId) = graphArtifacts(spark, emb, n)
           val textDir = s"/tmp/graft_scale/mplan_text_$n"
@@ -301,13 +378,23 @@ object ScaleBench {
               docs.where(col("doc_id") % 3 === 2), "doc_id", "text",
               textDir)
           }
+          // sparse family (round 12): postings + 1% tombstone debt
+          val sparseDir = s"/tmp/graft_scale/mplan_sparse_$n"
+          QueryDsl.mutateOnce(spark, sparseDir) {
+            graft.search.SparseVec.build(emb, "vec_id", "embedding",
+              topN = 8, sparseDir)
+            graft.search.SparseVec.delete(
+              emb.where(col("vec_id") % 103 === 7).select("vec_id"),
+              sparseDir, "vec_id")
+          }
           val entries = Seq(entryId).toDF("entry_id")
           val graphDead = emb.where(col("vec_id") % 101 === 5)
             .select("vec_id")
           val live = emb.where(col("vec_id") % 97 =!= 4)
           graft.search.Maintenance.planFull(spark,
             s"/tmp/graft_scale/ivf_$n", "vec_id", "embedding", live,
-            adj, graphDead, textDir, entries, textDir).count()
+            adj, graphDead, textDir, entries, textDir,
+            sparseIndexDir = sparseDir).count()
         }),
         // alias-discipline version copy (round 11): the bootstrap cost
         // a PARTIAL-mutation verb pays under AliasedIndex.maintain
@@ -323,6 +410,30 @@ object ScaleBench {
             s"/tmp/graft_scale/ivf_aliascopy_$n/v2")
           val p = new org.apache.hadoop.fs.Path(
             s"/tmp/graft_scale/ivf_aliascopy_$n")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          1L
+        }),
+        // byte-bound alias copy (round 12, verdict #6): the 64k–1M IVF
+        // copies measured FLAT because tiny per-cluster files made the
+        // cost file-count-bound — this row copies a WIDE layout (384-d
+        // random floats, 8 files) where bytes dominate (~1.5 GB at
+        // 10⁶), so "the copy is disk-linear" is a recorded number, not
+        // an argument.
+        "alias_version_copy (wide 384d, 8 files)" -> (() => {
+          import spark.implicits._
+          val wideDir = s"/tmp/graft_scale/wide_$n"
+          QueryDsl.mutateOnce(spark, wideDir) {
+            spark.range(n.toLong).as[Long].map { i =>
+              val rm = new scala.util.Random(104729L * i + 11)
+              (i, Array.fill(384)(rm.nextFloat()).toSeq)
+            }.toDF("vec_id", "embedding").coalesce(8)
+              .write.mode("overwrite").parquet(s"$wideDir/layout")
+          }
+          graft.search.AliasedIndex.copyVersion(spark,
+            s"$wideDir/layout", s"/tmp/graft_scale/wide_copy_$n/v2")
+          val p = new org.apache.hadoop.fs.Path(
+            s"/tmp/graft_scale/wide_copy_$n")
           p.getFileSystem(spark.sparkContext.hadoopConfiguration)
             .delete(p, true)
           1L
@@ -588,6 +699,38 @@ object ScaleBench {
           TermIndex.suffixSearch(spark, s"/tmp/graft_scale/suffix_$n",
             "13", k = 10).count()
         }),
+        // fuzzy d=2 (round 12, verdict #9): the deletion neighborhood
+        // is O(len⁴) variants per term — the SymSpell price of the
+        // wider radius. Still the same bounded shape (dictionary
+        // distinct + |Δlen| ≤ 2 cut + variant equi-join); this row is
+        // the measured cost next to d=1's, and the honest cap if the
+        // exponent breaks.
+        "term_fuzzy_serve (d=2 dict block join)" -> (() => {
+          import graft.search.TermIndex
+          val dir = s"/tmp/graft_scale/prefix_$n"
+          if (TermIndex.segments(spark, dir).isEmpty)
+            TermIndex.buildSorted(docs, "doc_id", "text", dir)
+          TermIndex.fuzzySearch(spark, dir, "w13", maxDist = 2,
+            k = 10).count()
+        }),
+        // infix match (round 12): trigram artifact over the DISTINCT
+        // dictionary — vocabulary-scale, so the build should go flat
+        // once the 5000-term vocab saturates; the serve is a pushed
+        // gram-IN slice + count-match AND + contains verify + one
+        // postings equi-join ("134" matches w134/w1340-9/wN134…).
+        "term_infix_build (trigram layout)" -> (() => {
+          import graft.search.TermIndex
+          val dir = s"/tmp/graft_scale/prefix_$n"
+          if (TermIndex.segments(spark, dir).isEmpty)
+            TermIndex.buildSorted(docs, "doc_id", "text", dir)
+          TermIndex.buildTrigrams(spark, dir)
+          1L
+        }),
+        "term_infix_serve (gram AND + verify)" -> (() => {
+          import graft.search.TermIndex
+          TermIndex.infixSearch(spark, s"/tmp/graft_scale/prefix_$n",
+            "134", k = 10).count()
+        }),
         // m-term slop (round 10, VERDICT-r9 item 8): the m−1 id-joins'
         // fan-out under hot terms is the one phrase shape that had no
         // measured decade. Per-doc work is bounded by per-doc term
@@ -704,6 +847,27 @@ object ScaleBench {
           graft.search.GraphAnn.beamSearch(adj, emb, "vec_id", "embedding",
             q, entry, k = 5, beamWidth = 8, rounds = 6).count()
         }),
+        // LAYERED vs FLAT rounds-at-equal-recall decade (round 12 —
+        // the HNSW claim as a measured number). Honesty note: the
+        // standard rehearsal corpus (8-node cliques at i.i.d. gaussian
+        // centres, 64-dim) has NO inter-cluster metric structure —
+        // distances concentrate, so NO graph walk navigates it and a
+        // recall row would be noise, not signal (real embeddings have
+        // low intrinsic dimension; HNSW works because of it). These
+        // rows therefore run on a NAVIGABLE chain corpus (rungs of 6
+        // along one axis — the GraphAnnSpec layered fixture grown to
+        // decade sizes) and return the MINIMAL ROUND COUNT at which the
+        // walk's top-1 reaches a query planted 24 rungs from the seed
+        // (= equal, perfect recall on the planted target; 99 = never
+        // within the cap). Flat advances ~1 rung per round; the
+        // layered upper layer (~2 of 6 nodes per rung sampled) spans
+        // several rungs per hop, so its TOTAL rounds (upper + 2 base)
+        // should sit well under flat's — and both should be FLAT in n
+        // (the distance is fixed; the corpus grows around it).
+        "graphann_chain_rounds_flat (dist 24 rungs)" -> (() =>
+          chainRoundsToHit(spark, n, layered = false)),
+        "graphann_chain_rounds_layered (upper + 2 base)" -> (() =>
+          chainRoundsToHit(spark, n, layered = true)),
         // metric-comparator walks (round 9): identical frontier
         // machinery to graphann_serve with the routing read ranking by
         // -ip / -cosine instead of L2 — each routing read is a pushed
