@@ -1633,7 +1633,7 @@ object PipelineQueries {
     * adjacencies — the upper walk's final visited set's top-2 feed the
     * base chain's v0 via the entFrom seed CTE — so the zoom, the
     * handoff, and the base walk are all hash-checked. ScaleBench's
-    * `graph_layered_vs_flat` op records the fewer-rounds-at-equal-
+    * `graphann_chain_rounds_*` ops record the fewer-rounds-at-equal-
     * recall win on the decades. */
   private val graphAnnLayeredWalk = Q(
     "graph_ann_layered_walk",

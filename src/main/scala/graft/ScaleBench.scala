@@ -111,8 +111,8 @@ object ScaleBench {
 
   /** Minimal round count at which a walk's top-1 hits a query planted
     * 24 rungs from the (mid-chain) seed — flat sweeps its round
-    * budget; layered sweeps the UPPER budget with 2 base rounds and
-    * reports upper + 2. Probes double (1,2,4,…) then refine one step;
+    * budget; layered sweeps the UPPER budget with 3 base rounds and
+    * reports upper + 3. Probes double (1,2,4,…) then refine one step;
     * 99 = not reached within 48. */
   private def chainRoundsToHit(spark: SparkSession, n: Int,
                                layered: Boolean): Long = {
@@ -125,22 +125,39 @@ object ScaleBench {
       GraphAnn.buildAdjacency(emb, "vec_id", "embedding",
         GraphAnn.Params(maxIter = 5))
     }
+    // the upper layer builds with the α-RNG PRUNE — HNSW's select
+    // heuristic: the diversity (long) edges are what let the sparse
+    // layer skip a capped-kNN shard boundary's missing link (a plain
+    // kNN upper measured a 1 M stall from exactly that; the 13.5%
+    // sample keeps the pruned build's cost a fraction of the base's)
     val sample = GraphAnn.upperSample(emb, "vec_id")
     val uadj = graft.core.Artifacts.buildOnce(spark,
-      s"/tmp/graft_scale/chain_upper_$n") {
-      GraphAnn.buildAdjacency(sample, "vec_id", "embedding",
+      s"/tmp/graft_scale/chain_upperp_$n") {
+      GraphAnn.buildAdjacencyPruned(sample, "vec_id", "embedding",
         GraphAnn.Params(maxIter = 5))
     }
     val ent = graft.core.Artifacts.buildOnce(spark,
       s"/tmp/graft_scale/chain_entry_$n") {
       GraphAnn.medoid(emb, "vec_id", "embedding")
     }
+    val entId0 = ent.collect()(0).getLong(0)
+    // HNSW shares ONE entry node across layers — seed the upper walk
+    // at the SAMPLED node nearest the base entry. An independent
+    // sample medoid drifts ~√n rungs from the base medoid (median
+    // sampling noise: measured ~290 rungs at 1 M), and the row would
+    // then measure that offset, not the zoom.
     val uent = graft.core.Artifacts.buildOnce(spark,
-      s"/tmp/graft_scale/chain_uentry_$n") {
-      GraphAnn.medoid(sample, "vec_id", "embedding")
+      s"/tmp/graft_scale/chain_uentry2_$n") {
+      val ev = emb.where(col("vec_id") === entId0).select("embedding")
+        .collect()(0).getSeq[Float](0)
+      sample.select(col("vec_id").as("entry_id"),
+          graft.functions.VectorFunctions.l2Sq(col("embedding"),
+            typedlit(ev)).as("__d"))
+        .orderBy(col("__d").asc, col("entry_id").asc)
+        .limit(1).select("entry_id")
     }
     // the planted target: 24 rungs past the seed's rung
-    val entId = ent.collect()(0).getLong(0)
+    val entId = entId0
     val qid = ((entId / 6) + 24) * 6
     val qv = emb.where(col("vec_id") === qid).select("embedding")
       .collect()(0).getSeq[Float](0).toArray
@@ -148,7 +165,7 @@ object ScaleBench {
       val top = (if (layered)
         GraphAnn.layeredSearch(uadj, uent, adj, emb, "vec_id",
           "embedding", qv, k = 1, beamWidth = 8, upperRounds = r,
-          rounds = 2, degree = 8, nSeeds = 2)
+          rounds = 3, degree = 8, nSeeds = 2)
       else
         GraphAnn.beamSearchMulti(adj, emb, "vec_id", "embedding", qv,
           ent, k = 1, beamWidth = 8, rounds = r, degree = 8,
@@ -157,18 +174,21 @@ object ScaleBench {
       top.nonEmpty && top(0) == qid
     }
     val cap = 96
-    var r = 1
-    var last = 0
-    while (r <= cap && !hit(math.min(r, cap))) { last = r; r *= 2 }
-    if (r > cap) return 99L
+    // probe 1,2,4,… and ALWAYS the cap itself (the first sweep's bug:
+    // doubling past the cap skipped probing AT it)
+    val probes = Iterator.iterate(1)(_ * 2).takeWhile(_ < cap).toSeq :+ cap
+    var prev = 0
+    var found = -1
+    for (p <- probes if found < 0) { if (hit(p)) found = p else prev = p }
+    if (found < 0) return 99L
     // refine: walk budgets are monotone in rounds on this fixture —
     // halve-step back to the first hitting budget
-    var lo = last; var hi = math.min(r, cap)
+    var lo = prev; var hi = found
     while (hi - lo > 1) {
       val mid = (lo + hi) / 2
       if (hit(mid)) hi = mid else lo = mid
     }
-    (if (layered) hi + 2 else hi).toLong
+    (if (layered) hi + 3 else hi).toLong
   }
 
   /** Build-once graph adjacency + medoid entry for a rehearsal corpus:
@@ -866,7 +886,7 @@ object ScaleBench {
         // (the distance is fixed; the corpus grows around it).
         "graphann_chain_rounds_flat (dist 24 rungs)" -> (() =>
           chainRoundsToHit(spark, n, layered = false)),
-        "graphann_chain_rounds_layered (upper + 2 base)" -> (() =>
+        "graphann_chain_rounds_layered (upper + 3 base)" -> (() =>
           chainRoundsToHit(spark, n, layered = true)),
         // metric-comparator walks (round 9): identical frontier
         // machinery to graphann_serve with the routing read ranking by

@@ -366,9 +366,15 @@ object GraphAnn {
     * needs rounds ∝ the graph's diameter to cross the corpus; the
     * upper layer crosses a 7.4×-smaller graph first and hands the base
     * walk a start already near the answer — fewer base rounds at equal
-    * recall (ScaleBench's `graph_layered_vs_flat` op measures it).
+    * recall (ScaleBench's `graphann_chain_rounds_*` ops measure it).
     * Cost: the upper walk's bounded beam × rounds plus the base walk —
-    * both driver-bounded frontier lookups, never a corpus scan. */
+    * both driver-bounded frontier lookups, never a corpus scan.
+    * Entry choice: HNSW shares ONE entry node across layers — prefer
+    * seeding `upperEntries` with the sampled node nearest the base
+    * entry; an independently-computed sample medoid drifts ~√n
+    * positions from the corpus medoid (median sampling noise), which
+    * at decade sizes adds a seed offset that can dominate the walk
+    * (measured: ~290 rungs at 10⁶ on the chain rehearsal). */
   def layeredSearch(adjUpper: DataFrame, upperEntries: DataFrame,
                     adjBase: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, query: Array[Float], k: Int,

@@ -165,19 +165,23 @@ object Maintenance {
     def kv(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("k"), col("value").cast("long").as("v"))
     // graph: dead-touching edge rows vs the artifact's edge count —
-    // two broadcast EQUI semi-joins unioned (an OR-join would both
-    // double-count a both-endpoints-dead edge and plan as a nested
-    // loop); distinct is safe because (src, dst) is the edge identity
+    // ONE adjacency scan with two broadcast left joins and an OR
+    // filter (round 12: the previous union-of-semi-joins scanned the
+    // adjacency twice and paid a distinct shuffle to undo its own
+    // double-count; a left join per endpoint keeps both lookups
+    // broadcast-hash and each edge appears once because (src, dst) is
+    // unique by [[GraphAnn.buildAdjacency]]'s groupBy construction)
     val dead = broadcast(graphDeadKeys
       .select(col(graphDeadKeys.columns.head).cast("long").as("__dead"))
       .distinct())
     val edgesDf = kv("graph_edges",
       adj.agg(count(lit(1)).as("value")))
     val deadEdgesDf = kv("graph_dead_edges", adj
-      .join(dead, col("src") === col("__dead"), "left_semi")
-      .unionByName(adj.join(dead, col("dst") === col("__dead"),
-        "left_semi"))
-      .select(col("src"), col("dst")).distinct()
+      .join(dead.select(col("__dead").as("src"), lit(1).as("__sdead")),
+        Seq("src"), "left")
+      .join(dead.select(col("__dead").as("dst"), lit(1).as("__ddead")),
+        Seq("dst"), "left")
+      .where(col("__sdead").isNotNull || col("__ddead").isNotNull)
       .agg(count(lit(1)).as("value")))
     // text: tombstone keys vs the doclen table's document count
     val nDocsDf = kv("text_docs",
@@ -192,18 +196,27 @@ object Maintenance {
     // clears the trigger (already-recorded orphan tombstones stop
     // counting; appended missing rows appear), the idempotency the
     // verb documents.
+    // both drift directions from ONE full-outer pass (round 12: the
+    // two anti-joins each re-evaluated the masked-artifact-id subtree
+    // — its dataDir scan was the observe pass's priciest branch, paid
+    // twice). artIds and corpusIds are both key-unique, so the
+    // full-outer is 1:1 and a null on either side IS the drift.
     val artIds = Tombstones.mask(
       spark.read.option("mergeSchema", "true")
         .parquet(IvfIndex.dataDir(indexDir))
         .select(col(idCol)).distinct(),
       spark, indexDir, idCol)
     val corpusIds = liveCorpus.select(col(idCol))
-    val orphansDf = kv("reconcile_orphans",
-      artIds.join(corpusIds, Seq(idCol), "left_anti")
-        .agg(count(lit(1)).as("value")))
-    val missingDf = kv("reconcile_missing",
-      corpusIds.join(artIds, Seq(idCol), "left_anti")
-        .agg(count(lit(1)).as("value")))
+    val driftDf = artIds.withColumn("__art", lit(1))
+      .join(corpusIds.withColumn("__cor", lit(1)), Seq(idCol),
+        "full_outer")
+      .agg(
+        coalesce(sum(when(col("__cor").isNull, 1L)), lit(0L)).as("o"),
+        coalesce(sum(when(col("__art").isNull, 1L)), lit(0L)).as("m"))
+      .selectExpr(
+        "stack(2, 'reconcile_orphans', o, 'reconcile_missing', m) " +
+          "AS (k, v)")
+      .select(col("k"), col("v").cast("long").as("v"))
     // radii (violations = wrong answers; missing = unaccelerated — both
     // cured by refreshRadii) and entry liveness, already (k, v)-shaped
     val radiiDf = IndexAudit.radiiChecks(spark, indexDir, vecCol)
@@ -232,7 +245,7 @@ object Maintenance {
     // schedule in parallel within the job) instead of its own collect —
     // the round-11 answer to "the trigger scan is the #2 bench entry"
     val m = (Seq(ivfMetrics(spark, indexDir, idCol), edgesDf, deadEdgesDf,
-        nDocsDf, textTombDf, orphansDf, missingDf, radiiDf, entryDf) ++
+        nDocsDf, textTombDf, driftDf, radiiDf, entryDf) ++
         sparseDfs)
       .reduce(_ unionByName _)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
