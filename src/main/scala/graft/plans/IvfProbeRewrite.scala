@@ -57,6 +57,16 @@ object IvfProbeRewrite extends Rule[LogicalPlan] {
   // so any maintenance verb forces a re-decide (and a re-measure via
   // the panel thunk's own fingerprint-keyed buildOnce), while steady
   // state pays zero per-query routing cost after the first.
+  //
+  // Scope note — why the GRAPH tiers are not rewrite targets: a beam
+  // walk is a data-dependent LOOP (each round's frontier derives from
+  // the previous round's results, driver-coordinated bounded collects),
+  // not a static plan — there is no LogicalPlan to splice where the
+  // Limit(Sort) stood. A router that chooses a graph tier belongs in an
+  // API-level dispatcher ([[graft.search.GraphAnn.filteredSearchAuto]]
+  // is that shape); the REWRITE serves the three tiers whose serving IS
+  // one declarative plan. The panel still measures the graph tiers so
+  // the decision table stays complete ('serving_plan_*').
   // ---------------------------------------------------------------------
 
   /** Everything the routed rewrite needs: the IVF model + nprobe (the
