@@ -1297,6 +1297,107 @@ object TextQueries {
       ORDER BY bm25 DESC, doc_id ASC LIMIT 10
     """))
 
+  /** FUZZY term match at maxDist=2 — the API's full radius
+    * oracle-checked (round 12; d=1 is `term_fuzzy_search`, and the d=2
+    * deletion neighborhood is O(len⁴) variants per term — SCALE.md's
+    * decade pinned the cost sub-linear, this entry pins the ANSWER):
+    * docs ranked by total occurrences of terms within 2 edits of
+    * `port`, brute-force `levenshtein` oracle over every token. The
+    * wider radius matches a much larger slice (any 4-letter token two
+    * edits away qualifies), so a candidate tier that dropped the
+    * |Δlen| ≤ 2 cut's SECOND band, or a variant generator capped at
+    * one deletion, hash-mismatches. */
+  private val termFuzzySearchD2 = Q(
+    "term_fuzzy_search_d2",
+    (s, dir) => {
+      import graft.search.{Bm25Index, TermIndex}
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_prefix_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        TermIndex.buildSorted(docs, "doc_id", "text", idx)
+        Bm25Index.build(docs, "doc_id", "text", idx)
+      }
+      TermIndex.fuzzySearch(s, idx, "port", maxDist = 2, k = 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH ttoks AS (SELECT doc_id,
+                            unnest(list_filter(
+                              string_split_regex(text, '\s+'),
+                              t -> len(t) > 0)) AS term
+                     FROM documents)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nhits
+      FROM ttoks WHERE levenshtein(term, 'port') <= 2
+      GROUP BY doc_id
+      ORDER BY nhits DESC, doc_id ASC LIMIT 10
+    """))
+
+  /** Incremental TRIGRAM maintenance ([[graft.search.TermIndex
+    * .appendTrigrams]], round 12 — the infix artifact joins the
+    * every-artifact-has-an-incremental-story discipline): the sorted
+    * layout is built on the first 300 docs, the rest arrive as a
+    * segment append WITH a trigram append (new dictionary terms' grams
+    * land as a file append; re-appended known terms produce harmless
+    * duplicate (gram, term) rows — `countDistinct` candidate matching
+    * tolerates them, the full-rebuild fold retires them). The appended
+    * batch carries a MARKER doc whose term exists ONLY post-append, and
+    * the entry serves TWO needles: `rder` (natural terms — exercises
+    * the segmented postings) and `nfixq` (matches the marker term
+    * alone — an ingest that forgot the trigram append has no candidate
+    * for it and hash-mismatches). Oracle = brute-force LIKE over the
+    * documents table plus the same marker literal. */
+  private val termInfixIncremental = Q(
+    "term_infix_incremental",
+    (s, dir) => {
+      import s.implicits._
+      import graft.search.TermIndex
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_infixinc_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = docs.where(col("doc_id") < 300)
+        TermIndex.buildSorted(base, "doc_id", "text", idx)
+        TermIndex.buildTrigrams(s, idx)
+        val batch = docs.where(col("doc_id") >= 300)
+          .select(col("doc_id"), col("text"))
+          .unionByName(Seq((999999L, "qqinfixq zz")).toDF("doc_id", "text"))
+        TermIndex.appendSegment(batch, "doc_id", "text", idx)
+        TermIndex.appendTrigrams(batch, "doc_id", "text", idx)
+      }
+      TermIndex.infixSearch(s, idx, "rder", k = 10)
+        .select(lit("rder").as("needle"), col("id").as("doc_id"),
+          col("nhits"))
+        .unionByName(TermIndex.infixSearch(s, idx, "nfixq", k = 10)
+          .select(lit("nfixq").as("needle"), col("id").as("doc_id"),
+            col("nhits")))
+        .orderBy(col("needle").asc, col("nhits").desc, col("doc_id").asc)
+    },
+    Some("""
+      WITH alldocs AS (SELECT doc_id, text FROM documents
+                       UNION ALL SELECT 999999, 'qqinfixq zz'),
+      ttoks AS (SELECT doc_id,
+                       unnest(list_filter(
+                         string_split_regex(text, '\s+'),
+                         t -> len(t) > 0)) AS term
+                FROM alldocs),
+      r1 AS (SELECT 'rder' AS needle, doc_id,
+                    CAST(count(*) AS BIGINT) AS nhits
+             FROM ttoks WHERE term LIKE '%rder%'
+             GROUP BY doc_id
+             ORDER BY nhits DESC, doc_id ASC LIMIT 10),
+      r2 AS (SELECT 'nfixq' AS needle, doc_id,
+                    CAST(count(*) AS BIGINT) AS nhits
+             FROM ttoks WHERE term LIKE '%nfixq%'
+             GROUP BY doc_id
+             ORDER BY nhits DESC, doc_id ASC LIMIT 10)
+      SELECT needle, doc_id, nhits FROM (
+        SELECT * FROM r1 UNION ALL SELECT * FROM r2) u
+      ORDER BY needle ASC, nhits DESC, doc_id ASC
+    """))
+
   /** Incremental sorted-term maintenance ([[graft.search.TermIndex
     * .appendSegment]]) — the Lucene segment model for the prefix
     * layout: a raw file append would interleave term ranges and void
@@ -1607,7 +1708,8 @@ object TextQueries {
     phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25,
     streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti,
     termPrefixSearch, prefixFilteredBm25, termFuzzySearch,
-    fuzzyFilteredBm25, termSuffixSearch, termInfixSearch,
-    infixFilteredBm25, termPrefixIncremental,
+    termFuzzySearchD2, fuzzyFilteredBm25, termSuffixSearch,
+    termInfixSearch, infixFilteredBm25, termInfixIncremental,
+    termPrefixIncremental,
     streamingPrefixIngest)
 }

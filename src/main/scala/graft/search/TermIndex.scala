@@ -255,6 +255,32 @@ object TermIndex {
       .write.mode("overwrite").parquet(trigramsDir(indexDir))
   }
 
+  /** Absorb a batch's NEW dictionary terms into the trigram artifact by
+    * file append — the incremental form of [[buildTrigrams]] (every
+    * other lexical artifact has one; rebuilding a vocabulary-scale
+    * table on every append is cheap here but wrong at warehouse scale
+    * where the dictionary is large). Appends grams of the batch's
+    * tokens only; terms the dictionary already carries land as
+    * DUPLICATE (gram, term) rows, which serving tolerates by
+    * construction — [[infixTerms]]'s count-match uses countDistinct
+    * and its output is a groupBy per term — and [[buildTrigrams]]'s
+    * full rewrite folds them away (the segment-merge economics).
+    * Reader-safe in place against the served version, like every
+    * append. */
+  def appendTrigrams(batch: DataFrame, idCol: String, textCol: String,
+                     indexDir0: String): Unit = {
+    val spark = batch.sparkSession
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    batch.select(explode(toks).as("term")).distinct()
+      .where(length(col("term")) >= 3)
+      .select(col("term"), explode(expr(
+        "transform(sequence(0, length(term)-3), " +
+          "i -> substring(term, i+1, 3))")).as("gram"))
+      .distinct()
+      .write.mode("append").parquet(trigramsDir(indexDir))
+  }
+
   /** Dictionary terms CONTAINING `needle` — the candidate tier of infix
     * match: the needle's trigrams hit the [[buildTrigrams]] artifact as
     * one pushed `gram IN (...)` slice, a term must carry ALL of them
