@@ -1505,7 +1505,8 @@ object PipelineQueries {
                                prefix: String = "",
                                corpusFrom: String = "embeddings",
                                materialized: Boolean = false,
-                               entFrom: String = ""): String = {
+                               entFrom: String = "",
+                               entPairsFrom: String = ""): String = {
     val beamWidth = beamWidthSql
     val P = prefix
     // DuckDB inlines CTEs by default; a DEEP round chain (each round
@@ -1517,9 +1518,12 @@ object PipelineQueries {
     val M = if (materialized) "MATERIALIZED " else ""
     val sb = new StringBuilder
     // entFrom: seed from a caller-provided CTE (a prior walk's output —
-    // the layered-serve chain) instead of the staged entry table
+    // the layered-serve chain) instead of the staged entry table;
+    // entPairsFrom: PER-QUERY (qid, id) seed pairs (the bulk layered
+    // chain — each query's upper result seeds ITS base walk)
     val entCte =
-      if (entFrom.isEmpty) s"""
+      if (entPairsFrom.nonEmpty) ""
+      else if (entFrom.isEmpty) s"""
       ${P}ent AS $M(SELECT entry_id FROM read_parquet(
         '/tmp/graft_${name}_oracle_%ORACLE_KEY%/entry/*.parquet')),"""
       else s"""
@@ -1531,7 +1535,12 @@ object PipelineQueries {
       ${P}dall AS $M(SELECT q.qid, e.vec_id AS id,
                       ${duckL2("e.embedding", "q.qv")} AS d
                FROM $corpusFrom e, qs q),""")
-    if (seedsPerQuery > 0)
+    if (entPairsFrom.nonEmpty)
+      sb.append(s"""
+      ${P}v0 AS $M(SELECT d.qid, d.id, d.d FROM ${P}dall d
+             JOIN $entPairsFrom sp ON sp.qid = d.qid AND sp.id = d.id),
+      ${P}x0 AS $M(SELECT qid, id FROM ${P}v0 WHERE 1 = 0)""")
+    else if (seedsPerQuery > 0)
       sb.append(s"""
       ${P}v0 AS $M(SELECT qid, id, d FROM (
           SELECT d.qid, d.id, d.d, row_number() OVER (PARTITION BY d.qid
@@ -1675,6 +1684,65 @@ object PipelineQueries {
         materialized = true, entFrom = "useed")}
       SELECT id AS vec_id, d AS distance FROM bv3
       ORDER BY distance ASC, vec_id ASC LIMIT 5
+    """))
+
+  /** BULK layered serving ([[graft.search.GraphAnn.layeredSearchBulk]],
+    * round 12) — the layered walk at the batch shape every other
+    * serving path has: the query batch walks the UPPER layer together
+    * (one plan, qid-partitioned windows), each query's top-2 upper
+    * results seed ITS OWN base walk
+    * ([[graft.search.GraphAnn.bulkBeamSearchSeeded]] — per-query seed
+    * pairs, one equi-join, nothing per-query on the driver). The
+    * oracle chains two bulk walk CTE blocks: the upper block's final
+    * visited set yields per-qid seed PAIRS (`entPairsFrom`), the base
+    * block's v0 joins on (qid, id) — every round of both walks is
+    * hash-checked per query. */
+  private val graphAnnLayeredBulk = Q(
+    "graph_ann_layered_bulk",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val ubase = s"/tmp/graft_glayer_${math.abs(dir.hashCode)}"
+      val sample = GraphAnn.upperSample(e, "vec_id")
+      val uadj = graft.core.Artifacts.buildOnce(s, s"$ubase/adjacency") {
+        GraphAnn.buildAdjacency(sample, "vec_id", "embedding")
+      }
+      val uent = graft.core.Artifacts.buildOnce(s, s"$ubase/entry") {
+        GraphAnn.medoid(sample, "vec_id", "embedding")
+      }
+      stageOracleOnce(s, "layeredbu", dir)(
+        "adjacency" -> uadj.select("src", "dst"),
+        "entry" -> uent.select("entry_id"))
+      stageOracleOnce(s, "layeredbb", dir)(
+        "adjacency" -> adj.select("src", "dst"))
+      val queries = e.where(col("vec_id").isin(BulkQids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val upperEntryId = uent.collect()(0).getLong(0)
+      GraphAnn.layeredSearchBulk(uadj, upperEntryId, adj, e, "vec_id",
+          "embedding", queries, "qid", "qv", k = 5, beamWidth = 4,
+          upperRounds = 3, rounds = 3, nSeeds = 2)
+        .orderBy(col("qid").asc, col("distance").asc, col("vec_id").asc)
+    },
+    Some(s"""
+      WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                  WHERE vec_id IN (${BulkQids.mkString(", ")})),
+      ${bulkWalkCtesExpr("layeredbu", "4", rounds = 3, prefix = "u",
+        materialized = true)},
+      useed AS MATERIALIZED (SELECT qid, id FROM (
+          SELECT qid, id, row_number() OVER (PARTITION BY qid
+              ORDER BY d ASC, id ASC) AS rn FROM uv3) useedt
+        WHERE rn <= 2),
+      ${bulkWalkCtesExpr("layeredbb", "4", rounds = 3, prefix = "b",
+        materialized = true, entPairsFrom = "useed")}
+      SELECT qid, id AS vec_id, d AS distance FROM (
+        SELECT qid, id, d, row_number() OVER (PARTITION BY qid
+            ORDER BY d ASC, id ASC) AS rn FROM bv3) fin
+      WHERE rn <= 5
+      ORDER BY qid ASC, distance ASC, vec_id ASC
     """))
 
   /** Predicate + graph index (see
@@ -5522,7 +5590,7 @@ object PipelineQueries {
     keywordTextSearch, chunkTextSearch, questionAnswerPipeline,
     collectionUpsert, collectionSchemaEvolution, collectionDeleteExpr,
     lateInteractionMaxsim, graphAnnSearch, graphAnnBulk,
-    graphAnnLayeredWalk,
+    graphAnnLayeredWalk, graphAnnLayeredBulk,
     graphAnnBulkRecall, graphAnnIncremental, graphAnnFiltered,
     graphAnnFilteredRecall, graphAnnFilteredAdaptive,
     scalarFilteredGraphWalk, scalarFilteredGraphRecall,

@@ -1123,6 +1123,90 @@ object GraphAnn {
     * plan constant, so the loop unrolls into one declarative plan; at
     * production round counts, checkpoint the visited set between rounds
     * to keep lineage flat. */
+  /** [[bulkBeamSearch]] with PER-QUERY seed pairs — the bulk walk's
+    * seeded form (round 12): `seeds` is a (qid, id) frame, each query's
+    * walk starts from ITS OWN seed set instead of the shared entry.
+    * This is the base-layer half of [[layeredSearchBulk]] (each query's
+    * upper-walk result seeds its base walk), and more generally the
+    * bulk form of any externally-routed start (a per-shard entry table,
+    * a cached previous answer). Same round machinery, state and bounds
+    * as [[bulkBeamSearch]]; the seed distances are one equi-join, no
+    * per-query driver work at all. */
+  def bulkBeamSearchSeeded(adj: DataFrame, corpus: DataFrame,
+                           idCol: String, vecCol: String,
+                           queries: DataFrame, qidCol: String,
+                           qvecCol: String, seeds: DataFrame, k: Int,
+                           beamWidth: Int = 4,
+                           rounds: Int = 3): DataFrame = {
+    val q = queries.select(col(qidCol).cast("long").as("qid"),
+      col(qvecCol).as("__qv"))
+    val ids = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("__cv"))
+    def distTo(cand: DataFrame): DataFrame =
+      cand.join(q, Seq("qid")).join(ids, Seq("id"))
+        .select(col("qid"), col("id"),
+          round(VectorFunctions.l2Sq(col("__qv"), col("__cv")), 4).as("d"))
+    // localCheckpoint the (bounded: nSeeds·|queries| rows) seed state:
+    // the seed distances arrive through a double equi-join whose
+    // constraint set trips Spark's Union constraint-rewrite
+    // (UnionBase.rewriteConstraints AttributeMap miss) when the round
+    // loop unions onto it — truncating lineage here sidesteps it and
+    // also keeps the per-round plan flat, like the loop's own
+    // checkpoint cadence
+    var visited = distTo(seeds
+      .select(col("qid").cast("long").as("qid"),
+        col("id").cast("long").as("id")).distinct())
+      .localCheckpoint()
+    var expanded = visited.select("qid", "id").limit(0)
+    val byQid = Window.partitionBy(col("qid"))
+      .orderBy(col("d").asc, col("id").asc)
+    var step = 0
+    while (step < rounds) {
+      val frontier = visited
+        .join(expanded, Seq("qid", "id"), "left_anti")
+        .withColumn("__rn", row_number().over(byQid))
+        .where(col("__rn") <= beamWidth)
+        .select("qid", "id")
+      expanded = expanded.unionByName(frontier)
+      val fresh = frontier
+        .join(adj.select(col("src").as("id"), col("dst")), Seq("id"))
+        .select(col("qid"), col("dst").as("id")).distinct()
+        .join(visited.select("qid", "id"), Seq("qid", "id"), "left_anti")
+      visited = visited.unionByName(distTo(fresh))
+      step += 1
+      // lineage control — see [[bulkBeamSearch]]'s round loop
+      if (step < rounds && step % 2 == 0) {
+        visited = visited.localCheckpoint()
+        expanded = expanded.localCheckpoint()
+      }
+    }
+    visited.withColumn("__rn", row_number().over(byQid))
+      .where(col("__rn") <= k)
+      .select(col("qid"), col("id").as(idCol), col("d").as("distance"))
+  }
+
+  /** BULK layered serve — [[layeredSearch]] for a query batch as ONE
+    * plan per stage (round 12): the batch walks the upper layer
+    * together ([[bulkBeamSearch]] from the shared upper entry), each
+    * query's top-`nSeeds` upper results seed ITS base walk
+    * ([[bulkBeamSearchSeeded]]). Per-round state stays linear in the
+    * batch and corpus-size-independent; nothing per-query happens on
+    * the driver. */
+  def layeredSearchBulk(adjUpper: DataFrame, upperEntryId: Long,
+                        adjBase: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String,
+                        queries: DataFrame, qidCol: String,
+                        qvecCol: String, k: Int, beamWidth: Int = 4,
+                        upperRounds: Int = 3, rounds: Int = 3,
+                        nSeeds: Int = 2): DataFrame = {
+    val upperTop = bulkBeamSearch(adjUpper, corpus, idCol, vecCol,
+      queries, qidCol, qvecCol, upperEntryId, k = nSeeds, beamWidth,
+      upperRounds)
+    val seeds = upperTop.select(col("qid"), col(idCol).as("id"))
+    bulkBeamSearchSeeded(adjBase, corpus, idCol, vecCol, queries,
+      qidCol, qvecCol, seeds, k, beamWidth, rounds)
+  }
+
   def bulkBeamSearch(adj: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, queries: DataFrame, qidCol: String,
                      qvecCol: String, entryId: Long, k: Int,
