@@ -759,6 +759,60 @@ object GraphAnn {
       Some(a2)))
   }
 
+  def adjacencyDir(indexDir: String): String = s"$indexDir/adjacency"
+  def entriesDir(indexDir: String): String = s"$indexDir/entries"
+
+  /** ROOT-addressed delete consolidation under the alias discipline —
+    * the graph family joins the alias-flip default (round 12; the
+    * other families got it in round 11): on a published root, read the
+    * CURRENT version's adjacency + entries, run
+    * [[consolidateDeletesWithEntries]], and write BOTH artifacts into
+    * `v<N+1>` DIRECTLY (consolidation rewrites the whole layout anyway,
+    * so it skips [[AliasedIndex.maintain]]'s bootstrap copy — the
+    * rewrite-verbs-skip-the-copy contract), then publish atomically.
+    * Readers resolving the root mid-verb keep serving the old complete
+    * version; after the flip they serve the consolidated adjacency
+    * seeded from the re-elected entries with no manual repair. On a
+    * flat (never-published) root the verb rewrites in place with the
+    * documented single-writer window. Returns the new serving dir. */
+  def consolidateDeletesRoot(spark: SparkSession, root: String,
+                             corpus: DataFrame, idCol: String,
+                             vecCol: String, deletes: DataFrame,
+                             degree: Int = 8): String = {
+    def rewriteInto(cur: String, next: String): Unit = {
+      val adj = spark.read.parquet(adjacencyDir(cur))
+      val entries = spark.read.parquet(entriesDir(cur))
+      val (a2, e2) = consolidateDeletesWithEntries(adj, corpus, idCol,
+        vecCol, deletes, entries, degree)
+      a2.write.mode("overwrite").parquet(adjacencyDir(next))
+      e2.write.mode("overwrite").parquet(entriesDir(next))
+    }
+    if (AliasedIndex.publishedVersions(spark, root).nonEmpty)
+      AliasedIndex.advance(spark, root)(rewriteInto)
+    else {
+      // flat layout: rename-aside rewrite of the whole root
+      val tmp = s"${root}__cons_tmp"
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Tombstones.recoverAside(f, new org.apache.hadoop.fs.Path(root),
+        new org.apache.hadoop.fs.Path(s"${root}__cons_old"))
+      f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      rewriteInto(root, tmp)
+      val old = new org.apache.hadoop.fs.Path(s"${root}__cons_old")
+      f.delete(old, true)
+      if (!f.rename(new org.apache.hadoop.fs.Path(root), old))
+        throw new java.io.IOException(
+          s"consolidateDeletesRoot: rename $root aside failed")
+      if (!f.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(root)))
+        throw new java.io.IOException(
+          s"consolidateDeletesRoot: rename $tmp -> $root failed; " +
+            s"previous layout is at $old")
+      f.delete(old, true)
+      root
+    }
+  }
+
   /** MIPS-routed beam walk — the inner-product member of the metric ×
     * index matrix (ip-Greedy over a proximity graph: Morozov & Babenko,
     * NeurIPS 2018 showed the similarity-graph walk carries over to MIPS

@@ -920,6 +920,59 @@ class OperatorSpec extends SparkSpec {
       "fielded append against the aliased root must be served")
   }
 
+  test("aliased index default: GRAPH family root verb — consolidation " +
+      "publishes atomically and the flipped version serves the " +
+      "deletes-free adjacency from re-elected entries") {
+    import graft.search.{AliasedIndex, GraphAnn}
+    val r = new scala.util.Random(93)
+    val corpus = (0L until 40L).map(i =>
+        (i, Array.fill(4)((r.nextGaussian() * 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val root = "/tmp/graft_aliasdef_graph"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    AliasedIndex.init(spark, root) { d =>
+      GraphAnn.buildAdjacency(corpus, "vec_id", "embedding")
+        .write.mode("overwrite").parquet(GraphAnn.adjacencyDir(d))
+      GraphAnn.entryPoints(corpus, "vec_id", "embedding", nEntries = 4)
+        .write.mode("overwrite").parquet(GraphAnn.entriesDir(d))
+    }
+    val q = corpus.where(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    def serve(): Seq[(Long, Double)] = {
+      val d = AliasedIndex.resolveDir(spark, root)
+      GraphAnn.beamSearchMulti(
+          spark.read.parquet(GraphAnn.adjacencyDir(d)), corpus,
+          "vec_id", "embedding", q,
+          spark.read.parquet(GraphAnn.entriesDir(d)),
+          k = 3, beamWidth = 4, rounds = 3, degree = 8, nSeeds = 2)
+        .select("vec_id", "distance").as[(Long, Double)].collect().toSeq
+    }
+    val before = serve()
+    val deletes = corpus.where(col("vec_id") % 5 === 1).select("vec_id")
+    GraphAnn.consolidateDeletesRoot(spark, root, corpus, "vec_id",
+      "embedding", deletes)
+    assert(AliasedIndex.currentVersion(spark, root) == 2,
+      "root verb must publish v2")
+    val d2 = AliasedIndex.resolveDir(spark, root)
+    // consolidated layout carries no deleted node on either side, and
+    // every surviving entry sources edges (the reelect contract)
+    val adj2 = spark.read.parquet(GraphAnn.adjacencyDir(d2))
+    val deadSet = deletes.as[Long].collect().toSet
+    assert(adj2.where(col("src").isin(deadSet.toSeq: _*) ||
+      col("dst").isin(deadSet.toSeq: _*)).count() == 0)
+    val ents2 = spark.read.parquet(GraphAnn.entriesDir(d2))
+      .select("entry_id").as[Long].collect().toSeq
+    val srcs = adj2.select("src").distinct().as[Long].collect().toSet
+    assert(ents2.nonEmpty && ents2.forall(srcs.contains),
+      "every re-elected entry must source post-fold edges")
+    // the served answer excludes deleted ids (vec 0 not deleted, so
+    // the walk still anchors); the OLD answer is still a valid thing
+    // to have seen pre-flip
+    assert(serve().forall { case (id, _) => !deadSet.contains(id) })
+    assert(before.nonEmpty)
+  }
+
   test("aliased index: a CONCURRENT reader loop during a slow maintain " +
       "sees only complete versions, on every family (round 12 — the " +
       "strongest form of the sealed-segment discipline)") {
