@@ -95,6 +95,33 @@ object ScaleBench {
   private def copyDir(srcDir: String, dstDir: String): Unit =
     graft.core.Artifacts.copyLocalDir(srcDir, dstDir)
 
+  /** Build-once UPPER-layer artifacts over the STANDARD corpus — for
+    * the bulk layered COST row (navigability is irrelevant to a cost
+    * decade; the walk's work is bounded by construction either way).
+    * The trained-tier boundary applies to the SAMPLE size. */
+  private def upperArtifacts(spark: SparkSession, emb: DataFrame,
+                             n: Int): (DataFrame, Long) = {
+    import graft.search.GraphAnn
+    val sample = GraphAnn.upperSample(emb, "vec_id")
+    val useLsh = sys.env.get("SPARK_GRAFT_GRAPH_BUILD").contains("lsh") ||
+      n * 0.135 > 300000
+    val adjDir = if (useLsh) s"/tmp/graft_scale/graph_upper_lsh_$n"
+                 else s"/tmp/graft_scale/graph_upper_$n"
+    val uadj = graft.core.Artifacts.buildOnce(spark, adjDir) {
+      if (useLsh)
+        GraphAnn.buildAdjacencyLsh(sample, "vec_id", "embedding",
+          dim = Dim)
+      else
+        GraphAnn.buildAdjacency(sample, "vec_id", "embedding",
+          GraphAnn.Params(maxIter = 5))
+    }
+    val uent = graft.core.Artifacts.buildOnce(spark,
+      s"/tmp/graft_scale/graphentry_upper_$n") {
+      GraphAnn.medoid(sample, "vec_id", "embedding")
+    }.collect()(0).getLong(0)
+    (uadj, uent)
+  }
+
   /** The NAVIGABLE chain corpus for the layered-vs-flat rounds decade
     * (rungs of 6 nodes, 3.0 apart along dim 0, σ = 0.2 noise — the
     * GraphAnnSpec layered fixture at decade size). */
@@ -888,6 +915,21 @@ object ScaleBench {
           chainRoundsToHit(spark, n, layered = false)),
         "graphann_chain_rounds_layered (upper + 3 base)" -> (() =>
           chainRoundsToHit(spark, n, layered = true)),
+        // bulk LAYERED serving cost (round 12): the batch walks the
+        // upper layer as one plan, each query's top-2 seed its base
+        // walk — per-round state linear in the batch, corpus-size-
+        // independent by construction; this row is that claim's decade
+        // (compare graphann_bulk_serve's flat-walk baseline).
+        "graphann_layered_bulk_serve (8q, u4x3+b4x3)" -> (() => {
+          import spark.implicits._
+          val (adj, _) = graphArtifacts(spark, emb, n)
+          val (uadj, uent) = upperArtifacts(spark, emb, n)
+          val qs = bulkQueries(emb, 8)
+            .map { case (qid, qv) => (qid, qv.toSeq) }.toDF("qid", "qv")
+          graft.search.GraphAnn.layeredSearchBulk(uadj, uent, adj, emb,
+            "vec_id", "embedding", qs, "qid", "qv", k = 5,
+            beamWidth = 4, upperRounds = 3, rounds = 3).count()
+        }),
         // metric-comparator walks (round 9): identical frontier
         // machinery to graphann_serve with the routing read ranking by
         // -ip / -cosine instead of L2 — each routing read is a pushed
