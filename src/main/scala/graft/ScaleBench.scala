@@ -1118,7 +1118,12 @@ object ScaleBench {
         "ivf_dircopy (rebalance setup baseline)",
         "alias_version_copy (ivf layout)",
         "ivf_reconcile (1% drift)",
-        "graphann_consolidate (1% deletes)")
+        "graphann_consolidate (1% deletes)",
+        // the chain sweeps are deterministic searches over a fixed
+        // artifact — a warm-up pass doubles the decade's wall-clock
+        // for a byte-identical ROUNDS result
+        "graphann_chain_rounds_flat (dist 24 rungs)",
+        "graphann_chain_rounds_layered (upper + 3 base)")
       ops.filter(o => opFilter(o._1)).foreach { case (name, body) =>
         if (!noWarmup(name))
           body()                          // warm-up (JIT/codegen/page cache)
