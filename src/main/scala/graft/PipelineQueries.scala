@@ -3423,14 +3423,18 @@ object PipelineQueries {
           prefixIdx)
         graft.search.Bm25Index.build(docsT, "doc_id", "text", prefixIdx)
       }
-      // sparse postings coverage (round 12): distinct posted ids vs the
-      // corpus rows that HAVE a kept dim (sparsify keeps positive
-      // rounded weights only — a no-positive-dim row legitimately has
-      // no postings, the tokDocs discipline)
-      val sparseIds = graft.core.Artifacts.buildOnce(s,
+      // sparse postings coverage (round 12): posted ids vs the corpus
+      // rows that HAVE a kept dim (sparsify keeps positive rounded
+      // weights only — a no-positive-dim row legitimately has no
+      // postings, the tokDocs discipline). The RAW (vec_id, dim) rows
+      // flow into the checker un-deduplicated (round-13 ADVICE fix:
+      // a pre-distincted input made the dupes counter vacuous — a
+      // duplicate (id, dim) posting left by a double append must be
+      // observable here).
+      val sparsePosted = graft.core.Artifacts.buildOnce(s,
         s"/tmp/graft_sparse_${math.abs(dir.hashCode)}") {
         graft.search.SparseVec.postings(e, "vec_id", "embedding", topN = 8)
-      }.select("vec_id").distinct()
+      }.select("vec_id", "dim")
       val sparseDocs = e.where(
         size(graft.search.SparseVec.sparsify(col("embedding"), 8)) > 0)
         .select("vec_id")
@@ -3443,7 +3447,7 @@ object PipelineQueries {
         "asym_ids" -> asymIds,
         "pos_ids" -> posIds,
         "entries" -> entriesA.select("entry_id"),
-        "sparse_ids" -> sparseIds)
+        "sparse_ids" -> sparsePosted)
       IndexAudit.graphChecks(adj, e, "vec_id", "embedding", degreeCap = 8)
         .unionByName(IndexAudit.ivfChecks(e, assign, cents,
           "vec_id", "embedding"))
@@ -3457,8 +3461,8 @@ object PipelineQueries {
         .unionByName(IndexAudit.entryChecks(entriesA, adj,
           e.limit(0).select("vec_id")))
         .unionByName(IndexAudit.segmentChecks(s, prefixIdx))
-        .unionByName(IndexAudit.coverageChecks(sparseDocs, sparseIds,
-          "vec_id", "sparse_postings"))
+        .unionByName(IndexAudit.postingsChecks(sparseDocs, sparsePosted,
+          "vec_id", Seq("dim"), "sparse_postings"))
         .orderBy(col("check_name").asc)
     },
     Some(s"""
@@ -3478,8 +3482,9 @@ object PipelineQueries {
         '/tmp/graft_integrity_oracle_%ORACLE_KEY%/pos_ids/*.parquet')),
       enta AS (SELECT entry_id FROM read_parquet(
         '/tmp/graft_integrity_oracle_%ORACLE_KEY%/entries/*.parquet')),
-      spi AS (SELECT vec_id FROM read_parquet(
+      spi AS (SELECT vec_id, dim FROM read_parquet(
         '/tmp/graft_integrity_oracle_%ORACLE_KEY%/sparse_ids/*.parquet')),
+      spid AS (SELECT DISTINCT vec_id FROM spi),
       sdocs AS (SELECT vec_id FROM embeddings
                 WHERE len(list_filter(embedding,
                   x -> round(CAST(x AS DOUBLE), 4) > 0)) > 0),
@@ -3588,14 +3593,18 @@ object PipelineQueries {
         SELECT 'term_segments', CAST(1 AS BIGINT)
         UNION ALL
         SELECT 'sparse_postings_missing', CAST(count(*) AS BIGINT)
-        FROM sdocs d LEFT JOIN spi ON spi.vec_id = d.vec_id
-        WHERE spi.vec_id IS NULL
+        FROM sdocs d LEFT JOIN spid ON spid.vec_id = d.vec_id
+        WHERE spid.vec_id IS NULL
         UNION ALL
+        -- dupes over the FULL posting key (id, dim) of the RAW rows —
+        -- id multiplicity is the inverted-index structure, (id, dim)
+        -- multiplicity is the double-append bug
         SELECT 'sparse_postings_dupes', CAST(count(*) AS BIGINT) FROM (
-          SELECT vec_id FROM spi GROUP BY vec_id HAVING count(*) > 1)
+          SELECT vec_id, dim FROM spi GROUP BY vec_id, dim
+          HAVING count(*) > 1)
         UNION ALL
         SELECT 'sparse_postings_orphans', CAST(count(*) AS BIGINT)
-        FROM spi LEFT JOIN sdocs d ON d.vec_id = spi.vec_id
+        FROM spid LEFT JOIN sdocs d ON d.vec_id = spid.vec_id
         WHERE d.vec_id IS NULL)
       ORDER BY check_name ASC
     """))

@@ -140,7 +140,7 @@ object ScaleBench {
     * 24 rungs from the (mid-chain) seed — flat sweeps its round
     * budget; layered sweeps the UPPER budget with 3 base rounds and
     * reports upper + 3. Probes double (1,2,4,…) then refine one step;
-    * 99 = not reached within 48. */
+    * 99 = not reached within the 96-round cap. */
   private def chainRoundsToHit(spark: SparkSession, n: Int,
                                layered: Boolean): Long = {
     import graft.search.GraphAnn
@@ -908,7 +908,7 @@ object ScaleBench {
         // (= equal, perfect recall on the planted target; 99 = never
         // within the cap). Flat advances ~1 rung per round; the
         // layered upper layer (~2 of 6 nodes per rung sampled) spans
-        // several rungs per hop, so its TOTAL rounds (upper + 2 base)
+        // several rungs per hop, so its TOTAL rounds (upper + 3 base)
         // should sit well under flat's — and both should be FLAT in n
         // (the distance is fixed; the corpus grows around it).
         "graphann_chain_rounds_flat (dist 24 rungs)" -> (() =>

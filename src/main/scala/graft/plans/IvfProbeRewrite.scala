@@ -210,10 +210,36 @@ object IvfProbeRewrite extends Rule[LogicalPlan] {
           }
         }.getOrElse(gl)
       case t if t == cfg.sq8Tier =>
-        if (canonicalRound4(orders, child)) sq8Replacement(gl, cfg, query, k)
+        // sq8 is a WHOLE-SUBTREE replacement: the spliced quantized-scan
+        // plan reads the codes artifact directly, so any user predicate
+        // sitting between the sort and the relation would be silently
+        // DISCARDED (wrong rows, not merely approximate ones — the
+        // round-13 ADVICE finding). The tier declares filterCapable =
+        // false; honor that here by requiring a Project-only path from
+        // the sort child down to the registered relation, and serving
+        // the exact flat plan otherwise. The ivf branch keeps accepting
+        // filters — its rewrite PRESERVES them (predicate injection
+        // above the relation, not subtree replacement).
+        if (canonicalRound4(orders, child) && projectsOnlyPath(child, lr))
+          sq8Replacement(gl, cfg, query, k)
         else gl
       case _ => gl // flat (or an unservable tier name): exact plan as-is
     }
+  }
+
+  /** True iff the path from `child` down to the registered relation
+    * consists ONLY of Projects (and alias/hint wrappers that change no
+    * rows) — i.e. no Filter, Aggregate, Sample, or anything else that a
+    * whole-subtree replacement would silently drop. */
+  private def projectsOnlyPath(child: LogicalPlan,
+                               lr: LogicalRelation): Boolean = {
+    def walk(p: LogicalPlan): Boolean = p match {
+      case rel: LogicalRelation => rel eq lr
+      case pr: Project => walk(pr.child)
+      case sa: SubqueryAlias => walk(sa.child)
+      case _ => false
+    }
+    walk(child)
   }
 
   /** True iff the leading sort key resolves (through projected aliases)

@@ -71,6 +71,35 @@ object IndexAudit {
       .unionByName(row(s"${name}_orphans", orphans))
   }
 
+  /** Coverage + uniqueness of an INVERTED-INDEX artifact, where one
+    * corpus row legitimately posts many rows (one per dimension/term):
+    * `<name>_missing`/`<name>_orphans` compare DISTINCT posted ids
+    * against the corpus (as [[coverageChecks]]), but `<name>_dupes`
+    * counts FULL POSTING KEYS — (id, keyCols…) groups with more than
+    * one RAW row — because that (not id multiplicity, which is the
+    * structure) is what a double-appended batch or a botched
+    * upsert-fold leaves behind. Round-13 ADVICE fix: feeding
+    * pre-distincted ids into [[coverageChecks]] made the dupes counter
+    * vacuously zero. `rawPostings` must be the UN-deduplicated posting
+    * rows. */
+  def postingsChecks(corpus: DataFrame, rawPostings: DataFrame,
+                     idCol: String, keyCols: Seq[String],
+                     name: String): DataFrame = {
+    val ids = rawPostings.select(col(idCol)).distinct()
+    val missing = corpus.join(ids, Seq(idCol), "left_anti")
+      .agg(count(lit(1)).as("value"))
+    val dupes = rawPostings
+      .groupBy((idCol +: keyCols).map(col): _*)
+      .agg(count(lit(1)).as("n")).where(col("n") > 1)
+      .agg(count(lit(1)).as("value"))
+    val orphans = ids.join(corpus.select(col(idCol)), Seq(idCol),
+        "left_anti")
+      .agg(count(lit(1)).as("value"))
+    row(s"${name}_dupes", dupes)
+      .unionByName(row(s"${name}_missing", missing))
+      .unionByName(row(s"${name}_orphans", orphans))
+  }
+
   /** IVF-layout invariants (IvfIndex.build's contract): every assigned
     * cluster's distance is within tolerance of the argmin over the
     * staged centroids, and no corpus row is missing from the

@@ -164,13 +164,15 @@ object Maintenance {
     val textIndexDir = AliasedIndex.resolveDir(spark, textIndexDir0)
     def kv(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("k"), col("value").cast("long").as("v"))
-    // graph: dead-touching edge rows vs the artifact's edge count —
+    // graph: dead-touching DISTINCT edges vs the artifact's edge count —
     // ONE adjacency scan with two broadcast left joins and an OR
     // filter (round 12: the previous union-of-semi-joins scanned the
-    // adjacency twice and paid a distinct shuffle to undo its own
-    // double-count; a left join per endpoint keeps both lookups
-    // broadcast-hash and each edge appears once because (src, dst) is
-    // unique by [[GraphAnn.buildAdjacency]]'s groupBy construction)
+    // adjacency twice). The count is distinct-(src,dst) (round-13
+    // ADVICE fix): [[GraphAnn.buildAdjacency]] emits unique edges, but
+    // an adjacency assembled through append/repair compositions may
+    // carry a duplicate row, and the metric (like its replaying
+    // oracle) must count EDGES, not rows — the distinct rides the
+    // aggregate's own shuffle on an already-filtered (small) side.
     val dead = broadcast(graphDeadKeys
       .select(col(graphDeadKeys.columns.head).cast("long").as("__dead"))
       .distinct())
@@ -182,7 +184,7 @@ object Maintenance {
       .join(dead.select(col("__dead").as("dst"), lit(1).as("__ddead")),
         Seq("dst"), "left")
       .where(col("__sdead").isNotNull || col("__ddead").isNotNull)
-      .agg(count(lit(1)).as("value")))
+      .agg(countDistinct(struct(col("src"), col("dst"))).as("value")))
     // text: tombstone keys vs the doclen table's document count
     val nDocsDf = kv("text_docs",
       spark.read.parquet(Bm25Index.doclenDir(textIndexDir))

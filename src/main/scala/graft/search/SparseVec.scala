@@ -125,10 +125,26 @@ object SparseVec {
   def upsertBatch(spark: org.apache.spark.sql.SparkSession,
                   batch: DataFrame, idCol: String, vecCol: String,
                   topN: Int, indexDir0: String): Unit = {
-    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
-    Tombstones.record(batch.select(col(idCol)), indexDir, idCol)
-    compactTombstones(spark, indexDir, idCol)
-    append(batch, idCol, vecCol, topN, indexDir)
+    // the WHOLE delete+fold+append is ONE maintenance verb: on an
+    // aliased root it runs against the v(N+1) copy and publishes
+    // atomically — a reader never resolves a version whose postings
+    // dir is mid-rewrite, and the new version number flips
+    // [[Router.artifactFingerprint]] so cached routed/panel decisions
+    // re-measure (round-13 ADVICE fix: resolving the root FIRST used
+    // to drop the fold onto the flat in-place path, mutating the
+    // served version under readers and under the fingerprint).
+    def verb(d: String): Unit = {
+      Tombstones.record(batch.select(col(idCol)), d, idCol)
+      Tombstones.compact(spark, d, postingsDir(d), Seq(idCol),
+        partitionBy = Seq("dim"))
+      Tombstones.clear(spark, d)
+      postings(batch, idCol, vecCol, topN)
+        .write.mode("append").partitionBy("dim")
+        .parquet(postingsDir(d))
+    }
+    if (AliasedIndex.publishedVersions(spark, indexDir0).nonEmpty)
+      AliasedIndex.maintain(spark, indexDir0)(verb)
+    else verb(indexDir0)
   }
 
   /** Serve top-k from the STORED artifact: the query's (≤ topN) dims

@@ -177,6 +177,24 @@ class RewriteSpec extends AnyFunSuite {
       assert(p2.select("vec_id").as[Long].collect().toSeq == exactIds,
         "margin ≥ n/k makes the sq8 rerank exact")
 
+      // a USER predicate between the sort and the relation: the sq8
+      // tier is filterCapable=false and its splice would silently drop
+      // the filter (round-13 ADVICE high) — the rewrite must decline
+      // and serve the exact flat plan, filter intact
+      val filtered = spark.read.parquet(IvfIndex.dataDir(dir))
+        .where(col("vec_id") % 2 === 0)
+        .select(col("vec_id"),
+          round(VectorFunctions.l2Sq(col("embedding"), typedlit(query)), 4)
+            .as("distance"))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+        .limit(10)
+      val opt3 = filtered.queryExecution.optimizedPlan.toString()
+      assert(!opt3.contains("dequant_l2_sq"),
+        s"sq8 must not splice over a user filter:\n$opt3")
+      val got3 = filtered.select("vec_id").as[Long].collect().toSeq
+      assert(got3.nonEmpty && got3.forall(_ % 2 == 0),
+        "the user filter must survive the routed rewrite")
+
       // re-registering without the budget routes BACK (cache dropped)
       IvfProbeRewrite.registerRouted(cfg(None))
       assert(IvfProbeRewrite.routedDecision(spark, dir) == Some("ivf"))

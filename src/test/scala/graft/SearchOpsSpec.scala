@@ -206,6 +206,27 @@ class SearchOpsSpec extends SparkSpec {
       "codes_orphans" -> 1L))
   }
 
+  test("index audit: postings checks key dupes on (id, dim), not id") {
+    import graft.search.IndexAudit
+    val corpus = (0L until 5L).map(Tuple1(_)).toDF("id")
+    // a healthy inverted index: id multiplicity (many dims per doc) is
+    // the STRUCTURE, not a dupe
+    val healthy = Seq((0L, 1), (0L, 2), (1L, 1), (2L, 3), (3L, 1),
+      (4L, 2)).toDF("id", "dim")
+    val h = IndexAudit.postingsChecks(corpus, healthy, "id", Seq("dim"),
+        "sp").collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(h == Map("sp_missing" -> 0L, "sp_dupes" -> 0L,
+      "sp_orphans" -> 0L))
+    // a double-appended batch duplicates (0,1) and (0,2); doc 4's
+    // postings dropped; orphan doc 42 posted
+    val bad = healthy.where($"id" =!= 4L)
+      .unionAll(Seq((0L, 1), (0L, 2), (42L, 7)).toDF("id", "dim"))
+    val b = IndexAudit.postingsChecks(corpus, bad, "id", Seq("dim"),
+        "sp").collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(b == Map("sp_missing" -> 1L, "sp_dupes" -> 2L,
+      "sp_orphans" -> 1L))
+  }
+
   test("index audit: NULL stored dist fires the graph mismatch counter") {
     import graft.search.{GraphAnn, IndexAudit}
     val r = new scala.util.Random(5)
