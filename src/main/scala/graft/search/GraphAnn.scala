@@ -5,7 +5,7 @@ import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Graph-ANN index — the HNSW/DiskANN-family capability the reference's
@@ -354,6 +354,31 @@ object GraphAnn {
     corpus.where(
       pmod(xxhash64(col(idCol), lit(salt)), lit(1000000L)) < ppm)
 
+  /** The boolean form of [[upperSample]]'s membership rule — the
+    * ingest-side twin: an appended row's layer membership must be
+    * decided by the SAME deterministic cut the build used, or a
+    * rebuild and an incrementally-grown index disagree on which nodes
+    * the upper layer holds. */
+  def upperMember(idCol: String, ppm: Int = 135335,
+                  salt: Int = 12): Column =
+    pmod(xxhash64(col(idCol), lit(salt)), lit(1000000L)) < ppm
+
+  /** Level-ℓ membership cut in ppm: p^ℓ occupancy from the single
+    * [[upperSample]] hash, so levels NEST (a level-ℓ+1 node is a
+    * level-ℓ node by construction — hash < cut(ℓ+1) ⇒ hash < cut(ℓ)),
+    * exactly HNSW's geometric level assignment (node level ~
+    * floor(−ln U · mL) nests the layers the same way). */
+  def levelPpm(level: Int, ppm: Int = 135335): Int = {
+    require(level >= 1, "levels are 1-based (level 0 = the base layer)")
+    math.round(1e6 * math.pow(ppm / 1e6, level)).toInt
+  }
+
+  /** [[upperSample]] at level ℓ — the multi-level stack's per-layer
+    * node set ([[levelPpm]] occupancy, nested by construction). */
+  def levelSample(corpus: DataFrame, idCol: String, level: Int,
+                  ppm: Int = 135335, salt: Int = 12): DataFrame =
+    upperSample(corpus, idCol, levelPpm(level, ppm), salt)
+
   /** HNSW-STYLE LAYERED SERVE (round 12 — the verdict's depth item):
     * one sampled upper layer carries its OWN bounded-degree adjacency
     * (same Vamana-shape [[buildAdjacency]], built on the
@@ -386,6 +411,97 @@ object GraphAnn {
       nSeeds = 1)
     val seeds = upperTop
       .select(col(idCol).cast("long").as("entry_id"))
+    beamSearchMulti(adjBase, corpus, idCol, vecCol, query, seeds, k,
+      beamWidth, rounds, degree, nSeeds = nSeeds)
+  }
+
+  /** [[beamSearchMulti]] under the tombstone mask — the multi-entry
+    * member of the [[beamSearchMasked]] family: the walk itself stays
+    * label-blind (it ROUTES through deleted nodes — FreshDiskANN's
+    * discipline, eager unlinking disconnects the graph), and the mask
+    * is one broadcast anti-join over the bounded visited set before the
+    * top-k cut, so a tombstoned doc can still do routing work but can
+    * never be RETURNED. */
+  def beamSearchMultiMasked(adj: DataFrame, corpus: DataFrame,
+                            idCol: String, vecCol: String,
+                            query: Array[Float], entries: DataFrame,
+                            k: Int, deletes: DataFrame,
+                            beamWidth: Int = 4, rounds: Int = 3,
+                            degree: Int = 8, nSeeds: Int = 2)
+      : DataFrame = {
+    val entryIds = entries.select(col("entry_id").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    val vis = walkVisitedSeeded(adj, corpus, idCol, vecCol, query,
+      entryIds, nSeeds, beamWidth, rounds, degree)
+    Tombstones.maskWith(
+        resultDf(corpus.sparkSession, idCol,
+          vis.sortBy { case (id, d) => (d, id) }),
+        deletes.withColumnRenamed(deletes.columns.head, idCol), idCol)
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** [[layeredSearch]] with delete propagation — the round-13 fix for
+    * the layered serve's maintenance hole: EVERY serve path applies the
+    * tombstone mask + latest-wins overlay ([[beamSearchMasked]],
+    * [[IvfIndex.searchLatest]]), and the layered walk must too, or a
+    * doc deleted after the layered artifacts were built is silently
+    * served until consolidation. BOTH walks post-filter their result
+    * through [[Tombstones.maskWith]]: the upper walk's masked top-
+    * `nSeeds` seed the base beam (a tombstoned upper node may still
+    * ROUTE the zoom — only its election as a seed handoff is masked,
+    * keeping the seed set live), and the base walk's visited set is
+    * masked before the top-k cut exactly like the flat masked serve.
+    * The graph family's latest-wins story is delete+append (an upsert
+    * tombstones the old id and [[append]]s the new row), so the mask IS
+    * the overlay — after [[consolidateDeletesLayeredRoot]] folds, the
+    * plain [[layeredSearch]] serves again. */
+  def layeredSearchMasked(adjUpper: DataFrame, upperEntries: DataFrame,
+                          adjBase: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String,
+                          query: Array[Float], k: Int, deletes: DataFrame,
+                          beamWidth: Int = 4, upperRounds: Int = 3,
+                          rounds: Int = 3, degree: Int = 8,
+                          nSeeds: Int = 2): DataFrame = {
+    val upperTop = beamSearchMultiMasked(adjUpper, corpus, idCol, vecCol,
+      query, upperEntries, k = nSeeds, deletes, beamWidth, upperRounds,
+      degree, nSeeds = 1)
+    val seeds = upperTop
+      .select(col(idCol).cast("long").as("entry_id"))
+    beamSearchMultiMasked(adjBase, corpus, idCol, vecCol, query, seeds,
+      k, deletes, beamWidth, rounds, degree, nSeeds = nSeeds)
+  }
+
+  /** MULTI-LEVEL layered serve — [[layeredSearch]] generalized to a
+    * layer STACK (round 13, the verdict's depth item): `adjLayers` is
+    * ordered TOP (sparsest, [[levelSample]] level = adjLayers.length)
+    * down to level 1; the walk enters the top layer at `topEntries`
+    * (HNSW shares ONE entry across layers — seed the stack's top with
+    * the sampled node nearest the base entry), each level's top-
+    * `nSeeds` seed the next level's beam, and the base walk refines
+    * locally. Why more than one upper layer: a single ~p-occupancy
+    * layer is still a p·n-node graph — its diameter grows with the
+    * corpus and the zoom argument recurses; with log-many p^ℓ layers
+    * the entry cost is corpus-INDEPENDENT (each layer crosses a
+    * constant factor, HNSW's actual complexity argument). Each level's
+    * walk is the same bounded frontier loop; total cost = (levels + 1)
+    * × the per-walk budget, never a corpus scan. */
+  def layeredSearchMulti(adjLayers: Seq[DataFrame],
+                         topEntries: DataFrame, adjBase: DataFrame,
+                         corpus: DataFrame, idCol: String,
+                         vecCol: String, query: Array[Float], k: Int,
+                         beamWidth: Int = 4, upperRounds: Int = 3,
+                         rounds: Int = 3, degree: Int = 8,
+                         nSeeds: Int = 2): DataFrame = {
+    require(adjLayers.nonEmpty, "pass at least one upper layer " +
+      "(use beamSearchMulti for a flat serve)")
+    var seeds = topEntries
+    adjLayers.zipWithIndex.foreach { case (adjL, i) =>
+      val top = beamSearchMulti(adjL, corpus, idCol, vecCol, query,
+        seeds, k = nSeeds, beamWidth, upperRounds, degree,
+        nSeeds = if (i == 0) 1 else nSeeds)
+      seeds = top.select(col(idCol).cast("long").as("entry_id"))
+    }
     beamSearchMulti(adjBase, corpus, idCol, vecCol, query, seeds, k,
       beamWidth, rounds, degree, nSeeds = nSeeds)
   }
@@ -761,6 +877,119 @@ object GraphAnn {
 
   def adjacencyDir(indexDir: String): String = s"$indexDir/adjacency"
   def entriesDir(indexDir: String): String = s"$indexDir/entries"
+  def upperAdjacencyDir(indexDir: String): String =
+    s"$indexDir/adjacency_upper"
+  def upperEntriesDir(indexDir: String): String =
+    s"$indexDir/entries_upper"
+
+  final case class LayeredAppendResult(adjacency: DataFrame,
+                                       adjacencyUpper: DataFrame,
+                                       upperIds: Seq[Long])
+
+  /** Ingest into a LAYERED graph — the upper layer's maintenance twin
+    * of [[append]] (round 13): every batch row joins the base graph by
+    * the frozen-graph walk insertion, and the rows the [[upperMember]]
+    * ppm rule samples ALSO join the upper adjacency by the same
+    * insertion against the (much smaller) upper graph. Membership is
+    * decided by the deterministic hash cut — NOT by load order — so an
+    * incrementally-grown layered index and a from-scratch rebuild hold
+    * the SAME upper node set (the [[upperSample]] reproducibility
+    * contract), and [[IndexAudit.upperLayerChecks]]'
+    * `upper_membership_violations` counter stays 0 under ingest.
+    * `corpus` is the PRE-batch corpus (the walk's vector source), as in
+    * [[append]]; cost = the base batch walk + one walk over the upper
+    * graph for the sampled subset (usually ~13.5% of the batch). */
+  def appendLayered(adjBase: DataFrame, adjUpper: DataFrame,
+                    corpus: DataFrame, idCol: String, vecCol: String,
+                    batch: DataFrame, baseEntryId: Long,
+                    upperEntryId: Long, degree: Int = 8,
+                    beamWidth: Int = 4, rounds: Int = 3,
+                    maxBatch: Int = 256, ppm: Int = 135335,
+                    salt: Int = 12): LayeredAppendResult = {
+    val base2 = append(adjBase, corpus, idCol, vecCol, batch,
+      baseEntryId, degree, beamWidth, rounds, maxBatch)
+    val upperBatch = batch.where(upperMember(idCol, ppm, salt))
+    val upperIds = upperBatch.select(col(idCol).cast("long"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val upper2 =
+      if (upperIds.isEmpty) adjUpper
+      else append(adjUpper, corpus, idCol, vecCol, upperBatch,
+        upperEntryId, degree, beamWidth, rounds, maxBatch).adjacency
+    LayeredAppendResult(base2.adjacency, upper2, upperIds)
+  }
+
+  /** Delete consolidation for a LAYERED graph: fold the tombstones out
+    * of BOTH adjacencies and re-elect BOTH entry sets (the upper
+    * layer's entry strands exactly like the base's when its node dies
+    * or loses every out-edge — same [[reelectEntries]] discipline,
+    * restricted to upper-member survivors because an upper seed must
+    * source UPPER edges). Returns (base adjacency, base entries, upper
+    * adjacency, upper entries). */
+  def consolidateDeletesLayered(adjBase: DataFrame, adjUpper: DataFrame,
+                                corpus: DataFrame, idCol: String,
+                                vecCol: String, deletes: DataFrame,
+                                entries: DataFrame,
+                                upperEntries: DataFrame, degree: Int = 8)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (b2, e2) = consolidateDeletesWithEntries(adjBase, corpus, idCol,
+      vecCol, deletes, entries, degree)
+    val u2 = consolidateDeletes(adjUpper, corpus, idCol, vecCol,
+      deletes, degree)
+    // upper re-election candidates: reelectEntries(adj = Some(u2))
+    // restricts survivors to ids sourcing an UPPER edge, which are
+    // upper members by construction — no separate membership filter
+    val ue2 = reelectEntries(upperEntries, corpus, idCol, vecCol,
+      deletes, Some(u2))
+    (b2, e2, u2, ue2)
+  }
+
+  /** ROOT-addressed layered consolidation under the alias discipline —
+    * [[consolidateDeletesRoot]] for the four-artifact layered layout
+    * (`adjacency`, `entries`, `adjacency_upper`, `entries_upper`):
+    * rewrite all four into `v<N+1>` directly and publish atomically;
+    * readers mid-verb keep the old complete version. Flat roots use
+    * the same rename-aside rewrite as the base verb. Returns the new
+    * serving dir. */
+  def consolidateDeletesLayeredRoot(spark: SparkSession, root: String,
+                                    corpus: DataFrame, idCol: String,
+                                    vecCol: String, deletes: DataFrame,
+                                    degree: Int = 8): String = {
+    def rewriteInto(cur: String, next: String): Unit = {
+      val (b2, e2, u2, ue2) = consolidateDeletesLayered(
+        spark.read.parquet(adjacencyDir(cur)),
+        spark.read.parquet(upperAdjacencyDir(cur)),
+        corpus, idCol, vecCol, deletes,
+        spark.read.parquet(entriesDir(cur)),
+        spark.read.parquet(upperEntriesDir(cur)), degree)
+      b2.write.mode("overwrite").parquet(adjacencyDir(next))
+      e2.write.mode("overwrite").parquet(entriesDir(next))
+      u2.write.mode("overwrite").parquet(upperAdjacencyDir(next))
+      ue2.write.mode("overwrite").parquet(upperEntriesDir(next))
+    }
+    if (AliasedIndex.publishedVersions(spark, root).nonEmpty)
+      AliasedIndex.advance(spark, root)(rewriteInto)
+    else {
+      val tmp = s"${root}__cons_tmp"
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Tombstones.recoverAside(f, new org.apache.hadoop.fs.Path(root),
+        new org.apache.hadoop.fs.Path(s"${root}__cons_old"))
+      f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      rewriteInto(root, tmp)
+      val old = new org.apache.hadoop.fs.Path(s"${root}__cons_old")
+      f.delete(old, true)
+      if (!f.rename(new org.apache.hadoop.fs.Path(root), old))
+        throw new java.io.IOException(
+          s"consolidateDeletesLayeredRoot: rename $root aside failed")
+      if (!f.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(root)))
+        throw new java.io.IOException(
+          s"consolidateDeletesLayeredRoot: rename $tmp -> $root " +
+            s"failed; previous layout is at $old")
+      f.delete(old, true)
+      root
+    }
+  }
 
   /** ROOT-addressed delete consolidation under the alias discipline —
     * the graph family joins the alias-flip default (round 12; the
@@ -1191,7 +1420,31 @@ object GraphAnn {
                            queries: DataFrame, qidCol: String,
                            qvecCol: String, seeds: DataFrame, k: Int,
                            beamWidth: Int = 4,
-                           rounds: Int = 3): DataFrame = {
+                           rounds: Int = 3): DataFrame =
+    topKPerQid(bulkVisitedSeeded(adj, corpus, idCol, vecCol, queries,
+      qidCol, qvecCol, seeds, beamWidth, rounds), idCol, k)
+
+  /** Per-qid top-k cut of a bulk walk's (qid, id, d) visited frame —
+    * the shared tail of every bulk serve (masked variants anti-join the
+    * tombstone set between the walk and this cut). */
+  private def topKPerQid(visited: DataFrame, idCol: String,
+                         k: Int): DataFrame = {
+    val byQid = Window.partitionBy(col("qid"))
+      .orderBy(col("d").asc, col("id").asc)
+    visited.withColumn("__rn", row_number().over(byQid))
+      .where(col("__rn") <= k)
+      .select(col("qid"), col("id").as(idCol), col("d").as("distance"))
+  }
+
+  /** The seeded bulk walk's VISITED set (qid, id, d) — exposed so the
+    * masked serves can apply the tombstone anti-join before the top-k
+    * cut. */
+  private def bulkVisitedSeeded(adj: DataFrame, corpus: DataFrame,
+                                idCol: String, vecCol: String,
+                                queries: DataFrame, qidCol: String,
+                                qvecCol: String, seeds: DataFrame,
+                                beamWidth: Int,
+                                rounds: Int): DataFrame = {
     val q = queries.select(col(qidCol).cast("long").as("qid"),
       col(qvecCol).as("__qv"))
     val ids = corpus.select(col(idCol).cast("long").as("id"),
@@ -1234,9 +1487,7 @@ object GraphAnn {
         expanded = expanded.localCheckpoint()
       }
     }
-    visited.withColumn("__rn", row_number().over(byQid))
-      .where(col("__rn") <= k)
-      .select(col("qid"), col("id").as(idCol), col("d").as("distance"))
+    visited
   }
 
   /** BULK layered serve — [[layeredSearch]] for a query batch as ONE
@@ -1264,7 +1515,17 @@ object GraphAnn {
   def bulkBeamSearch(adj: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, queries: DataFrame, qidCol: String,
                      qvecCol: String, entryId: Long, k: Int,
-                     beamWidth: Int = 4, rounds: Int = 3): DataFrame = {
+                     beamWidth: Int = 4, rounds: Int = 3): DataFrame =
+    topKPerQid(bulkVisitedFrom(adj, corpus, idCol, vecCol, queries,
+      qidCol, qvecCol, entryId, beamWidth, rounds), idCol, k)
+
+  /** The entry-seeded bulk walk's VISITED set (qid, id, d) — see
+    * [[bulkVisitedSeeded]]. */
+  private def bulkVisitedFrom(adj: DataFrame, corpus: DataFrame,
+                              idCol: String, vecCol: String,
+                              queries: DataFrame, qidCol: String,
+                              qvecCol: String, entryId: Long,
+                              beamWidth: Int, rounds: Int): DataFrame = {
     val q = queries.select(col(qidCol).cast("long").as("qid"),
       col(qvecCol).as("__qv"))
     val ids = corpus.select(col(idCol).cast("long").as("id"),
@@ -1335,8 +1596,37 @@ object GraphAnn {
         expanded = expanded.localCheckpoint()
       }
     }
-    visited.withColumn("__rn", row_number().over(byQid))
-      .where(col("__rn") <= k)
-      .select(col("qid"), col("id").as(idCol), col("d").as("distance"))
+    visited
+  }
+
+  /** [[layeredSearchBulk]] under the tombstone mask — the bulk twin of
+    * [[layeredSearchMasked]], same contract: both walks route
+    * label-blind, both post-filter through the broadcast tombstone
+    * anti-join; the upper's masked per-qid top-`nSeeds` seed each base
+    * walk, the base's masked visited set takes the top-k cut. */
+  def layeredSearchBulkMasked(adjUpper: DataFrame, upperEntryId: Long,
+                              adjBase: DataFrame, corpus: DataFrame,
+                              idCol: String, vecCol: String,
+                              queries: DataFrame, qidCol: String,
+                              qvecCol: String, k: Int, deletes: DataFrame,
+                              beamWidth: Int = 4, upperRounds: Int = 3,
+                              rounds: Int = 3,
+                              nSeeds: Int = 2): DataFrame = {
+    val del = broadcast(deletes
+      .select(col(deletes.columns.head).cast("long").as("id"))
+      .distinct())
+    val byQid = Window.partitionBy(col("qid"))
+      .orderBy(col("d").asc, col("id").asc)
+    val seeds = bulkVisitedFrom(adjUpper, corpus, idCol, vecCol,
+        queries, qidCol, qvecCol, upperEntryId, beamWidth, upperRounds)
+      .join(del, Seq("id"), "left_anti")
+      .withColumn("__rn", row_number().over(byQid))
+      .where(col("__rn") <= nSeeds)
+      .select("qid", "id")
+    topKPerQid(
+      bulkVisitedSeeded(adjBase, corpus, idCol, vecCol, queries, qidCol,
+          qvecCol, seeds, beamWidth, rounds)
+        .join(del, Seq("id"), "left_anti"),
+      idCol, k)
   }
 }

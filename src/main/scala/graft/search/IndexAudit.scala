@@ -216,6 +216,52 @@ object IndexAudit {
       dead.unionByName(stranded).distinct().agg(count(lit(1)).as("value")))
   }
 
+  /** UPPER-layer invariants of a layered graph (round 13 — the layered
+    * serve's observability twins): `upper_membership_violations` =
+    * distinct upper-adjacency node ids (src ∪ dst) that FAIL the
+    * [[GraphAnn.upperMember]] ppm cut — an ingest path that added a row
+    * to the upper layer by load order instead of the deterministic hash
+    * rule (a rebuild would not reproduce it); `upper_orphans` = upper
+    * node ids absent from the corpus (stale zoom routing a collection
+    * delete left behind); `upper_entry_dead` = upper entries tombstoned
+    * or sourcing no upper edge (the stranded-seed hazard,
+    * [[entryChecks]]' shape applied to the upper layer); `upper_nodes`
+    * = the layer's cardinality (a drift signal — expect ≈ ppm·corpus).
+    * All violation counters 0 on a healthy layered index. */
+  def upperLayerChecks(adjUpper: DataFrame, upperEntries: DataFrame,
+                       corpus: DataFrame, idCol: String,
+                       deadKeys: DataFrame, ppm: Int = 135335,
+                       salt: Int = 12): DataFrame = {
+    val nodes = adjUpper.select(col("src").cast("long").as("id"))
+      .unionByName(adjUpper.select(col("dst").cast("long").as("id")))
+      .distinct()
+    val violations = nodes
+      .where(!GraphAnn.upperMember("id", ppm, salt))
+      .agg(count(lit(1)).as("value"))
+    val orphans = nodes
+      .join(corpus.select(col(idCol).cast("long").as("id")), Seq("id"),
+        "left_anti")
+      .agg(count(lit(1)).as("value"))
+    val nNodes = nodes.agg(count(lit(1)).as("value"))
+    val eIds = upperEntries
+      .select(col("entry_id").cast("long").as("entry_id")).distinct()
+    val deadE = eIds.join(
+      broadcast(deadKeys
+        .select(col(deadKeys.columns.head).cast("long").as("entry_id"))
+        .distinct()),
+      Seq("entry_id"), "left_semi")
+    val liveSrc = adjUpper
+      .join(broadcast(eIds.withColumnRenamed("entry_id", "src")),
+        Seq("src"), "left_semi")
+      .select(col("src").cast("long").as("entry_id")).distinct()
+    val strandedE = eIds.join(liveSrc, Seq("entry_id"), "left_anti")
+    row("upper_membership_violations", violations)
+      .unionByName(row("upper_orphans", orphans))
+      .unionByName(row("upper_nodes", nNodes))
+      .unionByName(row("upper_entry_dead", deadE.unionByName(strandedE)
+        .distinct().agg(count(lit(1)).as("value"))))
+  }
+
   /** Segment-contract audit for the sorted-term lexical layout
     * ([[TermIndex]]): `term_segments` = segment count (the
     * [[TermIndex.compactSegments]] scheduling signal — Lucene's merge

@@ -140,6 +140,11 @@ object Maintenance {
     *    [[SparseVec.searchIndex]] pays the mask anti-join until
     *    [[SparseVec.compactTombstones]] folds. The family's id column
     *    is the same `idCol`.
+    *  - `consolidate_upper_graph` (round 13, when `adjUpper` is given)
+    *    — the layered graph's UPPER adjacency carries its own dead-edge
+    *    debt (`graphDebtFrac` of its edges): a tombstoned upper node
+    *    keeps doing zoom routing on every layered serve until
+    *    [[GraphAnn.consolidateDeletesLayered]] folds both layers.
     *
     * Every metric/threshold stays `metric > threshold` in absolute
     * rows derived from artifacts the caller can inspect — bounded
@@ -154,7 +159,8 @@ object Maintenance {
                textTombstoneFrac: Double = 0.05,
                segmentCap: Int = 2,
                sparseIndexDir: String = "",
-               sparseTombstoneFrac: Double = 0.05): DataFrame = {
+               sparseTombstoneFrac: Double = 0.05,
+               adjUpper: Option[DataFrame] = None): DataFrame = {
     // resolve BOTH roots once (see [[plan]]): fixtures hand aliased
     // roots by default now, and the unresolved reads (ivf data dir,
     // BM25 doclen, text tombstones) would throw on root-level paths
@@ -242,13 +248,30 @@ object Maintenance {
             Tombstones.table(spark, sd, idCol)
               .agg(count(lit(1)).as("value"))))
       }
+    // layered family (round 13, opt-in): the UPPER adjacency's dead-
+    // edge debt — a tombstoned upper node keeps doing zoom work on
+    // every layered serve until [[GraphAnn.consolidateDeletesLayered]]
+    // folds it; same distinct-(src,dst) metric as the base row
+    val upperDfs: Seq[DataFrame] = adjUpper match {
+      case None => Nil
+      case Some(ua) => Seq(
+        kv("upper_edges", ua.agg(count(lit(1)).as("value"))),
+        kv("upper_dead_edges", ua
+          .join(dead.select(col("__dead").as("src"),
+            lit(1).as("__sdead")), Seq("src"), "left")
+          .join(dead.select(col("__dead").as("dst"),
+            lit(1).as("__ddead")), Seq("dst"), "left")
+          .where(col("__sdead").isNotNull || col("__ddead").isNotNull)
+          .agg(countDistinct(struct(col("src"), col("dst")))
+            .as("value"))))
+    }
     // ONE action for the whole observe pass: every family's bounded
     // aggregate is a branch of one union plan (independent scans
     // schedule in parallel within the job) instead of its own collect —
     // the round-11 answer to "the trigger scan is the #2 bench entry"
     val m = (Seq(ivfMetrics(spark, indexDir, idCol), edgesDf, deadEdgesDf,
         nDocsDf, textTombDf, driftDf, radiiDf, entryDf) ++
-        sparseDfs)
+        sparseDfs ++ upperDfs)
       .reduce(_ unionByName _)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val base = ivfRowsFrom(m, versionDebtFrac, tombstoneFrac, skewFactor)
@@ -266,9 +289,13 @@ object Maintenance {
       if (sparseIndexDir.isEmpty) Nil
       else Seq(mkRow("compact_sparse_tombstones", m("sparse_tombstones"),
         (m("sparse_docs") * sparseTombstoneFrac).toLong))
+    val upperRows =
+      if (adjUpper.isEmpty) Nil
+      else Seq(mkRow("consolidate_upper_graph", m("upper_dead_edges"),
+        (m("upper_edges") * graphDebtFrac).toLong))
     toDf(spark,
       (base ++ Seq(graphRow, textRow, reconcileRow, radiiRow, entryRow,
-        segRow) ++ sparseRows)
+        segRow) ++ sparseRows ++ upperRows)
         .sortBy(_.getString(0)))
   }
 }
