@@ -530,6 +530,30 @@ class GraphAnnSpec extends SparkSpec {
       s"layered-masked $masked != flat-masked $flatMasked")
   }
 
+  test("bulk masked layered serve equals the per-query masked walk") {
+    val (c, adj, uadj, _, uent) = chainFixture()
+    val deletes = Seq(90L, 91L, 34L).toDF("vec_id")
+    val queries = Seq(
+      (0L, Array(45.0f, 0f, 0f, 0f).toSeq),
+      (1L, Array(3.0f, 0f, 0f, 0f).toSeq)).toDF("qid", "qv")
+    val uentId = uent.collect()(0).getLong(0)
+    val bulk = GraphAnn.layeredSearchBulkMasked(uadj, uentId, adj, c,
+        "vec_id", "embedding", queries, "qid", "qv", k = 5, deletes,
+        beamWidth = 4, upperRounds = 4, rounds = 4, nSeeds = 2)
+      .select("qid", "vec_id", "distance")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(x => (x._1, x._3, x._2))
+    val single = queries.collect().flatMap { qr =>
+      val qv = qr.getSeq[Float](1).toArray
+      GraphAnn.layeredSearchMasked(uadj, uent, adj, c, "vec_id",
+          "embedding", qv, k = 5, deletes, beamWidth = 4,
+          upperRounds = 4, rounds = 4, degree = 8, nSeeds = 2)
+        .collect().map(r => (qr.getLong(0), r.getLong(0), r.getDouble(1)))
+    }.toSeq.sortBy(x => (x._1, x._3, x._2))
+    assert(bulk.nonEmpty && bulk == single)
+    assert(bulk.forall { case (_, id, _) => !Set(90L, 91L, 34L)(id) })
+  }
+
   test("multi-level walk: nested level samples, 2-level stack reaches " +
       "the far rung with bounded per-level walks") {
     val (c, adj, _, _, _) = chainFixture()
