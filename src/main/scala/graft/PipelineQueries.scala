@@ -1230,6 +1230,67 @@ object PipelineQueries {
       ORDER BY f.doc_id ASC
     """.replace("%BUCKET%", DuckOracle.md5Bucket32)))
 
+  /** The SESSION-encoder ingest twin
+    * ([[graft.ingest.Embed.withEmbeddingsSession]], round 13 — the
+    * ONNX/JNI seam): identical pipeline to `embed_ingest`, but the
+    * encoder arrives as a per-partition FACTORY (the non-serializable
+    * model-session lifecycle a real ONNX Runtime `OrtSession` needs:
+    * instantiate once per partition, bounded batches, close on drain —
+    * OperatorSpec pins open/close counts and the batch bound). The
+    * deterministic hashing encoder stands in for the model, so the
+    * SAME md5-bucket oracle hash-checks the session path end to end:
+    * batching and lifecycle must not change a single vector. */
+  private val embedSessionIngest = Q(
+    "embed_session_ingest",
+    (s, dir) => {
+      val docs = Preprocess(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
+      Embed.withEmbeddingsSession(docs, "text_clean", "embedding",
+          () => new graft.ingest.SessionEncoder {
+            private val inner = new HashingEmbedder(64)
+            override def dim: Int = 64
+            override def encode(ts: Seq[String]): Seq[Array[Float]] =
+              inner.embed(ts)
+          }, batchSize = 100)
+        .select(col("doc_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          size(filter(col("embedding"), x => x =!= lit(0.0f))).cast("long")
+            .as("nnz"),
+          (array_position(col("embedding"), array_max(col("embedding"))) - 1)
+            .cast("long").as("top_bucket"),
+          round(VectorFunctions.dot(col("embedding"), col("embedding")), 4)
+            .as("sq_norm"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(text,
+                 '[^\w一-鿿\s.,!?;:，。！？；：]', '', 'g'), '\s+', ' ', 'g'))
+                 AS content
+        FROM documents),
+      f AS (SELECT doc_id, content FROM c WHERE length(content) >= 10),
+      tok AS (SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(content),
+                       '\s+'), t -> t != '')) AS t
+              FROM f),
+      b AS (SELECT doc_id, CAST(%BUCKET% % 64 AS BIGINT) AS bucket
+            FROM (SELECT doc_id, md5(t) AS m FROM tok)),
+      cnt AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+      mx AS (SELECT *, max(c) OVER (PARTITION BY doc_id) AS max_c FROM cnt),
+      agg AS (SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS nnz,
+                     CAST(min(bucket) FILTER (WHERE c = max_c) AS BIGINT)
+                       AS top_bucket
+              FROM mx GROUP BY doc_id)
+      SELECT f.doc_id, CAST(64 AS BIGINT) AS dim,
+             coalesce(a.nnz, 0) AS nnz,
+             coalesce(a.top_bucket, 0) AS top_bucket,
+             CASE WHEN coalesce(a.nnz, 0) > 0 THEN 1.0 ELSE 0.0 END AS sq_norm
+      FROM f LEFT JOIN agg a USING (doc_id)
+      ORDER BY f.doc_id ASC
+    """.replace("%BUCKET%", DuckOracle.md5Bucket32)))
+
   /** MERGE-by-key upsert: base = customers with custkey % 3 != 0,
     * updates = customers with custkey % 2 = 0 and +1000 balance — so the
     * update batch both replaces existing keys (key % 6 ∈ {2,4}) and
@@ -3579,6 +3640,51 @@ object PipelineQueries {
       FROM documents
     """))
 
+  /** Keyset-stable bulk export ([[graft.core.Collection.page]], round
+    * 13 — Milvus `query_iterator` parity, the "export the whole
+    * collection" path `search_pagination` does not cover): the corpus
+    * is walked in PAGES cut by sort-key RANGE — each page's predicate
+    * is `doc_id > lastKey` (pushed to the scan: PushedFilters
+    * GreaterThan → row-group skipping; PlanSpec pins it), the cursor is
+    * the previous page's max key, and the chain is stable under
+    * concurrent appends past the cursor. The entry replays a 6-page
+    * chain and tags every row with its page; the oracle re-derives the
+    * SAME page assignment from a row_number window (unique key ⇒ keyset
+    * pages ≡ rank buckets), so the cursor arithmetic is hash-checked
+    * row by row. */
+  private val collectionIterate = Q(
+    "collection_iterate",
+    (s, dir) => {
+      val out = s"/tmp/graft_iterq_${math.abs(dir.hashCode)}/docs"
+      mutateOnce(s, out) {
+        val c0 = Collection(s, out)
+        c0.create(Tables.documents(s, dir).schema, force = true)
+        c0.append(Tables.documents(s, dir))
+      }
+      val coll = Collection(s, out)
+      val n = coll.count()
+      val pageSize = math.max(1L, (n + 5) / 6).toInt
+      var last: Option[Long] = None
+      val pages = (0 until 6).map { p =>
+        val pg = coll.page("doc_id", last, pageSize)
+        val mx = pg.agg(max(col("doc_id"))).first()
+        if (!mx.isNullAt(0)) last = Some(mx.getLong(0))
+        pg.select(lit(p).cast("int").as("page"), col("doc_id"),
+          col("n_chars"))
+      }
+      pages.reduce(_ unionByName _).orderBy(col("doc_id").asc)
+    },
+    Some("""
+      WITH ps AS (SELECT greatest(CAST(1 AS BIGINT),
+                    CAST(ceil(count(*) / 6.0) AS BIGINT)) AS p
+                  FROM documents)
+      SELECT CAST((rn - 1) // ps.p AS INT) AS page, doc_id, n_chars
+      FROM (SELECT doc_id, n_chars,
+              row_number() OVER (ORDER BY doc_id ASC) AS rn
+            FROM documents) t, ps
+      ORDER BY doc_id ASC
+    """))
+
   /** Index integrity report — the operational consistency checker every
     * serving index needs before a blue-green flip (Milvus exposes the
     * equivalent as segment/index health; a warehouse runs it as a
@@ -5916,6 +6022,7 @@ object PipelineQueries {
     ivfAutoRewriteSql, routedAutoSearch, routedAutoSearchBudget,
     ivfIncrementalSearch, multiStrategySearch,
     chapterParse, collectionRoundtrip, ragContextLines, embedIngest,
+    embedSessionIngest,
     keywordTextSearch, chunkTextSearch, questionAnswerPipeline,
     collectionUpsert, collectionSchemaEvolution, collectionDeleteExpr,
     lateInteractionMaxsim, graphAnnSearch, graphAnnBulk,
@@ -5930,6 +6037,7 @@ object PipelineQueries {
     graphBeamAutotuneMulti, graphAnnPqWalk, graphAnnAsymWalk,
     hybridGraphRrf,
     graphAnnRange, streamingGraphIngest, collectionCompact,
+    collectionIterate,
     collectionTimeTravel, collectionVersionDiff,
     collectionAliasSwap, collectionAliasList,
     collectionPointGet, collectionPartitionKey, collectionClone,

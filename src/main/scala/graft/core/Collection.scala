@@ -65,6 +65,45 @@ final class Collection(spark: SparkSession, val dir: String,
   /** S7: describe — schema of the stored data. */
   def describe: StructType = read.schema
 
+  /** One page of a KEYSET-stable bulk-export scan — Milvus
+    * `query_iterator` parity (the "export the whole collection" path):
+    * page N+1 is `WHERE keyCol > lastKey ORDER BY keyCol LIMIT
+    * pageSize`, i.e. the cursor is the previous page's max key, NOT a
+    * row offset. Why keyset and not OFFSET at warehouse scale: the
+    * range predicate PUSHES to the scan (PushedFilters GreaterThan →
+    * parquet row-group min/max skipping; on a key-sorted or
+    * key-bucketed layout each page touches only its own files), every
+    * page costs the same regardless of position, and the cursor is
+    * stable under concurrent appends past it — OFFSET re-sorts the
+    * whole corpus per page and shifts under writes. `keyCol` must be
+    * unique (a primary key) for gap-free iteration. */
+  def page(keyCol: String, lastKey: Option[Long],
+           pageSize: Int): DataFrame = {
+    require(pageSize > 0, "pageSize must be positive")
+    lastKey.map(k => read.where(col(keyCol) > k)).getOrElse(read)
+      .orderBy(col(keyCol).asc).limit(pageSize)
+  }
+
+  /** Driver-side page cursor over [[page]] — each `next()` runs one
+    * bounded 1-row aggregate to advance the cursor; the page itself
+    * stays a DataFrame (write it, don't collect it). Iteration ends on
+    * the first short page. */
+  def pages(keyCol: String, pageSize: Int): Iterator[DataFrame] =
+    new Iterator[DataFrame] {
+      private var last: Option[Long] = None
+      private var done = false
+      override def hasNext: Boolean = !done
+      override def next(): DataFrame = {
+        val pg = page(keyCol, last, pageSize)
+        val mx = pg.agg(org.apache.spark.sql.functions.max(col(keyCol))
+          .as("m"), org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n")).first()
+        if (mx.isNullAt(0) || mx.getLong(1) < pageSize) done = true
+        if (!mx.isNullAt(0)) last = Some(mx.getLong(0))
+        pg
+      }
+    }
+
   /** A1: true row count (reference's len() bug NOT replicated; §2.5 A2). */
   def count(): Long = read.count()
 

@@ -43,6 +43,26 @@ final class HashingEmbedder(val dim: Int = 64) extends Embedder {
   }
 }
 
+/** Per-partition MODEL SESSION seam — the shape a real in-process
+  * encoder needs (reference src/app.py:219 runs a sentence-transformers
+  * model in process; at scale that is an ONNX Runtime `OrtSession` or a
+  * JNI handle): the session object is NOT serializable, so what ships
+  * to executors is a FACTORY; each partition instantiates its session
+  * ONCE, feeds it bounded batches, and closes it when the partition
+  * drains. An ONNX twin is `() => new SessionEncoder { val env =
+  * OrtEnvironment...; def encode(ts) = run the session on the tokenized
+  * batch; def close() = session.close() }` — the Spark-side plumbing
+  * (lifecycle, batch shape, schema) is exactly what
+  * [[Embed.withEmbeddingsSession]] runs and the spec pins. */
+trait SessionEncoder extends AutoCloseable {
+  def dim: Int
+  /** Encode one bounded batch; deterministic per input, and must not
+    * depend on how rows were batched (batch-boundary invariance — the
+    * spec's pin). */
+  def encode(texts: Seq[String]): Seq[Array[Float]]
+  override def close(): Unit = ()
+}
+
 object Embed {
   /** I3/I4: append an embedding column computed in batches of `batchSize`
     * per partition (reference batch size 100, src/app.py:205). The
@@ -59,6 +79,46 @@ object Embed {
           Option(r.getString(textIdx)).getOrElse("")))
         batch.iterator.zip(vecs.iterator).map { case (r, v) =>
           Row.fromSeq(r.toSeq :+ v.toSeq)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** [[withEmbeddings]] for NON-SERIALIZABLE encoders (ONNX/JNI): the
+    * factory ships, the session lives per partition — instantiated
+    * lazily on the first row (empty partitions pay nothing), fed
+    * `batchSize`d slices, `close()`d exactly once when the partition's
+    * iterator drains. Same schema/batch contract as [[withEmbeddings]];
+    * a session must return one vector per input row or the partition
+    * fails loudly. */
+  def withEmbeddingsSession(df: DataFrame, textCol: String,
+                            outCol: String,
+                            makeSession: () => SessionEncoder,
+                            batchSize: Int = 100): DataFrame = {
+    val schema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
+    val textIdx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val session = makeSession()
+        var closed = false
+        val rows = it.grouped(batchSize).flatMap { batch =>
+          val vecs = session.encode(batch.map(r =>
+            Option(r.getString(textIdx)).getOrElse("")))
+          require(vecs.length == batch.length,
+            s"session encoder returned ${vecs.length} vectors for a " +
+              s"${batch.length}-row batch")
+          batch.iterator.zip(vecs.iterator).map { case (r, v) =>
+            Row.fromSeq(r.toSeq :+ v.toSeq)
+          }
+        }
+        new Iterator[Row] {
+          override def hasNext: Boolean = {
+            val h = rows.hasNext
+            if (!h && !closed) { closed = true; session.close() }
+            h
+          }
+          override def next(): Row = rows.next()
         }
       }
     }(Encoders.row(schema))

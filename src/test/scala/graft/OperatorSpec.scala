@@ -59,6 +59,31 @@ class OperatorSpec extends SparkSpec {
     assert(big == small)
   }
 
+  test("session encoder: one session per non-empty partition, closed " +
+      "exactly once, batch bound honored, output == serializable seam") {
+    SessionSpecCounters.reset()
+    val df = (0 until 23).map(i => (i.toLong, s"tok$i alpha beta"))
+      .toDF("id", "text").repartition(4)
+    val out = Embed.withEmbeddingsSession(df, "text", "v",
+        () => SessionSpecCounters.make(), batchSize = 5)
+      .select("id", "v").as[(Long, Seq[Float])].collect().toMap
+    assert(out.size == 23)
+    val opened = SessionSpecCounters.opened.get()
+    assert(opened > 0 && opened <= 4,
+      s"one session per non-empty partition, got $opened")
+    assert(SessionSpecCounters.closed.get() == opened,
+      "every session must close exactly once when its partition drains")
+    assert(SessionSpecCounters.maxBatch.get() <= 5,
+      s"batch bound violated: ${SessionSpecCounters.maxBatch.get()}")
+    // batch-boundary invariance + parity with the serializable seam:
+    // the session twin must produce byte-identical vectors whatever the
+    // partitioning or batch size
+    val ref = Embed.withEmbeddings(df, "text", "v",
+        new HashingEmbedder(16), batchSize = 100)
+      .select("id", "v").as[(Long, Seq[Float])].collect().toMap
+    assert(out == ref)
+  }
+
   test("IVF: nprobe=nlist equals exact search; partial probe recalls most") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val dir = "/tmp/graft_ivf_test"
@@ -1617,5 +1642,27 @@ class OperatorSpec extends SparkSpec {
     // marker present now: the mutation is skipped
     graft.QueryDsl.mutateOnce(spark, dir) { runs += 1 }
     assert(runs == 2)
+  }
+}
+
+/** Instrumented fake for the [[graft.ingest.SessionEncoder]] lifecycle
+  * spec — a top-level object so the counters are JVM-static and visible
+  * from local-mode executor threads. */
+object SessionSpecCounters {
+  val opened = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closed = new java.util.concurrent.atomic.AtomicInteger(0)
+  val maxBatch = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { opened.set(0); closed.set(0); maxBatch.set(0) }
+  def make(): graft.ingest.SessionEncoder = {
+    opened.incrementAndGet()
+    new graft.ingest.SessionEncoder {
+      private val inner = new graft.ingest.HashingEmbedder(16)
+      override def dim: Int = 16
+      override def encode(ts: Seq[String]): Seq[Array[Float]] = {
+        maxBatch.accumulateAndGet(ts.length, (a: Int, b: Int) => math.max(a, b))
+        inner.embed(ts)
+      }
+      override def close(): Unit = { closed.incrementAndGet(); () }
+    }
   }
 }

@@ -70,6 +70,22 @@ class PlanSpec extends SparkSpec {
       s"ts range not pushed: $pushed")
   }
 
+  test("keyset export page: the > lastKey cursor is pushed to the scan " +
+      "and the page is a TakeOrderedAndProject") {
+    val coll = graft.core.Collection(spark,
+      s"$dir/documents.parquet")
+    val pg = coll.page("doc_id", Some(42L), pageSize = 10)
+    val pushed = pg.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(pushed.contains("GreaterThan(doc_id,42)"),
+      s"keyset cursor not pushed: $pushed")
+    assert(pg.queryExecution.executedPlan.toString()
+      .contains("TakeOrderedAndProject"),
+      "a page must be top-N, not a global sort")
+  }
+
   test("lateral top-N decorrelates to WindowGroupLimit, no nested loop") {
     val p = plan("lateral_top_orders")
     assert(p.contains("WindowGroupLimit"),
