@@ -890,6 +890,99 @@ object PipelineQueries {
       ORDER BY distance ASC, vec_id ASC
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** The router-chosen GRAPH tier served END TO END (round 13 — the
+    * round-12 verdict's routed-tier-menu item): the registration
+    * restricts the tier menu to flat + the measured graph walk; the
+    * walk is the min-cost tier meeting recall 0.8 on the shared v2
+    * panel, so the router chooses it — and since a beam walk is a
+    * data-dependent driver LOOP with no LogicalPlan to splice where
+    * the Limit(Sort) stood, the REWRITE declines (the naive plan stays
+    * the exact plan — RewriteSpec pins it) while the API-level
+    * dispatcher [[graft.plans.IvfProbeRewrite.serveRouted]] honors the
+    * decision by invoking the registered walk thunk. The oracle
+    * replays the dispatch from the staged panel AND the walk itself
+    * round by round, both serving branches gated on the re-derived
+    * choice — a dispatcher that served flat under a graph claim (or
+    * vice versa) hash-mismatches on the tier column or the rows. */
+  private val routedGraphSearch = Q(
+    "routed_graph_search",
+    (s, dir) => {
+      import graft.plans.IvfProbeRewrite
+      import graft.search.{GraphAnn, Quantize, Router}
+      val e = Tables.embeddings(s, dir)
+      val indexDir = s"/tmp/graft_ivf_routedg_${math.abs(dir.hashCode)}"
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      val sq8Dir = s"/tmp/graft_sq8_${math.abs(dir.hashCode)}"
+      graft.core.Artifacts.buildOnce(s, sq8Dir) {
+        Quantize.quantizedTable(e, "embedding", "vec_id")
+      }
+      val (adj, entryId) = bulkGraphArtifacts(s, dir)
+      val panel = routerPanelV2(s, dir)
+      IvfProbeRewrite.registerRouted(IvfProbeRewrite.RoutedConfig(
+        model, nprobe = 4, sq8Dir, sq8Margin = 20,
+        idCol = "vec_id", vecCol = "embedding",
+        panel = () => routerPanelV2(s, dir),
+        tiers = Seq(
+          Router.Tier("flat", present = true, filterCapable = true),
+          Router.Tier("graph_beam8x6", present = true,
+            filterCapable = true)),
+        flatTier = "flat", ivfTier = "ivf_nprobe4",
+        sq8Tier = "sq8_margin20", recallTarget = 0.8,
+        memoryBudget = None,
+        fingerprintRoots = Seq(indexDir, sq8Dir),
+        graphTier = "graph_beam8x6",
+        graphServe = Some((sp, q, k) =>
+          GraphAnn.beamSearch(adj, e, "vec_id", "embedding", q,
+            entryId, k, beamWidth = 8, rounds = 6, degree = 8))))
+      stageOracle(s, "routedg", dir)("panel" -> panel)
+      val tier = IvfProbeRewrite.routedDecision(s, indexDir).get
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      IvfProbeRewrite.serveRouted(s, indexDir, query, 5) {
+        s.read.parquet(IvfIndex.dataDir(indexDir))
+          .select(col("vec_id"),
+            round(VectorFunctions.l2Sq(col("embedding"), typedlit(query)),
+              4).as("distance"))
+          .orderBy(col("distance").asc, col("vec_id").asc)
+          .limit(5)
+      }.select(lit(tier).as("tier"), col("vec_id"), col("distance"))
+    },
+    Some(s"""
+      WITH panel AS (SELECT tier, recall, CAST(cost AS BIGINT) AS cost
+                     FROM read_parquet(
+        '/tmp/graft_routedg_oracle_%ORACLE_KEY%/panel/*.parquet')),
+      el AS (SELECT tier, recall, cost,
+                    tier IN ('flat', 'graph_beam8x6') AS eligible
+             FROM panel),
+      ch AS (SELECT tier AS c FROM el WHERE eligible AND recall >= 0.8
+             ORDER BY cost ASC, tier ASC LIMIT 1),
+      ch2 AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM ch)
+                          THEN (SELECT c FROM ch)
+                          ELSE (SELECT tier FROM el WHERE eligible
+                                ORDER BY recall DESC, cost ASC, tier ASC
+                                LIMIT 1) END AS c),
+      qs AS (SELECT CAST(0 AS BIGINT) AS qid,
+                    (SELECT embedding FROM embeddings
+                     WHERE vec_id = 0) AS qv),
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      exact5 AS (SELECT e.vec_id, %L2% AS distance FROM embeddings e, q
+                 ORDER BY distance ASC, e.vec_id ASC LIMIT 5),
+      ${bulkWalkCtes("graphbulk", beamWidth = 8, rounds = 6)},
+      walk5 AS (SELECT id AS vec_id, d AS distance FROM v6
+                ORDER BY d ASC, id ASC LIMIT 5),
+      res AS (
+        SELECT vec_id, distance FROM exact5
+        WHERE (SELECT c FROM ch2) = 'flat'
+        UNION ALL
+        SELECT vec_id, distance FROM walk5
+        WHERE (SELECT c FROM ch2) = 'graph_beam8x6')
+      SELECT (SELECT c FROM ch2) AS tier, vec_id, distance FROM res
+      ORDER BY distance ASC, vec_id ASC
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   /** M1-M3: strategy fan-out + first-wins dedup + final re-rank. */
   private val multiStrategySearch = Q(
     "multi_strategy_search",
@@ -6020,6 +6113,7 @@ object PipelineQueries {
     ivfFilteredSearch,
     ivfBalanceReport, ivfAutoRewrite,
     ivfAutoRewriteSql, routedAutoSearch, routedAutoSearchBudget,
+    routedGraphSearch,
     ivfIncrementalSearch, multiStrategySearch,
     chapterParse, collectionRoundtrip, ragContextLines, embedIngest,
     embedSessionIngest,

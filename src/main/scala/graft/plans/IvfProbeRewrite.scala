@@ -90,7 +90,18 @@ object IvfProbeRewrite extends Rule[LogicalPlan] {
       sq8Tier: String,
       recallTarget: Double,
       memoryBudget: Option[Long],
-      fingerprintRoots: Seq[String])
+      fingerprintRoots: Seq[String],
+      // round 13 — the DRIVER-LOOPED tier boundary made explicit: a
+      // graph walk has no LogicalPlan to splice where the Limit(Sort)
+      // stood (each round's frontier derives from the previous round's
+      // RESULTS), so when the router chooses `graphTier` the REWRITE
+      // declines (exact plan untouched, RewriteSpec-pinned) and the
+      // API-level dispatcher [[serveRouted]] invokes `graphServe`
+      // instead — the walk thunk the registrant supplies, closing the
+      // panel-can-choose-it-but-rewrite-can't-land-there gap.
+      graphTier: String = "",
+      graphServe: Option[(SparkSession, Array[Float], Int) =>
+        org.apache.spark.sql.DataFrame] = None)
 
   private val routedRegistry =
     new java.util.concurrent.ConcurrentHashMap[String, RoutedConfig]()
@@ -115,6 +126,29 @@ object IvfProbeRewrite extends Rule[LogicalPlan] {
   def routedDecision(spark: SparkSession, indexDir: String): Option[String] = {
     val p = normalize(IvfIndex.dataDir(indexDir))
     Option(routedRegistry.get(p)).map(cfg => decideTier(spark, p, cfg))
+  }
+
+  /** API-level routed serve — the dispatcher that completes the tier
+    * menu: tiers whose serving IS one declarative plan (flat / IVF
+    * probe / SQ8 splice) serve through `naive` — the caller's exact
+    * query text, which this rule compiles to the chosen plan — while
+    * the router-chosen GRAPH tier (a data-dependent driver loop, not a
+    * plan) dispatches to the registered walk thunk. Unregistered
+    * tables and configs without a graph thunk just serve `naive`;
+    * `naive` is by-name so the declarative path builds its DataFrame
+    * only when actually served. */
+  def serveRouted(spark: SparkSession, indexDir: String,
+                  query: Array[Float], k: Int)
+                 (naive: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val p = normalize(IvfIndex.dataDir(indexDir))
+    Option(routedRegistry.get(p)) match {
+      case Some(cfg) if cfg.graphTier.nonEmpty &&
+          cfg.graphServe.nonEmpty &&
+          decideTier(spark, p, cfg) == cfg.graphTier =>
+        cfg.graphServe.get(spark, query, k)
+      case _ => naive
+    }
   }
 
   /** One [[Router.plan]] run per (path, artifact-fingerprint): collect

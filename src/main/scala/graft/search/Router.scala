@@ -67,6 +67,14 @@ object Router {
                         filterCapable: Boolean,
                         modality: String = "vector")
 
+  /** Count of recursive flat-root listings performed — the spec's probe
+    * that a warm routed path does ZERO of them. */
+  private[graft] val flatListings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private val flatStatCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+  private[graft] def clearFingerprintCache(): Unit = flatStatCache.clear()
+
   /** Freshness key over the tier artifacts a panel measures: per root,
     * the current published version when aliased ([[AliasedIndex]]),
     * else (round 12, the ADVICE hardening) the layout's latest file
@@ -75,34 +83,52 @@ object Router {
     * within the same second as the prior measure would leave the cached
     * panel stale; a rebuild that changes any file's size or the file
     * set flips the key even inside one mtime tick. Any maintenance verb
-    * (alias advance, in-place fold, rebuild) changes the key. Cheap:
-    * one recursive listing per flat root, one listStatus per aliased
-    * root. Keyed with a 64-bit FNV-1a over the full parts string (the
-    * 32-bit murmur key's collision surface retired). */
-  def artifactFingerprint(spark: SparkSession, roots: Seq[String]): String = {
+    * (alias advance, in-place fold, rebuild) changes the key.
+    *
+    * Cost bound (round 13): a FLAT root's stat is one recursive listing
+    * — O(files), which at a warehouse-scale artifact (10⁵ files) would
+    * become the routed path's per-query fixed cost. The stat is
+    * therefore MEMOIZED per root for `flatTtlMillis` (default 1 s):
+    * warm routed queries do ZERO listings (spec-pinned via
+    * [[flatListings]]), and the trade is ≤ 1 s of decision staleness on
+    * flat roots — shorter than any maintenance verb's runtime, and
+    * irrelevant to ALIASED roots, which bypass the cache entirely (one
+    * root listStatus, O(1); prefer aliased roots on the routed path).
+    * Keyed with a 64-bit FNV-1a over the full parts string (the 32-bit
+    * murmur key's collision surface retired). */
+  def artifactFingerprint(spark: SparkSession, roots: Seq[String],
+                          flatTtlMillis: Long = 1000L): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val parts = roots.map { r =>
       val vs = AliasedIndex.publishedVersions(spark, r)
       if (vs.nonEmpty) s"v${vs.last}"
       else {
-        val p = new org.apache.hadoop.fs.Path(r)
-        val fs = p.getFileSystem(conf)
-        if (!fs.exists(p)) "absent"
+        val now = System.currentTimeMillis()
+        val cached = flatStatCache.get(r)
+        if (cached != null && now - cached._1 < flatTtlMillis) cached._2
         else {
-          // (max mtime, file count, total bytes) in one recursive walk
-          def stat(q: org.apache.hadoop.fs.Path): (Long, Long, Long) = {
-            val st = fs.listStatus(q)
-            if (st.isEmpty)
-              (fs.getFileStatus(q).getModificationTime, 0L, 0L)
-            else st.map { s =>
-              if (s.isDirectory) stat(s.getPath)
-              else (s.getModificationTime, 1L, s.getLen)
-            }.reduce { (a, b) =>
-              (math.max(a._1, b._1), a._2 + b._2, a._3 + b._3)
+          val p = new org.apache.hadoop.fs.Path(r)
+          val fs = p.getFileSystem(conf)
+          val part = if (!fs.exists(p)) "absent"
+          else {
+            // (max mtime, file count, total bytes) in one recursive walk
+            flatListings.incrementAndGet()
+            def stat(q: org.apache.hadoop.fs.Path): (Long, Long, Long) = {
+              val st = fs.listStatus(q)
+              if (st.isEmpty)
+                (fs.getFileStatus(q).getModificationTime, 0L, 0L)
+              else st.map { s =>
+                if (s.isDirectory) stat(s.getPath)
+                else (s.getModificationTime, 1L, s.getLen)
+              }.reduce { (a, b) =>
+                (math.max(a._1, b._1), a._2 + b._2, a._3 + b._3)
+              }
             }
+            val (mt, n, bytes) = stat(p)
+            s"m$mt.n$n.b$bytes"
           }
-          val (mt, n, bytes) = stat(p)
-          s"m$mt.n$n.b$bytes"
+          flatStatCache.put(r, (now, part))
+          part
         }
       }
     }

@@ -708,6 +708,30 @@ class OperatorSpec extends SparkSpec {
     assert(fp3 != fp2, s"flat rebuild must flip the key: $fp2 -> $fp3")
   }
 
+  test("fingerprint cost bound: a warm flat root does ZERO recursive " +
+      "listings; expiry and cache clear re-stat") {
+    import graft.search.Router
+    val flat = "/tmp/graft_fp_memo_test"
+    val p = new org.apache.hadoop.fs.Path(flat)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    (0L until 5L).map(Tuple1(_)).toDF("id").write.parquet(flat)
+    Router.clearFingerprintCache()
+    val fp1 = Router.artifactFingerprint(spark, Seq(flat),
+      flatTtlMillis = 60000L)
+    val after1 = Router.flatListings.get()
+    // warm path: same fingerprint, NO new listing — the routed path's
+    // per-query fixed cost is O(1) on a warm cache
+    val fp2 = Router.artifactFingerprint(spark, Seq(flat),
+      flatTtlMillis = 60000L)
+    assert(fp2 == fp1)
+    assert(Router.flatListings.get() == after1,
+      "a warm flat root must not be re-listed")
+    // cache clear (or TTL expiry) re-stats
+    Router.clearFingerprintCache()
+    Router.artifactFingerprint(spark, Seq(flat), flatTtlMillis = 60000L)
+    assert(Router.flatListings.get() == after1 + 1)
+  }
+
   test("aliased index: readers see exactly one complete version " +
       "mid-maintenance, flip is atomic, retention GC holds one back") {
     import graft.search.{AliasedIndex, IvfIndex}

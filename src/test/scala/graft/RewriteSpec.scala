@@ -206,4 +206,78 @@ class RewriteSpec extends AnyFunSuite {
       SparkSession.setActiveSession(TestSpark.spark)
     }
   }
+
+  test("routed graph tier: the rewrite DECLINES (exact plan untouched) " +
+      "and serveRouted dispatches to the registered walk thunk") {
+    import graft.search.{GraphAnn, Quantize, Router}
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = "/tmp/graft_routed_graph_test"
+    val sq8Dir = "/tmp/graft_routed_graph_sq8"
+    Seq(dir, sq8Dir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    val model = IvfIndex.build(e, "embedding", dir, nlist = 8)
+    Quantize.quantizedTable(e, "embedding", "vec_id")
+      .write.mode("overwrite").parquet(sq8Dir)
+    val adj = GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+    val entryId = GraphAnn.medoid(e, "vec_id", "embedding")
+      .collect()(0).getLong(0)
+    val n = e.count()
+    // handcrafted measured panel: the graph walk meets the target at a
+    // tenth of flat's cost — the router must choose it
+    val panel = Seq(
+      ("flat", 1.0, n, 0L),
+      ("graph", 1.0, n / 10, 0L))
+      .toDF("tier", "recall", "cost", "mem_bytes")
+    val query = e.where(col("vec_id") === 11).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    def naive = spark.read.parquet(IvfIndex.dataDir(dir))
+      .select(col("vec_id"),
+        round(VectorFunctions.l2Sq(col("embedding"), typedlit(query)), 4)
+          .as("distance"))
+      .orderBy(col("distance").asc, col("vec_id").asc)
+      .limit(10)
+    try {
+      IvfProbeRewrite.registerRouted(IvfProbeRewrite.RoutedConfig(
+        model, nprobe = 8, sq8Dir, sq8Margin = 1000,
+        idCol = "vec_id", vecCol = "embedding",
+        panel = () => panel,
+        tiers = Seq(
+          Router.Tier("flat", present = true, filterCapable = true),
+          Router.Tier("graph", present = true, filterCapable = true)),
+        flatTier = "flat", ivfTier = "ivf", sq8Tier = "sq8",
+        recallTarget = 0.9, memoryBudget = None,
+        fingerprintRoots = Seq(dir, sq8Dir),
+        graphTier = "graph",
+        graphServe = Some((_, q, k) =>
+          GraphAnn.beamSearch(adj, e, "vec_id", "embedding", q, entryId,
+            k, beamWidth = 8, rounds = 6, degree = 8))))
+      assert(IvfProbeRewrite.routedDecision(spark, dir) == Some("graph"))
+      // the documented boundary: a walk is a driver loop, not a plan —
+      // the rewrite must leave the exact plan completely untouched (no
+      // injected probe Filter, no spliced quantized scan; the relation
+      // schema legitimately CONTAINS a cluster_id column)
+      val optPlan = naive.queryExecution.optimizedPlan
+      assert(optPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.references.exists(_.name == "cluster_id") => f
+      }.isEmpty, s"graph route must not inject the probe:\n$optPlan")
+      assert(!optPlan.toString().contains("dequant_l2_sq"),
+        s"graph route must not splice the sq8 plan:\n$optPlan")
+      // the dispatcher honors the decision through the walk thunk
+      val served = IvfProbeRewrite.serveRouted(spark, dir, query, 10)(naive)
+        .select("vec_id").as[Long].collect().toSeq
+      val walk = GraphAnn.beamSearch(adj, e, "vec_id", "embedding",
+          query, entryId, 10, beamWidth = 8, rounds = 6, degree = 8)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(served == walk && served.nonEmpty)
+    } finally {
+      IvfProbeRewrite.clear()
+      SparkSession.setDefaultSession(TestSpark.spark)
+      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
 }
