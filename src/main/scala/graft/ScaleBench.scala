@@ -137,12 +137,16 @@ object ScaleBench {
   }
 
   /** Minimal round count at which a walk's top-1 hits a query planted
-    * 24 rungs from the (mid-chain) seed — flat sweeps its round
-    * budget; layered sweeps the UPPER budget with 3 base rounds and
-    * reports upper + 3. Probes double (1,2,4,…) then refine one step;
-    * 99 = not reached within the 96-round cap. */
+    * 24 rungs from the (mid-chain) seed — mode "flat" sweeps its round
+    * budget; "layered" sweeps the UPPER budget with 3 base rounds and
+    * reports upper + 3; "multi" (round 13) runs TWO nested upper
+    * levels ([[graft.search.GraphAnn.levelSample]] p² then p) sharing
+    * the swept per-level budget and reports 2·upper + 3 — the TOTAL
+    * rounds executed, so the row is comparable to the 1-layer one.
+    * Probes double (1,2,4,…) then refine one step; 99 = not reached
+    * within the 96-round cap. */
   private def chainRoundsToHit(spark: SparkSession, n: Int,
-                               layered: Boolean): Long = {
+                               mode: String): Long = {
     import graft.search.GraphAnn
     import spark.implicits._
     val emb = materialize(chainEmbeddings(spark, n),
@@ -183,21 +187,45 @@ object ScaleBench {
         .orderBy(col("__d").asc, col("entry_id").asc)
         .limit(1).select("entry_id")
     }
+    // the SECOND upper level (mode "multi"): the nested p² sample,
+    // same α-RNG pruned build, seeded (like level 1) at its member
+    // nearest the shared base entry
+    lazy val sample2 = GraphAnn.levelSample(emb, "vec_id", level = 2)
+    lazy val uadj2 = graft.core.Artifacts.buildOnce(spark,
+      s"/tmp/graft_scale/chain_upper2p_$n") {
+      GraphAnn.buildAdjacencyPruned(sample2, "vec_id", "embedding",
+        GraphAnn.Params(maxIter = 5))
+    }
+    lazy val uent2 = graft.core.Artifacts.buildOnce(spark,
+      s"/tmp/graft_scale/chain_u2entry_$n") {
+      val ev = emb.where(col("vec_id") === entId0).select("embedding")
+        .collect()(0).getSeq[Float](0)
+      sample2.select(col("vec_id").as("entry_id"),
+          graft.functions.VectorFunctions.l2Sq(col("embedding"),
+            typedlit(ev)).as("__d"))
+        .orderBy(col("__d").asc, col("entry_id").asc)
+        .limit(1).select("entry_id")
+    }
     // the planted target: 24 rungs past the seed's rung
     val entId = entId0
     val qid = ((entId / 6) + 24) * 6
     val qv = emb.where(col("vec_id") === qid).select("embedding")
       .collect()(0).getSeq[Float](0).toArray
     def hit(r: Int): Boolean = {
-      val top = (if (layered)
-        GraphAnn.layeredSearch(uadj, uent, adj, emb, "vec_id",
-          "embedding", qv, k = 1, beamWidth = 8, upperRounds = r,
-          rounds = 3, degree = 8, nSeeds = 2)
-      else
-        GraphAnn.beamSearchMulti(adj, emb, "vec_id", "embedding", qv,
-          ent, k = 1, beamWidth = 8, rounds = r, degree = 8,
-          nSeeds = 1))
-        .select("vec_id").as[Long].collect()
+      val top = (mode match {
+        case "multi" =>
+          GraphAnn.layeredSearchMulti(Seq(uadj2, uadj), uent2, adj, emb,
+            "vec_id", "embedding", qv, k = 1, beamWidth = 8,
+            upperRounds = r, rounds = 3, degree = 8, nSeeds = 2)
+        case "layered" =>
+          GraphAnn.layeredSearch(uadj, uent, adj, emb, "vec_id",
+            "embedding", qv, k = 1, beamWidth = 8, upperRounds = r,
+            rounds = 3, degree = 8, nSeeds = 2)
+        case _ =>
+          GraphAnn.beamSearchMulti(adj, emb, "vec_id", "embedding", qv,
+            ent, k = 1, beamWidth = 8, rounds = r, degree = 8,
+            nSeeds = 1)
+      }).select("vec_id").as[Long].collect()
       top.nonEmpty && top(0) == qid
     }
     val cap = 96
@@ -215,7 +243,11 @@ object ScaleBench {
       val mid = (lo + hi) / 2
       if (hit(mid)) hi = mid else lo = mid
     }
-    (if (layered) hi + 3 else hi).toLong
+    (mode match {
+      case "multi" => 2 * hi + 3
+      case "layered" => hi + 3
+      case _ => hi
+    }).toLong
   }
 
   /** Build-once graph adjacency + medoid entry for a rehearsal corpus:
@@ -912,9 +944,15 @@ object ScaleBench {
         // should sit well under flat's — and both should be FLAT in n
         // (the distance is fixed; the corpus grows around it).
         "graphann_chain_rounds_flat (dist 24 rungs)" -> (() =>
-          chainRoundsToHit(spark, n, layered = false)),
+          chainRoundsToHit(spark, n, mode = "flat")),
         "graphann_chain_rounds_layered (upper + 3 base)" -> (() =>
-          chainRoundsToHit(spark, n, layered = true)),
+          chainRoundsToHit(spark, n, mode = "layered")),
+        // round 13: TWO nested upper levels (p², p) — the row reports
+        // TOTAL rounds (2·upper + 3 base), comparable to the 1-layer
+        // row; the multi-level stack's claim is total ≤ 1-layer at
+        // equal (perfect, planted-target) recall
+        "graphann_chain_rounds_multi (2 uppers + 3 base)" -> (() =>
+          chainRoundsToHit(spark, n, mode = "multi")),
         // bulk LAYERED serving cost (round 12): the batch walks the
         // upper layer as one plan, each query's top-2 seed its base
         // walk — per-round state linear in the batch, corpus-size-
@@ -1123,7 +1161,8 @@ object ScaleBench {
         // artifact — a warm-up pass doubles the decade's wall-clock
         // for a byte-identical ROUNDS result
         "graphann_chain_rounds_flat (dist 24 rungs)",
-        "graphann_chain_rounds_layered (upper + 3 base)")
+        "graphann_chain_rounds_layered (upper + 3 base)",
+        "graphann_chain_rounds_multi (2 uppers + 3 base)")
       ops.filter(o => opFilter(o._1)).foreach { case (name, body) =>
         if (!noWarmup(name))
           body()                          // warm-up (JIT/codegen/page cache)
