@@ -2041,6 +2041,87 @@ object PipelineQueries {
       ORDER BY distance ASC, vec_id ASC LIMIT 5
     """))
 
+  /** The multi-level stack under DELETE propagation
+    * ([[graft.search.GraphAnn.layeredSearchMultiMasked]], round 13 —
+    * the stack inherits the masked contract at EVERY level): the
+    * fixture tombstones the unmasked stack's top-1 AND the level-2
+    * walk's first handoff seed, so the L2→L1 seed cut must re-elect
+    * and the final result must drop the deleted doc while all three
+    * walks still route through the tombstoned nodes. The oracle masks
+    * each handoff's seed window and the final top-k against the staged
+    * delete frame — three mask sites, all hash-checked. */
+  private val graphAnnMultilayerMaskedWalk = Q(
+    "graph_ann_multilayer_masked_walk",
+    (s, dir) => {
+      import graft.search.GraphAnn
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
+      val adj = graft.core.Artifacts.buildOnce(s, s"$base/adjacency") {
+        GraphAnn.buildAdjacency(e, "vec_id", "embedding")
+      }
+      val ubase = s"/tmp/graft_glayer_${math.abs(dir.hashCode)}"
+      val l1 = GraphAnn.levelSample(e, "vec_id", level = 1)
+      val adj1 = graft.core.Artifacts.buildOnce(s, s"$ubase/adjacency") {
+        GraphAnn.buildAdjacency(l1, "vec_id", "embedding")
+      }
+      val mbase = s"/tmp/graft_gmulti_${math.abs(dir.hashCode)}"
+      val l2 = GraphAnn.levelSample(e, "vec_id", level = 2)
+      val adj2 = graft.core.Artifacts.buildOnce(s, s"$mbase/adjacency") {
+        GraphAnn.buildAdjacency(l2, "vec_id", "embedding")
+      }
+      val tent = graft.core.Artifacts.buildOnce(s, s"$mbase/entry") {
+        GraphAnn.medoid(l2, "vec_id", "embedding")
+      }
+      stageOracleOnce(s, "mlayer2", dir)(
+        "adjacency" -> adj2.select("src", "dst"),
+        "entry" -> tent.select("entry_id"))
+      stageOracleOnce(s, "layered", dir)(
+        "adjacency" -> adj1.select("src", "dst"),
+        "entry" -> graft.core.Artifacts.buildOnce(s, s"$ubase/entry") {
+          GraphAnn.medoid(l1, "vec_id", "embedding")
+        }.select("entry_id"))
+      stageOracleOnce(s, "layeredb", dir)(
+        "adjacency" -> adj.select("src", "dst"))
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val plainTop = GraphAnn.layeredSearchMulti(Seq(adj2, adj1), tent,
+          adj, e, "vec_id", "embedding", query, k = 1, beamWidth = 4,
+          upperRounds = 3, rounds = 3, degree = 8, nSeeds = 2)
+        .collect()(0).getLong(0)
+      val l2Top = GraphAnn.beamSearchMulti(adj2, e, "vec_id",
+          "embedding", query, tent, k = 1, beamWidth = 4, rounds = 3,
+          degree = 8, nSeeds = 1)
+        .collect()(0).getLong(0)
+      val dels = Seq(plainTop, l2Top).distinct.sorted.toDF("vec_id")
+      stageOracleOnce(s, "mlayermdel", dir)("deletes" -> dels)
+      GraphAnn.layeredSearchMultiMasked(Seq(adj2, adj1), tent, adj, e,
+        "vec_id", "embedding", query, k = 5, dels, beamWidth = 4,
+        upperRounds = 3, rounds = 3, degree = 8, nSeeds = 2)
+    },
+    Some(s"""
+      WITH qs AS (SELECT CAST(0 AS BIGINT) AS qid,
+                         (SELECT embedding FROM embeddings
+                          WHERE vec_id = 0) AS qv),
+      dels AS MATERIALIZED (SELECT vec_id FROM read_parquet(
+        '/tmp/graft_mlayermdel_oracle_%ORACLE_KEY%/deletes/*.parquet')),
+      ${bulkWalkCtesExpr("mlayer2", "4", rounds = 3, prefix = "w",
+        materialized = true)},
+      wseed AS MATERIALIZED (SELECT id AS entry_id FROM wv3
+              WHERE id NOT IN (SELECT vec_id FROM dels)
+              ORDER BY d ASC, id ASC LIMIT 2),
+      ${bulkWalkCtesExpr("layered", "4", rounds = 3, prefix = "m",
+        materialized = true, entFrom = "wseed")},
+      mseed AS MATERIALIZED (SELECT id AS entry_id FROM mv3
+              WHERE id NOT IN (SELECT vec_id FROM dels)
+              ORDER BY d ASC, id ASC LIMIT 2),
+      ${bulkWalkCtesExpr("layeredb", "4", rounds = 3, prefix = "c",
+        materialized = true, entFrom = "mseed")}
+      SELECT id AS vec_id, d AS distance FROM cv3
+      WHERE id NOT IN (SELECT vec_id FROM dels)
+      ORDER BY distance ASC, vec_id ASC LIMIT 5
+    """))
+
   /** Predicate + graph index (see
     * [[graft.search.GraphAnn.filteredBeamSearch]]): the walk is
     * label-blind (filtering expansion can disconnect the graph and
@@ -6122,7 +6203,7 @@ object PipelineQueries {
     lateInteractionMaxsim, graphAnnSearch, graphAnnBulk,
     graphAnnLayeredWalk, graphAnnLayeredBulk,
     graphAnnLayeredMaskedWalk, graphAnnMultilayerWalk,
-    streamingLayeredIngest,
+    graphAnnMultilayerMaskedWalk, streamingLayeredIngest,
     graphAnnBulkRecall, graphAnnIncremental, graphAnnFiltered,
     graphAnnFilteredRecall, graphAnnFilteredAdaptive,
     scalarFilteredGraphWalk, scalarFilteredGraphRecall,

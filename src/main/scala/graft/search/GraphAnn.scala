@@ -506,6 +506,34 @@ object GraphAnn {
       beamWidth, rounds, degree, nSeeds = nSeeds)
   }
 
+  /** [[layeredSearchMulti]] under the tombstone mask — the stack
+    * inherits the 1-layer masked contract ([[layeredSearchMasked]])
+    * at every level: each level's walk routes label-blind, its
+    * RESULT is masked before the seed handoff to the next level, and
+    * the base visited set is masked before the top-k cut. Cost is
+    * unchanged: one broadcast anti-join over each walk's bounded
+    * visited set. */
+  def layeredSearchMultiMasked(adjLayers: Seq[DataFrame],
+                               topEntries: DataFrame, adjBase: DataFrame,
+                               corpus: DataFrame, idCol: String,
+                               vecCol: String, query: Array[Float],
+                               k: Int, deletes: DataFrame,
+                               beamWidth: Int = 4, upperRounds: Int = 3,
+                               rounds: Int = 3, degree: Int = 8,
+                               nSeeds: Int = 2): DataFrame = {
+    require(adjLayers.nonEmpty, "pass at least one upper layer " +
+      "(use beamSearchMultiMasked for a flat masked serve)")
+    var seeds = topEntries
+    adjLayers.zipWithIndex.foreach { case (adjL, i) =>
+      val top = beamSearchMultiMasked(adjL, corpus, idCol, vecCol,
+        query, seeds, k = nSeeds, deletes, beamWidth, upperRounds,
+        degree, nSeeds = if (i == 0) 1 else nSeeds)
+      seeds = top.select(col(idCol).cast("long").as("entry_id"))
+    }
+    beamSearchMultiMasked(adjBase, corpus, idCol, vecCol, query, seeds,
+      k, deletes, beamWidth, rounds, degree, nSeeds = nSeeds)
+  }
+
   def beamSearchMulti(adj: DataFrame, corpus: DataFrame, idCol: String,
                       vecCol: String, query: Array[Float],
                       entries: DataFrame, k: Int, beamWidth: Int = 4,
@@ -1036,6 +1064,123 @@ object GraphAnn {
           new org.apache.hadoop.fs.Path(root)))
         throw new java.io.IOException(
           s"consolidateDeletesRoot: rename $tmp -> $root failed; " +
+            s"previous layout is at $old")
+      f.delete(old, true)
+      root
+    }
+  }
+
+  def upperAdjacencyLevelDir(indexDir: String, level: Int): String =
+    s"$indexDir/adjacency_upper_l$level"
+  def topEntriesDir(indexDir: String): String = s"$indexDir/entries_top"
+
+  final case class MultiLayerAppendResult(adjacency: DataFrame,
+                                          adjLayers: Seq[DataFrame],
+                                          levelIds: Seq[Seq[Long]])
+
+  /** [[appendLayered]] for the MULTI-LEVEL stack: every batch row joins
+    * the base graph; each level ℓ (layers ordered TOP → level 1, the
+    * [[layeredSearchMulti]] convention) additionally absorbs the rows
+    * the NESTED [[levelPpm]] hash cut samples — a level-2 member is a
+    * level-1 member by construction, so a row entering the stack lands
+    * in a prefix of the levels exactly as an HNSW insert draws one
+    * level and joins every layer at or below it. Membership is
+    * rule-derived (grown stack ≡ rebuild). `layerEntryIds` aligns with
+    * `adjLayers`. */
+  def appendLayeredMulti(adjBase: DataFrame, adjLayers: Seq[DataFrame],
+                         corpus: DataFrame, idCol: String,
+                         vecCol: String, batch: DataFrame,
+                         baseEntryId: Long, layerEntryIds: Seq[Long],
+                         degree: Int = 8, beamWidth: Int = 4,
+                         rounds: Int = 3, maxBatch: Int = 256,
+                         ppm: Int = 135335, salt: Int = 12)
+      : MultiLayerAppendResult = {
+    require(adjLayers.length == layerEntryIds.length)
+    val base2 = append(adjBase, corpus, idCol, vecCol, batch,
+      baseEntryId, degree, beamWidth, rounds, maxBatch)
+    val nLevels = adjLayers.length
+    val (layers2, ids) = adjLayers.zip(layerEntryIds).zipWithIndex.map {
+      case ((adjL, entL), i) =>
+        val level = nLevels - i
+        val lb = batch.where(
+          upperMember(idCol, levelPpm(level, ppm), salt))
+        val lbIds = lb.select(col(idCol).cast("long"))
+          .collect().map(_.getLong(0)).toSeq.sorted
+        val grown =
+          if (lbIds.isEmpty) adjL
+          else append(adjL, corpus, idCol, vecCol, lb, entL, degree,
+            beamWidth, rounds, maxBatch).adjacency
+        (grown, lbIds)
+    }.unzip
+    MultiLayerAppendResult(base2.adjacency, layers2, ids)
+  }
+
+  /** [[consolidateDeletesLayered]] for the stack: fold the base and
+    * EVERY level's adjacency, re-elect the base entry set (against the
+    * folded base) and the stack's top entry (against the folded TOP
+    * layer — a dead or stranded top entry strands every query's first
+    * zoom). Returns (base adj, base entries, folded layers top→1, top
+    * entries). */
+  def consolidateDeletesMulti(adjBase: DataFrame,
+                              adjLayers: Seq[DataFrame],
+                              corpus: DataFrame, idCol: String,
+                              vecCol: String, deletes: DataFrame,
+                              entries: DataFrame, topEntries: DataFrame,
+                              degree: Int = 8)
+      : (DataFrame, DataFrame, Seq[DataFrame], DataFrame) = {
+    val (b2, e2) = consolidateDeletesWithEntries(adjBase, corpus, idCol,
+      vecCol, deletes, entries, degree)
+    val layers2 = adjLayers.map(adjL =>
+      consolidateDeletes(adjL, corpus, idCol, vecCol, deletes, degree))
+    val te2 = reelectEntries(topEntries, corpus, idCol, vecCol, deletes,
+      Some(layers2.head))
+    (b2, e2, layers2, te2)
+  }
+
+  /** ROOT-addressed multi-level consolidation — the
+    * [[consolidateDeletesLayeredRoot]] discipline over the stack
+    * layout (`adjacency`, `entries`, `adjacency_upper_l<ℓ>` for ℓ =
+    * levels…1, `entries_top`): rewrite every artifact into `v<N+1>`
+    * and publish atomically. */
+  def consolidateDeletesMultiRoot(spark: SparkSession, root: String,
+                                  corpus: DataFrame, idCol: String,
+                                  vecCol: String, deletes: DataFrame,
+                                  levels: Int,
+                                  degree: Int = 8): String = {
+    require(levels >= 1)
+    def rewriteInto(cur: String, next: String): Unit = {
+      val layers = (levels to 1 by -1).map(l =>
+        spark.read.parquet(upperAdjacencyLevelDir(cur, l)))
+      val (b2, e2, layers2, te2) = consolidateDeletesMulti(
+        spark.read.parquet(adjacencyDir(cur)), layers, corpus, idCol,
+        vecCol, deletes, spark.read.parquet(entriesDir(cur)),
+        spark.read.parquet(topEntriesDir(cur)), degree)
+      b2.write.mode("overwrite").parquet(adjacencyDir(next))
+      e2.write.mode("overwrite").parquet(entriesDir(next))
+      layers2.zip(levels to 1 by -1).foreach { case (a, l) =>
+        a.write.mode("overwrite").parquet(upperAdjacencyLevelDir(next, l))
+      }
+      te2.write.mode("overwrite").parquet(topEntriesDir(next))
+    }
+    if (AliasedIndex.publishedVersions(spark, root).nonEmpty)
+      AliasedIndex.advance(spark, root)(rewriteInto)
+    else {
+      val tmp = s"${root}__cons_tmp"
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Tombstones.recoverAside(f, new org.apache.hadoop.fs.Path(root),
+        new org.apache.hadoop.fs.Path(s"${root}__cons_old"))
+      f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      rewriteInto(root, tmp)
+      val old = new org.apache.hadoop.fs.Path(s"${root}__cons_old")
+      f.delete(old, true)
+      if (!f.rename(new org.apache.hadoop.fs.Path(root), old))
+        throw new java.io.IOException(
+          s"consolidateDeletesMultiRoot: rename $root aside failed")
+      if (!f.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(root)))
+        throw new java.io.IOException(
+          s"consolidateDeletesMultiRoot: rename $tmp -> $root failed; " +
             s"previous layout is at $old")
       f.delete(old, true)
       root

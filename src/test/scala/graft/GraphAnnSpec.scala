@@ -585,6 +585,83 @@ class GraphAnnSpec extends SparkSpec {
       s"multi-level walk must reach the far rung: $multi vs $exact")
   }
 
+  test("multi-level stack maintenance: nested membership ingest, " +
+      "masked multi == flat masked, root fold re-elects the top entry") {
+    val (c0, adj0, _, fent, _) = chainFixture()
+    val l1 = GraphAnn.levelSample(c0, "vec_id", 1, ppm = 300000)
+    val l2 = GraphAnn.levelSample(c0, "vec_id", 2, ppm = 300000)
+    val adj1 = GraphAnn.buildAdjacency(l1, "vec_id", "embedding")
+    val adj2 = GraphAnn.buildAdjacency(l2, "vec_id", "embedding")
+    val e1 = GraphAnn.medoid(l1, "vec_id", "embedding")
+      .collect()(0).getLong(0)
+    val tent = GraphAnn.medoid(l2, "vec_id", "embedding")
+    val tentId = tent.collect()(0).getLong(0)
+    // ingest: a 32-row batch planted past the far rung — per-level
+    // membership must follow the NESTED hash cuts
+    val batch = (200L until 232L).map { i =>
+      (i, Array((16 * 3.0 + (i % 4) * 0.1).toFloat, 0.1f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val res = GraphAnn.appendLayeredMulti(adj0, Seq(adj2, adj1), c0,
+      "vec_id", "embedding", batch, fent.collect()(0).getLong(0),
+      Seq(tentId, e1), ppm = 300000)
+    val exp1 = batch.where(GraphAnn.upperMember("vec_id",
+        GraphAnn.levelPpm(1, 300000))).select("vec_id")
+      .as[Long].collect().toSeq.sorted
+    val exp2 = batch.where(GraphAnn.upperMember("vec_id",
+        GraphAnn.levelPpm(2, 300000))).select("vec_id")
+      .as[Long].collect().toSeq.sorted
+    assert(res.levelIds == Seq(exp2, exp1) && exp1.nonEmpty,
+      s"nested membership must follow the hash cuts: ${res.levelIds}")
+    assert(exp2.toSet.subsetOf(exp1.toSet),
+      "a level-2 member must be a level-1 member")
+    // masked multi-level serve == flat masked on the grown stack
+    val c1 = c0.unionByName(batch)
+    val query = Array(45.0f, 0f, 0f, 0f)
+    val plain = GraphAnn.layeredSearchMulti(Seq(res.adjLayers(0),
+        res.adjLayers(1)), tent, res.adjacency, c1, "vec_id",
+        "embedding", query, k = 5, beamWidth = 4, upperRounds = 4,
+        rounds = 4, degree = 8, nSeeds = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    val dels = Seq(plain.head).toDF("vec_id")
+    val masked = GraphAnn.layeredSearchMultiMasked(Seq(res.adjLayers(0),
+        res.adjLayers(1)), tent, res.adjacency, c1, "vec_id",
+        "embedding", query, k = 5, dels, beamWidth = 4,
+        upperRounds = 4, rounds = 4, degree = 8, nSeeds = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    val flatMasked = GraphAnn.beamSearchMasked(res.adjacency, c1,
+        "vec_id", "embedding", query, fent.collect()(0).getLong(0),
+        k = 5, dels, beamWidth = 4, rounds = 16, degree = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(!masked.contains(plain.head) && masked == flatMasked,
+      s"multi-masked $masked != flat-masked $flatMasked")
+    // root verb over the 2-level layout: fold deletes of the TOP entry
+    // itself — the re-elected top entry must differ and source edges
+    val root = "/tmp/graft_multilayer_root_spec"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    graft.search.AliasedIndex.init(spark, root) { v1 =>
+      res.adjacency.write.parquet(GraphAnn.adjacencyDir(v1))
+      fent.write.parquet(GraphAnn.entriesDir(v1))
+      res.adjLayers(1).write.parquet(
+        GraphAnn.upperAdjacencyLevelDir(v1, 1))
+      res.adjLayers(0).write.parquet(
+        GraphAnn.upperAdjacencyLevelDir(v1, 2))
+      tent.write.parquet(GraphAnn.topEntriesDir(v1))
+    }
+    GraphAnn.consolidateDeletesMultiRoot(spark, root, c1, "vec_id",
+      "embedding", Seq(tentId).toDF("vec_id"), levels = 2)
+    val cur = graft.search.AliasedIndex.currentDir(spark, root)
+    val te2 = spark.read.parquet(GraphAnn.topEntriesDir(cur))
+      .select("entry_id").as[Long].collect().toSeq
+    val l2srcs = spark.read.parquet(
+        GraphAnn.upperAdjacencyLevelDir(cur, 2))
+      .select("src").as[Long].collect().toSet
+    assert(te2.nonEmpty && !te2.contains(tentId)
+      && te2.forall(l2srcs.contains),
+      s"top entry must re-elect to an edge-sourcing L2 survivor: $te2")
+  }
+
   test("layered ingest + consolidation: membership by hash rule, " +
       "audit counters fire and clear, root publish is atomic") {
     import graft.search.IndexAudit
