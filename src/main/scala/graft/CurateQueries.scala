@@ -161,6 +161,51 @@ object CurateQueries {
       FROM rk WHERE r = 1 ORDER BY doc_id ASC
     """))
 
+  /** Bloom-prefiltered decontamination scrub
+    * ([[graft.curate.Contamination.bloomScrub]]) — the 100 TB-direction
+    * twin of `contamination_report`: flag TRAIN docs sharing any 8-gram
+    * with the (bounded) eval suites. The eval side's distinct shingles
+    * compress into ONE bloom filter (Catalyst's own
+    * BloomFilterAggregate, xxhash64-keyed) shipped to the train scan as
+    * a plan literal; the corpus-sized side is probed by a codegen
+    * `might_contain` DURING its single scan, so only probable hits
+    * reach the exact verify join — train shingles never shuffle. Blooms
+    * have no false negatives, so the verified output is EXACT — which
+    * is precisely what the oracle (a plain exact overlap replay, no
+    * bloom) checks. Long 8-gram shingles are the GPT-3-style
+    * decontamination discipline: incidental phrase overlap doesn't
+    * mass-flag the corpus; verbatim leakage does. */
+  private val contaminationBloomScrub = Q(
+    "contamination_bloom_scrub",
+    (s, dir) =>
+      graft.curate.Contamination.bloomScrub(Tables.documents(s, dir),
+          "doc_id", "text",
+          workDir = Some(s"/tmp/graft_dedup_${math.abs(dir.hashCode)}"))
+        .orderBy(col("doc_id").asc),
+    Some(s"""
+      WITH sp AS (SELECT doc_id, text,
+                         CASE WHEN $duckBucket < 80 THEN 'train'
+                              WHEN $duckBucket < 90 THEN 'val'
+                              ELSE 'test' END AS split
+                  FROM documents),
+      sh AS (SELECT doc_id, split,
+                    list_distinct(list_transform(range(1, len(toks)-6),
+                      i -> array_to_string(toks[i:i+7], ' '))) AS s
+             FROM (SELECT doc_id, split,
+                          string_split_regex(text, '\\s+') AS toks
+                   FROM sp)
+             WHERE len(toks) >= 8),
+      ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
+             WHERE split != 'train'),
+      tr AS (SELECT doc_id, unnest(s) AS shingle FROM sh
+             WHERE split = 'train'),
+      c AS (SELECT tr.doc_id, count(*) AS n_shared
+            FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id)
+      SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+             'drop' AS action
+      FROM c WHERE n_shared >= 1 ORDER BY doc_id ASC
+    """))
+
   /** Source mixture weighting: at most 10 docs per source, md5-of-id
     * draw (deterministic, unbiased by insertion order). */
   private val quotaPerSource = Q(
@@ -399,7 +444,8 @@ object CurateQueries {
     """))
 
   val all: Seq[Q] = Seq(trainValTestSplit, sampleHash, packTokenBatches,
-    curatePipeline, contaminationReport, quotaPerSource, piiScrub,
+    curatePipeline, contaminationReport, contaminationBloomScrub,
+    quotaPerSource, piiScrub,
     contrastiveTriplets, domainMixSample, trainingOrderShuffle,
     qualityPercentileFilter, splitLeakageCheck)
 }

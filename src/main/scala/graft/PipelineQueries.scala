@@ -3859,6 +3859,108 @@ object PipelineQueries {
       ORDER BY doc_id ASC
     """))
 
+  /** Clustering compaction ([[graft.core.Collection.clusterBy]]) —
+    * Milvus 2.5's major-compaction-by-clustering-key, end-to-end: the
+    * events table lands as EIGHT hash-interleaved appends (every file
+    * spans the whole 30-day ts domain — the streaming-ingest layout
+    * where a time-window query must scan every file), then
+    * `clusterBy("ts", 4)` rewrites it range-clustered so each file
+    * covers ~a week and a 1-day window reads ~1 file via parquet
+    * min/max pruning (PlanSpec pins the pushed ts bounds). The oracle
+    * pins the 9→4 file transition as constants (the Spark side
+    * measures the real directory) and recomputes the window aggregate
+    * from the fixture — a re-cluster that lost or duplicated rows
+    * hash-mismatches. */
+  private val clusteringCompaction = Q(
+    "clustering_compaction",
+    (s, dir) => {
+      val out = s"/tmp/graft_clusterq_${math.abs(dir.hashCode)}/events"
+      val coll = Collection(s, out)
+      val ev = Tables.events(s, dir)
+      coll.create(ev.schema, force = true)
+      (0 until 8).foreach { b =>
+        coll.append(ev.where(pmod(col("event_id"), lit(8)) === b)
+          .coalesce(1))
+      }
+      val (before, after) = coll.clusterBy("ts", 4)
+      coll.read
+        .where(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("value")) + lit(1e-9), 2).as("sum_value"))
+        .select(lit(before).cast("int").as("files_before"),
+          lit(after).cast("int").as("files_after"),
+          col("n_rows"), col("sum_value"))
+    },
+    Some("""
+      SELECT CAST(9 AS INT) AS files_before, CAST(4 AS INT) AS files_after,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             round(sum(value) + 1e-9, 2) AS sum_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        AND ts < TIMESTAMP '2024-01-06 00:00:00'
+    """))
+
+  /** Nullable + default-value fields
+    * ([[graft.core.Collection.appendWithDefaults]]) — Milvus 2.5
+    * `nullable`/`default_value` parity: batch 1 arrives WITHOUT the
+    * `tag` column (filled by its default 'v1') and with every 5th
+    * `lang` null (replaced by that field's default 'und' — the
+    * insert-null-uses-default rule); batch 2 arrives missing BOTH
+    * `n_chars` (nullable, no default → typed null survives) and `tag`.
+    * The readback aggregates per (lang, tag) with a null-count over
+    * `n_chars`, so default fill, null preservation, and column-order
+    * conformance are all hash-checked; the missing-non-nullable loud
+    * failure is spec-pinned in OperatorSpec. Conformance is one
+    * projection on the batch — free at any scale. */
+  private val collectionNullableDefaults = Q(
+    "collection_nullable_defaults",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = s"/tmp/graft_nulldef_${math.abs(dir.hashCode)}/docs"
+      mutateOnce(s, out) {
+        val c0 = Collection(s, out)
+        val docs = Tables.documents(s, dir)
+        c0.create(StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("lang", StringType, nullable = true),
+          StructField("n_chars", LongType, nullable = true),
+          StructField("tag", StringType, nullable = true))), force = true)
+        val defaults = Map[String, Any]("lang" -> "und", "tag" -> "v1")
+        c0.appendWithDefaults(
+          docs.select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(5)) === 0, lit(null))
+              .otherwise(col("lang")).as("lang"),
+            col("n_chars")),
+          defaults)
+        c0.appendWithDefaults(
+          docs.where(col("doc_id") < 50)
+            .select((col("doc_id") + 10000).as("doc_id"), col("lang")),
+          defaults)
+      }
+      Collection(s, out).read
+        .groupBy(col("lang"), col("tag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L))
+            .as("n_null_chars"))
+        .orderBy(col("lang").asc, col("tag").asc)
+    },
+    Some("""
+      WITH b1 AS (SELECT doc_id,
+                         CASE WHEN doc_id % 5 = 0 THEN 'und' ELSE lang END
+                           AS lang,
+                         n_chars, 'v1' AS tag
+                  FROM documents),
+      b2 AS (SELECT doc_id + 10000 AS doc_id, lang,
+                    CAST(NULL AS BIGINT) AS n_chars, 'v1' AS tag
+             FROM documents WHERE doc_id < 50),
+      u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+      SELECT lang, tag, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_chars
+      FROM u GROUP BY lang, tag ORDER BY lang ASC, tag ASC
+    """))
+
   /** Index integrity report — the operational consistency checker every
     * serving index needs before a blue-green flip (Milvus exposes the
     * equivalent as segment/index health; a warehouse runs it as a
@@ -6212,7 +6314,7 @@ object PipelineQueries {
     graphBeamAutotuneMulti, graphAnnPqWalk, graphAnnAsymWalk,
     hybridGraphRrf,
     graphAnnRange, streamingGraphIngest, collectionCompact,
-    collectionIterate,
+    collectionIterate, collectionNullableDefaults, clusteringCompaction,
     collectionTimeTravel, collectionVersionDiff,
     collectionAliasSwap, collectionAliasList,
     collectionPointGet, collectionPartitionKey, collectionClone,

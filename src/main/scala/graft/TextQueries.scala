@@ -980,6 +980,63 @@ object TextQueries {
       ORDER BY bm25 DESC, doc_id ASC LIMIT 10
     """))
 
+  /** Analyzed BM25 — the Milvus 2.5 `analyzer_params` model
+    * ([[graft.text.Analyzer]]: standard tokenizer → lowercase →
+    * length band → English stopwords) applied IDENTICALLY to corpus
+    * and query ("The SCAN and FILTER merge!" analyzes to scan/filter/
+    * merge — case folded, punctuation split, stopwords dropped), then
+    * scored by [[graft.search.Bm25.scoreTokens]] whose dl/avgdl/tf/df
+    * statistics all derive from the analyzed tokens. The chain is
+    * composed codegen builtins (split/transform/filter) running inside
+    * the corpus scan — no UDF, no second pass; the oracle replays the
+    * full chain and the BM25 arithmetic. An index analyzed one way and
+    * a query another is the classic silent-miss bug — one Config rules
+    * both sides here, spec-pinned Column ≡ String. */
+  private val bm25AnalyzerSearch = Q(
+    "bm25_analyzer_search",
+    (s, dir) => {
+      import graft.text.Analyzer
+      import graft.search.Bm25
+      val cfg = Analyzer.Config()
+      val terms = Analyzer.analyze("The SCAN and FILTER merge!", cfg)
+      Bm25.scoreTokens(Tables.documents(s, dir), "doc_id",
+          Analyzer.tokens(col("text"), cfg), terms)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(10)
+    },
+    Some(s"""
+      WITH tk AS (SELECT doc_id,
+                    list_filter(list_transform(
+                      list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                        t -> len(t) > 0),
+                      t -> lower(t)),
+                      t -> len(t) >= 2 AND len(t) <= 40
+                           AND t NOT IN (${graft.text.Analyzer.EnglishStop
+                             .map(w => s"'$w'").mkString(", ")})) AS tk
+                  FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+                FROM tk),
+      tt AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tt
+             WHERE term IN ('scan', 'filter', 'merge')
+             GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+      bm AS (SELECT tf.doc_id,
+                    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2)
+                      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))), 4)
+                      AS bm25
+             FROM tf JOIN dfq USING (term)
+                     JOIN dl ON dl.doc_id = tf.doc_id
+                     CROSS JOIN stats
+             GROUP BY tf.doc_id)
+      SELECT doc_id, bm25 FROM bm
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """))
+
   /** Prefix term match ([[graft.search.TermIndex.prefixSearch]]) —
     * `term LIKE 'sc%'` served from the SORTED-term postings layout as a
     * pushed StringStartsWith range scan (row-group stats pruning — the
@@ -1706,6 +1763,7 @@ object TextQueries {
     cdcBoilerplate, bpeLearnMerges, bpeLearnMergesBatched, bpeEncode,
     sketchHeavyTokens, sketchTokenQuantiles, textNormalizeNfc,
     phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25,
+    bm25AnalyzerSearch,
     streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti,
     termPrefixSearch, prefixFilteredBm25, termFuzzySearch,
     termFuzzySearchD2, fuzzyFilteredBm25, termSuffixSearch,

@@ -1622,6 +1622,111 @@ object VectorQueries {
       ORDER BY jaccard_dist ASC, vec_id ASC LIMIT 10
     """))
 
+  /** Binary SUBSTRUCTURE search — the third binary metric of Milvus's
+    * BINARY_VECTOR family (SUBSTRUCTURE next to HAMMING/JACCARD; the
+    * chemical-fingerprint containment test): distance
+    * 1 − |a∧b|/|b| over the SAME packed sign-bit artifact the hamming
+    * and jaccard entries serve, 0 exactly when every query bit is set
+    * in the candidate. `is_match` carries the containment verdict
+    * Milvus's metric exists to answer. Same 100 TB shape: 16-byte
+    * packed rows, two codegen popcounts per word,
+    * TakeOrderedAndProject — no shuffle, no index build. */
+  private val binarySubstructureSearch = Q(
+    "binary_substructure_search",
+    (s, dir) => {
+      import graft.search.BinaryVec
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0)
+        .select(BinaryVec.signWord(col("embedding"), 0).as("qw0"),
+          BinaryVec.signWord(col("embedding"), 1).as("qw1"))
+      val packed = graft.core.Artifacts.buildOnce(s,
+        s"/tmp/graft_binsig_${math.abs(dir.hashCode)}") {
+        e.select(col("vec_id"),
+          BinaryVec.signWord(col("embedding"), 0).as("w0"),
+          BinaryVec.signWord(col("embedding"), 1).as("w1"))
+      }
+      packed.crossJoin(broadcast(q))
+        .withColumn("sub_dist", BinaryVec.substructureDist(
+          Seq(col("w0") -> col("qw0"), col("w1") -> col("qw1"))))
+        .select(col("vec_id"), col("sub_dist"),
+          (col("sub_dist") === 0.0).as("is_match"))
+        .orderBy(col("sub_dist").asc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH b AS (SELECT vec_id,
+                        list_transform(embedding,
+                          x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bits
+                 FROM embeddings),
+      q AS (SELECT bits AS qb FROM b WHERE vec_id = 0),
+      iu AS (SELECT b.vec_id,
+                    list_sum(list_transform(range(1, len(b.bits)+1),
+                      i -> CASE WHEN b.bits[i] = 1 AND q.qb[i] = 1
+                           THEN 1 ELSE 0 END)) AS inter,
+                    list_sum(q.qb) AS nb
+             FROM b, q)
+      SELECT vec_id,
+             round(CASE WHEN nb = 0 THEN 0.0
+                   ELSE 1.0 - CAST(inter AS DOUBLE) / CAST(nb AS DOUBLE)
+                   END, 4) AS sub_dist,
+             (round(CASE WHEN nb = 0 THEN 0.0
+                    ELSE 1.0 - CAST(inter AS DOUBLE) / CAST(nb AS DOUBLE)
+                    END, 4) = 0.0) AS is_match
+      FROM iu
+      ORDER BY sub_dist ASC, vec_id ASC LIMIT 10
+    """))
+
+  /** Binary SUPERSTRUCTURE search — the mirror containment metric
+    * (Milvus SUPERSTRUCTURE): distance 1 − |a∧b|/|a| with `a` the
+    * stored candidate, 0 exactly when the candidate's bits are a
+    * subset of the query's. Completes the four-metric BINARY_VECTOR
+    * matrix (HAMMING/JACCARD/SUBSTRUCTURE/SUPERSTRUCTURE) over one
+    * shared packed artifact. */
+  private val binarySuperstructureSearch = Q(
+    "binary_superstructure_search",
+    (s, dir) => {
+      import graft.search.BinaryVec
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0)
+        .select(BinaryVec.signWord(col("embedding"), 0).as("qw0"),
+          BinaryVec.signWord(col("embedding"), 1).as("qw1"))
+      val packed = graft.core.Artifacts.buildOnce(s,
+        s"/tmp/graft_binsig_${math.abs(dir.hashCode)}") {
+        e.select(col("vec_id"),
+          BinaryVec.signWord(col("embedding"), 0).as("w0"),
+          BinaryVec.signWord(col("embedding"), 1).as("w1"))
+      }
+      packed.crossJoin(broadcast(q))
+        .withColumn("super_dist", BinaryVec.superstructureDist(
+          Seq(col("w0") -> col("qw0"), col("w1") -> col("qw1"))))
+        .select(col("vec_id"), col("super_dist"),
+          (col("super_dist") === 0.0).as("is_match"))
+        .orderBy(col("super_dist").asc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH b AS (SELECT vec_id,
+                        list_transform(embedding,
+                          x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bits
+                 FROM embeddings),
+      q AS (SELECT bits AS qb FROM b WHERE vec_id = 0),
+      iu AS (SELECT b.vec_id,
+                    list_sum(list_transform(range(1, len(b.bits)+1),
+                      i -> CASE WHEN b.bits[i] = 1 AND q.qb[i] = 1
+                           THEN 1 ELSE 0 END)) AS inter,
+                    list_sum(b.bits) AS na
+             FROM b, q)
+      SELECT vec_id,
+             round(CASE WHEN na = 0 THEN 0.0
+                   ELSE 1.0 - CAST(inter AS DOUBLE) / CAST(na AS DOUBLE)
+                   END, 4) AS super_dist,
+             (round(CASE WHEN na = 0 THEN 0.0
+                    ELSE 1.0 - CAST(inter AS DOUBLE) / CAST(na AS DOUBLE)
+                    END, 4) = 0.0) AS is_match
+      FROM iu
+      ORDER BY super_dist ASC, vec_id ASC LIMIT 10
+    """))
+
   /** Build-or-stage the deterministic Hadamard-sign rotation artifact
     * shared by the asymmetric-binary tier (staged under `binrot` for the
     * oracle; the rotation is COMPUTED, not learned — no corpus pass). */
@@ -2482,6 +2587,123 @@ object VectorQueries {
       SELECT e.vec_id, %L2% AS distance
       FROM embeddings e, q
       ORDER BY distance ASC, e.vec_id ASC LIMIT 5 OFFSET 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
+  /** Freshness-decayed search — the decay-ranker model (Milvus 2.6
+    * gauss/exp/linear decay rankers; Elasticsearch function_score
+    * before it): final score = similarity × gauss(age), where the
+    * gaussian half-life (72 h here) is measured from the corpus's most
+    * recent activity. Each vector's freshness comes from the events
+    * stream (its latest event's timestamp — the join key is the
+    * deterministic `event_id mod |corpus|` mapping, exact-µs
+    * arithmetic both engines); similarity is the plain 1/(1+L2). The
+    * decay factor is rounded BEFORE the product so cross-engine libm
+    * (exp) differences cannot flip a rank. Scale shape: freshness is
+    * one groupBy over events (shuffled by key once), origin is a 1-row
+    * broadcast, and the fused ranking stays TakeOrderedAndProject —
+    * decay adds zero extra corpus passes. */
+  private val timeDecaySearch = Q(
+    "time_decay_search",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val ev = Tables.events(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val nEmb = e.count()
+      val fresh = ev
+        .groupBy(pmod(col("event_id"), lit(nEmb)).as("vec_id"))
+        .agg(max(unix_micros(col("ts"))).as("doc_us"))
+      val origin = fresh.agg(max(col("doc_us")).as("origin_us"))
+      e.crossJoin(broadcast(q))
+        .withColumn("distance", Knn.distCol(col("embedding"), col("qe")))
+        .join(fresh, "vec_id")
+        .crossJoin(broadcast(origin))
+        .withColumn("age_h",
+          (col("origin_us") - col("doc_us")).cast("double") / lit(3600e6))
+        .withColumn("decay",
+          round(exp(lit(math.log(0.5)) * pow(col("age_h") / lit(72.0), 2))
+            + lit(1e-9), 4))
+        .withColumn("score",
+          round((lit(1.0) / (lit(1.0) + col("distance"))) * col("decay")
+            + lit(1e-9), 4))
+        .select("vec_id", "distance", "decay", "score")
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      n AS (SELECT count(*) AS n_emb FROM embeddings),
+      fresh AS (SELECT event_id % n.n_emb AS vec_id,
+                       max(epoch_us(ts)) AS doc_us
+                FROM events, n GROUP BY 1),
+      origin AS (SELECT max(doc_us) AS origin_us FROM fresh),
+      d AS (SELECT e.vec_id, %L2% AS distance FROM embeddings e, q),
+      sc AS (SELECT d.vec_id, d.distance,
+                    round(exp(ln(0.5) *
+                      ((CAST(origin_us - doc_us AS DOUBLE) / 3600000000.0)
+                        / 72.0)^2) + 1e-9, 4) AS decay
+             FROM d JOIN fresh USING (vec_id) CROSS JOIN origin)
+      SELECT vec_id, distance, decay,
+             round((1.0 / (1.0 + distance)) * decay + 1e-9, 4) AS score
+      FROM sc ORDER BY score DESC, vec_id ASC LIMIT 10
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
+  /** Distance-keyset search iterator — Milvus `search_iterator` parity
+    * (the ANN sibling of `collection_iterate`'s query_iterator; OFFSET
+    * pagination is `search_pagination`): the cursor is the previous
+    * page's last (distance, vec_id), and each page ranks only rows
+    * STRICTLY PAST the cursor — `d > lastD OR (d = lastD AND id >
+    * lastId)`, well-defined because the distance is rounded (4
+    * decimals) and tie-broken on the unique id. Why this beats OFFSET
+    * at depth: page p of OFFSET materializes offset+limit = p·k rows
+    * in every partition's heap, while the keyset page's heap is always
+    * k; iterator state is ONE (distance, id) pair however deep the
+    * chain, and the chain is stable under concurrent appends ranked
+    * past the cursor. The entry replays a 4-page chain and tags rows
+    * with their page; the oracle re-derives the same assignment from a
+    * row_number window (rounded distance + unique id ⇒ keyset pages ≡
+    * rank buckets), hash-checking the cursor arithmetic row by row.
+    * Composes with any tier that yields (vec_id, distance) — on the
+    * IVF layout the pre-cursor rows are additionally partition-pruned. */
+  private val searchIterate = Q(
+    "search_iterate",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      def scored = e.crossJoin(broadcast(q))
+        .withColumn("distance", Knn.distCol(col("embedding"), col("qe")))
+        .select("vec_id", "distance")
+      var cursor: Option[(Double, Long)] = None
+      val pages = (0 until 4).map { p =>
+        val past = cursor match {
+          case Some((d, id)) =>
+            scored.where(col("distance") > d ||
+              (col("distance") === d && col("vec_id") > id))
+          case None => scored
+        }
+        val pg = past.orderBy(col("distance").asc, col("vec_id").asc).limit(5)
+        // O(1) iterator state: the page's max (distance, id) — a 1-row
+        // aggregate over the k-row page, never a corpus-sized collect
+        val mx = pg.agg(max(struct(col("distance"), col("vec_id")))).first()
+        if (!mx.isNullAt(0)) {
+          val r = mx.getStruct(0)
+          cursor = Some((r.getDouble(0), r.getLong(1)))
+        }
+        pg.select(lit(p).cast("int").as("page"), col("vec_id"),
+          col("distance"))
+      }
+      pages.reduce(_ unionByName _)
+        .orderBy(col("page").asc, col("distance").asc, col("vec_id").asc)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      d AS (SELECT e.vec_id, %L2% AS distance FROM embeddings e, q),
+      r AS (SELECT vec_id, distance,
+                   row_number() OVER (ORDER BY distance ASC, vec_id ASC)
+                     AS rn
+            FROM d)
+      SELECT CAST((rn - 1) // 5 AS INT) AS page, vec_id, distance
+      FROM r WHERE rn <= 20
+      ORDER BY page ASC, distance ASC, vec_id ASC
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
   /** Embedding-norm outlier detection — the batch health check that
@@ -3827,11 +4049,13 @@ object VectorQueries {
     filteredKnnSearch, scalarIndexedKnn, partitionScopedKnn,
     knnRangeSearch,
     groupedKnnPerLabel,
-    binaryHammingSearch, binaryJaccardSearch, asymmetricBinarySearch,
+    binaryHammingSearch, binaryJaccardSearch, binarySubstructureSearch,
+    binarySuperstructureSearch, asymmetricBinarySearch,
     asymmetricBinaryIncremental, streamingAsymIngest, ivfAsymBinarySearch,
     binaryRecallReport, knnIpTopK, mmrRerank,
     corpusDiversity,
     sparseVectorSearch, hybridSearchWeighted, searchPagination,
+    searchIterate, timeDecaySearch,
     embeddingOutliers, indexRecallReport, groupByFieldSearch,
     groupSizeSearch)
 }

@@ -24,17 +24,87 @@ final class Collection(spark: SparkSession, val dir: String,
 
   def exists: Boolean = fs.exists(new Path(dir))
 
-  /** S5: idempotent create; `force` drops first (src/app.py:85-91). */
+  /** S5: idempotent create; `force` drops first (src/app.py:85-91).
+    * The DECLARED schema (incl. nullability, which parquet readers
+    * erase — Spark forces nullable=true on file reads) is persisted as
+    * an `_`-prefixed sidecar every Spark scan ignores; it is what
+    * [[appendWithDefaults]] enforces. */
   def create(schema: StructType, force: Boolean = false): Unit = {
     if (force && exists) drop()
-    if (!exists)
+    if (!exists) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .write.mode(SaveMode.Overwrite).parquet(dir)
+      val out = fs.create(declaredSchemaPath, true)
+      out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
   }
+
+  private def declaredSchemaPath = new Path(dir, "_graft_schema.json")
+
+  /** The schema as DECLARED at [[create]] (nullability preserved), when
+    * the sidecar exists; collections built by raw appends fall back to
+    * the stored footer schema (all-nullable, parquet's read contract). */
+  def declaredSchema: Option[StructType] =
+    if (!fs.exists(declaredSchemaPath)) None
+    else {
+      val in = fs.open(declaredSchemaPath)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toByteArray
+      } finally in.close()
+      Some(org.apache.spark.sql.types.DataType
+        .fromJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[StructType])
+    }
 
   /** S6: batch insert (append). */
   def append(df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(dir)
+
+  /** Schema-conforming insert with nullable/default semantics — Milvus
+    * 2.5 `nullable` + `default_value` parity: the incoming batch is
+    * conformed to the COLLECTION's schema before landing. Per stored
+    * field, in order:
+    *  - column absent from the batch → filled with its declared default,
+    *    or typed null when the field is nullable with no default
+    *    (a missing non-nullable, non-defaulted field is a loud error —
+    *    never a silently corrupted row);
+    *  - column present but null in a DEFAULTED field → the default
+    *    (Milvus's insert-null-uses-default rule);
+    *  - column present in a nullable field → kept as-is (null stays
+    *    null when no default is declared);
+    *  - batch columns not in the schema are rejected.
+    * Everything is one projection on the batch (coalesce + typed
+    * literals) — schema conformance costs nothing at scale. */
+  def appendWithDefaults(df: DataFrame,
+                         defaults: Map[String, Any] = Map.empty): Unit = {
+    val target = declaredSchema.getOrElse(describe)
+    val known = target.fieldNames.toSet
+    val extra = df.columns.filterNot(known)
+    require(extra.isEmpty,
+      s"batch columns not in collection schema: ${extra.mkString(", ")}")
+    val inCols = df.columns.toSet
+    val conformed = target.fields.map { f =>
+      val d = defaults.get(f.name)
+        .map(v => lit(v).cast(f.dataType))
+      if (!inCols.contains(f.name)) {
+        require(d.isDefined || f.nullable,
+          s"batch is missing non-nullable column '${f.name}' " +
+            "and no default is declared")
+        d.getOrElse(lit(null).cast(f.dataType)).as(f.name)
+      } else d match {
+        case Some(dflt) =>
+          coalesce(col(f.name).cast(f.dataType), dflt)
+            .as(f.name)
+        case None => col(f.name).cast(f.dataType).as(f.name)
+      }
+    }
+    append(df.select(conformed.toIndexedSeq: _*))
+  }
 
   /** Partition-keyed insert — Milvus `partition_key_field` parity: rows
     * route to hive-style `partCol=value/` subdirectories, so a search
@@ -95,9 +165,10 @@ final class Collection(spark: SparkSession, val dir: String,
       override def hasNext: Boolean = !done
       override def next(): DataFrame = {
         val pg = page(keyCol, last, pageSize)
-        val mx = pg.agg(org.apache.spark.sql.functions.max(col(keyCol))
-          .as("m"), org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("n")).first()
+        // fully qualified: Iterator's own max/count shadow the sql functions
+        val mx = pg.agg(
+          org.apache.spark.sql.functions.max(col(keyCol)).as("m"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n")).first()
         if (mx.isNullAt(0) || mx.getLong(1) < pageSize) done = true
         if (!mx.isNullAt(0)) last = Some(mx.getLong(0))
         pg
@@ -130,6 +201,27 @@ final class Collection(spark: SparkSession, val dir: String,
       / targetBytesPerFile).toInt)
     swapRewrite(read.coalesce(nFiles))
     (before.length, parquetFiles(new Path(dir)).length)
+  }
+
+  /** Clustering compaction — Milvus 2.5's clustering-compaction verb
+    * (major compaction that re-distributes sealed data by a clustering
+    * key so query-time segment pruning works): rewrite the collection
+    * `repartitionByRange(keyCol).sortWithinPartitions(keyCol)`, the
+    * crash-safe [[compact]] swap with a LAYOUT decision attached.
+    * After it, every file covers a narrow key range, so a key
+    * predicate prunes via parquet min/max footer + row-group stats —
+    * at 100 TB this turns "scan the corpus" into "scan the window's
+    * files", which is exactly what Milvus's clustering compaction buys
+    * at the segment layer. Streaming appends interleave key ranges
+    * across files (each batch spans the whole key domain); re-cluster
+    * on a schedule, like any major compaction. Returns (filesBefore,
+    * filesAfter). */
+  def clusterBy(keyCol: String, numFiles: Int): (Int, Int) = {
+    require(numFiles > 0, "numFiles must be positive")
+    val before = parquetFiles(new Path(dir)).length
+    swapRewrite(read.repartitionByRange(numFiles, col(keyCol))
+      .sortWithinPartitions(col(keyCol)))
+    (before, parquetFiles(new Path(dir)).length)
   }
 
   /** MERGE by key (Delta/Iceberg-style upsert): rows of `updates` replace
@@ -259,6 +351,11 @@ final class Collection(spark: SparkSession, val dir: String,
     f.delete(tmp, true)
     f.delete(old, true)
     newData.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // the declared-schema sidecar survives every rewrite swap
+    if (f.exists(declaredSchemaPath))
+      org.apache.hadoop.fs.FileUtil.copy(f, declaredSchemaPath,
+        f, new Path(tmp, declaredSchemaPath.getName), false,
+        spark.sparkContext.hadoopConfiguration)
     if (!f.rename(new Path(dir), old))
       throw new java.io.IOException(s"swap: rename $dir -> $old failed")
     if (!f.rename(tmp, new Path(dir)))

@@ -75,4 +75,65 @@ object Contamination {
         round(col("n_shared").cast("double") / col("eval_sz") + lit(1e-9), 4)
           .as("overlap"))
   }
+
+  /** Bloom-prefiltered decontamination SCRUB — the production twin of
+    * [[report]] for the 100 TB direction of the problem: [[report]]
+    * scores each EVAL doc against the train corpus; the scrub flags
+    * every TRAIN doc carrying at least `minShared` n-grams that appear
+    * anywhere in the eval suites (the GPT-3-style long-n-gram
+    * decontamination pass — long shingles so incidental phrase overlap
+    * does not mass-flag the corpus).
+    *
+    * Scale shape: the eval side is BOUNDED (benchmark suites, not the
+    * corpus), so its distinct shingles compress into one bloom filter
+    * built by a single aggregate job ([[graft.functions.BloomFunctions]]
+    * over Catalyst's own runtime-filter expressions) and shipped to the
+    * train scan as a plan literal. The 100 TB train side is then probed
+    * by a codegen `might_contain` predicate DURING its one scan — no
+    * shuffle of the train corpus's shingles; only probable hits (true
+    * overlaps + the filter's ~1% false positives) reach the exact
+    * verify join, whose result is exact because blooms have no false
+    * negatives. Iterating ingest batches reuses the same filter bytes —
+    * build once, probe every batch.
+    *
+    * Returns (doc_id, n_shared, action="drop") for flagged TRAIN docs;
+    * `n_shared` counts distinct eval-overlapping shingles, exactly. */
+  def bloomScrub(df: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 8, minShared: Int = 1,
+                 workDir: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = Sampling.withSplit(
+      df.select(col(idCol).as("id"), col(textCol).as("text")), "id")
+      .repartition(col("id"))
+    val shPlan = base.select(col("id"), col("split"),
+        Dedup.shingles(col("text"), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sh = workDir.map(d =>
+      graft.core.Artifacts.buildOnce(spark,
+        s"$d/bloomscrub_sh_n$shingleN")(shPlan))
+      .getOrElse(shPlan)
+    val evalShingles = sh.where(col("split") =!= "train")
+      .select(explode(col("sh")).as("shingle")).distinct()
+    // size the filter from the build side's own count (one bounded job
+    // over the SMALL side), then build it in a second aggregate pass
+    val nEval = math.max(1L, evalShingles.count())
+    val bloomBytes = evalShingles
+      .select(graft.functions.BloomFunctions
+        .bloomAgg(col("shingle"), nEval).as("bf"))
+      .as[Array[Byte]].head()
+    val trainPost = sh.where(col("split") === "train")
+      .select(col("id").as("train_id"), explode(col("sh")).as("shingle"))
+    val candidates = trainPost.where(
+      graft.functions.BloomFunctions.mightContain(bloomBytes, col("shingle")))
+    // exact verify: survivors (a ~fpp-sized slice of the corpus) join
+    // the true eval shingle set; per-doc shingles are already distinct
+    // (TokenShingles), so count(*) counts distinct shared shingles
+    candidates.join(evalShingles, "shingle")
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select(col("train_id").as("doc_id"), col("n_shared"),
+        lit("drop").as("action"))
+  }
 }

@@ -116,6 +116,42 @@ object BinaryVec {
         / (lit(math.sqrt(dim.toDouble)) * cx.cast("double"))), 4)
   }
 
+  /** SUBSTRUCTURE distance between packed signatures — the third binary
+    * metric Milvus serves (SUBSTRUCTURE, the chemical-fingerprint "is
+    * the query molecule contained in the candidate" test):
+    * 1 − |a ∧ b| / |b| with `b` the QUERY — exactly 0 iff every query
+    * bit is set in the stored candidate (query ⊆ candidate). Same
+    * packed-word scan shape as [[jaccardDist]] (two popcounts per
+    * word); an all-zero query matches everything (distance 0), the 0/0
+    * convention Milvus's formula implies. Rounded to 4 decimals for
+    * cross-engine rank stability. */
+  def substructureDist(pairs: Seq[(Column, Column)]): Column = {
+    val inter = pairs.map { case (a, b) =>
+      call_function("bit_count", a.bitwiseAND(b)).cast("long")
+    }.reduce(_ + _)
+    val nb = pairs.map { case (_, b) =>
+      call_function("bit_count", b).cast("long")
+    }.reduce(_ + _)
+    round(when(nb === 0, 0.0)
+      .otherwise(lit(1.0) - inter.cast("double") / nb.cast("double")), 4)
+  }
+
+  /** SUPERSTRUCTURE distance — the mirror metric (Milvus
+    * SUPERSTRUCTURE): 1 − |a ∧ b| / |a| with `a` the STORED candidate —
+    * exactly 0 iff every candidate bit is set in the query
+    * (candidate ⊆ query). An all-zero candidate is contained in any
+    * query (distance 0). */
+  def superstructureDist(pairs: Seq[(Column, Column)]): Column = {
+    val inter = pairs.map { case (a, b) =>
+      call_function("bit_count", a.bitwiseAND(b)).cast("long")
+    }.reduce(_ + _)
+    val na = pairs.map { case (a, _) =>
+      call_function("bit_count", a).cast("long")
+    }.reduce(_ + _)
+    round(when(na === 0, 0.0)
+      .otherwise(lit(1.0) - inter.cast("double") / na.cast("double")), 4)
+  }
+
   /** Jaccard (Tanimoto) DISTANCE between packed signatures — the other
     * binary metric Milvus serves (JACCARD): 1 − |a ∧ b| / |a ∨ b|,
     * popcounts over the packed words (two bit_counts per word vs

@@ -2,7 +2,7 @@ package graft.search
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Okapi BM25 keyword scoring + reciprocal-rank fusion — the "hybrid
   * search" surface modern vector stores pair with ANN retrieval (dense
@@ -22,10 +22,19 @@ object Bm25 {
   /** Per-doc BM25 over whitespace tokens: (id, bm25), docs with no query
     * term absent. IDF is the standard smoothed ln((N-df+0.5)/(df+0.5)+1). */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
     // empty tokens (leading-whitespace split artifacts) are excluded
     // from BOTH tf and dl, so dl is a true term count
-    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    scoreTokens(docs, idCol,
+      filter(split(col(textCol), "\\s+"), t => length(t) > 0), terms, k1, b)
+
+  /** [[score]] over an arbitrary token-array Column — the seam a
+    * configurable analysis chain ([[graft.text.Analyzer]]) plugs into:
+    * dl/avgdl/tf/df all derive from the SAME analyzed tokens, so the
+    * scoring statistics see exactly what the tokenizer kept. */
+  def scoreTokens(docs: DataFrame, idCol: String, toks: Column,
+                  terms: Seq[String], k1: Double = 1.2,
+                  b: Double = 0.75): DataFrame = {
     val tf = docs.select(col(idCol).as("id"), explode(toks).as("term"))
       .where(col("term").isin(terms: _*))
       .groupBy(col("id"), col("term"))

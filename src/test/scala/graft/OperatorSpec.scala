@@ -1372,6 +1372,76 @@ class OperatorSpec extends SparkSpec {
     assert(overlap == 1.0)
   }
 
+  test("bloom build/probe hashing agrees: zero false negatives, scrub exact") {
+    import graft.functions.BloomFunctions
+    // build over 200 members, probe members + 200 non-members: every
+    // member MUST pass (bloom no-false-negative contract holds only if
+    // BloomFilterAggregate and BloomFilterMightContain key identically)
+    val members = (0 until 200).map(i => s"member_$i")
+    val bytes = members.toDF("s")
+      .select(BloomFunctions.bloomAgg(col("s"), 200L).as("bf"))
+      .as[Array[Byte]].head()
+    val probes = (members.map((_, true)) ++
+      (0 until 200).map(i => (s"other_$i", false))).toDF("s", "is_member")
+    val got = probes
+      .withColumn("hit", BloomFunctions.mightContain(bytes, col("s")))
+      .as[(String, Boolean, Boolean)].collect()
+    assert(got.collect { case (_, true, hit) => hit }.forall(identity),
+      "a member failed the probe — build/probe hashing diverged")
+    // false positives allowed but must be rare at the default sizing
+    val fp = got.count { case (_, member, hit) => !member && hit }
+    assert(fp < 20, s"$fp/200 false positives — filter badly undersized")
+  }
+
+  test("bloom scrub: flags exactly the train docs sharing an eval 8-gram") {
+    import graft.curate.{Contamination, Sampling}
+    val buckets = (0L until 60L).toDF("id")
+      .select(col("id"), Sampling.hashBucket(col("id")).as("b"))
+      .as[(Long, Long)].collect()
+    val trainIds = buckets.collect { case (i, b) if b < 80 => i }
+    val evalId = buckets.collectFirst { case (i, b) if b >= 90 => i }.get
+    val leaked = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val df = Seq(
+      (trainIds(0), leaked),                          // verbatim leak
+      (trainIds(1), "z1 z2 z3 z4 z5 z6 z7 z8"),       // clean train doc
+      (evalId, leaked)).toDF("doc_id", "text")
+    val got = Contamination.bloomScrub(df, "doc_id", "text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((trainIds(0), 1L, "drop")))
+  }
+
+  test("appendWithDefaults: fill rules, and missing non-nullable is loud") {
+    import graft.core.Collection
+    import org.apache.spark.sql.types._
+    val dir = "/tmp/graft_test_nulldef/coll"
+    val coll = Collection(spark, dir)
+    coll.create(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("lang", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true))), force = true)
+    val defaults = Map[String, Any]("lang" -> "und")
+    // null in a defaulted field → default; nullable w/o default stays null;
+    // column order of the batch must not matter
+    coll.appendWithDefaults(
+      Seq((Some(10.0), 1L, Some("en")), (None, 2L, None))
+        .toDF("score", "id", "lang"), defaults)
+    val got = coll.read.orderBy(col("id"))
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, "en", Some(10.0)), (2L, "und", None)))
+    // missing non-nullable, non-defaulted column → loud error
+    val e = intercept[IllegalArgumentException] {
+      coll.appendWithDefaults(Seq(("fr")).toDF("lang"), defaults)
+    }
+    assert(e.getMessage.contains("non-nullable"))
+    // unknown batch column → loud error
+    val e2 = intercept[IllegalArgumentException] {
+      coll.appendWithDefaults(
+        Seq((3L, "zz")).toDF("id", "bogus"), defaults)
+    }
+    assert(e2.getMessage.contains("not in collection schema"))
+    coll.drop()
+  }
+
   test("collection upsert: replaces matching keys, inserts new ones") {
     import graft.core.Collection
     import spark.implicits._

@@ -48,6 +48,33 @@ class PlanSpec extends SparkSpec {
       "demo pins the non-broadcastable creation-side shape")
   }
 
+  test("bloom scrub: might_contain probes the train scan, no cartesian") {
+    val p = plan("contamination_bloom_scrub")
+    assert(p.contains("might_contain"),
+      s"bloom probe not in the train-side filter:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("search iterator: every page is TakeOrderedAndProject, no global sort") {
+    val p = plan("search_iterate")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"page top-k degraded to a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("time decay search: fused ranking stays a bounded top-k") {
+    val p = plan("time_decay_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"decay rerank degraded to a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("clustering compaction: window predicate reaches the clustered scan") {
+    val p = plan("clustering_compaction")
+    assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"),
+      s"ts window not pushed to the clustered collection scan:\n$p")
+  }
+
   test("sorted layout: ts range predicate reaches the parquet scan") {
     val p = plan("sorted_scan_prune")
     assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"),

@@ -70,6 +70,33 @@ class SearchOpsSpec extends SparkSpec {
     assert(h == Map(0L -> 0L, 1L -> 64L, 2L -> 32L, 3L -> 1L))
   }
 
+  test("binary substructure/superstructure: containment iff distance 0") {
+    // candidate bit-sets vs a query with bits 0..31 set (first word):
+    //  - subset of the query  → superstructure 0, substructure > 0
+    //  - superset of the query → substructure 0, superstructure > 0
+    //  - equal                → both 0;  disjoint → both 1
+    val qv = Array.tabulate(64)(i => if (i < 32) 1f else -1f) // bits 0..31
+    val subset = Array.tabulate(64)(i => if (i < 16) 1f else -1f)
+    val superset = Array.tabulate(64)(i => if (i < 48) 1f else -1f)
+    val disjoint = Array.tabulate(64)(i => if (i >= 32) 1f else -1f)
+    val df = Seq((0L, qv), (1L, subset), (2L, superset), (3L, disjoint))
+      .toDF("id", "vec")
+      .select(col("id"),
+        BinaryVec.signWord(col("vec"), 0).as("w0"),
+        BinaryVec.signWord(col("vec"), 1).as("w1"))
+    val q = df.where(col("id") === 0)
+      .select(col("w0").as("qw0"), col("w1").as("qw1"))
+    val pairs = Seq(col("w0") -> col("qw0"), col("w1") -> col("qw1"))
+    val got = df.crossJoin(q)
+      .select(col("id"), BinaryVec.substructureDist(pairs).as("sub"),
+        BinaryVec.superstructureDist(pairs).as("sup"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(0L) == (0.0, 0.0))              // equal: both contain
+    assert(got(1L) == (0.5, 0.0))              // 16 of 32 query bits; cand ⊆ q
+    assert(got(2L) == (0.0, 0.3333))           // q ⊆ cand; 32 of 48 cand bits
+    assert(got(3L) == (1.0, 1.0))              // disjoint
+  }
+
   test("asymmetric 1-bit estimator: packed-word path equals float math") {
     // est from packed sign words + cx must equal the same formula
     // computed from the float vectors directly — the packing loses

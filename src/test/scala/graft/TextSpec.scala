@@ -431,4 +431,29 @@ class TextSpec extends SparkSpec {
     assert(r(3L)._2 == "plain ascii")
     assert(r(1L)._2 == r(1L)._3)               // idempotent
   }
+
+  test("analyzer: Column chain and String chain agree token-for-token") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.Analyzer
+    val texts = Seq(
+      "The SCAN and FILTER merge!",
+      "a an and are",                       // all stopwords → empty
+      "Data-Processing: quality; scan",     // punctuation boundaries
+      "x yy Zz q",                          // 1-char tokens dropped
+      "",                                   // empty text
+      "  MiXeD   CaSe   ToKeNs  ")
+    val cfg = Analyzer.Config()
+    val fromCol = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), Analyzer.tokens(col("t"), cfg).as("tk"))
+      .as[(Long, Seq[String])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(fromCol(i.toLong) == Analyzer.analyze(t, cfg),
+        s"analyzer mismatch on: '$t'")
+    }
+    // duplicates kept in order (tf depends on it)
+    assert(Analyzer.analyze("scan scan merge scan") ==
+      Seq("scan", "scan", "merge", "scan"))
+  }
 }
