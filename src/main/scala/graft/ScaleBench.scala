@@ -321,6 +321,22 @@ object ScaleBench {
       val autoBits = Dedup.bitsForCorpus(n)
       System.err.println(s"[scale] n=$n: auto-sized SRP bits=$autoBits " +
         s"(${autoBits / 4}-bit bands)")
+      // deep-page cursor for the search_iterate_deep row: the page-31
+      // boundary, computed ONCE per n on first use and reused by the
+      // warm-up and timed runs — it is the iterator's CARRIED state
+      // (one (distance, id) pair), not part of any page's cost
+      lazy val deepCursor: (Double, Long) = {
+        import spark.implicits._
+        val q = Seq(Tuple1(emb.where(col("vec_id") === 0)
+          .select("embedding").as[Seq[Float]].head())).toDF("qe")
+        val mx = emb.crossJoin(broadcast(q))
+          .withColumn("distance", Knn.distCol(col("embedding"), col("qe")))
+          .select("vec_id", "distance")
+          .orderBy(col("distance").asc, col("vec_id").asc).limit(31 * 5)
+          .agg(max(struct(col("distance"), col("vec_id"))))
+          .first().getStruct(0)
+        (mx.getDouble(0), mx.getLong(1))
+      }
       val ops: Seq[(String, () => Long)] = Seq(
         "srp_candidate_pairs (auto-sized)" -> (() => {
           val bands = Dedup.srpBands(emb, "vec_id", "embedding", Dim,
@@ -1144,6 +1160,72 @@ object ScaleBench {
             .join(sel, Seq("vec_id"), "left_semi")
             .withColumn("ad", Pq.adcExpr(pq, q))
             .orderBy(col("ad").asc, col("vec_id").asc).limit(10).count()
+        }),
+        // bloom-prefiltered decontamination (round 13): the admitted-rows
+        // decade — how many train postings survive the bloom probe. The
+        // synth corpus's planted near-dups put true overlaps across the
+        // hash split, so admitted ≈ overlaps + fpp·clean: BOTH terms are
+        // linear in n (rows-exp ≈ 1, tiny constant), i.e. the verify
+        // join's input stays an ~fpp-sized slice at every corpus size —
+        // the property that makes the scrub one-scan at 100 TB.
+        "bloom_scrub_admitted (8-gram probe)" -> (() => {
+          import spark.implicits._
+          import graft.curate.Sampling
+          import graft.dedup.Dedup
+          val base = Sampling.withSplit(
+            docs.select(col("doc_id").as("id"), col("text")), "id")
+          val sh = base.select(col("id"), col("split"),
+              Dedup.shingles(col("text"), 8).as("sh"))
+            .where(size(col("sh")) > 0)
+          val evalSh = sh.where(col("split") =!= "train")
+            .select(explode(col("sh")).as("shingle")).distinct()
+          val nEval = math.max(1L, evalSh.count())
+          val bytes = evalSh.select(graft.functions.BloomFunctions
+            .bloomAgg(col("shingle"), nEval).as("bf"))
+            .as[Array[Byte]].head()
+          sh.where(col("split") === "train")
+            .select(explode(col("sh")).as("shingle"))
+            .where(graft.functions.BloomFunctions
+              .mightContain(bytes, col("shingle")))
+            .count()
+        }),
+        // the full scrub (probe + exact verify join + per-doc agg):
+        // t-exp tracks the ONE train-side scan; the verified output
+        // counts only real leaks (the planted near-dup pairs that
+        // straddle the split)
+        "bloom_scrub (exact verified leaks)" -> (() =>
+          graft.curate.Contamination
+            .bloomScrub(docs, "doc_id", "text").count()),
+        // distance-keyset search iterator (round 13) at a DEEP page
+        // (page 32, k=5): the keyset page's heap is k rows however deep;
+        // the OFFSET twin's heap is offset+k (160) in every partition.
+        // Both scan the corpus once (t-exp ≈ 1); the keyset row's claim
+        // is bounded heap + append-stable cursor, priced here next to
+        // its offset equivalent.
+        "search_iterate_deep (page 32, keyset)" -> (() => {
+          import spark.implicits._
+          val (d, id) = deepCursor
+          val q = Seq(Tuple1(emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head())).toDF("qe")
+          emb.crossJoin(broadcast(q))
+            .withColumn("distance",
+              Knn.distCol(col("embedding"), col("qe")))
+            .select("vec_id", "distance")
+            .where(col("distance") > d ||
+              (col("distance") === d && col("vec_id") > id))
+            .orderBy(col("distance").asc, col("vec_id").asc)
+            .limit(5).count()
+        }),
+        "search_offset_deep (page 32, offset)" -> (() => {
+          import spark.implicits._
+          val q = Seq(Tuple1(emb.where(col("vec_id") === 0)
+            .select("embedding").as[Seq[Float]].head())).toDF("qe")
+          emb.crossJoin(broadcast(q))
+            .withColumn("distance",
+              Knn.distCol(col("embedding"), col("qe")))
+            .select("vec_id", "distance")
+            .orderBy(col("distance").asc, col("vec_id").asc)
+            .offset(31 * 5).limit(5).count()
         })
       )
       // candidate-volume rows time a full build per invocation — skip the
