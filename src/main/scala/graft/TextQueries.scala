@@ -980,6 +980,80 @@ object TextQueries {
       ORDER BY bm25 DESC, doc_id ASC LIMIT 10
     """))
 
+  /** BM25 ↔ sparse duality — the Milvus 2.5 full-text-search MODEL
+    * (its `Function` feature embeds text to SPARSE_FLOAT_VECTORs whose
+    * dot product IS the BM25 score): per-doc sparse weights carry the
+    * tf part (tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl))), the query's sparse
+    * weights carry the idf part, dims come from a dense term
+    * dictionary, and the LEXICAL ranking is served by the SPARSE
+    * engine's join+aggregate ([[graft.search.SparseVec.search]]) —
+    * one retrieval machine for both learned-sparse and lexical tiers.
+    * Both factors are rounded before the product (the duality's
+    * determinism contract); the oracle replays the factored formula
+    * joined on the term itself, proving dims are pure bookkeeping.
+    * The dictionary window is vocab-bounded (words, not rows). */
+  private val bm25SparseDuality = Q(
+    "bm25_sparse_duality",
+    (s, dir) => {
+      import graft.search.SparseVec
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val terms = Seq("scan", "filter", "merge")
+      val (k1, b) = (1.2, 0.75)
+      val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+      val tf = docs.select(col("doc_id").as("id"), explode(toks).as("term"))
+        .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dl = docs.select(col("doc_id").as("id"),
+        size(toks).cast("double").as("dl"))
+      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum(size(toks).cast("long")).cast("double")
+          / count(lit(1)).cast("double")).as("avgdl"))
+      val dict = tf.select("term").distinct()
+        .withColumn("dim",
+          row_number().over(Window.orderBy(col("term"))).cast("int"))
+      val docPost = tf.join(dl, "id").crossJoin(broadcast(stats))
+        .withColumn("w", round(col("tf") * lit(k1 + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl") / col("avgdl"))), 4))
+        .join(dict, "term")
+        .select(col("id"), col("dim"), col("w"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_"))
+      val qPost = dict.where(col("term").isin(terms: _*))
+        .join(dfreq, "term").crossJoin(broadcast(stats))
+        .withColumn("w", round(log((col("n_docs") - col("df_") + 0.5)
+          / (col("df_") + 0.5) + 1.0), 4))
+        .select(col("dim"), col("w"))
+      SparseVec.search(docPost, qPost, "id", 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                      t -> len(t) > 0) AS tk
+                  FROM documents),
+      tt AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tt
+             GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+                FROM tk),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dw AS (SELECT tf.doc_id, tf.term,
+                    round(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl
+                      / avgdl)), 4) AS w
+             FROM tf JOIN dl USING (doc_id) CROSS JOIN stats),
+      qw AS (SELECT term,
+                    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 4)
+                      AS qw
+             FROM dfq CROSS JOIN stats
+             WHERE term IN ('scan', 'filter', 'merge')),
+      sc AS (SELECT dw.doc_id, round(sum(dw.w * qw.qw), 4) AS score
+             FROM dw JOIN qw USING (term) GROUP BY dw.doc_id)
+      SELECT doc_id, score FROM sc
+      ORDER BY score DESC, doc_id ASC LIMIT 10
+    """))
+
   /** Analyzed BM25 — the Milvus 2.5 `analyzer_params` model
     * ([[graft.text.Analyzer]]: standard tokenizer → lowercase →
     * length band → English stopwords) applied IDENTICALLY to corpus
@@ -1763,7 +1837,7 @@ object TextQueries {
     cdcBoilerplate, bpeLearnMerges, bpeLearnMergesBatched, bpeEncode,
     sketchHeavyTokens, sketchTokenQuantiles, textNormalizeNfc,
     phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25,
-    bm25AnalyzerSearch,
+    bm25AnalyzerSearch, bm25SparseDuality,
     streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti,
     termPrefixSearch, prefixFilteredBm25, termFuzzySearch,
     termFuzzySearchD2, fuzzyFilteredBm25, termSuffixSearch,
