@@ -54,6 +54,55 @@ object PipelineQueries {
     },
     Some(exactTop5Oracle))
 
+  /** Search iterator over the IVF tier
+    * ([[graft.search.IvfIndex.searchAfter]]) — the distance-keyset
+    * cursor of `search_iterate` composed with the index: each page's
+    * strictly-past predicate runs INSIDE the partition-pruned, masked,
+    * latest-wins scan, so deep pages stay one pruned scan + a k-row
+    * heap. Full probe here so the oracle replays the exact ranking's
+    * rank buckets (partial-probe recall semantics are `ivf_partial_
+    * probe`'s subject; the pruning plumbing is identical). Replays a
+    * 3-page chain; cursor state is one (distance, id) pair advanced by
+    * a 1-row aggregate per page. */
+  private val ivfSearchIterate = Q(
+    "ivf_search_iterate",
+    (s, dir) => {
+      val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      var cursor: Option[(Double, Long)] = None
+      val pages = (0 until 3).map { p =>
+        val pg = IvfIndex.searchAfter(s, model, "embedding", "vec_id",
+          query, k = 5, nprobe = model.nlist, after = cursor)
+        val mx = pg.agg(max(struct(col("distance"), col("vec_id"))))
+          .first()
+        if (!mx.isNullAt(0)) {
+          val r = mx.getStruct(0)
+          cursor = Some((r.getDouble(0), r.getLong(1)))
+        }
+        pg.select(lit(p).cast("int").as("page"), col("vec_id"),
+          col("distance"))
+      }
+      pages.reduce(_ unionByName _)
+        .orderBy(col("page").asc, col("distance").asc, col("vec_id").asc)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      d AS (SELECT e.vec_id, %L2% AS distance FROM embeddings e, q),
+      r AS (SELECT vec_id, distance,
+                   row_number() OVER (ORDER BY distance ASC, vec_id ASC)
+                     AS rn
+            FROM d)
+      SELECT CAST((rn - 1) // 5 AS INT) AS page, vec_id, distance
+      FROM r WHERE rn <= 15
+      ORDER BY page ASC, distance ASC, vec_id ASC
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
+
   /** IVF MIPS serving ([[graft.search.IvfIndex.searchIp]]) — the
     * inner-product metric through the SAME partition-pruned IVF layout
     * (probe by centroid-IP desc, rows by exact IP desc). At full probe
@@ -6288,7 +6337,8 @@ object PipelineQueries {
       FROM el ORDER BY tier ASC
     """))
 
-  val all: Seq[Q] = Seq(ivfSearch, ivfIpSearch, ivfCosineSearch,
+  val all: Seq[Q] = Seq(ivfSearch, ivfSearchIterate, ivfIpSearch,
+    ivfCosineSearch,
     ivfRangeSearch, ivfRangeSearchAppended, ivfExactKnn,
     scalarFilteredIvfSearch,
     indexReconcileServe, ivfPartialProbe,

@@ -980,6 +980,67 @@ object TextQueries {
       ORDER BY bm25 DESC, doc_id ASC LIMIT 10
     """))
 
+  /** Stored full-text index served and MAINTAINED as a sparse artifact
+    * ([[graft.search.FullText]]) — the architecture behind
+    * `bm25_sparse_duality`, productionized: build writes the factored
+    * BM25 postings in [[graft.search.SparseVec]]'s exact layout
+    * (dim-partitioned under `postings/`), so the sparse family's
+    * maintenance surface applies to the LEXICAL tier verbatim — here a
+    * tombstone delete of the unmasked top-1 doc
+    * ([[graft.search.SparseVec.delete]]) masks it out of the ranking
+    * at serve time while scores keep the stale build-time statistics
+    * (the Milvus masked-serve norm). The oracle replays the factored
+    * formula over the full corpus, derives the same top-1, and
+    * excludes it — mask placement is hash-checked, not assumed. */
+  private val fulltextSparseMasked = Q(
+    "fulltext_sparse_masked",
+    (s, dir) => {
+      import graft.search.{FullText, SparseVec}
+      val idx = s"/tmp/graft_fulltext_${math.abs(dir.hashCode)}"
+      val terms = Seq("scan", "filter", "merge")
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        FullText.build(Tables.documents(s, dir), "doc_id", "text", idx)
+        val top = FullText.search(s, idx, terms, 1)
+          .collect()(0).getLong(0)
+        import s.implicits._
+        SparseVec.delete(Seq(top).toDF("doc_id"), idx, "doc_id")
+      }
+      FullText.search(s, idx, terms, 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                      t -> len(t) > 0) AS tk
+                  FROM documents),
+      tt AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tt
+             GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+                FROM tk),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dw AS (SELECT tf.doc_id, tf.term,
+                    round(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl
+                      / avgdl)), 4) AS w
+             FROM tf JOIN dl USING (doc_id) CROSS JOIN stats),
+      qw AS (SELECT term,
+                    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 4)
+                      AS qw
+             FROM dfq CROSS JOIN stats
+             WHERE term IN ('scan', 'filter', 'merge')),
+      sc AS (SELECT dw.doc_id, round(sum(dw.w * qw.qw), 4) AS score
+             FROM dw JOIN qw USING (term) GROUP BY dw.doc_id),
+      top1 AS (SELECT doc_id FROM sc
+               ORDER BY score DESC, doc_id ASC LIMIT 1)
+      SELECT doc_id, score FROM sc
+      WHERE doc_id NOT IN (SELECT doc_id FROM top1)
+      ORDER BY score DESC, doc_id ASC LIMIT 10
+    """))
+
   /** BM25 ↔ sparse duality — the Milvus 2.5 full-text-search MODEL
     * (its `Function` feature embeds text to SPARSE_FLOAT_VECTORs whose
     * dot product IS the BM25 score): per-doc sparse weights carry the
@@ -1837,7 +1898,7 @@ object TextQueries {
     cdcBoilerplate, bpeLearnMerges, bpeLearnMergesBatched, bpeEncode,
     sketchHeavyTokens, sketchTokenQuantiles, textNormalizeNfc,
     phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25,
-    bm25AnalyzerSearch, bm25SparseDuality,
+    bm25AnalyzerSearch, bm25SparseDuality, fulltextSparseMasked,
     streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti,
     termPrefixSearch, prefixFilteredBm25, termFuzzySearch,
     termFuzzySearchD2, fuzzyFilteredBm25, termSuffixSearch,

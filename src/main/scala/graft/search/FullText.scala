@@ -1,0 +1,89 @@
+package graft.search
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Stored full-text index AS a sparse-vector artifact — the Milvus 2.5
+  * full-text-search architecture (a `Function` embeds the text field to
+  * SPARSE_FLOAT_VECTORs; the sparse index serves BM25): doc postings
+  * carry the tf part of BM25 (tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl))),
+  * the query's postings carry the idf part, and the artifact is laid
+  * out EXACTLY like [[SparseVec]]'s (`postings/` partitioned by dim),
+  * so the whole sparse maintenance surface — [[SparseVec.delete]]
+  * tombstones + masked serve, [[SparseVec.compactTombstones]],
+  * alias-root publication — applies to the lexical tier verbatim: one
+  * retrieval+maintenance machine for learned-sparse AND lexical.
+  *
+  * Stats discipline: `n_docs`/`avgdl`/per-term df freeze at [[build]]
+  * (stored under the artifact); deletes mask documents out of the
+  * ranking but scores keep the stale statistics until a rebuild — the
+  * Milvus masked-serve norm, same as [[Bm25Index.search]].
+  *
+  * Scale shape: build is one corpus scan + a vocab-bounded dictionary
+  * window; serving is the [[SparseVec.searchIndex]] plan — `dim IN`
+  * directory pruning over the posting partitions, broadcast query
+  * side, one hash aggregate. No dense scan, no O(corpus) work per
+  * query. */
+object FullText {
+  def dictDir(indexDir: String): String = s"$indexDir/dict"
+  def dfDir(indexDir: String): String = s"$indexDir/df"
+  def statsDir(indexDir: String): String = s"$indexDir/stats"
+
+  private def toks = filter(split(col("__text"), "\\s+"),
+    t => length(t) > 0)
+
+  /** Build the artifact: postings (id, dim, w) partitioned by dim under
+    * [[SparseVec.postingsDir]], plus the term dictionary, per-term df,
+    * and corpus stats the query side needs. */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+            indexDir: String, k1: Double = 1.2, b: Double = 0.75): Unit = {
+    val base = docs.select(col(idCol).as("id"),
+      col(textCol).as("__text"))
+    val tf = base.select(col("id"), explode(toks).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = base.select(col("id"), size(toks).cast("double").as("dl"))
+    val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(toks).cast("long")).cast("double")
+        / count(lit(1)).cast("double")).as("avgdl"))
+    // vocab-bounded global window (terms, not rows) — the dictionary
+    val dict = tf.select("term").distinct()
+      .withColumn("dim",
+        row_number().over(Window.orderBy(col("term"))).cast("int"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_"))
+    dict.write.mode("overwrite").parquet(dictDir(indexDir))
+    dfreq.write.mode("overwrite").parquet(dfDir(indexDir))
+    stats.write.mode("overwrite").parquet(statsDir(indexDir))
+    tf.join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", round(col("tf") * lit(k1 + 1.0)
+        / (col("tf") + lit(k1) * (lit(1.0 - b)
+          + lit(b) * col("dl") / col("avgdl"))), 4))
+      .join(dict, "term")
+      .select(col("id"), col("dim"), col("w"))
+      .write.mode("overwrite").partitionBy("dim")
+      .parquet(SparseVec.postingsDir(indexDir))
+  }
+
+  /** The query's sparse form: (dim, w = rounded idf) for each query
+    * term present in the dictionary (absent terms contribute nothing,
+    * like any posting-list engine). */
+  def queryPostings(spark: SparkSession, indexDir: String,
+                    terms: Seq[String]): DataFrame = {
+    val dict = spark.read.parquet(dictDir(indexDir))
+      .where(col("term").isin(terms: _*))
+    val dfreq = spark.read.parquet(dfDir(indexDir))
+    val stats = spark.read.parquet(statsDir(indexDir))
+    dict.join(dfreq, "term").crossJoin(broadcast(stats))
+      .select(col("dim"),
+        round(log((col("n_docs") - col("df_") + 0.5)
+          / (col("df_") + 0.5) + 1.0), 4).as("w"))
+  }
+
+  /** BM25 top-k served by the sparse engine (tombstone-masked,
+    * dim-pruned — [[SparseVec.searchIndex]] verbatim). */
+  def search(spark: SparkSession, indexDir: String, terms: Seq[String],
+             k: Int): DataFrame =
+    SparseVec.searchIndex(spark, indexDir,
+      queryPostings(spark, indexDir, terms), "id", k)
+}

@@ -370,17 +370,35 @@ object IvfIndex {
     * family applies both; a version-blind plain search would silently
     * serve replaced vectors to whoever reaches for the obvious API. */
   def search(spark: SparkSession, model: Model, vecCol: String, idCol: String,
-             query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+             query: Array[Float], k: Int, nprobe: Int): DataFrame =
+    searchAfter(spark, model, vecCol, idCol, query, k, nprobe, None)
+
+  /** One PAGE of the ranking past a (distance, id) cursor — the
+    * search_iterator composed with the IVF probe: the strictly-past
+    * predicate (`d > lastD OR (d = lastD AND id > lastId)`, well-
+    * defined because distances are rounded and ids unique) applies
+    * INSIDE the partition-pruned, masked, latest-wins scan, so a page
+    * at any depth costs one pruned scan + a k-row heap — never the
+    * offset+k heap OFFSET pagination pays, and the iterator state is
+    * one pair. `after = None` is page 1 (≡ [[search]]). */
+  def searchAfter(spark: SparkSession, model: Model, vecCol: String,
+                  idCol: String, query: Array[Float], k: Int, nprobe: Int,
+                  after: Option[(Double, Long)]): DataFrame = {
     val clusters = probeClusters(model, query, nprobe)
     val vs = versionedScan(spark, model.indexDir)
     val pruned = vs.getOrElse(spark.read.parquet(dataDir(model.indexDir)))
       .where(col("cluster_id").isin(clusters: _*))
     val scan = vs.map(applyLatest(_, pruned, idCol)).getOrElse(pruned)
-    Tombstones.mask(scan, spark, model.indexDir, idCol)
+    val scored = Tombstones.mask(scan, spark, model.indexDir, idCol)
       .withColumn("distance",
         round(VectorFunctions.l2Sq(col(vecCol), typedlit(query)), 4))
-      .orderBy(col("distance").asc, col(idCol).asc)
-      .limit(k)
+    val paged = after match {
+      case Some((d, id)) =>
+        scored.where(col("distance") > d ||
+          (col("distance") === d && col(idCol) > id))
+      case None => scored
+    }
+    paged.orderBy(col("distance").asc, col(idCol).asc).limit(k)
   }
 
   /** IVF MIPS serving — the inner-product member of the metric × index

@@ -62,6 +62,30 @@ class TextSearchSpec extends SparkSpec {
       s"sparse-served $sparse != canonical $canonical")
   }
 
+  test("fulltext sparse artifact: delete masks the doc, scores stay stale") {
+    import graft.search.{FullText, SparseVec}
+    val idx = "/tmp/graft_test_fulltext/idx"
+    val p = new org.apache.hadoop.fs.Path(idx)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val corpus = Seq(
+      (1L, "scan scan merge alpha"),
+      (2L, "scan merge merge beta gamma"),
+      (3L, "merge delta epsilon"),
+      (4L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    FullText.build(corpus, "doc_id", "text", idx)
+    val before = FullText.search(spark, idx, Seq("scan", "merge"), 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(before.map(_._1).toSet == Set(1L, 2L, 3L)) // doc 4: no hit
+    val top = before.head._1
+    SparseVec.delete(Seq(top).toDF("doc_id"), idx, "doc_id")
+    val after = FullText.search(spark, idx, Seq("scan", "merge"), 10)
+      .as[(Long, Double)].collect().toSeq
+    // masked out of the ranking...
+    assert(!after.map(_._1).contains(top))
+    // ...and the survivors keep their STALE build-time scores exactly
+    assert(after == before.filterNot(_._1 == top))
+  }
+
   test("subQueries: short question (<=20 chars) gets NO chunk strategy") {
     // 20 chars exactly — reference guard is strictly greater-than
     val q20 = "abcd efgh ijkl, mnop"
