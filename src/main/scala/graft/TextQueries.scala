@@ -1041,6 +1041,64 @@ object TextQueries {
       ORDER BY score DESC, doc_id ASC LIMIT 10
     """))
 
+  /** Incremental ingest into the stored full-text sparse artifact
+    * ([[graft.search.FullText.append]]) — the growing-segment twin:
+    * the base builds on doc_id ≥ 20, the sub-20 batch appends with the
+    * FROZEN base statistics (its tf parts use the sealed avgdl; df and
+    * n_docs stay the build-time values; dictionary extends for
+    * genuinely new terms) — scores stay comparable across sealed and
+    * grown rows without a corpus pass, repaid at rebuild, exactly the
+    * [[graft.search.Bm25Index]] debt model. The oracle recomputes
+    * EVERY doc's tf part against base-only stats and weights query
+    * terms by base-only df, so an append that leaked batch rows into
+    * the statistics (or re-derived them) hash-mismatches. */
+  private val fulltextSparseIncremental = Q(
+    "fulltext_sparse_incremental",
+    (s, dir) => {
+      import graft.search.FullText
+      val idx = s"/tmp/graft_fulltextinc_${math.abs(dir.hashCode)}"
+      val terms = Seq("scan", "filter", "merge")
+      val docs = Tables.documents(s, dir)
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        FullText.build(docs.where(col("doc_id") >= 20), "doc_id", "text",
+          idx)
+        FullText.append(docs.where(col("doc_id") < 20), "doc_id", "text",
+          idx)
+      }
+      FullText.search(s, idx, terms, 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                      t -> len(t) > 0) AS tk
+                  FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+                FROM tk WHERE doc_id >= 20),
+      tt AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tt
+             GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+      dfq AS (SELECT term, count(*) AS df FROM tf
+              WHERE doc_id >= 20 GROUP BY term),
+      dw AS (SELECT tf.doc_id, tf.term,
+                    round(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl
+                      / avgdl)), 4) AS w
+             FROM tf JOIN dl USING (doc_id) CROSS JOIN stats),
+      qw AS (SELECT term,
+                    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 4)
+                      AS qw
+             FROM dfq CROSS JOIN stats
+             WHERE term IN ('scan', 'filter', 'merge')),
+      sc AS (SELECT dw.doc_id, round(sum(dw.w * qw.qw), 4) AS score
+             FROM dw JOIN qw USING (term) GROUP BY dw.doc_id)
+      SELECT doc_id, score FROM sc
+      ORDER BY score DESC, doc_id ASC LIMIT 10
+    """))
+
   /** BM25 ↔ sparse duality — the Milvus 2.5 full-text-search MODEL
     * (its `Function` feature embeds text to SPARSE_FLOAT_VECTORs whose
     * dot product IS the BM25 score): per-doc sparse weights carry the
@@ -1899,6 +1957,7 @@ object TextQueries {
     sketchHeavyTokens, sketchTokenQuantiles, textNormalizeNfc,
     phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25,
     bm25AnalyzerSearch, bm25SparseDuality, fulltextSparseMasked,
+    fulltextSparseIncremental,
     streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti,
     termPrefixSearch, prefixFilteredBm25, termFuzzySearch,
     termFuzzySearchD2, fuzzyFilteredBm25, termSuffixSearch,

@@ -65,6 +65,53 @@ object FullText {
       .parquet(SparseVec.postingsDir(indexDir))
   }
 
+  /** Absorb a new batch with the STORED statistics — the growing-
+    * segment discipline ([[Bm25Index.append]]'s contract: ids must be
+    * NEW): the batch's tf parts are computed against the FROZEN
+    * build-time avgdl (scores stay comparable to the sealed rows
+    * without a corpus pass), terms already in the dictionary reuse
+    * their dims, genuinely new terms extend it past the stored max —
+    * so a query term that only exists in appended docs still resolves.
+    * df/n_docs stay frozen too (idf is the query side); the drift is
+    * rebuild-repayable debt, exactly like [[Bm25Index]]'s. The posting
+    * append is reader-safe in place (a reader's plan lists files
+    * once), alias-root aware like every sparse writer. */
+  def append(batch: DataFrame, idCol: String, textCol: String,
+             indexDir0: String, k1: Double = 1.2,
+             b: Double = 0.75): Unit = {
+    val spark = batch.sparkSession
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
+    val base = batch.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val tf = base.select(col("id"), explode(toks).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = base.select(col("id"), size(toks).cast("double").as("dl"))
+    val stats = spark.read.parquet(statsDir(indexDir))
+    val dict = spark.read.parquet(dictDir(indexDir))
+    val maxDim = dict.agg(max(col("dim"))).first().getInt(0)
+    val newTerms = tf.select("term").distinct()
+      .join(dict.select("term"), Seq("term"), "left_anti")
+      .withColumn("dim",
+        (row_number().over(Window.orderBy(col("term"))) + maxDim)
+          .cast("int"))
+    if (!newTerms.isEmpty) {
+      newTerms.write.mode("append").parquet(dictDir(indexDir))
+      // frozen-df discipline: unseen terms get df=1 so a later query
+      // can still weight them (n_docs stays the sealed count)
+      newTerms.select(col("term"), lit(1L).as("df_"))
+        .write.mode("append").parquet(dfDir(indexDir))
+    }
+    val fullDict = spark.read.parquet(dictDir(indexDir))
+    tf.join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", round(col("tf") * lit(k1 + 1.0)
+        / (col("tf") + lit(k1) * (lit(1.0 - b)
+          + lit(b) * col("dl") / col("avgdl"))), 4))
+      .join(fullDict, "term")
+      .select(col("id"), col("dim"), col("w"))
+      .write.mode("append").partitionBy("dim")
+      .parquet(SparseVec.postingsDir(indexDir))
+  }
+
   /** The query's sparse form: (dim, w = rounded idf) for each query
     * term present in the dictionary (absent terms contribute nothing,
     * like any posting-list engine). */

@@ -86,6 +86,33 @@ class TextSearchSpec extends SparkSpec {
     assert(after == before.filterNot(_._1 == top))
   }
 
+  test("fulltext append: frozen stats, dictionary extends for new terms") {
+    import graft.search.FullText
+    val idx = "/tmp/graft_test_fulltext/inc"
+    val p = new org.apache.hadoop.fs.Path(idx)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val base = Seq(
+      (1L, "scan scan merge alpha"),
+      (2L, "scan merge merge beta gamma")).toDF("doc_id", "text")
+    FullText.build(base, "doc_id", "text", idx)
+    val before = FullText.search(spark, idx, Seq("scan"), 10)
+      .as[(Long, Double)].collect().toMap
+    // batch carries an old term AND a brand-new one
+    FullText.append(Seq((3L, "scan novelterm novelterm"))
+      .toDF("doc_id", "text"), "doc_id", "text", idx)
+    val after = FullText.search(spark, idx, Seq("scan"), 10)
+      .as[(Long, Double)].collect().toMap
+    // sealed rows keep their exact scores (stats frozen at build)...
+    assert(before.forall { case (id, sc) => after(id) == sc })
+    // ...the appended doc competes under them
+    assert(after.contains(3L))
+    // a query term that only exists in the appended batch resolves
+    // (dictionary extended past the stored max dim)
+    val novel = FullText.search(spark, idx, Seq("novelterm"), 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(novel.map(_._1) == Seq(3L))
+  }
+
   test("subQueries: short question (<=20 chars) gets NO chunk strategy") {
     // 20 chars exactly — reference guard is strictly greater-than
     val q20 = "abcd efgh ijkl, mnop"
