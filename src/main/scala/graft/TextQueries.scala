@@ -1041,6 +1041,64 @@ object TextQueries {
       ORDER BY score DESC, doc_id ASC LIMIT 10
     """))
 
+  /** Analyzed stored full-text index
+    * ([[graft.search.FullText.buildAnalyzed]]) — the full Milvus 2.5
+    * full-text-search composition: `analyzer_params` chain at INDEX
+    * time, raw query string through the SAME chain at query time
+    * ([[graft.text.Analyzer.analyze]]), factored-BM25 postings served
+    * by the sparse engine. The oracle replays analyzer + factored
+    * weights end-to-end, so a chain mismatch on either side (the
+    * silent-miss class) hash-fails. */
+  private val fulltextAnalyzedSearch = Q(
+    "fulltext_analyzed_search",
+    (s, dir) => {
+      import graft.search.FullText
+      import graft.text.Analyzer
+      val idx = s"/tmp/graft_fulltextan_${math.abs(dir.hashCode)}"
+      val cfg = Analyzer.Config()
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        FullText.buildAnalyzed(Tables.documents(s, dir), "doc_id", "text",
+          idx, cfg)
+      }
+      val terms = Analyzer.analyze("The SCAN and FILTER merge!", cfg)
+      FullText.search(s, idx, terms, 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some(s"""
+      WITH tk AS (SELECT doc_id,
+                    list_filter(list_transform(
+                      list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                        t -> len(t) > 0),
+                      t -> lower(t)),
+                      t -> len(t) >= 2 AND len(t) <= 40
+                           AND t NOT IN (${graft.text.Analyzer.EnglishStop
+                             .map(w => s"'$w'").mkString(", ")})) AS tk
+                  FROM documents),
+      tt AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tt
+             GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+                FROM tk),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dw AS (SELECT tf.doc_id, tf.term,
+                    round(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl
+                      / avgdl)), 4) AS w
+             FROM tf JOIN dl USING (doc_id) CROSS JOIN stats),
+      qw AS (SELECT term,
+                    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 4)
+                      AS qw
+             FROM dfq CROSS JOIN stats
+             WHERE term IN ('scan', 'filter', 'merge')),
+      sc AS (SELECT dw.doc_id, round(sum(dw.w * qw.qw), 4) AS score
+             FROM dw JOIN qw USING (term) GROUP BY dw.doc_id)
+      SELECT doc_id, score FROM sc
+      ORDER BY score DESC, doc_id ASC LIMIT 10
+    """))
+
   /** Incremental ingest into the stored full-text sparse artifact
     * ([[graft.search.FullText.append]]) — the growing-segment twin:
     * the base builds on doc_id ≥ 20, the sub-20 batch appends with the
@@ -1957,7 +2015,7 @@ object TextQueries {
     sketchHeavyTokens, sketchTokenQuantiles, textNormalizeNfc,
     phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25,
     bm25AnalyzerSearch, bm25SparseDuality, fulltextSparseMasked,
-    fulltextSparseIncremental,
+    fulltextSparseIncremental, fulltextAnalyzedSearch,
     streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti,
     termPrefixSearch, prefixFilteredBm25, termFuzzySearch,
     termFuzzySearchD2, fuzzyFilteredBm25, termSuffixSearch,

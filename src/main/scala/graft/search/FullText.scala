@@ -33,18 +33,36 @@ object FullText {
   private def toks = filter(split(col("__text"), "\\s+"),
     t => length(t) > 0)
 
+  /** [[build]] with an analysis chain ([[graft.text.Analyzer]]) applied
+    * at INDEX time; query terms must go through the SAME chain
+    * ([[graft.text.Analyzer.analyze]]) — the one-Config-rules-both-
+    * sides contract every analyzed index carries. */
+  def buildAnalyzed(docs: DataFrame, idCol: String, textCol: String,
+                    indexDir: String, cfg: graft.text.Analyzer.Config,
+                    k1: Double = 1.2, b: Double = 0.75): Unit =
+    buildFrom(docs.select(col(idCol).as("id"),
+        graft.text.Analyzer.tokens(col(textCol), cfg).as("__tk")),
+      indexDir, k1, b)
+
   /** Build the artifact: postings (id, dim, w) partitioned by dim under
     * [[SparseVec.postingsDir]], plus the term dictionary, per-term df,
     * and corpus stats the query side needs. */
   def build(docs: DataFrame, idCol: String, textCol: String,
-            indexDir: String, k1: Double = 1.2, b: Double = 0.75): Unit = {
-    val base = docs.select(col(idCol).as("id"),
-      col(textCol).as("__text"))
-    val tf = base.select(col("id"), explode(toks).as("term"))
+            indexDir: String, k1: Double = 1.2, b: Double = 0.75): Unit =
+    buildFrom(docs.select(col(idCol).as("id"),
+        col(textCol).as("__text"))
+        .select(col("id"), toks.as("__tk")),
+      indexDir, k1, b)
+
+  private def buildFrom(tokenized: DataFrame, indexDir: String,
+                        k1: Double, b: Double): Unit = {
+    val base = tokenized
+    val tf = base.select(col("id"), explode(col("__tk")).as("term"))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = base.select(col("id"), size(toks).cast("double").as("dl"))
+    val dl = base.select(col("id"),
+      size(col("__tk")).cast("double").as("dl"))
     val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
-      (sum(size(toks).cast("long")).cast("double")
+      (sum(size(col("__tk")).cast("long")).cast("double")
         / count(lit(1)).cast("double")).as("avgdl"))
     // vocab-bounded global window (terms, not rows) — the dictionary
     val dict = tf.select("term").distinct()
@@ -78,13 +96,31 @@ object FullText {
     * once), alias-root aware like every sparse writer. */
   def append(batch: DataFrame, idCol: String, textCol: String,
              indexDir0: String, k1: Double = 1.2,
-             b: Double = 0.75): Unit = {
-    val spark = batch.sparkSession
+             b: Double = 0.75): Unit =
+    appendFrom(batch.select(col(idCol).as("id"),
+        col(textCol).as("__text"))
+        .select(col("id"), toks.as("__tk")),
+      indexDir0, k1, b)
+
+  /** [[append]] through the SAME analysis chain the artifact was built
+    * with — an analyzed index appended unanalyzed silently misses
+    * terms, so the twin exists for symmetry with [[buildAnalyzed]]. */
+  def appendAnalyzed(batch: DataFrame, idCol: String, textCol: String,
+                     indexDir0: String, cfg: graft.text.Analyzer.Config,
+                     k1: Double = 1.2, b: Double = 0.75): Unit =
+    appendFrom(batch.select(col(idCol).as("id"),
+        graft.text.Analyzer.tokens(col(textCol), cfg).as("__tk")),
+      indexDir0, k1, b)
+
+  private def appendFrom(tokenized: DataFrame, indexDir0: String,
+                         k1: Double, b: Double): Unit = {
+    val spark = tokenized.sparkSession
     val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
-    val base = batch.select(col(idCol).as("id"), col(textCol).as("__text"))
-    val tf = base.select(col("id"), explode(toks).as("term"))
+    val base = tokenized
+    val tf = base.select(col("id"), explode(col("__tk")).as("term"))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = base.select(col("id"), size(toks).cast("double").as("dl"))
+    val dl = base.select(col("id"),
+      size(col("__tk")).cast("double").as("dl"))
     val stats = spark.read.parquet(statsDir(indexDir))
     val dict = spark.read.parquet(dictDir(indexDir))
     val maxDim = dict.agg(max(col("dim"))).first().getInt(0)

@@ -263,6 +263,15 @@ class PlanSpec extends SparkSpec {
       s"sparse top-k must stay bounded:\n$p")
   }
 
+  test("fulltext sparse serve: query dims prune posting partitions") {
+    val p = plan("fulltext_sparse_masked")
+    assert(p.contains("PartitionFilters") && p.contains("dim"),
+      s"query dims did not prune the dim-partitioned postings:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"fulltext top-k must stay bounded:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("group-by-field search: argmin window then bounded top-k") {
     val p = plan("group_by_field_search")
     assert(p.contains("Window"), "per-group argmin must be a window")
