@@ -1041,6 +1041,94 @@ object TextQueries {
       ORDER BY score DESC, doc_id ASC LIMIT 10
     """))
 
+  /** Streaming ingest into the stored full-text sparse artifact — the
+    * family's last maintenance twin (build → append → delete → now a
+    * Structured Streaming file source driving foreachBatch, the
+    * `streaming_bm25_ingest` discipline): micro-batch 1 BUILDS (stats
+    * freeze there), batches 2-3 absorb by
+    * [[graft.search.FullText.append]] — tokenize the batch only, file
+    * append into the dim partitions, no rewrite. The oracle recomputes
+    * every doc's tf part against the FIRST batch's statistics and
+    * weights query terms by first-batch df (the frozen-stats
+    * contract), so a dropped/double-absorbed batch OR a stat leak
+    * hash-mismatches. */
+  private val streamingFulltextIngest = Q(
+    "streaming_fulltext_ingest",
+    (s, dir) => {
+      import graft.search.{FullText, SparseVec}
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.types._
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val work = s"/tmp/graft_streamft_${math.abs(dir.hashCode)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(work).getFileSystem(conf)
+      fs.delete(new Path(work), true)
+      fs.mkdirs(new Path(s"$work/in"))
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+        val tmp = s"$work/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        fs.rename(part, new Path(s"$work/in/$name"))
+        fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
+        fs.delete(new Path(tmp), true)
+      }
+      writeOne(docs.where(col("doc_id") < 300), "00_base.parquet", 1000000L)
+      writeOne(docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
+        "01_batch.parquet", 2000000L)
+      writeOne(docs.where(col("doc_id") >= 400), "02_batch.parquet",
+        3000000L)
+      val idx = s"$work/ft"
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+      val q = src.writeStream
+        .option("checkpointLocation", s"$work/_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!fs.exists(new Path(
+              SparseVec.postingsDir(idx) + "/_SUCCESS")))
+            FullText.build(batch, "doc_id", "text", idx)
+          else
+            FullText.append(batch, "doc_id", "text", idx)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      FullText.search(s, idx, Seq("scan", "filter", "merge"), 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                      t -> len(t) > 0) AS tk
+                  FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+                FROM tk WHERE doc_id < 300),
+      tt AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tt
+             GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+      dfq AS (SELECT term, count(*) AS df FROM tf
+              WHERE doc_id < 300 GROUP BY term),
+      dw AS (SELECT tf.doc_id, tf.term,
+                    round(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl
+                      / avgdl)), 4) AS w
+             FROM tf JOIN dl USING (doc_id) CROSS JOIN stats),
+      qw AS (SELECT term,
+                    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 4)
+                      AS qw
+             FROM dfq CROSS JOIN stats
+             WHERE term IN ('scan', 'filter', 'merge')),
+      sc AS (SELECT dw.doc_id, round(sum(dw.w * qw.qw), 4) AS score
+             FROM dw JOIN qw USING (term) GROUP BY dw.doc_id)
+      SELECT doc_id, score FROM sc
+      ORDER BY score DESC, doc_id ASC LIMIT 10
+    """))
+
   /** Analyzed stored full-text index
     * ([[graft.search.FullText.buildAnalyzed]]) — the full Milvus 2.5
     * full-text-search composition: `analyzer_params` chain at INDEX
@@ -2016,6 +2104,7 @@ object TextQueries {
     phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25,
     bm25AnalyzerSearch, bm25SparseDuality, fulltextSparseMasked,
     fulltextSparseIncremental, fulltextAnalyzedSearch,
+    streamingFulltextIngest,
     streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti,
     termPrefixSearch, prefixFilteredBm25, termFuzzySearch,
     termFuzzySearchD2, fuzzyFilteredBm25, termSuffixSearch,
