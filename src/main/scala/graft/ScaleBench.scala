@@ -1174,9 +1174,13 @@ object ScaleBench {
           import graft.dedup.Dedup
           val base = Sampling.withSplit(
             docs.select(col("doc_id").as("id"), col("text")), "id")
-          val sh = base.select(col("id"), col("split"),
-              Dedup.shingles(col("text"), 8).as("sh"))
-            .where(size(col("sh")) > 0)
+          // shared-intermediate contract: the split+shingle table feeds
+          // three consumers — materialize once, scan thrice
+          val sh = materialize(
+            base.select(col("id"), col("split"),
+                Dedup.shingles(col("text"), 8).as("sh"))
+              .where(size(col("sh")) > 0),
+            s"/tmp/graft_scale/bloomsh_$n")
           val evalSh = sh.where(col("split") =!= "train")
             .select(explode(col("sh")).as("shingle")).distinct()
           val nEval = math.max(1L, evalSh.count())
@@ -1195,7 +1199,8 @@ object ScaleBench {
         // straddle the split)
         "bloom_scrub (exact verified leaks)" -> (() =>
           graft.curate.Contamination
-            .bloomScrub(docs, "doc_id", "text").count()),
+            .bloomScrub(docs, "doc_id", "text",
+              workDir = Some(s"/tmp/graft_scale/bloomscrub_$n")).count()),
         // distance-keyset search iterator (round 13) at a DEEP page
         // (page 32, k=5): the keyset page's heap is k rows however deep;
         // the OFFSET twin's heap is offset+k (160) in every partition.

@@ -1260,34 +1260,10 @@ object TextQueries {
   private val bm25SparseDuality = Q(
     "bm25_sparse_duality",
     (s, dir) => {
-      import graft.search.SparseVec
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, dir)
-      val terms = Seq("scan", "filter", "merge")
-      val (k1, b) = (1.2, 0.75)
-      val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-      val tf = docs.select(col("doc_id").as("id"), explode(toks).as("term"))
-        .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dl = docs.select(col("doc_id").as("id"),
-        size(toks).cast("double").as("dl"))
-      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
-        (sum(size(toks).cast("long")).cast("double")
-          / count(lit(1)).cast("double")).as("avgdl"))
-      val dict = tf.select("term").distinct()
-        .withColumn("dim",
-          row_number().over(Window.orderBy(col("term"))).cast("int"))
-      val docPost = tf.join(dl, "id").crossJoin(broadcast(stats))
-        .withColumn("w", round(col("tf") * lit(k1 + 1.0)
-          / (col("tf") + lit(k1) * (lit(1.0 - b)
-            + lit(b) * col("dl") / col("avgdl"))), 4))
-        .join(dict, "term")
-        .select(col("id"), col("dim"), col("w"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_"))
-      val qPost = dict.where(col("term").isin(terms: _*))
-        .join(dfreq, "term").crossJoin(broadcast(stats))
-        .withColumn("w", round(log((col("n_docs") - col("df_") + 0.5)
-          / (col("df_") + 0.5) + 1.0), 4))
-        .select(col("dim"), col("w"))
+      import graft.search.{FullText, SparseVec}
+      val (docPost, qPost) = FullText.dualityPostings(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("scan", "filter", "merge"))
       SparseVec.search(docPost, qPost, "id", 10)
         .withColumnRenamed("id", "doc_id")
     },

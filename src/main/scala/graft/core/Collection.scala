@@ -82,9 +82,23 @@ final class Collection(spark: SparkSession, val dir: String,
     * literals) — schema conformance costs nothing at scale. */
   def appendWithDefaults(df: DataFrame,
                          defaults: Map[String, Any] = Map.empty): Unit = {
-    val target = declaredSchema.getOrElse(describe)
-    val known = target.fieldNames.toSet
-    val extra = df.columns.filterNot(known)
+    val base = declaredSchema.getOrElse(describe)
+    // columns evolved onto the collection AFTER create (plain appends +
+    // mergeSchema reads) are legitimate insert targets even though the
+    // create-time sidecar predates them: when the batch carries
+    // non-declared columns, reconcile against the merged footer schema
+    // (paid only on that path) and treat the evolved fields as nullable
+    // — parquet's add-a-nullable-column contract.
+    val extraVsDeclared = df.columns.filterNot(base.fieldNames.toSet)
+    val target =
+      if (extraVsDeclared.isEmpty) base
+      else {
+        val merged = readMerged.schema
+        val declaredNames = base.fieldNames.toSet
+        StructType(base.fields ++
+          merged.fields.filterNot(f => declaredNames(f.name)))
+      }
+    val extra = df.columns.filterNot(target.fieldNames.toSet)
     require(extra.isEmpty,
       s"batch columns not in collection schema: ${extra.mkString(", ")}")
     val inCols = df.columns.toSet
@@ -100,7 +114,16 @@ final class Collection(spark: SparkSession, val dir: String,
         case Some(dflt) =>
           coalesce(col(f.name).cast(f.dataType), dflt)
             .as(f.name)
-        case None => col(f.name).cast(f.dataType).as(f.name)
+        case None =>
+          val c = col(f.name).cast(f.dataType)
+          // a null ARRIVING in a declared non-nullable, non-defaulted
+          // field fails the write loudly — same contract as the
+          // missing-column case, enforced row-side
+          if (!f.nullable)
+            when(c.isNull, raise_error(lit(
+              s"null in non-nullable column '${f.name}'"))).otherwise(c)
+              .as(f.name)
+          else c.as(f.name)
       }
     }
     append(df.select(conformed.toIndexedSeq: _*))
@@ -154,23 +177,34 @@ final class Collection(spark: SparkSession, val dir: String,
       .orderBy(col(keyCol).asc).limit(pageSize)
   }
 
-  /** Driver-side page cursor over [[page]] — each `next()` runs one
-    * bounded 1-row aggregate to advance the cursor; the page itself
-    * stays a DataFrame (write it, don't collect it). Iteration ends on
-    * the first short page. */
+  /** Driver-side page cursor over [[page]] — advancing runs one bounded
+    * 1-row aggregate; the page itself stays a DataFrame (write it,
+    * don't collect it). Pages are prefetched in `hasNext`, so an
+    * export whose row count is an exact multiple of `pageSize` (or an
+    * empty collection) never yields a spurious empty trailing page —
+    * only non-empty pages are emitted. */
   def pages(keyCol: String, pageSize: Int): Iterator[DataFrame] =
     new Iterator[DataFrame] {
       private var last: Option[Long] = None
       private var done = false
-      override def hasNext: Boolean = !done
-      override def next(): DataFrame = {
+      private var pending: Option[DataFrame] = None
+      private def advance(): Unit = if (pending.isEmpty && !done) {
         val pg = page(keyCol, last, pageSize)
         // fully qualified: Iterator's own max/count shadow the sql functions
         val mx = pg.agg(
           org.apache.spark.sql.functions.max(col(keyCol)).as("m"),
           org.apache.spark.sql.functions.count(lit(1)).as("n")).first()
         if (mx.isNullAt(0) || mx.getLong(1) < pageSize) done = true
-        if (!mx.isNullAt(0)) last = Some(mx.getLong(0))
+        if (!mx.isNullAt(0)) {
+          last = Some(mx.getLong(0))
+          pending = Some(pg)
+        }
+      }
+      override def hasNext: Boolean = { advance(); pending.nonEmpty }
+      override def next(): DataFrame = {
+        advance()
+        val pg = pending.getOrElse(throw new NoSuchElementException("pages"))
+        pending = None
         pg
       }
     }

@@ -96,6 +96,12 @@ object Contamination {
     * negatives. Iterating ingest batches reuses the same filter bytes —
     * build once, probe every batch.
     *
+    * The split+shingle table feeds THREE consumers (the eval count, the
+    * bloom build, the probed train side) — pass `workDir` (the
+    * [[report]] shared-intermediate contract) so it is a build-once
+    * artifact and the probe pass is the only corpus-wide tokenization;
+    * omitted (small inputs, tests), the plan recomputes per consumer.
+    *
     * Returns (doc_id, n_shared, action="drop") for flagged TRAIN docs;
     * `n_shared` counts distinct eval-overlapping shingles, exactly. */
   def bloomScrub(df: DataFrame, idCol: String, textCol: String,

@@ -87,10 +87,13 @@ object Embed {
   /** [[withEmbeddings]] for NON-SERIALIZABLE encoders (ONNX/JNI): the
     * factory ships, the session lives per partition — instantiated
     * lazily on the first row (empty partitions pay nothing), fed
-    * `batchSize`d slices, `close()`d exactly once when the partition's
-    * iterator drains. Same schema/batch contract as [[withEmbeddings]];
-    * a session must return one vector per input row or the partition
-    * fails loudly. */
+    * `batchSize`d slices, `close()`d exactly once however the task
+    * ends. The drain path closes eagerly; a TaskCompletionListener
+    * backstops the cases the iterator never reaches exhaustion — a
+    * downstream limit abandoning the partition mid-way, or encode()
+    * throwing — so a reused executor JVM cannot leak native sessions.
+    * Same schema/batch contract as [[withEmbeddings]]; a session must
+    * return one vector per input row or the partition fails loudly. */
   def withEmbeddingsSession(df: DataFrame, textCol: String,
                             outCol: String,
                             makeSession: () => SessionEncoder,
@@ -102,6 +105,10 @@ object Embed {
       else {
         val session = makeSession()
         var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; session.close() }
+        // backstop for partial consumption (limit) and mid-batch failure
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         val rows = it.grouped(batchSize).flatMap { batch =>
           val vecs = session.encode(batch.map(r =>
             Option(r.getString(textIdx)).getOrElse("")))
@@ -115,7 +122,7 @@ object Embed {
         new Iterator[Row] {
           override def hasNext: Boolean = {
             val h = rows.hasNext
-            if (!h && !closed) { closed = true; session.close() }
+            if (!h) closeOnce()
             h
           }
           override def next(): Row = rows.next()

@@ -54,8 +54,15 @@ object FullText {
         .select(col("id"), toks.as("__tk")),
       indexDir, k1, b)
 
-  private def buildFrom(tokenized: DataFrame, indexDir: String,
-                        k1: Double, b: Double): Unit = {
+  /** The factored form over a tokenized (id, __tk) frame, in memory:
+    * (docPostings(id,dim,w), dict(term,dim), dfreq(term,df_),
+    * stats(n_docs,avgdl)) — ONE definition of the tf-part/dictionary
+    * arithmetic shared by [[build]]'s artifact writer and the
+    * in-memory duality seam ([[dualityPostings]]), so the demo, the
+    * spec, and the stored artifact cannot drift apart. */
+  private[graft] def factored(tokenized: DataFrame, k1: Double,
+                              b: Double)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val base = tokenized
     val tf = base.select(col("id"), explode(col("__tk")).as("term"))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -69,16 +76,46 @@ object FullText {
       .withColumn("dim",
         row_number().over(Window.orderBy(col("term"))).cast("int"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_"))
-    dict.write.mode("overwrite").parquet(dictDir(indexDir))
-    dfreq.write.mode("overwrite").parquet(dfDir(indexDir))
-    stats.write.mode("overwrite").parquet(statsDir(indexDir))
-    tf.join(dl, "id")
+    val docPost = tf.join(dl, "id")
       .crossJoin(broadcast(stats))
       .withColumn("w", round(col("tf") * lit(k1 + 1.0)
         / (col("tf") + lit(k1) * (lit(1.0 - b)
           + lit(b) * col("dl") / col("avgdl"))), 4))
       .join(dict, "term")
       .select(col("id"), col("dim"), col("w"))
+    (docPost, dict, dfreq, stats)
+  }
+
+  /** The idf query side from in-memory factored parts (the stored-
+    * artifact twin is [[queryPostings]]). */
+  private def idfPostings(dict: DataFrame, dfreq: DataFrame,
+                          stats: DataFrame, terms: Seq[String]): DataFrame =
+    dict.where(col("term").isin(terms: _*))
+      .join(dfreq, "term").crossJoin(broadcast(stats))
+      .select(col("dim"),
+        round(log((col("n_docs") - col("df_") + 0.5)
+          / (col("df_") + 0.5) + 1.0), 4).as("w"))
+
+  /** In-memory duality seam (no stored artifact): (docPostings,
+    * queryPostings) over whitespace tokens — serve with
+    * [[SparseVec.search]] and the dot product IS the BM25 score. */
+  def dualityPostings(docs: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String], k1: Double = 1.2,
+                      b: Double = 0.75): (DataFrame, DataFrame) = {
+    val tokenized = docs.select(col(idCol).as("id"),
+        col(textCol).as("__text"))
+      .select(col("id"), toks.as("__tk"))
+    val (docPost, dict, dfreq, stats) = factored(tokenized, k1, b)
+    (docPost, idfPostings(dict, dfreq, stats, terms))
+  }
+
+  private def buildFrom(tokenized: DataFrame, indexDir: String,
+                        k1: Double, b: Double): Unit = {
+    val (docPost, dict, dfreq, stats) = factored(tokenized, k1, b)
+    dict.write.mode("overwrite").parquet(dictDir(indexDir))
+    dfreq.write.mode("overwrite").parquet(dfDir(indexDir))
+    stats.write.mode("overwrite").parquet(statsDir(indexDir))
+    docPost
       .write.mode("overwrite").partitionBy("dim")
       .parquet(SparseVec.postingsDir(indexDir))
   }
@@ -124,19 +161,31 @@ object FullText {
     val stats = spark.read.parquet(statsDir(indexDir))
     val dict = spark.read.parquet(dictDir(indexDir))
     val maxDim = dict.agg(max(col("dim"))).first().getInt(0)
-    val newTerms = tf.select("term").distinct()
+    // collect the batch's genuinely-new vocabulary ONCE (bounded by the
+    // batch's distinct terms): the same driver-side list then feeds the
+    // dict append, the df append, and the posting join — one plan run,
+    // and no reliance on re-listing a directory this very method just
+    // appended into
+    val newTerms: Seq[(String, Int)] = tf.select("term").distinct()
       .join(dict.select("term"), Seq("term"), "left_anti")
-      .withColumn("dim",
-        (row_number().over(Window.orderBy(col("term"))) + maxDim)
-          .cast("int"))
-    if (!newTerms.isEmpty) {
-      newTerms.write.mode("append").parquet(dictDir(indexDir))
+      .orderBy(col("term"))
+      .collect().map(_.getString(0)).toIndexedSeq
+      .zipWithIndex.map { case (t, i) => (t, maxDim + i + 1) }
+    if (newTerms.nonEmpty) {
+      import spark.implicits._
+      val nt = newTerms.toDF("term", "dim")
+      nt.write.mode("append").parquet(dictDir(indexDir))
       // frozen-df discipline: unseen terms get df=1 so a later query
       // can still weight them (n_docs stays the sealed count)
-      newTerms.select(col("term"), lit(1L).as("df_"))
+      nt.select(col("term"), lit(1L).as("df_"))
         .write.mode("append").parquet(dfDir(indexDir))
     }
-    val fullDict = spark.read.parquet(dictDir(indexDir))
+    val fullDict =
+      if (newTerms.isEmpty) dict
+      else {
+        import spark.implicits._
+        dict.unionByName(newTerms.toDF("term", "dim"))
+      }
     tf.join(dl, "id")
       .crossJoin(broadcast(stats))
       .withColumn("w", round(col("tf") * lit(k1 + 1.0)

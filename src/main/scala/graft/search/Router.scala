@@ -127,7 +127,15 @@ object Router {
             val (mt, n, bytes) = stat(p)
             s"m$mt.n$n.b$bytes"
           }
-          flatStatCache.put(r, (now, part))
+          // never memoize ABSENT: the very next probe after a build must
+          // see the artifact (caching "absent" would let decideTier pin
+          // a decision for a tier that now exists); and bound the map —
+          // one entry per root string, cleared if a pathological caller
+          // cycles roots
+          if (part != "absent") {
+            if (flatStatCache.size() > 4096) flatStatCache.clear()
+            flatStatCache.put(r, (now, part))
+          }
           part
         }
       }

@@ -84,6 +84,40 @@ class OperatorSpec extends SparkSpec {
     assert(out == ref)
   }
 
+  test("session encoder: partial consumption (limit) still closes sessions") {
+    SessionSpecCounters.reset()
+    val df = (0 until 40).map(i => (i.toLong, s"tok$i alpha"))
+      .toDF("id", "text").repartition(2)
+    // a downstream limit abandons partition iterators before they drain
+    // — the TaskCompletionListener backstop must still close every
+    // session that was opened
+    val got = Embed.withEmbeddingsSession(df, "text", "v",
+        () => SessionSpecCounters.make(), batchSize = 4)
+      .limit(3).collect()
+    assert(got.length == 3)
+    val opened = SessionSpecCounters.opened.get()
+    assert(opened > 0)
+    assert(SessionSpecCounters.closed.get() == opened,
+      s"leaked sessions: opened=$opened closed=" +
+        s"${SessionSpecCounters.closed.get()}")
+  }
+
+  test("collection pages: exact-multiple export has no trailing empty page") {
+    import graft.core.Collection
+    val dir = "/tmp/graft_test_pages/coll"
+    val coll = Collection(spark, dir)
+    val data = (0L until 10L).map(i => (i, s"row$i")).toDF("id", "s")
+    coll.create(data.schema, force = true)
+    coll.append(data)
+    // 10 rows / pageSize 5 = exactly 2 pages, never a third empty one
+    val sizes = coll.pages("id", 5).map(_.count()).toSeq
+    assert(sizes == Seq(5L, 5L), s"got pages of $sizes")
+    // an empty collection yields zero pages
+    coll.delete(col("id") >= 0)
+    assert(coll.pages("id", 5).isEmpty)
+    coll.drop()
+  }
+
   test("IVF: nprobe=nlist equals exact search; partial probe recalls most") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val dir = "/tmp/graft_ivf_test"
@@ -1439,6 +1473,41 @@ class OperatorSpec extends SparkSpec {
         Seq((3L, "zz")).toDF("id", "bogus"), defaults)
     }
     assert(e2.getMessage.contains("not in collection schema"))
+    // null ARRIVING in a present non-nullable, non-defaulted column →
+    // the write fails loudly instead of storing a corrupted row
+    val e3 = intercept[Exception] {
+      coll.appendWithDefaults(
+        Seq((Some(3L), "fr"), (None, "de"))
+          .toDF("id", "lang"), defaults)
+    }
+    assert(e3.getMessage.contains("non-nullable column 'id'"),
+      s"unexpected: ${e3.getMessage}")
+    coll.drop()
+  }
+
+  test("appendWithDefaults: accepts columns evolved after create") {
+    import graft.core.Collection
+    import org.apache.spark.sql.types._
+    val dir = "/tmp/graft_test_nulldef/evolved"
+    val coll = Collection(spark, dir)
+    coll.create(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("lang", StringType, nullable = true))), force = true)
+    coll.appendWithDefaults(Seq((1L, "en")).toDF("id", "lang"))
+    // schema evolution: a plain append adds a column the sidecar predates
+    coll.append(Seq((2L, "fr", 9.5)).toDF("id", "lang", "score"))
+    // the conforming insert path must accept the evolved column...
+    coll.appendWithDefaults(Seq((3L, "es", 1.5))
+      .toDF("id", "lang", "score"))
+    val got = coll.readMerged.orderBy(col("id"))
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, "en", None), (2L, "fr", Some(9.5)),
+      (3L, "es", Some(1.5))))
+    // ...while still rejecting genuinely unknown columns
+    val e = intercept[IllegalArgumentException] {
+      coll.appendWithDefaults(Seq((4L, "zz")).toDF("id", "bogus"))
+    }
+    assert(e.getMessage.contains("not in collection schema"))
     coll.drop()
   }
 

@@ -31,31 +31,10 @@ class TextSearchSpec extends SparkSpec {
     val canonical = Bm25.score(corpus, "doc_id", "text", terms)
       .orderBy(col("bm25").desc, col("id").asc)
       .select("id").as[Long].collect().toSeq
-    // the factored sparse form: doc side carries the tf part, query
-    // side the idf part; dims from a dense vocab dictionary
-    val (k1, b) = (1.2, 0.75)
-    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-    val tf = corpus.select(col("doc_id").as("id"), explode(toks).as("term"))
-      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = corpus.select(col("doc_id").as("id"),
-      size(toks).cast("double").as("dl"))
-    val stats = corpus.agg(count(lit(1)).cast("double").as("n_docs"),
-      (sum(size(toks).cast("long")).cast("double")
-        / count(lit(1)).cast("double")).as("avgdl"))
-    val dict = tf.select("term").distinct()
-      .withColumn("dim",
-        row_number().over(Window.orderBy(col("term"))).cast("int"))
-    val docPost = tf.join(dl, "id").crossJoin(broadcast(stats))
-      .withColumn("w", round(col("tf") * lit(k1 + 1.0)
-        / (col("tf") + lit(k1) * (lit(1.0 - b)
-          + lit(b) * col("dl") / col("avgdl"))), 4))
-      .join(dict, "term").select(col("id"), col("dim"), col("w"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_"))
-    val qPost = dict.where(col("term").isin(terms: _*))
-      .join(dfreq, "term").crossJoin(broadcast(stats))
-      .withColumn("w", round(log((col("n_docs") - col("df_") + 0.5)
-        / (col("df_") + 0.5) + 1.0), 4))
-      .select(col("dim"), col("w"))
+    // the factored sparse form — the SAME definition the stored
+    // artifact builds from (FullText.factored), via the duality seam
+    val (docPost, qPost) = graft.search.FullText.dualityPostings(
+      corpus, "doc_id", "text", terms)
     val sparse = SparseVec.search(docPost, qPost, "id", 10)
       .select("id").as[Long].collect().toSeq
     assert(sparse == canonical,
