@@ -65,6 +65,30 @@ class TextSearchSpec extends SparkSpec {
     assert(after == before.filterNot(_._1 == top))
   }
 
+  test("fulltext compaction: the sparse fold verb clears mask debt, " +
+      "serving unchanged") {
+    import graft.search.{FullText, SparseVec, Tombstones}
+    val idx = "/tmp/graft_test_fulltext/fold"
+    val p = new org.apache.hadoop.fs.Path(idx)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val corpus = Seq(
+      (1L, "scan scan merge alpha"),
+      (2L, "scan merge merge beta"),
+      (3L, "merge delta epsilon")).toDF("doc_id", "text")
+    FullText.build(corpus, "doc_id", "text", idx)
+    SparseVec.delete(Seq(1L).toDF("doc_id"), idx, "doc_id")
+    val masked = FullText.search(spark, idx, Seq("scan", "merge"), 10)
+      .as[(Long, Double)].collect().toSeq
+    // the sparse family's compaction verb folds the lexical artifact
+    // verbatim (same postings layout): tombstones cleared, rows gone
+    SparseVec.compactTombstones(spark, idx, "id")
+    assert(!Tombstones.exist(spark, idx), "fold must clear the mask debt")
+    val folded = FullText.search(spark, idx, Seq("scan", "merge"), 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(folded == masked, "serving must not change across the fold")
+    assert(!folded.map(_._1).contains(1L))
+  }
+
   test("fulltext append: frozen stats, dictionary extends for new terms") {
     import graft.search.FullText
     val idx = "/tmp/graft_test_fulltext/inc"
