@@ -199,6 +199,78 @@ object ScaleQueries {
         shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
 
+  /** Geo radius search — the Milvus 2.6 GEOMETRY family's core query
+    * (ST_DWITHIN: entities within r of a point), Spark-first: each
+    * user's deterministic (lat, lon) — an integer-arithmetic synthetic
+    * projection of the fixture, identical in both engines — lands in a
+    * LAT-SORTED layout, the radius query prefilters by BOUNDING BOX
+    * (r/111° of latitude; longitude widened by 1/cos(qlat)) which
+    * pushes to the scan as plain range predicates (parquet min/max
+    * skipping on the sort key — PlanSpec pins it), and only bbox
+    * survivors pay the exact haversine verify + top-k. That two-phase
+    * shape (cheap pushed prefilter → exact trig on survivors) is
+    * every geo engine's plan, expressed as layout + pushed ranges;
+    * at 100 TB the bbox reads the query's cells, not the planet.
+    * Haversine is rounded (4 dp ≈ 0.1 m) with the +1e-9 epsilon — the
+    * libm-parity discipline every ln/exp oracle here uses. */
+  private val geoRadiusSearch = Q(
+    "geo_radius_search",
+    (s, dir) => {
+      val out = s"/tmp/graft_geo_pts_${math.abs(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(out + "/_SUCCESS")
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!f.exists(p)) {
+        Tables.events(s, dir).select(col("user_id")).distinct()
+          .select(col("user_id"),
+            ((col("user_id") * 9973 % 17000) / 100.0 - 85.0).as("lat"),
+            ((col("user_id") * 7919 % 36000) / 100.0 - 180.0).as("lon"))
+          .repartitionByRange(4, col("lat"))
+          .sortWithinPartitions(col("lat"))
+          .write.mode("overwrite").parquet(out)
+      }
+      // query anchor = user 1's own point (present at every SF, so the
+      // result is never empty): ((9973 % 17000)/100 − 85,
+      // (7919 % 36000)/100 − 180) = (14.73, −100.81)
+      val (qLat, qLon, rKm) = (14.73, -100.81, 3000.0)
+      val dLat = rKm / 111.0
+      val dLon = rKm / (111.0 * math.cos(math.toRadians(qLat)))
+      val hav = {
+        val rLat = radians(col("lat")); val rQLat = radians(lit(qLat))
+        val a = pow(sin((rLat - radians(lit(qLat))) / 2), 2) +
+          cos(rLat) * cos(rQLat) *
+            pow(sin((radians(col("lon")) - radians(lit(qLon))) / 2), 2)
+        lit(2 * 6371.0) * asin(sqrt(a))
+      }
+      s.read.parquet(out)
+        .where(col("lat").between(qLat - dLat, qLat + dLat) &&
+          col("lon").between(qLon - dLon, qLon + dLon))
+        .withColumn("dist_km", round(hav + lit(1e-9), 4))
+        .where(col("dist_km") <= rKm)
+        .select("user_id", "lat", "lon", "dist_km")
+        .orderBy(col("dist_km").asc, col("user_id").asc)
+    },
+    Some("""
+      WITH pts AS (SELECT DISTINCT user_id,
+                          (user_id * 9973 % 17000) / 100.0 - 85.0 AS lat,
+                          (user_id * 7919 % 36000) / 100.0 - 180.0 AS lon
+                   FROM events),
+      cand AS (SELECT * FROM pts
+               WHERE lat BETWEEN 14.73 - 3000.0/111.0
+                             AND 14.73 + 3000.0/111.0
+                 AND lon BETWEEN -100.81 - 3000.0/(111.0*cos(radians(14.73)))
+                             AND -100.81 + 3000.0/(111.0*cos(radians(14.73)))),
+      d AS (SELECT user_id, lat, lon,
+                   round(2 * 6371.0 * asin(sqrt(
+                     sin((radians(lat) - radians(14.73)) / 2)^2
+                     + cos(radians(lat)) * cos(radians(14.73))
+                       * sin((radians(lon) - radians(-100.81)) / 2)^2))
+                     + 1e-9, 4) AS dist_km
+            FROM cand)
+      SELECT user_id, lat, lon, dist_km FROM d
+      WHERE dist_km <= 3000.0
+      ORDER BY dist_km ASC, user_id ASC
+    """))
+
   /** Z-order (Morton-curve) layout for MULTI-column scan pruning — the
     * step past sorted_scan_prune's single-key clustering: events are
     * written range-partitioned and sorted by the bit-interleave of
@@ -284,5 +356,5 @@ object ScaleQueries {
 
   val all: Seq[Q] = Seq(saltedJoinAgg, bucketedJoinAgg, setOpsCustomers,
     bloomFilterJoin, sortedScanPrune, zorderScanPrune,
-    partitionedScanPrune)
+    partitionedScanPrune, geoRadiusSearch)
 }

@@ -69,6 +69,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("geo radius search: bbox ranges reach the lat-sorted scan") {
+    val p = plan("geo_radius_search")
+    assert(p.contains("GreaterThanOrEqual(lat") &&
+      p.contains("LessThanOrEqual(lat"),
+      s"lat bbox not pushed to the sorted layout:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("clustering compaction: window predicate reaches the clustered scan") {
     val p = plan("clustering_compaction")
     assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"),
