@@ -1221,6 +1221,33 @@ object ScaleBench {
             .orderBy(col("distance").asc, col("vec_id").asc)
             .limit(5).count()
         }),
+        // geo radius (round 13): bbox candidates over a lat-sorted point
+        // layout. The cap-exact bbox admits a constant FRACTION of a
+        // uniformly-projected corpus, so candidates (and the exact-
+        // haversine verify work) grow linearly with n (rows-exp ≈ 1)
+        // while the lat-range predicate prunes the sorted layout's row
+        // groups — the scan reads the band, not the planet.
+        "geo_radius (cap-exact bbox + haversine)" -> (() => {
+          val pts = materialize(
+            spark.range(n.toLong).select(col("id").as("user_id"),
+                ((col("id") * 9973 % 17000) / 100.0 - 85.0).as("lat"),
+                ((col("id") * 7919 % 36000) / 100.0 - 180.0).as("lon"))
+              .repartitionByRange(8, col("lat"))
+              .sortWithinPartitions(col("lat")),
+            s"/tmp/graft_scale/geo_$n")
+          val (qLat, qLon, rKm) = (14.73, -100.81, 3000.0)
+          val dLat = rKm / 111.0
+          val dLon = math.toDegrees(math.asin(
+            math.sin(rKm / 6371.0) / math.cos(math.toRadians(qLat))))
+          val rLat = radians(col("lat")); val rQLat = radians(lit(qLat))
+          val hav = lit(2 * 6371.0) * asin(sqrt(
+            pow(sin((rLat - rQLat) / 2), 2) + cos(rLat) * cos(rQLat) *
+              pow(sin((radians(col("lon")) - radians(lit(qLon))) / 2), 2)))
+          pts.where(col("lat").between(qLat - dLat, qLat + dLat) &&
+              col("lon").between(qLon - dLon, qLon + dLon))
+            .where(round(hav + lit(1e-9), 4) <= rKm)
+            .count()
+        }),
         "search_offset_deep (page 32, offset)" -> (() => {
           import spark.implicits._
           val q = Seq(Tuple1(emb.where(col("vec_id") === 0)
