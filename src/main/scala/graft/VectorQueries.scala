@@ -2608,9 +2608,12 @@ object VectorQueries {
       val e = Tables.embeddings(s, dir)
       val ev = Tables.events(s, dir)
       val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
-      val nEmb = e.count()
-      val fresh = ev
-        .groupBy(pmod(col("event_id"), lit(nEmb)).as("vec_id"))
+      // corpus cardinality rides into the plan as a broadcast 1-row
+      // aggregate (the oracle's CTE n) — no eager driver-side count job,
+      // no extra corpus pass
+      val nEmb = broadcast(e.agg(count(lit(1)).as("n_emb")))
+      val fresh = ev.crossJoin(nEmb)
+        .groupBy(pmod(col("event_id"), col("n_emb")).as("vec_id"))
         .agg(max(unix_micros(col("ts"))).as("doc_us"))
       val origin = fresh.agg(max(col("doc_us")).as("origin_us"))
       e.crossJoin(broadcast(q))
@@ -2663,7 +2666,11 @@ object VectorQueries {
     * row_number window (rounded distance + unique id ⇒ keyset pages ≡
     * rank buckets), hash-checking the cursor arithmetic row by row.
     * Composes with any tier that yields (vec_id, distance) — on the
-    * IVF layout the pre-cursor rows are additionally partition-pruned. */
+    * IVF layout the pre-cursor rows are additionally partition-pruned.
+    * (Presentation note: the final union re-evaluates each bounded
+    * page so the entry's plan shows the per-page TakeOrdered shape; a
+    * real consumer takes each page once — [[graft.core.Collection
+    * .pages]] checkpoints pages for exactly that one-scan contract.) */
   private val searchIterate = Q(
     "search_iterate",
     (s, dir) => {

@@ -177,19 +177,23 @@ final class Collection(spark: SparkSession, val dir: String,
       .orderBy(col(keyCol).asc).limit(pageSize)
   }
 
-  /** Driver-side page cursor over [[page]] — advancing runs one bounded
-    * 1-row aggregate; the page itself stays a DataFrame (write it,
-    * don't collect it). Pages are prefetched in `hasNext`, so an
-    * export whose row count is an exact multiple of `pageSize` (or an
-    * empty collection) never yields a spurious empty trailing page —
-    * only non-empty pages are emitted. */
+  /** Driver-side page cursor over [[page]] — the page itself stays a
+    * DataFrame (write it, don't collect it). Each page is
+    * locally-checkpointed on production, so the corpus is scanned ONCE
+    * per page: the cursor aggregate and the caller's consumption both
+    * read the materialized (pageSize-bounded) rows instead of
+    * re-running the pruned scan; blocks are freed by the context
+    * cleaner once the frame is unreachable. Pages are prefetched in
+    * `hasNext`, so an export whose row count is an exact multiple of
+    * `pageSize` (or an empty collection) never yields a spurious empty
+    * trailing page — only non-empty pages are emitted. */
   def pages(keyCol: String, pageSize: Int): Iterator[DataFrame] =
     new Iterator[DataFrame] {
       private var last: Option[Long] = None
       private var done = false
       private var pending: Option[DataFrame] = None
       private def advance(): Unit = if (pending.isEmpty && !done) {
-        val pg = page(keyCol, last, pageSize)
+        val pg = page(keyCol, last, pageSize).localCheckpoint(true)
         // fully qualified: Iterator's own max/count shadow the sql functions
         val mx = pg.agg(
           org.apache.spark.sql.functions.max(col(keyCol)).as("m"),

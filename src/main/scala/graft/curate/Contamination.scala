@@ -109,6 +109,9 @@ object Contamination {
                  workDir: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // repartition before the shingle kernel: the CPU-heavy per-row work
+    // spreads across the cluster instead of the input's file count (the
+    // report()/README discipline for signature stages)
     val base = Sampling.withSplit(
       df.select(col(idCol).as("id"), col(textCol).as("text")), "id")
       .repartition(col("id"))
@@ -119,8 +122,15 @@ object Contamination {
       graft.core.Artifacts.buildOnce(spark,
         s"$d/bloomscrub_sh_n$shingleN")(shPlan))
       .getOrElse(shPlan)
-    val evalShingles = sh.where(col("split") =!= "train")
+    // the distinct eval shingle set feeds THREE consumers (count, bloom
+    // build, verify join) — staged too, so each reads the artifact
+    // instead of re-running the explode+distinct shuffle
+    val evalPlan = sh.where(col("split") =!= "train")
       .select(explode(col("sh")).as("shingle")).distinct()
+    val evalShingles = workDir.map(d =>
+      graft.core.Artifacts.buildOnce(spark,
+        s"$d/bloomscrub_eval_n$shingleN")(evalPlan))
+      .getOrElse(evalPlan)
     // size the filter from the build side's own count (one bounded job
     // over the SMALL side), then build it in a second aggregate pass
     val nEval = math.max(1L, evalShingles.count())

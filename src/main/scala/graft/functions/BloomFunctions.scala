@@ -25,11 +25,34 @@ import org.apache.spark.sql.types.BinaryType
 object BloomFunctions {
   /** Aggregate a column into a serialized bloom filter (binary).
     * `expectedItems` sizes the filter (Spark defaults the bit budget
-    * from it); pass the build side's distinct-count estimate. */
-  def bloomAgg(value: Column, expectedItems: Long): Column =
+    * from it); pass the build side's distinct-count estimate.
+    *
+    * LOUD at the Catalyst caps: [[BloomFilterAggregate]] silently
+    * clamps the estimate to `spark.sql.optimizer.runtime.bloomFilter.
+    * maxNumItems` (default 4M) and the bit budget to `...maxNumBits`
+    * (default 2²⁶ bits) — a clamped filter saturates, fpp drifts
+    * toward 1, and a prefilter quietly degrades to a full pass while
+    * results stay exact. This wrapper refuses instead: raise the two
+    * confs (or chunk the build side) when the suite genuinely exceeds
+    * them. */
+  def bloomAgg(value: Column, expectedItems: Long): Column = {
+    val conf = org.apache.spark.sql.SparkSession.active.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      "67108864").toLong
+    require(expectedItems <= maxItems && expectedItems * 8 <= maxBits,
+      s"expectedItems=$expectedItems would be silently clamped " +
+        s"(maxNumItems=$maxItems, maxNumBits=$maxBits → filter " +
+        "saturates and the prefilter degrades to a full pass); raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits}" +
+        " or chunk the build side")
     Bridge.column(new BloomFilterAggregate(
       Bridge.expression(xxhash64(value)), expectedItems)
       .toAggregateExpression())
+  }
 
   /** Probe predicate: might `value` be in the serialized filter?
     * The filter bytes ride into the plan as ONE binary literal

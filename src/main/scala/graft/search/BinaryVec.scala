@@ -116,6 +116,22 @@ object BinaryVec {
         / (lit(math.sqrt(dim.toDouble)) * cx.cast("double"))), 4)
   }
 
+  /** Σ popcount(a ∧ b) over packed word pairs — the intersection count
+    * all three overlap metrics ([[jaccardDist]], [[substructureDist]],
+    * [[superstructureDist]]) share; ONE definition so a packing change
+    * reaches every metric at once. */
+  private def interCount(pairs: Seq[(Column, Column)]): Column =
+    pairs.map { case (a, b) =>
+      call_function("bit_count", a.bitwiseAND(b)).cast("long")
+    }.reduce(_ + _)
+
+  /** 1 − inter/denom with the 0/0 → 0 convention, rounded 4 decimals. */
+  private def containmentDist(pairs: Seq[(Column, Column)],
+                              denom: Column): Column =
+    round(when(denom === 0, 0.0)
+      .otherwise(lit(1.0)
+        - interCount(pairs).cast("double") / denom.cast("double")), 4)
+
   /** SUBSTRUCTURE distance between packed signatures — the third binary
     * metric Milvus serves (SUBSTRUCTURE, the chemical-fingerprint "is
     * the query molecule contained in the candidate" test):
@@ -125,32 +141,20 @@ object BinaryVec {
     * word); an all-zero query matches everything (distance 0), the 0/0
     * convention Milvus's formula implies. Rounded to 4 decimals for
     * cross-engine rank stability. */
-  def substructureDist(pairs: Seq[(Column, Column)]): Column = {
-    val inter = pairs.map { case (a, b) =>
-      call_function("bit_count", a.bitwiseAND(b)).cast("long")
-    }.reduce(_ + _)
-    val nb = pairs.map { case (_, b) =>
+  def substructureDist(pairs: Seq[(Column, Column)]): Column =
+    containmentDist(pairs, pairs.map { case (_, b) =>
       call_function("bit_count", b).cast("long")
-    }.reduce(_ + _)
-    round(when(nb === 0, 0.0)
-      .otherwise(lit(1.0) - inter.cast("double") / nb.cast("double")), 4)
-  }
+    }.reduce(_ + _))
 
   /** SUPERSTRUCTURE distance — the mirror metric (Milvus
     * SUPERSTRUCTURE): 1 − |a ∧ b| / |a| with `a` the STORED candidate —
     * exactly 0 iff every candidate bit is set in the query
     * (candidate ⊆ query). An all-zero candidate is contained in any
     * query (distance 0). */
-  def superstructureDist(pairs: Seq[(Column, Column)]): Column = {
-    val inter = pairs.map { case (a, b) =>
-      call_function("bit_count", a.bitwiseAND(b)).cast("long")
-    }.reduce(_ + _)
-    val na = pairs.map { case (a, _) =>
+  def superstructureDist(pairs: Seq[(Column, Column)]): Column =
+    containmentDist(pairs, pairs.map { case (a, _) =>
       call_function("bit_count", a).cast("long")
-    }.reduce(_ + _)
-    round(when(na === 0, 0.0)
-      .otherwise(lit(1.0) - inter.cast("double") / na.cast("double")), 4)
-  }
+    }.reduce(_ + _))
 
   /** Jaccard (Tanimoto) DISTANCE between packed signatures — the other
     * binary metric Milvus serves (JACCARD): 1 − |a ∧ b| / |a ∨ b|,
@@ -158,14 +162,8 @@ object BinaryVec {
     * hamming's one). Two all-zero signatures are distance 0 by
     * convention (identical), not the NULL a 0/0 would yield. Rounded
     * to 4 decimals for cross-engine rank stability. */
-  def jaccardDist(pairs: Seq[(Column, Column)]): Column = {
-    val inter = pairs.map { case (a, b) =>
-      call_function("bit_count", a.bitwiseAND(b)).cast("long")
-    }.reduce(_ + _)
-    val union = pairs.map { case (a, b) =>
+  def jaccardDist(pairs: Seq[(Column, Column)]): Column =
+    containmentDist(pairs, pairs.map { case (a, b) =>
       call_function("bit_count", a.bitwiseOR(b)).cast("long")
-    }.reduce(_ + _)
-    round(when(union === 0, 0.0)
-      .otherwise(lit(1.0) - inter.cast("double") / union.cast("double")), 4)
-  }
+    }.reduce(_ + _))
 }
