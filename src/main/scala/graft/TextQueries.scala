@@ -1041,6 +1041,84 @@ object TextQueries {
       ORDER BY score DESC, doc_id ASC LIMIT 10
     """))
 
+  /** WAND/max-score-pruned BM25 serve over the stored full-text
+    * artifact ([[graft.search.FullText.searchWand]]) — LOSSLESS top-k
+    * pruning for the lexical tier (round-14 verdict item 2): the query
+    * mixes the fixture's rarest term ('dup', df≈5%) with its most
+    * common ('batch', df≈80%); the common term's per-posting bound
+    * (idf·max tf-part) cannot reach the kth score set by the rare
+    * term's postings, so its ~80%-of-corpus posting list is pruned
+    * from candidate generation and only the rare term's docs pay the
+    * exact re-score. The ORACLE is the EXHAUSTIVE BM25 ranking — the
+    * pruned serve must hash-match it exactly, which IS the lossless
+    * claim (`fulltext_wand_prune_report` carries the pruning
+    * counters). */
+  private val fulltextWandSearch = Q(
+    "fulltext_wand_search",
+    (s, dir) => {
+      import graft.search.FullText
+      val idx = s"/tmp/graft_ftwand_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        FullText.build(Tables.documents(s, dir), "doc_id", "text", idx)
+      }
+      FullText.searchWand(s, idx, Seq("dup", "batch"), 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                      t -> len(t) > 0) AS tk
+                  FROM documents),
+      tt AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tt
+             GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+                FROM tk),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dw AS (SELECT tf.doc_id, tf.term,
+                    round(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl
+                      / avgdl)), 4) AS w
+             FROM tf JOIN dl USING (doc_id) CROSS JOIN stats),
+      qw AS (SELECT term,
+                    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 4)
+                      AS qw
+             FROM dfq CROSS JOIN stats
+             WHERE term IN ('dup', 'batch')),
+      sc AS (SELECT dw.doc_id, round(sum(dw.w * qw.qw), 4) AS score
+             FROM dw JOIN qw USING (term) GROUP BY dw.doc_id)
+      SELECT doc_id, score FROM sc
+      ORDER BY score DESC, doc_id ASC LIMIT 10
+    """))
+
+  /** The pruned-vs-scored accounting behind `fulltext_wand_search`
+    * ([[graft.search.FullText.wandReport]]): posting rows in the query
+    * dims, rows the exact phase scored, rows pruned, and the CHECKED
+    * lossless flag (wand top-k compared row-for-row against the
+    * exhaustive serve inside the entry). Rows-only by nature — the
+    * essential-prefix choice is an adaptive driver loop (bound test
+    * per doubling step) with no SQL counterpart, the `ann_lsh`
+    * category; the RANKING it accounts for is oracle-checked by
+    * `fulltext_wand_search`, and the counters' invariants
+    * (scored + pruned = total, flag = 1, pruned > 0 on this fixture)
+    * are spec-pinned in SearchOpsSpec. */
+  private val fulltextWandPruneReport = Q(
+    "fulltext_wand_prune_report",
+    (s, dir) => {
+      import graft.search.FullText
+      val idx = s"/tmp/graft_ftwand_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        FullText.build(Tables.documents(s, dir), "doc_id", "text", idx)
+      }
+      FullText.wandReport(s, idx, Seq("dup", "batch"), 10)
+    },
+    None)
+
   /** Streaming ingest into the stored full-text sparse artifact — the
     * family's last maintenance twin (build → append → delete → now a
     * Structured Streaming file source driving foreachBatch, the
@@ -2080,6 +2158,7 @@ object TextQueries {
     phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25,
     bm25AnalyzerSearch, bm25SparseDuality, fulltextSparseMasked,
     fulltextSparseIncremental, fulltextAnalyzedSearch,
+    fulltextWandSearch, fulltextWandPruneReport,
     streamingFulltextIngest,
     streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti,
     termPrefixSearch, prefixFilteredBm25, termFuzzySearch,

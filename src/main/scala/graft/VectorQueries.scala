@@ -2289,6 +2289,49 @@ object VectorQueries {
       ORDER BY score DESC, vec_id ASC LIMIT 10
     """))
 
+  /** [[sparseVectorSearch]]'s STORED-artifact serve with WAND/max-score
+    * pruning ([[graft.search.SparseVec.searchWandIndex]]): per-dim
+    * upper bounds (the `dimstats` table written at build) rank the
+    * query's posting lists best-first; lists whose bound sum cannot
+    * reach the kth partial score are pruned from candidate generation,
+    * exact re-score on survivors. The ORACLE is the exhaustive
+    * dot-product ranking — identical SQL to `sparse_vector_search`
+    * because the pruning is lossless BY CONSTRUCTION, and the
+    * hash-match proves it on the learned-sparse tier (the lexical twin
+    * is `fulltext_wand_search`). */
+  private val sparseWandSearch = Q(
+    "sparse_wand_search",
+    (s, dir) => {
+      import graft.search.SparseVec
+      val e = Tables.embeddings(s, dir)
+      val idx = s"/tmp/graft_sparsewand_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        SparseVec.build(e, "vec_id", "embedding", topN = 8, idx)
+      }
+      val qp = SparseVec.postings(
+        e.where(col("vec_id") === 0), "vec_id", "embedding", topN = 8)
+        .select(col("dim"), col("w"))
+      SparseVec.searchWandIndex(s, idx, qp, "vec_id", k = 10)
+    },
+    Some("""
+      WITH pr AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS dim,
+                         unnest(embedding) AS v
+                  FROM embeddings),
+      pw AS (SELECT vec_id, dim, round(CAST(v AS DOUBLE), 4) AS w FROM pr),
+      top AS (SELECT vec_id, dim, w FROM (
+          SELECT vec_id, dim, w,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY w DESC, dim ASC) AS rn
+          FROM pw WHERE w > 0) WHERE rn <= 8),
+      q AS (SELECT dim, w AS qw FROM top WHERE vec_id = 0),
+      sc AS (SELECT t.vec_id, round(sum(t.w * q.qw), 4) AS score
+             FROM top t JOIN q USING (dim) GROUP BY t.vec_id)
+      SELECT vec_id, score FROM sc
+      ORDER BY score DESC, vec_id ASC LIMIT 10
+    """))
+
   /** SPARSE + DENSE hybrid (the Milvus 2.4 flagship hybrid mode: a
     * SPLADE-shape sparse representation and a dense vector of the SAME
     * entity, each searched in its own index, fused by RRFRanker): the
@@ -4061,7 +4104,8 @@ object VectorQueries {
     asymmetricBinaryIncremental, streamingAsymIngest, ivfAsymBinarySearch,
     binaryRecallReport, knnIpTopK, mmrRerank,
     corpusDiversity,
-    sparseVectorSearch, hybridSearchWeighted, searchPagination,
+    sparseVectorSearch, sparseWandSearch, hybridSearchWeighted,
+    searchPagination,
     searchIterate, timeDecaySearch,
     embeddingOutliers, indexRecallReport, groupByFieldSearch,
     groupSizeSearch)

@@ -153,6 +153,14 @@ object FullText {
     weighted(tf, dl, stats, dict, k1, b)
       .write.mode("overwrite").partitionBy("dim")
       .parquet(SparseVec.postingsDir(indexDir))
+    // per-dim bound stats for WAND serving ([[SparseVec.dimStatsDir]]):
+    // rebuild from the stored postings, dropping stale rows
+    val sp = new org.apache.hadoop.fs.Path(
+      SparseVec.dimStatsDir(indexDir))
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sp, true)
+    SparseVec.appendDimStats(
+      spark.read.parquet(SparseVec.postingsDir(indexDir)), indexDir)
   }
 
   /** Absorb a new batch with the STORED statistics — the growing-
@@ -221,15 +229,17 @@ object FullText {
         import spark.implicits._
         dict.unionByName(newTerms.toDF("term", "dim"))
       }
-    tf.join(dl, "id")
+    val post = tf.join(dl, "id")
       .crossJoin(broadcast(stats))
       .withColumn("w", round(col("tf") * lit(k1 + 1.0)
         / (col("tf") + lit(k1) * (lit(1.0 - b)
           + lit(b) * col("dl") / col("avgdl"))), 4))
       .join(fullDict, "term")
       .select(col("id"), col("dim"), col("w"))
-      .write.mode("append").partitionBy("dim")
+    post.write.mode("append").partitionBy("dim")
       .parquet(SparseVec.postingsDir(indexDir))
+    // keep the WAND bound stats an upper bound over the grown postings
+    SparseVec.appendDimStats(post, indexDir)
   }
 
   /** The query's sparse form: (dim, w = rounded idf) for each query
@@ -253,4 +263,23 @@ object FullText {
              k: Int): DataFrame =
     SparseVec.searchIndex(spark, indexDir,
       queryPostings(spark, indexDir, terms), "id", k)
+
+  /** [[search]] with MAX-SCORE (WAND-family) posting-list pruning —
+    * lossless, identical rows ([[SparseVec.searchWandIndex]]'s bound
+    * argument): a high-df query term whose idf·tf bound cannot reach
+    * the kth score no longer drags its whole posting list through the
+    * aggregate. This is how Lucene/Milvus serve the reference's keyword
+    * retrieval path (src/app.py:305-317) at scale. */
+  def searchWand(spark: SparkSession, indexDir: String,
+                 terms: Seq[String], k: Int): DataFrame =
+    SparseVec.searchWandIndex(spark, indexDir,
+      queryPostings(spark, indexDir, terms), "id", k)
+
+  /** [[SparseVec.wandReport]] over a term query — the pruned-vs-scored
+    * posting-row accounting. */
+  def wandReport(spark: SparkSession, indexDir: String,
+                 terms: Seq[String], k: Int,
+                 checkLossless: Boolean = true): DataFrame =
+    SparseVec.wandReport(spark, indexDir,
+      queryPostings(spark, indexDir, terms), "id", k, checkLossless)
 }

@@ -420,6 +420,85 @@ class SearchOpsSpec extends SparkSpec {
     assert(scans.contains("dim"), s"dim prune missing: $scans")
   }
 
+  test("sparse WAND serve: lossless vs exhaustive, prunes the high-df " +
+      "list, survives maintenance and a legacy artifact") {
+    import graft.search.SparseVec
+    // dim 1: rare + heavy (docs 0-2, w=5); dim 2: stopword-ish — every
+    // doc posts it at w=0.01. The kth (k=2) partial score from dim 1
+    // alone (5.0) dwarfs dim 2's bound sum (0.01), so max-score prunes
+    // dim 2's whole posting list from candidate generation.
+    val corpus = (0L until 20L).map { i =>
+      (i, Array(if (i < 3) 5.0f else 0f, 0.01f))
+    }.toDF("id", "vec")
+    val root = "/tmp/graft_sparse_wand_test"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    SparseVec.build(corpus, "id", "vec", topN = 4, root)
+    val q = SparseVec.postings(
+      Seq((0L, Array(1.0f, 1.0f))).toDF("id", "vec"), "id", "vec", 4)
+    def exhaust(k: Int) = SparseVec.searchIndex(spark, root, q, "id", k)
+      .as[(Long, Double)].collect().toSeq
+    def wand(k: Int) = SparseVec.searchWandIndex(spark, root, q, "id", k)
+      .as[(Long, Double)].collect().toSeq
+    assert(wand(2) == exhaust(2))
+    val rep = SparseVec.wandReport(spark, root, q, "id", 2)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // 2 query dims, 1 essential; scored = the 3 heavy docs' 6 postings,
+    // pruned = the other 17 docs' dim-2 postings; lossless flag checked
+    assert(rep == ((2L, 1L, 23L, 6L, 17L, 1L)), s"report $rep")
+    // k past the essential candidate count → degrades to exhaustive,
+    // still equal (all 20 docs post dim 2)
+    assert(wand(10) == exhaust(10))
+    val rep10 = SparseVec.wandReport(spark, root, q, "id", 10)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(rep10._2 == 2L && rep10._4 == rep10._3 && rep10._6 == 1L)
+    // maintenance: delete a heavy doc, append + upsert — bounds stay
+    // conservative upper bounds, WAND stays lossless
+    SparseVec.delete(Seq(Tuple1(0L)).toDF("id"), root, "id")
+    assert(wand(2) == exhaust(2))
+    SparseVec.append(Seq((20L, Array(7.0f, 0.01f))).toDF("id", "vec"),
+      "id", "vec", topN = 4, root)
+    assert(wand(2) == exhaust(2) && wand(2).head._1 == 20L)
+    SparseVec.upsertBatch(spark, Seq((1L, Array(0f, 9.0f)))
+      .toDF("id", "vec"), "id", "vec", topN = 4, root)
+    assert(wand(3) == exhaust(3))
+    // legacy artifact: no dimstats table at all — bounds fall back to
+    // one dim-pruned postings aggregate, never to a 0 bound
+    val sp = new org.apache.hadoop.fs.Path(SparseVec.dimStatsDir(root))
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sp, true)
+    assert(wand(3) == exhaust(3))
+    // positive-weight precondition is loud
+    intercept[IllegalArgumentException] {
+      SparseVec.searchWandIndex(spark, root,
+        Seq((1, -0.5)).toDF("dim", "w"), "id", 2)
+    }
+  }
+
+  test("fulltext WAND serve: equals exhaustive BM25 with a stopword in " +
+      "the query") {
+    import graft.search.FullText
+    val idx = "/tmp/graft_fulltext_wand_test"
+    val p = new org.apache.hadoop.fs.Path(idx)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val corpus = (0L until 30L).map { i =>
+      val rare = if (i < 2) "zebra zebra" else "alpha"
+      (i, s"the the the $rare filler${i % 7} tail$i")
+    }.toDF("doc_id", "text")
+    FullText.build(corpus, "doc_id", "text", idx)
+    val terms = Seq("zebra", "the")
+    val exh = FullText.search(spark, idx, terms, 2)
+      .as[(Long, Double)].collect().toSeq
+    val wnd = FullText.searchWand(spark, idx, terms, 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(wnd == exh, s"wand $wnd != exhaustive $exh")
+    val rep = FullText.wandReport(spark, idx, terms, 2)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(rep._6 == 1L, s"lossless flag off: $rep")
+    assert(rep._4 + rep._5 == rep._3, s"scored+pruned != total: $rep")
+    assert(rep._5 > 0L, s"the stopword list was not pruned: $rep")
+  }
+
   test("linear classifier: codegen bucket equals HashingEmbedder's JVM bucket") {
     import graft.text.LinearClassifier
     // the classifier's conv(md5-hex) bucket must agree with the
