@@ -1160,6 +1160,110 @@ object PipelineQueries {
       FROM ids
     """))
 
+  /** Collection TTL serve (Milvus `collection.ttl.seconds` parity,
+    * round 14): rows are stamped with an ingest timestamp at append
+    * ([[graft.core.Collection.appendStamped]] — deterministic epoch +
+    * doc_id seconds here, the replayability discipline), the TTL is a
+    * collection PROPERTY (the `_graft_props.json` sidecar, carried
+    * through every crash-safe rewrite like the schema sidecar), and
+    * [[graft.core.Collection.readLive]] masks expired rows at serve
+    * time with one pushable comparison — expiry is visible immediately,
+    * physical reclamation is maintenance (`collection_ttl_reclaim`).
+    * The oracle replays expiry from the raw timestamps: ingest epoch
+    * 1704067200+doc_id, ttl 20 s, asOf epoch 1704067230 ⇒ live iff
+    * doc_id + 20 > 30. */
+  private val collectionTtlServe = Q(
+    "collection_ttl_serve",
+    (s, dir) => {
+      val out = s"/tmp/graft_ttl_${math.abs(dir.hashCode)}/serve"
+      val coll = Collection(s, out)
+      mutateOnce(s, out) {
+        val p = new org.apache.hadoop.fs.Path(out)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        coll.appendStamped(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          timestamp_seconds(lit(1704067200L) + col("doc_id")))
+        coll.setTtlSeconds(20)
+      }
+      coll.readLive(timestamp_seconds(lit(1704067230L)))
+        .select(col("doc_id"), col("source"),
+          col(Collection.IngestTsCol).cast("long").as("ingest_epoch"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some("""
+      SELECT doc_id, source,
+             CAST(1704067200 + doc_id AS BIGINT) AS ingest_epoch
+      FROM documents
+      WHERE doc_id + 20 > 30
+      ORDER BY doc_id ASC
+    """))
+
+  /** [[graft.core.Collection.reclaimExpired]] — the physical fold that
+    * repays `collection_ttl_serve`'s serve-time mask, under the same
+    * crash-safe tmp/rename swap as compaction (sidecars — schema AND
+    * the TTL property — survive the swap; OperatorSpec pins
+    * idempotence). The entry reclaims on a throwaway twin of the serve
+    * fixture and reports the post-reclaim [[graft.core.Collection
+    * .ttlDebt]] counters: expired debt must be ZERO and the live count
+    * must equal the serve mask's — a reclaim that dropped too much or
+    * too little hash-mismatches. */
+  private val collectionTtlReclaim = Q(
+    "collection_ttl_reclaim",
+    (s, dir) => {
+      val out = s"/tmp/graft_ttl_${math.abs(dir.hashCode)}/reclaim"
+      val coll = Collection(s, out)
+      val asOf = timestamp_seconds(lit(1704067230L))
+      mutateOnce(s, out) {
+        val p = new org.apache.hadoop.fs.Path(out)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        coll.appendStamped(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          timestamp_seconds(lit(1704067200L) + col("doc_id")))
+        coll.setTtlSeconds(20)
+        coll.reclaimExpired(asOf)
+      }
+      coll.ttlDebt(asOf)
+    },
+    Some("""
+      SELECT CAST(0 AS BIGINT) AS expired_rows,
+             CAST(count(*) FILTER (WHERE doc_id + 20 > 30) AS BIGINT)
+               AS live_rows
+      FROM documents
+    """))
+
+  /** The TTL policy row ([[graft.search.Maintenance.planTtl]] — the
+    * observe→plan discipline applied to collection expiry): at a later
+    * asOf the serve fixture's expired-but-present debt exceeds 10% of
+    * the collection, so `reclaim_expired` TRIGGERS. Metric, threshold,
+    * and the trigger bit are all replayed by the oracle from the raw
+    * timestamps — the same inspectable-arithmetic contract as
+    * `index_maintenance_plan`. */
+  private val collectionTtlPlan = Q(
+    "collection_ttl_plan",
+    (s, dir) => {
+      val out = s"/tmp/graft_ttl_${math.abs(dir.hashCode)}/serve"
+      val coll = Collection(s, out)
+      mutateOnce(s, out) {
+        val p = new org.apache.hadoop.fs.Path(out)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        coll.appendStamped(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          timestamp_seconds(lit(1704067200L) + col("doc_id")))
+        coll.setTtlSeconds(20)
+      }
+      graft.search.Maintenance.planTtl(s, out,
+        timestamp_seconds(lit(1704067400L)))
+    },
+    Some("""
+      SELECT 'reclaim_expired' AS action,
+             CAST(count(*) FILTER (WHERE doc_id + 20 <= 200) AS BIGINT)
+               AS metric,
+             CAST(floor(count(*) * 0.10) AS BIGINT) AS threshold,
+             count(*) FILTER (WHERE doc_id + 20 <= 200)
+               > floor(count(*) * 0.10) AS triggered
+      FROM documents
+    """))
+
   /** R1: top-3 hits joined to documents, numbered markdown context. */
   private val ragContextLines = Q(
     "rag_context_lines",
@@ -6348,7 +6452,9 @@ object PipelineQueries {
     ivfAutoRewriteSql, routedAutoSearch, routedAutoSearchBudget,
     routedGraphSearch,
     ivfIncrementalSearch, multiStrategySearch,
-    chapterParse, collectionRoundtrip, ragContextLines, embedIngest,
+    chapterParse, collectionRoundtrip, collectionTtlServe,
+    collectionTtlReclaim, collectionTtlPlan,
+    ragContextLines, embedIngest,
     embedSessionIngest,
     keywordTextSearch, chunkTextSearch, questionAnswerPipeline,
     collectionUpsert, collectionSchemaEvolution, collectionDeleteExpr,

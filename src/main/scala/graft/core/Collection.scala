@@ -41,6 +41,113 @@ final class Collection(spark: SparkSession, val dir: String,
   }
 
   private def declaredSchemaPath = new Path(dir, "_graft_schema.json")
+  private def propsPath = new Path(dir, "_graft_props.json")
+
+  // --- Collection properties + TTL (Milvus `collection.ttl.seconds`
+  // parity, round 14). Properties are a tiny `_`-prefixed JSON sidecar
+  // (k=v per line — no JSON library dependency needed for flat string
+  // pairs) that every Spark scan ignores and every crash-safe rewrite
+  // carries forward, like the declared-schema sidecar.
+
+  /** Set/merge collection properties (existing keys overwrite). Keys
+    * and values must not contain '\n' or '='. */
+  def setProperties(props: Map[String, String]): Unit = {
+    require(props.keys.forall(k => !k.contains("\n") && !k.contains("=")),
+      "property keys must not contain newline or '='")
+    require(props.values.forall(v => !v.contains("\n")),
+      "property values must not contain newline")
+    val merged = properties ++ props
+    val out = fs.create(propsPath, true)
+    try out.write(merged.toSeq.sorted
+      .map { case (k, v) => s"$k=$v" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Stored collection properties (empty if none set). */
+  def properties: Map[String, String] =
+    if (!fs.exists(propsPath)) Map.empty
+    else {
+      val in = fs.open(propsPath)
+      val s = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+      s.split("\n").filter(_.contains("=")).map { line =>
+        val i = line.indexOf('=')
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap
+    }
+
+  /** Milvus `collection.ttl.seconds`: rows older than this expire from
+    * every TTL-aware serve ([[readLive]]) and are physically reclaimed
+    * by [[reclaimExpired]]. Unset or ≤ 0 = rows never expire (the
+    * Milvus default). */
+  def setTtlSeconds(seconds: Long): Unit =
+    setProperties(Map(Collection.TtlProp -> seconds.toString))
+
+  def ttlSeconds: Option[Long] =
+    properties.get(Collection.TtlProp).map(_.toLong).filter(_ > 0)
+
+  /** [[append]] with the ingest timestamp stamped
+    * (`_graft_ingest_ts` — the insert-time Milvus keys TTL expiry on).
+    * `ingestTs` defaults to the wall clock; tests and replayable
+    * pipelines pass an explicit column (the determinism discipline
+    * every time-dependent operator here follows). */
+  def appendStamped(df: DataFrame,
+                    ingestTs: org.apache.spark.sql.Column =
+                      current_timestamp()): Unit =
+    append(df.withColumn(Collection.IngestTsCol,
+      ingestTs.cast("timestamp")))
+
+  /** TTL-masked read: rows whose age at `asOf` is ≥ ttl are filtered
+    * out — the serve-time mask (same discipline as tombstone masking:
+    * expiry is visible immediately, reclamation is maintenance). The
+    * predicate is a plain pushable comparison on the stamp column, so
+    * on an ingest-time-clustered layout it prunes files. Collections
+    * without a TTL property or without the stamp column serve
+    * unmasked. */
+  def readLive(asOf: org.apache.spark.sql.Column =
+                 current_timestamp()): DataFrame = {
+    val base = read
+    ttlSeconds match {
+      case Some(ttl) if base.columns.contains(Collection.IngestTsCol) =>
+        base.where(col(Collection.IngestTsCol).cast("long") + ttl
+          > asOf.cast("timestamp").cast("long"))
+      case _ => base
+    }
+  }
+
+  /** TTL debt — the expired-but-present audit counter ([[vacuum]]'s
+    * observability sibling): (expired_rows, live_rows) at `asOf`.
+    * Both zero-TTL and unstamped collections report 0 expired. */
+  def ttlDebt(asOf: org.apache.spark.sql.Column =
+                current_timestamp()): DataFrame = {
+    val base = read
+    val expiredPred = ttlSeconds match {
+      case Some(ttl) if base.columns.contains(Collection.IngestTsCol) =>
+        col(Collection.IngestTsCol).cast("long") + ttl <=
+          asOf.cast("timestamp").cast("long")
+      case _ => lit(false)
+    }
+    base.agg(
+      coalesce(sum(when(expiredPred, 1L)), lit(0L)).as("expired_rows"),
+      coalesce(sum(when(!expiredPred, 1L)), lit(0L)).as("live_rows"))
+  }
+
+  /** Physically reclaim expired rows (the compaction that repays
+    * [[readLive]]'s serve-time mask) under the same crash-safe swap as
+    * [[compact]]. Idempotent at a fixed `asOf`; returns the reclaimed
+    * row count. No-op (0) when nothing is expired — no rewrite
+    * churn. */
+  def reclaimExpired(asOf: org.apache.spark.sql.Column =
+                       current_timestamp()): Long = {
+    val before = count()
+    val live = readLive(asOf)
+    val liveCount = live.count()
+    if (liveCount < before) swapRewrite(live)
+    before - liveCount
+  }
 
   /** The schema as DECLARED at [[create]] (nullability preserved), when
     * the sidecar exists; collections built by raw appends fall back to
@@ -389,11 +496,14 @@ final class Collection(spark: SparkSession, val dir: String,
     f.delete(tmp, true)
     f.delete(old, true)
     newData.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // the declared-schema sidecar survives every rewrite swap
-    if (f.exists(declaredSchemaPath))
-      org.apache.hadoop.fs.FileUtil.copy(f, declaredSchemaPath,
-        f, new Path(tmp, declaredSchemaPath.getName), false,
-        spark.sparkContext.hadoopConfiguration)
+    // the declared-schema and properties sidecars survive every
+    // rewrite swap
+    Seq(declaredSchemaPath, propsPath).foreach { side =>
+      if (f.exists(side))
+        org.apache.hadoop.fs.FileUtil.copy(f, side,
+          f, new Path(tmp, side.getName), false,
+          spark.sparkContext.hadoopConfiguration)
+    }
     if (!f.rename(new Path(dir), old))
       throw new java.io.IOException(s"swap: rename $dir -> $old failed")
     if (!f.rename(tmp, new Path(dir)))
@@ -483,6 +593,13 @@ final class Collection(spark: SparkSession, val dir: String,
 }
 
 object Collection {
+  /** The property key Milvus spells `collection.ttl.seconds`. */
+  val TtlProp = "collection.ttl.seconds"
+
+  /** Ingest-timestamp column [[Collection.appendStamped]] stamps and
+    * TTL serving keys on. */
+  val IngestTsCol = "_graft_ingest_ts"
+
   def apply(spark: SparkSession, dir: String): Collection =
     new Collection(spark, dir)
 

@@ -95,6 +95,26 @@ object Maintenance {
       skewFactor))
   }
 
+  /** TTL-reclamation trigger for a COLLECTION (round 14 — the
+    * [[graft.core.Collection.ttlSeconds]] property's policy row, in
+    * [[plan]]'s exact schema): `reclaim_expired` fires when
+    * expired-but-present rows ([[graft.core.Collection.ttlDebt]] — the
+    * debt every [[graft.core.Collection.readLive]] serve pays as a
+    * mask predicate) exceed `expiredFrac` of the collection, and
+    * [[graft.core.Collection.reclaimExpired]] is the verb that clears
+    * it. `asOf` must be the same clock the serves use — pass an
+    * explicit literal for replayable plans (the fixture discipline). */
+  def planTtl(spark: SparkSession, collectionDir: String,
+              asOf: org.apache.spark.sql.Column,
+              expiredFrac: Double = 0.10): DataFrame = {
+    val d = graft.core.Collection(spark, collectionDir)
+      .ttlDebt(asOf).collect()(0)
+    val expired = d.getLong(0)
+    val total = expired + d.getLong(1)
+    toDf(spark, Seq(mkRow("reclaim_expired", expired,
+      (total * expiredFrac).toLong)))
+  }
+
   /** The observe→plan loop over EVERY index family (round 10 — the
     * three-verb [[plan]] read a third of the audit surface; this reads
     * the rest): the IVF core rows plus

@@ -1309,6 +1309,46 @@ class OperatorSpec extends SparkSpec {
     assert(!coll.exists)
   }
 
+  test("collection TTL: property sidecar, masked serve, reclaim is " +
+      "idempotent and survives compaction") {
+    val dir = "/tmp/graft_ttl_test/k"
+    val p = new org.apache.hadoop.fs.Path("/tmp/graft_ttl_test")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val coll = Collection(spark, dir)
+    val rows = (0L until 10L).map(i => (i, s"src$i")).toDF("id", "src")
+    // stamp ingest at epoch 1000+i; no TTL yet -> readLive serves all
+    coll.appendStamped(rows, timestamp_seconds(lit(1000L) + col("id")))
+    val asOf = timestamp_seconds(lit(1008L))
+    assert(coll.readLive(asOf).count() == 10)
+    assert(coll.ttlDebt(asOf).as[(Long, Long)].head() == ((0L, 10L)))
+    // ttl 5: live iff 1000+i+5 > 1008 <=> i > 3 -> 6 live, 4 expired
+    coll.setTtlSeconds(5)
+    assert(coll.ttlSeconds.contains(5L))
+    assert(coll.readLive(asOf).select("id").as[Long].collect().toSet
+      == (4L until 10L).toSet)
+    assert(coll.ttlDebt(asOf).as[(Long, Long)].head() == ((4L, 6L)))
+    // the policy row fires past 10% debt
+    val plan = graft.search.Maintenance.planTtl(spark, dir, asOf)
+      .as[(String, Long, Long, Boolean)].head()
+    assert(plan == (("reclaim_expired", 4L, 1L, true)))
+    // reclaim folds physically; second reclaim is a no-op (idempotent)
+    assert(coll.reclaimExpired(asOf) == 4L)
+    assert(coll.count() == 6 && coll.reclaimExpired(asOf) == 0L)
+    assert(coll.ttlDebt(asOf).as[(Long, Long)].head() == ((0L, 6L)))
+    // the TTL property survives the reclaim swap AND a compaction swap
+    assert(coll.ttlSeconds.contains(5L))
+    coll.compact()
+    assert(coll.ttlSeconds.contains(5L))
+    // properties merge, keys overwrite
+    coll.setProperties(Map("owner" -> "graft"))
+    coll.setTtlSeconds(7)
+    assert(coll.properties == Map(
+      Collection.TtlProp -> "7", "owner" -> "graft"))
+    // a later clock expires more rows under the new ttl
+    assert(coll.readLive(timestamp_seconds(lit(1020L))).count() == 0)
+    coll.drop()
+  }
+
   test("collection compact: merges small files, preserves every row") {
     import graft.core.Collection
     val coll = Collection(spark, "/tmp/graft_compact_test/knowledge")
