@@ -44,7 +44,17 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
-    SparkEntry.queries.foreach { case (n, fn) => time(n, fn) } // warm-up pass
+    // Warm-up pass: absorbs JVM/JIT/codegen/page-cache warm-up AND
+    // every buildOnce/mutateOnce one-time artifact construction, so the
+    // timed medians below measure SERVING. Its wall-clock is reported
+    // separately as `build_secs` (round-14 verdict item 4): a capture
+    // starting from a cold /tmp shows its artifact-build cost THERE,
+    // not smeared into whichever entry first touches each artifact —
+    // the measurement-hygiene split that cost a round of forensics
+    // when cold builds were read as per-entry regressions.
+    val b0 = System.nanoTime()
+    SparkEntry.queries.foreach { case (n, fn) => time(n, fn) }
+    val buildSecs = (System.nanoTime() - b0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> median((1 to runs).map(_ => time(name, fn)))
     }
@@ -66,7 +76,8 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val desc = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","""
-    val meta = s""""errors":$errs,"n_queries":${results.size},"sf":"$sfDir""""
+    val meta = s""""errors":$errs,"n_queries":${results.size},""" +
+      s""""build_secs":${fmt(buildSecs)},"sf":"$sfDir""""
     val budget = 1900 - head.length - meta.length - 80 // slack for closers
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0

@@ -1290,14 +1290,24 @@ object ScaleBench {
         // haversine verify work) grow linearly with n (rows-exp ≈ 1)
         // while the lat-range predicate prunes the sorted layout's row
         // groups — the scan reads the band, not the planet.
-        "geo_radius (cap-exact bbox + haversine)" -> (() => {
+        "geo_radius (z-ordered bbox + haversine)" -> (() => {
+          // (lat, lon) morton interleave over the centi-degree grid —
+          // the round-14 layout: both bbox edges prune row groups
+          val z = (0 until 16).map { i =>
+            shiftleft(shiftright(col("id") * 9973 % 17000, i)
+              .bitwiseAND(lit(1L)), 2 * i) +
+              shiftleft(shiftright(col("id") * 7919 % 36000, i)
+                .bitwiseAND(lit(1L)), 2 * i + 1)
+          }.reduce(_ + _)
           val pts = materialize(
             spark.range(n.toLong).select(col("id").as("user_id"),
                 ((col("id") * 9973 % 17000) / 100.0 - 85.0).as("lat"),
-                ((col("id") * 7919 % 36000) / 100.0 - 180.0).as("lon"))
-              .repartitionByRange(8, col("lat"))
-              .sortWithinPartitions(col("lat")),
-            s"/tmp/graft_scale/geo_$n")
+                ((col("id") * 7919 % 36000) / 100.0 - 180.0).as("lon"),
+                z.as("__z"))
+              .repartitionByRange(8, col("__z"))
+              .sortWithinPartitions(col("__z"))
+              .drop("__z"),
+            s"/tmp/graft_scale/geoz_$n")
           val (qLat, qLon, rKm) = (14.73, -100.81, 3000.0)
           val dLat = rKm / 111.0
           val dLon = math.toDegrees(math.asin(

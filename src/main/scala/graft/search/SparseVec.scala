@@ -206,20 +206,18 @@ object SparseVec {
   }
 
   /** Serve top-k from the STORED artifact: the query's (≤ topN) dims
-    * arrive as a literal `dim IN (...)` — directory pruning over the
-    * partitioned layout (a broadcast-join DPP would be best-effort;
-    * the collected dim set is the bounded query-side handoff, like the
-    * query vector itself) — then the [[search]] join + aggregate,
-    * tombstone-masked. */
+    * select their posting-list partitions EXPLICITLY ([[dimScan]] — an
+    * O(query dims) seek, with the literal `dim IN (...)` kept on the
+    * scan; the collected dim set is the bounded query-side handoff,
+    * like the query vector itself) — then the [[search]] join +
+    * aggregate, tombstone-masked. */
   def searchIndex(spark: org.apache.spark.sql.SparkSession,
                   indexDir0: String, queryPostings: DataFrame,
                   idCol: String, k: Int): DataFrame = {
     val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
     val qp = queryPostings.select(col("dim"), col("w")).collect()
       .map(r => (r.getInt(0), r.getDouble(1))).toSeq.sorted
-    val scan = spark.read.parquet(postingsDir(indexDir))
-      .where(col("dim").isin(qp.map(_._1): _*))
-    val scored = Tombstones.mask(scan, spark, indexDir, idCol)
+    val scored = maskedDimScan(spark, indexDir, idCol, qp.map(_._1))
       .join(broadcast(spark.createDataFrame(qp).toDF("dim", "qw")),
         Seq("dim"))
       .groupBy(col(idCol))
@@ -238,18 +236,45 @@ object SparseVec {
     * ordering. */
   private val WandTieMargin = 1.0001e-4
 
-  /** Dim-pruned, tombstone-masked postings scan — the shared base of
-    * every stored-artifact serve. */
+  /** Dim-pruned postings scan as a posting-list SEEK: the reader is
+    * handed the query dims' partition directories EXPLICITLY
+    * (`basePath` keeps the dim column), so planning lists O(query
+    * dims) directories — NOT the whole lexicon. `spark.read` over the
+    * artifact root enumerates every `dim=` directory before partition
+    * pruning even runs, which at a real vocabulary makes directory
+    * listing the per-query fixed cost (the round-14 decade rehearsal
+    * measured exactly that); a lexical engine opens the query's
+    * posting lists, it does not readdir the term dictionary. Dims with
+    * no stored postings are skipped via one bounded existence probe
+    * each. */
+  private def dimScan(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, dims: Seq[Int]): DataFrame = {
+    val base = postingsDir(indexDir)
+    val bp = new org.apache.hadoop.fs.Path(base)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = dims.distinct.sorted
+      .map(d => new org.apache.hadoop.fs.Path(base, s"dim=$d"))
+      .filter(fs.exists(_)).map(_.toString)
+    val scan =
+      if (paths.isEmpty)
+        // no query dim stored: fall back to the (empty) root read so
+        // the caller still gets the layout's schema
+        spark.read.parquet(base)
+      else spark.read.option("basePath", base).parquet(paths: _*)
+    scan.where(col("dim").isin(dims: _*))
+  }
+
+  /** [[dimScan]] + tombstone mask — the shared base of every
+    * stored-artifact serve. */
   private def maskedDimScan(spark: org.apache.spark.sql.SparkSession,
                             indexDir: String, idCol: String,
                             dims: Seq[Int]): DataFrame =
-    Tombstones.mask(
-      spark.read.parquet(postingsDir(indexDir))
-        .where(col("dim").isin(dims: _*)),
-      spark, indexDir, idCol)
+    Tombstones.mask(dimScan(spark, indexDir, dims), spark, indexDir,
+      idCol)
 
   private[graft] final case class WandState(
-      indexDir: String, qp: Seq[(Int, Double)], essDims: Seq[Int]) {
+      indexDir: String, qpAll: Seq[(Int, Double)],
+      qp: Seq[(Int, Double)], essDims: Seq[Int]) {
     def exhaustive: Boolean = essDims.length == qp.length
   }
 
@@ -282,9 +307,13 @@ object SparseVec {
     *
     * If no prefix satisfies the bound test (uniform weights, tiny k
     * gap) the serve degrades to exactly [[searchIndex]] — never wrong,
-    * at worst unpruned. Positive weights are REQUIRED (scores must be
-    * monotone in matched dims — BM25 tf·idf and sparsify outputs are);
-    * a query carrying w ≤ 0 is refused loudly. */
+    * at worst unpruned. NON-NEGATIVE weights are required (scores must
+    * be monotone in matched dims — BM25 tf·idf and sparsify outputs
+    * are); negative weights are refused loudly, and ZERO weights (a
+    * stopword whose rounded idf hit 0 at df≈N) are handled without
+    * reading their posting lists — they only re-enter as the
+    * zero-score id-ascending tail when positives run out, which is
+    * exactly [[searchIndex]]'s tail. */
   def searchWandIndex(spark: org.apache.spark.sql.SparkSession,
                       indexDir0: String, queryPostings: DataFrame,
                       idCol: String, k: Int): DataFrame =
@@ -295,24 +324,53 @@ object SparseVec {
                         idCol: String, k: Int)
       : (DataFrame, WandState) = {
     val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
-    val qp = queryPostings.select(col("dim"), col("w")).collect()
+    val qpAll = queryPostings.select(col("dim"), col("w")).collect()
       .map(r => (r.getInt(0), r.getDouble(1))).toSeq.sorted
-    require(qp.forall(_._2 > 0),
-      "WAND pruning requires positive query weights " +
+    require(qpAll.forall(_._2 >= 0),
+      "WAND pruning requires non-negative query weights " +
         "(scores must be monotone in matched dims)")
+    // a ZERO-weight dim (a stopword whose rounded idf hit 0 at df≈N)
+    // contributes nothing to any score: it is dropped from pruning AND
+    // from the exact phase — its (corpus-sized!) posting list is never
+    // read — and only re-enters as a zero-score top-up when the
+    // positive dims yield fewer than k rows, reproducing
+    // [[searchIndex]]'s tail exactly (docs matched ONLY via zero-weight
+    // dims score 0.0 there, id-ascending)
+    val zeroDims = qpAll.filter(_._2 == 0).map(_._1)
+    val qp = qpAll.filter(_._2 > 0)
     def exact(base: DataFrame): DataFrame = base
-      .join(broadcast(spark.createDataFrame(qp).toDF("dim", "qw")),
+      .join(broadcast(spark.createDataFrame(
+        if (qp.isEmpty) Seq((-1, 0.0)) else qp).toDF("dim", "qw")),
         Seq("dim"))
       .groupBy(col(idCol))
       .agg(round(sum(col("w") * col("qw")), 4).as("score"))
       .orderBy(col("score").desc, col(idCol).asc).limit(k)
+    def zeroFilled(positives: DataFrame): DataFrame = {
+      if (zeroDims.isEmpty) return positives
+      val got = positives.collect()
+      if (got.length >= k)
+        return positives
+      // every positive-dim doc already ranks in `got` (there are < k of
+      // them); fill the tail with only-zero-dim docs at score 0.0
+      val gotIds = got.map(_.get(0))
+      val fillBase = maskedDimScan(spark, indexDir, idCol, zeroDims)
+        .select(col(idCol)).distinct()
+      val fill = (if (gotIds.isEmpty) fillBase
+                  else fillBase.where(!col(idCol).isin(gotIds: _*)))
+        .withColumn("score", lit(0.0))
+        .orderBy(col(idCol).asc).limit(k - got.length)
+      positives.unionByName(fill)
+        .orderBy(col("score").desc, col(idCol).asc).limit(k)
+    }
     val m = qp.length
-    val allDims = qp.map(_._1)
-    if (m == 0)
-      return (exact(maskedDimScan(spark, indexDir, idCol, Nil)),
-        WandState(indexDir, qp, Nil))
+    val posDims = qp.map(_._1)
+    if (m == 0) {
+      val st = WandState(indexDir, qpAll, qp, Nil)
+      return (zeroFilled(exact(
+        maskedDimScan(spark, indexDir, idCol, Nil))), st)
+    }
     // bounds, best-first; suffix(i) = Σ of bounds i..m-1
-    val mw = dimBounds(spark, indexDir, allDims)
+    val mw = dimBounds(spark, indexDir, posDims)
     val bounds = qp.map { case (d, qw) => (d, qw, qw * mw.getOrElse(d, 0.0)) }
       .sortBy { case (d, _, ub) => (-ub, d) }
     val suffix = bounds.map(_._3).scanRight(0.0)(_ + _)
@@ -332,15 +390,17 @@ object SparseVec {
         chosen = j
       else j = math.min(2 * j, m)
     }
-    val st = WandState(indexDir, qp, bounds.take(chosen).map(_._1))
-    if (st.exhaustive)
-      (exact(maskedDimScan(spark, indexDir, idCol, allDims)), st)
-    else {
-      val cand = maskedDimScan(spark, indexDir, idCol, st.essDims)
-        .select(col(idCol)).distinct()
-      (exact(maskedDimScan(spark, indexDir, idCol, allDims)
-        .join(cand, Seq(idCol), "left_semi")), st)
-    }
+    val st = WandState(indexDir, qpAll, qp, bounds.take(chosen).map(_._1))
+    val positives =
+      if (st.exhaustive)
+        exact(maskedDimScan(spark, indexDir, idCol, posDims))
+      else {
+        val cand = maskedDimScan(spark, indexDir, idCol, st.essDims)
+          .select(col(idCol)).distinct()
+        exact(maskedDimScan(spark, indexDir, idCol, posDims)
+          .join(cand, Seq(idCol), "left_semi"))
+      }
+    (zeroFilled(positives), st)
   }
 
   /** The pruned-vs-scored accounting behind [[searchWandIndex]] — one
@@ -356,11 +416,15 @@ object SparseVec {
                  idCol: String, k: Int,
                  checkLossless: Boolean = true): DataFrame = {
     val (topk, st) = wandServe(spark, indexDir0, queryPostings, idCol, k)
-    val allDims = st.qp.map(_._1)
+    val allDims = st.qpAll.map(_._1)
+    val posDims = st.qp.map(_._1)
     val total = maskedDimScan(spark, st.indexDir, idCol, allDims).count()
+    // rows the exact phase aggregates: candidate docs' positive-dim
+    // postings (zero-weight dims are never scored — see wandServe)
     val scored =
-      if (st.exhaustive) total
-      else maskedDimScan(spark, st.indexDir, idCol, allDims)
+      if (st.exhaustive)
+        maskedDimScan(spark, st.indexDir, idCol, posDims).count()
+      else maskedDimScan(spark, st.indexDir, idCol, posDims)
         .join(maskedDimScan(spark, st.indexDir, idCol, st.essDims)
           .select(col(idCol)).distinct(), Seq(idCol), "left_semi")
         .count()
@@ -369,13 +433,13 @@ object SparseVec {
     // the flag then reports 1 on the strength of the bound argument
     val same = !checkLossless || {
       val exhaustiveTopk = searchIndex(spark, st.indexDir,
-        spark.createDataFrame(st.qp).toDF("dim", "w"), idCol, k)
+        spark.createDataFrame(st.qpAll).toDF("dim", "w"), idCol, k)
       topk.collect().map(_.toSeq).toSeq ==
         exhaustiveTopk.collect().map(_.toSeq).toSeq
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
-        st.qp.length.toLong, st.essDims.length.toLong, total, scored,
+        st.qpAll.length.toLong, st.essDims.length.toLong, total, scored,
         total - scored, if (same) 1L else 0L)), 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("n_dims",
