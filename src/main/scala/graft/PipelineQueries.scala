@@ -1032,6 +1032,117 @@ object PipelineQueries {
       ORDER BY distance ASC, vec_id ASC
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** The router-chosen LEXICAL tier served END TO END (round 14 —
+    * closing the round-13 "routed dispatch menu stops at the graph
+    * thunk" gap): a TEXT query goes through
+    * [[graft.plans.IvfProbeRewrite.serveRoutedText]], whose decision
+    * runs [[graft.search.Router.plan]] under the "text" modality gate
+    * — every embedding tier is INELIGIBLE for a term query (Milvus's
+    * BM25-vs-vector dispatch), so the shared v2 panel's `bm25_lexical`
+    * row (recall 1.0 by definition — it IS the exact scorer for its
+    * modality) is chosen, and the serve dispatches to the registered
+    * postings-artifact thunk ([[graft.search.Bm25Index.search]] over
+    * the SAME artifact the panel measured — pushed `term IN`, never a
+    * corpus scan; PlanSpec pins the pushed filter). The naive branch
+    * (corpus-scan BM25) exists and is what an unregistered table would
+    * serve. The oracle re-derives the modality-gated decision from the
+    * staged panel AND replays the BM25 ranking, both branches gated on
+    * the re-derived choice — a dispatcher that served the wrong tier
+    * hash-mismatches on the tier column. */
+  private val routedTextSearch = Q(
+    "routed_text_search",
+    (s, dir) => {
+      import graft.plans.IvfProbeRewrite
+      import graft.search.{Bm25Index, Quantize, Router}
+      val e = Tables.embeddings(s, dir)
+      val indexDir = s"/tmp/graft_ivf_routedt_${math.abs(dir.hashCode)}"
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      val sq8Dir = s"/tmp/graft_sq8_${math.abs(dir.hashCode)}"
+      graft.core.Artifacts.buildOnce(s, sq8Dir) {
+        Quantize.quantizedTable(e, "embedding", "vec_id")
+      }
+      // the panel's own lexical artifact — the tier it measured is the
+      // tier the thunk serves
+      val lexDir = s"/tmp/graft_routerlex_${math.abs(dir.hashCode)}"
+      val panel = routerPanelV2(s, dir) // builds lexDir if absent
+      IvfProbeRewrite.registerRouted(IvfProbeRewrite.RoutedConfig(
+        model, nprobe = 4, sq8Dir, sq8Margin = 20,
+        idCol = "vec_id", vecCol = "embedding",
+        panel = () => routerPanelV2(s, dir),
+        tiers = Seq(
+          Router.Tier("flat", present = true, filterCapable = true),
+          Router.Tier("bm25_lexical", present = true,
+            filterCapable = true, modality = "text")),
+        flatTier = "flat", ivfTier = "ivf_nprobe4",
+        sq8Tier = "sq8_margin20", recallTarget = 0.8,
+        memoryBudget = None,
+        fingerprintRoots = Seq(indexDir, sq8Dir, lexDir),
+        textTier = "bm25_lexical",
+        textServe = Some((sp, terms, k) =>
+          Bm25Index.search(sp, lexDir, terms, k))))
+      stageOracle(s, "routedt", dir)("panel" -> panel)
+      val tier = IvfProbeRewrite.routedDecisionText(s, indexDir).get
+      val terms = Seq("scan", "filter", "merge")
+      IvfProbeRewrite.serveRoutedText(s, indexDir, terms, 10) {
+        graft.search.Bm25.score(Tables.documents(s, dir), "doc_id",
+            "text", terms)
+          .orderBy(col("bm25").desc, col("id").asc).limit(10)
+      }.select(lit(tier).as("tier"), col("id").as("doc_id"),
+        col("bm25"))
+    },
+    Some("""
+      WITH panel AS (SELECT tier, recall, CAST(cost AS BIGINT) AS cost
+                     FROM read_parquet(
+        '/tmp/graft_routedt_oracle_%ORACLE_KEY%/panel/*.parquet')),
+      el AS (SELECT tier, recall, cost,
+                    -- text-modality eligibility: of the registered
+                    -- tiers {flat, bm25_lexical}, only the lexical one
+                    -- carries modality 'text'
+                    tier IN ('bm25_lexical') AS eligible
+             FROM panel),
+      ch AS (SELECT tier AS c FROM el WHERE eligible AND recall >= 0.8
+             ORDER BY cost ASC, tier ASC LIMIT 1),
+      ch2 AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM ch)
+                          THEN (SELECT c FROM ch)
+                          ELSE 'flat' END AS c),
+      toks AS (SELECT doc_id,
+                      unnest(string_split_regex(text, '\s+')) AS term
+               FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST((SELECT sum(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)))
+                             FROM documents) AS DOUBLE) / count(*) AS avgdl
+                FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ('scan', 'filter', 'merge')
+             GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dl AS (SELECT doc_id,
+                    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS DOUBLE) AS dl
+             FROM documents),
+      bm AS (SELECT tf.doc_id,
+                    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2)
+                      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))), 4)
+                      AS bm25
+             FROM tf JOIN dfq USING (term)
+                     JOIN dl ON dl.doc_id = tf.doc_id
+                     CROSS JOIN stats
+             GROUP BY tf.doc_id),
+      top AS (SELECT doc_id, bm25 FROM bm
+              ORDER BY bm25 DESC, doc_id ASC LIMIT 10),
+      res AS (
+        SELECT doc_id, bm25 FROM top
+        WHERE (SELECT c FROM ch2) = 'bm25_lexical'
+        UNION ALL
+        SELECT doc_id, bm25 FROM top
+        WHERE (SELECT c FROM ch2) = 'flat')
+      SELECT (SELECT c FROM ch2) AS tier, doc_id, bm25 FROM res
+      ORDER BY bm25 DESC, doc_id ASC
+    """))
+
   /** M1-M3: strategy fan-out + first-wins dedup + final re-rank. */
   private val multiStrategySearch = Q(
     "multi_strategy_search",
@@ -6450,7 +6561,7 @@ object PipelineQueries {
     ivfFilteredSearch,
     ivfBalanceReport, ivfAutoRewrite,
     ivfAutoRewriteSql, routedAutoSearch, routedAutoSearchBudget,
-    routedGraphSearch,
+    routedGraphSearch, routedTextSearch,
     ivfIncrementalSearch, multiStrategySearch,
     chapterParse, collectionRoundtrip, collectionTtlServe,
     collectionTtlReclaim, collectionTtlPlan,

@@ -215,31 +215,41 @@ object ScaleQueries {
     * (ST_DWITHIN: ALL entities within r of a point), Spark-first: each
     * user's deterministic (lat, lon) — an integer-arithmetic synthetic
     * projection of the fixture, identical in both engines — lands in a
-    * LAT-SORTED layout, the radius query prefilters by a BOUNDING BOX
-    * that is a true SUPERSET of the spherical cap (lat half-width
-    * r/111° over-covers the r/R-radian cap; lon half-width is the
-    * exact cap extent asin(sin(r/R)/cos(qlat)) — the planar
-    * 1/cos(qlat) widening UNDER-covers near the cap's corners and
-    * would silently drop in-radius points), pushed to the scan as
-    * plain range predicates (parquet min/max skipping on the sort key
-    * — PlanSpec pins it); only bbox survivors pay the exact haversine
-    * verify. The result is the radius SET (ordered only for the
-    * deterministic hash) — ST_DWITHIN semantics, not a top-k. That
-    * two-phase shape (cheap pushed prefilter → exact trig on
-    * survivors) is every geo engine's plan; at 100 TB the bbox reads
-    * the query's cells, not the planet. Haversine is rounded (4 dp ≈
-    * 0.1 m) with the +1e-9 epsilon — the libm-parity discipline every
-    * ln/exp oracle here uses. */
+    * (lat, lon) Z-ORDERED layout (round 14; [[morton16]] over the
+    * centi-degree integer grid — the same bit-interleave
+    * `zorder_scan_prune` demonstrates on events), so row-group min/max
+    * stats stay tight on BOTH axes and BOTH bbox edges prune files —
+    * the lat-sorted round-12 layout pruned on lat only, leaving the
+    * lon predicate a full-stripe filter. The radius query prefilters
+    * by a BOUNDING BOX that is a true SUPERSET of the spherical cap
+    * (lat half-width r/111° over-covers the r/R-radian cap; lon
+    * half-width is the exact cap extent asin(sin(r/R)/cos(qlat)) —
+    * the planar 1/cos(qlat) widening UNDER-covers near the cap's
+    * corners and would silently drop in-radius points), pushed to the
+    * scan as plain range predicates (PlanSpec pins both axes pushed);
+    * only bbox survivors pay the exact haversine verify. The result is
+    * the radius SET (ordered only for the deterministic hash) —
+    * ST_DWITHIN semantics, not a top-k. That two-phase shape (cheap
+    * pushed prefilter → exact trig on survivors) is every geo engine's
+    * plan; at 100 TB the z-order cells the bbox intersects are what is
+    * read, not the planet. Haversine is rounded (4 dp ≈ 0.1 m) with
+    * the +1e-9 epsilon — the libm-parity discipline every ln/exp
+    * oracle here uses. */
   private val geoRadiusSearch = Q(
     "geo_radius_search",
     (s, dir) => {
-      val out = ensureLayout(s, dir, "geo_pts") { path =>
+      val out = ensureLayout(s, dir, "geo_pts_z") { path =>
+        // z-value over the exact centi-degree integers the lat/lon
+        // derive from (lat+85)*100 = uid*9973%17000 < 2^15,
+        // (lon+180)*100 = uid*7919%36000 < 2^16 — both fit morton16
+        val z = morton16(col("user_id") * 9973 % 17000,
+          col("user_id") * 7919 % 36000)
         Tables.events(s, dir).select(col("user_id")).distinct()
           .select(col("user_id"),
             ((col("user_id") * 9973 % 17000) / 100.0 - 85.0).as("lat"),
             ((col("user_id") * 7919 % 36000) / 100.0 - 180.0).as("lon"))
-          .repartitionByRange(4, col("lat"))
-          .sortWithinPartitions(col("lat"))
+          .repartitionByRange(8, z)
+          .sortWithinPartitions(z)
           .write.mode("overwrite").parquet(path)
       }
       // query anchor = user 1's own point (present at every SF, so the

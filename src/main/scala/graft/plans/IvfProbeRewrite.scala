@@ -101,6 +101,17 @@ object IvfProbeRewrite extends Rule[LogicalPlan] {
       // panel-can-choose-it-but-rewrite-can't-land-there gap.
       graphTier: String = "",
       graphServe: Option[(SparkSession, Array[Float], Int) =>
+        org.apache.spark.sql.DataFrame] = None,
+      // round 14 — the LEXICAL tier joins the dispatch menu: a text
+      // query routed to the BM25/sparse tier serves through the
+      // postings artifact ([[graft.search.FullText.search]]'s plan) via
+      // [[serveRoutedText]]. Like the graph thunk, it is an API-level
+      // dispatch: text queries don't arrive as a Limit(Sort(vector
+      // distance)) plan, so there is nothing for the REWRITE to splice
+      // — the modality-aware DECISION is the router's, the serving
+      // thunk is the registrant's.
+      textTier: String = "",
+      textServe: Option[(SparkSession, Seq[String], Int) =>
         org.apache.spark.sql.DataFrame] = None)
 
   private val routedRegistry =
@@ -151,6 +162,38 @@ object IvfProbeRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** The TEXT-modality routed decision for `indexDir` — the
+    * `routed_text_search` entry's oracle hook, [[routedDecision]]'s
+    * twin under the "text" modality gate. */
+  def routedDecisionText(spark: SparkSession,
+                         indexDir: String): Option[String] = {
+    val p = normalize(IvfIndex.dataDir(indexDir))
+    Option(routedRegistry.get(p))
+      .map(cfg => decideTier(spark, p, cfg, modality = "text"))
+  }
+
+  /** [[serveRouted]] for a TEXT query: when the router (under the
+    * "text" modality gate — embedding tiers are ineligible for a term
+    * query, Milvus's BM25-vs-vector dispatch) chooses the registered
+    * lexical tier, serve through the registrant's postings-artifact
+    * thunk ([[graft.search.FullText.search]]'s dim-pruned plan);
+    * otherwise the caller's `naive` text plan (a corpus-scan BM25)
+    * serves. Unregistered tables and configs without a text thunk just
+    * serve `naive`. */
+  def serveRoutedText(spark: SparkSession, indexDir: String,
+                      terms: Seq[String], k: Int)
+                     (naive: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val p = normalize(IvfIndex.dataDir(indexDir))
+    Option(routedRegistry.get(p)) match {
+      case Some(cfg) if cfg.textTier.nonEmpty &&
+          cfg.textServe.nonEmpty &&
+          decideTier(spark, p, cfg, modality = "text") == cfg.textTier =>
+        cfg.textServe.get(spark, terms, k)
+      case _ => naive
+    }
+  }
+
   /** One [[Router.plan]] run per (path, artifact-fingerprint): collect
     * the chosen tier from the tiny decision table. get/putIfAbsent
     * rather than computeIfAbsent — the decision body runs Spark jobs
@@ -160,15 +203,19 @@ object IvfProbeRewrite extends Rule[LogicalPlan] {
     * argument). An unfilled decision (no eligible tier) degrades to
     * flat — never refuse, like [[Router.plan]] itself. */
   private def decideTier(spark: SparkSession, path: String,
-                         cfg: RoutedConfig): String = {
+                         cfg: RoutedConfig,
+                         modality: String = "vector"): String = {
     val fp = Router.artifactFingerprint(spark, cfg.fingerprintRoots)
-    val key = s"$path#$fp"
+    // modality is part of the decision key: the same artifacts route a
+    // vector query and a text query to DIFFERENT tiers (Router.plan's
+    // round-12 modality gate)
+    val key = s"$path#$fp#$modality"
     val cached = routedDecisions.get(key)
     if (cached != null) cached
     else {
       val planned = Router.plan(spark, cfg.panel(), cfg.tiers,
         selectivity = 1.0, recallTarget = cfg.recallTarget,
-        memoryBudget = cfg.memoryBudget)
+        memoryBudget = cfg.memoryBudget, queryModality = modality)
       val ch = planned
         .where(org.apache.spark.sql.functions.col("chosen"))
         .select("tier").collect()

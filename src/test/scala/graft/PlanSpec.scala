@@ -69,12 +69,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("geo radius search: bbox ranges reach the lat-sorted scan") {
-    val p = plan("geo_radius_search")
-    assert(p.contains("GreaterThanOrEqual(lat") &&
-      p.contains("LessThanOrEqual(lat"),
-      s"lat bbox not pushed to the sorted layout:\n$p")
-    assert(!p.contains("CartesianProduct"))
+  test("geo radius search: BOTH bbox axes reach the z-ordered scan") {
+    // scan metadata directly (the zorder_scan_prune discipline): the
+    // plan string truncates a 4-entry PushedFilters list
+    val pushed = Queries.all("geo_radius_search")(spark, dir)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata.getOrElse("PushedFilters", "")
+      }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(lat") &&
+      pushed.contains("LessThanOrEqual(lat") &&
+      pushed.contains("GreaterThanOrEqual(lon") &&
+      pushed.contains("LessThanOrEqual(lon"),
+      s"bbox not fully pushed to the z-ordered layout: $pushed")
+    assert(!plan("geo_radius_search").contains("CartesianProduct"))
+  }
+
+  test("routed text search: the lexical dispatch serves from the " +
+      "postings artifact, term filter pushed") {
+    val df = Queries.all("routed_text_search")(spark, dir)
+    val metas = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        (f.metadata.getOrElse("Location", ""),
+          f.metadata.getOrElse("PushedFilters", ""))
+    }
+    // the served plan reads the bm25 postings artifact (not the raw
+    // documents table) with the term literals pushed into the scan
+    assert(metas.exists { case (loc, pushed) =>
+      loc.contains("graft_routerlex") && pushed.contains("In(term")
+    }, s"lexical dispatch did not serve from the postings artifact: $metas")
+    assert(!metas.exists(_._1.contains("documents.parquet")),
+      s"routed text serve fell back to a corpus scan: $metas")
   }
 
   test("clustering compaction: window predicate reaches the clustered scan") {
