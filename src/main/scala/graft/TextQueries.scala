@@ -1119,6 +1119,59 @@ object TextQueries {
     },
     None)
 
+  /** The FullText artifact's REBUILD-CADENCE policy row
+    * ([[graft.search.Maintenance.planFullText]] over
+    * [[graft.search.FullText.debt]]): build seals the corpus extent
+    * (posting rows + vocab) in the stats table; appends absorb under
+    * those frozen statistics — the documented rebuild-repayable drift
+    * — and this entry meters it: 200 of 500 docs appended after a
+    * 300-doc build pushes `rebuild_fulltext_appends` well past the 10%
+    * threshold (TRIGGERED), while `rebuild_fulltext_terms` counts
+    * genuinely-new vocabulary (df_=1 under frozen stats). The oracle
+    * replays both metrics, thresholds, and trigger bits from the raw
+    * corpus split. OperatorSpec pins the clear-after-rebuild
+    * contract. */
+  private val fulltextRebuildPlan = Q(
+    "fulltext_rebuild_plan",
+    (s, dir) => {
+      import graft.search.{FullText, Maintenance}
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_ftreb_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        FullText.build(docs.where(col("doc_id") < 300),
+          "doc_id", "text", idx)
+        FullText.append(docs.where(col("doc_id") >= 300),
+          "doc_id", "text", idx)
+      }
+      Maintenance.planFullText(s, idx)
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                      t -> len(t) > 0) AS tk
+                  FROM documents),
+      tt AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+      pairs AS (SELECT DISTINCT doc_id, term FROM tt),
+      sealed AS (SELECT count(*) AS c FROM pairs WHERE doc_id < 300),
+      app AS (SELECT count(*) AS c FROM pairs WHERE doc_id >= 300),
+      newt AS (SELECT count(*) AS c FROM (
+        SELECT DISTINCT term FROM pairs WHERE doc_id >= 300
+        EXCEPT
+        SELECT DISTINCT term FROM pairs WHERE doc_id < 300))
+      SELECT 'rebuild_fulltext_appends' AS action,
+             CAST(app.c AS BIGINT) AS metric,
+             CAST(floor(sealed.c * 0.10) AS BIGINT) AS threshold,
+             app.c > floor(sealed.c * 0.10) AS triggered
+      FROM app, sealed
+      UNION ALL
+      SELECT 'rebuild_fulltext_terms', CAST(newt.c AS BIGINT),
+             CAST(0 AS BIGINT), newt.c > 0
+      FROM newt
+      ORDER BY action ASC
+    """))
+
   /** Streaming ingest into the stored full-text sparse artifact — the
     * family's last maintenance twin (build → append → delete → now a
     * Structured Streaming file source driving foreachBatch, the
@@ -2158,7 +2211,7 @@ object TextQueries {
     phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25,
     bm25AnalyzerSearch, bm25SparseDuality, fulltextSparseMasked,
     fulltextSparseIncremental, fulltextAnalyzedSearch,
-    fulltextWandSearch, fulltextWandPruneReport,
+    fulltextWandSearch, fulltextWandPruneReport, fulltextRebuildPlan,
     streamingFulltextIngest,
     streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti,
     termPrefixSearch, prefixFilteredBm25, termFuzzySearch,

@@ -148,7 +148,6 @@ object FullText {
     // per-partition counts) runs once, not once per consuming action
     denseDict(tf).write.mode("overwrite").parquet(dictDir(indexDir))
     dfreq.write.mode("overwrite").parquet(dfDir(indexDir))
-    stats.write.mode("overwrite").parquet(statsDir(indexDir))
     val dict = spark.read.parquet(dictDir(indexDir))
     weighted(tf, dl, stats, dict, k1, b)
       .write.mode("overwrite").partitionBy("dim")
@@ -161,6 +160,14 @@ object FullText {
       .delete(sp, true)
     SparseVec.appendDimStats(
       spark.read.parquet(SparseVec.postingsDir(indexDir)), indexDir)
+    // stats LAST, sealing the build's extent (posting rows + vocab) —
+    // the baseline [[debt]] measures frozen-stats drift against: every
+    // [[append]]ed row past these counts is rebuild-repayable debt
+    stats
+      .withColumn("sealed_rows",
+        lit(spark.read.parquet(SparseVec.postingsDir(indexDir)).count()))
+      .withColumn("sealed_terms", lit(dict.count()))
+      .write.mode("overwrite").parquet(statsDir(indexDir))
   }
 
   /** Absorb a new batch with the STORED statistics — the growing-
@@ -274,6 +281,34 @@ object FullText {
                  terms: Seq[String], k: Int): DataFrame =
     SparseVec.searchWandIndex(spark, indexDir,
       queryPostings(spark, indexDir, terms), "id", k)
+
+  /** Frozen-stats drift meter (round 14 — the rebuild-debt axis the
+    * version-debt discipline applies to this family): (appended_rows,
+    * sealed_rows, new_terms, sealed_terms). [[append]] absorbs batches
+    * under the SEALED build statistics — comparable scores without a
+    * corpus pass — but every appended row scores against a stale avgdl
+    * and every genuinely-new term carries df_=1; that drift is
+    * REBUILD-repayable debt, and this is its meter (the counters
+    * [[graft.search.Maintenance.planFullText]] thresholds). A rebuild
+    * re-seals and zeroes both. Legacy artifacts built before counts
+    * were sealed report the current extent as sealed (debt 0 — start
+    * metering from now). */
+  def debt(spark: SparkSession, indexDir0: String): DataFrame = {
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
+    val stats = spark.read.parquet(statsDir(indexDir))
+    val rows = spark.read.parquet(SparseVec.postingsDir(indexDir))
+      .count()
+    val terms = spark.read.parquet(dictDir(indexDir)).count()
+    val (sr, st) =
+      if (stats.columns.contains("sealed_rows")) {
+        val r = stats.select(col("sealed_rows"), col("sealed_terms"))
+          .first()
+        (r.getLong(0), r.getLong(1))
+      } else (rows, terms)
+    import spark.implicits._
+    Seq((rows - sr, sr, terms - st, st))
+      .toDF("appended_rows", "sealed_rows", "new_terms", "sealed_terms")
+  }
 
   /** [[SparseVec.wandReport]] over a term query — the pruned-vs-scored
     * posting-row accounting. */

@@ -115,6 +115,29 @@ object Maintenance {
       (total * expiredFrac).toLong)))
   }
 
+  /** Rebuild-cadence trigger for a [[FullText]] artifact (round 14 —
+    * the frozen-stats drift [[FullText.append]] documents, given a
+    * METER and a policy row, mirroring the version-debt discipline):
+    *  - `rebuild_fulltext_appends` — posting rows absorbed since the
+    *    build ([[FullText.debt]]'s appended_rows; each scores against
+    *    the sealed avgdl) exceed `appendFrac` of the sealed rows.
+    *  - `rebuild_fulltext_terms` — genuinely NEW terms (df_=1 under
+    *    frozen stats — their idf is maximally wrong) exceed
+    *    `newTermCap`.
+    * The verb is a plain [[FullText.build]] over the current corpus:
+    * it re-seals the counts, so both metrics return to 0 — the
+    * trigger-clears-after-maintenance contract every planFull row
+    * keeps. */
+  def planFullText(spark: SparkSession, indexDir: String,
+                   appendFrac: Double = 0.10,
+                   newTermCap: Long = 0L): DataFrame = {
+    val d = FullText.debt(spark, indexDir).collect()(0)
+    toDf(spark, Seq(
+      mkRow("rebuild_fulltext_appends", d.getLong(0),
+        (d.getLong(1) * appendFrac).toLong),
+      mkRow("rebuild_fulltext_terms", d.getLong(2), newTermCap)))
+  }
+
   /** The observe→plan loop over EVERY index family (round 10 — the
     * three-verb [[plan]] read a third of the audit surface; this reads
     * the rest): the IVF core rows plus

@@ -468,11 +468,23 @@ class SearchOpsSpec extends SparkSpec {
     sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(sp, true)
     assert(wand(3) == exhaust(3))
-    // positive-weight precondition is loud
+    // negative-weight precondition is loud
     intercept[IllegalArgumentException] {
       SparseVec.searchWandIndex(spark, root,
         Seq((1, -0.5)).toDF("dim", "w"), "id", 2)
     }
+    // ZERO-weight dims (rounded idf of a df≈N stopword): never scored,
+    // but their only-zero-dim docs still fill the zero-score tail when
+    // k exceeds the positive candidates — exact searchIndex parity
+    val qz = Seq((1, 1.0), (2, 0.0)).toDF("dim", "w")
+    def exhaustZ(k: Int) = SparseVec.searchIndex(spark, root, qz, "id", k)
+      .as[(Long, Double)].collect().toSeq
+    def wandZ(k: Int) = SparseVec.searchWandIndex(spark, root, qz, "id", k)
+      .as[(Long, Double)].collect().toSeq
+    assert(wandZ(2) == exhaustZ(2))        // positives fill k
+    assert(wandZ(15) == exhaustZ(15))      // zero-score tail needed
+    assert(wandZ(15).exists(_._2 == 0.0),
+      "zero-weight tail missing from the filled serve")
   }
 
   test("fulltext WAND serve: equals exhaustive BM25 with a stopword in " +
@@ -497,6 +509,39 @@ class SearchOpsSpec extends SparkSpec {
     assert(rep._6 == 1L, s"lossless flag off: $rep")
     assert(rep._4 + rep._5 == rep._3, s"scored+pruned != total: $rep")
     assert(rep._5 > 0L, s"the stopword list was not pruned: $rep")
+  }
+
+  test("fulltext rebuild debt: append fires the trigger, rebuild " +
+      "clears it") {
+    import graft.search.{FullText, Maintenance}
+    val idx = "/tmp/graft_ftreb_test"
+    val p = new org.apache.hadoop.fs.Path(idx)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val base = (0L until 20L).map(i => (i, s"alpha beta tok$i"))
+      .toDF("doc_id", "text")
+    val batch = (20L until 30L).map(i => (i, s"alpha gamma$i fresh"))
+      .toDF("doc_id", "text")
+    FullText.build(base, "doc_id", "text", idx)
+    // freshly built: zero debt, nothing triggers
+    val d0 = FullText.debt(spark, idx)
+      .as[(Long, Long, Long, Long)].head()
+    assert(d0._1 == 0L && d0._3 == 0L, s"fresh build has debt: $d0")
+    assert(Maintenance.planFullText(spark, idx)
+      .where(col("triggered")).count() == 0)
+    // absorb a batch with new vocabulary: both counters fire
+    FullText.append(batch, "doc_id", "text", idx)
+    val d1 = FullText.debt(spark, idx)
+      .as[(Long, Long, Long, Long)].head()
+    assert(d1._1 > 0L && d1._3 > 0L, s"append left no debt: $d1")
+    assert(Maintenance.planFullText(spark, idx)
+      .where(col("triggered")).count() == 2)
+    // the verb is a rebuild over the current corpus: re-seals, clears
+    FullText.build(base.unionByName(batch), "doc_id", "text", idx)
+    val d2 = FullText.debt(spark, idx)
+      .as[(Long, Long, Long, Long)].head()
+    assert(d2._1 == 0L && d2._3 == 0L, s"rebuild did not clear: $d2")
+    assert(Maintenance.planFullText(spark, idx)
+      .where(col("triggered")).count() == 0)
   }
 
   test("linear classifier: codegen bucket equals HashingEmbedder's JVM bucket") {
