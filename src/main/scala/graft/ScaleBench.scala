@@ -401,6 +401,34 @@ object ScaleBench {
               Seq("rarex", "the"), 5, checkLossless = false)
             .select("rows_scored").as[Long].head()
         }),
+        // the BUCKETED layout at corpus-grown vocabulary — the corpus
+        // that broke the per-dim layout (vocab ≈ 5000 + n from a
+        // unique token per doc; the first rehearsal spent 152 s at
+        // n=4000 writing one dir per term). B=64 buckets: build is a
+        // linear write, serve opens ≤2 bucket dirs and row-group
+        // prunes inside them
+        "fulltext_bucketed_build (vocab≈n, B=64)" -> (() => {
+          val dir = s"/tmp/graft_scale/ftheaps_$n"
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          graft.search.FullText.build(
+            docs.withColumn("text",
+              concat(col("text"), lit(" the u"), col("doc_id"))),
+            "doc_id", "text", dir, buckets = 64)
+          spark.read.parquet(s"$dir/dict").count()
+        }),
+        "fulltext_bucketed_serve (rare+stopword, k=1)" -> (() => {
+          val dir = s"/tmp/graft_scale/ftheaps_$n"
+          QueryDsl.mutateOnce(spark, dir) {
+            graft.search.FullText.build(
+              docs.withColumn("text",
+                concat(col("text"), lit(" the u"), col("doc_id"))),
+              "doc_id", "text", dir, buckets = 64)
+          }
+          graft.search.FullText.searchWand(spark, dir,
+            Seq("u7", "the"), 1).count()
+        }),
         "srp_candidate_pairs (auto-sized)" -> (() => {
           val bands = Dedup.srpBands(emb, "vec_id", "embedding", Dim,
             autoBits, 4)
@@ -1339,6 +1367,7 @@ object ScaleBench {
       val noWarmup = Set("graphann_candidates (auto nlist)",
         "phrase_positions_build",
         "fulltext_dict_numbering (distributed, vocab grows)",
+        "fulltext_bucketed_build (vocab≈n, B=64)",
         "graphann_lsh_candidates (auto bands)",
         "ivf_rebalance (cap=max/2)",
         "ivf_dircopy (rebalance setup baseline)",

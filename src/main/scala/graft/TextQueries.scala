@@ -1119,6 +1119,60 @@ object TextQueries {
     },
     None)
 
+  /** The DIM-BUCKETED full-text artifact served end to end (round 14 —
+    * the corpus-grown-vocabulary layout: a lexical dictionary follows
+    * Heaps' law, and one partition directory PER TERM is filesystem
+    * abuse at 10⁸+ terms, measured in SCALE.md; postings live in
+    * `dim mod B` buckets with dim-SORTED files, so a query's `dim IN`
+    * literals open ≤|dims| bucket dirs and prune row groups inside
+    * them via parquet min/max). Serving is [[graft.search
+    * .FullText.searchWand]] — the WAND pruning composes with the
+    * bucketed seek unchanged, because the layout self-describes
+    * ([[graft.search.SparseVec.bucketCount]]) under one API. The
+    * oracle is the exhaustive BM25 ranking: layout AND pruning are
+    * both invisible in the result, which is the whole claim. */
+  private val fulltextBucketedSearch = Q(
+    "fulltext_bucketed_search",
+    (s, dir) => {
+      import graft.search.FullText
+      val idx = s"/tmp/graft_ftbuck_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        FullText.build(Tables.documents(s, dir), "doc_id", "text", idx,
+          buckets = 8)
+      }
+      FullText.searchWand(s, idx, Seq("dup", "batch"), 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                      t -> len(t) > 0) AS tk
+                  FROM documents),
+      tt AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tt
+             GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+                FROM tk),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dw AS (SELECT tf.doc_id, tf.term,
+                    round(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl
+                      / avgdl)), 4) AS w
+             FROM tf JOIN dl USING (doc_id) CROSS JOIN stats),
+      qw AS (SELECT term,
+                    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 4)
+                      AS qw
+             FROM dfq CROSS JOIN stats
+             WHERE term IN ('dup', 'batch')),
+      sc AS (SELECT dw.doc_id, round(sum(dw.w * qw.qw), 4) AS score
+             FROM dw JOIN qw USING (term) GROUP BY dw.doc_id)
+      SELECT doc_id, score FROM sc
+      ORDER BY score DESC, doc_id ASC LIMIT 10
+    """))
+
   /** The FullText artifact's REBUILD-CADENCE policy row
     * ([[graft.search.Maintenance.planFullText]] over
     * [[graft.search.FullText.debt]]): build seals the corpus extent
@@ -2212,6 +2266,7 @@ object TextQueries {
     bm25AnalyzerSearch, bm25SparseDuality, fulltextSparseMasked,
     fulltextSparseIncremental, fulltextAnalyzedSearch,
     fulltextWandSearch, fulltextWandPruneReport, fulltextRebuildPlan,
+    fulltextBucketedSearch,
     streamingFulltextIngest,
     streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti,
     termPrefixSearch, prefixFilteredBm25, termFuzzySearch,

@@ -40,20 +40,26 @@ object FullText {
     * sides contract every analyzed index carries. */
   def buildAnalyzed(docs: DataFrame, idCol: String, textCol: String,
                     indexDir: String, cfg: graft.text.Analyzer.Config,
-                    k1: Double = 1.2, b: Double = 0.75): Unit =
+                    k1: Double = 1.2, b: Double = 0.75,
+                    buckets: Int = 0): Unit =
     buildFrom(docs.select(col(idCol).as("id"),
         graft.text.Analyzer.tokens(col(textCol), cfg).as("__tk")),
-      indexDir, k1, b)
+      indexDir, k1, b, buckets)
 
   /** Build the artifact: postings (id, dim, w) partitioned by dim under
     * [[SparseVec.postingsDir]], plus the term dictionary, per-term df,
     * and corpus stats the query side needs. */
+  /** `buckets > 0` selects the dim-BUCKETED layout (see
+    * [[SparseVec.bucketCount]]) — the corpus-grown-vocabulary path: a
+    * lexical index whose dictionary follows Heaps' law must not write
+    * one directory per term. */
   def build(docs: DataFrame, idCol: String, textCol: String,
-            indexDir: String, k1: Double = 1.2, b: Double = 0.75): Unit =
+            indexDir: String, k1: Double = 1.2, b: Double = 0.75,
+            buckets: Int = 0): Unit =
     buildFrom(docs.select(col(idCol).as("id"),
         col(textCol).as("__text"))
         .select(col("id"), toks.as("__tk")),
-      indexDir, k1, b)
+      indexDir, k1, b, buckets)
 
   /** The corpus-scan parts of a build over a tokenized (id, __tk)
     * frame: per-doc term frequencies, doc lengths, the 1-row corpus
@@ -140,7 +146,8 @@ object FullText {
   }
 
   private def buildFrom(tokenized: DataFrame, indexDir: String,
-                        k1: Double, b: Double): Unit = {
+                        k1: Double, b: Double,
+                        buckets: Int = 0): Unit = {
     val spark = tokenized.sparkSession
     val (tf, dl, stats, dfreq) = corpusParts(tokenized)
     // dictionary FIRST, then the posting weights join against the
@@ -149,9 +156,9 @@ object FullText {
     denseDict(tf).write.mode("overwrite").parquet(dictDir(indexDir))
     dfreq.write.mode("overwrite").parquet(dfDir(indexDir))
     val dict = spark.read.parquet(dictDir(indexDir))
-    weighted(tf, dl, stats, dict, k1, b)
-      .write.mode("overwrite").partitionBy("dim")
-      .parquet(SparseVec.postingsDir(indexDir))
+    if (buckets > 0) SparseVec.writeBucketsMarker(spark, indexDir, buckets)
+    SparseVec.writePostings(weighted(tf, dl, stats, dict, k1, b),
+      indexDir, "overwrite", if (buckets > 0) Some(buckets) else None)
     // per-dim bound stats for WAND serving ([[SparseVec.dimStatsDir]]):
     // rebuild from the stored postings, dropping stale rows
     val sp = new org.apache.hadoop.fs.Path(
@@ -243,8 +250,8 @@ object FullText {
           + lit(b) * col("dl") / col("avgdl"))), 4))
       .join(fullDict, "term")
       .select(col("id"), col("dim"), col("w"))
-    post.write.mode("append").partitionBy("dim")
-      .parquet(SparseVec.postingsDir(indexDir))
+    SparseVec.writePostings(post, indexDir, "append",
+      SparseVec.bucketCount(spark, indexDir))
     // keep the WAND bound stats an upper bound over the grown postings
     SparseVec.appendDimStats(post, indexDir)
   }

@@ -296,6 +296,52 @@ object IndexAudit {
         spark.range(1).select(lit(segs.size.toLong).as("value"))))
   }
 
+  /** WAND bound-statistics integrity of a sparse/FullText artifact
+    * (round 14 — the serving invariant behind
+    * [[SparseVec.searchWandIndex]]'s losslessness): the stored per-dim
+    * `maxw` ([[SparseVec.dimStatsDir]], read-side max-folded) must be
+    * an UPPER bound on every live posting's weight.
+    * `dim_bound_violations` counts dims whose folded stored bound is
+    * BELOW the actual posting max — each one lets the pruned serve
+    * silently drop a deserving doc (the wrong-answer direction, like
+    * `ivf_radius_violations`); `dim_bound_missing` counts posted dims
+    * absent from the stats table — slow-not-wrong (the serve falls
+    * back to a pruned postings aggregate for them), but a sign an
+    * append path skipped the stats write. Both 0 on an artifact
+    * maintained through build/append/upsert, which only ever RAISE
+    * stored bounds. One postings aggregate + one broadcast-joined
+    * stats fold; 1e-9 slack absorbs float noise at the boundary. */
+  def dimBoundChecks(spark: org.apache.spark.sql.SparkSession,
+                     indexDir0: String): DataFrame = {
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
+    val actual = spark.read
+      .parquet(SparseVec.postingsDir(indexDir))
+      .groupBy(col("dim")).agg(max(col("w")).as("__actual"))
+    val statsPath = new org.apache.hadoop.fs.Path(
+      SparseVec.dimStatsDir(indexDir))
+    val fs = statsPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stored =
+      if (!fs.exists(statsPath))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("dim",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("__stored",
+              org.apache.spark.sql.types.DoubleType, nullable = false))))
+      else spark.read.parquet(SparseVec.dimStatsDir(indexDir))
+        .groupBy(col("dim")).agg(max(col("maxw")).as("__stored"))
+    val joined = actual.join(stored, Seq("dim"), "left")
+    row("dim_bound_missing",
+      joined.where(col("__stored").isNull)
+        .agg(count(lit(1)).as("value")))
+      .unionByName(row("dim_bound_violations",
+        joined.where(col("__stored").isNotNull &&
+          col("__stored") < col("__actual") - 1e-9)
+          .agg(count(lit(1)).as("value"))))
+  }
+
   /** Version-history health of an upserted IVF layout (the
     * [[IvfIndex.upsertBatch]] `__ver` discipline) — the maintenance
     * debt every latest-wins serve pays until [[IvfIndex.compactVersions]]

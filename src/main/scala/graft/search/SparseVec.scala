@@ -69,6 +69,68 @@ object SparseVec {
 
   def postingsDir(indexDir: String): String = s"$indexDir/postings"
 
+  // ---------------------------------------------------------------------
+  // DIM-BUCKETED layout (round 14) — the corpus-grown-vocabulary path.
+  //
+  // The default layout is one partition DIRECTORY per dim: a true
+  // posting-list seek for BOUNDED dim spaces (learned-sparse
+  // vocabularies, sparsified embeddings, curated lexical vocabs). At a
+  // corpus-grown vocabulary (Heaps' law: 10⁸–10⁹ terms at 100 TB) one
+  // directory per term is filesystem abuse — the round-14 decade
+  // rehearsal measured 9 001 dirs costing 152 s at n=4 000. The
+  // bucketed twin partitions by `dimb = dim mod B` (B directories
+  // total) and SORTS each bucket's files by dim, so a query's `dim IN`
+  // literals prune row groups INSIDE its ≤|dims| buckets via parquet
+  // min/max — the same seek, two levels: O(query dims) directory
+  // opens, then stats-pruned row groups. The layout self-describes via
+  // a `_graft_dim_buckets` marker; every serve/maintenance verb
+  // detects it, so ONE API covers both layouts.
+  // ---------------------------------------------------------------------
+
+  private def bucketsMarker(indexDir: String) =
+    new org.apache.hadoop.fs.Path(indexDir, "_graft_dim_buckets")
+
+  /** Bucket count of a dim-bucketed layout; None = per-dim layout. */
+  def bucketCount(spark: org.apache.spark.sql.SparkSession,
+                  indexDir: String): Option[Int] = {
+    val p = bucketsMarker(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private[graft] def writeBucketsMarker(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, b: Int): Unit = {
+    val p = bucketsMarker(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(b.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Write `post` (id, dim, w) in the layout `indexDir` declares:
+    * per-dim directories, or `dimb` buckets with dim-sorted files. */
+  private[graft] def writePostings(post: DataFrame, indexDir: String,
+                                   mode: String,
+                                   buckets: Option[Int]): Unit =
+    buckets match {
+      case Some(b) =>
+        post.withColumn("dimb", pmod(col("dim"), lit(b)))
+          .repartition(col("dimb"))
+          .sortWithinPartitions(col("dimb"), col("dim"))
+          .write.mode(mode).partitionBy("dimb")
+          .parquet(postingsDir(indexDir))
+      case None =>
+        post.write.mode(mode).partitionBy("dim")
+          .parquet(postingsDir(indexDir))
+    }
+
   /** Per-dimension score-bound statistics for WAND/max-score serving:
     * (dim, maxw) rows, read-side folded with `max` so writers only ever
     * APPEND (build writes the exact per-dim max; every append adds its
@@ -107,8 +169,7 @@ object SparseVec {
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val missing = dims.filterNot(stored.contains)
     if (missing.isEmpty) stored
-    else stored ++ spark.read.parquet(postingsDir(indexDir))
-      .where(col("dim").isin(missing: _*))
+    else stored ++ dimScan(spark, indexDir, missing)
       .groupBy(col("dim")).agg(max(col("w")).as("maxw"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
   }
@@ -119,14 +180,14 @@ object SparseVec {
     * [[IvfIndex]] cluster_id trick, so serving never lists (let alone
     * reads) a dimension no query weight touches. */
   def build(df: DataFrame, idCol: String, vecCol: String, topN: Int,
-            indexDir: String): Unit = {
-    postings(df, idCol, vecCol, topN)
-      .write.mode("overwrite").partitionBy("dim")
-      .parquet(postingsDir(indexDir))
+            indexDir: String, buckets: Int = 0): Unit = {
+    val spark = df.sparkSession
+    if (buckets > 0) writeBucketsMarker(spark, indexDir, buckets)
+    writePostings(postings(df, idCol, vecCol, topN), indexDir,
+      "overwrite", if (buckets > 0) Some(buckets) else None)
     // per-dim bounds from the STORED postings (one columnar scan of
     // (dim, w)) — cleared first so a rebuild drops stale conservative
     // rows instead of folding them in forever
-    val spark = df.sparkSession
     val sp = new org.apache.hadoop.fs.Path(dimStatsDir(indexDir))
     sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(sp, true)
@@ -139,10 +200,10 @@ object SparseVec {
     * Alias-root aware, like every writer since round 12. */
   def append(batch: DataFrame, idCol: String, vecCol: String, topN: Int,
              indexDir0: String): Unit = {
-    val indexDir = AliasedIndex.resolveDir(batch.sparkSession, indexDir0)
+    val spark = batch.sparkSession
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
     val post = postings(batch, idCol, vecCol, topN)
-    post.write.mode("append").partitionBy("dim")
-      .parquet(postingsDir(indexDir))
+    writePostings(post, indexDir, "append", bucketCount(spark, indexDir))
     appendDimStats(post, indexDir)
   }
 
@@ -161,8 +222,13 @@ object SparseVec {
   def compactTombstones(spark: org.apache.spark.sql.SparkSession,
                         indexDir: String, idCol: String): Unit = {
     def inPlace(d: String): Unit = {
-      Tombstones.compact(spark, d, postingsDir(d), Seq(idCol),
-        partitionBy = Seq("dim"))
+      bucketCount(spark, d) match {
+        case Some(_) => Tombstones.compact(spark, d, postingsDir(d),
+          Seq(idCol), partitionBy = Seq("dimb"),
+          sortWithin = Seq("dimb", "dim"))
+        case None => Tombstones.compact(spark, d, postingsDir(d),
+          Seq(idCol), partitionBy = Seq("dim"))
+      }
       Tombstones.clear(spark, d)
     }
     if (AliasedIndex.publishedVersions(spark, indexDir).nonEmpty)
@@ -189,12 +255,16 @@ object SparseVec {
     // served version under readers and under the fingerprint).
     def verb(d: String): Unit = {
       Tombstones.record(batch.select(col(idCol)), d, idCol)
-      Tombstones.compact(spark, d, postingsDir(d), Seq(idCol),
-        partitionBy = Seq("dim"))
+      bucketCount(spark, d) match {
+        case Some(_) => Tombstones.compact(spark, d, postingsDir(d),
+          Seq(idCol), partitionBy = Seq("dimb"),
+          sortWithin = Seq("dimb", "dim"))
+        case None => Tombstones.compact(spark, d, postingsDir(d),
+          Seq(idCol), partitionBy = Seq("dim"))
+      }
       Tombstones.clear(spark, d)
       val post = postings(batch, idCol, vecCol, topN)
-      post.write.mode("append").partitionBy("dim")
-        .parquet(postingsDir(d))
+      writePostings(post, d, "append", bucketCount(spark, d))
       // the fold may have LOWERED true per-dim maxima; the stored
       // bounds stay conservative (upper bound ≥ live max — slower
       // pruning, never wrong), re-tightened by the next rebuild
@@ -252,8 +322,15 @@ object SparseVec {
     val base = postingsDir(indexDir)
     val bp = new org.apache.hadoop.fs.Path(base)
     val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val paths = dims.distinct.sorted
-      .map(d => new org.apache.hadoop.fs.Path(base, s"dim=$d"))
+    val dirNames = bucketCount(spark, indexDir) match {
+      // bucketed layout: a query dim's list lives in its dim%B bucket;
+      // the `dim IN` literals then prune row groups inside the bucket
+      // via parquet min/max (files are dim-sorted by the writers)
+      case Some(b) => dims.map(d => s"dimb=${math.floorMod(d, b)}")
+      case None => dims.map(d => s"dim=$d")
+    }
+    val paths = dirNames.distinct.sorted
+      .map(n => new org.apache.hadoop.fs.Path(base, n))
       .filter(fs.exists(_)).map(_.toString)
     val scan =
       if (paths.isEmpty)
@@ -262,6 +339,7 @@ object SparseVec {
         spark.read.parquet(base)
       else spark.read.option("basePath", base).parquet(paths: _*)
     scan.where(col("dim").isin(dims: _*))
+      .drop("dimb")
   }
 
   /** [[dimScan]] + tombstone mask — the shared base of every

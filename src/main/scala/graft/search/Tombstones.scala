@@ -121,7 +121,8 @@ object Tombstones {
     * been folded. */
   def compact(spark: SparkSession, indexDir: String, artifactDir: String,
               keyCols: Seq[String],
-              partitionBy: Seq[String] = Nil): Unit = {
+              partitionBy: Seq[String] = Nil,
+              sortWithin: Seq[String] = Nil): Unit = {
     require(keyCols.nonEmpty, "compact: need at least one key column")
     recoverAside(fs(spark, artifactDir), new Path(artifactDir),
       new Path(artifactDir + "__tomb_old"))
@@ -131,11 +132,19 @@ object Tombstones {
     // merged-schema read: an upserted layout carries __ver on some
     // files only — a plain read could infer a schema without it and
     // the rewrite would silently flatten version history
-    val live = keyCols.foldLeft(
+    val live0 = keyCols.foldLeft(
       spark.read.option("mergeSchema", "true").parquet(artifactDir)) {
       (df, kc) =>
         df.join(broadcast(dead), df(kc) === dead("__dead_id"), "left_anti")
     }
+    // `sortWithin`: layouts whose row-group min/max tightness IS the
+    // index structure (the dim-bucketed postings: dim-sorted files
+    // inside each bucket) re-sort on the fold, so a compaction never
+    // trades a smaller artifact for broken scan pruning
+    val live =
+      if (sortWithin.isEmpty) live0
+      else live0.repartition(partitionBy.map(col): _*)
+        .sortWithinPartitions(sortWithin.map(col): _*)
     val f = fs(spark, artifactDir)
     val tmp = new Path(artifactDir + "__tomb_tmp")
     val old = new Path(artifactDir + "__tomb_old")

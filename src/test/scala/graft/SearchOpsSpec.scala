@@ -511,6 +511,87 @@ class SearchOpsSpec extends SparkSpec {
     assert(rep._5 > 0L, s"the stopword list was not pruned: $rep")
   }
 
+  test("dim-bucketed sparse layout: serve and WAND equal the per-dim " +
+      "layout through append/delete/compact/upsert") {
+    import graft.search.{SparseVec, Tombstones}
+    val corpus = (0L until 40L).map { i =>
+      (i, Array.tabulate(12)(d =>
+        if ((i + d) % 5 == 0) (1.0 + (i % 7) * 0.25).toFloat else 0f))
+    }.toDF("id", "vec")
+    val perDim = "/tmp/graft_bucketed_test/perdim"
+    val bucketed = "/tmp/graft_bucketed_test/bucketed"
+    val p = new org.apache.hadoop.fs.Path("/tmp/graft_bucketed_test")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    SparseVec.build(corpus.where(col("id") < 30), "id", "vec", 6, perDim)
+    SparseVec.build(corpus.where(col("id") < 30), "id", "vec", 6,
+      bucketed, buckets = 5)
+    assert(SparseVec.bucketCount(spark, bucketed).contains(5))
+    assert(SparseVec.bucketCount(spark, perDim).isEmpty)
+    // same maintenance sequence on both layouts
+    def mutate(root: String): Unit = {
+      SparseVec.append(corpus.where(col("id") >= 30), "id", "vec", 6, root)
+      SparseVec.delete(Seq(Tuple1(2L)).toDF("id"), root, "id")
+      SparseVec.compactTombstones(spark, root, "id")
+      SparseVec.upsertBatch(spark,
+        Seq((5L, Array.fill(12)(0.5f))).toDF("id", "vec"),
+        "id", "vec", 6, root)
+    }
+    mutate(perDim); mutate(bucketed)
+    val q = SparseVec.postings(
+      Seq((0L, Array.tabulate(12)(d => if (d % 3 == 0) 1.0f else 0f)))
+        .toDF("id", "vec"), "id", "vec", 6)
+    def serve(root: String, wand: Boolean) =
+      (if (wand) SparseVec.searchWandIndex(spark, root, q, "id", 12)
+       else SparseVec.searchIndex(spark, root, q, "id", 12))
+        .as[(Long, Double)].collect().toSeq
+    assert(serve(bucketed, wand = false) == serve(perDim, wand = false),
+      "bucketed serve diverged from per-dim serve")
+    assert(serve(bucketed, wand = true) == serve(perDim, wand = false),
+      "bucketed WAND serve diverged")
+    // the bucketed fold kept the layout: dimb dirs, no dim= dirs
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(
+        SparseVec.postingsDir(bucketed)))
+      .filter(_.isDirectory).map(_.getPath.getName).toSeq
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("dimb=")),
+      s"bucketed fold flattened the layout: $dirs")
+  }
+
+  test("WAND bound audit: healthy artifact scores 0; a lowered bound " +
+      "fires violations, a dropped stats table fires missing") {
+    import graft.search.{IndexAudit, SparseVec}
+    val root = "/tmp/graft_dimbound_test"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val corpus = (0L until 10L).map(i =>
+      (i, Array(1.0f + i, 2.0f, 0f))).toDF("id", "vec")
+    SparseVec.build(corpus, "id", "vec", 3, root)
+    def audit() = IndexAudit.dimBoundChecks(spark, root)
+      .as[(String, Long)].collect().toMap
+    assert(audit() == Map("dim_bound_missing" -> 0L,
+      "dim_bound_violations" -> 0L))
+    // corrupt: rewrite the stats with bounds BELOW the true maxima —
+    // the read-side max fold cannot repair a lowered rewrite
+    val lowered = spark.read.parquet(SparseVec.dimStatsDir(root))
+      .select(col("dim"), (col("maxw") * 0.1).as("maxw"))
+      .collect()
+    fs.delete(new org.apache.hadoop.fs.Path(
+      SparseVec.dimStatsDir(root)), true)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(lowered.toSeq, 1),
+        spark.read.parquet(SparseVec.postingsDir(root))
+          .select(col("dim"), col("w").as("maxw")).schema)
+      .write.parquet(SparseVec.dimStatsDir(root))
+    assert(audit()("dim_bound_violations") > 0L,
+      "lowered bounds went undetected")
+    // drop the table: every posted dim is missing (fallback-scan cost)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      SparseVec.dimStatsDir(root)), true)
+    assert(audit() == Map("dim_bound_missing" -> 2L,
+      "dim_bound_violations" -> 0L))
+  }
+
   test("fulltext rebuild debt: append fires the trigger, rebuild " +
       "clears it") {
     import graft.search.{FullText, Maintenance}
