@@ -243,6 +243,11 @@ object FullText {
         import spark.implicits._
         dict.unionByName(newTerms.toDF("term", "dim"))
       }
+    // ONE materialization of the batch's postings (micro-batch-bounded
+    // rows, the Collection.pages localCheckpoint discipline): the
+    // postings append AND the bound-stats append both consume it, so
+    // the tokenize + dict-join lineage — the batch's priciest plan —
+    // runs once per batch, not once per consumer
     val post = tf.join(dl, "id")
       .crossJoin(broadcast(stats))
       .withColumn("w", round(col("tf") * lit(k1 + 1.0)
@@ -250,6 +255,7 @@ object FullText {
           + lit(b) * col("dl") / col("avgdl"))), 4))
       .join(fullDict, "term")
       .select(col("id"), col("dim"), col("w"))
+      .localCheckpoint(true)
     SparseVec.writePostings(post, indexDir, "append",
       SparseVec.bucketCount(spark, indexDir))
     // keep the WAND bound stats an upper bound over the grown postings
