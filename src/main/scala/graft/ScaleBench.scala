@@ -1320,13 +1320,10 @@ object ScaleBench {
         // groups — the scan reads the band, not the planet.
         "geo_radius (z-ordered bbox + haversine)" -> (() => {
           // (lat, lon) morton interleave over the centi-degree grid —
-          // the round-14 layout: both bbox edges prune row groups
-          val z = (0 until 16).map { i =>
-            shiftleft(shiftright(col("id") * 9973 % 17000, i)
-              .bitwiseAND(lit(1L)), 2 * i) +
-              shiftleft(shiftright(col("id") * 7919 % 36000, i)
-                .bitwiseAND(lit(1L)), 2 * i + 1)
-          }.reduce(_ + _)
+          // the round-14 layout (ScaleQueries.morton16, the SAME
+          // interleave the entry's layout uses): both bbox edges prune
+          val z = ScaleQueries.morton16(col("id") * 9973 % 17000,
+            col("id") * 7919 % 36000)
           val pts = materialize(
             spark.range(n.toLong).select(col("id").as("user_id"),
                 ((col("id") * 9973 % 17000) / 100.0 - 85.0).as("lat"),

@@ -204,8 +204,8 @@ object ScaleQueries {
   /** 16-bit × 16-bit Morton (Z-order) interleave — bit i of `a` lands at
     * position 2i, bit i of `b` at 2i+1. Pure Catalyst integer ops; the
     * bits are disjoint so the reduce is `+`. */
-  private def morton16(a: org.apache.spark.sql.Column,
-                       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def morton16(a: org.apache.spark.sql.Column,
+                              b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (0 until 16).map { i =>
       shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)

@@ -112,8 +112,13 @@ final class Collection(spark: SparkSession, val dir: String,
     val base = read
     ttlSeconds match {
       case Some(ttl) if base.columns.contains(Collection.IngestTsCol) =>
-        base.where(col(Collection.IngestTsCol).cast("long") + ttl
-          > asOf.cast("timestamp").cast("long"))
+        // a NULL stamp (rows appended without appendStamped in a
+        // mixed-ingest collection) never expires — the unmasked-serve
+        // contract for unstamped rows, enforced per row, not just per
+        // schema; a NULL predicate would silently FILTER those rows
+        base.where(col(Collection.IngestTsCol).isNull ||
+          col(Collection.IngestTsCol).cast("long") + ttl
+            > asOf.cast("timestamp").cast("long"))
       case _ => base
     }
   }
@@ -124,10 +129,13 @@ final class Collection(spark: SparkSession, val dir: String,
   def ttlDebt(asOf: org.apache.spark.sql.Column =
                 current_timestamp()): DataFrame = {
     val base = read
+    // NULL-safe: an unstamped row is LIVE (see readLive) — coalesce
+    // keeps it out of expired_rows AND inside live_rows, so the two
+    // counters always sum to the collection
     val expiredPred = ttlSeconds match {
       case Some(ttl) if base.columns.contains(Collection.IngestTsCol) =>
-        col(Collection.IngestTsCol).cast("long") + ttl <=
-          asOf.cast("timestamp").cast("long")
+        coalesce(col(Collection.IngestTsCol).cast("long") + ttl <=
+          asOf.cast("timestamp").cast("long"), lit(false))
       case _ => lit(false)
     }
     base.agg(
@@ -142,8 +150,14 @@ final class Collection(spark: SparkSession, val dir: String,
     * churn. */
   def reclaimExpired(asOf: org.apache.spark.sql.Column =
                        current_timestamp()): Long = {
+    // pin the clock to ONE instant: the count, the liveness check, and
+    // the rewrite span three actions, and a re-evaluated
+    // current_timestamp() would expire different rows in each — the
+    // returned count must equal the rows the rewrite actually dropped
+    val pinned = lit(spark.range(1)
+      .select(asOf.cast("timestamp")).first().getTimestamp(0))
     val before = count()
-    val live = readLive(asOf)
+    val live = readLive(pinned)
     val liveCount = live.count()
     if (liveCount < before) swapRewrite(live)
     before - liveCount

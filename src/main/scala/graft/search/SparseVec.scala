@@ -114,6 +114,15 @@ object SparseVec {
     try out.write(b.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  private[graft] def clearBucketsMarker(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val p = bucketsMarker(indexDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, false)
+    ()
+  }
+
   /** Write `post` (id, dim, w) in the layout `indexDir` declares:
     * per-dim directories, or `dimb` buckets with dim-sorted files. */
   private[graft] def writePostings(post: DataFrame, indexDir: String,
@@ -182,7 +191,11 @@ object SparseVec {
   def build(df: DataFrame, idCol: String, vecCol: String, topN: Int,
             indexDir: String, buckets: Int = 0): Unit = {
     val spark = df.sparkSession
+    // the marker must FOLLOW this build's layout either way: a rebuild
+    // at buckets=0 over a previously-bucketed root clears the stale
+    // marker, or later appends/folds would treat dim= dirs as bucketed
     if (buckets > 0) writeBucketsMarker(spark, indexDir, buckets)
+    else clearBucketsMarker(spark, indexDir)
     writePostings(postings(df, idCol, vecCol, topN), indexDir,
       "overwrite", if (buckets > 0) Some(buckets) else None)
     // per-dim bounds from the STORED postings (one columnar scan of
@@ -318,7 +331,8 @@ object SparseVec {
     * no stored postings are skipped via one bounded existence probe
     * each. */
   private def dimScan(spark: org.apache.spark.sql.SparkSession,
-                      indexDir: String, dims: Seq[Int]): DataFrame = {
+                      indexDir: String, dims: Seq[Int],
+                      idCol: String = "id"): DataFrame = {
     val base = postingsDir(indexDir)
     val bp = new org.apache.hadoop.fs.Path(base)
     val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -332,13 +346,21 @@ object SparseVec {
     val paths = dirNames.distinct.sorted
       .map(n => new org.apache.hadoop.fs.Path(base, n))
       .filter(fs.exists(_)).map(_.toString)
-    val scan =
-      if (paths.isEmpty)
-        // no query dim stored: fall back to the (empty) root read so
-        // the caller still gets the layout's schema
-        spark.read.parquet(base)
-      else spark.read.option("basePath", base).parquet(paths: _*)
-    scan.where(col("dim").isin(dims: _*))
+    if (paths.isEmpty)
+      // no query dim stored (out-of-vocab query): an EMPTY frame in
+      // the layout's shape — never a root read, whose planning would
+      // list every posting directory just to return nothing
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("dim",
+            org.apache.spark.sql.types.IntegerType, nullable = true),
+          org.apache.spark.sql.types.StructField("w",
+            org.apache.spark.sql.types.DoubleType, nullable = true))))
+    spark.read.option("basePath", base).parquet(paths: _*)
+      .where(col("dim").isin(dims: _*))
       .drop("dimb")
   }
 
@@ -347,8 +369,8 @@ object SparseVec {
   private def maskedDimScan(spark: org.apache.spark.sql.SparkSession,
                             indexDir: String, idCol: String,
                             dims: Seq[Int]): DataFrame =
-    Tombstones.mask(dimScan(spark, indexDir, dims), spark, indexDir,
-      idCol)
+    Tombstones.mask(dimScan(spark, indexDir, dims, idCol), spark,
+      indexDir, idCol)
 
   private[graft] final case class WandState(
       indexDir: String, qpAll: Seq[(Int, Double)],
@@ -426,19 +448,23 @@ object SparseVec {
     def zeroFilled(positives: DataFrame): DataFrame = {
       if (zeroDims.isEmpty) return positives
       val got = positives.collect()
-      if (got.length >= k)
-        return positives
-      // every positive-dim doc already ranks in `got` (there are < k of
-      // them); fill the tail with only-zero-dim docs at score 0.0
-      val gotIds = got.map(_.get(0))
-      val fillBase = maskedDimScan(spark, indexDir, idCol, zeroDims)
-        .select(col(idCol)).distinct()
-      val fill = (if (gotIds.isEmpty) fillBase
-                  else fillBase.where(!col(idCol).isin(gotIds: _*)))
-        .withColumn("score", lit(0.0))
-        .orderBy(col(idCol).asc).limit(k - got.length)
-      positives.unionByName(fill)
-        .orderBy(col("score").desc, col(idCol).asc).limit(k)
+      // k strictly-positive rows: no zero-scored doc (from either a
+      // zero-weight dim OR a positive product that ROUNDED to 0.0) can
+      // reach the top-k, and the pruning-engaged case always lands
+      // here (τ > margin ⇒ kth rounded score > 0) — serve the already-
+      // computed rows without re-running the exact phase
+      if (got.length >= k && got.last.getDouble(1) > 0.0)
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(got.toSeq, 1),
+          positives.schema)
+      // BOUNDARY: positives cannot fill k above zero, so the 0.0 tail
+      // is live — and it mixes only-zero-dim docs with positive-dim
+      // docs whose rounded score is 0.0, tie-broken BY ID across both.
+      // Pruning provably did not engage here (see above), so the
+      // honest serve IS the exhaustive one: delegate, exact by
+      // definition, no tie arithmetic to get subtly wrong.
+      searchIndex(spark, indexDir,
+        spark.createDataFrame(qpAll).toDF("dim", "w"), idCol, k)
     }
     val m = qp.length
     val posDims = qp.map(_._1)

@@ -1346,6 +1346,19 @@ class OperatorSpec extends SparkSpec {
       Collection.TtlProp -> "7", "owner" -> "graft"))
     // a later clock expires more rows under the new ttl
     assert(coll.readLive(timestamp_seconds(lit(1020L))).count() == 0)
+    // MIXED ingest (review finding, round 14): rows appended WITHOUT a
+    // stamp read NULL for the stamp column and must never expire — not
+    // silently vanish under a NULL predicate, not be reclaimed
+    coll.append((100L until 102L).map(i => (i, s"src$i"))
+      .toDF("id", "src")
+      .withColumn(Collection.IngestTsCol,
+        lit(null).cast("timestamp")))
+    val late = timestamp_seconds(lit(1020L))
+    assert(coll.readLive(late).select("id").as[Long].collect().toSet
+      == Set(100L, 101L), "unstamped rows expired")
+    assert(coll.ttlDebt(late).as[(Long, Long)].head() == ((6L, 2L)))
+    assert(coll.reclaimExpired(late) == 6L)
+    assert(coll.count() == 2, "reclaim dropped unstamped rows")
     coll.drop()
   }
 

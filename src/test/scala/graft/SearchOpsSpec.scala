@@ -555,6 +555,52 @@ class SearchOpsSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getPath.getName).toSeq
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("dimb=")),
       s"bucketed fold flattened the layout: $dirs")
+    // a rebuild at the default (per-dim) layout CLEARS the stale
+    // marker — or later appends would write dimb= dirs into a dim=
+    // tree (review finding, round 14)
+    SparseVec.build(corpus, "id", "vec", 6, bucketed)
+    assert(SparseVec.bucketCount(spark, bucketed).isEmpty,
+      "stale bucket marker survived a per-dim rebuild")
+    val dirs2 = fs.listStatus(new org.apache.hadoop.fs.Path(
+        SparseVec.postingsDir(bucketed)))
+      .filter(_.isDirectory).map(_.getPath.getName).toSeq
+    assert(dirs2.nonEmpty && dirs2.forall(_.startsWith("dim=")),
+      s"per-dim rebuild left bucketed dirs: $dirs2")
+    // the rebuilt (full original corpus) artifact serves correctly —
+    // compared against the in-memory exhaustive over the same rows
+    assert(serve(bucketed, wand = false) ==
+      SparseVec.search(SparseVec.postings(corpus, "id", "vec", 6),
+          q, "id", 12)
+        .as[(Long, Double)].collect().toSeq)
+  }
+
+  test("WAND zero-boundary: rounded-0.0 positives tie with zero-dim " +
+      "docs exactly as searchIndex") {
+    import graft.search.SparseVec
+    val root = "/tmp/graft_wand_zero_test"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // id 0: tiny dim-1 weight whose product ROUNDS to 0.0; ids 1-2:
+    // only the zero-weight dim; id 3: a real positive score
+    val corpus = Seq(
+      (0L, Array(0.0001f, 0f, 1f)),
+      (1L, Array(0f, 0f, 1f)),
+      (2L, Array(0f, 0f, 1f)),
+      (3L, Array(2f, 0f, 0f))).toDF("id", "vec")
+    SparseVec.build(corpus, "id", "vec", 3, root)
+    val q = Seq((1, 0.0001), (3, 0.0)).toDF("dim", "w")
+    (1 to 4).foreach { k =>
+      val exh = SparseVec.searchIndex(spark, root, q, "id", k)
+        .as[(Long, Double)].collect().toSeq
+      val wnd = SparseVec.searchWandIndex(spark, root, q, "id", k)
+        .as[(Long, Double)].collect().toSeq
+      assert(wnd == exh, s"k=$k: wand $wnd != exhaustive $exh")
+    }
+    // the 0.0 cohort is id-ordered ACROSS both origins: the rounded-0
+    // positive (id 0) precedes the only-zero-dim docs (ids 1, 2)
+    assert(SparseVec.searchWandIndex(spark, root, q, "id", 3)
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((3L, 2e-4), (0L, 0.0), (1L, 0.0)))
   }
 
   test("WAND bound audit: healthy artifact scores 0; a lowered bound " +
