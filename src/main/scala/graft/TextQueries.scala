@@ -1173,6 +1173,68 @@ object TextQueries {
       ORDER BY score DESC, doc_id ASC LIMIT 10
     """))
 
+  /** A BATCH of lexical queries served as ONE plan
+    * ([[graft.search.FullText.searchBulk]] — the `ivf_bulk_search`
+    * / `graph_ann_bulk` bulk discipline closing on the lexical tier,
+    * round 14): three term queries resolve through the dictionary in
+    * one pass, the combined (qid, dim, idf) side broadcasts, one
+    * aggregate scores every (query, doc) pair over the UNION of the
+    * queries' posting lists (still a dim-seek — never a corpus scan),
+    * and a qid window keeps each query's top-k. The oracle replays
+    * all three BM25 rankings from the raw corpus with the same
+    * per-qid window. */
+  private val fulltextBulkSearch = Q(
+    "fulltext_bulk_search",
+    (s, dir) => {
+      import graft.search.FullText
+      val idx = s"/tmp/graft_ftwand_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        FullText.build(Tables.documents(s, dir), "doc_id", "text", idx)
+      }
+      FullText.searchBulk(s, idx, Seq(
+          0L -> Seq("dup", "batch"),
+          1L -> Seq("scan", "agg"),
+          2L -> Seq("hash", "data")), 5)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                      t -> len(t) > 0) AS tk
+                  FROM documents),
+      tt AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tt
+             GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+                FROM tk),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dw AS (SELECT tf.doc_id, tf.term,
+                    round(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl
+                      / avgdl)), 4) AS w
+             FROM tf JOIN dl USING (doc_id) CROSS JOIN stats),
+      qt(qid, term) AS (VALUES (0, 'dup'), (0, 'batch'),
+                               (1, 'scan'), (1, 'agg'),
+                               (2, 'hash'), (2, 'data')),
+      qw AS (SELECT qid, term,
+                    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 4)
+                      AS qw
+             FROM qt JOIN dfq USING (term) CROSS JOIN stats),
+      sc AS (SELECT qw.qid, dw.doc_id,
+                    round(sum(dw.w * qw.qw), 4) AS score
+             FROM dw JOIN qw USING (term) GROUP BY qw.qid, dw.doc_id),
+      rk AS (SELECT qid, doc_id, score,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY score DESC, doc_id ASC) AS rn
+             FROM sc)
+      SELECT CAST(qid AS BIGINT) AS qid, doc_id, score FROM rk
+      WHERE rn <= 5
+      ORDER BY qid ASC, score DESC, doc_id ASC
+    """))
+
   /** The FullText artifact's REBUILD-CADENCE policy row
     * ([[graft.search.Maintenance.planFullText]] over
     * [[graft.search.FullText.debt]]): build seals the corpus extent
@@ -2266,7 +2328,7 @@ object TextQueries {
     bm25AnalyzerSearch, bm25SparseDuality, fulltextSparseMasked,
     fulltextSparseIncremental, fulltextAnalyzedSearch,
     fulltextWandSearch, fulltextWandPruneReport, fulltextRebuildPlan,
-    fulltextBucketedSearch,
+    fulltextBucketedSearch, fulltextBulkSearch,
     streamingFulltextIngest,
     streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti,
     termPrefixSearch, prefixFilteredBm25, termFuzzySearch,

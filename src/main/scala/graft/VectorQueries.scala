@@ -2332,6 +2332,54 @@ object VectorQueries {
       ORDER BY score DESC, vec_id ASC LIMIT 10
     """))
 
+  /** A BATCH of sparse queries served as ONE plan
+    * ([[graft.search.SparseVec.searchBulkIndex]] — the bulk
+    * discipline closing on the learned-sparse tier, `fulltext_bulk_
+    * search`'s embedding twin): three sparsified queries' dims union
+    * into one posting-list seek, the (qid, dim, qw) side broadcasts,
+    * one aggregate scores all (query, doc) pairs, a qid window keeps
+    * each k. The oracle replays the three exhaustive rankings with
+    * the same per-qid window. */
+  private val sparseBulkSearch = Q(
+    "sparse_bulk_search",
+    (s, dir) => {
+      import graft.search.SparseVec
+      val e = Tables.embeddings(s, dir)
+      val idx = s"/tmp/graft_sparsewand_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        SparseVec.build(e, "vec_id", "embedding", topN = 8, idx)
+      }
+      val qp = SparseVec.postings(
+        e.where(col("vec_id").isin(0, 1, 2)), "vec_id", "embedding",
+        topN = 8)
+        .select(col("vec_id").as("qid"), col("dim"), col("w"))
+      SparseVec.searchBulkIndex(s, idx, qp, "vec_id", k = 5)
+    },
+    Some("""
+      WITH pr AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS dim,
+                         unnest(embedding) AS v
+                  FROM embeddings),
+      pw AS (SELECT vec_id, dim, round(CAST(v AS DOUBLE), 4) AS w FROM pr),
+      top AS (SELECT vec_id, dim, w FROM (
+          SELECT vec_id, dim, w,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY w DESC, dim ASC) AS rn
+          FROM pw WHERE w > 0) WHERE rn <= 8),
+      q AS (SELECT vec_id AS qid, dim, w AS qw FROM top
+            WHERE vec_id IN (0, 1, 2)),
+      sc AS (SELECT q.qid, t.vec_id, round(sum(t.w * q.qw), 4) AS score
+             FROM top t JOIN q USING (dim) GROUP BY q.qid, t.vec_id),
+      rk AS (SELECT qid, vec_id, score,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY score DESC, vec_id ASC) AS rn
+             FROM sc)
+      SELECT CAST(qid AS BIGINT) AS qid, vec_id, score FROM rk
+      WHERE rn <= 5
+      ORDER BY qid ASC, score DESC, vec_id ASC
+    """))
+
   /** SPARSE + DENSE hybrid (the Milvus 2.4 flagship hybrid mode: a
     * SPLADE-shape sparse representation and a dense vector of the SAME
     * entity, each searched in its own index, fused by RRFRanker): the
@@ -4104,7 +4152,8 @@ object VectorQueries {
     asymmetricBinaryIncremental, streamingAsymIngest, ivfAsymBinarySearch,
     binaryRecallReport, knnIpTopK, mmrRerank,
     corpusDiversity,
-    sparseVectorSearch, sparseWandSearch, hybridSearchWeighted,
+    sparseVectorSearch, sparseWandSearch, sparseBulkSearch,
+    hybridSearchWeighted,
     searchPagination,
     searchIterate, timeDecaySearch,
     embeddingOutliers, indexRecallReport, groupByFieldSearch,

@@ -287,6 +287,31 @@ object FullText {
     SparseVec.searchIndex(spark, indexDir,
       queryPostings(spark, indexDir, terms), "id", k)
 
+  /** A BATCH of term queries served in ONE plan
+    * ([[SparseVec.searchBulkIndex]] — the bulk discipline the IVF and
+    * graph tiers already follow, applied to lexical serving): every
+    * query's terms resolve through the dictionary/df/stats artifacts
+    * in one pass, the combined (qid, dim, idf) side broadcasts, and
+    * one aggregate + per-qid window scores the whole batch. Queries
+    * whose terms are all out-of-vocabulary contribute no rows, like
+    * any posting-list engine. */
+  def searchBulk(spark: SparkSession, indexDir: String,
+                 queries: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("qid", "term")
+    val dict = spark.read.parquet(dictDir(indexDir))
+    val dfreq = spark.read.parquet(dfDir(indexDir))
+    val stats = spark.read.parquet(statsDir(indexDir))
+    val qp = broadcast(qterms).join(dict, "term").join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("dim"),
+        round(log((col("n_docs") - col("df_") + 0.5)
+          / (col("df_") + 0.5) + 1.0), 4).as("w"))
+    SparseVec.searchBulkIndex(spark, indexDir, qp, "id", k)
+  }
+
   /** [[search]] with MAX-SCORE (WAND-family) posting-list pruning —
     * lossless, identical rows ([[SparseVec.searchWandIndex]]'s bound
     * argument): a high-df query term whose idf·tf bound cannot reach

@@ -308,6 +308,42 @@ object SparseVec {
     scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
   }
 
+  /** BULK top-k: a BATCH of queries served from the stored artifact in
+    * ONE plan — the `ivf_bulk_search`/`graph_ann_bulk` discipline for
+    * the sparse tier (round 14; previously every sparse/lexical query
+    * was its own plan, so a 1000-query batch paid 1000 plan+scan fixed
+    * costs). `queryPostings` carries (qid, dim, w); the postings scan
+    * is pruned to the UNION of all queries' dims (still an O(distinct
+    * query dims) posting-list seek — [[dimScan]]), the whole query
+    * side broadcasts (bounded: n_queries × topN rows), ONE hash
+    * aggregate scores every (qid, doc) pair, and a qid-partitioned
+    * window keeps each query's k. No per-query jobs, no corpus-sized
+    * shuffle — the aggregate's shuffle is (matched docs × queries
+    * sharing their dims), the join-free upper bound every bulk lexical
+    * scorer has. */
+  def searchBulkIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexDir0: String, queryPostings: DataFrame,
+                      idCol: String, k: Int): DataFrame = {
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
+    val qp = queryPostings
+      .select(col("qid").cast("long"), col("dim").cast("int"),
+        col("w").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .toSeq.sorted
+    val dims = qp.map(_._2).distinct
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    maskedDimScan(spark, indexDir, idCol, dims)
+      .join(broadcast(spark.createDataFrame(qp)
+        .toDF("qid", "dim", "qw")), Seq("dim"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(round(sum(col("w") * col("qw")), 4).as("score"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k).drop("__rn")
+      .orderBy(col("qid").asc, col("score").desc, col(idCol).asc)
+  }
+
   // ---------------------------------------------------------------------
   // WAND / max-score top-k pruning (round 14) — see [[searchWandIndex]].
   // ---------------------------------------------------------------------

@@ -574,6 +574,57 @@ class SearchOpsSpec extends SparkSpec {
         .as[(Long, Double)].collect().toSeq)
   }
 
+  test("bulk sparse serve: one plan equals the per-query loop, masked, " +
+      "OOV queries contribute nothing") {
+    import graft.search.{FullText, SparseVec}
+    val root = "/tmp/graft_sparse_bulk_test"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val corpus = (0L until 25L).map { i =>
+      (i, Array.tabulate(10)(d =>
+        if ((i + d) % 4 == 0) (1.0 + (i % 5) * 0.5).toFloat else 0f))
+    }.toDF("id", "vec")
+    SparseVec.build(corpus, "id", "vec", 6, root)
+    SparseVec.delete(Seq(Tuple1(3L)).toDF("id"), root, "id")
+    val queries = (0L until 3L).map { qi =>
+      qi -> Array.tabulate(10)(d => if (d % 3 == qi) 1.0f else 0f)
+    }
+    val qp = queries.map { case (qi, v) =>
+      SparseVec.postings(Seq((qi, v)).toDF("id", "vec"), "id", "vec", 6)
+        .select(lit(qi).as("qid"), col("dim"), col("w"))
+    }.reduce(_ unionByName _)
+    val bulk = SparseVec.searchBulkIndex(spark, root, qp, "id", 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    val looped = queries.flatMap { case (qi, v) =>
+      SparseVec.searchIndex(spark, root,
+          SparseVec.postings(Seq((qi, v)).toDF("id", "vec"),
+            "id", "vec", 6).select(col("dim"), col("w")), "id", 4)
+        .as[(Long, Double)].collect().toSeq
+        .map { case (id, s) => (qi, id, s) }
+    }
+    assert(bulk == looped, s"bulk $bulk != per-query $looped")
+    assert(!bulk.exists(_._2 == 3L), "tombstone mask missing in bulk")
+    // fulltext bulk: per-query search equality + an all-OOV query
+    val ft = "/tmp/graft_ft_bulk_test"
+    val fp = new org.apache.hadoop.fs.Path(ft)
+    fp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(fp, true)
+    FullText.build(Seq(
+      (1L, "scan merge alpha"), (2L, "scan scan beta"),
+      (3L, "merge gamma")).toDF("doc_id", "text"), "doc_id", "text", ft)
+    val fb = FullText.searchBulk(spark, ft, Seq(
+        0L -> Seq("scan"), 1L -> Seq("merge", "alpha"),
+        2L -> Seq("zzz_not_there")), 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    val floop = Seq(0L -> Seq("scan"), 1L -> Seq("merge", "alpha"))
+      .flatMap { case (qi, ts) =>
+        FullText.search(spark, ft, ts, 5)
+          .as[(Long, Double)].collect().toSeq
+          .map { case (id, s) => (qi, id, s) }
+      }
+    assert(fb == floop, s"fulltext bulk $fb != per-query $floop")
+    assert(!fb.exists(_._1 == 2L), "OOV query produced rows")
+  }
+
   test("WAND zero-boundary: rounded-0.0 positives tie with zero-dim " +
       "docs exactly as searchIndex") {
     import graft.search.SparseVec
