@@ -156,12 +156,12 @@ object FullText {
     denseDict(tf).write.mode("overwrite").parquet(dictDir(indexDir))
     dfreq.write.mode("overwrite").parquet(dfDir(indexDir))
     val dict = spark.read.parquet(dictDir(indexDir))
-    // marker follows THIS build's layout (a buckets=0 rebuild over a
-    // bucketed root clears the stale marker — the SparseVec.build rule)
-    if (buckets > 0) SparseVec.writeBucketsMarker(spark, indexDir, buckets)
-    else SparseVec.clearBucketsMarker(spark, indexDir)
     SparseVec.writePostings(weighted(tf, dl, stats, dict, k1, b),
       indexDir, "overwrite", if (buckets > 0) Some(buckets) else None)
+    // marker follows THIS build's layout, written only after the
+    // postings write succeeded (the SparseVec.build crash argument)
+    if (buckets > 0) SparseVec.writeBucketsMarker(spark, indexDir, buckets)
+    else SparseVec.clearBucketsMarker(spark, indexDir)
     // per-dim bound stats for WAND serving ([[SparseVec.dimStatsDir]]):
     // rebuild from the stored postings, dropping stale rows
     val sp = new org.apache.hadoop.fs.Path(

@@ -124,14 +124,22 @@ object SparseVec {
   }
 
   /** Write `post` (id, dim, w) in the layout `indexDir` declares:
-    * per-dim directories, or `dimb` buckets with dim-sorted files. */
+    * per-dim directories, or `dimb` buckets with dim-sorted files.
+    * The bucketed shuffle is a RANGE partition over (dimb, dim) — NOT
+    * a hash on dimb alone, which would cap write parallelism at B
+    * tasks and hand each one a whole bucket to sort (the spill/OOM
+    * shape at exactly the vocabulary scale this layout exists for): a
+    * large bucket splits across tasks by dim range, every file stays
+    * dim-sorted (row-group pruning needs per-FILE tightness, not
+    * one-file buckets), and `partitionBy` still routes rows to their
+    * bucket directory. */
   private[graft] def writePostings(post: DataFrame, indexDir: String,
                                    mode: String,
                                    buckets: Option[Int]): Unit =
     buckets match {
       case Some(b) =>
         post.withColumn("dimb", pmod(col("dim"), lit(b)))
-          .repartition(col("dimb"))
+          .repartitionByRange(col("dimb"), col("dim"))
           .sortWithinPartitions(col("dimb"), col("dim"))
           .write.mode(mode).partitionBy("dimb")
           .parquet(postingsDir(indexDir))
@@ -139,6 +147,24 @@ object SparseVec {
         post.write.mode(mode).partitionBy("dim")
           .parquet(postingsDir(indexDir))
     }
+
+  /** ONE definition of the layout→fold-arguments rule: tombstone-fold
+    * the postings dir preserving whatever layout the marker declares
+    * (per-dim dirs, or dimb buckets re-sorted by dim so row-group
+    * pruning survives the rewrite). Returns the resolved layout so the
+    * caller can reuse it without a second marker read. */
+  private def compactPostings(spark: org.apache.spark.sql.SparkSession,
+                              d: String, idCol: String): Option[Int] = {
+    val layout = bucketCount(spark, d)
+    layout match {
+      case Some(_) => Tombstones.compact(spark, d, postingsDir(d),
+        Seq(idCol), partitionBy = Seq("dimb"),
+        sortWithin = Seq("dimb", "dim"))
+      case None => Tombstones.compact(spark, d, postingsDir(d),
+        Seq(idCol), partitionBy = Seq("dim"))
+    }
+    layout
+  }
 
   /** Per-dimension score-bound statistics for WAND/max-score serving:
     * (dim, maxw) rows, read-side folded with `max` so writers only ever
@@ -165,8 +191,8 @@ object SparseVec {
     * missing bound must never default to 0, which would prune docs it
     * has no right to prune. */
   private def dimBounds(spark: org.apache.spark.sql.SparkSession,
-                        indexDir: String,
-                        dims: Seq[Int]): Map[Int, Double] = {
+                        indexDir: String, dims: Seq[Int],
+                        bc: Option[Option[Int]] = None): Map[Int, Double] = {
     val statsPath = new org.apache.hadoop.fs.Path(dimStatsDir(indexDir))
     val fs = statsPath.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -178,7 +204,7 @@ object SparseVec {
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val missing = dims.filterNot(stored.contains)
     if (missing.isEmpty) stored
-    else stored ++ dimScan(spark, indexDir, missing)
+    else stored ++ dimScan(spark, indexDir, missing, bc = bc)
       .groupBy(col("dim")).agg(max(col("w")).as("maxw"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
   }
@@ -191,13 +217,15 @@ object SparseVec {
   def build(df: DataFrame, idCol: String, vecCol: String, topN: Int,
             indexDir: String, buckets: Int = 0): Unit = {
     val spark = df.sparkSession
-    // the marker must FOLLOW this build's layout either way: a rebuild
-    // at buckets=0 over a previously-bucketed root clears the stale
-    // marker, or later appends/folds would treat dim= dirs as bucketed
-    if (buckets > 0) writeBucketsMarker(spark, indexDir, buckets)
-    else clearBucketsMarker(spark, indexDir)
     writePostings(postings(df, idCol, vecCol, topN), indexDir,
       "overwrite", if (buckets > 0) Some(buckets) else None)
+    // the marker follows this build's layout AND lands only after the
+    // postings write SUCCEEDED: a crashed layout-switching build must
+    // not leave a marker declaring directories that were never
+    // written (readers would probe for the wrong prefix; [[dimScan]]
+    // turns that mismatch into a loud error, not an empty serve)
+    if (buckets > 0) writeBucketsMarker(spark, indexDir, buckets)
+    else clearBucketsMarker(spark, indexDir)
     // per-dim bounds from the STORED postings (one columnar scan of
     // (dim, w)) — cleared first so a rebuild drops stale conservative
     // rows instead of folding them in forever
@@ -235,13 +263,7 @@ object SparseVec {
   def compactTombstones(spark: org.apache.spark.sql.SparkSession,
                         indexDir: String, idCol: String): Unit = {
     def inPlace(d: String): Unit = {
-      bucketCount(spark, d) match {
-        case Some(_) => Tombstones.compact(spark, d, postingsDir(d),
-          Seq(idCol), partitionBy = Seq("dimb"),
-          sortWithin = Seq("dimb", "dim"))
-        case None => Tombstones.compact(spark, d, postingsDir(d),
-          Seq(idCol), partitionBy = Seq("dim"))
-      }
+      compactPostings(spark, d, idCol)
       Tombstones.clear(spark, d)
     }
     if (AliasedIndex.publishedVersions(spark, indexDir).nonEmpty)
@@ -268,16 +290,10 @@ object SparseVec {
     // served version under readers and under the fingerprint).
     def verb(d: String): Unit = {
       Tombstones.record(batch.select(col(idCol)), d, idCol)
-      bucketCount(spark, d) match {
-        case Some(_) => Tombstones.compact(spark, d, postingsDir(d),
-          Seq(idCol), partitionBy = Seq("dimb"),
-          sortWithin = Seq("dimb", "dim"))
-        case None => Tombstones.compact(spark, d, postingsDir(d),
-          Seq(idCol), partitionBy = Seq("dim"))
-      }
+      val layout = compactPostings(spark, d, idCol)
       Tombstones.clear(spark, d)
       val post = postings(batch, idCol, vecCol, topN)
-      writePostings(post, d, "append", bucketCount(spark, d))
+      writePostings(post, d, "append", layout)
       // the fold may have LOWERED true per-dim maxima; the stored
       // bounds stay conservative (upper bound ≥ live max — slower
       // pruning, never wrong), re-tightened by the next rebuild
@@ -366,46 +382,84 @@ object SparseVec {
     * posting lists, it does not readdir the term dictionary. Dims with
     * no stored postings are skipped via one bounded existence probe
     * each. */
+  /** `bc`: pass `Some(resolvedBucketCount)` when the caller already
+    * read the layout marker (the WAND serve issues several dimScans
+    * per query — re-reading the marker each time is avoidable metadata
+    * I/O on an object store); `None` resolves it here. */
   private def dimScan(spark: org.apache.spark.sql.SparkSession,
                       indexDir: String, dims: Seq[Int],
-                      idCol: String = "id"): DataFrame = {
+                      idCol: String = "id",
+                      bc: Option[Option[Int]] = None): DataFrame = {
     val base = postingsDir(indexDir)
     val bp = new org.apache.hadoop.fs.Path(base)
     val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirNames = bucketCount(spark, indexDir) match {
-      // bucketed layout: a query dim's list lives in its dim%B bucket;
-      // the `dim IN` literals then prune row groups inside the bucket
-      // via parquet min/max (files are dim-sorted by the writers)
-      case Some(b) => dims.map(d => s"dimb=${math.floorMod(d, b)}")
-      case None => dims.map(d => s"dim=$d")
-    }
+    val (prefix, dirNames) =
+      bc.getOrElse(bucketCount(spark, indexDir)) match {
+        // bucketed layout: a query dim's list lives in its dim%B
+        // bucket; the `dim IN` literals then prune row groups inside
+        // the bucket via parquet min/max (files are dim-sorted by the
+        // writers)
+        case Some(b) =>
+          ("dimb=", dims.map(d => s"dimb=${math.floorMod(d, b)}"))
+        case None => ("dim=", dims.map(d => s"dim=$d"))
+      }
     val paths = dirNames.distinct.sorted
       .map(n => new org.apache.hadoop.fs.Path(base, n))
       .filter(fs.exists(_)).map(_.toString)
-    if (paths.isEmpty)
-      // no query dim stored (out-of-vocab query): an EMPTY frame in
-      // the layout's shape — never a root read, whose planning would
-      // list every posting directory just to return nothing
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(idCol,
-            org.apache.spark.sql.types.LongType, nullable = true),
-          org.apache.spark.sql.types.StructField("dim",
-            org.apache.spark.sql.types.IntegerType, nullable = true),
-          org.apache.spark.sql.types.StructField("w",
-            org.apache.spark.sql.types.DoubleType, nullable = true))))
-    spark.read.option("basePath", base).parquet(paths: _*)
-      .where(col("dim").isin(dims: _*))
-      .drop("dimb")
+    if (paths.nonEmpty)
+      return spark.read.option("basePath", base).parquet(paths: _*)
+        .where(col("dim").isin(dims: _*))
+        .drop("dimb")
+    // RARE path: NONE of the query dims' declared directories exist —
+    // a genuinely out-of-vocabulary query, or a marker/layout mismatch
+    // (a crashed layout-switching rebuild). One EARLY-STOPPING root
+    // iteration distinguishes them: the first partition directory of
+    // the declared kind both proves the layout and supplies the TRUE
+    // stored schema for the empty result (a hardcoded schema would
+    // silently differ from the artifact's id type on this one path);
+    // a directory of the OTHER kind is corruption and fails LOUDLY
+    // instead of serving empty.
+    def emptyFallback: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("dim",
+          org.apache.spark.sql.types.IntegerType, nullable = true),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+    if (!fs.exists(bp)) return emptyFallback
+    val it = fs.listStatusIterator(bp)
+    var sample: Option[org.apache.hadoop.fs.Path] = None
+    var mismatch: Option[String] = None
+    while (it.hasNext && sample.isEmpty && mismatch.isEmpty) {
+      val st = it.next()
+      if (st.isDirectory) {
+        val n = st.getPath.getName
+        if (n.startsWith(prefix)) sample = Some(st.getPath)
+        else if (n.startsWith("dim")) mismatch = Some(n)
+      }
+    }
+    mismatch.foreach(n => throw new IllegalStateException(
+      s"postings layout mismatch under $base: marker declares " +
+        s"'$prefix' partitions but found '$n' — a layout-switching " +
+        "rebuild did not complete; rebuild the artifact"))
+    sample match {
+      case Some(sp) =>
+        spark.read.option("basePath", base).parquet(sp.toString)
+          .where(col("dim").isin(dims: _*))
+          .drop("dimb")
+      case None => emptyFallback
+    }
   }
 
   /** [[dimScan]] + tombstone mask — the shared base of every
     * stored-artifact serve. */
   private def maskedDimScan(spark: org.apache.spark.sql.SparkSession,
                             indexDir: String, idCol: String,
-                            dims: Seq[Int]): DataFrame =
-    Tombstones.mask(dimScan(spark, indexDir, dims, idCol), spark,
+                            dims: Seq[Int],
+                            bc: Option[Option[Int]] = None): DataFrame =
+    Tombstones.mask(dimScan(spark, indexDir, dims, idCol, bc), spark,
       indexDir, idCol)
 
   private[graft] final case class WandState(
@@ -460,6 +514,10 @@ object SparseVec {
                         idCol: String, k: Int)
       : (DataFrame, WandState) = {
     val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
+    // layout marker resolved ONCE per serve and threaded through every
+    // scan this serve issues (the doubling loop alone is log2(dims)
+    // scans — per-scan marker reads are metadata round trips)
+    val bc: Option[Option[Int]] = Some(bucketCount(spark, indexDir))
     val qpAll = queryPostings.select(col("dim"), col("w")).collect()
       .map(r => (r.getInt(0), r.getDouble(1))).toSeq.sorted
     require(qpAll.forall(_._2 >= 0),
@@ -507,10 +565,10 @@ object SparseVec {
     if (m == 0) {
       val st = WandState(indexDir, qpAll, qp, Nil)
       return (zeroFilled(exact(
-        maskedDimScan(spark, indexDir, idCol, Nil))), st)
+        maskedDimScan(spark, indexDir, idCol, Nil, bc))), st)
     }
     // bounds, best-first; suffix(i) = Σ of bounds i..m-1
-    val mw = dimBounds(spark, indexDir, posDims)
+    val mw = dimBounds(spark, indexDir, posDims, bc)
     val bounds = qp.map { case (d, qw) => (d, qw, qw * mw.getOrElse(d, 0.0)) }
       .sortBy { case (d, _, ub) => (-ub, d) }
     val suffix = bounds.map(_._3).scanRight(0.0)(_ + _)
@@ -520,7 +578,8 @@ object SparseVec {
       val ess = bounds.take(j)
       val essQ = broadcast(spark.createDataFrame(
         ess.map(t => (t._1, t._2))).toDF("dim", "qw"))
-      val partial = maskedDimScan(spark, indexDir, idCol, ess.map(_._1))
+      val partial = maskedDimScan(spark, indexDir, idCol,
+          ess.map(_._1), bc)
         .join(essQ, Seq("dim"))
         .groupBy(col(idCol)).agg(sum(col("w") * col("qw")).as("p"))
         .orderBy(col("p").desc, col(idCol).asc).limit(k)
@@ -533,11 +592,11 @@ object SparseVec {
     val st = WandState(indexDir, qpAll, qp, bounds.take(chosen).map(_._1))
     val positives =
       if (st.exhaustive)
-        exact(maskedDimScan(spark, indexDir, idCol, posDims))
+        exact(maskedDimScan(spark, indexDir, idCol, posDims, bc))
       else {
-        val cand = maskedDimScan(spark, indexDir, idCol, st.essDims)
+        val cand = maskedDimScan(spark, indexDir, idCol, st.essDims, bc)
           .select(col(idCol)).distinct()
-        exact(maskedDimScan(spark, indexDir, idCol, posDims)
+        exact(maskedDimScan(spark, indexDir, idCol, posDims, bc)
           .join(cand, Seq(idCol), "left_semi"))
       }
     (zeroFilled(positives), st)
@@ -556,16 +615,18 @@ object SparseVec {
                  idCol: String, k: Int,
                  checkLossless: Boolean = true): DataFrame = {
     val (topk, st) = wandServe(spark, indexDir0, queryPostings, idCol, k)
+    val rbc: Option[Option[Int]] = Some(bucketCount(spark, st.indexDir))
     val allDims = st.qpAll.map(_._1)
     val posDims = st.qp.map(_._1)
-    val total = maskedDimScan(spark, st.indexDir, idCol, allDims).count()
+    val total = maskedDimScan(spark, st.indexDir, idCol, allDims, rbc)
+      .count()
     // rows the exact phase aggregates: candidate docs' positive-dim
     // postings (zero-weight dims are never scored — see wandServe)
     val scored =
       if (st.exhaustive)
-        maskedDimScan(spark, st.indexDir, idCol, posDims).count()
-      else maskedDimScan(spark, st.indexDir, idCol, posDims)
-        .join(maskedDimScan(spark, st.indexDir, idCol, st.essDims)
+        maskedDimScan(spark, st.indexDir, idCol, posDims, rbc).count()
+      else maskedDimScan(spark, st.indexDir, idCol, posDims, rbc)
+        .join(maskedDimScan(spark, st.indexDir, idCol, st.essDims, rbc)
           .select(col(idCol)).distinct(), Seq(idCol), "left_semi")
         .count()
     // `checkLossless = false` skips the exhaustive twin (for decade

@@ -140,10 +140,14 @@ object Tombstones {
     // `sortWithin`: layouts whose row-group min/max tightness IS the
     // index structure (the dim-bucketed postings: dim-sorted files
     // inside each bucket) re-sort on the fold, so a compaction never
-    // trades a smaller artifact for broken scan pruning
+    // trades a smaller artifact for broken scan pruning. Range
+    // partition over the full sort key — a hash on the partition
+    // column alone would cap the fold at |partitions| tasks (the
+    // writePostings parallelism argument).
     val live =
       if (sortWithin.isEmpty) live0
-      else live0.repartition(partitionBy.map(col): _*)
+      else live0.repartitionByRange(
+          (partitionBy ++ sortWithin).distinct.map(col): _*)
         .sortWithinPartitions(sortWithin.map(col): _*)
     val f = fs(spark, artifactDir)
     val tmp = new Path(artifactDir + "__tomb_tmp")
