@@ -429,6 +429,23 @@ object ScaleBench {
           graft.search.FullText.searchWand(spark, dir,
             Seq("u7", "the"), 1).count()
         }),
+        // bulk lexical serving (round 14): 8 queries as ONE plan vs 8
+        // sequential plans over the same artifact — the bulk win is
+        // per-plan fixed cost (planning + job launch + seek), so the
+        // one-plan row should sit far under 8× the single-serve row
+        // and stay flat in n
+        "fulltext_bulk_serve (8q, one plan)" -> (() => {
+          val idx = ensureWandIndex()
+          graft.search.FullText.searchBulk(spark, idx,
+            (0L until 8L).map(q => q -> Seq(s"u${q * 7 + 7}", "w13")),
+            k = 3).count()
+        }),
+        "fulltext_loop_serve (8q, 8 plans)" -> (() => {
+          val idx = ensureWandIndex()
+          (0L until 8L).map(q =>
+            graft.search.FullText.search(spark, idx,
+              Seq(s"u${q * 7 + 7}", "w13"), 3).count()).sum
+        }),
         "srp_candidate_pairs (auto-sized)" -> (() => {
           val bands = Dedup.srpBands(emb, "vec_id", "embedding", Dim,
             autoBits, 4)
