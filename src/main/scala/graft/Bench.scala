@@ -55,10 +55,19 @@ object Bench {
     val b0 = System.nanoTime()
     SparkEntry.queries.foreach { case (n, fn) => time(n, fn) }
     val buildSecs = (System.nanoTime() - b0) / 1e9
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> median((1 to runs).map(_ => time(name, fn)))
+    // per entry: MEDIAN (the headline — robust to one GC pause) AND
+    // MIN (round 15: robust to host CONTENTION spanning the whole
+    // capture, which a median of 2 cannot reject — two consecutive
+    // driver captures were poisoned exactly that way; the min is the
+    // honest serving number on a shared host, the cross-round compare
+    // when medians disagree with a quiet re-run)
+    val samples = SparkEntry.queries.map { case (name, fn) =>
+      name -> (1 to runs).map(_ => time(name, fn))
     }
+    val results = samples.map { case (n, xs) => n -> median(xs) }
+    val resultsMin = samples.map { case (n, xs) => n -> xs.min }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val totalMin = if (resultsMin.nonEmpty) resultsMin.values.sum else 0.0
     // a query that THREW still gets a time entry (the failure is fast),
     // so failures are surfaced explicitly rather than read as speedups
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -77,20 +86,32 @@ object Bench {
     val desc = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","""
     val meta = s""""errors":$errs,"n_queries":${results.size},""" +
-      s""""build_secs":${fmt(buildSecs)},"sf":"$sfDir""""
-    val budget = 1900 - head.length - meta.length - 80 // slack for closers
+      s""""build_secs":${fmt(buildSecs)},""" +
+      s""""value_min":${fmt(totalMin)},"sf":"$sfDir""""
+    val budget = 1900 - head.length - meta.length - 140 // slack for closers
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    val keptMin = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     var omitted = 0
     var omittedTime = 0.0
+    var omittedTimeMin = 0.0
+    // a kept entry appears in BOTH maps (same keys, so min-vs-median
+    // per entry is always comparable) — its budget cost is both items
     desc.foreach { case (k, v) =>
       val item = "\"" + k + "\":" + fmt(v)
-      if (used + item.length + 1 <= budget) { kept += item; used += item.length + 1 }
-      else { omitted += 1; omittedTime += v }
+      val itemMin = "\"" + k + "\":" + fmt(resultsMin(k))
+      val cost = item.length + itemMin.length + 2
+      if (used + cost <= budget) {
+        kept += item; keptMin += itemMin; used += cost
+      } else { omitted += 1; omittedTime += v
+        omittedTimeMin += resultsMin(k) }
     }
     val qs = kept.mkString("{", ",", "}")
-    val line = head + s""""queries":$qs,"omitted_queries":$omitted,""" +
-      s""""omitted_time":${fmt(omittedTime)},""" + meta + "}"
+    val qsMin = keptMin.mkString("{", ",", "}")
+    val line = head + s""""queries":$qs,"queries_min":$qsMin,""" +
+      s""""omitted_queries":$omitted,""" +
+      s""""omitted_time":${fmt(omittedTime)},""" +
+      s""""omitted_time_min":${fmt(omittedTimeMin)},""" + meta + "}"
     // Stop Spark BEFORE printing: its shutdown can log ("Cannot find
     // active jobs…"), and the driver's last-line JSON parse needs the
     // bench line to be the final stdout line (build.sbt suppresses

@@ -1143,6 +1143,128 @@ object PipelineQueries {
       ORDER BY bm25 DESC, doc_id ASC
     """))
 
+  /** The router-chosen LEARNED-SPARSE tier served END TO END (round 15
+    * — the last modality missing from the routed dispatch menu: flat /
+    * IVF / SQ8 splice, graph thunk, lexical thunk, now the SPLADE
+    * shape): a (dim, weight) query goes through
+    * [[graft.plans.IvfProbeRewrite.serveRoutedSparse]], whose decision
+    * runs [[graft.search.Router.plan]] under the "sparse" modality
+    * gate — every embedding tier is INELIGIBLE for a sparse query, so
+    * the extended panel's `sparse_wand` row (recall 1.0 — WAND is
+    * lossless, the exact scorer for its modality; cost = the measured
+    * posting rows the panel query's dims touch) is chosen and the
+    * serve dispatches to [[graft.search.SparseVec.searchWandIndex]]
+    * over the stored postings artifact. The naive branch (corpus-scan
+    * sparse dot product) is what an unregistered table would serve.
+    * The oracle re-derives the modality-gated decision from the staged
+    * panel AND replays the exhaustive sparse ranking (sparsify →
+    * posting join → score aggregate), both branches gated on the
+    * re-derived choice. RewriteSpec pins the modality-keyed decision
+    * pair and the vector-path decline. */
+  private val routedSparseSearch = Q(
+    "routed_sparse_search",
+    (s, dir) => {
+      import graft.plans.IvfProbeRewrite
+      import graft.search.{Quantize, Router, SparseVec}
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val indexDir = s"/tmp/graft_ivf_routedsp_${math.abs(dir.hashCode)}"
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      val sq8Dir = s"/tmp/graft_sq8_${math.abs(dir.hashCode)}"
+      graft.core.Artifacts.buildOnce(s, sq8Dir) {
+        Quantize.quantizedTable(e, "embedding", "vec_id")
+      }
+      // the sparse tier's own postings artifact — the tier the panel
+      // measures is the tier the thunk serves
+      val spIdx = s"/tmp/graft_routedsp_${math.abs(dir.hashCode)}/sparse"
+      mutateOnce(s, spIdx) {
+        val p = new org.apache.hadoop.fs.Path(spIdx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        SparseVec.build(e, "vec_id", "embedding", topN = 8, spIdx)
+      }
+      val qp = SparseVec.postings(e.where(col("vec_id") === 0),
+          "vec_id", "embedding", topN = 8)
+        .select(col("dim"), col("w")).collect()
+        .map(r => (r.getInt(0), r.getDouble(1))).toSeq.sorted
+      // extended panel: the shared v2 rows plus the sparse tier's
+      // measured row (cost = posting rows under the panel query's dims)
+      def panelSp() = {
+        val spCost = s.read.parquet(SparseVec.postingsDir(spIdx))
+          .where(col("dim").isin(qp.map(_._1): _*)).count()
+        val spRows = s.read.parquet(SparseVec.postingsDir(spIdx)).count()
+        routerPanelV2(s, dir).unionByName(
+          Seq(("sparse_wand", 1.0, spCost, spRows * 16L))
+            .toDF("tier", "recall", "cost", "mem_bytes"))
+      }
+      IvfProbeRewrite.registerRouted(IvfProbeRewrite.RoutedConfig(
+        model, nprobe = 4, sq8Dir, sq8Margin = 20,
+        idCol = "vec_id", vecCol = "embedding",
+        panel = () => panelSp(),
+        tiers = Seq(
+          Router.Tier("flat", present = true, filterCapable = true),
+          Router.Tier("sparse_wand", present = true,
+            filterCapable = true, modality = "sparse")),
+        flatTier = "flat", ivfTier = "ivf_nprobe4",
+        sq8Tier = "sq8_margin20", recallTarget = 0.8,
+        memoryBudget = None,
+        fingerprintRoots = Seq(indexDir, sq8Dir, spIdx),
+        sparseTier = "sparse_wand",
+        sparseServe = Some((sp, q, k) =>
+          SparseVec.searchWandIndex(sp, spIdx,
+            sp.createDataFrame(q).toDF("dim", "w"), "vec_id", k))))
+      stageOracle(s, "routedsp", dir)("panel" -> panelSp())
+      val tier = IvfProbeRewrite.routedDecisionSparse(s, indexDir).get
+      IvfProbeRewrite.serveRoutedSparse(s, indexDir, qp, 10) {
+        // naive: corpus-scan sparse scoring from the raw embeddings
+        SparseVec.search(
+          SparseVec.postings(e, "vec_id", "embedding", topN = 8),
+          s.createDataFrame(qp).toDF("dim", "w")
+            .select(col("dim"), col("w")),
+          "vec_id", 10)
+      }.select(lit(tier).as("tier"), col("vec_id"), col("score"))
+    },
+    Some("""
+      WITH panel AS (SELECT tier, recall, CAST(cost AS BIGINT) AS cost
+                     FROM read_parquet(
+        '/tmp/graft_routedsp_oracle_%ORACLE_KEY%/panel/*.parquet')),
+      el AS (SELECT tier, recall, cost,
+                    -- sparse-modality eligibility: of the registered
+                    -- tiers {flat, sparse_wand}, only the sparse one
+                    -- carries modality 'sparse'
+                    tier IN ('sparse_wand') AS eligible
+             FROM panel),
+      ch AS (SELECT tier AS c FROM el WHERE eligible AND recall >= 0.8
+             ORDER BY cost ASC, tier ASC LIMIT 1),
+      ch2 AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM ch)
+                          THEN (SELECT c FROM ch)
+                          ELSE 'flat' END AS c),
+      pr AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS dim,
+                    unnest(embedding) AS v
+             FROM embeddings),
+      pw AS (SELECT vec_id, dim, round(CAST(v AS DOUBLE), 4) AS w FROM pr),
+      top AS (SELECT vec_id, dim, w FROM (
+          SELECT vec_id, dim, w,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY w DESC, dim ASC) AS rn
+          FROM pw WHERE w > 0) WHERE rn <= 8),
+      q AS (SELECT dim, w AS qw FROM top WHERE vec_id = 0),
+      sc AS (SELECT t.vec_id, round(sum(t.w * q.qw), 4) AS score
+             FROM top t JOIN q USING (dim) GROUP BY t.vec_id),
+      top10 AS (SELECT vec_id, score FROM sc
+                ORDER BY score DESC, vec_id ASC LIMIT 10),
+      res AS (
+        SELECT vec_id, score FROM top10
+        WHERE (SELECT c FROM ch2) = 'sparse_wand'
+        UNION ALL
+        SELECT vec_id, score FROM top10
+        WHERE (SELECT c FROM ch2) = 'flat')
+      SELECT (SELECT c FROM ch2) AS tier, vec_id, score FROM res
+      ORDER BY score DESC, vec_id ASC
+    """))
+
   /** M1-M3: strategy fan-out + first-wins dedup + final re-rank. */
   private val multiStrategySearch = Q(
     "multi_strategy_search",
@@ -1374,6 +1496,57 @@ object PipelineQueries {
                > floor(count(*) * 0.10) AS triggered
       FROM documents
     """))
+
+  /** TTL reaching DERIVED-INDEX serving (round 15 — closing the
+    * round-14 gap: [[graft.core.Collection.readLive]] masked the
+    * collection, but an IVF built over it kept serving expired rows
+    * until reclaim + reconcile). [[graft.search.IndexSync
+    * .syncTtlTombstones]] records the collection's expired keys
+    * ([[graft.core.Collection.expiredKeys]] at a pinned asOf) as index
+    * TOMBSTONES — a bounded key append, no artifact rewrite — and the
+    * standard masked serve (every index family anti-joins the same
+    * tombstone table) now excludes them. Full-probe IVF over the TTL'd
+    * collection must equal exact search over the LIVE corpus, which
+    * the oracle replays from raw ingest timestamps (epoch
+    * 1704067200+vec_id, ttl 20 s, asOf 1704067230 ⇒ live iff
+    * vec_id > 10). OperatorSpec pins sync idempotence and the
+    * reclaim→reconcile composition (reconcile finds nothing left to
+    * repair). */
+  private val ttlIndexServe = Q(
+    "ttl_index_serve",
+    (s, dir) => {
+      import graft.search.IndexSync
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_ttlivf_${math.abs(dir.hashCode)}"
+      val out = s"$base/coll"
+      val idx = s"$base/ivf"
+      val coll = Collection(s, out)
+      val asOf = timestamp_seconds(lit(1704067230L))
+      mutateOnce(s, base) {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        coll.appendStamped(e.select(col("vec_id"), col("embedding")),
+          timestamp_seconds(lit(1704067200L) + col("vec_id")))
+        coll.setTtlSeconds(20)
+        IvfIndex.build(coll.read.select("vec_id", "embedding"),
+          "embedding", idx, nlist = 16)
+        IndexSync.syncTtlTombstones(s, coll, "vec_id", asOf, idx,
+          "vec_id")
+      }
+      val model = IvfIndex.load(s, idx)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      IvfIndex.search(s, model, "embedding", "vec_id", query, k = 5,
+          nprobe = model.nlist)
+        .select("vec_id", "distance")
+    },
+    Some(s"""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      live AS (SELECT vec_id, embedding FROM embeddings
+               WHERE (1704067200 + vec_id) + 20 > 1704067230)
+      SELECT e.vec_id, %L2% AS distance FROM live e, q
+      ORDER BY distance ASC, e.vec_id ASC LIMIT 5
+    """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
   /** R1: top-3 hits joined to documents, numbered markdown context. */
   private val ragContextLines = Q(
@@ -6561,10 +6734,10 @@ object PipelineQueries {
     ivfFilteredSearch,
     ivfBalanceReport, ivfAutoRewrite,
     ivfAutoRewriteSql, routedAutoSearch, routedAutoSearchBudget,
-    routedGraphSearch, routedTextSearch,
+    routedGraphSearch, routedTextSearch, routedSparseSearch,
     ivfIncrementalSearch, multiStrategySearch,
     chapterParse, collectionRoundtrip, collectionTtlServe,
-    collectionTtlReclaim, collectionTtlPlan,
+    collectionTtlReclaim, collectionTtlPlan, ttlIndexServe,
     ragContextLines, embedIngest,
     embedSessionIngest,
     keywordTextSearch, chunkTextSearch, questionAnswerPipeline,

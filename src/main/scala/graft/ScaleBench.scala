@@ -446,6 +446,36 @@ object ScaleBench {
             graft.search.FullText.search(spark, idx,
               Seq(s"u${q * 7 + 7}", "w13"), 3).count()).sum
         }),
+        // BULK WAND (round 15): the same 8-query batch, every query
+        // mixing the rare df=10 term with the df=n stopword — per-qid
+        // bound pruning with the essential-prefix loop SHARED across
+        // the batch. Time should stay flat in n (the stopword lists
+        // are never candidates); the scored-rows twin is the
+        // sublinearity claim as a number (total in the batch's dims is
+        // 8·(n+10) — scored should stay ≈ 8·10)
+        "fulltext_bulk_wand (8q, rare+stopword)" -> (() => {
+          val idx = ensureWandIndex()
+          graft.search.FullText.searchBulkWand(spark, idx,
+            (0L until 8L).map(q => q -> Seq("rarex", "the")),
+            k = 5).count()
+        }),
+        "fulltext_bulk_exhaustive (same 8q batch)" -> (() => {
+          val idx = ensureWandIndex()
+          graft.search.FullText.searchBulk(spark, idx,
+            (0L until 8L).map(q => q -> Seq("rarex", "the")),
+            k = 5).count()
+        }),
+        "fulltext_bulk_wand_scored_rows (8q)" -> (() => {
+          import spark.implicits._
+          val idx = ensureWandIndex()
+          val resolved = graft.search.AliasedIndex.resolveDir(spark, idx)
+          val qp = graft.search.FullText.bulkQueryPostings(spark,
+            resolved,
+            (0L until 8L).map(q => q -> Seq("rarex", "the")))
+          graft.search.SparseVec.bulkWandReport(spark, resolved, qp,
+              "id", 5, checkLossless = false)
+            .select("rows_scored").as[Long].head()
+        }),
         "srp_candidate_pairs (auto-sized)" -> (() => {
           val bands = Dedup.srpBands(emb, "vec_id", "embedding", Dim,
             autoBits, 4)

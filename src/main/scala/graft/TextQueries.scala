@@ -1235,6 +1235,136 @@ object TextQueries {
       ORDER BY qid ASC, score DESC, doc_id ASC
     """))
 
+  /** BULK lexical serving with WAND pruning
+    * ([[graft.search.FullText.searchBulkWand]] — round 15, composing
+    * round 14's two new pieces: the one-plan bulk serve and the
+    * max-score bound pruning): the SAME three-query batch as
+    * `fulltext_bulk_search`, but each query's high-df terms are pruned
+    * from candidate generation by its own bound test, with the
+    * essential-prefix driver loop SHARED across the batch (≤ log₂(max
+    * terms) Spark jobs total — per-query WAND loops would pay the
+    * fixed cost three times). The ORACLE is the same exhaustive
+    * per-qid BM25 ranking — the pruning is lossless by the per-query
+    * bound argument, and the hash-match proves it on the bulk path
+    * (SearchOpsSpec pins the prune counters and the
+    * equals-exhaustive flag). */
+  private val fulltextBulkWand = Q(
+    "fulltext_bulk_wand",
+    (s, dir) => {
+      import graft.search.FullText
+      val idx = s"/tmp/graft_ftwand_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        FullText.build(Tables.documents(s, dir), "doc_id", "text", idx)
+      }
+      FullText.searchBulkWand(s, idx, Seq(
+          0L -> Seq("dup", "batch"),
+          1L -> Seq("scan", "agg"),
+          2L -> Seq("hash", "data")), 5)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                      t -> len(t) > 0) AS tk
+                  FROM documents),
+      tt AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tt
+             GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+                FROM tk),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dw AS (SELECT tf.doc_id, tf.term,
+                    round(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl
+                      / avgdl)), 4) AS w
+             FROM tf JOIN dl USING (doc_id) CROSS JOIN stats),
+      qt(qid, term) AS (VALUES (0, 'dup'), (0, 'batch'),
+                               (1, 'scan'), (1, 'agg'),
+                               (2, 'hash'), (2, 'data')),
+      qw AS (SELECT qid, term,
+                    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 4)
+                      AS qw
+             FROM qt JOIN dfq USING (term) CROSS JOIN stats),
+      sc AS (SELECT qw.qid, dw.doc_id,
+                    round(sum(dw.w * qw.qw), 4) AS score
+             FROM dw JOIN qw USING (term) GROUP BY qw.qid, dw.doc_id),
+      rk AS (SELECT qid, doc_id, score,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY score DESC, doc_id ASC) AS rn
+             FROM sc)
+      SELECT CAST(qid AS BIGINT) AS qid, doc_id, score FROM rk
+      WHERE rn <= 5
+      ORDER BY qid ASC, score DESC, doc_id ASC
+    """))
+
+  /** Keyset iteration over the lexical tier
+    * ([[graft.search.FullText.searchIterate]] — Milvus
+    * `query_iterator` parity for BM25 results, round 15): a
+    * full-corpus "every doc matching these terms, scored" export pages
+    * by doc id, cursor = the previous page's max id, with the
+    * `id > cursor` predicate PUSHED onto the dim-pruned postings scan
+    * (PlanSpec pins the PushedFilters row) — deep pages never re-sort
+    * the corpus and never materialize one giant top-k, the
+    * `collection_iterate`/`ivf_search_iterate` discipline applied to
+    * the inverted index. Replays a 3-page chain; the oracle buckets
+    * the full id-ordered match list into pages. */
+  private val fulltextSearchIterate = Q(
+    "fulltext_search_iterate",
+    (s, dir) => {
+      import graft.search.FullText
+      val idx = s"/tmp/graft_ftwand_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        FullText.build(Tables.documents(s, dir), "doc_id", "text", idx)
+      }
+      var cursor: Option[Long] = None
+      val pages = (0 until 3).map { p =>
+        val pg = FullText.searchIterate(s, idx, Seq("scan", "filter"),
+          cursor, 7)
+        val mx = pg.agg(max(col("id"))).first()
+        if (!mx.isNullAt(0)) cursor = Some(mx.getLong(0))
+        pg.select(lit(p).cast("int").as("page"),
+          col("id").as("doc_id"), col("score"))
+      }
+      pages.reduce(_ unionByName _)
+        .orderBy(col("page").asc, col("doc_id").asc)
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                      t -> len(t) > 0) AS tk
+                  FROM documents),
+      tt AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tt
+             GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+                FROM tk),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dw AS (SELECT tf.doc_id, tf.term,
+                    round(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl
+                      / avgdl)), 4) AS w
+             FROM tf JOIN dl USING (doc_id) CROSS JOIN stats),
+      qw AS (SELECT term,
+                    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 4)
+                      AS qw
+             FROM dfq CROSS JOIN stats
+             WHERE term IN ('scan', 'filter')),
+      sc AS (SELECT dw.doc_id, round(sum(dw.w * qw.qw), 4) AS score
+             FROM dw JOIN qw USING (term) GROUP BY dw.doc_id),
+      r AS (SELECT doc_id, score,
+                   row_number() OVER (ORDER BY doc_id ASC) AS rn
+            FROM sc)
+      SELECT CAST((rn - 1) // 7 AS INT) AS page, doc_id, score
+      FROM r WHERE rn <= 21
+      ORDER BY page ASC, doc_id ASC
+    """))
+
   /** The FullText artifact's REBUILD-CADENCE policy row
     * ([[graft.search.Maintenance.planFullText]] over
     * [[graft.search.FullText.debt]]): build seals the corpus extent
@@ -1404,7 +1534,7 @@ object TextQueries {
     Some(s"""
       WITH tk AS (SELECT doc_id,
                     list_filter(list_transform(
-                      list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                      list_filter(string_split_regex(text, '[^\\p{L}\\p{N}]+'),
                         t -> len(t) > 0),
                       t -> lower(t)),
                       t -> len(t) >= 2 AND len(t) <= 40
@@ -1570,7 +1700,7 @@ object TextQueries {
     Some(s"""
       WITH tk AS (SELECT doc_id,
                     list_filter(list_transform(
-                      list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                      list_filter(string_split_regex(text, '[^\\p{L}\\p{N}]+'),
                         t -> len(t) > 0),
                       t -> lower(t)),
                       t -> len(t) >= 2 AND len(t) <= 40
@@ -2318,6 +2448,154 @@ object TextQueries {
       ORDER BY nhits DESC, doc_id ASC LIMIT 10
     """))
 
+  /** TTL reaching the LEXICAL tier (round 15 — `ttl_index_serve`'s
+    * full-text twin): a TTL'd documents collection feeds a stored
+    * FullText artifact; [[graft.search.IndexSync.syncTtlTombstones]]
+    * bridges expiry into the artifact's tombstone table, and the
+    * standard masked sparse serve excludes expired docs — while the
+    * BM25 statistics stay FROZEN at build (the masked-serve norm:
+    * expiry masks documents out of the RANKING, scores keep the sealed
+    * stats until a rebuild, exactly like deletes). The oracle computes
+    * weights over the full build corpus and masks the ranking to live
+    * docs, replayed from raw ingest timestamps. */
+  private val ttlFulltextServe = Q(
+    "ttl_fulltext_serve",
+    (s, dir) => {
+      import graft.search.{FullText, IndexSync}
+      val base = s"/tmp/graft_ttlft_${math.abs(dir.hashCode)}"
+      val out = s"$base/coll"
+      val idx = s"$base/ft"
+      val coll = graft.core.Collection(s, out)
+      val asOf = timestamp_seconds(lit(1704067230L))
+      mutateOnce(s, base) {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        coll.appendStamped(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          timestamp_seconds(lit(1704067200L) + col("doc_id")))
+        coll.setTtlSeconds(20)
+        FullText.build(coll.read.select("doc_id", "text"),
+          "doc_id", "text", idx)
+        IndexSync.syncTtlTombstones(s, coll, "doc_id", asOf, idx, "id")
+      }
+      FullText.search(s, idx, Seq("scan", "filter", "merge"), 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                      t -> len(t) > 0) AS tk
+                  FROM documents),
+      tt AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tt
+             GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+                FROM tk),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dw AS (SELECT tf.doc_id, tf.term,
+                    round(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl
+                      / avgdl)), 4) AS w
+             FROM tf JOIN dl USING (doc_id) CROSS JOIN stats),
+      qw AS (SELECT term,
+                    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 4)
+                      AS qw
+             FROM dfq CROSS JOIN stats
+             WHERE term IN ('scan', 'filter', 'merge')),
+      sc AS (SELECT dw.doc_id, round(sum(dw.w * qw.qw), 4) AS score
+             FROM dw JOIN qw USING (term)
+             WHERE (1704067200 + dw.doc_id) + 20 > 1704067230
+             GROUP BY dw.doc_id)
+      SELECT doc_id, score FROM sc
+      ORDER BY score DESC, doc_id ASC LIMIT 10
+    """))
+
+  /** CJK full-text search end to end (round 15 — the reference's OWN
+    * corpus language: `milvus_data/knowledge_data.csv` is Chinese and
+    * the app's tokenizers handle 一-龥 explicitly at src/app.py:334,
+    * 196-197; until this round the analyzer's ASCII boundary reduced
+    * Chinese text to zero tokens). A deterministic Chinese corpus is
+    * derived from doc_id IN BOTH ENGINES (a word list indexed by
+    * modular arithmetic — no staging, the two sides must agree from
+    * raw doc_ids up), indexed through [[graft.text.Analyzer]] with
+    * `cjkBigrams = true` (the Lucene-CJKAnalyzer stage: a Han run
+    * emits overlapping character bigrams — Chinese carries no
+    * whitespace, so under the Unicode boundary a sentence is ONE run
+    * until this stage segments it), and served from the stored
+    * sparse/BM25 artifact. The query string goes through the SAME
+    * chain ([[graft.text.Analyzer.analyze]]); the oracle replays
+    * corpus synthesis, tokenization, bigram expansion, and the full
+    * BM25 arithmetic from the documents table. TextSpec pins
+    * Column ≡ String on CJK input and the analyzer-mismatch
+    * silent-miss. */
+  private val fulltextCjkSearch = Q(
+    "fulltext_cjk_search",
+    (s, dir) => {
+      import graft.search.FullText
+      import graft.text.Analyzer
+      val words = Seq("数据库", "向量", "检索", "索引", "分词",
+        "中文", "知识", "问答", "系统", "查询")
+      val cn = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("text_cn", concat_ws("",
+          transform(sequence(lit(0L), pmod(col("doc_id"), lit(5L)) + 2L),
+            j => element_at(typedlit(words),
+              (pmod(col("doc_id") + j, lit(10L)) + 1L).cast("int")))))
+      val cfg = Analyzer.Config(minTokenLen = 1, stopwords = Nil,
+        cjkBigrams = true)
+      val idx = s"/tmp/graft_ftcjk_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        FullText.buildAnalyzed(cn, "doc_id", "text_cn", idx, cfg)
+      }
+      val terms = Analyzer.analyze("向量检索", cfg)
+      FullText.search(s, idx, terms, 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH w(ws) AS (VALUES (['数据库','向量','检索','索引','分词',
+                              '中文','知识','问答','系统','查询'])),
+      cn AS (SELECT doc_id,
+               list_aggregate(list_transform(range(0, doc_id % 5 + 3),
+                 j -> ws[CAST((doc_id + j) % 10 AS INT) + 1]),
+                 'string_agg', '') AS text_cn
+             FROM documents, w),
+      raw AS (SELECT doc_id,
+                list_filter(string_split_regex(text_cn, '[^\p{L}\p{N}]+'),
+                  t -> len(t) > 0) AS raw
+              FROM cn),
+      tk AS (SELECT doc_id,
+               list_filter(flatten(list_transform(raw, t ->
+                 CASE WHEN regexp_matches(t, '^[一-龥]{2,}$')
+                      THEN list_transform(range(1, len(t)),
+                             i -> substr(t, CAST(i AS INT), 2))
+                      ELSE [t] END)),
+                 t -> len(t) >= 1 AND len(t) <= 40) AS tk
+             FROM raw),
+      tt AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tt
+             GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+                FROM tk),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dw AS (SELECT tf.doc_id, tf.term,
+                    round(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl
+                      / avgdl)), 4) AS w
+             FROM tf JOIN dl USING (doc_id) CROSS JOIN stats),
+      qw AS (SELECT term,
+                    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 4)
+                      AS qw
+             FROM dfq CROSS JOIN stats
+             WHERE term IN ('向量', '量检', '检索')),
+      sc AS (SELECT dw.doc_id, round(sum(dw.w * qw.qw), 4) AS score
+             FROM dw JOIN qw USING (term) GROUP BY dw.doc_id)
+      SELECT doc_id, score FROM sc
+      ORDER BY score DESC, doc_id ASC LIMIT 10
+    """))
+
   val all: Seq[Q] = Seq(preprocessClean, keywordExtract, chunkSplit,
     chunkOverlapSplit, tokenStats, tokenCounts, qualityScore,
     classifierQualityScore, charEntropy, langId, docFingerprint,
@@ -2328,7 +2606,8 @@ object TextQueries {
     bm25AnalyzerSearch, bm25SparseDuality, fulltextSparseMasked,
     fulltextSparseIncremental, fulltextAnalyzedSearch,
     fulltextWandSearch, fulltextWandPruneReport, fulltextRebuildPlan,
-    fulltextBucketedSearch, fulltextBulkSearch,
+    fulltextBucketedSearch, fulltextBulkSearch, fulltextBulkWand,
+    fulltextSearchIterate, fulltextCjkSearch, ttlFulltextServe,
     streamingFulltextIngest,
     streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti,
     termPrefixSearch, prefixFilteredBm25, termFuzzySearch,

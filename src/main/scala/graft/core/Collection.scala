@@ -143,6 +143,28 @@ final class Collection(spark: SparkSession, val dir: String,
       coalesce(sum(when(!expiredPred, 1L)), lit(0L)).as("live_rows"))
   }
 
+  /** Keys of rows EXPIRED at `asOf` (stamped, past TTL) — the bridge
+    * input for derived-index serving (round 15): [[readLive]] masks
+    * the COLLECTION, but IVF/graph/BM25 artifacts built over it keep
+    * serving expired rows until their own tombstones say otherwise;
+    * [[graft.search.IndexSync]] records THESE keys as index tombstones
+    * so expiry reaches every masked serve. Same NULL-stamp rule as
+    * [[readLive]] (unstamped rows never expire); collections without a
+    * TTL or the stamp column report no keys. */
+  def expiredKeys(keyCol: String,
+                  asOf: org.apache.spark.sql.Column =
+                    current_timestamp()): DataFrame = {
+    val base = read
+    ttlSeconds match {
+      case Some(ttl) if base.columns.contains(Collection.IngestTsCol) =>
+        base.where(col(Collection.IngestTsCol).isNotNull &&
+            col(Collection.IngestTsCol).cast("long") + ttl
+              <= asOf.cast("timestamp").cast("long"))
+          .select(col(keyCol))
+      case _ => base.select(col(keyCol)).limit(0)
+    }
+  }
+
   /** Physically reclaim expired rows (the compaction that repays
     * [[readLive]]'s serve-time mask) under the same crash-safe swap as
     * [[compact]]. Idempotent at a fixed `asOf`; returns the reclaimed

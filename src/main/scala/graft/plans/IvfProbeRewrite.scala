@@ -112,6 +112,18 @@ object IvfProbeRewrite extends Rule[LogicalPlan] {
       // thunk is the registrant's.
       textTier: String = "",
       textServe: Option[(SparkSession, Seq[String], Int) =>
+        org.apache.spark.sql.DataFrame] = None,
+      // round 15 — the LEARNED-SPARSE tier completes the dispatch
+      // menu: a SPLADE-shape (dim, weight) query routed to the sparse
+      // tier serves through the postings artifact
+      // ([[graft.search.SparseVec.searchWandIndex]]'s bound-pruned
+      // plan) via [[serveRoutedSparse]] — an API-level dispatch like
+      // the text/graph thunks (a sparse query never arrives as a
+      // Limit(Sort(vector distance)) plan), under the "sparse"
+      // modality gate: embedding tiers are ineligible for a (dim, w)
+      // query exactly as they are for a term query.
+      sparseTier: String = "",
+      sparseServe: Option[(SparkSession, Seq[(Int, Double)], Int) =>
         org.apache.spark.sql.DataFrame] = None)
 
   private val routedRegistry =
@@ -222,6 +234,37 @@ object IvfProbeRewrite extends Rule[LogicalPlan] {
       val tier = if (ch.isEmpty) cfg.flatTier else ch(0).getString(0)
       routedDecisions.putIfAbsent(key, tier)
       tier
+    }
+  }
+
+  /** The SPARSE-modality routed decision for `indexDir` — the
+    * `routed_sparse_search` entry's oracle hook,
+    * [[routedDecisionText]]'s twin under the "sparse" modality gate. */
+  def routedDecisionSparse(spark: SparkSession,
+                           indexDir: String): Option[String] = {
+    val p = normalize(IvfIndex.dataDir(indexDir))
+    Option(routedRegistry.get(p))
+      .map(cfg => decideTier(spark, p, cfg, modality = "sparse"))
+  }
+
+  /** [[serveRoutedText]] for a SPARSE (dim, weight) query: when the
+    * router — under the "sparse" modality gate — chooses the
+    * registered learned-sparse tier, serve through the registrant's
+    * postings-artifact thunk (the WAND-pruned posting-list seek);
+    * otherwise the caller's `naive` corpus-scan plan serves.
+    * Unregistered tables and configs without a sparse thunk just
+    * serve `naive`. */
+  def serveRoutedSparse(spark: SparkSession, indexDir: String,
+                        queryDims: Seq[(Int, Double)], k: Int)
+                       (naive: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val p = normalize(IvfIndex.dataDir(indexDir))
+    Option(routedRegistry.get(p)) match {
+      case Some(cfg) if cfg.sparseTier.nonEmpty &&
+          cfg.sparseServe.nonEmpty &&
+          decideTier(spark, p, cfg, modality = "sparse") == cfg.sparseTier =>
+        cfg.sparseServe.get(spark, queryDims, k)
+      case _ => naive
     }
   }
 

@@ -156,27 +156,38 @@ object FullText {
     denseDict(tf).write.mode("overwrite").parquet(dictDir(indexDir))
     dfreq.write.mode("overwrite").parquet(dfDir(indexDir))
     val dict = spark.read.parquet(dictDir(indexDir))
+    // stale bound stats go BEFORE the postings overwrite (the
+    // SparseVec.build crash argument: a crash in the window degrades
+    // WAND to the missing-stats fallback — slow, never wrong — where
+    // stale too-LOW maxima would silently drop deserving docs)
+    val sp = new org.apache.hadoop.fs.Path(
+      SparseVec.dimStatsDir(indexDir))
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sp, true)
     SparseVec.writePostings(weighted(tf, dl, stats, dict, k1, b),
       indexDir, "overwrite", if (buckets > 0) Some(buckets) else None)
     // marker follows THIS build's layout, written only after the
     // postings write succeeded (the SparseVec.build crash argument)
     if (buckets > 0) SparseVec.writeBucketsMarker(spark, indexDir, buckets)
     else SparseVec.clearBucketsMarker(spark, indexDir)
-    // per-dim bound stats for WAND serving ([[SparseVec.dimStatsDir]]):
-    // rebuild from the stored postings, dropping stale rows
-    val sp = new org.apache.hadoop.fs.Path(
-      SparseVec.dimStatsDir(indexDir))
-    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(sp, true)
+    // per-dim bound stats for WAND serving ([[SparseVec.dimStatsDir]])
+    // from the stored postings
     SparseVec.appendDimStats(
       spark.read.parquet(SparseVec.postingsDir(indexDir)), indexDir)
     // stats LAST, sealing the build's extent (posting rows + vocab) —
     // the baseline [[debt]] measures frozen-stats drift against: every
-    // [[append]]ed row past these counts is rebuild-repayable debt
+    // [[append]]ed row past these counts is rebuild-repayable debt.
+    // ONE sealing aggregate (round 15): distinct posting dims = dict
+    // size at build (every dict term comes from tf, and every tf row
+    // writes a posting regardless of its rounded weight), so the
+    // separate dict-count scan is free
+    val sealedCounts = spark.read
+      .parquet(SparseVec.postingsDir(indexDir))
+      .agg(count(lit(1)).as("r"), countDistinct(col("dim")).as("t"))
+      .first()
     stats
-      .withColumn("sealed_rows",
-        lit(spark.read.parquet(SparseVec.postingsDir(indexDir)).count()))
-      .withColumn("sealed_terms", lit(dict.count()))
+      .withColumn("sealed_rows", lit(sealedCounts.getLong(0)))
+      .withColumn("sealed_terms", lit(sealedCounts.getLong(1)))
       .write.mode("overwrite").parquet(statsDir(indexDir))
   }
 
@@ -213,24 +224,37 @@ object FullText {
                          k1: Double, b: Double): Unit = {
     val spark = tokenized.sparkSession
     val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
-    val base = tokenized
+    // The per-micro-batch cost of this method is almost entirely its
+    // SPARK JOB COUNT, not its data volume (every plan below is
+    // batch-bounded) — round 15 restructured it from ~9 actions to ~5
+    // in the steady state. ONE materialization of the tokenized batch
+    // (micro-batch-bounded, the Collection.pages localCheckpoint
+    // discipline): tf, doc lengths, the new-vocab diff, and the
+    // postings all derive from the materialized rows instead of each
+    // re-running the tokenize.
+    val base = tokenized.localCheckpoint(true)
     val tf = base.select(col("id"), explode(col("__tk")).as("term"))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val dl = base.select(col("id"),
       size(col("__tk")).cast("double").as("dl"))
     val stats = spark.read.parquet(statsDir(indexDir))
     val dict = spark.read.parquet(dictDir(indexDir))
-    val maxDim = dict.agg(max(col("dim"))).first().getInt(0)
-    // collect the batch's genuinely-new vocabulary ONCE (bounded by the
-    // batch's distinct terms): the same driver-side list then feeds the
-    // dict append, the df append, and the posting join — one plan run,
-    // and no reliance on re-listing a directory this very method just
-    // appended into
-    val newTerms: Seq[(String, Int)] = tf.select("term").distinct()
+    // the batch's genuinely-new vocabulary ONCE (bounded by the batch's
+    // distinct terms) — collected BEFORE touching maxDim, because the
+    // steady-state batch has NO new vocabulary and then needs neither
+    // the dict max aggregate nor the dict/df appends
+    val newTermNames = tf.select("term").distinct()
       .join(dict.select("term"), Seq("term"), "left_anti")
       .orderBy(col("term"))
       .collect().map(_.getString(0)).toIndexedSeq
-      .zipWithIndex.map { case (t, i) => (t, maxDim + i + 1) }
+    val newTerms: Seq[(String, Int)] =
+      if (newTermNames.isEmpty) Nil
+      else {
+        // only a vocabulary-extending batch pays the dict max scan
+        val maxDim = dict.agg(max(col("dim"))).first().getInt(0)
+        newTermNames.zipWithIndex.map { case (t, i) =>
+          (t, maxDim + i + 1) }
+      }
     if (newTerms.nonEmpty) {
       import spark.implicits._
       val nt = newTerms.toDF("term", "dim")
@@ -259,17 +283,26 @@ object FullText {
       .join(fullDict, "term")
       .select(col("id"), col("dim"), col("w"))
       .localCheckpoint(true)
+    // WAND bound stats FIRST — raising-only (steady-state batches whose
+    // tf-parts raise no stored per-dim bound skip the write entirely,
+    // the round-15 per-batch fixed-cost clawback) and BEFORE the
+    // posting append (the crash-safe order: a bound with no postings
+    // yet is conservative; postings with no bound prune wrongly)
+    SparseVec.appendDimStatsRaising(spark, post, indexDir)
     SparseVec.writePostings(post, indexDir, "append",
       SparseVec.bucketCount(spark, indexDir))
-    // keep the WAND bound stats an upper bound over the grown postings
-    SparseVec.appendDimStats(post, indexDir)
   }
 
   /** The query's sparse form: (dim, w = rounded idf) for each query
     * term present in the dictionary (absent terms contribute nothing,
     * like any posting-list engine). */
-  def queryPostings(spark: SparkSession, indexDir: String,
+  def queryPostings(spark: SparkSession, indexDir0: String,
                     terms: Seq[String]): DataFrame = {
+    // resolve the alias root ONCE and read all three query-side
+    // artifacts from the resolved dir — an aliased FullText artifact
+    // must not mix the unresolved root's dict with a version's
+    // postings (round-14 ADVICE)
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
     val dict = spark.read.parquet(dictDir(indexDir))
       .where(col("term").isin(terms: _*))
     val dfreq = spark.read.parquet(dfDir(indexDir))
@@ -295,8 +328,38 @@ object FullText {
     * one aggregate + per-qid window scores the whole batch. Queries
     * whose terms are all out-of-vocabulary contribute no rows, like
     * any posting-list engine. */
-  def searchBulk(spark: SparkSession, indexDir: String,
+  def searchBulk(spark: SparkSession, indexDir0: String,
                  queries: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    // alias root resolved once, all four artifacts from the resolved
+    // dir (the queryPostings discipline, round-14 ADVICE)
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
+    SparseVec.searchBulkIndex(spark, indexDir,
+      bulkQueryPostings(spark, indexDir, queries), "id", k)
+  }
+
+  /** [[searchBulk]] with MAX-SCORE pruning
+    * ([[SparseVec.searchBulkWandIndex]] — round 15, the composition of
+    * round 14's two pieces): a BATCH of term queries served in one
+    * shared driver loop, each query's high-df terms pruned from
+    * candidate generation by its own bound test, the essential-prefix
+    * computation amortized across the batch (≤ log₂(max terms) Spark
+    * jobs total, not per query). Lossless: identical rows to
+    * [[searchBulk]]. */
+  def searchBulkWand(spark: SparkSession, indexDir0: String,
+                     queries: Seq[(Long, Seq[String])],
+                     k: Int): DataFrame = {
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
+    SparseVec.searchBulkWandIndex(spark, indexDir,
+      bulkQueryPostings(spark, indexDir, queries), "id", k)
+  }
+
+  /** The (qid, dim, idf) side of a bulk lexical serve — one dictionary
+    * pass for the whole batch (shared by [[searchBulk]] and
+    * [[searchBulkWand]]). `indexDir` must already be alias-resolved. */
+  private[graft] def bulkQueryPostings(spark: SparkSession,
+                                       indexDir: String,
+                                       queries: Seq[(Long, Seq[String])])
+      : DataFrame = {
     import spark.implicits._
     val qterms = queries
       .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
@@ -304,12 +367,25 @@ object FullText {
     val dict = spark.read.parquet(dictDir(indexDir))
     val dfreq = spark.read.parquet(dfDir(indexDir))
     val stats = spark.read.parquet(statsDir(indexDir))
-    val qp = broadcast(qterms).join(dict, "term").join(dfreq, "term")
+    broadcast(qterms).join(dict, "term").join(dfreq, "term")
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("dim"),
         round(log((col("n_docs") - col("df_") + 0.5)
           / (col("df_") + 0.5) + 1.0), 4).as("w"))
-    SparseVec.searchBulkIndex(spark, indexDir, qp, "id", k)
+  }
+
+  /** One page of a keyset iteration over every doc matching `terms`,
+    * BM25-scored — Milvus `query_iterator` over the lexical tier
+    * ([[SparseVec.searchIterateIndex]]: cursor = previous page's max
+    * id, the `id > cursor` predicate PUSHED onto the dim-pruned
+    * postings scan). Use for full-corpus lexical exports; rows are
+    * id-ascending, scores are [[search]]'s BM25 arithmetic. */
+  def searchIterate(spark: SparkSession, indexDir0: String,
+                    terms: Seq[String], lastId: Option[Long],
+                    pageSize: Int): DataFrame = {
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
+    SparseVec.searchIterateIndex(spark, indexDir,
+      queryPostings(spark, indexDir, terms), "id", lastId, pageSize)
   }
 
   /** [[search]] with MAX-SCORE (WAND-family) posting-list pruning —
@@ -347,7 +423,11 @@ object FullText {
         (r.getLong(0), r.getLong(1))
       } else (rows, terms)
     import spark.implicits._
-    Seq((rows - sr, sr, terms - st, st))
+    // clamp at 0: a tombstone compaction physically DROPS posting rows,
+    // which can push current counts below the sealed extent — negative
+    // "debt" would skew planFullText's metric row (round-14 ADVICE);
+    // the drift meter floors at "nothing appended"
+    Seq((math.max(0L, rows - sr), sr, math.max(0L, terms - st), st))
       .toDF("appended_rows", "sealed_rows", "new_terms", "sealed_terms")
   }
 

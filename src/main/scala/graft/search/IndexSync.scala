@@ -52,4 +52,37 @@ object IndexSync {
     if (nMissing > 0) IvfIndex.append(missing, vecCol, model)
     (nOrphans, nMissing)
   }
+
+  /** TTL → derived-index bridge (round 15): record the collection's
+    * EXPIRED keys ([[graft.core.Collection.expiredKeys]] at `asOf`) as
+    * [[Tombstones]] against a derived index dir, so every masked serve
+    * (IVF / graph / sparse / BM25 — they all anti-join the same
+    * tombstone table) stops returning expired rows WITHOUT waiting for
+    * [[graft.core.Collection.reclaimExpired]] + a reconcile pass.
+    * `keyCol` names the collection's key, `idCol` the artifact's
+    * (often the same). Idempotent: only keys not already tombstoned
+    * are recorded (anti-join against the existing tombstone table), so
+    * a scheduled re-sync at the same `asOf` records nothing — returns
+    * the NEWLY tombstoned key count. Pass an explicit `asOf` literal
+    * for replayable pipelines, the fixture discipline; a later `asOf`
+    * records only the newly-expired delta (expiry is monotone).
+    *
+    * Division of labor: this verb makes expiry VISIBLE in index serves
+    * (a bounded key append, O(expired batch)); physical repayment
+    * stays with reclaim (collection) + tombstone compaction / a
+    * reconcile (index) — the same mask-now-fold-later split as every
+    * delete here. */
+  def syncTtlTombstones(spark: SparkSession,
+                        coll: graft.core.Collection, keyCol: String,
+                        asOf: org.apache.spark.sql.Column,
+                        indexDir: String,
+                        idCol: String): Long = {
+    val expired = coll.expiredKeys(keyCol, asOf)
+      .select(col(keyCol).cast("long").as(idCol)).distinct()
+    val fresh = expired.join(
+      Tombstones.table(spark, indexDir, idCol), Seq(idCol), "left_anti")
+    val n = fresh.count()
+    if (n > 0) Tombstones.record(fresh, indexDir, idCol)
+    n
+  }
 }

@@ -185,6 +185,52 @@ object SparseVec {
     post.groupBy(col("dim")).agg(max(col("w")).as("maxw"))
       .write.mode("append").parquet(dimStatsDir(indexDir))
 
+  /** [[appendDimStats]] for the STREAMING-append paths (round 15 — the
+    * per-micro-batch fixed-cost clawback): append only the batch dims
+    * that actually RAISE the stored bound, and skip the write job
+    * entirely when none do. BM25 tf-parts saturate at k1+1 and
+    * sparsified weights are bounded, so in steady state most batches
+    * raise nothing for existing dims — the unconditional append was
+    * paying one parquet write AND one extra dimstats file per batch
+    * (files every serve-time bound read must fold). The comparison is
+    * ONE job — batch per-dim maxima left-joined to the stored fold (a
+    * 2-column columnar scan), raisers collected driver-side BOUNDED by
+    * the batch's distinct dims, never a vocab-sized handoff. Skipping
+    * non-raising rows preserves the bound invariant trivially: the
+    * stored maxw stays ≥ every live posting's w. Call BEFORE the
+    * posting append lands (the writers below do): a crash between the
+    * two then leaves a bound with no postings under it — conservative,
+    * slow-not-wrong — where the old postings-first order left new
+    * postings UNBOUNDED, the silent-prune direction. */
+  private[graft] def appendDimStatsRaising(
+      spark: org.apache.spark.sql.SparkSession,
+      post: DataFrame, indexDir: String): Unit = {
+    val statsPath = new org.apache.hadoop.fs.Path(dimStatsDir(indexDir))
+    val fs = statsPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(statsPath)) { appendDimStats(post, indexDir); return }
+    // ONE comparison job (the per-micro-batch fixed cost IS the job
+    // count): batch per-dim maxima left-joined to the stored fold,
+    // keeping only the raisers — a bounded collect (≤ batch dims)
+    val raised = post.groupBy(col("dim")).agg(max(col("w")).as("bmax"))
+      .join(spark.read.parquet(dimStatsDir(indexDir))
+          .groupBy(col("dim")).agg(max(col("maxw")).as("smax")),
+        Seq("dim"), "left")
+      .where(col("smax").isNull || col("bmax") > col("smax"))
+      .select(col("dim"), col("bmax"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    if (raised.nonEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(raised.toSeq.map(t =>
+          org.apache.spark.sql.Row(t._1, t._2)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("dim",
+            org.apache.spark.sql.types.IntegerType, nullable = true),
+          org.apache.spark.sql.types.StructField("maxw",
+            org.apache.spark.sql.types.DoubleType, nullable = true))))
+        .write.mode("append").parquet(dimStatsDir(indexDir))
+  }
+
   /** Upper bound on posting weight per queried dim. Dims absent from
     * the stored stats (a legacy artifact, or postings appended by an
     * older writer) fall back to ONE dim-pruned postings aggregate — a
@@ -217,6 +263,24 @@ object SparseVec {
   def build(df: DataFrame, idCol: String, vecCol: String, topN: Int,
             indexDir: String, buckets: Int = 0): Unit = {
     val spark = df.sparkSession
+    // ids must be BIGINT across the sparse family: the empty-serve
+    // schema ([[dimScan]]'s fallback) and the maintenance joins assume
+    // long ids, so a non-long id column fails HERE, loudly, not as a
+    // type-mismatched join on the rare all-dims-absent serve path
+    require(df.schema(idCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"sparse index id column '$idCol' must be BIGINT " +
+        s"(got ${df.schema(idCol).dataType.simpleString})")
+    // stale bound stats are deleted BEFORE the postings overwrite: a
+    // crash between the two leaves NO dimstats, which degrades WAND
+    // serving to the missing-stats postings aggregate (slow, never
+    // wrong) — the reverse order could leave OLD maxima LOWER than the
+    // new postings', and a too-low bound prunes docs it has no right
+    // to prune (silent wrong answers, the one crash direction the
+    // bound invariant cannot tolerate)
+    val sp = new org.apache.hadoop.fs.Path(dimStatsDir(indexDir))
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sp, true)
     writePostings(postings(df, idCol, vecCol, topN), indexDir,
       "overwrite", if (buckets > 0) Some(buckets) else None)
     // the marker follows this build's layout AND lands only after the
@@ -227,11 +291,7 @@ object SparseVec {
     if (buckets > 0) writeBucketsMarker(spark, indexDir, buckets)
     else clearBucketsMarker(spark, indexDir)
     // per-dim bounds from the STORED postings (one columnar scan of
-    // (dim, w)) — cleared first so a rebuild drops stale conservative
-    // rows instead of folding them in forever
-    val sp = new org.apache.hadoop.fs.Path(dimStatsDir(indexDir))
-    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(sp, true)
+    // (dim, w))
     appendDimStats(spark.read.parquet(postingsDir(indexDir)), indexDir)
   }
 
@@ -244,8 +304,10 @@ object SparseVec {
     val spark = batch.sparkSession
     val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
     val post = postings(batch, idCol, vecCol, topN)
+    // bound stats FIRST (raising-only), postings second — the
+    // crash-safe order: see [[appendDimStatsRaising]]
+    appendDimStatsRaising(spark, post, indexDir)
     writePostings(post, indexDir, "append", bucketCount(spark, indexDir))
-    appendDimStats(post, indexDir)
   }
 
   /** Record deletes against the sparse artifact ([[Tombstones]] under
@@ -293,11 +355,13 @@ object SparseVec {
       val layout = compactPostings(spark, d, idCol)
       Tombstones.clear(spark, d)
       val post = postings(batch, idCol, vecCol, topN)
-      writePostings(post, d, "append", layout)
       // the fold may have LOWERED true per-dim maxima; the stored
       // bounds stay conservative (upper bound ≥ live max — slower
-      // pruning, never wrong), re-tightened by the next rebuild
-      appendDimStats(post, d)
+      // pruning, never wrong), re-tightened by the next rebuild.
+      // Raising-only, and BEFORE the posting append (crash-safe order,
+      // see [[appendDimStatsRaising]])
+      appendDimStatsRaising(spark, post, d)
+      writePostings(post, d, "append", layout)
     }
     if (AliasedIndex.publishedVersions(spark, indexDir0).nonEmpty)
       AliasedIndex.maintain(spark, indexDir0)(verb)
@@ -410,6 +474,9 @@ object SparseVec {
       return spark.read.option("basePath", base).parquet(paths: _*)
         .where(col("dim").isin(dims: _*))
         .drop("dimb")
+    // (the LongType idCol in the no-postings-at-all fallback below is
+    // backed by [[build]]'s id-type assertion: ids are BIGINT across
+    // the sparse family — round-14 ADVICE)
     // RARE path: NONE of the query dims' declared directories exist —
     // a genuinely out-of-vocabulary query, or a marker/layout mismatch
     // (a crashed layout-switching rebuild). One EARLY-STOPPING root
@@ -546,8 +613,11 @@ object SparseVec {
       // zero-weight dim OR a positive product that ROUNDED to 0.0) can
       // reach the top-k, and the pruning-engaged case always lands
       // here (τ > margin ⇒ kth rounded score > 0) — serve the already-
-      // computed rows without re-running the exact phase
-      if (got.length >= k && got.last.getDouble(1) > 0.0)
+      // computed rows without re-running the exact phase. nonEmpty
+      // first: k <= 0 makes the length test vacuously true on an empty
+      // collect and got.last would throw where searchIndex returns an
+      // empty frame (round-14 ADVICE)
+      if (got.nonEmpty && got.length >= k && got.last.getDouble(1) > 0.0)
         return spark.createDataFrame(
           spark.sparkContext.parallelize(got.toSeq, 1),
           positives.schema)
@@ -600,6 +670,278 @@ object SparseVec {
           .join(cand, Seq(idCol), "left_semi"))
       }
     (zeroFilled(positives), st)
+  }
+
+  /** One page of a KEYSET iteration over every doc matching the query
+    * dims — Milvus `query_iterator` over the sparse/lexical tier
+    * (round 15; `search_iterate` existed for the dense tiers): page
+    * N+1 is `WHERE id > lastId ORDER BY id LIMIT pageSize` over the
+    * dim-pruned, tombstone-masked postings scan, scored like
+    * [[searchIndex]]. The cursor predicate is a plain comparison on
+    * the POSTINGS' id column, so it PUSHES to the parquet scan
+    * (PlanSpec pins the PushedFilters GreaterThan) — a full-corpus
+    * lexical export pages through posting-list seeks without ever
+    * materializing one giant top-k, every page costs the same, and
+    * the cursor is stable under appends past it (the
+    * [[graft.core.Collection.page]] keyset argument, applied to the
+    * inverted index). Rows come back id-ASCENDING — the keyset order;
+    * relevance ranking is [[searchIndex]]'s job, exporting is this
+    * one's. */
+  def searchIterateIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexDir0: String, queryPostings: DataFrame,
+                         idCol: String, lastId: Option[Long],
+                         pageSize: Int): DataFrame = {
+    require(pageSize > 0, "pageSize must be positive")
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
+    val qp = queryPostings.select(col("dim"), col("w")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq.sorted
+    val base = maskedDimScan(spark, indexDir, idCol, qp.map(_._1))
+    val cur = lastId.map(c => base.where(col(idCol) > c)).getOrElse(base)
+    cur.join(broadcast(spark.createDataFrame(
+        if (qp.isEmpty) Seq((-1, 0.0)) else qp).toDF("dim", "qw")),
+        Seq("dim"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("w") * col("qw")), 4).as("score"))
+      .orderBy(col(idCol).asc).limit(pageSize)
+  }
+
+  // ---------------------------------------------------------------------
+  // BULK WAND (round 15) — [[searchBulkIndex]]'s pruning twin: the
+  // round-14 bulk serve scores EVERY posting row of every query's dims;
+  // this composes the WAND bound pruning with the one-plan bulk shape.
+  // ---------------------------------------------------------------------
+
+  private[graft] final case class BulkWandState(
+      indexDir: String,
+      qpAll: Seq[(Long, Int, Double)],
+      posByQ: Map[Long, Seq[(Int, Double)]],
+      chosenByQ: Map[Long, Int],
+      bc: Option[Int]) {
+    def essPairs: Seq[(Long, Int)] = posByQ.toSeq.flatMap {
+      case (qid, bounds) => bounds.take(chosenByQ(qid)).map(t => (qid, t._1))
+    }
+    def posPairs: Seq[(Long, Int, Double)] = posByQ.toSeq.flatMap {
+      case (qid, bounds) => bounds.map(t => (qid, t._1, t._2))
+    }
+  }
+
+  /** BULK top-k with MAX-SCORE pruning — returns exactly
+    * [[searchBulkIndex]]'s rows for the whole batch, in ONE shared
+    * driver loop instead of per-query loops:
+    *
+    *  1. ONE [[dimBounds]] lookup over the union of all queries' dims.
+    *  2. A SHARED doubling loop: at prefix size J, every still-unfrozen
+    *     query contributes its top-min(J, m_q) bound-ranked dims to ONE
+    *     bulk partial-score plan (join + aggregate + per-qid window);
+    *     the per-qid kth partial scores come back in one bounded
+    *     collect, and each query freezes independently the moment its
+    *     bound test passes (τ_q − Σ tail bounds > margin) or its dims
+    *     are exhausted. ≤ log₂(max dims) Spark jobs for the WHOLE
+    *     batch — the essential-prefix computation is amortized, which
+    *     is the entire point of composing round 14's two pieces.
+    *  3. ONE exact phase: candidates = (qid, id) pairs in each query's
+    *     essential dims' postings; one join + aggregate + window scores
+    *     every candidate against its query's full positive dims.
+    *
+    * Zero-weight dims follow [[searchWandIndex]]'s boundary rule per
+    * query: a query whose positives fill k with strictly-positive
+    * scores never reads its zero-weight posting lists; the rare
+    * deficient queries delegate to [[searchBulkIndex]] (exact by
+    * definition) and their rows replace the pruned ones. The final
+    * frame is assembled from the bounded (≤ k·|batch|) collected rows,
+    * ordered like [[searchBulkIndex]]. */
+  def searchBulkWandIndex(spark: org.apache.spark.sql.SparkSession,
+                          indexDir0: String, queryPostings: DataFrame,
+                          idCol: String, k: Int): DataFrame =
+    bulkWandServe(spark, indexDir0, queryPostings, idCol, k)._1
+
+  private def bulkWandServe(spark: org.apache.spark.sql.SparkSession,
+                            indexDir0: String, queryPostings: DataFrame,
+                            idCol: String, k: Int)
+      : (DataFrame, BulkWandState) = {
+    import org.apache.spark.sql.expressions.Window
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
+    val bcv = bucketCount(spark, indexDir)
+    val bc: Option[Option[Int]] = Some(bcv)
+    val qpAll = queryPostings
+      .select(col("qid").cast("long"), col("dim").cast("int"),
+        col("w").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .toSeq.sorted
+    require(qpAll.forall(_._3 >= 0),
+      "WAND pruning requires non-negative query weights")
+    val qids = qpAll.map(_._1).distinct.sorted
+    val zeroByQ = qpAll.filter(_._3 == 0).groupBy(_._1)
+    val pos = qpAll.filter(_._3 > 0)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    def emit(rows: Seq[(Long, Long, Double)]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.sortBy {
+          case (q, id, sc) => (q, -sc, id) }.map(t =>
+          org.apache.spark.sql.Row(t._1, t._2, t._3)), 1), outSchema)
+    if (pos.isEmpty) {
+      // every weight is zero: the bulk serve IS the zero-score tail —
+      // delegate wholesale, exact by definition
+      val st = BulkWandState(indexDir, qpAll, Map.empty, Map.empty, bcv)
+      return (searchBulkIndex(spark, indexDir, queryPostings, idCol, k),
+        st)
+    }
+    // per-query bound-ranked dims + suffix sums, ONE stats lookup
+    val allPosDims = pos.map(_._2).distinct
+    val mw = dimBounds(spark, indexDir, allPosDims, bc)
+    val posByQ: Map[Long, Seq[(Int, Double)]] = pos.groupBy(_._1).map {
+      case (qid, rows) =>
+        qid -> rows.map { case (_, d, qw) => (d, qw) }
+          .sortBy { case (d, qw) => (-(qw * mw.getOrElse(d, 0.0)), d) }
+    }
+    val suffixByQ: Map[Long, IndexedSeq[Double]] = posByQ.map {
+      case (qid, bounds) =>
+        qid -> bounds.map { case (d, qw) => qw * mw.getOrElse(d, 0.0) }
+          .scanRight(0.0)(_ + _).toIndexedSeq
+    }
+    val chosen = scala.collection.mutable.Map.empty[Long, Int]
+    var unfrozen = posByQ.keySet
+    val maxM = posByQ.values.map(_.length).max
+    var j = 1
+    while (unfrozen.nonEmpty && j < maxM) {
+      // one bulk partial-score plan for every unfrozen query's prefix
+      val essPairs = unfrozen.toSeq.sorted.flatMap { qid =>
+        posByQ(qid).take(j).map { case (d, qw) => (qid, d, qw) }
+      }
+      val essDims = essPairs.map(_._2).distinct
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("p").desc, col(idCol).asc)
+      val kth = maskedDimScan(spark, indexDir, idCol, essDims, bc)
+        .join(broadcast(spark.createDataFrame(essPairs)
+          .toDF("qid", "dim", "qw")), Seq("dim"))
+        .groupBy(col("qid"), col(idCol))
+        .agg(sum(col("w") * col("qw")).as("p"))
+        .withColumn("__rn", row_number().over(wq))
+        .where(col("__rn") <= k)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n"), min(col("p")).as("kth"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      unfrozen.toSeq.foreach { qid =>
+        val m = posByQ(qid).length
+        val jq = math.min(j, m)
+        val passed = kth.get(qid).exists { case (n, t) =>
+          n >= k && t - suffixByQ(qid)(jq) > WandTieMargin }
+        if (passed) { chosen(qid) = jq; unfrozen -= qid }
+        else if (j >= m) { chosen(qid) = m; unfrozen -= qid }
+      }
+      j = 2 * j
+    }
+    unfrozen.foreach(qid => chosen(qid) = posByQ(qid).length)
+    val st = BulkWandState(indexDir, qpAll, posByQ, chosen.toMap, bcv)
+    // exact phase, one plan: essential-dim candidates per query, then
+    // full positive-dim scoring semi-joined to them
+    val essDf = broadcast(spark.createDataFrame(st.essPairs)
+      .toDF("qid", "dim"))
+    val candDims = st.essPairs.map(_._2).distinct
+    val cand = maskedDimScan(spark, indexDir, idCol, candDims, bc)
+      .join(essDf, Seq("dim"))
+      .select(col("qid"), col(idCol)).distinct()
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    val positives = maskedDimScan(spark, indexDir, idCol, allPosDims, bc)
+      .join(broadcast(spark.createDataFrame(st.posPairs)
+        .toDF("qid", "dim", "qw")), Seq("dim"))
+      .join(cand, Seq("qid", idCol), "left_semi")
+      .groupBy(col("qid"), col(idCol))
+      .agg(round(sum(col("w") * col("qw")), 4).as("score"))
+      .withColumn("__rn", row_number().over(wq))
+      .where(col("__rn") <= k).drop("__rn")
+    val got = positives.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byQid = got.groupBy(_._1)
+    // the per-query zero-tail boundary ([[searchWandIndex]]'s rule): a
+    // query with zero-weight dims whose positives cannot fill k above
+    // 0.0 delegates to the exhaustive bulk serve — pruning provably
+    // did not engage for it (its τ never cleared the margin)
+    val deficient = qids.filter { qid =>
+      zeroByQ.contains(qid) && {
+        val rows = byQid.getOrElse(qid, Array.empty)
+        rows.length < k || rows.exists(_._3 == 0.0)
+      }
+    }
+    if (deficient.isEmpty) return (emit(got.toSeq), st)
+    val defSet = deficient.toSet
+    import spark.implicits._
+    val fix = searchBulkIndex(spark, indexDir,
+        qpAll.filter(t => defSet(t._1)).toDF("qid", "dim", "w"),
+        idCol, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    (emit(got.filterNot(t => defSet(t._1)).toSeq ++ fix), st)
+  }
+
+  /** The pruned-vs-scored accounting behind [[searchBulkWandIndex]] —
+    * one row per batch: queries, query dims, essential (qid, dim)
+    * pairs chosen, posting rows under the batch's dims, rows the exact
+    * phase scored, rows pruned, and a checked equals-exhaustive flag
+    * (row-for-row against [[searchBulkIndex]]). Counters are
+    * algorithm-internal, the `fulltext_wand_prune_report` category. */
+  def bulkWandReport(spark: org.apache.spark.sql.SparkSession,
+                     indexDir0: String, queryPostings: DataFrame,
+                     idCol: String, k: Int,
+                     checkLossless: Boolean = true): DataFrame = {
+    val (topk, st) = bulkWandServe(spark, indexDir0, queryPostings,
+      idCol, k)
+    val rbc: Option[Option[Int]] = Some(st.bc)
+    val allDims = st.qpAll.map(_._2).distinct
+    val total = maskedDimScan(spark, st.indexDir, idCol, allDims, rbc)
+      .join(broadcast(spark.createDataFrame(st.qpAll.map(t =>
+          (t._1, t._2))).toDF("qid", "dim")), Seq("dim"))
+      .count()
+    val posDims = st.posPairs.map(_._2).distinct
+    val essDf = broadcast(spark.createDataFrame(
+      if (st.essPairs.isEmpty) Seq((-1L, -1)) else st.essPairs)
+      .toDF("qid", "dim"))
+    val cand = maskedDimScan(spark, st.indexDir, idCol,
+        st.essPairs.map(_._2).distinct, rbc)
+      .join(essDf, Seq("dim"))
+      .select(col("qid"), col(idCol)).distinct()
+    val scored =
+      if (st.posPairs.isEmpty) 0L
+      else maskedDimScan(spark, st.indexDir, idCol, posDims, rbc)
+        .join(broadcast(spark.createDataFrame(st.posPairs.map(t =>
+          (t._1, t._2))).toDF("qid", "dim")), Seq("dim"))
+        .join(cand, Seq("qid", idCol), "left_semi")
+        .count()
+    val same = !checkLossless || {
+      val exhaustive = searchBulkIndex(spark, st.indexDir,
+        spark.createDataFrame(st.qpAll).toDF("qid", "dim", "w"),
+        idCol, k)
+      topk.collect().map(_.toSeq).toSeq ==
+        exhaustive.collect().map(_.toSeq).toSeq
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        st.qpAll.map(_._1).distinct.length.toLong,
+        st.qpAll.length.toLong,
+        st.essPairs.length.toLong, total, scored, total - scored,
+        if (same) 1L else 0L)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_queries",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_query_dims",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("essential_pairs",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rows_total",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rows_scored",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rows_pruned",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bulk_wand_equals_bulk",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** The pruned-vs-scored accounting behind [[searchWandIndex]] — one

@@ -5,17 +5,31 @@ import org.apache.spark.sql.functions._
 
 /** Configurable text-analysis chain — the Milvus 2.5 `analyzer_params`
   * model (tokenizer + ordered filters) the full-text/BM25 family needs:
-  * standard tokenizer (split on non-alphanumerics), then lowercase →
-  * token-length band → stopword removal. The reference app delegates
-  * this to Milvus's server-side analyzer; here the chain is a composed
-  * codegen Column expression (split/transform/filter builtins — no UDF),
-  * so it runs INSIDE the scan at index-build and at query time.
+  * standard tokenizer (split on non-letter/non-digit, Unicode classes),
+  * then an optional CJK-bigram stage, lowercase → token-length band →
+  * stopword removal. The reference app delegates this to Milvus's
+  * server-side analyzer; here the chain is a composed codegen Column
+  * expression (split/transform/filter builtins — no UDF), so it runs
+  * INSIDE the scan at index-build and at query time.
   *
   * One definition, two faces: [[tokens]] (the Column form every build/
   * ingest path applies) and [[analyze]] (the driver-side String form a
   * query string goes through) — spec-pinned identical, because an index
   * analyzed one way and a query analyzed another silently misses terms
   * (the classic analyzer-mismatch bug every Lucene deployment hits).
+  *
+  * CJK (round 15): the reference's OWN corpus is Chinese
+  * (`milvus_data/knowledge_data.csv`; its tokenizers handle 一-龥
+  * explicitly at src/app.py:334, 196-197), and Chinese text carries no
+  * whitespace between words — under the Unicode boundary a whole
+  * sentence tokenizes to ONE Han run. `cjkBigrams = true` adds the
+  * Lucene-CJKAnalyzer stage: every pure-Han token of length ≥ 2 emits
+  * its overlapping character bigrams (the standard no-dictionary CJK
+  * segmentation), so a two-character query word matches any document
+  * containing those adjacent characters. Mixed-script tokens and
+  * single Han characters pass through unexpanded (deterministic,
+  * mirrored in the oracle); set `minTokenLen = 1` for corpora where
+  * single-character words matter.
   */
 object Analyzer {
   /** Lucene's classic 33-term English stop set (public domain list). */
@@ -25,32 +39,61 @@ object Analyzer {
     "that", "the", "their", "then", "there", "these", "they", "this",
     "to", "was", "will", "with")
 
-  /** Standard-tokenizer boundary: any run of non-alphanumerics. (ASCII
-    * classes — the fixture corpus is english-ish; widen to \p{L}\p{N}
-    * for multilingual corpora and mirror the oracle accordingly.) */
-  val TokenizePattern: String = "[^A-Za-z0-9]+"
+  /** Standard-tokenizer boundary: any run of characters that are
+    * neither letters nor digits — UNICODE categories (round 15; the
+    * previous ASCII classes reduced the reference's own Chinese corpus
+    * to zero tokens). Same escape syntax in Java regex (Spark) and RE2
+    * (the DuckDB oracle mirror). */
+  val TokenizePattern: String = "[^\\p{L}\\p{N}]+"
+
+  /** The Han range the reference's own tokenizers use
+    * (src/app.py:334 — U+4E00..U+9FA5, regex literal 一-龥). */
+  val HanClass: String = "一-龥"
+  private val HanLo = '一'
+  private val HanHi = '龥'
 
   final case class Config(lowercase: Boolean = true,
                           minTokenLen: Int = 2,
                           maxTokenLen: Int = 40,
-                          stopwords: Seq[String] = EnglishStop)
+                          stopwords: Seq[String] = EnglishStop,
+                          cjkBigrams: Boolean = false)
 
   /** The analysis chain as a Column: array<string> of surviving tokens
     * in original order (duplicates kept — tf needs them). */
   def tokens(text: Column, cfg: Config = Config()): Column = {
     val raw = filter(split(text, TokenizePattern), t => length(t) > 0)
-    val cased = if (cfg.lowercase) transform(raw, t => lower(t)) else raw
+    // CJK-bigram stage BEFORE the case/length/stop filters, so bigrams
+    // are what the band and stop list see — identical order to analyze
+    val granular =
+      if (!cfg.cjkBigrams) raw
+      else flatten(transform(raw, t =>
+        when(t.rlike(s"^[$HanClass]{2,}$$"),
+          transform(sequence(lit(1), length(t) - 1),
+            i => t.substr(i, lit(2))))
+          .otherwise(array(t))))
+    val cased =
+      if (cfg.lowercase) transform(granular, t => lower(t)) else granular
     val lenOk = filter(cased, t =>
       length(t) >= cfg.minTokenLen && length(t) <= cfg.maxTokenLen)
     if (cfg.stopwords.isEmpty) lenOk
     else filter(lenOk, t => !t.isInCollection(cfg.stopwords))
   }
 
+  private def isHanRun(t: String): Boolean =
+    t.length >= 2 && t.forall(c => c >= HanLo && c <= HanHi)
+
   /** The SAME chain over a driver-side string (query analysis). */
   def analyze(text: String, cfg: Config = Config()): Seq[String] = {
     val stop = cfg.stopwords.toSet
-    text.split(TokenizePattern).toSeq
-      .filter(_.nonEmpty)
+    val raw = text.split(TokenizePattern).toSeq.filter(_.nonEmpty)
+    val granular =
+      if (!cfg.cjkBigrams) raw
+      else raw.flatMap { t =>
+        if (isHanRun(t))
+          (0 until t.length - 1).map(i => t.substring(i, i + 2))
+        else Seq(t)
+      }
+    granular
       .map(t => if (cfg.lowercase) t.toLowerCase(java.util.Locale.ROOT) else t)
       .filter(t => t.length >= cfg.minTokenLen && t.length <= cfg.maxTokenLen)
       .filterNot(stop.contains)

@@ -1362,6 +1362,61 @@ class OperatorSpec extends SparkSpec {
     coll.drop()
   }
 
+  test("TTL -> index serving: sync tombstones expired keys idempotently;" +
+      " reclaim + reconcile leaves nothing to repair") {
+    import graft.search.{IndexSync, IvfIndex, Tombstones}
+    val base = "/tmp/graft_ttl_sync_test"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val coll = Collection(spark, s"$base/coll")
+    val rows = (0L until 20L)
+      .map(i => (i, Array(i.toFloat, (i % 3).toFloat)))
+      .toDF("id", "vec")
+    coll.appendStamped(rows, timestamp_seconds(lit(1000L) + col("id")))
+    coll.setTtlSeconds(5)
+    val idx = s"$base/ivf"
+    IvfIndex.build(coll.read.select("id", "vec"), "vec", idx, nlist = 2)
+    val model = IvfIndex.load(spark, idx)
+    // asOf 1012: expired iff 1000+i+5 <= 1012 <=> i <= 7 -> 8 keys
+    val asOf = timestamp_seconds(lit(1012L))
+    assert(coll.expiredKeys("id", asOf).as[Long].collect().toSet
+      == (0L to 7L).toSet)
+    assert(IndexSync.syncTtlTombstones(spark, coll, "id", asOf, idx,
+      "id") == 8L)
+    // idempotent at the same clock: nothing new to record
+    assert(IndexSync.syncTtlTombstones(spark, coll, "id", asOf, idx,
+      "id") == 0L)
+    // the masked serve excludes every expired key (query near id=0,
+    // whose nearest neighbors are exactly the expired ones)
+    val got = IvfIndex.search(spark, model, "vec", "id",
+        Array(0f, 0f), k = 5, nprobe = 2)
+      .select("id").as[Long].collect().toSet
+    assert(got.forall(_ > 7L), s"expired ids served: $got")
+    assert(got == (8L to 12L).toSet)
+    // a LATER clock records only the newly-expired delta (monotone)
+    assert(IndexSync.syncTtlTombstones(spark, coll, "id",
+      timestamp_seconds(lit(1014L)), idx, "id") == 2L)
+    // reclaim -> reconcile composition: physical repayment finds the
+    // orphans ALREADY tombstoned, so it repairs nothing further and
+    // the serve is unchanged
+    assert(coll.reclaimExpired(timestamp_seconds(lit(1014L))) == 10L)
+    val (orphans, missing) = IndexSync.reconcileIvf(spark,
+      coll.read.select("id", "vec"), "id", "vec", model)
+    assert(orphans == 0L && missing == 0L)
+    val after = IvfIndex.search(spark, model, "vec", "id",
+        Array(0f, 0f), k = 5, nprobe = 2)
+      .select("id").as[Long].collect().toSet
+    assert(after == (10L to 14L).toSet)
+    // unstamped rows never expire -> never tombstoned
+    coll.append(Seq((100L, Array(0f, 0f))).toDF("id", "vec")
+      .withColumn(Collection.IngestTsCol, lit(null).cast("timestamp")))
+    assert(IndexSync.syncTtlTombstones(spark, coll, "id",
+      timestamp_seconds(lit(2000L)), idx, "id") == 10L) // 10..19 only
+    assert(Tombstones.table(spark, idx, "id").as[Long].collect().toSet
+      == (0L to 19L).toSet)
+    coll.drop()
+  }
+
   test("collection compact: merges small files, preserves every row") {
     import graft.core.Collection
     val coll = Collection(spark, "/tmp/graft_compact_test/knowledge")

@@ -146,6 +146,26 @@ class PlanSpec extends SparkSpec {
       "a page must be top-N, not a global sort")
   }
 
+  test("lexical keyset iterator: the > cursor is pushed onto the " +
+      "dim-pruned postings scan") {
+    import graft.search.FullText
+    val idx = "/tmp/graft_ftiter_planspec"
+    val p = new org.apache.hadoop.fs.Path(idx)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    FullText.build(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      "doc_id", "text", idx)
+    val pg = FullText.searchIterate(spark, idx, Seq("scan", "filter"),
+      Some(42L), pageSize = 7)
+    // the aggregate's exchange AQE-wraps this plan, so assert on the
+    // printed scan node (the fulltext_sparse_masked test's approach)
+    val planStr = pg.queryExecution.executedPlan.toString()
+    assert(planStr.contains("GreaterThan(id,42)"),
+      s"iterator cursor not pushed:\n$planStr")
+    assert(planStr.contains("TakeOrderedAndProject"),
+      "a page must be top-N, not a global sort")
+  }
+
   test("lateral top-N decorrelates to WindowGroupLimit, no nested loop") {
     val p = plan("lateral_top_orders")
     assert(p.contains("WindowGroupLimit"),

@@ -280,4 +280,96 @@ class RewriteSpec extends AnyFunSuite {
       SparkSession.setActiveSession(TestSpark.spark)
     }
   }
+
+  test("routed sparse tier: modality-gated decision, thunk dispatch, " +
+      "and the vector path DECLINES onto flat untouched") {
+    import graft.search.{Router, SparseVec}
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = "/tmp/graft_routed_sparse_test"
+    val sq8Dir = "/tmp/graft_routed_sparse_sq8"
+    val spIdx = "/tmp/graft_routed_sparse_idx"
+    Seq(dir, sq8Dir, spIdx).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    val model = IvfIndex.build(e, "embedding", dir, nlist = 8)
+    graft.search.Quantize.quantizedTable(e, "embedding", "vec_id")
+      .write.mode("overwrite").parquet(sq8Dir)
+    SparseVec.build(e, "vec_id", "embedding", topN = 8, spIdx)
+    val n = e.count()
+    // handcrafted panel: the sparse tier is cheapest, but carries the
+    // "sparse" modality — a VECTOR query must not route to it
+    val panel = Seq(
+      ("flat", 1.0, n, 0L),
+      ("sparse_wand", 1.0, n / 10, 0L))
+      .toDF("tier", "recall", "cost", "mem_bytes")
+    val qp = SparseVec.postings(e.where(col("vec_id") === 0),
+        "vec_id", "embedding", topN = 8)
+      .select(col("dim"), col("w")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    try {
+      IvfProbeRewrite.registerRouted(IvfProbeRewrite.RoutedConfig(
+        model, nprobe = 8, sq8Dir, sq8Margin = 1000,
+        idCol = "vec_id", vecCol = "embedding",
+        panel = () => panel,
+        tiers = Seq(
+          Router.Tier("flat", present = true, filterCapable = true),
+          Router.Tier("sparse_wand", present = true,
+            filterCapable = true, modality = "sparse")),
+        flatTier = "flat", ivfTier = "ivf", sq8Tier = "sq8",
+        recallTarget = 0.9, memoryBudget = None,
+        fingerprintRoots = Seq(dir, sq8Dir, spIdx),
+        sparseTier = "sparse_wand",
+        sparseServe = Some((sp, q, k) =>
+          SparseVec.searchWandIndex(sp, spIdx,
+            sp.createDataFrame(q).toDF("dim", "w"), "vec_id", k))))
+      // the modality gate keys the decision: same artifacts, two
+      // modalities, two different tiers
+      assert(IvfProbeRewrite.routedDecisionSparse(spark, dir)
+        == Some("sparse_wand"))
+      assert(IvfProbeRewrite.routedDecision(spark, dir) == Some("flat"))
+      // sparse dispatch serves the WAND thunk's rows
+      val served = IvfProbeRewrite.serveRoutedSparse(spark, dir, qp, 10) {
+        fail("sparse route must not serve the naive branch"); null
+      }.select("vec_id").as[Long].collect().toSeq
+      val direct = SparseVec.searchWandIndex(spark, spIdx,
+          spark.createDataFrame(qp).toDF("dim", "w"), "vec_id", 10)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(served == direct && served.nonEmpty)
+      // the VECTOR path declines onto flat: naive plan untouched
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      def naive = spark.read.parquet(IvfIndex.dataDir(dir))
+        .select(col("vec_id"),
+          round(VectorFunctions.l2Sq(col("embedding"), typedlit(query)), 4)
+            .as("distance"))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+        .limit(10)
+      val optPlan = naive.queryExecution.optimizedPlan
+      assert(optPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.references.exists(_.name == "cluster_id") => f
+      }.isEmpty, s"flat route must not inject the probe:\n$optPlan")
+      // a config WITHOUT a sparse thunk serves the naive branch
+      IvfProbeRewrite.registerRouted(IvfProbeRewrite.RoutedConfig(
+        model, nprobe = 8, sq8Dir, sq8Margin = 1000,
+        idCol = "vec_id", vecCol = "embedding",
+        panel = () => panel,
+        tiers = Seq(
+          Router.Tier("flat", present = true, filterCapable = true)),
+        flatTier = "flat", ivfTier = "ivf", sq8Tier = "sq8",
+        recallTarget = 0.9, memoryBudget = None,
+        fingerprintRoots = Seq(dir, sq8Dir)))
+      val viaNaive = IvfProbeRewrite.serveRoutedSparse(spark, dir, qp, 3) {
+        e.limit(3).select(col("vec_id"))
+      }
+      assert(viaNaive.count() == 3)
+    } finally {
+      IvfProbeRewrite.clear()
+      SparkSession.setDefaultSession(TestSpark.spark)
+      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
 }

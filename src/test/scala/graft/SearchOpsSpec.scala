@@ -625,6 +625,48 @@ class SearchOpsSpec extends SparkSpec {
     assert(!fb.exists(_._1 == 2L), "OOV query produced rows")
   }
 
+  test("bulk WAND: equals bulk exhaustive per query, prunes, and the " +
+      "zero-dim boundary delegates per qid") {
+    import graft.search.SparseVec
+    val root = "/tmp/graft_bulkwand_test"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // dim 1: high-df low-weight (every doc, w=0.1); dim 2: rare high
+    // weight (docs 0-2, w=5); dim 3: zero-weight query target docs
+    val corpus = (0L until 40L).map { i =>
+      (i, Array(
+        0.1f,
+        if (i < 3) 5.0f else 0f,
+        if (i >= 30) 1.0f else 0f))
+    }.toDF("id", "vec")
+    SparseVec.build(corpus, "id", "vec", 3, root)
+    // q0: rare+common (prunes the common list); q1: common only
+    // (exhaustive); q2: rare positive + a ZERO weight dim (boundary:
+    // its positives cannot fill k=5 above 0, so it delegates)
+    val qp = Seq(
+      (0L, 1, 1.0), (0L, 2, 1.0),
+      (1L, 1, 1.0),
+      (2L, 2, 1.0), (2L, 3, 0.0)).toDF("qid", "dim", "w")
+    (1 to 6).foreach { k =>
+      val bulk = SparseVec.searchBulkWandIndex(spark, root,
+          qp, "id", k).as[(Long, Long, Double)].collect().toSeq
+      val exh = SparseVec.searchBulkIndex(spark, root, qp, "id", k)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(bulk == exh, s"k=$k: bulk wand $bulk != exhaustive $exh")
+    }
+    // counters: pruned + scored = total, the lossless flag checked,
+    // and this fixture genuinely prunes (q0 skips dim 1's 40 rows)
+    val rep = SparseVec.bulkWandReport(spark, root, qp, "id", 3)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(rep._1 == 3L && rep._4 == rep._5 + rep._6)
+    assert(rep._6 > 0L, s"no pruning on the pruning fixture: $rep")
+    assert(rep._7 == 1L, "bulk wand != bulk exhaustive")
+    // all-OOV query contributes no rows, like searchBulkIndex
+    val oov = SparseVec.searchBulkWandIndex(spark, root,
+        Seq((9L, 7, 1.0)).toDF("qid", "dim", "w"), "id", 3)
+    assert(oov.count() == 0)
+  }
+
   test("WAND zero-boundary: rounded-0.0 positives tie with zero-dim " +
       "docs exactly as searchIndex") {
     import graft.search.SparseVec

@@ -456,4 +456,41 @@ class TextSpec extends SparkSpec {
     assert(Analyzer.analyze("scan scan merge scan") ==
       Seq("scan", "scan", "merge", "scan"))
   }
+
+  test("analyzer cjk: bigram stage agrees Column vs String; " +
+      "default config mismatches on Chinese (the silent-miss pin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.Analyzer
+    val cjk = Analyzer.Config(minTokenLen = 1, stopwords = Nil,
+      cjkBigrams = true)
+    val texts = Seq(
+      "向量检索",                       // one Han run → 3 bigrams
+      "向量数据库支持中文全文检索。",    // punctuation boundary
+      "mixed 向量 search 检索系统",     // Latin tokens pass through
+      "中",                             // single Han char: unexpanded
+      "abc中文def",                     // mixed-script token: unexpanded
+      "")
+    val fromCol = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), Analyzer.tokens(col("t"), cjk).as("tk"))
+      .as[(Long, Seq[String])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(fromCol(i.toLong) == Analyzer.analyze(t, cjk),
+        s"cjk analyzer mismatch on: '$t'")
+    }
+    // the bigram arithmetic itself
+    assert(Analyzer.analyze("向量检索", cjk) == Seq("向量", "量检", "检索"))
+    assert(Analyzer.analyze("中", cjk) == Seq("中"))
+    assert(Analyzer.analyze("abc中文def", cjk) == Seq("abc中文def"))
+    // ANALYZER-MISMATCH pin: the default (no-bigram) chain keeps the
+    // whole Han run as ONE token, so an index built with the cjk chain
+    // and a query analyzed with the default one share NO terms — the
+    // classic silent-miss bug the one-Config contract exists to stop
+    val dflt = Analyzer.Config(minTokenLen = 1, stopwords = Nil)
+    val q = "向量检索"
+    assert(Analyzer.analyze(q, dflt) == Seq(q))
+    assert(Analyzer.analyze(q, cjk).toSet
+      .intersect(Analyzer.analyze(q, dflt).toSet).isEmpty)
+  }
 }
