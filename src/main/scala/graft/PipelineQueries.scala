@@ -1548,6 +1548,66 @@ object PipelineQueries {
       ORDER BY distance ASC, e.vec_id ASC LIMIT 5
     """.replace("%L2%", duckL2("e.embedding", "q.qe"))))
 
+  /** The TTL→index DRIFT policy row
+    * ([[graft.search.Maintenance.planTtlSync]] — the observe half of
+    * `ttl_index_serve`'s bridge, completing the observe→plan→verb loop:
+    * `sync_ttl_tombstones` fires when expired-but-still-served keys
+    * exceed 10% of the collection, and
+    * [[graft.search.IndexSync.syncTtlTombstones]] is the verb that
+    * clears it). TWO indexes over the same TTL'd collection: one never
+    * synced (181 expired keys at this asOf — TRIGGERED at sf0.001's
+    * corpus size), one synced at the same clock (metric 0 by the
+    * sync's idempotence anti-join — the
+    * trigger-clears-after-maintenance contract). Metric, threshold,
+    * and both trigger bits replay from raw timestamps. */
+  private val ttlSyncPlan = Q(
+    "ttl_sync_plan",
+    (s, dir) => {
+      import graft.search.{IndexSync, Maintenance}
+      val e = Tables.embeddings(s, dir)
+      val base = s"/tmp/graft_ttlsync_${math.abs(dir.hashCode)}"
+      val out = s"$base/coll"
+      val idxU = s"$base/ivf_unsynced"
+      val idxS = s"$base/ivf_synced"
+      val coll = Collection(s, out)
+      val asOf = timestamp_seconds(lit(1704067400L))
+      mutateOnce(s, base) {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        coll.appendStamped(e.select(col("vec_id"), col("embedding")),
+          timestamp_seconds(lit(1704067200L) + col("vec_id")))
+        coll.setTtlSeconds(20)
+        IvfIndex.build(coll.read.select("vec_id", "embedding"),
+          "embedding", idxU, nlist = 16)
+        IvfIndex.build(coll.read.select("vec_id", "embedding"),
+          "embedding", idxS, nlist = 16)
+        IndexSync.syncTtlTombstones(s, coll, "vec_id", asOf, idxS,
+          "vec_id")
+      }
+      Maintenance.planTtlSync(s, out, "vec_id", asOf, idxU, "vec_id")
+        .withColumn("which", lit("unsynced"))
+        .unionByName(
+          Maintenance.planTtlSync(s, out, "vec_id", asOf, idxS, "vec_id")
+            .withColumn("which", lit("synced")))
+        .orderBy(col("which").asc)
+    },
+    Some("""
+      WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings),
+      ex AS (SELECT CAST(count(*) FILTER (WHERE vec_id + 20 <= 200)
+                    AS BIGINT) AS c
+             FROM embeddings)
+      SELECT 'sync_ttl_tombstones' AS action, ex.c AS metric,
+             CAST(floor(n.c * 0.10) AS BIGINT) AS threshold,
+             ex.c > floor(n.c * 0.10) AS triggered,
+             'unsynced' AS which
+      FROM ex, n
+      UNION ALL
+      SELECT 'sync_ttl_tombstones', CAST(0 AS BIGINT),
+             CAST(floor(n.c * 0.10) AS BIGINT), false, 'synced'
+      FROM n
+      ORDER BY which ASC
+    """))
+
   /** R1: top-3 hits joined to documents, numbered markdown context. */
   private val ragContextLines = Q(
     "rag_context_lines",
@@ -6737,7 +6797,7 @@ object PipelineQueries {
     routedGraphSearch, routedTextSearch, routedSparseSearch,
     ivfIncrementalSearch, multiStrategySearch,
     chapterParse, collectionRoundtrip, collectionTtlServe,
-    collectionTtlReclaim, collectionTtlPlan, ttlIndexServe,
+    collectionTtlReclaim, collectionTtlPlan, ttlIndexServe, ttlSyncPlan,
     ragContextLines, embedIngest,
     embedSessionIngest,
     keywordTextSearch, chunkTextSearch, questionAnswerPipeline,

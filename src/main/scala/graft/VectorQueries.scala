@@ -2380,6 +2380,106 @@ object VectorQueries {
       ORDER BY qid ASC, score DESC, vec_id ASC
     """))
 
+  /** BULK sparse serving with WAND pruning
+    * ([[graft.search.SparseVec.searchBulkWandIndex]] —
+    * `fulltext_bulk_wand`'s learned-sparse twin, round 15): the SAME
+    * three-query batch as `sparse_bulk_search`, served with per-query
+    * max-score bound pruning whose essential-prefix loop is SHARED
+    * across the batch. The oracle is the same exhaustive per-qid
+    * ranking — lossless on the embedding-shaped tier too. */
+  private val sparseBulkWand = Q(
+    "sparse_bulk_wand",
+    (s, dir) => {
+      import graft.search.SparseVec
+      val e = Tables.embeddings(s, dir)
+      val idx = s"/tmp/graft_sparsewand_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        SparseVec.build(e, "vec_id", "embedding", topN = 8, idx)
+      }
+      val qp = SparseVec.postings(
+        e.where(col("vec_id").isin(0, 1, 2)), "vec_id", "embedding",
+        topN = 8)
+        .select(col("vec_id").as("qid"), col("dim"), col("w"))
+      SparseVec.searchBulkWandIndex(s, idx, qp, "vec_id", k = 5)
+    },
+    Some("""
+      WITH pr AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS dim,
+                         unnest(embedding) AS v
+                  FROM embeddings),
+      pw AS (SELECT vec_id, dim, round(CAST(v AS DOUBLE), 4) AS w FROM pr),
+      top AS (SELECT vec_id, dim, w FROM (
+          SELECT vec_id, dim, w,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY w DESC, dim ASC) AS rn
+          FROM pw WHERE w > 0) WHERE rn <= 8),
+      q AS (SELECT vec_id AS qid, dim, w AS qw FROM top
+            WHERE vec_id IN (0, 1, 2)),
+      sc AS (SELECT q.qid, t.vec_id, round(sum(t.w * q.qw), 4) AS score
+             FROM top t JOIN q USING (dim) GROUP BY q.qid, t.vec_id),
+      rk AS (SELECT qid, vec_id, score,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY score DESC, vec_id ASC) AS rn
+             FROM sc)
+      SELECT CAST(qid AS BIGINT) AS qid, vec_id, score FROM rk
+      WHERE rn <= 5
+      ORDER BY qid ASC, score DESC, vec_id ASC
+    """))
+
+  /** Keyset iteration over the SPARSE tier
+    * ([[graft.search.SparseVec.searchIterateIndex]] —
+    * `fulltext_search_iterate`'s embedding twin): every doc sharing a
+    * dim with the query, dot-product scored, paged by id with the
+    * cursor predicate pushed onto the dim-pruned postings scan. The
+    * oracle buckets the full id-ordered match list into pages. */
+  private val sparseSearchIterate = Q(
+    "sparse_search_iterate",
+    (s, dir) => {
+      import graft.search.SparseVec
+      val e = Tables.embeddings(s, dir)
+      val idx = s"/tmp/graft_sparsewand_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        SparseVec.build(e, "vec_id", "embedding", topN = 8, idx)
+      }
+      val qp = SparseVec.postings(
+        e.where(col("vec_id") === 0), "vec_id", "embedding", topN = 8)
+        .select(col("dim"), col("w"))
+      var cursor: Option[Long] = None
+      val pages = (0 until 3).map { p =>
+        val pg = SparseVec.searchIterateIndex(s, idx, qp, "vec_id",
+          cursor, 7)
+        val mx = pg.agg(max(col("vec_id"))).first()
+        if (!mx.isNullAt(0)) cursor = Some(mx.getLong(0))
+        pg.select(lit(p).cast("int").as("page"), col("vec_id"),
+          col("score"))
+      }
+      pages.reduce(_ unionByName _)
+        .orderBy(col("page").asc, col("vec_id").asc)
+    },
+    Some("""
+      WITH pr AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS dim,
+                         unnest(embedding) AS v
+                  FROM embeddings),
+      pw AS (SELECT vec_id, dim, round(CAST(v AS DOUBLE), 4) AS w FROM pr),
+      top AS (SELECT vec_id, dim, w FROM (
+          SELECT vec_id, dim, w,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY w DESC, dim ASC) AS rn
+          FROM pw WHERE w > 0) WHERE rn <= 8),
+      q AS (SELECT dim, w AS qw FROM top WHERE vec_id = 0),
+      sc AS (SELECT t.vec_id, round(sum(t.w * q.qw), 4) AS score
+             FROM top t JOIN q USING (dim) GROUP BY t.vec_id),
+      r AS (SELECT vec_id, score,
+                   row_number() OVER (ORDER BY vec_id ASC) AS rn
+            FROM sc)
+      SELECT CAST((rn - 1) // 7 AS INT) AS page, vec_id, score
+      FROM r WHERE rn <= 21
+      ORDER BY page ASC, vec_id ASC
+    """))
+
   /** SPARSE + DENSE hybrid (the Milvus 2.4 flagship hybrid mode: a
     * SPLADE-shape sparse representation and a dense vector of the SAME
     * entity, each searched in its own index, fused by RRFRanker): the
@@ -2443,6 +2543,79 @@ object VectorQueries {
              sparse_rank, knn_rank
       FROM sr FULL OUTER JOIN knr ON sr.id = knr.id
       ORDER BY rrf DESC, vec_id ASC LIMIT 10
+    """.replace("%L2%", duckL2("e.embedding", "dq.qe"))))
+
+  /** SPARSE + DENSE hybrid fused by Milvus's WEIGHTED ranker
+    * ([[graft.search.Bm25.weightedFuse]] — the `WeightedRanker` half
+    * of the 2.4 hybrid-search API; `sparse_dense_hybrid_rrf` covers
+    * the RRFRanker half): each leg's raw metric score normalizes to
+    * [0, 1] with the metric's mapping — L2 via the documented
+    * `1 − 2·atan(√d)/π`, the sparse leg's UNBOUNDED dot product via
+    * the arctan squash `2·atan(s)/π` (the `(1+s)/2` cosine mapping
+    * would exceed 1 on unbounded scores and the weights would stop
+    * bounding leg influence — round-15 review finding) — then fuses
+    * as `0.3·sparse + 0.7·dense`, a doc missing from a leg
+    * contributing 0. Unlike RRF this preserves score MAGNITUDE, which
+    * is why Milvus ships both rankers. The oracle replays both legs,
+    * both
+    * normalizations (DuckDB's atan/pi against Spark's — the rounded
+    * publication makes the transcendental mapping comparable), and
+    * the weighted sum. Plan: two k-bounded legs + one full-outer
+    * equi-join — no corpus-sized work past the legs themselves. */
+  private val sparseDenseHybridWeighted = Q(
+    "sparse_dense_hybrid_weighted",
+    (s, dir) => {
+      import graft.search.{Bm25, SparseVec}
+      val e = Tables.embeddings(s, dir)
+      val post = graft.core.Artifacts.buildOnce(s,
+        s"/tmp/graft_sparse_${math.abs(dir.hashCode)}") {
+        SparseVec.postings(e, "vec_id", "embedding", topN = 8)
+      }
+      val qp = SparseVec.postings(
+        e.where(col("vec_id") === 0), "vec_id", "embedding", topN = 8)
+      val sparseLeg = SparseVec.search(post, qp, "vec_id", k = 20)
+        .withColumnRenamed("vec_id", "id")
+        .select(col("id"),
+          Bm25.normalizeUnbounded(col("score")).as("ns"))
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val denseLeg = e.crossJoin(broadcast(q))
+        .select(col("vec_id").as("id"),
+          round(VectorFunctions.l2Sq(col("embedding"), col("qe")), 4)
+            .as("d"))
+        .orderBy(col("d").asc, col("id").asc).limit(20)
+        .select(col("id"), Bm25.normalizeL2(col("d")).as("nd"))
+      Bm25.weightedFuse(sparseLeg, "ns", 0.3, denseLeg, "nd", 0.7)
+        .select(col("id").as("vec_id"), col("fused"),
+          round(col("ns"), 6).as("ns"), round(col("nd"), 6).as("nd"))
+        .orderBy(col("fused").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH pr AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS dim,
+                         unnest(embedding) AS v
+                  FROM embeddings),
+      pw AS (SELECT vec_id, dim, round(CAST(v AS DOUBLE), 4) AS w FROM pr),
+      top AS (SELECT vec_id, dim, w FROM (
+          SELECT vec_id, dim, w,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY w DESC, dim ASC) AS rn
+          FROM pw WHERE w > 0) WHERE rn <= 8),
+      sq AS (SELECT dim, w AS qw FROM top WHERE vec_id = 0),
+      sc AS (SELECT t.vec_id, round(sum(t.w * sq.qw), 4) AS score
+             FROM top t JOIN sq USING (dim) GROUP BY t.vec_id),
+      sl AS (SELECT vec_id AS id, 2.0 * atan(score) / pi() AS ns
+             FROM (SELECT * FROM sc
+                   ORDER BY score DESC, vec_id ASC LIMIT 20)),
+      dq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      kd AS (SELECT e.vec_id AS id, %L2% AS d FROM embeddings e, dq),
+      dl AS (SELECT id, 1.0 - 2.0 * atan(sqrt(d)) / pi() AS nd
+             FROM (SELECT * FROM kd ORDER BY d ASC, id ASC LIMIT 20))
+      SELECT coalesce(sl.id, dl.id) AS vec_id,
+             round(coalesce(ns * 0.3, 0) + coalesce(nd * 0.7, 0), 6)
+               AS fused,
+             round(ns, 6) AS ns, round(nd, 6) AS nd
+      FROM sl FULL OUTER JOIN dl ON sl.id = dl.id
+      ORDER BY fused DESC, vec_id ASC LIMIT 10
     """.replace("%L2%", duckL2("e.embedding", "dq.qe"))))
 
   /** Sparse-tier UPSERT — the last index family without maintenance
@@ -4153,6 +4326,7 @@ object VectorQueries {
     binaryRecallReport, knnIpTopK, mmrRerank,
     corpusDiversity,
     sparseVectorSearch, sparseWandSearch, sparseBulkSearch,
+    sparseBulkWand, sparseSearchIterate, sparseDenseHybridWeighted,
     hybridSearchWeighted,
     searchPagination,
     searchIterate, timeDecaySearch,

@@ -79,4 +79,44 @@ object Bm25 {
             + coalesce(lit(1.0) / (lit(k.toDouble) + col(rankB)), lit(0.0)),
           6).as("rrf"),
         col(rankA), col(rankB))
+
+  /** Milvus's L2 score normalization for WeightedRanker fusion
+    * (documented arctan mapping: distance 0 → 1.0, large distances →
+    * 0): `1 − 2·atan(√d)/π`. */
+  def normalizeL2(d: Column): Column =
+    lit(1.0) - lit(2.0) * atan(sqrt(d)) / lit(math.Pi)
+
+  /** Milvus's IP/COSINE score normalization for WeightedRanker fusion:
+    * `(1 + s) / 2` — for scores already in [−1, 1] (cosine, or IP over
+    * unit-normalized vectors, the Milvus contract). For UNBOUNDED
+    * similarity scores use [[normalizeUnbounded]] instead: (1+s)/2
+    * exceeds 1 there and the fusion weights stop bounding leg
+    * influence. */
+  def normalizeIp(s: Column): Column = (lit(1.0) + s) / lit(2.0)
+
+  /** Arctan normalization for UNBOUNDED non-negative similarity scores
+    * (raw inner products, BM25, sparse dot products): `2·atan(s)/π`
+    * maps [0, ∞) monotonically onto [0, 1) — the same arctan squash
+    * Milvus documents for its unbounded-metric normalization, so a
+    * weighted leg can never exceed its weight. */
+  def normalizeUnbounded(s: Column): Column =
+    lit(2.0) * atan(s) / lit(math.Pi)
+
+  /** WEIGHTED score fusion of two scored lists — Milvus's
+    * `WeightedRanker` (the RRFRanker's sibling in the 2.4 hybrid-search
+    * API): each leg's raw metric score is first normalized to [0, 1]
+    * with the metric's mapping ([[normalizeL2]] / [[normalizeIp]],
+    * applied by the CALLER so legs with different metrics compose),
+    * then fused as `Σ wᵢ · normalized_scoreᵢ`, a doc missing from a
+    * leg contributing 0 for it. Unlike RRF this preserves score
+    * MAGNITUDE (a dominant leg hit outranks two mediocre ones), which
+    * is why Milvus offers both. Plan: one full-outer equi-join of two
+    * k-bounded lists — no corpus work. */
+  def weightedFuse(a: DataFrame, scoreA: String, wA: Double,
+                   b: DataFrame, scoreB: String, wB: Double): DataFrame =
+    a.join(b, Seq("id"), "full_outer")
+      .select(col("id"),
+        round(coalesce(col(scoreA) * wA, lit(0.0))
+          + coalesce(col(scoreB) * wB, lit(0.0)), 6).as("fused"),
+        col(scoreA), col(scoreB))
 }

@@ -75,14 +75,31 @@ object IndexSync {
   def syncTtlTombstones(spark: SparkSession,
                         coll: graft.core.Collection, keyCol: String,
                         asOf: org.apache.spark.sql.Column,
-                        indexDir: String,
+                        indexDir0: String,
                         idCol: String): Long = {
-    val expired = coll.expiredKeys(keyCol, asOf)
-      .select(col(keyCol).cast("long").as(idCol)).distinct()
-    val fresh = expired.join(
-      Tombstones.table(spark, indexDir, idCol), Seq(idCol), "left_anti")
+    // resolve the alias root ONCE: the idempotence anti-join must read
+    // the SAME deletes dir the record below writes (record resolves
+    // internally; an unresolved table read would see the root's)
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
+    val fresh = unsyncedExpired(spark, coll, keyCol, asOf, indexDir,
+      idCol)
     val n = fresh.count()
     if (n > 0) Tombstones.record(fresh, indexDir, idCol)
     n
   }
+
+  /** The collection's expired-at-`asOf` keys NOT yet tombstoned in the
+    * (alias-resolved) index — what [[syncTtlTombstones]] would record;
+    * shared with [[Maintenance.planTtlSync]]'s drift meter. */
+  private[graft] def unsyncedExpired(spark: SparkSession,
+                                     coll: graft.core.Collection,
+                                     keyCol: String,
+                                     asOf: org.apache.spark.sql.Column,
+                                     indexDir: String,
+                                     idCol: String)
+      : org.apache.spark.sql.DataFrame =
+    coll.expiredKeys(keyCol, asOf)
+      .select(col(keyCol).cast("long").as(idCol)).distinct()
+      .join(Tombstones.table(spark, indexDir, idCol), Seq(idCol),
+        "left_anti")
 }

@@ -115,6 +115,27 @@ object Maintenance {
       (total * expiredFrac).toLong)))
   }
 
+  /** TTL→index DRIFT trigger (round 15 — the observe half of
+    * [[IndexSync.syncTtlTombstones]], completing the observe→plan→verb
+    * loop the TTL bridge opened): `sync_ttl_tombstones` fires when the
+    * collection's expired-at-`asOf` keys NOT yet tombstoned in the
+    * index — rows every masked serve is still RETURNING despite their
+    * expiry — exceed `expiredFrac` of the collection. The verb is
+    * [[IndexSync.syncTtlTombstones]] itself, after which the metric is
+    * 0 by the sync's idempotence anti-join (the
+    * trigger-clears-after-maintenance contract). One bounded anti-join
+    * count; same clock discipline as [[planTtl]]. */
+  def planTtlSync(spark: SparkSession, collectionDir: String,
+                  keyCol: String, asOf: org.apache.spark.sql.Column,
+                  indexDir: String, idCol: String,
+                  expiredFrac: Double = 0.10): DataFrame = {
+    val coll = graft.core.Collection(spark, collectionDir)
+    val unsynced = IndexSync.unsyncedExpired(spark, coll, keyCol, asOf,
+      AliasedIndex.resolveDir(spark, indexDir), idCol).count()
+    toDf(spark, Seq(mkRow("sync_ttl_tombstones", unsynced,
+      (coll.count() * expiredFrac).toLong)))
+  }
+
   /** Rebuild-cadence trigger for a [[FullText]] artifact (round 14 —
     * the frozen-stats drift [[FullText.append]] documents, given a
     * METER and a policy row, mirroring the version-debt discipline):

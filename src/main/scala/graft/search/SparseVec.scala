@@ -208,7 +208,21 @@ object SparseVec {
     val statsPath = new org.apache.hadoop.fs.Path(dimStatsDir(indexDir))
     val fs = statsPath.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(statsPath)) { appendDimStats(post, indexDir); return }
+    if (!fs.exists(statsPath)) {
+      // NO stats table at all — a crashed build's documented safe
+      // state, where dimBounds falls back to the postings aggregate.
+      // Seeding it with BATCH-ONLY maxima would flip that state into
+      // an UNDER-bound (a stored-dim row lower than old postings'
+      // true maxima — the silent-prune direction; round-15 review
+      // finding): rebuild the bounds from the STORED postings first,
+      // then add the batch's.
+      val pp = new org.apache.hadoop.fs.Path(postingsDir(indexDir))
+      if (fs.exists(pp))
+        appendDimStats(spark.read.parquet(postingsDir(indexDir)),
+          indexDir)
+      appendDimStats(post, indexDir)
+      return
+    }
     // ONE comparison job (the per-micro-batch fixed cost IS the job
     // count): batch per-dim maxima left-joined to the stored fold,
     // keeping only the raisers — a bounded collect (≤ batch dims)

@@ -1393,9 +1393,20 @@ class OperatorSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(got.forall(_ > 7L), s"expired ids served: $got")
     assert(got == (8L to 12L).toSet)
+    // the drift PLAN row observes the later clock's unsynced delta,
+    // and the verb clears it (trigger-clears-after-maintenance)
+    val later = timestamp_seconds(lit(1014L))
+    assert(graft.search.Maintenance.planTtlSync(spark, s"$base/coll",
+        "id", later, idx, "id", expiredFrac = 0.05)
+      .as[(String, Long, Long, Boolean)].head()
+      == (("sync_ttl_tombstones", 2L, 1L, true)))
     // a LATER clock records only the newly-expired delta (monotone)
     assert(IndexSync.syncTtlTombstones(spark, coll, "id",
-      timestamp_seconds(lit(1014L)), idx, "id") == 2L)
+      later, idx, "id") == 2L)
+    assert(graft.search.Maintenance.planTtlSync(spark, s"$base/coll",
+        "id", later, idx, "id", expiredFrac = 0.05)
+      .as[(String, Long, Long, Boolean)].head()
+      == (("sync_ttl_tombstones", 0L, 1L, false)))
     // reclaim -> reconcile composition: physical repayment finds the
     // orphans ALREADY tombstoned, so it repairs nothing further and
     // the serve is unchanged

@@ -667,6 +667,41 @@ class SearchOpsSpec extends SparkSpec {
     assert(oov.count() == 0)
   }
 
+  test("append onto a stats-less artifact rebuilds bounds from STORED " +
+      "postings — batch-only maxima must not under-bound old rows") {
+    import graft.search.{IndexAudit, SparseVec}
+    val root = "/tmp/graft_statless_append_test"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    // stored postings carry a HIGH weight on dim 1
+    val corpus = Seq(
+      (0L, Array(5.0f, 1.0f)),
+      (1L, Array(4.0f, 1.0f))).toDF("id", "vec")
+    SparseVec.build(corpus, "id", "vec", 2, root)
+    // simulate the crashed-build state the crash argument calls safe:
+    // complete postings, NO dimstats (missing stats = slow fallback)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      SparseVec.dimStatsDir(root)), true)
+    // an append whose dim-1 weight is LOW: the old bug seeded the
+    // stats table with 0.2, under-bounding the stored w=5 postings —
+    // WAND would prune doc 0 out of candidate generation
+    SparseVec.append(Seq((2L, Array(0.2f, 3.0f))).toDF("id", "vec"),
+      "id", "vec", 2, root)
+    def audit() = IndexAudit.dimBoundChecks(spark, root)
+      .as[(String, Long)].collect().toMap
+    assert(audit() == Map("dim_bound_missing" -> 0L,
+      "dim_bound_violations" -> 0L), s"bounds broken: ${audit()}")
+    val q = Seq((1, 1.0)).toDF("dim", "w")
+    (1 to 3).foreach { k =>
+      val exh = SparseVec.searchIndex(spark, root, q, "id", k)
+        .as[(Long, Double)].collect().toSeq
+      val wnd = SparseVec.searchWandIndex(spark, root, q, "id", k)
+        .as[(Long, Double)].collect().toSeq
+      assert(wnd == exh, s"k=$k: wand $wnd != exhaustive $exh")
+    }
+  }
+
   test("WAND zero-boundary: rounded-0.0 positives tie with zero-dim " +
       "docs exactly as searchIndex") {
     import graft.search.SparseVec
