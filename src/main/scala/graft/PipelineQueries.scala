@@ -1579,8 +1579,9 @@ object PipelineQueries {
         coll.setTtlSeconds(20)
         IvfIndex.build(coll.read.select("vec_id", "embedding"),
           "embedding", idxU, nlist = 16)
-        IvfIndex.build(coll.read.select("vec_id", "embedding"),
-          "embedding", idxS, nlist = 16)
+        // the synced twin differs ONLY in tombstone state — copy the
+        // built artifact instead of paying a second k-means build
+        graft.core.Artifacts.copyLocalDir(idxU, idxS)
         IndexSync.syncTtlTombstones(s, coll, "vec_id", asOf, idxS,
           "vec_id")
       }

@@ -132,8 +132,13 @@ object Maintenance {
     val coll = graft.core.Collection(spark, collectionDir)
     val unsynced = IndexSync.unsyncedExpired(spark, coll, keyCol, asOf,
       AliasedIndex.resolveDir(spark, indexDir), idCol).count()
+    // threshold base = DISTINCT keys, matching the metric's unit: the
+    // metric counts unsynced KEYS, so a multi-row-per-key collection
+    // must not dilute the fraction with its row count (review finding
+    // — a 100%-expired collection would otherwise never trigger)
+    val keys = coll.read.select(col(keyCol)).distinct().count()
     toDf(spark, Seq(mkRow("sync_ttl_tombstones", unsynced,
-      (coll.count() * expiredFrac).toLong)))
+      (keys * expiredFrac).toLong)))
   }
 
   /** Rebuild-cadence trigger for a [[FullText]] artifact (round 14 —

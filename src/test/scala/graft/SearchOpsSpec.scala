@@ -667,6 +667,34 @@ class SearchOpsSpec extends SparkSpec {
     assert(oov.count() == 0)
   }
 
+  test("WeightedRanker normalizations: each mapping lands in [0,1] " +
+      "with its documented anchors, unbounded never exceeds 1") {
+    import graft.search.Bm25
+    val rows = Seq(
+      (-1.0, 0.0, 0.0),
+      (0.0, 1.0, 1.0),
+      (1.0, 100.0, 10000.0)).toDF("c", "s", "d")
+    val r = rows.select(
+        Bm25.normalizeIp(col("c")).as("ip"),
+        Bm25.normalizeUnbounded(col("s")).as("ub"),
+        Bm25.normalizeL2(col("d")).as("l2"))
+      .as[(Double, Double, Double)].collect()
+    // cosine contract: −1 → 0, 0 → 0.5, 1 → 1 (and ONLY valid on
+    // [−1, 1] — the unbounded-score misuse is the round-15 review
+    // finding normalizeUnbounded exists to prevent)
+    assert(r.map(_._1).toSeq == Seq(0.0, 0.5, 1.0))
+    // unbounded arctan squash: 0 → 0, monotone, strictly < 1 even at
+    // scores far past the cosine range
+    assert(r(0)._2 == 0.0)
+    assert(r(1)._2 > 0.0 && r(1)._2 < r(2)._2 && r(2)._2 < 1.0)
+    // L2: distance 0 → 1, decreasing toward 0, never negative
+    assert(r(0)._3 == 1.0)
+    assert(r(1)._3 < 1.0 && r(2)._3 < r(1)._3 && r(2)._3 > 0.0)
+    // the fusion bound the squash buys: a weighted leg never exceeds
+    // its weight
+    assert(r.forall(t => t._2 * 0.3 <= 0.3 && t._3 * 0.7 <= 0.7))
+  }
+
   test("append onto a stats-less artifact rebuilds bounds from STORED " +
       "postings — batch-only maxima must not under-bound old rows") {
     import graft.search.{IndexAudit, SparseVec}
