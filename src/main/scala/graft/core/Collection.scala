@@ -143,14 +143,24 @@ final class Collection(spark: SparkSession, val dir: String,
       coalesce(sum(when(!expiredPred, 1L)), lit(0L)).as("live_rows"))
   }
 
-  /** Keys of rows EXPIRED at `asOf` (stamped, past TTL) — the bridge
+  /** Keys FULLY expired at `asOf` — distinct keys with at least one
+    * stamped row past TTL and NO live row ([[readLive]]) — the bridge
     * input for derived-index serving (round 15): [[readLive]] masks
     * the COLLECTION, but IVF/graph/BM25 artifacts built over it keep
     * serving expired rows until their own tombstones say otherwise;
     * [[graft.search.IndexSync]] records THESE keys as index tombstones
-    * so expiry reaches every masked serve. Same NULL-stamp rule as
-    * [[readLive]] (unstamped rows never expire); collections without a
-    * TTL or the stamp column report no keys. */
+    * so expiry reaches every masked serve.
+    *
+    * PER-KEY expiry (round 16, advisory fix): in a multi-row-per-key
+    * collection (plain append re-ingest), a key whose newest row is
+    * still live must NOT be reported — an any-row-expired answer
+    * would tombstone it at the index while [[readLive]] still serves
+    * it. Implemented as expired-row keys ANTI-JOINED against live
+    * keys (one equi-join on the key column — the same cost class as
+    * the expiry scan itself, no corpus-wide window). Same NULL-stamp
+    * rule as [[readLive]] (an unstamped row is live, so its key never
+    * expires); collections without a TTL or the stamp column report
+    * no keys. */
   def expiredKeys(keyCol: String,
                   asOf: org.apache.spark.sql.Column =
                     current_timestamp()): DataFrame = {
@@ -161,6 +171,9 @@ final class Collection(spark: SparkSession, val dir: String,
             col(Collection.IngestTsCol).cast("long") + ttl
               <= asOf.cast("timestamp").cast("long"))
           .select(col(keyCol))
+          .join(readLive(asOf).select(col(keyCol)), Seq(keyCol),
+            "left_anti")
+          .distinct()
       case _ => base.select(col(keyCol)).limit(0)
     }
   }

@@ -69,16 +69,42 @@ object Bm25 {
   }
 
   /** Reciprocal-rank fusion of two rank lists: Σ 1/(k + rank) over the
-    * lists containing the doc. */
+    * lists containing the doc. Delegates to the N-leg [[rrfFuseN]]
+    * (Milvus `hybrid_search` takes a LIST of requests under one
+    * RRFRanker; two legs are just the smallest list) — the pair call
+    * is bit-identical to the pre-N-leg implementation (KnnSpec pins
+    * it): one full-outer join, the same left-to-right coalesce sum,
+    * one final 6-decimal round. */
   def rrfFuse(a: DataFrame, rankA: String, b: DataFrame, rankB: String,
               k: Int = 60): DataFrame =
-    a.join(b, Seq("id"), "full_outer")
-      .select(col("id"),
-        round(
-          coalesce(lit(1.0) / (lit(k.toDouble) + col(rankA)), lit(0.0))
-            + coalesce(lit(1.0) / (lit(k.toDouble) + col(rankB)), lit(0.0)),
-          6).as("rrf"),
-        col(rankA), col(rankB))
+    rrfFuseN(Seq(a -> rankA, b -> rankB), k)
+
+  /** N-leg reciprocal-rank fusion — the Milvus `hybrid_search`
+    * RRFRanker over an arbitrary request list: each leg is a
+    * (rank list, rank column) pair; a doc's fused score is
+    * Σᵢ 1/(k + rankᵢ) over the legs containing it. Output:
+    * (id, rrf, rank₁ … rankₙ), rank columns null where a leg missed.
+    *
+    * Join safety (round-16 advisory): each leg is internally
+    * projected to exactly (id, its rank column) BEFORE the join, so
+    * extra same-named columns on the inputs can never make the fused
+    * select ambiguous; the rank column names themselves must be
+    * pairwise distinct (required loudly — they name the output).
+    * Plan: n−1 full-outer equi-joins of k-bounded lists — fusion
+    * work is O(Σ leg sizes), never corpus-shaped. */
+  def rrfFuseN(legs: Seq[(DataFrame, String)], k: Int = 60): DataFrame = {
+    val names = legs.map(_._2)
+    require(legs.size >= 2, s"rrfFuseN: need >= 2 legs, got ${legs.size}")
+    require(names.distinct.size == names.size,
+      s"rrfFuseN: rank column names must be distinct, got $names")
+    val joined = legs.map { case (df, rc) => df.select(col("id"), col(rc)) }
+      .reduce(_.join(_, Seq("id"), "full_outer"))
+    val contribs = names
+      .map(rc => coalesce(lit(1.0) / (lit(k.toDouble) + col(rc)), lit(0.0)))
+    joined.select(
+      col("id") +: round(contribs.reduce(_ + _), 6).as("rrf") +:
+        names.map(col): _*)
+  }
 
   /** Milvus's L2 score normalization for WeightedRanker fusion
     * (documented arctan mapping: distance 0 → 1.0, large distances →
@@ -110,13 +136,38 @@ object Bm25 {
     * then fused as `Σ wᵢ · normalized_scoreᵢ`, a doc missing from a
     * leg contributing 0 for it. Unlike RRF this preserves score
     * MAGNITUDE (a dominant leg hit outranks two mediocre ones), which
-    * is why Milvus offers both. Plan: one full-outer equi-join of two
-    * k-bounded lists — no corpus work. */
+    * is why Milvus offers both. Delegates to the N-leg
+    * [[weightedFuseN]]; the pair call is bit-identical to the
+    * pre-N-leg implementation (one full-outer join, the same
+    * left-to-right weighted coalesce sum, one 6-decimal round). */
   def weightedFuse(a: DataFrame, scoreA: String, wA: Double,
                    b: DataFrame, scoreB: String, wB: Double): DataFrame =
-    a.join(b, Seq("id"), "full_outer")
-      .select(col("id"),
-        round(coalesce(col(scoreA) * wA, lit(0.0))
-          + coalesce(col(scoreB) * wB, lit(0.0)), 6).as("fused"),
-        col(scoreA), col(scoreB))
+    weightedFuseN(Seq((a, scoreA, wA), (b, scoreB, wB)))
+
+  /** N-leg weighted score fusion — Milvus's `WeightedRanker` over an
+    * arbitrary `hybrid_search` request list: each leg is a
+    * (scored list, normalized-score column, weight) triple; fused =
+    * Σᵢ wᵢ · scoreᵢ, a doc missing from a leg contributing 0 for it.
+    * Callers normalize each leg to [0, 1] FIRST with its metric's
+    * mapping ([[normalizeL2]] / [[normalizeIp]] /
+    * [[normalizeUnbounded]]) so legs with different metrics compose
+    * and no leg can exceed its weight. Output: (id, fused,
+    * score₁ … scoreₙ). Same join-safety contract as [[rrfFuseN]]:
+    * legs are projected to (id, score) before joining, score column
+    * names must be pairwise distinct. */
+  def weightedFuseN(legs: Seq[(DataFrame, String, Double)]): DataFrame = {
+    val names = legs.map(_._2)
+    require(legs.size >= 2,
+      s"weightedFuseN: need >= 2 legs, got ${legs.size}")
+    require(names.distinct.size == names.size,
+      s"weightedFuseN: score column names must be distinct, got $names")
+    val joined = legs.map { case (df, sc, _) => df.select(col("id"), col(sc)) }
+      .reduce(_.join(_, Seq("id"), "full_outer"))
+    val contribs = legs.map { case (_, sc, w) =>
+      coalesce(col(sc) * w, lit(0.0))
+    }
+    joined.select(
+      col("id") +: round(contribs.reduce(_ + _), 6).as("fused") +:
+        names.map(col): _*)
+  }
 }

@@ -41,10 +41,67 @@ object FullText {
   def buildAnalyzed(docs: DataFrame, idCol: String, textCol: String,
                     indexDir: String, cfg: graft.text.Analyzer.Config,
                     k1: Double = 1.2, b: Double = 0.75,
-                    buckets: Int = 0): Unit =
+                    buckets: Int = 0): Unit = {
     buildFrom(docs.select(col(idCol).as("id"),
         graft.text.Analyzer.tokens(col(textCol), cfg).as("__tk")),
       indexDir, k1, b, buckets)
+    // chain marker LAST (a crashed build leaves no marker — probed as
+    // "unversioned", same as a pre-round-16 artifact): appends and
+    // serves under a DIFFERENT chain can now fail loudly instead of
+    // silently missing terms (round-16 advisory — the round-15
+    // tokenizer widening made 'café' tokenize differently, and an old
+    // artifact under the new chain is exactly this mismatch)
+    writeAnalyzerMarker(docs.sparkSession, indexDir, cfg)
+  }
+
+  private def analyzerMarkerPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/_analyzer")
+
+  private def writeAnalyzerMarker(spark: SparkSession, indexDir: String,
+                                  cfg: graft.text.Analyzer.Config): Unit = {
+    val p = analyzerMarkerPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(graft.text.Analyzer.fingerprint(cfg).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The analysis-chain fingerprint the artifact was built under
+    * (None: built by the raw-token [[build]], or pre-marker). */
+  def analyzerFingerprint(spark: SparkSession,
+                          indexDir0: String): Option[String] = {
+    val p = analyzerMarkerPath(
+      AliasedIndex.resolveDir(spark, indexDir0))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(new String(buf.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  /** Fail loudly when `cfg` is not the chain the artifact was built
+    * under — the serve-side guard query paths call before analyzing
+    * query text (an unmarked artifact passes: it predates the marker
+    * or was built unanalyzed; the mismatch it can't detect is
+    * documented at [[graft.text.Analyzer.fingerprint]]). */
+  def requireAnalyzer(spark: SparkSession, indexDir0: String,
+                      cfg: graft.text.Analyzer.Config): Unit =
+    analyzerFingerprint(spark, indexDir0).foreach { stored =>
+      val want = graft.text.Analyzer.fingerprint(cfg)
+      if (stored != want)
+        throw new IllegalStateException(
+          s"analyzer mismatch for $indexDir0: artifact built under " +
+            s"[$stored], caller analyzing with [$want] — re-index or " +
+            "use the artifact's chain (a mismatched serve silently " +
+            "misses terms)")
+    }
 
   /** Build the artifact: postings (id, dim, w) partitioned by dim under
     * [[SparseVec.postingsDir]], plus the term dictionary, per-term df,
@@ -149,6 +206,7 @@ object FullText {
                         k1: Double, b: Double,
                         buckets: Int = 0): Unit = {
     val spark = tokenized.sparkSession
+    requireLongId(tokenized)
     val (tf, dl, stats, dfreq) = corpusParts(tokenized)
     // dictionary FIRST, then the posting weights join against the
     // STORED copy — the distributed numbering lineage (range shuffle +
@@ -215,14 +273,33 @@ object FullText {
     * terms, so the twin exists for symmetry with [[buildAnalyzed]]. */
   def appendAnalyzed(batch: DataFrame, idCol: String, textCol: String,
                      indexDir0: String, cfg: graft.text.Analyzer.Config,
-                     k1: Double = 1.2, b: Double = 0.75): Unit =
+                     k1: Double = 1.2, b: Double = 0.75): Unit = {
+    // an analyzed index appended under a DIFFERENT chain silently
+    // misses terms — the marker makes it a build-time error instead
+    requireAnalyzer(batch.sparkSession, indexDir0, cfg)
     appendFrom(batch.select(col(idCol).as("id"),
         graft.text.Analyzer.tokens(col(textCol), cfg).as("__tk")),
       indexDir0, k1, b)
+  }
+
+  /** The sparse family's BIGINT-id contract, enforced at every lexical
+    * build/append entry (round 16, advisory fix): [[SparseVec.build]]
+    * asserts it, but buildFrom/appendFrom write postings via
+    * [[SparseVec.writePostings]] directly — without this, a FullText
+    * artifact over a non-long doc id fails only on the rare
+    * all-dims-absent serve path ([[SparseVec.dimScan]]'s hardcoded
+    * LongType empty fallback), exactly the late failure the build-time
+    * require exists to prevent. */
+  private def requireLongId(tokenized: DataFrame): Unit =
+    require(tokenized.schema("id").dataType ==
+        org.apache.spark.sql.types.LongType,
+      "full-text index id column must be BIGINT (got " +
+        s"${tokenized.schema("id").dataType.simpleString})")
 
   private def appendFrom(tokenized: DataFrame, indexDir0: String,
                          k1: Double, b: Double): Unit = {
     val spark = tokenized.sparkSession
+    requireLongId(tokenized)
     val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
     // The per-micro-batch cost of this method is almost entirely its
     // SPARK JOB COUNT, not its data volume (every plan below is

@@ -88,6 +88,70 @@ object IndexSync {
     n
   }
 
+  /** Repair keys RE-INGESTED after expiry/delete (round 16, advisory
+    * fix): a key tombstoned by [[syncTtlTombstones]] (or a delete) and
+    * later re-ingested into the collection stays masked forever —
+    * tombstones were never retracted — so the index silently drops an
+    * entity [[graft.core.Collection.readLive]] serves. This verb
+    * closes the loop for the IVF family, in the only safe order:
+    *
+    *  1. detect: tombstoned keys that are LIVE in the collection at
+    *     `asOf` (semi-join of the delete-batch-sized tombstone table
+    *     against live keys), snapshotted to a temp parquet so later
+    *     steps don't lazily re-read a deletes dir step 3 rewrites;
+    *  2. fold: [[Tombstones.compact]] the data dir — the stale
+    *     physical rows of EVERY tombstoned key leave the layout, so
+    *     retraction cannot resurrect old content or double-serve;
+    *  3. retract ONLY the re-ingested keys' tombstones
+    *     ([[Tombstones.retract]]) — still-dead keys stay recorded, so
+    *     a same-`asOf` [[syncTtlTombstones]] re-sync remains a no-op;
+    *  4. append the keys' CURRENT live rows (latest stamp per key —
+    *     a multi-row append history re-enters once) under the frozen
+    *     centroids ([[IvfIndex.append]]).
+    *
+    * Returns the repaired key count; 0 = no re-ingest drift, nothing
+    * rewritten. Row-count cost: one bounded fold (tombstone
+    * compaction, already owed) + O(re-ingested batch). */
+  def repairReingestedIvf(spark: SparkSession,
+                          coll: graft.core.Collection, keyCol: String,
+                          asOf: org.apache.spark.sql.Column,
+                          model: IvfIndex.Model, vecCol: String,
+                          idCol: String): Long = {
+    import graft.core.Collection
+    val indexDir = model.indexDir
+    val live = coll.readLive(asOf)
+    val liveKeys = live.select(col(keyCol).cast("long").as(idCol))
+      .distinct()
+    val snapDir = s"$indexDir/__reingest_tmp"
+    Tombstones.table(spark, indexDir, idCol)
+      .join(liveKeys, Seq(idCol), "left_semi")
+      .write.mode("overwrite").parquet(snapDir)
+    val snap = spark.read.parquet(snapDir)
+    val n = snap.count()
+    if (n > 0) {
+      Tombstones.compact(spark, indexDir, IvfIndex.dataDir(indexDir),
+        Seq(idCol), partitionBy = Seq("cluster_id"))
+      Tombstones.retract(snap, indexDir, idCol)
+      // latest live row per key: a NULL stamp sorts lowest (epoch 0),
+      // matching readLive's "unstamped is live" floor; ties (same
+      // stamp) break on the vector struct comparison, deterministic
+      val rows = live
+        .select(col(keyCol).cast("long").as(idCol),
+          coalesce(col(Collection.IngestTsCol).cast("long"), lit(0L))
+            .as("__ts"),
+          col(vecCol))
+        .join(snap, Seq(idCol), "left_semi")
+        .groupBy(col(idCol))
+        .agg(max(struct(col("__ts"), col(vecCol))).as("__latest"))
+        .select(col(idCol), col("__latest").getField(vecCol).as(vecCol))
+      IvfIndex.append(rows, vecCol, model)
+    }
+    new org.apache.hadoop.fs.Path(snapDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(snapDir), true)
+    n
+  }
+
   /** The collection's expired-at-`asOf` keys NOT yet tombstoned in the
     * (alias-resolved) index — what [[syncTtlTombstones]] would record;
     * shared with [[Maintenance.planTtlSync]]'s drift meter. */

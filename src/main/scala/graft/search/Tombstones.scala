@@ -170,4 +170,46 @@ object Tombstones {
     * been [[compact]]ed, or the deletes would silently resurrect. */
   def clear(spark: SparkSession, indexDir: String): Unit =
     fs(spark, indexDir).delete(new Path(deletesDir(indexDir)), true)
+
+  /** RETRACT tombstones for `keys` (round 16, advisory fix): rewrite
+    * the deletes table WITHOUT those keys, under the same
+    * rename-aside swap as [[compact]]. The un-masking half of key
+    * re-ingest: a key deleted/expired and later re-ingested stays
+    * masked forever unless its tombstone is withdrawn — but retraction
+    * is only SAFE once the key's stale physical artifact rows are gone
+    * (folded by [[compact]], or re-encoded by an upsert), or the serve
+    * would resurrect old content / double-serve the id. Callers are
+    * the maintenance verbs that guarantee that ordering
+    * ([[IndexSync.repairReingestedIvf]]), not serve paths. The deletes
+    * table is delete-batch-sized, never corpus-sized, so the rewrite
+    * is a bounded key-column job. Returns the retracted key count
+    * (0 = no overlap, no rewrite). Aliased-root aware, like
+    * [[record]]. */
+  def retract(keys: DataFrame, indexDir0: String, idCol: String): Long = {
+    val spark = keys.sparkSession
+    val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
+    if (!exist(spark, indexDir)) return 0L
+    val dDir = deletesDir(indexDir)
+    recoverAside(fs(spark, indexDir), new Path(dDir),
+      new Path(dDir + "__tomb_old"))
+    val k = keys.select(col(idCol).cast("long").as(idCol)).distinct()
+    val existing = spark.read.parquet(dDir).toDF(idCol).distinct()
+    val hit = existing.join(k, Seq(idCol), "left_semi").count()
+    if (hit == 0L) return 0L
+    val kept = existing.join(k, Seq(idCol), "left_anti")
+    val f = fs(spark, indexDir)
+    val tmp = new Path(dDir + "__tomb_tmp")
+    val old = new Path(dDir + "__tomb_old")
+    f.delete(tmp, true); f.delete(old, true)
+    kept.write.mode("overwrite").parquet(tmp.toString)
+    if (!f.rename(new Path(dDir), old))
+      throw new java.io.IOException(
+        s"tombstone retract: rename $dDir aside failed")
+    if (!f.rename(tmp, new Path(dDir)))
+      throw new java.io.IOException(
+        s"tombstone retract: rename $tmp -> $dDir failed; " +
+          s"previous deletes are at $old")
+    f.delete(old, true)
+    hit
+  }
 }

@@ -457,4 +457,68 @@ class KnnSpec extends SparkSpec {
     assert(fused(1L) > fused(2L) && fused(1L) > fused(9L))
     assert(math.abs(fused(1L) - (1.0 / 61 + 1.0 / 62)) < 1e-6)
   }
+
+  test("N-leg fusion: pair calls bit-identical to the pre-N-leg " +
+      "formula; tri-leg sums per leg; join-safe on same-named extras") {
+    import graft.search.Bm25
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "r_a")
+    val b = Seq((1L, 2L), (9L, 1L)).toDF("id", "r_b")
+    // the exact pre-round-16 pair implementation, replicated inline
+    val oldPair = a.join(b, Seq("id"), "full_outer")
+      .select(col("id"),
+        round(coalesce(lit(1.0) / (lit(60.0) + col("r_a")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60.0) + col("r_b")), lit(0.0)),
+          6).as("rrf"),
+        col("r_a"), col("r_b"))
+      .as[(Long, Double, Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    val viaN = Bm25.rrfFuse(a, "r_a", b, "r_b")
+      .as[(Long, Double, Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(viaN.toSeq == oldPair.toSeq)
+    // tri-leg: doc 1 in all three legs, each contributes 1/(60+rank)
+    val c = Seq((1L, 3L), (2L, 1L)).toDF("id", "r_c")
+    val tri = Bm25.rrfFuseN(Seq(a -> "r_a", b -> "r_b", c -> "r_c"))
+      .as[(Long, Double, Option[Long], Option[Long], Option[Long])]
+      .collect().map(t => t._1 -> t._2).toMap
+    assert(math.abs(tri(1L) - (1.0 / 61 + 1.0 / 62 + 1.0 / 63)) < 1e-6)
+    assert(math.abs(tri(2L) - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+    assert(math.abs(tri(9L) - 1.0 / 61) < 1e-6)
+    // join safety (round-16 advisory): extra same-named columns on
+    // both legs must not make the fused select ambiguous
+    val aX = a.withColumn("junk", lit("a"))
+    val bX = b.withColumn("junk", lit("b"))
+    assert(Bm25.rrfFuse(aX, "r_a", bX, "r_b").count() == 3L)
+    // duplicate rank/score names are refused loudly, not mis-fused
+    intercept[IllegalArgumentException] {
+      Bm25.rrfFuseN(Seq(a -> "r_a", b.withColumnRenamed("r_b", "r_a")
+        -> "r_a"))
+    }
+    intercept[IllegalArgumentException] {
+      Bm25.weightedFuseN(Seq((a, "r_a", 0.5),
+        (b.withColumnRenamed("r_b", "r_a"), "r_a", 0.5)))
+    }
+    // weighted: pair-through-N bit-identity + tri-leg weighted sum
+    val sA = Seq((1L, 0.8), (2L, 0.4)).toDF("id", "s_a")
+    val sB = Seq((1L, 0.6), (9L, 1.0)).toDF("id", "s_b")
+    val oldW = sA.join(sB, Seq("id"), "full_outer")
+      .select(col("id"),
+        round(coalesce(col("s_a") * 0.3, lit(0.0))
+          + coalesce(col("s_b") * 0.7, lit(0.0)), 6).as("fused"),
+        col("s_a"), col("s_b"))
+      .as[(Long, Double, Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    val viaWN = Bm25.weightedFuse(sA, "s_a", 0.3, sB, "s_b", 0.7)
+      .as[(Long, Double, Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(viaWN.toSeq == oldW.toSeq)
+    val sC = Seq((1L, 0.5)).toDF("id", "s_c")
+    val triW = Bm25.weightedFuseN(
+        Seq((sA, "s_a", 0.2), (sB, "s_b", 0.3), (sC, "s_c", 0.5)))
+      .as[(Long, Double, Option[Double], Option[Double], Option[Double])]
+      .collect().map(t => t._1 -> t._2).toMap
+    assert(math.abs(triW(1L) - (0.2 * 0.8 + 0.3 * 0.6 + 0.5 * 0.5)) < 1e-6)
+    assert(math.abs(triW(2L) - 0.2 * 0.4) < 1e-6)
+    assert(math.abs(triW(9L) - 0.3 * 1.0) < 1e-6)
+  }
 }

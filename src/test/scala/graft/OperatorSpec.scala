@@ -1428,6 +1428,68 @@ class OperatorSpec extends SparkSpec {
     coll.drop()
   }
 
+  test("TTL per-key expiry + re-ingest repair: a key with a live row " +
+      "never tombstones; repairReingestedIvf unmasks and re-serves") {
+    import graft.search.{IndexSync, IvfIndex, Tombstones}
+    val base = "/tmp/graft_ttl_reingest_test"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val coll = Collection(spark, s"$base/coll")
+    val rows = (0L until 10L).map(i => (i, Array(i.toFloat, 0f)))
+      .toDF("id", "vec")
+    coll.appendStamped(rows, timestamp_seconds(lit(1000L)))
+    coll.setTtlSeconds(100)
+    val idx = s"$base/ivf"
+    IvfIndex.build(coll.read.select("id", "vec"), "vec", idx, nlist = 2)
+    val model = IvfIndex.load(spark, idx)
+    // all 10 keys expire and tombstone at the first sync
+    val asOf = timestamp_seconds(lit(1150L))
+    assert(IndexSync.syncTtlTombstones(spark, coll, "id", asOf, idx,
+      "id") == 10L)
+    // keys 1 and 2 re-ingested AFTER being tombstoned (key 2 twice —
+    // latest wins): per-key expiredKeys (round-16 advisory) must stop
+    // reporting them, and until repair they stay wrongly masked
+    coll.appendStamped(Seq((1L, Array(5f, 5f))).toDF("id", "vec"),
+      timestamp_seconds(lit(2000L)))
+    coll.appendStamped(Seq((2L, Array(7f, 7f))).toDF("id", "vec"),
+      timestamp_seconds(lit(2000L)))
+    coll.appendStamped(Seq((2L, Array(6f, 6f))).toDF("id", "vec"),
+      timestamp_seconds(lit(2100L)))
+    val asOf2 = timestamp_seconds(lit(2050L))
+    assert(coll.expiredKeys("id", asOf2).as[Long].collect().toSet
+      == (0L to 9L).toSet -- Set(1L, 2L))
+    assert(IndexSync.syncTtlTombstones(spark, coll, "id", asOf2, idx,
+      "id") == 0L) // nothing newly expired; 1 is not re-reported
+    val masked = IvfIndex.search(spark, model, "vec", "id",
+        Array(0f, 0f), k = 5, nprobe = 2)
+      .select("id").as[Long].collect().toSet
+    assert(masked.isEmpty, s"pre-repair serve should be empty: $masked")
+    // repair: folds stale rows, retracts ONLY live keys' tombstones,
+    // appends each key's LATEST live row
+    assert(IndexSync.repairReingestedIvf(spark, coll, "id", asOf2,
+      model, "vec", "id") == 2L)
+    val served = IvfIndex.search(spark, model, "vec", "id",
+        Array(0f, 0f), k = 5, nprobe = 2)
+      .select("id", "distance").as[(Long, Double)].collect().toMap
+    assert(served.keySet == Set(1L, 2L))
+    assert(math.abs(served(1L) - 50.0) < 1e-6,
+      s"stale row served for key 1: ${served(1L)}") // new (5,5), not (1,0)
+    assert(math.abs(served(2L) - 72.0) < 1e-6,
+      s"latest-wins violated for key 2: ${served(2L)}") // (6,6), not (7,7)
+    // still-dead keys stay tombstoned (so a same-asOf re-sync is
+    // still a no-op), live keys' tombstones are gone
+    assert(Tombstones.table(spark, idx, "id").as[Long].collect().toSet
+      == (0L to 9L).toSet -- Set(1L, 2L))
+    assert(IndexSync.syncTtlTombstones(spark, coll, "id", asOf2, idx,
+      "id") == 0L)
+    // idempotent: no re-ingest drift left
+    assert(IndexSync.repairReingestedIvf(spark, coll, "id", asOf2,
+      model, "vec", "id") == 0L)
+    // retract on keys never tombstoned: 0, no rewrite
+    assert(Tombstones.retract(Seq(999L).toDF("id"), idx, "id") == 0L)
+    coll.drop()
+  }
+
   test("collection compact: merges small files, preserves every row") {
     import graft.core.Collection
     val coll = Collection(spark, "/tmp/graft_compact_test/knowledge")

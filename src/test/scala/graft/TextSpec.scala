@@ -493,4 +493,98 @@ class TextSpec extends SparkSpec {
     assert(Analyzer.analyze(q, cjk).toSet
       .intersect(Analyzer.analyze(q, dflt).toSet).isEmpty)
   }
+
+  test("analyzer stemmer + asciifolding: Porter-1a anchors, fold " +
+      "anchors, Column/String agreement, fingerprint versioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.Analyzer
+    val cfg = Analyzer.Config(asciiFolding = true,
+      stemmer = Some(Analyzer.StemmerEnglishS))
+    // Porter step 1a anchors (sses→ss, ies→i, s-drop unless ss)
+    assert(Analyzer.analyze("databases ponies caress cats classes boss",
+      cfg) == Seq("database", "poni", "caress", "cat", "class", "boss"))
+    // folding anchors: accents fold to ASCII, then stem applies;
+    // stopword check runs on the FOLDED+stemmed surface
+    assert(Analyzer.analyze("café naïve Über señor", cfg)
+      == Seq("cafe", "naive", "uber", "senor"))
+    // both faces agree on mixed input
+    val texts = Seq(
+      "Databases and QUERIES: optimizées!",
+      "caress passes gas làs",
+      "ss s es ies sses",
+      "")
+    val fromCol = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), Analyzer.tokens(col("t"), cfg).as("tk"))
+      .as[(Long, Seq[String])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(fromCol(i.toLong) == Analyzer.analyze(t, cfg),
+        s"stem/fold analyzer mismatch on: '$t'")
+    }
+    // unknown stemmer refused loudly
+    intercept[IllegalArgumentException] {
+      Analyzer.Config(stemmer = Some("porter-full"))
+    }
+    // fingerprint: every chain knob changes it; equal configs agree
+    val base = Analyzer.Config()
+    assert(Analyzer.fingerprint(base)
+      == Analyzer.fingerprint(Analyzer.Config()))
+    val variants = Seq(
+      Analyzer.Config(lowercase = false),
+      Analyzer.Config(minTokenLen = 1),
+      Analyzer.Config(maxTokenLen = 39),
+      Analyzer.Config(stopwords = Nil),
+      Analyzer.Config(cjkBigrams = true),
+      Analyzer.Config(asciiFolding = true),
+      Analyzer.Config(stemmer = Some(Analyzer.StemmerEnglishS)))
+    val fps = (base +: variants).map(Analyzer.fingerprint)
+    assert(fps.distinct.size == fps.size, s"fingerprint collision: $fps")
+  }
+
+  test("fulltext analyzer marker: append/serve under a different " +
+      "chain fails loudly; unmarked artifacts pass; long-id required") {
+    import spark.implicits._
+    import graft.search.FullText
+    import graft.text.Analyzer
+    val dir = "/tmp/graft_ft_marker_test"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    val docs = Seq((1L, "databases store data"),
+      (2L, "queries scan tables")).toDF("doc_id", "text")
+    val stemmed = Analyzer.Config(stemmer =
+      Some(Analyzer.StemmerEnglishS))
+    FullText.buildAnalyzed(docs, "doc_id", "text", dir, stemmed)
+    assert(FullText.analyzerFingerprint(spark, dir)
+      .contains(Analyzer.fingerprint(stemmed)))
+    // same chain: append + guard pass
+    FullText.requireAnalyzer(spark, dir, stemmed)
+    FullText.appendAnalyzed(Seq((3L, "tables of databases"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir, stemmed)
+    // DIFFERENT chain: loud failure, not a silent miss
+    intercept[IllegalStateException] {
+      FullText.requireAnalyzer(spark, dir, Analyzer.Config())
+    }
+    intercept[IllegalStateException] {
+      FullText.appendAnalyzed(Seq((4L, "more rows")).toDF("doc_id",
+        "text"), "doc_id", "text", dir, Analyzer.Config())
+    }
+    // raw build writes no marker: any chain passes the guard
+    // (pre-round-16 artifacts behave the same — documented)
+    val rawDir = s"$dir/raw"
+    FullText.build(docs, "doc_id", "text", rawDir)
+    assert(FullText.analyzerFingerprint(spark, rawDir).isEmpty)
+    FullText.requireAnalyzer(spark, rawDir, stemmed)
+    // BIGINT id contract enforced at lexical build time (round-16
+    // advisory: SparseVec.build asserts it, FullText bypassed that)
+    intercept[IllegalArgumentException] {
+      FullText.build(Seq((1, "int ids")).toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/intids")
+    }
+    intercept[IllegalArgumentException] {
+      FullText.appendAnalyzed(Seq((5, "int ids")).toDF("doc_id",
+        "text"), "doc_id", "text", dir, stemmed)
+    }
+  }
 }
