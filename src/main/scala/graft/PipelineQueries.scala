@@ -1265,6 +1265,142 @@ object PipelineQueries {
       ORDER BY score DESC, vec_id ASC
     """))
 
+  /** The routed sparse tier's BULK arity (round 16 — Milvus's batch
+    * `search(data=[...])` shape through the router):
+    * `routed_sparse_search` proved the single-query dispatch, but
+    * batch callers still had to hand-pick
+    * [[graft.search.SparseVec.searchBulkWandIndex]] AROUND the router.
+    * [[graft.plans.IvfProbeRewrite.serveRoutedSparseBulk]] closes
+    * that: the whole (qid, dim, w) batch goes through the SAME
+    * "sparse"-modality decision (same panel, same fingerprint-keyed
+    * cache) and, when the sparse tier wins, serves in ONE
+    * shared-doubling WAND pass; the naive branch is the corpus-scan
+    * bulk scorer an unregistered table would get. Fixture dirs are
+    * SHARED with `routed_sparse_search` (no second k-means, no second
+    * postings build — the decision cache key is (path, fingerprint,
+    * modality), identical here by construction). The oracle re-derives
+    * the modality-gated decision from the staged panel AND replays the
+    * three exhaustive per-qid rankings (WAND is lossless), both
+    * branches gated on the re-derived choice. */
+  private val routedSparseBulkSearch = Q(
+    "routed_sparse_bulk_search",
+    (s, dir) => {
+      import graft.plans.IvfProbeRewrite
+      import graft.search.{Quantize, Router, SparseVec}
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val indexDir = s"/tmp/graft_ivf_routedsp_${math.abs(dir.hashCode)}"
+      val model =
+        if (new java.io.File(IvfIndex.centroidsDir(indexDir)).exists())
+          IvfIndex.load(s, indexDir)
+        else IvfIndex.build(e, "embedding", indexDir, nlist = 16)
+      val sq8Dir = s"/tmp/graft_sq8_${math.abs(dir.hashCode)}"
+      graft.core.Artifacts.buildOnce(s, sq8Dir) {
+        Quantize.quantizedTable(e, "embedding", "vec_id")
+      }
+      val spIdx = s"/tmp/graft_routedsp_${math.abs(dir.hashCode)}/sparse"
+      mutateOnce(s, spIdx) {
+        val p = new org.apache.hadoop.fs.Path(spIdx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        SparseVec.build(e, "vec_id", "embedding", topN = 8, spIdx)
+      }
+      val qp = SparseVec.postings(e.where(col("vec_id").isin(0, 1, 2)),
+          "vec_id", "embedding", topN = 8)
+        .select(col("vec_id").cast("long").as("qid"), col("dim"),
+          col("w"))
+      val qDims = qp.select("dim").distinct().collect()
+        .map(_.getInt(0)).toSeq
+      // extended panel: the shared v2 rows plus the sparse tier's
+      // measured row — cost = posting rows under the UNION of the
+      // batch's dims, the bulk seek's actual read set
+      def panelSp() = {
+        val spCost = s.read.parquet(SparseVec.postingsDir(spIdx))
+          .where(col("dim").isin(qDims: _*)).count()
+        val spRows = s.read.parquet(SparseVec.postingsDir(spIdx)).count()
+        routerPanelV2(s, dir).unionByName(
+          Seq(("sparse_wand", 1.0, spCost, spRows * 16L))
+            .toDF("tier", "recall", "cost", "mem_bytes"))
+      }
+      IvfProbeRewrite.registerRouted(IvfProbeRewrite.RoutedConfig(
+        model, nprobe = 4, sq8Dir, sq8Margin = 20,
+        idCol = "vec_id", vecCol = "embedding",
+        panel = () => panelSp(),
+        tiers = Seq(
+          Router.Tier("flat", present = true, filterCapable = true),
+          Router.Tier("sparse_wand", present = true,
+            filterCapable = true, modality = "sparse")),
+        flatTier = "flat", ivfTier = "ivf_nprobe4",
+        sq8Tier = "sq8_margin20", recallTarget = 0.8,
+        memoryBudget = None,
+        fingerprintRoots = Seq(indexDir, sq8Dir, spIdx),
+        sparseTier = "sparse_wand",
+        sparseServe = Some((sp, q, k) =>
+          SparseVec.searchWandIndex(sp, spIdx,
+            sp.createDataFrame(q).toDF("dim", "w"), "vec_id", k)),
+        sparseBulkServe = Some((sp, q, k) =>
+          SparseVec.searchBulkWandIndex(sp, spIdx, q, "vec_id", k))))
+      stageOracle(s, "routedspb", dir)("panel" -> panelSp())
+      val tier = IvfProbeRewrite.routedDecisionSparse(s, indexDir).get
+      IvfProbeRewrite.serveRoutedSparseBulk(s, indexDir, qp, 5) {
+        // naive: corpus-scan bulk scoring from the raw embeddings —
+        // what an unregistered table would serve
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+        SparseVec.postings(e, "vec_id", "embedding", topN = 8)
+          .join(broadcast(qp.withColumnRenamed("w", "qw")), Seq("dim"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(round(sum(col("w") * col("qw")), 4).as("score"))
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= 5).drop("__rn")
+      }.select(lit(tier).as("tier"), col("qid"), col("vec_id"),
+          col("score"))
+        .orderBy(col("qid").asc, col("score").desc, col("vec_id").asc)
+    },
+    Some("""
+      WITH panel AS (SELECT tier, recall, CAST(cost AS BIGINT) AS cost
+                     FROM read_parquet(
+        '/tmp/graft_routedspb_oracle_%ORACLE_KEY%/panel/*.parquet')),
+      el AS (SELECT tier, recall, cost,
+                    -- sparse-modality eligibility: of the registered
+                    -- tiers {flat, sparse_wand}, only the sparse one
+                    -- carries modality 'sparse'
+                    tier IN ('sparse_wand') AS eligible
+             FROM panel),
+      ch AS (SELECT tier AS c FROM el WHERE eligible AND recall >= 0.8
+             ORDER BY cost ASC, tier ASC LIMIT 1),
+      ch2 AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM ch)
+                          THEN (SELECT c FROM ch)
+                          ELSE 'flat' END AS c),
+      pr AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS dim,
+                    unnest(embedding) AS v
+             FROM embeddings),
+      pw AS (SELECT vec_id, dim, round(CAST(v AS DOUBLE), 4) AS w FROM pr),
+      top AS (SELECT vec_id, dim, w FROM (
+          SELECT vec_id, dim, w,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY w DESC, dim ASC) AS rn
+          FROM pw WHERE w > 0) WHERE rn <= 8),
+      q AS (SELECT vec_id AS qid, dim, w AS qw FROM top
+            WHERE vec_id IN (0, 1, 2)),
+      sc AS (SELECT q.qid, t.vec_id, round(sum(t.w * q.qw), 4) AS score
+             FROM top t JOIN q USING (dim) GROUP BY q.qid, t.vec_id),
+      rk AS (SELECT qid, vec_id, score,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY score DESC, vec_id ASC) AS rn
+             FROM sc),
+      top5 AS (SELECT CAST(qid AS BIGINT) AS qid, vec_id, score
+               FROM rk WHERE rn <= 5),
+      res AS (
+        SELECT qid, vec_id, score FROM top5
+        WHERE (SELECT c FROM ch2) = 'sparse_wand'
+        UNION ALL
+        SELECT qid, vec_id, score FROM top5
+        WHERE (SELECT c FROM ch2) = 'flat')
+      SELECT (SELECT c FROM ch2) AS tier, qid, vec_id, score FROM res
+      ORDER BY qid ASC, score DESC, vec_id ASC
+    """))
+
   /** M1-M3: strategy fan-out + first-wins dedup + final re-rank. */
   private val multiStrategySearch = Q(
     "multi_strategy_search",
@@ -6796,6 +6932,7 @@ object PipelineQueries {
     ivfBalanceReport, ivfAutoRewrite,
     ivfAutoRewriteSql, routedAutoSearch, routedAutoSearchBudget,
     routedGraphSearch, routedTextSearch, routedSparseSearch,
+    routedSparseBulkSearch,
     ivfIncrementalSearch, multiStrategySearch,
     chapterParse, collectionRoundtrip, collectionTtlServe,
     collectionTtlReclaim, collectionTtlPlan, ttlIndexServe, ttlSyncPlan,

@@ -837,6 +837,55 @@ object RelationalQueries {
       GROUP BY event_type ORDER BY event_type ASC
     """))
 
+  /** ARRAY-element scalar index (round 16 — Milvus's scalar index over
+    * ARRAY-field ELEMENTS, `json_scalar_index_filter`'s sibling): the
+    * `tags array<string>` metadata derived for `array_filtered_search`
+    * is EXPLODED at build time into the (element, id) layout of
+    * [[graft.search.ScalarIndex]] — one directory per distinct
+    * element, so an `array_contains_any(tags, [...])` filter resolves
+    * by DIRECTORY-pruned scan of the compact artifact (the element
+    * values land in PartitionFilters — PlanSpec pins it) and the
+    * documents table is then restricted by a semi-join (which also
+    * dedups a row matching several filter values) before the
+    * aggregate. The array column itself is never scanned at query
+    * time. The oracle re-derives the tags and replays the
+    * contains-any + aggregate from the raw table. */
+  private val arrayScalarIndexFilter = Q(
+    "array_scalar_index_filter",
+    (s, dir) => {
+      import graft.search.ScalarIndex
+      val d = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_arridx_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ScalarIndex.build(
+          d.select(col("doc_id"),
+            explode(array(col("lang"), col("source"),
+              concat(lit("d"), (col("doc_id") % 5).cast("string"))))
+              .as("tag")),
+          "doc_id", "tag", idx)
+      }
+      val ids = ScalarIndex.ids(s, idx, Seq("zh", "d3"))
+        .withColumnRenamed("id", "doc_id")
+      d.join(ids, Seq("doc_id"), "left_semi")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang").asc)
+    },
+    Some("""
+      WITH tg AS (SELECT doc_id, lang, n_chars,
+                         [lang, source,
+                          'd' || CAST(doc_id % 5 AS VARCHAR)] AS tags
+                  FROM documents)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM tg
+      WHERE list_contains(tags, 'zh') OR list_contains(tags, 'd3')
+      GROUP BY lang ORDER BY lang ASC
+    """))
+
   val all: Seq[Q] = Seq(q1Pricing, q3TopRevenue, q5NationRevenue,
     q9ProfitByNation, skewReport, groupingSetsOrders,
     sketchDistinctUsers, sketchKmvUsers, exactDistinctUsers, cubeOrders,
@@ -846,5 +895,5 @@ object RelationalQueries {
     semiAntiCustomers, eventsHourly, eventsJson, propsMapStats,
     columnCorrelation, asofClickBeforePurchase,
     collectionStats, incrementalAggMerge, tableProfile,
-    jsonScalarIndexFilter)
+    jsonScalarIndexFilter, arrayScalarIndexFilter)
 }

@@ -1564,6 +1564,78 @@ object TextQueries {
       ORDER BY score DESC, doc_id ASC LIMIT 10
     """))
 
+  /** STEMMED + ASCII-FOLDED analyzed index — the Milvus 2.5
+    * `analyzer_params` filter families beyond lowercase/length/stop
+    * (`stemmer`, `asciifolding`): [[graft.text.Analyzer.Config]]'s
+    * `english-s` stemmer is EXACTLY Porter step 1a as three ordered
+    * RE2-safe rewrites (sses→ss, ies→i, s-drop unless after s) and the
+    * fold stage a 1:1 `translate` table — both run identically in the
+    * Column chain at index time, the String chain at query time, and
+    * the DuckDB oracle, so "database" matches "databases" END TO END
+    * (query "SCANS … FILTERS … merges" resolves the singular posting
+    * lists). The serve first passes
+    * [[graft.search.FullText.requireAnalyzer]] — the round-16 marker
+    * guard that turns a chain mismatch from a silent miss into an
+    * error. Oracle replays tokenize→lower→fold→stem→band→stop and the
+    * factored BM25. */
+  private val fulltextStemmedSearch = Q(
+    "fulltext_stemmed_search",
+    (s, dir) => {
+      import graft.search.FullText
+      import graft.text.Analyzer
+      val idx = s"/tmp/graft_fulltextstem_${math.abs(dir.hashCode)}"
+      val cfg = Analyzer.Config(asciiFolding = true,
+        stemmer = Some(Analyzer.StemmerEnglishS))
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        FullText.buildAnalyzed(Tables.documents(s, dir), "doc_id", "text",
+          idx, cfg)
+      }
+      FullText.requireAnalyzer(s, idx, cfg)
+      val terms = Analyzer.analyze("The SCANS and FILTERS merges!", cfg)
+      FullText.search(s, idx, terms, 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some(s"""
+      WITH tk AS (SELECT doc_id,
+                    list_filter(
+                      list_transform(
+                        list_transform(
+                          list_transform(
+                            list_filter(string_split_regex(text, '[^\\p{L}\\p{N}]+'),
+                              t -> len(t) > 0),
+                            t -> lower(t)),
+                          t -> translate(t, '${graft.text.Analyzer.FoldFrom}', '${graft.text.Analyzer.FoldTo}')),
+                        t -> regexp_replace(regexp_replace(regexp_replace(t,
+                               'sses$$', 'ss'), 'ies$$', 'i'), '([^s])s$$', '\\1')),
+                      t -> len(t) >= 2 AND len(t) <= 40
+                           AND t NOT IN (${graft.text.Analyzer.EnglishStop
+                             .map(w => s"'$w'").mkString(", ")})) AS tk
+                  FROM documents),
+      tt AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tt
+             GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+                FROM tk),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dw AS (SELECT tf.doc_id, tf.term,
+                    round(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl
+                      / avgdl)), 4) AS w
+             FROM tf JOIN dl USING (doc_id) CROSS JOIN stats),
+      qw AS (SELECT term,
+                    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 4)
+                      AS qw
+             FROM dfq CROSS JOIN stats
+             WHERE term IN ('scan', 'filter', 'merge')),
+      sc AS (SELECT dw.doc_id, round(sum(dw.w * qw.qw), 4) AS score
+             FROM dw JOIN qw USING (term) GROUP BY dw.doc_id)
+      SELECT doc_id, score FROM sc
+      ORDER BY score DESC, doc_id ASC LIMIT 10
+    """))
+
   /** Incremental ingest into the stored full-text sparse artifact
     * ([[graft.search.FullText.append]]) — the growing-segment twin:
     * the base builds on doc_id ≥ 20, the sub-20 batch appends with the
@@ -2511,6 +2583,66 @@ object TextQueries {
       ORDER BY score DESC, doc_id ASC LIMIT 10
     """))
 
+  /** TTL drift POLICY ROW over the LEXICAL tier (round 16 —
+    * `ttl_sync_plan` exercises an IVF artifact; the same tombstone
+    * table serves the frozen-stats families where expiry drift
+    * matters most, because masked docs keep distorting NOTHING while
+    * unsynced expired docs keep ranking): two FullText artifacts over
+    * one TTL'd documents collection, one never synced (the metric
+    * counts its unsynced expired keys, trigger fires past 10% of the
+    * collection), one synced at the same clock (metric 0 — the
+    * trigger-clears-after-maintenance contract,
+    * [[graft.search.IndexSync.syncTtlTombstones]] being the verb).
+    * The synced twin is a byte copy of the built artifact — only
+    * tombstone state differs, no second postings build. Metric,
+    * threshold, and both trigger bits replay from raw ingest
+    * timestamps in DuckDB. */
+  private val ttlFulltextSyncPlan = Q(
+    "ttl_fulltext_sync_plan",
+    (s, dir) => {
+      import graft.search.{FullText, IndexSync, Maintenance}
+      val base = s"/tmp/graft_ttlftsync_${math.abs(dir.hashCode)}"
+      val out = s"$base/coll"
+      val idxU = s"$base/ft_unsynced"
+      val idxS = s"$base/ft_synced"
+      val coll = graft.core.Collection(s, out)
+      val asOf = timestamp_seconds(lit(1704067400L))
+      mutateOnce(s, base) {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        coll.appendStamped(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          timestamp_seconds(lit(1704067200L) + col("doc_id")))
+        coll.setTtlSeconds(20)
+        FullText.build(coll.read.select("doc_id", "text"),
+          "doc_id", "text", idxU)
+        graft.core.Artifacts.copyLocalDir(idxU, idxS)
+        IndexSync.syncTtlTombstones(s, coll, "doc_id", asOf, idxS, "id")
+      }
+      Maintenance.planTtlSync(s, out, "doc_id", asOf, idxU, "id")
+        .withColumn("which", lit("unsynced"))
+        .unionByName(
+          Maintenance.planTtlSync(s, out, "doc_id", asOf, idxS, "id")
+            .withColumn("which", lit("synced")))
+        .orderBy(col("which").asc)
+    },
+    Some("""
+      WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+      ex AS (SELECT CAST(count(*) FILTER (WHERE doc_id + 20 <= 200)
+                    AS BIGINT) AS c
+             FROM documents)
+      SELECT 'sync_ttl_tombstones' AS action, ex.c AS metric,
+             CAST(floor(n.c * 0.10) AS BIGINT) AS threshold,
+             ex.c > floor(n.c * 0.10) AS triggered,
+             'unsynced' AS which
+      FROM ex, n
+      UNION ALL
+      SELECT 'sync_ttl_tombstones', CAST(0 AS BIGINT),
+             CAST(floor(n.c * 0.10) AS BIGINT), false, 'synced'
+      FROM n
+      ORDER BY which ASC
+    """))
+
   /** CJK full-text search end to end (round 15 — the reference's OWN
     * corpus language: `milvus_data/knowledge_data.csv` is Chinese and
     * the app's tokenizers handle 一-龥 explicitly at src/app.py:334,
@@ -2605,9 +2737,11 @@ object TextQueries {
     phraseMatchSearch, phraseMatchSlop, phraseFilteredBm25,
     bm25AnalyzerSearch, bm25SparseDuality, fulltextSparseMasked,
     fulltextSparseIncremental, fulltextAnalyzedSearch,
+    fulltextStemmedSearch,
     fulltextWandSearch, fulltextWandPruneReport, fulltextRebuildPlan,
     fulltextBucketedSearch, fulltextBulkSearch, fulltextBulkWand,
     fulltextSearchIterate, fulltextCjkSearch, ttlFulltextServe,
+    ttlFulltextSyncPlan,
     streamingFulltextIngest,
     streamingPhraseIngest, phraseSnippetExtract, phraseMatchSlopMulti,
     termPrefixSearch, prefixFilteredBm25, termFuzzySearch,

@@ -2618,6 +2618,242 @@ object VectorQueries {
       ORDER BY fused DESC, vec_id ASC LIMIT 10
     """.replace("%L2%", duckL2("e.embedding", "dq.qe"))))
 
+  /** Shared fixture plumbing for the TRI-leg hybrid entries: the three
+    * k=20 legs of the canonical RAG stack, each a REAL index serve —
+    * dense = the shared IVF artifact at full probe (exact by
+    * construction, so the oracle replays exact L2), learned-sparse =
+    * WAND over the stored postings artifact (lossless pruning, oracle
+    * replays the exhaustive dot product), lexical = BM25 over the
+    * documents table (vec_id ≡ doc_id, `hybrid_search_rrf`'s entity
+    * contract). Returns (dense(id,d), sparse(id,score), lex(id,bm25)),
+    * each k-bounded and deterministically tie-broken. */
+  private def triLegs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    import graft.search.{Bm25, IvfIndex, SparseVec}
+    val e = Tables.embeddings(s, dir)
+    val docs = Tables.documents(s, dir)
+    val ivfDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+    val model =
+      if (new java.io.File(IvfIndex.centroidsDir(ivfDir)).exists())
+        IvfIndex.load(s, ivfDir)
+      else IvfIndex.build(e, "embedding", ivfDir, nlist = 16)
+    val qv = e.where(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val dense = IvfIndex.search(s, model, "embedding", "vec_id", qv,
+        k = 20, nprobe = model.nlist)
+      .select(col("vec_id").as("id"), col("distance").as("d"))
+    val sidx = s"/tmp/graft_sparsewand_${math.abs(dir.hashCode)}"
+    mutateOnce(s, sidx) {
+      val p = new org.apache.hadoop.fs.Path(sidx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      SparseVec.build(e, "vec_id", "embedding", topN = 8, sidx)
+    }
+    val qp = SparseVec.postings(
+      e.where(col("vec_id") === 0), "vec_id", "embedding", topN = 8)
+      .select(col("dim"), col("w"))
+    val sparse = SparseVec.searchWandIndex(s, sidx, qp, "vec_id", k = 20)
+      .withColumnRenamed("vec_id", "id")
+    val lex = Bm25.score(docs, "doc_id", "text",
+      Seq("scan", "filter", "merge"))
+    (dense, sparse, lex)
+  }
+
+  /** Oracle CTE block shared by the tri-leg entries: the three exact
+    * leg replays (`sr`/`dr`/`br` end in k=20 rank-ready lists). */
+  private val triLegOracleCtes = """
+      WITH pr AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS dim,
+                         unnest(embedding) AS v
+                  FROM embeddings),
+      pw AS (SELECT vec_id, dim, round(CAST(v AS DOUBLE), 4) AS w FROM pr),
+      top AS (SELECT vec_id, dim, w FROM (
+          SELECT vec_id, dim, w,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY w DESC, dim ASC) AS rn
+          FROM pw WHERE w > 0) WHERE rn <= 8),
+      sq AS (SELECT dim, w AS qw FROM top WHERE vec_id = 0),
+      sc AS (SELECT t.vec_id, round(sum(t.w * sq.qw), 4) AS score
+             FROM top t JOIN sq USING (dim) GROUP BY t.vec_id),
+      s20 AS (SELECT vec_id AS id, score FROM sc
+              ORDER BY score DESC, vec_id ASC LIMIT 20),
+      dq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      kd AS (SELECT e.vec_id AS id, %L2% AS d FROM embeddings e, dq),
+      d20 AS (SELECT id, d FROM kd ORDER BY d ASC, id ASC LIMIT 20),
+      toks AS (SELECT doc_id,
+                      unnest(string_split_regex(text, '\s+')) AS term
+               FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST((SELECT sum(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)))
+                             FROM documents) AS DOUBLE) / count(*) AS avgdl
+                FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ('scan', 'filter', 'merge')
+             GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      dl AS (SELECT doc_id,
+                    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS DOUBLE) AS dl
+             FROM documents),
+      bm AS (SELECT tf.doc_id,
+                    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2)
+                      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))), 4)
+                      AS bm25
+             FROM tf JOIN dfq USING (term)
+                     JOIN dl ON dl.doc_id = tf.doc_id
+                     CROSS JOIN stats
+             GROUP BY tf.doc_id),
+      b20 AS (SELECT doc_id AS id, bm25 FROM bm
+              ORDER BY bm25 DESC, doc_id ASC LIMIT 20)
+  """.replace("%L2%", duckL2("e.embedding", "dq.qe"))
+
+  /** TRI-LEG hybrid search under the N-leg RRFRanker — Milvus's
+    * `hybrid_search` takes a LIST of AnnSearchRequests fused by one
+    * ranker, and the canonical RAG stack is exactly three: dense ANN +
+    * learned-sparse + lexical BM25 (the reference's own multi-strategy
+    * union, src/app.py:276-303, is this shape with ad-hoc fusion; the
+    * 2-leg entries covered the API's smallest list). Each leg ranks
+    * its k=20 list (ties id-asc), [[graft.search.Bm25.rrfFuseN]] sums
+    * 1/(60+rank) over the legs containing the doc, final top-10. The
+    * oracle replays all three legs exactly (full-probe IVF ≡ exact,
+    * WAND ≡ exhaustive — both lossless by construction) and the 3-way
+    * full-outer fusion. Plan: three k-bounded serves + two full-outer
+    * equi-joins of 20-row lists; fusion cost is O(k), independent of
+    * corpus size. */
+  private val hybridTriLegRrf = Q(
+    "hybrid_tri_leg_rrf",
+    (s, dir) => {
+      import graft.search.Bm25
+      val (dense, sparse, lex) = triLegs(s, dir)
+      val dr = Bm25.topRanks(dense, "d", n = 20, ascending = true,
+        rankCol = "dense_rank")
+      val sr = Bm25.topRanks(sparse, "score", n = 20, ascending = false,
+        rankCol = "sparse_rank")
+      val br = Bm25.topRanks(lex, "bm25", n = 20, ascending = false,
+        rankCol = "bm25_rank")
+      Bm25.rrfFuseN(Seq(dr -> "dense_rank", sr -> "sparse_rank",
+          br -> "bm25_rank"))
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("rrf").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some(triLegOracleCtes + """
+      , dr AS (SELECT id, CAST(row_number() OVER
+                 (ORDER BY d ASC, id ASC) AS BIGINT) AS dense_rank
+               FROM d20),
+      sr AS (SELECT id, CAST(row_number() OVER
+                 (ORDER BY score DESC, id ASC) AS BIGINT) AS sparse_rank
+             FROM s20),
+      br AS (SELECT id, CAST(row_number() OVER
+                 (ORDER BY bm25 DESC, id ASC) AS BIGINT) AS bm25_rank
+             FROM b20)
+      SELECT coalesce(dr.id, sr.id, br.id) AS vec_id,
+             round(coalesce(1.0 / (60 + dense_rank), 0)
+                 + coalesce(1.0 / (60 + sparse_rank), 0)
+                 + coalesce(1.0 / (60 + bm25_rank), 0), 6) AS rrf,
+             dense_rank, sparse_rank, bm25_rank
+      FROM dr FULL OUTER JOIN sr ON dr.id = sr.id
+              FULL OUTER JOIN br ON coalesce(dr.id, sr.id) = br.id
+      ORDER BY rrf DESC, vec_id ASC LIMIT 10
+    """))
+
+  /** TRI-LEG hybrid under the N-leg WeightedRanker — the same three
+    * legs fused by weight (0.5 dense + 0.3 sparse + 0.2 lexical),
+    * each leg first normalized to [0, 1] with ITS metric's mapping:
+    * L2 distance via `1 − 2·atan(√d)/π`, the sparse dot product and
+    * BM25 (both unbounded non-negative) via the arctan squash
+    * `2·atan(s)/π` — so no leg can exceed its weight and the three
+    * metrics compose ([[graft.search.Bm25.weightedFuseN]]). Preserves
+    * score MAGNITUDE where RRF preserves only order — the reason
+    * Milvus ships both rankers. Oracle replays legs, normalizations,
+    * and the weighted 3-way fusion. */
+  private val hybridTriLegWeighted = Q(
+    "hybrid_tri_leg_weighted",
+    (s, dir) => {
+      import graft.search.Bm25
+      val (dense, sparse, lex) = triLegs(s, dir)
+      val dl = dense.orderBy(col("d").asc, col("id").asc).limit(20)
+        .select(col("id"), Bm25.normalizeL2(col("d")).as("nd"))
+      val sl = sparse.orderBy(col("score").desc, col("id").asc).limit(20)
+        .select(col("id"), Bm25.normalizeUnbounded(col("score")).as("ns"))
+      val bl = lex.orderBy(col("bm25").desc, col("id").asc).limit(20)
+        .select(col("id"), Bm25.normalizeUnbounded(col("bm25")).as("nb"))
+      Bm25.weightedFuseN(Seq((dl, "nd", 0.5), (sl, "ns", 0.3),
+          (bl, "nb", 0.2)))
+        .select(col("id").as("vec_id"), col("fused"),
+          round(col("nd"), 6).as("nd"), round(col("ns"), 6).as("ns"),
+          round(col("nb"), 6).as("nb"))
+        .orderBy(col("fused").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some(triLegOracleCtes + """
+      , dn AS (SELECT id, 1.0 - 2.0 * atan(sqrt(d)) / pi() AS nd FROM d20),
+      sn AS (SELECT id, 2.0 * atan(score) / pi() AS ns FROM s20),
+      bn AS (SELECT id, 2.0 * atan(bm25) / pi() AS nb FROM b20)
+      SELECT coalesce(dn.id, sn.id, bn.id) AS vec_id,
+             round(coalesce(nd * 0.5, 0) + coalesce(ns * 0.3, 0)
+                 + coalesce(nb * 0.2, 0), 6) AS fused,
+             round(nd, 6) AS nd, round(ns, 6) AS ns, round(nb, 6) AS nb
+      FROM dn FULL OUTER JOIN sn ON dn.id = sn.id
+              FULL OUTER JOIN bn ON coalesce(dn.id, sn.id) = bn.id
+      ORDER BY fused DESC, vec_id ASC LIMIT 10
+    """))
+
+  /** ARRAY-typed metadata field filtered search (round 16 — Milvus
+    * schemas allow `ARRAY` fields with `array_contains` /
+    * `array_contains_any` filter expressions; the collection layer
+    * carries the field through create/insert/read because a collection
+    * is a parquet directory and parquet nests natively — no special
+    * casing, which IS the Spark-first answer): a collection with a
+    * `tags array<string>` field (derived deterministically from the
+    * documents metadata so the oracle can re-derive it), filtered by
+    * the `array_contains_any` shape (`arrays_overlap` against a
+    * 2-value literal — a codegen'd builtin inside the scan, no UDF),
+    * exact L2 kNN over the survivors. At 100 TB the filter runs inside
+    * the corpus scan; the selective-element path that avoids the scan
+    * entirely is `array_scalar_index_filter`'s exploded element
+    * index. */
+  private val arrayFilteredSearch = Q(
+    "array_filtered_search",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val d = Tables.documents(s, dir)
+      val tagged = e.join(d, e("vec_id") === d("doc_id"))
+        .select(e("vec_id"), e("embedding"),
+          array(col("lang"), col("source"),
+            concat(lit("d"), (col("doc_id") % 5).cast("string")))
+            .as("tags"))
+      val out = s"/tmp/graft_arrcoll_${math.abs(dir.hashCode)}"
+      val coll = graft.core.Collection(s, out)
+      mutateOnce(s, out) {
+        val p = new org.apache.hadoop.fs.Path(out)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        coll.create(tagged.schema)
+        coll.append(tagged)
+      }
+      val qv = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      coll.read
+        .where(arrays_overlap(col("tags"), typedlit(Seq("zh", "d3"))))
+        .select(col("vec_id"),
+          round(VectorFunctions.l2Sq(col("embedding"), typedlit(qv)), 4)
+            .as("distance"))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH tg AS (SELECT e.vec_id, e.embedding,
+                         [d.lang, d.source,
+                          'd' || CAST(d.doc_id % 5 AS VARCHAR)] AS tags
+                  FROM embeddings e JOIN documents d
+                       ON d.doc_id = e.vec_id),
+      f AS (SELECT vec_id, embedding AS fe FROM tg
+            WHERE list_contains(tags, 'zh') OR list_contains(tags, 'd3')),
+      dq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      kd AS (SELECT f.vec_id, %L2% AS distance FROM f CROSS JOIN dq)
+      SELECT vec_id, distance FROM kd
+      ORDER BY distance ASC, vec_id ASC LIMIT 10
+    """.replace("%L2%", duckL2("f.fe", "dq.qe"))))
+
   /** Sparse-tier UPSERT — the last index family without maintenance
     * twins (round 12; IVF: versioned latest-wins, BM25/phrase:
     * fold-then-append, SQ8/binary: delete-then-insert — this is the
@@ -4327,7 +4563,8 @@ object VectorQueries {
     corpusDiversity,
     sparseVectorSearch, sparseWandSearch, sparseBulkSearch,
     sparseBulkWand, sparseSearchIterate, sparseDenseHybridWeighted,
-    hybridSearchWeighted,
+    hybridSearchWeighted, hybridTriLegRrf, hybridTriLegWeighted,
+    arrayFilteredSearch,
     searchPagination,
     searchIterate, timeDecaySearch,
     embeddingOutliers, indexRecallReport, groupByFieldSearch,

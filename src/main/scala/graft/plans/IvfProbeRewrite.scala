@@ -124,6 +124,17 @@ object IvfProbeRewrite extends Rule[LogicalPlan] {
       // query exactly as they are for a term query.
       sparseTier: String = "",
       sparseServe: Option[(SparkSession, Seq[(Int, Double)], Int) =>
+        org.apache.spark.sql.DataFrame] = None,
+      // round 16 — BULK arity for the sparse tier: Milvus's batch
+      // `search(data=[...])` shape. Batch callers hand the whole
+      // (qid, dim, w) posting frame to [[serveRoutedSparseBulk]] and
+      // the chosen tier serves every query in ONE shared-doubling
+      // WAND pass ([[graft.search.SparseVec.searchBulkWandIndex]]) —
+      // same decision, same modality gate, only the arity differs,
+      // so the router now covers both arities instead of batch
+      // callers hand-picking the bulk method around it.
+      sparseBulkServe: Option[(SparkSession,
+        org.apache.spark.sql.DataFrame, Int) =>
         org.apache.spark.sql.DataFrame] = None)
 
   private val routedRegistry =
@@ -264,6 +275,28 @@ object IvfProbeRewrite extends Rule[LogicalPlan] {
           cfg.sparseServe.nonEmpty &&
           decideTier(spark, p, cfg, modality = "sparse") == cfg.sparseTier =>
         cfg.sparseServe.get(spark, queryDims, k)
+      case _ => naive
+    }
+  }
+
+  /** [[serveRoutedSparse]]'s BULK arity (round 16): `queryPostings`
+    * is the whole batch's (qid, dim, w) frame; when the router — same
+    * "sparse" modality gate, same cached decision — chooses the
+    * registered sparse tier, ALL queries serve through the
+    * registrant's bulk thunk (one shared-doubling WAND pass);
+    * otherwise the caller's `naive` bulk plan serves. Unregistered
+    * tables and configs without a bulk thunk just serve `naive`. */
+  def serveRoutedSparseBulk(spark: SparkSession, indexDir: String,
+                            queryPostings: org.apache.spark.sql.DataFrame,
+                            k: Int)
+                           (naive: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val p = normalize(IvfIndex.dataDir(indexDir))
+    Option(routedRegistry.get(p)) match {
+      case Some(cfg) if cfg.sparseTier.nonEmpty &&
+          cfg.sparseBulkServe.nonEmpty &&
+          decideTier(spark, p, cfg, modality = "sparse") == cfg.sparseTier =>
+        cfg.sparseBulkServe.get(spark, queryPostings, k)
       case _ => naive
     }
   }

@@ -1309,6 +1309,35 @@ class OperatorSpec extends SparkSpec {
     assert(!coll.exists)
   }
 
+  test("collection ARRAY-typed metadata: create/insert/describe/read " +
+      "round-trip, element filters work on the served frame") {
+    val dir = "/tmp/graft_coll_arr_test/k"
+    val p = new org.apache.hadoop.fs.Path("/tmp/graft_coll_arr_test")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val coll = Collection(spark, dir)
+    val rows = Seq(
+      (0L, Seq("en", "web"), Seq(1.0f, 0.0f)),
+      (1L, Seq("zh", "web", "news"), Seq(0.0f, 1.0f)),
+      (2L, Seq.empty[String], Seq(1.0f, 1.0f)))
+      .toDF("id", "tags", "embedding")
+    coll.create(rows.schema, force = true)
+    coll.append(rows)
+    // describe round-trips the nested type, not a flattened erasure
+    val tagsField = coll.describe.fields.find(_.name == "tags").get
+    assert(tagsField.dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    // array_contains (single element) and arrays_overlap (contains_any)
+    assert(coll.read.where(array_contains(col("tags"), "web"))
+      .select("id").as[Long].collect().toSet == Set(0L, 1L))
+    assert(coll.read
+      .where(arrays_overlap(col("tags"), typedlit(Seq("zh", "news"))))
+      .select("id").as[Long].collect().toSet == Set(1L))
+    // the empty array neither matches nor errors
+    assert(coll.read.where(array_contains(col("tags"), "nope")).count() == 0)
+    coll.drop()
+  }
+
   test("collection TTL: property sidecar, masked serve, reclaim is " +
       "idempotent and survives compaction") {
     val dir = "/tmp/graft_ttl_test/k"

@@ -469,6 +469,19 @@ class PlanSpec extends SparkSpec {
       s"id restriction must stay an equi-join:\n$p")
   }
 
+  test("array element scalar index: element values prune artifact " +
+      "DIRECTORIES") {
+    val p = plan("array_scalar_index_filter")
+    // the array_contains_any values must resolve on the exploded
+    // element artifact's partition layout (directory elimination) —
+    // the array column itself is never scanned at query time
+    assert(p.contains("PartitionFilters: [value"),
+      s"element filter must be a partition filter on the artifact:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"id restriction must stay an equi-join:\n$p")
+  }
+
   test("partition-scoped knn: label scope prunes directories, top-k bounded") {
     val p = plan("partition_scoped_knn")
     assert(p.contains("PartitionFilters: [label"),

@@ -324,7 +324,9 @@ class RewriteSpec extends AnyFunSuite {
         sparseTier = "sparse_wand",
         sparseServe = Some((sp, q, k) =>
           SparseVec.searchWandIndex(sp, spIdx,
-            sp.createDataFrame(q).toDF("dim", "w"), "vec_id", k))))
+            sp.createDataFrame(q).toDF("dim", "w"), "vec_id", k)),
+        sparseBulkServe = Some((sp, q, k) =>
+          SparseVec.searchBulkWandIndex(sp, spIdx, q, "vec_id", k))))
       // the modality gate keys the decision: same artifacts, two
       // modalities, two different tiers
       assert(IvfProbeRewrite.routedDecisionSparse(spark, dir)
@@ -338,6 +340,47 @@ class RewriteSpec extends AnyFunSuite {
           spark.createDataFrame(qp).toDF("dim", "w"), "vec_id", 10)
         .select("vec_id").as[Long].collect().toSeq
       assert(served == direct && served.nonEmpty)
+      // BULK arity dispatches through the SAME modality gate (round
+      // 16): the whole batch serves in the registrant's bulk thunk
+      val qpB = SparseVec.postings(e.where(col("vec_id").isin(0, 1)),
+          "vec_id", "embedding", topN = 8)
+        .select(col("vec_id").cast("long").as("qid"), col("dim"),
+          col("w"))
+      val servedB =
+        IvfProbeRewrite.serveRoutedSparseBulk(spark, dir, qpB, 5) {
+          fail("sparse bulk route must not serve the naive branch"); null
+        }.select("qid", "vec_id").as[(Long, Long)].collect().toSeq
+      val directB = SparseVec.searchBulkWandIndex(spark, spIdx, qpB,
+          "vec_id", 5)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSeq
+      assert(servedB == directB && servedB.nonEmpty)
+      // a sparse config WITHOUT a bulk thunk DECLINES the bulk arity
+      // onto naive while the single-query arity still dispatches
+      IvfProbeRewrite.registerRouted(IvfProbeRewrite.RoutedConfig(
+        model, nprobe = 8, sq8Dir, sq8Margin = 1000,
+        idCol = "vec_id", vecCol = "embedding",
+        panel = () => panel,
+        tiers = Seq(
+          Router.Tier("flat", present = true, filterCapable = true),
+          Router.Tier("sparse_wand", present = true,
+            filterCapable = true, modality = "sparse")),
+        flatTier = "flat", ivfTier = "ivf", sq8Tier = "sq8",
+        recallTarget = 0.9, memoryBudget = None,
+        fingerprintRoots = Seq(dir, sq8Dir, spIdx),
+        sparseTier = "sparse_wand",
+        sparseServe = Some((sp, q, k) =>
+          SparseVec.searchWandIndex(sp, spIdx,
+            sp.createDataFrame(q).toDF("dim", "w"), "vec_id", k))))
+      val bulkDeclined =
+        IvfProbeRewrite.serveRoutedSparseBulk(spark, dir, qpB, 5) {
+          e.limit(4).select(col("vec_id"))
+        }
+      assert(bulkDeclined.count() == 4)
+      val singleStill =
+        IvfProbeRewrite.serveRoutedSparse(spark, dir, qp, 10) {
+          fail("single arity must still dispatch"); null
+        }.select("vec_id").as[Long].collect().toSeq
+      assert(singleStill == direct)
       // the VECTOR path declines onto flat: naive plan untouched
       val query = e.where(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).toArray
