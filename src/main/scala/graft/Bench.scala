@@ -26,12 +26,33 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Dev-loop job counter (round 16, gated with the ONLY filter): job
+    // COUNT is load-independent where wall-clock is not — the honest
+    // fixed-cost metric for streaming-ingest clawbacks on a contended
+    // host. Printed only in filtered runs; the driver's full-registry
+    // line is unchanged.
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet()
+          if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE"))
+            System.err.println("[job] " + Option(js.properties)
+              .map(p => p.getProperty("spark.job.description",
+                p.getProperty("callSite.short"))).getOrElse("?"))
+          ()
+        }
+      })
+    val lastJobs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def time(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val j0 = jobCount.get()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case _: Throwable => failed += name }
       val dt = (System.nanoTime() - t0) / 1e9
+      lastJobs(name) = jobCount.get() - j0
       // drop caches OUTSIDE the timed window: several operators cache()
       // intermediates, and 75 queries × 3 passes of retained caches
       // otherwise build GC pressure that inflates later queries' numbers
@@ -52,8 +73,18 @@ object Bench {
     // not smeared into whichever entry first touches each artifact —
     // the measurement-hygiene split that cost a round of forensics
     // when cold builds were read as per-entry regressions.
+    // Optional dev-loop filter (round 16): SPARK_GRAFT_BENCH_ONLY is a
+    // comma list of entry names — warm per-entry medians for the
+    // entries under iteration without a full registry pass. The driver
+    // never sets it; unset = the full registry, unchanged.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchQueries = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None => SparkEntry.queries
+    }
     val b0 = System.nanoTime()
-    SparkEntry.queries.foreach { case (n, fn) => time(n, fn) }
+    benchQueries.foreach { case (n, fn) => time(n, fn) }
     val buildSecs = (System.nanoTime() - b0) / 1e9
     // per entry: MEDIAN (the headline — robust to one GC pause) AND
     // MIN (round 15: robust to host CONTENTION spanning the whole
@@ -61,7 +92,7 @@ object Bench {
     // driver captures were poisoned exactly that way; the min is the
     // honest serving number on a shared host, the cross-round compare
     // when medians disagree with a quiet re-run)
-    val samples = SparkEntry.queries.map { case (name, fn) =>
+    val samples = benchQueries.map { case (name, fn) =>
       name -> (1 to runs).map(_ => time(name, fn))
     }
     val results = samples.map { case (n, xs) => n -> median(xs) }
@@ -118,6 +149,12 @@ object Bench {
     // sbt's own [success]/[info] framing for the same reason). A
     // THROWING stop must still not eat the result line — the whole
     // run's measurements already exist at this point.
+    // filtered dev-loop runs also report the LAST timed pass's Spark
+    // job count per entry on stderr (load-independent fixed-cost
+    // metric); never printed on the driver's full-registry run
+    if (only.nonEmpty)
+      System.err.println("[bench-jobs] " + lastJobs.map {
+        case (k, v) => s"$k=$v" }.mkString(" "))
     try spark.stop()
     catch { case e: Throwable =>
       System.err.println(s"Bench: spark.stop() failed: $e") }

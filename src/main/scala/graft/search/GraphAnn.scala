@@ -96,28 +96,46 @@ object GraphAnn {
     val n = df.count()
     val nlist = if (p.nlist > 0) p.nlist else nlistForCorpus(n)
     val overlap = math.min(p.overlap, nlist)
-    // Coarse quantizer for sharding (seeded KMeans, same as IvfIndex;
-    // fit on the deterministic TrainSample cap, assignment over all rows)
-    val withVec = df.withColumn("__mlvec", array_to_vector(col(vecCol)))
-    val km = new KMeans()
-      .setK(nlist).setSeed(p.seed).setMaxIter(p.maxIter)
-      .setFeaturesCol("__mlvec").setPredictionCol("__c")
-    val centroids = km.fit(
-        TrainSample.forFit(withVec, vecCol, n, p.trainSampleCap, nlist))
-      .clusterCenters
-      .zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-    // Assign each point to its `overlap` nearest shards: one map-side
-    // sort of an nlist-long (distance, shard) struct array — the
-    // IvfIndex.append argmin shape, generalized to top-L.
-    val shardArr = array(centroids.map { case (i, c) =>
-      struct(VectorFunctions.l2Sq(col(vecCol), typedlit(c.toSeq)).as("d"),
-        lit(i).as("shard"))
-    }: _*)
-    val assigned = df.select(col(idCol).cast("long").as("__gid"),
+    val assigned = if (nlist <= overlap) {
+      // Degenerate sharding (small corpus: nlist ≤ overlap means every
+      // point would be assigned to EVERY shard, so the quantizer buys
+      // nothing and overlap-duplicates every pair): one shard, no
+      // KMeans — the pair set after the groupBy-min dedup is
+      // bit-identical, ~25 fewer Spark jobs per build (round 16; this
+      // was the dominant fixed cost of every streaming graph-ingest
+      // micro-batch build). The shard key is a NON-FOLDABLE column
+      // (pmod(hash, 1) ≡ 0) — a literal would constant-fold the shard
+      // equi-join into a CartesianProduct node and trip the plan-sweep
+      // discipline; the n² pair work is the intended semantics either
+      // way, bounded by the nlist ≤ overlap cap (n ≤ overlap·256).
+      df.select(col(idCol).cast("long").as("__gid"),
         col(vecCol).as("__gvec"),
-        explode(slice(array_sort(shardArr), 1, overlap)).as("__asgn"))
-      .select(col("__gid"), col("__gvec"),
-        col("__asgn").getField("shard").as("__shard"))
+        pmod(xxhash64(col(idCol)), lit(1)).cast("int").as("__shard"))
+    } else {
+      // Coarse quantizer for sharding (seeded KMeans, same as IvfIndex;
+      // fit on the deterministic TrainSample cap, assignment over all
+      // rows)
+      val withVec = df.withColumn("__mlvec", array_to_vector(col(vecCol)))
+      val km = new KMeans()
+        .setK(nlist).setSeed(p.seed).setMaxIter(p.maxIter)
+        .setFeaturesCol("__mlvec").setPredictionCol("__c")
+      val centroids = km.fit(
+          TrainSample.forFit(withVec, vecCol, n, p.trainSampleCap, nlist))
+        .clusterCenters
+        .zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      // Assign each point to its `overlap` nearest shards: one map-side
+      // sort of an nlist-long (distance, shard) struct array — the
+      // IvfIndex.append argmin shape, generalized to top-L.
+      val shardArr = array(centroids.map { case (i, c) =>
+        struct(VectorFunctions.l2Sq(col(vecCol), typedlit(c.toSeq)).as("d"),
+          lit(i).as("shard"))
+      }: _*)
+      df.select(col(idCol).cast("long").as("__gid"),
+          col(vecCol).as("__gvec"),
+          explode(slice(array_sort(shardArr), 1, overlap)).as("__asgn"))
+        .select(col("__gid"), col("__gvec"),
+          col("__asgn").getField("shard").as("__shard"))
+    }
     // Exact neighbor lists WITHIN a shard only: the self-join keys on
     // __shard (a shuffled equi-join, Σ shardSize² pair work), distances
     // rounded for cross-engine rank stability; overlap-duplicated pairs
@@ -934,15 +952,27 @@ object GraphAnn {
                     beamWidth: Int = 4, rounds: Int = 3,
                     maxBatch: Int = 256, ppm: Int = 135335,
                     salt: Int = 12): LayeredAppendResult = {
-    val base2 = append(adjBase, corpus, idCol, vecCol, batch,
-      baseEntryId, degree, beamWidth, rounds, maxBatch)
-    val upperBatch = batch.where(upperMember(idCol, ppm, salt))
-    val upperIds = upperBatch.select(col(idCol).cast("long"))
-      .collect().map(_.getLong(0)).toSeq.sorted
+    // ONE bounded collect decides the batch rows AND their upper
+    // membership (round 16 — was three driver round-trips: append's
+    // internal collect, the membership collect, the upper append's
+    // collect). The membership COLUMN is evaluated by Spark, so the
+    // driver never re-implements the ppm hash cut.
+    val rows = batch.select(col(idCol).cast("long"), col(vecCol),
+        upperMember(idCol, ppm, salt).as("__upper"))
+      .limit(maxBatch + 1).collect()
+    require(rows.length <= maxBatch,
+      s"graph-ann append: batch exceeds $maxBatch points — use a rebuild " +
+        "for bulk re-indexing")
+    val baseRows = rows.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val base2 = appendRows(adjBase, corpus, idCol, vecCol, baseRows,
+      baseEntryId, degree, beamWidth, rounds)
+    val upperRows = rows.filter(_.getBoolean(2))
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val upperIds = upperRows.map(_._1).sorted
     val upper2 =
       if (upperIds.isEmpty) adjUpper
-      else append(adjUpper, corpus, idCol, vecCol, upperBatch,
-        upperEntryId, degree, beamWidth, rounds, maxBatch).adjacency
+      else appendRows(adjUpper, corpus, idCol, vecCol, upperRows,
+        upperEntryId, degree, beamWidth, rounds).adjacency
     LayeredAppendResult(base2.adjacency, upper2, upperIds)
   }
 
@@ -1096,20 +1126,33 @@ object GraphAnn {
                          ppm: Int = 135335, salt: Int = 12)
       : MultiLayerAppendResult = {
     require(adjLayers.length == layerEntryIds.length)
-    val base2 = append(adjBase, corpus, idCol, vecCol, batch,
-      baseEntryId, degree, beamWidth, rounds, maxBatch)
     val nLevels = adjLayers.length
+    // ONE bounded collect carries every level's membership flag
+    // (round 16, the [[appendLayered]] clawback applied to the stack:
+    // was 1 + 2·levels driver round-trips over the same ≤ maxBatch
+    // rows). Flags are Spark-evaluated Columns — the driver never
+    // re-implements the nested ppm cut.
+    val memberCols = (0 until nLevels).map { i =>
+      upperMember(idCol, levelPpm(nLevels - i, ppm), salt).as(s"__m$i")
+    }
+    val rows = batch.select(
+        Seq(col(idCol).cast("long"), col(vecCol)) ++ memberCols: _*)
+      .limit(maxBatch + 1).collect()
+    require(rows.length <= maxBatch,
+      s"graph-ann append: batch exceeds $maxBatch points — use a rebuild " +
+        "for bulk re-indexing")
+    val baseRows = rows.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val base2 = appendRows(adjBase, corpus, idCol, vecCol, baseRows,
+      baseEntryId, degree, beamWidth, rounds)
     val (layers2, ids) = adjLayers.zip(layerEntryIds).zipWithIndex.map {
       case ((adjL, entL), i) =>
-        val level = nLevels - i
-        val lb = batch.where(
-          upperMember(idCol, levelPpm(level, ppm), salt))
-        val lbIds = lb.select(col(idCol).cast("long"))
-          .collect().map(_.getLong(0)).toSeq.sorted
+        val lRows = rows.filter(_.getBoolean(2 + i))
+          .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+        val lbIds = lRows.map(_._1).sorted
         val grown =
           if (lbIds.isEmpty) adjL
-          else append(adjL, corpus, idCol, vecCol, lb, entL, degree,
-            beamWidth, rounds, maxBatch).adjacency
+          else appendRows(adjL, corpus, idCol, vecCol, lRows, entL,
+            degree, beamWidth, rounds).adjacency
         (grown, lbIds)
     }.unzip
     MultiLayerAppendResult(base2.adjacency, layers2, ids)
@@ -1493,20 +1536,34 @@ object GraphAnn {
              vecCol: String, batch: DataFrame, entryId: Long,
              degree: Int = 8, beamWidth: Int = 4, rounds: Int = 3,
              maxBatch: Int = 256): AppendResult = {
-    val spark = corpus.sparkSession
     val rows = batch.select(col(idCol).cast("long"), col(vecCol))
       .limit(maxBatch + 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
     require(rows.length <= maxBatch,
       s"graph-ann append: batch exceeds $maxBatch points — use a rebuild " +
         "for bulk re-indexing")
+    appendRows(adj, corpus, idCol, vecCol, rows, entryId, degree,
+      beamWidth, rounds)
+  }
+
+  /** [[append]] over PRE-COLLECTED (id, vector) batch rows — the shared
+    * body, exposed so [[appendLayered]] can decide base rows AND upper
+    * membership with ONE bounded collect instead of three (round 16:
+    * append's internal collect + the upper-membership collect + the
+    * upper append's collect were three driver round-trips over the
+    * same ≤ maxBatch rows). */
+  private def appendRows(adj: DataFrame, corpus: DataFrame,
+                         idCol: String, vecCol: String,
+                         rows: Seq[(Long, Seq[Float])], entryId: Long,
+                         degree: Int, beamWidth: Int,
+                         rounds: Int): AppendResult = {
+    val spark = corpus.sparkSession
     // One BULK walk for the whole batch (bulkBeamSearch ≡ the per-query
     // walk, GraphAnnSpec's pin): rounds × 2 jobs total instead of
     // rounds × 2 jobs PER POINT — the job-count term that dominated
     // streaming ingest wall-clock at small batch sizes.
-    val spark0 = batch.sparkSession
-    import spark0.implicits._
-    val qdf = rows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .toDF("__qid", "__qv")
+    import spark.implicits._
+    val qdf = rows.toDF("__qid", "__qv")
     val links: Seq[(Long, Long, Double)] =
       bulkBeamSearch(adj, corpus, idCol, vecCol, qdf, "__qid", "__qv",
           entryId, k = degree, beamWidth = beamWidth, rounds = rounds)
