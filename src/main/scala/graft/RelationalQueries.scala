@@ -886,6 +886,50 @@ object RelationalQueries {
       GROUP BY lang ORDER BY lang ASC
     """))
 
+  /** `array_contains_all` over the same exploded element artifact
+    * (round 16 — Milvus's third ARRAY filter verb, completing
+    * contains / contains_any / contains_all): the id set is a
+    * directory-pruned scan of BOTH element partitions reduced by one
+    * group-count requiring every value ([[graft.search.ScalarIndex
+    * .idsAll]]), then the usual semi-join + aggregate. Same artifact
+    * as `array_scalar_index_filter` — one element index serves all
+    * three verbs, which is the point of exploding at build time. */
+  private val arrayContainsAllFilter = Q(
+    "array_contains_all_filter",
+    (s, dir) => {
+      import graft.search.ScalarIndex
+      val d = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_arridx_${math.abs(dir.hashCode)}"
+      mutateOnce(s, idx) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ScalarIndex.build(
+          d.select(col("doc_id"),
+            explode(array(col("lang"), col("source"),
+              concat(lit("d"), (col("doc_id") % 5).cast("string"))))
+              .as("tag")),
+          "doc_id", "tag", idx)
+      }
+      val ids = ScalarIndex.idsAll(s, idx, Seq("en", "d1"))
+        .withColumnRenamed("id", "doc_id")
+      d.join(ids, Seq("doc_id"), "left_semi")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source").asc)
+    },
+    Some("""
+      WITH tg AS (SELECT doc_id, source, n_chars,
+                         [lang, source,
+                          'd' || CAST(doc_id % 5 AS VARCHAR)] AS tags
+                  FROM documents)
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM tg
+      WHERE list_contains(tags, 'en') AND list_contains(tags, 'd1')
+      GROUP BY source ORDER BY source ASC
+    """))
+
   val all: Seq[Q] = Seq(q1Pricing, q3TopRevenue, q5NationRevenue,
     q9ProfitByNation, skewReport, groupingSetsOrders,
     sketchDistinctUsers, sketchKmvUsers, exactDistinctUsers, cubeOrders,
@@ -895,5 +939,6 @@ object RelationalQueries {
     semiAntiCustomers, eventsHourly, eventsJson, propsMapStats,
     columnCorrelation, asofClickBeforePurchase,
     collectionStats, incrementalAggMerge, tableProfile,
-    jsonScalarIndexFilter, arrayScalarIndexFilter)
+    jsonScalarIndexFilter, arrayScalarIndexFilter,
+      arrayContainsAllFilter)
 }

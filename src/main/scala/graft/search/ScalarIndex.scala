@@ -49,6 +49,24 @@ object ScalarIndex {
       .where(col("value").isin(values: _*))
       .select(col("id"))
 
+  /** The id set for `array_contains_all(col, values)` over an EXPLODED
+    * element artifact ([[ids]]'s conjunctive sibling — Milvus 2.4's
+    * third ARRAY filter verb): directory-pruned scan of the matching
+    * element partitions, then one group-count requiring every distinct
+    * value per id — the corpus is still never touched, and duplicate
+    * (value, id) rows (an element file-appended twice) collapse in the
+    * distinct count. */
+  def idsAll(spark: SparkSession, indexDir: String,
+             values: Seq[Any]): DataFrame = {
+    val distinctVals = values.distinct
+    spark.read.parquet(valuesDir(indexDir))
+      .where(col("value").isin(distinctVals: _*))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("value")).as("__nv"))
+      .where(col("__nv") === distinctVals.length)
+      .select(col("id"))
+  }
+
   /** Exact filtered kNN with the filter resolved by the scalar index:
     * artifact partitions → id set → semi-join restriction of the
     * corpus → exact distance → top-k. Equals brute-force kNN over the

@@ -357,6 +357,30 @@ class OperatorSpec extends SparkSpec {
       .orderBy(col("distance").asc, col("vec_id").asc).limit(5)
       .select("vec_id", "distance").as[(Long, Double)].collect().toSeq
     assert(got == brute)
+    // idsAll (array_contains_all verb, round 16): the conjunctive id
+    // set equals the per-value intersection, over an EXPLODED element
+    // artifact where an id holds several values
+    val elemDir = "/tmp/graft_scalar_all_test"
+    val ep = new org.apache.hadoop.fs.Path(elemDir)
+    ep.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(ep, true)
+    ScalarIndex.build(
+      rows.select(col("vec_id"),
+        explode(array((col("vec_id") % 5).cast("int"),
+          (col("vec_id") % 3).cast("int"))).as("el")),
+      "vec_id", "el", elemDir)
+    val both = ScalarIndex.idsAll(spark, elemDir, Seq(1, 2))
+      .as[Long].collect().sorted.toSeq
+    val expect = (0L until 40L).filter { i =>
+      val tags = Set((i % 5).toInt, (i % 3).toInt)
+      tags(1) && tags(2)
+    }
+    assert(both == expect && both.nonEmpty)
+    // duplicate values in the ask collapse (contains_all({1,1}) ≡ {1})
+    val dup = ScalarIndex.idsAll(spark, elemDir, Seq(1, 1))
+      .as[Long].collect().sorted.toSeq
+    assert(dup ==
+      (0L until 40L).filter(i => (i % 5) == 1 || (i % 3) == 1))
   }
 
   test("IndexSync.reconcileIvf: orphans tombstoned, missing appended") {
