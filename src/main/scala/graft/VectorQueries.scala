@@ -2056,8 +2056,7 @@ object VectorQueries {
       val work = s"/tmp/graft_streamasym_${math.abs(dir.hashCode)}"
       val conf = s.sparkContext.hadoopConfiguration
       val fs = new Path(work).getFileSystem(conf)
-      fs.delete(new Path(work), true)
-      fs.mkdirs(new Path(s"$work/in"))
+      val idx = s"$work/asymsig"
       def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
                    mtime: Long): Unit = {
         val tmp = s"$work/tmp_$name"
@@ -2068,11 +2067,22 @@ object VectorQueries {
         fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
         fs.delete(new Path(tmp), true)
       }
-      writeOne(e.where(col("vec_id") < 250), "00_base.parquet", 1000000L)
-      writeOne(e.where(col("vec_id") >= 250 && col("vec_id") < 400),
-        "01_batch.parquet", 2000000L)
-      writeOne(e.where(col("vec_id") >= 400), "02_batch.parquet", 3000000L)
-      val idx = s"$work/asymsig"
+      // input corpus written once per fixture; per pass only stream
+      // state + the built artifact reset (round 16 clawback)
+      val inReady = new Path(s"$work/in/_graft_ready")
+      if (!fs.exists(inReady)) {
+        fs.delete(new Path(work), true)
+        fs.mkdirs(new Path(s"$work/in"))
+        writeOne(e.where(col("vec_id") < 250), "00_base.parquet",
+          1000000L)
+        writeOne(e.where(col("vec_id") >= 250 && col("vec_id") < 400),
+          "01_batch.parquet", 2000000L)
+        writeOne(e.where(col("vec_id") >= 400), "02_batch.parquet",
+          3000000L)
+        fs.create(inReady, true).close()
+      } else
+        Seq(s"$work/_ckpt", idx)
+          .foreach(d => fs.delete(new Path(d), true))
       val schema = StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType, containsNull = true))))
@@ -2928,8 +2938,7 @@ object VectorQueries {
       val work = s"/tmp/graft_streamsparse_${math.abs(dir.hashCode)}"
       val conf = s.sparkContext.hadoopConfiguration
       val fs = new Path(work).getFileSystem(conf)
-      fs.delete(new Path(work), true)
-      fs.mkdirs(new Path(s"$work/in"))
+      val idx = s"$work/sparseidx"
       def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
                    mtime: Long): Unit = {
         val tmp = s"$work/tmp_$name"
@@ -2940,11 +2949,22 @@ object VectorQueries {
         fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
         fs.delete(new Path(tmp), true)
       }
-      writeOne(e.where(col("vec_id") < 250), "00_base.parquet", 1000000L)
-      writeOne(e.where(col("vec_id") >= 250 && col("vec_id") < 400),
-        "01_batch.parquet", 2000000L)
-      writeOne(e.where(col("vec_id") >= 400), "02_batch.parquet", 3000000L)
-      val idx = s"$work/sparseidx"
+      // input corpus written once per fixture; per pass only stream
+      // state + the built artifact reset (round 16 clawback)
+      val inReady = new Path(s"$work/in/_graft_ready")
+      if (!fs.exists(inReady)) {
+        fs.delete(new Path(work), true)
+        fs.mkdirs(new Path(s"$work/in"))
+        writeOne(e.where(col("vec_id") < 250), "00_base.parquet",
+          1000000L)
+        writeOne(e.where(col("vec_id") >= 250 && col("vec_id") < 400),
+          "01_batch.parquet", 2000000L)
+        writeOne(e.where(col("vec_id") >= 400), "02_batch.parquet",
+          3000000L)
+        fs.create(inReady, true).close()
+      } else
+        Seq(s"$work/_ckpt", idx)
+          .foreach(d => fs.delete(new Path(d), true))
       val schema = StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType, containsNull = true))))
@@ -4245,8 +4265,7 @@ object VectorQueries {
       val work = s"/tmp/graft_streambm25_${math.abs(dir.hashCode)}"
       val conf = s.sparkContext.hadoopConfiguration
       val fs = new Path(work).getFileSystem(conf)
-      fs.delete(new Path(work), true)
-      fs.mkdirs(new Path(s"$work/in"))
+      val idx = s"$work/bm25f"
       def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
                    mtime: Long): Unit = {
         val tmp = s"$work/tmp_$name"
@@ -4257,12 +4276,22 @@ object VectorQueries {
         fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
         fs.delete(new Path(tmp), true)
       }
-      writeOne(docs.where(col("doc_id") < 300), "00_base.parquet", 1000000L)
-      writeOne(docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
-        "01_batch.parquet", 2000000L)
-      writeOne(docs.where(col("doc_id") >= 400), "02_batch.parquet",
-        3000000L)
-      val idx = s"$work/bm25f"
+      // input corpus written once per fixture; per pass only stream
+      // state + the built artifact reset (round 16 clawback)
+      val inReady = new Path(s"$work/in/_graft_ready")
+      if (!fs.exists(inReady)) {
+        fs.delete(new Path(work), true)
+        fs.mkdirs(new Path(s"$work/in"))
+        writeOne(docs.where(col("doc_id") < 300), "00_base.parquet",
+          1000000L)
+        writeOne(docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
+          "01_batch.parquet", 2000000L)
+        writeOne(docs.where(col("doc_id") >= 400), "02_batch.parquet",
+          3000000L)
+        fs.create(inReady, true).close()
+      } else
+        Seq(s"$work/_ckpt", idx)
+          .foreach(d => fs.delete(new Path(d), true))
       val fields = Seq("source", "text")
       val schema = StructType(Seq(
         StructField("doc_id", LongType),
