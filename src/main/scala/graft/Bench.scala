@@ -25,6 +25,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional dev-loop filter (round 16): SPARK_GRAFT_BENCH_ONLY is a
+    // comma list of entry names — warm per-entry medians for the
+    // entries under iteration without a full registry pass. The driver
+    // never sets it; unset = the full registry, unchanged.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val countJobs = only.nonEmpty
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // Dev-loop job counter (round 16, gated with the ONLY filter): job
     // COUNT is load-independent where wall-clock is not — the honest
@@ -45,14 +52,29 @@ object Bench {
         }
       })
     val lastJobs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // The listener bus is ASYNC — a JobStart can be delivered after the
+    // action returns (round-16 review fix: late events misattributed to
+    // the next entry). Spin until the count is stable; dev-loop only
+    // (filtered runs), so the full-registry driver run pays nothing.
+    def drainedJobCount(drain: Boolean): Int = {
+      if (drain) {
+        var prev = -1
+        var cur = jobCount.get()
+        var spins = 0
+        while (cur != prev && spins < 20) {
+          prev = cur; Thread.sleep(50); cur = jobCount.get(); spins += 1
+        }
+      }
+      jobCount.get()
+    }
     def time(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val j0 = jobCount.get()
+      val j0 = drainedJobCount(drain = countJobs)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case _: Throwable => failed += name }
       val dt = (System.nanoTime() - t0) / 1e9
-      lastJobs(name) = jobCount.get() - j0
+      lastJobs(name) = drainedJobCount(drain = countJobs) - j0
       // drop caches OUTSIDE the timed window: several operators cache()
       // intermediates, and 75 queries × 3 passes of retained caches
       // otherwise build GC pressure that inflates later queries' numbers
@@ -73,12 +95,6 @@ object Bench {
     // not smeared into whichever entry first touches each artifact —
     // the measurement-hygiene split that cost a round of forensics
     // when cold builds were read as per-entry regressions.
-    // Optional dev-loop filter (round 16): SPARK_GRAFT_BENCH_ONLY is a
-    // comma list of entry names — warm per-entry medians for the
-    // entries under iteration without a full registry pass. The driver
-    // never sets it; unset = the full registry, unchanged.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val benchQueries = only match {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries

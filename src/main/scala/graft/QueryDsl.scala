@@ -22,6 +22,46 @@ object QueryDsl {
   def oracleDir(name: String, dir: String): String =
     s"/tmp/graft_${name}_oracle_${math.abs(dir.hashCode)}"
 
+  /** Write-once streaming-fixture inputs + per-pass state reset — the
+    * round-16 discipline shared by every foreachBatch ingest entry:
+    * the DETERMINISTIC input files land under `work/in` once per
+    * fixture, guarded by an `in/_graft_ready` marker (underscore-
+    * prefixed, so the file stream's listing never sees it); on every
+    * later pass only `resetDirs` — the stream checkpoint plus whatever
+    * per-pass artifact state the entry's foreachBatch mutates — are
+    * cleared, because the re-ingest each pass measures the STREAM, not
+    * re-deriving its immutable input. `writeInputs` receives a
+    * `writeOne(df, name, mtime)` that lands each frame as ONE parquet
+    * file with a pinned mtime (mtime order = trigger order under
+    * `maxFilesPerTrigger=1`). An entry's reset list must be audited
+    * against its foreachBatch side effects — that list is the ONLY
+    * per-entry part of this protocol. */
+  def streamInputOnce(spark: SparkSession, work: String,
+                      resetDirs: Seq[String])
+                     (writeInputs: ((DataFrame, String, Long) => Unit)
+                       => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$work/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      fs.rename(part, new Path(s"$work/in/$name"))
+      fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
+      fs.delete(new Path(tmp), true)
+    }
+    val inReady = new Path(s"$work/in/_graft_ready")
+    if (!fs.exists(inReady)) {
+      fs.delete(new Path(work), true)
+      fs.mkdirs(new Path(s"$work/in"))
+      writeInputs(writeOne)
+      fs.create(inReady, true).close()
+    } else
+      resetDirs.foreach(d => fs.delete(new Path(d), true))
+  }
+
   /** Stage small handoff tables (centroids, assignment maps) for a DuckDB
     * oracle: each `(subdir, df)` is written single-file under a staging
     * dir, then the whole dir is swapped in with ONE rename — a concurrent

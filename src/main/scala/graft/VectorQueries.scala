@@ -2057,32 +2057,14 @@ object VectorQueries {
       val conf = s.sparkContext.hadoopConfiguration
       val fs = new Path(work).getFileSystem(conf)
       val idx = s"$work/asymsig"
-      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
-                   mtime: Long): Unit = {
-        val tmp = s"$work/tmp_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
-          .find(_.getName.endsWith(".parquet")).get
-        fs.rename(part, new Path(s"$work/in/$name"))
-        fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
-        fs.delete(new Path(tmp), true)
-      }
-      // input corpus written once per fixture; per pass only stream
-      // state + the built artifact reset (round 16 clawback)
-      val inReady = new Path(s"$work/in/_graft_ready")
-      if (!fs.exists(inReady)) {
-        fs.delete(new Path(work), true)
-        fs.mkdirs(new Path(s"$work/in"))
+      streamInputOnce(s, work, Seq(s"$work/_ckpt", idx)) { writeOne =>
         writeOne(e.where(col("vec_id") < 250), "00_base.parquet",
           1000000L)
         writeOne(e.where(col("vec_id") >= 250 && col("vec_id") < 400),
           "01_batch.parquet", 2000000L)
         writeOne(e.where(col("vec_id") >= 400), "02_batch.parquet",
           3000000L)
-        fs.create(inReady, true).close()
-      } else
-        Seq(s"$work/_ckpt", idx)
-          .foreach(d => fs.delete(new Path(d), true))
+      }
       val schema = StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType, containsNull = true))))
@@ -2939,32 +2921,14 @@ object VectorQueries {
       val conf = s.sparkContext.hadoopConfiguration
       val fs = new Path(work).getFileSystem(conf)
       val idx = s"$work/sparseidx"
-      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
-                   mtime: Long): Unit = {
-        val tmp = s"$work/tmp_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
-          .find(_.getName.endsWith(".parquet")).get
-        fs.rename(part, new Path(s"$work/in/$name"))
-        fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
-        fs.delete(new Path(tmp), true)
-      }
-      // input corpus written once per fixture; per pass only stream
-      // state + the built artifact reset (round 16 clawback)
-      val inReady = new Path(s"$work/in/_graft_ready")
-      if (!fs.exists(inReady)) {
-        fs.delete(new Path(work), true)
-        fs.mkdirs(new Path(s"$work/in"))
+      streamInputOnce(s, work, Seq(s"$work/_ckpt", idx)) { writeOne =>
         writeOne(e.where(col("vec_id") < 250), "00_base.parquet",
           1000000L)
         writeOne(e.where(col("vec_id") >= 250 && col("vec_id") < 400),
           "01_batch.parquet", 2000000L)
         writeOne(e.where(col("vec_id") >= 400), "02_batch.parquet",
           3000000L)
-        fs.create(inReady, true).close()
-      } else
-        Seq(s"$work/_ckpt", idx)
-          .foreach(d => fs.delete(new Path(d), true))
+      }
       val schema = StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType, containsNull = true))))
@@ -4266,32 +4230,14 @@ object VectorQueries {
       val conf = s.sparkContext.hadoopConfiguration
       val fs = new Path(work).getFileSystem(conf)
       val idx = s"$work/bm25f"
-      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
-                   mtime: Long): Unit = {
-        val tmp = s"$work/tmp_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
-          .find(_.getName.endsWith(".parquet")).get
-        fs.rename(part, new Path(s"$work/in/$name"))
-        fs.setTimes(new Path(s"$work/in/$name"), mtime, -1)
-        fs.delete(new Path(tmp), true)
-      }
-      // input corpus written once per fixture; per pass only stream
-      // state + the built artifact reset (round 16 clawback)
-      val inReady = new Path(s"$work/in/_graft_ready")
-      if (!fs.exists(inReady)) {
-        fs.delete(new Path(work), true)
-        fs.mkdirs(new Path(s"$work/in"))
+      streamInputOnce(s, work, Seq(s"$work/_ckpt", idx)) { writeOne =>
         writeOne(docs.where(col("doc_id") < 300), "00_base.parquet",
           1000000L)
         writeOne(docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
           "01_batch.parquet", 2000000L)
         writeOne(docs.where(col("doc_id") >= 400), "02_batch.parquet",
           3000000L)
-        fs.create(inReady, true).close()
-      } else
-        Seq(s"$work/_ckpt", idx)
-          .foreach(d => fs.delete(new Path(d), true))
+      }
       val fields = Seq("source", "text")
       val schema = StructType(Seq(
         StructField("doc_id", LongType),

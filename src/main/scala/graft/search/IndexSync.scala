@@ -102,12 +102,13 @@ object IndexSync {
     *  2. fold: [[Tombstones.compact]] the data dir — the stale
     *     physical rows of EVERY tombstoned key leave the layout, so
     *     retraction cannot resurrect old content or double-serve;
-    *  3. retract ONLY the re-ingested keys' tombstones
-    *     ([[Tombstones.retract]]) — still-dead keys stay recorded, so
-    *     a same-`asOf` [[syncTtlTombstones]] re-sync remains a no-op;
-    *  4. append the keys' CURRENT live rows (latest stamp per key —
+    *  3. append the keys' CURRENT live rows (latest stamp per key —
     *     a multi-row append history re-enters once) under the frozen
-    *     centroids ([[IvfIndex.append]]).
+    *     centroids ([[IvfIndex.append]]); they stay tombstone-masked
+    *     until step 4, so a crash here re-runs cleanly;
+    *  4. retract ONLY the re-ingested keys' tombstones
+    *     ([[Tombstones.retract]]) — still-dead keys stay recorded, so
+    *     a same-`asOf` [[syncTtlTombstones]] re-sync remains a no-op.
     *
     * Returns the repaired key count; 0 = no re-ingest drift, nothing
     * rewritten. Row-count cost: one bounded fold (tombstone
@@ -131,20 +132,34 @@ object IndexSync {
     if (n > 0) {
       Tombstones.compact(spark, indexDir, IvfIndex.dataDir(indexDir),
         Seq(idCol), partitionBy = Seq("cluster_id"))
-      Tombstones.retract(snap, indexDir, idCol)
       // latest live row per key: a NULL stamp sorts lowest (epoch 0),
       // matching readLive's "unstamped is live" floor; ties (same
-      // stamp) break on the vector struct comparison, deterministic
-      val rows = live
-        .select(col(keyCol).cast("long").as(idCol),
+      // stamp) break on the vector struct comparison, deterministic.
+      // An UNSTAMPED collection (plain append + CDC-delete re-ingest —
+      // round-16 review fix: selecting the absent stamp column threw
+      // AFTER the index was already mutated) has every row at the
+      // epoch-0 floor.
+      val tsCol =
+        if (live.columns.contains(Collection.IngestTsCol))
           coalesce(col(Collection.IngestTsCol).cast("long"), lit(0L))
-            .as("__ts"),
+        else lit(0L)
+      val rows = live
+        .select(col(keyCol).cast("long").as(idCol), tsCol.as("__ts"),
           col(vecCol))
         .join(snap, Seq(idCol), "left_semi")
         .groupBy(col(idCol))
         .agg(max(struct(col("__ts"), col(vecCol))).as("__latest"))
         .select(col(idCol), col("__latest").getField(vecCol).as(vecCol))
+      // append BEFORE retract (round-16 review fix — crash-ordering):
+      // the appended rows stay tombstone-MASKED until retraction, so a
+      // crash between the two steps leaves the keys still
+      // tombstoned∩live and a re-run repeats the whole verb (compact
+      // folds the half-appended rows back out, being tombstoned-key
+      // rows). Retract-first left a crash window where the key was
+      // neither tombstoned nor present — invisible to a re-run,
+      // silently missing from every serve.
       IvfIndex.append(rows, vecCol, model)
+      Tombstones.retract(snap, indexDir, idCol)
     }
     new org.apache.hadoop.fs.Path(snapDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

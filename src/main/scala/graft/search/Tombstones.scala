@@ -42,9 +42,31 @@ object Tombstones {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** True if any tombstones are recorded under `indexDir`. */
+  /** The deletes path a READER should scan (round 16, review fix):
+    * normally the live dir; if a crash between [[retract]]'s two
+    * renames left NO live dir, the complete pre-retract key set
+    * survives at `deletes__tomb_old` — serve from that conservative
+    * SUPERSET. A not-yet-visible retraction is exactly the correct
+    * pre-verb state, while treating the window as "no tombstones"
+    * would silently resurrect every deleted row on every masked serve
+    * until a maintenance verb happened to heal the dir. Read-only
+    * probe — the recoverAside RENAME stays with the single-writer
+    * maintenance verbs. */
+  private def readDir(spark: SparkSession,
+                      indexDir: String): Option[String] = {
+    val f = fs(spark, indexDir)
+    val live = deletesDir(indexDir)
+    if (f.exists(new Path(live))) Some(live)
+    else {
+      val old = live + "__tomb_old"
+      if (f.exists(new Path(old))) Some(old) else None
+    }
+  }
+
+  /** True if any tombstones are recorded under `indexDir` (including a
+    * crash-aside set awaiting recovery — see [[readDir]]). */
   def exist(spark: SparkSession, indexDir: String): Boolean =
-    fs(spark, indexDir).exists(new Path(deletesDir(indexDir)))
+    readDir(spark, indexDir).nonEmpty
 
   /** Record a batch of deleted keys: appends `ids` (single key column,
     * cast to long) under `indexDir/deletes/`. Re-deleting an id is
@@ -52,32 +74,41 @@ object Tombstones {
     * aware (round 12): a delete recorded against an aliased ROOT must
     * land in the SERVED version's deletes dir, or every masked reader
     * (which resolves to `root/vN`) keeps serving the deleted docs —
-    * the writer-side half of the no-caller-side-resolution contract. */
+    * the writer-side half of the no-caller-side-resolution contract.
+    * Heals a crashed [[retract]] swap first (writer privilege): an
+    * append into a fresh live dir while the full set sat aside would
+    * SHADOW it for every [[readDir]]-routed reader. */
   def record(ids: DataFrame, indexDir0: String, idCol: String): Unit = {
     val indexDir = AliasedIndex.resolveDir(ids.sparkSession, indexDir0)
+    val dDir = deletesDir(indexDir)
+    recoverAside(fs(ids.sparkSession, indexDir), new Path(dDir),
+      new Path(dDir + "__tomb_old"))
     ids.select(col(idCol).cast("long").as(idCol))
-      .write.mode("append").parquet(deletesDir(indexDir))
+      .write.mode("append").parquet(dDir)
   }
 
   /** The distinct tombstone key set (empty 1-column frame if none). */
   def table(spark: SparkSession, indexDir: String, idCol: String): DataFrame =
-    if (!exist(spark, indexDir))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(idCol,
-            org.apache.spark.sql.types.LongType, nullable = false))))
-    else spark.read.parquet(deletesDir(indexDir)).toDF(idCol).distinct()
+    readDir(spark, indexDir) match {
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(idCol,
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      case Some(d) => spark.read.parquet(d).toDF(idCol).distinct()
+    }
 
   /** Serve-time mask: drop `artifact` rows whose `idCol` is tombstoned
     * under `indexDir`. No tombstones ⇒ returns `artifact` unchanged. */
   def mask(artifact: DataFrame, spark: SparkSession, indexDir: String,
            idCol: String): DataFrame =
-    if (!exist(spark, indexDir)) artifact
-    else artifact.join(
-      broadcast(spark.read.parquet(deletesDir(indexDir))
-        .toDF(idCol).distinct()),
-      Seq(idCol), "left_anti")
+    readDir(spark, indexDir) match {
+      case None => artifact
+      case Some(d) => artifact.join(
+        broadcast(spark.read.parquet(d).toDF(idCol).distinct()),
+        Seq(idCol), "left_anti")
+    }
 
   /** [[mask]] with an explicit tombstone frame (for artifact scans whose
     * key column is named differently, or walks composing their own
@@ -89,8 +120,10 @@ object Tombstones {
 
   /** Recorded tombstone count (distinct keys; 0 if none). */
   def count(spark: SparkSession, indexDir: String): Long =
-    if (!exist(spark, indexDir)) 0L
-    else spark.read.parquet(deletesDir(indexDir)).distinct().count()
+    readDir(spark, indexDir) match {
+      case None => 0L
+      case Some(d) => spark.read.parquet(d).distinct().count()
+    }
 
   /** Recovery probe for the rename-aside swap protocol (shared by this
     * object's [[compact]], [[IvfIndex.compactVersions]], and
@@ -167,9 +200,15 @@ object Tombstones {
   }
 
   /** Drop the tombstone set — ONLY after every artifact of the index has
-    * been [[compact]]ed, or the deletes would silently resurrect. */
-  def clear(spark: SparkSession, indexDir: String): Unit =
-    fs(spark, indexDir).delete(new Path(deletesDir(indexDir)), true)
+    * been [[compact]]ed, or the deletes would silently resurrect. Also
+    * drops a crash-aside set ([[readDir]] would otherwise serve it as
+    * the live superset). */
+  def clear(spark: SparkSession, indexDir: String): Unit = {
+    val f = fs(spark, indexDir)
+    f.delete(new Path(deletesDir(indexDir)), true)
+    f.delete(new Path(deletesDir(indexDir) + "__tomb_old"), true)
+    ()
+  }
 
   /** RETRACT tombstones for `keys` (round 16, advisory fix): rewrite
     * the deletes table WITHOUT those keys, under the same

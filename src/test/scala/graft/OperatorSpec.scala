@@ -1543,6 +1543,41 @@ class OperatorSpec extends SparkSpec {
     coll.drop()
   }
 
+  test("repairReingestedIvf on an UNSTAMPED collection (plain append + " +
+      "CDC delete): repairs without the ingest-ts column") {
+    // round-16 review fix: the repair verb selected the ingest-ts
+    // column unconditionally, so the documented CDC-delete re-ingest
+    // case (a collection never appendStamped) threw AFTER the index
+    // was already compacted + retracted — permanently dropping the
+    // keys. An unstamped collection now floors every row at epoch 0
+    // (readLive's own "unstamped is live" rule); latest-wins falls to
+    // the deterministic vector-struct tie-break.
+    import graft.search.{IndexSync, IvfIndex, Tombstones}
+    val base = "/tmp/graft_reingest_unstamped_test"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val coll = Collection(spark, s"$base/coll")
+    val rows = (0L until 6L).map(i => (i, Array(i.toFloat, 0f)))
+      .toDF("id", "vec")
+    coll.append(rows) // plain append — no _graft_ingest_ts anywhere
+    val idx = s"$base/ivf"
+    IvfIndex.build(coll.read.select("id", "vec"), "vec", idx, nlist = 2)
+    val model = IvfIndex.load(spark, idx)
+    // CDC delete of key 1, then the key re-ingested with new content
+    Tombstones.record(Seq(1L).toDF("id"), idx, "id")
+    coll.append(Seq((1L, Array(9f, 9f))).toDF("id", "vec"))
+    assert(IndexSync.repairReingestedIvf(spark, coll, "id",
+      current_timestamp(), model, "vec", "id") == 1L)
+    val served = IvfIndex.search(spark, model, "vec", "id",
+        Array(9f, 9f), k = 1, nprobe = 2)
+      .select("id", "distance").as[(Long, Double)].collect().toSeq
+    // both key-1 rows sit at the epoch-0 floor; the struct tie-break
+    // keeps (9,9) — the re-ingested content, at distance 0
+    assert(served == Seq((1L, 0.0)), s"unexpected serve: $served")
+    assert(Tombstones.count(spark, idx) == 0L)
+    coll.drop()
+  }
+
   test("collection compact: merges small files, preserves every row") {
     import graft.core.Collection
     val coll = Collection(spark, "/tmp/graft_compact_test/knowledge")

@@ -186,6 +186,42 @@ class TombstonesSpec extends SparkSpec {
         s"rows: $served")
   }
 
+  test("retract crash window: masked serves read the aside SUPERSET, " +
+      "record heals it before appending") {
+    // round-16 review fix: a crash between retract's two renames
+    // leaves NO live deletes dir — treating that as "no tombstones"
+    // would silently resurrect every deleted row on every masked
+    // serve. Readers route to the aside copy (the conservative
+    // pre-retract superset); the next WRITER (record) heals the dir.
+    val dir = freshDir("retractwin")
+    val rows = (0L until 30L).map(i =>
+      (i, Array.fill(4)((i * 0.1).toFloat))).toDF("vec_id", "embedding")
+    val model = IvfIndex.build(rows, "embedding", dir, nlist = 2)
+    Tombstones.record(rows.where(col("vec_id") < 10).select("vec_id"),
+      dir, "vec_id")
+    val dd = new org.apache.hadoop.fs.Path(Tombstones.deletesDir(dir))
+    val fs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(
+      Tombstones.deletesDir(dir) + "__tomb_old")
+    assert(fs.rename(dd, aside), "simulate the crash window")
+    assert(!fs.exists(dd))
+    // readers see the aside superset — no silent resurrection
+    assert(Tombstones.exist(spark, dir))
+    assert(Tombstones.count(spark, dir) == 10L)
+    val served = IvfIndex.search(spark, model, "embedding", "vec_id",
+        Array(0f, 0f, 0f, 0f), k = 30, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(served == (10L until 30L).toSet,
+      s"crash-window serve must still mask the aside set: $served")
+    assert(!fs.exists(dd) && fs.exists(aside),
+      "readers must NOT rename the aside copy back")
+    // the next record (a writer) heals first, so its append cannot
+    // shadow the aside superset
+    Tombstones.record(Seq(15L).toDF("vec_id"), dir, "vec_id")
+    assert(fs.exists(dd) && !fs.exists(aside))
+    assert(Tombstones.count(spark, dir) == 11L)
+  }
+
   test("radii read path is non-mutating: a reader in the crash window " +
       "serves the aside table WITHOUT renaming it back") {
     // ADVICE-r10: loadRadii (a SERVE path) used to run the rename-aside
