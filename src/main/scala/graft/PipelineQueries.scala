@@ -739,7 +739,6 @@ object PipelineQueries {
       graft.core.Artifacts.buildOnce(s, sq8Dir) {
         Quantize.quantizedTable(e, "embedding", "vec_id")
       }
-      val panel = routerPanelV2(s, dir)
       IvfProbeRewrite.registerRouted(IvfProbeRewrite.RoutedConfig(
         model, nprobe = 4, sq8Dir, sq8Margin = 20,
         idCol = "vec_id", vecCol = "embedding",
@@ -754,7 +753,11 @@ object PipelineQueries {
         sq8Tier = "sq8_margin20", recallTarget = 0.8,
         memoryBudget = None,
         fingerprintRoots = Seq(indexDir, sq8Dir)))
-      stageOracle(s, "routedauto", dir)("panel" -> panel)
+      // panel handoff is a pure function of buildOnce fixture state —
+      // staged once, CONSTRUCTED once (round 16: the eager form ran the
+      // measured-recall panel jobs every pass before skipping the write)
+      stageOracleOnceLazy(s, "routedauto", dir)(
+        Seq("panel" -> routerPanelV2(s, dir)))
       stageOracleOnce(s, "routedautofix", dir)(
         "assign" -> s.read.parquet(IvfIndex.dataDir(indexDir))
           .select(col("vec_id"), col("cluster_id")),
@@ -863,8 +866,14 @@ object PipelineQueries {
       graft.core.Artifacts.buildOnce(s, sq8Dir) {
         Quantize.quantizedTable(e, "embedding", "vec_id")
       }
-      val panel = routerPanelV2(s, dir)
-      val budget = panel.where(col("tier") === "sq8_margin20")
+      // stage first (lazy-once), derive the budget from the STAGED
+      // panel — one 4-row parquet read per pass instead of the whole
+      // measured-panel construction (round 16); the oracle reads the
+      // same staged rows, so both sides' budget derives from one table
+      val panelDir = stageOracleOnceLazy(s, "routedautob", dir)(
+        Seq("panel" -> routerPanelV2(s, dir)))
+      val budget = s.read.parquet(s"$panelDir/panel")
+        .where(col("tier") === "sq8_margin20")
         .select(col("mem_bytes").cast("long")).collect()(0).getLong(0) + 1
       IvfProbeRewrite.registerRouted(IvfProbeRewrite.RoutedConfig(
         model, nprobe = 4, sq8Dir, sq8Margin = 20,
@@ -880,7 +889,6 @@ object PipelineQueries {
         sq8Tier = "sq8_margin20", recallTarget = 0.8,
         memoryBudget = Some(budget),
         fingerprintRoots = Seq(indexDir, sq8Dir)))
-      stageOracle(s, "routedautob", dir)("panel" -> panel)
       val tier = IvfProbeRewrite.routedDecision(s, indexDir).get
       val query = e.where(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).toArray
@@ -969,7 +977,6 @@ object PipelineQueries {
         Quantize.quantizedTable(e, "embedding", "vec_id")
       }
       val (adj, entryId) = bulkGraphArtifacts(s, dir)
-      val panel = routerPanelV2(s, dir)
       IvfProbeRewrite.registerRouted(IvfProbeRewrite.RoutedConfig(
         model, nprobe = 4, sq8Dir, sq8Margin = 20,
         idCol = "vec_id", vecCol = "embedding",
@@ -986,7 +993,10 @@ object PipelineQueries {
         graphServe = Some((sp, q, k) =>
           GraphAnn.beamSearch(adj, e, "vec_id", "embedding", q,
             entryId, k, beamWidth = 8, rounds = 6, degree = 8))))
-      stageOracle(s, "routedg", dir)("panel" -> panel)
+      // deterministic function of buildOnce fixture state — staged
+      // once, constructed once (round 16)
+      stageOracleOnceLazy(s, "routedg", dir)(
+        Seq("panel" -> routerPanelV2(s, dir)))
       val tier = IvfProbeRewrite.routedDecision(s, indexDir).get
       val query = e.where(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).toArray
@@ -1067,7 +1077,11 @@ object PipelineQueries {
       // the panel's own lexical artifact — the tier it measured is the
       // tier the thunk serves
       val lexDir = s"/tmp/graft_routerlex_${math.abs(dir.hashCode)}"
-      val panel = routerPanelV2(s, dir) // builds lexDir if absent
+      // lexDir is built by routerPanelV2 (mutateOnce) the first time
+      // the panel is constructed — either by the lazy-once staging
+      // below or by the decision thunk on a cache miss; a deleted
+      // lexDir flips the fingerprint (it is a fingerprint root), so
+      // the decision re-measures and rebuilds it
       IvfProbeRewrite.registerRouted(IvfProbeRewrite.RoutedConfig(
         model, nprobe = 4, sq8Dir, sq8Margin = 20,
         idCol = "vec_id", vecCol = "embedding",
@@ -1083,7 +1097,8 @@ object PipelineQueries {
         textTier = "bm25_lexical",
         textServe = Some((sp, terms, k) =>
           Bm25Index.search(sp, lexDir, terms, k))))
-      stageOracle(s, "routedt", dir)("panel" -> panel)
+      stageOracleOnceLazy(s, "routedt", dir)(
+        Seq("panel" -> routerPanelV2(s, dir)))
       val tier = IvfProbeRewrite.routedDecisionText(s, indexDir).get
       val terms = Seq("scan", "filter", "merge")
       IvfProbeRewrite.serveRoutedText(s, indexDir, terms, 10) {
@@ -1215,7 +1230,11 @@ object PipelineQueries {
         sparseServe = Some((sp, q, k) =>
           SparseVec.searchWandIndex(sp, spIdx,
             sp.createDataFrame(q).toDF("dim", "w"), "vec_id", k))))
-      stageOracle(s, "routedsp", dir)("panel" -> panelSp())
+      // deterministic function of mutateOnce'd fixture state — staged
+      // once, constructed once (round 16: the eager form re-counted
+      // the postings artifact and re-ran routerPanelV2 every pass)
+      stageOracleOnceLazy(s, "routedsp", dir)(
+        Seq("panel" -> panelSp()))
       val tier = IvfProbeRewrite.routedDecisionSparse(s, indexDir).get
       IvfProbeRewrite.serveRoutedSparse(s, indexDir, qp, 10) {
         // naive: corpus-scan sparse scoring from the raw embeddings
@@ -1346,8 +1365,12 @@ object PipelineQueries {
         sparseBulkServe = Some((sp, q, k) =>
           SparseVec.searchBulkWandIndex(sp, spIdx, q, "vec_id", k))))
       // deterministic function of mutateOnce'd fixture state — staged
-      // once, like the decision itself is cached per fingerprint
-      stageOracleOnce(s, "routedspb", dir)("panel" -> panelSp())
+      // once, like the decision itself is cached per fingerprint;
+      // LAZY (round 16): the eager varargs form constructed the panel
+      // (postings aggregate + routerPanelV2) every pass before the
+      // marker skipped the write
+      stageOracleOnceLazy(s, "routedspb", dir)(
+        Seq("panel" -> panelSp()))
       val tier = IvfProbeRewrite.routedDecisionSparse(s, indexDir).get
       IvfProbeRewrite.serveRoutedSparseBulk(s, indexDir, qp, 5) {
         // naive: corpus-scan bulk scoring from the raw embeddings —
@@ -6676,10 +6699,14 @@ object PipelineQueries {
     "serving_plan_report",
     (s, dir) => {
       import graft.search.Router
-      val panel = routerPanelV2(s, dir)
       val gbase = s"/tmp/graft_graphann_${math.abs(dir.hashCode)}"
       val indexDir = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
-      stageOracle(s, "router", dir)("panel" -> panel)
+      // panel staged lazy-once (round 16); the entry then PLANS over
+      // the staged rows — the same table the oracle replays — instead
+      // of re-constructing the measured panel every pass
+      val panelDir = stageOracleOnceLazy(s, "router", dir)(
+        Seq("panel" -> routerPanelV2(s, dir)))
+      val panel = s.read.parquet(s"$panelDir/panel")
       Router.plan(s, panel,
         tiers = Seq(
           Router.Tier("bm25_lexical",
@@ -6750,8 +6777,9 @@ object PipelineQueries {
     "serving_plan_budget",
     (s, dir) => {
       import graft.search.Router
-      val panel = routerPanelV2(s, dir)
-      stageOracle(s, "routerbudget", dir)("panel" -> panel)
+      val panelDir = stageOracleOnceLazy(s, "routerbudget", dir)(
+        Seq("panel" -> routerPanelV2(s, dir)))
+      val panel = s.read.parquet(s"$panelDir/panel")
       val budget = panel.where(col("tier") === "sq8_margin20")
         .select(col("mem_bytes").cast("long")).collect()(0).getLong(0) + 1
       Router.plan(s, panel,
@@ -6813,8 +6841,9 @@ object PipelineQueries {
     "serving_plan_filtered",
     (s, dir) => {
       import graft.search.Router
-      val panel = routerPanelV2(s, dir) // freshness-keyed shared panel
-      stageOracle(s, "routerfilt", dir)("panel" -> panel)
+      val panelDir = stageOracleOnceLazy(s, "routerfilt", dir)(
+        Seq("panel" -> routerPanelV2(s, dir)))
+      val panel = s.read.parquet(s"$panelDir/panel")
       Router.plan(s, panel,
         tiers = Seq(
           Router.Tier("bm25_lexical", present = true,
@@ -6878,8 +6907,9 @@ object PipelineQueries {
     "serving_plan_text",
     (s, dir) => {
       import graft.search.Router
-      val panel = routerPanelV2(s, dir)
-      stageOracle(s, "routertext", dir)("panel" -> panel)
+      val panelDir = stageOracleOnceLazy(s, "routertext", dir)(
+        Seq("panel" -> routerPanelV2(s, dir)))
+      val panel = s.read.parquet(s"$panelDir/panel")
       Router.plan(s, panel,
         tiers = Seq(
           Router.Tier("bm25_lexical", present = true,

@@ -96,7 +96,18 @@ object QueryDsl {
     * (live-mutated panels); `rm -rf` the staged dir when changing an
     * entry's fixture logic, like every /tmp artifact here. */
   def stageOracleOnce(spark: SparkSession, name: String, dir: String)
-                     (parts: (String, DataFrame)*): String = {
+                     (parts: (String, DataFrame)*): String =
+    stageOracleOnceLazy(spark, name, dir)(parts)
+
+  /** [[stageOracleOnce]] with the parts BY NAME (round 16, fixed-cost
+    * audit): several panel handoffs are not just deterministic but
+    * EXPENSIVE TO CONSTRUCT (the routed panels run measured-recall
+    * jobs while building their DataFrame, before any write) — the
+    * eager varargs form pays that construction on every pass even
+    * though the marker then skips the write. The by-name form skips
+    * construction too: steady-state passes cost one marker stat. */
+  def stageOracleOnceLazy(spark: SparkSession, name: String, dir: String)
+                         (parts: => Seq[(String, DataFrame)]): String = {
     val out = oracleDir(name, dir)
     val marker = new org.apache.hadoop.fs.Path(out, "__graft_staged")
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(

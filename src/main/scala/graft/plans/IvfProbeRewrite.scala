@@ -144,14 +144,35 @@ object IvfProbeRewrite extends Rule[LogicalPlan] {
 
   /** Opt the index in for ROUTER-driven rewriting (keyed, like
     * [[register]], on the IVF data dir the naive query scans).
-    * Re-registering drops the path's cached decisions, so a config flip
-    * (new budget, new target) re-routes immediately. */
+    * Round 16 (fixed-cost audit): re-registering no longer clears the
+    * path's cached decisions — the decision cache key carries every
+    * decision-relevant config input ([[decisionFingerprint]]: tier
+    * menu, recall target, memory budget) alongside the artifact
+    * fingerprint and modality, so a config flip re-routes immediately
+    * via a key MISS while an identical re-registration (the steady
+    * state: every serving pass re-declares the same config) reuses the
+    * cached tier with zero panel/measure jobs. The old clear-on-
+    * register made each bench pass re-run the full measured panel —
+    * exactly the per-query routing cost the round-12 cache was built
+    * to amortize. */
   def registerRouted(cfg: RoutedConfig): Unit = {
     val p = normalize(IvfIndex.dataDir(cfg.model.indexDir))
     routedRegistry.put(p, cfg)
-    routedDecisions.keySet.removeIf(
-      (k: String) => k.startsWith(p + "#"))
   }
+
+  /** The decision-relevant slice of a [[RoutedConfig]], as a cache-key
+    * string: everything [[graft.search.Router.plan]] consumes except
+    * the panel itself (whose content is keyed by the artifact
+    * fingerprint — the panel thunks are fingerprint-keyed buildOnce
+    * artifacts, see the class comment). Serving thunks are
+    * deliberately NOT part of the key: they don't influence WHICH tier
+    * wins, only how the winner serves. */
+  private def decisionFingerprint(cfg: RoutedConfig): String =
+    cfg.tiers.map(t =>
+        s"${t.name}:${t.present}:${t.filterCapable}:${t.modality}")
+      .mkString(",") +
+      s"#rt=${cfg.recallTarget}#mb=${cfg.memoryBudget.getOrElse(-1L)}" +
+      s"#flat=${cfg.flatTier}"
 
   /** The tier the rule routes `indexDir`'s naive queries to RIGHT NOW
     * (computing and caching the decision if no query ran yet) — the
@@ -231,8 +252,11 @@ object IvfProbeRewrite extends Rule[LogicalPlan] {
     val fp = Router.artifactFingerprint(spark, cfg.fingerprintRoots)
     // modality is part of the decision key: the same artifacts route a
     // vector query and a text query to DIFFERENT tiers (Router.plan's
-    // round-12 modality gate)
-    val key = s"$path#$fp#$modality"
+    // round-12 modality gate). So is the config's decision-relevant
+    // slice (round 16): two entries sharing one index path but
+    // registering different budgets/tier menus must not read each
+    // other's cached tier.
+    val key = s"$path#$fp#$modality#${decisionFingerprint(cfg)}"
     val cached = routedDecisions.get(key)
     if (cached != null) cached
     else {
