@@ -17,12 +17,28 @@ object Artifacts {
     * job is rebuilt rather than trusted). NOT safe against two concurrent
     * builders of the same dir — same single-writer assumption as any
     * warehouse table build. */
+  /** Inferred-schema cache for the re-read below (round 16, fixed-cost
+    * audit): a buildOnce dir is immutable once `_SUCCESS` exists — the
+    * object's own contract — yet every call re-ran schema inference's
+    * 1-task footer job. First read per path infers; later reads pass
+    * the cached schema. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   def buildOnce(spark: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
     val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(success))
+    if (!fs.exists(success)) {
       build.write.mode("overwrite").parquet(dir)
-    spark.read.parquet(dir)
+      schemaCache.remove(dir)
+    }
+    val cached = schemaCache.get(dir)
+    if (cached != null) spark.read.schema(cached).parquet(dir)
+    else {
+      val df = spark.read.parquet(dir)
+      schemaCache.put(dir, df.schema)
+      df
+    }
   }
 
   /** Recursive LOCAL-filesystem dir copy (destination is deleted first)

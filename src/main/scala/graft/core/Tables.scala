@@ -16,8 +16,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred-schema cache (round 16, fixed-cost audit): every
+    * `spark.read.parquet` without a schema runs a 1-task footer-read
+    * job at plan time, and the fixture tables are read by nearly every
+    * registry entry — hundreds of identical footer jobs per bench
+    * pass. Fixtures are IMMUTABLE for a given dir (TESTDATA.md), so
+    * the first read infers and later reads pass the cached schema.
+    * Keyed by full path: two fixture dirs (or driver generations with
+    * different `ts` physical types — see [[normalizeTs]]) never share
+    * an entry. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    val cached = schemaCache.get(p)
+    if (cached != null) spark.read.schema(cached).parquet(p)
+    else {
+      val df = spark.read.parquet(p)
+      schemaCache.put(p, df.schema)
+      df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -38,6 +38,31 @@ object Bm25Index {
   def postingsDir(indexDir: String): String = s"$indexDir/postings"
   def doclenDir(indexDir: String): String = s"$indexDir/doclen"
 
+  // Explicit reader schemas — this object's own writer contract
+  // (round 16, fixed-cost audit: schema inference's footer job per
+  // read is pure metadata I/O on every BM25 serve).
+  private val postingsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("id", LongType),
+      StructField("term", StringType), StructField("tf", LongType)))
+  }
+  private val doclenSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("id", LongType),
+      StructField("dl", LongType)))
+  }
+  private val fieldedPostingsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("id", LongType),
+      StructField("field", StringType), StructField("term", StringType),
+      StructField("tf", LongType)))
+  }
+  private val fieldedDoclenSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("id", LongType),
+      StructField("field", StringType), StructField("dl", LongType)))
+  }
+
   private def tokenize(docs: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame) = {
     // dl counts REAL terms only: split on leading whitespace yields an
@@ -157,9 +182,11 @@ object Bm25Index {
     // aliased-root resolution (the default serving discipline): an
     // index root with publish markers serves its current version
     val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
-    val postings = spark.read.parquet(postingsDir(indexDir))
+    val postings = spark.read.schema(fieldedPostingsSchema)
+      .parquet(postingsDir(indexDir))
       .where(col("term").isin(terms: _*))
-    val doclen = spark.read.parquet(doclenDir(indexDir))
+    val doclen = spark.read.schema(fieldedDoclenSchema)
+      .parquet(doclenDir(indexDir))
     val nDocs = doclen.agg(
       countDistinct(col("id")).cast("double").as("n_docs"))
     val fstats = doclen.groupBy(col("field")).agg(
@@ -203,9 +230,11 @@ object Bm25Index {
              idFilter: Option[DataFrame] = None): DataFrame = {
     // aliased-root resolution — see [[searchFielded]]
     val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
-    val postings = spark.read.parquet(postingsDir(indexDir))
+    val postings = spark.read.schema(postingsSchema)
+      .parquet(postingsDir(indexDir))
       .where(col("term").isin(terms: _*))
-    val doclen = spark.read.parquet(doclenDir(indexDir))
+    val doclen = spark.read.schema(doclenSchema)
+      .parquet(doclenDir(indexDir))
     val stats = doclen.agg(
       count(lit(1)).cast("double").as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))

@@ -31,6 +31,30 @@ object FullText {
   def dfDir(indexDir: String): String = s"$indexDir/df"
   def statsDir(indexDir: String): String = s"$indexDir/stats"
 
+  // Explicit reader schemas (round 16, fixed-cost audit): these three
+  // query-side tables are this object's own writer contract, and a
+  // schema-less `spark.read.parquet` pays a 1-task footer-inference
+  // job per read — three jobs on EVERY lexical serve's query side.
+  // `statsQuerySchema` is deliberately a SUBSET (parquet reads by
+  // name): the query side needs only (n_docs, avgdl), so the sealed_*
+  // debt counters stay invisible here and [[debt]] keeps its own
+  // inferred read.
+  private val dictSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("dim",
+      org.apache.spark.sql.types.IntegerType)))
+  private val dfSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("df_",
+      org.apache.spark.sql.types.LongType)))
+  private val statsQuerySchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_docs",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("avgdl",
+      org.apache.spark.sql.types.DoubleType)))
+
   private def toks = filter(split(col("__text"), "\\s+"),
     t => length(t) > 0)
 
@@ -213,7 +237,7 @@ object FullText {
     // per-partition counts) runs once, not once per consuming action
     denseDict(tf).write.mode("overwrite").parquet(dictDir(indexDir))
     dfreq.write.mode("overwrite").parquet(dfDir(indexDir))
-    val dict = spark.read.parquet(dictDir(indexDir))
+    val dict = spark.read.schema(dictSchema).parquet(dictDir(indexDir))
     // stale bound stats go BEFORE the postings overwrite (the
     // SparseVec.build crash argument: a crash in the window degrades
     // WAND to the missing-stats fallback — slow, never wrong — where
@@ -240,6 +264,7 @@ object FullText {
     // writes a posting regardless of its rounded weight), so the
     // separate dict-count scan is free
     val sealedCounts = spark.read
+      .schema(SparseVec.postingsSchema("id", bucketed = buckets > 0))
       .parquet(SparseVec.postingsDir(indexDir))
       .agg(count(lit(1)).as("r"), countDistinct(col("dim")).as("t"))
       .first()
@@ -314,8 +339,9 @@ object FullText {
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val dl = base.select(col("id"),
       size(col("__tk")).cast("double").as("dl"))
-    val stats = spark.read.parquet(statsDir(indexDir))
-    val dict = spark.read.parquet(dictDir(indexDir))
+    val stats = spark.read.schema(statsQuerySchema)
+      .parquet(statsDir(indexDir))
+    val dict = spark.read.schema(dictSchema).parquet(dictDir(indexDir))
     // the batch's genuinely-new vocabulary ONCE (bounded by the batch's
     // distinct terms) — collected BEFORE touching maxDim, because the
     // steady-state batch has NO new vocabulary and then needs neither
@@ -380,10 +406,11 @@ object FullText {
     // must not mix the unresolved root's dict with a version's
     // postings (round-14 ADVICE)
     val indexDir = AliasedIndex.resolveDir(spark, indexDir0)
-    val dict = spark.read.parquet(dictDir(indexDir))
+    val dict = spark.read.schema(dictSchema).parquet(dictDir(indexDir))
       .where(col("term").isin(terms: _*))
-    val dfreq = spark.read.parquet(dfDir(indexDir))
-    val stats = spark.read.parquet(statsDir(indexDir))
+    val dfreq = spark.read.schema(dfSchema).parquet(dfDir(indexDir))
+    val stats = spark.read.schema(statsQuerySchema)
+      .parquet(statsDir(indexDir))
     dict.join(dfreq, "term").crossJoin(broadcast(stats))
       .select(col("dim"),
         round(log((col("n_docs") - col("df_") + 0.5)

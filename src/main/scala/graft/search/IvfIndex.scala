@@ -204,11 +204,51 @@ object IvfIndex {
     * unchanged. */
   def load(spark: SparkSession, indexDir: String): Model = {
     val dir = AliasedIndex.resolveDir(spark, indexDir)
-    val centroids = spark.read.parquet(centroidsDir(dir))
+    // Freshness-keyed model cache (round 16, fixed-cost audit): ~50
+    // registry entries load a model per serving pass, each paying a
+    // footer-inference job plus a collect for a table that almost
+    // never changes. The key is a filesystem stat fingerprint of the
+    // centroids dir (max mtime, file count, total bytes — no Spark
+    // job), so any rebuild/rebalance that rewrites centroids misses
+    // the cache and reloads; an aliased root additionally changes
+    // `dir` itself on publish.
+    val stat = centroidsStat(spark, centroidsDir(dir))
+    val cached = modelCache.get(dir)
+    if (cached != null && cached._1 == stat) return cached._2
+    val centroids = spark.read.schema(centroidsSchema)
+      .parquet(centroidsDir(dir))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    Model(dir, centroids.length, centroids)
+    val m = Model(dir, centroids.length, centroids)
+    modelCache.put(dir, (stat, m))
+    m
+  }
+
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Model)]()
+
+  private val centroidsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cluster_id",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("centroid",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))))
+
+  private def centroidsStat(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      var mt = 0L; var n = 0L; var bytes = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        mt = math.max(mt, st.getModificationTime)
+        n += 1; bytes += st.getLen
+      }
+      s"m$mt.n$n.b$bytes"
+    }
   }
 
   /** Rank centroids against the query (driver-side, O(nlist·dim)). */

@@ -70,17 +70,52 @@ object Pq {
     model
   }
 
-  /** Load a previously built model's codebooks. */
+  /** Load a previously built model's codebooks. Freshness-keyed cache
+    * (round 16, fixed-cost audit — the [[IvfIndex.load]] discipline):
+    * the codebooks are a one-file table many entries re-load per
+    * serving pass; a filesystem stat fingerprint detects rebuilds, no
+    * Spark job on the warm path. */
   def load(spark: SparkSession, indexDir: String): Model = {
-    val rows = spark.read.parquet(codebooksDir(indexDir)).collect()
+    val cbDir = codebooksDir(indexDir)
+    val p = new org.apache.hadoop.fs.Path(cbDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stat =
+      if (!fs.exists(p)) "absent"
+      else {
+        var mt = 0L; var n = 0L; var bytes = 0L
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val st = it.next()
+          mt = math.max(mt, st.getModificationTime)
+          n += 1; bytes += st.getLen
+        }
+        s"m$mt.n$n.b$bytes"
+      }
+    val cached = modelCache.get(cbDir)
+    if (cached != null && cached._1 == stat) return cached._2
+    val rows = spark.read.schema(codebooksSchema).parquet(cbDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
     val m = rows.map(_._1).max + 1
     val kCodes = rows.map(_._2).max + 1
     val cbs = Array.ofDim[Array[Float]](m, kCodes)
     rows.foreach { case (s, c, v) => cbs(s)(c) = v }
-    Model(indexDir, m, kCodes, cbs.head.head.length,
+    val model = Model(indexDir, m, kCodes, cbs.head.head.length,
       cbs.map(_.toArray))
+    modelCache.put(cbDir, (stat, model))
+    model
   }
+
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Model)]()
+
+  private val codebooksSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("sub",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("code",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("centroid",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))))
 
   /** Per-subspace argmin code assignment as ONE map-side expression:
     * array-of-structs lexicographic min per subspace (the

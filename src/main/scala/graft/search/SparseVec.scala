@@ -227,7 +227,8 @@ object SparseVec {
     // count): batch per-dim maxima left-joined to the stored fold,
     // keeping only the raisers — a bounded collect (≤ batch dims)
     val raised = post.groupBy(col("dim")).agg(max(col("w")).as("bmax"))
-      .join(spark.read.parquet(dimStatsDir(indexDir))
+      .join(spark.read.schema(dimStatsSchema)
+          .parquet(dimStatsDir(indexDir))
           .groupBy(col("dim")).agg(max(col("maxw")).as("smax")),
         Seq("dim"), "left")
       .where(col("smax").isNull || col("bmax") > col("smax"))
@@ -258,7 +259,8 @@ object SparseVec {
       spark.sparkContext.hadoopConfiguration)
     val stored: Map[Int, Double] =
       if (!fs.exists(statsPath)) Map.empty
-      else spark.read.parquet(dimStatsDir(indexDir))
+      else spark.read.schema(dimStatsSchema)
+        .parquet(dimStatsDir(indexDir))
         .where(col("dim").isin(dims: _*))
         .groupBy(col("dim")).agg(max(col("maxw")).as("maxw"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
@@ -305,8 +307,10 @@ object SparseVec {
     if (buckets > 0) writeBucketsMarker(spark, indexDir, buckets)
     else clearBucketsMarker(spark, indexDir)
     // per-dim bounds from the STORED postings (one columnar scan of
-    // (dim, w))
-    appendDimStats(spark.read.parquet(postingsDir(indexDir)), indexDir)
+    // (dim, w); schema pinned — this build just wrote the layout)
+    appendDimStats(spark.read
+      .schema(postingsSchema(idCol, bucketed = buckets > 0))
+      .parquet(postingsDir(indexDir)), indexDir)
   }
 
   /** Absorb a new batch by file append into the served version — ids
@@ -471,8 +475,9 @@ object SparseVec {
     val base = postingsDir(indexDir)
     val bp = new org.apache.hadoop.fs.Path(base)
     val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val layout = bc.getOrElse(bucketCount(spark, indexDir))
     val (prefix, dirNames) =
-      bc.getOrElse(bucketCount(spark, indexDir)) match {
+      layout match {
         // bucketed layout: a query dim's list lives in its dim%B
         // bucket; the `dim IN` literals then prune row groups inside
         // the bucket via parquet min/max (files are dim-sorted by the
@@ -484,8 +489,15 @@ object SparseVec {
     val paths = dirNames.distinct.sorted
       .map(n => new org.apache.hadoop.fs.Path(base, n))
       .filter(fs.exists(_)).map(_.toString)
+    // explicit schema (round 16, fixed-cost audit): the layout is the
+    // family's own writer contract — (BIGINT id, INT dim, DOUBLE w)
+    // data columns plus the marker-declared partition column — so
+    // schema inference's per-read footer job (one 1-task Spark job per
+    // dimScan, and a WAND serve issues several dimScans) buys nothing
+    val schema = postingsSchema(idCol, bucketed = layout.isDefined)
     if (paths.nonEmpty)
-      return spark.read.option("basePath", base).parquet(paths: _*)
+      return spark.read.option("basePath", base).schema(schema)
+        .parquet(paths: _*)
         .where(col("dim").isin(dims: _*))
         .drop("dimb")
     // (the LongType idCol in the no-postings-at-all fallback below is
@@ -527,12 +539,38 @@ object SparseVec {
         "rebuild did not complete; rebuild the artifact"))
     sample match {
       case Some(sp) =>
-        spark.read.option("basePath", base).parquet(sp.toString)
+        spark.read.option("basePath", base).schema(schema)
+          .parquet(sp.toString)
           .where(col("dim").isin(dims: _*))
           .drop("dimb")
       case None => emptyFallback
     }
   }
+
+  /** The posting files' schema AS WRITTEN — (BIGINT id, INT dim,
+    * DOUBLE w) data columns ([[build]]'s id-type assertion backs the
+    * LongType), plus the `dimb` partition column when the marker
+    * declares the bucketed layout (per-dim layouts carry `dim` as the
+    * partition column instead; either way the column is declared INT
+    * so directory values parse identically to inference). Passing it
+    * explicitly skips schema inference's footer-read job on every
+    * artifact scan. */
+  private[graft] def postingsSchema(idCol: String, bucketed: Boolean)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(
+      StructField(idCol, LongType) :: StructField("dim", IntegerType) ::
+        StructField("w", DoubleType) ::
+        (if (bucketed) List(StructField("dimb", IntegerType)) else Nil))
+  }
+
+  /** The dim-stats files' schema as written by [[appendDimStats]] /
+    * [[appendDimStatsRaising]]. */
+  private val dimStatsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("dim",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("maxw",
+      org.apache.spark.sql.types.DoubleType)))
 
   /** [[dimScan]] + tombstone mask — the shared base of every
     * stored-artifact serve. */
