@@ -1458,7 +1458,12 @@ object TextQueries {
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
           if (!fs.exists(new Path(
               SparseVec.postingsDir(idx) + "/_SUCCESS")))
-            FullText.build(batch, "doc_id", "text", idx)
+            // dim-BUCKETED layout (round 16, guide §6): micro-batch
+            // appends into per-dim directories pay one parquet file
+            // create per touched dim per batch; the bucketed writer
+            // lands a couple of dim-sorted files instead. Serve
+            // semantics unchanged (layout marker drives every verb).
+            FullText.build(batch, "doc_id", "text", idx, buckets = 16)
           else
             FullText.append(batch, "doc_id", "text", idx)
           ()

@@ -2929,6 +2929,15 @@ object VectorQueries {
         writeOne(e.where(col("vec_id") >= 400), "02_batch.parquet",
           3000000L)
       }
+      // Declare the dim-BUCKETED layout before the first append
+      // (round 16, guide §6 small-files): a per-dim layout writes one
+      // file per touched dim PER MICRO-BATCH (~64 parquet creates,
+      // ~1.1 s each batch at this FS), while the bucketed writer's
+      // range shuffle lands a couple of dim-sorted files across B
+      // directories. Same serve semantics — every verb reads the
+      // marker ([[graft.search.SparseVec.bucketCount]]).
+      fs.mkdirs(new Path(idx))
+      SparseVec.writeBucketsMarker(s, idx, 16)
       val schema = StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType, containsNull = true))))

@@ -144,7 +144,20 @@ object SparseVec {
           .write.mode(mode).partitionBy("dimb")
           .parquet(postingsDir(indexDir))
       case None =>
-        post.write.mode(mode).partitionBy("dim")
+        // Range-repartition by dim BEFORE the partitioned write
+        // (round 16, guide §6 small-files): without it every input
+        // partition writes its own file into every dim directory it
+        // touches — a 32-partition build over 64 dims landed ~500
+        // ~1 KB files per artifact, and every micro-batch append
+        // re-paid the same (files × open-cost) on each later serve
+        // and each write's commit. Ranging by (dim, w) gives one file
+        // per dim in the common case while a genuinely hot dim still
+        // splits across tasks by weight range (the bucketed writer's
+        // own skew argument, applied to the per-dim layout); file
+        // count follows the shuffle-partition conf, so the cap is
+        // scale-adaptive, not a local constant.
+        post.repartitionByRange(col("dim"), col("w"))
+          .write.mode(mode).partitionBy("dim")
           .parquet(postingsDir(indexDir))
     }
 
