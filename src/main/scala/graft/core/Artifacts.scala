@@ -60,7 +60,13 @@ object Artifacts {
       val t = dst.resolve(src.relativize(p))
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.createDirectories(t)
-      else java.nio.file.Files.copy(p, t)
+      // COPY_ATTRIBUTES (round 16): preserve mtimes so a re-copied
+      // fixture carries the same filesystem stat fingerprint as its
+      // source — the freshness-keyed caches (IvfIndex model /
+      // versioned-schema) then recognize the identical content instead
+      // of re-inferring every pass
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
     }
   }
 }

@@ -691,11 +691,34 @@ object IvfIndex {
     val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(m)) None
     else {
-      val scan = spark.read.option("mergeSchema", "true")
-        .parquet(dataDir(indexDir))
-      if (scan.columns.contains("__ver")) Some(scan) else None
+      // The merged-schema inference reads EVERY file footer (it must —
+      // only upsert-written files carry `__ver`, so one footer cannot
+      // answer); round 16 caches the answer keyed by a filesystem stat
+      // fingerprint of the data dir, so a serve over an unchanged
+      // layout skips the sweep while any append/upsert/compact misses
+      // the cache and re-infers. The crash contract is unchanged: a
+      // marker over an unversioned layout caches None and serves
+      // plain.
+      val dd = dataDir(indexDir)
+      val stat = centroidsStat(spark, dd)
+      val cached = versionedSchemaCache.get(dd)
+      val schemaOpt =
+        if (cached != null && cached._1 == stat) cached._2
+        else {
+          val scan = spark.read.option("mergeSchema", "true").parquet(dd)
+          val s =
+            if (scan.columns.contains("__ver")) Some(scan.schema)
+            else None
+          versionedSchemaCache.put(dd, (stat, s))
+          s
+        }
+      schemaOpt.map(sch => spark.read.schema(sch).parquet(dd))
     }
   }
+
+  private val versionedSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Option[org.apache.spark.sql.types.StructType])]()
 
   /** Latest-version-wins overlay over a (pruned) slice of a versioned
     * scan: the overlay is the per-key max version of the UPSERTED rows
